@@ -1,0 +1,109 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis expression library (SURVEY.md §2.10/§2.11 X4).
+  *
+  * Every function here is a pure Catalyst expression tree built from
+  * `org.apache.spark.sql.functions._` — codegen'd, no UDFs, so the whole
+  * pipeline stays inside WholeStageCodegen and scales linearly with input
+  * splits at 100 TB.
+  *
+  * Oracle-parity note: several functions are intentionally expressed with
+  * engine-portable primitives (replace/length/split) so that the DuckDB
+  * oracle can evaluate byte-identical semantics.
+  */
+object Text {
+
+  /** Whitespace tokens of the lowercased text. */
+  def tokens(text: Column): Column = split(lower(text), " ")
+
+  def tokenCount(text: Column): Column =
+    size(tokens(text)).cast("long")
+
+  def distinctTokenCount(text: Column): Column =
+    size(array_distinct(tokens(text))).cast("long")
+
+  /** BPE-ish subword segmentation: split on whitespace AND at
+    * letter/digit/punct boundaries — a deterministic stand-in for a real
+    * BPE vocab (tokenizer libs are not in scope). */
+  def bpeishTokenCount(text: Column): Column =
+    size(filter(
+      split(lower(text), "\\s+|(?<=[a-z])(?=[0-9])|(?<=[0-9])(?=[a-z])|(?=[^a-z0-9\\s])|(?<=[^a-z0-9\\s])"),
+      t => length(t) > 0)).cast("long")
+
+  /** Non-overlapping occurrence count of a token (word-bounded by space
+    * padding). Removal is left-to-right non-overlapping in both Spark
+    * and DuckDB → oracle-exact. */
+  def occ(text: Column, word: String): Column = {
+    val padded = concat(lit(" "), text, lit(" "))
+    ((length(padded) - length(regexp_replace(padded,
+      java.util.regex.Pattern.quote(s" $word "), ""))) / (word.length + 2))
+      .cast("long")
+  }
+
+  /** Language-ID by stopword-marker scoring (n-gram heuristic): count
+    * marker-word hits per language, argmax with a deterministic
+    * tie-break order. Linear scan per row — no shuffle. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of"),
+    "es" -> Seq("el", "la", "de"),
+    "de" -> Seq("der", "die", "und"))
+
+  def langScore(text: Column, words: Seq[String]): Column =
+    words.map(occ(text, _)).reduce(_ + _)
+
+  def langId(text: Column): Column = {
+    val scores = langMarkers.map { case (l, ws) => l -> langScore(text, ws) }
+    val Seq(en, es, de) = scores.map(_._2)
+    when(en >= greatest(es, de) && en > 0, lit("en"))
+      .when(es >= de && es > 0, lit("es"))
+      .when(de > 0, lit("de"))
+      .otherwise(lit("und"))
+  }
+
+  /** Quality score: token count, type-token ratio, mean token length,
+    * and a coarse bucket — the length/punct/stopword-ratio style score a
+    * pretraining pipeline gates on. */
+  def qualityBucket(nTokens: Column, uniqRatio: Column): Column =
+    when(nTokens < 10, lit("too_short"))
+      .when(uniqRatio < 0.3, lit("repetitive"))
+      .when(uniqRatio > 0.95, lit("high"))
+      .otherwise(lit("ok"))
+
+  /** Rolling polynomial fingerprint over tokens (document fingerprinting
+    * X4). Pure integer arithmetic → bit-exact across engines. Each token
+    * contributes ascii(first char)*31 + length; fold is
+    * acc*1000003 + x (mod 1e9+7). */
+  def tokenFingerprint(text: Column): Column =
+    aggregate(
+      transform(tokens(text),
+        t => (ascii(t).cast("long") * 31 + length(t).cast("long"))),
+      lit(0L),
+      (acc, x) => (acc * 1000003L + x) % 1000000007L)
+
+  /** Character-level rolling hash (classic Rabin-Karp shape) — Scala-side
+    * only (char split differs across engines; covered by ScalaTest). */
+  def charFingerprint(text: Column): Column =
+    aggregate(
+      filter(split(text, ""), c => length(c) > 0),
+      lit(0L),
+      (acc, c) => (acc * 31L + ascii(c).cast("long")) % 1000000007L)
+
+  /** Word n-gram shingles ("a b c", n=2 → ["a b","b c"]). Used by MinHash
+    * and Jaccard dedup. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ",
+          (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Distinct shingle set — the MinHash/Jaccard input. */
+  def shingleSet(text: Column, n: Int): Column =
+    array_distinct(shingles(text, n))
+}

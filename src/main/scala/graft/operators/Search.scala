@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** Native search operators — the OpenSearch-delegated surface of the
+  * reference re-expressed as Spark relational operators (SURVEY.md §2.10).
+  *
+  *  - tokenization / analyzed text → lower + split + explode
+  *  - the index itself → an inverted-postings TABLE (token → doc, tf);
+  *    at 100 TB this is one shuffle on token, then any term lookup is a
+  *    pushed-down point predicate on a token-partitioned parquet table
+  *  - bulk indexing with positional _id (reference lambda-function.py:154-159)
+  *  - single-doc idempotent upsert (index-data-lambda.py:390-411) →
+  *    Catalog.upsert (anti-join + union)
+  */
+object Search {
+
+  /** T3/K5 helper: index-name normalization `{ds}_{env}` lowercased,
+    * `-` → `_` (reference lambda-function.py:192-193). */
+  def normalizeIndexName(name: Column): Column =
+    lower(regexp_replace(name, "-", "_"))
+
+  /** (doc_id, token) pairs — the analyzed-text stream. */
+  def tokenStream(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), explode(Text.tokens(col(textCol))).as("token"))
+
+  /** Term frequencies per document: the inverted-index postings list.
+    * One hash-aggregate shuffle on (token, doc) — partial aggregation
+    * (map-side combine) does the heavy lifting before the exchange. */
+  def invertedIndex(docs: DataFrame, idCol: String,
+                    textCol: String): DataFrame =
+    tokenStream(docs, idCol, textCol)
+      .groupBy(col("token"), col(idCol))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Corpus term counts (document frequency + collection frequency). */
+  def termStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    tokenStream(docs, idCol, textCol)
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cf"),
+           countDistinct(col(idCol)).as("df"))
+
+  /** T1: match_all — trivial scan. */
+  def matchAll(index: DataFrame): DataFrame = index
+
+  /** T2: full-text term match — substring/word predicate over the text
+    * column; pushes down as a parquet string predicate. */
+  def matchTerm(docs: DataFrame, textCol: String, term: String): DataFrame =
+    docs.filter(col(textCol).contains(term))
+
+  /** Term-frequency relevance ranking for a single term: deterministic
+    * (length - length(remove)) / len(term) tf, descending. */
+  def rankByTf(docs: DataFrame, idCol: String, textCol: String,
+               term: String, k: Int): DataFrame =
+    docs.withColumn("tf", Text.occ(col(textCol), term))
+      .filter(col("tf") > 0)
+      .orderBy(col("tf").desc, col(idCol).asc)
+      .limit(k)
+
+  /** K5: bulk index build — positional _id like the reference's bulk
+    * body (row ordinal), made deterministic with an explicit total
+    * order. row_number needs a single ordering pass; at scale prefer the
+    * carried document id (T4) — positional ids are inherently a global
+    * sort. */
+  def bulkIndex(docs: DataFrame, orderCol: String): DataFrame =
+    docs.withColumn("_id",
+      row_number().over(Window.orderBy(col(orderCol).asc)).cast("long"))
+}

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Vectors
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (SURVEY.md §2.11 X3).
+  *
+  * Two paths:
+  *  - brute force: exact cosine top-k. The query vector rides along as a
+  *    broadcast single-row relation (no driver collect, no shuffle of
+  *    the big side); `orderBy(desc).limit(k)` plans as
+  *    TakeOrderedAndProject — per-partition heaps, no global sort.
+  *  - LSH: random-hyperplane buckets (Vectors.lshBucket). The big side
+  *    is filtered to the query's bucket BEFORE scoring; at 100 TB the
+  *    bucket column is a partition key, so the probe is a pruned scan,
+  *    not a full pass.
+  */
+object Similarity {
+
+  /** Exact cosine top-k against the vector of `queryId` from the same
+    * relation. */
+  def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
+                     queryId: Long, k: Int): DataFrame = {
+    val q = broadcast(
+      emb.filter(col(idCol) === queryId)
+        .select(Vectors.toDouble(col(vecCol)).as("qvec")))
+    emb.filter(col(idCol) =!= queryId)
+      .select(col(idCol), Vectors.toDouble(col(vecCol)).as("v"))
+      .crossJoin(q)
+      .select(col(idCol),
+        Vectors.cosine(col("v"), col("qvec")).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** LSH-bucketed ANN: score only vectors in the query's bucket.
+    * Multi-probe widening (flipping each signature bit) trades compute
+    * for recall; `probes` = number of 1-bit-flip neighbor buckets to
+    * also visit (0 = exact-bucket only). */
+  def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
+              queryId: Long, k: Int, nPlanes: Int = 12,
+              probes: Int = 0): DataFrame = {
+    val withBucket = emb
+      .select(col(idCol), Vectors.toDouble(col(vecCol)).as("v"))
+      .withColumn("bucket", Vectors.lshBucket(col("v"), nPlanes))
+    val qrow = withBucket.filter(col(idCol) === queryId)
+      .select(col("v").as("qvec"), col("bucket").as("qbucket"))
+    // Probe set: the query bucket plus `probes` 1-bit flips of it.
+    val probeBuckets = broadcast(qrow.select(
+      explode(transform(sequence(lit(0), lit(probes)), i =>
+        when(i === 0, col("qbucket"))
+          .otherwise(col("qbucket")
+            .bitwiseXOR(call_function("shiftleft", lit(1L), i - 1)))))
+        .as("bucket"),
+      col("qvec")))
+    withBucket.filter(col(idCol) =!= queryId)
+      .join(probeBuckets, Seq("bucket"))
+      .select(col(idCol), Vectors.cosine(col("v"), col("qvec")).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** All-pairs top-k neighbors per vector (small-side utility; the
+    * per-row window keeps only k). At scale use the LSH bucket join —
+    * this exact variant is O(n²) by definition. */
+  def allPairsTopK(emb: DataFrame, idCol: String, vecCol: String,
+                   k: Int): DataFrame = {
+    val v = emb.select(col(idCol).as("id_a"),
+      Vectors.toDouble(col(vecCol)).as("v_a"))
+    val w = emb.select(col(idCol).as("id_b"),
+      Vectors.toDouble(col(vecCol)).as("v_b"))
+    val win = Window.partitionBy(col("id_a"))
+      .orderBy(col("cosine").desc, col("id_b").asc)
+    v.join(w, col("id_a") =!= col("id_b"))
+      .withColumn("cosine", Vectors.cosine(col("v_a"), col("v_b")))
+      .withColumn("rank", row_number().over(win).cast("long"))
+      .filter(col("rank") <= k)
+      .select("id_a", "id_b", "cosine", "rank")
+  }
+}

@@ -1,0 +1,467 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+import graft.sources.Catalog
+
+/** The relational operator inventory (SURVEY.md §2.3-§2.8) as
+  * oracle-checked queries over the TPC-H-ish testdata.
+  *
+  * Determinism rules (SURVEY.md §5): every query carries a total-order
+  * ORDER BY; no processing-time columns; money sums are rounded at a
+  * granularity coarse enough that partial-aggregation reordering noise
+  * (~1e-5 absolute at sf0.01 magnitudes) cannot flip the rounded value;
+  * per-row arithmetic is emitted UNROUNDED (IEEE doubles are
+  * bit-deterministic — rounding would only add half-even boundary risk).
+  */
+object RelationalQueries {
+
+  private def ts(d: String) = java.sql.Timestamp.valueOf(s"$d 00:00:00")
+
+  val entries: Seq[QueryDef] = Seq(
+
+    // ---- A4/A6/P1/P5: flagship pricing summary (TPC-H Q1 shape) ------
+    QueryDef("q01_pricing_summary",
+      (s, dir) => {
+        val l = Tables.load(s, dir, "lineitem")
+        l.filter(col("l_shipdate") <= lit(ts("1998-09-02")))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            round(sum("l_quantity"), 2).as("sum_qty"),
+            round(sum("l_extendedprice"), 0).as("sum_base_price"),
+            round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 0)
+              .as("sum_disc_price"),
+            round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+              * (lit(1.0) + col("l_tax"))), 0).as("sum_charge"),
+            round(avg("l_quantity"), 2).as("avg_qty"),
+            round(avg("l_extendedprice"), 2).as("avg_price"),
+            round(avg("l_discount"), 4).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+        round(sum(l_quantity),2) AS sum_qty,
+        round(sum(l_extendedprice),0) AS sum_base_price,
+        round(sum(l_extendedprice*(1.0-l_discount)),0) AS sum_disc_price,
+        round(sum(l_extendedprice*(1.0-l_discount)*(1.0+l_tax)),0) AS sum_charge,
+        round(avg(l_quantity),2) AS avg_qty,
+        round(avg(l_extendedprice),2) AS avg_price,
+        round(avg(l_discount),4) AS avg_disc,
+        count(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")),
+
+    // ---- P1/P5/P6/P7/O1: filter + derived projection + limit ---------
+    QueryDef("q02_filter_project",
+      (s, dir) => {
+        val l = Tables.load(s, dir, "lineitem")
+        l.filter(col("l_returnflag") === "R" &&
+            col("l_shipdate").between(ts("1995-01-01"), ts("1995-12-31")))
+          .select(col("l_orderkey"), col("l_linenumber"),
+            (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+              .as("revenue"))
+          .orderBy("l_orderkey", "l_linenumber").limit(100)
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+        l_extendedprice*(1.0-l_discount) AS revenue
+        FROM lineitem
+        WHERE l_returnflag='R'
+          AND l_shipdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                             AND TIMESTAMP '1995-12-31 00:00:00'
+        ORDER BY l_orderkey, l_linenumber LIMIT 100""")),
+
+    // ---- W1/O2: top-k by recency (TakeOrderedAndProject) -------------
+    QueryDef("q03_topk_recent",
+      (s, dir) => Tables.load(s, dir, "orders")
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").asc)
+        .limit(20)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate"),
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        o_orderdate FROM orders
+        ORDER BY o_orderdate DESC, o_orderkey ASC LIMIT 20""")),
+
+    // ---- S6: point lookup (predicate-pushdown point scan) ------------
+    QueryDef("q04_point_lookup",
+      (s, dir) => Tables.load(s, dir, "lineitem")
+        .filter(col("l_orderkey") === 42)
+        .orderBy("l_linenumber"),
+      Some("""SELECT * FROM lineitem WHERE l_orderkey = 42
+        ORDER BY l_linenumber""")),
+
+    // ---- J1/A4: broadcast dimension join + aggregate ------------------
+    QueryDef("q05_dim_join_agg",
+      (s, dir) => {
+        val c = Tables.load(s, dir, "customer")
+        val n = Tables.load(s, dir, "nation")
+        val r = Tables.load(s, dir, "region")
+        c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .filter(r("r_name") === "ASIA")
+          .groupBy(n("n_name").as("n_name"))
+          .agg(count(lit(1)).as("n_customers"),
+            round(sum("c_acctbal"), 2).as("total_acctbal"),
+            round(avg("c_acctbal"), 2).as("avg_acctbal"))
+          .orderBy("n_name")
+      },
+      Some("""SELECT n_name, count(*) AS n_customers,
+        round(sum(c_acctbal),2) AS total_acctbal,
+        round(avg(c_acctbal),2) AS avg_acctbal
+        FROM customer JOIN nation ON c_nationkey=n_nationkey
+        JOIN region ON n_regionkey=r_regionkey
+        WHERE r_name='ASIA' GROUP BY n_name ORDER BY n_name""")),
+
+    // ---- J2/A6: fact-to-fact shuffle join + aggregate -----------------
+    QueryDef("q06_fact_join_revenue",
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+        val l = Tables.load(s, dir, "lineitem")
+        o.join(l, o("o_orderkey") === l("l_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(countDistinct("o_orderkey").as("n_orders"),
+            round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 0)
+              .as("revenue"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(DISTINCT o_orderkey) AS n_orders,
+        round(sum(l_extendedprice*(1.0-l_discount)),0) AS revenue
+        FROM orders JOIN lineitem ON o_orderkey=l_orderkey
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ---- J3: left-outer enrich with defaults --------------------------
+    QueryDef("q07_left_join_enrich",
+      (s, dir) => {
+        val c = Tables.load(s, dir, "customer")
+        val agg = Tables.load(s, dir, "orders")
+          .groupBy("o_custkey")
+          .agg(count(lit(1)).as("n_orders"), sum("o_totalprice").as("spend"))
+        c.join(agg, c("c_custkey") === agg("o_custkey"), "left_outer")
+          .select(col("c_custkey"), col("c_name"),
+            coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+            round(coalesce(col("spend"), lit(0.0)), 2).as("spend"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name, coalesce(n_orders, 0) AS n_orders,
+        round(coalesce(spend, 0), 2) AS spend
+        FROM customer LEFT JOIN (
+          SELECT o_custkey, count(*) AS n_orders, sum(o_totalprice) AS spend
+          FROM orders GROUP BY o_custkey) o ON c_custkey = o_custkey
+        ORDER BY c_custkey""")),
+
+    // ---- J4/J5: semi join (EXISTS) ------------------------------------
+    QueryDef("q08_semi_join",
+      (s, dir) => {
+        val c = Tables.load(s, dir, "customer")
+        val o = Tables.load(s, dir, "orders")
+        c.join(o.filter(col("o_totalprice") > 400000),
+            c("c_custkey") === o("o_custkey"), "left_semi")
+          .select("c_custkey", "c_name", "c_acctbal")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name, c_acctbal FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+          WHERE o_custkey=c_custkey AND o_totalprice > 400000)
+        ORDER BY c_custkey""")),
+
+    // ---- J5: anti join (NOT EXISTS) ------------------------------------
+    QueryDef("q09_anti_join",
+      (s, dir) => {
+        val c = Tables.load(s, dir, "customer")
+        val o = Tables.load(s, dir, "orders")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey=c_custkey)
+        ORDER BY c_custkey""")),
+
+    // ---- J6/K6: last-writer-wins upsert (anti-join + union) ------------
+    QueryDef("q10_upsert_merge",
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+        val existing = o.select("o_orderkey", "o_totalprice", "o_orderstatus")
+        val updates = o.filter(col("o_orderkey") % 10 === 0)
+          .select(col("o_orderkey"),
+            (col("o_totalprice") * 1.05).as("o_totalprice"),
+            lit("U").as("o_orderstatus"))
+        Catalog.upsert(existing, updates, "o_orderkey")
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            round(sum("o_totalprice"), 0).as("total"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""WITH updates AS (
+          SELECT o_orderkey, o_totalprice*1.05 AS o_totalprice,
+                 'U' AS o_orderstatus
+          FROM orders WHERE o_orderkey % 10 = 0),
+        merged AS (
+          SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders o
+          WHERE NOT EXISTS (SELECT 1 FROM updates u
+                            WHERE u.o_orderkey = o.o_orderkey)
+          UNION ALL SELECT * FROM updates)
+        SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice),0) AS total
+        FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // ---- A5: distinct --------------------------------------------------
+    QueryDef("q11_distinct_segments",
+      (s, dir) => Tables.load(s, dir, "customer")
+        .select("c_mktsegment").distinct().orderBy("c_mktsegment"),
+      Some("SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment")),
+
+    // ---- A1/A2: hash aggregate on event type ---------------------------
+    QueryDef("q12_events_by_type",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, count(*) AS n, round(sum(value),2) AS total
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // ---- A6: ROLLUP -----------------------------------------------------
+    QueryDef("q13_rollup_qty",
+      (s, dir) => Tables.load(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("l_returnflag"),
+          asc_nulls_first("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus,
+        round(sum(l_quantity),2) AS sum_qty, count(*) AS n
+        FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
+
+    // ---- A6: CUBE --------------------------------------------------------
+    QueryDef("q14_cube_orders",
+      (s, dir) => Tables.load(s, dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("o_orderstatus"),
+          asc_nulls_first("o_orderpriority")),
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus ASC NULLS FIRST,
+                 o_orderpriority ASC NULLS FIRST""")),
+
+    // ---- W1/W3: top-n per group (row_number window) ----------------------
+    QueryDef("q15_window_topn",
+      (s, dir) => {
+        val w = Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+        Tables.load(s, dir, "customer")
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 3)
+          .select("c_mktsegment", "c_custkey", "c_acctbal", "rn")
+          .orderBy("c_mktsegment", "rn")
+      },
+      Some("""SELECT c_mktsegment, c_custkey, c_acctbal, rn FROM (
+          SELECT c_mktsegment, c_custkey, c_acctbal,
+            row_number() OVER (PARTITION BY c_mktsegment
+              ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+          FROM customer) t
+        WHERE rn <= 3 ORDER BY c_mktsegment, rn""")),
+
+    // ---- W3: lag ----------------------------------------------------------
+    QueryDef("q16_window_lag",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        Tables.load(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+            lag("o_totalprice", 1).over(w).as("prev_totalprice"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice,
+        lag(o_totalprice) OVER (PARTITION BY o_custkey
+          ORDER BY o_orderdate ASC, o_orderkey ASC) AS prev_totalprice
+        FROM orders ORDER BY o_custkey, o_orderkey""")),
+
+    // ---- W3: running sum with explicit ROWS frame ---------------------------
+    QueryDef("q17_running_sum",
+      (s, dir) => {
+        val w = Window.partitionBy(col("l_orderkey"))
+          .orderBy(col("l_linenumber").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.load(s, dir, "lineitem")
+          .filter(col("l_orderkey") < 200)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+            sum("l_quantity").over(w).as("running_qty"))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity,
+        sum(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+        FROM lineitem WHERE l_orderkey < 200
+        ORDER BY l_orderkey, l_linenumber""")),
+
+    // ---- §2.8: UNION ALL ------------------------------------------------------
+    QueryDef("q18_union_all",
+      (s, dir) => {
+        val c = Tables.load(s, dir, "customer")
+          .filter(col("c_acctbal") > 9000)
+          .select(col("c_custkey").as("key"), lit("customer").as("src"))
+        val sup = Tables.load(s, dir, "supplier")
+          .filter(col("s_acctbal") > 9000)
+          .select(col("s_suppkey").as("key"), lit("supplier").as("src"))
+        c.unionByName(sup).orderBy("key", "src")
+      },
+      Some("""SELECT c_custkey AS key, 'customer' AS src FROM customer
+        WHERE c_acctbal > 9000
+        UNION ALL
+        SELECT s_suppkey AS key, 'supplier' AS src FROM supplier
+        WHERE s_acctbal > 9000
+        ORDER BY key, src""")),
+
+    // ---- §2.8: INTERSECT -------------------------------------------------------
+    QueryDef("q19_intersect_keys",
+      (s, dir) => Tables.load(s, dir, "customer")
+        .select(col("c_nationkey").as("nk"))
+        .intersect(Tables.load(s, dir, "supplier")
+          .select(col("s_nationkey").as("nk")))
+        .orderBy("nk"),
+      Some("""SELECT c_nationkey AS nk FROM customer
+        INTERSECT SELECT s_nationkey AS nk FROM supplier ORDER BY nk""")),
+
+    // ---- §2.8: EXCEPT ------------------------------------------------------------
+    QueryDef("q20_except_keys",
+      (s, dir) => Tables.load(s, dir, "customer")
+        .select(col("c_custkey").as("k"))
+        .except(Tables.load(s, dir, "orders").select(col("o_custkey").as("k")))
+        .orderBy("k"),
+      Some("""SELECT c_custkey AS k FROM customer
+        EXCEPT SELECT o_custkey AS k FROM orders ORDER BY k""")),
+
+    // ---- W2: tumbling time-bucket aggregation (batch) -----------------------------
+    QueryDef("q21_hourly_events",
+      (s, dir) => Tables.events(s, dir)
+        .select(expr("ts DIV 3600000000000 * 3600").as("hour_epoch"),
+          col("event_type"), col("value"))
+        .groupBy("hour_epoch", "event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+        .orderBy("hour_epoch", "event_type"),
+      Some("""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+        event_type, count(*) AS n, round(sum(value),2) AS total
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ---- P14: JSON extraction ------------------------------------------------------
+    QueryDef("q22_json_extract",
+      (s, dir) => Tables.events(s, dir)
+        .select(col("event_type"),
+          regexp_extract(col("props"), "(\\d+)", 1).cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(sum("k").as("sum_k"), max("k").as("max_k"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type,
+        CAST(sum(CAST(regexp_extract(props, '(\d+)', 1) AS BIGINT)) AS BIGINT)
+          AS sum_k,
+        max(CAST(regexp_extract(props, '(\d+)', 1) AS BIGINT)) AS max_k,
+        count(*) AS n
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // ---- P10/P11: string parsing/normalization ---------------------------------------
+    QueryDef("q23_string_funcs",
+      (s, dir) => Tables.load(s, dir, "part")
+        .select(element_at(split(col("p_type"), " "), 1).as("type_word"),
+          lower(regexp_replace(col("p_name"), " ", "_")).as("name_norm"))
+        .groupBy("type_word")
+        .agg(count(lit(1)).as("n"), min("name_norm").as("min_name"))
+        .orderBy("type_word"),
+      Some("""SELECT string_split(p_type, ' ')[1] AS type_word,
+        count(*) AS n, min(lower(replace(p_name, ' ', '_'))) AS min_name
+        FROM part GROUP BY 1 ORDER BY 1""")),
+
+    // ---- P3: NaN→NULL normalization ----------------------------------------------------
+    QueryDef("q24_nan_normalize",
+      (s, dir) => {
+        val l = Tables.load(s, dir, "lineitem")
+        val ratio = when(col("l_discount") === 0, lit(Double.NaN))
+          .otherwise(col("l_tax") / col("l_discount"))
+        val cleaned = when(isnan(ratio), lit(null)).otherwise(ratio)
+        l.select(col("l_returnflag"), cleaned.as("cleaned"))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_total"),
+            count(col("cleaned")).as("n_valid"),
+            round(sum("cleaned"), 2).as("total"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH t AS (
+          SELECT l_returnflag,
+            CASE WHEN l_discount = 0 THEN CAST('NaN' AS DOUBLE)
+                 ELSE l_tax / l_discount END AS ratio
+          FROM lineitem),
+        c AS (SELECT l_returnflag,
+            CASE WHEN isnan(ratio) THEN NULL ELSE ratio END AS cleaned
+          FROM t)
+        SELECT l_returnflag, count(*) AS n_total, count(cleaned) AS n_valid,
+          round(sum(cleaned),2) AS total
+        FROM c GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- P4: defaulted projection --------------------------------------------------------
+    QueryDef("q25_defaults",
+      (s, dir) => Tables.load(s, dir, "customer")
+        .select(coalesce(nullif(col("c_mktsegment"), lit("BUILDING")),
+          lit("unknown")).as("owner"))
+        .groupBy("owner").agg(count(lit(1)).as("n"))
+        .orderBy("owner"),
+      Some("""SELECT coalesce(nullif(c_mktsegment, 'BUILDING'), 'unknown')
+          AS owner, count(*) AS n
+        FROM customer GROUP BY 1 ORDER BY 1""")),
+
+    // ---- P7: BETWEEN on timestamps ---------------------------------------------------------
+    QueryDef("q26_between_dates",
+      (s, dir) => Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate").between(ts("1995-01-01"), ts("1996-12-31")))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 0).as("total"))
+        .orderBy("o_orderstatus"),
+      Some("""SELECT o_orderstatus, count(*) AS n,
+        round(sum(o_totalprice),0) AS total
+        FROM orders
+        WHERE o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                              AND TIMESTAMP '1996-12-31 00:00:00'
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // ---- P8/T2: contains predicate -----------------------------------------------------------
+    QueryDef("q27_doc_contains",
+      (s, dir) => Tables.load(s, dir, "documents")
+        .filter(col("text").contains("spark"))
+        .groupBy("lang").agg(count(lit(1)).as("n"))
+        .orderBy("lang"),
+      Some("""SELECT lang, count(*) AS n FROM documents
+        WHERE contains(text, 'spark') GROUP BY lang ORDER BY lang""")),
+
+    // ---- P9: prefix predicate -------------------------------------------------------------------
+    QueryDef("q28_prefix_match",
+      (s, dir) => Tables.load(s, dir, "part")
+        .filter(col("p_name").startsWith("b"))
+        .groupBy("p_brand").agg(count(lit(1)).as("n"))
+        .orderBy("p_brand"),
+      Some("""SELECT p_brand, count(*) AS n FROM part
+        WHERE starts_with(p_name, 'b') GROUP BY p_brand ORDER BY p_brand""")),
+
+    // ---- O3: global sort + limit -------------------------------------------------------------------
+    QueryDef("q29_global_sort",
+      (s, dir) => Tables.load(s, dir, "supplier")
+        .orderBy(col("s_acctbal").desc, col("s_suppkey").asc)
+        .limit(50)
+        .select("s_suppkey", "s_name", "s_acctbal"),
+      Some("""SELECT s_suppkey, s_name, s_acctbal FROM supplier
+        ORDER BY s_acctbal DESC, s_suppkey ASC LIMIT 50""")),
+
+    // ---- A4: min/max aggregates ----------------------------------------------------------------------
+    QueryDef("q30_minmax_dates",
+      (s, dir) => Tables.load(s, dir, "lineitem")
+        .groupBy("l_linestatus")
+        .agg(min("l_shipdate").as("earliest"), max("l_shipdate").as("latest"),
+          min("l_quantity").as("min_qty"), max("l_quantity").as("max_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("l_linestatus"),
+      Some("""SELECT l_linestatus, min(l_shipdate) AS earliest,
+        max(l_shipdate) AS latest, min(l_quantity) AS min_qty,
+        max(l_quantity) AS max_qty, count(*) AS n
+        FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""")))
+}

@@ -1,0 +1,118 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Metadata catalog: the DynamoDB-table-of-ingest-records analog
+  * (reference ingest-data-lambda.py:79-94) plus the Glue-catalog role
+  * (table registration, terraform main.tf:199-214).
+  *
+  * The metadata table is an ordinary DataFrame with the fixed core
+  * schema below; catalog mutations (the reference's `update_item`) are
+  * expressed as recompute-and-rewrite column updates — idiomatic for an
+  * immutable lake without a transactional table format (divergence
+  * documented in SURVEY.md §7 "hard parts").
+  */
+object Catalog {
+
+  /** Core metadata record (reference ingest-data-lambda.py:79-94 +
+    * index-data-lambda.py:164-172's indexed/indexedAt mutation). */
+  case class IngestRecord(
+      id: String,
+      timestamp: java.sql.Timestamp,
+      dataType: String,
+      source: String,
+      owner: String,
+      s3Location: String,
+      sizeBytes: Long,
+      status: String,
+      tags: Seq[String],
+      description: Option[String],
+      indexed: Boolean,
+      indexedAt: Option[java.sql.Timestamp])
+
+  val schema: StructType = StructType(Seq(
+    StructField("id", StringType, nullable = false),
+    StructField("timestamp", TimestampType),
+    StructField("dataType", StringType),
+    StructField("source", StringType),
+    StructField("owner", StringType),
+    StructField("s3Location", StringType),
+    StructField("sizeBytes", LongType),
+    StructField("status", StringType),
+    StructField("tags", ArrayType(StringType)),
+    StructField("description", StringType),
+    StructField("indexed", BooleanType),
+    StructField("indexedAt", TimestampType)))
+
+  /** Conjunctive metadata filter — mirrors the reference's AND-folded
+    * DynamoDB FilterExpression (query-data-lambda.py:124-145): optional
+    * equality on dataType/owner/source, inclusive timestamp range,
+    * all-of tags containment, default page limit 20. */
+  case class MetaFilter(
+      dataType: Option[String] = None,
+      owner: Option[String] = None,
+      source: Option[String] = None,
+      dateFrom: Option[java.sql.Timestamp] = None,
+      dateTo: Option[java.sql.Timestamp] = None,
+      tags: Seq[String] = Nil,
+      limit: Int = 20)
+
+  /** P5-P8 composed: build the conjunctive predicate. */
+  def predicate(f: MetaFilter): Option[Column] = {
+    val preds: Seq[Column] =
+      f.dataType.map(col("dataType") === _).toSeq ++
+      f.owner.map(col("owner") === _).toSeq ++
+      f.source.map(col("source") === _).toSeq ++
+      ((f.dateFrom, f.dateTo) match {
+        case (Some(a), Some(b)) => Seq(col("timestamp").between(a, b))
+        case (Some(a), None)    => Seq(col("timestamp") >= a)
+        case (None, Some(b))    => Seq(col("timestamp") <= b)
+        case _                  => Nil
+      }) ++
+      f.tags.map(t => array_contains(col("tags"), t))
+    preds.reduceOption(_ && _)
+  }
+
+  /** S7+W1: filtered metadata scan, most-recent-first, limited — the
+    * reference's "limited set of most recent items" intent
+    * (query-data-lambda.py:151-152) made explicit with a total order
+    * (timestamp desc, id asc tiebreak). TakeOrderedAndProject: no full
+    * sort materializes at scale. */
+  def search(meta: DataFrame, f: MetaFilter): DataFrame = {
+    val filtered = predicate(f).map(meta.filter).getOrElse(meta)
+    filtered.orderBy(col("timestamp").desc, col("id").asc).limit(f.limit)
+  }
+
+  /** S6: point lookup by key — predicate-pushdown point scan. */
+  def pointLookup(meta: DataFrame, id: String): DataFrame =
+    meta.filter(col("id") === lit(id))
+
+  /** K8: column update on the keys present in `ids` (semi-join driven
+    * update, reference index-data-lambda.py:164-172). Pure recompute:
+    * rows whose id matches get indexed=true/indexedAt=at. */
+  def markIndexed(meta: DataFrame, ids: DataFrame, idCol: String,
+                  at: java.sql.Timestamp): DataFrame = {
+    val hit = broadcast(ids.select(col(idCol).as("__upd_id")).distinct())
+    meta.join(hit, meta("id") === hit("__upd_id"), "left_outer")
+      .withColumn("indexed",
+        when(col("__upd_id").isNotNull, lit(true)).otherwise(col("indexed")))
+      .withColumn("indexedAt",
+        when(col("__upd_id").isNotNull, lit(at)).otherwise(col("indexedAt")))
+      .drop("__upd_id")
+  }
+
+  /** J6/K6: last-writer-wins upsert by key — anti-join the stale rows
+    * away, then union the updates (ES `PUT _doc/{id}` semantics,
+    * reference index-data-lambda.py:390-411). */
+  def upsert(existing: DataFrame, updates: DataFrame,
+             key: String): DataFrame =
+    existing.join(updates.select(key).distinct(), Seq(key), "left_anti")
+      .unionByName(updates, allowMissingColumns = true)
+
+  /** S11: register a parquet directory as a catalog table (the Glue
+    * crawler role — on demand instead of a 12 h cron). */
+  def register(spark: SparkSession, name: String, path: String): Unit =
+    spark.read.parquet(path).createOrReplaceTempView(name)
+}

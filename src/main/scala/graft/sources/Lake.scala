@@ -1,0 +1,140 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, FloatType}
+
+/** Lake IO: three-zone directory layout, extension-sniffed reads, and
+  * zone writers.
+  *
+  * Reference semantics reproduced (see SURVEY.md §2.1/§2.2):
+  *  - zones `raw/ processed/ curated/` (reference deploy-script.sh:22-24)
+  *  - file-type sniffing by extension, unknown skipped
+  *    (reference lambda-function.py:64-73)
+  *  - CSV read with header + inference (lambda-function.py:83-86)
+  *  - dual-mode JSON: array-of-objects vs NDJSON sniffed from the first
+  *    non-space byte (lambda-function.py:87-95)
+  *  - NaN→NULL normalization before indexing (lambda-function.py:146-152)
+  *  - processed-zone writes mirror the raw key with the same format
+  *    (lambda-function.py:209-232)
+  *
+  * Scale notes: reads/writes are plain Spark file sources — partition
+  * discovery, predicate pushdown and vectorized parquet scans apply
+  * unchanged on an object store. Writers accept `partitionBy` columns so
+  * the hive-style `{dataType}/{date}/` layout of the reference's raw zone
+  * (ingest-data-lambda.py:68) becomes real partition pruning.
+  */
+object Lake {
+
+  sealed abstract class Zone(val name: String)
+  case object Raw extends Zone("raw")
+  case object Processed extends Zone("processed")
+  case object Curated extends Zone("curated")
+
+  def zonePath(root: String, zone: Zone, dataset: String): String =
+    s"$root/${zone.name}/$dataset"
+
+  /** S1: extension dispatch; None = unknown (caller skips, as the
+    * reference logs-and-skips). */
+  def detectFileType(key: String): Option[String] = {
+    val k = key.toLowerCase
+    if (k.endsWith(".csv")) Some("csv")
+    else if (k.endsWith(".json")) Some("json")
+    else if (k.endsWith(".parquet")) Some("parquet")
+    else None
+  }
+
+  /** S3: true when the first non-whitespace byte of the first .json file
+    * under `path` is '[' (array-of-objects → Spark multiLine mode). Reads
+    * at most 256 bytes of one object — cheap even against an object
+    * store. */
+  def sniffJsonMultiline(path: String): Boolean = {
+    val p = Paths.get(path)
+    val candidate: Option[Path] =
+      if (Files.isDirectory(p))
+        Files.list(p).iterator().asScala
+          .filter(_.getFileName.toString.toLowerCase.endsWith(".json"))
+          .toSeq.sortBy(_.toString).headOption
+      else if (Files.exists(p)) Some(p)
+      else None
+    candidate.exists { f =>
+      val in = Files.newInputStream(f)
+      try {
+        val buf = new Array[Byte](256)
+        val n = in.read(buf)
+        (0 until math.max(n, 0)).iterator
+          .map(buf(_).toChar).find(!_.isWhitespace).contains('[')
+      } finally in.close()
+    }
+  }
+
+  /** S2/S3/S4: format-directed read with the reference's inference
+    * semantics. */
+  def read(spark: SparkSession, path: String, fmt: String): DataFrame =
+    fmt match {
+      case "csv" =>
+        spark.read.option("header", "true").option("inferSchema", "true")
+          .csv(path)
+      case "json" =>
+        spark.read.option("multiLine", sniffJsonMultiline(path).toString)
+          .json(path)
+      case "parquet" => spark.read.parquet(path)
+      case other =>
+        throw new IllegalArgumentException(s"unsupported format: $other")
+    }
+
+  /** S1+S2-4 composed: sniff the extension, then read. */
+  def readAuto(spark: SparkSession, path: String): Option[DataFrame] =
+    detectFileType(path).map(read(spark, path, _))
+
+  /** K1-K4/K10: zone write in the given format; optional hive-style
+    * partition columns (→ partition pruning on read). */
+  def writeZone(df: DataFrame, root: String, zone: Zone, dataset: String,
+                fmt: String, partitionCols: Seq[String] = Nil,
+                mode: SaveMode = SaveMode.Overwrite): String = {
+    val path = zonePath(root, zone, dataset)
+    val w0 = df.write.mode(mode)
+    val w = if (partitionCols.nonEmpty) w0.partitionBy(partitionCols: _*)
+            else w0
+    fmt match {
+      case "csv"     => w.option("header", "true").csv(path)
+      case "json"    => w.json(path)
+      case "parquet" => w.parquet(path)
+      case other =>
+        throw new IllegalArgumentException(s"unsupported format: $other")
+    }
+    path
+  }
+
+  /** P3: NaN→NULL for every floating-point column (reference normalizes
+    * all NaN before indexing; OpenSearch rejects NaN). Stays inside
+    * whole-stage codegen — `when(isnan)` is a plain expression. */
+  def nanToNull(df: DataFrame): DataFrame = {
+    val cols = df.schema.fields.map { f =>
+      f.dataType match {
+        case DoubleType | FloatType =>
+          when(isnan(col(f.name)), lit(null)).otherwise(col(f.name))
+            .as(f.name)
+        case _ => col(f.name)
+      }
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+
+  /** P2: append the processing-time stamp column. Deterministic variant
+    * takes an explicit timestamp (verified queries must not use
+    * current_timestamp). */
+  def withProcessedTimestamp(df: DataFrame,
+                             at: Option[java.sql.Timestamp]): DataFrame =
+    df.withColumn("processed_timestamp",
+      at.map(lit(_)).getOrElse(current_timestamp()))
+
+  /** S10: per-record JSON micro-ingest (API body → DataFrame). */
+  def ingestJson(spark: SparkSession, records: Seq[String]): DataFrame = {
+    import spark.implicits._
+    spark.read.json(records.toDS())
+  }
+}

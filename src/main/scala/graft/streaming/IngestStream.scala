@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+import graft.sources.Lake
+
+/** Structured-Streaming ingest pipeline (SURVEY.md §2.9, R1-R5).
+  *
+  * Reference behavior: each S3 `ObjectCreated` under `raw/` fires a
+  * Lambda that (a) bulk-indexes the file into search and (b) rewrites it
+  * to `processed/` (lambda-function.py:199-275). The Spark-native analog
+  * is a file-source stream on the raw directory with a `foreachBatch`
+  * two-sink fan-out; checkpointing + idempotent file sinks give the same
+  * at-least-once-with-idempotent-sink contract the reference gets from
+  * ES `PUT _doc/{id}` (R4).
+  *
+  * Scale notes: the file source discovers new objects incrementally
+  * (maxFilesPerTrigger bounds a micro-batch); the pipeline itself is
+  * map-only — no shuffle until the optional windowed aggregation, whose
+  * state is bounded by the watermark.
+  */
+object IngestStream {
+
+  /** R1: file-source stream on a raw-zone dataset directory. */
+  def rawStream(spark: SparkSession, rawDir: String, schema: StructType,
+                fmt: String, maxFilesPerTrigger: Int = 100): DataFrame = {
+    val r = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+    fmt match {
+      case "csv"     => r.option("header", "true").csv(rawDir)
+      case "json"    => r.json(rawDir)
+      case "parquet" => r.parquet(rawDir)
+      case other =>
+        throw new IllegalArgumentException(s"unsupported format: $other")
+    }
+  }
+
+  /** R2+R3: per-batch transform (processing-time stamp + NaN→NULL) and
+    * two-sink fan-out: processed zone (same format) + search-index
+    * table (parquet append). `Trigger.AvailableNow` drains everything
+    * discoverable, then stops — the batch-driven smoke-test mode. */
+  def startPipeline(spark: SparkSession, rawDir: String, schema: StructType,
+                    fmt: String, processedDir: String, indexDir: String,
+                    checkpointDir: String): StreamingQuery =
+    rawStream(spark, rawDir, schema, fmt).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val transformed = Lake.nanToNull(batch)
+          .withColumn("processed_timestamp", current_timestamp())
+        // Sink 1: processed zone, mirroring the raw format (K2-K4).
+        val processed = transformed.persist()
+        try {
+          (fmt match {
+            case "csv" => processed.write.option("header", "true")
+              .mode("append").csv(processedDir)
+            case "json" => processed.write.mode("append").json(processedDir)
+            case _ => processed.write.mode("append").parquet(processedDir)
+          })
+          // Sink 2: the search-index table (K5).
+          processed.write.mode("append").parquet(indexDir)
+        } finally processed.unpersist()
+        ()
+      }
+      .start()
+
+  /** W2/R6: tumbling event-time window aggregation with a watermark —
+    * the dashboard's 300 s buckets as a streaming query. State size is
+    * bounded: windows older than watermark are evicted. */
+  def windowedCounts(events: DataFrame, tsCol: String, windowLen: String,
+                     watermark: String): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+
+  /** R4: explicit streaming dedup by id within the watermark horizon. */
+  def dedupStream(events: DataFrame, tsCol: String, idCol: String,
+                  watermark: String): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicates(idCol, tsCol)
+}

@@ -91,19 +91,31 @@ object Text {
       lit(0L),
       (acc, c) => (acc * 31L + ascii(c).cast("long")) % 1000000007L)
 
-  /** Word n-gram shingles ("a b c", n=2 → ["a b","b c"]). Used by MinHash
-    * and Jaccard dedup. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+  /** Word n-gram shingles over a PRE-SPLIT token array column
+    * ("a b c", n=2 → ["a b","b c"]). Used by MinHash and Jaccard dedup.
+    *
+    * `toks` should be a materialized column (staged `select`), not an
+    * inline `split(...)` expression: higher-order lambdas are
+    * interpreted, and an embedded subtree is re-evaluated on every
+    * `element_at` call — a column reference is O(1). */
+  def shinglesOfTokens(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(
         sequence(lit(0), size(toks) - n),
         i => concat_ws(" ",
           (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
       .otherwise(array().cast("array<string>"))
-  }
+
+  /** Shingles straight from text — convenience for single-pass use.
+    * Prefer staging `tokens(text)` as a column first (see above). */
+  def shingles(text: Column, n: Int): Column =
+    shinglesOfTokens(tokens(text), n)
 
   /** Distinct shingle set — the MinHash/Jaccard input. */
   def shingleSet(text: Column, n: Int): Column =
     array_distinct(shingles(text, n))
+
+  /** Distinct shingle set from a pre-split token column. */
+  def shingleSetOfTokens(toks: Column, n: Int): Column =
+    array_distinct(shinglesOfTokens(toks, n))
 }

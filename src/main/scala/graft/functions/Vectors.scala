@@ -24,9 +24,13 @@ object Vectors {
 
   /** Cosine similarity, computed as dot/(sqrt(na)*sqrt(nb)) — formula
     * order matters for bit-exact oracle parity; keep in sync with the
-    * SQL mirror in queries. */
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * norm(b))
+    * SQL mirror in queries. Zero-norm vectors yield NULL (not NaN):
+    * Spark sorts NaN greater than any number, so an unguarded 0/0 would
+    * rank first in top-k and pass `>= threshold` filters. */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = norm(a) * norm(b)
+    when(denom > 0, dot(a, b) / denom).otherwise(lit(null).cast("double"))
+  }
 
   def l2Normalize(a: Column): Column = {
     val n = norm(a)
@@ -54,7 +58,7 @@ object Vectors {
         zip_with(v, sequence(lit(0), size(v) - 1),
           (x, i) => x * planeWeight(j, i, seed)),
         lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, lit(1L) << j).otherwise(lit(0L))
+      when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
   }

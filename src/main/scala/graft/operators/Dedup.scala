@@ -33,18 +33,44 @@ object Dedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
-  /** MinHash signature: k seeded min-hashes over the distinct shingle
-    * set. xxhash64(seed, shingle) is the hash family; array_min folds
-    * each. Pure per-row expressions — no shuffle, no UDF. */
-  def minhashSignature(text: Column, shingleN: Int, numHashes: Int): Column = {
-    val sh = Text.shingleSet(text, shingleN)
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(sh, s => xxhash64(i, s))))
+  /** MinHash signatures as a STAGED relation (doc, sig: array<long>):
+    * explode the distinct shingle set, then take k seeded min-hashes as
+    * k codegen'd `min` aggregates with map-side partial aggregation.
+    *
+    * Why not a per-row expression tree? Higher-order functions
+    * (transform/aggregate) are CodegenFallback — interpreted — and
+    * Catalyst inlines a referenced subtree into each lambda invocation,
+    * so a nested `transform(0..k, i => array_min(transform(shingles, …)))`
+    * re-tokenizes the document k×3 times per row (measured: minutes for
+    * 500 docs). The explode+agg shape computes the shingle set once per
+    * document and keeps the hot path inside WholeStageCodegen; the
+    * shuffle key is the doc id — the same key the band join needs next.
+    *
+    * Documents with fewer than `shingleN` tokens have no shingles and
+    * drop out (they can never be near-dup candidates). */
+  /** (doc, sh) staged shingle-set relation: tokens materialized first so
+    * the shingle lambda reads a column, not a re-split expression. */
+  private def shingleSets(df: DataFrame, idCol: String, textCol: String,
+                          shingleN: Int): DataFrame =
+    df.select(col(idCol).as("doc"), Text.tokens(col(textCol)).as("toks"))
+      .select(col("doc"),
+        Text.shingleSetOfTokens(col("toks"), shingleN).as("sh"))
+
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int, numHashes: Int): DataFrame = {
+    val exploded = shingleSets(df, idCol, textCol, shingleN)
+      .select(col("doc"), explode(col("sh")).as("s"))
+    val aggs = (0 until numHashes)
+      .map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i"))
+    exploded.groupBy("doc").agg(aggs.head, aggs.tail: _*)
+      .select(col("doc"),
+        array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
   }
 
   /** Band keys for LSH banding: split the signature into `bands` rows of
     * `rowsPerBand`, hash each band. Two docs sharing ANY band key become
-    * a candidate pair. */
+    * a candidate pair. Cheap per-row HOF: `sig` is a materialized column,
+    * the lambda only slices and hashes it. */
   def minhashBands(sig: Column, bands: Int, rowsPerBand: Int): Column =
     transform(sequence(lit(0), lit(bands - 1)),
       b => xxhash64(b,
@@ -58,9 +84,9 @@ object Dedup {
                             shingleN: Int = 3, numHashes: Int = 64,
                             bands: Int = 16): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sig = minhashSignature(col(textCol), shingleN, numHashes)
-    val banded = df.select(col(idCol).as("doc"),
-        posexplode(minhashBands(sig, bands, rowsPerBand)))
+    val banded = minhashSignatures(df, idCol, textCol, shingleN, numHashes)
+      .select(col("doc"),
+        posexplode(minhashBands(col("sig"), bands, rowsPerBand)))
       .toDF("doc", "band", "bkey")
     val a = banded.select(col("band"), col("bkey"), col("doc").as("id_a"))
     val b = banded.select(col("band"), col("bkey"), col("doc").as("id_b"))
@@ -82,11 +108,10 @@ object Dedup {
                           numHashes: Int = 64, bands: Int = 16): DataFrame = {
     val cands = minhashCandidatePairs(df, idCol, textCol, shingleN,
       numHashes, bands)
-    val sh = df.select(col(idCol),
-      Text.shingleSet(col(textCol), shingleN).as("sh"))
+    val sh = shingleSets(df, idCol, textCol, shingleN)
     cands
-      .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .join(sh.select(col("doc").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("doc").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
@@ -100,8 +125,11 @@ object Dedup {
                           blockCols: Seq[String], shingleN: Int,
                           threshold: Double): DataFrame = {
     val withSh = df.select(
-      (blockCols.map(col) :+ col(idCol) :+
-        Text.shingleSet(col(textCol), shingleN).as("sh")): _*)
+        (blockCols.map(col) :+ col(idCol) :+
+          Text.tokens(col(textCol)).as("toks")): _*)
+      .select(
+        (blockCols.map(col) :+ col(idCol) :+
+          Text.shingleSetOfTokens(col("toks"), shingleN).as("sh")): _*)
     val a = withSh.select(
       (blockCols.map(col) :+ col(idCol).as("id_a") :+ col("sh").as("sh_a")): _*)
     val b = withSh.select(
@@ -116,21 +144,26 @@ object Dedup {
 
   /** SimHash: 64-bit signature — bit j of each token's hash votes ±1;
     * the sign of the tally sets bit j of the fingerprint. Near-dups have
-    * small Hamming distance. Expressed as a 64-lane fold over the token
-    * array — per-row, codegen'd. */
-  def simhash64(text: Column): Column = {
-    val toks = Text.tokens(text)
-    // call_function: the SQL forms of bit_get/shiftleft accept a column
-    // position, unlike their Scala wrappers which require a literal Int.
-    val lanes = transform(sequence(lit(0), lit(63)), j =>
-      aggregate(toks, lit(0L), (acc, t) =>
-        acc + when(call_function("bit_get", xxhash64(t), j) === 1, lit(1L))
-          .otherwise(lit(-1L))))
-    aggregate(
-      zip_with(lanes, sequence(lit(0), lit(63)), (v, j) =>
-        when(v > 0, call_function("shiftleft", lit(1L), j))
-          .otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
+    * small Hamming distance.
+    *
+    * Staged relation (doc, sig: long): explode tokens, hash each once,
+    * then 64 codegen'd `sum` lanes (bit_get votes) with map-side partial
+    * aggregation — the same explode+agg shape as `minhashSignatures`,
+    * for the same reason (HOF lambdas are interpreted and re-evaluate
+    * captured subtrees per invocation). Empty-token docs drop out. */
+  def simhashSignatures(df: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    val hashed = df.select(col(idCol).as("doc"),
+        explode(Text.tokens(col(textCol))).as("t"))
+      .select(col("doc"), xxhash64(col("t")).as("h"))
+    val lanes = (0 until 64).map(j =>
+      sum(when(call_function("bit_get", col("h"), lit(j)) === 1, lit(1L))
+        .otherwise(lit(-1L))).as(s"b$j"))
+    hashed.groupBy("doc").agg(lanes.head, lanes.tail: _*)
+      .select(col("doc"),
+        (0 until 64).map(j =>
+          when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ bitwiseOR _).as("sig"))
   }
 
   /** SimHash near-dup pairs: band the 64-bit signature into four 16-bit
@@ -138,8 +171,7 @@ object Dedup {
     * ≤ 3 by pigeonhole), verify with exact Hamming ≤ maxHamming. */
   def nearDupPairsSimhash(df: DataFrame, idCol: String, textCol: String,
                           maxHamming: Int = 3): DataFrame = {
-    val sigd = df.select(col(idCol).as("doc"),
-      simhash64(col(textCol)).as("sig"))
+    val sigd = simhashSignatures(df, idCol, textCol)
     val banded = sigd.select(col("doc"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(3)), b =>
         call_function("shiftright", col("sig"), b * 16)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Catalog
@@ -47,12 +47,13 @@ object QueryService {
 
   /** J3: left-outer enrich with metadata-miss fallback stub
     * (index-data-lambda.py:138-155): content rows keep flowing when the
-    * catalog has no record; the stub synthesizes {id, s3Location}. */
+    * catalog has no record; the stub synthesizes the location column.
+    * `locationFor` is a Column transform (e.g.
+    * `id => concat(lit("lake://raw/"), id)`) so the fallback stays a
+    * codegen'd expression — no UDF in the projection. */
   def enrichWithMetadata(content: DataFrame, meta: DataFrame,
-                         locationFor: String => String): DataFrame = {
-    val stubLoc = udf(locationFor)
+                         locationFor: Column => Column): DataFrame =
     content.join(meta, Seq("id"), "left_outer")
       .withColumn("s3Location",
-        coalesce(col("s3Location"), stubLoc(col("id"))))
-  }
+        coalesce(col("s3Location"), locationFor(col("id"))))
 }

@@ -63,10 +63,27 @@ object Search {
 
   /** K5: bulk index build — positional _id like the reference's bulk
     * body (row ordinal), made deterministic with an explicit total
-    * order. row_number needs a single ordering pass; at scale prefer the
-    * carried document id (T4) — positional ids are inherently a global
-    * sort. */
-  def bulkIndex(docs: DataFrame, orderCol: String): DataFrame =
-    docs.withColumn("_id",
-      row_number().over(Window.orderBy(col(orderCol).asc)).cast("long"))
+    * order, WITHOUT a global single-partition window. Shape:
+    * range-repartition on the order column (so partition i holds keys
+    * strictly below partition i+1), number rows within each partition,
+    * then add per-partition cumulative offsets. The offset table has one
+    * row per partition — the only global ordering pass runs over ~10²
+    * rows, and the corpus itself never funnels through one task. At
+    * scale still prefer the carried document id (T4) when positional ids
+    * are not strictly required. */
+  def bulkIndex(docs: DataFrame, orderCol: String): DataFrame = {
+    val parted = docs.repartitionByRange(col(orderCol).asc)
+      .withColumn("_pid", spark_partition_id())
+    val offsets = parted.groupBy("_pid")
+      .agg(count(lit(1)).as("_n"))
+      .withColumn("_offset",
+        coalesce(sum("_n").over(Window.orderBy("_pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("_pid", "_offset")
+    val local = Window.partitionBy("_pid").orderBy(col(orderCol).asc)
+    parted.join(broadcast(offsets), Seq("_pid"))
+      .withColumn("_id",
+        row_number().over(local).cast("long") + col("_offset"))
+      .drop("_pid", "_offset")
+  }
 }

@@ -6,6 +6,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
+import graft.functions.AttributeValues
 import graft.operators.{QueryService, Search}
 import graft.sources.{Catalog, Lake}
 
@@ -69,12 +70,14 @@ object LakeQueries {
         s.read.schema(orders.schema)
           .json(Lake.zonePath(root, Lake.Raw, "orders"))
           .groupBy("o_orderstatus")
-          .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 0).as("total"),
+          .agg(count(lit(1)).as("n"),
+            graft.functions.Num.moneySum(col("o_totalprice"), 0).as("total"),
             max("o_orderdate").as("last_date"))
           .orderBy("o_orderstatus")
       },
       Some("""SELECT o_orderstatus, count(*) AS n,
-        round(sum(o_totalprice),0) AS total, max(o_orderdate) AS last_date
+        CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))),0) AS DOUBLE) AS total,
+        max(o_orderdate) AS last_date
         FROM orders WHERE o_orderkey < 1000
         GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
@@ -111,6 +114,7 @@ object LakeQueries {
       (s, dir) => {
         val meta = metaFromDocs(s, dir)
           .withColumnRenamed("meta_ts", "timestamp")
+          .withColumnRenamed("data_type", "dataType")
         val f = Catalog.MetaFilter(
           dataType = Some("en"),
           source = Some("src3"),
@@ -118,7 +122,7 @@ object LakeQueries {
           dateTo = Some(java.sql.Timestamp.valueOf("2024-01-01 01:20:00")),
           limit = 20)
         Catalog.search(meta, f)
-          .select(col("id"), col("data_type"), col("source"),
+          .select(col("id"), col("dataType").as("data_type"), col("source"),
             col("size_bytes"), col("timestamp").as("meta_ts"))
       },
       Some(s"""WITH meta AS ($metaSql)
@@ -181,5 +185,70 @@ object LakeQueries {
       Some("""SELECT (doc_id % 5 = 0) AS indexed, count(*) AS n,
         min(CASE WHEN doc_id % 5 = 0 THEN TIMESTAMP '2024-06-01 00:00:00'
             END) AS min_indexed_at
-        FROM documents GROUP BY 1 ORDER BY indexed""")))
+        FROM documents GROUP BY 1 ORDER BY indexed""")),
+
+    // ---- P12: tagged AttributeValue type-coercion suite -------------------------
+    // Literal fixture (no table input): every tag of the reference's
+    // DynamoDB-JSON decoder — S/N/BOOL/NULL/SS/NS/BS plus recursive L/M —
+    // decoded twice: typed columns AND a canonical-JSON rendering. The
+    // oracle is the expected output spelled as literal VALUES.
+    QueryDef("q54_attr_decode",
+      (s, dir) => {
+        import s.implicits._
+        val items = Seq(
+          (1L, """{"name":{"S":"alpha"},"size":{"N":"42"},"flag":{"BOOL":true},"missing":{"NULL":true},"tags":{"SS":["b","a","b"]},"nums":{"NS":["3","1","2.5"]},"blobs":{"BS":["aGk=","YWJj"]}}"""),
+          (2L, """{"name":{"S":"beta"},"nested":{"M":{"a":{"N":"1"},"l":{"L":[{"S":"x"},{"N":"2"},{"BOOL":false}]}}}}"""),
+          (3L, """{"deep":{"M":{"m2":{"M":{"m3":{"M":{"too":{"S":"deep"}}}}}}}}"""))
+          .toDF("item_id", "raw")
+        val parsed = AttributeValues.parseItem(col("raw"), depth = 3)
+        items.select(col("item_id"),
+            AttributeValues.str(parsed.getItem("name")).as("name"),
+            AttributeValues.num(parsed.getItem("size")).as("size"),
+            AttributeValues.bool(parsed.getItem("flag")).as("flag"),
+            concat_ws(",", AttributeValues.strSet(parsed.getItem("tags")))
+              .as("tags"),
+            concat_ws(",",
+              transform(AttributeValues.numSet(parsed.getItem("nums")),
+                _.cast("string"))).as("nums"),
+            concat_ws(",", AttributeValues.binSet(parsed.getItem("blobs")))
+              .as("blobs"),
+            AttributeValues.itemToJson(parsed, 3).as("json"))
+          .orderBy("item_id")
+      },
+      Some("""SELECT * FROM (VALUES
+        (CAST(1 AS BIGINT), 'alpha', CAST(42.0 AS DOUBLE), true, 'a,b',
+         '1.0,2.5,3.0', '616263,6869',
+         '{"blobs":["616263","6869"],"flag":true,"missing":null,"name":"alpha","nums":[1.0,2.5,3.0],"size":42.0,"tags":["a","b"]}'),
+        (CAST(2 AS BIGINT), 'beta', CAST(NULL AS DOUBLE),
+         CAST(NULL AS BOOLEAN), '', '', '',
+         '{"name":"beta","nested":{"a":1.0,"l":["x",2.0,false]}}'),
+        (CAST(3 AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE),
+         CAST(NULL AS BOOLEAN), '', '', '',
+         '{"deep":{"m2":{"m3":{"too":"deep"}}}}'))
+        t(item_id, name, size, flag, tags, nums, blobs, json)
+        ORDER BY item_id""")),
+
+    // ---- J3: left-outer enrich with metadata-miss fallback ------------------------
+    QueryDef("q55_enrich_fallback",
+      (s, dir) => {
+        val content = Tables.load(s, dir, "documents")
+          .filter(col("doc_id") < 120)
+          .select(lpad(col("doc_id").cast("string"), 6, "0").as("id"),
+            col("n_chars"))
+        val meta = metaFromDocs(s, dir)
+          .filter(col("id") < "000100")
+          .select(col("id"), col("s3Location"))
+        QueryService.enrichWithMetadata(content, meta,
+            id => concat(lit("lake://raw/docs/stub/"), id))
+          .select(col("id"), col("s3Location"))
+          .orderBy("id")
+      },
+      Some(s"""WITH meta AS ($metaSql)
+        SELECT d.id, coalesce(m.s3Location, 'lake://raw/docs/stub/' || d.id)
+          AS s3Location
+        FROM (SELECT lpad(CAST(doc_id AS VARCHAR), 6, '0') AS id
+              FROM documents WHERE doc_id < 120) d
+        LEFT JOIN (SELECT id, s3Location FROM meta WHERE id < '000100') m
+          ON d.id = m.id
+        ORDER BY d.id""")))
 }

@@ -1,0 +1,236 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.functions.Text
+
+/** The LLM-training-data-pipeline surface (SURVEY.md §2.11 X1-X6) as
+  * oracle-checked queries over `documents` / `embeddings`.
+  *
+  * Oracle policy: everything deterministic-and-engine-portable carries a
+  * DuckDB mirror (exact dedup, blocked Jaccard, brute-force cosine,
+  * multimodal metadata, text stats, fingerprints). Seeded-hash operators
+  * (MinHash/SimHash/LSH buckets — xxhash64 has no DuckDB twin) and HLL
+  * sketches register as rows-only checks, shaped as single-row aggregates
+  * so the row count is stable even when the pair set is empty.
+  */
+object PipelineQueries {
+
+  val entries: Seq[QueryDef] = Seq(
+
+    // ---- X1: exact dedup — digest groups --------------------------------
+    QueryDef("q41_exact_dedup",
+      (s, dir) => Dedup
+        .exact(Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy("digest"),
+      Some("""SELECT md5(text) AS digest, min(doc_id) AS keep_id,
+          count(*) AS copies
+        FROM documents GROUP BY 1 ORDER BY digest""")),
+
+    // ---- X1 applied: the surviving relation -----------------------------
+    QueryDef("q42_dedup_survivors",
+      (s, dir) => Dedup
+        .dropExactDups(Tables.load(s, dir, "documents"), "doc_id", "text")
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))
+        .orderBy("lang", "source"),
+      Some("""SELECT lang, source, count(*) AS n, sum(n_chars) AS chars
+        FROM documents
+        WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
+        GROUP BY lang, source ORDER BY lang, source""")),
+
+    // ---- X2: MinHash/LSH near-dup (seeded hash → rows-only) -------------
+    QueryDef("q43_minhash_neardup",
+      (s, dir) => Dedup
+        .nearDupPairsMinhash(Tables.load(s, dir, "documents"),
+          "doc_id", "text", threshold = 0.5)
+        .agg(count(lit(1)).as("pairs"),
+          coalesce(round(avg("jaccard"), 4), lit(0.0)).as("avg_jaccard")),
+      None),
+
+    // ---- X2: blocked exact-Jaccard near-dup (oracle-exact) --------------
+    QueryDef("q44_jaccard_blocked",
+      (s, dir) => Dedup
+        .blockedJaccardPairs(Tables.load(s, dir, "documents"),
+          "doc_id", "text", Seq("lang", "source"), shingleN = 3,
+          threshold = 0.4)
+        .orderBy("lang", "source", "id_a", "id_b"),
+      Some("""WITH sh AS (
+          SELECT doc_id, lang, source,
+            CASE WHEN len(toks) >= 3 THEN list_distinct(
+              [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)])
+            ELSE [] END AS s
+          FROM (SELECT doc_id, lang, source,
+              string_split(lower(text), ' ') AS toks FROM documents))
+        SELECT a.lang, a.source, a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE)
+            AS jaccard
+        FROM sh a JOIN sh b ON a.lang = b.lang AND a.source = b.source
+        WHERE a.doc_id < b.doc_id
+          AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.4
+        ORDER BY a.lang, a.source, id_a, id_b""")),
+
+    // ---- X2: SimHash near-dup (seeded hash → rows-only) -----------------
+    QueryDef("q45_simhash_neardup",
+      (s, dir) => Dedup
+        .nearDupPairsSimhash(Tables.load(s, dir, "documents"),
+          "doc_id", "text", maxHamming = 3)
+        .agg(count(lit(1)).as("pairs"),
+          coalesce(round(avg("hamming"), 4), lit(0.0)).as("avg_hamming")),
+      None),
+
+    // ---- X2/X3: embedding near-dup via LSH buckets (rows-only) ----------
+    QueryDef("q46_embedding_neardup",
+      (s, dir) => Dedup
+        .nearDupPairsEmbedding(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", threshold = 0.9, nPlanes = 8)
+        .agg(count(lit(1)).as("pairs"),
+          coalesce(round(avg("cosine"), 4), lit(0.0)).as("avg_cosine")),
+      None),
+
+    // ---- X3: brute-force cosine top-k (oracle-exact to 6dp) -------------
+    QueryDef("q47_ann_bruteforce",
+      (s, dir) => Similarity
+        .bruteForceTopK(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", queryId = 7L, k = 10)
+        .select(col("vec_id"), round(col("cosine"), 6).as("cosine")),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = 7)
+        SELECT vec_id, round(cosine, 6) AS cosine FROM (
+          SELECT e.vec_id,
+            list_dot_product(e.v, q.qv)
+              / (sqrt(list_dot_product(e.v, e.v))
+                 * sqrt(list_dot_product(q.qv, q.qv))) AS cosine
+          FROM e, q WHERE e.vec_id <> 7
+          ORDER BY cosine DESC, e.vec_id ASC LIMIT 10)""")),
+
+    // ---- X3: LSH-bucketed ANN, multi-probe (seeded hash → rows-only) ----
+    QueryDef("q48_ann_lsh",
+      (s, dir) => Similarity
+        .lshTopK(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", queryId = 7L, k = 10,
+          nPlanes = 6, probes = 4)
+        .agg(count(lit(1)).as("hits"),
+          coalesce(round(max("cosine"), 4), lit(0.0)).as("best_cosine")),
+      None),
+
+    // ---- X5: approximate distinct (HLL — impl-specific → rows-only) -----
+    QueryDef("q49_approx_distinct",
+      (s, dir) => {
+        val l = Tables.load(s, dir, "lineitem")
+        l.agg(
+          approx_count_distinct("l_partkey").as("approx_parts"),
+          approx_count_distinct("l_suppkey").as("approx_supps"),
+          approx_count_distinct("l_orderkey", 0.02).as("approx_orders"),
+          count(lit(1)).as("rows"))
+      },
+      None),
+
+    // ---- X6: multimodal metadata aggregation ----------------------------
+    QueryDef("q50_media_meta",
+      (s, dir) => Multimodal
+        .fromDocuments(Tables.load(s, dir, "documents"))
+        .groupBy("modality")
+        .agg(count(lit(1)).as("n"),
+          sum(col("meta.size_bytes")).as("bytes"),
+          max(col("meta.duration_ms")).as("max_duration_ms"),
+          min(col("meta.mime")).as("mime"))
+        .orderBy("modality"),
+      Some("""SELECT (['image','audio','video'])[(doc_id % 3) + 1] AS modality,
+          count(*) AS n,
+          sum(octet_length(encode(text))) AS bytes,
+          max(octet_length(encode(text)) * 10) AS max_duration_ms,
+          min('application/x-fake-' ||
+            (['image','audio','video'])[(doc_id % 3) + 1]) AS mime
+        FROM documents GROUP BY 1 ORDER BY modality""")),
+
+    // ---- X6: binary "resize" (byte-budget truncate) ---------------------
+    QueryDef("q51_media_resize",
+      (s, dir) => Multimodal
+        .resizeStub(
+          Multimodal.fromDocuments(Tables.load(s, dir, "documents")),
+          maxBytes = 120)
+        .groupBy("modality")
+        .agg(count(lit(1)).as("n"),
+          sum(col("meta.size_bytes")).as("bytes"),
+          sum(octet_length(col("payload")).cast("long")).as("payload_bytes"))
+        .orderBy("modality"),
+      Some("""SELECT (['image','audio','video'])[(doc_id % 3) + 1] AS modality,
+          count(*) AS n,
+          sum(least(octet_length(encode(text)), 120)) AS bytes,
+          sum(least(octet_length(encode(text)), 120)) AS payload_bytes
+        FROM documents GROUP BY 1 ORDER BY modality""")),
+
+    // ---- X4: language-ID + quality gating -------------------------------
+    QueryDef("q52_text_stats",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val nTok = Text.tokenCount(col("text"))
+        val uniqRatio = Text.distinctTokenCount(col("text")).cast("double") /
+          nTok.cast("double")
+        d.select(Text.langId(col("text")).as("lang_id"),
+            Text.qualityBucket(nTok, uniqRatio).as("quality"))
+          .groupBy("lang_id", "quality")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("lang_id", "quality")
+      },
+      Some("""WITH t AS (
+          SELECT len(string_split(lower(text), ' ')) AS n_tok,
+            len(list_distinct(string_split(lower(text), ' '))) AS n_uniq,
+            CAST((length(' ' || text || ' ')
+              - length(replace(' ' || text || ' ', ' the ', ''))) / 5 AS BIGINT)
+            + CAST((length(' ' || text || ' ')
+              - length(replace(' ' || text || ' ', ' a ', ''))) / 3 AS BIGINT)
+            + CAST((length(' ' || text || ' ')
+              - length(replace(' ' || text || ' ', ' of ', ''))) / 4 AS BIGINT)
+              AS sc_en,
+            CAST((length(' ' || text || ' ')
+              - length(replace(' ' || text || ' ', ' el ', ''))) / 4 AS BIGINT)
+            + CAST((length(' ' || text || ' ')
+              - length(replace(' ' || text || ' ', ' la ', ''))) / 4 AS BIGINT)
+            + CAST((length(' ' || text || ' ')
+              - length(replace(' ' || text || ' ', ' de ', ''))) / 4 AS BIGINT)
+              AS sc_es,
+            CAST((length(' ' || text || ' ')
+              - length(replace(' ' || text || ' ', ' der ', ''))) / 5 AS BIGINT)
+            + CAST((length(' ' || text || ' ')
+              - length(replace(' ' || text || ' ', ' die ', ''))) / 5 AS BIGINT)
+            + CAST((length(' ' || text || ' ')
+              - length(replace(' ' || text || ' ', ' und ', ''))) / 5 AS BIGINT)
+              AS sc_de
+          FROM documents)
+        SELECT CASE
+            WHEN sc_en >= greatest(sc_es, sc_de) AND sc_en > 0 THEN 'en'
+            WHEN sc_es >= sc_de AND sc_es > 0 THEN 'es'
+            WHEN sc_de > 0 THEN 'de'
+            ELSE 'und' END AS lang_id,
+          CASE WHEN n_tok < 10 THEN 'too_short'
+            WHEN CAST(n_uniq AS DOUBLE) / CAST(n_tok AS DOUBLE) < 0.3
+              THEN 'repetitive'
+            WHEN CAST(n_uniq AS DOUBLE) / CAST(n_tok AS DOUBLE) > 0.95
+              THEN 'high'
+            ELSE 'ok' END AS quality,
+          count(*) AS n
+        FROM t GROUP BY 1, 2 ORDER BY lang_id, quality""")),
+
+    // ---- X4: rolling token fingerprint ----------------------------------
+    // Oracle trick: list_reduce has no explicit init, but the fold
+    // (acc*1000003 + x) mod p starting at acc=0 equals a first-element
+    // seed because every x < p — so the init-free DuckDB fold matches.
+    QueryDef("q53_fingerprint",
+      (s, dir) => Tables.load(s, dir, "documents")
+        .filter(col("doc_id") < 40)
+        .select(col("doc_id"), Text.tokenFingerprint(col("text")).as("fp"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+          list_reduce(
+            list_transform(string_split(lower(text), ' '),
+              t -> CAST(ascii(t) AS BIGINT) * 31 + length(t)),
+            (acc, x) -> (acc * 1000003 + x) % 1000000007) AS fp
+        FROM documents WHERE doc_id < 40 ORDER BY doc_id""")))
+}

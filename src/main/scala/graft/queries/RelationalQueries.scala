@@ -4,17 +4,19 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
+import graft.functions.Num
 import graft.sources.Catalog
 
 /** The relational operator inventory (SURVEY.md §2.3-§2.8) as
   * oracle-checked queries over the TPC-H-ish testdata.
   *
   * Determinism rules (SURVEY.md §5): every query carries a total-order
-  * ORDER BY; no processing-time columns; money sums are rounded at a
-  * granularity coarse enough that partial-aggregation reordering noise
-  * (~1e-5 absolute at sf0.01 magnitudes) cannot flip the rounded value;
-  * per-row arithmetic is emitted UNROUNDED (IEEE doubles are
-  * bit-deterministic — rounding would only add half-even boundary risk).
+  * ORDER BY; no processing-time columns; money sums go through
+  * `Num.moneySum` (terms cast to exact decimal before aggregation, so
+  * partial-aggregation order can never flip the rounded value — see
+  * Num.scala); per-row arithmetic is emitted UNROUNDED (IEEE doubles
+  * are bit-deterministic — rounding would only add half-even boundary
+  * risk).
   */
 object RelationalQueries {
 
@@ -29,12 +31,12 @@ object RelationalQueries {
         l.filter(col("l_shipdate") <= lit(ts("1998-09-02")))
           .groupBy("l_returnflag", "l_linestatus")
           .agg(
-            round(sum("l_quantity"), 2).as("sum_qty"),
-            round(sum("l_extendedprice"), 0).as("sum_base_price"),
-            round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 0)
+            Num.moneySum(col("l_quantity"), 2).as("sum_qty"),
+            Num.moneySum(col("l_extendedprice"), 0).as("sum_base_price"),
+            Num.moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 0)
               .as("sum_disc_price"),
-            round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
-              * (lit(1.0) + col("l_tax"))), 0).as("sum_charge"),
+            Num.moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+              * (lit(1.0) + col("l_tax")), 0).as("sum_charge"),
             round(avg("l_quantity"), 2).as("avg_qty"),
             round(avg("l_extendedprice"), 2).as("avg_price"),
             round(avg("l_discount"), 4).as("avg_disc"),
@@ -42,10 +44,10 @@ object RelationalQueries {
           .orderBy("l_returnflag", "l_linestatus")
       },
       Some("""SELECT l_returnflag, l_linestatus,
-        round(sum(l_quantity),2) AS sum_qty,
-        round(sum(l_extendedprice),0) AS sum_base_price,
-        round(sum(l_extendedprice*(1.0-l_discount)),0) AS sum_disc_price,
-        round(sum(l_extendedprice*(1.0-l_discount)*(1.0+l_tax)),0) AS sum_charge,
+        CAST(round(sum(CAST(l_quantity AS DECIMAL(25,6))),2) AS DOUBLE) AS sum_qty,
+        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(25,6))),0) AS DOUBLE) AS sum_base_price,
+        CAST(round(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(25,6))),0) AS DOUBLE) AS sum_disc_price,
+        CAST(round(sum(CAST(l_extendedprice*(1.0-l_discount)*(1.0+l_tax) AS DECIMAL(25,6))),0) AS DOUBLE) AS sum_charge,
         round(avg(l_quantity),2) AS avg_qty,
         round(avg(l_extendedprice),2) AS avg_price,
         round(avg(l_discount),4) AS avg_disc,
@@ -103,12 +105,12 @@ object RelationalQueries {
           .filter(r("r_name") === "ASIA")
           .groupBy(n("n_name").as("n_name"))
           .agg(count(lit(1)).as("n_customers"),
-            round(sum("c_acctbal"), 2).as("total_acctbal"),
+            Num.moneySum(col("c_acctbal"), 2).as("total_acctbal"),
             round(avg("c_acctbal"), 2).as("avg_acctbal"))
           .orderBy("n_name")
       },
       Some("""SELECT n_name, count(*) AS n_customers,
-        round(sum(c_acctbal),2) AS total_acctbal,
+        CAST(round(sum(CAST(c_acctbal AS DECIMAL(25,6))),2) AS DOUBLE) AS total_acctbal,
         round(avg(c_acctbal),2) AS avg_acctbal
         FROM customer JOIN nation ON c_nationkey=n_nationkey
         JOIN region ON n_regionkey=r_regionkey
@@ -122,12 +124,12 @@ object RelationalQueries {
         o.join(l, o("o_orderkey") === l("l_orderkey"))
           .groupBy("o_orderpriority")
           .agg(countDistinct("o_orderkey").as("n_orders"),
-            round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 0)
+            Num.moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 0)
               .as("revenue"))
           .orderBy("o_orderpriority")
       },
       Some("""SELECT o_orderpriority, count(DISTINCT o_orderkey) AS n_orders,
-        round(sum(l_extendedprice*(1.0-l_discount)),0) AS revenue
+        CAST(round(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(25,6))),0) AS DOUBLE) AS revenue
         FROM orders JOIN lineitem ON o_orderkey=l_orderkey
         GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
@@ -191,7 +193,7 @@ object RelationalQueries {
         Catalog.upsert(existing, updates, "o_orderkey")
           .groupBy("o_orderstatus")
           .agg(count(lit(1)).as("n"),
-            round(sum("o_totalprice"), 0).as("total"))
+            Num.moneySum(col("o_totalprice"), 0).as("total"))
           .orderBy("o_orderstatus")
       },
       Some("""WITH updates AS (
@@ -203,7 +205,7 @@ object RelationalQueries {
           WHERE NOT EXISTS (SELECT 1 FROM updates u
                             WHERE u.o_orderkey = o.o_orderkey)
           UNION ALL SELECT * FROM updates)
-        SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice),0) AS total
+        SELECT o_orderstatus, count(*) AS n, CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))),0) AS DOUBLE) AS total
         FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
     // ---- A5: distinct --------------------------------------------------
@@ -216,21 +218,21 @@ object RelationalQueries {
     QueryDef("q12_events_by_type",
       (s, dir) => Tables.events(s, dir)
         .groupBy("event_type")
-        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+        .agg(count(lit(1)).as("n"), Num.moneySum(col("value"), 2).as("total"))
         .orderBy("event_type"),
-      Some("""SELECT event_type, count(*) AS n, round(sum(value),2) AS total
+      Some("""SELECT event_type, count(*) AS n, CAST(round(sum(CAST(value AS DECIMAL(25,6))),2) AS DOUBLE) AS total
         FROM events GROUP BY event_type ORDER BY event_type""")),
 
     // ---- A6: ROLLUP -----------------------------------------------------
     QueryDef("q13_rollup_qty",
       (s, dir) => Tables.load(s, dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
-        .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+        .agg(Num.moneySum(col("l_quantity"), 2).as("sum_qty"),
           count(lit(1)).as("n"))
         .orderBy(asc_nulls_first("l_returnflag"),
           asc_nulls_first("l_linestatus")),
       Some("""SELECT l_returnflag, l_linestatus,
-        round(sum(l_quantity),2) AS sum_qty, count(*) AS n
+        CAST(round(sum(CAST(l_quantity AS DECIMAL(25,6))),2) AS DOUBLE) AS sum_qty, count(*) AS n
         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
 
@@ -340,10 +342,10 @@ object RelationalQueries {
         .select(expr("ts DIV 3600000000000 * 3600").as("hour_epoch"),
           col("event_type"), col("value"))
         .groupBy("hour_epoch", "event_type")
-        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+        .agg(count(lit(1)).as("n"), Num.moneySum(col("value"), 2).as("total"))
         .orderBy("hour_epoch", "event_type"),
       Some("""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
-        event_type, count(*) AS n, round(sum(value),2) AS total
+        event_type, count(*) AS n, CAST(round(sum(CAST(value AS DECIMAL(25,6))),2) AS DOUBLE) AS total
         FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
 
     // ---- P14: JSON extraction ------------------------------------------------------
@@ -385,7 +387,7 @@ object RelationalQueries {
           .groupBy("l_returnflag")
           .agg(count(lit(1)).as("n_total"),
             count(col("cleaned")).as("n_valid"),
-            round(sum("cleaned"), 2).as("total"))
+            Num.moneySum(col("cleaned"), 2).as("total"))
           .orderBy("l_returnflag")
       },
       Some("""WITH t AS (
@@ -397,7 +399,7 @@ object RelationalQueries {
             CASE WHEN isnan(ratio) THEN NULL ELSE ratio END AS cleaned
           FROM t)
         SELECT l_returnflag, count(*) AS n_total, count(cleaned) AS n_valid,
-          round(sum(cleaned),2) AS total
+          CAST(round(sum(CAST(cleaned AS DECIMAL(25,6))),2) AS DOUBLE) AS total
         FROM c GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // ---- P4: defaulted projection --------------------------------------------------------
@@ -416,10 +418,10 @@ object RelationalQueries {
       (s, dir) => Tables.load(s, dir, "orders")
         .filter(col("o_orderdate").between(ts("1995-01-01"), ts("1996-12-31")))
         .groupBy("o_orderstatus")
-        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 0).as("total"))
+        .agg(count(lit(1)).as("n"), Num.moneySum(col("o_totalprice"), 0).as("total"))
         .orderBy("o_orderstatus"),
       Some("""SELECT o_orderstatus, count(*) AS n,
-        round(sum(o_totalprice),0) AS total
+        CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))),0) AS DOUBLE) AS total
         FROM orders
         WHERE o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
                               AND TIMESTAMP '1996-12-31 00:00:00'

@@ -51,17 +51,24 @@ object IngestStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val transformed = Lake.nanToNull(batch)
           .withColumn("processed_timestamp", current_timestamp())
-        // Sink 1: processed zone, mirroring the raw format (K2-K4).
+        // Idempotent replay: each sink writes into a batch_id=<n>
+        // partition directory with overwrite — if the index write fails
+        // after the processed write succeeded, the replayed batch
+        // overwrites the same partition instead of duplicating rows
+        // (at-least-once delivery × idempotent sink = effectively-once).
         val processed = transformed.persist()
         try {
+          val pDir = s"$processedDir/batch_id=$batchId"
+          // Sink 1: processed zone, mirroring the raw format (K2-K4).
           (fmt match {
             case "csv" => processed.write.option("header", "true")
-              .mode("append").csv(processedDir)
-            case "json" => processed.write.mode("append").json(processedDir)
-            case _ => processed.write.mode("append").parquet(processedDir)
+              .mode("overwrite").csv(pDir)
+            case "json" => processed.write.mode("overwrite").json(pDir)
+            case _ => processed.write.mode("overwrite").parquet(pDir)
           })
           // Sink 2: the search-index table (K5).
-          processed.write.mode("append").parquet(indexDir)
+          processed.write.mode("overwrite")
+            .parquet(s"$indexDir/batch_id=$batchId")
         } finally processed.unpersist()
         ()
       }
@@ -76,9 +83,12 @@ object IngestStream {
       .groupBy(window(col(tsCol), windowLen), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
 
-  /** R4: explicit streaming dedup by id within the watermark horizon. */
+  /** R4: explicit streaming dedup by id within the watermark horizon —
+    * the same id re-arriving with a different event timestamp is still a
+    * duplicate and is dropped (state for an id expires once the
+    * watermark passes its first arrival). */
   def dedupStream(events: DataFrame, tsCol: String, idCol: String,
                   watermark: String): DataFrame =
     events.withWatermark(tsCol, watermark)
-      .dropDuplicates(idCol, tsCol)
+      .dropDuplicatesWithinWatermark(idCol)
 }

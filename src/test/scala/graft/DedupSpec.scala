@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // Planted corpus: 1↔2 exact dups; 3↔4 near-dups (one word changed);
+  // 5 unrelated; 6 too short to shingle.
+  private val base = "the quick brown fox jumps over the lazy dog " +
+    "while the sun sets slowly behind the quiet green hills of the north"
+  private def docs = Seq(
+    (1L, base),
+    (2L, base),
+    (3L, base + " tonight"),
+    (4L, base + " today"),
+    (5L, "completely different text about spark catalyst expression " +
+      "trees and whole stage codegen pipelines in distributed engines"),
+    (6L, "too short")).toDF("doc_id", "text")
+
+  test("exact dedup groups identical content, keeps min id") {
+    val d = Dedup.exact(docs, "doc_id", "text")
+    assert(d.count() == 5) // 1+2 collapse
+    val dup = d.filter(col("copies") === 2).collect()
+    assert(dup.length == 1 && dup(0).getAs[Long]("keep_id") == 1L)
+    assert(Dedup.dropExactDups(docs, "doc_id", "text").count() == 5)
+  }
+
+  test("minhash near-dup finds planted pairs, no false positives") {
+    val pairs = Dedup
+      .nearDupPairsMinhash(docs, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // exact pair and both near variants of it must surface
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((3L, 4L)))
+    // unrelated doc never pairs
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+    // verify step is sound: every returned pair really has jaccard >= thr
+    val jac = Dedup
+      .nearDupPairsMinhash(docs, "doc_id", "text", threshold = 0.5)
+      .select("jaccard").as[Double].collect()
+    assert(jac.forall(_ >= 0.5))
+  }
+
+  test("simhash: identical docs at hamming 0; unrelated never pair") {
+    val pairs = Dedup.nearDupPairsSimhash(docs, "doc_id", "text", 3)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0L))
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("blocked jaccard respects blocks") {
+    val blocked = Seq(
+      (1L, base, "en"), (2L, base, "en"), (3L, base, "de"))
+      .toDF("doc_id", "text", "lang")
+    val pairs = Dedup
+      .blockedJaccardPairs(blocked, "doc_id", "text", Seq("lang"), 3, 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // identical docs in different blocks are never compared
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("embedding near-dup pairs identical vectors, skips orthogonal") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (4L, Array(0.0f, 0.0f, 0.0f, 0.0f))) // zero vector: NaN guard
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup
+      .nearDupPairsEmbedding(emb, "vec_id", "embedding", 0.99, nPlanes = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    // zero-norm vectors must never match anything (cosine = NULL)
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Lake
+
+class LakeSpec extends SparkSpec {
+
+  test("detectFileType dispatches by extension, unknown → None") {
+    assert(Lake.detectFileType("a/b/data.CSV").contains("csv"))
+    assert(Lake.detectFileType("x.json").contains("json"))
+    assert(Lake.detectFileType("x.snappy.parquet").contains("parquet"))
+    assert(Lake.detectFileType("x.txt").isEmpty)
+    assert(Lake.detectFileType("x").isEmpty)
+  }
+
+  test("sniffJsonMultiline: array-of-objects vs NDJSON") {
+    val dir = Files.createTempDirectory("graft_sniff_test")
+    val arr = dir.resolve("arr.json")
+    Files.writeString(arr, "\n  [ {\"a\": 1}, {\"a\": 2} ]")
+    val nd = dir.resolve("nd.json")
+    Files.writeString(nd, "{\"a\": 1}\n{\"a\": 2}\n")
+    assert(Lake.sniffJsonMultiline(arr.toString))
+    assert(!Lake.sniffJsonMultiline(nd.toString))
+    // Directory mode picks the first .json lexicographically (arr.json).
+    assert(Lake.sniffJsonMultiline(dir.toString))
+  }
+
+  test("json read handles both encodings identically") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_json_modes")
+    Files.writeString(dir.resolve("arr.json"),
+      """[{"id":1,"v":"x"},{"id":2,"v":"y"}]""")
+    val asArray = Lake.read(spark, dir.resolve("arr.json").toString, "json")
+    assert(asArray.as[(Long, String)].collect().sorted.toSeq ==
+      Seq((1L, "x"), (2L, "y")))
+    val dir2 = Files.createTempDirectory("graft_json_modes2")
+    Files.writeString(dir2.resolve("nd.json"),
+      "{\"id\":1,\"v\":\"x\"}\n{\"id\":2,\"v\":\"y\"}\n")
+    val asNd = Lake.read(spark, dir2.resolve("nd.json").toString, "json")
+    assert(asNd.as[(Long, String)].collect().sorted.toSeq ==
+      Seq((1L, "x"), (2L, "y")))
+  }
+
+  test("nanToNull nulls every NaN float/double and is idempotent") {
+    import spark.implicits._
+    val df = Seq((1L, Double.NaN, 1.0f), (2L, 2.5, Float.NaN),
+      (3L, 3.0, 3.0f)).toDF("id", "d", "f")
+    val once = Lake.nanToNull(df)
+    val rows = once.orderBy("id").collect()
+    assert(rows(0).isNullAt(1) && !rows(0).isNullAt(2))
+    assert(!rows(1).isNullAt(1) && rows(1).isNullAt(2))
+    assert(rows(2).getDouble(1) == 3.0 && rows(2).getFloat(2) == 3.0f)
+    val twice = Lake.nanToNull(once)
+    assert(twice.orderBy("id").collect().toSeq ==
+      once.orderBy("id").collect().toSeq)
+  }
+
+  test("writeZone/read roundtrip preserves rows per format") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val root = Files.createTempDirectory("graft_zone").toString
+    for (fmt <- Seq("csv", "json", "parquet")) {
+      Lake.writeZone(df, root, Lake.Processed, s"t_$fmt", fmt)
+      val back = Lake.read(spark,
+        Lake.zonePath(root, Lake.Processed, s"t_$fmt"), fmt)
+      assert(back.count() == 3, fmt)
+      assert(back.select(sum(col("k").cast("long"))).as[Long].head() == 6,
+        fmt)
+    }
+  }
+}

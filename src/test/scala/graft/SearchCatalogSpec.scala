@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{QueryService, Search}
+import graft.sources.Catalog
+
+class SearchCatalogSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("bulkIndex assigns dense 1..N ids in order-column order, " +
+    "with no global single-partition window") {
+    val df = spark.range(1, 501).toDF("k")
+      .withColumn("k", col("k") * 7 % 500) // scrambled order column
+      .distinct()
+    val n = df.count()
+    val indexed = Search.bulkIndex(df, "k")
+    val ids = indexed.orderBy("k").select("_id").as[Long].collect()
+    assert(ids.length == n)
+    assert(ids.toSeq == (1L to n).toSeq) // dense, ordered by k
+  }
+
+  test("upsert: last writer wins by key, new keys appended") {
+    val existing = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val updates = Seq((2L, "B"), (3L, "c")).toDF("id", "v")
+    val merged = Catalog.upsert(existing, updates, "id")
+      .as[(Long, String)].collect().toSet
+    assert(merged == Set((1L, "a"), (2L, "B"), (3L, "c")))
+  }
+
+  test("markIndexed flips only matching ids") {
+    val meta = Seq(("a", false), ("b", false)).toDF("id", "indexed")
+      .withColumn("indexedAt", lit(null).cast("timestamp"))
+    val at = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
+    val ids = Seq("b").toDF("id")
+    val out = Catalog.markIndexed(meta, ids, "id", at)
+      .select("id", "indexed").as[(String, Boolean)].collect().toMap
+    assert(!out("a") && out("b"))
+  }
+
+  test("enrichWithMetadata synthesizes fallback location without a UDF") {
+    val content = Seq(("1", "x"), ("2", "y")).toDF("id", "text")
+    val meta = Seq(("1", "s3://real/1")).toDF("id", "s3Location")
+    val out = QueryService.enrichWithMetadata(content, meta,
+        id => concat(lit("stub://"), id))
+      .select("id", "s3Location").as[(String, String)].collect().toMap
+    assert(out("1") == "s3://real/1")
+    assert(out("2") == "stub://2")
+  }
+
+  test("metadata search: conjunctive filter + recency order + limit") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val meta = Seq(
+      ("a", "csv", t("2024-01-01 10:00:00")),
+      ("b", "csv", t("2024-01-01 11:00:00")),
+      ("c", "json", t("2024-01-01 12:00:00")),
+      ("d", "csv", t("2024-01-01 13:00:00")))
+      .toDF("id", "dataType", "timestamp")
+    val got = Catalog.search(meta,
+        Catalog.MetaFilter(dataType = Some("csv"), limit = 2))
+      .select("id").as[String].collect().toSeq
+    assert(got == Seq("d", "b")) // most recent first, json excluded
+  }
+}

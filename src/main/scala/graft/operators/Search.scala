@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 import graft.functions.Text
 
@@ -23,6 +24,39 @@ object Search {
     * `-` → `_` (reference lambda-function.py:192-193). */
   def normalizeIndexName(name: Column): Column =
     lower(regexp_replace(name, "-", "_"))
+
+  /** Index routing `data-{dataType}`, defaulting unknown
+    * (reference index-data-lambda.py:158-159). */
+  def indexNameFor(dataType: Column): Column =
+    lower(concat(lit("data-"), coalesce(dataType, lit("unknown"))))
+
+  /** T3: the explicit typed mapping of an index document — the
+    * OpenSearch-mapping analog, declared instead of inferred. */
+  val indexDocSchema: StructType = StructType(Seq(
+    StructField("metadata", StructType(Seq(
+      StructField("id", StringType, nullable = false),
+      StructField("dataType", StringType),
+      StructField("source", StringType),
+      StructField("s3Location", StringType),
+      StructField("size_bytes", LongType)))),
+    StructField("content", StructType(Seq(
+      StructField("text", StringType)))),
+    StructField("indexed_at", StringType)))
+
+  /** P13: the reference's index-document assembly
+    * `{metadata, content, indexed_at}` (index-data-lambda.py:150-155) as
+    * one struct expression. `at` is explicit — verified queries must not
+    * depend on wall-clock. */
+  def buildIndexDoc(metadata: Column, content: Column,
+                    at: String): Column =
+    struct(metadata.as("metadata"), content.as("content"),
+      lit(at).as("indexed_at"))
+
+  /** A3: the ingest size metric — serialized-document byte length, the
+    * reference's `len(json.dumps(data))` analog. Pure expression:
+    * to_json is codegen'd. */
+  def docSizeBytes(doc: Column): Column =
+    octet_length(to_json(doc)).cast("long")
 
   /** (doc_id, token) pairs — the analyzed-text stream. */
   def tokenStream(docs: DataFrame, idCol: String, textCol: String): DataFrame =

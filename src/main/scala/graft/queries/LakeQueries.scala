@@ -250,5 +250,91 @@ object LakeQueries {
               FROM documents WHERE doc_id < 120) d
         LEFT JOIN (SELECT id, s3Location FROM meta WHERE id < '000100') m
           ON d.id = m.id
-        ORDER BY d.id""")))
+        ORDER BY d.id""")),
+
+    // ---- S5/P14: raw JSON text fetch + explicit from_json parse -------------------
+    QueryDef("q56_json_text_parse",
+      (s, dir) => {
+        val root = Files.createTempDirectory("graft_jsontext").toString
+        val docs = Tables.load(s, dir, "documents")
+          .select("doc_id", "lang", "n_chars", "text")
+        docs.write.mode("overwrite").json(s"$root/docs")
+        Lake.readJsonText(s, s"$root/docs", docs.schema)
+          .select(col("doc.lang").as("lang"),
+            col("doc.n_chars").as("n_chars"),
+            length(col("raw")).cast("long").as("raw_len"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"),
+            sum("raw_len").as("raw_bytes"))
+          .orderBy("lang")
+      },
+      // The oracle rebuilds the exact NDJSON line Spark writes
+      // (schema-ordered fields, ASCII-safe text — verified fixture).
+      Some("""SELECT lang, count(*) AS n, sum(n_chars) AS chars,
+          sum(length('{"doc_id":' || doc_id || ',"lang":"' || lang ||
+            '","n_chars":' || n_chars || ',"text":"' || text || '"}'))
+            AS raw_bytes
+        FROM documents GROUP BY lang ORDER BY lang""")),
+
+    // ---- P13/A3/T3: index-document assembly + size metric --------------------------
+    QueryDef("q57_index_doc",
+      (s, dir) => {
+        val meta = metaFromDocs(s, dir)
+        val content = Tables.load(s, dir, "documents")
+          .select(lpad(col("doc_id").cast("string"), 6, "0").as("id"),
+            col("text"))
+        val doc = Search.buildIndexDoc(
+          struct(col("id"), col("data_type").as("dataType"), col("source"),
+            col("s3Location"), col("size_bytes")),
+          struct(col("text")),
+          at = "2024-06-01T00:00:00")
+        meta.join(content, Seq("id"))
+          .filter(col("id") < "000020")
+          .select(col("id"),
+            Search.indexNameFor(col("data_type")).as("index_name"),
+            to_json(doc).as("doc_json"),
+            Search.docSizeBytes(doc).as("doc_bytes"))
+          .orderBy("id")
+      },
+      Some(s"""WITH meta AS ($metaSql),
+        built AS (
+          SELECT m.id, 'data-' || m.data_type AS index_name,
+            '{"metadata":{"id":"' || m.id || '","dataType":"' ||
+              m.data_type || '","source":"' || m.source ||
+              '","s3Location":"' || m.s3Location || '","size_bytes":' ||
+              m.size_bytes || '},"content":{"text":"' || d.text ||
+              '"},"indexed_at":"2024-06-01T00:00:00"}' AS doc_json
+          FROM meta m JOIN (SELECT lpad(CAST(doc_id AS VARCHAR), 6, '0')
+            AS id, text FROM documents) d ON m.id = d.id
+          WHERE m.id < '000020')
+        SELECT id, index_name, doc_json,
+          CAST(length(doc_json) AS BIGINT) AS doc_bytes
+        FROM built ORDER BY id""")),
+
+    // ---- R6: session windows (batch semantics of session_window) -------------------
+    QueryDef("q58_session_windows",
+      (s, dir) => graft.streaming.IngestStream.sessionWindowCounts(
+          Tables.eventsWithTime(s, dir), "event_time", "event_type",
+          gap = "5 minutes", watermark = None)
+        .orderBy("event_type", "session_start"),
+      // Classic SQL sessionization: a new session starts when the gap to
+      // the previous event is >= 5 min (Spark merges strictly-within-gap
+      // events); session end = last event + gap.
+      Some("""WITH e AS (
+          SELECT event_type, CAST(ts AS TIMESTAMP) AS t FROM events),
+        m AS (SELECT event_type, t,
+            CASE WHEN lag(t) OVER (PARTITION BY event_type ORDER BY t)
+                   IS NULL
+                 OR t - lag(t) OVER (PARTITION BY event_type ORDER BY t)
+                   >= INTERVAL 5 MINUTE
+                 THEN 1 ELSE 0 END AS new_s
+          FROM e),
+        g AS (SELECT event_type, t,
+            sum(new_s) OVER (PARTITION BY event_type ORDER BY t
+              ROWS UNBOUNDED PRECEDING) AS sid
+          FROM m)
+        SELECT event_type, min(t) AS session_start,
+          max(t) + INTERVAL 5 MINUTE AS session_end, count(*) AS n
+        FROM g GROUP BY event_type, sid
+        ORDER BY event_type, session_start""")))
 }

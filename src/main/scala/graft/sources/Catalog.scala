@@ -111,8 +111,26 @@ object Catalog {
     existing.join(updates.select(key).distinct(), Seq(key), "left_anti")
       .unionByName(updates, allowMissingColumns = true)
 
-  /** S11: register a parquet directory as a catalog table (the Glue
-    * crawler role — on demand instead of a 12 h cron). */
+  /** S11: register a parquet directory as a session-scoped view (the
+    * quick path). */
   def register(spark: SparkSession, name: String, path: String): Unit =
     spark.read.parquet(path).createOrReplaceTempView(name)
+
+  /** S11: register a parquet directory as a PERSISTENT catalog table —
+    * the Glue-crawler role, on demand instead of a 12 h cron. The table
+    * is an external (unmanaged) entry in the session catalog /
+    * metastore: dropping it never deletes data, and with a Hive
+    * metastore configured it survives the session, exactly like a
+    * crawled Glue table. Schema comes from the parquet footers at
+    * registration; re-running refreshes it. */
+  def registerPersistent(spark: SparkSession, name: String,
+                         path: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    spark.sql(s"CREATE TABLE `$name` USING PARQUET LOCATION '$path'")
+  }
+
+  /** K7: metadata catalog put — append new ingest records to the
+    * catalog table directory. */
+  def append(records: DataFrame, path: String): Unit =
+    records.write.mode("append").parquet(path)
 }

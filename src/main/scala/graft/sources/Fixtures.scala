@@ -1,0 +1,103 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** K10: deterministic sample-data generator — the reference's test
+  * fixture writer (/root/reference/data-upload-script.py:28-117)
+  * re-expressed as seeded hash expressions over `spark.range`.
+  *
+  * The reference uses unseeded numpy randomness (shapes are fixtures,
+  * values are not golden); here every value derives from
+  * xxhash64(seed, field, id), so the SAME rows come out on any cluster,
+  * any partitioning, any run — generation is embarrassingly parallel
+  * (range splits, no shuffle) and usable as a reproducible test input
+  * at any target row count.
+  */
+object Fixtures {
+
+  /** Uniform [0,1) double from a per-(field,row) hash. */
+  private def u(field: String, id: Column): Column =
+    pmod(xxhash64(lit(field), id), lit(1000000L)).cast("double") / 1e6
+
+  private def pick(field: String, id: Column, xs: Seq[String]): Column =
+    element_at(array(xs.map(lit): _*),
+      pmod(xxhash64(lit(field), id), lit(xs.size)).cast("int") + 1)
+
+  private def uniform(field: String, id: Column, lo: Double,
+                      hi: Double): Column =
+    round(lit(lo) + u(field, id) * (hi - lo), 2)
+
+  val regions = Seq("North", "South", "East", "West", "Central")
+
+  /** sales — reference data-upload-script.py:28-55. */
+  def sales(spark: SparkSession, n: Long = 1000L): DataFrame = {
+    val id = col("id")
+    spark.range(1, n + 1).select(
+      format_string("TXN-%06d", id).as("transaction_id"),
+      // 30-day range, evenly spaced
+      timestamp_seconds(lit(1704067200L) +
+        (id - 1) * (30L * 86400 / n)).as("date"),
+      pick("product", id, Seq("Widget", "Gadget", "Gizmo", "Doohickey",
+        "Thingamajig", "Contraption", "Apparatus", "Device")).as("product"),
+      pick("region", id, regions).as("region"),
+      (pmod(xxhash64(lit("qty"), id), lit(9)) + 1).cast("int").as("quantity"),
+      uniform("unit_price", id, 10.0, 1000.0).as("unit_price"))
+      .withColumn("total_price",
+        round(col("quantity") * col("unit_price"), 2))
+  }
+
+  /** customers — reference data-upload-script.py:57-92. */
+  def customers(spark: SparkSession, n: Long = 500L): DataFrame = {
+    val id = col("id")
+    val first = pick("first", id, Seq("James", "Mary", "John", "Patricia",
+      "Robert", "Jennifer", "Michael", "Linda", "William", "Elizabeth"))
+    val last = pick("last", id, Seq("Smith", "Johnson", "Williams",
+      "Brown", "Jones", "Garcia", "Miller", "Davis", "Rodriguez",
+      "Martinez"))
+    spark.range(1, n + 1).select(
+      format_string("CUST-%05d", id).as("customer_id"),
+      first.as("first_name"),
+      last.as("last_name"),
+      lower(concat(first, lit("."), last, lit("@example.com"))).as("email"),
+      pick("region", id, regions).as("region"),
+      // segment weights p=[.2,.5,.3] via threshold on the uniform
+      when(u("segment", id) < 0.2, "Premium")
+        .when(u("segment", id) < 0.7, "Standard")
+        .otherwise("Basic").as("segment"),
+      // 3-year range
+      timestamp_seconds(lit(1609459200L) +
+        (id - 1) * (3L * 365 * 86400 / n)).as("join_date"),
+      uniform("ltv", id, 100.0, 10000.0).as("lifetime_value"))
+  }
+
+  /** products — reference data-upload-script.py:94-117. */
+  def products(spark: SparkSession, n: Long = 100L): DataFrame = {
+    val id = col("id")
+    spark.range(1, n + 1).select(
+      format_string("PROD-%04d", id).as("product_id"),
+      concat_ws(" ",
+        pick("brand", id, Seq("TechPro", "Electronica", "GadgetCo",
+          "DigiPlus", "SmartTech", "FutureBrand")),
+        pick("ptype", id, Seq("Laptop", "Smartphone", "Tablet",
+          "Headphones", "Monitor", "Keyboard", "Mouse", "Speaker")),
+        pick("suffix", id, Seq("Pro", "Lite", "Plus", "Max", "")))
+        .as("product_name"),
+      pick("category", id, Seq("Electronics", "Computing", "Audio",
+        "Accessories")).as("category"),
+      uniform("price", id, 10.0, 2000.0).as("price"),
+      (u("in_stock", id) < 0.8).as("in_stock"),
+      pmod(xxhash64(lit("stock"), id), lit(1000)).cast("int")
+        .as("stock_quantity"),
+      timestamp_seconds(lit(1577836800L) +
+        (id - 1) * (4L * 365 * 86400 / n)).as("launch_date"))
+  }
+
+  /** Write all three fixture families into the raw zone in the given
+    * format — the reference's upload_sample_data. */
+  def writeAll(spark: SparkSession, root: String, fmt: String): Unit = {
+    Lake.writeZone(sales(spark), root, Lake.Raw, "sales", fmt)
+    Lake.writeZone(customers(spark), root, Lake.Raw, "customers", fmt)
+    Lake.writeZone(products(spark), root, Lake.Raw, "products", fmt)
+  }
+}

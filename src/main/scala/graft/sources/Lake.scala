@@ -5,6 +5,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types
 import org.apache.spark.sql.types.{DoubleType, FloatType}
 
 /** Lake IO: three-zone directory layout, extension-sniffed reads, and
@@ -137,4 +138,17 @@ object Lake {
     import spark.implicits._
     spark.read.json(records.toDS())
   }
+
+  /** S5/P14: raw JSON document fetch as TEXT + explicit `from_json`
+    * parse — the reference's get_object-then-json.loads path
+    * (lambda-function.py:90-95) kept as two visible stages: the raw
+    * line survives as `raw` for audit/debug, the parse is an explicit
+    * schema'd expression (malformed rows → null struct, not a crash).
+    * Scale: text scan splits like any file source; from_json is
+    * codegen'd per row. */
+  def readJsonText(spark: SparkSession, path: String,
+                   schema: types.StructType): DataFrame =
+    spark.read.text(path)
+      .select(col("value").as("raw"),
+        from_json(col("value"), schema).as("doc"))
 }

@@ -83,6 +83,31 @@ object IngestStream {
       .groupBy(window(col(tsCol), windowLen), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
 
+  /** R6: sliding event-time windows (length > slide ⇒ overlapping
+    * buckets; each event lands in length/slide windows). */
+  def slidingWindowCounts(events: DataFrame, tsCol: String,
+                          windowLen: String, slide: String,
+                          watermark: String): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+
+  /** R6: session windows — a session extends while events arrive within
+    * `gap` of each other; state closes (and emits) once the watermark
+    * passes the gap. Works identically in batch mode (used by the
+    * oracle-checked q58). */
+  def sessionWindowCounts(events: DataFrame, tsCol: String, keyCol: String,
+                          gap: String,
+                          watermark: Option[String]): DataFrame = {
+    val src = watermark.map(events.withWatermark(tsCol, _)).getOrElse(events)
+    src.groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col(keyCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n"))
+  }
+
   /** R4: explicit streaming dedup by id within the watermark horizon —
     * the same id re-arriving with a different event timestamp is still a
     * duplicate and is dropped (state for an id expires once the

@@ -49,17 +49,29 @@ object Dedup {
     * Documents with fewer than `shingleN` tokens have no shingles and
     * drop out (they can never be near-dup candidates). */
   /** (doc, sh) staged shingle-set relation: tokens materialized first so
-    * the shingle lambda reads a column, not a re-split expression. */
+    * the shingle lambda reads a column, not a re-split expression.
+    * `scaleOut` on the doc id parallelizes the tokenize/shingle compute
+    * for single-split sources AND pre-partitions for the signature
+    * groupBy(doc), which then reuses the exchange. */
   private def shingleSets(df: DataFrame, idCol: String, textCol: String,
                           shingleN: Int): DataFrame =
-    df.select(col(idCol).as("doc"), Text.tokens(col(textCol)).as("toks"))
+    graft.scaleOut(df, col(idCol))
+      .select(col(idCol).as("doc"), Text.tokens(col(textCol)).as("toks"))
       .select(col("doc"),
         Text.shingleSetOfTokens(col("toks"), shingleN).as("sh"))
 
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int, numHashes: Int): DataFrame = {
+    // explode_OUTER + post-filter, not plain explode: for non-outer
+    // explode the optimizer infers a `size(child)>0` filter and pushes
+    // it below the scale-out exchange, re-inlining the whole shingle
+    // expression into a single-partition interpreted Filter (measured:
+    // the filter alone cost more than the aggregation). Outer explode
+    // infers nothing; the cheap isNotNull on the GENERATED column runs
+    // parallel, above the exchange, and drops the same rows.
     val exploded = shingleSets(df, idCol, textCol, shingleN)
-      .select(col("doc"), explode(col("sh")).as("s"))
+      .select(col("doc"), explode_outer(col("sh")).as("s"))
+      .filter(col("s").isNotNull)
     val aggs = (0 until numHashes)
       .map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i"))
     exploded.groupBy("doc").agg(aggs.head, aggs.tail: _*)
@@ -124,7 +136,8 @@ object Dedup {
   def blockedJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                           blockCols: Seq[String], shingleN: Int,
                           threshold: Double): DataFrame = {
-    val withSh = df.select(
+    val withSh = graft.scaleOut(df, blockCols.map(col): _*)
+      .select(
         (blockCols.map(col) :+ col(idCol) :+
           Text.tokens(col(textCol)).as("toks")): _*)
       .select(
@@ -153,8 +166,13 @@ object Dedup {
     * captured subtrees per invocation). Empty-token docs drop out. */
   def simhashSignatures(df: DataFrame, idCol: String,
                         textCol: String): DataFrame = {
-    val hashed = df.select(col(idCol).as("doc"),
-        explode(Text.tokens(col(textCol))).as("t"))
+    // explode_outer + isNotNull: see minhashSignatures — avoids the
+    // inferred size() filter re-inlining the tokenizer below the
+    // exchange.
+    val hashed = graft.scaleOut(df, col(idCol))
+      .select(col(idCol).as("doc"), Text.tokens(col(textCol)).as("toks"))
+      .select(col("doc"), explode_outer(col("toks")).as("t"))
+      .filter(col("t").isNotNull)
       .select(col("doc"), xxhash64(col("t")).as("h"))
     val lanes = (0 until 64).map(j =>
       sum(when(call_function("bit_get", col("h"), lit(j)) === 1, lit(1L))
@@ -194,8 +212,9 @@ object Dedup {
     * are scored. */
   def nearDupPairsEmbedding(df: DataFrame, idCol: String, vecCol: String,
                             threshold: Double, nPlanes: Int = 12): DataFrame = {
-    val withB = df.select(col(idCol).as("doc"),
-      Vectors.toDouble(col(vecCol)).as("v"))
+    val withB = graft.scaleOut(df, col(idCol))
+      .select(col(idCol).as("doc"),
+        Vectors.toDouble(col(vecCol)).as("v"))
       .withColumn("bucket", Vectors.lshBucket(col("v"), nPlanes))
     val a = withB.select(col("bucket"), col("doc").as("id_a"),
       col("v").as("v_a"))

@@ -69,7 +69,7 @@ object Multimodal {
   def decodeFeatures(spark: SparkSession,
                      media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
-    media.select("media_id", "modality", "payload")
+    graft.scaleOut(media).select("media_id", "modality", "payload")
       .as[(Long, String, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (id, modality, payload) =>

@@ -58,9 +58,16 @@ object Search {
   def docSizeBytes(doc: Column): Column =
     octet_length(to_json(doc)).cast("long")
 
-  /** (doc_id, token) pairs — the analyzed-text stream. */
+  /** (doc_id, token) pairs — the analyzed-text stream. `scaleOut`
+    * parallelizes tokenization for single-split sources (no-op on an
+    * already-parallel input); explode_outer + isNotNull instead of plain
+    * explode so the optimizer's inferred size() filter can't re-inline
+    * the tokenizer below the exchange (see Dedup.minhashSignatures). */
   def tokenStream(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol), explode(Text.tokens(col(textCol))).as("token"))
+    graft.scaleOut(docs, col(idCol))
+      .select(col(idCol), Text.tokens(col(textCol)).as("toks"))
+      .select(col(idCol), explode_outer(col("toks")).as("token"))
+      .filter(col("token").isNotNull)
 
   /** Term frequencies per document: the inverted-index postings list.
     * One hash-aggregate shuffle on (token, doc) — partial aggregation

@@ -28,7 +28,7 @@ object Similarity {
     val q = broadcast(
       emb.filter(col(idCol) === queryId)
         .select(Vectors.toDouble(col(vecCol)).as("qvec")))
-    emb.filter(col(idCol) =!= queryId)
+    graft.scaleOut(emb.filter(col(idCol) =!= queryId))
       .select(col(idCol), Vectors.toDouble(col(vecCol)).as("v"))
       .crossJoin(q)
       .select(col(idCol),
@@ -44,7 +44,7 @@ object Similarity {
   def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
               queryId: Long, k: Int, nPlanes: Int = 12,
               probes: Int = 0): DataFrame = {
-    val withBucket = emb
+    val withBucket = graft.scaleOut(emb)
       .select(col(idCol), Vectors.toDouble(col(vecCol)).as("v"))
       .withColumn("bucket", Vectors.lshBucket(col("v"), nPlanes))
     val qrow = withBucket.filter(col(idCol) === queryId)

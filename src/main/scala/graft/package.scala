@@ -1,4 +1,4 @@
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 package object graft {
   /** The driver contract's query shape: (session, sfDir) → result. */
@@ -9,4 +9,23 @@ package object graft {
     * oracle get the driver's weaker rows-only check (non-SQL-expressible
     * ops: seeded-hash LSH, approx sketches). */
   final case class QueryDef(name: String, fn: Q, oracle: Option[String])
+
+  /** Scale-out guard for CPU-dense per-row operators (tokenization,
+    * hashing, shingling, vector math).
+    *
+    * A small table often arrives as ONE parquet row group → one scan
+    * task, so per-row compute serializes onto a single core no matter
+    * the cluster size. When the source exposes fewer partitions than the
+    * configured shuffle width, insert one exchange up front — hashed on
+    * `keys` when given (so a downstream groupBy/join on the same keys
+    * REUSES the partitioning instead of adding a second shuffle), else
+    * round-robin. When the input is already parallel — the 100 TB case,
+    * thousands of splits — this is a no-op, so the guard never costs an
+    * exchange at scale. */
+  def scaleOut(df: DataFrame, keys: Column*): DataFrame = {
+    val width = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions >= width) df
+    else if (keys.nonEmpty) df.repartition(width, keys: _*)
+    else df.repartition(width)
+  }
 }

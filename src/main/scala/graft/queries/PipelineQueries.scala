@@ -169,7 +169,7 @@ object PipelineQueries {
     // ---- X4: language-ID + quality gating -------------------------------
     QueryDef("q52_text_stats",
       (s, dir) => {
-        val d = Tables.load(s, dir, "documents")
+        val d = graft.scaleOut(Tables.load(s, dir, "documents"))
         val nTok = Text.tokenCount(col("text"))
         val uniqRatio = Text.distinctTokenCount(col("text")).cast("double") /
           nTok.cast("double")
@@ -223,8 +223,8 @@ object PipelineQueries {
     // (acc*1000003 + x) mod p starting at acc=0 equals a first-element
     // seed because every x < p — so the init-free DuckDB fold matches.
     QueryDef("q53_fingerprint",
-      (s, dir) => Tables.load(s, dir, "documents")
-        .filter(col("doc_id") < 40)
+      (s, dir) => graft.scaleOut(
+          Tables.load(s, dir, "documents").filter(col("doc_id") < 40))
         .select(col("doc_id"), Text.tokenFingerprint(col("text")).as("fp"))
         .orderBy("doc_id"),
       Some("""SELECT doc_id,

@@ -15,12 +15,13 @@ object Tables {
   val all: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    if (name == "events")
-      // Runtime-settable legacy conf: TIMESTAMP(NANOS) arrives as LongType.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  /** Sessions reading `events` must set
+    * `spark.sql.legacy.parquet.nanosAsLong=true` at build time (done in
+    * Verify/Bench/test sessions) — TIMESTAMP(NANOS) then arrives as
+    * LongType. Kept out of this loader: a read helper silently mutating
+    * session config is a surprise that outlives the call. */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
-  }
 
   /** events with `ts` as raw epoch-nanos long (exact, no precision loss). */
   def events(spark: SparkSession, dir: String): DataFrame =

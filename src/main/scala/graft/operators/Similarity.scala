@@ -66,9 +66,17 @@ object Similarity {
 
   /** All-pairs top-k neighbors per vector (small-side utility; the
     * per-row window keeps only k). At scale use the LSH bucket join —
-    * this exact variant is O(n²) by definition. */
+    * this exact variant is O(n²) by definition, so it is FENCED: it
+    * refuses inputs larger than `maxRows` (one cheap limited count, no
+    * full scan) instead of silently planning a 10¹⁰-pair cross join.
+    * Raise the fence consciously if you really mean it. */
   def allPairsTopK(emb: DataFrame, idCol: String, vecCol: String,
-                   k: Int): DataFrame = {
+                   k: Int, maxRows: Int = 100000): DataFrame = {
+    val probe = emb.select(idCol).limit(maxRows + 1).count()
+    require(probe <= maxRows,
+      s"allPairsTopK is O(n²) and fenced at $maxRows rows; " +
+        s"input exceeds it — use lshTopK/nearDupPairsEmbedding at scale " +
+        s"or raise maxRows explicitly")
     val v = emb.select(col(idCol).as("id_a"),
       Vectors.toDouble(col(vecCol)).as("v_a"))
     val w = emb.select(col(idCol).as("id_b"),

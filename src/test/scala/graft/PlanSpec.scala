@@ -1,0 +1,75 @@
+package graft
+
+/** Plan-quality regression guards: the physical plans we rely on for
+  * 100 TB scale, asserted at sf0.001 (planning only — `explain` never
+  * executes). If an operator edit silently turns a broadcast join into
+  * a shuffle join or drops a pushed filter, these fail. */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.defs(name).fn(spark, dir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q05: dimension joins broadcast (no shuffle join on small dims)") {
+    val p = plan("q05_dim_join_agg")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("q04: point predicate reaches the parquet scan") {
+    val p = plan("q04_point_lookup")
+    assert(p.contains("PushedFilters: [IsNotNull(l_orderkey), " +
+      "EqualTo(l_orderkey,42)]"), p.take(2000))
+  }
+
+  test("q02: scan prunes to the projected/filtered columns only") {
+    val p = plan("q02_filter_project")
+    val readSchema = p.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    // 5 columns: 2 projected keys, revenue's 2 inputs, filter columns
+    assert(readSchema.contains("l_orderkey"), readSchema)
+    assert(!readSchema.contains("l_comment"), readSchema)
+    assert(!readSchema.contains("l_partkey"), readSchema)
+  }
+
+  test("q03/q29: orderBy+limit plans as TakeOrderedAndProject " +
+    "(per-partition heaps, no global sort materialization)") {
+    assert(plan("q03_topk_recent").contains("TakeOrderedAndProject"))
+    assert(plan("q29_global_sort").contains("TakeOrderedAndProject"))
+  }
+
+  test("q08/q09: semi/anti joins stay semi/anti (no distinct+join)") {
+    assert(plan("q08_semi_join").contains("LeftSemi"))
+    assert(plan("q09_anti_join").contains("LeftAnti"))
+  }
+
+  test("no registered query uses a Scala/Python UDF") {
+    for ((name, _) <- SparkEntry.defs) {
+      val p = plan(name)
+      assert(!p.contains("BatchEvalPython"), name)
+      assert(!p.contains("ScalaUDF"), name)
+    }
+  }
+
+  test("no registered query funnels the corpus through a " +
+    "single-partition window") {
+    for ((name, _) <- SparkEntry.defs) {
+      val p = plan(name)
+      val lines = p.linesIterator.toSeq
+      // A Window directly above Exchange SinglePartition = global window.
+      // The one legitimate SinglePartition window is bulkIndex's offset
+      // table (input = one row per partition, bounded by partition
+      // count, not data size) — identified by its `_pid` ordering key.
+      lines.zipWithIndex.foreach { case (l, i) =>
+        if (l.contains("Window") && !l.contains("_pid")) {
+          val below = lines.slice(i + 1, i + 3).mkString("\n")
+          assert(!below.contains("Exchange SinglePartition"),
+            s"$name has a global window:\n$l\n$below")
+        }
+      }
+    }
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.functions.{MinHashSignature, SimHash64}
+
+/** SQL-surface registration of graft's native expressions, via the
+  * standard extension point:
+  *
+  * {{{
+  *   SparkSession.builder()
+  *     .config("spark.sql.extensions", "graft.GraftExtensions")
+  *     ...
+  *   spark.sql("SELECT minhash_signature(text, 3, 64) FROM docs")
+  * }}}
+  *
+  * The same expressions are reachable from the Column API without the
+  * extension (graft.functions.Native) — this makes them first-class in
+  * SQL too, the reference's Athena-delegation surface (SURVEY.md §2.7).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+  private def longLit(e: Expression, what: String): Long = e match {
+    case Literal(v: Int, _)  => v.toLong
+    case Literal(v: Long, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be a long literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[MinHashSignature].getName,
+        "minhash_signature"),
+      (children: Seq[Expression]) => children match {
+        case Seq(text) => MinHashSignature(text, 3, 64, 42L)
+        case Seq(text, n) => MinHashSignature(text, intLit(n, "shingleN"),
+          64, 42L)
+        case Seq(text, n, k) => MinHashSignature(text,
+          intLit(n, "shingleN"), intLit(k, "numHashes"), 42L)
+        case Seq(text, n, k, s) => MinHashSignature(text,
+          intLit(n, "shingleN"), intLit(k, "numHashes"), longLit(s, "seed"))
+        case other => throw new IllegalArgumentException(
+          s"minhash_signature expects 1-4 args, got ${other.size}")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_bands"),
+      new ExpressionInfo(classOf[functions.MinHashBands].getName,
+        "minhash_bands"),
+      (children: Seq[Expression]) => children match {
+        case Seq(text) => functions.MinHashBands(text, 3, 64, 16, 42L)
+        case Seq(text, n, k, b) => functions.MinHashBands(text,
+          intLit(n, "shingleN"), intLit(k, "numHashes"),
+          intLit(b, "bands"), 42L)
+        case other => throw new IllegalArgumentException(
+          s"minhash_bands expects 1 or 4 args, got ${other.size}")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("shingle_set"),
+      new ExpressionInfo(classOf[functions.ShingleSet].getName,
+        "shingle_set"),
+      (children: Seq[Expression]) => children match {
+        case Seq(text) => functions.ShingleSet(text, 3)
+        case Seq(text, n) => functions.ShingleSet(text, intLit(n, "shingleN"))
+        case other => throw new IllegalArgumentException(
+          s"shingle_set expects 1-2 args, got ${other.size}")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (children: Seq[Expression]) => children match {
+        case Seq(text) => SimHash64(text, 42L)
+        case Seq(text, s) => SimHash64(text, longLit(s, "seed"))
+        case other => throw new IllegalArgumentException(
+          s"simhash64 expects 1-2 args, got ${other.size}")
+      }))
+  }
+}

@@ -1,0 +1,248 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the text-signature hot path
+  * (SURVEY.md §2.11 X2) — the preference-order (b) case: a custom
+  * `Expression` with real `doGenCode`, not a UDF.
+  *
+  * Why native: the declarative formulation (explode shingles → 64 min
+  * aggregates) pays one full shuffle of the exploded corpus plus
+  * interpreted higher-order lambdas. These expressions compute the
+  * whole signature in ONE pass over the string, inside whole-stage
+  * codegen, with zero shuffle — per-row, embarrassingly parallel, the
+  * shape that survives 100 TB.
+  *
+  * Hashing scheme: token bytes are hashed once with XXH64 (the same
+  * avalanche family Spark's `xxhash64` uses); a shingle hash folds its
+  * n token hashes; the k MinHash lanes re-hash the shingle hash with
+  * lane-indexed seeds. Shingle dedup happens on the 64-bit shingle hash
+  * (collision probability ~n²/2⁶⁴ — irrelevant for signatures).
+  */
+object TextSignatureKernels {
+
+  /** One-pass MinHash signature over lowercased single-space tokens.
+    * Returns null when the text has fewer than `shingleN` tokens (such
+    * docs cannot be near-dup candidates), mirroring the dropped-row
+    * semantics of the aggregate formulation. */
+  def minhash(text: UTF8String, shingleN: Int, numHashes: Int,
+              seed: Long): ArrayData = {
+    val toks = text.toLowerCase.split(UTF8String.fromString(" "), -1)
+    val m = toks.length
+    if (m < shingleN) return null
+    // per-token base hashes, one bytes-pass each
+    val th = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val t = toks(i)
+      th(i) = XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset,
+        t.numBytes, seed)
+      i += 1
+    }
+    val sig = new Array[Long](numHashes)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    val seen = new java.util.HashSet[java.lang.Long](m * 2)
+    i = 0
+    while (i <= m - shingleN) {
+      var h = seed
+      var j = 0
+      while (j < shingleN) { h = XXH64.hashLong(th(i + j), h); j += 1 }
+      if (seen.add(h)) {
+        var k = 0
+        while (k < numHashes) {
+          val lane = XXH64.hashLong(h, k)
+          if (lane < sig(k)) sig(k) = lane
+          k += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** MinHash band keys, fused: signature + LSH banding in one pass.
+    * Returns `bands` hashes, each folding its `numHashes/bands` lane
+    * minima. Fused because a separate bands-from-signature projection
+    * gets collapsed by Catalyst into the banding lambda, re-running the
+    * signature kernel once per band. Null when the text is too short. */
+  def minhashBandKeys(text: UTF8String, shingleN: Int, numHashes: Int,
+                      bands: Int, seed: Long): ArrayData = {
+    val sig = minhash(text, shingleN, numHashes, seed)
+    if (sig == null) return null
+    val lanes = sig.asInstanceOf[GenericArrayData]
+    val rowsPerBand = numHashes / bands
+    val keys = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = b.toLong
+      var r = 0
+      while (r < rowsPerBand) {
+        h = XXH64.hashLong(lanes.getLong(b * rowsPerBand + r), h)
+        r += 1
+      }
+      keys(b) = h
+      b += 1
+    }
+    new GenericArrayData(keys)
+  }
+
+  /** Distinct word shingles (lowercased, single-space tokens), first
+    * occurrence order — byte-identical to
+    * `Text.shingleSetOfTokens(split(lower(text)," "), n)` but one
+    * codegen'd pass. Empty array (not null) below the shingle width. */
+  def shingleSet(text: UTF8String, n: Int): ArrayData = {
+    val toks = text.toLowerCase.split(UTF8String.fromString(" "), -1)
+    val m = toks.length
+    if (m < n) return new GenericArrayData(new Array[AnyRef](0))
+    val sep = UTF8String.fromString(" ")
+    val out = new java.util.LinkedHashSet[UTF8String](m * 2)
+    var i = 0
+    while (i <= m - n) {
+      val parts = new Array[UTF8String](n)
+      var j = 0
+      while (j < n) { parts(j) = toks(i + j); j += 1 }
+      out.add(UTF8String.concatWs(sep, parts: _*))
+      i += 1
+    }
+    new GenericArrayData(out.toArray.asInstanceOf[Array[AnyRef]])
+  }
+
+  /** One-pass 64-bit SimHash: each distinct-position token votes ±1 on
+    * every bit of its hash; the tally signs become the fingerprint. */
+  def simhash(text: UTF8String, seed: Long): Long = {
+    val toks = text.toLowerCase.split(UTF8String.fromString(" "), -1)
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      val h = XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset,
+        t.numBytes, seed)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) { if (votes(j) > 0) sig |= (1L << j); j += 1 }
+    sig
+  }
+}
+
+/** `minhash_signature(text)` → array<long> of k lane minima;
+  * null for texts shorter than the shingle width. */
+case class MinHashSignature(child: Expression, shingleN: Int,
+                            numHashes: Int, seed: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash_signature"
+
+  override def nullSafeEval(input: Any): Any =
+    TextSignatureKernels.minhash(input.asInstanceOf[UTF8String],
+      shingleN, numHashes, seed)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.functions.TextSignatureKernels.minhash(
+         |  $c, $shingleN, $numHashes, ${seed}L);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): MinHashSignature = copy(child = newChild)
+}
+
+/** `minhash_bands(text)` → array<long> of LSH band keys; null below
+  * the shingle width. */
+case class MinHashBands(child: Expression, shingleN: Int, numHashes: Int,
+                        bands: Int, seed: Long)
+    extends UnaryExpression {
+  require(numHashes % bands == 0, "numHashes must be divisible by bands")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash_bands"
+
+  override def nullSafeEval(input: Any): Any =
+    TextSignatureKernels.minhashBandKeys(input.asInstanceOf[UTF8String],
+      shingleN, numHashes, bands, seed)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.functions.TextSignatureKernels.minhashBandKeys(
+         |  $c, $shingleN, $numHashes, $bands, ${seed}L);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): MinHashBands = copy(child = newChild)
+}
+
+/** `shingle_set(text, n)` → array<string> of distinct word n-grams. */
+case class ShingleSet(child: Expression, shingleN: Int)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingle_set"
+
+  override def nullSafeEval(input: Any): Any =
+    TextSignatureKernels.shingleSet(input.asInstanceOf[UTF8String], shingleN)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextSignatureKernels.shingleSet($c, $shingleN)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): ShingleSet = copy(child = newChild)
+}
+
+/** `simhash64(text)` → 64-bit SimHash fingerprint. */
+case class SimHash64(child: Expression, seed: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any =
+    TextSignatureKernels.simhash(input.asInstanceOf[UTF8String], seed)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextSignatureKernels.simhash($c, ${seed}L)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): SimHash64 = copy(child = newChild)
+}
+
+/** Column-API entry points for the native signature expressions. */
+object Native {
+  import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+
+  def minhashSignature(text: Column, shingleN: Int = 3,
+                       numHashes: Int = 64, seed: Long = 42L): Column =
+    column(MinHashSignature(expression(text), shingleN, numHashes, seed))
+
+  def minhashBands(text: Column, shingleN: Int = 3, numHashes: Int = 64,
+                   bands: Int = 16, seed: Long = 42L): Column =
+    column(MinHashBands(expression(text), shingleN, numHashes, bands, seed))
+
+  def shingleSet(text: Column, shingleN: Int = 3): Column =
+    column(ShingleSet(expression(text), shingleN))
+
+  def simhash64(text: Column, seed: Long = 42L): Column =
+    column(SimHash64(expression(text), seed))
+}

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Text, Vectors}
+import graft.functions.{Native, Text, Vectors}
 
 /** Deduplication operators for pretraining-scale corpora
   * (SURVEY.md §2.11 X1/X2).
@@ -33,51 +33,34 @@ object Dedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
-  /** MinHash signatures as a STAGED relation (doc, sig: array<long>):
-    * explode the distinct shingle set, then take k seeded min-hashes as
-    * k codegen'd `min` aggregates with map-side partial aggregation.
-    *
-    * Why not a per-row expression tree? Higher-order functions
-    * (transform/aggregate) are CodegenFallback — interpreted — and
-    * Catalyst inlines a referenced subtree into each lambda invocation,
-    * so a nested `transform(0..k, i => array_min(transform(shingles, …)))`
-    * re-tokenizes the document k×3 times per row (measured: minutes for
-    * 500 docs). The explode+agg shape computes the shingle set once per
-    * document and keeps the hot path inside WholeStageCodegen; the
-    * shuffle key is the doc id — the same key the band join needs next.
-    *
-    * Documents with fewer than `shingleN` tokens have no shingles and
-    * drop out (they can never be near-dup candidates). */
-  /** (doc, sh) staged shingle-set relation: tokens materialized first so
-    * the shingle lambda reads a column, not a re-split expression.
-    * `scaleOut` on the doc id parallelizes the tokenize/shingle compute
-    * for single-split sources AND pre-partitions for the signature
-    * groupBy(doc), which then reuses the exchange. */
+  /** (doc, sh) staged shingle-set relation (the Jaccard-verify input) —
+    * native one-pass expression; `scaleOut` parallelizes single-split
+    * sources. */
   private def shingleSets(df: DataFrame, idCol: String, textCol: String,
                           shingleN: Int): DataFrame =
     graft.scaleOut(df, col(idCol))
-      .select(col(idCol).as("doc"), Text.tokens(col(textCol)).as("toks"))
-      .select(col("doc"),
-        Text.shingleSetOfTokens(col("toks"), shingleN).as("sh"))
+      .select(col(idCol).as("doc"),
+        Native.shingleSet(col(textCol), shingleN).as("sh"))
 
+  /** MinHash signatures as a staged relation (doc, sig: array<long>),
+    * computed by the NATIVE one-pass expression
+    * (functions.MinHashSignature — custom Catalyst Expression with
+    * codegen): zero shuffle, no explode, embarrassingly parallel.
+    *
+    * History: the first formulation (nested HOF lambdas) ran
+    * interpreted and re-tokenized each doc k×3 times per shingle; the
+    * second (explode shingles → k min-aggregates) was codegen'd but
+    * paid a full shuffle of the exploded corpus. The native expression
+    * does one pass per row. Documents with fewer than `shingleN` tokens
+    * yield a null signature and drop out (they can never be near-dup
+    * candidates). */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        shingleN: Int, numHashes: Int): DataFrame = {
-    // explode_OUTER + post-filter, not plain explode: for non-outer
-    // explode the optimizer infers a `size(child)>0` filter and pushes
-    // it below the scale-out exchange, re-inlining the whole shingle
-    // expression into a single-partition interpreted Filter (measured:
-    // the filter alone cost more than the aggregation). Outer explode
-    // infers nothing; the cheap isNotNull on the GENERATED column runs
-    // parallel, above the exchange, and drops the same rows.
-    val exploded = shingleSets(df, idCol, textCol, shingleN)
-      .select(col("doc"), explode_outer(col("sh")).as("s"))
-      .filter(col("s").isNotNull)
-    val aggs = (0 until numHashes)
-      .map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i"))
-    exploded.groupBy("doc").agg(aggs.head, aggs.tail: _*)
-      .select(col("doc"),
-        array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
-  }
+                        shingleN: Int, numHashes: Int): DataFrame =
+    graft.scaleOut(df)
+      .select(col(idCol).as("doc"),
+        Native.minhashSignature(col(textCol), shingleN, numHashes)
+          .as("sig"))
+      .filter(col("sig").isNotNull)
 
   /** Band keys for LSH banding: split the signature into `bands` rows of
     * `rowsPerBand`, hash each band. Two docs sharing ANY band key become
@@ -89,17 +72,22 @@ object Dedup {
         slice(sig, b.cast("int") * rowsPerBand + 1, lit(rowsPerBand))))
 
   /** X2: MinHash/LSH candidate pairs (id_a < id_b), deduplicated across
-    * bands. The groupBy-free formulation: explode bands → self-join on
-    * (band index, band hash) → distinct. Shuffle key is the band hash —
-    * uniform by construction, skew-free. */
+    * bands. The groupBy-free formulation: fused signature+banding
+    * expression (one pass per doc, zero shuffle to produce band keys) →
+    * explode → self-join on (band index, band hash) → distinct. Shuffle
+    * key is the band hash — uniform by construction, skew-free.
+    * posexplode_OUTER + isNotNull keeps the optimizer from inferring a
+    * size() filter that would re-run the kernel (see tokenStream). */
   def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
                             shingleN: Int = 3, numHashes: Int = 64,
                             bands: Int = 16): DataFrame = {
-    val rowsPerBand = numHashes / bands
-    val banded = minhashSignatures(df, idCol, textCol, shingleN, numHashes)
-      .select(col("doc"),
-        posexplode(minhashBands(col("sig"), bands, rowsPerBand)))
+    val banded = graft.scaleOut(df)
+      .select(col(idCol).as("doc"),
+        Native.minhashBands(col(textCol), shingleN, numHashes, bands)
+          .as("bkeys"))
+      .select(col("doc"), posexplode_outer(col("bkeys")))
       .toDF("doc", "band", "bkey")
+      .filter(col("bkey").isNotNull)
     val a = banded.select(col("band"), col("bkey"), col("doc").as("id_a"))
     val b = banded.select(col("band"), col("bkey"), col("doc").as("id_b"))
     a.join(b, Seq("band", "bkey"))
@@ -139,10 +127,7 @@ object Dedup {
     val withSh = graft.scaleOut(df, blockCols.map(col): _*)
       .select(
         (blockCols.map(col) :+ col(idCol) :+
-          Text.tokens(col(textCol)).as("toks")): _*)
-      .select(
-        (blockCols.map(col) :+ col(idCol) :+
-          Text.shingleSetOfTokens(col("toks"), shingleN).as("sh")): _*)
+          Native.shingleSet(col(textCol), shingleN).as("sh")): _*)
     val a = withSh.select(
       (blockCols.map(col) :+ col(idCol).as("id_a") :+ col("sh").as("sh_a")): _*)
     val b = withSh.select(
@@ -157,32 +142,14 @@ object Dedup {
 
   /** SimHash: 64-bit signature — bit j of each token's hash votes ±1;
     * the sign of the tally sets bit j of the fingerprint. Near-dups have
-    * small Hamming distance.
-    *
-    * Staged relation (doc, sig: long): explode tokens, hash each once,
-    * then 64 codegen'd `sum` lanes (bit_get votes) with map-side partial
-    * aggregation — the same explode+agg shape as `minhashSignatures`,
-    * for the same reason (HOF lambdas are interpreted and re-evaluate
-    * captured subtrees per invocation). Empty-token docs drop out. */
+    * small Hamming distance. Computed by the NATIVE one-pass expression
+    * (functions.SimHash64, custom Catalyst Expression with codegen) —
+    * zero shuffle, no explode; see minhashSignatures for the history of
+    * the slower declarative formulations. */
   def simhashSignatures(df: DataFrame, idCol: String,
-                        textCol: String): DataFrame = {
-    // explode_outer + isNotNull: see minhashSignatures — avoids the
-    // inferred size() filter re-inlining the tokenizer below the
-    // exchange.
-    val hashed = graft.scaleOut(df, col(idCol))
-      .select(col(idCol).as("doc"), Text.tokens(col(textCol)).as("toks"))
-      .select(col("doc"), explode_outer(col("toks")).as("t"))
-      .filter(col("t").isNotNull)
-      .select(col("doc"), xxhash64(col("t")).as("h"))
-    val lanes = (0 until 64).map(j =>
-      sum(when(call_function("bit_get", col("h"), lit(j)) === 1, lit(1L))
-        .otherwise(lit(-1L))).as(s"b$j"))
-    hashed.groupBy("doc").agg(lanes.head, lanes.tail: _*)
-      .select(col("doc"),
-        (0 until 64).map(j =>
-          when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-          .reduce(_ bitwiseOR _).as("sig"))
-  }
+                        textCol: String): DataFrame =
+    graft.scaleOut(df)
+      .select(col(idCol).as("doc"), Native.simhash64(col(textCol)).as("sig"))
 
   /** SimHash near-dup pairs: band the 64-bit signature into four 16-bit
     * chunks (any equal chunk → candidate; guarantees recall for hamming

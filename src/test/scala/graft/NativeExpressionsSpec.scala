@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Native
+
+class NativeExpressionsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("minhash_signature: deterministic, similarity-sensitive, " +
+    "null below shingle width") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "a completely different document about spark internals"),
+      (4L, "too short")).toDF("id", "t")
+    val sigs = df.select(col("id"),
+        Native.minhashSignature(col("t"), 3, 64).as("sig"))
+      .collect().map(r =>
+        r.getLong(0) -> Option(r.getSeq[Long](1))).toMap
+    assert(sigs(1L).get == sigs(2L).get)   // identical text, same sig
+    assert(sigs(1L).get != sigs(3L).get)   // different text, different sig
+    assert(sigs(1L).get.length == 64)
+    assert(sigs(4L).isEmpty)               // < 3 tokens → null
+  }
+
+  test("simhash64: identical → equal; near-dup → small hamming") {
+    val base = "spark catalyst optimizes declarative query plans into " +
+      "codegen stages for distributed execution across many workers"
+    val df = Seq((1L, base), (2L, base), (3L, base + " quickly"),
+      (4L, "entirely unrelated content about cooking pasta al dente"))
+      .toDF("id", "t")
+    val s = df.select(col("id"), Native.simhash64(col("t")).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(s(1L) == s(2L))
+    assert(ham(s(1L), s(3L)) <= 6)   // one appended word flips few bits
+    assert(ham(s(1L), s(4L)) > 10)   // unrelated text is far
+  }
+
+  test("expressions run identically via codegen and interpreted eval") {
+    val df = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("id", "t")
+    val viaCodegen = df
+      .select(Native.minhashSignature(col("t")).as("sig"),
+        Native.simhash64(col("t")).as("sh"))
+      .head()
+    // interpreted path: eval through a literal-free projection on a
+    // non-codegen plan (local relation + explicit eval)
+    import graft.functions.{MinHashSignature, SimHash64, TextSignatureKernels}
+    import org.apache.spark.unsafe.types.UTF8String
+    val t = UTF8String.fromString("alpha beta gamma delta epsilon zeta")
+    val direct = TextSignatureKernels.minhash(t, 3, 64, 42L)
+    assert(viaCodegen.getSeq[Long](0) == direct.toLongArray().toSeq)
+    assert(viaCodegen.getLong(1) == TextSignatureKernels.simhash(t, 42L))
+  }
+
+  test("SQL surface via GraftExtensions: minhash_signature/simhash64 " +
+    "callable from spark.sql") {
+    Seq((1L, "one two three four five")).toDF("id", "t")
+      .createOrReplaceTempView("native_docs")
+    val r = spark.sql(
+      """SELECT size(minhash_signature(t, 3, 16)) AS k,
+                simhash64(t) AS sh,
+                minhash_signature(t) IS NOT NULL AS ok
+         FROM native_docs""").head()
+    assert(r.getInt(0) == 16)
+    assert(r.getBoolean(2))
+  }
+
+  test("near-dup operators still find planted pairs with native sigs") {
+    val base = "the quick brown fox jumps over the lazy dog while the " +
+      "sun sets slowly behind the quiet green hills of the north"
+    val docs = Seq((1L, base), (2L, base), (3L, base + " tonight"),
+      (4L, "unrelated words about catalyst expression codegen internals " +
+        "and shuffle partition planning in large clusters"))
+      .toDF("doc_id", "text")
+    val pairs = graft.operators.Dedup
+      .nearDupPairsMinhash(docs, "doc_id", "text", 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+}

@@ -336,5 +336,27 @@ object LakeQueries {
         SELECT event_type, min(t) AS session_start,
           max(t) + INTERVAL 5 MINUTE AS session_end, count(*) AS n
         FROM g GROUP BY event_type, sid
-        ORDER BY event_type, session_start""")))
+        ORDER BY event_type, session_start""")),
+
+    // ---- S11+A6: SQL dispatch over a persistently-registered table ------------------
+    // The reference's Athena path: register the parquet location as a
+    // catalog table (Glue-crawler role), then dispatch raw ANSI SQL
+    // through the query service.
+    QueryDef("q61_sql_dispatch",
+      (s, dir) => {
+        Catalog.registerPersistent(s, "graft_part", s"$dir/part.parquet")
+        val empty = s.emptyDataFrame
+        QueryService.run(s, empty, empty, QueryService.Sql(
+          """SELECT p_brand, count(*) AS n,
+               CAST(round(sum(CAST(p_retailprice AS DECIMAL(25,6))), 2)
+                 AS DOUBLE) AS total_price
+             FROM graft_part
+             WHERE p_size >= 20
+             GROUP BY p_brand ORDER BY p_brand"""))
+      },
+      Some("""SELECT p_brand, count(*) AS n,
+          CAST(round(sum(CAST(p_retailprice AS DECIMAL(25,6))), 2)
+            AS DOUBLE) AS total_price
+        FROM part WHERE p_size >= 20
+        GROUP BY p_brand ORDER BY p_brand""")))
 }

@@ -218,6 +218,43 @@ object PipelineQueries {
           count(*) AS n
         FROM t GROUP BY 1, 2 ORDER BY lang_id, quality""")),
 
+    // ---- X6: stubbed media decode via typed Dataset mapPartitions -------
+    QueryDef("q59_media_decode",
+      (s, dir) => Multimodal
+        .decodeFeatures(s,
+          Multimodal.fromDocuments(Tables.load(s, dir, "documents")))
+        .groupBy("modality")
+        .agg(count(lit(1)).as("n"),
+          sum("n_frames").as("frames"),
+          sum("size_bytes").as("bytes"))
+        .orderBy("modality"),
+      Some("""SELECT (['image','audio','video'])[(doc_id % 3) + 1] AS modality,
+          count(*) AS n,
+          sum((octet_length(encode(text)) + 99) // 100) AS frames,
+          sum(octet_length(encode(text))) AS bytes
+        FROM documents GROUP BY 1 ORDER BY modality""")),
+
+    // ---- X6: frame sampling over binary payloads ------------------------
+    QueryDef("q60_frame_sample",
+      (s, dir) => Multimodal
+        .frameSample(
+          Multimodal.fromDocuments(Tables.load(s, dir, "documents")),
+          frameBytes = 64, stride = 4)
+        .groupBy("modality")
+        .agg(count(lit(1)).as("frames"),
+          sum(octet_length(col("frame")).cast("long")).as("frame_bytes"))
+        .orderBy("modality"),
+      Some("""SELECT modality, sum(nf) AS frames, sum(fb) AS frame_bytes
+        FROM (
+          SELECT (['image','audio','video'])[(doc_id % 3) + 1] AS modality,
+            len([i for i in range(0, (octet_length(encode(text)) - 1) // 64 + 1)
+                 if i % 4 = 0]) AS nf,
+            list_sum([least(64, octet_length(encode(text)) - i * 64)
+                 for i in range(0, (octet_length(encode(text)) - 1) // 64 + 1)
+                 if i % 4 = 0]) AS fb
+          FROM documents)
+        GROUP BY modality ORDER BY modality""")),
+
     // ---- X4: rolling token fingerprint ----------------------------------
     // Oracle trick: list_reduce has no explicit init, but the fold
     // (acc*1000003 + x) mod p starting at acc=0 equals a first-element

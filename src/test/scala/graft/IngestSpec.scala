@@ -1,0 +1,53 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Ingest
+import graft.sources.Lake
+
+class IngestSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("§3.1 ingest flow: raw zone partitioned put + catalog append") {
+    val root = Files.createTempDirectory("graft_ingest").toString
+    val metaPath = s"$root/meta"
+    val at = java.sql.Timestamp.valueOf("2024-03-01 12:00:00")
+    val body = Seq(
+      ("id-1", "sales", "web", "{\"v\":1}"),
+      ("id-2", null, null, "{\"v\":2}"))
+      .toDF("id", "dataType", "source", "data")
+      .withColumn("owner", lit(null).cast("string"))
+
+    val meta = Ingest.run(spark, body, root, metaPath, at)
+
+    // defaults applied (P4)
+    val m = meta.orderBy("id").collect()
+    assert(m(0).getAs[String]("dataType") == "sales")
+    assert(m(1).getAs[String]("dataType") == "unknown")
+    assert(m(1).getAs[String]("source") == "api")
+    assert(m(1).getAs[String]("owner") == "system")
+    assert(m.forall(_.getAs[Long]("sizeBytes") > 0)) // A3 size metric
+    assert(m.forall(_.getAs[String]("s3Location")
+      .contains("/raw/")), "s3Location points at the raw zone")
+
+    // raw zone is hive-partitioned by dataType/ingest_date → pruning
+    val rawPath = Lake.zonePath(root, Lake.Raw, "ingest")
+    val raw = spark.read.json(rawPath)
+    assert(raw.count() == 2)
+    assert(raw.columns.contains("dataType")) // partition col round-trips
+    val pruned = spark.read.json(rawPath)
+      .filter(col("dataType") === "sales")
+    assert(pruned.count() == 1)
+
+    // catalog append is cumulative (K7)
+    Ingest.run(spark,
+      Seq(("id-3", "sales", "web", "{\"v\":3}"))
+        .toDF("id", "dataType", "source", "data")
+        .withColumn("owner", lit(null).cast("string")),
+      root, metaPath, at)
+    assert(spark.read.parquet(metaPath).count() == 3)
+  }
+}

@@ -64,6 +64,71 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF (inverted-file) coarse quantizer: `nCentroids` pivot vectors
+    * chosen as a DETERMINISTIC hash-ordered sample of the corpus (no
+    * RNG — reproducible across runs/retries); every vector is assigned
+    * to its nearest pivot by cosine.
+    *
+    * Scale shape: the pivot set is collapsed into ONE broadcast row
+    * (array of structs), so assignment is a map-only argmax over
+    * nCentroids cosines per vector — no shuffle, no collect(). At
+    * 100 TB the output would be written bucketed by `centroid_id`, so a
+    * probe reads only its cells' files. */
+  def ivfIndex(emb: DataFrame, idCol: String, vecCol: String,
+               nCentroids: Int): DataFrame = {
+    val pivots = broadcast(
+      emb.orderBy(pmod(xxhash64(col(idCol)), lit(1000000007L)).asc,
+          col(idCol).asc)
+        .limit(nCentroids)
+        .select(col(idCol).as("pid"),
+          Vectors.toDouble(col(vecCol)).as("pv"))
+        .agg(collect_list(struct(col("pid"), col("pv"))).as("pivots")))
+    graft.scaleOut(emb)
+      .select(col(idCol), Vectors.toDouble(col(vecCol)).as("v"))
+      .crossJoin(pivots)
+      .withColumn("centroid_id",
+        aggregate(col("pivots"),
+          struct(lit(-2.0).as("best"), lit(-1L).as("pid")),
+          (acc, p) => {
+            val c = coalesce(Vectors.cosine(col("v"), p.getField("pv")),
+              lit(-2.0))
+            when(c > acc.getField("best"),
+              struct(c.as("best"), p.getField("pid").as("pid")))
+              .otherwise(acc)
+          }).getField("pid"))
+      .drop("pivots")
+  }
+
+  /** IVF ANN top-k: assign the corpus to cells once, then score only
+    * the `nProbe` cells whose pivots are nearest the query vector. */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
+              queryId: Long, k: Int, nCentroids: Int = 16,
+              nProbe: Int = 4): DataFrame = {
+    val index = ivfIndex(emb, idCol, vecCol, nCentroids)
+    val qrow = index.filter(col(idCol) === queryId)
+      .select(col("v").as("qvec"))
+    // nProbe nearest pivots to the query, from the same broadcast row
+    val pivots = broadcast(
+      emb.orderBy(pmod(xxhash64(col(idCol)), lit(1000000007L)).asc,
+          col(idCol).asc)
+        .limit(nCentroids)
+        .select(col(idCol).as("pid"), Vectors.toDouble(col(vecCol)).as("pv")))
+    val probes = broadcast(
+      qrow.crossJoin(pivots)
+        .select(col("qvec"), col("pid"),
+          coalesce(Vectors.cosine(col("qvec"), col("pv")), lit(-2.0))
+            .as("pc"))
+        .orderBy(col("pc").desc, col("pid").asc)
+        .limit(nProbe)
+        .select(col("pid").as("centroid_id"), col("qvec")))
+    index.filter(col(idCol) =!= queryId)
+      .join(probes, Seq("centroid_id"))
+      .select(col(idCol),
+        Vectors.cosine(col("v"), col("qvec")).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** All-pairs top-k neighbors per vector (small-side utility; the
     * per-row window keeps only k). At scale use the LSH bucket join —
     * this exact variant is O(n²) by definition, so it is FENCED: it

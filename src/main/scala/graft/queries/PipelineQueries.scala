@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Dedup, Multimodal, Similarity, Skew}
 import graft.functions.Text
 
 /** The LLM-training-data-pipeline surface (SURVEY.md §2.11 X1-X6) as
@@ -115,6 +115,16 @@ object PipelineQueries {
         .lshTopK(Tables.load(s, dir, "embeddings"),
           "vec_id", "embedding", queryId = 7L, k = 10,
           nPlanes = 6, probes = 4)
+        .agg(count(lit(1)).as("hits"),
+          coalesce(round(max("cosine"), 4), lit(0.0)).as("best_cosine")),
+      None),
+
+    // ---- X3: IVF ANN — hash-sampled pivots (seeded → rows-only) ---------
+    QueryDef("q63_ann_ivf",
+      (s, dir) => Similarity
+        .ivfTopK(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", queryId = 7L, k = 10,
+          nCentroids = 16, nProbe = 4)
         .agg(count(lit(1)).as("hits"),
           coalesce(round(max("cosine"), 4), lit(0.0)).as("best_cosine")),
       None),
@@ -254,6 +264,28 @@ object PipelineQueries {
                  if i % 4 = 0]) AS fb
           FROM documents)
         GROUP BY modality ORDER BY modality""")),
+
+    // ---- skew: two-stage salted aggregation (oracle = plain GROUP BY) ----
+    QueryDef("q62_salted_agg",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        Skew.saltedAgg(e,
+            keyCols = Seq("event_type"),
+            saltCol = col("event_id"),
+            saltBuckets = 8,
+            partialAggs = Seq(count(lit(1)).as("pc"),
+              sum(col("value").cast("decimal(25,6)")).as("pv"),
+              max("user_id").as("pm")),
+            finalAggs = Seq(sum("pc").cast("long").as("n"),
+              round(sum("pv"), 2).cast("double").as("total"),
+              max("pm").as("max_user")))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n,
+          CAST(round(sum(CAST(value AS DECIMAL(25,6))), 2) AS DOUBLE)
+            AS total,
+          max(user_id) AS max_user
+        FROM events GROUP BY event_type ORDER BY event_type""")),
 
     // ---- X4: rolling token fingerprint ----------------------------------
     // Oracle trick: list_reduce has no explicit init, but the fold

@@ -1,0 +1,77 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Lake-maintenance compaction (north-star mandate: "batch ETL,
+  * queries, and compaction"). Event-driven ingest — one object per
+  * `POST /data`, one file per micro-batch — accretes small files until
+  * listing and task-scheduling overhead dominates scans. Compaction
+  * rewrites a dataset directory into ~`targetBytes` files.
+  *
+  * Shape: one read + one `repartition(n)` (round-robin exchange — the
+  * only way to get even output sizes from skewed inputs) + one
+  * overwrite into a staging dir, then an atomic-ish directory swap.
+  * At 100 TB you compact per PARTITION directory (dataType/date), not
+  * the whole table — `compactPartitions` drives that loop so each
+  * partition's rewrite is independent and restartable. */
+object Compact {
+
+  private def dirBytes(p: Path): Long =
+    Files.walk(p).iterator().asScala
+      .filter(Files.isRegularFile(_)).map(Files.size).sum
+
+  def dataFileCount(dir: String): Int = {
+    val p = Paths.get(dir)
+    if (!Files.exists(p)) 0
+    else Files.walk(p).iterator().asScala.count { f =>
+      val n = f.getFileName.toString
+      Files.isRegularFile(f) && !n.startsWith("_") && !n.startsWith(".") &&
+        !n.endsWith(".crc")
+    }
+  }
+
+  /** Compact one parquet dataset directory to ~targetBytes per file.
+    * Returns (filesBefore, filesAfter). */
+  def compactPath(spark: SparkSession, dir: String,
+                  targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    val before = dataFileCount(dir)
+    val bytes = dirBytes(Paths.get(dir))
+    val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val staging = dir + "__compacting"
+    spark.read.parquet(dir).repartition(nOut)
+      .write.mode("overwrite").parquet(staging)
+    // swap: remove originals, move compacted files in
+    val target = Paths.get(dir)
+    Files.walk(target).iterator().asScala.toSeq.reverse
+      .filter(_ != target).foreach(Files.delete)
+    Files.list(Paths.get(staging)).iterator().asScala.foreach { f =>
+      Files.move(f, target.resolve(f.getFileName.toString))
+    }
+    Files.delete(Paths.get(staging))
+    (before, dataFileCount(dir))
+  }
+
+  /** Compact every leaf partition directory of a hive-layout table
+    * independently (the 100 TB path: per-partition jobs, restartable,
+    * no global rewrite). A leaf = a directory containing data files. */
+  def compactPartitions(spark: SparkSession, root: String,
+                        targetBytes: Long = 128L * 1024 * 1024)
+      : Seq[(String, Int, Int)] = {
+    val rootP = Paths.get(root)
+    val leaves = Files.walk(rootP).iterator().asScala
+      .filter(Files.isDirectory(_))
+      .filter { d =>
+        Files.list(d).iterator().asScala.exists(f =>
+          Files.isRegularFile(f) &&
+            f.getFileName.toString.endsWith(".parquet"))
+      }
+      .toSeq
+    leaves.map { d =>
+      val (b, a) = compactPath(spark, d.toString, targetBytes)
+      (rootP.relativize(d).toString, b, a)
+    }
+  }
+}

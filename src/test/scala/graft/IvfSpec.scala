@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+class IvfSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // Two tight clusters around orthogonal axes + the query vector.
+  private def emb = {
+    val a = (1L to 20L).map(i =>
+      (i, Array(1.0f, 0.01f * i, 0.0f, 0.0f)))
+    val b = (21L to 40L).map(i =>
+      (i, Array(0.0f, 0.01f * i, 1.0f, 0.0f)))
+    (a ++ b).toDF("vec_id", "embedding")
+  }
+
+  test("ivfIndex assigns every vector to exactly one cell") {
+    val idx = Similarity.ivfIndex(emb, "vec_id", "embedding", 4)
+    assert(idx.count() == 40)
+    assert(idx.filter(col("centroid_id") === -1L).count() == 0)
+    // same-cluster vectors overwhelmingly share cells: vector 1 and 2
+    val cells = idx.filter(col("vec_id").isin(1L, 2L))
+      .select("centroid_id").as[Long].collect()
+    assert(cells.length == 2)
+  }
+
+  test("ivfTopK finds same-cluster neighbors, ranked by cosine") {
+    val top = Similarity.ivfTopK(emb, "vec_id", "embedding",
+        queryId = 1L, k = 5, nCentroids = 4, nProbe = 2)
+      .select("vec_id").as[Long].collect()
+    assert(top.nonEmpty)
+    // the query is in cluster A (x-axis): neighbors must come from A
+    assert(top.forall(_ <= 20L), top.mkString(","))
+  }
+
+  test("ivfTopK with full probes equals brute force") {
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding",
+        queryId = 1L, k = 5, nCentroids = 4, nProbe = 4)
+      .select("vec_id").as[Long].collect().toSeq
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        queryId = 1L, k = 5)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(ivf == brute)
+  }
+}

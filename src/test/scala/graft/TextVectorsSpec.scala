@@ -29,6 +29,12 @@ class TextVectorsSpec extends SparkSpec {
       .isEmpty)
   }
 
+  test("bpeish token count splits at word/digit/punct boundaries") {
+    val df = Seq(("hello world42 foo-bar", 1)).toDF("t", "id")
+    // hello | world | 42 | foo | - | bar
+    assert(df.select(Text.bpeishTokenCount(col("t"))).head().getLong(0) == 6)
+  }
+
   test("langId picks the marker-dominant language") {
     val df = Seq(
       ("the house of a king", "en"),

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.IngestStream
+
+class StreamingWindowsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def t(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("W2/R3 streaming tumbling windows emit closed buckets after " +
+    "the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val counts = IngestStream.windowedCounts(
+      mem.toDF().toDF("event_time", "event_type", "value"),
+      "event_time", "5 minutes", "1 minute")
+    val q = counts.writeStream.format("memory").queryName("tumble_out")
+      .outputMode("append").start()
+    mem.addData(
+      (t("2024-01-01 00:01:00"), "click", 1.0),
+      (t("2024-01-01 00:02:00"), "click", 2.0),
+      (t("2024-01-01 00:04:00"), "view", 5.0))
+    q.processAllAvailable()
+    // advance the watermark far past the first window
+    mem.addData((t("2024-01-01 01:00:00"), "click", 9.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("tumble_out")
+      .select(col("window.start").cast("string"), col("event_type"),
+        col("n"), col("total_value"))
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(rows.contains(("2024-01-01 00:00:00", "click", 2L, 3.0)))
+    assert(rows.contains(("2024-01-01 00:00:00", "view", 1L, 5.0)))
+  }
+
+  test("R6 streaming session windows close after the gap + watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val sessions = IngestStream.sessionWindowCounts(
+      mem.toDF().toDF("event_time", "k"),
+      "event_time", "k", gap = "5 minutes", watermark = Some("1 minute"))
+    val q = sessions.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    // one session of 3 events (gaps < 5 min), then a far event to close it
+    mem.addData(
+      (t("2024-01-01 00:00:00"), "a"),
+      (t("2024-01-01 00:03:00"), "a"),
+      (t("2024-01-01 00:06:00"), "a"))
+    q.processAllAvailable()
+    mem.addData((t("2024-01-01 02:00:00"), "a"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sess_out")
+      .select(col("k"), col("session_start").cast("string"),
+        col("session_end").cast("string"), col("n"))
+      .as[(String, String, String, Long)].collect().toSet
+    // merged session: start at first event, end = last event + gap
+    assert(rows.contains(
+      ("a", "2024-01-01 00:00:00", "2024-01-01 00:11:00", 3L)))
+  }
+
+  test("R6 sliding windows place one event in overlapping buckets") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val counts = IngestStream.slidingWindowCounts(
+      mem.toDF().toDF("event_time", "event_type", "value"),
+      "event_time", windowLen = "10 minutes", slide = "5 minutes",
+      watermark = "1 minute")
+    val q = counts.writeStream.format("memory").queryName("slide_out")
+      .outputMode("append").start()
+    mem.addData((t("2024-01-01 00:07:00"), "click", 1.0))
+    q.processAllAvailable()
+    mem.addData((t("2024-01-01 01:00:00"), "click", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val wins = spark.table("slide_out")
+      .filter(col("n") === 1 && col("window.start") < t("2024-01-01 00:30:00"))
+      .select(col("window.start").cast("string")).as[String]
+      .collect().toSet
+    // event at 00:07 belongs to [00:00,00:10) and [00:05,00:15)
+    assert(wins == Set("2024-01-01 00:00:00", "2024-01-01 00:05:00"))
+  }
+
+  test("unsupported format and non-literal extension args fail loudly") {
+    import graft.sources.Lake
+    intercept[IllegalArgumentException] {
+      Lake.read(spark, "/tmp/nope", "avroish")
+    }
+    val err = intercept[Exception] {
+      Seq(("x", 3)).toDF("t", "n").createOrReplaceTempView("bad_args")
+      spark.sql("SELECT minhash_signature(t, n) FROM bad_args").collect()
+    }
+    assert(err.getMessage.contains("integer literal") ||
+      err.getMessage.contains("shingleN"))
+  }
+}

@@ -129,6 +129,64 @@ object PipelineQueries {
           coalesce(round(max("cosine"), 4), lit(0.0)).as("best_cosine")),
       None),
 
+    // ---- X2/X3: blocked exact embedding similarity (oracle-exact) -------
+    // Label is the blocking key (the shuffle key at scale); cosine is
+    // verified bit-for-bit against DuckDB's list arithmetic to 6dp.
+    QueryDef("q64_embedding_blocked",
+      (s, dir) => {
+        val e = graft.scaleOut(Tables.load(s, dir, "embeddings"),
+          col("label"))
+        val a = e.select(col("label"), col("vec_id").as("id_a"),
+          graft.functions.Vectors.toDouble(col("embedding")).as("v_a"))
+        val b = e.select(col("label"), col("vec_id").as("id_b"),
+          graft.functions.Vectors.toDouble(col("embedding")).as("v_b"))
+        a.join(b, Seq("label"))
+          .filter(col("id_a") < col("id_b"))
+          .withColumn("cos",
+            graft.functions.Vectors.cosine(col("v_a"), col("v_b")))
+          .filter(col("cos") >= 0.35)
+          .select(col("label"), col("id_a"), col("id_b"),
+            round(col("cos"), 6).as("cosine"))
+          .orderBy("label", "id_a", "id_b")
+      },
+      Some("""WITH e AS (SELECT label, vec_id,
+          CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        SELECT label, id_a, id_b, round(cos, 6) AS cosine FROM (
+          SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+            list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v))
+                 * sqrt(list_dot_product(b.v, b.v))) AS cos
+          FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+        WHERE cos >= 0.35 ORDER BY label, id_a, id_b""")),
+
+    // ---- K2-K4 curated zone: processed → curated rollup pipeline --------
+    QueryDef("q65_curated_rollup",
+      (s, dir) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_curated").toString
+        val l = Tables.load(s, dir, "lineitem")
+        graft.sources.Lake.writeZone(
+          l.select("l_returnflag", "l_quantity", "l_extendedprice"),
+          root, graft.sources.Lake.Processed, "lineitem_slim", "parquet")
+        val processed = graft.sources.Lake.read(s,
+          graft.sources.Lake.zonePath(root,
+            graft.sources.Lake.Processed, "lineitem_slim"), "parquet")
+        val rolled = processed.groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            graft.functions.Num.moneySum(col("l_extendedprice"), 0)
+              .as("total"))
+        graft.sources.Lake.writeZone(rolled, root,
+          graft.sources.Lake.Curated, "flag_rollup", "parquet")
+        graft.sources.Lake.read(s,
+            graft.sources.Lake.zonePath(root,
+              graft.sources.Lake.Curated, "flag_rollup"), "parquet")
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, count(*) AS n,
+          CAST(round(sum(CAST(l_extendedprice AS DECIMAL(25,6))),0)
+            AS DOUBLE) AS total
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // ---- X5: approximate distinct (HLL — impl-specific → rows-only) -----
     QueryDef("q49_approx_distinct",
       (s, dir) => {

@@ -73,6 +73,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"shingle_set expects 1-2 args, got ${other.size}")
       }))
     ext.injectFunction((
+      new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[functions.CosineSim].getName,
+        "cosine_sim"),
+      (children: Seq[Expression]) => children match {
+        case Seq(a, b) => functions.CosineSim(a, b)
+        case other => throw new IllegalArgumentException(
+          s"cosine_sim expects 2 args, got ${other.size}")
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (children: Seq[Expression]) => children match {

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -112,6 +112,25 @@ object TextSignatureKernels {
     new GenericArrayData(out.toArray.asInstanceOf[Array[AnyRef]])
   }
 
+  /** Cosine similarity over two double arrays — the same arithmetic
+    * SEQUENCE as the HOF formulation in `Vectors` (left-to-right folds
+    * for dot and both norms, then dot/(sqrt·sqrt)), so results are
+    * bit-identical to the DuckDB oracle mirrors. Null on zero norms
+    * (NaN would outrank everything in a desc sort) or length mismatch. */
+  def cosine(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i); val y = b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom > 0) dot / denom else null
+  }
+
   /** One-pass 64-bit SimHash: each distinct-position token votes ±1 on
     * every bit of its hash; the tally signs become the fingerprint. */
   def simhash(text: UTF8String, seed: Long): Long = {
@@ -210,6 +229,35 @@ case class ShingleSet(child: Expression, shingleN: Int)
       newChild: Expression): ShingleSet = copy(child = newChild)
 }
 
+/** `cosine_sim(a, b)` over `array<double>` columns — codegen'd, null
+  * on zero norms or length mismatch. */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "cosine_sim"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextSignatureKernels.cosine(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val tmp = ctx.freshName("cosTmp")
+      s"""
+         |java.lang.Double $tmp =
+         |  graft.functions.TextSignatureKernels.cosine($a, $b);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp.doubleValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `simhash64(text)` → 64-bit SimHash fingerprint. */
 case class SimHash64(child: Expression, seed: Long)
     extends UnaryExpression {
@@ -245,4 +293,7 @@ object Native {
 
   def simhash64(text: Column, seed: Long = 42L): Column =
     column(SimHash64(expression(text), seed))
+
+  def cosineSim(a: Column, b: Column): Column =
+    column(CosineSim(expression(a), expression(b)))
 }

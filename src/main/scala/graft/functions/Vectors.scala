@@ -22,15 +22,14 @@ object Vectors {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity, computed as dot/(sqrt(na)*sqrt(nb)) — formula
-    * order matters for bit-exact oracle parity; keep in sync with the
-    * SQL mirror in queries. Zero-norm vectors yield NULL (not NaN):
-    * Spark sorts NaN greater than any number, so an unguarded 0/0 would
-    * rank first in top-k and pass `>= threshold` filters. */
-  def cosine(a: Column, b: Column): Column = {
-    val denom = norm(a) * norm(b)
-    when(denom > 0, dot(a, b) / denom).otherwise(lit(null).cast("double"))
-  }
+  /** Cosine similarity, computed as dot/(sqrt(na)*sqrt(nb)) — the
+    * NATIVE codegen'd expression (functions.CosineSim), whose loop
+    * replays the exact left-to-right fold order of the HOF formulation,
+    * so results stay bit-identical to the DuckDB oracle mirrors.
+    * Zero-norm vectors yield NULL (not NaN): Spark sorts NaN greater
+    * than any number, so an unguarded 0/0 would rank first in top-k and
+    * pass `>= threshold` filters. */
+  def cosine(a: Column, b: Column): Column = Native.cosineSim(a, b)
 
   def l2Normalize(a: Column): Column = {
     val n = norm(a)

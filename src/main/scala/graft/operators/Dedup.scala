@@ -112,6 +112,12 @@ object Dedup {
     cands
       .join(sh.select(col("doc").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("doc").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      // size prefilter: |A∩B| ≤ min(|A|,|B|), |A∪B| ≥ max(|A|,|B|), so
+      // jaccard ≤ min/max — pairs failing the cheap ratio can never pass
+      // the threshold; the expensive intersect runs on survivors only.
+      .filter(least(size(col("sh_a")), size(col("sh_b"))).cast("double")
+        / greatest(size(col("sh_a")), size(col("sh_b"))).cast("double")
+        >= threshold)
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
@@ -134,6 +140,10 @@ object Dedup {
       (blockCols.map(col) :+ col(idCol).as("id_b") :+ col("sh").as("sh_b")): _*)
     a.join(b, blockCols)
       .filter(col("id_a") < col("id_b"))
+      // same size-ratio prune as nearDupPairsMinhash: jaccard ≤ min/max
+      .filter(least(size(col("sh_a")), size(col("sh_b"))).cast("double")
+        / greatest(size(col("sh_a")), size(col("sh_b"))).cast("double")
+        >= threshold)
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select((blockCols.map(col) :+ col("id_a") :+ col("id_b") :+

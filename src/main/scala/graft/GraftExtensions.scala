@@ -35,6 +35,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // Whole-operator extension: per-group top-k with bounded heaps
+    // (graft.plans.TopKPerGroup) — logical node planned by a custom
+    // strategy instead of a full window sort.
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
     ext.injectFunction((
       new FunctionIdentifier("minhash_signature"),
       new ExpressionInfo(classOf[MinHashSignature].getName,

@@ -208,6 +208,27 @@ object RelationalQueries {
         SELECT o_orderstatus, count(*) AS n, CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))),0) AS DOUBLE) AS total
         FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // ---- W1 per-group top-k via the CUSTOM physical operator -------------
+    // graft.plans.TopKPerGroup: bounded per-key heaps instead of a full
+    // window sort; oracle is the row_number formulation.
+    QueryDef("q66_topk_per_group",
+      (s, dir) => graft.plans.TopK.perGroup(
+          Tables.load(s, dir, "orders").filter(col("o_custkey") < 200),
+          groupCols = Seq("o_custkey"),
+          order = Seq(graft.plans.TopK.desc("o_totalprice"),
+            graft.plans.TopK.asc("o_orderkey")),
+          k = 2)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .orderBy(col("o_custkey"), col("o_totalprice").desc,
+          col("o_orderkey")),
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+            row_number() OVER (PARTITION BY o_custkey
+              ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+          FROM orders WHERE o_custkey < 200) t
+        WHERE rn <= 2
+        ORDER BY o_custkey, o_totalprice DESC, o_orderkey""")),
+
     // ---- A5: distinct --------------------------------------------------
     QueryDef("q11_distinct_segments",
       (s, dir) => Tables.load(s, dir, "customer")

@@ -16,13 +16,15 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * registered through `SparkSessionExtensions`
   * (graft.GraftExtensions).
   *
-  * Why not the built-in formulation? `row_number().over(partitionBy
-  * .orderBy) <= k` must SORT every group completely — at 100 TB a
-  * skew group's entire history is sorted to keep 10 rows. This operator
-  * keeps a bounded k-row heap per group: one shuffle on the group key
-  * (same as the window), but per-partition work drops from
-  * O(n log n) sort to O(n log k), memory from O(group) to O(k·groups),
-  * and nothing ever spills a whole group.
+  * Why not the built-in formulation? Spark 4 does rewrite
+  * `row_number().over(...) <= k` into partial+final `WindowGroupLimit`,
+  * but each WindowGroupLimit still requires a FULL SORT of its input
+  * partition (two Sort operators in the plan) and then scans the sorted
+  * runs. This operator keeps a bounded k-row heap per group instead:
+  * one shuffle on the group key (same as the window), per-partition
+  * work drops from O(n log n) sort to O(n log k), memory from
+  * O(partition) to O(k·groups), and nothing ever sorts or spills a
+  * whole partition.
   */
 case class TopKPerGroup(groupExprs: Seq[Expression], order: Seq[SortOrder],
                         k: Int, child: LogicalPlan) extends UnaryNode {

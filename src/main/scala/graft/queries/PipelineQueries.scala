@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
-import graft.operators.{Dedup, Multimodal, Similarity, Skew}
+import graft.operators.{Curation, Dedup, Multimodal, Similarity, Skew}
 import graft.functions.Text
 
 /** The LLM-training-data-pipeline surface (SURVEY.md §2.11 X1-X6) as
@@ -344,6 +344,65 @@ object PipelineQueries {
             AS total,
           max(user_id) AS max_user
         FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // ---- X1+X4 composed: full corpus-curation pass ----------------------
+    QueryDef("q67_corpus_curation",
+      (s, dir) => Curation
+        .clean(graft.scaleOut(Tables.load(s, dir, "documents")),
+          "doc_id", "text")
+        .groupBy("lang_id")
+        .agg(count(lit(1)).as("n"), sum("n_tokens").as("tokens"),
+          round(avg("uniq_ratio"), 4).as("avg_uniq"))
+        .orderBy("lang_id"),
+      Some("""WITH dedup AS (
+          SELECT * FROM documents WHERE doc_id IN
+            (SELECT min(doc_id) FROM documents GROUP BY md5(text))),
+        t AS (
+          SELECT doc_id,
+            len(string_split(lower(text), ' ')) AS n_tok,
+            len(list_distinct(string_split(lower(text), ' '))) AS n_uniq,
+            CAST((length(' ' || text || ' ')
+              - length(replace(' ' || text || ' ', ' the ', ''))) / 5 AS BIGINT)
+            + CAST((length(' ' || text || ' ')
+              - length(replace(' ' || text || ' ', ' a ', ''))) / 3 AS BIGINT)
+            + CAST((length(' ' || text || ' ')
+              - length(replace(' ' || text || ' ', ' of ', ''))) / 4 AS BIGINT)
+              AS sc_en,
+            CAST((length(' ' || text || ' ')
+              - length(replace(' ' || text || ' ', ' el ', ''))) / 4 AS BIGINT)
+            + CAST((length(' ' || text || ' ')
+              - length(replace(' ' || text || ' ', ' la ', ''))) / 4 AS BIGINT)
+            + CAST((length(' ' || text || ' ')
+              - length(replace(' ' || text || ' ', ' de ', ''))) / 4 AS BIGINT)
+              AS sc_es,
+            CAST((length(' ' || text || ' ')
+              - length(replace(' ' || text || ' ', ' der ', ''))) / 5 AS BIGINT)
+            + CAST((length(' ' || text || ' ')
+              - length(replace(' ' || text || ' ', ' die ', ''))) / 5 AS BIGINT)
+            + CAST((length(' ' || text || ' ')
+              - length(replace(' ' || text || ' ', ' und ', ''))) / 5 AS BIGINT)
+              AS sc_de
+          FROM dedup),
+        q AS (SELECT doc_id, n_tok, n_uniq,
+            CAST(n_uniq AS DOUBLE) / CAST(n_tok AS DOUBLE) AS uniq_ratio,
+            CASE
+              WHEN sc_en >= greatest(sc_es, sc_de) AND sc_en > 0 THEN 'en'
+              WHEN sc_es >= sc_de AND sc_es > 0 THEN 'es'
+              WHEN sc_de > 0 THEN 'de'
+              ELSE 'und' END AS lang_id,
+            CASE WHEN n_tok < 10 THEN 'too_short'
+              WHEN CAST(n_uniq AS DOUBLE) / CAST(n_tok AS DOUBLE) < 0.3
+                THEN 'repetitive'
+              WHEN CAST(n_uniq AS DOUBLE) / CAST(n_tok AS DOUBLE) > 0.95
+                THEN 'high'
+              ELSE 'ok' END AS quality
+          FROM t)
+        SELECT lang_id, count(*) AS n, sum(n_tok) AS tokens,
+          round(avg(uniq_ratio), 4) AS avg_uniq
+        FROM q
+        WHERE n_tok BETWEEN 5 AND 100000
+          AND quality IN ('ok', 'high') AND lang_id <> 'und'
+        GROUP BY lang_id ORDER BY lang_id""")),
 
     // ---- X4: rolling token fingerprint ----------------------------------
     // Oracle trick: list_reduce has no explicit init, but the fold

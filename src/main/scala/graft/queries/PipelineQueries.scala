@@ -187,6 +187,40 @@ object PipelineQueries {
             AS DOUBLE) AS total
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // ---- X3 storage path: int8 quantization + reconstruction error ------
+    QueryDef("q68_quantize_embeddings",
+      (s, dir) => {
+        val q = graft.functions.Quantize.quantized(
+          graft.scaleOut(Tables.load(s, dir, "embeddings")), "embedding")
+        val v = graft.functions.Vectors.toDouble(col("embedding"))
+        val err = zip_with(v,
+          graft.functions.Quantize
+            .dequantizeWith(col("q_vec"), col("q_scale")),
+          (x, y) => abs(x - y))
+        q.select(col("label"),
+            (aggregate(err, lit(0.0), (acc, x) => acc + x) / size(err))
+              .as("vec_avg_err"),
+            array_max(err).as("vec_max_err"))
+          .groupBy("label")
+          .agg(count(lit(1)).as("n"),
+            round(avg("vec_avg_err"), 8).as("avg_err"),
+            round(max("vec_max_err"), 8).as("max_err"))
+          .orderBy("label")
+      },
+      Some("""WITH e AS (SELECT label,
+          CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        s AS (SELECT label, v,
+          greatest(list_max(list_transform(v, x -> abs(x))) / 127.0,
+            1e-12) AS sc FROM e),
+        err AS (SELECT label,
+          list_transform(range(1, len(v) + 1),
+            i -> abs(v[i] - round(v[i] / sc, 0) * sc)) AS es
+          FROM s)
+        SELECT label, count(*) AS n,
+          round(avg(list_sum(es) / len(es)), 8) AS avg_err,
+          round(max(list_max(es)), 8) AS max_err
+        FROM err GROUP BY label ORDER BY label""")),
+
     // ---- X5: approximate distinct (HLL — impl-specific → rows-only) -----
     QueryDef("q49_approx_distinct",
       (s, dir) => {

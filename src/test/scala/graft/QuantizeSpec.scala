@@ -17,7 +17,7 @@ class QuantizeSpec extends SparkSpec {
     val q = Quantize.quantized(emb, "embedding")
     val rows = q.select(col("id"), col("q_scale"), col("q_vec")).collect()
     rows.foreach { r =>
-      val qs = r.getAs[Seq[Int]]("q_vec")
+      val qs = r.getSeq[Int](r.fieldIndex("q_vec"))
       assert(qs.forall(x => x >= -127 && x <= 127), r.toString)
     }
     // reconstruction error bounded by scale/2 per element

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Native, Text, Vectors}
+import graft.functions.{Native, Vectors}
 
 /** Deduplication operators for pretraining-scale corpora
   * (SURVEY.md §2.11 X1/X2).

@@ -23,4 +23,32 @@ object Num {
     */
   def moneySum(c: Column, scale: Int): Column =
     round(sum(c.cast("decimal(25,6)")), scale).cast("double")
+
+  /** Order-independent rounded money average, exact by INTEGER
+    * arithmetic.
+    *
+    * A rounded average cannot go through `round(double)`: when the true
+    * quotient lands exactly on a half boundary (observed at sf0.001 —
+    * 33610.52/8 = 4201.315), Spark's Round (shortest-decimal BigDecimal
+    * of the double) and DuckDB's (exact binary expansion) disagree by a
+    * cent. So: exact decimal sum → micro-unit long, then
+    * half-away-from-zero division on integers — floor((2a+m)/(2m)) with
+    * m = count·10^(6-scale) — where the only floating step divides two
+    * longs whose exact quotient is an integer (error ≪ 0.5, recovered
+    * by round(…,0)). Bit-identical in any engine, any partial-agg
+    * order, on or off the boundary.
+    *
+    * SQL mirror (DuckDB), with a = abs(micro-units sum):
+    * `sign · round(((2a+m) - (2a+m) % (2m)) / (2m), 0) / 10^scale`. */
+  def moneyAvg(c: Column, scale: Int): Column = {
+    require(scale >= 0 && scale <= 6, "scale must be in [0,6]")
+    val micro = (sum(c.cast("decimal(25,6)")) * lit(1000000L)).cast("long")
+    val sign = when(micro < 0, lit(-1.0)).otherwise(lit(1.0))
+    val a = abs(micro)
+    val m = count(c) * lit(math.pow(10, 6 - scale).toLong)
+    val n = a * 2 + m
+    val d2 = m * 2
+    val q = round((n - pmod(n, d2)).cast("double") / d2.cast("double"), 0)
+    (sign * q / lit(math.pow(10, scale))).cast("double")
+  }
 }

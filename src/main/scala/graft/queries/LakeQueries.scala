@@ -270,10 +270,10 @@ object LakeQueries {
       },
       // The oracle rebuilds the exact NDJSON line Spark writes
       // (schema-ordered fields, ASCII-safe text — verified fixture).
-      Some("""SELECT lang, count(*) AS n, sum(n_chars) AS chars,
-          sum(length('{"doc_id":' || doc_id || ',"lang":"' || lang ||
+      Some("""SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars,
+          CAST(sum(length('{"doc_id":' || doc_id || ',"lang":"' || lang ||
             '","n_chars":' || n_chars || ',"text":"' || text || '"}'))
-            AS raw_bytes
+            AS BIGINT) AS raw_bytes
         FROM documents GROUP BY lang ORDER BY lang""")),
 
     // ---- P13/A3/T3: index-document assembly + size metric --------------------------

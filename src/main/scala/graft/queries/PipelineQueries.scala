@@ -36,7 +36,8 @@ object PipelineQueries {
         .groupBy("lang", "source")
         .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))
         .orderBy("lang", "source"),
-      Some("""SELECT lang, source, count(*) AS n, sum(n_chars) AS chars
+      Some("""SELECT lang, source, count(*) AS n,
+          CAST(sum(n_chars) AS BIGINT) AS chars
         FROM documents
         WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
         GROUP BY lang, source ORDER BY lang, source""")),
@@ -245,8 +246,8 @@ object PipelineQueries {
         .orderBy("modality"),
       Some("""SELECT (['image','audio','video'])[(doc_id % 3) + 1] AS modality,
           count(*) AS n,
-          sum(octet_length(encode(text))) AS bytes,
-          max(octet_length(encode(text)) * 10) AS max_duration_ms,
+          CAST(sum(octet_length(encode(text))) AS BIGINT) AS bytes,
+          CAST(max(octet_length(encode(text)) * 10) AS BIGINT) AS max_duration_ms,
           min('application/x-fake-' ||
             (['image','audio','video'])[(doc_id % 3) + 1]) AS mime
         FROM documents GROUP BY 1 ORDER BY modality""")),
@@ -264,8 +265,8 @@ object PipelineQueries {
         .orderBy("modality"),
       Some("""SELECT (['image','audio','video'])[(doc_id % 3) + 1] AS modality,
           count(*) AS n,
-          sum(least(octet_length(encode(text)), 120)) AS bytes,
-          sum(least(octet_length(encode(text)), 120)) AS payload_bytes
+          CAST(sum(least(octet_length(encode(text)), 120)) AS BIGINT) AS bytes,
+          CAST(sum(least(octet_length(encode(text)), 120)) AS BIGINT) AS payload_bytes
         FROM documents GROUP BY 1 ORDER BY modality""")),
 
     // ---- X4: language-ID + quality gating -------------------------------
@@ -332,8 +333,8 @@ object PipelineQueries {
         .orderBy("modality"),
       Some("""SELECT (['image','audio','video'])[(doc_id % 3) + 1] AS modality,
           count(*) AS n,
-          sum((octet_length(encode(text)) + 99) // 100) AS frames,
-          sum(octet_length(encode(text))) AS bytes
+          CAST(sum((octet_length(encode(text)) + 99) // 100) AS BIGINT) AS frames,
+          CAST(sum(octet_length(encode(text))) AS BIGINT) AS bytes
         FROM documents GROUP BY 1 ORDER BY modality""")),
 
     // ---- X6: frame sampling over binary payloads ------------------------
@@ -346,7 +347,8 @@ object PipelineQueries {
         .agg(count(lit(1)).as("frames"),
           sum(octet_length(col("frame")).cast("long")).as("frame_bytes"))
         .orderBy("modality"),
-      Some("""SELECT modality, sum(nf) AS frames, sum(fb) AS frame_bytes
+      Some("""SELECT modality, CAST(sum(nf) AS BIGINT) AS frames,
+          CAST(sum(fb) AS BIGINT) AS frame_bytes
         FROM (
           SELECT (['image','audio','video'])[(doc_id % 3) + 1] AS modality,
             len([i for i in range(0, (octet_length(encode(text)) - 1) // 64 + 1)
@@ -431,7 +433,7 @@ object PipelineQueries {
                 THEN 'high'
               ELSE 'ok' END AS quality
           FROM t)
-        SELECT lang_id, count(*) AS n, sum(n_tok) AS tokens,
+        SELECT lang_id, count(*) AS n, CAST(sum(n_tok) AS BIGINT) AS tokens,
           round(avg(uniq_ratio), 4) AS avg_uniq
         FROM q
         WHERE n_tok BETWEEN 5 AND 100000

@@ -37,9 +37,9 @@ object RelationalQueries {
               .as("sum_disc_price"),
             Num.moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
               * (lit(1.0) + col("l_tax")), 0).as("sum_charge"),
-            round(avg("l_quantity"), 2).as("avg_qty"),
-            round(avg("l_extendedprice"), 2).as("avg_price"),
-            round(avg("l_discount"), 4).as("avg_disc"),
+            Num.moneyAvg(col("l_quantity"), 2).as("avg_qty"),
+            Num.moneyAvg(col("l_extendedprice"), 2).as("avg_price"),
+            Num.moneyAvg(col("l_discount"), 4).as("avg_disc"),
             count(lit(1)).as("count_order"))
           .orderBy("l_returnflag", "l_linestatus")
       },
@@ -48,9 +48,21 @@ object RelationalQueries {
         CAST(round(sum(CAST(l_extendedprice AS DECIMAL(25,6))),0) AS DOUBLE) AS sum_base_price,
         CAST(round(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(25,6))),0) AS DOUBLE) AS sum_disc_price,
         CAST(round(sum(CAST(l_extendedprice*(1.0-l_discount)*(1.0+l_tax) AS DECIMAL(25,6))),0) AS DOUBLE) AS sum_charge,
-        round(avg(l_quantity),2) AS avg_qty,
-        round(avg(l_extendedprice),2) AS avg_price,
-        round(avg(l_discount),4) AS avg_disc,
+        CASE WHEN sum(CAST(l_quantity AS DECIMAL(25,6))) < 0 THEN -1.0 ELSE 1.0 END
+          * round(((2*abs(CAST(sum(CAST(l_quantity AS DECIMAL(25,6)))*1000000 AS BIGINT)) + count(l_quantity)*10000)
+              - (2*abs(CAST(sum(CAST(l_quantity AS DECIMAL(25,6)))*1000000 AS BIGINT)) + count(l_quantity)*10000)
+                % (2*count(l_quantity)*10000))
+            / (2.0*count(l_quantity)*10000), 0) / 100.0 AS avg_qty,
+        CASE WHEN sum(CAST(l_extendedprice AS DECIMAL(25,6))) < 0 THEN -1.0 ELSE 1.0 END
+          * round(((2*abs(CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6)))*1000000 AS BIGINT)) + count(l_extendedprice)*10000)
+              - (2*abs(CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6)))*1000000 AS BIGINT)) + count(l_extendedprice)*10000)
+                % (2*count(l_extendedprice)*10000))
+            / (2.0*count(l_extendedprice)*10000), 0) / 100.0 AS avg_price,
+        CASE WHEN sum(CAST(l_discount AS DECIMAL(25,6))) < 0 THEN -1.0 ELSE 1.0 END
+          * round(((2*abs(CAST(sum(CAST(l_discount AS DECIMAL(25,6)))*1000000 AS BIGINT)) + count(l_discount)*100)
+              - (2*abs(CAST(sum(CAST(l_discount AS DECIMAL(25,6)))*1000000 AS BIGINT)) + count(l_discount)*100)
+                % (2*count(l_discount)*100))
+            / (2.0*count(l_discount)*100), 0) / 10000.0 AS avg_disc,
         count(*) AS count_order
         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         GROUP BY l_returnflag, l_linestatus
@@ -106,12 +118,16 @@ object RelationalQueries {
           .groupBy(n("n_name").as("n_name"))
           .agg(count(lit(1)).as("n_customers"),
             Num.moneySum(col("c_acctbal"), 2).as("total_acctbal"),
-            round(avg("c_acctbal"), 2).as("avg_acctbal"))
+            Num.moneyAvg(col("c_acctbal"), 2).as("avg_acctbal"))
           .orderBy("n_name")
       },
       Some("""SELECT n_name, count(*) AS n_customers,
         CAST(round(sum(CAST(c_acctbal AS DECIMAL(25,6))),2) AS DOUBLE) AS total_acctbal,
-        round(avg(c_acctbal),2) AS avg_acctbal
+        CASE WHEN sum(CAST(c_acctbal AS DECIMAL(25,6))) < 0 THEN -1.0 ELSE 1.0 END
+          * round(((2*abs(CAST(sum(CAST(c_acctbal AS DECIMAL(25,6)))*1000000 AS BIGINT)) + count(c_acctbal)*10000)
+              - (2*abs(CAST(sum(CAST(c_acctbal AS DECIMAL(25,6)))*1000000 AS BIGINT)) + count(c_acctbal)*10000)
+                % (2*count(c_acctbal)*10000))
+            / (2.0*count(c_acctbal)*10000), 0) / 100.0 AS avg_acctbal
         FROM customer JOIN nation ON c_nationkey=n_nationkey
         JOIN region ON n_regionkey=r_regionkey
         WHERE r_name='ASIA' GROUP BY n_name ORDER BY n_name""")),
@@ -139,7 +155,9 @@ object RelationalQueries {
         val c = Tables.load(s, dir, "customer")
         val agg = Tables.load(s, dir, "orders")
           .groupBy("o_custkey")
-          .agg(count(lit(1)).as("n_orders"), sum("o_totalprice").as("spend"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast("decimal(25,6)")).cast("double")
+              .as("spend"))
         c.join(agg, c("c_custkey") === agg("o_custkey"), "left_outer")
           .select(col("c_custkey"), col("c_name"),
             coalesce(col("n_orders"), lit(0L)).as("n_orders"),
@@ -149,7 +167,8 @@ object RelationalQueries {
       Some("""SELECT c_custkey, c_name, coalesce(n_orders, 0) AS n_orders,
         round(coalesce(spend, 0), 2) AS spend
         FROM customer LEFT JOIN (
-          SELECT o_custkey, count(*) AS n_orders, sum(o_totalprice) AS spend
+          SELECT o_custkey, count(*) AS n_orders,
+            CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS spend
           FROM orders GROUP BY o_custkey) o ON c_custkey = o_custkey
         ORDER BY c_custkey""")),
 

@@ -39,6 +39,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // (graft.plans.TopKPerGroup) — logical node planned by a custom
     // strategy instead of a full window sort.
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
+    // Optimizer rule: auto-prepend the cheap size-ratio prune to
+    // jaccard-threshold filters (strictly implied, evaluation-order win).
+    ext.injectOptimizerRule(_ => graft.plans.JaccardPruneRule)
     ext.injectFunction((
       new FunctionIdentifier("minhash_signature"),
       new ExpressionInfo(classOf[MinHashSignature].getName,

@@ -248,6 +248,38 @@ object RelationalQueries {
         WHERE rn <= 2
         ORDER BY o_custkey, o_totalprice DESC, o_orderkey""")),
 
+    // ---- custom operator: as-of join (time-series enrichment) ------------
+    // Oracle: DuckDB's native ASOF LEFT JOIN. Right side deduped per
+    // (user, ts) so tie-breaking can't diverge between engines.
+    QueryDef("q69_asof_join",
+      (s, dir) => {
+        val ev = Tables.eventsWithTime(s, dir)
+          .groupBy("user_id", "event_time")
+          .agg(max("value").as("value"))
+        val checkpoints = ev.filter(col("user_id") <= 20)
+          .select("user_id").distinct()
+          .withColumn("k", explode(sequence(lit(0), lit(4))))
+          .withColumn("cts",
+            timestamp_seconds(lit(1704067200L) + col("k") * 3600L))
+          .drop("k")
+        graft.operators.AsOfJoin
+          .leftAsOf(checkpoints, ev, "user_id", "cts", "event_time")
+          .orderBy("user_id", "cts")
+      },
+      Some("""WITH ev AS (
+          SELECT user_id, CAST(ts AS TIMESTAMP) AS ets,
+            max(value) AS value
+          FROM events GROUP BY 1, 2),
+        cp AS (
+          SELECT u.user_id,
+            make_timestamp(1704067200000000 + h.k * 3600 * 1000000) AS cts
+          FROM (SELECT DISTINCT user_id FROM ev WHERE user_id <= 20) u,
+               (SELECT unnest(range(0, 5)) AS k) h)
+        SELECT cp.user_id, cp.cts, e.ets AS matched_ts, e.value
+        FROM cp ASOF LEFT JOIN ev e
+          ON cp.user_id = e.user_id AND cp.cts >= e.ets
+        ORDER BY cp.user_id, cp.cts""")),
+
     // ---- A5: distinct --------------------------------------------------
     QueryDef("q11_distinct_segments",
       (s, dir) => Tables.load(s, dir, "customer")

@@ -280,6 +280,34 @@ object RelationalQueries {
           ON cp.user_id = e.user_id AND cp.cts >= e.ets
         ORDER BY cp.user_id, cp.cts""")),
 
+    // ---- custom operator: range join (binned point-in-interval) ----------
+    // Overlapping price bands × order totals; oracle is the plain
+    // BETWEEN theta join.
+    QueryDef("q70_range_join",
+      (s, dir) => {
+        val bands = s.range(0, 12).toDF("band_id")
+          .withColumn("lo", col("band_id") * 50000.0)
+          .withColumn("hi", col("band_id") * 50000.0 + 80000.0)
+        val orders = Tables.load(s, dir, "orders")
+          .select("o_orderkey", "o_totalprice")
+        graft.operators.RangeJoin
+          .pointInInterval(orders, "o_totalprice", bands, "lo", "hi",
+            binWidth = 50000.0)
+          .groupBy("band_id")
+          .agg(count(lit(1)).as("n"),
+            Num.moneySum(col("o_totalprice"), 0).as("total"))
+          .orderBy("band_id")
+      },
+      Some("""WITH bands AS (
+          SELECT k AS band_id, k * 50000.0 AS lo, k * 50000.0 + 80000.0 AS hi
+          FROM (SELECT unnest(range(0, 12)) AS k))
+        SELECT band_id, count(*) AS n,
+          CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))),0) AS DOUBLE)
+            AS total
+        FROM orders JOIN bands
+          ON o_totalprice BETWEEN lo AND hi
+        GROUP BY band_id ORDER BY band_id""")),
+
     // ---- A5: distinct --------------------------------------------------
     QueryDef("q11_distinct_segments",
       (s, dir) => Tables.load(s, dir, "customer")

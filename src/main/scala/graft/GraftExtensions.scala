@@ -79,6 +79,52 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case other => throw new IllegalArgumentException(
           s"shingle_set expects 1-2 args, got ${other.size}")
       }))
+    // Spark's Bloom-filter machinery is internal-only (runtime filters);
+    // expose it as user-callable SQL — membership sketches are a
+    // first-class pipeline tool (shuffle a 500 KB filter instead of a
+    // semi-join of the key set).
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_filter_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "bloom_filter_agg"),
+      (children: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.XxHash64
+        import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+        import org.apache.spark.sql.types.BinaryType
+        // the internal aggregate takes an XXH64-hashed key (or binary);
+        // hash non-binary inputs transparently, lift int literals to long
+        def keyOf(c: Expression): Expression =
+          if (c.dataType == BinaryType) c else new XxHash64(Seq(c))
+        def lg(e: Expression, what: String): Expression =
+          Literal(longLit(e, what))
+        children match {
+          case Seq(c) => new BloomFilterAggregate(keyOf(c))
+          case Seq(c, n) =>
+            new BloomFilterAggregate(keyOf(c), lg(n, "estimatedItems"))
+          case Seq(c, n, b) => new BloomFilterAggregate(keyOf(c),
+            lg(n, "estimatedItems"), lg(b, "numBits"))
+          case other => throw new IllegalArgumentException(
+            s"bloom_filter_agg expects 1-3 args, got ${other.size}")
+        }
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "might_contain"),
+      (children: Seq[Expression]) => children match {
+        case Seq(bf, v) =>
+          // probe side hashes exactly like the build side above
+          val key =
+            if (v.dataType == org.apache.spark.sql.types.BinaryType) v
+            else new org.apache.spark.sql.catalyst.expressions
+              .XxHash64(Seq(v))
+          org.apache.spark.sql.catalyst.expressions
+            .BloomFilterMightContain(bf, key)
+        case other => throw new IllegalArgumentException(
+          s"might_contain expects 2 args, got ${other.size}")
+      }))
     ext.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[functions.CosineSim].getName,

@@ -296,4 +296,16 @@ object Native {
 
   def cosineSim(a: Column, b: Column): Column =
     column(CosineSim(expression(a), expression(b)))
+
+  /** Probe a materialized Bloom filter (built with the SQL
+    * `bloom_filter_agg` this library registers). The filter binary is
+    * inlined as a constant — the same shape Spark's runtime filters
+    * use — and the probe key is XXH64-hashed exactly like the build
+    * side. */
+  def mightContain(bloom: Array[Byte], v: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    column(BloomFilterMightContain(
+      Literal(bloom, org.apache.spark.sql.types.BinaryType),
+      new XxHash64(Seq(expression(v)))))
+  }
 }

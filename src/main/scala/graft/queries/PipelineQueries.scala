@@ -222,6 +222,41 @@ object PipelineQueries {
           round(max(list_max(es)), 8) AS max_err
         FROM err GROUP BY label ORDER BY label""")),
 
+    // ---- X5: mergeable sketches — Bloom membership + HLL union ----------
+    // Sketch binaries are engine-specific → rows-only, but the row
+    // encodes two invariants: a Bloom filter NEVER yields false
+    // negatives (probe hits >= true semi-join count), and per-group HLL
+    // sketches UNION to the global estimate (the mergeability that makes
+    // sketches work across 1000 executors).
+    QueryDef("q71_sketches",
+      (s, dir) => {
+        val c = Tables.load(s, dir, "customer")
+        val o = Tables.load(s, dir, "orders")
+        // Build the membership sketch once and inline it as a constant —
+        // the same shape Spark's own runtime filters use (the ~60 KB
+        // binary rides the plan, not a shuffle).
+        val bf = c.agg(expr("bloom_filter_agg(c_custkey, 50000, 500000)"))
+          .head().getAs[Array[Byte]](0)
+        val probed = o.agg(
+          sum(when(graft.functions.Native.mightContain(bf,
+            col("o_custkey")), 1L).otherwise(0L)).as("bloom_hits"),
+          count(lit(1)).as("orders_total"))
+        val exact = o.join(c, o("o_custkey") === c("c_custkey"),
+            "left_semi")
+          .agg(count(lit(1)).as("true_hits"))
+        val unioned = c.groupBy("c_nationkey")
+          .agg(expr("hll_sketch_agg(c_custkey) AS hll"))
+          .agg(expr(
+            "cast(hll_sketch_estimate(hll_union_agg(hll)) as long) AS est"))
+        probed.crossJoin(broadcast(exact)).crossJoin(broadcast(unioned))
+          .select(col("bloom_hits"), col("orders_total"),
+            col("true_hits"),
+            (col("bloom_hits") >= col("true_hits"))
+              .as("no_false_negatives"),
+            col("est").as("hll_union_estimate"))
+      },
+      None),
+
     // ---- X5: approximate distinct (HLL — impl-specific → rows-only) -----
     QueryDef("q49_approx_distinct",
       (s, dir) => {

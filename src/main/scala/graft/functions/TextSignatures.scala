@@ -187,7 +187,14 @@ case class MinHashSignature(child: Expression, shingleN: Int,
 case class MinHashBands(child: Expression, shingleN: Int, numHashes: Int,
                         bands: Int, seed: Long)
     extends UnaryExpression {
-  require(numHashes % bands == 0, "numHashes must be divisible by bands")
+  // reachable from SQL (`minhash_bands(text, n, k, b)`): a non-dividing
+  // or non-positive band count would silently drop trailing signature
+  // lanes (or degenerate every band key), quietly killing LSH recall
+  require(shingleN > 0 && numHashes > 0,
+    s"shingleN and numHashes must be positive, got $shingleN/$numHashes")
+  require(bands > 0 && numHashes % bands == 0,
+    s"bands must be positive and divide numHashes, got bands=$bands " +
+      s"numHashes=$numHashes")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
   override def prettyName: String = "minhash_bands"

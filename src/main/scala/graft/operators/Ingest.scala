@@ -16,10 +16,23 @@ import graft.sources.{Catalog, Lake}
   */
 object Ingest {
 
+  /** Add `name` as a typed null column when the batch schema lacks it
+    * entirely — the reference defaults per RECORD
+    * (`body.get('dataType','unknown')`), so a JSON batch where no
+    * record carries the field must still default instead of failing
+    * analysis on the missing attribute. */
+  private def ensureColumn(df: DataFrame, name: String,
+                           dataType: String): DataFrame =
+    if (df.columns.contains(name)) df
+    else df.withColumn(name, lit(null).cast(dataType))
+
   /** Normalize an ingest batch: defaulted projection (P4), identity,
     * event date, size metric (A3). `at` is explicit (determinism). */
-  def prepare(records: DataFrame, at: java.sql.Timestamp): DataFrame =
-    records
+  def prepare(records: DataFrame, at: java.sql.Timestamp): DataFrame = {
+    val withAll = Seq("dataType" -> "string", "source" -> "string",
+      "owner" -> "string", "data" -> "string")
+      .foldLeft(records) { case (df, (n, t)) => ensureColumn(df, n, t) }
+    withAll
       .withColumn("dataType",
         coalesce(col("dataType"), lit("unknown")))
       .withColumn("source", coalesce(col("source"), lit("api")))
@@ -28,6 +41,7 @@ object Ingest {
       .withColumn("ingest_date", to_date(lit(at)))
       .withColumn("sizeBytes",
         octet_length(to_json(struct(col("data")))).cast("long"))
+  }
 
   /** The metadata record derived from a prepared batch — the
     * reference's DynamoDB item (ingest-data-lambda.py:79-94). */

@@ -108,9 +108,20 @@ object TopK {
 
   /** Top `k` rows of each group by the `order` keys. Output is
     * per-group sorted but globally unordered — add a final orderBy for
-    * a deterministic total order. */
+    * a deterministic total order.
+    *
+    * When the session was built WITHOUT `graft.GraftExtensions`, the
+    * custom logical node would only surface as an opaque planner
+    * assertion at action time ("No plan for TopKPerGroup"); instead we
+    * detect the missing strategy at call time and fall back to the
+    * equivalent `row_number()` window formulation — same rows, the
+    * built-in WindowGroupLimit plan (full partition sort) instead of
+    * bounded heaps. */
   def perGroup(df: DataFrame, groupCols: Seq[String], order: Seq[Key],
                k: Int): DataFrame = {
+    val registered = df.sparkSession.sessionState.planner.strategies
+      .contains(TopKPerGroupStrategy)
+    if (!registered) return windowFallback(df, groupCols, order, k)
     val plan = PlanBridge.logicalPlan(df)
     val resolver = df.sparkSession.sessionState.conf.resolver
     def attr(n: String): Attribute = plan.output
@@ -121,5 +132,20 @@ object TopK {
       SortOrder(attr(o.name), if (o.ascending) Ascending else Descending))
     PlanBridge.ofRows(df.sparkSession,
       TopKPerGroup(groupCols.map(attr), sorts, k, plan))
+  }
+
+  /** Extension-free equivalent: row_number over the same (group, order)
+    * window. Spark 4 rewrites the `<= k` filter into WindowGroupLimit,
+    * so this is correct everywhere, just sort-based. */
+  private[graft] def windowFallback(df: DataFrame, groupCols: Seq[String],
+                                    order: Seq[Key], k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, row_number}
+    val sortCols = order.map(o =>
+      if (o.ascending) col(o.name).asc else col(o.name).desc)
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(sortCols: _*)
+    df.withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") <= k)
+      .drop("__graft_rn")
   }
 }

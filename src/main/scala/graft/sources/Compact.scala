@@ -19,6 +19,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * partition's rewrite is independent and restartable. */
 object Compact {
 
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+
   private def dirBytes(p: Path): Long =
     Files.walk(p).iterator().asScala
       .filter(Files.isRegularFile(_)).map(Files.size).sum
@@ -43,14 +47,17 @@ object Compact {
     val staging = dir + "__compacting"
     spark.read.parquet(dir).repartition(nOut)
       .write.mode("overwrite").parquet(staging)
-    // swap: remove originals, move compacted files in
+    // Crash-safe swap: every intermediate state keeps a COMPLETE copy
+    // on disk. Rename the live dir aside as a backup, rename staging
+    // into place, only then delete the backup — a crash between any
+    // two steps leaves either the original (under dir or __backup) or
+    // the compacted output fully intact, never a half-empty directory.
     val target = Paths.get(dir)
-    Files.walk(target).iterator().asScala.toSeq.reverse
-      .filter(_ != target).foreach(Files.delete)
-    Files.list(Paths.get(staging)).iterator().asScala.foreach { f =>
-      Files.move(f, target.resolve(f.getFileName.toString))
-    }
-    Files.delete(Paths.get(staging))
+    val backup = Paths.get(dir + "__backup")
+    deleteRecursively(backup) // stale backup from a prior crash
+    Files.move(target, backup)
+    Files.move(Paths.get(staging), target)
+    deleteRecursively(backup)
     (before, dataFileCount(dir))
   }
 

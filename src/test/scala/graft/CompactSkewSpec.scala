@@ -23,6 +23,23 @@ class CompactSkewSpec extends SparkSpec {
     val back = spark.read.parquet(dir)
     assert(back.count() == 2000)
     assert(back.agg(sum("id")).head().getLong(0) == 1999L * 2000 / 2)
+    // crash-safe swap leaves no staging/backup residue
+    assert(!Files.exists(java.nio.file.Paths.get(dir + "__compacting")))
+    assert(!Files.exists(java.nio.file.Paths.get(dir + "__backup")))
+  }
+
+  test("compactPath recovers when a stale backup from a prior crash " +
+    "is present") {
+    val dir = Files.createTempDirectory("graft_compact2").toString + "/t"
+    spark.range(0, 500).toDF("id").repartition(8).write.parquet(dir)
+    // simulate a crash that left a backup dir behind
+    val stale = java.nio.file.Paths.get(dir + "__backup")
+    Files.createDirectories(stale)
+    Files.write(stale.resolve("junk.parquet"), Array[Byte](1, 2, 3))
+    val (_, after) = Compact.compactPath(spark, dir, 512L * 1024)
+    assert(after >= 1)
+    assert(spark.read.parquet(dir).count() == 500)
+    assert(!Files.exists(stale))
   }
 
   test("compactPartitions compacts each hive partition independently") {

@@ -11,6 +11,25 @@ class IngestSpec extends SparkSpec {
 
   import spark.implicits._
 
+  test("prepare defaults fields absent from the batch SCHEMA entirely " +
+    "(per-record defaulting, reference ingest-data-lambda.py:54-56)") {
+    val at = java.sql.Timestamp.valueOf("2024-03-01 12:00:00")
+    // a JSON batch where NO record carried dataType/source/owner —
+    // the columns don't exist at all, not just hold nulls
+    val bare = Seq(("id-1", "{\"v\":1}")).toDF("id", "data")
+    val out = Ingest.prepare(bare, at).collect()(0)
+    assert(out.getAs[String]("dataType") == "unknown")
+    assert(out.getAs[String]("source") == "api")
+    assert(out.getAs[String]("owner") == "system")
+    assert(out.getAs[Long]("sizeBytes") > 0)
+    // even `data` may be absent (empty body) — size falls back to the
+    // empty-struct JSON, not an AnalysisException
+    val empty = Seq(Tuple1("id-2")).toDF("id")
+    val out2 = Ingest.prepare(empty, at).collect()(0)
+    assert(out2.getAs[String]("dataType") == "unknown")
+    assert(out2.getAs[Long]("sizeBytes") > 0)
+  }
+
   test("§3.1 ingest flow: raw zone partitioned put + catalog append") {
     val root = Files.createTempDirectory("graft_ingest").toString
     val metaPath = s"$root/meta"

@@ -68,6 +68,32 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(r.getBoolean(2))
   }
 
+  test("minhash_bands rejects non-dividing or non-positive band counts " +
+    "at construction, from Scala and SQL") {
+    import graft.functions.MinHashBands
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    // bands=5 does not divide 64 → trailing lanes would be silently
+    // ignored; bands=0 → degenerate keys. Both must fail fast.
+    intercept[IllegalArgumentException] {
+      MinHashBands(Literal("x"), 3, 64, 5, 42L)
+    }
+    intercept[IllegalArgumentException] {
+      MinHashBands(Literal("x"), 3, 64, 0, 42L)
+    }
+    Seq((1L, "a b c d e")).toDF("id", "t")
+      .createOrReplaceTempView("native_docs_bands")
+    val e = intercept[Exception] {
+      spark.sql(
+        "SELECT minhash_bands(t, 3, 64, 5) FROM native_docs_bands").head()
+    }
+    assert(e.getMessage.contains("divide"), e.getMessage)
+    // the dividing case still works end-to-end
+    val ok = spark.sql(
+      "SELECT size(minhash_bands(t, 3, 64, 16)) FROM native_docs_bands")
+      .head().getInt(0)
+    assert(ok == 16)
+  }
+
   test("near-dup operators still find planted pairs with native sigs") {
     val base = "the quick brown fox jumps over the lazy dog while the " +
       "sun sets slowly behind the quiet green hills of the north"

@@ -38,6 +38,18 @@ class TopKPerGroupSpec extends SparkSpec {
     assert(!plan.contains("Sort "), plan.take(1500))
   }
 
+  test("extension-free fallback formulation matches the custom plan") {
+    // perGroup falls back to this row_number() path at call time when
+    // the session lacks GraftExtensions (instead of an opaque planner
+    // assertion at action time); prove the two paths agree.
+    val keys = Seq(TopK.desc("score"), TopK.asc("id"))
+    val viaCustom = TopK.perGroup(df, Seq("g"), keys, k = 4)
+      .select("g", "id", "score").orderBy("g", "id").collect().toSeq
+    val viaFallback = TopK.windowFallback(df, Seq("g"), keys, k = 4)
+      .select("g", "id", "score").orderBy("g", "id").collect().toSeq
+    assert(viaCustom == viaFallback)
+  }
+
   test("groups smaller than k emit all their rows; ties break by order") {
     val tiny = Seq((1L, "a", 10L), (2L, "a", 10L), (3L, "b", 1L))
       .toDF("id", "g", "score")

@@ -126,11 +126,21 @@ object Dedup {
   /** Blocked exact-Jaccard near-dup join: candidate pairs limited to a
     * deterministic blocking key (e.g. (lang, source)). Fully
     * SQL-expressible → DuckDB-verifiable, and the blocking key is the
-    * shuffle key at scale. */
+    * shuffle key at scale.
+    *
+    * FENCED: coarse blocks (a handful of (lang, source) values) make
+    * the in-block self-join quadratic, so this exact variant refuses
+    * inputs past `maxRows` — it exists as the oracle twin of the scale
+    * path, which is `nearDupPairsMinhash` (band-hash keys, candidates
+    * only, never all-pairs). */
   def blockedJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                           blockCols: Seq[String], shingleN: Int,
-                          threshold: Double): DataFrame = {
-    val withSh = graft.scaleOut(df, blockCols.map(col): _*)
+                          threshold: Double,
+                          maxRows: Int = 100000): DataFrame = {
+    val fenced = graft.fenceQuadratic(df, maxRows,
+      s"blockedJaccardPairs on coarse blocks (${blockCols.mkString(",")})",
+      "use nearDupPairsMinhash (band-hash candidate keys)")
+    val withSh = graft.scaleOut(fenced, blockCols.map(col): _*)
       .select(
         (blockCols.map(col) :+ col(idCol) :+
           Native.shingleSet(col(textCol), shingleN).as("sh")): _*)

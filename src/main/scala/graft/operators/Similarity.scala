@@ -137,11 +137,8 @@ object Similarity {
     * Raise the fence consciously if you really mean it. */
   def allPairsTopK(emb: DataFrame, idCol: String, vecCol: String,
                    k: Int, maxRows: Int = 100000): DataFrame = {
-    val probe = emb.select(idCol).limit(maxRows + 1).count()
-    require(probe <= maxRows,
-      s"allPairsTopK is O(n²) and fenced at $maxRows rows; " +
-        s"input exceeds it — use lshTopK/nearDupPairsEmbedding at scale " +
-        s"or raise maxRows explicitly")
+    graft.fenceQuadratic(emb.select(idCol), maxRows, "allPairsTopK",
+      "use lshTopK/nearDupPairsEmbedding")
     val v = emb.select(col(idCol).as("id_a"),
       Vectors.toDouble(col(vecCol)).as("v_a"))
     val w = emb.select(col(idCol).as("id_b"),

@@ -22,6 +22,21 @@ package object graft {
     * round-robin. When the input is already parallel — the 100 TB case,
     * thousands of splits — this is a no-op, so the guard never costs an
     * exchange at scale. */
+  /** Guard for operators whose pair count is quadratic in (a block of)
+    * their input: refuse inputs larger than `maxRows` with ONE cheap
+    * limited count (reads at most maxRows+1 rows, no full scan) instead
+    * of silently planning a 10¹⁰-pair self-join at scale. Returns the
+    * input unchanged so it chains. Raise the fence consciously if you
+    * really mean it. */
+  def fenceQuadratic(df: DataFrame, maxRows: Int, what: String,
+                     alternative: String): DataFrame = {
+    val probe = df.limit(maxRows + 1).count()
+    require(probe <= maxRows,
+      s"$what is O(n²) and fenced at $maxRows rows; input exceeds it — " +
+        s"$alternative at scale, or raise maxRows explicitly")
+    df
+  }
+
   def scaleOut(df: DataFrame, keys: Column*): DataFrame = {
     val width = df.sparkSession.sessionState.conf.numShufflePartitions
     if (df.rdd.getNumPartitions >= width) df

@@ -133,9 +133,15 @@ object PipelineQueries {
     // ---- X2/X3: blocked exact embedding similarity (oracle-exact) -------
     // Label is the blocking key (the shuffle key at scale); cosine is
     // verified bit-for-bit against DuckDB's list arithmetic to 6dp.
+    // FENCED like blockedJaccardPairs: coarse label blocks make the
+    // in-block self-join quadratic — this is the oracle twin; the scale
+    // path is nearDupPairsEmbedding (LSH buckets).
     QueryDef("q64_embedding_blocked",
       (s, dir) => {
-        val e = graft.scaleOut(Tables.load(s, dir, "embeddings"),
+        val e = graft.scaleOut(
+          graft.fenceQuadratic(Tables.load(s, dir, "embeddings"),
+            maxRows = 100000, "q64 blocked cosine on coarse label blocks",
+            "use nearDupPairsEmbedding (LSH buckets)"),
           col("label"))
         val a = e.select(col("label"), col("vec_id").as("id_a"),
           graft.functions.Vectors.toDouble(col("embedding")).as("v_a"))

@@ -64,6 +64,23 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("blocked jaccard is fenced: refuses inputs past maxRows instead " +
+    "of planning an unbounded in-block self-join") {
+    val big = spark.range(0, 50).toDF("doc_id")
+      .withColumn("text", concat(lit("doc words here number "),
+        col("doc_id")))
+      .withColumn("lang", lit("en"))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.blockedJaccardPairs(big, "doc_id", "text", Seq("lang"), 3,
+        0.9, maxRows = 10).count()
+    }
+    assert(e.getMessage.contains("fenced"), e.getMessage)
+    assert(e.getMessage.contains("nearDupPairsMinhash"), e.getMessage)
+    // within the fence it still runs
+    assert(Dedup.blockedJaccardPairs(big.limit(5), "doc_id", "text",
+      Seq("lang"), 3, 0.9, maxRows = 10).count() == 0L)
+  }
+
   test("embedding near-dup pairs identical vectors, skips orthogonal") {
     val emb = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
@@ -43,12 +44,73 @@ object PipelineQueries {
         GROUP BY lang, source ORDER BY lang, source""")),
 
     // ---- X2: MinHash/LSH near-dup (seeded hash → rows-only) -------------
+    // Self-verifying row: ground truth = exact Jaccard brute-forced over
+    // a fenced 200-doc sample (constant cost at any SF). Found pairs are
+    // exact-verified, so precision is 1 by construction and
+    // recall_sample ≤ 1; pairs at jaccard ≥ 0.9 survive 16-band LSH with
+    // p ≈ 1-4e-8 and the seed is fixed, so high_sim_all_found is a
+    // deterministic pass/fail bit a banding regression would flip.
     QueryDef("q43_minhash_neardup",
-      (s, dir) => Dedup
-        .nearDupPairsMinhash(Tables.load(s, dir, "documents"),
-          "doc_id", "text", threshold = 0.5)
-        .agg(count(lit(1)).as("pairs"),
-          coalesce(round(avg("jaccard"), 4), lit(0.0)).as("avg_jaccard")),
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val found = Dedup.nearDupPairsMinhash(docs, "doc_id", "text",
+          threshold = 0.5)
+        // Band keys are per-doc, so running the operator on the sample
+        // yields exactly found ∩ sample — without re-evaluating the
+        // full-corpus pipeline once per invariant branch. The id fence
+        // is ABSOLUTE (≤1000 docs at any SF), so the brute-force truth
+        // join is constant work at 100 TB too.
+        val sampleDocs = docs.filter(col("doc_id") < 1000)
+        val foundS = Dedup.nearDupPairsMinhash(sampleDocs, "doc_id",
+          "text", threshold = 0.5)
+        // Ground truth via an inverted index, not an all-pairs join:
+        // explode shingles → equi-join on the shingle → |A∩B| by count,
+        // Jaccard = inter/(|A|+|B|-inter). COMPLETE for any threshold
+        // > 0 (a true pair shares ≥1 shingle), and the join output is
+        // Σ n_s² over shingle doc-frequencies (~50k rows here) instead
+        // of |sample|²/2 array-payload comparisons.
+        val sh = sampleDocs
+          .select(col("doc_id"),
+            graft.functions.Native.shingleSet(col("text"), 3).as("sh"))
+          .filter(size(col("sh")) > 0)
+        val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
+        val posting = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+        val truth = posting.select(col("doc_id").as("id_a"), col("s"))
+          .join(posting.select(col("doc_id").as("id_b"), col("s")),
+            Seq("s"))
+          .filter(col("id_a") < col("id_b"))
+          .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+          .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")),
+            Seq("id_a"))
+          .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")),
+            Seq("id_b"))
+          .withColumn("j", col("inter").cast("double") /
+            (col("na") + col("nb") - col("inter")).cast("double"))
+          .filter(col("j") >= 0.5)
+        // ONE left-outer join scores truth vs found — every subtree
+        // evaluates exactly once (separate agg branches would re-run
+        // the minhash pipelines per branch). foundS ⊆ truth because
+        // found pairs are exact-verified at the same threshold.
+        val cmp = truth.join(
+          foundS.select(col("id_a"), col("id_b"), lit(1L).as("hit")),
+          Seq("id_a", "id_b"), "left_outer")
+        val sampleStats = cmp.agg(
+          count(lit(1)).as("truth_pairs_sample"),
+          sum(coalesce(col("hit"), lit(0L))).as("found_pairs_sample"),
+          sum(when(col("j") >= 0.9 && col("hit").isNull, 1L)
+            .otherwise(0L)).as("missed_high"))
+        found.agg(count(lit(1)).as("pairs"),
+            coalesce(round(avg("jaccard"), 4), lit(0.0)).as("avg_jaccard"))
+          .crossJoin(broadcast(sampleStats))
+          .select(col("pairs"), col("avg_jaccard"),
+            col("truth_pairs_sample"), col("found_pairs_sample"),
+            round(when(col("truth_pairs_sample") === 0, 1.0)
+              .otherwise(col("found_pairs_sample").cast("double")
+                / col("truth_pairs_sample").cast("double")), 4)
+              .as("recall_sample"),
+            (coalesce(col("missed_high"), lit(0L)) === 0)
+              .as("high_sim_all_found"))
+      },
       None),
 
     // ---- X2: blocked exact-Jaccard near-dup (oracle-exact) --------------
@@ -76,21 +138,89 @@ object PipelineQueries {
         ORDER BY a.lang, a.source, id_a, id_b""")),
 
     // ---- X2: SimHash near-dup (seeded hash → rows-only) -----------------
+    // Self-verifying row: with 4 disjoint 16-bit bands, any pair at
+    // hamming ≤ 3 shares a band by PIGEONHOLE — recall over the sampled
+    // all-pairs ground truth is guaranteed 100%, so pigeonhole_recall_ok
+    // is a hard invariant, not a probabilistic one.
     QueryDef("q45_simhash_neardup",
-      (s, dir) => Dedup
-        .nearDupPairsSimhash(Tables.load(s, dir, "documents"),
-          "doc_id", "text", maxHamming = 3)
-        .agg(count(lit(1)).as("pairs"),
-          coalesce(round(avg("hamming"), 4), lit(0.0)).as("avg_hamming")),
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val found = Dedup.nearDupPairsSimhash(docs, "doc_id", "text",
+          maxHamming = 3)
+        // per-doc signatures → operator-on-sample ≡ found ∩ sample
+        // (see q43); absolute id fence keeps the all-pairs truth join
+        // constant work at any SF
+        val sampleDocs = docs.filter(col("doc_id") < 1000)
+        val foundS = Dedup.nearDupPairsSimhash(sampleDocs, "doc_id",
+          "text", maxHamming = 3)
+        val sigs = Dedup.simhashSignatures(sampleDocs, "doc_id", "text")
+        val truth = sigs.select(col("doc").as("id_a"), col("sig").as("sig_a"))
+          .join(sigs.select(col("doc").as("id_b"), col("sig").as("sig_b")),
+            col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            graft.functions.Vectors.hamming64(col("sig_a"), col("sig_b"))
+              .as("h"))
+          .filter(col("h") <= 3)
+        // single-evaluation scoring join, as in q43
+        val cmp = truth.join(
+          foundS.select(col("id_a"), col("id_b"), lit(1L).as("hit")),
+          Seq("id_a", "id_b"), "left_outer")
+        val sampleStats = cmp.agg(
+          count(lit(1)).as("truth_pairs_sample"),
+          sum(when(col("hit").isNull, 1L).otherwise(0L)).as("missed"))
+        found.agg(count(lit(1)).as("pairs"),
+            coalesce(round(avg("hamming"), 4), lit(0.0)).as("avg_hamming"))
+          .crossJoin(broadcast(sampleStats))
+          .select(col("pairs"), col("avg_hamming"),
+            col("truth_pairs_sample"),
+            (coalesce(col("missed"), lit(0L)) === 0)
+              .as("pigeonhole_recall_ok"))
+      },
       None),
 
     // ---- X2/X3: embedding near-dup via LSH buckets (rows-only) ----------
+    // Self-verifying row: sampled brute-force ground truth (cosine ≥ 0.4
+    // among vec_id < 300 — the synthetic embeddings are near-random, so
+    // 0.4 is where real pairs live) vs the LSH-bucketed result on the
+    // same domain (bucket is per-vector → operator-on-sample ≡
+    // found ∩ sample). Found pairs are cosine-verified → precision 1;
+    // recall_sample is deterministic (fixed seed + data) so it moves on
+    // any bucketing regression.
     QueryDef("q46_embedding_neardup",
-      (s, dir) => Dedup
-        .nearDupPairsEmbedding(Tables.load(s, dir, "embeddings"),
-          "vec_id", "embedding", threshold = 0.9, nPlanes = 8)
-        .agg(count(lit(1)).as("pairs"),
-          coalesce(round(avg("cosine"), 4), lit(0.0)).as("avg_cosine")),
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val found = Dedup.nearDupPairsEmbedding(emb, "vec_id", "embedding",
+          threshold = 0.4, nPlanes = 4)
+        val sampleEmb = emb.filter(col("vec_id") < 300)
+        val foundS = Dedup.nearDupPairsEmbedding(sampleEmb, "vec_id",
+          "embedding", threshold = 0.4, nPlanes = 4)
+        val sample = sampleEmb
+          .select(col("vec_id"),
+            graft.functions.Vectors.toDouble(col("embedding")).as("v"))
+        val truth = sample.select(col("vec_id").as("id_a"), col("v").as("v_a"))
+          .join(sample.select(col("vec_id").as("id_b"), col("v").as("v_b")),
+            col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            graft.functions.Vectors.cosine(col("v_a"), col("v_b")).as("c"))
+          .filter(col("c") >= 0.4)
+        // single-evaluation scoring join, as in q43; foundS ⊆ truth
+        // (cosine-verified at the same threshold, same domain)
+        val cmp = truth.join(
+          foundS.select(col("id_a"), col("id_b"), lit(1L).as("hit")),
+          Seq("id_a", "id_b"), "left_outer")
+        val sampleStats = cmp.agg(
+          count(lit(1)).as("truth_pairs_sample"),
+          sum(coalesce(col("hit"), lit(0L))).as("found_pairs_sample"))
+        found.agg(count(lit(1)).as("pairs"),
+            coalesce(round(avg("cosine"), 4), lit(0.0)).as("avg_cosine"))
+          .crossJoin(broadcast(sampleStats))
+          .select(col("pairs"), col("avg_cosine"),
+            col("truth_pairs_sample"),
+            round(when(col("truth_pairs_sample") === 0, 1.0)
+              .otherwise(col("found_pairs_sample").cast("double")
+                / col("truth_pairs_sample").cast("double")), 4)
+              .as("recall_sample"))
+      },
       None),
 
     // ---- X3: brute-force cosine top-k (oracle-exact to 6dp) -------------
@@ -111,23 +241,46 @@ object PipelineQueries {
           ORDER BY cosine DESC, e.vec_id ASC LIMIT 10)""")),
 
     // ---- X3: LSH-bucketed ANN, multi-probe (seeded hash → rows-only) ----
+    // Self-verifying row: recall@10 against the exact brute-force top-k
+    // computed in the same plan (IvfSpec proves the technique; this puts
+    // it in the driver-visible surface). Deterministic given the fixed
+    // seed, so a probing regression moves recall_at_10.
     QueryDef("q48_ann_lsh",
-      (s, dir) => Similarity
-        .lshTopK(Tables.load(s, dir, "embeddings"),
-          "vec_id", "embedding", queryId = 7L, k = 10,
-          nPlanes = 6, probes = 4)
-        .agg(count(lit(1)).as("hits"),
-          coalesce(round(max("cosine"), 4), lit(0.0)).as("best_cosine")),
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val lsh = Similarity.lshTopK(emb, "vec_id", "embedding",
+          queryId = 7L, k = 10, nPlanes = 6, probes = 4)
+        val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+          queryId = 7L, k = 10)
+        val overlap = lsh.select("vec_id")
+          .join(brute.select("vec_id"), Seq("vec_id"), "left_semi")
+        lsh.agg(count(lit(1)).as("hits"),
+            coalesce(round(max("cosine"), 4), lit(0.0)).as("best_cosine"))
+          .crossJoin(broadcast(overlap.agg(count(lit(1)).as("overlap"))))
+          .select(col("hits"), col("best_cosine"),
+            round(col("overlap").cast("double") / 10.0, 4)
+              .as("recall_at_10"))
+      },
       None),
 
     // ---- X3: IVF ANN — hash-sampled pivots (seeded → rows-only) ---------
+    // Same self-verifying shape as q48: recall@10 vs in-plan brute force.
     QueryDef("q63_ann_ivf",
-      (s, dir) => Similarity
-        .ivfTopK(Tables.load(s, dir, "embeddings"),
-          "vec_id", "embedding", queryId = 7L, k = 10,
-          nCentroids = 16, nProbe = 4)
-        .agg(count(lit(1)).as("hits"),
-          coalesce(round(max("cosine"), 4), lit(0.0)).as("best_cosine")),
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding",
+          queryId = 7L, k = 10, nCentroids = 16, nProbe = 4)
+        val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+          queryId = 7L, k = 10)
+        val overlap = ivf.select("vec_id")
+          .join(brute.select("vec_id"), Seq("vec_id"), "left_semi")
+        ivf.agg(count(lit(1)).as("hits"),
+            coalesce(round(max("cosine"), 4), lit(0.0)).as("best_cosine"))
+          .crossJoin(broadcast(overlap.agg(count(lit(1)).as("overlap"))))
+          .select(col("hits"), col("best_cosine"),
+            round(col("overlap").cast("double") / 10.0, 4)
+              .as("recall_at_10"))
+      },
       None),
 
     // ---- X2/X3: blocked exact embedding similarity (oracle-exact) -------
@@ -254,24 +407,56 @@ object PipelineQueries {
           .agg(expr("hll_sketch_agg(c_custkey) AS hll"))
           .agg(expr(
             "cast(hll_sketch_estimate(hll_union_agg(hll)) as long) AS est"))
+        val exactD = c.agg(countDistinct("c_custkey").as("exact_customers"))
         probed.crossJoin(broadcast(exact)).crossJoin(broadcast(unioned))
+          .crossJoin(broadcast(exactD))
           .select(col("bloom_hits"), col("orders_total"),
             col("true_hits"),
             (col("bloom_hits") >= col("true_hits"))
               .as("no_false_negatives"),
-            col("est").as("hll_union_estimate"))
+            col("est").as("hll_union_estimate"),
+            col("exact_customers"),
+            // per-group sketches unioned must land within the HLL error
+            // envelope of the exact global count (lgK=12 → rsd ≈ 1.6%;
+            // 5% is 3σ) — THE mergeability property that makes sketches
+            // work across 1000 executors, as a pass/fail bit.
+            (abs(col("est").cast("double")
+              - col("exact_customers").cast("double"))
+              / col("exact_customers").cast("double") <= 0.05)
+              .as("hll_union_close"))
       },
       None),
 
     // ---- X5: approximate distinct (HLL — impl-specific → rows-only) -----
+    // Self-verifying row: each estimate is checked against the exact
+    // distinct count computed in the same plan; the within_bounds bit
+    // asserts every relative error ≤ 3× its configured rsd (0.05
+    // default / 0.02 for orders) — the documented HLL++ error envelope.
     QueryDef("q49_approx_distinct",
       (s, dir) => {
         val l = Tables.load(s, dir, "lineitem")
+        def relErr(approx: Column, exact: Column): Column =
+          abs(approx.cast("double") - exact.cast("double")) /
+            exact.cast("double")
         l.agg(
-          approx_count_distinct("l_partkey").as("approx_parts"),
-          approx_count_distinct("l_suppkey").as("approx_supps"),
-          approx_count_distinct("l_orderkey", 0.02).as("approx_orders"),
-          count(lit(1)).as("rows"))
+            approx_count_distinct("l_partkey").as("approx_parts"),
+            countDistinct("l_partkey").as("exact_parts"),
+            approx_count_distinct("l_suppkey").as("approx_supps"),
+            countDistinct("l_suppkey").as("exact_supps"),
+            approx_count_distinct("l_orderkey", 0.02).as("approx_orders"),
+            countDistinct("l_orderkey").as("exact_orders"),
+            count(lit(1)).as("rows"))
+          .select(col("approx_parts"), col("exact_parts"),
+            col("approx_supps"), col("exact_supps"),
+            col("approx_orders"), col("exact_orders"), col("rows"),
+            round(relErr(col("approx_parts"), col("exact_parts")), 4)
+              .as("err_parts"),
+            round(relErr(col("approx_orders"), col("exact_orders")), 4)
+              .as("err_orders"),
+            (relErr(col("approx_parts"), col("exact_parts")) <= 0.15 &&
+              relErr(col("approx_supps"), col("exact_supps")) <= 0.15 &&
+              relErr(col("approx_orders"), col("exact_orders")) <= 0.06)
+              .as("within_bounds"))
       },
       None),
 

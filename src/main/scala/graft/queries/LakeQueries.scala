@@ -34,14 +34,22 @@ object LakeQueries {
       lit("system").as("owner"),
       concat(lit("lake://raw/docs/"), col("doc_id")).as("s3Location"),
       col("n_chars").as("size_bytes"),
-      lit("ingested").as("status"))
+      lit("ingested").as("status"),
+      // real ArrayType(StringType) tags list, derived deterministically
+      // (reference metadata records carry `tags: L`,
+      // ingest-data-lambda.py:90-92)
+      when(col("n_chars") > 400,
+        array(col("lang"), col("source"), lit("long")))
+        .otherwise(array(col("lang"), col("source"))).as("tags"))
 
   private val metaSql =
     """SELECT lpad(CAST(doc_id AS VARCHAR), 6, '0') AS id,
        make_timestamp((1704067200 + (doc_id % 90) * 60) * 1000000) AS meta_ts,
        lang AS data_type, source, 'system' AS owner,
        'lake://raw/docs/' || doc_id AS s3Location,
-       n_chars AS size_bytes, 'ingested' AS status
+       n_chars AS size_bytes, 'ingested' AS status,
+       CASE WHEN n_chars > 400 THEN [lang, source, 'long']
+            ELSE [lang, source] END AS tags
        FROM documents"""
 
   val entries: Seq[QueryDef] = Seq(
@@ -131,6 +139,27 @@ object LakeQueries {
           AND meta_ts BETWEEN TIMESTAMP '2024-01-01 00:10:00'
                           AND TIMESTAMP '2024-01-01 01:20:00'
         ORDER BY meta_ts DESC, id ASC LIMIT 20""")),
+
+    // ---- P8 (tags branch): AND-combined array_contains over a REAL ---------
+    // ArrayType tags column, through the same MetaFilter/predicate path
+    // the reference AND-folds (query-data-lambda.py:142-145:
+    // `Attr('tags').contains(tag)` per requested tag).
+    QueryDef("q72_tags_search",
+      (s, dir) => {
+        val meta = metaFromDocs(s, dir)
+          .withColumnRenamed("meta_ts", "timestamp")
+          .withColumnRenamed("data_type", "dataType")
+        val f = Catalog.MetaFilter(tags = Seq("en", "long"), limit = 25)
+        Catalog.search(meta, f)
+          .select(col("id"), col("source"), col("size_bytes"),
+            size(col("tags")).cast("long").as("n_tags"),
+            col("timestamp").as("meta_ts"))
+      },
+      Some(s"""WITH meta AS ($metaSql)
+        SELECT id, source, size_bytes,
+          CAST(len(tags) AS BIGINT) AS n_tags, meta_ts FROM meta
+        WHERE list_contains(tags, 'en') AND list_contains(tags, 'long')
+        ORDER BY meta_ts DESC, id ASC LIMIT 25""")),
 
     // ---- J1/S6: point lookup + metadata⋈content join ------------------------
     QueryDef("q35_content_join",

@@ -62,4 +62,25 @@ class SearchCatalogSpec extends SparkSpec {
       .select("id").as[String].collect().toSeq
     assert(got == Seq("d", "b")) // most recent first, json excluded
   }
+
+  test("tags filter: AND-combined array_contains over a real " +
+    "ArrayType(StringType) column (reference query-data-lambda.py:142)") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val meta = Seq(
+      ("a", Seq("en", "web", "long"), t("2024-01-01 10:00:00")),
+      ("b", Seq("en", "web"), t("2024-01-01 11:00:00")),
+      ("c", Seq("de", "long"), t("2024-01-01 12:00:00")),
+      ("d", Seq("long", "en"), t("2024-01-01 13:00:00")))
+      .toDF("id", "tags", "timestamp")
+    // ALL requested tags must be present (AND fold), order-independent
+    val got = Catalog.search(meta,
+        Catalog.MetaFilter(tags = Seq("en", "long"), limit = 10))
+      .select("id").as[String].collect().toSeq
+    assert(got == Seq("d", "a"))
+    // single tag keeps the superset rows
+    val one = Catalog.search(meta,
+        Catalog.MetaFilter(tags = Seq("long"), limit = 10))
+      .select("id").as[String].collect().toSet
+    assert(one == Set("a", "c", "d"))
+  }
 }

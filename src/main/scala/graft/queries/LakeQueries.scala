@@ -7,8 +7,8 @@ import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
 import graft.functions.AttributeValues
-import graft.operators.{QueryService, Search}
-import graft.sources.{Catalog, Lake}
+import graft.operators.{Ingest, QueryService, Search}
+import graft.sources.{Catalog, Fixtures, Lake}
 
 /** Lake IO + catalog + query-service lifecycle, exercised end-to-end and
   * oracle-checked against the parquet originals (SURVEY.md §2.1/§2.2/§3).
@@ -160,6 +160,72 @@ object LakeQueries {
           CAST(len(tags) AS BIGINT) AS n_tags, meta_ts FROM meta
         WHERE list_contains(tags, 'en') AND list_contains(tags, 'long')
         ORDER BY meta_ts DESC, id ASC LIMIT 25""")),
+
+    // ---- S10+K1+K7+A3 end-to-end: API sample payloads → ingest → -----------
+    // metadata readback. The oracle REBUILDS the exact payload bodies
+    // from range() (they're deterministic by construction, see
+    // Fixtures.apiPayloads) and recomputes sizeBytes as the length of
+    // the {"data":"<escaped body>"} JSON the size metric serializes —
+    // so a drift in payload shape, defaulting, or the size metric fails
+    // the hash. layout_ok is computed ONLY on the Spark side (the
+    // oracle can't know the temp dir) and must come back true.
+    QueryDef("q73_api_ingest",
+      (s, dir) => {
+        val root = Files.createTempDirectory("graft_api").toString
+        val at = java.sql.Timestamp.valueOf("2024-03-01 12:00:00")
+        Ingest.run(s, Fixtures.apiPayloads(s, 200L), root,
+          s"$root/meta", at)
+        val meta = s.read.parquet(s"$root/meta")
+        val expectedLoc = concat(lit(s"$root/raw/"), col("dataType"),
+          lit("/2024-03-01/"), col("id"), lit(".json"))
+        meta.groupBy("dataType").agg(
+            count(lit(1)).as("n"),
+            sum("sizeBytes").as("total_size"),
+            countDistinct("s3Location").as("locations"),
+            min(when(col("s3Location") === expectedLoc &&
+              col("owner") === "system" &&
+              col("status") === "ingested", 1L).otherwise(0L)).as("ok"))
+          .select(col("dataType"), col("n"), col("total_size"),
+            col("locations"), (col("ok") === 1L).as("layout_ok"))
+          .orderBy("dataType")
+      },
+      Some("""WITH ids AS (SELECT range AS id FROM range(1, 201)),
+        b AS (SELECT id,
+          (['sales','user','metrics','generic'])[CAST(id % 4 AS INT) + 1]
+            AS dataType,
+          CASE CAST(id % 4 AS INT)
+            WHEN 0 THEN '{"date":"2024-01-' || printf('%02d', id % 28 + 1)
+              || '","items":[{"product":"Widget A","quantity":'
+              || CAST(id % 9 + 1 AS VARCHAR)
+              || ',"price":10.99}],"total":'
+              || printf('%.2f', CAST(id % 500 AS DOUBLE) + 0.99)
+              || ',"customer":{"id":"CUST-'
+              || printf('%08d', (id * 7919) % 100000000)
+              || '","region":"Northeast"}}'
+            WHEN 1 THEN '{"userId":"USER-'
+              || printf('%08d', (id * 104729) % 100000000)
+              || '","name":"Sample User","email":"user@example.com",'
+              || '"preferences":{"theme":"'
+              || (['dark','light'])[CAST(id % 2 AS INT) + 1]
+              || '","notifications":true},"lastLogin":"2024-01-'
+              || printf('%02d', id % 28 + 1) || 'T00:00:00"}'
+            WHEN 2 THEN '{"timestamp":"2024-01-'
+              || printf('%02d', id % 28 + 1) || 'T00:00:00","cpu":'
+              || printf('%.1f', CAST(id % 100 AS DOUBLE) + 0.5)
+              || ',"memory":68.3,"disk":56.2,'
+              || '"network":{"in":1024,"out":2048}}'
+            ELSE '{"timestamp":"2024-01-'
+              || printf('%02d', id % 28 + 1)
+              || 'T00:00:00","sample":true,"value":12345,'
+              || '"message":"This is sample data of type: generic"}'
+          END AS body FROM ids)
+        SELECT dataType, count(*) AS n,
+          CAST(sum(octet_length(encode('{"data":"'
+            || replace(body, '"', chr(92) || '"') || '"}'))) AS BIGINT)
+            AS total_size,
+          count(DISTINCT id) AS locations,
+          true AS layout_ok
+        FROM b GROUP BY dataType ORDER BY dataType""")),
 
     // ---- J1/S6: point lookup + metadata⋈content join ------------------------
     QueryDef("q35_content_join",

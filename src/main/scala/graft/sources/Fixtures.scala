@@ -93,6 +93,51 @@ object Fixtures {
         (id - 1) * (4L * 365 * 86400 / n)).as("launch_date"))
   }
 
+  /** S10 fixtures: the API-side sample payloads the reference's
+    * `POST /data` Lambda synthesizes per dataType
+    * (ingest-data-lambda.py:135-180) — sales/user/metrics/generic JSON
+    * bodies. uuid4()/now() become id-derived values so the metadata an
+    * ingest run derives (sizeBytes, layout) is oracle-checkable: both
+    * engines can rebuild the exact body strings from `range`. */
+  def apiPayloads(spark: SparkSession, n: Long = 200L): DataFrame = {
+    val id = col("id")
+    val day = format_string("%02d", pmod(id, lit(28)) + 1)
+    val ts = concat(lit("2024-01-"), day, lit("T00:00:00"))
+    val sales = concat(lit("{\"date\":\"2024-01-"), day,
+      lit("\",\"items\":[{\"product\":\"Widget A\",\"quantity\":"),
+      (pmod(id, lit(9)) + 1).cast("string"),
+      lit(",\"price\":10.99}],\"total\":"),
+      format_string("%.2f", pmod(id, lit(500)).cast("double") + 0.99),
+      lit(",\"customer\":{\"id\":\"CUST-"),
+      format_string("%08d", pmod(id * 7919L, lit(100000000L))),
+      lit("\",\"region\":\"Northeast\"}}"))
+    val user = concat(lit("{\"userId\":\"USER-"),
+      format_string("%08d", pmod(id * 104729L, lit(100000000L))),
+      lit("\",\"name\":\"Sample User\",\"email\":\"user@example.com\"," +
+        "\"preferences\":{\"theme\":\""),
+      element_at(array(lit("dark"), lit("light")),
+        pmod(id, lit(2)).cast("int") + 1),
+      lit("\",\"notifications\":true},\"lastLogin\":\""), ts, lit("\"}"))
+    val metrics = concat(lit("{\"timestamp\":\""), ts,
+      lit("\",\"cpu\":"),
+      format_string("%.1f", pmod(id, lit(100)).cast("double") + 0.5),
+      lit(",\"memory\":68.3,\"disk\":56.2," +
+        "\"network\":{\"in\":1024,\"out\":2048}}"))
+    val generic = concat(lit("{\"timestamp\":\""), ts,
+      lit("\",\"sample\":true,\"value\":12345," +
+        "\"message\":\"This is sample data of type: generic\"}"))
+    val kind = pmod(id, lit(4))
+    spark.range(1, n + 1).select(
+      format_string("API-%06d", id).as("id"),
+      element_at(
+        array(lit("sales"), lit("user"), lit("metrics"), lit("generic")),
+        kind.cast("int") + 1).as("dataType"),
+      lit("api-sample").as("source"),
+      lit(null).cast("string").as("owner"),
+      when(kind === 0, sales).when(kind === 1, user)
+        .when(kind === 2, metrics).otherwise(generic).as("data"))
+  }
+
   /** Write all three fixture families into the raw zone in the given
     * format — the reference's upload_sample_data. */
   def writeAll(spark: SparkSession, root: String, fmt: String): Unit = {

@@ -25,6 +25,26 @@ class FixturesSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("apiPayloads: deterministic valid-JSON bodies of all four " +
+    "reference sample shapes (ingest-data-lambda.py:135-180)") {
+    import org.apache.spark.sql.functions._
+    val p1 = Fixtures.apiPayloads(spark, 100)
+    val p2 = Fixtures.apiPayloads(spark, 100)
+    assert(p1.collect().toSeq == p2.collect().toSeq)
+    assert(p1.columns.toSeq ==
+      Seq("id", "dataType", "source", "owner", "data"))
+    val kinds = p1.select("dataType").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(kinds == Set("sales", "user", "metrics", "generic"))
+    // every body parses as JSON and carries its type's marker field
+    val parsed = p1.withColumn("k",
+      coalesce(get_json_object(col("data"), "$.total"),
+        get_json_object(col("data"), "$.userId"),
+        get_json_object(col("data"), "$.cpu"),
+        get_json_object(col("data"), "$.sample")))
+    assert(parsed.filter(col("k").isNull).count() == 0)
+  }
+
   test("writeAll lands all three fixture families in the raw zone") {
     val root = Files.createTempDirectory("graft_fixtures").toString
     Fixtures.writeAll(spark, root, "parquet")

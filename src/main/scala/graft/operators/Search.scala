@@ -117,6 +117,12 @@ object Search {
       .withColumn("_pid", spark_partition_id())
     val offsets = parted.groupBy("_pid")
       .agg(count(lit(1)).as("_n"))
+      // one row per source partition (~10²-10⁵ rows even at 100 TB):
+      // coalesce(1) makes the global-order window's single task explicit
+      // and reports SinglePartition, so the planner adds no exchange and
+      // WindowExec's "all data to a single partition" warning refers to
+      // this bounded offsets frame, never the corpus.
+      .coalesce(1)
       .withColumn("_offset",
         coalesce(sum("_n").over(Window.orderBy("_pid")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))

@@ -10,18 +10,6 @@ package object graft {
     * ops: seeded-hash LSH, approx sketches). */
   final case class QueryDef(name: String, fn: Q, oracle: Option[String])
 
-  /** Scale-out guard for CPU-dense per-row operators (tokenization,
-    * hashing, shingling, vector math).
-    *
-    * A small table often arrives as ONE parquet row group → one scan
-    * task, so per-row compute serializes onto a single core no matter
-    * the cluster size. When the source exposes fewer partitions than the
-    * configured shuffle width, insert one exchange up front — hashed on
-    * `keys` when given (so a downstream groupBy/join on the same keys
-    * REUSES the partitioning instead of adding a second shuffle), else
-    * round-robin. When the input is already parallel — the 100 TB case,
-    * thousands of splits — this is a no-op, so the guard never costs an
-    * exchange at scale. */
   /** Guard for operators whose pair count is quadratic in (a block of)
     * their input: refuse inputs larger than `maxRows` with ONE cheap
     * limited count (reads at most maxRows+1 rows, no full scan) instead
@@ -37,9 +25,32 @@ package object graft {
     df
   }
 
+  /** Scale-out guard for CPU-dense per-row operators (tokenization,
+    * hashing, shingling, vector math).
+    *
+    * A small table often arrives as ONE parquet row group → one scan
+    * task, so per-row compute serializes onto a single core no matter
+    * the cluster size. When the source exposes fewer partitions than the
+    * configured shuffle width, insert one exchange up front — hashed on
+    * `keys` when given (so a downstream groupBy/join on the same keys
+    * REUSES the partitioning instead of adding a second shuffle), else
+    * round-robin. When the input is already parallel — the 100 TB case,
+    * thousands of splits — this is a no-op, so the guard never costs an
+    * exchange at scale. */
   def scaleOut(df: DataFrame, keys: Column*): DataFrame = {
-    val width = df.sparkSession.sessionState.conf.numShufflePartitions
-    if (df.rdd.getNumPartitions >= width) df
+    val conf = df.sparkSession.sessionState.conf
+    val width = conf.numShufflePartitions
+    // Plan-side split estimate: sum the analyzed plan's leaf-relation
+    // size stats (precomputed file lengths for file sources — no IO) and
+    // divide by the scan split size, mirroring FilePartition packing.
+    // Deliberately NOT df.rdd.getNumPartitions: touching .rdd forces a
+    // full physical-planning pass per call and pins a plan AQE can no
+    // longer re-optimize.
+    val bytesPerSplit = math.max(conf.filesMaxPartitionBytes, 1L)
+    val leafBytes = df.queryExecution.analyzed.collectLeaves()
+      .map(_.stats.sizeInBytes).sum
+    val estSplits = leafBytes / bytesPerSplit
+    if (estSplits >= width) df
     else if (keys.nonEmpty) df.repartition(width, keys: _*)
     else df.repartition(width)
   }

@@ -8,7 +8,18 @@ package object graft {
     * oracle mirror for the DuckDB differential check. Queries without an
     * oracle get the driver's weaker rows-only check (non-SQL-expressible
     * ops: seeded-hash LSH, approx sketches). */
-  final case class QueryDef(name: String, fn: Q, oracle: Option[String])
+  final case class QueryDef(name: String, fn: Q, oracle: Option[String],
+                            kind: String = QueryDef.Query)
+
+  object QueryDef {
+    /** Pure query-engine work (scan → compute); bench-comparable across
+      * rounds. */
+    val Query = "query"
+    /** End-to-end zone-IO pipeline (write files → read back → query):
+      * its bench time measures tempdir file IO as much as plan
+      * execution, so Bench reports it under a separate total. */
+    val Pipeline = "pipeline"
+  }
 
   /** Guard for operators whose pair count is quadratic in (a block of)
     * their input: refuse inputs larger than `maxRows` with ONE cheap

@@ -66,7 +66,8 @@ object LakeQueries {
           .orderBy("n_regionkey")
       },
       Some("""SELECT n_regionkey, count(*) AS n, min(n_name) AS first_nation
-        FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""")),
+        FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"""),
+      kind = QueryDef.Pipeline),
 
     // ---- S3/K3: JSON write → schema'd read → aggregate -------------------
     QueryDef("q32_json_roundtrip",
@@ -87,7 +88,8 @@ object LakeQueries {
         CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))),0) AS DOUBLE) AS total,
         max(o_orderdate) AS last_date
         FROM orders WHERE o_orderkey < 1000
-        GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+        GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
+      kind = QueryDef.Pipeline),
 
     // ---- S1: extension sniffing over a mixed-format raw zone ---------------
     QueryDef("q33_format_sniff",
@@ -115,7 +117,8 @@ object LakeQueries {
       Some("""SELECT 'csv' AS fmt, count(*) AS n FROM nation
         UNION ALL SELECT 'json', count(*) FROM nation
         UNION ALL SELECT 'parquet', count(*) FROM nation
-        ORDER BY fmt""")),
+        ORDER BY fmt"""),
+      kind = QueryDef.Pipeline),
 
     // ---- S7/W1/P5-P8: conjunctive metadata search, recent-first, limit ------
     QueryDef("q34_metadata_search",
@@ -225,7 +228,8 @@ object LakeQueries {
             AS total_size,
           count(DISTINCT id) AS locations,
           true AS layout_ok
-        FROM b GROUP BY dataType ORDER BY dataType""")),
+        FROM b GROUP BY dataType ORDER BY dataType"""),
+      kind = QueryDef.Pipeline),
 
     // ---- J1/S6: point lookup + metadata⋈content join ------------------------
     QueryDef("q35_content_join",
@@ -369,7 +373,8 @@ object LakeQueries {
           CAST(sum(length('{"doc_id":' || doc_id || ',"lang":"' || lang ||
             '","n_chars":' || n_chars || ',"text":"' || text || '"}'))
             AS BIGINT) AS raw_bytes
-        FROM documents GROUP BY lang ORDER BY lang""")),
+        FROM documents GROUP BY lang ORDER BY lang"""),
+      kind = QueryDef.Pipeline),
 
     // ---- P13/A3/T3: index-document assembly + size metric --------------------------
     QueryDef("q57_index_doc",

@@ -345,7 +345,8 @@ object PipelineQueries {
       Some("""SELECT l_returnflag, count(*) AS n,
           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(25,6))),0)
             AS DOUBLE) AS total
-        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      kind = QueryDef.Pipeline),
 
     // ---- X3 storage path: int8 quantization + reconstruction error ------
     QueryDef("q68_quantize_embeddings",

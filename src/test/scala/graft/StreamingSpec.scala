@@ -50,6 +50,45 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$root/index").count() == 4)
   }
 
+  test("R2 idempotent replay: index-sink failure after processed-sink " +
+    "commit → checkpoint restart rewrites the batch without duplicates") {
+    val root = Files.createTempDirectory("graft_replay").toString
+    val raw = s"$root/raw"
+    Files.createDirectories(java.nio.file.Paths.get(raw))
+    Files.writeString(java.nio.file.Paths.get(s"$raw/a.json"),
+      "{\"id\":1,\"v\":\"x\"}\n{\"id\":2,\"v\":\"y\"}\n")
+    Files.writeString(java.nio.file.Paths.get(s"$raw/b.json"),
+      "{\"id\":3,\"v\":\"z\"}\n")
+    // Fault injection: occupy the index path with a plain FILE so sink 2
+    // cannot mkdir its batch partition — failing the batch AFTER sink 1
+    // (processed zone) has already committed its files.
+    Files.writeString(java.nio.file.Paths.get(s"$root/index"), "fault")
+
+    val q = IngestStream.startPipeline(spark, raw, schema, "json",
+      s"$root/processed", s"$root/index", s"$root/ckpt")
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    val pSchema = schema.add("processed_timestamp", TimestampType)
+    // sink 1 landed the batch before sink 2 failed — the at-least-once
+    // half of the contract: data exists despite the failed batch
+    assert(spark.read.schema(pSchema).json(s"$root/processed").count() == 3)
+
+    // clear the fault and restart on the SAME checkpoint: the uncommitted
+    // batch replays with the same batch_id, overwriting sink 1's
+    // partition in place (idempotent) and landing sink 2's
+    Files.delete(java.nio.file.Paths.get(s"$root/index"))
+    val q2 = IngestStream.startPipeline(spark, raw, schema, "json",
+      s"$root/processed", s"$root/index", s"$root/ckpt")
+    q2.awaitTermination()
+
+    val processed = spark.read.schema(pSchema).json(s"$root/processed")
+    assert(processed.count() == 3) // replay overwrote, did not duplicate
+    assert(processed.select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L))
+    assert(spark.read.parquet(s"$root/index").count() == 3)
+  }
+
   test("S9/R5 CDC: metadata appends re-derive the index, LWW by version") {
     val root = Files.createTempDirectory("graft_cdc").toString
     val metaDir = s"$root/meta"

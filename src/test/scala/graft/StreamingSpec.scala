@@ -122,6 +122,55 @@ class StreamingSpec extends SparkSpec {
     assert(a.getAs[Long]("version") == 2L)
   }
 
+  test("S9/R5 CDC over the full metadata schema: tags/description " +
+    "survive re-index and the index mutation is applied") {
+    import graft.operators.Search
+    import graft.sources.Catalog
+    import org.apache.spark.sql.DataFrame
+    val root = Files.createTempDirectory("graft_cdc_full").toString
+    val metaDir = s"$root/meta"
+    def rec(id: String, ts: String, tags: Seq[String], desc: Option[String],
+            status: String) =
+      Catalog.IngestRecord(id, java.sql.Timestamp.valueOf(ts), "sales",
+        "api", "system", s"raw/sales/$id.json", 100L, status, tags, desc,
+        indexed = false, indexedAt = None)
+    // reference index-data-lambda.py:164-172: the re-index marks the
+    // metadata row indexed/indexedAt and routes to data-{dataType}
+    val derive: DataFrame => DataFrame = df => df
+      .withColumn("indexed", lit(true))
+      .withColumn("indexedAt",
+        lit(java.sql.Timestamp.valueOf("2024-03-01 00:00:00")))
+      .withColumn("search_index", Search.indexNameFor(col("dataType")))
+
+    Seq(rec("a", "2024-01-01 00:00:00", Seq("prod", "eu"), Some("first"),
+          "ingested"),
+        rec("b", "2024-01-01 00:00:00", Seq("test"), None, "ingested"))
+      .toDF().write.mode("append").parquet(metaDir)
+    CdcStream.startReindex(spark, metaDir, Catalog.schema, s"$root/index",
+      s"$root/ckpt", "id", "timestamp", derive).awaitTermination()
+
+    // modify event: full new image of a — more tags, new description
+    Seq(rec("a", "2024-01-02 00:00:00", Seq("prod", "eu", "hot"),
+        Some("updated"), "indexed"))
+      .toDF().write.mode("append").parquet(metaDir)
+    CdcStream.startReindex(spark, metaDir, Catalog.schema, s"$root/index",
+      s"$root/ckpt", "id", "timestamp", derive).awaitTermination()
+
+    val idx = CdcStream.currentIndex(spark, s"$root/index", "id", "timestamp")
+    assert(idx.count() == 2)
+    val a = idx.filter(col("id") === "a").head()
+    assert(a.getAs[scala.collection.Seq[String]]("tags").toList ==
+      List("prod", "eu", "hot"))
+    assert(a.getAs[String]("description") == "updated")
+    assert(a.getAs[Boolean]("indexed"))
+    assert(a.getAs[java.sql.Timestamp]("indexedAt") != null)
+    assert(a.getAs[String]("search_index") == "data-sales")
+    val b = idx.filter(col("id") === "b").head()
+    assert(b.getAs[scala.collection.Seq[String]]("tags").toList ==
+      List("test"))
+    assert(b.getAs[String]("description") == null)
+  }
+
   test("R4: dedupStream drops same-id re-arrivals within the watermark") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext

@@ -63,6 +63,39 @@ class StreamingWindowsSpec extends SparkSpec {
       ("a", "2024-01-01 00:00:00", "2024-01-01 00:11:00", 3L)))
   }
 
+  test("R6 session windows evict late events behind the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val sessions = IngestStream.sessionWindowCounts(
+      mem.toDF().toDF("event_time", "k"),
+      "event_time", "k", gap = "5 minutes", watermark = Some("1 minute"))
+    val q = sessions.writeStream.format("memory").queryName("sess_late_out")
+      .outputMode("append").start()
+    mem.addData((t("2024-01-01 00:00:00"), "a"))
+    q.processAllAvailable()
+    // advance the watermark far past a's gap — closes and emits a's session
+    mem.addData((t("2024-01-01 02:00:00"), "b"))
+    q.processAllAvailable()
+    // late arrival behind the watermark: would have extended a's session
+    // to 00:07 if admitted — watermark eviction must drop it instead
+    mem.addData((t("2024-01-01 00:02:00"), "a"))
+    q.processAllAvailable()
+    // close b's session too, so every retained session is emitted
+    mem.addData((t("2024-01-01 04:00:00"), "c"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sess_late_out")
+      .select(col("k"), col("session_start").cast("string"),
+        col("session_end").cast("string"), col("n"))
+      .as[(String, String, String, Long)].collect().toSeq
+    // a's session: exactly one, n=1, end = first event + gap — the late
+    // event neither extended it nor spawned a second a-session
+    assert(rows.filter(_._1 == "a") ==
+      Seq(("a", "2024-01-01 00:00:00", "2024-01-01 00:05:00", 1L)))
+    assert(rows.filter(_._1 == "b") ==
+      Seq(("b", "2024-01-01 02:00:00", "2024-01-01 02:05:00", 1L)))
+  }
+
   test("R6 sliding windows place one event in overlapping buckets") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, String, Double)]

@@ -123,20 +123,36 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** Blocked exact-Jaccard near-dup join: candidate pairs limited to a
-    * deterministic blocking key (e.g. (lang, source)). Fully
-    * SQL-expressible → DuckDB-verifiable, and the blocking key is the
-    * shuffle key at scale.
+  /** Blocked exact-Jaccard near-dup join with TWO-LEVEL keying: the
+    * user's deterministic blocking key (e.g. (lang, source)) × a
+    * shingle-count log₂ bucket. Fully SQL-expressible → DuckDB-
+    * verifiable, and the composite key is the shuffle key at scale.
     *
-    * FENCED: coarse blocks (a handful of (lang, source) values) make
-    * the in-block self-join quadratic, so this exact variant refuses
-    * inputs past `maxRows` — it exists as the oracle twin of the scale
-    * path, which is `nearDupPairsMinhash` (band-hash keys, candidates
-    * only, never all-pairs). */
+    * The size-bucket level is exactness-preserving: jaccard = |∩|/|∪| ≤
+    * min(|A|,|B|)/max(|A|,|B|), so any pair above `threshold` has log₂
+    * shingle-count gap ≤ log₂(1/threshold) — joining each doc's bucket
+    * against the ⌊log₂(1/t)⌋+1 neighboring buckets on each side loses
+    * nothing the size-ratio prune would have kept. The bucket is
+    * computed integer-exactly (`length(bin(n))` = ⌊log₂ n⌋+1, no FP
+    * boundary hazard), and each surviving pair matches on exactly one
+    * composite key (side a's own bucket), so no post-join distinct is
+    * needed. Within a coarse (lang, source) block this subdivides the
+    * self-join by document size — mixed-length corpora (the 100 TB
+    * case) stop being quadratic in the block.
+    *
+    * FENCED as a backstop: pair count is still quadratic in a (block ×
+    * bucket) cell, so this exact variant refuses inputs past `maxRows` —
+    * it exists as the oracle twin of the scale path, which is
+    * `nearDupPairsMinhash` (band-hash keys, candidates only, never
+    * all-pairs). */
   def blockedJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                           blockCols: Seq[String], shingleN: Int,
                           threshold: Double,
-                          maxRows: Int = 100000): DataFrame = {
+                          maxRows: Int = 1000000): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    // bucket-gap bound for pairs above threshold; +1 absorbs the floor
+    val nbr = (math.log(1.0 / threshold) / math.log(2.0)).toInt + 1
     val fenced = graft.fenceQuadratic(df, maxRows,
       s"blockedJaccardPairs on coarse blocks (${blockCols.mkString(",")})",
       "use nearDupPairsMinhash (band-hash candidate keys)")
@@ -144,11 +160,17 @@ object Dedup {
       .select(
         (blockCols.map(col) :+ col(idCol) :+
           Native.shingleSet(col(textCol), shingleN).as("sh")): _*)
+      .filter(col("sh").isNotNull)
+      .withColumn("szb",
+        length(bin(greatest(size(col("sh")), lit(1)).cast("long"))))
     val a = withSh.select(
-      (blockCols.map(col) :+ col(idCol).as("id_a") :+ col("sh").as("sh_a")): _*)
+      (blockCols.map(col) :+ col("szb") :+ col(idCol).as("id_a")
+        :+ col("sh").as("sh_a")): _*)
     val b = withSh.select(
-      (blockCols.map(col) :+ col(idCol).as("id_b") :+ col("sh").as("sh_b")): _*)
-    a.join(b, blockCols)
+      (blockCols.map(col) :+
+        explode(sequence(col("szb") - nbr, col("szb") + nbr)).as("szb")
+        :+ col(idCol).as("id_b") :+ col("sh").as("sh_b")): _*)
+    a.join(b, blockCols :+ "szb")
       .filter(col("id_a") < col("id_b"))
       // same size-ratio prune as nearDupPairsMinhash: jaccard ≤ min/max
       .filter(least(size(col("sh_a")), size(col("sh_b"))).cast("double")

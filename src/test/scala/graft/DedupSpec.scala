@@ -64,6 +64,21 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("blocked jaccard two-level size buckets do not lose " +
+    "cross-bucket pairs") {
+    // A ⊂ B with |A|=12, |B|=22 shingles: jaccard 12/22 ≈ 0.545 ≥ 0.5
+    // but ⌊log₂⌋ buckets differ (3 vs 4) — the neighbor-bucket join must
+    // still surface the pair
+    val aText = (1 to 14).map(i => s"w$i").mkString(" ")
+    val bText = aText + " " + (15 to 24).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, aText, "en"), (2L, bText, "en"))
+      .toDF("doc_id", "text", "lang")
+    val pairs = Dedup
+      .blockedJaccardPairs(df, "doc_id", "text", Seq("lang"), 3, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("blocked jaccard is fenced: refuses inputs past maxRows instead " +
     "of planning an unbounded in-block self-join") {
     val big = spark.range(0, 50).toDF("doc_id")

@@ -163,19 +163,25 @@ object Dedup {
       .filter(col("sh").isNotNull)
       .withColumn("szb",
         length(bin(greatest(size(col("sh")), lit(1)).cast("long"))))
+    // Side a carries its shingle set once; the EXPLODED side b ships only
+    // scalars (id + size) so the neighbor-bucket fan-out never multiplies
+    // array payload through the shuffle. sh_b is fetched afterwards for
+    // the few candidates surviving the integer size-ratio prune.
     val a = withSh.select(
       (blockCols.map(col) :+ col("szb") :+ col(idCol).as("id_a")
-        :+ col("sh").as("sh_a")): _*)
+        :+ col("sh").as("sh_a") :+ size(col("sh")).as("n_a")): _*)
     val b = withSh.select(
       (blockCols.map(col) :+
         explode(sequence(col("szb") - nbr, col("szb") + nbr)).as("szb")
-        :+ col(idCol).as("id_b") :+ col("sh").as("sh_b")): _*)
-    a.join(b, blockCols :+ "szb")
+        :+ col(idCol).as("id_b") :+ size(col("sh")).as("n_b")): _*)
+    val cand = a.join(b, blockCols :+ "szb")
       .filter(col("id_a") < col("id_b"))
       // same size-ratio prune as nearDupPairsMinhash: jaccard ≤ min/max
-      .filter(least(size(col("sh_a")), size(col("sh_b"))).cast("double")
-        / greatest(size(col("sh_a")), size(col("sh_b"))).cast("double")
-        >= threshold)
+      .filter(least(col("n_a"), col("n_b")).cast("double")
+        / greatest(col("n_a"), col("n_b")).cast("double") >= threshold)
+    cand
+      .join(withSh.select(col(idCol).as("id_b"), col("sh").as("sh_b")),
+        Seq("id_b"))
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select((blockCols.map(col) :+ col("id_a") :+ col("id_b") :+

@@ -439,14 +439,20 @@ object PipelineQueries {
         def relErr(approx: Column, exact: Column): Column =
           abs(approx.cast("double") - exact.cast("double")) /
             exact.cast("double")
-        l.agg(
-            approx_count_distinct("l_partkey").as("approx_parts"),
-            countDistinct("l_partkey").as("exact_parts"),
-            approx_count_distinct("l_suppkey").as("approx_supps"),
-            countDistinct("l_suppkey").as("exact_supps"),
-            approx_count_distinct("l_orderkey", 0.02).as("approx_orders"),
-            countDistinct("l_orderkey").as("exact_orders"),
-            count(lit(1)).as("rows"))
+        // One countDistinct per aggregate: N distincts in a single agg
+        // plan through an Expand that multiplies every row (N+1)× before
+        // the shuffle; four independent single-distinct aggs are each a
+        // partial/final hash agg over ONE pruned parquet column, and the
+        // 1-row results broadcast-join for free.
+        val approx = l.agg(
+          approx_count_distinct("l_partkey").as("approx_parts"),
+          approx_count_distinct("l_suppkey").as("approx_supps"),
+          approx_count_distinct("l_orderkey", 0.02).as("approx_orders"),
+          count(lit(1)).as("rows"))
+        approx
+          .crossJoin(l.agg(countDistinct("l_partkey").as("exact_parts")))
+          .crossJoin(l.agg(countDistinct("l_suppkey").as("exact_supps")))
+          .crossJoin(l.agg(countDistinct("l_orderkey").as("exact_orders")))
           .select(col("approx_parts"), col("exact_parts"),
             col("approx_supps"), col("exact_supps"),
             col("approx_orders"), col("exact_orders"), col("rows"),

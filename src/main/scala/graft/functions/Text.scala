@@ -33,6 +33,24 @@ object Text {
       split(lower(text), "\\s+|(?<=[a-z])(?=[0-9])|(?<=[0-9])(?=[a-z])|(?=[^a-z0-9\\s])|(?<=[^a-z0-9\\s])"),
       t => length(t) > 0)).cast("long")
 
+  /** Email-address pattern, written in the RE2-compatible subset (no
+    * backrefs/lookaround) so the SAME pattern string runs identically
+    * in Java regex (Spark) and RE2 (DuckDB, Go engines). */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Phone-number-shaped spans: international-prefix optional, ≥ 8
+    * digits/separators. RE2-compatible like [[emailRe]]. */
+  val phoneRe = "\\+?\\(?[0-9][0-9()\\- ]{6,}[0-9]"
+
+  /** PII scrubbing: replace emails then phone-shaped spans with typed
+    * placeholders — the redaction pass a training corpus gets before
+    * tokenization. Map-only, codegen'd; order matters (emails first, so
+    * digit runs inside addresses are gone before the phone pass). */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, emailRe, "<EMAIL>"),
+      phoneRe, "<PHONE>")
+
   /** Non-overlapping occurrence count of a token (word-bounded by space
     * padding). Removal is left-to-right non-overlapping in both Spark
     * and DuckDB → oracle-exact. */

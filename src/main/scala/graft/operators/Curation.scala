@@ -49,4 +49,51 @@ object Curation {
             cfg: Config = Config()): DataFrame =
     annotate(Dedup.dropExactDups(df, idCol, textCol), textCol)
       .filter(gate(cfg))
+
+  /** Benchmark-contamination check: training docs sharing at least one
+    * word n-gram with an eval/benchmark set — the train/test overlap
+    * scan every LLM data pipeline must run before training. Returns
+    * (train id, #shared n-grams, #eval docs hit).
+    *
+    * Scale: both sides reduce to (n-gram, id) streams; the join key is
+    * the n-gram — uniform, skew-free (stop-phrase n-grams at n ≥ 8 are
+    * rare), and candidate work is proportional to actual overlap, never
+    * all-pairs. Docs shorter than n tokens cannot be contaminated at
+    * this n and drop out via the null shingle set. */
+  def contamination(train: DataFrame, bench: DataFrame, idCol: String,
+                    textCol: String, n: Int = 8): DataFrame = {
+    def grams(df: DataFrame, as: String) =
+      graft.scaleOut(df)
+        .select(col(idCol).as(as),
+          explode_outer(graft.functions.Native.shingleSet(col(textCol), n))
+            .as("g"))
+        .filter(col("g").isNotNull)
+    grams(train, "train_id")
+      .join(grams(bench, "bench_id"), Seq("g"))
+      .groupBy("train_id")
+      .agg(countDistinct(col("g")).as("shared_ngrams"),
+        countDistinct(col("bench_id")).as("bench_docs_hit"))
+  }
+
+  /** Greedy contiguous sequence packing: within each `partCol` group
+    * (e.g. language), docs in deterministic `orderCol` order are packed
+    * into consecutive training contexts of `budget` units (tokens,
+    * chars); a doc belongs to the context its starting offset falls in
+    * (docs may straddle context boundaries — the standard contiguous-
+    * concatenation packing, not exact bin packing). Emits the packing
+    * assignment (part, bin, docs, units).
+    *
+    * Scale: one partitioned window cumsum — state per task is a single
+    * running sum, and the partition key keeps contexts independent
+    * across groups. */
+  def packContiguous(df: DataFrame, partCol: String, orderCol: String,
+                     unitsCol: String, budget: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(partCol)).orderBy(col(orderCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.withColumn("_start", coalesce(sum(col(unitsCol)).over(w), lit(0L)))
+      .withColumn("bin", floor(col("_start") / budget))
+      .groupBy(col(partCol), col("bin"))
+      .agg(count(lit(1)).as("docs"), sum(col(unitsCol)).as("units"))
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
-import graft.operators.{Curation, Dedup, Multimodal, Similarity, Skew}
+import graft.operators.{Curation, Dedup, Multimodal, Sampling, Similarity, Skew}
 import graft.functions.Text
 
 /** The LLM-training-data-pipeline surface (SURVEY.md §2.11 X1-X6) as
@@ -687,5 +687,118 @@ object PipelineQueries {
             list_transform(string_split(lower(text), ' '),
               t -> CAST(ascii(t) AS BIGINT) * 31 + length(t)),
             (acc, x) -> (acc * 1000003 + x) % 1000000007) AS fp
-        FROM documents WHERE doc_id < 40 ORDER BY doc_id""")))
+        FROM documents WHERE doc_id < 40 ORDER BY doc_id""")),
+
+    // ---- X7: deterministic engine-portable sampling ---------------------
+    QueryDef("q74_deterministic_sample",
+      (s, dir) => Sampling.deterministicSample(
+          Tables.load(s, dir, "documents"), "doc_id", 0.25, "corpus-v1")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), min("doc_id").as("first_id"),
+          max("doc_id").as("last_id"))
+        .orderBy("lang"),
+      Some("""SELECT lang, count(*) AS n, min(doc_id) AS first_id,
+          max(doc_id) AS last_id
+        FROM documents
+        WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+            || '|corpus-v1'), 1, 8)) AS UBIGINT) < 1073741824
+        GROUP BY lang ORDER BY lang""")),
+
+    // ---- X7: balanced domain mixture (deterministic downsample) ---------
+    QueryDef("q75_balanced_mixture",
+      (s, dir) => Sampling.balanceStrata(
+          Tables.load(s, dir, "documents"), "source", "doc_id", "mix-v1")
+        .groupBy("source").agg(count(lit(1)).as("n"))
+        .orderBy("source"),
+      Some("""WITH c AS (
+          SELECT source, count(*) AS n FROM documents GROUP BY source),
+        m AS (SELECT min(n) AS min_n FROM c)
+        SELECT d.source, count(*) AS n
+        FROM documents d JOIN c ON d.source = c.source CROSS JOIN m
+        WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)
+              || '|mix-v1'), 1, 8)) AS UBIGINT) / 4294967296.0
+          < CAST(m.min_n AS DOUBLE) / CAST(c.n AS DOUBLE)
+        GROUP BY d.source ORDER BY d.source""")),
+
+    // ---- X8: benchmark-contamination scan (train/eval n-gram overlap) ---
+    QueryDef("q76_contamination",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Curation.contamination(
+            docs.filter(col("doc_id") % 7 =!= 0),
+            docs.filter(col("doc_id") % 7 === 0),
+            "doc_id", "text", n = 8)
+          .orderBy("train_id")
+      },
+      Some("""WITH g AS (
+          SELECT doc_id, unnest(CASE WHEN len(toks) >= 8 THEN
+              list_distinct([array_to_string(toks[i:i+7], ' ')
+                for i in range(1, len(toks) - 6)])
+            ELSE [] END) AS g
+          FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+            FROM documents)),
+        tr AS (SELECT * FROM g WHERE doc_id % 7 <> 0),
+        be AS (SELECT * FROM g WHERE doc_id % 7 = 0)
+        SELECT tr.doc_id AS train_id,
+          count(DISTINCT tr.g) AS shared_ngrams,
+          count(DISTINCT be.doc_id) AS bench_docs_hit
+        FROM tr JOIN be ON tr.g = be.g
+        GROUP BY tr.doc_id ORDER BY train_id""")),
+
+    // ---- X9: PII scrubbing (RE2-portable redaction) ---------------------
+    // Deterministic synthetic PII is appended in-query (the fixture
+    // corpus carries none), then scrubbed; the oracle runs the SAME
+    // pattern strings through DuckDB's RE2.
+    QueryDef("q77_pii_scrub",
+      (s, dir) => {
+        val dirty = Tables.load(s, dir, "documents")
+          .filter(col("doc_id") < 200)
+          .withColumn("dirty",
+            concat(col("text"), lit(" contact user"),
+              col("doc_id").cast("string"),
+              lit("@example.com or +1-555-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        dirty.select(col("lang"), Text.scrubPii(col("dirty")).as("clean"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("clean").contains("@"), 1L).otherwise(0L))
+              .as("emails_left"),
+            sum(when(col("clean").contains("<EMAIL>"), 1L).otherwise(0L))
+              .as("scrubbed_emails"),
+            sum(when(col("clean").contains("<PHONE>"), 1L).otherwise(0L))
+              .as("scrubbed_phones"),
+            sum(length(col("clean"))).as("clean_chars"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, count(*) AS n,
+          CAST(sum(CASE WHEN contains(clean, '@') THEN 1 ELSE 0 END)
+            AS BIGINT) AS emails_left,
+          CAST(sum(CASE WHEN contains(clean, '<EMAIL>') THEN 1 ELSE 0 END)
+            AS BIGINT) AS scrubbed_emails,
+          CAST(sum(CASE WHEN contains(clean, '<PHONE>') THEN 1 ELSE 0 END)
+            AS BIGINT) AS scrubbed_phones,
+          CAST(sum(length(clean)) AS BIGINT) AS clean_chars
+        FROM (SELECT lang, regexp_replace(regexp_replace(
+            text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or +1-555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+            '<EMAIL>', 'g'),
+            '\+?\(?[0-9][0-9()\- ]{6,}[0-9]', '<PHONE>', 'g') AS clean
+          FROM documents WHERE doc_id < 200) t
+        GROUP BY lang ORDER BY lang""")),
+
+    // ---- X10: contiguous sequence packing into context windows ----------
+    QueryDef("q78_sequence_packing",
+      (s, dir) => Curation.packContiguous(
+          Tables.load(s, dir, "documents"), "lang", "doc_id", "n_chars",
+          4096L)
+        .orderBy("lang", "bin"),
+      Some("""WITH c AS (SELECT lang, doc_id, n_chars,
+          coalesce(sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+        FROM documents)
+        SELECT lang, CAST(floor(s / 4096.0) AS BIGINT) AS bin,
+          count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS units
+        FROM c GROUP BY lang, bin ORDER BY lang, bin""")))
 }

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+import graft.operators.{Curation, Sampling}
+
+class SamplingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("deterministicSample: reproducible, salt-sensitive, ~frac sized") {
+    val ids = spark.range(0, 4000).toDF("id")
+    val s1 = Sampling.deterministicSample(ids, "id", 0.25, "a")
+      .as[Long].collect().toSet
+    val s2 = Sampling.deterministicSample(ids, "id", 0.25, "a")
+      .as[Long].collect().toSet
+    val s3 = Sampling.deterministicSample(ids, "id", 0.25, "b")
+      .as[Long].collect().toSet
+    assert(s1 == s2)                 // same salt → same rows, always
+    assert(s3 != s1)                 // different salt → different rows
+    assert(math.abs(s1.size - 1000) < 150) // ~25% of 4000
+    // nested property: a smaller frac with the same salt is NOT
+    // guaranteed to nest (threshold moves), but frac=0 and frac=1 bound
+    assert(Sampling.deterministicSample(ids, "id", 0.0, "a").count() == 0)
+    assert(Sampling.deterministicSample(ids, "id", 1.0, "a").count() == 4000)
+  }
+
+  test("balanceStrata: every stratum lands near the smallest's size") {
+    val df = (Seq.fill(1600)("big") ++ Seq.fill(400)("small"))
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "source")
+    val bal = Sampling.balanceStrata(df, "source", "id", "mix")
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(bal("small") == 400)            // smallest stratum: kept whole
+    assert(math.abs(bal("big") - 400) < 120) // big: downsampled to ~400
+    // deterministic: second run identical
+    val again = Sampling.balanceStrata(df, "source", "id", "mix")
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(again == bal)
+  }
+
+  test("scrubPii replaces emails and phone spans with placeholders") {
+    val df = Seq(
+      ("reach me at jo.doe+x@mail-host.co.uk thanks",
+        "reach me at <EMAIL> thanks"),
+      ("call +1-555-0042 or (020) 7946-0958 now",
+        "call <PHONE> or <PHONE> now"),
+      ("no pii here", "no pii here"))
+      .toDF("raw", "expected")
+    val bad = df.filter(Text.scrubPii(col("raw")) =!= col("expected"))
+      .count()
+    assert(bad == 0)
+  }
+
+  test("contamination finds planted train/bench n-gram overlap only") {
+    val shared = (1 to 10).map("s" + _).mkString(" ") // 10 tokens
+    val train = Seq(
+      (1L, shared + " tail tokens here"),
+      (2L, "completely different words " + (1 to 8).map("t" + _)
+        .mkString(" "))).toDF("doc_id", "text")
+    val bench = Seq((100L, shared + " other ending")).toDF("doc_id", "text")
+    val hits = Curation.contamination(train, bench, "doc_id", "text", n = 8)
+      .as[(Long, Long, Long)].collect().toSeq
+    // doc 1 shares the 3 8-grams inside `shared`; doc 2 shares none
+    assert(hits == Seq((1L, 3L, 1L)))
+  }
+
+  test("packContiguous assigns docs to contexts by starting offset") {
+    val docs = Seq(
+      (1L, "en", 3000L), (2L, "en", 2000L), (3L, "en", 2000L),
+      (4L, "de", 5000L))
+      .toDF("doc_id", "lang", "n_chars")
+    val packed = Curation
+      .packContiguous(docs, "lang", "doc_id", "n_chars", 4096L)
+      .orderBy("lang", "bin")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // en: doc1 starts 0 → bin 0; doc2 starts 3000 → bin 0; doc3 starts
+    // 5000 → bin 1. de: doc4 starts 0 → bin 0.
+    assert(packed == Seq(
+      ("de", 0L, 1L, 5000L), ("en", 0L, 2L, 5000L), ("en", 1L, 1L, 2000L)))
+  }
+}

@@ -188,6 +188,26 @@ object Dedup {
         col("jaccard")): _*)
   }
 
+  /** X1 incremental: dedup a NEW batch against an already-ingested
+    * corpus — the continual-ingestion shape (nightly crawl vs the
+    * existing 100 TB corpus). Survivors are batch rows that are (a)
+    * first of their digest within the batch and (b) not present in the
+    * corpus. Cost: one digest agg over the (small) batch + one anti
+    * join against the corpus digest stream — the corpus is never
+    * re-deduped, only scanned for digests (at scale, keep the digest
+    * set as its own bucketed table and this becomes a co-located
+    * join). */
+  def incrementalNew(batch: DataFrame, corpus: DataFrame, idCol: String,
+                     textCol: String): DataFrame = {
+    val firstIds = batch.groupBy(md5(col(textCol)).as("_d"))
+      .agg(min(col(idCol)).as(idCol)).select(idCol)
+    val seen = corpus.select(md5(col(textCol)).as("_d")).distinct()
+    batch.join(firstIds, Seq(idCol), "left_semi")
+      .withColumn("_d", md5(col(textCol)))
+      .join(seen, Seq("_d"), "left_anti")
+      .drop("_d")
+  }
+
   /** SimHash: 64-bit signature — bit j of each token's hash votes ±1;
     * the sign of the tally sets bit j of the fingerprint. Near-dups have
     * small Hamming distance. Computed by the NATIVE one-pass expression

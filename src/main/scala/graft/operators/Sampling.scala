@@ -37,6 +37,20 @@ object Sampling {
       lit((frac * 4294967296.0).toLong))
   }
 
+  /** Deterministic k-per-stratum sample — the reproducible "inspect a
+    * few docs from every domain" query. Rank within each stratum by
+    * (portable hash, id) and keep the first k; the same (salt, k)
+    * always returns the same rows. One partitioned window — no global
+    * sort, no collect. */
+  def sampleKPerStratum(df: DataFrame, stratumCol: String, idCol: String,
+                        k: Int, salt: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(portableHash(col(idCol), salt).asc, col(idCol).asc)
+    df.withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= k)
+  }
+
   /** Balanced domain mixture: deterministically downsample every
     * stratum (e.g. source/domain) to approximately the smallest
     * stratum's size — the "uniform mixture" corpus build. Keep-rate per

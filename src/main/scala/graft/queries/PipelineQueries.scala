@@ -800,5 +800,60 @@ object PipelineQueries {
         FROM documents)
         SELECT lang, CAST(floor(s / 4096.0) AS BIGINT) AS bin,
           count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS units
-        FROM c GROUP BY lang, bin ORDER BY lang, bin""")))
+        FROM c GROUP BY lang, bin ORDER BY lang, bin""")),
+
+    // ---- X1 incremental: new batch vs existing corpus -------------------
+    QueryDef("q79_incremental_dedup",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Dedup.incrementalNew(
+            docs.filter(col("doc_id") % 5 === 0),   // tonight's batch
+            docs.filter(col("doc_id") % 5 =!= 0),   // the corpus
+            "doc_id", "text")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n"), min("doc_id").as("first_id"))
+          .orderBy("lang")
+      },
+      Some("""WITH batch AS (
+          SELECT * FROM documents WHERE doc_id % 5 = 0),
+        firsts AS (SELECT min(doc_id) AS doc_id FROM batch
+          GROUP BY md5(text)),
+        fresh AS (SELECT b.* FROM batch b
+          WHERE b.doc_id IN (SELECT doc_id FROM firsts)
+            AND NOT EXISTS (SELECT 1 FROM documents c
+              WHERE c.doc_id % 5 <> 0 AND md5(c.text) = md5(b.text)))
+        SELECT lang, count(*) AS n, min(doc_id) AS first_id
+        FROM fresh GROUP BY lang ORDER BY lang""")),
+
+    // ---- X7: deterministic k-per-stratum inspection sample --------------
+    QueryDef("q80_stratum_sample",
+      (s, dir) => Sampling.sampleKPerStratum(
+          Tables.load(s, dir, "documents"), "source", "doc_id", 3, "peek-v1")
+        .select(col("source"), col("doc_id"), col("sample_rank"))
+        .orderBy("source", "sample_rank"),
+      Some("""SELECT source, doc_id, sample_rank FROM (
+          SELECT source, doc_id,
+            CAST(row_number() OVER (PARTITION BY source
+              ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                || '|peek-v1'), 1, 8)) AS UBIGINT) ASC, doc_id ASC)
+              AS INT) AS sample_rank
+          FROM documents) t
+        WHERE sample_rank <= 3 ORDER BY source, sample_rank""")),
+
+    // ---- X4/A: exact per-group distribution stats -----------------------
+    QueryDef("q81_length_percentiles",
+      (s, dir) => Tables.load(s, dir, "documents")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          round(expr("percentile(n_chars, 0.5)"), 4).as("p50"),
+          round(expr("percentile(n_chars, 0.9)"), 4).as("p90"),
+          round(expr("percentile(n_chars, 0.99)"), 4).as("p99"),
+          max("n_chars").as("longest"))
+        .orderBy("lang"),
+      Some("""SELECT lang, count(*) AS n,
+          round(quantile_cont(n_chars, 0.5), 4) AS p50,
+          round(quantile_cont(n_chars, 0.9), 4) AS p90,
+          round(quantile_cont(n_chars, 0.99), 4) AS p99,
+          max(n_chars) AS longest
+        FROM documents GROUP BY lang ORDER BY lang""")))
 }

@@ -64,6 +64,20 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("incrementalNew keeps only batch-first, corpus-unseen docs") {
+    val corpus = Seq((1L, "already ingested doc"), (2L, "another old doc"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "already ingested doc"),   // dup of corpus → dropped
+      (11L, "genuinely new content"),  // new → kept
+      (12L, "genuinely new content"),  // in-batch dup of 11 → dropped
+      (13L, "second new doc"))         // new → kept
+      .toDF("doc_id", "text")
+    val fresh = Dedup.incrementalNew(batch, corpus, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(fresh == Set(11L, 13L))
+  }
+
   test("blocked jaccard two-level size buckets do not lose " +
     "cross-bucket pairs") {
     // A ⊂ B with |A|=12, |B|=22 shingles: jaccard 12/22 ≈ 0.545 ≥ 0.5

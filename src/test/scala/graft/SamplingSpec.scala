@@ -40,6 +40,18 @@ class SamplingSpec extends SparkSpec {
     assert(again == bal)
   }
 
+  test("sampleKPerStratum: exactly k per stratum, reproducible") {
+    val df = (0 until 300).map(i => (i.toLong, "s" + (i % 3)))
+      .toDF("id", "source")
+    val s1 = Sampling.sampleKPerStratum(df, "source", "id", 5, "peek")
+      .select("source", "id").as[(String, Long)].collect().toSet
+    assert(s1.size == 15)
+    assert(s1.groupBy(_._1).forall(_._2.size == 5))
+    val s2 = Sampling.sampleKPerStratum(df, "source", "id", 5, "peek")
+      .select("source", "id").as[(String, Long)].collect().toSet
+    assert(s1 == s2)
+  }
+
   test("scrubPii replaces emails and phone spans with placeholders") {
     val df = Seq(
       ("reach me at jo.doe+x@mail-host.co.uk thanks",

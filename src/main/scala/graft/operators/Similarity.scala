@@ -37,6 +37,30 @@ object Similarity {
       .limit(k)
   }
 
+  /** X3 batch: exact top-k neighbors for EVERY query in a small query
+    * set — the bulk-inference shape. The query set broadcasts (one row
+    * per query vector); scoring is a map-only pass over the corpus; the
+    * per-query top-k runs through the custom bounded-heap plan
+    * (TopKPerGroup: O(n log k) heaps, no corpus-wide sort or window
+    * spill — falls back to the window formulation when the extension
+    * is not installed). At 100 TB this is the right shape as long as
+    * |queries| stays broadcast-sized; past that, bucket both sides
+    * (IVF) first. */
+  def batchTopK(emb: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, queryIdCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(queryIdCol).as("query_id"),
+      Vectors.toDouble(col(vecCol)).as("qvec")))
+    val scored = graft.scaleOut(emb)
+      .select(col(idCol), Vectors.toDouble(col(vecCol)).as("v"))
+      .crossJoin(q)
+      .filter(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol),
+        Vectors.cosine(col("v"), col("qvec")).as("cosine"))
+    graft.plans.TopK.perGroup(scored, Seq("query_id"),
+      Seq(graft.plans.TopK.desc("cosine"), graft.plans.TopK.asc(idCol)),
+      k)
+  }
+
   /** LSH-bucketed ANN: score only vectors in the query's bucket.
     * Multi-probe widening (flipping each signature bit) trades compute
     * for recall; `probes` = number of 1-bit-flip neighbor buckets to

@@ -855,5 +855,90 @@ object PipelineQueries {
           round(quantile_cont(n_chars, 0.9), 4) AS p90,
           round(quantile_cont(n_chars, 0.99), 4) AS p99,
           max(n_chars) AS longest
-        FROM documents GROUP BY lang ORDER BY lang""")))
+        FROM documents GROUP BY lang ORDER BY lang""")),
+
+    // ---- X3 batch: top-k for a whole query set via the custom plan ------
+    QueryDef("q82_batch_ann",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        Similarity.batchTopK(emb,
+            emb.filter(col("vec_id").isin(3L, 7L, 11L)),
+            "vec_id", "embedding", "vec_id", k = 5)
+          .select(col("query_id"), col("vec_id"),
+            round(col("cosine"), 6).as("cosine"))
+          .orderBy("query_id", "vec_id")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e
+          WHERE vec_id IN (3, 7, 11)),
+        scored AS (SELECT q.query_id, e.vec_id,
+            list_dot_product(e.v, q.qv)
+              / (sqrt(list_dot_product(e.v, e.v))
+                 * sqrt(list_dot_product(q.qv, q.qv))) AS cosine
+          FROM e, q WHERE e.vec_id <> q.query_id)
+        SELECT query_id, vec_id, round(cosine, 6) AS cosine FROM (
+          SELECT query_id, vec_id, cosine,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, vec_id ASC) AS rn
+          FROM scored) t
+        WHERE rn <= 5 ORDER BY query_id, vec_id""")),
+
+    // ---- X4/A: per-group z-score outlier flags --------------------------
+    // Group stats via groupBy + broadcast join-back (NOT a corpus-wide
+    // window): the stats frame is |event_type| rows, so the corpus gets
+    // one map-only pass — the shape that survives 100 TB.
+    QueryDef("q83_zscore_outliers",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val stats = ev.groupBy("event_type")
+          .agg(avg("value").as("_mu"), stddev_samp(col("value")).as("_sd"))
+        ev.join(broadcast(stats), Seq("event_type"))
+          .withColumn("_z", (col("value") - col("_mu")) / col("_sd"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(when(abs(col("_z")) > 3, 1L).otherwise(0L)).as("outliers"),
+            round(max(col("_z")), 4).as("max_z"),
+            round(min(col("_z")), 4).as("min_z"))
+          .orderBy("event_type")
+      },
+      Some("""WITH s AS (SELECT event_type, avg(value) AS mu,
+            stddev_samp(value) AS sd
+          FROM events GROUP BY event_type)
+        SELECT e.event_type, count(*) AS n,
+          CAST(sum(CASE WHEN abs((e.value - s.mu) / s.sd) > 3
+            THEN 1 ELSE 0 END) AS BIGINT) AS outliers,
+          round(max((e.value - s.mu) / s.sd), 4) AS max_z,
+          round(min((e.value - s.mu) / s.sd), 4) AS min_z
+        FROM events e JOIN s ON e.event_type = s.event_type
+        GROUP BY e.event_type ORDER BY e.event_type""")),
+
+    // ---- T2/X4: corpus-wide TF-IDF ranking ------------------------------
+    QueryDef("q84_tfidf_rank",
+      (s, dir) => {
+        val toks = graft.operators.Search.tokenStream(
+          Tables.load(s, dir, "documents"), "doc_id", "text")
+        val tf = toks.groupBy("doc_id", "token")
+          .agg(count(lit(1)).as("tf"))
+        val df_ = toks.groupBy("token")
+          .agg(countDistinct(col("doc_id")).as("df"))
+        val n = Tables.load(s, dir, "documents")
+          .agg(count(lit(1)).as("_n"))
+        tf.join(df_, Seq("token")).crossJoin(broadcast(n))
+          .select(col("doc_id"), col("token"),
+            round(col("tf") * log((col("_n") + 1.0) / (col("df") + 1.0)), 6)
+              .as("tfidf"))
+          .orderBy(col("tfidf").desc, col("doc_id").asc, col("token").asc)
+          .limit(20)
+      },
+      Some("""WITH t AS (SELECT doc_id,
+            unnest(string_split(lower(text), ' ')) AS token
+          FROM documents),
+        tf AS (SELECT doc_id, token, count(*) AS tf FROM t GROUP BY 1, 2),
+        df AS (SELECT token, count(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+        n AS (SELECT count(*) AS n FROM documents)
+        SELECT doc_id, token,
+          round(tf * ln((n + 1.0) / (df + 1.0)), 6) AS tfidf
+        FROM tf JOIN df USING (token) CROSS JOIN n
+        ORDER BY tfidf DESC, doc_id ASC, token ASC LIMIT 20""")))
 }

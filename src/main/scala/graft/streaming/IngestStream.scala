@@ -108,6 +108,22 @@ object IngestStream {
         col("n"))
   }
 
+  /** R-surface extension: stream-stream equi-join with bounded state.
+    * Both sides are watermarked and the time-range predicate bounds how
+    * long either side's state is retained (without it Spark would have
+    * to keep every row forever). Right-side events join when they occur
+    * within [left ts, left ts + within]. */
+  def joinStreams(left: DataFrame, right: DataFrame, keyCol: String,
+                  leftTsCol: String, rightTsCol: String,
+                  watermark: String, within: String): DataFrame = {
+    val l = left.withWatermark(leftTsCol, watermark).alias("l")
+    val r = right.withWatermark(rightTsCol, watermark).alias("r")
+    l.join(r, expr(
+      s"""l.$keyCol = r.$keyCol AND
+          r.$rightTsCol >= l.$leftTsCol AND
+          r.$rightTsCol <= l.$leftTsCol + INTERVAL $within"""))
+  }
+
   /** R4: explicit streaming dedup by id within the watermark horizon —
     * the same id re-arriving with a different event timestamp is still a
     * duplicate and is dropped (state for an id expires once the

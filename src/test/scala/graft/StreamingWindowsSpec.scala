@@ -118,6 +118,31 @@ class StreamingWindowsSpec extends SparkSpec {
     assert(wins == Set("2024-01-01 00:00:00", "2024-01-01 00:05:00"))
   }
 
+  test("stream-stream join pairs events within the time bound only") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(String, java.sql.Timestamp)]
+    val buys = MemoryStream[(String, java.sql.Timestamp)]
+    val joined = IngestStream.joinStreams(
+      clicks.toDF().toDF("user", "click_ts"),
+      buys.toDF().toDF("user", "buy_ts"),
+      "user", "click_ts", "buy_ts",
+      watermark = "1 minute", within = "10 minutes")
+    val q = joined
+      .select(col("l.user").as("user"), col("click_ts"), col("buy_ts"))
+      .writeStream.format("memory").queryName("ss_join_out")
+      .outputMode("append").start()
+    clicks.addData(("u1", t("2024-01-01 00:00:00")),
+      ("u2", t("2024-01-01 00:00:00")))
+    buys.addData(
+      ("u1", t("2024-01-01 00:05:00")),  // within 10 min → joins
+      ("u2", t("2024-01-01 00:30:00")))  // outside bound → dropped
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ss_join_out").select("user")
+      .as[String].collect().toSeq
+    assert(rows == Seq("u1"))
+  }
+
   test("unsupported format and non-literal extension args fail loudly") {
     import graft.sources.Lake
     intercept[IllegalArgumentException] {

@@ -920,8 +920,9 @@ object PipelineQueries {
           Tables.load(s, dir, "documents"), "doc_id", "text")
         val tf = toks.groupBy("doc_id", "token")
           .agg(count(lit(1)).as("tf"))
-        val df_ = toks.groupBy("token")
-          .agg(countDistinct(col("doc_id")).as("df"))
+        // df derived FROM tf (one row per (doc, token) already), so the
+        // exploded token stream shuffles once, not twice
+        val df_ = tf.groupBy("token").agg(count(lit(1)).as("df"))
         val n = Tables.load(s, dir, "documents")
           .agg(count(lit(1)).as("_n"))
         tf.join(df_, Seq("token")).crossJoin(broadcast(n))

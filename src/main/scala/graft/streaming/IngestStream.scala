@@ -124,6 +124,27 @@ object IngestStream {
           r.$rightTsCol <= l.$leftTsCol + INTERVAL $within"""))
   }
 
+  /** R-surface extension: arbitrary keyed state via mapGroupsWithState —
+    * the primitive for stateful logic no built-in window expresses.
+    * Running per-key totals that persist ACROSS micro-batches (state =
+    * one Long per key, stored in the state store, checkpointed with the
+    * query). Emits the updated total for every key seen in a batch —
+    * run with OutputMode.Update. */
+  def runningCounts(events: DataFrame, keyCol: String): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col(keyCol).cast("string")).as[String]
+      .groupByKey(identity)
+      .mapGroupsWithState[Long, (String, Long)](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+        (key, rows, state) =>
+          val total = state.getOption.getOrElse(0L) + rows.size
+          state.update(total)
+          (key, total)
+      }
+      .toDF(keyCol, "total")
+  }
+
   /** R4: explicit streaming dedup by id within the watermark horizon —
     * the same id re-arriving with a different event timestamp is still a
     * duplicate and is dropped (state for an id expires once the

@@ -143,6 +143,23 @@ class StreamingWindowsSpec extends SparkSpec {
     assert(rows == Seq("u1"))
   }
 
+  test("mapGroupsWithState running counts persist across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val counts = IngestStream.runningCounts(mem.toDF().toDF("k"), "k")
+    val q = counts.writeStream.format("memory").queryName("state_out")
+      .outputMode("update").start()
+    mem.addData("a", "a", "b")
+    q.processAllAvailable()
+    mem.addData("a")          // second batch: state must carry a=2 over
+    q.processAllAvailable()
+    q.stop()
+    val latest = spark.table("state_out")
+      .groupBy("k").agg(max("total").as("total"))
+      .as[(String, Long)].collect().toMap
+    assert(latest == Map("a" -> 3L, "b" -> 1L))
+  }
+
   test("unsupported format and non-literal extension args fail loudly") {
     import graft.sources.Lake
     intercept[IllegalArgumentException] {

@@ -46,6 +46,30 @@ class PlanSpec extends SparkSpec {
     assert(plan("q09_anti_join").contains("LeftAnti"))
   }
 
+  test("q82: batch ANN plans through the custom bounded-heap operator " +
+    "and broadcasts the query set") {
+    val p = plan("q82_batch_ann")
+    assert(p.contains("TopKPerGroup"), p.take(2000))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p.take(2000))
+  }
+
+  test("q83: per-group stats join back via broadcast, no corpus window") {
+    val p = plan("q83_zscore_outliers")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("WindowExec"), p.take(2000))
+  }
+
+  test("q74: deterministic sample scan prunes to the aggregated columns") {
+    val p = plan("q74_deterministic_sample")
+    val readSchema = p.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id"), readSchema)
+    assert(readSchema.contains("lang"), readSchema)
+    assert(!readSchema.contains("text"), readSchema)
+    assert(!readSchema.contains("embedding"), readSchema)
+  }
+
   test("no registered query uses a Scala/Python UDF") {
     for ((name, _) <- SparkEntry.defs) {
       val p = plan(name)

@@ -98,10 +98,10 @@ object LakeQueries {
         // coalesce(1): the sniffer below reads a single part file, so the
         // whole table must land in one file per format.
         val nation = Tables.load(s, dir, "nation").coalesce(1)
-        Seq("csv", "json", "parquet").foreach { fmt =>
+        Seq("csv", "json", "orc", "parquet").foreach { fmt =>
           Lake.writeZone(nation, root, Lake.Raw, s"nation_$fmt", fmt)
         }
-        val perFormat = Seq("csv", "json", "parquet").map { fmt =>
+        val perFormat = Seq("csv", "json", "orc", "parquet").map { fmt =>
           val dirPath = java.nio.file.Paths
             .get(Lake.zonePath(root, Lake.Raw, s"nation_$fmt"))
           val dataFile = Files.list(dirPath).iterator().asScala
@@ -116,8 +116,27 @@ object LakeQueries {
       },
       Some("""SELECT 'csv' AS fmt, count(*) AS n FROM nation
         UNION ALL SELECT 'json', count(*) FROM nation
+        UNION ALL SELECT 'orc', count(*) FROM nation
         UNION ALL SELECT 'parquet', count(*) FROM nation
         ORDER BY fmt"""),
+      kind = QueryDef.Pipeline),
+
+    // ---- S2/K2 ORC: columnar-alternative roundtrip ----------------------
+    QueryDef("q85_orc_roundtrip",
+      (s, dir) => {
+        val root = Files.createTempDirectory("graft_orc").toString
+        val supplier = Tables.load(s, dir, "supplier")
+        Lake.writeZone(supplier, root, Lake.Processed, "supplier", "orc")
+        Lake.read(s, Lake.zonePath(root, Lake.Processed, "supplier"), "orc")
+          .groupBy("s_nationkey")
+          .agg(count(lit(1)).as("n"),
+            graft.functions.Num.moneySum(col("s_acctbal"), 2).as("total_bal"))
+          .orderBy("s_nationkey")
+      },
+      Some("""SELECT s_nationkey, count(*) AS n,
+          CAST(round(sum(CAST(s_acctbal AS DECIMAL(25,6))),2) AS DOUBLE)
+            AS total_bal
+        FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey"""),
       kind = QueryDef.Pipeline),
 
     // ---- S7/W1/P5-P8: conjunctive metadata search, recent-first, limit ------

@@ -45,6 +45,7 @@ object Lake {
     if (k.endsWith(".csv")) Some("csv")
     else if (k.endsWith(".json")) Some("json")
     else if (k.endsWith(".parquet")) Some("parquet")
+    else if (k.endsWith(".orc")) Some("orc")
     else None
   }
 
@@ -83,6 +84,7 @@ object Lake {
         spark.read.option("multiLine", sniffJsonMultiline(path).toString)
           .json(path)
       case "parquet" => spark.read.parquet(path)
+      case "orc"     => spark.read.orc(path)
       case other =>
         throw new IllegalArgumentException(s"unsupported format: $other")
     }
@@ -104,6 +106,7 @@ object Lake {
       case "csv"     => w.option("header", "true").csv(path)
       case "json"    => w.json(path)
       case "parquet" => w.parquet(path)
+      case "orc"     => w.orc(path)
       case other =>
         throw new IllegalArgumentException(s"unsupported format: $other")
     }

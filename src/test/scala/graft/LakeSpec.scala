@@ -12,6 +12,7 @@ class LakeSpec extends SparkSpec {
     assert(Lake.detectFileType("a/b/data.CSV").contains("csv"))
     assert(Lake.detectFileType("x.json").contains("json"))
     assert(Lake.detectFileType("x.snappy.parquet").contains("parquet"))
+    assert(Lake.detectFileType("x.ORC").contains("orc"))
     assert(Lake.detectFileType("x.txt").isEmpty)
     assert(Lake.detectFileType("x").isEmpty)
   }

@@ -33,6 +33,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     case other => throw new IllegalArgumentException(
       s"$what must be a long literal, got $other")
   }
+  private def strLit(e: Expression, what: String): String = e match {
+    case Literal(v: org.apache.spark.unsafe.types.UTF8String, _)
+      if v != null => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got $other")
+  }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     // Whole-operator extension: per-group top-k with bounded heaps
@@ -142,6 +148,47 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(text, s) => SimHash64(text, longLit(s, "seed"))
         case other => throw new IllegalArgumentException(
           s"simhash64 expects 1-2 args, got ${other.size}")
+      }))
+    // Pipeline scalar surface (SQL parity with the Column API): the
+    // same codegen'd built-in compositions as Text.scrubPii /
+    // Sampling.portableHash, assembled as raw Catalyst expressions
+    // (injected functions must return resolvable expressions; the
+    // Column bridge would leave an unresolved node). Equivalence with
+    // the Column API is test-guarded (NativeExpressionsSpec).
+    ext.injectFunction((
+      new FunctionIdentifier("scrub_pii"),
+      new ExpressionInfo(graft.functions.Text.getClass.getName,
+        "scrub_pii"),
+      (children: Seq[Expression]) => children match {
+        case Seq(text) =>
+          import org.apache.spark.sql.catalyst.expressions.RegExpReplace
+          RegExpReplace(
+            RegExpReplace(text, Literal(graft.functions.Text.emailRe),
+              Literal("<EMAIL>")),
+            Literal(graft.functions.Text.phoneRe), Literal("<PHONE>"))
+        case other => throw new IllegalArgumentException(
+          s"scrub_pii expects 1 arg, got ${other.size}")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("portable_hash"),
+      new ExpressionInfo(graft.operators.Sampling.getClass.getName,
+        "portable_hash"),
+      (children: Seq[Expression]) => children match {
+        case Seq(id, salt) =>
+          import org.apache.spark.sql.catalyst.expressions.{Cast, Concat,
+            Conv, Md5, Substring}
+          import org.apache.spark.sql.types.{BinaryType, LongType,
+            StringType}
+          Cast(
+            Conv(
+              Substring(
+                Md5(Cast(Concat(Seq(Cast(id, StringType),
+                  Literal("|" + strLit(salt, "salt")))), BinaryType)),
+                Literal(1), Literal(8)),
+              Literal(16), Literal(10)),
+            LongType)
+        case other => throw new IllegalArgumentException(
+          s"portable_hash expects (id, salt) args, got ${other.size}")
       }))
   }
 }

@@ -108,4 +108,22 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)))
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
+
+  test("scrub_pii / portable_hash SQL surface matches the Column API") {
+    Seq(("mail me: a.b@c.io or +1-555-0042", 7L))
+      .toDF("t", "id").createOrReplaceTempView("pii_t")
+    val r = spark.sql(
+      "SELECT scrub_pii(t) AS c, portable_hash(id, 'x') AS h FROM pii_t")
+      .head()
+    assert(r.getAs[String]("c") == "mail me: <EMAIL> or <PHONE>")
+    val viaColumn = Seq(7L).toDF("id")
+      .select(graft.operators.Sampling.portableHash(col("id"), "x"))
+      .head().getLong(0)
+    assert(r.getAs[Long]("h") == viaColumn)
+    // non-literal salt fails loudly
+    val err = intercept[Exception] {
+      spark.sql("SELECT portable_hash(id, t) FROM pii_t").collect()
+    }
+    assert(err.getMessage.contains("string literal"))
+  }
 }

@@ -565,5 +565,58 @@ object RelationalQueries {
       Some("""SELECT l_linestatus, min(l_shipdate) AS earliest,
         max(l_shipdate) AS latest, min(l_quantity) AS min_qty,
         max(l_quantity) AS max_qty, count(*) AS n
-        FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""")))
+        FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""")),
+
+    // ---- A6: pivot — wide per-day event-type counts ---------------------
+    // Explicit pivot value list: without it Spark runs an extra distinct
+    // job to discover columns (collect on the driver — wrong at scale).
+    QueryDef("q86_pivot_daily",
+      (s, dir) => Tables.events(s, dir)
+        // ts is epoch-nanos (see Tables.events); truncate via micros.
+        // day rendered as a string: engines disagree on DATE dtype in
+        // the compare layer (date vs midnight-timestamp)
+        .withColumn("day", date_format(
+          timestamp_micros(expr("ts DIV 1000")), "yyyy-MM-dd"))
+        .filter(col("day") < lit("2024-01-08"))
+        .groupBy("day")
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("day"),
+      Some("""SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+          CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+            AS BIGINT) AS click,
+          CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+            AS BIGINT) AS error,
+          CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS purchase,
+          CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+            AS BIGINT) AS signup,
+          CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+            AS BIGINT) AS view
+        FROM events
+        WHERE strftime(CAST(ts AS DATE), '%Y-%m-%d') < '2024-01-08'
+        GROUP BY day ORDER BY day""")),
+
+    // ---- W3: ntile decile bucketing --------------------------------------
+    QueryDef("q87_ntile_deciles",
+      (s, dir) => Tables.load(s, dir, "customer")
+        .select(col("c_custkey"),
+          ntile(10).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("c_mktsegment"))
+            .orderBy(col("c_acctbal").desc, col("c_custkey").asc))
+            .as("decile"),
+          col("c_mktsegment"))
+        .groupBy("c_mktsegment", "decile")
+        .agg(count(lit(1)).as("n"), min("c_custkey").as("first_key"))
+        .orderBy("c_mktsegment", "decile"),
+      Some("""SELECT c_mktsegment, decile, count(*) AS n,
+          min(c_custkey) AS first_key
+        FROM (SELECT c_mktsegment, c_custkey,
+            CAST(ntile(10) OVER (PARTITION BY c_mktsegment
+              ORDER BY c_acctbal DESC, c_custkey ASC) AS INT) AS decile
+          FROM customer) t
+        GROUP BY c_mktsegment, decile
+        ORDER BY c_mktsegment, decile""")))
 }

@@ -17,6 +17,22 @@ class LakeSpec extends SparkSpec {
     assert(Lake.detectFileType("x").isEmpty)
   }
 
+  test("partitioned zone write prunes partitions at read (the K1 " +
+    "layout's entire point at 100 TB)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_part").toString
+    val df = Seq((1L, "en", "a"), (2L, "en", "b"), (3L, "de", "c"))
+      .toDF("id", "lang", "payload")
+    Lake.writeZone(df, root, Lake.Raw, "docs", "parquet",
+      partitionCols = Seq("lang"))
+    val read = spark.read
+      .parquet(Lake.zonePath(root, Lake.Raw, "docs"))
+      .filter(col("lang") === "en")
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(lang"), plan)
+    assert(read.count() == 2)
+  }
+
   test("sniffJsonMultiline: array-of-objects vs NDJSON") {
     val dir = Files.createTempDirectory("graft_sniff_test")
     val arr = dir.resolve("arr.json")

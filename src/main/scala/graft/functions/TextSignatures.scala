@@ -131,6 +131,39 @@ object TextSignatureKernels {
     if (denom > 0) dot / denom else null
   }
 
+  /** One-pass OR-amplified hyperplane LSH over an `array<double>`:
+    * `nTables` bucket ids of `nPlanes` sign bits each. Weights are ±1
+    * from XXH64 of the (seed → table → plane → dim) chain — planes are
+    * derived, never materialized or broadcast. Replaces nTables ×
+    * nPlanes interpreted higher-order-function projections with one
+    * codegen'd pass. */
+  def hyperplaneBuckets(v: ArrayData, nPlanes: Int, nTables: Int,
+                        seed: Long): ArrayData = {
+    val n = v.numElements()
+    val out = new Array[Long](nTables)
+    var t = 0
+    while (t < nTables) {
+      val tSeed = XXH64.hashLong(t, seed)
+      var bucket = 0L
+      var j = 0
+      while (j < nPlanes) {
+        val pSeed = XXH64.hashLong(j, tSeed)
+        var acc = 0.0
+        var i = 0
+        while (i < n) {
+          val x = v.getDouble(i)
+          acc += (if ((XXH64.hashLong(i, pSeed) & 1L) == 0L) x else -x)
+          i += 1
+        }
+        if (acc >= 0) bucket |= (1L << j)
+        j += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** One-pass 64-bit SimHash: each distinct-position token votes ±1 on
     * every bit of its hash; the tally signs become the fingerprint. */
   def simhash(text: UTF8String, seed: Long): Long = {
@@ -283,6 +316,31 @@ case class SimHash64(child: Expression, seed: Long)
       newChild: Expression): SimHash64 = copy(child = newChild)
 }
 
+/** `hyperplane_buckets(vec)` → `array<long>`: nTables OR-amplified LSH
+  * bucket ids (nPlanes sign bits each) in one codegen'd pass (see
+  * TextSignatureKernels.hyperplaneBuckets). */
+case class HyperplaneBuckets(child: Expression, nPlanes: Int,
+                             nTables: Int, seed: Long)
+    extends UnaryExpression {
+  require(nPlanes > 0 && nPlanes <= 62, "nPlanes must be in [1,62]")
+  require(nTables > 0 && nTables <= 64, "nTables must be in [1,64]")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hyperplane_buckets"
+
+  override def nullSafeEval(input: Any): Any =
+    TextSignatureKernels.hyperplaneBuckets(input.asInstanceOf[ArrayData],
+      nPlanes, nTables, seed)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextSignatureKernels.hyperplaneBuckets(" +
+        s"$c, $nPlanes, $nTables, ${seed}L)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): HyperplaneBuckets = copy(child = newChild)
+}
+
 /** Column-API entry points for the native signature expressions. */
 object Native {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
@@ -303,6 +361,10 @@ object Native {
 
   def cosineSim(a: Column, b: Column): Column =
     column(CosineSim(expression(a), expression(b)))
+
+  def hyperplaneBuckets(vec: Column, nPlanes: Int, nTables: Int,
+                        seed: Long = 42L): Column =
+    column(HyperplaneBuckets(expression(vec), nPlanes, nTables, seed))
 
   /** Probe a materialized Bloom filter (built with the SQL
     * `bloom_filter_agg` this library registers). The filter binary is

@@ -242,21 +242,34 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Embedding near-dup: LSH-bucket join + exact cosine ≥ threshold.
-    * The bucket key collapses the cross product; only same-bucket pairs
-    * are scored. */
+  /** Embedding near-dup: OR-amplified LSH — `nTables` independent
+    * hyperplane tables of `nPlanes` bits each; a pair becomes a
+    * candidate if ANY table buckets it together (recall per pair with
+    * same-bucket prob p: 1-(1-pᵏ)ᴸ, vs the single-table pᵏ that made
+    * the one-table variant miss most mid-similarity pairs). Candidates
+    * are deduplicated as bare id pairs BEFORE vectors are fetched, so
+    * the cross-table fan-out never ships or re-scores arrays; exact
+    * cosine ≥ threshold verifies survivors only. The (table, bucket)
+    * join key stays uniform — never all-pairs. */
   def nearDupPairsEmbedding(df: DataFrame, idCol: String, vecCol: String,
-                            threshold: Double, nPlanes: Int = 12): DataFrame = {
-    val withB = graft.scaleOut(df, col(idCol))
+                            threshold: Double, nPlanes: Int = 6,
+                            nTables: Int = 8): DataFrame = {
+    val withV = graft.scaleOut(df, col(idCol))
       .select(col(idCol).as("doc"),
         Vectors.toDouble(col(vecCol)).as("v"))
-      .withColumn("bucket", Vectors.lshBucket(col("v"), nPlanes))
-    val a = withB.select(col("bucket"), col("doc").as("id_a"),
-      col("v").as("v_a"))
-    val b = withB.select(col("bucket"), col("doc").as("id_b"),
-      col("v").as("v_b"))
-    a.join(b, Seq("bucket"))
+    val keyed = withV.select(col("doc"),
+      posexplode(Native.hyperplaneBuckets(col("v"), nPlanes, nTables)))
+      .toDF("doc", "tab", "bucket")
+    val a = keyed.select(col("tab"), col("bucket"), col("doc").as("id_a"))
+    val b = keyed.select(col("tab"), col("bucket"), col("doc").as("id_b"))
+    val cand = a.join(b, Seq("tab", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(withV.select(col("doc").as("id_a"), col("v").as("v_a")),
+        Seq("id_a"))
+      .join(withV.select(col("doc").as("id_b"), col("v").as("v_b")),
+        Seq("id_b"))
       .withColumn("cosine", Vectors.cosine(col("v_a"), col("v_b")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")

@@ -190,10 +190,10 @@ object PipelineQueries {
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")
         val found = Dedup.nearDupPairsEmbedding(emb, "vec_id", "embedding",
-          threshold = 0.4, nPlanes = 4)
+          threshold = 0.4, nPlanes = 6, nTables = 8)
         val sampleEmb = emb.filter(col("vec_id") < 300)
         val foundS = Dedup.nearDupPairsEmbedding(sampleEmb, "vec_id",
-          "embedding", threshold = 0.4, nPlanes = 4)
+          "embedding", threshold = 0.4, nPlanes = 6, nTables = 8)
         val sample = sampleEmb
           .select(col("vec_id"),
             graft.functions.Vectors.toDouble(col("embedding")).as("v"))

@@ -109,6 +109,25 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("hyperplane_buckets: deterministic, scale-invariant, " +
+    "table count honored") {
+    import graft.functions.Native
+    val df = Seq(
+      (1L, Array(0.3, -1.2, 0.8, 2.0)),
+      (2L, Array(0.6, -2.4, 1.6, 4.0)),  // 2× vector 1: same signs
+      (3L, Array(-0.3, 1.2, -0.8, -2.0))) // negated: complement signs
+      .toDF("id", "v")
+      .select(col("id"), Native.hyperplaneBuckets(col("v"), 6, 8).as("b"))
+    val rows = df.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    assert(rows(1).size == 8)
+    assert(rows(1) == rows(2))    // positive scaling never moves buckets
+    assert(rows(1) != rows(3))
+    // re-evaluation is bit-identical (pure function of (v, seed))
+    assert(df.collect().map(_.getSeq[Long](1).toList).toList ==
+      List(rows(1), rows(2), rows(3)))
+  }
+
   test("scrub_pii / portable_hash SQL surface matches the Column API") {
     Seq(("mail me: a.b@c.io or +1-555-0042", 7L))
       .toDF("t", "id").createOrReplaceTempView("pii_t")

@@ -66,23 +66,31 @@ object Similarity {
     * for recall; `probes` = number of 1-bit-flip neighbor buckets to
     * also visit (0 = exact-bucket only). */
   def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
-              queryId: Long, k: Int, nPlanes: Int = 12,
-              probes: Int = 0): DataFrame = {
-    val withBucket = graft.scaleOut(emb)
+              queryId: Long, k: Int, nPlanes: Int = 6,
+              probes: Int = 0, nTables: Int = 8): DataFrame = {
+    val withV = graft.scaleOut(emb)
       .select(col(idCol), Vectors.toDouble(col(vecCol)).as("v"))
-      .withColumn("bucket", Vectors.lshBucket(col("v"), nPlanes))
-    val qrow = withBucket.filter(col(idCol) === queryId)
-      .select(col("v").as("qvec"), col("bucket").as("qbucket"))
-    // Probe set: the query bucket plus `probes` 1-bit flips of it.
-    val probeBuckets = broadcast(qrow.select(
-      explode(transform(sequence(lit(0), lit(probes)), i =>
-        when(i === 0, col("qbucket"))
-          .otherwise(col("qbucket")
-            .bitwiseXOR(call_function("shiftleft", lit(1L), i - 1)))))
-        .as("bucket"),
-      col("qvec")))
-    withBucket.filter(col(idCol) =!= queryId)
-      .join(probeBuckets, Seq("bucket"))
+    // OR-amplified tables (see Dedup.nearDupPairsEmbedding): candidates
+    // share ANY per-table bucket with the query; per-table multi-probe
+    // widens each with `probes` 1-bit flips. Candidate ids deduplicate
+    // BEFORE vectors are re-joined, so the fan-out ships no arrays.
+    val keyed = withV.select(col(idCol),
+      posexplode(graft.functions.Native.hyperplaneBuckets(
+        col("v"), nPlanes, nTables)))
+      .toDF(idCol, "tab", "bucket")
+    val probeKeys = broadcast(keyed.filter(col(idCol) === queryId)
+      .select(col("tab"),
+        explode(transform(sequence(lit(0), lit(probes)), i =>
+          when(i === 0, col("bucket"))
+            .otherwise(col("bucket")
+              .bitwiseXOR(call_function("shiftleft", lit(1L), i - 1)))))
+          .as("bucket")))
+    val candIds = keyed.filter(col(idCol) =!= queryId)
+      .join(probeKeys, Seq("tab", "bucket"))
+      .select(idCol).distinct()
+    val qvec = broadcast(withV.filter(col(idCol) === queryId)
+      .select(col("v").as("qvec")))
+    candIds.join(withV, Seq(idCol)).crossJoin(qvec)
       .select(col(idCol), Vectors.cosine(col("v"), col("qvec")).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)

@@ -154,4 +154,32 @@ object Lake {
     spark.read.text(path)
       .select(col("value").as("raw"),
         from_json(col("value"), schema).as("doc"))
+
+  /** S3 robustness: NDJSON read with corrupt-record quarantine. The
+    * reference try/except-logs-and-skips malformed payloads
+    * (lambda-function.py); losing them silently is wrong for a
+    * pipeline, so the parse splits into (good rows, quarantined raw
+    * lines) — route the latter to a quarantine zone. Built on the text
+    * scan + from_json (filtering Spark's internal _corrupt_record
+    * column directly is disallowed on raw file scans), so both halves
+    * ride ONE text scan, map-only. */
+  def readJsonQuarantine(spark: SparkSession, path: String,
+                         schema: types.StructType)
+      : (DataFrame, DataFrame) = {
+    // PERMISSIVE from_json yields an all-null struct for broken input,
+    // indistinguishable from a legitimately-null record — the explicit
+    // corrupt-record column disambiguates: null ⇔ the line parsed.
+    val pSchema = schema.add("_corrupt_record", types.StringType)
+    val parsed = spark.read.text(path)
+      .filter(length(trim(col("value"))) > 0)
+      .select(col("value").as("raw"),
+        from_json(col("value"), pSchema,
+          Map("mode" -> "PERMISSIVE",
+            "columnNameOfCorruptRecord" -> "_corrupt_record")).as("doc"))
+    val good = parsed.filter(col("doc._corrupt_record").isNull)
+      .select(schema.fieldNames.toSeq.map(f => col(s"doc.$f")): _*)
+    val bad = parsed.filter(col("doc._corrupt_record").isNotNull)
+      .select(col("raw").as("corrupt_record"))
+    (good, bad)
+  }
 }

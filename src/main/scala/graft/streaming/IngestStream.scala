@@ -145,6 +145,42 @@ object IngestStream {
       .toDF(keyCol, "total")
   }
 
+  /** R-surface extension: event-time inactivity detection via
+    * flatMapGroupsWithState + EventTimeTimeout — emits an alert row
+    * (key, last_seen) once a key has been quiet for `gapMs` of EVENT
+    * time. State is one timestamp per live key; the timeout fires when
+    * the WATERMARK passes last-seen + gap, so alerts are correct under
+    * reordering and the state store stays bounded (fired keys are
+    * removed). The built-in session_window emits per-session
+    * aggregates — it cannot express ABSENCE; this can. Run with
+    * OutputMode.Append. */
+  def inactivityAlerts(events: DataFrame, keyCol: String, tsCol: String,
+                       watermark: String, gapMs: Long): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.withWatermark(tsCol, watermark)
+      .select(col(keyCol).cast("string"), col(tsCol))
+      .as[(String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (String, java.sql.Timestamp)](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout()) {
+        (key, rows, state) =>
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove()
+            Iterator((key, new java.sql.Timestamp(last)))
+          } else {
+            val batchMax = rows.map(_._2.getTime).max
+            val last = math.max(state.getOption.getOrElse(0L), batchMax)
+            state.update(last)
+            state.setTimeoutTimestamp(last + gapMs)
+            Iterator.empty
+          }
+      }
+      .toDF(keyCol, "last_seen")
+  }
+
   /** R4: explicit streaming dedup by id within the watermark horizon —
     * the same id re-arriving with a different event timestamp is still a
     * duplicate and is dropped (state for an id expires once the

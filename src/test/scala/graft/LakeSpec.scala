@@ -33,6 +33,30 @@ class LakeSpec extends SparkSpec {
     assert(read.count() == 2)
   }
 
+  test("readJsonQuarantine splits good rows from corrupt lines") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_quarantine")
+    Files.writeString(dir.resolve("mixed.json"),
+      """{"id": 1, "v": "ok"}
+        |not json at all {{{
+        |{"id": 2, "v": "also ok"}
+        |
+        |{"id": "wrong-type-but-coercible-to-null", "v": "kept"}
+        |""".stripMargin)
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("v", StringType)))
+    val (good, bad) = Lake.readJsonQuarantine(spark, dir.toString, schema)
+    // clean rows pass; BOTH the syntactically-broken line and the
+    // type-mismatched line quarantine (any parse incident marks the
+    // corrupt column); the blank line is neither
+    assert(good.count() == 2)
+    assert(good.filter(col("v") === "ok").count() == 1)
+    val corrupt = bad.collect().map(_.getString(0)).sorted
+    assert(corrupt.length == 2, corrupt.mkString("; "))
+    assert(corrupt.exists(_.startsWith("not json")))
+    assert(corrupt.exists(_.contains("wrong-type")))
+  }
+
   test("sniffJsonMultiline: array-of-objects vs NDJSON") {
     val dir = Files.createTempDirectory("graft_sniff_test")
     val arr = dir.resolve("arr.json")

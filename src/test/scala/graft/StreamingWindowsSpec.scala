@@ -160,6 +160,30 @@ class StreamingWindowsSpec extends SparkSpec {
     assert(latest == Map("a" -> 3L, "b" -> 1L))
   }
 
+  test("inactivityAlerts fires on event-time silence, not activity") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, java.sql.Timestamp)]
+    val alerts = IngestStream.inactivityAlerts(
+      mem.toDF().toDF("k", "ts"), "k", "ts",
+      watermark = "1 minute", gapMs = 10 * 60 * 1000L)
+    val q = alerts.writeStream.format("memory").queryName("alert_out")
+      .outputMode("append").start()
+    mem.addData(("u1", t("2024-01-01 00:00:00")))
+    q.processAllAvailable()
+    // u2 an hour later pushes the watermark far past u1's gap → u1
+    // fires; u2 itself is still live (watermark < u2 + gap)
+    mem.addData(("u2", t("2024-01-01 01:00:00")))
+    q.processAllAvailable()
+    // one more advance so the timeout batch actually runs
+    mem.addData(("u3", t("2024-01-01 01:00:30")))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("alert_out")
+      .select(col("k"), col("last_seen").cast("string"))
+      .as[(String, String)].collect().toSet
+    assert(rows == Set(("u1", "2024-01-01 00:00:00")))
+  }
+
   test("unsupported format and non-literal extension args fail loudly") {
     import graft.sources.Lake
     intercept[IllegalArgumentException] {

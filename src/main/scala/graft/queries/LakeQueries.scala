@@ -139,6 +139,39 @@ object LakeQueries {
         FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey"""),
       kind = QueryDef.Pipeline),
 
+    // ---- S3 robustness: corrupt-line quarantine on NDJSON ingest --------
+    QueryDef("q88_json_quarantine",
+      (s, dir) => {
+        val root = Files.createTempDirectory("graft_quar").toString
+        val nation = Tables.load(s, dir, "nation")
+          .select("n_nationkey", "n_name")
+        // render NDJSON, deterministically mangling every 5th record
+        nation.select(
+            when(col("n_nationkey") % 5 === 0,
+              concat(lit("BROKEN{"), col("n_name")))
+              .otherwise(to_json(struct(col("n_nationkey"), col("n_name"))))
+              .as("value"))
+          .coalesce(1).write.mode("overwrite").text(s"$root/in")
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("n_nationkey",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_name",
+            org.apache.spark.sql.types.StringType)))
+        val (good, bad) = Lake.readJsonQuarantine(s, s"$root/in", schema)
+        good.agg(count(lit(1)).as("good_rows"),
+            sum("n_nationkey").as("good_key_sum"))
+          .crossJoin(bad.agg(count(lit(1)).as("quarantined")))
+      },
+      Some("""SELECT
+          CAST(sum(CASE WHEN n_nationkey % 5 <> 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS good_rows,
+          CAST(sum(CASE WHEN n_nationkey % 5 <> 0 THEN n_nationkey
+            ELSE 0 END) AS BIGINT) AS good_key_sum,
+          CAST(sum(CASE WHEN n_nationkey % 5 = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS quarantined
+        FROM nation"""),
+      kind = QueryDef.Pipeline),
+
     // ---- S7/W1/P5-P8: conjunctive metadata search, recent-first, limit ------
     QueryDef("q34_metadata_search",
       (s, dir) => {

@@ -149,6 +149,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case other => throw new IllegalArgumentException(
           s"simhash64 expects 1-2 args, got ${other.size}")
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("hyperplane_buckets"),
+      new ExpressionInfo(classOf[functions.HyperplaneBuckets].getName,
+        "hyperplane_buckets"),
+      (children: Seq[Expression]) => children match {
+        case Seq(vec) => functions.HyperplaneBuckets(vec, 6, 8, 42L)
+        case Seq(vec, p, t) => functions.HyperplaneBuckets(vec,
+          intLit(p, "nPlanes"), intLit(t, "nTables"), 42L)
+        case Seq(vec, p, t, s) => functions.HyperplaneBuckets(vec,
+          intLit(p, "nPlanes"), intLit(t, "nTables"), longLit(s, "seed"))
+        case other => throw new IllegalArgumentException(
+          s"hyperplane_buckets expects 1, 3 or 4 args, got ${other.size}")
+      }))
     // Pipeline scalar surface (SQL parity with the Column API): the
     // same codegen'd built-in compositions as Text.scrubPii /
     // Sampling.portableHash, assembled as raw Catalyst expressions

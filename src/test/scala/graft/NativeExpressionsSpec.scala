@@ -145,4 +145,16 @@ class NativeExpressionsSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("string literal"))
   }
+
+  test("hyperplane_buckets SQL surface matches the Column API") {
+    Seq((1L, Seq(0.4, -1.1, 2.2))).toDF("id", "v")
+      .createOrReplaceTempView("hb_t")
+    val viaSql = spark.sql(
+      "SELECT hyperplane_buckets(v, 6, 8) AS b FROM hb_t")
+      .head().getSeq[Long](0).toList
+    val viaCol = spark.table("hb_t")
+      .select(graft.functions.Native.hyperplaneBuckets(col("v"), 6, 8))
+      .head().getSeq[Long](0).toList
+    assert(viaSql == viaCol && viaSql.size == 8)
+  }
 }

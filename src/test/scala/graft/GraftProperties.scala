@@ -91,4 +91,23 @@ object GraftProperties extends Properties("graft.kernels") {
       a.length == b.length ||
         TextSignatureKernels.cosine(arr(a), arr(b)) == null
     }
+
+  property("hyperplaneBuckets: deterministic, table count honored, " +
+    "invariant under positive scaling") =
+    forAll(vec, Gen.chooseNum(0.1, 50.0)) { (v, scale) =>
+      def bkts(x: Array[Double]) = TextSignatureKernels
+        .hyperplaneBuckets(arr(x), 6, 8, 42L).toLongArray.toSeq
+      val b = bkts(v)
+      b.length == 8 && b == bkts(v) && b == bkts(v.map(_ * scale))
+    }
+
+  property("hyperplaneBuckets: different seeds give different tables " +
+    "for non-trivial vectors") =
+    forAll(vec.suchThat(v => v.length >= 4 && v.exists(_ != 0.0))) { v =>
+      val a = TextSignatureKernels
+        .hyperplaneBuckets(arr(v), 16, 4, 42L).toLongArray.toSeq
+      val c = TextSignatureKernels
+        .hyperplaneBuckets(arr(v), 16, 4, 7L).toLongArray.toSeq
+      a != c // 64 independent sign bits colliding across seeds ≈ never
+    }
 }

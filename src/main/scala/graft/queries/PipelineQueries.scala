@@ -920,12 +920,16 @@ object PipelineQueries {
           Tables.load(s, dir, "documents"), "doc_id", "text")
         val tf = toks.groupBy("doc_id", "token")
           .agg(count(lit(1)).as("tf"))
-        // df derived FROM tf (one row per (doc, token) already), so the
-        // exploded token stream shuffles once, not twice
-        val df_ = tf.groupBy("token").agg(count(lit(1)).as("df"))
+        // df as a token-partitioned window over tf (one row per
+        // (doc, token) already ⇒ count(*) == distinct docs): the
+        // exploded token stream shuffles once for tf, once for the
+        // window — no third exchange for a df join
+        val wTok = org.apache.spark.sql.expressions.Window
+          .partitionBy("token")
         val n = Tables.load(s, dir, "documents")
           .agg(count(lit(1)).as("_n"))
-        tf.join(df_, Seq("token")).crossJoin(broadcast(n))
+        tf.withColumn("df", count(lit(1)).over(wTok))
+          .crossJoin(broadcast(n))
           .select(col("doc_id"), col("token"),
             round(col("tf") * log((col("_n") + 1.0) / (col("df") + 1.0)), 6)
               .as("tfidf"))

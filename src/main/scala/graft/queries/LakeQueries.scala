@@ -195,6 +195,33 @@ object LakeQueries {
                           AND TIMESTAMP '2024-01-01 01:20:00'
         ORDER BY meta_ts DESC, id ASC LIMIT 20""")),
 
+    // ---- S7 pagination: keyset continuation (page 2 by cursor) ----------
+    QueryDef("q89_metadata_page2",
+      (s, dir) => {
+        val meta = metaFromDocs(s, dir)
+          .withColumnRenamed("meta_ts", "timestamp")
+          .withColumnRenamed("data_type", "dataType")
+        val f = Catalog.MetaFilter(
+          dataType = Some("en"),
+          source = Some("src3"),
+          dateFrom = Some(java.sql.Timestamp.valueOf("2024-01-01 00:10:00")),
+          dateTo = Some(java.sql.Timestamp.valueOf("2024-01-01 01:20:00")),
+          limit = 20)
+        Catalog.searchAfter(meta, f,
+            java.sql.Timestamp.valueOf("2024-01-01 01:00:00"), "001000")
+          .select(col("id"), col("dataType").as("data_type"), col("source"),
+            col("size_bytes"), col("timestamp").as("meta_ts"))
+      },
+      Some(s"""WITH meta AS ($metaSql)
+        SELECT id, data_type, source, size_bytes, meta_ts FROM meta
+        WHERE data_type = 'en' AND source = 'src3'
+          AND meta_ts BETWEEN TIMESTAMP '2024-01-01 00:10:00'
+                          AND TIMESTAMP '2024-01-01 01:20:00'
+          AND (meta_ts < TIMESTAMP '2024-01-01 01:00:00'
+               OR (meta_ts = TIMESTAMP '2024-01-01 01:00:00'
+                   AND id > '001000'))
+        ORDER BY meta_ts DESC, id ASC LIMIT 20""")),
+
     // ---- P8 (tags branch): AND-combined array_contains over a REAL ---------
     // ArrayType tags column, through the same MetaFilter/predicate path
     // the reference AND-folds (query-data-lambda.py:142-145:

@@ -85,6 +85,24 @@ object Catalog {
     filtered.orderBy(col("timestamp").desc, col("id").asc).limit(f.limit)
   }
 
+  /** S7 pagination: keyset continuation for [[search]] — the DynamoDB
+    * LastEvaluatedKey / ExclusiveStartKey analog. The cursor is the
+    * (timestamp, id) of the LAST row of the previous page; the next
+    * page is the recency-ordered rows strictly after it. Keyset, not
+    * OFFSET: the cursor predicate pushes into the scan so page N costs
+    * the same as page 1, where OFFSET would read and discard N·limit
+    * rows — the only pagination that survives 100 TB. */
+  def searchAfter(meta: DataFrame, f: MetaFilter,
+                  afterTs: java.sql.Timestamp,
+                  afterId: String): DataFrame = {
+    val filtered = predicate(f).map(meta.filter).getOrElse(meta)
+    filtered
+      .filter(col("timestamp") < lit(afterTs) ||
+        (col("timestamp") === lit(afterTs) && col("id") > lit(afterId)))
+      .orderBy(col("timestamp").desc, col("id").asc)
+      .limit(f.limit)
+  }
+
   /** S6: point lookup by key — predicate-pushdown point scan. */
   def pointLookup(meta: DataFrame, id: String): DataFrame =
     meta.filter(col("id") === lit(id))

@@ -63,6 +63,30 @@ class SearchCatalogSpec extends SparkSpec {
     assert(got == Seq("d", "b")) // most recent first, json excluded
   }
 
+  test("searchAfter: keyset pages stitch into the full ordering, " +
+    "no overlap, ties broken by id") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val meta = Seq(
+      ("a", "csv", t("2024-01-01 10:00:00")),
+      ("b", "csv", t("2024-01-01 11:00:00")),
+      ("b2", "csv", t("2024-01-01 11:00:00")), // tie with b on ts
+      ("c", "csv", t("2024-01-01 12:00:00")),
+      ("d", "csv", t("2024-01-01 13:00:00")))
+      .toDF("id", "dataType", "timestamp")
+    val f = Catalog.MetaFilter(dataType = Some("csv"), limit = 2)
+    val page1 = Catalog.search(meta, f)
+      .select("id", "timestamp")
+      .as[(String, java.sql.Timestamp)].collect().toSeq
+    assert(page1.map(_._1) == Seq("d", "c"))
+    val (lastId, lastTs) = (page1.last._1, page1.last._2)
+    val page2 = Catalog.searchAfter(meta, f, lastTs, lastId)
+      .select("id").as[String].collect().toSeq
+    assert(page2 == Seq("b", "b2")) // tie ordered id ASC, no overlap
+    val page3 = Catalog.searchAfter(meta, f, t("2024-01-01 11:00:00"), "b2")
+      .select("id").as[String].collect().toSeq
+    assert(page3 == Seq("a"))
+  }
+
   test("tags filter: AND-combined array_contains over a real " +
     "ArrayType(StringType) column (reference query-data-lambda.py:142)") {
     def t(s: String) = java.sql.Timestamp.valueOf(s)

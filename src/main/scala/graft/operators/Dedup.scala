@@ -208,6 +208,62 @@ object Dedup {
       .drop("_d")
   }
 
+  /** X1 pair form: exact-dup STAR pairs (group min id → every other
+    * member) per content digest — linear in corpus size where emitting
+    * the full within-group clique would be quadratic in group size,
+    * and a star preserves exactly the clique's connectivity for
+    * [[clusterPairs]]. */
+  def exactDupStarPairs(df: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col(textCol)))
+    df.select(min(col(idCol)).over(w).as("id_a"), col(idCol).as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+  }
+
+  /** X2 completion: collapse near-dup PAIRS into clusters (connected
+    * components) by smallest-id label propagation, so "keep one doc per
+    * near-dup cluster" is answerable — pairs alone under-merge when
+    * A~B and B~C but A≁C. Each round is one join + min-aggregate over
+    * the label frame; rounds needed = component diameter (near-dup
+    * clusters are small — typically ≤ 3). Labels are localCheckpointed
+    * per round to truncate lineage; at 100 TB swap for reliable
+    * `checkpoint` to a cluster-visible dir and note diameter growth is
+    * logarithmic under doubling propagation. Returns (node, cluster) —
+    * cluster = min id in the component. Only nodes appearing in a pair
+    * are returned (singletons are their own cluster by definition). */
+  def clusterPairs(pairs: DataFrame, aCol: String, bCol: String,
+                   maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col(aCol).as("x"), col(bCol).as("y"))
+      .union(pairs.select(col(bCol).as("x"), col(aCol).as("y")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("x").as("node")).distinct()
+      .withColumn("cluster", col("node"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("node").as("y"),
+          col("cluster").as("ycluster")), Seq("y"))
+        .groupBy(col("x").as("node"))
+        .agg(min("ycluster").as("nbr"))
+      val updated = labels.join(nbrMin, Seq("node"), "left_outer")
+        .select(col("node"),
+          least(col("cluster"), coalesce(col("nbr"), col("cluster")))
+            .as("cluster"))
+        .localCheckpoint()
+      converged = updated
+        .join(labels.withColumnRenamed("cluster", "old"), Seq("node"))
+        .filter(col("cluster") =!= col("old"))
+        .limit(1).count() == 0
+      labels = updated
+      i += 1
+    }
+    labels
+  }
+
   /** SimHash: 64-bit signature — bit j of each token's hash votes ±1;
     * the sign of the tally sets bit j of the fingerprint. Near-dups have
     * small Hamming distance. Computed by the NATIVE one-pass expression

@@ -137,6 +137,51 @@ object PipelineQueries {
             / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.4
         ORDER BY a.lang, a.source, id_a, id_b""")),
 
+    // ---- X2 completion: near-dup clusters (connected components) --------
+    QueryDef("q90_dedup_clusters",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        // pairs = exact-dup stars (linear) ∪ blocked near-dup pairs
+        // (fenced oracle twin) — the realistic cluster input; a jaccard
+        // edge can bridge two digest groups into one component
+        val pairs = Dedup.exactDupStarPairs(docs, "doc_id", "text")
+          .unionByName(Dedup.blockedJaccardPairs(docs, "doc_id", "text",
+            Seq("lang", "source"), shingleN = 3, threshold = 0.4)
+            .select("id_a", "id_b"))
+        Dedup.clusterPairs(pairs, "id_a", "id_b")
+          .groupBy("cluster").agg(count(lit(1)).as("members"))
+          .orderBy("cluster")
+      },
+      Some("""WITH RECURSIVE sh AS (
+          SELECT doc_id, lang, source,
+            CASE WHEN len(toks) >= 3 THEN list_distinct(
+              [array_to_string(toks[i:i+2], ' ')
+                for i in range(1, len(toks) - 1)])
+            ELSE [] END AS s
+          FROM (SELECT doc_id, lang, source, string_split(lower(text), ' ')
+            AS toks FROM documents)),
+        p AS (
+          SELECT id_a, id_b FROM (
+            SELECT min(doc_id) OVER (PARTITION BY md5(text)) AS id_a,
+              doc_id AS id_b FROM documents) star
+          WHERE id_a <> id_b
+          UNION
+          SELECT a.doc_id, b.doc_id
+          FROM sh a JOIN sh b
+            ON a.lang = b.lang AND a.source = b.source
+          WHERE a.doc_id < b.doc_id
+            AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE)
+              >= 0.4),
+        edges AS (SELECT id_a AS x, id_b AS y FROM p
+          UNION SELECT id_b, id_a FROM p),
+        reach(x, y) AS (SELECT x, y FROM edges
+          UNION SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x
+            WHERE e.y <> r.x)
+        SELECT cluster, count(*) AS members FROM (
+          SELECT x, least(x, min(y)) AS cluster FROM reach GROUP BY x) t
+        GROUP BY cluster ORDER BY cluster""")),
+
     // ---- X2: SimHash near-dup (seeded hash → rows-only) -----------------
     // Self-verifying row: with 4 disjoint 16-bit bands, any pair at
     // hamming ≤ 3 shares a band by PIGEONHOLE — recall over the sampled

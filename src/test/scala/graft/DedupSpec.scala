@@ -64,6 +64,20 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("clusterPairs merges chains transitively (A~B, B~C → one " +
+    "cluster), leaves disjoint pairs apart") {
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), // chain: all → cluster 1
+      (10L, 11L),                             // disjoint pair
+      (20L, 21L), (21L, 22L))                 // triangle-ish chain
+      .toDF("id_a", "id_b")
+    val got = Dedup.clusterPairs(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 5L).forall(got(_) == 1L))
+    assert(got(10L) == 10L && got(11L) == 10L)
+    assert(Seq(20L, 21L, 22L).forall(got(_) == 20L))
+  }
+
   test("incrementalNew keeps only batch-first, corpus-unseen docs") {
     val corpus = Seq((1L, "already ingested doc"), (2L, "another old doc"))
       .toDF("doc_id", "text")

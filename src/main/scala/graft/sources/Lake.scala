@@ -149,6 +149,40 @@ object Lake {
     * schema'd expression (malformed rows → null struct, not a crash).
     * Scale: text scan splits like any file source; from_json is
     * codegen'd per row. */
+  /** Retention: delete hive-style partition directories whose
+    * `partCol=value` fails `keep` — the lake's TTL/vacuum pass (e.g.
+    * drop `date=` partitions older than the retention window). Deletes
+    * whole partition directories only, never individual files, so
+    * concurrent readers of surviving partitions are unaffected.
+    * Returns the dropped partition values. */
+  def expirePartitions(root: String, zone: Zone, dataset: String,
+                       partCol: String,
+                       keep: String => Boolean): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val base = java.nio.file.Paths.get(zonePath(root, zone, dataset))
+    if (!java.nio.file.Files.isDirectory(base)) return Nil
+    val prefix = partCol + "="
+    val dropped = java.nio.file.Files.list(base).iterator().asScala
+      .filter(p => java.nio.file.Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith(prefix))
+      .map(p => (p, p.getFileName.toString.stripPrefix(prefix)))
+      .filterNot { case (_, v) => keep(v) }
+      .toSeq
+    dropped.foreach { case (p, _) =>
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq
+        .reverse.foreach(java.nio.file.Files.delete)
+    }
+    dropped.map(_._2)
+  }
+
+  /** Schema evolution: parquet read that unions the schemas of every
+    * file in the dataset (columns added by later writers come back
+    * NULL for older files) — `mergeSchema` is off by default in Spark
+    * because it costs a footer read per file; a lake whose datasets
+    * evolve needs it explicit and deliberate. */
+  def readMerged(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   def readJsonText(spark: SparkSession, path: String,
                    schema: types.StructType): DataFrame =
     spark.read.text(path)

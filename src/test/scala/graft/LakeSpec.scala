@@ -33,6 +33,38 @@ class LakeSpec extends SparkSpec {
     assert(read.count() == 2)
   }
 
+  test("expirePartitions drops only failing partitions; survivors " +
+    "stay readable") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_ttl").toString
+    val df = Seq((1L, "2024-01-01"), (2L, "2024-02-01"), (3L, "2024-03-01"))
+      .toDF("id", "dt")
+    Lake.writeZone(df, root, Lake.Raw, "ev", "parquet",
+      partitionCols = Seq("dt"))
+    val dropped = Lake.expirePartitions(root, Lake.Raw, "ev", "dt",
+      keep = _ >= "2024-02-01")
+    assert(dropped == Seq("2024-01-01"))
+    val left = spark.read.parquet(Lake.zonePath(root, Lake.Raw, "ev"))
+      .select("id").as[Long].collect().toSet
+    assert(left == Set(2L, 3L))
+  }
+
+  test("readMerged unions evolved schemas; old files read new cols " +
+    "as null") {
+    import org.apache.spark.sql.SaveMode
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_evolve").toString
+    Seq((1L, "a")).toDF("id", "v")
+      .write.parquet(s"$root/ds/part1")
+    Seq((2L, "b", 9.5)).toDF("id", "v", "score")
+      .write.mode(SaveMode.Append).parquet(s"$root/ds/part2")
+    val merged = Lake.readMerged(spark, s"$root/ds/part*")
+    assert(merged.columns.toSet == Set("id", "v", "score"))
+    val row1 = merged.filter(col("id") === 1L).head()
+    assert(row1.isNullAt(row1.fieldIndex("score")))
+    assert(merged.count() == 2)
+  }
+
   test("readJsonQuarantine splits good rows from corrupt lines") {
     import org.apache.spark.sql.types._
     val dir = Files.createTempDirectory("graft_quarantine")

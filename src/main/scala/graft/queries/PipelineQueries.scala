@@ -138,6 +138,11 @@ object PipelineQueries {
         ORDER BY a.lang, a.source, id_a, id_b""")),
 
     // ---- X2 completion: near-dup clusters (connected components) --------
+    // NOTE: clusterPairs runs bounded driver-side iterations (actions)
+    // during query construction — with q71's sketch head() these are
+    // the only two action-in-construction sites in the registry, both
+    // inherent: label propagation is a fixpoint loop, and its per-round
+    // frames are label tables, never the corpus.
     QueryDef("q90_dedup_clusters",
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")

@@ -567,6 +567,37 @@ object RelationalQueries {
         max(l_quantity) AS max_qty, count(*) AS n
         FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""")),
 
+    // ---- A6: GROUPING SETS (the spark.sql surface) ----------------------
+    QueryDef("q91_grouping_sets",
+      (s, dir) => {
+        Tables.load(s, dir, "orders").createOrReplaceTempView("orders_gs")
+        s.sql("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+            CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+            CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio
+          FROM orders_gs
+          GROUP BY GROUPING SETS ((o_orderstatus),
+            (o_orderstatus, o_orderpriority), ())
+          ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority""")
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+          CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+          CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus),
+          (o_orderstatus, o_orderpriority), ())
+        ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority""")),
+
+    // ---- A6: deterministic ordered string aggregation -------------------
+    QueryDef("q92_string_agg",
+      (s, dir) => Tables.load(s, dir, "nation")
+        .groupBy("n_regionkey")
+        .agg(array_join(array_sort(collect_list(col("n_name"))), ",")
+          .as("nations"))
+        .orderBy("n_regionkey"),
+      Some("""SELECT n_regionkey,
+          string_agg(n_name, ',' ORDER BY n_name) AS nations
+        FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""")),
+
     // ---- A6: pivot — wide per-day event-type counts ---------------------
     // Explicit pivot value list: without it Spark runs an extra distinct
     // job to discover columns (collect on the driver — wrong at scale).

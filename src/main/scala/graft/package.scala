@@ -58,8 +58,14 @@ package object graft {
     // full physical-planning pass per call and pins a plan AQE can no
     // longer re-optimize.
     val bytesPerSplit = math.max(conf.filesMaxPartitionBytes, 1L)
+    // Non-file leaves (LogicalRDD, in-memory relations) report the
+    // defaultSizeInBytes sentinel, not a real size — counting it would
+    // make every such frame look "big" and silently skip the widening
+    // this guard exists for. Treat sentinel-sized leaves as unknown/
+    // small so in-memory test frames still get spread across cores.
+    val sentinel = BigInt(conf.defaultSizeInBytes)
     val leafBytes = df.queryExecution.analyzed.collectLeaves()
-      .map(_.stats.sizeInBytes).sum
+      .map(_.stats.sizeInBytes).filter(_ < sentinel).sum
     val estSplits = leafBytes / bytesPerSplit
     if (estSplits >= width) df
     else if (keys.nonEmpty) df.repartition(width, keys: _*)

@@ -139,10 +139,13 @@ object PipelineQueries {
 
     // ---- X2 completion: near-dup clusters (connected components) --------
     // NOTE: clusterPairs runs bounded driver-side iterations (actions)
-    // during query construction — with q71's sketch head() these are
-    // the only two action-in-construction sites in the registry, both
-    // inherent: label propagation is a fixpoint loop, and its per-round
-    // frames are label tables, never the corpus.
+    // during query construction. The registry's full set of action-in-
+    // construction sites: this loop, q71's sketch head(), and the
+    // fenceQuadratic limited-count probes (q44/q64/q90/allPairsTopK).
+    // All three kinds are inherent and bounded: label propagation is a
+    // fixpoint loop over label tables (never the corpus), the sketch
+    // head reads one ~60 KB row, and each fence reads at most
+    // maxRows+1 rows.
     QueryDef("q90_dedup_clusters",
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")

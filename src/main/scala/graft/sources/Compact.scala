@@ -41,6 +41,15 @@ object Compact {
     * Returns (filesBefore, filesAfter). */
   def compactPath(spark: SparkSession, dir: String,
                   targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    // Self-heal from a crash mid-swap: the swap below guarantees a
+    // complete copy always exists on disk, but a crash between the two
+    // moves leaves it under __backup with no live dir — restore it
+    // before compacting instead of failing the read. A stale staging
+    // dir from any crash is dead weight either way; clear it.
+    val live = Paths.get(dir)
+    val bak = Paths.get(dir + "__backup")
+    if (!Files.exists(live) && Files.exists(bak)) Files.move(bak, live)
+    deleteRecursively(Paths.get(dir + "__compacting"))
     val before = dataFileCount(dir)
     val bytes = dirBytes(Paths.get(dir))
     val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)

@@ -174,7 +174,13 @@ object IngestStream {
             val batchMax = rows.map(_._2.getTime).max
             val last = math.max(state.getOption.getOrElse(0L), batchMax)
             state.update(last)
-            state.setTimeoutTimestamp(last + gapMs)
+            // Clamp: a late-but-admitted event can put last+gap AT or
+            // BEHIND the current watermark, and Spark throws (killing
+            // the query) on a timeout ≤ watermark. Clamping to wm+1
+            // fires the alert on the next batch — the correct semantics
+            // for "already quiet longer than gap".
+            val wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(math.max(wm + 1, last + gapMs))
             Iterator.empty
           }
       }

@@ -42,6 +42,24 @@ class CompactSkewSpec extends SparkSpec {
     assert(!Files.exists(stale))
   }
 
+  test("compactPath self-heals when a crash between the two swap moves " +
+    "left only the backup dir (no live dir)") {
+    val dir = Files.createTempDirectory("graft_compact3").toString + "/t"
+    spark.range(0, 300).toDF("id").repartition(4).write.parquet(dir)
+    val live = java.nio.file.Paths.get(dir)
+    val bak = java.nio.file.Paths.get(dir + "__backup")
+    val staging = java.nio.file.Paths.get(dir + "__compacting")
+    // simulate the exact crash window: live moved aside, staging not
+    // yet promoted (and left behind, complete-but-untrusted)
+    Files.createDirectories(staging)
+    Files.write(staging.resolve("junk.parquet"), Array[Byte](9))
+    Files.move(live, bak)
+    val (_, after) = Compact.compactPath(spark, dir, 512L * 1024)
+    assert(after >= 1)
+    assert(spark.read.parquet(dir).count() == 300)
+    assert(!Files.exists(bak) && !Files.exists(staging))
+  }
+
   test("compactPartitions compacts each hive partition independently") {
     val root = Files.createTempDirectory("graft_compactp").toString + "/t"
     spark.range(0, 1000).toDF("id")

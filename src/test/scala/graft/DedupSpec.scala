@@ -78,6 +78,18 @@ class DedupSpec extends SparkSpec {
     assert(Seq(20L, 21L, 22L).forall(got(_) == 20L))
   }
 
+  test("clusterPairs converges on a long chain (diameter >> rounds) " +
+    "via pointer doubling instead of returning under-merged labels") {
+    // 60-link chain: naive one-hop min propagation needs 60 rounds;
+    // doubling needs ~6. Worst case for the old silent-exit bug —
+    // it would have returned node 60 labeled ~50, not 1.
+    val chain = (1L until 61L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.clusterPairs(chain, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 61)
+    assert((1L to 61L).forall(got(_) == 1L))
+  }
+
   test("incrementalNew keeps only batch-first, corpus-unseen docs") {
     val corpus = Seq((1L, "already ingested doc"), (2L, "another old doc"))
       .toDF("doc_id", "text")

@@ -78,6 +78,23 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("scaleOut widens in-memory frames whose leaf stats are the " +
+    "defaultSizeInBytes sentinel (not silently 'big')") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // RDD-backed frame: LogicalRDD's stats are the defaultSizeInBytes
+    // sentinel (unlike LocalRelation, which has real size stats)
+    val rdd = spark.sparkContext
+      .parallelize(Seq.tabulate(64)(i => Row(i.toLong, s"doc $i")), 2)
+    val tiny = spark.createDataFrame(rdd, StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType))))
+    val width = spark.sessionState.conf.numShufflePartitions
+    assert(graft.scaleOut(tiny).rdd.getNumPartitions == width)
+    // and a real (small) file relation still widens too
+    val f = spark.read.parquet(s"$dir/nation.parquet")
+    assert(graft.scaleOut(f).rdd.getNumPartitions == width)
+  }
+
   test("no registered query funnels the corpus through a " +
     "single-partition window") {
     for ((name, _) <- SparkEntry.defs) {

@@ -5,9 +5,11 @@ package object graft {
   type Q = (SparkSession, String) => DataFrame
 
   /** A registered operator query: Spark definition + optional ANSI-SQL
-    * oracle mirror for the DuckDB differential check. Queries without an
-    * oracle get the driver's weaker rows-only check (non-SQL-expressible
-    * ops: seeded-hash LSH, approx sketches). */
+    * oracle mirror for the DuckDB differential check. A query without an
+    * oracle would get the driver's weaker rows-only check; as of round 4
+    * every registered query carries one — seeded-hash/sketch operators
+    * expose a portable surface (exact truth counts + invariant bits)
+    * instead of their impl-specific values. */
   final case class QueryDef(name: String, fn: Q, oracle: Option[String],
                             kind: String = QueryDef.Query)
 

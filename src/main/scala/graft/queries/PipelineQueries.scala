@@ -14,7 +14,7 @@ import graft.functions.Text
   * DuckDB mirror (exact dedup, blocked Jaccard, brute-force cosine,
   * multimodal metadata, text stats, fingerprints). Seeded-hash operators
   * (MinHash/SimHash/LSH buckets — xxhash64 has no DuckDB twin) and HLL
-  * sketches register as rows-only checks, shaped as single-row aggregates
+  * sketches register with PORTABLE-SURFACE oracles, shaped as single-row aggregates
   * so the row count is stable even when the pair set is empty.
   */
 object PipelineQueries {
@@ -43,7 +43,7 @@ object PipelineQueries {
         WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
         GROUP BY lang, source ORDER BY lang, source""")),
 
-    // ---- X2: MinHash/LSH near-dup (seeded hash → rows-only) -------------
+    // ---- X2: MinHash/LSH near-dup (seeded hash → gated invariants) ------
     // Self-verifying row: ground truth = exact Jaccard brute-forced over
     // a fenced 200-doc sample (constant cost at any SF). Found pairs are
     // exact-verified, so precision is 1 by construction and
@@ -99,19 +99,44 @@ object PipelineQueries {
           sum(coalesce(col("hit"), lit(0L))).as("found_pairs_sample"),
           sum(when(col("j") >= 0.9 && col("hit").isNull, 1L)
             .otherwise(0L)).as("missed_high"))
-        found.agg(count(lit(1)).as("pairs"),
-            coalesce(round(avg("jaccard"), 4), lit(0.0)).as("avg_jaccard"))
+        // Output only engine-portable values + invariant bits, so the
+        // DuckDB differential GATES the recall: the oracle recomputes
+        // the exact-Jaccard truth with its own list arithmetic, and a
+        // recall regression flips the row red instead of sliding by as
+        // "still 1 row". Seed-dependent diagnostics (corpus pair count,
+        // avg jaccard) stay out of the hashed surface; the corpus-wide
+        // pipeline still executes via corpus_pairs_ok.
+        found.agg(count(lit(1)).as("pairs"))
           .crossJoin(broadcast(sampleStats))
-          .select(col("pairs"), col("avg_jaccard"),
-            col("truth_pairs_sample"), col("found_pairs_sample"),
+          .select(col("truth_pairs_sample"), col("found_pairs_sample"),
             round(when(col("truth_pairs_sample") === 0, 1.0)
               .otherwise(col("found_pairs_sample").cast("double")
                 / col("truth_pairs_sample").cast("double")), 4)
               .as("recall_sample"),
             (coalesce(col("missed_high"), lit(0L)) === 0)
-              .as("high_sim_all_found"))
+              .as("high_sim_all_found"),
+            // found-on-sample ≡ found ∩ sample (band keys are per-doc),
+            // so the corpus run can never yield fewer pairs
+            (col("pairs") >= col("found_pairs_sample"))
+              .as("corpus_pairs_ok"))
       },
-      None),
+      Some("""WITH sh AS (
+          SELECT doc_id,
+            CASE WHEN len(toks) >= 3 THEN list_distinct(
+              [array_to_string(toks[i:i+2], ' ')
+                for i in range(1, len(toks) - 1)])
+            ELSE [] END AS s
+          FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+                FROM documents WHERE doc_id < 1000)),
+        t AS (SELECT count(*) AS truth
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE len(a.s) > 0 AND len(b.s) > 0
+            AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE)
+              >= 0.5)
+        SELECT truth AS truth_pairs_sample, truth AS found_pairs_sample,
+          CAST(1.0 AS DOUBLE) AS recall_sample,
+          true AS high_sim_all_found, true AS corpus_pairs_ok FROM t""")),
 
     // ---- X2: blocked exact-Jaccard near-dup (oracle-exact) --------------
     QueryDef("q44_jaccard_blocked",
@@ -190,7 +215,7 @@ object PipelineQueries {
           SELECT x, least(x, min(y)) AS cluster FROM reach GROUP BY x) t
         GROUP BY cluster ORDER BY cluster""")),
 
-    // ---- X2: SimHash near-dup (seeded hash → rows-only) -----------------
+    // ---- X2: SimHash near-dup (seeded hash → gated invariants) ----------
     // Self-verifying row: with 4 disjoint 16-bit bands, any pair at
     // hamming ≤ 3 shares a band by PIGEONHOLE — recall over the sampled
     // all-pairs ground truth is guaranteed 100%, so pigeonhole_recall_ok
@@ -221,17 +246,30 @@ object PipelineQueries {
         val sampleStats = cmp.agg(
           count(lit(1)).as("truth_pairs_sample"),
           sum(when(col("hit").isNull, 1L).otherwise(0L)).as("missed"))
-        found.agg(count(lit(1)).as("pairs"),
-            coalesce(round(avg("hamming"), 4), lit(0.0)).as("avg_hamming"))
+        // Unlike q43, the truth here is itself seeded (simhash
+        // signatures have no DuckDB mirror), so the hashed surface is
+        // the portable sample size + two invariant bits; the pair
+        // counts stay in-plan as the bits' inputs. pigeonhole_recall_ok
+        // is a mathematical guarantee (hamming ≤ 3 over 4×16-bit bands
+        // MUST collide in ≥1 band), so the oracle pins it true.
+        found.agg(count(lit(1)).as("pairs"))
           .crossJoin(broadcast(sampleStats))
-          .select(col("pairs"), col("avg_hamming"),
-            col("truth_pairs_sample"),
+          .crossJoin(broadcast(
+            sampleDocs.agg(count(lit(1)).as("sample_docs"))))
+          .select(col("sample_docs"),
             (coalesce(col("missed"), lit(0L)) === 0)
-              .as("pigeonhole_recall_ok"))
+              .as("pigeonhole_recall_ok"),
+            (col("pairs") >= col("truth_pairs_sample")
+              - coalesce(col("missed"), lit(0L)))
+              .as("corpus_pairs_ok"))
       },
-      None),
+      Some("""SELECT
+          (SELECT count(*) FROM documents WHERE doc_id < 1000)
+            AS sample_docs,
+          true AS pigeonhole_recall_ok,
+          true AS corpus_pairs_ok""")),
 
-    // ---- X2/X3: embedding near-dup via LSH buckets (rows-only) ----------
+    // ---- X2/X3: embedding near-dup via LSH buckets (gated) --------------
     // Self-verifying row: sampled brute-force ground truth (cosine ≥ 0.4
     // among vec_id < 300 — the synthetic embeddings are near-random, so
     // 0.4 is where real pairs live) vs the LSH-bucketed result on the
@@ -264,17 +302,29 @@ object PipelineQueries {
         val sampleStats = cmp.agg(
           count(lit(1)).as("truth_pairs_sample"),
           sum(coalesce(col("hit"), lit(0L))).as("found_pairs_sample"))
-        found.agg(count(lit(1)).as("pairs"),
-            coalesce(round(avg("cosine"), 4), lit(0.0)).as("avg_cosine"))
+        // Portable surface: the truth count is recomputed by DuckDB's
+        // own list arithmetic (the q64-proven cosine mirror), and the
+        // recall floor is a gated bit — the raw recall value is
+        // hyperplane-seed-dependent and stays in-plan.
+        found.agg(count(lit(1)).as("pairs"))
           .crossJoin(broadcast(sampleStats))
-          .select(col("pairs"), col("avg_cosine"),
-            col("truth_pairs_sample"),
-            round(when(col("truth_pairs_sample") === 0, 1.0)
+          .select(col("truth_pairs_sample"),
+            (when(col("truth_pairs_sample") === 0, 1.0)
               .otherwise(col("found_pairs_sample").cast("double")
-                / col("truth_pairs_sample").cast("double")), 4)
-              .as("recall_sample"))
+                / col("truth_pairs_sample").cast("double")) >= 0.5)
+              .as("recall_ok"),
+            (col("pairs") >= col("found_pairs_sample"))
+              .as("corpus_pairs_ok"))
       },
-      None),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings WHERE vec_id < 300),
+          t AS (SELECT count(*) AS truth
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v))
+                 * sqrt(list_dot_product(b.v, b.v))) >= 0.4)
+          SELECT truth AS truth_pairs_sample, true AS recall_ok,
+            true AS corpus_pairs_ok FROM t""")),
 
     // ---- X3: brute-force cosine top-k (oracle-exact to 6dp) -------------
     QueryDef("q47_ann_bruteforce",
@@ -293,7 +343,7 @@ object PipelineQueries {
           FROM e, q WHERE e.vec_id <> 7
           ORDER BY cosine DESC, e.vec_id ASC LIMIT 10)""")),
 
-    // ---- X3: LSH-bucketed ANN, multi-probe (seeded hash → rows-only) ----
+    // ---- X3: LSH-bucketed ANN, multi-probe (seeded → gated) -------------
     // Self-verifying row: recall@10 against the exact brute-force top-k
     // computed in the same plan (IvfSpec proves the technique; this puts
     // it in the driver-visible surface). Deterministic given the fixed
@@ -307,16 +357,29 @@ object PipelineQueries {
           queryId = 7L, k = 10)
         val overlap = lsh.select("vec_id")
           .join(brute.select("vec_id"), Seq("vec_id"), "left_semi")
+        // best_cosine is pinned to the GLOBAL max (DuckDB recomputes it
+        // from the raw vectors): if multi-probe ever misses the top-1
+        // neighbor, the row goes red, not just quieter. recall floor
+        // gated at 0.9; the raw value is hyperplane-seed-dependent.
         lsh.agg(count(lit(1)).as("hits"),
             coalesce(round(max("cosine"), 4), lit(0.0)).as("best_cosine"))
           .crossJoin(broadcast(overlap.agg(count(lit(1)).as("overlap"))))
           .select(col("hits"), col("best_cosine"),
-            round(col("overlap").cast("double") / 10.0, 4)
-              .as("recall_at_10"))
+            (col("overlap").cast("double") / 10.0 >= 0.9)
+              .as("recall_ok"))
       },
-      None),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings),
+          q AS (SELECT v AS qv FROM e WHERE vec_id = 7)
+          SELECT CAST(10 AS BIGINT) AS hits,
+            round(max(list_dot_product(e.v, q.qv)
+              / (sqrt(list_dot_product(e.v, e.v))
+                 * sqrt(list_dot_product(q.qv, q.qv)))), 4)
+              AS best_cosine,
+            true AS recall_ok
+          FROM e, q WHERE e.vec_id <> 7""")),
 
-    // ---- X3: IVF ANN — hash-sampled pivots (seeded → rows-only) ---------
+    // ---- X3: IVF ANN — hash-sampled pivots (seeded → gated) -------------
     // Same self-verifying shape as q48: recall@10 vs in-plan brute force.
     QueryDef("q63_ann_ivf",
       (s, dir) => {
@@ -327,14 +390,27 @@ object PipelineQueries {
           queryId = 7L, k = 10)
         val overlap = ivf.select("vec_id")
           .join(brute.select("vec_id"), Seq("vec_id"), "left_semi")
+        // Same gated shape as q48; nProbe=4 of 16 hash-sampled pivots
+        // holds recall ≥ 0.7 on the synthetic near-random embeddings,
+        // and the top-1 neighbor must be in the probed cells or
+        // best_cosine mismatches the DuckDB-recomputed global max.
         ivf.agg(count(lit(1)).as("hits"),
             coalesce(round(max("cosine"), 4), lit(0.0)).as("best_cosine"))
           .crossJoin(broadcast(overlap.agg(count(lit(1)).as("overlap"))))
           .select(col("hits"), col("best_cosine"),
-            round(col("overlap").cast("double") / 10.0, 4)
-              .as("recall_at_10"))
+            (col("overlap").cast("double") / 10.0 >= 0.7)
+              .as("recall_ok"))
       },
-      None),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings),
+          q AS (SELECT v AS qv FROM e WHERE vec_id = 7)
+          SELECT CAST(10 AS BIGINT) AS hits,
+            round(max(list_dot_product(e.v, q.qv)
+              / (sqrt(list_dot_product(e.v, e.v))
+                 * sqrt(list_dot_product(q.qv, q.qv)))), 4)
+              AS best_cosine,
+            true AS recall_ok
+          FROM e, q WHERE e.vec_id <> 7""")),
 
     // ---- X2/X3: blocked exact embedding similarity (oracle-exact) -------
     // Label is the blocking key (the shuffle key at scale); cosine is
@@ -436,7 +512,7 @@ object PipelineQueries {
         FROM err GROUP BY label ORDER BY label""")),
 
     // ---- X5: mergeable sketches — Bloom membership + HLL union ----------
-    // Sketch binaries are engine-specific → rows-only, but the row
+    // Sketch binaries are engine-specific → kept in-plan, but the row
     // encodes two invariants: a Bloom filter NEVER yields false
     // negatives (probe hits >= true semi-join count), and per-group HLL
     // sketches UNION to the global estimate (the mergeability that makes
@@ -464,24 +540,32 @@ object PipelineQueries {
         val exactD = c.agg(countDistinct("c_custkey").as("exact_customers"))
         probed.crossJoin(broadcast(exact)).crossJoin(broadcast(unioned))
           .crossJoin(broadcast(exactD))
-          .select(col("bloom_hits"), col("orders_total"),
-            col("true_hits"),
+          .select(col("orders_total"), col("true_hits"),
+            col("exact_customers"),
             (col("bloom_hits") >= col("true_hits"))
               .as("no_false_negatives"),
-            col("est").as("hll_union_estimate"),
-            col("exact_customers"),
             // per-group sketches unioned must land within the HLL error
             // envelope of the exact global count (lgK=12 → rsd ≈ 1.6%;
             // 5% is 3σ) — THE mergeability property that makes sketches
-            // work across 1000 executors, as a pass/fail bit.
+            // work across 1000 executors, as a pass/fail bit. The raw
+            // bloom/HLL estimates are impl-specific and stay in-plan;
+            // the portable counts + bits are what DuckDB gates.
             (abs(col("est").cast("double")
               - col("exact_customers").cast("double"))
               / col("exact_customers").cast("double") <= 0.05)
               .as("hll_union_close"))
       },
-      None),
+      Some("""SELECT
+          (SELECT count(*) FROM orders) AS orders_total,
+          (SELECT count(*) FROM orders o WHERE EXISTS
+            (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+            AS true_hits,
+          (SELECT count(DISTINCT c_custkey) FROM customer)
+            AS exact_customers,
+          true AS no_false_negatives,
+          true AS hll_union_close""")),
 
-    // ---- X5: approximate distinct (HLL — impl-specific → rows-only) -----
+    // ---- X5: approximate distinct (HLL — impl-specific, gated) ----------
     // Self-verifying row: each estimate is checked against the exact
     // distinct count computed in the same plan; the within_bounds bit
     // asserts every relative error ≤ 3× its configured rsd (0.05
@@ -502,23 +586,27 @@ object PipelineQueries {
           approx_count_distinct("l_suppkey").as("approx_supps"),
           approx_count_distinct("l_orderkey", 0.02).as("approx_orders"),
           count(lit(1)).as("rows"))
+        // Hashed surface = the exact counts (DuckDB recomputes them)
+        // plus the error-envelope bit; the raw HLL++ register values
+        // are impl-specific and stay in-plan as the bit's inputs.
         approx
           .crossJoin(l.agg(countDistinct("l_partkey").as("exact_parts")))
           .crossJoin(l.agg(countDistinct("l_suppkey").as("exact_supps")))
           .crossJoin(l.agg(countDistinct("l_orderkey").as("exact_orders")))
-          .select(col("approx_parts"), col("exact_parts"),
-            col("approx_supps"), col("exact_supps"),
-            col("approx_orders"), col("exact_orders"), col("rows"),
-            round(relErr(col("approx_parts"), col("exact_parts")), 4)
-              .as("err_parts"),
-            round(relErr(col("approx_orders"), col("exact_orders")), 4)
-              .as("err_orders"),
+          .select(col("exact_parts"), col("exact_supps"),
+            col("exact_orders"), col("rows").as("n_rows"),
             (relErr(col("approx_parts"), col("exact_parts")) <= 0.15 &&
               relErr(col("approx_supps"), col("exact_supps")) <= 0.15 &&
               relErr(col("approx_orders"), col("exact_orders")) <= 0.06)
               .as("within_bounds"))
       },
-      None),
+      Some("""SELECT
+          (SELECT count(DISTINCT l_partkey) FROM lineitem) AS exact_parts,
+          (SELECT count(DISTINCT l_suppkey) FROM lineitem) AS exact_supps,
+          (SELECT count(DISTINCT l_orderkey) FROM lineitem)
+            AS exact_orders,
+          (SELECT count(*) FROM lineitem) AS n_rows,
+          true AS within_bounds""")),
 
     // ---- X6: multimodal metadata aggregation ----------------------------
     QueryDef("q50_media_meta",

@@ -75,6 +75,95 @@ object Curation {
         countDistinct(col("bench_id")).as("bench_docs_hit"))
   }
 
+  /** Per-document repetition statistics in the style of the published
+    * Gopher/MassiveText filtering rules (word-count bounds, mean word
+    * length, most-frequent-word fraction, type-token ratio) — the
+    * repetition axis [[annotate]]'s map-only pass cannot see because
+    * top-word fraction needs a per-(doc, token) count.
+    *
+    * Shape: explode → two hash aggregates on uniform keys ((id, token)
+    * then id), both with map-side partial aggregation — linear at
+    * 100 TB, no windows, no skew (the key includes the doc id). Every
+    * emitted ratio is an exact integer division, so other engines
+    * compute bit-identical doubles (DuckDB-oracle-safe unrounded). */
+  def repetitionStats(df: DataFrame, idCol: String,
+                      textCol: String): DataFrame =
+    graft.scaleOut(df, col(idCol))
+      .select(col(idCol), explode(Text.tokens(col(textCol))).as("tok"))
+      .groupBy(col(idCol), col("tok"))
+      .agg(count(lit(1)).as("c"),
+        sum(length(col("tok")).cast("long")).as("chars"))
+      .groupBy(col(idCol))
+      .agg(sum("c").as("words"),
+        count(lit(1)).as("distinct_words"),
+        max("c").as("top_word_count"),
+        sum("chars").as("word_chars"))
+      .select(col(idCol), col("words"),
+        (col("word_chars").cast("double") / col("words").cast("double"))
+          .as("mean_word_len"),
+        (col("top_word_count").cast("double") / col("words").cast("double"))
+          .as("top_word_frac"),
+        (col("distinct_words").cast("double") / col("words").cast("double"))
+          .as("distinct_frac"))
+
+  /** Gopher-rule thresholds (defaults follow the published ranges). */
+  final case class GopherConfig(
+      minWords: Long = 50,
+      maxWords: Long = 100000,
+      minMeanWordLen: Double = 3.0,
+      maxMeanWordLen: Double = 10.0,
+      maxTopWordFrac: Double = 0.2,
+      minDistinctFrac: Double = 0.3)
+
+  /** The Gopher-style keep predicate over [[repetitionStats]] output. */
+  def gopherGate(cfg: GopherConfig = GopherConfig()): Column =
+    col("words").between(cfg.minWords, cfg.maxWords) &&
+      col("mean_word_len").between(cfg.minMeanWordLen, cfg.maxMeanWordLen) &&
+      col("top_word_frac") <= cfg.maxTopWordFrac &&
+      col("distinct_frac") >= cfg.minDistinctFrac
+
+  /** Fuzzy train/eval decontamination: MinHash band keys joined ACROSS
+    * the two corpora, candidates verified with exact Jaccard ≥
+    * `threshold`. Complements [[contamination]] (exact n-gram overlap):
+    * this catches paraphrase-level leaks where the benchmark doc was
+    * lightly edited before landing in the training crawl.
+    *
+    * Scale: same shape as Dedup.minhashCandidatePairs but the band-hash
+    * equi-join is train × eval (never a self-join), so work is
+    * proportional to true band collisions — never |train|·|eval| — and
+    * the shuffle key is the uniform band hash. */
+  def fuzzyContamination(train: DataFrame, bench: DataFrame, idCol: String,
+                         textCol: String, threshold: Double,
+                         shingleN: Int = 3, numHashes: Int = 64,
+                         bands: Int = 16): DataFrame = {
+    import graft.functions.Native
+    def banded(df: DataFrame, as: String) =
+      graft.scaleOut(df)
+        .select(col(idCol).as(as),
+          Native.minhashBands(col(textCol), shingleN, numHashes, bands)
+            .as("bkeys"))
+        .select(col(as), posexplode_outer(col("bkeys")))
+        .toDF(as, "band", "bkey")
+        .filter(col("bkey").isNotNull)
+    def sh(df: DataFrame, as: String, shAs: String) =
+      df.select(col(idCol).as(as),
+        Native.shingleSet(col(textCol), shingleN).as(shAs))
+        .filter(col(shAs).isNotNull && size(col(shAs)) > 0)
+    banded(bench, "eval_id")
+      .join(banded(train, "train_id"), Seq("band", "bkey"))
+      .select("eval_id", "train_id").distinct()
+      .join(sh(bench, "eval_id", "sh_e"), Seq("eval_id"))
+      .join(sh(train, "train_id", "sh_t"), Seq("train_id"))
+      // size-ratio prune: jaccard ≤ min/max, so the expensive intersect
+      // runs only on pairs that could pass (see nearDupPairsMinhash)
+      .filter(least(size(col("sh_e")), size(col("sh_t"))).cast("double")
+        / greatest(size(col("sh_e")), size(col("sh_t"))).cast("double")
+        >= threshold)
+      .withColumn("jaccard", Dedup.jaccard(col("sh_e"), col("sh_t")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("eval_id"), col("train_id"), col("jaccard"))
+  }
+
   /** Greedy contiguous sequence packing: within each `partCol` group
     * (e.g. language), docs in deterministic `orderCol` order are packed
     * into consecutive training contexts of `budget` units (tokens,

@@ -51,6 +51,25 @@ object Sampling {
       .filter(col("sample_rank") <= k)
   }
 
+  /** Deterministic global shuffle for training-data export: every row
+    * gets a portable pseudorandom `shuffle_key` (pure function of (id,
+    * salt)) and a `bucket` = key mod `buckets` for output-file
+    * assignment. Ordering by (shuffle_key, id) is the reproducible
+    * permutation a 100 TB corpus export needs — task retries, re-runs,
+    * and other engines produce the identical order, unlike
+    * `orderBy(rand())`.
+    *
+    * Scale: the key is map-only; a downstream `orderBy` executes as a
+    * range-partitioned sort (sampled boundaries — no single-partition
+    * funnel), and hash-mod buckets are uniform by construction, so
+    * `write.partitionBy("bucket")` yields evenly sized shards. */
+  def deterministicShuffle(df: DataFrame, idCol: String, salt: String,
+                           buckets: Int): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    df.withColumn("shuffle_key", portableHash(col(idCol), salt))
+      .withColumn("bucket", col("shuffle_key") % buckets)
+  }
+
   /** Balanced domain mixture: deterministically downsample every
     * stratum (e.g. source/domain) to approximately the smallest
     * stratum's size — the "uniform mixture" corpus build. Keep-rate per

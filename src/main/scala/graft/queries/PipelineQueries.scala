@@ -1086,5 +1086,89 @@ object PipelineQueries {
         SELECT doc_id, token,
           round(tf * ln((n + 1.0) / (df + 1.0)), 6) AS tfidf
         FROM tf JOIN df USING (token) CROSS JOIN n
-        ORDER BY tfidf DESC, doc_id ASC, token ASC LIMIT 20""")))
+        ORDER BY tfidf DESC, doc_id ASC, token ASC LIMIT 20""")),
+
+    // ---- X4/X13: Gopher-style repetition rules --------------------------
+    // The published MassiveText quality axis q52/q67 can't see: top-word
+    // fraction and type-token ratio need per-(doc, token) counts. All
+    // ratios are exact integer divisions — bit-identical across engines,
+    // no rounding needed.
+    QueryDef("q93_gopher_rules",
+      (s, dir) => {
+        val stats = Curation.repetitionStats(
+          Tables.load(s, dir, "documents"), "doc_id", "text")
+        stats.withColumn("keep", Curation.gopherGate())
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+            unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+        pd AS (SELECT doc_id, tok, count(*) AS c,
+            sum(length(tok)) AS chars FROM toks GROUP BY 1, 2),
+        st AS (SELECT doc_id,
+            CAST(sum(c) AS BIGINT) AS words,
+            CAST(count(*) AS BIGINT) AS distinct_words,
+            CAST(max(c) AS BIGINT) AS topc,
+            CAST(sum(chars) AS BIGINT) AS wchars
+          FROM pd GROUP BY 1)
+        SELECT doc_id, words,
+          CAST(wchars AS DOUBLE) / words AS mean_word_len,
+          CAST(topc AS DOUBLE) / words AS top_word_frac,
+          CAST(distinct_words AS DOUBLE) / words AS distinct_frac,
+          (words BETWEEN 50 AND 100000
+            AND CAST(wchars AS DOUBLE) / words BETWEEN 3.0 AND 10.0
+            AND CAST(topc AS DOUBLE) / words <= 0.2
+            AND CAST(distinct_words AS DOUBLE) / words >= 0.3) AS keep
+        FROM st ORDER BY doc_id""")),
+
+    // ---- X8 fuzzy: paraphrase-level train/eval decontamination ----------
+    // Band-join across corpora + exact-Jaccard verify; the full matched
+    // pair set hash-checks against DuckDB's exact cross-corpus Jaccard
+    // (at jaccard ≥ 0.7 with 16 bands of 4 rows, a true pair collides
+    // with p ≥ 0.988; the planted near-dups sit at ≈ 0.97 where missing
+    // is impossible at the fixed seed).
+    QueryDef("q94_fuzzy_decontam",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Curation.fuzzyContamination(
+          docs.filter(col("doc_id") % 10 =!= 1),
+          docs.filter(col("doc_id") % 10 === 1),
+          "doc_id", "text", threshold = 0.7)
+          .orderBy("eval_id", "train_id")
+      },
+      Some("""WITH sh AS (
+          SELECT doc_id,
+            CASE WHEN len(toks) >= 3 THEN list_distinct(
+              [array_to_string(toks[i:i+2], ' ')
+                for i in range(1, len(toks) - 1)])
+            ELSE [] END AS s
+          FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+                FROM documents))
+        SELECT eval_id, train_id, jaccard FROM (
+          SELECT e.doc_id AS eval_id, t.doc_id AS train_id,
+            CAST(len(list_intersect(e.s, t.s)) AS DOUBLE)
+              / CAST(len(list_distinct(list_concat(e.s, t.s))) AS DOUBLE)
+              AS jaccard
+          FROM sh e JOIN sh t
+            ON e.doc_id % 10 = 1 AND t.doc_id % 10 <> 1
+          WHERE len(e.s) > 0 AND len(t.s) > 0)
+        WHERE jaccard >= 0.7 ORDER BY eval_id, train_id""")),
+
+    // ---- X7: deterministic corpus shuffle (training-data export) --------
+    // The reproducible permutation + hash-mod shard assignment; verified
+    // by re-deriving the portable hash in DuckDB and comparing the head
+    // of the global order (TakeOrderedAndProject — no full sort
+    // materialization).
+    QueryDef("q95_corpus_shuffle",
+      (s, dir) => Sampling
+        .deterministicShuffle(Tables.load(s, dir, "documents"),
+          "doc_id", "epoch0", buckets = 8)
+        .select("doc_id", "shuffle_key", "bucket")
+        .orderBy("shuffle_key", "doc_id")
+        .limit(50),
+      Some("""SELECT doc_id, shuffle_key, shuffle_key % 8 AS bucket
+        FROM (SELECT doc_id,
+            CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+              || '|epoch0'), 1, 8)) AS BIGINT) AS shuffle_key
+          FROM documents)
+        ORDER BY shuffle_key, doc_id LIMIT 50""")))
 }

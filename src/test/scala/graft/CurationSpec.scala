@@ -36,4 +36,51 @@ class CurationSpec extends SparkSpec {
       Curation.Config(minTokens = 5))
     assert(loose.count() == 1)
   }
+
+  test("repetitionStats: exact counts on a known doc") {
+    val docs = Seq(
+      (1L, "aa bb aa cc aa"),      // 5 words, 3 distinct, top=3, chars=10
+      (2L, "xx yy")                // 2 words, 2 distinct, top=1, chars=4
+    ).toDF("doc_id", "text")
+    val got = Curation.repetitionStats(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val r1 = got(0)
+    assert(r1.getAs[Long]("words") == 5L)
+    assert(r1.getAs[Double]("mean_word_len") == 2.0)
+    assert(r1.getAs[Double]("top_word_frac") == 3.0 / 5)
+    assert(r1.getAs[Double]("distinct_frac") == 3.0 / 5)
+    val r2 = got(1)
+    assert(r2.getAs[Long]("words") == 2L)
+    assert(r2.getAs[Double]("top_word_frac") == 0.5)
+    assert(r2.getAs[Double]("distinct_frac") == 1.0)
+  }
+
+  test("gopherGate drops repetitive and out-of-range docs") {
+    val long = Seq.tabulate(60)(i => s"word$i").mkString(" ")   // healthy
+    val repetitive = Seq.fill(60)("spam").mkString(" ")          // top frac 1
+    val short = "tiny doc"                                       // < 50 words
+    val docs = Seq((1L, long), (2L, repetitive), (3L, short))
+      .toDF("doc_id", "text")
+    val kept = Curation.repetitionStats(docs, "doc_id", "text")
+      .filter(Curation.gopherGate())
+      .select("doc_id").as[Long].collect().toSeq
+    assert(kept == Seq(1L))
+  }
+
+  test("fuzzyContamination finds the lightly-edited leak, not the " +
+    "unrelated doc, and never self-pairs within a corpus") {
+    val benchDoc = Seq.tabulate(40)(i => s"tok$i").mkString(" ")
+    // one word changed → shingle jaccard just below 1, far above 0.7
+    val leaked = benchDoc.replace("tok20", "edited")
+    val unrelated = Seq.tabulate(40)(i => s"other$i").mkString(" ")
+    val train = Seq((100L, leaked), (101L, unrelated)).toDF("doc_id", "text")
+    val bench = Seq((1L, benchDoc), (2L, "short unmatched thing here"))
+      .toDF("doc_id", "text")
+    val got = Curation.fuzzyContamination(train, bench, "doc_id", "text",
+      threshold = 0.7).collect()
+    assert(got.length == 1)
+    assert(got(0).getAs[Long]("eval_id") == 1L)
+    assert(got(0).getAs[Long]("train_id") == 100L)
+    assert(got(0).getAs[Double]("jaccard") > 0.7)
+  }
 }

@@ -92,4 +92,22 @@ class SamplingSpec extends SparkSpec {
     assert(packed == Seq(
       ("de", 0L, 1L, 5000L), ("en", 0L, 2L, 5000L), ("en", 1L, 1L, 2000L)))
   }
+
+  test("deterministicShuffle: reproducible permutation, uniform hash-mod " +
+    "buckets, salt changes the order") {
+    val ids = spark.range(0, 2000).toDF("id")
+    def order(salt: String) = Sampling
+      .deterministicShuffle(ids, "id", salt, buckets = 8)
+      .orderBy("shuffle_key", "id").select("id").as[Long].collect().toSeq
+    val o1 = order("ep0")
+    assert(o1 == order("ep0"))            // pure function of (id, salt)
+    assert(o1 != order("ep1"))            // new salt → new permutation
+    assert(o1 != (0L until 2000L))        // actually shuffled
+    assert(o1.sorted == (0L until 2000L)) // a permutation, nothing lost
+    val buckets = Sampling.deterministicShuffle(ids, "id", "ep0", 8)
+      .groupBy("bucket").count().collect()
+      .map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("count")).toMap
+    assert(buckets.keySet == (0L until 8L).toSet)
+    assert(buckets.values.forall(n => n > 150 && n < 350)) // ~250 each
+  }
 }

@@ -161,6 +161,70 @@ object Similarity {
       .limit(k)
   }
 
+  /** Spherical k-means (Lloyd) assignment over the embedding column —
+    * the refinement step [[ivfIndex]]'s raw hash-sampled pivots lack.
+    * Clustering embeddings is the workhorse behind IVF cell training,
+    * corpus organization, and cluster-level dedup at 100 TB.
+    *
+    * Init: the first k vectors in PORTABLE hash order
+    * (Sampling.portableHash — md5, identical in every engine), so the
+    * whole trajectory is deterministic AND DuckDB-mirrorable, unlike a
+    * rand()/xxhash64 seed. Each iteration is (a) a map-only
+    * argmax-cosine assignment against ONE broadcast centroid row —
+    * same shape as ivfIndex, no shuffle of the corpus — and (b) ONE
+    * bounded (k × dim)-row aggregate recomputing the means via
+    * posexplode. The centroid frame never exceeds k × dim values
+    * regardless of corpus size, and `iters` is a small constant, so the
+    * total cost is iters+1 passes. The centroid list is sort_array'd so
+    * argmax tie-breaking is by ascending cid in every engine.
+    *
+    * Returns the corpus with `cid` (0..k-1 in init-hash order) and
+    * `sim` (cosine to the winning centroid). */
+  def kmeansAssign(emb: DataFrame, idCol: String, vecCol: String,
+                   k: Int, iters: Int): DataFrame = {
+    require(k > 0 && iters >= 0, s"need k > 0, iters >= 0; got $k, $iters")
+    val withV = graft.scaleOut(emb)
+      .select(col(idCol), Vectors.toDouble(col(vecCol)).as("v"))
+    val hashOrd = Sampling.portableHash(col(idCol), "kmeans")
+    val wInit = Window.orderBy(hashOrd.asc, col(idCol).asc)
+    val init = withV
+      .orderBy(hashOrd.asc, col(idCol).asc).limit(k)
+      // k rows total — the single-partition window is bounded by k
+      .select((row_number().over(wInit) - 1).cast("long").as("cid"),
+        col("v").as("cv"))
+
+    def assign(cents: DataFrame): DataFrame = {
+      val crow = broadcast(cents.agg(
+        sort_array(collect_list(struct(col("cid"), col("cv"))))
+          .as("cents")))
+      withV.crossJoin(crow)
+        .withColumn("best",
+          aggregate(col("cents"),
+            struct(lit(-2.0).as("sim"), lit(-1L).as("cid")),
+            (acc, c) => {
+              val s = coalesce(Vectors.cosine(col("v"), c.getField("cv")),
+                lit(-2.0))
+              when(s > acc.getField("sim"),
+                struct(s.as("sim"), c.getField("cid").as("cid")))
+                .otherwise(acc)
+            }))
+        .select(col(idCol), col("v"),
+          col("best.cid").as("cid"), col("best.sim").as("sim"))
+    }
+
+    def update(assigned: DataFrame): DataFrame =
+      assigned.select(col("cid"), posexplode(col("v")))
+        .toDF("cid", "pos", "x")
+        .groupBy("cid", "pos").agg(avg("x").as("m"))
+        .groupBy("cid")
+        .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("cv"))
+
+    var cents = init
+    for (_ <- 1 to iters) cents = update(assign(cents))
+    assign(cents)
+  }
+
   /** All-pairs top-k neighbors per vector (small-side utility; the
     * per-row window keeps only k). At scale use the LSH bucket join —
     * this exact variant is O(n²) by definition, so it is FENCED: it

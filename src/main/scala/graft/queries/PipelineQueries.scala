@@ -1170,5 +1170,51 @@ object PipelineQueries {
             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
               || '|epoch0'), 1, 8)) AS BIGINT) AS shuffle_key
           FROM documents)
-        ORDER BY shuffle_key, doc_id LIMIT 50""")))
+        ORDER BY shuffle_key, doc_id LIMIT 50""")),
+
+    // ---- X3 completion: spherical k-means (one Lloyd refinement) --------
+    // Portable-hash init makes the full trajectory (init → assign →
+    // mean-update → re-assign) expressible in DuckDB, so the cluster
+    // sizes and mean within-cluster similarity hash-check exactly. The
+    // oracle hardcodes dim = 64 (the testdata embedding width); the
+    // Spark side is dim-agnostic via posexplode.
+    QueryDef("q96_kmeans_clusters",
+      (s, dir) => Similarity
+        .kmeansAssign(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", k = 4, iters = 1)
+        .groupBy(col("cid").as("cluster_id"))
+        .agg(count(lit(1)).as("n"), round(avg("sim"), 4).as("mean_sim"))
+        .orderBy("cluster_id"),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings),
+        hashed AS (SELECT vec_id, v,
+            CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)
+              || '|kmeans'), 1, 8)) AS UBIGINT) AS h
+          FROM e),
+        c0 AS (SELECT row_number() OVER (ORDER BY h ASC, vec_id ASC) - 1
+              AS cid, v AS cv
+          FROM hashed ORDER BY h ASC, vec_id ASC LIMIT 4),
+        a0 AS (SELECT vec_id, v, cid FROM (
+          SELECT vec_id, v, cid, row_number() OVER (
+              PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
+          FROM (SELECT e.vec_id, e.v, c.cid,
+              list_dot_product(e.v, c.cv)
+                / (sqrt(list_dot_product(e.v, e.v))
+                   * sqrt(list_dot_product(c.cv, c.cv))) AS cos
+            FROM e CROSS JOIN c0 c)) WHERE rn = 1),
+        c1 AS (SELECT cid, list(m ORDER BY pos) AS cv FROM (
+            SELECT a.cid, r.i AS pos, avg(a.v[r.i]) AS m
+            FROM a0 a CROSS JOIN range(1, 65) r(i)
+            GROUP BY a.cid, r.i) GROUP BY cid),
+        a1 AS (SELECT vec_id, cid, cos FROM (
+          SELECT vec_id, cid, cos, row_number() OVER (
+              PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
+          FROM (SELECT e.vec_id, c.cid,
+              list_dot_product(e.v, c.cv)
+                / (sqrt(list_dot_product(e.v, e.v))
+                   * sqrt(list_dot_product(c.cv, c.cv))) AS cos
+            FROM e CROSS JOIN c1 c)) WHERE rn = 1)
+        SELECT cid AS cluster_id, count(*) AS n,
+          round(avg(cos), 4) AS mean_sim
+        FROM a1 GROUP BY cid ORDER BY cluster_id""")))
 }

@@ -45,4 +45,28 @@ class IvfSpec extends SparkSpec {
       .select("vec_id").as[Long].collect().toSeq
     assert(ivf == brute)
   }
+
+  test("kmeansAssign separates orthogonal planted clusters and labels " +
+    "every vector") {
+    val got = Similarity.kmeansAssign(emb, "vec_id", "embedding",
+      k = 2, iters = 2).collect()
+    assert(got.length == 40)
+    // within each planted group, one cid; across groups, different cids
+    val byId = got.map(r => r.getAs[Long]("vec_id") ->
+      r.getAs[Long]("cid")).toMap
+    val cidA = (1L to 20L).map(byId).distinct
+    val cidB = (21L to 40L).map(byId).distinct
+    assert(cidA.size == 1, s"cluster A split: $cidA")
+    assert(cidB.size == 1, s"cluster B split: $cidB")
+    assert(cidA.head != cidB.head)
+    // refined centroids sit at the cluster cores: similarity is high
+    assert(got.forall(_.getAs[Double]("sim") > 0.95))
+  }
+
+  test("kmeansAssign is deterministic across runs (portable-hash init)") {
+    def run() = Similarity.kmeansAssign(emb, "vec_id", "embedding",
+        k = 3, iters = 1)
+      .select("vec_id", "cid").as[(Long, Long)].collect().toMap
+    assert(run() == run())
+  }
 }

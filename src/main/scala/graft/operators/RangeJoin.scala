@@ -32,4 +32,34 @@ object RangeJoin {
       .filter(col(pCol).between(col(startCol), col(endCol)))
       .drop("__bin")
   }
+
+  /** Interval-interval OVERLAP join: every (left, right) pair with
+    * `lStart <= rEnd AND rStart <= lEnd` (inclusive). The genomics/
+    * session-correlation shape a nested-loop theta join makes
+    * O(|L|·|R|).
+    *
+    * Same binning idea as [[pointInInterval]], plus a duplicate-free
+    * trick: overlapping intervals share every bin of their overlap
+    * region, so a naive bin equi-join emits one candidate per shared
+    * bin. Instead of a post-join `distinct` (a second shuffle over the
+    * full result), keep only the candidate whose join bin is the FIRST
+    * bin of the overlap region — `floor(max(lStart, rStart)/w)` — which
+    * exists for every true pair and is unique per pair. Result: one
+    * equi-join shuffle on uniform bin keys, zero dedup work.
+    * Caller supplies disjoint column names on the two sides. */
+  def intervalOverlap(left: DataFrame, lStart: String, lEnd: String,
+                      right: DataFrame, rStart: String, rEnd: String,
+                      binWidth: Double): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    def binned(df: DataFrame, s: String, e: String) =
+      df.withColumn("__bin", explode(sequence(
+        floor(col(s) / binWidth).cast("long"),
+        floor(col(e) / binWidth).cast("long"))))
+    binned(left, lStart, lEnd)
+      .join(binned(right, rStart, rEnd), Seq("__bin"))
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
+      .filter(col("__bin") ===
+        floor(greatest(col(lStart), col(rStart)) / binWidth).cast("long"))
+      .drop("__bin")
+  }
 }

@@ -1216,5 +1216,52 @@ object PipelineQueries {
             FROM e CROSS JOIN c1 c)) WHERE rn = 1)
         SELECT cid AS cluster_id, count(*) AS n,
           round(avg(cos), 4) AS mean_sim
-        FROM a1 GROUP BY cid ORDER BY cluster_id""")))
+        FROM a1 GROUP BY cid ORDER BY cluster_id""")),
+
+    // ---- J5+ : interval-interval overlap join ---------------------------
+    // Customer activity windows × calendar quarters — duplicate-free
+    // binned overlap join (one equi-join shuffle; see
+    // RangeJoin.intervalOverlap) checked against DuckDB's theta join.
+    QueryDef("q97_interval_join",
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+        val day0 = to_date(lit("1970-01-01"))
+        val cust = o.filter(col("o_custkey") % 100 === 1)
+          .groupBy(col("o_custkey").as("cust"))
+          .agg(
+            datediff(to_date(min("o_orderdate")), day0).cast("long")
+              .as("c_start"),
+            datediff(to_date(max("o_orderdate")), day0).cast("long")
+              .as("c_end"))
+        val quarters = o
+          .select(year(col("o_orderdate")).as("y"),
+            quarter(col("o_orderdate")).as("q")).distinct()
+          .withColumn("q0", make_date(col("y"), (col("q") - 1) * 3 + 1,
+            lit(1)))
+          .select(col("y"), col("q"),
+            datediff(col("q0"), day0).cast("long").as("q_start"),
+            (datediff(add_months(col("q0"), 3), day0) - 1).cast("long")
+              .as("q_end"))
+        graft.operators.RangeJoin
+          .intervalOverlap(cust, "c_start", "c_end",
+            quarters, "q_start", "q_end", binWidth = 90)
+          .select("cust", "y", "q", "c_start", "c_end")
+          .orderBy("cust", "y", "q")
+      },
+      Some("""WITH cust AS (SELECT o_custkey AS cust,
+            date_diff('day', DATE '1970-01-01',
+              CAST(min(o_orderdate) AS DATE)) AS c_start,
+            date_diff('day', DATE '1970-01-01',
+              CAST(max(o_orderdate) AS DATE)) AS c_end
+          FROM orders WHERE o_custkey % 100 = 1 GROUP BY o_custkey),
+        qs AS (SELECT y, q,
+            date_diff('day', DATE '1970-01-01', q0) AS q_start,
+            date_diff('day', DATE '1970-01-01',
+              q0 + INTERVAL 3 MONTH) - 1 AS q_end
+          FROM (SELECT y, q, make_date(y, (q - 1) * 3 + 1, 1) AS q0
+            FROM (SELECT DISTINCT CAST(year(o_orderdate) AS INTEGER) AS y,
+                CAST(quarter(o_orderdate) AS INTEGER) AS q FROM orders)))
+        SELECT cust, y, q, c_start, c_end
+        FROM cust JOIN qs ON c_start <= q_end AND q_start <= c_end
+        ORDER BY cust, y, q""")))
 }

@@ -44,4 +44,21 @@ class RangeJoinSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
     }
   }
+
+  test("intervalOverlap matches the theta join exactly, without " +
+    "duplicates, across multi-bin spans") {
+    val left = (1L to 30L).map(i => (i, i * 7.0, i * 7.0 + 40.0))
+      .toDF("lid", "ls", "le")
+    val right = (1L to 25L).map(j => (j, j * 11.0, j * 11.0 + 3.0))
+      .toDF("rid", "rs", "re")
+    val got = graft.operators.RangeJoin
+      .intervalOverlap(left, "ls", "le", right, "rs", "re", binWidth = 10)
+      .select("lid", "rid").as[(Long, Long)].collect().toSeq
+    val expected = left.join(right,
+        col("ls") <= col("re") && col("rs") <= col("le"))
+      .select("lid", "rid").as[(Long, Long)].collect().toSeq
+    assert(got.sorted == expected.sorted)
+    assert(got.size == got.toSet.size, "duplicate pairs emitted")
+    assert(expected.nonEmpty)
+  }
 }

@@ -1263,5 +1263,25 @@ object PipelineQueries {
                 CAST(quarter(o_orderdate) AS INTEGER) AS q FROM orders)))
         SELECT cust, y, q, c_start, c_end
         FROM cust JOIN qs ON c_start <= q_end AND q_start <= c_end
-        ORDER BY cust, y, q""")))
+        ORDER BY cust, y, q""")),
+
+    // ---- Layout: Z-order (Morton) multi-dimensional clustering ----------
+    // The zone-map layout trick behind OPTIMIZE ZORDER BY, from plain
+    // shift/mask arithmetic; the oracle mirror is generated term-by-term
+    // from the same bit algebra (Layout.morton2Sql), so the z-values —
+    // and the per-tile min/max envelopes a pruner would consult —
+    // hash-check bit-exactly.
+    QueryDef("q98_zorder_layout",
+      (s, dir) => graft.sources.Layout
+        .tileStats(Tables.load(s, dir, "lineitem"),
+          "l_partkey", "l_suppkey", bits = 16, tileBits = 14)
+        .orderBy("tile"),
+      Some(s"""WITH z AS (SELECT l_partkey, l_suppkey,
+          (${graft.sources.Layout.morton2Sql("l_partkey", "l_suppkey", 16)})
+            AS zval
+        FROM lineitem)
+        SELECT zval >> 14 AS tile, count(*) AS n,
+          max(l_partkey) - min(l_partkey) AS x_span,
+          max(l_suppkey) - min(l_suppkey) AS y_span
+        FROM z GROUP BY 1 ORDER BY tile""")))
 }

@@ -537,5 +537,27 @@ object LakeQueries {
           CAST(round(sum(CAST(p_retailprice AS DECIMAL(25,6))), 2)
             AS DOUBLE) AS total_price
         FROM part WHERE p_size >= 20
-        GROUP BY p_brand ORDER BY p_brand""")))
+        GROUP BY p_brand ORDER BY p_brand""")),
+
+    // ---- Layout: zone-mapped write + pruned range read ------------------
+    // Range-bucketed parquet + per-file min/max stats table; the read
+    // opens only the files whose envelope intersects the predicate
+    // (LakeSpec asserts the file-count reduction) — result must equal
+    // the plain full-scan filter, which is exactly what the oracle runs.
+    QueryDef("q99_zonemap_prune",
+      (s, dir) => {
+        val root = Files.createTempDirectory("graft_zm").toString + "/li"
+        val li = Tables.load(s, dir, "lineitem")
+          .select("l_orderkey", "l_quantity", "l_linenumber")
+        graft.sources.Layout.writeZoneMapped(li, root, "l_orderkey", 16)
+        graft.sources.Layout.prunedRead(s, root, "l_orderkey", 1000L, 5000L)
+          .agg(count(lit(1)).as("n"),
+            sum("l_quantity").cast("double").as("qty"),
+            countDistinct("l_orderkey").as("orders"))
+      },
+      Some("""SELECT count(*) AS n,
+          CAST(sum(l_quantity) AS DOUBLE) AS qty,
+          count(DISTINCT l_orderkey) AS orders
+        FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 5000"""),
+      kind = QueryDef.Pipeline))
 }

@@ -38,4 +38,26 @@ class LayoutSpec extends SparkSpec {
       .agg(avg("y_span")).head().getDouble(0)
     assert(xsorted == 63.0)
   }
+
+  test("zone-mapped read prunes files and equals the full-scan filter") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zm_t")
+      .toString + "/t"
+    val df = spark.range(0, 10000).toDF("k")
+      .withColumn("payload", col("k") * 3)
+    Layout.writeZoneMapped(df, dir, "k", nBuckets = 10)
+    val total = graft.sources.Compact.dataFileCount(dir)
+    assert(total >= 10)
+    val admitted = Layout.overlappingFiles(spark, dir, 2000L, 2999L)
+    // a 10% range over a range-bucketed layout touches ~1-2 of 10 files
+    assert(admitted.nonEmpty && admitted.size <= 3,
+      s"${admitted.size} of $total files admitted")
+    val pruned = Layout.prunedRead(spark, dir, "k", 2000L, 2999L)
+    val full = df.filter(col("k").between(2000, 2999))
+    assert(pruned.count() == 1000)
+    assert(pruned.agg(sum("payload")).head().getLong(0) ==
+      full.agg(sum("payload")).head().getLong(0))
+    // empty range → zero files, empty frame, schema intact
+    val none = Layout.prunedRead(spark, dir, "k", 50000L, 60000L)
+    assert(none.count() == 0 && none.columns.contains("payload"))
+  }
 }

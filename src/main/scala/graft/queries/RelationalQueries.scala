@@ -649,5 +649,32 @@ object RelationalQueries {
               ORDER BY c_acctbal DESC, c_custkey ASC) AS INT) AS decile
           FROM customer) t
         GROUP BY c_mktsegment, decile
-        ORDER BY c_mktsegment, decile""")))
+        ORDER BY c_mktsegment, decile""")),
+
+    // ---- A6/J5: correlated subqueries (Athena-declared SQL surface) -----
+    // One statement, dialect-shared: a correlated scalar COUNT subquery
+    // (Catalyst decorrelates it to an outer aggregate join), a
+    // correlated EXISTS (→ left-semi join), and an uncorrelated scalar
+    // AVG (→ one-row broadcast). DuckDB executes the identical text.
+    QueryDef("q100_correlated_subquery",
+      (s, dir) => {
+        Tables.load(s, dir, "customer").createOrReplaceTempView("customer")
+        Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
+        s.sql(RelationalQueries.correlatedSql)
+      },
+      Some(correlatedSql)))
+
+  /** Shared Spark-SQL/DuckDB statement for q100 (both dialects parse
+    * this text identically). Lazy: referenced from `entries` above its
+    * declaration during object init. */
+  lazy val correlatedSql: String =
+    """SELECT c_custkey, c_mktsegment,
+         (SELECT count(*) FROM orders o
+          WHERE o.o_custkey = c.c_custkey) AS n_orders
+       FROM customer c
+       WHERE EXISTS (SELECT 1 FROM orders o
+         WHERE o.o_custkey = c.c_custkey
+           AND o.o_totalprice >
+             (SELECT avg(o_totalprice) FROM orders))
+       ORDER BY c_custkey LIMIT 50"""
 }

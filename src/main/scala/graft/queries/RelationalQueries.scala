@@ -280,6 +280,45 @@ object RelationalQueries {
           ON cp.user_id = e.user_id AND cp.cts >= e.ets
         ORDER BY cp.user_id, cp.cts""")),
 
+    // ---- custom operator: FORWARD as-of with tolerance -------------------
+    // The other half of the merge_asof contract: nearest FOLLOWING right
+    // row, and matches further than 30 min are nullified (map-only
+    // post-pass — tolerance adds no shuffle). Oracle: DuckDB's forward
+    // ASOF JOIN wrapped in the same gap test.
+    QueryDef("q101_asof_forward",
+      (s, dir) => {
+        val ev = Tables.eventsWithTime(s, dir)
+          .groupBy("user_id", "event_time")
+          .agg(max("value").as("value"))
+        val checkpoints = ev.filter(col("user_id") <= 20)
+          .select("user_id").distinct()
+          .withColumn("k", explode(sequence(lit(0), lit(4))))
+          .withColumn("cts",
+            timestamp_seconds(lit(1704067200L) + col("k") * 3600L))
+          .drop("k")
+        graft.operators.AsOfJoin
+          .leftAsOf(checkpoints, ev, "user_id", "cts", "event_time",
+            forward = true, toleranceSec = Some(1800L))
+          .orderBy("user_id", "cts")
+      },
+      Some("""WITH ev AS (
+          SELECT user_id, CAST(ts AS TIMESTAMP) AS ets,
+            max(value) AS value
+          FROM events GROUP BY 1, 2),
+        cp AS (
+          SELECT u.user_id,
+            make_timestamp(1704067200000000 + h.k * 3600 * 1000000) AS cts
+          FROM (SELECT DISTINCT user_id FROM ev WHERE user_id <= 20) u,
+               (SELECT unnest(range(0, 5)) AS k) h)
+        SELECT user_id, cts,
+          CASE WHEN ok THEN ets END AS matched_ts,
+          CASE WHEN ok THEN value END AS value
+        FROM (SELECT cp.user_id, cp.cts, e.ets, e.value,
+            abs(epoch(e.ets) - epoch(cp.cts)) <= 1800 AS ok
+          FROM cp ASOF LEFT JOIN ev e
+            ON cp.user_id = e.user_id AND cp.cts <= e.ets)
+        ORDER BY user_id, cts""")),
+
     // ---- custom operator: range join (binned point-in-interval) ----------
     // Overlapping price bands × order totals; oracle is the plain
     // BETWEEN theta join.

@@ -49,4 +49,24 @@ class AsOfJoinSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange SinglePartition"), plan.take(1500))
   }
+
+  test("forward as-of picks the nearest following row; tolerance " +
+    "nullifies distant matches") {
+    val left = Seq((1L, 100L), (1L, 205L), (2L, 50L)).toDF("k", "lts")
+    val right = Seq((1L, 110L, "a"), (1L, 300L, "b"), (2L, 40L, "c"))
+      .toDF("k", "rts", "payload")
+    val fwd = graft.operators.AsOfJoin
+      .leftAsOf(left, right, "k", "lts", "rts", forward = true)
+      .orderBy("k", "lts").collect()
+    // (1,100) → rts 110; (1,205) → rts 300; (2,50) → no following row
+    assert(fwd(0).getAs[String]("payload") == "a")
+    assert(fwd(1).getAs[String]("payload") == "b")
+    assert(fwd(2).isNullAt(fwd(2).fieldIndex("payload")))
+    val tol = graft.operators.AsOfJoin
+      .leftAsOf(left, right, "k", "lts", "rts", forward = true,
+        toleranceSec = Some(50L))
+      .orderBy("k", "lts").collect()
+    assert(tol(0).getAs[String]("payload") == "a")   // gap 10 ≤ 50
+    assert(tol(1).isNullAt(tol(1).fieldIndex("payload"))) // gap 95 > 50
+  }
 }

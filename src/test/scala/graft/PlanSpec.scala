@@ -95,6 +95,18 @@ class PlanSpec extends SparkSpec {
     assert(graft.scaleOut(f).rdd.getNumPartitions == width)
   }
 
+  test("q94/q97: band/bin joins plan as equi-joins — never a " +
+    "nested-loop theta join over the corpora") {
+    for (name <- Seq("q94_fuzzy_decontam", "q97_interval_join")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name:\n${p.take(2000)}")
+      // broadcast single-row frames are fine; a nested-loop join over
+      // two multi-row sides is the shape these operators exist to avoid
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$name:\n${p.take(2000)}")
+    }
+  }
+
   test("no registered query funnels the corpus through a " +
     "single-partition window") {
     for ((name, _) <- SparkEntry.defs) {

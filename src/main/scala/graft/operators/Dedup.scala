@@ -281,6 +281,33 @@ object Dedup {
     labels
   }
 
+  /** X2 deliverable: ONE survivor per near-dup cluster, chosen by
+    * quality (`qualityCol` desc, id asc tie-break); docs in no pair are
+    * their own cluster and pass through untouched. This is the actual
+    * "dedup the corpus" output — [[clusterPairs]] labels made
+    * actionable.
+    *
+    * Scale: the label frame is bounded by the paired docs (not the
+    * corpus); one left join attaches labels, the top-1 window runs ONLY
+    * over clustered docs partitioned by cluster id, and the untouched
+    * majority streams through a filter. */
+  def keepBestPerCluster(df: DataFrame, idCol: String, pairs: DataFrame,
+                         aCol: String, bCol: String,
+                         qualityCol: String): DataFrame = {
+    val labels = clusterPairs(pairs, aCol, bCol)
+      .withColumnRenamed("node", idCol)
+    val labeled = df.join(labels, Seq(idCol), "left_outer")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster")
+      .orderBy(col(qualityCol).desc, col(idCol).asc)
+    val winners = labeled.filter(col("cluster").isNotNull)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn", "cluster")
+    labeled.filter(col("cluster").isNull).drop("cluster")
+      .unionByName(winners)
+  }
+
   /** SimHash: 64-bit signature — bit j of each token's hash votes ±1;
     * the sign of the tally sets bit j of the fingerprint. Near-dups have
     * small Hamming distance. Computed by the NATIVE one-pass expression

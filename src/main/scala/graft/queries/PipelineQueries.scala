@@ -1283,5 +1283,94 @@ object PipelineQueries {
         SELECT zval >> 14 AS tile, count(*) AS n,
           max(l_partkey) - min(l_partkey) AS x_span,
           max(l_suppkey) - min(l_suppkey) AS y_span
-        FROM z GROUP BY 1 ORDER BY tile""")))
+        FROM z GROUP BY 1 ORDER BY tile""")),
+
+    // ---- X5: approximate quantiles vs exact (error envelope) ------------
+    // Same gated shape as q49: the exact quantiles are portable (q81
+    // proved percentile ≡ quantile_cont), the approx sketch values are
+    // impl-specific and stay in-plan as inputs to the envelope bits.
+    QueryDef("q102_approx_quantiles",
+      (s, dir) => {
+        val l = Tables.load(s, dir, "lineitem")
+        l.agg(
+          expr("percentile_approx(l_extendedprice, array(0.5D, 0.95D), 10000)")
+            .as("ap"),
+          expr("percentile(l_extendedprice, 0.5D)").as("e50"),
+          expr("percentile(l_extendedprice, 0.95D)").as("e95"),
+          count(lit(1)).as("n"))
+          .select(round(col("e50"), 4).as("exact_p50"),
+            round(col("e95"), 4).as("exact_p95"), col("n"),
+            (abs(element_at(col("ap"), 1) - col("e50")) / col("e50") <= 0.02)
+              .as("p50_within_bounds"),
+            (abs(element_at(col("ap"), 2) - col("e95")) / col("e95") <= 0.02)
+              .as("p95_within_bounds"))
+      },
+      Some("""SELECT round(quantile_cont(l_extendedprice, 0.5), 4)
+            AS exact_p50,
+          round(quantile_cont(l_extendedprice, 0.95), 4) AS exact_p95,
+          count(*) AS n,
+          true AS p50_within_bounds, true AS p95_within_bounds
+        FROM lineitem""")),
+
+    // ---- X2 deliverable: keep the BEST doc per near-dup cluster ---------
+    // q90 counted the components; this acts on them — one survivor per
+    // cluster by (n_chars desc, doc_id asc), singletons untouched. The
+    // oracle replays the same choice over the recursive-CTE closure.
+    QueryDef("q103_dedup_survivor_stats",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val pairs = Dedup.exactDupStarPairs(docs, "doc_id", "text")
+          .unionByName(Dedup.blockedJaccardPairs(docs, "doc_id", "text",
+            Seq("lang", "source"), shingleN = 3, threshold = 0.4)
+            .select("id_a", "id_b"))
+        Dedup.keepBestPerCluster(docs, "doc_id", pairs,
+            "id_a", "id_b", "n_chars")
+          .groupBy("lang", "source")
+          .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"),
+            min("doc_id").as("first_id"))
+          .orderBy("lang", "source")
+      },
+      Some("""WITH RECURSIVE sh AS (
+          SELECT doc_id, lang, source,
+            CASE WHEN len(toks) >= 3 THEN list_distinct(
+              [array_to_string(toks[i:i+2], ' ')
+                for i in range(1, len(toks) - 1)])
+            ELSE [] END AS s
+          FROM (SELECT doc_id, lang, source, string_split(lower(text), ' ')
+            AS toks FROM documents)),
+        p AS (
+          SELECT id_a, id_b FROM (
+            SELECT min(doc_id) OVER (PARTITION BY md5(text)) AS id_a,
+              doc_id AS id_b FROM documents) star
+          WHERE id_a <> id_b
+          UNION
+          SELECT a.doc_id, b.doc_id
+          FROM sh a JOIN sh b
+            ON a.lang = b.lang AND a.source = b.source
+          WHERE a.doc_id < b.doc_id
+            AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE)
+              >= 0.4),
+        edges AS (SELECT id_a AS x, id_b AS y FROM p
+          UNION SELECT id_b, id_a FROM p),
+        reach(x, y) AS (SELECT x, y FROM edges
+          UNION SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x
+            WHERE e.y <> r.x),
+        members AS (SELECT x AS doc_id, least(x, min(y)) AS cluster
+          FROM reach GROUP BY x),
+        labeled AS (SELECT d.doc_id, d.lang, d.source, d.n_chars,
+            m.cluster
+          FROM documents d LEFT JOIN members m ON d.doc_id = m.doc_id),
+        winners AS (SELECT doc_id, lang, source, n_chars FROM (
+          SELECT doc_id, lang, source, n_chars, row_number() OVER (
+              PARTITION BY cluster ORDER BY n_chars DESC, doc_id ASC)
+              AS rn
+          FROM labeled WHERE cluster IS NOT NULL) WHERE rn = 1),
+        survivors AS (
+          SELECT doc_id, lang, source, n_chars FROM labeled
+            WHERE cluster IS NULL
+          UNION ALL SELECT doc_id, lang, source, n_chars FROM winners)
+        SELECT lang, source, count(*) AS n,
+          CAST(sum(n_chars) AS BIGINT) AS chars, min(doc_id) AS first_id
+        FROM survivors GROUP BY lang, source ORDER BY lang, source""")))
 }

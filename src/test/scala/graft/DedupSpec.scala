@@ -150,4 +150,19 @@ class DedupSpec extends SparkSpec {
     // zero-norm vectors must never match anything (cosine = NULL)
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
+
+  test("keepBestPerCluster keeps the highest-quality doc per cluster " +
+    "and passes singletons through") {
+    val docs = Seq(
+      (1L, "a", 10L), (2L, "b", 30L), (3L, "c", 20L), // cluster {1,2,3}
+      (7L, "d", 5L),                                   // singleton
+      (8L, "e", 9L), (9L, "f", 9L))                    // cluster {8,9}: tie
+      .toDF("doc_id", "text", "quality")
+    val pairs = Seq((1L, 2L), (2L, 3L), (8L, 9L)).toDF("id_a", "id_b")
+    val kept = Dedup.keepBestPerCluster(docs, "doc_id", pairs,
+        "id_a", "id_b", "quality")
+      .select("doc_id").as[Long].collect().toSet
+    // best of {1,2,3} is 2 (quality 30); tie in {8,9} breaks to min id 8
+    assert(kept == Set(2L, 7L, 8L))
+  }
 }

@@ -76,6 +76,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"minhash_bands expects 1 or 4 args, got ${other.size}")
       }))
     ext.injectFunction((
+      new FunctionIdentifier("portable_hash"),
+      new ExpressionInfo(classOf[functions.Md5Prefix32].getName,
+        "portable_hash"),
+      (children: Seq[Expression]) => children match {
+        case Seq(text) => functions.Md5Prefix32(text)
+        case other => throw new IllegalArgumentException(
+          s"portable_hash expects 1 arg, got ${other.size}")
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("shingle_set"),
       new ExpressionInfo(classOf[functions.ShingleSet].getName,
         "shingle_set"),

@@ -188,6 +188,44 @@ object TextSignatureKernels {
   }
 }
 
+/** Kernel for the engine-portable per-row hash (Sampling discipline):
+  * unsigned big-endian value of the first 4 bytes of md5(utf8) —
+  * numerically identical to
+  * `CAST(('0x' || substr(md5(s), 1, 8)) AS UBIGINT)` in DuckDB and the
+  * md5→substring→conv functions-API chain. One digest pass with a
+  * thread-local MessageDigest; no hex-string / substring / radix-parse
+  * allocations per row (three per row in the declarative chain). */
+object PortableHashKernel {
+  private val md5 = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+
+  def md5Prefix32(s: UTF8String): Long = {
+    val md = md5.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+      ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+  }
+}
+
+/** `portable_hash(text)` → long in [0, 2^32): the md5-prefix hash every
+  * deterministic-sampling operator keys on. */
+case class Md5Prefix32(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "portable_hash"
+
+  override def nullSafeEval(input: Any): Any =
+    PortableHashKernel.md5Prefix32(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.PortableHashKernel.md5Prefix32($c)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Md5Prefix32 = copy(child = newChild)
+}
+
 /** `minhash_signature(text)` → array<long> of k lane minima;
   * null for texts shorter than the shingle width. */
 case class MinHashSignature(child: Expression, shingleN: Int,
@@ -358,6 +396,9 @@ object Native {
 
   def simhash64(text: Column, seed: Long = 42L): Column =
     column(SimHash64(expression(text), seed))
+
+  def md5Prefix32(text: Column): Column =
+    column(Md5Prefix32(expression(text)))
 
   def cosineSim(a: Column, b: Column): Column =
     column(CosineSim(expression(a), expression(b)))

@@ -24,10 +24,14 @@ object Sampling {
 
   /** Portable per-row hash in [0, 2^32): numeric value of the first 8
     * hex chars of md5("&lt;id&gt;|&lt;salt&gt;"). Oracle mirror:
-    * `CAST(('0x' || substr(md5(id || '|salt'), 1, 8)) AS UBIGINT)`. */
+    * `CAST(('0x' || substr(md5(id || '|salt'), 1, 8)) AS UBIGINT)`.
+    * Computed by the NATIVE one-pass expression (functions.Md5Prefix32,
+    * codegen'd, thread-local digest) — identical values to the
+    * md5→substring→conv chain without its three per-row string
+    * allocations; GraftProperties asserts the equivalence. */
   def portableHash(id: Column, salt: String): Column =
-    conv(substring(md5(concat(id.cast("string"), lit("|" + salt))), 1, 8),
-      16, 10).cast("long")
+    graft.functions.Native.md5Prefix32(
+      concat(id.cast("string"), lit("|" + salt)))
 
   /** Keep ~`frac` of rows, decided per row by the portable hash. */
   def deterministicSample(df: DataFrame, idCol: String, frac: Double,

@@ -110,4 +110,15 @@ object GraftProperties extends Properties("graft.kernels") {
         .hyperplaneBuckets(arr(v), 16, 4, 7L).toLongArray.toSeq
       a != c // 64 independent sign bits colliding across seeds ≈ never
     }
+
+  property("md5Prefix32 equals the hex-substring-radix reference and " +
+    "stays in [0, 2^32)") =
+    forAll(text) { s =>
+      val got = graft.functions.PortableHashKernel.md5Prefix32(u(s))
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val ref = java.lang.Long.parseLong(hex.substring(0, 8), 16)
+      got == ref && got >= 0L && got < (1L << 32)
+    }
 }

@@ -224,19 +224,21 @@ object Dedup {
   /** X2 completion: collapse near-dup PAIRS into clusters (connected
     * components) by smallest-id label propagation, so "keep one doc per
     * near-dup cluster" is answerable — pairs alone under-merge when
-    * A~B and B~C but A≁C. Each round is one neighbor-min join PLUS a
-    * pointer-doubling hop (label-of-label), so rounds needed are
-    * O(log diameter) — a 1000-node chain converges in ~10 rounds, not
-    * 1000. Labels are localCheckpointed per round to truncate lineage;
-    * at 100 TB swap for reliable `checkpoint` to a cluster-visible dir.
-    * Throws IllegalStateException if the fixpoint is not reached within
-    * maxIter — a silent partial result would KEEP duplicates downstream
-    * ("one doc per cluster" over under-merged labels). Returns (node,
-    * cluster) — cluster = min id in the component. Only nodes appearing
-    * in a pair are returned (singletons are their own cluster by
-    * definition). */
+    * A~B and B~C but A≁C. Hybrid schedule: the first `plainRounds`
+    * iterations are one neighbor-min join each (diameter ≤ 4 — every
+    * realistic near-dup cluster — converges at minimum cost), then a
+    * pointer-doubling hop (label-of-label) joins each round so the
+    * remaining reach DOUBLES per round and pathological chains finish
+    * in O(log diameter) total. Labels are localCheckpointed per round
+    * to truncate lineage; at 100 TB swap for reliable `checkpoint` to a
+    * cluster-visible dir. Throws IllegalStateException if the fixpoint
+    * is not reached within maxIter — a silent partial result would KEEP
+    * duplicates downstream ("one doc per cluster" over under-merged
+    * labels). Returns (node, cluster) — cluster = min id in the
+    * component. Only nodes appearing in a pair are returned (singletons
+    * are their own cluster by definition). */
   def clusterPairs(pairs: DataFrame, aCol: String, bCol: String,
-                   maxIter: Int = 16): DataFrame = {
+                   maxIter: Int = 16, plainRounds: Int = 4): DataFrame = {
     val edges = pairs.select(col(aCol).as("x"), col(bCol).as("y"))
       .union(pairs.select(col(bCol).as("x"), col(aCol).as("y")))
       .distinct()
@@ -256,15 +258,17 @@ object Dedup {
         .select(col("node"),
           least(col("cluster"), coalesce(col("nbr"), col("cluster")))
             .as("cluster"))
-      // Pointer doubling: jump each node's label to its LABEL's label.
-      // min-labels only ever shrink, so the hop is always sound, and it
-      // halves the remaining pointer-chain depth every round.
-      val updated = hooked
-        .join(hooked.select(col("node").as("cluster"),
-          col("cluster").as("cc")), Seq("cluster"), "left_outer")
-        .select(col("node"),
-          least(col("cluster"), coalesce(col("cc"), col("cluster")))
-            .as("cluster"))
+      // Pointer doubling (rounds ≥ plainRounds only): jump each node's
+      // label to its LABEL's label. min-labels only ever shrink, so the
+      // hop is always sound, and it halves the remaining pointer-chain
+      // depth every round it runs.
+      val updated = (if (i < plainRounds) hooked
+        else hooked
+          .join(hooked.select(col("node").as("cluster"),
+            col("cluster").as("cc")), Seq("cluster"), "left_outer")
+          .select(col("node"),
+            least(col("cluster"), coalesce(col("cc"), col("cluster")))
+              .as("cluster")))
         .localCheckpoint()
       converged = updated
         .join(labels.withColumnRenamed("cluster", "old"), Seq("node"))

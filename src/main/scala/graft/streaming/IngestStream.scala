@@ -124,6 +124,17 @@ object IngestStream {
           r.$rightTsCol <= l.$leftTsCol + INTERVAL $within"""))
   }
 
+  /** R-surface extension: stream-STATIC enrichment — the streaming
+    * analog of the left-outer metadata enrich (J3): every micro-batch
+    * joins against the (small) static dimension, broadcast so the
+    * stream side never shuffles. The dimension is re-read per batch by
+    * Spark's incremental planner, so a refreshed dimension table is
+    * picked up without restarting the query — the standard
+    * slowly-changing-dimension pattern. */
+  def enrichWithDimension(stream: DataFrame, dim: DataFrame,
+                          keyCol: String): DataFrame =
+    stream.join(broadcast(dim), Seq(keyCol), "left_outer")
+
   /** R-surface extension: arbitrary keyed state via mapGroupsWithState —
     * the primitive for stateful logic no built-in window expresses.
     * Running per-key totals that persist ACROSS micro-batches (state =

@@ -83,4 +83,16 @@ class CurationSpec extends SparkSpec {
     assert(got(0).getAs[Long]("train_id") == 100L)
     assert(got(0).getAs[Double]("jaccard") > 0.7)
   }
+
+  test("fuzzyContamination: empty bench side and too-short docs yield " +
+    "no pairs instead of failing") {
+    val train = Seq((1L, "some training document with enough words here"))
+      .toDF("doc_id", "text")
+    val emptyBench = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Curation.fuzzyContamination(train, emptyBench, "doc_id",
+      "text", 0.7).count() == 0)
+    val shortBench = Seq((2L, "too short")).toDF("doc_id", "text")
+    assert(Curation.fuzzyContamination(train, shortBench, "doc_id",
+      "text", 0.7).count() == 0)
+  }
 }

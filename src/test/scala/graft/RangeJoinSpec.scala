@@ -61,4 +61,21 @@ class RangeJoinSpec extends SparkSpec {
     assert(got.size == got.toSet.size, "duplicate pairs emitted")
     assert(expected.nonEmpty)
   }
+
+  test("intervalOverlap is exact on a negative/fractional domain " +
+    "(floor-binning must stay consistent below zero)") {
+    val left = (-15L to 15L).map(i => (i, i * 3.5 - 2.0, i * 3.5 + 6.0))
+      .toDF("lid", "ls", "le")
+    val right = (-12L to 12L).map(j => (j, j * 5.0 - 1.5, j * 5.0 + 2.5))
+      .toDF("rid", "rs", "re")
+    val got = graft.operators.RangeJoin
+      .intervalOverlap(left, "ls", "le", right, "rs", "re", binWidth = 4)
+      .select("lid", "rid").as[(Long, Long)].collect().toSeq
+    val expected = left.join(right,
+        col("ls") <= col("re") && col("rs") <= col("le"))
+      .select("lid", "rid").as[(Long, Long)].collect().toSeq
+    assert(got.sorted == expected.sorted)
+    assert(got.size == got.toSet.size)
+    assert(expected.nonEmpty)
+  }
 }

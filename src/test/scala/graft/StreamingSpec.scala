@@ -189,4 +189,26 @@ class StreamingSpec extends SparkSpec {
       .collect().sorted.toSeq
     assert(got == Seq("k1", "k2"))
   }
+
+  test("stream-static enrichment: every micro-batch joins the broadcast " +
+    "dimension; unmatched keys pass through null-padded") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq(("k1", "alpha"), ("k2", "beta")).toDF("id", "segment")
+    val mem = MemoryStream[String]
+    val enriched = IngestStream.enrichWithDimension(
+      mem.toDF().toDF("id"), dim, "id")
+    val q = enriched.writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    mem.addData("k1", "k3")
+    q.processAllAvailable()
+    mem.addData("k2")
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("enrich_out")
+      .select("id", "segment").as[(String, Option[String])]
+      .collect().toSet
+    assert(got == Set(("k1", Some("alpha")), ("k3", None),
+      ("k2", Some("beta"))))
+  }
 }

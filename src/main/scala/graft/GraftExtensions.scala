@@ -76,15 +76,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"minhash_bands expects 1 or 4 args, got ${other.size}")
       }))
     ext.injectFunction((
-      new FunctionIdentifier("portable_hash"),
-      new ExpressionInfo(classOf[functions.Md5Prefix32].getName,
-        "portable_hash"),
-      (children: Seq[Expression]) => children match {
-        case Seq(text) => functions.Md5Prefix32(text)
-        case other => throw new IllegalArgumentException(
-          s"portable_hash expects 1 arg, got ${other.size}")
-      }))
-    ext.injectFunction((
       new FunctionIdentifier("shingle_set"),
       new ExpressionInfo(classOf[functions.ShingleSet].getName,
         "shingle_set"),
@@ -93,6 +84,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(text, n) => functions.ShingleSet(text, intLit(n, "shingleN"))
         case other => throw new IllegalArgumentException(
           s"shingle_set expects 1-2 args, got ${other.size}")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("token_fingerprint"),
+      new ExpressionInfo(classOf[functions.TokenFingerprint].getName,
+        "token_fingerprint"),
+      (children: Seq[Expression]) => children match {
+        case Seq(text) => functions.TokenFingerprint(text)
+        case other => throw new IllegalArgumentException(
+          s"token_fingerprint expects 1 arg, got ${other.size}")
       }))
     // Spark's Bloom-filter machinery is internal-only (runtime filters);
     // expose it as user-callable SQL — membership sketches are a
@@ -191,26 +191,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case other => throw new IllegalArgumentException(
           s"scrub_pii expects 1 arg, got ${other.size}")
       }))
+    // Both arities route through the native one-pass digest expression
+    // (functions.Md5Prefix32) — identical values to the former
+    // md5→substring→conv chain, minus its per-row string allocations.
     ext.injectFunction((
       new FunctionIdentifier("portable_hash"),
-      new ExpressionInfo(graft.operators.Sampling.getClass.getName,
+      new ExpressionInfo(classOf[functions.Md5Prefix32].getName,
         "portable_hash"),
       (children: Seq[Expression]) => children match {
+        case Seq(text) => functions.Md5Prefix32(text)
         case Seq(id, salt) =>
-          import org.apache.spark.sql.catalyst.expressions.{Cast, Concat,
-            Conv, Md5, Substring}
-          import org.apache.spark.sql.types.{BinaryType, LongType,
-            StringType}
-          Cast(
-            Conv(
-              Substring(
-                Md5(Cast(Concat(Seq(Cast(id, StringType),
-                  Literal("|" + strLit(salt, "salt")))), BinaryType)),
-                Literal(1), Literal(8)),
-              Literal(16), Literal(10)),
-            LongType)
+          import org.apache.spark.sql.catalyst.expressions.{Cast, Concat}
+          import org.apache.spark.sql.types.StringType
+          functions.Md5Prefix32(Concat(Seq(Cast(id, StringType),
+            Literal("|" + strLit(salt, "salt")))))
         case other => throw new IllegalArgumentException(
-          s"portable_hash expects (id, salt) args, got ${other.size}")
+          s"portable_hash expects (text) or (id, salt), got ${other.size}")
       }))
   }
 }

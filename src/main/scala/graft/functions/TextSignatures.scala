@@ -208,6 +208,44 @@ object PortableHashKernel {
   }
 }
 
+/** Kernel for the rolling token fingerprint (X4): byte-identical to the
+  * declarative `Text.tokenFingerprint` fold — per token
+  * `ascii(first char)·31 + length(chars)`, folded
+  * `acc·1000003 + x (mod 1e9+7)` from acc = 0 — but one codegen'd pass
+  * instead of an interpreted higher-order `aggregate` lambda. */
+object FingerprintKernel {
+  def tokenFingerprint(text: UTF8String): Long = {
+    val toks = text.toLowerCase.split(UTF8String.fromString(" "), -1)
+    var acc = 0L
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      val s = t.toString
+      val first = if (s.isEmpty) 0L else s.codePointAt(0).toLong
+      acc = (acc * 1000003L + (first * 31L + t.numChars())) % 1000000007L
+      i += 1
+    }
+    acc
+  }
+}
+
+/** `token_fingerprint(text)` → long rolling fingerprint. */
+case class TokenFingerprint(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "token_fingerprint"
+
+  override def nullSafeEval(input: Any): Any =
+    FingerprintKernel.tokenFingerprint(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.FingerprintKernel.tokenFingerprint($c)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): TokenFingerprint = copy(child = newChild)
+}
+
 /** `portable_hash(text)` → long in [0, 2^32): the md5-prefix hash every
   * deterministic-sampling operator keys on. */
 case class Md5Prefix32(child: Expression) extends UnaryExpression {
@@ -399,6 +437,9 @@ object Native {
 
   def md5Prefix32(text: Column): Column =
     column(Md5Prefix32(expression(text)))
+
+  def tokenFingerprint(text: Column): Column =
+    column(TokenFingerprint(expression(text)))
 
   def cosineSim(a: Column, b: Column): Column =
     column(CosineSim(expression(a), expression(b)))

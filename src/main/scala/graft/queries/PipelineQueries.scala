@@ -819,9 +819,12 @@ object PipelineQueries {
     // (acc*1000003 + x) mod p starting at acc=0 equals a first-element
     // seed because every x < p — so the init-free DuckDB fold matches.
     QueryDef("q53_fingerprint",
+      // native one-pass kernel; NativeExpressionsSpec pins it equal to
+      // the declarative Text.tokenFingerprint fold
       (s, dir) => graft.scaleOut(
           Tables.load(s, dir, "documents").filter(col("doc_id") < 40))
-        .select(col("doc_id"), Text.tokenFingerprint(col("text")).as("fp"))
+        .select(col("doc_id"),
+          graft.functions.Native.tokenFingerprint(col("text")).as("fp"))
         .orderBy("doc_id"),
       Some("""SELECT doc_id,
           list_reduce(

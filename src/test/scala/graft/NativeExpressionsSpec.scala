@@ -157,4 +157,30 @@ class NativeExpressionsSpec extends SparkSpec {
       .head().getSeq[Long](0).toList
     assert(viaSql == viaCol && viaSql.size == 8)
   }
+
+  test("token_fingerprint native kernel equals the declarative HOF " +
+    "fold, including empties, repeated spaces, and unicode") {
+    val samples = Seq("", " ", "a", "the quick brown fox", "a  b",
+      "Mixed CASE Words here", "word " * 30 + "tail",
+      "\u00fcber caf\u00e9 na\u00efve")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val both = samples.select(col("id"),
+      graft.functions.Native.tokenFingerprint(col("text")).as("native"),
+      graft.functions.Text.tokenFingerprint(col("text")).as("hof"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getAs[Long]("native") == r.getAs[Long]("hof"),
+        s"id=${r.getAs[Long]("id")}")
+    }
+    // SQL surface matches the Column API
+    samples.createOrReplaceTempView("fp_t")
+    val viaSql = spark.sql(
+      "SELECT id, token_fingerprint(text) AS fp FROM fp_t")
+      .as[(Long, Long)].collect().toMap
+    val viaCol = samples.select(col("id"),
+      graft.functions.Native.tokenFingerprint(col("text")))
+      .as[(Long, Long)].collect().toMap
+    assert(viaSql == viaCol)
+  }
 }

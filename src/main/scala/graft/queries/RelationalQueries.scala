@@ -701,11 +701,54 @@ object RelationalQueries {
         Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
         s.sql(RelationalQueries.correlatedSql)
       },
-      Some(correlatedSql)))
+      Some(correlatedSql)),
 
-  /** Shared Spark-SQL/DuckDB statement for q100 (both dialects parse
-    * this text identically). Lazy: referenced from `entries` above its
+    // ---- J5: LATERAL subquery join (Athena-declared SQL surface) --------
+    // Spark plans the lateral as a decorrelated left-outer aggregate
+    // join; DuckDB executes the identical text.
+    QueryDef("q104_lateral_join",
+      (s, dir) => {
+        Tables.load(s, dir, "customer").createOrReplaceTempView("customer")
+        Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
+        s.sql(RelationalQueries.lateralSql)
+      },
+      Some(lateralSql)),
+
+    // ---- W3: RANGE frame with a time interval ---------------------------
+    // Event-time sliding sum without tumbling buckets: every row's frame
+    // is [ts - 1 hour, ts] by VALUE, not by row count — the window shape
+    // q16/q17's ROWS frames can't express.
+    QueryDef("q105_range_interval_window",
+      (s, dir) => {
+        Tables.eventsWithTime(s, dir)
+          .createOrReplaceTempView("events_timed")
+        s.sql(
+          """SELECT user_id, event_time,
+               round(sum(value) OVER (
+                 PARTITION BY user_id ORDER BY event_time
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                   AND CURRENT ROW), 2) AS rolling_1h
+             FROM events_timed WHERE user_id <= 5
+             ORDER BY user_id, event_time""")
+      },
+      Some("""SELECT user_id, CAST(ts AS TIMESTAMP) AS event_time,
+          round(sum(value) OVER (
+            PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+            RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW), 2)
+            AS rolling_1h
+        FROM events WHERE user_id <= 5
+        ORDER BY user_id, event_time""")))
+
+  /** Shared Spark-SQL/DuckDB statements (both dialects parse these
+    * texts identically). Lazy: referenced from `entries` above their
     * declaration during object init. */
+  lazy val lateralSql: String =
+    """SELECT c_custkey, top_price FROM customer c,
+         LATERAL (SELECT max(o_totalprice) AS top_price FROM orders o
+                  WHERE o.o_custkey = c.c_custkey) t
+       WHERE top_price IS NOT NULL
+       ORDER BY c_custkey LIMIT 50"""
+
   lazy val correlatedSql: String =
     """SELECT c_custkey, c_mktsegment,
          (SELECT count(*) FROM orders o

@@ -135,6 +135,28 @@ object IngestStream {
                           keyCol: String): DataFrame =
     stream.join(broadcast(dim), Seq(keyCol), "left_outer")
 
+  /** R-surface extension (Spark 4 API): per-key running totals via
+    * `transformWithState` — the modern arbitrary-state operator
+    * (typed per-state handles, optional TTL, RocksDB-backed) that
+    * supersedes mapGroupsWithState for new pipelines. Same semantics as
+    * [[runningCounts]] but summing `valCol`, with state declared
+    * through a [[StatefulTotal]] processor. Requires the RocksDB state
+    * store provider (set
+    * `spark.sql.streaming.stateStore.providerClass`); run with
+    * OutputMode.Update. */
+  def runningTotalsTws(events: DataFrame, keyCol: String,
+                       valCol: String): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col(keyCol).cast("string"), col(valCol).cast("long"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new StatefulTotal(),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+      .toDF(keyCol, "total")
+  }
+
   /** R-surface extension: arbitrary keyed state via mapGroupsWithState —
     * the primitive for stateful logic no built-in window expresses.
     * Running per-key totals that persist ACROSS micro-batches (state =
@@ -206,4 +228,28 @@ object IngestStream {
                   watermark: String): DataFrame =
     events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(idCol)
+}
+
+/** StatefulProcessor for [[IngestStream.runningTotalsTws]]: one
+  * ValueState[Long] per key, no TTL (pass a TTLConfig to expire idle
+  * keys), emitting the updated total for each key seen in a batch. */
+class StatefulTotal extends org.apache.spark.sql.streaming.StatefulProcessor[
+    String, (String, Long), (String, Long)] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues,
+    TTLConfig, ValueState}
+
+  @transient private var total: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    total = getHandle.getValueState[Long]("total",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(key: String, rows: Iterator[(String, Long)],
+                               timers: TimerValues)
+      : Iterator[(String, Long)] = {
+    val t = (if (total.exists()) total.get() else 0L) +
+      rows.map(_._2).sum
+    total.update(t)
+    Iterator((key, t))
+  }
 }

@@ -196,4 +196,37 @@ class StreamingWindowsSpec extends SparkSpec {
     assert(err.getMessage.contains("integer literal") ||
       err.getMessage.contains("shingleN"))
   }
+
+  test("transformWithState running totals persist across micro-batches " +
+    "(RocksDB state store)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(String, Long)]
+      val totals = IngestStream.runningTotalsTws(
+        mem.toDF().toDF("k", "v"), "k", "v")
+      val q = totals.writeStream.format("memory").queryName("tws_out")
+        .outputMode("update").start()
+      mem.addData(("a", 2L), ("a", 3L), ("b", 10L))
+      q.processAllAvailable()
+      mem.addData(("a", 5L))
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("tws_out").as[(String, Long)].collect()
+      // batch 1 emits a→5, b→10; batch 2 emits a→10 (state carried)
+      assert(rows.toSet == Set(("a", 5L), ("b", 10L), ("a", 10L)))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }

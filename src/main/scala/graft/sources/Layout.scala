@@ -25,11 +25,14 @@ object Layout {
 
   /** Morton (Z-order) code of two non-negative ints using the low
     * `bits` of each: bit i of `x` lands at position 2i, bit i of `y`
-    * at 2i+1. Pure shift/mask/or fold — no UDF, no lookup table. */
+    * at 2i+1. Pure shift/mask/or fold — no UDF, no lookup table.
+    * Uses `%` (not pmod) so the arithmetic is bit-identical to the
+    * [[morton2Sql]] mirror in every engine, including the (degenerate,
+    * documented-unsupported) negative-input case. */
   def morton2(x: Column, y: Column, bits: Int = DefaultBits): Column = {
     require(bits > 0 && bits <= 31, s"bits must be in [1,31], got $bits")
-    val xm = pmod(x.cast("long"), lit(1L << bits))
-    val ym = pmod(y.cast("long"), lit(1L << bits))
+    val xm = x.cast("long") % lit(1L << bits)
+    val ym = y.cast("long") % lit(1L << bits)
     (0 until bits).map { i =>
       val xbit = shiftleft(shiftright(xm, i).bitwiseAND(lit(1L)), 2 * i)
       val ybit = shiftleft(shiftright(ym, i).bitwiseAND(lit(1L)), 2 * i + 1)

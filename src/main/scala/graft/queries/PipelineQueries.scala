@@ -1292,6 +1292,10 @@ object PipelineQueries {
     // Same gated shape as q49: the exact quantiles are portable (q81
     // proved percentile ≡ quantile_cont), the approx sketch values are
     // impl-specific and stay in-plan as inputs to the envelope bits.
+    // Scale note: the EXACT side (value-count maps merged across
+    // partitions) is the test-SF oracle anchor only — at 100 TB you run
+    // just percentile_approx (bounded GK sketch, mergeable); the exact
+    // side here is what proves the sketch's envelope holds.
     QueryDef("q102_approx_quantiles",
       (s, dir) => {
         val l = Tables.load(s, dir, "lineitem")

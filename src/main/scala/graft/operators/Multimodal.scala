@@ -4,18 +4,30 @@ import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 /** Multimodal column plumbing (SURVEY.md §2.11 X6): image/audio/video as
   * opaque BinaryType payloads with a typed metadata struct, flowing
   * through the same relational operators as any column.
   *
-  * The decode/feature-extract step is a STUB — media codec libraries are
-  * not in this container. `decodeFeatures` computes a deterministic fake
-  * feature vector from the payload bytes, but the Spark-side plumbing is
-  * real: schema, per-partition batched processing (mapPartitions — the
-  * Scala analog of a Pandas-UDF batch), partition-preserving execution
-  * (no shuffle), and a typed output schema.
+  * The IMAGE modality decodes for real: `decodeImageStats` (and the
+  * image branch of `decodeFeatures`) runs the payload through the JDK's
+  * `javax.imageio` PNG/BMP codec — no external dependency — and emits
+  * exact per-pixel statistics. Audio/video codecs are not in the JDK, so
+  * those modalities keep a deterministic byte-stat fallback; the
+  * Spark-side plumbing is identical either way: per-partition batched
+  * processing (mapPartitions — the Scala analog of a Pandas-UDF batch),
+  * partition-preserving execution (no shuffle), and a typed output
+  * schema.
   */
 object Multimodal {
+
+  /** ImageIO's default scratch-file cache costs a temp-file create per
+    * encode/decode; disable it once per executor JVM (thread-safe static,
+    * idempotent). */
+  private lazy val imageIoNoCache: Unit = ImageIO.setUseCache(false)
 
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
@@ -58,32 +70,140 @@ object Multimodal {
                            size_bytes: Long, n_frames: Int,
                            features: Array[Float])
 
-  /** STUB decode + feature extraction, batched per partition.
+  /** Magic-byte sniff: PNG (\x89PNG) or BMP (BM). Cheap gate so
+    * non-image payloads never enter the ImageIO reader machinery. */
+  private def looksLikeImage(b: Array[Byte]): Boolean =
+    (b.length > 8 && (b(0) & 0xFF) == 0x89 && b(1) == 'P' &&
+      b(2) == 'N' && b(3) == 'G') ||
+      (b.length > 2 && b(0) == 'B' && b(1) == 'M')
+
+  /** Decode + feature extraction, batched per partition.
     *
-    * Real implementation would decode `payload` with an image/audio
-    * codec here; the container has none, so the "decoder" derives a
-    * deterministic 8-dim feature vector from byte statistics. The
-    * batching shape (iterator-of-rows in, iterator-of-case-class out,
-    * one batch per partition, zero shuffle) is exactly what a production
-    * decode stage needs — swap the body, keep the plumbing. */
+    * Payloads carrying a PNG/BMP magic number are decoded for REAL with
+    * the JDK's `javax.imageio` codec: features = [width, height, mean R,
+    * mean G, mean B, mean luma, px count, 0], one "frame" per image.
+    * Anything else (the container has no audio/video codecs — JDK ships
+    * image ones only) falls back to a deterministic 8-dim byte-stat
+    * vector. The batching shape (iterator-of-rows in,
+    * iterator-of-case-class out, one batch per partition, zero shuffle)
+    * is exactly what a production decode stage needs. */
   def decodeFeatures(spark: SparkSession,
                      media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
     graft.scaleOut(media).select("media_id", "modality", "payload")
       .as[(Long, String, Array[Byte])]
       .mapPartitions { rows =>
+        imageIoNoCache
         rows.map { case (id, modality, payload) =>
-          // ??? real codec goes here — deterministic fake below.
           val bytes = if (payload == null) Array.empty[Byte] else payload
-          val frameSize = 100
-          val nFrames = (bytes.length + frameSize - 1) / frameSize
-          val feats = new Array[Float](8)
-          var i = 0
-          while (i < bytes.length) {
-            feats(i % 8) += (bytes(i) & 0xFF) / 255.0f
-            i += 1
+          val decoded: Option[BufferedImage] =
+            if (looksLikeImage(bytes))
+              Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+            else None
+          decoded match {
+            case Some(img) =>
+              val (w, h) = (img.getWidth, img.getHeight)
+              var (sr, sg, sb) = (0L, 0L, 0L)
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val rgb = img.getRGB(x, y)
+                  sr += (rgb >> 16) & 0xFF
+                  sg += (rgb >> 8) & 0xFF
+                  sb += rgb & 0xFF
+                  x += 1
+                }
+                y += 1
+              }
+              val n = (w * h).toFloat
+              MediaFeatures(id, modality, bytes.length.toLong, 1,
+                Array(w.toFloat, h.toFloat, sr / n, sg / n, sb / n,
+                  (0.299f * sr + 0.587f * sg + 0.114f * sb) / n, n, 0f))
+            case None =>
+              val frameSize = 100
+              val nFrames = (bytes.length + frameSize - 1) / frameSize
+              val feats = new Array[Float](8)
+              var i = 0
+              while (i < bytes.length) {
+                feats(i % 8) += (bytes(i) & 0xFF) / 255.0f
+                i += 1
+              }
+              MediaFeatures(id, modality, bytes.length.toLong, nFrames,
+                feats)
           }
-          MediaFeatures(id, modality, bytes.length.toLong, nFrames, feats)
+        }
+      }
+  }
+
+  /** Deterministic RGB test-pattern images, ENCODED with the real JDK
+    * PNG codec. Pixel (x,y) of image `id` is
+    * r=(31·id+7x+13y)%256, g=(17·id+11x+3y)%256, b=(29·id+5x+19y)%256
+    * over a w×h = (8+id%9)×(8+(7·id)%9) canvas — a closed form a SQL
+    * oracle can recompute without any codec, so a green hash proves the
+    * encode→decode round trip touched real pixels. Map-only, no
+    * shuffle; encode cost is per-row and scales linearly. */
+  def pngFromDocuments(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    graft.scaleOut(docs).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        imageIoNoCache
+        ids.map { id =>
+          val w = (8 + id % 9).toInt
+          val h = (8 + (id * 7) % 9).toInt
+          val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val r = ((id * 31 + x * 7 + y * 13) % 256).toInt
+              val g = ((id * 17 + x * 11 + y * 3) % 256).toInt
+              val b = ((id * 29 + x * 5 + y * 19) % 256).toInt
+              img.setRGB(x, y, (r << 16) | (g << 8) | b)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new ByteArrayOutputStream(1024)
+          ImageIO.write(img, "png", bos)
+          (id, bos.toByteArray)
+        }
+      }.toDF("media_id", "payload")
+  }
+
+  /** Exact per-image pixel statistics from a REAL `javax.imageio`
+    * decode of the payload. PNG is lossless and `TYPE_INT_RGB` carries
+    * no color profile, so the sums are exact — oracle-checkable against
+    * a codec-free recompute of the generator formula. Throws on an
+    * undecodable payload (a decode stage that silently drops rows hides
+    * corpus corruption). */
+  case class ImageStats(media_id: Long, width_px: Int, height_px: Int,
+                        sum_r: Long, sum_g: Long, sum_b: Long)
+
+  def decodeImageStats(spark: SparkSession,
+                       media: DataFrame): Dataset[ImageStats] = {
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        imageIoNoCache
+        rows.map { case (id, payload) =>
+          val img = ImageIO.read(new ByteArrayInputStream(payload))
+          require(img != null, s"media_id=$id: payload is not a decodable image")
+          val (w, h) = (img.getWidth, img.getHeight)
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              sr += (rgb >> 16) & 0xFF
+              sg += (rgb >> 8) & 0xFF
+              sb += rgb & 0xFF
+              x += 1
+            }
+            y += 1
+          }
+          ImageStats(id, w, h, sr, sg, sb)
         }
       }
   }

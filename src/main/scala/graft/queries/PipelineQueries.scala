@@ -1392,5 +1392,41 @@ object PipelineQueries {
           UNION ALL SELECT doc_id, lang, source, n_chars FROM winners)
         SELECT lang, source, count(*) AS n,
           CAST(sum(n_chars) AS BIGINT) AS chars, min(doc_id) AS first_id
-        FROM survivors GROUP BY lang, source ORDER BY lang, source""")))
+        FROM survivors GROUP BY lang, source ORDER BY lang, source""")),
+
+    // ---- X6: REAL image decode (JDK javax.imageio PNG codec) ------------
+    // Round-trip proof: pngFromDocuments ENCODES a deterministic RGB
+    // test pattern with the real PNG codec; decodeImageStats DECODES it
+    // back and sums actual pixels. The oracle recomputes the generator's
+    // closed form codec-free (range × range lattice), so the hash only
+    // matches if ImageIO reproduced every pixel exactly. Map-only both
+    // ways — no shuffle until the final 10-bucket aggregate.
+    QueryDef("q106_image_decode",
+      (s, dir) => Multimodal
+        .decodeImageStats(s,
+          Multimodal.pngFromDocuments(s, Tables.load(s, dir, "documents")))
+        .withColumn("bucket", col("media_id") % 10)
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_imgs"),
+          sum(col("width_px").cast("long") * col("height_px"))
+            .as("n_px"),
+          sum("sum_r").as("sum_r"),
+          sum("sum_g").as("sum_g"),
+          sum("sum_b").as("sum_b"))
+        .orderBy("bucket"),
+      Some("""SELECT d.doc_id % 10 AS bucket,
+          CAST(count(DISTINCT d.doc_id) AS BIGINT) AS n_imgs,
+          CAST(count(*) AS BIGINT) AS n_px,
+          CAST(sum((d.doc_id * 31 + x.x * 7 + y.y * 13) % 256) AS BIGINT)
+            AS sum_r,
+          CAST(sum((d.doc_id * 17 + x.x * 11 + y.y * 3) % 256) AS BIGINT)
+            AS sum_g,
+          CAST(sum((d.doc_id * 29 + x.x * 5 + y.y * 19) % 256) AS BIGINT)
+            AS sum_b
+        FROM documents d
+        CROSS JOIN range(0, 17) x(x)
+        CROSS JOIN range(0, 17) y(y)
+        WHERE x.x < 8 + (d.doc_id % 9)
+          AND y.y < 8 + ((d.doc_id * 7) % 9)
+        GROUP BY 1 ORDER BY bucket""")))
 }

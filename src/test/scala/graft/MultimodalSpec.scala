@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Multimodal
+
+/** X6 real-codec path: the PNG encode→decode round trip through the
+  * JDK's javax.imageio must reproduce the generator formula's pixels
+  * exactly, and the byte-stat fallback must keep handling non-image
+  * payloads (q59's contract). */
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def expected(id: Long): (Int, Int, Long, Long, Long) = {
+    val w = (8 + id % 9).toInt
+    val h = (8 + (id * 7) % 9).toInt
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    for (y <- 0 until h; x <- 0 until w) {
+      sr += (id * 31 + x * 7 + y * 13) % 256
+      sg += (id * 17 + x * 11 + y * 3) % 256
+      sb += (id * 29 + x * 5 + y * 19) % 256
+    }
+    (w, h, sr, sg, sb)
+  }
+
+  test("pngFromDocuments emits real PNGs; decodeImageStats recovers exact pixel sums") {
+    val docs = (0L until 40L).toDF("doc_id")
+    val png = Multimodal.pngFromDocuments(spark, docs)
+    // Payloads are genuine PNG files (magic number).
+    val magic = png.select("payload").as[Array[Byte]].collect()
+    assert(magic.forall(b =>
+      (b(0) & 0xFF) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G'))
+    val stats = Multimodal.decodeImageStats(spark, png).collect()
+      .map(s => s.media_id -> s).toMap
+    assert(stats.size == 40)
+    for (id <- 0L until 40L) {
+      val (w, h, sr, sg, sb) = expected(id)
+      val s = stats(id)
+      assert((s.width_px, s.height_px) == (w, h), s"dims for id=$id")
+      assert((s.sum_r, s.sum_g, s.sum_b) == (sr, sg, sb), s"sums for id=$id")
+    }
+  }
+
+  test("decodeImageStats throws on a non-decodable payload") {
+    val junk = Seq((1L, "junk-not-an-image".getBytes("UTF-8")))
+      .toDF("media_id", "payload")
+    val e = intercept[Exception] {
+      Multimodal.decodeImageStats(spark, junk).collect()
+    }
+    assert(e.getMessage.contains("not a decodable image") ||
+      Option(e.getCause).exists(_.getMessage.contains("not a decodable image")))
+  }
+
+  test("decodeFeatures: real image branch for PNG payloads, byte-stat fallback otherwise") {
+    val png = Multimodal.pngFromDocuments(spark, (0L to 2L).toDF("doc_id"))
+      .withColumn("modality", lit("image"))
+      .select("media_id", "modality", "payload")
+    val imgFeats = Multimodal.decodeFeatures(spark, png).collect()
+      .map(f => f.media_id -> f).toMap
+    for (id <- 0L to 2L) {
+      val (w, h, sr, sg, sb) = expected(id)
+      val f = imgFeats(id)
+      assert(f.n_frames == 1)
+      assert(f.features(0) == w.toFloat && f.features(1) == h.toFloat)
+      assert(math.abs(f.features(2) - sr.toFloat / (w * h)) < 1e-3)
+      assert(math.abs(f.features(4) - sb.toFloat / (w * h)) < 1e-3)
+    }
+    // Non-image payload: the q59-shaped fallback (frames = ceil(bytes/100)).
+    val txt = Seq((9L, "audio", Array.fill[Byte](250)(7)))
+      .toDF("media_id", "modality", "payload")
+    val f = Multimodal.decodeFeatures(spark, txt).collect().head
+    assert(f.n_frames == 3 && f.size_bytes == 250L)
+  }
+}

@@ -229,23 +229,30 @@ object Dedup {
     * realistic near-dup cluster — converges at minimum cost), then a
     * pointer-doubling hop (label-of-label) joins each round so the
     * remaining reach DOUBLES per round and pathological chains finish
-    * in O(log diameter) total. Labels are localCheckpointed per round
-    * to truncate lineage; at 100 TB swap for reliable `checkpoint` to a
-    * cluster-visible dir. Throws IllegalStateException if the fixpoint
+    * in O(log diameter) total. Per-round label frames are checkpointed
+    * to truncate lineage: `localCheckpoint()` by default (fast,
+    * executor-local blocks — fine single-node / short jobs), or
+    * reliable `checkpoint()` to `checkpointDir` when given (survives
+    * executor loss — what a 1000-executor fixpoint needs; the dir
+    * should be cluster-visible, e.g. HDFS/S3A).
+    * Throws IllegalStateException if the fixpoint
     * is not reached within maxIter — a silent partial result would KEEP
     * duplicates downstream ("one doc per cluster" over under-merged
     * labels). Returns (node, cluster) — cluster = min id in the
     * component. Only nodes appearing in a pair are returned (singletons
     * are their own cluster by definition). */
   def clusterPairs(pairs: DataFrame, aCol: String, bCol: String,
-                   maxIter: Int = 16, plainRounds: Int = 4): DataFrame = {
-    val edges = pairs.select(col(aCol).as("x"), col(bCol).as("y"))
+                   maxIter: Int = 16, plainRounds: Int = 4,
+                   checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(
+      pairs.sparkSession.sparkContext.setCheckpointDir)
+    def snap(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    val edges = snap(pairs.select(col(aCol).as("x"), col(bCol).as("y"))
       .union(pairs.select(col(bCol).as("x"), col(aCol).as("y")))
-      .distinct()
-      .localCheckpoint()
-    var labels = edges.select(col("x").as("node")).distinct()
-      .withColumn("cluster", col("node"))
-      .localCheckpoint()
+      .distinct())
+    var labels = snap(edges.select(col("x").as("node")).distinct()
+      .withColumn("cluster", col("node")))
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -262,14 +269,13 @@ object Dedup {
       // label to its LABEL's label. min-labels only ever shrink, so the
       // hop is always sound, and it halves the remaining pointer-chain
       // depth every round it runs.
-      val updated = (if (i < plainRounds) hooked
+      val updated = snap(if (i < plainRounds) hooked
         else hooked
           .join(hooked.select(col("node").as("cluster"),
             col("cluster").as("cc")), Seq("cluster"), "left_outer")
           .select(col("node"),
             least(col("cluster"), coalesce(col("cc"), col("cluster")))
               .as("cluster")))
-        .localCheckpoint()
       converged = updated
         .join(labels.withColumnRenamed("cluster", "old"), Seq("node"))
         .filter(col("cluster") =!= col("old"))
@@ -296,9 +302,10 @@ object Dedup {
     * over clustered docs partitioned by cluster id, and the untouched
     * majority streams through a filter. */
   def keepBestPerCluster(df: DataFrame, idCol: String, pairs: DataFrame,
-                         aCol: String, bCol: String,
-                         qualityCol: String): DataFrame = {
-    val labels = clusterPairs(pairs, aCol, bCol)
+                         aCol: String, bCol: String, qualityCol: String,
+                         checkpointDir: Option[String] = None): DataFrame = {
+    val labels = clusterPairs(pairs, aCol, bCol,
+        checkpointDir = checkpointDir)
       .withColumnRenamed("node", idCol)
     val labeled = df.join(labels, Seq(idCol), "left_outer")
     val w = org.apache.spark.sql.expressions.Window

@@ -90,6 +90,26 @@ class DedupSpec extends SparkSpec {
     assert((1L to 61L).forall(got(_) == 1L))
   }
 
+  test("clusterPairs reliable-checkpoint branch: same labels, " +
+    "checkpoint files written to the given dir") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ckpt").toString
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val got = Dedup
+      .clusterPairs(pairs, "id_a", "id_b", checkpointDir = Some(dir))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L,
+      11L -> 10L))
+    // Reliable checkpoints persist as files under the dir (the
+    // property localCheckpoint lacks: durability across executor loss).
+    def countFiles(p: java.io.File): Int =
+      if (p.isFile) 1 else Option(p.listFiles).map(_.map(countFiles).sum)
+        .getOrElse(0)
+    assert(countFiles(new java.io.File(dir)) > 0,
+      s"no reliable checkpoint files under $dir")
+  }
+
   test("incrementalNew keeps only batch-first, corpus-unseen docs") {
     val corpus = Seq((1L, "already ingested doc"), (2L, "another old doc"))
       .toDF("doc_id", "text")

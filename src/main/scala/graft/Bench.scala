@@ -4,12 +4,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Per-round benchmark main: runs every registered query against
   * `SPARK_GRAFT_SF_DIR` and prints ONE JSON line.
   *
-  * Methodology: each query is executed twice — one warm-up run (pays
-  * Catalyst planning + whole-stage-codegen Janino compilation +
-  * classloading, which measured as the dominant cost for sub-second
-  * queries) and one timed steady-state run. Execution drains through
-  * the `noop` sink, which materializes the complete plan including
-  * final sorts (a bare `count()` lets the optimizer drop ORDER BY).
+  * Methodology: each query is executed once as warm-up (pays Catalyst
+  * planning + whole-stage-codegen Janino compilation + classloading,
+  * which measured as the dominant cost for sub-second queries), then
+  * `SPARK_GRAFT_BENCH_REPS` (default 1) timed steady-state runs whose
+  * MEDIAN is reported — same-code q44 measured anywhere from 1.3 to
+  * 5.5 s across single runs at sf0.1, so a driver comparing single
+  * runs compares noise; reps=3 bounds that variance. Execution drains
+  * through the `noop` sink, which materializes the complete plan
+  * including final sorts (a bare `count()` lets the optimizer drop
+  * ORDER BY).
+  *
+  * The JSON line goes to stdout AND to `SPARK_GRAFT_BENCH_OUT`
+  * (default BENCH_LOCAL.json in the CWD) — stdout competes with sbt
+  * noise and has produced unparseable captures; the file is the
+  * reliable channel.
   */
 object Bench {
 
@@ -19,6 +28,8 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt
+      .max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -32,9 +43,12 @@ object Bench {
       val sec =
         try {
           execute(d.fn(spark, sfDir)) // warm-up: plan + codegen + JIT
-          val t0 = System.nanoTime()
-          execute(d.fn(spark, sfDir)) // timed steady-state run
-          (System.nanoTime() - t0) / 1e9
+          val times = (1 to reps).map { _ =>
+            val t0 = System.nanoTime()
+            execute(d.fn(spark, sfDir)) // timed steady-state run
+            (System.nanoTime() - t0) / 1e9
+          }.sorted
+          times(times.size / 2) // median (upper on even reps)
         } catch { case _: Throwable => -1.0 }
       (d.name, d.kind, sec)
     }
@@ -49,7 +63,11 @@ object Bench {
     val (queryTotal, pipeTotal) =
       (sumKind(QueryDef.Query), sumKind(QueryDef.Pipeline))
     val total = queryTotal + pipeTotal
-    println(s"""{"metric":"total","value":$total,"unit":"sec","query_total":$queryTotal,"pipeline_total":$pipeTotal,"queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","query_total":$queryTotal,"pipeline_total":$pipeTotal,"reps":$reps,"queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
     spark.stop()
   }
 }

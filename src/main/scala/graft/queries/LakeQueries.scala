@@ -559,5 +559,49 @@ object LakeQueries {
           CAST(sum(l_quantity) AS DOUBLE) AS qty,
           count(DISTINCT l_orderkey) AS orders
         FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 5000"""),
+      kind = QueryDef.Pipeline),
+
+    // ---- J6/K6 at file level: copy-on-write partition MERGE -------------
+    // Target table partitioned by lang; updates = bump n_chars on
+    // doc_id%7 rows (same key, same partition) + insert doc_id%11 rows
+    // re-keyed out of id range under source='merged'. mergeInto rewrites
+    // ONLY touched lang partitions (SearchCatalogSpec asserts untouched
+    // files stay byte-identical); the oracle replays the same
+    // anti-join+union in SQL over the source table.
+    QueryDef("q107_merge_upsert",
+      (s, dir) => {
+        val root = Files.createTempDirectory("graft_merge")
+          .toString + "/docs"
+        val docs = Tables.load(s, dir, "documents")
+          .select("doc_id", "lang", "source", "n_chars")
+        docs.write.partitionBy("lang").parquet(root)
+        val upd = docs.filter(col("doc_id") % 7 === 0)
+          .withColumn("n_chars", col("n_chars") + 1000)
+        val ins = docs.filter(col("doc_id") % 11 === 0)
+          .withColumn("doc_id", col("doc_id") + 10000000L)
+          .withColumn("source", lit("merged"))
+        Catalog.mergeInto(s, root, upd.unionByName(ins), "doc_id", "lang")
+        s.read.parquet(root)
+          .groupBy("lang", "source")
+          .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"),
+            min("doc_id").as("first_id"), max("doc_id").as("last_id"))
+          .orderBy("lang", "source")
+      },
+      Some("""WITH base AS (
+          SELECT doc_id, lang, source, n_chars FROM documents),
+        u AS (
+          SELECT doc_id, lang, source, n_chars + 1000 AS n_chars
+          FROM base WHERE doc_id % 7 = 0
+          UNION ALL
+          SELECT doc_id + 10000000, lang, 'merged', n_chars
+          FROM base WHERE doc_id % 11 = 0),
+        final AS (
+          SELECT * FROM base
+          WHERE doc_id NOT IN (SELECT doc_id FROM u)
+          UNION ALL SELECT * FROM u)
+        SELECT lang, source, count(*) AS n,
+          CAST(sum(n_chars) AS BIGINT) AS chars,
+          min(doc_id) AS first_id, max(doc_id) AS last_id
+        FROM final GROUP BY lang, source ORDER BY lang, source"""),
       kind = QueryDef.Pipeline))
 }

@@ -129,6 +129,52 @@ object Catalog {
     existing.join(updates.select(key).distinct(), Seq(key), "left_anti")
       .unionByName(updates, allowMissingColumns = true)
 
+  /** J6/K6 closed at the FILE level: copy-on-write partition merge —
+    * the transactional-table-format "MERGE INTO" pattern without the
+    * format dependency. Partitions touched by the updates are merged
+    * (last-writer-wins [[upsert]] by `key`) and rewritten; every other
+    * partition's files are left byte-identical, so the write cost is
+    * O(touched partitions), not O(table), and readers of untouched
+    * partitions never see a rewrite.
+    *
+    * Mechanics: the updates' partition values select the touched slice
+    * of the target via a broadcast semi-join (dynamic partition pruning
+    * keeps the scan to those directories); merged rows are staged to a
+    * sibling dir first, then swapped in with dynamic partition
+    * overwrite — the swap never reads the path it is writing, and the
+    * staging dir is managed through the Hadoop FileSystem API so the
+    * same code runs against file:// or s3a:// roots. Updates must keep
+    * each row's partition value (a key changing partitions is a
+    * delete+insert, not a merge). Caveat vs a real table format: the
+    * per-partition swap is atomic per partition, not across partitions
+    * — a reader racing the swap can see partition A new + partition B
+    * old; snapshot isolation needs a manifest layer (SURVEY §7). */
+  def mergeInto(spark: SparkSession, path: String, updates: DataFrame,
+                key: String, partitionCol: String): Unit = {
+    val target = spark.read.parquet(path)
+    val touched = updates.select(partitionCol).distinct()
+    val merged = upsert(
+      target.join(broadcast(touched), Seq(partitionCol), "left_semi"),
+      updates, key)
+    val staging =
+      new org.apache.hadoop.fs.Path(path + "__merge_staging")
+    val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(staging, true)
+    merged.write.partitionBy(partitionCol).parquet(staging.toString)
+    val prev =
+      spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    try {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      spark.read.parquet(staging.toString)
+        .write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+    } finally {
+      prev.fold(
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode"))(
+        v => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v))
+      fs.delete(staging, true)
+    }
+  }
+
   /** S11: register a parquet directory as a session-scoped view (the
     * quick path). */
   def register(spark: SparkSession, name: String, path: String): Unit =

@@ -29,6 +29,38 @@ class SearchCatalogSpec extends SparkSpec {
     assert(merged == Set((1L, "a"), (2L, "B"), (3L, "c")))
   }
 
+  test("mergeInto: merges touched partitions, leaves untouched " +
+    "partition files byte-identical") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-merge-spec").toString + "/t"
+    val base = Seq(
+      (1L, "a", 10), (2L, "a", 20),
+      (3L, "b", 30), (4L, "b", 40),
+      (5L, "c", 50))
+      .toDF("id", "part", "v")
+    base.write.partitionBy("part").parquet(root)
+    def files(p: String): Map[String, (Long, Long)] = {
+      val d = new java.io.File(s"$root/part=$p")
+      Option(d.listFiles).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> (f.length, f.lastModified)).toMap
+    }
+    val (beforeB, beforeC) = (files("b"), files("c"))
+    assert(beforeB.nonEmpty && beforeC.nonEmpty)
+    // updates touch partition "a" only: update id=2, insert id=6
+    val updates = Seq((2L, "a", 99), (6L, "a", 60)).toDF("id", "part", "v")
+    Catalog.mergeInto(spark, root, updates, "id", "part")
+    val got = spark.read.parquet(root)
+      .select("id", "part", "v").as[(Long, String, Int)].collect().toSet
+    assert(got == Set((1L, "a", 10), (2L, "a", 99), (6L, "a", 60),
+      (3L, "b", 30), (4L, "b", 40), (5L, "c", 50)))
+    // untouched partitions: same files, same sizes, same mtimes
+    assert(files("b") == beforeB, "partition b was rewritten")
+    assert(files("c") == beforeC, "partition c was rewritten")
+    // staging dir cleaned up
+    assert(!new java.io.File(root + "__merge_staging").exists)
+  }
+
   test("markIndexed flips only matching ids") {
     val meta = Seq(("a", false), ("b", false)).toDF("id", "indexed")
       .withColumn("indexedAt", lit(null).cast("timestamp"))

@@ -1,7 +1,8 @@
 package graft.sources
 
-import java.nio.file.{Files, Path, Paths}
-import scala.jdk.CollectionConverters._
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.hadoop.fs.{FileSystem, Path}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -16,24 +17,46 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * overwrite into a staging dir, then an atomic-ish directory swap.
   * At 100 TB you compact per PARTITION directory (dataType/date), not
   * the whole table — `compactPartitions` drives that loop so each
-  * partition's rewrite is independent and restartable. */
+  * partition's rewrite is independent and restartable.
+  *
+  * Every control-plane file op goes through the Hadoop FileSystem API
+  * (never java.io/java.nio), so the identical code runs against
+  * file://, hdfs:// or s3a:// roots — the reference lake is S3-backed.
+  * Note for object stores: `rename` is O(1) on HDFS/local but
+  * copy+delete on plain S3A, so the swap window is wider there; a real
+  * S3 deployment pairs this with a manifest commit (SURVEY §7).
+  */
 object Compact {
 
-  private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p))
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+  private def fsOf(dir: String): (FileSystem, Path) = {
+    val p = new Path(dir)
+    (p.getFileSystem(SparkSession.active.sessionState.newHadoopConf()), p)
+  }
 
-  private def dirBytes(p: Path): Long =
-    Files.walk(p).iterator().asScala
-      .filter(Files.isRegularFile(_)).map(Files.size).sum
+  /** Recursive file listing (empty when the path is absent). */
+  private def walkFiles(fs: FileSystem, p: Path) = {
+    val out = ArrayBuffer.empty[org.apache.hadoop.fs.LocatedFileStatus]
+    if (fs.exists(p)) {
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) out += it.next()
+    }
+    out.toSeq
+  }
+
+  private def deleteRecursively(fs: FileSystem, p: Path): Unit =
+    if (fs.exists(p)) fs.delete(p, true)
+
+  private def mustRename(fs: FileSystem, src: Path, dst: Path): Unit =
+    require(fs.rename(src, dst), s"rename $src -> $dst failed")
+
+  private def dirBytes(fs: FileSystem, p: Path): Long =
+    walkFiles(fs, p).map(_.getLen).sum
 
   def dataFileCount(dir: String): Int = {
-    val p = Paths.get(dir)
-    if (!Files.exists(p)) 0
-    else Files.walk(p).iterator().asScala.count { f =>
-      val n = f.getFileName.toString
-      Files.isRegularFile(f) && !n.startsWith("_") && !n.startsWith(".") &&
-        !n.endsWith(".crc")
+    val (fs, p) = fsOf(dir)
+    walkFiles(fs, p).count { f =>
+      val n = f.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".") && !n.endsWith(".crc")
     }
   }
 
@@ -46,12 +69,12 @@ object Compact {
     // moves leaves it under __backup with no live dir — restore it
     // before compacting instead of failing the read. A stale staging
     // dir from any crash is dead weight either way; clear it.
-    val live = Paths.get(dir)
-    val bak = Paths.get(dir + "__backup")
-    if (!Files.exists(live) && Files.exists(bak)) Files.move(bak, live)
-    deleteRecursively(Paths.get(dir + "__compacting"))
+    val (fs, live) = fsOf(dir)
+    val bak = new Path(dir + "__backup")
+    if (!fs.exists(live) && fs.exists(bak)) mustRename(fs, bak, live)
+    deleteRecursively(fs, new Path(dir + "__compacting"))
     val before = dataFileCount(dir)
-    val bytes = dirBytes(Paths.get(dir))
+    val bytes = dirBytes(fs, live)
     val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     val staging = dir + "__compacting"
     spark.read.parquet(dir).repartition(nOut)
@@ -61,12 +84,10 @@ object Compact {
     // into place, only then delete the backup — a crash between any
     // two steps leaves either the original (under dir or __backup) or
     // the compacted output fully intact, never a half-empty directory.
-    val target = Paths.get(dir)
-    val backup = Paths.get(dir + "__backup")
-    deleteRecursively(backup) // stale backup from a prior crash
-    Files.move(target, backup)
-    Files.move(Paths.get(staging), target)
-    deleteRecursively(backup)
+    deleteRecursively(fs, bak) // stale backup from a prior crash
+    mustRename(fs, live, bak)
+    mustRename(fs, new Path(staging), live)
+    deleteRecursively(fs, bak)
     (before, dataFileCount(dir))
   }
 
@@ -76,18 +97,21 @@ object Compact {
   def compactPartitions(spark: SparkSession, root: String,
                         targetBytes: Long = 128L * 1024 * 1024)
       : Seq[(String, Int, Int)] = {
-    val rootP = Paths.get(root)
-    val leaves = Files.walk(rootP).iterator().asScala
-      .filter(Files.isDirectory(_))
-      .filter { d =>
-        Files.list(d).iterator().asScala.exists(f =>
-          Files.isRegularFile(f) &&
-            f.getFileName.toString.endsWith(".parquet"))
-      }
-      .toSeq
-    leaves.map { d =>
+    val (fs, rootP) = fsOf(root)
+    val leaves = ArrayBuffer.empty[Path]
+    def walk(d: Path): Unit = {
+      val children = fs.listStatus(d)
+      if (children.exists(c =>
+          c.isFile && c.getPath.getName.endsWith(".parquet")))
+        leaves += d
+      children.filter(_.isDirectory).foreach(c => walk(c.getPath))
+    }
+    walk(rootP)
+    val rootUri = rootP.toUri.getPath
+    leaves.toSeq.map { d =>
       val (b, a) = compactPath(spark, d.toString, targetBytes)
-      (rootP.relativize(d).toString, b, a)
+      val rel = d.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
+      (rel, b, a)
     }
   }
 }

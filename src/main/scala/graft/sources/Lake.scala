@@ -1,7 +1,6 @@
 package graft.sources
 
-import java.nio.file.{Files, Path, Paths}
-import scala.jdk.CollectionConverters._
+import org.apache.hadoop.fs.Path
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
@@ -52,18 +51,22 @@ object Lake {
   /** S3: true when the first non-whitespace byte of the first .json file
     * under `path` is '[' (array-of-objects → Spark multiLine mode). Reads
     * at most 256 bytes of one object — cheap even against an object
-    * store. */
+    * store. Goes through the Hadoop FileSystem API (never java.io/nio),
+    * so the same sniff runs against file://, hdfs:// or s3a:// paths —
+    * the S3-backed lake is the reference deployment. */
   def sniffJsonMultiline(path: String): Boolean = {
-    val p = Paths.get(path)
+    val p = new Path(path)
+    val fs = p.getFileSystem(
+      SparkSession.active.sessionState.newHadoopConf())
+    if (!fs.exists(p)) return false
     val candidate: Option[Path] =
-      if (Files.isDirectory(p))
-        Files.list(p).iterator().asScala
-          .filter(_.getFileName.toString.toLowerCase.endsWith(".json"))
-          .toSeq.sortBy(_.toString).headOption
-      else if (Files.exists(p)) Some(p)
-      else None
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).filter(_.isFile).map(_.getPath)
+          .filter(_.getName.toLowerCase.endsWith(".json"))
+          .sortBy(_.toString).headOption
+      else Some(p)
     candidate.exists { f =>
-      val in = Files.newInputStream(f)
+      val in = fs.open(f)
       try {
         val buf = new Array[Byte](256)
         val n = in.read(buf)
@@ -158,20 +161,17 @@ object Lake {
   def expirePartitions(root: String, zone: Zone, dataset: String,
                        partCol: String,
                        keep: String => Boolean): Seq[String] = {
-    import scala.jdk.CollectionConverters._
-    val base = java.nio.file.Paths.get(zonePath(root, zone, dataset))
-    if (!java.nio.file.Files.isDirectory(base)) return Nil
+    val base = new Path(zonePath(root, zone, dataset))
+    val fs = base.getFileSystem(
+      SparkSession.active.sessionState.newHadoopConf())
+    if (!fs.exists(base) || !fs.getFileStatus(base).isDirectory) return Nil
     val prefix = partCol + "="
-    val dropped = java.nio.file.Files.list(base).iterator().asScala
-      .filter(p => java.nio.file.Files.isDirectory(p) &&
-        p.getFileName.toString.startsWith(prefix))
-      .map(p => (p, p.getFileName.toString.stripPrefix(prefix)))
+    val dropped = fs.listStatus(base)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+      .map(s => (s.getPath, s.getPath.getName.stripPrefix(prefix)))
       .filterNot { case (_, v) => keep(v) }
       .toSeq
-    dropped.foreach { case (p, _) =>
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq
-        .reverse.foreach(java.nio.file.Files.delete)
-    }
+    dropped.foreach { case (p, _) => fs.delete(p, true) }
     dropped.map(_._2)
   }
 

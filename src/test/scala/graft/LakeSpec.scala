@@ -117,6 +117,37 @@ class LakeSpec extends SparkSpec {
       Seq((1L, "x"), (2L, "y")))
   }
 
+  test("file:// URI root: sniff, zone roundtrip and expirePartitions " +
+    "run through the Hadoop FS API (the s3a:// portability proxy)") {
+    import spark.implicits._
+    // A java.nio-based implementation throws on a URI-prefixed root;
+    // the Hadoop FileSystem path resolves it like s3a://bucket would.
+    val root = "file://" + Files.createTempDirectory("graft_uri").toString
+    val df = Seq((1L, "2024-01-01", "[a]"), (2L, "2024-02-01", "b"))
+      .toDF("id", "date", "payload")
+    Lake.writeZone(df, root, Lake.Raw, "docs", "json",
+      partitionCols = Seq("date"))
+    assert(!Lake.sniffJsonMultiline(
+      Lake.zonePath(root, Lake.Raw, "docs") + "/date=2024-01-01"))
+    val back = Lake.read(spark,
+      Lake.zonePath(root, Lake.Raw, "docs"), "json")
+    assert(back.count() == 2)
+    val dropped = Lake.expirePartitions(root, Lake.Raw, "docs", "date",
+      keep = _ >= "2024-02-01")
+    assert(dropped == Seq("2024-01-01"))
+    assert(Lake.read(spark,
+      Lake.zonePath(root, Lake.Raw, "docs"), "json").count() == 1)
+    // compaction over the same URI root
+    val croot = "file://" +
+      Files.createTempDirectory("graft_uri_c").toString + "/t"
+    Seq.tabulate(20)(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .repartition(10).write.parquet(croot)
+    val (before, after) =
+      graft.sources.Compact.compactPath(spark, croot)
+    assert(before >= 10 && after < before)
+    assert(spark.read.parquet(croot).count() == 20)
+  }
+
   test("nanToNull nulls every NaN float/double and is idempotent") {
     import spark.implicits._
     val df = Seq((1L, Double.NaN, 1.0f), (2L, 2.5, Float.NaN),

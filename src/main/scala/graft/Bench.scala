@@ -39,7 +39,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.defs.values.toSeq.sortBy(_.name).map { d =>
+    // Dev-loop filter: comma-separated query names; unset = all.
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.defs.values.toSeq.sortBy(_.name)
+      .filter(d => only.forall(_.contains(d.name))).map { d =>
       val sec =
         try {
           execute(d.fn(spark, sfDir)) // warm-up: plan + codegen + JIT

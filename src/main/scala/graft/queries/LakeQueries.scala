@@ -9,6 +9,7 @@ import graft.{QueryDef, Tables}
 import graft.functions.AttributeValues
 import graft.operators.{Ingest, QueryService, Search}
 import graft.sources.{Catalog, Fixtures, Lake}
+import graft.streaming.CdcStream
 
 /** Lake IO + catalog + query-service lifecycle, exercised end-to-end and
   * oracle-checked against the parquet originals (SURVEY.md §2.1/§2.2/§3).
@@ -603,5 +604,63 @@ object LakeQueries {
           CAST(sum(n_chars) AS BIGINT) AS chars,
           min(doc_id) AS first_id, max(doc_id) AS last_id
         FROM final GROUP BY lang, source ORDER BY lang, source"""),
+      kind = QueryDef.Pipeline),
+
+    // ---- S9/R5: CDC reindex, batch-replayed under the DuckDB oracle -----
+    // The REAL streaming path (file-source discovery → foreachBatch
+    // idempotent reindex → LWW current-index read) run to completion
+    // with Trigger.AvailableNow over a deterministic 3-wave change log
+    // (every doc v1 'ingested'; every 3rd v2 'processed'; every 9th v3
+    // 'indexed'). Versions are unique per id, so the result is
+    // batch-boundary-independent and the oracle can replay the same
+    // last-writer-wins choice with a row_number window over the log.
+    QueryDef("q108_cdc_replay",
+      (s, dir) => {
+        val root = Files.createTempDirectory("graft_cdc").toString
+        val metaDir = s"$root/meta"
+        val docs = Tables.load(s, dir, "documents")
+        def wave(pred: org.apache.spark.sql.Column, version: Int,
+                 status: String, bump: Int) =
+          docs.filter(pred).select(
+            lpad(col("doc_id").cast("string"), 6, "0").as("id"),
+            lit(version).as("version"),
+            lit(status).as("status"),
+            (col("n_chars") + bump).cast("long").as("size_bytes"))
+        wave(lit(true), 1, "ingested", 0)
+          .write.mode("append").parquet(metaDir)
+        wave(col("doc_id") % 3 === 0, 2, "processed", 10)
+          .write.mode("append").parquet(metaDir)
+        wave(col("doc_id") % 9 === 0, 3, "indexed", 20)
+          .write.mode("append").parquet(metaDir)
+        val schema = s.read.parquet(metaDir).schema
+        CdcStream.startReindex(s, metaDir, schema, s"$root/index",
+          s"$root/ckpt", "id", "version").awaitTermination()
+        CdcStream.currentIndex(s, s"$root/index", "id", "version")
+          .groupBy("status")
+          .agg(count(lit(1)).as("n"), sum("size_bytes").as("bytes"),
+            min("id").as("first_id"), max("id").as("last_id"))
+          .orderBy("status")
+      },
+      Some("""WITH log AS (
+          SELECT lpad(CAST(doc_id AS VARCHAR), 6, '0') AS id,
+            1 AS version, 'ingested' AS status,
+            CAST(n_chars AS BIGINT) AS size_bytes
+          FROM documents
+          UNION ALL
+          SELECT lpad(CAST(doc_id AS VARCHAR), 6, '0'), 2, 'processed',
+            CAST(n_chars + 10 AS BIGINT)
+          FROM documents WHERE doc_id % 3 = 0
+          UNION ALL
+          SELECT lpad(CAST(doc_id AS VARCHAR), 6, '0'), 3, 'indexed',
+            CAST(n_chars + 20 AS BIGINT)
+          FROM documents WHERE doc_id % 9 = 0),
+        cur AS (SELECT * FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY id ORDER BY version DESC) AS rn FROM log)
+          WHERE rn = 1)
+        SELECT status, count(*) AS n,
+          CAST(sum(size_bytes) AS BIGINT) AS bytes,
+          min(id) AS first_id, max(id) AS last_id
+        FROM cur GROUP BY status ORDER BY status"""),
       kind = QueryDef.Pipeline))
 }

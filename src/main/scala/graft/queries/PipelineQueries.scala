@@ -91,10 +91,16 @@ object PipelineQueries {
         // > 0 (a true pair shares ≥1 shingle), and the join output is
         // Σ n_s² over shingle doc-frequencies (~50k rows here) instead
         // of |sample|²/2 array-payload comparisons.
+        // Materialized once (≤1000 rows, KB-scale): the shingle table
+        // feeds FOUR branches (sizes + both posting sides of the
+        // self-join); without the checkpoint each branch re-runs the
+        // shingle expression over the sample — measured ~2× the whole
+        // query's cost at sf0.1.
         val sh = sampleDocs
           .select(col("doc_id"),
             graft.functions.Native.shingleSet(col("text"), 3).as("sh"))
           .filter(size(col("sh")) > 0)
+          .localCheckpoint()
         val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
         val posting = sh.select(col("doc_id"), explode(col("sh")).as("s"))
         val truth = posting.select(col("doc_id").as("id_a"), col("s"))

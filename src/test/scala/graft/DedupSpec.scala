@@ -90,6 +90,40 @@ class DedupSpec extends SparkSpec {
     assert((1L to 61L).forall(got(_) == 1L))
   }
 
+  test("band join is skew-resilient: a stop-word shingle in 30% of " +
+    "docs does not inflate candidates beyond true signature collisions") {
+    // 300 distinct docs of deterministic pseudo-random tokens; 30% also
+    // carry an identical hot phrase (= hot shingles shared by 90 docs).
+    // A candidate generator keyed on shingle postings would emit
+    // ~90·89/2 ≈ 4000 pairs from the hot phrase alone. The band join is
+    // keyed on whole-band signature hashes, so two docs collide only if
+    // an entire 4-hash band agrees — a 3-shingle overlap among ~30
+    // shingles cannot do that dependably. Planted exact dups (identical
+    // text → identical signature → all bands collide) must all surface.
+    val hotPhrase = "zzz yyy xxx www "
+    val docs = (0 until 300).map { i =>
+      val body = (0 until 30)
+        .map(j => s"w${(i * 31 + j * 7) % 5000}").mkString(" ")
+      val text = if (i % 10 < 3) hotPhrase + body else body
+      (i.toLong, text)
+    }
+    val planted = (0 until 10).map { k =>
+      (1000L + k, docs(k * 7)._2) // exact dup of an existing doc
+    }
+    val corpus = (docs ++ planted).toDF("doc_id", "text")
+    val cands = Dedup
+      .minhashCandidatePairs(corpus, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    // every planted exact dup is a candidate (identical signatures)
+    for (k <- 0 until 10)
+      assert(cands.contains((k * 7L, 1000L + k)), s"planted dup $k lost")
+    // candidates stay ∝ true collisions: nowhere near the ~4005 pairs
+    // a hot-shingle-keyed join would produce from the 90 hot docs
+    val hotDocAllPairs = 90 * 89 / 2
+    assert(cands.size < hotDocAllPairs / 10,
+      s"${cands.size} candidates — hot shingle leaked into the join key?")
+  }
+
   test("clusterPairs reliable-checkpoint branch: same labels, " +
     "checkpoint files written to the given dir") {
     val dir = java.nio.file.Files

@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
 import graft.functions.AttributeValues
 import graft.operators.{Ingest, QueryService, Search}
-import graft.sources.{Catalog, Fixtures, Lake}
+import graft.sources.{Catalog, Fixtures, Lake, Manifest}
 import graft.streaming.CdcStream
 
 /** Lake IO + catalog + query-service lifecycle, exercised end-to-end and
@@ -662,5 +662,53 @@ object LakeQueries {
           CAST(sum(size_bytes) AS BIGINT) AS bytes,
           min(id) AS first_id, max(id) AS last_id
         FROM cur GROUP BY status ORDER BY status"""),
+      kind = QueryDef.Pipeline),
+
+    // ---- Manifest layer: versioned snapshots + time travel --------------
+    // Three commits (init evens → append odds → copy-on-write MERGE
+    // bumping every 5th doc), then TIME TRAVEL reads of all three
+    // versions — each version's aggregate must equal the oracle's
+    // recompute of that state from the source table. Proves commits are
+    // whole-snapshot atomic and historical versions stay readable
+    // after later commits (the property dynamic partition overwrite
+    // cannot give).
+    QueryDef("q109_manifest_snapshot",
+      (s, dir) => {
+        val root = "file://" + Files
+          .createTempDirectory("graft_manifest").toString + "/t"
+        val docs = Tables.load(s, dir, "documents")
+          .select("doc_id", "lang", "source", "n_chars")
+        Manifest.init(s, root,
+          docs.filter(col("doc_id") % 2 === 0), Seq("lang"))
+        Manifest.commitAppend(s, root,
+          docs.filter(col("doc_id") % 2 === 1), Seq("lang"))
+        Manifest.mergeInto(s, root,
+          docs.filter(col("doc_id") % 5 === 0)
+            .withColumn("n_chars", col("n_chars") + 1000),
+          "doc_id", "lang")
+        Seq(1L, 2L, 3L).map { v =>
+          Manifest.read(s, root, Some(v))
+            .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"),
+              sum("doc_id").as("id_sum"))
+            .withColumn("version", lit(v))
+        }.reduce(_.unionByName(_))
+          .select("version", "n", "chars", "id_sum")
+          .orderBy("version")
+      },
+      Some("""SELECT CAST(1 AS BIGINT) AS version, count(*) AS n,
+          CAST(sum(n_chars) AS BIGINT) AS chars,
+          CAST(sum(doc_id) AS BIGINT) AS id_sum
+        FROM documents WHERE doc_id % 2 = 0
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), count(*),
+          CAST(sum(n_chars) AS BIGINT), CAST(sum(doc_id) AS BIGINT)
+        FROM documents
+        UNION ALL
+        SELECT CAST(3 AS BIGINT), count(*),
+          CAST(sum(n_chars + CASE WHEN doc_id % 5 = 0 THEN 1000
+            ELSE 0 END) AS BIGINT),
+          CAST(sum(doc_id) AS BIGINT)
+        FROM documents
+        ORDER BY version"""),
       kind = QueryDef.Pipeline))
 }

@@ -1,0 +1,250 @@
+package graft.sources
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col}
+
+/** Versioned manifest commit layer: the missing cross-partition
+  * atomicity for the lake's upsert/compaction story (SURVEY §7 — the
+  * last divergence `Catalog.mergeInto` left open).
+  *
+  * A table = a `data/` area of immutable parquet files + a
+  * `_manifests/` directory of version files, each listing exactly the
+  * data files that make up that snapshot:
+  *
+  * {{{
+  *   <root>/data/c00000001/part-*.parquet     (files of commit 1)
+  *   <root>/data/c00000002/part-*.parquet     (files of commit 2)
+  *   <root>/_manifests/v00000001.txt          (file list of snapshot 1)
+  *   <root>/_manifests/v00000002.txt
+  * }}}
+  *
+  * Commit protocol (optimistic): write the new commit's data files
+  * under a fresh `data/cN` dir, stage the manifest as a dot-temp file,
+  * then RENAME it to `vN.txt` — one filesystem rename makes the whole
+  * snapshot (spanning any number of partitions) visible at once, which
+  * is precisely what dynamic partition overwrite cannot give. A racing
+  * committer that created `vN.txt` first wins; the loser throws
+  * (stale-version conflict) without having touched any live state —
+  * its orphan data dir is cleaned by [[vacuum]].
+  *
+  * Readers resolve `latest` (max version present) or pin an explicit
+  * version: time travel, and isolation from concurrent rewrites — a
+  * merge or compaction only ADDS files and a new manifest; the files
+  * a pinned snapshot references are immutable until a vacuum drops
+  * snapshots older than the retention floor.
+  *
+  * All control-plane IO is Hadoop FileSystem (file://, hdfs://,
+  * s3a://). Object-store caveat: rename-if-absent is atomic on
+  * HDFS/local; plain S3 needs a conditional put or a lock table for
+  * the same guarantee — the protocol is unchanged, only the
+  * atomicity primitive moves.
+  *
+  * Scale: a manifest is O(files) text, read once per query on the
+  * driver (the same metadata-scale read every table format does);
+  * data-file IO is the ordinary distributed parquet scan over exactly
+  * the listed files.
+  */
+object Manifest {
+
+  final case class Snapshot(version: Long, files: Seq[String])
+
+  private def fsOf(spark: SparkSession, dir: String): (FileSystem, Path) = {
+    val p = new Path(dir)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def manifestDir(root: String) = s"$root/_manifests"
+  private def vName(v: Long) = f"v$v%08d.txt"
+
+  /** List a commit dir's parquet files as root-relative paths. */
+  private def commitFiles(fs: FileSystem, root: Path,
+                          commitDir: Path): Seq[String] = {
+    val out = ArrayBuffer.empty[String]
+    val it = fs.listFiles(commitDir, true)
+    val rootUri = root.toUri.getPath
+    while (it.hasNext) {
+      val f = it.next().getPath
+      if (f.getName.endsWith(".parquet"))
+        out += f.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
+    }
+    out.toSeq.sorted
+  }
+
+  /** Highest committed version, or None for an uninitialized root. */
+  def latestVersion(spark: SparkSession, root: String): Option[Long] = {
+    val (fs, _) = fsOf(spark, root)
+    val md = new Path(manifestDir(root))
+    if (!fs.exists(md)) None
+    else fs.listStatus(md).iterator
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".txt") =>
+        n.stripPrefix("v").stripSuffix(".txt").toLong }
+      .maxOption
+  }
+
+  def snapshot(spark: SparkSession, root: String,
+               version: Long): Snapshot = {
+    val (fs, _) = fsOf(spark, root)
+    val p = new Path(manifestDir(root), vName(version))
+    require(fs.exists(p), s"no manifest for version $version under $root")
+    val in = fs.open(p)
+    val files =
+      try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().filter(_.nonEmpty).toList
+      finally in.close()
+    Snapshot(version, files)
+  }
+
+  /** Read the table at `version` (default: latest). The scan is over
+    * exactly the snapshot's files — concurrent commits are invisible. */
+  def read(spark: SparkSession, root: String,
+           version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(latestVersion(spark, root))
+      .getOrElse(throw new IllegalStateException(
+        s"$root has no committed version"))
+    val snap = snapshot(spark, root, v)
+    require(snap.files.nonEmpty, s"version $v of $root lists no files")
+    // One parquet relation PER COMMIT DIR, unioned: each commit dir is
+    // an internally-consistent hive layout (basePath = the commit dir
+    // keeps partition columns visible), while a single basePath over
+    // data/ would trip CONFLICTING_DIRECTORY_STRUCTURES on the cN
+    // segment. Snapshot file counts per commit are unbounded but the
+    // number of live commits is small (vacuum bounds it); a format
+    // tracking file-level partition tuples in the manifest would fuse
+    // this into one relation — noted as the next refinement.
+    snap.files.groupBy(_.split("/")(1)).toSeq.sortBy(_._1)
+      .map { case (cdir, files) =>
+        spark.read.option("basePath", s"$root/data/$cdir")
+          .parquet(files.map(f => s"$root/$f"): _*)
+      }.reduce(_.unionByName(_))
+  }
+
+  /** Atomically publish `files` as version `expected+1`. Throws on a
+    * lost race (someone else committed that version first). */
+  private def publish(spark: SparkSession, root: String,
+                      expected: Long, files: Seq[String]): Long = {
+    val (fs, _) = fsOf(spark, root)
+    val next = expected + 1
+    val md = new Path(manifestDir(root))
+    fs.mkdirs(md)
+    val tmp = new Path(md, s".tmp-${vName(next)}")
+    val out = fs.create(tmp, true)
+    try out.write((files.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    val dst = new Path(md, vName(next))
+    if (fs.exists(dst) || !fs.rename(tmp, dst)) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(
+        s"commit conflict: version $next of $root already exists " +
+          "(concurrent committer won); re-read latest and retry")
+    }
+    next
+  }
+
+  /** Write `df`'s rows as the next commit's data files (hive-partition
+    * layout when `partitionCols` given) and return the file list. The
+    * commit dir carries a random suffix so two racing committers of
+    * the same version can never clobber each other's staged files —
+    * the loser's dir simply orphans (never referenced by a manifest). */
+  private def writeCommit(spark: SparkSession, root: String, next: Long,
+                          df: DataFrame,
+                          partitionCols: Seq[String]): Seq[String] = {
+    val salt = java.util.UUID.randomUUID().toString.take(8)
+    val dir = f"$root/data/c$next%08d-$salt"
+    val w = df.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(dir)
+    val (fs, rootP) = fsOf(spark, root)
+    commitFiles(fs, rootP, new Path(dir))
+  }
+
+  /** Initialize the table: version 1 = `df`. */
+  def init(spark: SparkSession, root: String, df: DataFrame,
+           partitionCols: Seq[String] = Nil): Long = {
+    require(latestVersion(spark, root).isEmpty,
+      s"$root is already a manifest table")
+    publish(spark, root, 0L, writeCommit(spark, root, 1L, df, partitionCols))
+  }
+
+  /** Append-commit: next snapshot = previous files + `df`'s files. */
+  def commitAppend(spark: SparkSession, root: String, df: DataFrame,
+                   partitionCols: Seq[String] = Nil): Long = {
+    val cur = latestVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"$root not initialized"))
+    val prev = snapshot(spark, root, cur)
+    val fresh = writeCommit(spark, root, cur + 1, df, partitionCols)
+    publish(spark, root, cur, prev.files ++ fresh)
+  }
+
+  /** Replace-commit (compaction shape): next snapshot = `df` alone.
+    * Old snapshots keep reading their own files until vacuumed. */
+  def commitReplace(spark: SparkSession, root: String, df: DataFrame,
+                    partitionCols: Seq[String] = Nil): Long = {
+    val cur = latestVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"$root not initialized"))
+    publish(spark, root, cur,
+      writeCommit(spark, root, cur + 1, df, partitionCols))
+  }
+
+  /** Copy-on-write MERGE with cross-partition atomicity — the
+    * [[Catalog.mergeInto]] semantics under a single-rename commit.
+    * Touched partitions' rows are merged (LWW by `key`) into the new
+    * commit's files; untouched partitions' FILES carry over into the
+    * new manifest untouched. One rename publishes all partitions at
+    * once; pinned readers keep the pre-merge snapshot. */
+  def mergeInto(spark: SparkSession, root: String, updates: DataFrame,
+                key: String, partitionCol: String): Long = {
+    val cur = latestVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"$root not initialized"))
+    val prev = snapshot(spark, root, cur)
+    val table = read(spark, root, Some(cur))
+    val touched = updates.select(partitionCol).distinct()
+    val merged = Catalog.upsert(
+      table.join(broadcast(touched), Seq(partitionCol), "left_semi"),
+      updates, key)
+    val fresh = writeCommit(spark, root, cur + 1, merged, Seq(partitionCol))
+    // Carry over files of partitions the updates did not touch. File
+    // paths encode the partition (…/lang=de/part-…), so the touched set
+    // maps to a path-prefix filter evaluated on the driver against the
+    // manifest — metadata-scale, no data IO.
+    val touchedVals = touched.collect().map(r => r.get(0).toString).toSet
+    val keep = prev.files.filterNot { f =>
+      touchedVals.exists(v => f.contains(s"$partitionCol=$v/"))
+    }
+    publish(spark, root, cur, keep ++ fresh)
+  }
+
+  /** Drop snapshots older than the newest `keepVersions` and delete
+    * data files no surviving snapshot references. The retention floor
+    * is the reader contract: pin only snapshots inside it. */
+  def vacuum(spark: SparkSession, root: String,
+             keepVersions: Int = 2): Seq[String] = {
+    require(keepVersions >= 1, "must keep at least the latest version")
+    val (fs, rootP) = fsOf(spark, root)
+    val cur = latestVersion(spark, root).getOrElse(return Nil)
+    val all = {
+      val md = fs.listStatus(new Path(manifestDir(root)))
+      md.map(_.getPath.getName)
+        .collect { case n if n.startsWith("v") && n.endsWith(".txt") =>
+          n.stripPrefix("v").stripSuffix(".txt").toLong }
+        .sorted.toSeq
+    }
+    val (drop, keep) = all.partition(_ <= cur - keepVersions)
+    val live = keep.flatMap(v => snapshot(spark, root, v).files).toSet
+    val dead = drop.flatMap(v => snapshot(spark, root, v).files)
+      .distinct.filterNot(live)
+    dead.foreach(f => fs.delete(new Path(s"$root/$f"), false))
+    drop.foreach(v =>
+      fs.delete(new Path(manifestDir(root), vName(v)), false))
+    // remove now-empty commit dirs (cosmetic; harmless if it fails)
+    fs.listStatus(new Path(s"$root/data")).foreach { d =>
+      if (d.isDirectory && !fs.listFiles(d.getPath, true).hasNext)
+        fs.delete(d.getPath, true)
+    }
+    dead
+  }
+}

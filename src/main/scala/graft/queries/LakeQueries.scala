@@ -9,7 +9,7 @@ import graft.{QueryDef, Tables}
 import graft.functions.AttributeValues
 import graft.operators.{Ingest, QueryService, Search}
 import graft.sources.{Catalog, Fixtures, Lake, Manifest}
-import graft.streaming.CdcStream
+import graft.streaming.{CdcStream, IngestStream}
 
 /** Lake IO + catalog + query-service lifecycle, exercised end-to-end and
   * oracle-checked against the parquet originals (SURVEY.md §2.1/§2.2/§3).
@@ -710,5 +710,59 @@ object LakeQueries {
           CAST(sum(doc_id) AS BIGINT)
         FROM documents
         ORDER BY version"""),
+      kind = QueryDef.Pipeline),
+
+    // ---- R1+R4: streamed ingest dedup, batch-replayed under the oracle --
+    // The real R1/R4 path (file-source discovery → watermarked
+    // dropDuplicatesWithinWatermark → idempotent batch_id-partition
+    // sink) drained with AvailableNow over two overlapping event waves
+    // (ids %3∈{0,1} and %3∈{1,2} — every %3==1 id arrives twice, as
+    // IDENTICAL rows, so the dedup survivor is unique and the oracle
+    // can replay it as DISTINCT). The watermark delay is set far past
+    // the event-time span so no row is ever late-dropped or
+    // state-evicted — the result is batch-boundary-independent.
+    QueryDef("q110_stream_dedup_replay",
+      (s, dir) => {
+        val root = Files.createTempDirectory("graft_sdr").toString
+        val ev = graft.Tables.eventsWithTime(s, dir)
+          .select(col("event_id"), col("event_time"),
+            col("event_type"), col("user_id"))
+        ev.filter(col("event_id") % 3 < 2)
+          .write.mode("append").parquet(s"$root/raw")
+        ev.filter(col("event_id") % 3 > 0)
+          .write.mode("append").parquet(s"$root/raw")
+        val schema = s.read.parquet(s"$root/raw").schema
+        val deduped = IngestStream.dedupStream(
+          IngestStream.rawStream(s, s"$root/raw", schema, "parquet"),
+          "event_time", "event_id", "36500 days")
+        deduped.writeStream
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch {
+            (b: org.apache.spark.sql.DataFrame, id: Long) =>
+              b.write.mode("overwrite")
+                .parquet(s"$root/index/batch_id=$id")
+              ()
+          }
+          .start().awaitTermination()
+        s.read.parquet(s"$root/index")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            countDistinct("event_id").as("ids"),
+            max("user_id").as("max_user"),
+            min("event_id").as("first_id"))
+          .orderBy("event_type")
+      },
+      Some("""WITH src AS (
+          SELECT event_id, event_type, user_id FROM events
+          WHERE event_id % 3 < 2
+          UNION ALL
+          SELECT event_id, event_type, user_id FROM events
+          WHERE event_id % 3 > 0),
+        d AS (SELECT DISTINCT event_id, event_type, user_id FROM src)
+        SELECT event_type, count(*) AS n,
+          count(DISTINCT event_id) AS ids,
+          max(user_id) AS max_user, min(event_id) AS first_id
+        FROM d GROUP BY event_type ORDER BY event_type"""),
       kind = QueryDef.Pipeline))
 }

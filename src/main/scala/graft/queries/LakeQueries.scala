@@ -764,5 +764,48 @@ object LakeQueries {
           count(DISTINCT event_id) AS ids,
           max(user_id) AS max_user, min(event_id) AS first_id
         FROM d GROUP BY event_type ORDER BY event_type"""),
+      kind = QueryDef.Pipeline),
+
+    // ---- R2+Manifest: EXACTLY-ONCE streaming table sink -----------------
+    // foreachBatch is at-least-once; commitStreamBatch makes the sink
+    // transactional (batch high-water mark in the manifest header →
+    // replays no-op, ManifestSpec proves the replay path). Here the
+    // full event table streams in via file-source discovery and lands
+    // in a manifest table whose latest snapshot must equal the plain
+    // batch view of the source — independent of how AvailableNow
+    // splits the micro-batches, since every commit is additive and
+    // atomic.
+    QueryDef("q111_stream_manifest_sink",
+      (s, dir) => {
+        val root0 = Files.createTempDirectory("graft_sms").toString
+        val table = "file://" + root0 + "/t"
+        val ev = graft.Tables.eventsWithTime(s, dir)
+          .select(col("event_id"), col("event_time"),
+            col("event_type"), col("value"))
+        ev.filter(col("event_id") % 2 === 0)
+          .write.mode("append").parquet(s"$root0/raw")
+        ev.filter(col("event_id") % 2 === 1)
+          .write.mode("append").parquet(s"$root0/raw")
+        val schema = s.read.parquet(s"$root0/raw").schema
+        IngestStream.rawStream(s, s"$root0/raw", schema, "parquet")
+          .writeStream
+          .option("checkpointLocation", s"$root0/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch {
+            (b: org.apache.spark.sql.DataFrame, id: Long) =>
+              Manifest.commitStreamBatch(s, table, b, "ingest", id)
+              ()
+          }
+          .start().awaitTermination()
+        Manifest.read(s, table, None)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            countDistinct("event_id").as("ids"),
+            max("event_id").as("last_id"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n,
+          count(DISTINCT event_id) AS ids, max(event_id) AS last_id
+        FROM events GROUP BY event_type ORDER BY event_type"""),
       kind = QueryDef.Pipeline))
 }

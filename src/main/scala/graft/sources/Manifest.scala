@@ -86,17 +86,32 @@ object Manifest {
       .maxOption
   }
 
-  def snapshot(spark: SparkSession, root: String,
-               version: Long): Snapshot = {
+  /** `#key=value` header lines carry commit metadata (e.g. the
+    * streaming batch id); everything else is one data-file path per
+    * line. */
+  final case class SnapshotMeta(version: Long, files: Seq[String],
+                                meta: Map[String, String])
+
+  private def readManifest(spark: SparkSession, root: String,
+                           version: Long): SnapshotMeta = {
     val (fs, _) = fsOf(spark, root)
     val p = new Path(manifestDir(root), vName(version))
     require(fs.exists(p), s"no manifest for version $version under $root")
     val in = fs.open(p)
-    val files =
+    val lines =
       try scala.io.Source.fromInputStream(in, "UTF-8")
         .getLines().filter(_.nonEmpty).toList
       finally in.close()
-    Snapshot(version, files)
+    val (hdr, files) = lines.partition(_.startsWith("#"))
+    val meta = hdr.map(_.stripPrefix("#").split("=", 2))
+      .collect { case Array(k, v) => k -> v }.toMap
+    SnapshotMeta(version, files, meta)
+  }
+
+  def snapshot(spark: SparkSession, root: String,
+               version: Long): Snapshot = {
+    val m = readManifest(spark, root, version)
+    Snapshot(m.version, m.files)
   }
 
   /** Read the table at `version` (default: latest). The scan is over
@@ -126,14 +141,17 @@ object Manifest {
   /** Atomically publish `files` as version `expected+1`. Throws on a
     * lost race (someone else committed that version first). */
   private def publish(spark: SparkSession, root: String,
-                      expected: Long, files: Seq[String]): Long = {
+                      expected: Long, files: Seq[String],
+                      meta: Map[String, String] = Map.empty): Long = {
     val (fs, _) = fsOf(spark, root)
     val next = expected + 1
     val md = new Path(manifestDir(root))
     fs.mkdirs(md)
     val tmp = new Path(md, s".tmp-${vName(next)}")
     val out = fs.create(tmp, true)
-    try out.write((files.mkString("\n") + "\n").getBytes("UTF-8"))
+    val body = (meta.toSeq.sorted.map { case (k, v) => s"#$k=$v" } ++
+      files).mkString("\n") + "\n"
+    try out.write(body.getBytes("UTF-8"))
     finally out.close()
     val dst = new Path(md, vName(next))
     if (fs.exists(dst) || !fs.rename(tmp, dst)) {
@@ -170,14 +188,53 @@ object Manifest {
     publish(spark, root, 0L, writeCommit(spark, root, 1L, df, partitionCols))
   }
 
-  /** Append-commit: next snapshot = previous files + `df`'s files. */
+  /** Append-commit: next snapshot = previous files + `df`'s files.
+    * Header metadata (streaming high-water marks) carries forward. */
   def commitAppend(spark: SparkSession, root: String, df: DataFrame,
                    partitionCols: Seq[String] = Nil): Long = {
     val cur = latestVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"$root not initialized"))
-    val prev = snapshot(spark, root, cur)
+    val prev = readManifest(spark, root, cur)
     val fresh = writeCommit(spark, root, cur + 1, df, partitionCols)
-    publish(spark, root, cur, prev.files ++ fresh)
+    publish(spark, root, cur, prev.files ++ fresh, prev.meta)
+  }
+
+  /** EXACTLY-ONCE streaming sink commit: an append-commit that records
+    * `(queryId, batchId)` in the manifest header and becomes a NO-OP
+    * when that batch is already the last one committed for the query —
+    * the transactional half that `foreachBatch`'s at-least-once replay
+    * contract needs. On restart-and-replay the duplicate batch is
+    * skipped instead of appended twice; distinct queries (different
+    * `queryId`) interleave freely. Batch ids from one query arrive in
+    * order (Structured Streaming replays from the failed batch
+    * forward), so "last committed ≥ this one" is the full dedup
+    * predicate. Usage:
+    * {{{
+    *   stream.writeStream.foreachBatch { (df, id) =>
+    *     Manifest.commitStreamBatch(spark, root, df, "ingest", id); ()
+    *   }
+    * }}} */
+  def commitStreamBatch(spark: SparkSession, root: String, df: DataFrame,
+                        queryId: String, batchId: Long,
+                        partitionCols: Seq[String] = Nil): Long = {
+    val metaKey = s"batch.$queryId"
+    latestVersion(spark, root) match {
+      case None =>
+        require(latestVersion(spark, root).isEmpty, "race on init")
+        publish(spark, root, 0L,
+          writeCommit(spark, root, 1L, df, partitionCols),
+          Map(metaKey -> batchId.toString))
+      case Some(cur) =>
+        val prev = readManifest(spark, root, cur)
+        val already = prev.meta.get(metaKey).map(_.toLong)
+        if (already.exists(_ >= batchId)) cur // replayed batch: no-op
+        else {
+          val fresh = writeCommit(spark, root, cur + 1, df, partitionCols)
+          // carry other queries' high-water marks forward
+          publish(spark, root, cur, prev.files ++ fresh,
+            prev.meta + (metaKey -> batchId.toString))
+        }
+    }
   }
 
   /** Replace-commit (compaction shape): next snapshot = `df` alone.
@@ -186,8 +243,9 @@ object Manifest {
                     partitionCols: Seq[String] = Nil): Long = {
     val cur = latestVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"$root not initialized"))
+    val prev = readManifest(spark, root, cur)
     publish(spark, root, cur,
-      writeCommit(spark, root, cur + 1, df, partitionCols))
+      writeCommit(spark, root, cur + 1, df, partitionCols), prev.meta)
   }
 
   /** Copy-on-write MERGE with cross-partition atomicity — the
@@ -200,7 +258,7 @@ object Manifest {
                 key: String, partitionCol: String): Long = {
     val cur = latestVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"$root not initialized"))
-    val prev = snapshot(spark, root, cur)
+    val prev = readManifest(spark, root, cur)
     val table = read(spark, root, Some(cur))
     val touched = updates.select(partitionCol).distinct()
     val merged = Catalog.upsert(
@@ -215,7 +273,7 @@ object Manifest {
     val keep = prev.files.filterNot { f =>
       touchedVals.exists(v => f.contains(s"$partitionCol=$v/"))
     }
-    publish(spark, root, cur, keep ++ fresh)
+    publish(spark, root, cur, keep ++ fresh, prev.meta)
   }
 
   /** Drop snapshots older than the newest `keepVersions` and delete

@@ -83,6 +83,37 @@ class ManifestSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet == Set(2L, 3L))
   }
 
+  test("commitStreamBatch: replayed batch is a no-op; batch marks " +
+    "survive later commits (exactly-once sink contract)") {
+    val root = newRoot()
+    Manifest.commitStreamBatch(spark, root,
+      Seq((1L, "x")).toDF("id", "s"), "ingest", batchId = 0L)
+    Manifest.commitStreamBatch(spark, root,
+      Seq((2L, "y")).toDF("id", "s"), "ingest", batchId = 1L)
+    def ids = Manifest.read(spark, root, None)
+      .select("id").as[Long].collect().toSet
+    assert(ids == Set(1L, 2L))
+    // at-least-once replay of batch 1: must not duplicate
+    val vBefore = Manifest.latestVersion(spark, root).get
+    Manifest.commitStreamBatch(spark, root,
+      Seq((2L, "y")).toDF("id", "s"), "ingest", batchId = 1L)
+    assert(Manifest.latestVersion(spark, root).contains(vBefore))
+    assert(ids == Set(1L, 2L))
+    // a batch COMMIT after an unrelated compaction still dedups:
+    // replace-commit carries the high-water mark forward
+    Manifest.commitReplace(spark, root,
+      Manifest.read(spark, root, None))
+    Manifest.commitStreamBatch(spark, root,
+      Seq((2L, "y")).toDF("id", "s"), "ingest", batchId = 1L) // replay
+    assert(ids == Set(1L, 2L))
+    // next real batch lands; a second query id interleaves freely
+    Manifest.commitStreamBatch(spark, root,
+      Seq((3L, "z")).toDF("id", "s"), "ingest", batchId = 2L)
+    Manifest.commitStreamBatch(spark, root,
+      Seq((9L, "q")).toDF("id", "s"), "other", batchId = 0L)
+    assert(ids == Set(1L, 2L, 3L, 9L))
+  }
+
   test("commit conflict: stale committer throws, winner's state intact") {
     val root = newRoot()
     Manifest.init(spark, root, Seq((1L, "x")).toDF("id", "s"))

@@ -114,6 +114,24 @@ class ManifestSpec extends SparkSpec {
     assert(ids == Set(1L, 2L, 3L, 9L))
   }
 
+  test("read: a filter on the partition column prunes partitions at " +
+    "the scan (manifest tables keep hive-layout pruning)") {
+    val root = newRoot()
+    Manifest.init(spark, root,
+      Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30))
+        .toDF("id", "part", "v"),
+      Seq("part"))
+    val df = Manifest.read(spark, root, None)
+      .filter(col("part") === "b")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan.take(2000))
+    // executed proof: only partition b's file is touched
+    df.collect()
+    assert(df.queryExecution.executedPlan.collectLeaves().exists { l =>
+      l.metrics.get("numFiles").exists(_.value == 1L)
+    }, "scan read more than the one pruned partition file")
+  }
+
   test("commit conflict: stale committer throws, winner's state intact") {
     val root = newRoot()
     Manifest.init(spark, root, Seq((1L, "x")).toDF("id", "s"))

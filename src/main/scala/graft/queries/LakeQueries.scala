@@ -807,5 +807,38 @@ object LakeQueries {
       Some("""SELECT event_type, count(*) AS n,
           count(DISTINCT event_id) AS ids, max(event_id) AS last_id
         FROM events GROUP BY event_type ORDER BY event_type"""),
+      kind = QueryDef.Pipeline),
+
+    // ---- Manifest DML DELETE: copy-on-write, time-travel-checked --------
+    // Delete every doc_id%7 row; latest snapshot must equal the
+    // filtered recompute AND version 1 must still contain the deleted
+    // rows (the GDPR-erasure-with-audit-window shape: delete is a new
+    // snapshot, history stays readable until vacuum).
+    QueryDef("q112_manifest_delete",
+      (s, dir) => {
+        val root = "file://" + Files
+          .createTempDirectory("graft_mdel").toString + "/t"
+        val docs = Tables.load(s, dir, "documents")
+          .select("doc_id", "lang", "source", "n_chars")
+        Manifest.init(s, root, docs, Seq("lang"))
+        Manifest.deleteWhere(s, root, col("doc_id") % 7 === 0, "lang")
+        Seq(1L, 2L).map { v =>
+          Manifest.read(s, root, Some(v))
+            .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"),
+              sum("doc_id").as("id_sum"))
+            .withColumn("version", lit(v))
+        }.reduce(_.unionByName(_))
+          .select("version", "n", "chars", "id_sum")
+          .orderBy("version")
+      },
+      Some("""SELECT CAST(1 AS BIGINT) AS version, count(*) AS n,
+          CAST(sum(n_chars) AS BIGINT) AS chars,
+          CAST(sum(doc_id) AS BIGINT) AS id_sum
+        FROM documents
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), count(*),
+          CAST(sum(n_chars) AS BIGINT), CAST(sum(doc_id) AS BIGINT)
+        FROM documents WHERE doc_id % 7 <> 0
+        ORDER BY version"""),
       kind = QueryDef.Pipeline))
 }

@@ -135,7 +135,11 @@ object Manifest {
       .map { case (cdir, files) =>
         spark.read.option("basePath", s"$root/data/$cdir")
           .parquet(files.map(f => s"$root/$f"): _*)
-      }.reduce(_.unionByName(_))
+      }
+      // allowMissingColumns = schema evolution across commits: columns
+      // added by later commits read back NULL from older files, the
+      // same contract as parquet mergeSchema but resolved per commit.
+      .reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Atomically publish `files` as version `expected+1`. Throws on a
@@ -270,6 +274,34 @@ object Manifest {
     // maps to a path-prefix filter evaluated on the driver against the
     // manifest — metadata-scale, no data IO.
     val touchedVals = touched.collect().map(r => r.get(0).toString).toSet
+    val keep = prev.files.filterNot { f =>
+      touchedVals.exists(v => f.contains(s"$partitionCol=$v/"))
+    }
+    publish(spark, root, cur, keep ++ fresh, prev.meta)
+  }
+
+  /** DML DELETE as a copy-on-write commit: rows of `partitionCol`
+    * partitions containing matches are rewritten without the matching
+    * rows; partitions with no match carry their files forward BY
+    * REFERENCE (zero IO — the touched set is discovered with one
+    * aggregate over the predicate). Same atomicity/time-travel story
+    * as [[mergeInto]]: one rename publishes, old snapshots still
+    * contain the deleted rows until vacuumed. */
+  def deleteWhere(spark: SparkSession, root: String,
+                  predicate: org.apache.spark.sql.Column,
+                  partitionCol: String): Long = {
+    val cur = latestVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"$root not initialized"))
+    val prev = readManifest(spark, root, cur)
+    val table = read(spark, root, Some(cur))
+    val touchedVals = table.filter(predicate)
+      .select(partitionCol).distinct()
+      .collect().map(_.get(0).toString).toSet
+    if (touchedVals.isEmpty) return cur // nothing matches: no-op commit
+    val remain = table
+      .filter(col(partitionCol).isin(touchedVals.toSeq: _*))
+      .filter(!predicate)
+    val fresh = writeCommit(spark, root, cur + 1, remain, Seq(partitionCol))
     val keep = prev.files.filterNot { f =>
       touchedVals.exists(v => f.contains(s"$partitionCol=$v/"))
     }

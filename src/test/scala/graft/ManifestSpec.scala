@@ -132,6 +132,43 @@ class ManifestSpec extends SparkSpec {
     }, "scan read more than the one pruned partition file")
   }
 
+  test("schema evolution: columns added by later commits read back " +
+    "NULL from older commits' files") {
+    val root = newRoot()
+    Manifest.init(spark, root, Seq((1L, "x")).toDF("id", "s"))
+    Manifest.commitAppend(spark, root,
+      Seq((2L, "y", 7)).toDF("id", "s", "extra"))
+    val got = Manifest.read(spark, root, None)
+      .select("id", "s", "extra")
+      .as[(Long, String, Option[Int])].collect().toSet
+    assert(got == Set((1L, "x", None), (2L, "y", Some(7))))
+  }
+
+  test("deleteWhere: copy-on-write delete rewrites only matching " +
+    "partitions; old snapshot keeps the rows") {
+    val root = newRoot()
+    Manifest.init(spark, root,
+      Seq((1L, "a", 10), (2L, "a", 20), (3L, "b", 30), (4L, "c", 40))
+        .toDF("id", "part", "v"),
+      Seq("part"))
+    val before = Manifest.snapshot(spark, root, 1L)
+    val v2 = Manifest.deleteWhere(spark, root, col("v") === 20, "part")
+    assert(v2 == 2L)
+    val after = Manifest.snapshot(spark, root, 2L)
+    // untouched partitions b/c carried by reference
+    for (p <- Seq("b", "c"))
+      assert(before.files.filter(_.contains(s"part=$p/")).toSet
+        .subsetOf(after.files.toSet), s"partition $p was rewritten")
+    assert(Manifest.read(spark, root, None)
+      .select("id").as[Long].collect().toSet == Set(1L, 3L, 4L))
+    // time travel still sees the deleted row
+    assert(Manifest.read(spark, root, Some(1L))
+      .select("id").as[Long].collect().toSet == Set(1L, 2L, 3L, 4L))
+    // no-match delete is a no-op commit
+    assert(Manifest.deleteWhere(spark, root, col("v") === 999,
+      "part") == 2L)
+  }
+
   test("commit conflict: stale committer throws, winner's state intact") {
     val root = newRoot()
     Manifest.init(spark, root, Seq((1L, "x")).toDF("id", "s"))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -223,6 +223,140 @@ object Similarity {
     var cents = init
     for (_ <- 1 to iters) cents = update(assign(cents))
     assign(cents)
+  }
+
+  // ---- Product Quantization (PQ) -------------------------------------
+  // The ANN memory-scale path LSH/IVF do not cover: each vector is
+  // compressed to `m` one-byte-ish codes (nearest sub-codebook centroid
+  // per subspace), so a 100 TB float corpus becomes ~m bytes/vector of
+  // residency, and query scoring is ADC — a per-(subspace, centroid)
+  // lookup table of m·k partial distances built ONCE per query, then a
+  // codes⋈lut join + per-id sum. Everything is deterministic:
+  // portable-hash init, fixed iteration count, ascending-cid
+  // tie-breaks — the same-seed replay property every other seeded
+  // operator here has.
+
+  /** Squared L2 over two equal-length double arrays (HOF on
+    * materialized columns — stays out of the shuffle). */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), _ + _)
+
+  private def subspaces(v: Column, m: Int, subDim: Int): Column =
+    array((0 until m).map(i => slice(v, i * subDim + 1, subDim)): _*)
+
+  /** Train per-subspace codebooks with Lloyd iterations (Euclidean,
+    * k-means per subspace). Init = the k lowest-portable-hash docs'
+    * subvectors (one TakeOrdered pass, scale-safe); empty clusters keep
+    * their previous centroid so the codebook stays exactly m·k rows.
+    * Returns (m, cid, cv). */
+  def pqCodebooks(emb: DataFrame, idCol: String, vecCol: String,
+                  dim: Int, m: Int, k: Int, iters: Int): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val subDim = dim / m
+    val withV = graft.scaleOut(emb)
+      .select(col(idCol).as("id"), Vectors.toDouble(col(vecCol)).as("v"))
+    val hashOrd = Sampling.portableHash(col("id"), "pq")
+    val wInit = Window.orderBy(hashOrd.asc, col("id").asc)
+    val init = withV.orderBy(hashOrd.asc, col("id").asc).limit(k)
+      // k rows total — the single-partition window is bounded by k
+      .select((row_number().over(wInit) - 1).cast("long").as("cid"),
+        col("v"))
+      .select(col("cid"), posexplode(subspaces(col("v"), m, subDim)))
+      .toDF("cid", "m", "cv")
+    val subs = withV
+      .select(col("id"), posexplode(subspaces(col("v"), m, subDim)))
+      .toDF("id", "m", "sv")
+
+    def assign(cents: DataFrame): DataFrame = {
+      val crow = broadcast(cents.agg(
+        sort_array(collect_list(struct(col("m"), col("cid"), col("cv"))))
+          .as("cents")))
+      subs.crossJoin(crow)
+        .withColumn("best",
+          aggregate(
+            filter(col("cents"), c => c.getField("m") === col("m")),
+            struct(lit(Double.MaxValue).as("d"), lit(-1L).as("cid")),
+            (acc, c) => {
+              val d = l2sq(col("sv"), c.getField("cv"))
+              // strict < keeps the FIRST (lowest cid) on ties — the
+              // centroid list is sort_array'd by (m, cid)
+              when(d < acc.getField("d"),
+                struct(d.as("d"), c.getField("cid").as("cid")))
+                .otherwise(acc)
+            }))
+        .select(col("id"), col("m"), col("sv"),
+          col("best.cid").as("cid"))
+    }
+
+    def update(cents: DataFrame, assigned: DataFrame): DataFrame = {
+      val means = assigned.select(col("m"), col("cid"),
+          posexplode(col("sv"))).toDF("m", "cid", "pos", "x")
+        .groupBy("m", "cid", "pos").agg(avg("x").as("x"))
+        .groupBy("m", "cid")
+        .agg(transform(
+          sort_array(collect_list(struct(col("pos"), col("x")))),
+          s => s.getField("x")).as("ncv"))
+      cents.join(means, Seq("m", "cid"), "left_outer")
+        .select(col("m"), col("cid"),
+          coalesce(col("ncv"), col("cv")).as("cv"))
+    }
+
+    var cents = init
+    for (_ <- 1 to iters) cents = update(cents, assign(cents))
+    cents
+  }
+
+  /** Encode every vector as m (subspace → centroid id) codes. */
+  def pqEncode(emb: DataFrame, idCol: String, vecCol: String,
+               codebooks: DataFrame, dim: Int, m: Int): DataFrame = {
+    val subDim = dim / m
+    val subs = graft.scaleOut(emb)
+      .select(col(idCol).as("id"), Vectors.toDouble(col(vecCol)).as("v"))
+      .select(col("id"), posexplode(subspaces(col("v"), m, subDim)))
+      .toDF("id", "m", "sv")
+    val crow = broadcast(codebooks.agg(
+      sort_array(collect_list(struct(col("m"), col("cid"), col("cv"))))
+        .as("cents")))
+    subs.crossJoin(crow)
+      .withColumn("best",
+        aggregate(
+          filter(col("cents"), c => c.getField("m") === col("m")),
+          struct(lit(Double.MaxValue).as("d"), lit(-1L).as("cid")),
+          (acc, c) => {
+            val d = l2sq(col("sv"), c.getField("cv"))
+            when(d < acc.getField("d"),
+              struct(d.as("d"), c.getField("cid").as("cid")))
+              .otherwise(acc)
+          }))
+      .select(col("id"), col("m"), col("best.cid").as("code"))
+  }
+
+  /** ADC top-k: approximate nearest neighbors of `queryId`'s vector by
+    * summed per-subspace lookup distances. The lut is m·k rows
+    * (broadcast); scoring never touches a float vector — just the
+    * codes join — which is the point at 100 TB. Returns
+    * (id, approx_dist) ascending. */
+  def pqTopK(emb: DataFrame, idCol: String, vecCol: String,
+             queryId: Long, topK: Int, dim: Int,
+             m: Int = 4, k: Int = 16, iters: Int = 1): DataFrame = {
+    val subDim = dim / m
+    val books = pqCodebooks(emb, idCol, vecCol, dim, m, k, iters)
+    val codes = pqEncode(emb, idCol, vecCol, books, dim, m)
+    val qsub = broadcast(
+      emb.filter(col(idCol) === queryId)
+        .select(Vectors.toDouble(col(vecCol)).as("qv"))
+        .select(posexplode(subspaces(col("qv"), m, subDim)))
+        .toDF("m", "qsv"))
+    val lut = broadcast(books.join(qsub, Seq("m"))
+      .select(col("m"), col("cid").as("code"),
+        l2sq(col("cv"), col("qsv")).as("pd")))
+    codes.filter(col("id") =!= queryId)
+      .join(lut, Seq("m", "code"))
+      .groupBy("id").agg(sum("pd").as("approx_dist"))
+      .orderBy(col("approx_dist").asc, col("id").asc)
+      .limit(topK)
+      .select(col("id").as(idCol), col("approx_dist"))
   }
 
   /** All-pairs top-k neighbors per vector (small-side utility; the

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
 import graft.operators.{Curation, Dedup, Multimodal, Sampling, Similarity, Skew}
-import graft.functions.Text
+import graft.functions.{Text, Vectors}
 
 /** The LLM-training-data-pipeline surface (SURVEY.md §2.11 X1-X6) as
   * oracle-checked queries over `documents` / `embeddings`.
@@ -1460,5 +1460,51 @@ object PipelineQueries {
         CROSS JOIN range(0, 17) y(y)
         WHERE x.x < 8 + (d.doc_id % 9)
           AND y.y < 8 + ((d.doc_id * 7) % 9)
-        GROUP BY 1 ORDER BY bucket""")))
+        GROUP BY 1 ORDER BY bucket""")),
+
+    // ---- X3 memory-scale path: Product Quantization + ADC top-k ---------
+    // Oracle strategy: these embeddings are near-uniform random (no
+    // cluster structure — measured same-label vs cross-label cosine
+    // ≈ 0.004 vs -0.001), which is the PQ-HOSTILE case: recall@10 of a
+    // 4×16 codebook against exact L2 is data-dependent noise, so a
+    // recall floor would gate nothing. What IS invariant is the
+    // machinery: with one subspace and every sample vector its own
+    // centroid (m=1, k=|sample|, iters=0), the ADC pipeline —
+    // subspace explode → codebook train → encode → lookup table →
+    // per-id partial sums — must reproduce EXACT squared-L2 top-k,
+    // and DuckDB verifies those VALUES end-to-end on an
+    // absolute-fenced 200-vector sample (constant work at any SF).
+    // The production-shaped PQ (m=4, k=16, one Lloyd iteration) still
+    // runs on the full corpus; its impl-specific internals surface as
+    // portable counts (found_k, codebook exactly m·k rows).
+    QueryDef("q113_pq_ann",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val dim = 64
+        val found = Similarity.pqTopK(emb, "vec_id", "embedding",
+          queryId = 7L, topK = 10, dim = dim, m = 4, k = 16, iters = 1)
+        val books = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+          dim, m = 4, k = 16, iters = 1)
+        val bits = found.agg(count(lit(1)).as("found_k"))
+          .crossJoin(broadcast(
+            books.agg(count(lit(1)).as("codebook_rows"))))
+        val sample = emb.filter(col("vec_id") < 200)
+        val exact = Similarity.pqTopK(sample, "vec_id", "embedding",
+            queryId = 7L, topK = 5, dim = dim, m = 1, k = 200, iters = 0)
+          .select(col("vec_id"), round(col("approx_dist"), 6).as("d2"))
+        exact.crossJoin(broadcast(bits)).orderBy("d2", "vec_id")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings WHERE vec_id < 200),
+          q AS (SELECT v AS qv FROM e WHERE vec_id = 7)
+        SELECT t.vec_id, round(t.d2, 6) AS d2,
+          CAST(10 AS BIGINT) AS found_k,
+          CAST(64 AS BIGINT) AS codebook_rows
+        FROM (SELECT e.vec_id,
+            list_dot_product(e.v, e.v)
+              - 2.0 * list_dot_product(e.v, q.qv)
+              + list_dot_product(q.qv, q.qv) AS d2
+          FROM e, q WHERE e.vec_id <> 7
+          ORDER BY d2 ASC, e.vec_id ASC LIMIT 5) t
+        ORDER BY d2, vec_id""")))
 }

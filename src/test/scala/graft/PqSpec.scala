@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** Product-quantization contracts: degenerate-exactness (k = n,
+  * iters = 0 makes ADC ≡ exact L2), codebook shape under empty
+  * clusters, and recall on clusterable data. */
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 12 vectors in 4-dim: three tight clusters around distinct corners
+  private def clustered() = Seq(
+    (0L, Array(0f, 0f, 0f, 0f)), (1L, Array(0.1f, 0f, 0f, 0f)),
+    (2L, Array(0f, 0.1f, 0f, 0f)), (3L, Array(0.1f, 0.1f, 0f, 0f)),
+    (10L, Array(5f, 5f, 0f, 0f)), (11L, Array(5.1f, 5f, 0f, 0f)),
+    (12L, Array(5f, 5.1f, 0f, 0f)), (13L, Array(5.1f, 5.1f, 0f, 0f)),
+    (20L, Array(0f, 0f, 9f, 9f)), (21L, Array(0f, 0f, 9.1f, 9f)),
+    (22L, Array(0f, 0f, 9f, 9.1f)), (23L, Array(0f, 0f, 9.1f, 9.1f)))
+    .toDF("vec_id", "embedding")
+
+  test("pqTopK with k = n, iters = 0 degenerates to exact L2 ranking") {
+    val emb = clustered()
+    // every vector becomes its own centroid → codes reconstruct
+    // exactly → ADC distance = true squared L2
+    val got = Similarity.pqTopK(emb, "vec_id", "embedding",
+        queryId = 0L, topK = 5, dim = 4, m = 1, k = 12, iters = 0)
+      .select("vec_id").as[Long].collect().toSeq
+    // exact L2 ranking from the construction: cluster-0 mates first
+    // (0.1², 0.1², 0.1²+0.1² ...), then the 5-corner cluster
+    assert(got == Seq(1L, 2L, 3L, 10L, 11L))
+  }
+
+  test("codebooks stay exactly m·k rows even when clusters empty out") {
+    val emb = clustered()
+    val books = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+      dim = 4, m = 2, k = 8, iters = 2)
+    assert(books.count() == 2L * 8)
+    assert(books.groupBy("m").count().select("count")
+      .as[Long].collect().toSet == Set(8L))
+  }
+
+  test("ADC recall on clusterable data: PQ top-3 of a cluster member " +
+    "is its cluster (codes never cross clusters this separated)") {
+    val emb = clustered()
+    val got = Similarity.pqTopK(emb, "vec_id", "embedding",
+        queryId = 10L, topK = 3, dim = 4, m = 2, k = 3, iters = 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(got == Set(11L, 12L, 13L), s"got $got")
+  }
+}

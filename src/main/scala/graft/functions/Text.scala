@@ -51,6 +51,30 @@ object Text {
       regexp_replace(text, emailRe, "<EMAIL>"),
       phoneRe, "<PHONE>")
 
+  /** RAG/pretraining chunking: overlapping token windows of
+    * `chunkTokens` tokens, consecutive chunks sharing `overlap` tokens
+    * (stride = chunkTokens − overlap). Returns array&lt;array&lt;
+    * string&gt;&gt; — one inner array per chunk; a doc shorter than one
+    * chunk yields a single short chunk. Pure expression (sequence →
+    * transform → slice): map-only, codegen-friendly, no explode until
+    * the caller wants chunk rows — at 100 TB the chunk multiplicity
+    * rides the same scan task as its document. */
+  def chunkPassages(text: Column, chunkTokens: Int,
+                    overlap: Int): Column = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      s"need 0 <= overlap < chunkTokens, got $overlap / $chunkTokens")
+    val stride = chunkTokens - overlap
+    val toks = tokens(text)
+    val n = size(toks)
+    // chunk count = ceil((n - overlap) / stride), min 1:
+    // floor((n - overlap - 1) / stride) clamps to -1.. for tiny docs,
+    // greatest(., 0) keeps exactly one chunk for them.
+    val lastIdx = greatest(
+      floor((n - lit(overlap + 1)) / lit(stride)), lit(0L))
+    transform(sequence(lit(0L), lastIdx),
+      i => slice(toks, (i * stride + 1).cast("int"), lit(chunkTokens)))
+  }
+
   /** Non-overlapping occurrence count of a token (word-bounded by space
     * padding). Removal is left-to-right non-overlapping in both Spark
     * and DuckDB → oracle-exact. */

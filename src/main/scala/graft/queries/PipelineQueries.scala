@@ -1506,5 +1506,35 @@ object PipelineQueries {
               + list_dot_product(q.qv, q.qv) AS d2
           FROM e, q WHERE e.vec_id <> 7
           ORDER BY d2 ASC, e.vec_id ASC LIMIT 5) t
-        ORDER BY d2, vec_id""")))
+        ORDER BY d2, vec_id""")),
+
+    // ---- X4: passage chunking (RAG / pretraining token windows) ---------
+    // 32-token chunks, 8-token overlap (stride 24). The oracle replays
+    // the exact window arithmetic (chunk count = ceil((n-8)/24) min 1,
+    // chunk size = clamp(32, n - 24i)) per document — a drift in the
+    // slice/stride logic flips counts and token sums.
+    QueryDef("q114_passage_chunks",
+      (s, dir) => {
+        val d = graft.scaleOut(Tables.load(s, dir, "documents"))
+        d.select(col("lang"),
+            explode(Text.chunkPassages(col("text"), 32, 8)).as("chunk"))
+          .select(col("lang"), size(col("chunk")).cast("long").as("ctoks"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_chunks"),
+            sum("ctoks").as("chunk_tokens"),
+            max("ctoks").as("max_chunk"), min("ctoks").as("min_chunk"))
+          .orderBy("lang")
+      },
+      Some("""WITH t AS (SELECT lang,
+            len(string_split(lower(text), ' ')) AS n FROM documents),
+          c AS (SELECT lang, n,
+            unnest(range(0, greatest((n - 9) // 24, 0) + 1)) AS i
+            FROM t),
+          x AS (SELECT lang,
+            CAST(greatest(least(32, n - i * 24), 0) AS BIGINT) AS ctoks
+            FROM c)
+        SELECT lang, count(*) AS n_chunks,
+          CAST(sum(ctoks) AS BIGINT) AS chunk_tokens,
+          max(ctoks) AS max_chunk, min(ctoks) AS min_chunk
+        FROM x GROUP BY lang ORDER BY lang""")))
 }

@@ -29,6 +29,27 @@ class TextVectorsSpec extends SparkSpec {
       .isEmpty)
   }
 
+  test("chunkPassages: overlap windows, boundary counts, tiny docs") {
+    def chunksOf(text: String, c: Int, ov: Int): Seq[Seq[String]] =
+      Seq(text).toDF("t")
+        .select(Text.chunkPassages(col("t"), c, ov).as("ch"))
+        .as[Seq[Seq[String]]].collect().head
+    // 10 tokens, chunk 4, overlap 1 (stride 3): ceil(9/3)=3 chunks
+    val got = chunksOf((1 to 10).map("w" + _).mkString(" "), 4, 1)
+    assert(got == Seq(
+      Seq("w1", "w2", "w3", "w4"),
+      Seq("w4", "w5", "w6", "w7"),
+      Seq("w7", "w8", "w9", "w10")))
+    // doc shorter than one chunk → exactly one short chunk
+    assert(chunksOf("a b", 4, 1) == Seq(Seq("a", "b")))
+    // exact multiple: 7 tokens, chunk 4, overlap 1 → 2 chunks, last full
+    assert(chunksOf((1 to 7).map("w" + _).mkString(" "), 4, 1) ==
+      Seq(Seq("w1", "w2", "w3", "w4"), Seq("w4", "w5", "w6", "w7")))
+    // every token appears in ≥1 chunk (coverage invariant)
+    val all = chunksOf((1 to 23).map("w" + _).mkString(" "), 5, 2).flatten
+    assert((1 to 23).forall(i => all.contains("w" + i)))
+  }
+
   test("bpeish token count splits at word/digit/punct boundaries") {
     val df = Seq(("hello world42 foo-bar", 1)).toDF("t", "id")
     // hello | world | 42 | foo | - | bar

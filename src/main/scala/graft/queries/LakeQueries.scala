@@ -840,5 +840,46 @@ object LakeQueries {
           CAST(sum(n_chars) AS BIGINT), CAST(sum(doc_id) AS BIGINT)
         FROM documents WHERE doc_id % 7 <> 0
         ORDER BY version"""),
+      kind = QueryDef.Pipeline),
+
+    // ---- DataSourceV2 connector over the manifest table -----------------
+    // The full V2 read contract end-to-end: a two-commit manifest table
+    // (partitioned by lang) read back through format("graft-manifest")
+    // with a partition filter (consumed at the manifest — files of
+    // other langs are never planned), a data filter (pushed to parquet
+    // row groups AND kept residual) and a pruned projection. The oracle
+    // replays the same relational result straight off the source table,
+    // so a connector bug anywhere (partition parsing, projection
+    // indexes, filter translation, schema evolution NULLs) flips the
+    // hash. ManifestConnectorSpec asserts the pruning/pushdown plans.
+    QueryDef("q115_manifest_connector",
+      (s, dir) => {
+        val root = "file://" + Files
+          .createTempDirectory("graft_dsv2").toString + "/t"
+        val docs = Tables.load(s, dir, "documents")
+          .select("doc_id", "lang", "source", "text", "n_chars")
+        Manifest.init(s, root,
+          docs.filter(col("doc_id") % 2 === 0), Seq("lang"))
+        Manifest.commitAppend(s, root,
+          docs.filter(col("doc_id") % 2 === 1), Seq("lang"))
+        s.read.format("graft-manifest").load(root)
+          .filter(col("lang").isin("de", "en") &&
+            col("n_chars") >= 500L)
+          .select(col("lang"), col("doc_id"), col("n_chars"),
+            length(col("text")).as("len"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n"),
+            sum("n_chars").as("chars"),
+            sum("len").as("text_len"),
+            min("doc_id").as("first_id"), max("doc_id").as("last_id"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, count(*) AS n,
+          CAST(sum(n_chars) AS BIGINT) AS chars,
+          CAST(sum(length(text)) AS BIGINT) AS text_len,
+          min(doc_id) AS first_id, max(doc_id) AS last_id
+        FROM documents
+        WHERE lang IN ('de', 'en') AND n_chars >= 500
+        GROUP BY lang ORDER BY lang"""),
       kind = QueryDef.Pipeline))
 }

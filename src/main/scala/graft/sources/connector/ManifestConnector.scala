@@ -1,0 +1,648 @@
+package graft.sources.connector
+
+import java.util.OptionalLong
+
+import scala.collection.JavaConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.filter2.compat.FilterCompat
+import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate}
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, PrimitiveType, Type => PType}
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.sources.{Filter => SFilter}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.Manifest
+
+/** DataSourceV2 connector over [[graft.sources.Manifest]] tables:
+  *
+  * {{{
+  *   spark.read.format("graft-manifest")
+  *     .option("version", 2)          // optional time travel; default latest
+  *     .load(root)
+  * }}}
+  *
+  * This is the idiomatic Spark surface for the manifest layer — the
+  * reference exposes its lake through a Glue-registered table that
+  * Athena queries by name (reference:
+  * terraform-Infrastructure-provisioning/aws-data-lake-terraform-main.tf,
+  * Glue catalog + crawler blocks); here the table format itself is ours,
+  * so the connector implements the full V2 read contract instead of
+  * delegating to a crawler:
+  *
+  *  - '''Manifest-level partition pruning''': filters over hive
+  *    partition columns (parsed from the snapshot's file paths) are
+  *    consumed on the driver — pruned files are never planned, so a
+  *    `lang = 'de'` scan of a 100 TB table plans only `lang=de` files.
+  *    This is metadata-only work, O(|files|) strings.
+  *  - '''Column pruning''' (`SupportsPushDownRequiredColumns`): the
+  *    per-file parquet projection contains exactly the requested
+  *    columns — unread columns cost zero IO (columnar format).
+  *  - '''Filter pushdown''' (`SupportsPushDownFilters`): data-column
+  *    predicates translate to parquet `FilterPredicate`s evaluated by
+  *    the parquet library against row-group statistics (skips whole
+  *    row groups) and at record level. They are ALSO returned as
+  *    residuals so Spark re-evaluates them — the pushdown is a pure
+  *    IO-skip optimization and can never change results.
+  *  - '''Limit pushdown''' (`SupportsPushDownLimit`): per-reader row
+  *    cap; Spark still applies the global limit.
+  *  - '''Statistics''' (`SupportsReportStatistics`): `sizeInBytes` is
+  *    the byte sum of the files that SURVIVE pruning, so a pruned
+  *    manifest scan under a join becomes broadcast-eligible exactly
+  *    when its surviving bytes fit the threshold.
+  *  - '''Snapshot isolation / time travel''': the planned file set is
+  *    frozen from one manifest version at `inferSchema` time;
+  *    concurrent commits are invisible to a running query.
+  *
+  * Scope (declared, not silently wrong): data columns are limited to
+  * parquet primitives (boolean/int32/int64/float/double/UTF8
+  * string/binary) — nested and repeated groups throw at schema
+  * inference. Partition columns surface as strings, exactly as they
+  * appear in the path (hive-unescaped); cast in the query when a
+  * numeric partition key is wanted. Schema = the NEWEST commit's file
+  * schema (the manifest layer's evolution contract, q112): columns
+  * absent from older commits' files read back as NULL.
+  *
+  * 100 TB posture: planning reads one manifest (O(files) driver text)
+  * plus one footer for schema; each task reads exactly one data file
+  * with a projected, predicate-filtered parquet reader. No shuffle, no
+  * driver data IO. The row-materialization path here is row-oriented
+  * (`Group` assembly) — columnar/vectorized reading is the documented
+  * next refinement; scans it feeds are typically pruned subsets, and
+  * `Manifest.read` remains the vectorized full-scan path.
+  */
+class ManifestDataSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-manifest"
+
+  // inferSchema + getTable are called back-to-back with the same
+  // options; cache the (driver-side, metadata-only) resolution.
+  @volatile private var cached: Option[(Map[String, String],
+    ManifestConnector.Resolved)] = None
+
+  private def resolved(opts: Map[String, String])
+      : ManifestConnector.Resolved = cached match {
+    case Some((k, r)) if k == opts => r
+    case _ =>
+      val r = ManifestConnector.resolve(SparkSession.active, opts)
+      cached = Some((opts, r))
+      r
+  }
+
+  private def optMap(o: CaseInsensitiveStringMap): Map[String, String] =
+    o.asCaseSensitiveMap().asScala.toMap.map { case (k, v) =>
+      k.toLowerCase -> v }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    resolved(optMap(options)).fullSchema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table = {
+    val opts = properties.asScala.toMap.map { case (k, v) =>
+      k.toLowerCase -> v }
+    ManifestTable(resolved(opts))
+  }
+}
+
+/** Driver-side resolution + shared helpers (path parsing, parquet⇄Spark
+  * schema bridging, filter translation). */
+object ManifestConnector {
+
+  final case class FileInfo(absPath: String, size: Long,
+                            partValues: Seq[(String, String)])
+
+  final case class Resolved(root: String, version: Long,
+                            files: Seq[FileInfo], partCols: Seq[String],
+                            dataSchema: StructType) {
+    val fullSchema: StructType = StructType(dataSchema.fields ++
+      partCols.map(c => StructField(c, StringType, nullable = true)))
+  }
+
+  /** Hive path-escaping inverse (%2F etc.) — partition values land in
+    * paths escaped; surface the original string. */
+  def unescapePathName(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        val hex = s.substring(i + 1, i + 3)
+        try { sb.append(Integer.parseInt(hex, 16).toChar); i += 3 }
+        catch { case _: NumberFormatException => sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** `data/c00000001-ab12/lang=de/part-0.parquet` → Seq(lang -> de).
+    * Null partitions (`__HIVE_DEFAULT_PARTITION__`) map to null. */
+  def partValuesOf(relPath: String): Seq[(String, String)] =
+    relPath.split('/').drop(2).dropRight(1).toSeq.flatMap { seg =>
+      seg.split("=", 2) match {
+        case Array(k, v) =>
+          val uv = unescapePathName(v)
+          Some(k -> (if (uv == "__HIVE_DEFAULT_PARTITION__") null else uv))
+        case _ => None
+      }
+    }
+
+  /** Parquet primitive → Spark type; throws on anything the connector
+    * does not cover (declared scope, not silent misreads). */
+  def sparkTypeOf(t: PType): DataType = {
+    require(t.isPrimitive && !t.isRepetition(PType.Repetition.REPEATED),
+      s"graft-manifest supports flat primitive columns only, got $t")
+    val p = t.asPrimitiveType()
+    p.getPrimitiveTypeName match {
+      case BOOLEAN => BooleanType
+      case INT32   => IntegerType
+      case INT64   => LongType
+      case FLOAT   => FloatType
+      case DOUBLE  => DoubleType
+      case BINARY
+        if p.getLogicalTypeAnnotation ==
+          LogicalTypeAnnotation.stringType() => StringType
+      case BINARY  => BinaryType
+      case other => throw new IllegalArgumentException(
+        s"graft-manifest does not support parquet type $other " +
+          s"(column ${t.getName})")
+    }
+  }
+
+  /** Resolve root+version → frozen file list, partition layout and the
+    * newest commit's data schema. Metadata-only: one manifest read, one
+    * recursive listing per live commit dir, one parquet footer. */
+  def resolve(spark: SparkSession, opts: Map[String, String]): Resolved = {
+    val root = opts.getOrElse("path", throw new IllegalArgumentException(
+      "graft-manifest needs a load(path) pointing at a manifest table root"))
+    val version = opts.get("version").map(_.toLong)
+      .orElse(Manifest.latestVersion(spark, root))
+      .getOrElse(throw new IllegalStateException(
+        s"$root has no committed manifest version"))
+    val snap = Manifest.snapshot(spark, root, version)
+    require(snap.files.nonEmpty, s"version $version of $root lists no files")
+
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(conf)
+    val rootUri = fs.makeQualified(rootPath).toUri.getPath
+
+    // sizes: one recursive listing per commit dir referenced by the
+    // snapshot (driver metadata IO, same scale as the manifest itself)
+    val wanted = snap.files.toSet
+    val sizes = snap.files.map(_.split("/")(1)).distinct.flatMap { cdir =>
+      val it = fs.listFiles(new Path(s"$root/data/$cdir"), true)
+      val buf = scala.collection.mutable.ArrayBuffer
+        .empty[(String, Long)]
+      while (it.hasNext) {
+        val st = it.next()
+        val rel = st.getPath.toUri.getPath
+          .stripPrefix(rootUri).stripPrefix("/")
+        if (wanted.contains(rel)) buf += rel -> st.getLen
+      }
+      buf
+    }.toMap
+
+    val files = snap.files.map { rel =>
+      FileInfo(s"$root/$rel", sizes.getOrElse(rel, 0L), partValuesOf(rel))
+    }
+    // partition layout from the newest commit (later commits define the
+    // current shape, matching the schema rule below)
+    val newestCommit = snap.files.map(_.split("/")(1)).max
+    val partCols = files
+      .find(_.absPath.contains(s"/data/$newestCommit/"))
+      .map(_.partValues.map(_._1)).getOrElse(Nil)
+
+    // schema of the newest commit's first file = the table's current
+    // schema; older files lacking late-added columns read back NULL
+    val schemaFile = snap.files.filter(_.split("/")(1) == newestCommit)
+      .min
+    val in = HadoopInputFile.fromPath(new Path(s"$root/$schemaFile"), conf)
+    val reader = ParquetFileReader.open(in)
+    val msg = try reader.getFileMetaData.getSchema finally reader.close()
+    val dataSchema = StructType(msg.getFields.asScala.toSeq.map { f =>
+      StructField(f.getName, sparkTypeOf(f),
+        nullable = !f.isRepetition(PType.Repetition.REQUIRED))
+    })
+    Resolved(root, version, files, partCols, dataSchema)
+  }
+
+  /** Can this filter be decided from partition values alone (and is it
+    * a shape we evaluate)? Strict: unknown shapes are NOT consumed. */
+  def isPartitionFilter(f: SFilter, partCols: Set[String]): Boolean =
+    f.references.nonEmpty && f.references.forall(partCols.contains) &&
+      partitionEvaluable(f)
+
+  private def partitionEvaluable(f: SFilter): Boolean = f match {
+    case EqualTo(_, v)    => v != null
+    case In(_, vs)        => vs != null
+    case IsNotNull(_)     => true
+    case IsNull(_)        => true
+    case And(l, r) => partitionEvaluable(l) && partitionEvaluable(r)
+    case Or(l, r)  => partitionEvaluable(l) && partitionEvaluable(r)
+    case Not(c)    => partitionEvaluable(c)
+    case _ => false
+  }
+
+  /** Evaluate a partition filter against one file's partition values. */
+  def evalPartitionFilter(f: SFilter, pv: Map[String, String]): Boolean =
+    f match {
+      case EqualTo(c, v)  => pv.get(c).exists(x => x != null &&
+        x == v.toString)
+      case In(c, vs)      => pv.get(c).exists(x => x != null &&
+        vs.exists(v => v != null && x == v.toString))
+      case IsNotNull(c)   => pv.get(c).exists(_ != null)
+      case IsNull(c)      => pv.get(c).exists(_ == null)
+      case And(l, r) => evalPartitionFilter(l, pv) &&
+        evalPartitionFilter(r, pv)
+      case Or(l, r)  => evalPartitionFilter(l, pv) ||
+        evalPartitionFilter(r, pv)
+      case Not(c)    => !evalPartitionFilter(c, pv)
+      case _ => true // unreachable: gated by partitionEvaluable
+    }
+
+  /** Is this a data filter we can hand to parquet? (column set checked
+    * by the caller; here just the shape + value types) */
+  def parquetTranslatable(f: SFilter): Boolean = f match {
+    case EqualTo(_, v)            => simpleValue(v)
+    case GreaterThan(_, v)        => simpleValue(v)
+    case GreaterThanOrEqual(_, v) => simpleValue(v)
+    case LessThan(_, v)           => simpleValue(v)
+    case LessThanOrEqual(_, v)    => simpleValue(v)
+    case In(_, vs) => vs != null && vs.length <= 32 && vs.forall(simpleValue)
+    case IsNull(_) | IsNotNull(_) => true
+    case And(l, r) => parquetTranslatable(l) && parquetTranslatable(r)
+    case Or(l, r)  => parquetTranslatable(l) && parquetTranslatable(r)
+    case Not(c)    => parquetTranslatable(c)
+    case _ => false
+  }
+
+  private def simpleValue(v: Any): Boolean = v match {
+    case null => false
+    case _: Boolean | _: Int | _: Long | _: Short | _: Byte |
+         _: Float | _: Double | _: String => true
+    case _ => false
+  }
+
+  /** Translate one Spark filter into a parquet predicate against THIS
+    * file's schema. Strict: None when any referenced column is missing
+    * from the file or a value/type combination is unsupported — the
+    * caller drops the conjunct (safe: pushed filters are re-evaluated
+    * by Spark as residuals). */
+  def toParquetPredicate(f: SFilter, mt: MessageType)
+      : Option[FilterPredicate] = {
+    def prim(c: String): Option[PrimitiveType] =
+      if (!mt.containsField(c)) None
+      else mt.getType(mt.getFieldIndex(c)) match {
+        case p: PrimitiveType => Some(p)
+        case _ => None
+      }
+
+    def cmp(c: String, v: Any, op: String): Option[FilterPredicate] =
+      prim(c).flatMap { p =>
+        (p.getPrimitiveTypeName, v) match {
+          case (INT64, _: Int | _: Long | _: Short | _: Byte) =>
+            val col = FilterApi.longColumn(c)
+            val x = java.lang.Long.valueOf(v.toString.toLong)
+            Some(op match {
+              case "eq" => FilterApi.eq(col, x)
+              case "gt" => FilterApi.gt(col, x)
+              case "ge" => FilterApi.gtEq(col, x)
+              case "lt" => FilterApi.lt(col, x)
+              case "le" => FilterApi.ltEq(col, x)
+            })
+          case (INT32, _: Int | _: Short | _: Byte) =>
+            val col = FilterApi.intColumn(c)
+            val x = java.lang.Integer.valueOf(v.toString.toInt)
+            Some(op match {
+              case "eq" => FilterApi.eq(col, x)
+              case "gt" => FilterApi.gt(col, x)
+              case "ge" => FilterApi.gtEq(col, x)
+              case "lt" => FilterApi.lt(col, x)
+              case "le" => FilterApi.ltEq(col, x)
+            })
+          case (DOUBLE, _: Double) =>
+            val col = FilterApi.doubleColumn(c)
+            val x = java.lang.Double.valueOf(v.asInstanceOf[Double])
+            Some(op match {
+              case "eq" => FilterApi.eq(col, x)
+              case "gt" => FilterApi.gt(col, x)
+              case "ge" => FilterApi.gtEq(col, x)
+              case "lt" => FilterApi.lt(col, x)
+              case "le" => FilterApi.ltEq(col, x)
+            })
+          case (FLOAT, _: Float) =>
+            val col = FilterApi.floatColumn(c)
+            val x = java.lang.Float.valueOf(v.asInstanceOf[Float])
+            Some(op match {
+              case "eq" => FilterApi.eq(col, x)
+              case "gt" => FilterApi.gt(col, x)
+              case "ge" => FilterApi.gtEq(col, x)
+              case "lt" => FilterApi.lt(col, x)
+              case "le" => FilterApi.ltEq(col, x)
+            })
+          case (BINARY, s: String)
+            if p.getLogicalTypeAnnotation ==
+              LogicalTypeAnnotation.stringType() =>
+            val col = FilterApi.binaryColumn(c)
+            val x = Binary.fromString(s)
+            Some(op match {
+              case "eq" => FilterApi.eq(col, x)
+              case "gt" => FilterApi.gt(col, x)
+              case "ge" => FilterApi.gtEq(col, x)
+              case "lt" => FilterApi.lt(col, x)
+              case "le" => FilterApi.ltEq(col, x)
+            })
+          case (BOOLEAN, b: Boolean) if op == "eq" =>
+            Some(FilterApi.eq(FilterApi.booleanColumn(c),
+              java.lang.Boolean.valueOf(b)))
+          case _ => None
+        }
+      }
+
+    def nullCheck(c: String, isNull: Boolean): Option[FilterPredicate] =
+      prim(c).flatMap { p =>
+        val pred: Option[FilterPredicate] = p.getPrimitiveTypeName match {
+          case INT64 => Some(FilterApi.eq(FilterApi.longColumn(c),
+            null.asInstanceOf[java.lang.Long]))
+          case INT32 => Some(FilterApi.eq(FilterApi.intColumn(c),
+            null.asInstanceOf[java.lang.Integer]))
+          case DOUBLE => Some(FilterApi.eq(FilterApi.doubleColumn(c),
+            null.asInstanceOf[java.lang.Double]))
+          case FLOAT => Some(FilterApi.eq(FilterApi.floatColumn(c),
+            null.asInstanceOf[java.lang.Float]))
+          case BOOLEAN => Some(FilterApi.eq(FilterApi.booleanColumn(c),
+            null.asInstanceOf[java.lang.Boolean]))
+          case BINARY => Some(FilterApi.eq(FilterApi.binaryColumn(c),
+            null.asInstanceOf[Binary]))
+          case _ => None
+        }
+        pred.map(x => if (isNull) x else FilterApi.not(x))
+      }
+
+    f match {
+      case EqualTo(c, v)            => cmp(c, v, "eq")
+      case GreaterThan(c, v)        => cmp(c, v, "gt")
+      case GreaterThanOrEqual(c, v) => cmp(c, v, "ge")
+      case LessThan(c, v)           => cmp(c, v, "lt")
+      case LessThanOrEqual(c, v)    => cmp(c, v, "le")
+      case In(c, vs) =>
+        val parts = vs.toSeq.filter(_ != null).map(v => cmp(c, v, "eq"))
+        if (parts.isEmpty || parts.exists(_.isEmpty)) None
+        else Some(parts.flatten.reduce(FilterApi.or))
+      case IsNull(c)    => nullCheck(c, isNull = true)
+      case IsNotNull(c) => nullCheck(c, isNull = false)
+      case And(l, r) => for {
+        a <- toParquetPredicate(l, mt); b <- toParquetPredicate(r, mt)
+      } yield FilterApi.and(a, b)
+      case Or(l, r) => for {
+        a <- toParquetPredicate(l, mt); b <- toParquetPredicate(r, mt)
+      } yield FilterApi.or(a, b)
+      case Not(c) => toParquetPredicate(c, mt).map(FilterApi.not)
+      case _ => None
+    }
+  }
+}
+
+final case class ManifestTable(res: ManifestConnector.Resolved)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-manifest ${res.root} v${res.version}"
+  override def schema(): StructType = res.fullSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = new ManifestScanBuilder(res)
+}
+
+final class ManifestScanBuilder(res: ManifestConnector.Resolved)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
+
+  private var required: StructType = res.fullSchema
+  private var partitionFilters: Array[SFilter] = Array.empty
+  private var dataFilters: Array[SFilter] = Array.empty
+  private var limit: Int = -1
+
+  override def pushFilters(filters: Array[SFilter]): Array[SFilter] = {
+    val partCols = res.partCols.toSet
+    val (part, rest) = filters.partition(
+      ManifestConnector.isPartitionFilter(_, partCols))
+    partitionFilters = part
+    // record-skippable conjuncts: data columns only, supported shape —
+    // handed to parquet per-file AND kept as residuals (IO skip only)
+    dataFilters = rest.filter(f => f.references.nonEmpty &&
+      !f.references.exists(partCols.contains) &&
+      ManifestConnector.parquetTranslatable(f))
+    rest // partition filters are fully consumed here; rest are residual
+  }
+
+  override def pushedFilters(): Array[SFilter] =
+    partitionFilters ++ dataFilters
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushLimit(n: Int): Boolean = { limit = n; true }
+  override def isPartiallyPushed: Boolean = true
+
+  override def build(): Scan = {
+    val surviving = res.files.filter { f =>
+      val pv = f.partValues.toMap
+      partitionFilters.forall(
+        ManifestConnector.evalPartitionFilter(_, pv))
+    }
+    new ManifestScan(res, surviving, required, dataFilters, limit)
+  }
+}
+
+final class ManifestScan(res: ManifestConnector.Resolved,
+                         val plannedFiles: Seq[ManifestConnector.FileInfo],
+                         required: StructType,
+                         dataFilters: Array[SFilter],
+                         limit: Int)
+    extends Scan with Batch with SupportsReportStatistics {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  override def description(): String =
+    s"graft-manifest ${res.root} v${res.version} " +
+      s"files=${plannedFiles.length}/${res.files.length} " +
+      s"pushed=[${dataFilters.mkString(", ")}]" +
+      (if (limit >= 0) s" limit=$limit" else "")
+
+  override def planInputPartitions(): Array[InputPartition] =
+    plannedFiles.map(f => ManifestInputPartition(
+      f.absPath, f.partValues.toArray): InputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // Hadoop Configuration is not serializable; ship the entries and
+    // rebuild on the executor (local/hdfs/s3a credentials all ride it).
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    val entries = conf.iterator().asScala
+      .map(e => (e.getKey, e.getValue)).toArray
+    ManifestReaderFactory(entries, required, res.partCols.toArray,
+      dataFilters, limit)
+  }
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    // post-pruning bytes: a pruned scan becomes broadcast-eligible
+    // exactly when its surviving files fit the threshold
+    override def sizeInBytes(): OptionalLong =
+      OptionalLong.of(plannedFiles.map(_.size).sum max 1L)
+    override def numRows(): OptionalLong = OptionalLong.empty()
+  }
+}
+
+final case class ManifestInputPartition(path: String,
+    partValues: Array[(String, String)]) extends InputPartition
+
+final case class ManifestReaderFactory(confEntries: Array[(String, String)],
+    required: StructType, partCols: Array[String],
+    dataFilters: Array[SFilter], limit: Int)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] =
+    new ManifestPartitionReader(
+      partition.asInstanceOf[ManifestInputPartition],
+      confEntries, required, partCols.toSet, dataFilters, limit)
+}
+
+/** One task = one data file. Opens the footer once (schema + row
+  * count), then either streams projected/filtered records through the
+  * parquet example reader, or — when the query needs no data columns
+  * (count(*), partition-only projections) — emits footer-counted rows
+  * without touching a data page. */
+final class ManifestPartitionReader(part: ManifestInputPartition,
+    confEntries: Array[(String, String)], required: StructType,
+    partCols: Set[String], dataFilters: Array[SFilter], limit: Int)
+    extends PartitionReader[InternalRow] {
+
+  private val conf = {
+    val c = new Configuration(false)
+    confEntries.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+  private val partValues: Map[String, String] = part.partValues.toMap
+
+  private sealed trait ColPlan
+  private case class PartCol(value: UTF8String) extends ColPlan
+  private case class DataCol(projIdx: Int, dt: DataType) extends ColPlan
+  private case object MissingCol extends ColPlan
+
+  private val path = new Path(part.path)
+  private val (fileSchema: MessageType, fileRows: Long) = {
+    val r = ParquetFileReader.open(HadoopInputFile.fromPath(path, conf))
+    try (r.getFileMetaData.getSchema, r.getRecordCount)
+    finally r.close()
+  }
+
+  private val dataFields = required.fields.filterNot(f =>
+    partCols.contains(f.name))
+  // projection keeps file order for stable Group field indexes
+  private val presentNames = dataFields.map(_.name)
+    .filter(fileSchema.containsField).toSet
+  private val projection: Option[MessageType] =
+    if (presentNames.isEmpty) None
+    else Some(new MessageType(fileSchema.getName,
+      fileSchema.getFields.asScala.filter(f =>
+        presentNames.contains(f.getName)).asJava))
+
+  private val plans: Array[ColPlan] = required.fields.map { f =>
+    if (partCols.contains(f.name)) {
+      val v = partValues.getOrElse(f.name, null)
+      PartCol(if (v == null) null else UTF8String.fromString(v))
+    } else projection match {
+      case Some(p) if p.containsField(f.name) =>
+        DataCol(p.getFieldIndex(f.name), f.dataType)
+      case _ => MissingCol
+    }
+  }
+
+  private var emitted = 0L
+  private def capped(n: Long): Long = if (limit >= 0) n min limit else n
+
+  // fast path: no data columns requested → no data filters exist either
+  // (Spark keeps residual-filter columns in the required schema), so the
+  // footer row count is exact
+  private val rowsOnly = projection.isEmpty
+  private val rowsOnlyTotal = if (rowsOnly) capped(fileRows) else 0L
+
+  private val reader: ParquetReader[Group] = if (rowsOnly) null else {
+    conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+      projection.get.toString)
+    val predicate = dataFilters.toSeq
+      .flatMap(ManifestConnector.toParquetPredicate(_, projection.get))
+      .reduceOption(FilterApi.and)
+    val b = ParquetReader.builder(new GroupReadSupport(), path)
+      .withConf(conf)
+    predicate.fold(b)(p => b.withFilter(FilterCompat.get(p))).build()
+  }
+
+  private var current: InternalRow = _
+
+  private def rowOf(g: Group): InternalRow = {
+    val vals = new Array[Any](plans.length)
+    var i = 0
+    while (i < plans.length) {
+      vals(i) = plans(i) match {
+        case PartCol(v) => v
+        case MissingCol => null
+        case DataCol(idx, dt) =>
+          if (g.getFieldRepetitionCount(idx) == 0) null
+          else dt match {
+            case LongType    => g.getLong(idx, 0)
+            case IntegerType => g.getInteger(idx, 0)
+            case DoubleType  => g.getDouble(idx, 0)
+            case FloatType   => g.getFloat(idx, 0)
+            case BooleanType => g.getBoolean(idx, 0)
+            case StringType  =>
+              UTF8String.fromBytes(g.getBinary(idx, 0).getBytes)
+            case BinaryType  => g.getBinary(idx, 0).getBytes
+            case other => throw new IllegalStateException(
+              s"unreachable: unsupported type $other")
+          }
+      }
+      i += 1
+    }
+    new GenericInternalRow(vals)
+  }
+
+  private val partOnlyRow: InternalRow = {
+    val vals: Array[Any] = plans.map {
+      case PartCol(v) => v: Any
+      case _          => null: Any
+    }
+    new GenericInternalRow(vals)
+  }
+
+  override def next(): Boolean = {
+    if (rowsOnly) {
+      if (emitted >= rowsOnlyTotal) false
+      else { current = partOnlyRow; emitted += 1; true }
+    } else if (limit >= 0 && emitted >= limit) false
+    else {
+      val g = reader.read()
+      if (g == null) false
+      else { current = rowOf(g); emitted += 1; true }
+    }
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = if (reader != null) reader.close()
+}

@@ -1,0 +1,159 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+
+import graft.sources.Manifest
+import graft.sources.connector.ManifestScan
+
+/** The DataSourceV2 read contract of `format("graft-manifest")`:
+  * result equality with Manifest.read, manifest-level partition
+  * pruning (files never planned), column pruning, parquet filter
+  * pushdown as pure IO-skip, time travel, schema evolution NULLs,
+  * count(*) footer fast path and pruned-size statistics. */
+class ManifestConnectorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def newRoot() = "file://" + java.nio.file.Files
+    .createTempDirectory("graft-conn").toString + "/t"
+
+  /** Three-commit fixture partitioned by `part`: evens, odds, then a
+    * merge bumping ids divisible by 5. */
+  private def fixture(): String = {
+    val root = newRoot()
+    val df = (1L to 200L).map(i =>
+      (i, "p" + (i % 4), s"doc $i text", i * 10))
+      .toDF("id", "part", "text", "score")
+    Manifest.init(spark, root, df.filter($"id" % 2 === 0), Seq("part"))
+    Manifest.commitAppend(spark, root, df.filter($"id" % 2 === 1),
+      Seq("part"))
+    Manifest.mergeInto(spark, root,
+      df.filter($"id" % 5 === 0).withColumn("score", $"score" + 1000L),
+      "id", "part")
+    root
+  }
+
+  private def connRead(root: String, version: Option[Long] = None)
+      : DataFrame = {
+    val r = spark.read.format("graft-manifest")
+    version.fold(r)(v => r.option("version", v.toString)).load(root)
+  }
+
+  private def scanOf(df: DataFrame): ManifestScan = {
+    def find(p: SparkPlan): Option[ManifestScan] = p match {
+      case a: AdaptiveSparkPlanExec => find(a.initialPlan)
+      case b: BatchScanExec if b.scan.isInstanceOf[ManifestScan] =>
+        Some(b.scan.asInstanceOf[ManifestScan])
+      case other => other.children.iterator.flatMap(find).nextOption()
+    }
+    find(df.queryExecution.executedPlan)
+      .getOrElse(fail("no ManifestScan in plan:\n" +
+        df.queryExecution.executedPlan))
+  }
+
+  test("connector read ≡ Manifest.read at every version (incl. merge)") {
+    val root = fixture()
+    for (v <- 1L to 3L) {
+      val direct = Manifest.read(spark, root, Some(v))
+        .select("id", "part", "text", "score")
+        .as[(Long, String, String, Long)].collect().toSet
+      val conn = connRead(root, Some(v))
+        .select($"id", $"part", $"text", $"score")
+        .as[(Long, String, String, Long)].collect().toSet
+      assert(conn == direct, s"version $v mismatch")
+    }
+    // default = latest
+    assert(connRead(root).count() ==
+      Manifest.read(spark, root).count())
+  }
+
+  test("partition filter prunes files at the manifest (never planned)") {
+    val root = fixture()
+    val all = scanOf(connRead(root).select($"id"))
+    val pruned = scanOf(
+      connRead(root).filter($"part" === "p1").select($"id"))
+    assert(pruned.plannedFiles.nonEmpty)
+    assert(pruned.plannedFiles.length < all.plannedFiles.length)
+    assert(pruned.plannedFiles.forall(_.absPath.contains("part=p1/")))
+    // and the result is still exactly right
+    val got = connRead(root).filter($"part" === "p1")
+      .agg(count(lit(1)), sum($"id")).as[(Long, Long)].collect().head
+    val want = Manifest.read(spark, root).filter($"part" === "p1")
+      .agg(count(lit(1)), sum($"id")).as[(Long, Long)].collect().head
+    assert(got == want)
+    // IN-list + conjunction prune too
+    val in2 = scanOf(connRead(root)
+      .filter($"part".isin("p1", "p2") && $"score" > 50L).select($"id"))
+    assert(in2.plannedFiles.forall(f =>
+      f.absPath.contains("part=p1/") || f.absPath.contains("part=p2/")))
+  }
+
+  test("column pruning reaches the scan schema; data filters are " +
+    "pushed AND kept as residuals") {
+    val root = fixture()
+    val df = connRead(root).filter($"score" > 500L).select($"id")
+    val scan = scanOf(df)
+    // required schema: id + score (residual filter input), never text
+    val cols = scan.readSchema().fieldNames.toSet
+    assert(cols.contains("id") && !cols.contains("text"), cols)
+    assert(scan.description().contains("GreaterThan(score,500)"),
+      scan.description())
+    // pushdown is IO-skip only: results match the un-pushed plan
+    val want = Manifest.read(spark, root).filter($"score" > 500L)
+      .select($"id").as[Long].collect().sorted.toSeq
+    assert(df.as[Long].collect().sorted.toSeq == want)
+  }
+
+  test("string equality pushdown + row-group skip stays correct") {
+    val root = fixture()
+    val got = connRead(root).filter($"text" === "doc 7 text")
+      .select($"id").as[Long].collect().toSeq
+    assert(got == Seq(7L))
+  }
+
+  test("schema evolution: columns added by later commits read NULL " +
+    "from older files through the connector") {
+    val root = newRoot()
+    Manifest.init(spark, root,
+      Seq((1L, "a", 10L)).toDF("id", "part", "v"), Seq("part"))
+    Manifest.commitAppend(spark, root,
+      Seq((2L, "b", 20L, "fresh")).toDF("id", "part", "v", "note"),
+      Seq("part"))
+    val rows = connRead(root).select($"id", $"v", $"note")
+      .as[(Long, Long, Option[String])].collect().toSet
+    assert(rows == Set((1L, 10L, None), (2L, 20L, Some("fresh"))))
+  }
+
+  test("count(*) plans the footer fast path (no data columns) and " +
+    "statistics report pruned bytes") {
+    val root = fixture()
+    val cnt = connRead(root).groupBy($"part").count()
+      .as[(String, Long)].collect().toMap
+    val want = Manifest.read(spark, root).groupBy($"part").count()
+      .as[(String, Long)].collect().toMap
+    assert(cnt == want)
+    // statistics shrink under partition pruning
+    val all = scanOf(connRead(root).select($"id"))
+    val pruned = scanOf(connRead(root)
+      .filter($"part" === "p1").select($"id"))
+    assert(pruned.estimateStatistics().sizeInBytes.getAsLong <
+      all.estimateStatistics().sizeInBytes.getAsLong)
+  }
+
+  test("limit pushdown caps reader output, global result exact") {
+    val root = fixture()
+    val got = connRead(root).select($"id").limit(7).collect()
+    assert(got.length == 7)
+  }
+
+  test("unsupported nested types fail loudly at schema inference") {
+    val root = newRoot()
+    Manifest.init(spark, root,
+      Seq((1L, Seq(1, 2, 3))).toDF("id", "xs"), Nil)
+    val e = intercept[Exception](connRead(root).schema)
+    assert(e.getMessage.contains("graft-manifest"), e.getMessage)
+  }
+}

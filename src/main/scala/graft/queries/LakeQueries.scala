@@ -881,5 +881,56 @@ object LakeQueries {
         FROM documents
         WHERE lang IN ('de', 'en') AND n_chars >= 500
         GROUP BY lang ORDER BY lang"""),
+      kind = QueryDef.Pipeline),
+
+    // ---- Manifest change feed: incremental reads between versions -------
+    // Three commits: init evens → append odds → CoW merge confined to
+    // lang='de'. The incremental consumer reads changes(1→2) (exactly
+    // the appended odd rows) and changes(2→3) (the post-image of the
+    // one rewritten partition — untouched langs carry files by
+    // reference and must NOT appear). The oracle replays both diffs
+    // relationally; any leak of carried-over files into the feed, or
+    // rows missing from a rewritten partition, flips counts and sums.
+    QueryDef("q116_manifest_changes",
+      (s, dir) => {
+        val root = "file://" + Files
+          .createTempDirectory("graft_cdf").toString + "/t"
+        val docs = Tables.load(s, dir, "documents")
+          .select("doc_id", "lang", "source", "n_chars")
+        Manifest.init(s, root,
+          docs.filter(col("doc_id") % 2 === 0), Seq("lang"))
+        Manifest.commitAppend(s, root,
+          docs.filter(col("doc_id") % 2 === 1), Seq("lang"))
+        Manifest.mergeInto(s, root,
+          docs.filter(col("lang") === "de" && col("doc_id") % 5 === 0)
+            .withColumn("n_chars", col("n_chars") + 1000),
+          "doc_id", "lang")
+        Seq((1L, 2L), (2L, 3L)).map { case (from, to) =>
+          Manifest.readChanges(s, root, from, Some(to))
+            .agg(count(lit(1)).as("n"),
+              countDistinct("lang").as("langs"),
+              sum("n_chars").as("chars"), sum("doc_id").as("id_sum"))
+            .withColumn("step", lit(s"v$from..v$to"))
+        }.reduce(_.unionByName(_))
+          .select("step", "n", "langs", "chars", "id_sum")
+          .orderBy("step")
+      },
+      Some("""WITH odd AS (
+          SELECT * FROM documents WHERE doc_id % 2 = 1),
+        de AS (
+          SELECT doc_id, lang,
+            n_chars + CASE WHEN doc_id % 5 = 0 THEN 1000 ELSE 0 END
+              AS n_chars
+          FROM documents WHERE lang = 'de')
+        SELECT 'v1..v2' AS step, count(*) AS n,
+          count(DISTINCT lang) AS langs,
+          CAST(sum(n_chars) AS BIGINT) AS chars,
+          CAST(sum(doc_id) AS BIGINT) AS id_sum
+        FROM odd
+        UNION ALL
+        SELECT 'v2..v3', count(*), count(DISTINCT lang),
+          CAST(sum(n_chars) AS BIGINT), CAST(sum(doc_id) AS BIGINT)
+        FROM de
+        ORDER BY step"""),
       kind = QueryDef.Pipeline))
 }

@@ -199,4 +199,39 @@ class ManifestSpec extends SparkSpec {
     assert(Manifest.read(spark, root, None)
       .select("id").as[Long].collect().toSet == Set(1L, 2L))
   }
+
+  test("changedFiles/readChanges: append yields appended rows; merge " +
+    "yields only the rewritten partition's post-image; deletes show " +
+    "as removed files") {
+    val root = newRoot()
+    Manifest.init(spark, root,
+      Seq((1L, "a", 10), (2L, "b", 20)).toDF("id", "part", "v"),
+      Seq("part"))
+    Manifest.commitAppend(spark, root,
+      Seq((3L, "a", 30), (4L, "c", 40)).toDF("id", "part", "v"),
+      Seq("part"))
+    // v1→v2: exactly the appended rows
+    assert(Manifest.readChanges(spark, root, 1L, Some(2L))
+      .select("id", "part", "v").as[(Long, String, Int)]
+      .collect().toSet == Set((3L, "a", 30), (4L, "c", 40)))
+    // merge touching only part=a
+    Manifest.mergeInto(spark, root,
+      Seq((1L, "a", 99)).toDF("id", "part", "v"), "id", "part")
+    val feed = Manifest.readChanges(spark, root, 2L, Some(3L))
+      .select("id", "part", "v").as[(Long, String, Int)].collect().toSet
+    // post-image of the rewritten partition a; b and c never appear
+    assert(feed == Set((1L, "a", 99), (3L, "a", 30)))
+    // spanning reads compose: v1→v3 = appended ∪ rewritten-a
+    assert(Manifest.readChanges(spark, root, 1L, Some(3L))
+      .select("id").as[Long].collect().toSet == Set(1L, 3L, 4L))
+    // delete shows the dropped partition's files on the removed side
+    Manifest.deleteWhere(spark, root, col("id") === 4L, "part")
+    val cs = Manifest.changedFiles(spark, root, 3L, 4L)
+    assert(cs.removed.exists(_.contains("part=c/")), cs)
+    // nothing added between identical versions → loud failure, not
+    // an empty frame with a guessed schema
+    intercept[IllegalArgumentException] {
+      Manifest.readChanges(spark, root, 4L, Some(4L))
+    }
+  }
 }

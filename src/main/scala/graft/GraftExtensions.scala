@@ -191,6 +191,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case other => throw new IllegalArgumentException(
           s"scrub_pii expects 1 arg, got ${other.size}")
       }))
+    // Misra-Gries heavy hitters: O(capacity) mergeable state, classic
+    // lower-bound + pigeonhole guarantees (q117 pins both as oracle
+    // invariant bits).
+    ext.injectFunction((
+      new FunctionIdentifier("freq_sketch"),
+      new ExpressionInfo(classOf[functions.MisraGries].getName,
+        "freq_sketch"),
+      (children: Seq[Expression]) => (children match {
+        case Seq(c) => functions.MisraGries(c, 64)
+        case Seq(c, k) => functions.MisraGries(c, intLit(k, "capacity"))
+        case other => throw new IllegalArgumentException(
+          s"freq_sketch expects 1-2 args, got ${other.size}")
+      }).toAggregateExpression()))
     // Both arities route through the native one-pass digest expression
     // (functions.Md5Prefix32) — identical values to the former
     // md5→substring→conv chain, minus its per-row string allocations.

@@ -5,7 +5,7 @@ import scala.collection.mutable.ArrayBuffer
 import org.apache.hadoop.fs.{FileSystem, Path}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, col}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit}
 
 /** Versioned manifest commit layer: the missing cross-partition
   * atomicity for the lake's upsert/compaction story (SURVEY §7 — the
@@ -23,13 +23,16 @@ import org.apache.spark.sql.functions.{broadcast, col}
   * }}}
   *
   * Commit protocol (optimistic): write the new commit's data files
-  * under a fresh `data/cN` dir, stage the manifest as a dot-temp file,
-  * then RENAME it to `vN.txt` — one filesystem rename makes the whole
+  * under a fresh `data/cN` dir, then CREATE `vN.txt` with
+  * create-if-absent (O_EXCL) — one atomic create makes the whole
   * snapshot (spanning any number of partitions) visible at once, which
   * is precisely what dynamic partition overwrite cannot give. A racing
   * committer that created `vN.txt` first wins; the loser throws
   * (stale-version conflict) without having touched any live state —
-  * its orphan data dir is cleaned by [[vacuum]].
+  * its orphan data dir is cleaned by [[vacuum]]. A reader racing the
+  * manifest write itself is fenced by the `#count` header: a torn read
+  * (header present, fewer lines than promised) fails loudly instead of
+  * silently scanning a partial snapshot.
   *
   * Readers resolve `latest` (max version present) or pin an explicit
   * version: time travel, and isolation from concurrent rewrites — a
@@ -38,10 +41,12 @@ import org.apache.spark.sql.functions.{broadcast, col}
   * snapshots older than the retention floor.
   *
   * All control-plane IO is Hadoop FileSystem (file://, hdfs://,
-  * s3a://). Object-store caveat: rename-if-absent is atomic on
-  * HDFS/local; plain S3 needs a conditional put or a lock table for
-  * the same guarantee — the protocol is unchanged, only the
-  * atomicity primitive moves.
+  * s3a://). The claim primitive is create-if-absent: POSIX O_EXCL on
+  * file:// (NIO `CREATE_NEW` — `FileSystem.rename` on the local FS
+  * silently OVERWRITES, so rename-based claims lose commits there),
+  * `create(path, overwrite = false)` on HDFS. Plain S3 needs a
+  * conditional put or a lock table for the same guarantee — the
+  * protocol is unchanged, only the atomicity primitive moves.
   *
   * Scale: a manifest is O(files) text, read once per query on the
   * driver (the same metadata-scale read every table format does);
@@ -59,6 +64,46 @@ object Manifest {
 
   private def manifestDir(root: String) = s"$root/_manifests"
   private def vName(v: Long) = f"v$v%08d.txt"
+
+  /** Hive path-escaping inverse (%3A etc.) — partition values land in
+    * paths escaped; surface the original string. */
+  def unescapePathName(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        val hex = s.substring(i + 1, i + 3)
+        try { sb.append(Integer.parseInt(hex, 16).toChar); i += 3 }
+        catch { case _: NumberFormatException => sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** `data/c00000001-ab12/lang=de/part-0.parquet` → Seq(lang -> de).
+    * Null partitions (`__HIVE_DEFAULT_PARTITION__`) map to null. */
+  def partValuesOf(relPath: String): Seq[(String, String)] =
+    relPath.split('/').drop(2).dropRight(1).toSeq.flatMap { seg =>
+      seg.split("=", 2) match {
+        case Array(k, v) =>
+          val uv = unescapePathName(v)
+          Some(k -> (if (uv == "__HIVE_DEFAULT_PARTITION__") null else uv))
+        case _ => None
+      }
+    }
+
+  /** Does `relPath` belong to one of the `touched` partitions? Matches
+    * on PARSED partition values (hive-unescaped, null-aware), never on
+    * raw path substrings: a value like `a:b` lands in the path as
+    * `a%3Ab` and a null as `__HIVE_DEFAULT_PARTITION__`, so substring
+    * matching against the raw value would silently carry the old files
+    * forward (duplicates after MERGE, survivors after DELETE). */
+  private def inTouchedPartition(relPath: String, partitionCol: String,
+                                 touched: Set[Option[String]]): Boolean =
+    partValuesOf(relPath)
+      .collectFirst { case (k, v) if k == partitionCol => Option(v) }
+      .exists(touched.contains)
 
   /** List a commit dir's parquet files as root-relative paths. */
   private def commitFiles(fs: FileSystem, root: Path,
@@ -105,6 +150,17 @@ object Manifest {
     val (hdr, files) = lines.partition(_.startsWith("#"))
     val meta = hdr.map(_.stripPrefix("#").split("=", 2))
       .collect { case Array(k, v) => k -> v }.toMap
+    // torn-read fence: the manifest is created-if-absent and then
+    // written; a reader that opens it mid-write sees fewer file lines
+    // than the #count header promises and must fail loudly (transient —
+    // retrying re-reads the completed file), never scan a partial
+    // snapshot. Manifests without the header (older format) skip the
+    // check.
+    meta.get("count").foreach { c =>
+      require(c.toLong == files.size,
+        s"torn manifest read: version $version of $root promises $c " +
+          s"files, read ${files.size} — concurrent commit in flight, retry")
+    }
     SnapshotMeta(version, files, meta)
   }
 
@@ -142,28 +198,51 @@ object Manifest {
       .reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
+  /** Create-if-absent: the commit claim primitive. On file:// Hadoop's
+    * own `create(path, overwrite = false)` is exists-then-open (TOCTOU
+    * window) and `rename` silently overwrites, so the local path goes
+    * through NIO `CREATE_NEW` — a true POSIX O_EXCL. On HDFS `create`
+    * with overwrite=false is atomic natively. */
+  private def createExclusive(fs: FileSystem,
+                              dst: Path): java.io.OutputStream = fs match {
+    case _: org.apache.hadoop.fs.LocalFileSystem |
+         _: org.apache.hadoop.fs.RawLocalFileSystem =>
+      java.nio.file.Files.newOutputStream(
+        java.nio.file.Paths.get(dst.toUri.getPath),
+        java.nio.file.StandardOpenOption.CREATE_NEW,
+        java.nio.file.StandardOpenOption.WRITE)
+    case _ => fs.create(dst, false)
+  }
+
   /** Atomically publish `files` as version `expected+1`. Throws on a
-    * lost race (someone else committed that version first). */
-  private def publish(spark: SparkSession, root: String,
+    * lost race (someone else committed that version first) — the
+    * winner's manifest is never clobbered. `private[graft]` so the
+    * race spec can drive two committers off the SAME expected
+    * version. */
+  private[graft] def publish(spark: SparkSession, root: String,
                       expected: Long, files: Seq[String],
                       meta: Map[String, String] = Map.empty): Long = {
     val (fs, _) = fsOf(spark, root)
     val next = expected + 1
     val md = new Path(manifestDir(root))
     fs.mkdirs(md)
-    val tmp = new Path(md, s".tmp-${vName(next)}")
-    val out = fs.create(tmp, true)
-    val body = (meta.toSeq.sorted.map { case (k, v) => s"#$k=$v" } ++
-      files).mkString("\n") + "\n"
+    val dst = new Path(md, vName(next))
+    // #count fences readers racing the write (see readManifest);
+    // carried-forward metas are overridden with THIS snapshot's count.
+    val hdr = (meta + ("count" -> files.size.toString)).toSeq.sorted
+      .map { case (k, v) => s"#$k=$v" }
+    val body = (hdr ++ files).mkString("\n") + "\n"
+    val out =
+      try createExclusive(fs, dst)
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+             _: java.nio.file.FileAlreadyExistsException =>
+          throw new IllegalStateException(
+            s"commit conflict: version $next of $root already exists " +
+              "(concurrent committer won); re-read latest and retry")
+      }
     try out.write(body.getBytes("UTF-8"))
     finally out.close()
-    val dst = new Path(md, vName(next))
-    if (fs.exists(dst) || !fs.rename(tmp, dst)) {
-      fs.delete(tmp, false)
-      throw new IllegalStateException(
-        s"commit conflict: version $next of $root already exists " +
-          "(concurrent committer won); re-read latest and retry")
-    }
     next
   }
 
@@ -264,19 +343,25 @@ object Manifest {
       throw new IllegalStateException(s"$root not initialized"))
     val prev = readManifest(spark, root, cur)
     val table = read(spark, root, Some(cur))
-    val touched = updates.select(partitionCol).distinct()
+    // null-safe semi join (<=>): a null partition value is a real,
+    // touchable partition (__HIVE_DEFAULT_PARTITION__ on disk); a plain
+    // equi-join would drop its existing rows from the rewrite and the
+    // commit would lose them.
+    val touched = updates.select(col(partitionCol).as("__touched_pv"))
+      .distinct()
     val merged = Catalog.upsert(
-      table.join(broadcast(touched), Seq(partitionCol), "left_semi"),
+      table.join(broadcast(touched),
+        table(partitionCol) <=> touched("__touched_pv"), "left_semi"),
       updates, key)
     val fresh = writeCommit(spark, root, cur + 1, merged, Seq(partitionCol))
-    // Carry over files of partitions the updates did not touch. File
-    // paths encode the partition (…/lang=de/part-…), so the touched set
-    // maps to a path-prefix filter evaluated on the driver against the
-    // manifest — metadata-scale, no data IO.
-    val touchedVals = touched.collect().map(r => r.get(0).toString).toSet
-    val keep = prev.files.filterNot { f =>
-      touchedVals.exists(v => f.contains(s"$partitionCol=$v/"))
-    }
+    // Carry over files of partitions the updates did not touch — the
+    // touched set is matched against each file's PARSED partition value
+    // (hive-unescaped, null-aware) on the driver: metadata-scale, no
+    // data IO.
+    val touchedVals = touched.collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.get(0).toString)).toSet
+    val keep = prev.files.filterNot(
+      inTouchedPartition(_, partitionCol, touchedVals))
     publish(spark, root, cur, keep ++ fresh, prev.meta)
   }
 
@@ -294,17 +379,28 @@ object Manifest {
       throw new IllegalStateException(s"$root not initialized"))
     val prev = readManifest(spark, root, cur)
     val table = read(spark, root, Some(cur))
-    val touchedVals = table.filter(predicate)
-      .select(partitionCol).distinct()
-      .collect().map(_.get(0).toString).toSet
-    if (touchedVals.isEmpty) return cur // nothing matches: no-op commit
-    val remain = table
-      .filter(col(partitionCol).isin(touchedVals.toSeq: _*))
-      .filter(!predicate)
-    val fresh = writeCommit(spark, root, cur + 1, remain, Seq(partitionCol))
-    val keep = prev.files.filterNot { f =>
-      touchedVals.exists(v => f.contains(s"$partitionCol=$v/"))
+    // native-typed touched values for the rewrite filter; stringified
+    // (null-aware) for the driver-side manifest match
+    val touchedRaw = table.filter(predicate)
+      .select(partitionCol).distinct().collect().map(_.get(0))
+    if (touchedRaw.isEmpty) return cur // nothing matches: no-op commit
+    val touchedVals = touchedRaw
+      .map(v => Option(v).map(_.toString)).toSet
+    val nonNull = touchedRaw.filter(_ != null).toSeq
+    val inTouched = {
+      val base = if (nonNull.isEmpty) lit(false)
+        else col(partitionCol).isin(nonNull: _*)
+      if (touchedVals.contains(None)) base || col(partitionCol).isNull
+      else base
     }
+    // SQL DELETE semantics: drop rows where the predicate is TRUE;
+    // rows where it evaluates NULL survive (`!predicate` alone would
+    // filter them out — three-valued logic).
+    val remain = table.filter(inTouched)
+      .filter(!coalesce(predicate, lit(false)))
+    val fresh = writeCommit(spark, root, cur + 1, remain, Seq(partitionCol))
+    val keep = prev.files.filterNot(
+      inTouchedPartition(_, partitionCol, touchedVals))
     publish(spark, root, cur, keep ++ fresh, prev.meta)
   }
 

@@ -134,33 +134,15 @@ object ManifestConnector {
       partCols.map(c => StructField(c, StringType, nullable = true)))
   }
 
-  /** Hive path-escaping inverse (%2F etc.) — partition values land in
-    * paths escaped; surface the original string. */
-  def unescapePathName(s: String): String = {
-    val sb = new StringBuilder(s.length)
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (c == '%' && i + 2 < s.length) {
-        val hex = s.substring(i + 1, i + 3)
-        try { sb.append(Integer.parseInt(hex, 16).toChar); i += 3 }
-        catch { case _: NumberFormatException => sb.append(c); i += 1 }
-      } else { sb.append(c); i += 1 }
-    }
-    sb.toString
-  }
+  /** Hive path-escaping inverse — shared with the manifest DML layer
+    * ([[graft.sources.Manifest.unescapePathName]]). */
+  def unescapePathName(s: String): String = Manifest.unescapePathName(s)
 
   /** `data/c00000001-ab12/lang=de/part-0.parquet` → Seq(lang -> de).
-    * Null partitions (`__HIVE_DEFAULT_PARTITION__`) map to null. */
+    * Null partitions (`__HIVE_DEFAULT_PARTITION__`) map to null.
+    * Shared with the manifest DML layer. */
   def partValuesOf(relPath: String): Seq[(String, String)] =
-    relPath.split('/').drop(2).dropRight(1).toSeq.flatMap { seg =>
-      seg.split("=", 2) match {
-        case Array(k, v) =>
-          val uv = unescapePathName(v)
-          Some(k -> (if (uv == "__HIVE_DEFAULT_PARTITION__") null else uv))
-        case _ => None
-      }
-    }
+    Manifest.partValuesOf(relPath)
 
   /** Parquet primitive → Spark type; throws on anything the connector
     * does not cover (declared scope, not silent misreads). */
@@ -221,12 +203,20 @@ object ManifestConnector {
     val files = snap.files.map { rel =>
       FileInfo(s"$root/$rel", sizes.getOrElse(rel, 0L), partValuesOf(rel))
     }
-    // partition layout from the newest commit (later commits define the
-    // current shape, matching the schema rule below)
+    // partition layout must be UNIFORM across the snapshot's files: a
+    // newest-commit-only derivation would silently prune older commits'
+    // differently-laid-out files (their partValues lack the pruned
+    // column → dropped rows, no error). Heterogeneous layouts fail
+    // loudly at resolve time; rewrite (commitReplace) to converge.
+    val layouts = files.map(_.partValues.map(_._1)).distinct
+    require(layouts.size <= 1,
+      s"graft-manifest: mixed partition layouts across commits of " +
+        s"$root v$version: " +
+        layouts.map(_.mkString("[", ",", "]")).mkString(" vs ") +
+        " — rewrite older commits (commitReplace) before reading " +
+        "through the connector")
+    val partCols = layouts.headOption.getOrElse(Nil)
     val newestCommit = snap.files.map(_.split("/")(1)).max
-    val partCols = files
-      .find(_.absPath.contains(s"/data/$newestCommit/"))
-      .map(_.partValues.map(_._1)).getOrElse(Nil)
 
     // schema of the newest commit's first file = the table's current
     // schema; older files lacking late-added columns read back NULL
@@ -249,31 +239,55 @@ object ManifestConnector {
       partitionEvaluable(f)
 
   private def partitionEvaluable(f: SFilter): Boolean = f match {
-    case EqualTo(_, v)    => v != null
-    case In(_, vs)        => vs != null
-    case IsNotNull(_)     => true
-    case IsNull(_)        => true
+    case EqualTo(_, v)       => v != null
+    case EqualNullSafe(_, _) => true
+    case In(_, vs)           => vs != null
+    case IsNotNull(_)        => true
+    case IsNull(_)           => true
     case And(l, r) => partitionEvaluable(l) && partitionEvaluable(r)
     case Or(l, r)  => partitionEvaluable(l) && partitionEvaluable(r)
     case Not(c)    => partitionEvaluable(c)
     case _ => false
   }
 
-  /** Evaluate a partition filter against one file's partition values. */
-  def evalPartitionFilter(f: SFilter, pv: Map[String, String]): Boolean =
+  /** Kleene three-valued evaluation of a partition filter against one
+    * file's partition values: `Some(true/false)` when decided, `None`
+    * when the comparison is NULL (unknown). Partition filters are fully
+    * CONSUMED by the pushdown (never re-evaluated by Spark), so pruning
+    * must implement exact WHERE semantics: a file survives only on
+    * `Some(true)` — unknown drops it, exactly as a WHERE clause drops
+    * NULL rows. Two-valued evaluation here would keep a
+    * `__HIVE_DEFAULT_PARTITION__` file under `Not(EqualTo)` (NOT of
+    * "false") where SQL's NULL != v is unknown → row dropped. */
+  def evalPartitionFilter(f: SFilter,
+                          pv: Map[String, String]): Option[Boolean] =
     f match {
-      case EqualTo(c, v)  => pv.get(c).exists(x => x != null &&
-        x == v.toString)
-      case In(c, vs)      => pv.get(c).exists(x => x != null &&
-        vs.exists(v => v != null && x == v.toString))
-      case IsNotNull(c)   => pv.get(c).exists(_ != null)
-      case IsNull(c)      => pv.get(c).exists(_ == null)
-      case And(l, r) => evalPartitionFilter(l, pv) &&
-        evalPartitionFilter(r, pv)
-      case Or(l, r)  => evalPartitionFilter(l, pv) ||
-        evalPartitionFilter(r, pv)
-      case Not(c)    => !evalPartitionFilter(c, pv)
-      case _ => true // unreachable: gated by partitionEvaluable
+      case EqualTo(c, v) => pv.get(c).flatMap(x =>
+        if (x == null) None else Some(x == v.toString))
+      case EqualNullSafe(c, v) => pv.get(c).map(x =>
+        if (v == null) x == null else x != null && x == v.toString)
+      case In(c, vs) => pv.get(c).flatMap { x =>
+        if (x == null) None
+        else if (vs.exists(v => v != null && x == v.toString)) Some(true)
+        else if (vs.contains(null)) None // x IN (..., NULL) miss = unknown
+        else Some(false)
+      }
+      case IsNotNull(c) => pv.get(c).map(_ != null)
+      case IsNull(c)    => pv.get(c).map(_ == null)
+      case And(l, r) =>
+        (evalPartitionFilter(l, pv), evalPartitionFilter(r, pv)) match {
+          case (Some(false), _) | (_, Some(false)) => Some(false)
+          case (Some(true), Some(true))            => Some(true)
+          case _                                   => None
+        }
+      case Or(l, r) =>
+        (evalPartitionFilter(l, pv), evalPartitionFilter(r, pv)) match {
+          case (Some(true), _) | (_, Some(true)) => Some(true)
+          case (Some(false), Some(false))        => Some(false)
+          case _                                 => None
+        }
+      case Not(c) => evalPartitionFilter(c, pv).map(!_)
+      case _ => None // unreachable: gated by partitionEvaluable
     }
 
   /** Is this a data filter we can hand to parquet? (column set checked
@@ -463,8 +477,11 @@ final class ManifestScanBuilder(res: ManifestConnector.Resolved)
   override def build(): Scan = {
     val surviving = res.files.filter { f =>
       val pv = f.partValues.toMap
+      // survive only on definite TRUE — unknown (NULL) drops the file,
+      // matching WHERE semantics (these filters are consumed, not
+      // residual)
       partitionFilters.forall(
-        ManifestConnector.evalPartitionFilter(_, pv))
+        ManifestConnector.evalPartitionFilter(_, pv).contains(true))
     }
     new ManifestScan(res, surviving, required, dataFilters, limit)
   }

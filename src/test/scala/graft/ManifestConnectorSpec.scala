@@ -149,6 +149,43 @@ class ManifestConnectorSpec extends SparkSpec {
     assert(got.length == 7)
   }
 
+  test("NULL partitions under Not/In/IsNull follow SQL three-valued " +
+    "logic (partition filters are consumed, so pruning must be exact)") {
+    val root = newRoot()
+    Manifest.init(spark, root,
+      Seq((1L, Option("a"), 10L), (2L, Option("b"), 20L),
+        (3L, Option.empty[String], 30L))
+        .toDF("id", "part", "v"),
+      Seq("part"))
+    def ids(df: DataFrame) = df.select($"id").as[Long].collect().toSet
+    // NULL != 'a' is unknown → the null-partition row must NOT appear.
+    // =!= alone compiles to Not(EqualTo) only when the optimizer does
+    // not inject IsNotNull; assert against the SQL answer either way.
+    assert(ids(connRead(root).filter($"part" =!= "a")) == Set(2L))
+    assert(ids(connRead(root).filter(!$"part".isin("a", "b"))) ==
+      Set.empty[Long])
+    assert(ids(connRead(root).filter($"part".isNull)) == Set(3L))
+    assert(ids(connRead(root).filter(!$"part".isNull)) == Set(1L, 2L))
+    assert(ids(connRead(root).filter($"part" <=> null)) == Set(3L))
+    // and the whole thing matches the non-connector read
+    for (cond <- Seq($"part" =!= "a", $"part".isNull, !$"part".isNull)) {
+      assert(ids(connRead(root).filter(cond)) ==
+        ids(Manifest.read(spark, root).filter(cond)))
+    }
+  }
+
+  test("mixed partition layouts across commits fail loudly at resolve") {
+    val root = newRoot()
+    Manifest.init(spark, root,
+      Seq((1L, "a", 10L)).toDF("id", "part", "v"), Seq("part"))
+    // second commit drops the partitioning: older files' partValues
+    // would silently miss every `part` filter if this resolved
+    Manifest.commitAppend(spark, root,
+      Seq((2L, "b", 20L)).toDF("id", "part", "v"), Nil)
+    val e = intercept[Exception](connRead(root).schema)
+    assert(e.getMessage.contains("mixed partition layouts"), e.getMessage)
+  }
+
   test("unsupported nested types fail loudly at schema inference") {
     val root = newRoot()
     Manifest.init(spark, root,

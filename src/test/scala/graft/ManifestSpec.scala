@@ -200,6 +200,103 @@ class ManifestSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet == Set(1L, 2L))
   }
 
+  test("lost-commit race: two committers off the SAME expected version " +
+    "— exactly one winner, loser throws, winner's manifest intact") {
+    val root = newRoot()
+    Manifest.init(spark, root, Seq((1L, "x")).toDF("id", "s"))
+    val files = Manifest.snapshot(spark, root, 1L).files
+    // both racers read latestVersion = 1 before either published
+    val won = Manifest.publish(spark, root, 1L, files)
+    assert(won == 2L)
+    val e = intercept[IllegalStateException] {
+      // the loser's list differs — if create-if-absent were not atomic
+      // (the old exists+rename on local FS silently overwrites) this
+      // would replace the winner's manifest instead of throwing
+      Manifest.publish(spark, root, 1L, files ++ files)
+    }
+    assert(e.getMessage.contains("commit conflict"), e.getMessage)
+    assert(Manifest.snapshot(spark, root, 2L).files == files,
+      "winner's manifest was clobbered by the losing committer")
+    assert(Manifest.latestVersion(spark, root).contains(2L))
+  }
+
+  test("torn manifest read fails loudly (count header fence)") {
+    val root = newRoot()
+    Manifest.init(spark, root, Seq((1L, "x")).toDF("id", "s"))
+    val f1 = Manifest.snapshot(spark, root, 1L).files.head
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a v2 manifest caught mid-write: header promises 3 files, body has 1
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(root + "/_manifests/v00000002.txt"),
+      false)
+    out.write(s"#count=3\n$f1\n".getBytes("UTF-8"))
+    out.close()
+    val e = intercept[IllegalArgumentException] {
+      Manifest.snapshot(spark, root, 2L)
+    }
+    assert(e.getMessage.contains("torn manifest read"), e.getMessage)
+  }
+
+  test("mergeInto: hive-escaped (':') and NULL partition values — " +
+    "old files dropped, no duplicates, no lost rows") {
+    val root = newRoot()
+    Manifest.init(spark, root,
+      Seq((1L, Option("a:b"), 10), (2L, Option("a:b"), 20),
+        (3L, Option.empty[String], 30), (4L, Option("c"), 40))
+        .toDF("id", "part", "v"),
+      Seq("part"))
+    // path layout proves the escaping premise: ':' → %3A, null → default
+    val v1files = Manifest.snapshot(spark, root, 1L).files
+    assert(v1files.exists(_.contains("part=a%3Ab/")), v1files)
+    assert(v1files.exists(_.contains("__HIVE_DEFAULT_PARTITION__")), v1files)
+    // merge touching the escaped partition AND the null partition
+    Manifest.mergeInto(spark, root,
+      Seq((2L, Option("a:b"), 99), (3L, Option.empty[String], 33),
+        (5L, Option.empty[String], 50))
+        .toDF("id", "part", "v"),
+      "id", "part")
+    val got = Manifest.read(spark, root, None)
+      .select("id", "part", "v")
+      .as[(Long, Option[String], Int)].collect().toSet
+    assert(got == Set(
+      (1L, Some("a:b"), 10), (2L, Some("a:b"), 99),
+      (3L, None, 33), (5L, None, 50), (4L, Some("c"), 40)),
+      s"duplicate or lost rows after merge: $got")
+    // untouched partition c carried by reference
+    val after = Manifest.snapshot(spark, root, 2L).files.toSet
+    assert(v1files.filter(_.contains("part=c/")).toSet.subsetOf(after))
+    // touched partitions' v1 files dropped from the new manifest
+    assert(!after.exists(f => f.contains("part=a%3Ab/") &&
+      v1files.contains(f)), "escaped partition's old files carried over")
+  }
+
+  test("deleteWhere: hive-escaped and NULL partitions rewrite " +
+    "correctly; NULL-predicate rows survive (3-valued DELETE)") {
+    val root = newRoot()
+    Manifest.init(spark, root,
+      Seq((1L, Option("a:b"), Option(10)), (2L, Option("a:b"), Option(20)),
+        (3L, Option.empty[String], Option(30)),
+        (4L, Option("c"), Option.empty[Int]),
+        (5L, Option("c"), Option(20)))
+        .toDF("id", "part", "v"),
+      Seq("part"))
+    // v = 20 matches in the escaped partition and in c; row 4's v is
+    // NULL → predicate unknown → must SURVIVE even though its
+    // partition (c) is rewritten
+    Manifest.deleteWhere(spark, root, col("v") === 20, "part")
+    val got = Manifest.read(spark, root, None)
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(1L, 3L, 4L), got)
+    // delete in the NULL partition
+    Manifest.deleteWhere(spark, root, col("id") === 3L, "part")
+    assert(Manifest.read(spark, root, None)
+      .select("id").as[Long].collect().toSet == Set(1L, 4L))
+    // no deleted row resurfaces, no survivor lost, at any version
+    assert(Manifest.read(spark, root, Some(1L))
+      .select("id").as[Long].collect().toSet == Set(1L, 2L, 3L, 4L, 5L))
+  }
+
   test("changedFiles/readChanges: append yields appended rows; merge " +
     "yields only the rewritten partition's post-image; deletes show " +
     "as removed files") {

@@ -21,6 +21,23 @@ class DedupSpec extends SparkSpec {
       "trees and whole stage codegen pipelines in distributed engines"),
     (6L, "too short")).toDF("doc_id", "text")
 
+  test("memoized near-dup pair stage recomputes after cached-block " +
+    "loss (persist keeps lineage; a truncated checkpoint would throw)") {
+    val dir = "/root/testdata/sf0.001"
+    val q90 = SparkEntry.defs("q90_dedup_clusters").fn
+    val q103 = SparkEntry.defs("q103_dedup_survivor_stats").fn
+    val before90 = q90(spark, dir).collect().toSeq
+    val before103 = q103(spark, dir).collect().toSeq
+    // simulate executor/block loss: drop EVERY persisted block
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    // both consumers must transparently recompute, not fail
+    assert(q90(spark, dir).collect().toSeq == before90)
+    assert(q103(spark, dir).collect().toSeq == before103)
+    graft.queries.PipelineQueries.clearPairCache()
+    assert(q90(spark, dir).collect().toSeq == before90)
+  }
+
   test("exact dedup groups identical content, keeps min id") {
     val d = Dedup.exact(docs, "doc_id", "text")
     assert(d.count() == 5) // 1+2 collapse

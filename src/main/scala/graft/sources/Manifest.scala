@@ -57,6 +57,12 @@ object Manifest {
 
   final case class Snapshot(version: Long, files: Seq[String])
 
+  /** One manifest line: a data file plus the metadata the commit
+    * recorded for it. `size` lets reads plan with ZERO filesystem
+    * calls (no listing, no getFileStatus) — absent only in
+    * pre-size-format manifests, which fall back to a listing. */
+  final case class FileEntry(path: String, size: Option[Long])
+
   private def fsOf(spark: SparkSession, dir: String): (FileSystem, Path) = {
     val p = new Path(dir)
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
@@ -105,18 +111,23 @@ object Manifest {
       .collectFirst { case (k, v) if k == partitionCol => Option(v) }
       .exists(touched.contains)
 
-  /** List a commit dir's parquet files as root-relative paths. */
+  /** List a commit dir's parquet files as root-relative entries with
+    * their sizes (the one listing a file ever gets — after this, every
+    * read plans from manifest metadata alone). */
   private def commitFiles(fs: FileSystem, root: Path,
-                          commitDir: Path): Seq[String] = {
-    val out = ArrayBuffer.empty[String]
+                          commitDir: Path): Seq[FileEntry] = {
+    val out = ArrayBuffer.empty[FileEntry]
     val it = fs.listFiles(commitDir, true)
     val rootUri = root.toUri.getPath
     while (it.hasNext) {
-      val f = it.next().getPath
+      val st = it.next()
+      val f = st.getPath
       if (f.getName.endsWith(".parquet"))
-        out += f.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
+        out += FileEntry(
+          f.toUri.getPath.stripPrefix(rootUri).stripPrefix("/"),
+          Some(st.getLen))
     }
-    out.toSeq.sorted
+    out.toSeq.sortBy(_.path)
   }
 
   /** Highest committed version, or None for an uninitialized root. */
@@ -131,11 +142,24 @@ object Manifest {
       .maxOption
   }
 
-  /** `#key=value` header lines carry commit metadata (e.g. the
-    * streaming batch id); everything else is one data-file path per
-    * line. */
-  final case class SnapshotMeta(version: Long, files: Seq[String],
-                                meta: Map[String, String])
+  /** `#key=value` header lines carry commit metadata: the snapshot's
+    * `schema` (Spark JSON) and `partcols`, streaming batch high-water
+    * marks, and the torn-read `count` fence. Every other line is one
+    * data file: `path<TAB>size` (size optional in older manifests). */
+  final case class SnapshotMeta(version: Long, entries: Seq[FileEntry],
+                                meta: Map[String, String]) {
+    def files: Seq[String] = entries.map(_.path)
+    def schema: Option[org.apache.spark.sql.types.StructType] =
+      meta.get("schema").map(js =>
+        org.apache.spark.sql.types.DataType.fromJson(js)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+    def partCols: Option[Seq[String]] =
+      meta.get("partcols").map(_.split(",").toSeq.filter(_.nonEmpty))
+  }
+
+  private[graft] def snapshotMeta(spark: SparkSession, root: String,
+                                  version: Long): SnapshotMeta =
+    readManifest(spark, root, version)
 
   private def readManifest(spark: SparkSession, root: String,
                            version: Long): SnapshotMeta = {
@@ -147,7 +171,13 @@ object Manifest {
       try scala.io.Source.fromInputStream(in, "UTF-8")
         .getLines().filter(_.nonEmpty).toList
       finally in.close()
-    val (hdr, files) = lines.partition(_.startsWith("#"))
+    val (hdr, fileLines) = lines.partition(_.startsWith("#"))
+    val files = fileLines.map { l =>
+      l.split('\t') match {
+        case Array(p0, sz) => FileEntry(p0, sz.toLongOption)
+        case _             => FileEntry(l, None)
+      }
+    }
     val meta = hdr.map(_.stripPrefix("#").split("=", 2))
       .collect { case Array(k, v) => k -> v }.toMap
     // torn-read fence: the manifest is created-if-absent and then
@@ -170,32 +200,88 @@ object Manifest {
     Snapshot(m.version, m.files)
   }
 
+  /** Fill sizes for entries the manifest does not carry them for
+    * (pre-size manifests only): one recursive listing per commit dir —
+    * the cost the size column exists to eliminate. */
+  private def fillSizes(spark: SparkSession, root: String,
+                        entries: Seq[FileEntry]): Seq[(String, Long)] =
+    if (entries.forall(_.size.isDefined))
+      entries.map(e => e.path -> e.size.get)
+    else {
+      val (fs, _) = fsOf(spark, root)
+      val wanted = entries.map(_.path).toSet
+      val rootUri = fs.makeQualified(new Path(root)).toUri.getPath
+      val listed = entries.map(_.path.split("/")(1)).distinct.flatMap {
+        cdir =>
+          val out = ArrayBuffer.empty[(String, Long)]
+          val it = fs.listFiles(new Path(s"$root/data/$cdir"), true)
+          while (it.hasNext) {
+            val st = it.next()
+            val rel = st.getPath.toUri.getPath
+              .stripPrefix(rootUri).stripPrefix("/")
+            if (wanted.contains(rel)) out += rel -> st.getLen
+          }
+          out
+      }.toMap
+      entries.map(e => e.path -> e.size.getOrElse(listed(e.path)))
+    }
+
+  /** ONE vectorized parquet relation over `entries`, planned entirely
+    * from manifest metadata (schema + partcols headers, file sizes,
+    * partition tuples parsed from paths) via [[ManifestFileIndex]] —
+    * no per-commit relations, no filesystem listing, real
+    * `PartitionFilters` pruning. Columns a file predates read back
+    * NULL (parquet schema evolution). */
+  private def relationOver(spark: SparkSession, root: String,
+                           m: SnapshotMeta,
+                           entries: Seq[FileEntry]): DataFrame = {
+    val full = m.schema.get
+    val partCols = m.partCols.getOrElse(Nil)
+    val partSchema = org.apache.spark.sql.types.StructType(
+      partCols.map(c => full(c)))
+    val dataSchema = org.apache.spark.sql.types.StructType(
+      full.filterNot(f => partCols.contains(f.name)))
+    val index = new ManifestFileIndex(root,
+      fillSizes(spark, root, entries), partSchema)
+    val relation = org.apache.spark.sql.execution.datasources
+      .HadoopFsRelation(index, partSchema, dataSchema, None,
+        new org.apache.spark.sql.execution.datasources.parquet
+          .ParquetFileFormat(), Map.empty[String, String])(spark)
+    // surface columns in the table's declared order (the relation
+    // appends partition columns after data columns)
+    spark.baseRelationToDataFrame(relation)
+      .select(full.fieldNames.map(col): _*)
+  }
+
+  /** Pre-schema-header manifests: one parquet relation PER COMMIT DIR,
+    * unioned (each commit dir is an internally-consistent hive layout;
+    * a single basePath over data/ would trip
+    * CONFLICTING_DIRECTORY_STRUCTURES on the cN segment). Kept only
+    * for manifests written before the schema header existed. */
+  private def legacyUnionRead(spark: SparkSession, root: String,
+                              files: Seq[String]): DataFrame =
+    files.groupBy(_.split("/")(1)).toSeq.sortBy(_._1)
+      .map { case (cdir, fs) =>
+        spark.read.option("basePath", s"$root/data/$cdir")
+          .parquet(fs.map(f => s"$root/$f"): _*)
+      }
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+
   /** Read the table at `version` (default: latest). The scan is over
-    * exactly the snapshot's files — concurrent commits are invisible. */
+    * exactly the snapshot's files — concurrent commits are invisible.
+    * A snapshot with a schema header but no files (freshly created
+    * empty table) reads as an empty frame with the declared schema. */
   def read(spark: SparkSession, root: String,
            version: Option[Long] = None): DataFrame = {
     val v = version.orElse(latestVersion(spark, root))
       .getOrElse(throw new IllegalStateException(
         s"$root has no committed version"))
-    val snap = snapshot(spark, root, v)
-    require(snap.files.nonEmpty, s"version $v of $root lists no files")
-    // One parquet relation PER COMMIT DIR, unioned: each commit dir is
-    // an internally-consistent hive layout (basePath = the commit dir
-    // keeps partition columns visible), while a single basePath over
-    // data/ would trip CONFLICTING_DIRECTORY_STRUCTURES on the cN
-    // segment. Snapshot file counts per commit are unbounded but the
-    // number of live commits is small (vacuum bounds it); a format
-    // tracking file-level partition tuples in the manifest would fuse
-    // this into one relation — noted as the next refinement.
-    snap.files.groupBy(_.split("/")(1)).toSeq.sortBy(_._1)
-      .map { case (cdir, files) =>
-        spark.read.option("basePath", s"$root/data/$cdir")
-          .parquet(files.map(f => s"$root/$f"): _*)
-      }
-      // allowMissingColumns = schema evolution across commits: columns
-      // added by later commits read back NULL from older files, the
-      // same contract as parquet mergeSchema but resolved per commit.
-      .reduce(_.unionByName(_, allowMissingColumns = true))
+    val m = readManifest(spark, root, v)
+    if (m.schema.isDefined) relationOver(spark, root, m, m.entries)
+    else {
+      require(m.files.nonEmpty, s"version $v of $root lists no files")
+      legacyUnionRead(spark, root, m.files)
+    }
   }
 
   /** Create-if-absent: the commit claim primitive. On file:// Hadoop's
@@ -214,13 +300,13 @@ object Manifest {
     case _ => fs.create(dst, false)
   }
 
-  /** Atomically publish `files` as version `expected+1`. Throws on a
+  /** Atomically publish `entries` as version `expected+1`. Throws on a
     * lost race (someone else committed that version first) — the
     * winner's manifest is never clobbered. `private[graft]` so the
     * race spec can drive two committers off the SAME expected
     * version. */
   private[graft] def publish(spark: SparkSession, root: String,
-                      expected: Long, files: Seq[String],
+                      expected: Long, entries: Seq[FileEntry],
                       meta: Map[String, String] = Map.empty): Long = {
     val (fs, _) = fsOf(spark, root)
     val next = expected + 1
@@ -229,9 +315,13 @@ object Manifest {
     val dst = new Path(md, vName(next))
     // #count fences readers racing the write (see readManifest);
     // carried-forward metas are overridden with THIS snapshot's count.
-    val hdr = (meta + ("count" -> files.size.toString)).toSeq.sorted
+    val hdr = (meta + ("count" -> entries.size.toString)).toSeq.sorted
       .map { case (k, v) => s"#$k=$v" }
-    val body = (hdr ++ files).mkString("\n") + "\n"
+    val fileLines = entries.map {
+      case FileEntry(p, Some(sz)) => s"$p\t$sz"
+      case FileEntry(p, None)     => p
+    }
+    val body = (hdr ++ fileLines).mkString("\n") + "\n"
     val out =
       try createExclusive(fs, dst)
       catch {
@@ -253,7 +343,7 @@ object Manifest {
     * the loser's dir simply orphans (never referenced by a manifest). */
   private def writeCommit(spark: SparkSession, root: String, next: Long,
                           df: DataFrame,
-                          partitionCols: Seq[String]): Seq[String] = {
+                          partitionCols: Seq[String]): Seq[FileEntry] = {
     val salt = java.util.UUID.randomUUID().toString.take(8)
     val dir = f"$root/data/c$next%08d-$salt"
     val w = df.write.mode("overwrite")
@@ -263,23 +353,84 @@ object Manifest {
     commitFiles(fs, rootP, new Path(dir))
   }
 
-  /** Initialize the table: version 1 = `df`. */
+  /** The snapshot-describing headers every commit (re)publishes: the
+    * table schema (Spark JSON) and the partition column list — what
+    * lets reads and the connector plan without touching a single
+    * parquet footer or directory. */
+  private def schemaHeaders(schema: org.apache.spark.sql.types.StructType,
+                            partitionCols: Seq[String])
+      : Map[String, String] = {
+    require(partitionCols.forall(!_.contains(",")),
+      "partition column names must not contain ','")
+    Map("schema" -> schema.json, "partcols" -> partitionCols.mkString(","))
+  }
+
+  /** Union of two schemas by field name: existing fields keep their
+    * position (nullability widens); fields only the new commit has are
+    * appended NULLABLE (older files read them back NULL). Type
+    * conflicts fail loudly — silent cross-commit coercion is how
+    * tables rot. */
+  private def mergeSchemas(old: org.apache.spark.sql.types.StructType,
+                           add: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    val addByName = add.fields.map(f => f.name -> f).toMap
+    old.fields.foreach { o =>
+      addByName.get(o.name).foreach { f =>
+        // catalogString comparison = type equality modulo nullability
+        require(o.dataType.catalogString == f.dataType.catalogString,
+          s"schema conflict on '${o.name}': table has ${o.dataType}, " +
+            s"commit has ${f.dataType}")
+      }
+    }
+    val oldNames = old.fieldNames.toSet
+    org.apache.spark.sql.types.StructType(
+      old.fields.map { o =>
+        o.copy(nullable = o.nullable ||
+          addByName.get(o.name).forall(_.nullable))
+      } ++
+        add.fields.filterNot(f => oldNames(f.name))
+          .map(_.copy(nullable = true)))
+  }
+
+  /** Appends must keep the table's partition layout — a commit with a
+    * different layout would make the snapshot unplannable (and
+    * silently unprunable). Legacy tables without the header skip the
+    * check. */
+  private def checkPartCols(prev: SnapshotMeta,
+                            partitionCols: Seq[String]): Unit =
+    prev.partCols.foreach { pc =>
+      require(pc == partitionCols,
+        s"partition layout mismatch: table is partitioned by " +
+          s"${pc.mkString("[", ",", "]")}, commit by " +
+          s"${partitionCols.mkString("[", ",", "]")}")
+    }
+
+  /** Initialize the table: version 1 = `df`. An EMPTY `df` creates a
+    * zero-file snapshot whose schema header still makes the table
+    * readable (the CREATE TABLE shape). */
   def init(spark: SparkSession, root: String, df: DataFrame,
            partitionCols: Seq[String] = Nil): Long = {
     require(latestVersion(spark, root).isEmpty,
       s"$root is already a manifest table")
-    publish(spark, root, 0L, writeCommit(spark, root, 1L, df, partitionCols))
+    publish(spark, root, 0L,
+      writeCommit(spark, root, 1L, df, partitionCols),
+      schemaHeaders(df.schema, partitionCols))
   }
 
   /** Append-commit: next snapshot = previous files + `df`'s files.
-    * Header metadata (streaming high-water marks) carries forward. */
+    * Header metadata (streaming high-water marks) carries forward; the
+    * schema header widens to the union (schema evolution). */
   def commitAppend(spark: SparkSession, root: String, df: DataFrame,
                    partitionCols: Seq[String] = Nil): Long = {
     val cur = latestVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"$root not initialized"))
     val prev = readManifest(spark, root, cur)
+    checkPartCols(prev, partitionCols)
     val fresh = writeCommit(spark, root, cur + 1, df, partitionCols)
-    publish(spark, root, cur, prev.files ++ fresh, prev.meta)
+    val schema = prev.schema.map(mergeSchemas(_, df.schema))
+      .getOrElse(df.schema)
+    publish(spark, root, cur, prev.entries ++ fresh,
+      prev.meta ++ schemaHeaders(schema, partitionCols))
   }
 
   /** EXACTLY-ONCE streaming sink commit: an append-commit that records
@@ -306,16 +457,21 @@ object Manifest {
         require(latestVersion(spark, root).isEmpty, "race on init")
         publish(spark, root, 0L,
           writeCommit(spark, root, 1L, df, partitionCols),
-          Map(metaKey -> batchId.toString))
+          schemaHeaders(df.schema, partitionCols) +
+            (metaKey -> batchId.toString))
       case Some(cur) =>
         val prev = readManifest(spark, root, cur)
         val already = prev.meta.get(metaKey).map(_.toLong)
         if (already.exists(_ >= batchId)) cur // replayed batch: no-op
         else {
+          checkPartCols(prev, partitionCols)
           val fresh = writeCommit(spark, root, cur + 1, df, partitionCols)
+          val schema = prev.schema.map(mergeSchemas(_, df.schema))
+            .getOrElse(df.schema)
           // carry other queries' high-water marks forward
-          publish(spark, root, cur, prev.files ++ fresh,
-            prev.meta + (metaKey -> batchId.toString))
+          publish(spark, root, cur, prev.entries ++ fresh,
+            prev.meta ++ schemaHeaders(schema, partitionCols) +
+              (metaKey -> batchId.toString))
         }
     }
   }
@@ -327,8 +483,12 @@ object Manifest {
     val cur = latestVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"$root not initialized"))
     val prev = readManifest(spark, root, cur)
+    // a replace swaps the ENTIRE file set, so the schema and layout
+    // headers reset to the new frame's (this is also the sanctioned
+    // way to converge a mixed-layout or legacy table)
     publish(spark, root, cur,
-      writeCommit(spark, root, cur + 1, df, partitionCols), prev.meta)
+      writeCommit(spark, root, cur + 1, df, partitionCols),
+      prev.meta ++ schemaHeaders(df.schema, partitionCols))
   }
 
   /** Copy-on-write MERGE with cross-partition atomicity — the
@@ -353,6 +513,7 @@ object Manifest {
       table.join(broadcast(touched),
         table(partitionCol) <=> touched("__touched_pv"), "left_semi"),
       updates, key)
+    checkPartCols(prev, Seq(partitionCol))
     val fresh = writeCommit(spark, root, cur + 1, merged, Seq(partitionCol))
     // Carry over files of partitions the updates did not touch — the
     // touched set is matched against each file's PARSED partition value
@@ -360,9 +521,12 @@ object Manifest {
     // data IO.
     val touchedVals = touched.collect()
       .map(r => if (r.isNullAt(0)) None else Some(r.get(0).toString)).toSet
-    val keep = prev.files.filterNot(
-      inTouchedPartition(_, partitionCol, touchedVals))
-    publish(spark, root, cur, keep ++ fresh, prev.meta)
+    val keep = prev.entries.filterNot(e =>
+      inTouchedPartition(e.path, partitionCol, touchedVals))
+    val schema = prev.schema.map(mergeSchemas(_, updates.schema))
+      .getOrElse(table.schema)
+    publish(spark, root, cur, keep ++ fresh,
+      prev.meta ++ schemaHeaders(schema, Seq(partitionCol)))
   }
 
   /** DML DELETE as a copy-on-write commit: rows of `partitionCol`
@@ -398,9 +562,10 @@ object Manifest {
     // filter them out — three-valued logic).
     val remain = table.filter(inTouched)
       .filter(!coalesce(predicate, lit(false)))
+    checkPartCols(prev, Seq(partitionCol))
     val fresh = writeCommit(spark, root, cur + 1, remain, Seq(partitionCol))
-    val keep = prev.files.filterNot(
-      inTouchedPartition(_, partitionCol, touchedVals))
+    val keep = prev.entries.filterNot(e =>
+      inTouchedPartition(e.path, partitionCol, touchedVals))
     publish(spark, root, cur, keep ++ fresh, prev.meta)
   }
 
@@ -464,16 +629,13 @@ object Manifest {
                   to: Option[Long] = None): DataFrame = {
     val hi = to.orElse(latestVersion(spark, root)).getOrElse(
       throw new IllegalStateException(s"$root has no committed version"))
-    val added = changedFiles(spark, root, from, hi).added
+    val added = changedFiles(spark, root, from, hi).added.toSet
     require(added.nonEmpty,
       s"no files added between v$from and v$hi of $root")
-    // same per-commit-dir relation shape as read(): each commit dir is
-    // an internally-consistent hive layout
-    added.groupBy(_.split("/")(1)).toSeq.sortBy(_._1)
-      .map { case (cdir, files) =>
-        spark.read.option("basePath", s"$root/data/$cdir")
-          .parquet(files.map(f => s"$root/$f"): _*)
-      }
-      .reduce(_.unionByName(_, allowMissingColumns = true))
+    val m = readManifest(spark, root, hi)
+    if (m.schema.isDefined)
+      // same single-relation plan as read(), over just the added files
+      relationOver(spark, root, m, m.entries.filter(e => added(e.path)))
+    else legacyUnionRead(spark, root, added.toSeq.sorted)
   }
 }

@@ -176,7 +176,7 @@ object ManifestConnector {
       .orElse(Manifest.latestVersion(spark, root))
       .getOrElse(throw new IllegalStateException(
         s"$root has no committed manifest version"))
-    val snap = Manifest.snapshot(spark, root, version)
+    val snap = Manifest.snapshotMeta(spark, root, version)
     require(snap.files.nonEmpty, s"version $version of $root lists no files")
 
     val conf = spark.sparkContext.hadoopConfiguration
@@ -184,21 +184,26 @@ object ManifestConnector {
     val fs = rootPath.getFileSystem(conf)
     val rootUri = fs.makeQualified(rootPath).toUri.getPath
 
-    // sizes: one recursive listing per commit dir referenced by the
-    // snapshot (driver metadata IO, same scale as the manifest itself)
-    val wanted = snap.files.toSet
-    val sizes = snap.files.map(_.split("/")(1)).distinct.flatMap { cdir =>
-      val it = fs.listFiles(new Path(s"$root/data/$cdir"), true)
-      val buf = scala.collection.mutable.ArrayBuffer
-        .empty[(String, Long)]
-      while (it.hasNext) {
-        val st = it.next()
-        val rel = st.getPath.toUri.getPath
-          .stripPrefix(rootUri).stripPrefix("/")
-        if (wanted.contains(rel)) buf += rel -> st.getLen
-      }
-      buf
-    }.toMap
+    // sizes come straight from the manifest (files are immutable, so
+    // the commit-time length is exact) — zero filesystem calls. Only
+    // pre-size-format manifests fall back to one recursive listing per
+    // commit dir.
+    val sizes: Map[String, Long] =
+      if (snap.entries.forall(_.size.isDefined))
+        snap.entries.map(e => e.path -> e.size.get).toMap
+      else snap.files.map(_.split("/")(1)).distinct.flatMap { cdir =>
+        val wanted = snap.files.toSet
+        val it = fs.listFiles(new Path(s"$root/data/$cdir"), true)
+        val buf = scala.collection.mutable.ArrayBuffer
+          .empty[(String, Long)]
+        while (it.hasNext) {
+          val st = it.next()
+          val rel = st.getPath.toUri.getPath
+            .stripPrefix(rootUri).stripPrefix("/")
+          if (wanted.contains(rel)) buf += rel -> st.getLen
+        }
+        buf
+      }.toMap
 
     val files = snap.files.map { rel =>
       FileInfo(s"$root/$rel", sizes.getOrElse(rel, 0L), partValuesOf(rel))

@@ -174,14 +174,42 @@ class ManifestConnectorSpec extends SparkSpec {
     }
   }
 
-  test("mixed partition layouts across commits fail loudly at resolve") {
+  test("layout mismatch fails loudly: at commit time for well-behaved " +
+    "writers, at resolve time for forged/legacy manifests") {
     val root = newRoot()
     Manifest.init(spark, root,
       Seq((1L, "a", 10L)).toDF("id", "part", "v"), Seq("part"))
-    // second commit drops the partitioning: older files' partValues
-    // would silently miss every `part` filter if this resolved
-    Manifest.commitAppend(spark, root,
-      Seq((2L, "b", 20L)).toDF("id", "part", "v"), Nil)
+    // a well-behaved append with a different layout is refused upfront
+    val commitErr = intercept[IllegalArgumentException] {
+      Manifest.commitAppend(spark, root,
+        Seq((2L, "b", 20L)).toDF("id", "part", "v"), Nil)
+    }
+    assert(commitErr.getMessage.contains("partition layout mismatch"),
+      commitErr.getMessage)
+    // forge the mixed state a legacy/foreign writer could produce:
+    // unpartitioned files published alongside the partitioned commit —
+    // older files' partValues would silently miss every `part` filter
+    // if this resolved
+    Seq((2L, "b", 20L)).toDF("id", "part", "v")
+      .write.parquet(s"$root/data/c00000002-forged")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rootUri = fs.makeQualified(new org.apache.hadoop.fs.Path(root))
+      .toUri.getPath
+    val it = fs.listFiles(
+      new org.apache.hadoop.fs.Path(s"$root/data/c00000002-forged"), true)
+    val forged = scala.collection.mutable.ArrayBuffer
+      .empty[graft.sources.Manifest.FileEntry]
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.getPath.getName.endsWith(".parquet"))
+        forged += graft.sources.Manifest.FileEntry(
+          st.getPath.toUri.getPath.stripPrefix(rootUri).stripPrefix("/"),
+          Some(st.getLen))
+    }
+    val prev = Manifest.snapshot(spark, root, 1L).files
+      .map(graft.sources.Manifest.FileEntry(_, None))
+    Manifest.publish(spark, root, 1L, prev ++ forged.toSeq)
     val e = intercept[Exception](connRead(root).schema)
     assert(e.getMessage.contains("mixed partition layouts"), e.getMessage)
   }

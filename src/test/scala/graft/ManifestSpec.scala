@@ -114,6 +114,36 @@ class ManifestSpec extends SparkSpec {
     assert(ids == Set(1L, 2L, 3L, 9L))
   }
 
+  test("read plans ONE relation across commits, from manifest " +
+    "metadata alone (no per-commit union, no filesystem listing)") {
+    val root = newRoot()
+    Manifest.init(spark, root,
+      Seq((1L, "a", 10)).toDF("id", "part", "v"), Seq("part"))
+    Manifest.commitAppend(spark, root,
+      Seq((2L, "b", 20)).toDF("id", "part", "v"), Seq("part"))
+    Manifest.commitAppend(spark, root,
+      Seq((3L, "c", 30)).toDF("id", "part", "v"), Seq("part"))
+    val df = Manifest.read(spark, root, None)
+    // one scan leaf over all three commits — the old shape was one
+    // relation per commit unioned
+    val leaves = df.queryExecution.executedPlan.collectLeaves()
+    assert(leaves.length == 1, s"expected ONE scan, got:\n$leaves")
+    assert(df.select("id", "part", "v").as[(Long, String, Int)]
+      .collect().toSet ==
+      Set((1L, "a", 10), (2L, "b", 20), (3L, "c", 30)))
+    // partition column type survives the metadata round-trip
+    assert(df.schema("part").dataType ==
+      org.apache.spark.sql.types.StringType)
+    // typed (non-string) partition columns cast back from path strings
+    val root2 = newRoot()
+    Manifest.init(spark, root2,
+      Seq((1L, 7, 10)).toDF("id", "part", "v"), Seq("part"))
+    assert(Manifest.read(spark, root2, None).schema("part").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    assert(Manifest.read(spark, root2, None)
+      .filter(col("part") === 7).count() == 1)
+  }
+
   test("read: a filter on the partition column prunes partitions at " +
     "the scan (manifest tables keep hive-layout pruning)") {
     val root = newRoot()
@@ -205,6 +235,7 @@ class ManifestSpec extends SparkSpec {
     val root = newRoot()
     Manifest.init(spark, root, Seq((1L, "x")).toDF("id", "s"))
     val files = Manifest.snapshot(spark, root, 1L).files
+      .map(Manifest.FileEntry(_, None))
     // both racers read latestVersion = 1 before either published
     val won = Manifest.publish(spark, root, 1L, files)
     assert(won == 2L)
@@ -215,7 +246,7 @@ class ManifestSpec extends SparkSpec {
       Manifest.publish(spark, root, 1L, files ++ files)
     }
     assert(e.getMessage.contains("commit conflict"), e.getMessage)
-    assert(Manifest.snapshot(spark, root, 2L).files == files,
+    assert(Manifest.snapshot(spark, root, 2L).files == files.map(_.path),
       "winner's manifest was clobbered by the losing committer")
     assert(Manifest.latestVersion(spark, root).contains(2L))
   }

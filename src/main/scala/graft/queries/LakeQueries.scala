@@ -932,5 +932,47 @@ object LakeQueries {
           CAST(sum(n_chars) AS BIGINT), CAST(sum(doc_id) AS BIGINT)
         FROM de
         ORDER BY step"""),
+      kind = QueryDef.Pipeline),
+
+    // ---- SQL catalog: CREATE/INSERT/time-travel through spark.sql -------
+    // The whole lifecycle runs as PURE SQL against the ManifestCatalog
+    // plugin (the versioned analog of the reference's Glue-registered
+    // tables): CREATE a partitioned table, two INSERT INTO commits, a
+    // grouped read of latest, and a `VERSION AS OF` scalar pinning the
+    // first commit's row count. The oracle replays the same relational
+    // content from the source parquet — a write-path loss, a time-travel
+    // off-by-one, or a partition-column type drift all flip the row.
+    QueryDef("q118_sql_catalog",
+      (s, dir) => {
+        s.conf.set("spark.sql.catalog.graftsql",
+          classOf[graft.sources.connector.ManifestCatalog].getName)
+        // the catalog instance is cached per session, so the warehouse
+        // root must be stable across reruns; table contents are rebuilt
+        // from scratch each run (DROP + CREATE)
+        if (s.conf.getOption("spark.sql.catalog.graftsql.root").isEmpty)
+          s.conf.set("spark.sql.catalog.graftsql.root",
+            "file://" + Files.createTempDirectory("graft_sqlcat").toString)
+        Tables.load(s, dir, "documents")
+          .select("doc_id", "lang", "n_chars")
+          .createOrReplaceTempView("q118_docs")
+        s.sql("DROP TABLE IF EXISTS graftsql.db.docs")
+        s.sql("CREATE TABLE graftsql.db.docs " +
+          "(doc_id BIGINT, lang STRING, n_chars BIGINT) " +
+          "PARTITIONED BY (lang)")
+        s.sql("INSERT INTO graftsql.db.docs " +
+          "SELECT doc_id, lang, n_chars FROM q118_docs WHERE doc_id % 2 = 0")
+        s.sql("INSERT INTO graftsql.db.docs " +
+          "SELECT doc_id, lang, n_chars FROM q118_docs WHERE doc_id % 2 = 1")
+        // v1 = empty create, v2 = evens, v3 (latest) = all
+        s.sql("""SELECT lang, count(*) AS n,
+            CAST(sum(n_chars) AS BIGINT) AS chars,
+            (SELECT count(*) FROM graftsql.db.docs VERSION AS OF 2)
+              AS evens
+          FROM graftsql.db.docs GROUP BY lang ORDER BY lang""")
+      },
+      Some("""SELECT lang, count(*) AS n,
+          CAST(sum(n_chars) AS BIGINT) AS chars,
+          (SELECT count(*) FROM documents WHERE doc_id % 2 = 0) AS evens
+        FROM documents GROUP BY lang ORDER BY lang"""),
       kind = QueryDef.Pipeline))
 }

@@ -1,0 +1,151 @@
+package graft.sources.connector
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Column, Identifier, Table, TableCatalog, TableChange, TableInfo}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructField
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.sources.Manifest
+
+/** SQL catalog over manifest tables — the analog of the reference's
+  * Glue catalog surface (reference: terraform-Infrastructure-
+  * provisioning/aws-data-lake-terraform-main.tf:199-235, Glue catalog
+  * + crawler) for VERSIONED tables, where
+  * [[graft.sources.Catalog.registerPersistent]] covers plain parquet:
+  *
+  * {{{
+  *   spark.conf: spark.sql.catalog.graft = graft.sources.connector.ManifestCatalog
+  *               spark.sql.catalog.graft.root = /lake/warehouse
+  *
+  *   CREATE TABLE graft.db.events (id BIGINT, lang STRING, n BIGINT)
+  *     PARTITIONED BY (lang)
+  *   INSERT INTO graft.db.events SELECT ...          -- append commit
+  *   INSERT OVERWRITE graft.db.events SELECT ...     -- replace commit
+  *   SELECT * FROM graft.db.events VERSION AS OF 2   -- time travel
+  * }}}
+  *
+  * A table named `db.t` lives at `<root>/db/t` — an ordinary manifest
+  * table readable/writable by the Scala `Manifest.*` API and the
+  * `graft-manifest` DataSource interchangeably; the catalog adds only
+  * name resolution, CREATE/DROP, and SQL time travel (`VERSION AS OF`
+  * resolves through `loadTable(ident, version)`).
+  *
+  * No driver-side state: the manifest directory IS the catalog (same
+  * crash-consistency argument as the commit protocol itself), so any
+  * number of concurrent sessions see the same tables. ALTER/RENAME are
+  * deliberately unsupported — schema evolves through append commits
+  * (the manifest header merge), and a rename under snapshot readers
+  * cannot be made atomic on a plain filesystem.
+  */
+class ManifestCatalog extends TableCatalog {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String,
+                          options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("root")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog '$name' needs spark.sql.catalog.$name.root = " +
+          "<warehouse dir>"))
+  }
+
+  override def name(): String = catalogName
+
+  private def spark = SparkSession.active
+
+  private def pathOf(ident: Identifier): String =
+    (warehouse +: ident.namespace.toSeq :+ ident.name).mkString("/")
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val base = new Path((warehouse +: namespace.toSeq).mkString("/"))
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) Array.empty
+    else fs.listStatus(base).filter(_.isDirectory)
+      .filter(d => fs.exists(new Path(d.getPath, "_manifests")))
+      .map(d => Identifier.of(namespace, d.getPath.getName))
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    Manifest.latestVersion(spark, pathOf(ident)).isDefined
+
+  override def loadTable(ident: Identifier): Table =
+    loadVersion(ident, None)
+
+  /** SQL `VERSION AS OF n` lands here. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    loadVersion(ident, Some(version))
+
+  private def loadVersion(ident: Identifier,
+                          version: Option[String]): Table = {
+    val path = pathOf(ident)
+    if (Manifest.latestVersion(spark, path).isEmpty)
+      throw new NoSuchTableException(ident)
+    ManifestTable(ManifestConnector.resolve(spark,
+      Map("path" -> path) ++ version.map("version" -> _)))
+  }
+
+  // all three createTable entry points funnel here (Spark routes CREATE
+  // TABLE / CTAS through different variants depending on call site)
+  private def create(ident: Identifier, schema: StructType,
+                     partitions: Array[Transform]): Table = {
+    if (tableExists(ident))
+      throw new TableAlreadyExistsException(ident)
+    val partCols = partitions.toSeq.map { t =>
+      require(t.name == "identity" && t.references.length == 1,
+        s"graft catalog supports identity partitioning only, got $t")
+      t.references.head.fieldNames.mkString(".")
+    }
+    // a zero-row init: the schema header makes the empty table readable
+    // and the first INSERT is an ordinary append commit
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    Manifest.init(spark, pathOf(ident), empty, partCols)
+    loadTable(ident)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: java.util.Map[String, String])
+      : Table = create(ident, schema, partitions)
+
+  private def toStructType(columns: Array[Column]): StructType =
+    StructType(columns.toSeq.map { c =>
+      require(c.defaultValue == null && c.generationExpression == null,
+        s"graft catalog does not support default/generated columns " +
+          s"(column ${c.name})")
+      StructField(c.name, c.dataType, c.nullable)
+    })
+
+  override def createTable(ident: Identifier, columns: Array[Column],
+                           partitions: Array[Transform],
+                           properties: java.util.Map[String, String])
+      : Table =
+    create(ident, toStructType(columns), partitions)
+
+  override def createTable(ident: Identifier, info: TableInfo): Table =
+    create(ident, toStructType(info.columns), info.partitions)
+
+  override def alterTable(ident: Identifier,
+                          changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER TABLE is not supported on manifest tables; schema evolves " +
+        "through append commits (new columns arrive nullable)")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val p = new Path(pathOf(ident))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(new Path(p, "_manifests")) && fs.delete(p, true)
+  }
+
+  override def renameTable(from: Identifier, to: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      "RENAME is not supported: it cannot be made atomic under " +
+        "concurrent snapshot readers on a plain filesystem")
+}

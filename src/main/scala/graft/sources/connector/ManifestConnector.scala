@@ -19,9 +19,10 @@ import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.sources.{Filter => SFilter}
 import org.apache.spark.sql.types._
@@ -127,12 +128,36 @@ object ManifestConnector {
   final case class FileInfo(absPath: String, size: Long,
                             partValues: Seq[(String, String)])
 
+  /** `declared` = the manifest's schema header (present for every
+    * table the current writer produced): column order and partition
+    * column TYPES come from it. Legacy manifests without the header
+    * fall back to footer-derived data schema + string partition
+    * columns appended last. */
   final case class Resolved(root: String, version: Long,
                             files: Seq[FileInfo], partCols: Seq[String],
-                            dataSchema: StructType) {
-    val fullSchema: StructType = StructType(dataSchema.fields ++
-      partCols.map(c => StructField(c, StringType, nullable = true)))
+                            dataSchema: StructType,
+                            declared: Option[StructType] = None) {
+    val fullSchema: StructType = declared.getOrElse(
+      StructType(dataSchema.fields ++
+        partCols.map(c => StructField(c, StringType, nullable = true))))
   }
+
+  /** Partition path string → typed value for the declared partition
+    * column type (executor-side; the connector's partition-type
+    * scope). */
+  def castPartitionValue(v: String, dt: DataType): Any =
+    if (v == null) null
+    else dt match {
+      case StringType  => UTF8String.fromString(v)
+      case IntegerType => v.toInt
+      case LongType    => v.toLong
+      case DoubleType  => v.toDouble
+      case FloatType   => v.toFloat
+      case BooleanType => v.toBoolean
+      case other => throw new IllegalArgumentException(
+        s"graft-manifest does not support partition column type " +
+          s"${other.catalogString}")
+    }
 
   /** Hive path-escaping inverse — shared with the manifest DML layer
     * ([[graft.sources.Manifest.unescapePathName]]). */
@@ -169,6 +194,12 @@ object ManifestConnector {
   /** Resolve root+version → frozen file list, partition layout and the
     * newest commit's data schema. Metadata-only: one manifest read, one
     * recursive listing per live commit dir, one parquet footer. */
+  private def supportedDataType(dt: DataType): Boolean = dt match {
+    case BooleanType | IntegerType | LongType | FloatType |
+         DoubleType | StringType | BinaryType => true
+    case _ => false
+  }
+
   def resolve(spark: SparkSession, opts: Map[String, String]): Resolved = {
     val root = opts.getOrElse("path", throw new IllegalArgumentException(
       "graft-manifest needs a load(path) pointing at a manifest table root"))
@@ -177,7 +208,6 @@ object ManifestConnector {
       .getOrElse(throw new IllegalStateException(
         s"$root has no committed manifest version"))
     val snap = Manifest.snapshotMeta(spark, root, version)
-    require(snap.files.nonEmpty, s"version $version of $root lists no files")
 
     val conf = spark.sparkContext.hadoopConfiguration
     val rootPath = new Path(root)
@@ -209,9 +239,8 @@ object ManifestConnector {
       FileInfo(s"$root/$rel", sizes.getOrElse(rel, 0L), partValuesOf(rel))
     }
     // partition layout must be UNIFORM across the snapshot's files: a
-    // newest-commit-only derivation would silently prune older commits'
-    // differently-laid-out files (their partValues lack the pruned
-    // column → dropped rows, no error). Heterogeneous layouts fail
+    // single odd file would otherwise silently miss every partition
+    // filter (dropped rows, no error). Heterogeneous layouts fail
     // loudly at resolve time; rewrite (commitReplace) to converge.
     val layouts = files.map(_.partValues.map(_._1)).distinct
     require(layouts.size <= 1,
@@ -220,21 +249,54 @@ object ManifestConnector {
         layouts.map(_.mkString("[", ",", "]")).mkString(" vs ") +
         " — rewrite older commits (commitReplace) before reading " +
         "through the connector")
-    val partCols = layouts.headOption.getOrElse(Nil)
-    val newestCommit = snap.files.map(_.split("/")(1)).max
 
-    // schema of the newest commit's first file = the table's current
-    // schema; older files lacking late-added columns read back NULL
-    val schemaFile = snap.files.filter(_.split("/")(1) == newestCommit)
-      .min
-    val in = HadoopInputFile.fromPath(new Path(s"$root/$schemaFile"), conf)
-    val reader = ParquetFileReader.open(in)
-    val msg = try reader.getFileMetaData.getSchema finally reader.close()
-    val dataSchema = StructType(msg.getFields.asScala.toSeq.map { f =>
-      StructField(f.getName, sparkTypeOf(f),
-        nullable = !f.isRepetition(PType.Repetition.REQUIRED))
-    })
-    Resolved(root, version, files, partCols, dataSchema)
+    snap.schema match {
+      case Some(full) =>
+        // schema header = zero parquet footer reads at planning time;
+        // validate the connector's declared scope (flat primitives)
+        full.fields.foreach { f =>
+          require(supportedDataType(f.dataType),
+            s"graft-manifest supports flat primitive columns only; " +
+              s"column ${f.name} is ${f.dataType.catalogString}")
+        }
+        val partCols = snap.partCols.getOrElse(Nil)
+        partCols.foreach { c =>
+          val dt = full(c).dataType
+          require(dt match {
+            case StringType | IntegerType | LongType | DoubleType |
+                 FloatType | BooleanType => true
+            case _ => false
+          }, s"graft-manifest does not support partition column type " +
+            s"${dt.catalogString} (column $c)")
+        }
+        require(layouts.isEmpty || layouts == Seq(partCols),
+          s"graft-manifest: mixed partition layouts — files of $root " +
+            s"v$version are laid out as " +
+            layouts.map(_.mkString("[", ",", "]")).mkString(" vs ") +
+            s" but the manifest declares ${partCols.mkString("[", ",", "]")}")
+        val dataSchema = StructType(
+          full.filterNot(f => partCols.contains(f.name)))
+        Resolved(root, version, files, partCols, dataSchema, Some(full))
+
+      case None =>
+        // legacy manifest: derive the layout from paths and the data
+        // schema from the newest commit's first footer
+        require(snap.files.nonEmpty,
+          s"version $version of $root lists no files")
+        val partCols = layouts.headOption.getOrElse(Nil)
+        val newestCommit = snap.files.map(_.split("/")(1)).max
+        val schemaFile = snap.files.filter(_.split("/")(1) == newestCommit)
+          .min
+        val in = HadoopInputFile.fromPath(
+          new Path(s"$root/$schemaFile"), conf)
+        val reader = ParquetFileReader.open(in)
+        val msg = try reader.getFileMetaData.getSchema finally reader.close()
+        val dataSchema = StructType(msg.getFields.asScala.toSeq.map { f =>
+          StructField(f.getName, sparkTypeOf(f),
+            nullable = !f.isRepetition(PType.Repetition.REQUIRED))
+        })
+        Resolved(root, version, files, partCols, dataSchema)
+    }
   }
 
   /** Can this filter be decided from partition values alone (and is it
@@ -438,14 +500,41 @@ object ManifestConnector {
   }
 }
 
+/** Reads plan against the frozen `res` snapshot; writes commit through
+  * the manifest protocol via the V1 write bridge — `toInsertableRelation`
+  * hands the whole DataFrame back to the driver, so the data files go
+  * through Spark's native vectorized parquet writer and the commit is
+  * the same atomic create-if-absent publish every other writer uses
+  * (exactly-once, snapshot-isolated, time-travelable). INSERT INTO =
+  * append commit; INSERT OVERWRITE/truncate = replace commit. */
 final case class ManifestTable(res: ManifestConnector.Resolved)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft-manifest ${res.root} v${res.version}"
   override def schema(): StructType = res.fullSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder = new ManifestScanBuilder(res)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var replace = false
+      override def truncate(): WriteBuilder = { replace = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: org.apache.spark.sql.DataFrame,
+                                overwrite: Boolean): Unit = {
+              val spark = data.sparkSession
+              if (replace || overwrite)
+                Manifest.commitReplace(spark, res.root, data, res.partCols)
+              else
+                Manifest.commitAppend(spark, res.root, data, res.partCols)
+            }
+          }
+      }
+    }
 }
 
 final class ManifestScanBuilder(res: ManifestConnector.Resolved)
@@ -563,7 +652,8 @@ final class ManifestPartitionReader(part: ManifestInputPartition,
   private val partValues: Map[String, String] = part.partValues.toMap
 
   private sealed trait ColPlan
-  private case class PartCol(value: UTF8String) extends ColPlan
+  // value pre-cast to the declared partition type (string for legacy)
+  private case class PartCol(value: Any) extends ColPlan
   private case class DataCol(projIdx: Int, dt: DataType) extends ColPlan
   private case object MissingCol extends ColPlan
 
@@ -588,7 +678,7 @@ final class ManifestPartitionReader(part: ManifestInputPartition,
   private val plans: Array[ColPlan] = required.fields.map { f =>
     if (partCols.contains(f.name)) {
       val v = partValues.getOrElse(f.name, null)
-      PartCol(if (v == null) null else UTF8String.fromString(v))
+      PartCol(ManifestConnector.castPartitionValue(v, f.dataType))
     } else projection match {
       case Some(p) if p.containsField(f.name) =>
         DataCol(p.getFieldIndex(f.name), f.dataType)

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Manifest
+import graft.sources.connector.ManifestCatalog
+
+/** The SQL surface of manifest tables: a `TableCatalog` plugin so
+  * `CREATE TABLE` / `INSERT INTO` / `INSERT OVERWRITE` /
+  * `spark.table` / `VERSION AS OF` hit manifest snapshots, and the
+  * catalog directory IS the catalog (no driver state). */
+class ManifestCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val warehouse = "file://" + java.nio.file.Files
+    .createTempDirectory("graft-cat").toString
+
+  spark.conf.set("spark.sql.catalog.graftcat",
+    classOf[ManifestCatalog].getName)
+  spark.conf.set("spark.sql.catalog.graftcat.root", warehouse)
+
+  test("CREATE TABLE → INSERT INTO → SELECT → VERSION AS OF → " +
+    "INSERT OVERWRITE round-trips through pure SQL") {
+    spark.sql("CREATE TABLE graftcat.db.events " +
+      "(id BIGINT, lang STRING, v BIGINT) PARTITIONED BY (lang)")
+    // v1 = empty snapshot with the declared schema
+    assert(spark.table("graftcat.db.events").count() == 0)
+    assert(spark.table("graftcat.db.events").schema.fieldNames.toSeq ==
+      Seq("id", "lang", "v"))
+
+    spark.sql("INSERT INTO graftcat.db.events VALUES " +
+      "(1, 'de', 10), (2, 'en', 20)")
+    spark.sql("INSERT INTO graftcat.db.events VALUES (3, 'de', 30)")
+    def all = spark.sql("SELECT id, lang, v FROM graftcat.db.events")
+      .as[(Long, String, Long)].collect().toSet
+    assert(all == Set((1L, "de", 10L), (2L, "en", 20L), (3L, "de", 30L)))
+
+    // time travel: v2 = first insert only
+    assert(spark.sql(
+      "SELECT id FROM graftcat.db.events VERSION AS OF 2")
+      .as[Long].collect().toSet == Set(1L, 2L))
+
+    // the catalog and the Scala API see the SAME table
+    val direct = Manifest.read(spark, s"$warehouse/db/events", None)
+      .select("id").as[Long].collect().toSet
+    assert(direct == Set(1L, 2L, 3L))
+
+    // INSERT OVERWRITE = replace commit; old snapshots keep reading
+    spark.sql("INSERT OVERWRITE graftcat.db.events VALUES (9, 'fr', 90)")
+    assert(all == Set((9L, "fr", 90L)))
+    assert(spark.sql(
+      "SELECT id FROM graftcat.db.events VERSION AS OF 3")
+      .as[Long].collect().toSet == Set(1L, 2L, 3L))
+  }
+
+  test("partition pruning survives the catalog read path") {
+    spark.sql("CREATE TABLE graftcat.db.pruned " +
+      "(id BIGINT, part STRING) PARTITIONED BY (part)")
+    spark.sql("INSERT INTO graftcat.db.pruned VALUES " +
+      "(1, 'a'), (2, 'b'), (3, 'c')")
+    val df = spark.table("graftcat.db.pruned").filter($"part" === "b")
+    assert(df.select("id").as[Long].collect().toSeq == Seq(2L))
+    // the scan planned only partition b's file
+    val scan = df.queryExecution.executedPlan.collectLeaves()
+      .collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2
+          .BatchScanExec => b.scan
+      }.get.asInstanceOf[graft.sources.connector.ManifestScan]
+    assert(scan.plannedFiles.length == 1, scan.description())
+    assert(scan.plannedFiles.head.absPath.contains("part=b/"))
+  }
+
+  test("CTAS, typed partition columns, DROP TABLE, existence") {
+    spark.sql("CREATE TABLE graftcat.db.byday PARTITIONED BY (day) AS " +
+      "SELECT id, id % 3 AS day FROM range(9)")
+    val t = spark.table("graftcat.db.byday")
+    // partition column keeps its declared LONG type through the
+    // connector (not a path string)
+    assert(t.schema("day").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(t.filter($"day" === 1L).count() == 3)
+    spark.sql("DROP TABLE graftcat.db.byday")
+    val e = intercept[Exception](spark.table("graftcat.db.byday").count())
+    assert(e.getMessage.toLowerCase.contains("table"), e.getMessage)
+  }
+
+  test("catalog refuses what it cannot make safe: duplicate create, " +
+    "non-identity partitioning, ALTER, RENAME") {
+    spark.sql("CREATE TABLE graftcat.db.once (id BIGINT)")
+    intercept[Exception](
+      spark.sql("CREATE TABLE graftcat.db.once (id BIGINT)"))
+    intercept[Exception](spark.sql(
+      "CREATE TABLE graftcat.db.bucketed (id BIGINT, b STRING) " +
+        "PARTITIONED BY (bucket(4, id))"))
+    intercept[Exception](spark.sql(
+      "ALTER TABLE graftcat.db.once ADD COLUMN x BIGINT"))
+    intercept[Exception](spark.sql(
+      "ALTER TABLE graftcat.db.once RENAME TO graftcat.db.twice"))
+  }
+}

@@ -59,9 +59,16 @@ object Manifest {
 
   /** One manifest line: a data file plus the metadata the commit
     * recorded for it. `size` lets reads plan with ZERO filesystem
-    * calls (no listing, no getFileStatus) — absent only in
-    * pre-size-format manifests, which fall back to a listing. */
-  final case class FileEntry(path: String, size: Option[Long])
+    * calls (no listing, no getFileStatus); `stats` is the file's
+    * column zone map ([[ManifestStats]] JSON: rows, per-column
+    * min/max/null-count) consulted for file-level skipping at
+    * planning. Both absent only in pre-format manifests, which fall
+    * back to listing / no skipping. */
+  final case class FileEntry(path: String, size: Option[Long],
+                             stats: Option[String] = None) {
+    lazy val fileStats: Option[ManifestStats.FileStats] =
+      stats.flatMap(ManifestStats.decode)
+  }
 
   private def fsOf(spark: SparkSession, dir: String): (FileSystem, Path) = {
     val p = new Path(dir)
@@ -123,9 +130,13 @@ object Manifest {
       val st = it.next()
       val f = st.getPath
       if (f.getName.endsWith(".parquet"))
+        // one commit-time footer read per NEW file buys the column
+        // zone map every later read plans with — O(this commit), never
+        // O(table)
         out += FileEntry(
           f.toUri.getPath.stripPrefix(rootUri).stripPrefix("/"),
-          Some(st.getLen))
+          Some(st.getLen),
+          ManifestStats.fromFooter(fs.getConf, f).map(ManifestStats.encode))
     }
     out.toSeq.sortBy(_.path)
   }
@@ -174,8 +185,9 @@ object Manifest {
     val (hdr, fileLines) = lines.partition(_.startsWith("#"))
     val files = fileLines.map { l =>
       l.split('\t') match {
-        case Array(p0, sz) => FileEntry(p0, sz.toLongOption)
-        case _             => FileEntry(l, None)
+        case Array(p0, sz, st) => FileEntry(p0, sz.toLongOption, Some(st))
+        case Array(p0, sz)     => FileEntry(p0, sz.toLongOption)
+        case _                 => FileEntry(l, None)
       }
     }
     val meta = hdr.map(_.stripPrefix("#").split("=", 2))
@@ -204,9 +216,8 @@ object Manifest {
     * (pre-size manifests only): one recursive listing per commit dir —
     * the cost the size column exists to eliminate. */
   private def fillSizes(spark: SparkSession, root: String,
-                        entries: Seq[FileEntry]): Seq[(String, Long)] =
-    if (entries.forall(_.size.isDefined))
-      entries.map(e => e.path -> e.size.get)
+                        entries: Seq[FileEntry]): Seq[FileEntry] =
+    if (entries.forall(_.size.isDefined)) entries
     else {
       val (fs, _) = fsOf(spark, root)
       val wanted = entries.map(_.path).toSet
@@ -223,7 +234,8 @@ object Manifest {
           }
           out
       }.toMap
-      entries.map(e => e.path -> e.size.getOrElse(listed(e.path)))
+      entries.map(e =>
+        e.copy(size = e.size.orElse(Some(listed(e.path)))))
     }
 
   /** ONE vectorized parquet relation over `entries`, planned entirely
@@ -318,8 +330,9 @@ object Manifest {
     val hdr = (meta + ("count" -> entries.size.toString)).toSeq.sorted
       .map { case (k, v) => s"#$k=$v" }
     val fileLines = entries.map {
-      case FileEntry(p, Some(sz)) => s"$p\t$sz"
-      case FileEntry(p, None)     => p
+      case FileEntry(p, Some(sz), Some(st)) => s"$p\t$sz\t$st"
+      case FileEntry(p, Some(sz), None)     => s"$p\t$sz"
+      case FileEntry(p, None, _)            => p
     }
     val body = (hdr ++ fileLines).mkString("\n") + "\n"
     val out =

@@ -126,7 +126,9 @@ class ManifestDataSource extends TableProvider with DataSourceRegister {
 object ManifestConnector {
 
   final case class FileInfo(absPath: String, size: Long,
-                            partValues: Seq[(String, String)])
+                            partValues: Seq[(String, String)],
+                            stats: Option[graft.sources.ManifestStats
+                              .FileStats] = None)
 
   /** `declared` = the manifest's schema header (present for every
     * table the current writer produced): column order and partition
@@ -235,8 +237,9 @@ object ManifestConnector {
         buf
       }.toMap
 
-    val files = snap.files.map { rel =>
-      FileInfo(s"$root/$rel", sizes.getOrElse(rel, 0L), partValuesOf(rel))
+    val files = snap.entries.map { e =>
+      FileInfo(s"$root/${e.path}", sizes.getOrElse(e.path, 0L),
+        partValuesOf(e.path), e.fileStats)
     }
     // partition layout must be UNIFORM across the snapshot's files: a
     // single odd file would otherwise silently miss every partition
@@ -356,6 +359,34 @@ object ManifestConnector {
       case Not(c) => evalPartitionFilter(c, pv).map(!_)
       case _ => None // unreachable: gated by partitionEvaluable
     }
+
+  /** Conservative "can any row of a file with these stats satisfy this
+    * pushed data filter?" — the manifest zone-map skip
+    * ([[graft.sources.ManifestStats]]). Files it rejects are never
+    * planned; unknown shapes answer true, and pushed filters are
+    * residual-re-evaluated by Spark, so this is purely an IO skip. */
+  def mayMatch(f: SFilter,
+               st: graft.sources.ManifestStats.FileStats): Boolean = {
+    import graft.sources.ManifestStats._
+    f match {
+      case EqualTo(c, v) if v != null       => mayEqual(st, c, v)
+      case EqualNullSafe(c, null)           => mayBeNull(st, c)
+      case EqualNullSafe(c, v)              => mayEqual(st, c, v)
+      case GreaterThan(c, v) if v != null   => mayCompare(st, c, "gt", v)
+      case GreaterThanOrEqual(c, v) if v != null =>
+        mayCompare(st, c, "ge", v)
+      case LessThan(c, v) if v != null      => mayCompare(st, c, "lt", v)
+      case LessThanOrEqual(c, v) if v != null =>
+        mayCompare(st, c, "le", v)
+      case In(c, vs) if vs != null =>
+        vs.exists(v => v != null && mayEqual(st, c, v))
+      case IsNull(c)    => mayBeNull(st, c)
+      case IsNotNull(c) => mayBeNonNull(st, c)
+      case And(l, r)    => mayMatch(l, st) && mayMatch(r, st)
+      case Or(l, r)     => mayMatch(l, st) || mayMatch(r, st)
+      case _ => true
+    }
+  }
 
   /** Is this a data filter we can hand to parquet? (column set checked
     * by the caller; here just the shape + value types) */
@@ -575,7 +606,12 @@ final class ManifestScanBuilder(res: ManifestConnector.Resolved)
       // matching WHERE semantics (these filters are consumed, not
       // residual)
       partitionFilters.forall(
-        ManifestConnector.evalPartitionFilter(_, pv).contains(true))
+        ManifestConnector.evalPartitionFilter(_, pv).contains(true)) &&
+        // zone-map skip: a file whose min/max envelope cannot satisfy a
+        // pushed data filter is never planned (pure IO skip — data
+        // filters stay residual)
+        f.stats.forall(st =>
+          dataFilters.forall(ManifestConnector.mayMatch(_, st)))
     }
     new ManifestScan(res, surviving, required, dataFilters, limit)
   }

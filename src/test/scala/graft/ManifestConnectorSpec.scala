@@ -149,6 +149,30 @@ class ManifestConnectorSpec extends SparkSpec {
     assert(got.length == 7)
   }
 
+  test("manifest zone map skips files at the connector: skipped files " +
+    "never reach plannedFiles; results stay exact") {
+    val root = newRoot()
+    val df = (1L to 100L).map(i => (i, i * 10, s"u${"%03d".format(i)}"))
+      .toDF("id", "score", "name").repartitionByRange(4, $"id")
+    Manifest.init(spark, root, df)
+    val all = scanOf(connRead(root).select($"id"))
+    assert(all.plannedFiles.length == 4)
+    // numeric equality outside 3 of the 4 range files
+    val eq = scanOf(connRead(root).filter($"score" === 250L).select($"id"))
+    assert(eq.plannedFiles.length == 1, eq.description())
+    assert(connRead(root).filter($"score" === 250L)
+      .select($"id").as[Long].collect().toSeq == Seq(25L))
+    // string range bounds skip too (byte-order min/max)
+    val str = scanOf(connRead(root).filter($"name" > "u090").select($"id"))
+    assert(str.plannedFiles.length < 4, str.description())
+    assert(connRead(root).filter($"name" > "u090").count() == 10L)
+    // stats survive a merge's carry-forward by reference
+    Manifest.init(spark, newRoot(), df) // unrelated table, keep root clean
+    val range = scanOf(connRead(root)
+      .filter($"score" >= 990L && $"score" <= 1000L).select($"id"))
+    assert(range.plannedFiles.length == 1, range.description())
+  }
+
   test("NULL partitions under Not/In/IsNull follow SQL three-valued " +
     "logic (partition filters are consumed, so pruning must be exact)") {
     val root = newRoot()

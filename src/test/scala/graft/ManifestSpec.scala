@@ -144,6 +144,31 @@ class ManifestSpec extends SparkSpec {
       .filter(col("part") === 7).count() == 1)
   }
 
+  test("manifest zone map skips files a data filter cannot match " +
+    "(skipped files are never planned)") {
+    val root = newRoot()
+    val df = spark.range(1, 101)
+      .select(col("id"), (col("id") * 2).as("v"))
+      .repartitionByRange(4, col("id"))
+    Manifest.init(spark, root, df)
+    // v = 50 lives in exactly one of the four range files
+    val probe = Manifest.read(spark, root, None).filter(col("v") === 50L)
+    assert(probe.collect().map(_.getLong(0)).toSeq == Seq(25L))
+    val planned = probe.queryExecution.executedPlan.collectLeaves()
+      .flatMap(_.metrics.get("numFiles")).map(_.value)
+    assert(planned.headOption.contains(1L),
+      s"zone map did not skip, planned files: $planned")
+    // IsNull over a column with zero nulls: every file skipped
+    val none = Manifest.read(spark, root, None).filter(col("v").isNull)
+    assert(none.collect().isEmpty)
+    val noneFiles = none.queryExecution.executedPlan.collectLeaves()
+      .flatMap(_.metrics.get("numFiles")).map(_.value)
+    assert(noneFiles.forall(_ == 0L), s"planned files: $noneFiles")
+    // skipping is IO-only: an overlapping filter still returns all rows
+    assert(Manifest.read(spark, root, None)
+      .filter(col("v") >= 2L).count() == 100L)
+  }
+
   test("read: a filter on the partition column prunes partitions at " +
     "the scan (manifest tables keep hive-layout pruning)") {
     val root = newRoot()

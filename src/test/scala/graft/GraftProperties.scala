@@ -94,7 +94,12 @@ object GraftProperties extends Properties("graft.kernels") {
 
   property("hyperplaneBuckets: deterministic, table count honored, " +
     "invariant under positive scaling") =
-    forAll(vec, Gen.chooseNum(0.1, 50.0)) { (v, scale) =>
+    // power-of-two scales only: x * 2^k is EXACT in binary floating
+    // point (exponent shift), so every partial dot product scales
+    // exactly and the sign test is bit-stable. An arbitrary scale can
+    // flip the computed sign of a dot product that rounds near zero —
+    // a true-but-flaky property (observed ~1/10^2 full runs).
+    forAll(vec, Gen.oneOf(0.25, 0.5, 2.0, 4.0, 8.0)) { (v, scale) =>
       def bkts(x: Array[Double]) = TextSignatureKernels
         .hyperplaneBuckets(arr(x), 6, 8, 42L).toLongArray.toSeq
       val b = bkts(v)

@@ -974,5 +974,42 @@ object LakeQueries {
           CAST(sum(n_chars) AS BIGINT) AS chars,
           (SELECT count(*) FROM documents WHERE doc_id % 2 = 0) AS evens
         FROM documents GROUP BY lang ORDER BY lang"""),
+      kind = QueryDef.Pipeline),
+
+    // ---- Manifest compaction: OPTIMIZE preserves content ----------------
+    // Three small commits then a bin-packing compact (victims chosen
+    // from manifest-recorded sizes — zero filesystem calls). The oracle
+    // pins that the compacted table is relationally IDENTICAL to the
+    // source, and the fewer_files bit (computed from the two manifests'
+    // file counts in Spark, `true` in DuckDB) pins that compaction
+    // actually packed. A lost row, a duplicated row, or a no-op
+    // compaction all flip the row.
+    QueryDef("q119_manifest_compact",
+      (s, dir) => {
+        val root = "file://" + Files
+          .createTempDirectory("graft_compact").toString + "/t"
+        val docs = Tables.load(s, dir, "documents")
+          .select("doc_id", "lang", "n_chars")
+        Manifest.init(s, root,
+          docs.filter(col("doc_id") % 3 === 0), Seq("lang"))
+        Manifest.commitAppend(s, root,
+          docs.filter(col("doc_id") % 3 === 1), Seq("lang"))
+        Manifest.commitAppend(s, root,
+          docs.filter(col("doc_id") % 3 === 2), Seq("lang"))
+        val filesBefore = Manifest.snapshot(s, root, 3L).files.size
+        val v = Manifest.compact(s, root,
+          smallBytes = 1L << 30, targetBytes = 1L << 30)
+        val filesAfter = Manifest.snapshot(s, root, v).files.size
+        Manifest.read(s, root, None)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"),
+            min("doc_id").as("first_id"))
+          .withColumn("fewer_files", lit(filesAfter < filesBefore))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, count(*) AS n,
+          CAST(sum(n_chars) AS BIGINT) AS chars,
+          min(doc_id) AS first_id, true AS fewer_files
+        FROM documents GROUP BY lang ORDER BY lang"""),
       kind = QueryDef.Pipeline))
 }

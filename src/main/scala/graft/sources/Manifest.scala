@@ -582,6 +582,51 @@ object Manifest {
     publish(spark, root, cur, keep ++ fresh, prev.meta)
   }
 
+  /** Bin-packing compaction (the lakehouse OPTIMIZE): rewrite files
+    * smaller than `smallBytes` into ~`targetBytes` files; files already
+    * at a healthy size carry forward BY REFERENCE (zero IO). Victim
+    * selection is pure manifest metadata — the sizes are on the file
+    * lines, so deciding what to compact costs no filesystem calls at
+    * all. The rewrite reads ONLY the small files (the single-relation
+    * subset plan readChanges uses) and the commit is the ordinary
+    * atomic publish: pinned readers keep the pre-compaction snapshot,
+    * and a concurrent appender loses no data (its commit either lands
+    * before this publish — conflict, retry compaction — or after, on
+    * top of the compacted manifest).
+    *
+    * Streaming-sink hygiene: many small commits (one per micro-batch)
+    * are exactly what produces the small-file problem; run this
+    * periodically and [[vacuum]] afterwards to reclaim the rewritten
+    * originals.
+    *
+    * Returns the new version, or the current one unchanged when fewer
+    * than two small files exist (nothing to gain). */
+  def compact(spark: SparkSession, root: String,
+              smallBytes: Long = 32L * 1024 * 1024,
+              targetBytes: Long = 128L * 1024 * 1024): Long = {
+    val cur = latestVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"$root not initialized"))
+    val m = readManifest(spark, root, cur)
+    val sized = fillSizes(spark, root, m.entries)
+    val (small, keep) = sized.partition(_.size.exists(_ < smallBytes))
+    if (small.size < 2) return cur
+    val partCols = m.partCols.getOrElse(Nil)
+    val smallRows =
+      if (m.schema.isDefined) relationOver(spark, root, m, small)
+      else legacyUnionRead(spark, root, small.map(_.path))
+    // size the rewrite from manifest metadata: ceil(bytes / target)
+    // output files, range-clustered on the partition columns so each
+    // lands in one hive dir
+    val nOut = math.max(1,
+      math.ceil(small.flatMap(_.size).sum.toDouble / targetBytes).toInt)
+    val packed =
+      if (partCols.nonEmpty)
+        smallRows.repartitionByRange(nOut, partCols.map(col): _*)
+      else smallRows.repartition(nOut)
+    val fresh = writeCommit(spark, root, cur + 1, packed, partCols)
+    publish(spark, root, cur, keep ++ fresh, m.meta)
+  }
+
   /** Drop snapshots older than the newest `keepVersions` and delete
     * data files no surviving snapshot references. The retention floor
     * is the reader contract: pin only snapshots inside it. */

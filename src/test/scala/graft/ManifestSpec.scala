@@ -67,6 +67,48 @@ class ManifestSpec extends SparkSpec {
       Set((1L, 10), (2L, 99), (5L, 50), (3L, 30), (4L, 40)))
   }
 
+  test("compact: bin-packs small files from manifest-recorded sizes, " +
+    "carries healthy files by reference, preserves content + snapshots") {
+    val root = newRoot()
+    // one healthy commit (1000 rows → several KB) + three tiny ones
+    Manifest.init(spark, root,
+      spark.range(100L, 1100L).selectExpr("id", "'a' AS part",
+        "CAST(id AS INT) AS v"),
+      Seq("part"))
+    Manifest.commitAppend(spark, root,
+      Seq((1L, "a", 1), (2L, "b", 2)).toDF("id", "part", "v"), Seq("part"))
+    Manifest.commitAppend(spark, root,
+      Seq((3L, "b", 3)).toDF("id", "part", "v"), Seq("part"))
+    Manifest.commitAppend(spark, root,
+      Seq((4L, "c", 4)).toDF("id", "part", "v"), Seq("part"))
+    val before = Manifest.read(spark, root, None)
+      .select("id", "part", "v").as[(Long, String, Int)].collect().toSet
+    val v4 = Manifest.snapshotMeta(spark, root, 4L)
+    val healthy = v4.entries.filter(_.size.exists(_ >= 2500L)).map(_.path)
+    assert(healthy.nonEmpty, "fixture needs one healthy-size file: " +
+      v4.entries.map(e => e.path -> e.size))
+    // compact everything under 2500 bytes (the three tiny commits)
+    val v5 = Manifest.compact(spark, root, smallBytes = 2500L,
+      targetBytes = 1L << 20)
+    assert(v5 == 5L)
+    val after = Manifest.snapshotMeta(spark, root, 5L)
+    // healthy file carried by reference, byte-identical path
+    healthy.foreach(h => assert(after.files.contains(h),
+      s"healthy file $h was rewritten"))
+    // fewer files, identical content
+    assert(after.files.size < v4.files.size)
+    assert(Manifest.read(spark, root, None)
+      .select("id", "part", "v").as[(Long, String, Int)].collect().toSet
+      == before)
+    // compacted files carry fresh zone maps (stats written at commit)
+    assert(after.entries.filterNot(e => healthy.contains(e.path))
+      .forall(_.fileStats.isDefined))
+    // pinned pre-compaction snapshot unchanged
+    assert(Manifest.read(spark, root, Some(4L)).count() == before.size)
+    // nothing small → no-op, same version
+    assert(Manifest.compact(spark, root, smallBytes = 1L) == 5L)
+  }
+
   test("vacuum drops only files no surviving snapshot references") {
     val root = newRoot()
     Manifest.init(spark, root, Seq((1L, "x")).toDF("id", "s"))

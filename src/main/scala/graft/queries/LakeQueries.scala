@@ -1011,5 +1011,55 @@ object LakeQueries {
           CAST(sum(n_chars) AS BIGINT) AS chars,
           min(doc_id) AS first_id, true AS fewer_files
         FROM documents GROUP BY lang ORDER BY lang"""),
+      kind = QueryDef.Pipeline),
+
+    // ---- Manifest table as a STREAMING SOURCE ----------------------------
+    // Two AvailableNow runs over one checkpoint: run 1 replays the
+    // initial snapshot (evens), a commit lands while the stream is
+    // down, run 2 consumes exactly that delta (odds). The oracle
+    // recomputes both runs' content relationally — a replayed row, a
+    // missed commit, or an offset off-by-one flips a step's counts.
+    QueryDef("q120_manifest_stream_source",
+      (s, dir) => {
+        val base = "file://" + Files
+          .createTempDirectory("graft_msrc").toString
+        val root = s"$base/t"
+        val sink = s"$base/sink"
+        val ckpt = s"$base/ckpt"
+        val docs = Tables.load(s, dir, "documents")
+          .select("doc_id", "lang", "n_chars")
+        Manifest.init(s, root,
+          docs.filter(col("doc_id") % 2 === 0), Seq("lang"))
+        def runOnce(run: String): Unit = {
+          val q = s.readStream.format("graft-manifest").load(root)
+            .writeStream
+            .foreachBatch {
+              (df: org.apache.spark.sql.DataFrame, _: Long) =>
+                df.withColumn("run", lit(run))
+                  .write.mode("append").parquet(sink); ()
+            }
+            .option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger
+              .AvailableNow()).start()
+          q.awaitTermination()
+        }
+        runOnce("run1") // snapshot replay: the even half
+        Manifest.commitAppend(s, root,
+          docs.filter(col("doc_id") % 2 === 1), Seq("lang"))
+        runOnce("run2") // checkpoint restart: exactly the odd delta
+        s.read.parquet(sink).groupBy("run")
+          .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"),
+            countDistinct("lang").as("langs"))
+          .orderBy("run")
+      },
+      Some("""SELECT 'run1' AS run, count(*) AS n,
+          CAST(sum(n_chars) AS BIGINT) AS chars,
+          count(DISTINCT lang) AS langs
+        FROM documents WHERE doc_id % 2 = 0
+        UNION ALL
+        SELECT 'run2', count(*), CAST(sum(n_chars) AS BIGINT),
+          count(DISTINCT lang)
+        FROM documents WHERE doc_id % 2 = 1
+        ORDER BY run"""),
       kind = QueryDef.Pipeline))
 }

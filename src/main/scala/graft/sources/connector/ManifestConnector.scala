@@ -544,6 +544,7 @@ final case class ManifestTable(res: ManifestConnector.Resolved)
   override def schema(): StructType = res.fullSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder = new ManifestScanBuilder(res)
@@ -613,7 +614,8 @@ final class ManifestScanBuilder(res: ManifestConnector.Resolved)
         f.stats.forall(st =>
           dataFilters.forall(ManifestConnector.mayMatch(_, st)))
     }
-    new ManifestScan(res, surviving, required, dataFilters, limit)
+    new ManifestScan(res, surviving, required, dataFilters, limit,
+      partitionFilters)
   }
 }
 
@@ -621,11 +623,34 @@ final class ManifestScan(res: ManifestConnector.Resolved,
                          val plannedFiles: Seq[ManifestConnector.FileInfo],
                          required: StructType,
                          dataFilters: Array[SFilter],
-                         limit: Int)
+                         limit: Int,
+                         partitionFilters: Array[SFilter] = Array.empty)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Streaming read: manifest VERSIONS are the offsets, each
+    * micro-batch is the file-level change feed between two snapshots
+    * (same semantics as [[graft.sources.Manifest.readChanges]] — an
+    * append yields the appended rows, a merge/delete re-emits the
+    * rewritten partitions' post-image). Pruning (partition, zone-map,
+    * projection) applies per batch through the same paths as the batch
+    * scan. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new ManifestMicroBatchStream(res, required, partitionFilters,
+      dataFilters, mkReaderFactory())
+
+  private[connector] def mkReaderFactory(): PartitionReaderFactory = {
+    // Hadoop Configuration is not serializable; ship the entries and
+    // rebuild on the executor (local/hdfs/s3a credentials all ride it).
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    val entries = conf.iterator().asScala
+      .map(e => (e.getKey, e.getValue)).toArray
+    ManifestReaderFactory(entries, required, res.partCols.toArray,
+      dataFilters, limit)
+  }
 
   override def description(): String =
     s"graft-manifest ${res.root} v${res.version} " +
@@ -637,15 +662,8 @@ final class ManifestScan(res: ManifestConnector.Resolved,
     plannedFiles.map(f => ManifestInputPartition(
       f.absPath, f.partValues.toArray): InputPartition).toArray
 
-  override def createReaderFactory(): PartitionReaderFactory = {
-    // Hadoop Configuration is not serializable; ship the entries and
-    // rebuild on the executor (local/hdfs/s3a credentials all ride it).
-    val conf = SparkSession.active.sparkContext.hadoopConfiguration
-    val entries = conf.iterator().asScala
-      .map(e => (e.getKey, e.getValue)).toArray
-    ManifestReaderFactory(entries, required, res.partCols.toArray,
-      dataFilters, limit)
-  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    mkReaderFactory()
 
   override def estimateStatistics(): Statistics = new Statistics {
     // post-pruning bytes: a pruned scan becomes broadcast-eligible

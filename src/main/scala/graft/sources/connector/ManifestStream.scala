@@ -1,0 +1,95 @@
+package graft.sources.connector
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types.StructType
+
+import graft.sources.Manifest
+
+/** A stream offset IS a manifest version — the natural exactly-once
+  * cursor: versions are dense, immutable and totally ordered, so
+  * replaying a batch (vN, vM] plans the identical file set every
+  * time. */
+final case class VersionOffset(version: Long) extends Offset {
+  override def json(): String = version.toString
+}
+
+/** Manifest tables as a STRUCTURED STREAMING SOURCE — the change-feed
+  * reader that turns the lake's commit log into a stream (the public
+  * pattern Delta's streaming source established):
+  *
+  * {{{
+  *   spark.readStream.format("graft-manifest").load(root)
+  *     .writeStream...  // each micro-batch = the files new commits added
+  * }}}
+  *
+  * Semantics are FILE-level, matching [[Manifest.readChanges]]: an
+  * append commit yields exactly the appended rows; a merge/delete
+  * commit yields the post-image of every rewritten partition
+  * (untouched partitions carry files by reference and never re-emit).
+  * The first batch replays the table from version 0 — i.e. the whole
+  * current snapshot — then each trigger consumes exactly the commits
+  * that landed since, discovered by one cheap `latestVersion` listing.
+  *
+  * Exactly-once: offsets are versions (see [[VersionOffset]]);
+  * Structured Streaming's checkpoint + the deterministic version→files
+  * mapping make replays plan byte-identical batches. One operational
+  * contract: [[Manifest.vacuum]]'s retention floor must cover the
+  * stream's maximum downtime, or a restart from a dropped version
+  * fails LOUDLY (no silent gaps — the manifest file is simply gone).
+  *
+  * Pruning composes: pushed partition filters, per-file zone maps and
+  * column projection all apply to each batch's file set through the
+  * same code paths as the batch scan. At 100 TB the incremental
+  * consumer reads one commit's files per trigger, never the table.
+  */
+final class ManifestMicroBatchStream(
+    res: ManifestConnector.Resolved,
+    required: StructType,
+    partitionFilters: Array[org.apache.spark.sql.sources.Filter],
+    dataFilters: Array[org.apache.spark.sql.sources.Filter],
+    readerFactory: PartitionReaderFactory) extends MicroBatchStream {
+
+  private def spark = SparkSession.active
+
+  override def initialOffset(): Offset = VersionOffset(0L)
+
+  override def latestOffset(): Offset = VersionOffset(
+    Manifest.latestVersion(spark, res.root).getOrElse(0L))
+
+  override def deserializeOffset(json: String): Offset =
+    VersionOffset(json.toLong)
+
+  override def commit(end: Offset): Unit = () // checkpoint is the state
+
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset,
+                                   end: Offset): Array[InputPartition] = {
+    val lo = start.asInstanceOf[VersionOffset].version
+    val hi = end.asInstanceOf[VersionOffset].version
+    if (hi <= lo) return Array.empty
+    val prev: Set[String] =
+      if (lo == 0L) Set.empty
+      else Manifest.snapshot(spark, res.root, lo).files.toSet
+    val cur = Manifest.snapshotMeta(spark, res.root, hi)
+    cur.entries.filterNot(e => prev.contains(e.path))
+      .filter { e =>
+        val pv = Manifest.partValuesOf(e.path).toMap
+        partitionFilters.forall(
+          ManifestConnector.evalPartitionFilter(_, pv).contains(true)) &&
+          e.fileStats.forall(st =>
+            dataFilters.forall(ManifestConnector.mayMatch(_, st)))
+      }
+      .map(e => ManifestInputPartition(s"${res.root}/${e.path}",
+        Manifest.partValuesOf(e.path).toArray): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    readerFactory
+
+  override def toString: String =
+    s"ManifestMicroBatchStream(${res.root})"
+}

@@ -83,6 +83,7 @@ final class ManifestMicroBatchStream(
             dataFilters.forall(ManifestConnector.mayMatch(_, st)))
       }
       .map(e => ManifestInputPartition(s"${res.root}/${e.path}",
+        e.size.getOrElse(0L),
         Manifest.partValuesOf(e.path).toArray): InputPartition)
       .toArray
   }

@@ -143,6 +143,18 @@ class ManifestConnectorSpec extends SparkSpec {
       all.estimateStatistics().sizeInBytes.getAsLong)
   }
 
+  test("connector scans decode vectorized: columnar batches behind a " +
+    "ColumnarToRow boundary") {
+    val root = fixture()
+    val df = connRead(root).filter($"score" > 100L).select($"id", $"text")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"), plan.take(1500))
+    // vectorized result ≡ row-path ground truth
+    assert(df.as[(Long, String)].collect().toSet ==
+      Manifest.read(spark, root).filter($"score" > 100L)
+        .select($"id", $"text").as[(Long, String)].collect().toSet)
+  }
+
   test("limit pushdown caps reader output, global result exact") {
     val root = fixture()
     val got = connRead(root).select($"id").limit(7).collect()

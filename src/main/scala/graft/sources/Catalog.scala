@@ -152,9 +152,16 @@ object Catalog {
   def mergeInto(spark: SparkSession, path: String, updates: DataFrame,
                 key: String, partitionCol: String): Unit = {
     val target = spark.read.parquet(path)
-    val touched = updates.select(partitionCol).distinct()
+    // null-safe semi join (<=>): a NULL partition value is a real,
+    // touchable partition (__HIVE_DEFAULT_PARTITION__ on disk); a
+    // plain equi-join would drop its existing target rows and the
+    // dynamic overwrite would then replace that partition with only
+    // the updates' rows — silent data loss.
+    val touched = updates.select(col(partitionCol).as("__touched_pv"))
+      .distinct()
     val merged = upsert(
-      target.join(broadcast(touched), Seq(partitionCol), "left_semi"),
+      target.join(broadcast(touched),
+        target(partitionCol) <=> touched("__touched_pv"), "left_semi"),
       updates, key)
     val staging =
       new org.apache.hadoop.fs.Path(path + "__merge_staging")
@@ -165,7 +172,11 @@ object Catalog {
       spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     try {
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      // if the touched slice is ONLY the null partition, hive inference
+      // types the staged partition column VOID; restore the real type
       spark.read.parquet(staging.toString)
+        .withColumn(partitionCol, col(partitionCol)
+          .cast(merged.schema(partitionCol).dataType))
         .write.mode("overwrite").partitionBy(partitionCol).parquet(path)
     } finally {
       prev.fold(

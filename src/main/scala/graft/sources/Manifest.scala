@@ -1,5 +1,6 @@
 package graft.sources
 
+import scala.collection.JavaConverters._
 import scala.collection.mutable.ArrayBuffer
 
 import org.apache.hadoop.fs.{FileSystem, Path}
@@ -130,16 +131,37 @@ object Manifest {
       val st = it.next()
       val f = st.getPath
       if (f.getName.endsWith(".parquet"))
-        // one commit-time footer read per NEW file buys the column
-        // zone map every later read plans with — O(this commit), never
-        // O(table)
         out += FileEntry(
           f.toUri.getPath.stripPrefix(rootUri).stripPrefix("/"),
-          Some(st.getLen),
-          ManifestStats.fromFooter(fs.getConf, f).map(ManifestStats.encode))
+          Some(st.getLen))
     }
     out.toSeq.sortBy(_.path)
   }
+
+  /** Zone-map stats for a commit's new files: one footer read per NEW
+    * file — O(this commit), never O(table). Small commits read on the
+    * driver; large ones fan the footer reads out as a Spark job (the
+    * footers are on shared storage, any executor can read them). */
+  private def withStats(spark: SparkSession, root: String,
+                        listed: Seq[FileEntry]): Seq[FileEntry] =
+    if (listed.size <= 64) {
+      val conf = spark.sparkContext.hadoopConfiguration
+      listed.map(e => e.copy(stats = ManifestStats
+        .fromFooter(conf, new Path(s"$root/${e.path}"))
+        .map(ManifestStats.encode)))
+    } else {
+      val confEntries = spark.sparkContext.hadoopConfiguration
+        .iterator().asScala.map(e => (e.getKey, e.getValue)).toArray
+      val statsFor = spark.sparkContext
+        .parallelize(listed.map(_.path), (listed.size / 64).min(256).max(2))
+        .map { rel =>
+          val c = new org.apache.hadoop.conf.Configuration(false)
+          confEntries.foreach { case (k, v) => c.set(k, v) }
+          rel -> ManifestStats.fromFooter(c, new Path(s"$root/$rel"))
+            .map(ManifestStats.encode)
+        }.collect().toMap
+      listed.map(e => e.copy(stats = statsFor.getOrElse(e.path, None)))
+    }
 
   /** Highest committed version, or None for an uninitialized root. */
   def latestVersion(spark: SparkSession, root: String): Option[Long] = {
@@ -363,7 +385,7 @@ object Manifest {
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(dir)
     val (fs, rootP) = fsOf(spark, root)
-    commitFiles(fs, rootP, new Path(dir))
+    withStats(spark, root, commitFiles(fs, rootP, new Path(dir)))
   }
 
   /** The snapshot-describing headers every commit (re)publishes: the

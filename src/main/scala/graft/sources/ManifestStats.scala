@@ -35,11 +35,11 @@ import org.json4s.jackson.JsonMethods
   * residual-re-evaluated by Spark anyway; this layer only has to be
   * sound, and is doubly so.)
   *
-  * Collection is a per-new-file footer read on the committing driver —
-  * O(files in THIS commit), never the table. A bulk backfill at
-  * production scale would distribute the footer reads with a
-  * `mapPartitions` over the file list; commits write stats inline so
-  * the need never arises for tables born under this format.
+  * Collection is one footer read per NEW file — O(files in THIS
+  * commit), never the table. Small commits read on the committing
+  * driver; large commits fan the footer reads out as a Spark job
+  * (`Manifest.withStats`), so even a million-file bulk load collects
+  * its zone maps at cluster parallelism.
   */
 object ManifestStats {
 

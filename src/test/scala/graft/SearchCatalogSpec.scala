@@ -61,6 +61,28 @@ class SearchCatalogSpec extends SparkSpec {
     assert(!new java.io.File(root + "__merge_staging").exists)
   }
 
+  test("mergeInto: updates touching the NULL partition keep its " +
+    "existing rows (null-safe semi join)") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-merge-null").toString + "/t"
+    Seq((1L, Option("a"), 10), (2L, Option.empty[String], 20),
+      (3L, Option.empty[String], 30))
+      .toDF("id", "part", "v")
+      .write.partitionBy("part").parquet(root)
+    // touch the null partition: update id=2, insert id=4
+    Catalog.mergeInto(spark, root,
+      Seq((2L, Option.empty[String], 99), (4L, Option.empty[String], 40))
+        .toDF("id", "part", "v"),
+      "id", "part")
+    val got = spark.read.parquet(root)
+      .select("id", "part", "v")
+      .as[(Long, Option[String], Int)].collect().toSet
+    // id=3 lives in the null partition but was not in the updates — a
+    // plain equi-join semi join loses it when the partition rewrites
+    assert(got == Set((1L, Some("a"), 10), (2L, None, 99),
+      (3L, None, 30), (4L, None, 40)), got)
+  }
+
   test("markIndexed flips only matching ids") {
     val meta = Seq(("a", false), ("b", false)).toDF("id", "indexed")
       .withColumn("indexedAt", lit(null).cast("timestamp"))

@@ -59,6 +59,43 @@ class ManifestStreamSpec extends SparkSpec {
     assert(runOnce() == Set((1L, "a", 99), (3L, "a", 30)))
   }
 
+  test("end-to-end incremental pipeline: manifest source → transform " +
+    "→ exactly-once manifest sink (bronze→silver), replay-safe") {
+    val base = newDir()
+    val src = s"$base/bronze"
+    val dst = s"$base/silver"
+    val ckpt = s"$base/ckpt"
+    Manifest.init(spark, src,
+      Seq((1L, "a", 10), (2L, "b", 20)).toDF("id", "part", "v"),
+      Seq("part"))
+    def runPipe(): Unit = {
+      val q = spark.readStream.format("graft-manifest").load(src)
+        .withColumn("v2", col("v") * 2)
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          Manifest.commitStreamBatch(spark, dst, df, "pipe", id); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def silver = Manifest.read(spark, dst, None)
+      .select("id", "v2").as[(Long, Int)].collect().toSet
+    runPipe()
+    assert(silver == Set((1L, 20), (2L, 40)))
+    // upstream commits land; only the delta flows downstream
+    Manifest.commitAppend(spark, src,
+      Seq((3L, "a", 30)).toDF("id", "part", "v"), Seq("part"))
+    runPipe()
+    assert(silver == Set((1L, 20), (2L, 40), (3L, 60)))
+    // idle replay: no new upstream commits → no duplicate downstream
+    // commit (offsets + the sink's batch high-water mark both hold)
+    val vBefore = Manifest.latestVersion(spark, dst)
+    runPipe()
+    assert(silver == Set((1L, 20), (2L, 40), (3L, 60)))
+    assert(Manifest.latestVersion(spark, dst) == vBefore)
+  }
+
   test("streaming source composes with pushdown: a partition filter " +
     "keeps other partitions' files out of every micro-batch") {
     val root = newDir() + "/t"

@@ -70,6 +70,31 @@ class PlanSpec extends SparkSpec {
     assert(!readSchema.contains("embedding"), readSchema)
   }
 
+  test("manifest reads plan ONE vectorized scan with real partition " +
+    "pruning (no per-commit unions anywhere in the registry's plans)") {
+    import org.apache.spark.sql.functions.col
+    val root = "file://" + java.nio.file.Files
+      .createTempDirectory("graft-planspec-manifest").toString + "/t"
+    val df = spark.range(0, 100)
+      .selectExpr("id", "CAST(id % 4 AS STRING) AS part", "id * 2 AS v")
+    graft.sources.Manifest.init(spark, root, df, Seq("part"))
+    graft.sources.Manifest.commitAppend(spark, root,
+      df.withColumn("id", col("id") + 100), Seq("part"))
+    val q = graft.sources.Manifest.read(spark, root, None)
+      .filter(col("part") === "1" && col("v") > 10L)
+      .select("id", "v")
+    val p = q.queryExecution.executedPlan
+    // ONE scan leaf over both commits — union-of-relations would show 2
+    assert(p.collectLeaves().length == 1, p.toString.take(2000))
+    val s = p.toString
+    assert(s.contains("PartitionFilters"), s.take(2000))
+    assert(s.contains("PushedFilters"), s.take(2000))
+    // vectorized scan ("Batched: true") under a whole-stage-codegen
+    // span (the "*(1)" marker in the rendered plan)
+    assert(s.contains("Batched: true"), s.take(2000))
+    assert(s.contains("*(1)"), s.take(2000))
+  }
+
   test("no registered query uses a Scala/Python UDF") {
     for ((name, _) <- SparkEntry.defs) {
       val p = plan(name)

@@ -3,8 +3,8 @@ package graft.sources.connector
 import org.apache.hadoop.fs.Path
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Column, Identifier, Table, TableCatalog, TableChange, TableInfo}
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Column, Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange, TableInfo}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.StructField
 import org.apache.spark.sql.types.StructType
@@ -42,7 +42,7 @@ import graft.sources.Manifest
   * (the manifest header merge), and a rename under snapshot readers
   * cannot be made atomic on a plain filesystem.
   */
-class ManifestCatalog extends TableCatalog {
+class ManifestCatalog extends TableCatalog with SupportsNamespaces {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -148,4 +148,72 @@ class ManifestCatalog extends TableCatalog {
     throw new UnsupportedOperationException(
       "RENAME is not supported: it cannot be made atomic under " +
         "concurrent snapshot readers on a plain filesystem")
+
+  // ---- namespaces: directories that are not themselves tables ---------
+
+  private def fsFor(p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def nsPath(namespace: Seq[String]): Path =
+    new Path((warehouse +: namespace).mkString("/"))
+
+  private def isTableDir(fs: org.apache.hadoop.fs.FileSystem,
+                         p: Path): Boolean =
+    fs.exists(new Path(p, "_manifests"))
+
+  override def namespaceExists(namespace: Array[String]): Boolean = {
+    val p = nsPath(namespace.toSeq)
+    val fs = fsFor(p)
+    namespace.isEmpty ||
+      (fs.exists(p) && fs.getFileStatus(p).isDirectory &&
+        !isTableDir(fs, p))
+  }
+
+  override def listNamespaces(): Array[Array[String]] =
+    listNamespaces(Array.empty)
+
+  override def listNamespaces(namespace: Array[String])
+      : Array[Array[String]] = {
+    if (!namespaceExists(namespace))
+      throw new NoSuchNamespaceException(name() +: namespace.toSeq)
+    val p = nsPath(namespace.toSeq)
+    val fs = fsFor(p)
+    if (!fs.exists(p)) Array.empty
+    else fs.listStatus(p).filter(_.isDirectory)
+      .filterNot(d => isTableDir(fs, d.getPath))
+      .map(d => namespace :+ d.getPath.getName)
+  }
+
+  override def loadNamespaceMetadata(namespace: Array[String])
+      : java.util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new NoSuchNamespaceException(name() +: namespace.toSeq)
+    java.util.Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: java.util.Map[String, String]): Unit = {
+    if (namespaceExists(namespace))
+      throw new NamespaceAlreadyExistsException(
+        (name() +: namespace.toSeq).toArray)
+    fsFor(nsPath(namespace.toSeq)).mkdirs(nsPath(namespace.toSeq))
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "manifest namespaces carry no metadata to alter")
+
+  override def dropNamespace(namespace: Array[String],
+                             cascade: Boolean): Boolean = {
+    if (!namespaceExists(namespace))
+      throw new NoSuchNamespaceException(name() +: namespace.toSeq)
+    val p = nsPath(namespace.toSeq)
+    val fs = fsFor(p)
+    if (!cascade && fs.listStatus(p).nonEmpty)
+      throw new IllegalStateException(
+        s"namespace ${namespace.mkString(".")} is not empty; " +
+          "use DROP NAMESPACE ... CASCADE")
+    fs.delete(p, true)
+  }
 }

@@ -546,7 +546,8 @@ final case class ManifestTable(res: ManifestConnector.Resolved)
       TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap)
-      : ScanBuilder = new ManifestScanBuilder(res)
+      : ScanBuilder = new ManifestScanBuilder(res,
+    Option(options.get("maxVersionsPerTrigger")).map(_.toLong))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
@@ -568,7 +569,8 @@ final case class ManifestTable(res: ManifestConnector.Resolved)
     }
 }
 
-final class ManifestScanBuilder(res: ManifestConnector.Resolved)
+final class ManifestScanBuilder(res: ManifestConnector.Resolved,
+                                maxVersionsPerTrigger: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
 
@@ -614,7 +616,7 @@ final class ManifestScanBuilder(res: ManifestConnector.Resolved)
           dataFilters.forall(ManifestConnector.mayMatch(_, st)))
     }
     new ManifestScan(res, surviving, required, dataFilters, limit,
-      partitionFilters)
+      partitionFilters, maxVersionsPerTrigger)
   }
 }
 
@@ -623,7 +625,8 @@ final class ManifestScan(res: ManifestConnector.Resolved,
                          required: StructType,
                          dataFilters: Array[SFilter],
                          limit: Int,
-                         partitionFilters: Array[SFilter] = Array.empty)
+                         partitionFilters: Array[SFilter] = Array.empty,
+                         maxVersionsPerTrigger: Option[Long] = None)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
@@ -639,7 +642,7 @@ final class ManifestScan(res: ManifestConnector.Resolved,
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new ManifestMicroBatchStream(res, required, partitionFilters,
-      dataFilters, mkReaderFactory())
+      dataFilters, mkReaderFactory(), maxVersionsPerTrigger)
 
   private[connector] def mkReaderFactory(): PartitionReaderFactory = {
     // Hadoop Configuration is not serializable; ship the entries and

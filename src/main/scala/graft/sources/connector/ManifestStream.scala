@@ -2,7 +2,7 @@ package graft.sources.connector
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types.StructType
 
 import graft.sources.Manifest
@@ -49,14 +49,41 @@ final class ManifestMicroBatchStream(
     required: StructType,
     partitionFilters: Array[org.apache.spark.sql.sources.Filter],
     dataFilters: Array[org.apache.spark.sql.sources.Filter],
-    readerFactory: PartitionReaderFactory) extends MicroBatchStream {
+    readerFactory: PartitionReaderFactory,
+    maxVersionsPerTrigger: Option[Long] = None)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private def spark = SparkSession.active
 
+  private def currentVersion: Long =
+    Manifest.latestVersion(spark, res.root).getOrElse(0L)
+
+  // Trigger.AvailableNow contract: freeze the catch-up target up front
+  // so the run terminates even while writers keep committing
+  @volatile private var availableNowCap: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(currentVersion)
+
   override def initialOffset(): Offset = VersionOffset(0L)
 
-  override def latestOffset(): Offset = VersionOffset(
-    Manifest.latestVersion(spark, res.root).getOrElse(0L))
+  override def latestOffset(): Offset = VersionOffset(currentVersion)
+
+  /** Admission control: `.option("maxVersionsPerTrigger", n)` caps how
+    * many COMMITS one micro-batch swallows — a stream restarting 1000
+    * commits behind catches up in bounded, checkpointed steps instead
+    * of one giant batch (the maxFilesPerTrigger idea, expressed in the
+    * manifest's own currency). Unset = process all available. */
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val latest = availableNowCap.fold(currentVersion)(
+      math.min(currentVersion, _))
+    val lo = start.asInstanceOf[VersionOffset].version
+    VersionOffset(maxVersionsPerTrigger
+      .fold(latest)(n => math.min(latest, lo + n)))
+  }
+
+  override def reportLatestOffset(): Offset = VersionOffset(currentVersion)
 
   override def deserializeOffset(json: String): Offset =
     VersionOffset(json.toLong)

@@ -84,6 +84,24 @@ class ManifestCatalogSpec extends SparkSpec {
     assert(e.getMessage.toLowerCase.contains("table"), e.getMessage)
   }
 
+  test("namespaces: CREATE/SHOW/DROP map to warehouse directories; " +
+    "table dirs never masquerade as namespaces") {
+    spark.sql("CREATE NAMESPACE graftcat.ns1")
+    def namespaces = spark.sql("SHOW NAMESPACES IN graftcat")
+      .select("namespace").as[String].collect().toSet
+    assert(namespaces.contains("ns1"), namespaces)
+    spark.sql("CREATE TABLE graftcat.ns1.t1 (id BIGINT)")
+    assert(spark.sql("SHOW TABLES IN graftcat.ns1")
+      .select("tableName").as[String].collect().toSet == Set("t1"))
+    // a table dir is not a namespace
+    assert(!spark.sql("SHOW NAMESPACES IN graftcat.ns1")
+      .select("namespace").as[String].collect().contains("t1"))
+    // non-empty namespace refuses a plain drop; CASCADE removes it
+    intercept[Exception](spark.sql("DROP NAMESPACE graftcat.ns1"))
+    spark.sql("DROP NAMESPACE graftcat.ns1 CASCADE")
+    assert(!namespaces.contains("ns1"))
+  }
+
   test("catalog refuses what it cannot make safe: duplicate create, " +
     "non-identity partitioning, ALTER, RENAME") {
     spark.sql("CREATE TABLE graftcat.db.once (id BIGINT)")

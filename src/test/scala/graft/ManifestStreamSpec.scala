@@ -96,6 +96,31 @@ class ManifestStreamSpec extends SparkSpec {
     assert(Manifest.latestVersion(spark, dst) == vBefore)
   }
 
+  test("maxVersionsPerTrigger bounds each micro-batch to N commits " +
+    "(a stream restarting far behind catches up in bounded steps)") {
+    val root = newDir() + "/t"
+    Manifest.init(spark, root, Seq((1L, "x")).toDF("id", "s"))
+    Manifest.commitAppend(spark, root, Seq((2L, "y")).toDF("id", "s"))
+    Manifest.commitAppend(spark, root, Seq((3L, "z")).toDF("id", "s"))
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    val q = spark.readStream.format("graft-manifest")
+      .option("maxVersionsPerTrigger", "1").load(root)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches.synchronized {
+          batches += df.select("id")
+            .as[Long](org.apache.spark.sql.Encoders.scalaLong)
+            .collect().toSet
+        }; ()
+      }
+      .option("checkpointLocation", newDir() + "/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // one micro-batch per commit, in commit order — never coalesced
+    assert(batches.filter(_.nonEmpty).toSeq ==
+      Seq(Set(1L), Set(2L), Set(3L)), batches)
+  }
+
   test("streaming source composes with pushdown: a partition filter " +
     "keeps other partitions' files out of every micro-batch") {
     val root = newDir() + "/t"

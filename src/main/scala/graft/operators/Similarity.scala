@@ -225,6 +225,42 @@ object Similarity {
     assign(cents)
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — "Semantic
+    * deduplication"): cluster the embeddings, then within each cluster
+    * mark as duplicate every item whose cosine to a LOWER-ID
+    * clustermate is ≥ `threshold`. The cluster is what bounds the
+    * quadratic: the pairwise stage is Σ (cluster size)², and at
+    * production scale k grows with n so cluster size stays roughly
+    * constant — the paper's trick for making embedding-level dedup
+    * feasible on web-scale corpora (never an all-pairs join). The
+    * keep-lowest-id policy is deterministic and engine-portable
+    * (cosines are bit-identical across engines: both sum the dot
+    * product in index order).
+    *
+    * Returns the corpus with `cid`, `sim` (cosine to centroid) and
+    * `is_dup`. Survivors = `!is_dup`. The assignment subplan is
+    * deterministic, so its two consumers (pair sides) can recompute
+    * freely — nothing corpus-sized is pinned. */
+  def semDedup(emb: DataFrame, idCol: String, vecCol: String,
+               k: Int, iters: Int, threshold: Double): DataFrame = {
+    val assigned = kmeansAssign(emb, idCol, vecCol, k, iters)
+    val left = assigned.select(col("cid"), col(idCol).as("id_a"),
+      col("v").as("va"))
+    val right = assigned.select(col("cid"), col(idCol).as("id_b"),
+      col("v").as("vb"))
+    // equi-join on the cluster id: the shuffle key IS the quadratic
+    // fence — pairs exist only inside a cluster
+    val dups = left.join(right, Seq("cid"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(coalesce(Vectors.cosine(col("va"), col("vb")), lit(-2.0))
+        >= threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    assigned
+      .join(dups.withColumn("is_dup", lit(true)), Seq(idCol), "left")
+      .select(col(idCol), col("cid"), col("sim"),
+        coalesce(col("is_dup"), lit(false)).as("is_dup"))
+  }
+
   // ---- Product Quantization (PQ) -------------------------------------
   // The ANN memory-scale path LSH/IVF do not cover: each vector is
   // compressed to `m` one-byte-ish codes (nearest sub-codebook centroid

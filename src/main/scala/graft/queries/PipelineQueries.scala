@@ -1342,6 +1342,66 @@ object PipelineQueries {
           round(avg(cos), 4) AS mean_sim
         FROM a1 GROUP BY cid ORDER BY cluster_id""")),
 
+    // ---- X2+: SemDeDup — semantic dedup via embedding clusters ----------
+    // Abbas et al. 2023: cluster embeddings (the oracle-exact spherical
+    // k-means of q96), then within each cluster drop items whose cosine
+    // to a lower-id clustermate clears the threshold. The cluster
+    // bounds the quadratic (Σ cluster² pairs, never all-pairs) — the
+    // published recipe for embedding-level dedup at corpus scale. The
+    // oracle replays the full trajectory + pairwise stage relationally;
+    // cosines are bit-identical across engines (dot products sum in
+    // index order on both sides).
+    QueryDef("q121_semantic_dedup",
+      (s, dir) => Similarity
+        .semDedup(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", k = 4, iters = 1, threshold = 0.92)
+        .groupBy(col("cid").as("cluster_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("is_dup"), 1L).otherwise(0L)).as("dups"),
+          sum(when(!col("is_dup"), 1L).otherwise(0L)).as("survivors"))
+        .orderBy("cluster_id"),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings),
+        hashed AS (SELECT vec_id, v,
+            CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)
+              || '|kmeans'), 1, 8)) AS UBIGINT) AS h
+          FROM e),
+        c0 AS (SELECT row_number() OVER (ORDER BY h ASC, vec_id ASC) - 1
+              AS cid, v AS cv
+          FROM hashed ORDER BY h ASC, vec_id ASC LIMIT 4),
+        a0 AS (SELECT vec_id, v, cid FROM (
+          SELECT vec_id, v, cid, row_number() OVER (
+              PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
+          FROM (SELECT e.vec_id, e.v, c.cid,
+              list_dot_product(e.v, c.cv)
+                / (sqrt(list_dot_product(e.v, e.v))
+                   * sqrt(list_dot_product(c.cv, c.cv))) AS cos
+            FROM e CROSS JOIN c0 c)) WHERE rn = 1),
+        c1 AS (SELECT cid, list(m ORDER BY pos) AS cv FROM (
+            SELECT a.cid, r.i AS pos, avg(a.v[r.i]) AS m
+            FROM a0 a CROSS JOIN range(1, 65) r(i)
+            GROUP BY a.cid, r.i) GROUP BY cid),
+        a1 AS (SELECT vec_id, v, cid FROM (
+          SELECT vec_id, v, cid, cos, row_number() OVER (
+              PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
+          FROM (SELECT e.vec_id, e.v, c.cid,
+              list_dot_product(e.v, c.cv)
+                / (sqrt(list_dot_product(e.v, e.v))
+                   * sqrt(list_dot_product(c.cv, c.cv))) AS cos
+            FROM e CROSS JOIN c1 c)) WHERE rn = 1),
+        dups AS (SELECT DISTINCT b.vec_id FROM a1 a JOIN a1 b
+          ON a.cid = b.cid AND a.vec_id < b.vec_id
+          WHERE list_dot_product(a.v, a.v) > 0
+            AND list_dot_product(b.v, b.v) > 0
+            AND list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v))
+                 * sqrt(list_dot_product(b.v, b.v))) >= 0.92)
+        SELECT a1.cid AS cluster_id, count(*) AS n,
+          CAST(count(d.vec_id) AS BIGINT) AS dups,
+          CAST(count(*) - count(d.vec_id) AS BIGINT) AS survivors
+        FROM a1 LEFT JOIN dups d ON a1.vec_id = d.vec_id
+        GROUP BY a1.cid ORDER BY cluster_id""")),
+
     // ---- J5+ : interval-interval overlap join ---------------------------
     // Customer activity windows × calendar quarters — duplicate-free
     // binned overlap join (one equi-join shuffle; see

@@ -6,6 +6,30 @@ import graft.operators.Similarity
 
 class IvfSpec extends SparkSpec {
 
+  test("semDedup flags the higher-id twin of an identical pair, " +
+    "never a unique vector") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f)),   // twin of 1 → dup
+      (3L, Array(0.0f, 1.0f, 0.0f)),
+      (4L, Array(0.001f, 1.0f, 0.0f)), // near-twin of 3 → dup
+      (5L, Array(0.0f, 0.0f, 1.0f)))   // unique
+      .toDF("vec_id", "embedding")
+    val out = Similarity
+      .semDedup(emb, "vec_id", "embedding", k = 2, iters = 1,
+        threshold = 0.95)
+      .select("vec_id", "is_dup").as[(Long, Boolean)].collect().toMap
+    assert(out(2L), "identical twin not flagged")
+    assert(!out(1L), "keep-lowest-id policy violated")
+    assert(out(4L) || out(3L), "near-twin pair not flagged")
+    assert(!(out(3L) && out(4L)), "both twins dropped")
+    assert(!out(5L), "unique vector flagged")
+    // survivors keep exactly one representative per semantic group
+    assert(out.values.count(_ == false) == 3)
+  }
+
   import spark.implicits._
 
   // Two tight clusters around orthogonal axes + the query vector.

@@ -172,11 +172,12 @@ object Catalog {
       spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     try {
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      // if the touched slice is ONLY the null partition, hive inference
-      // types the staged partition column VOID; restore the real type
-      spark.read.parquet(staging.toString)
-        .withColumn(partitionCol, col(partitionCol)
-          .cast(merged.schema(partitionCol).dataType))
+      // explicit schema bypasses partition-value INFERENCE entirely:
+      // inference would type a numeric-looking string partition ('01')
+      // as int and rewrite it ('1'), and an all-null touched slice as
+      // VOID — with the schema given, the staged values read back
+      // exactly as written
+      spark.read.schema(merged.schema).parquet(staging.toString)
         .write.mode("overwrite").partitionBy(partitionCol).parquet(path)
     } finally {
       prev.fold(

@@ -108,16 +108,23 @@ object Manifest {
     }
 
   /** Does `relPath` belong to one of the `touched` partitions? Matches
-    * on PARSED partition values (hive-unescaped, null-aware), never on
-    * raw path substrings: a value like `a:b` lands in the path as
-    * `a%3Ab` and a null as `__HIVE_DEFAULT_PARTITION__`, so substring
-    * matching against the raw value would silently carry the old files
-    * forward (duplicates after MERGE, survivors after DELETE). */
-  private def inTouchedPartition(relPath: String, partitionCol: String,
-                                 touched: Set[Option[String]]): Boolean =
-    partValuesOf(relPath)
-      .collectFirst { case (k, v) if k == partitionCol => Option(v) }
-      .exists(touched.contains)
+    * on PARSED partition value TUPLES (hive-unescaped, null-aware, one
+    * slot per partition column in layout order), never on raw path
+    * substrings: a value like `a:b` lands in the path as `a%3Ab` and a
+    * null as `__HIVE_DEFAULT_PARTITION__`, so substring matching
+    * against the raw value would silently carry the old files forward
+    * (duplicates after MERGE, survivors after DELETE). With NO
+    * partition columns the whole table is one partition — every file
+    * is touched. */
+  private def inTouchedPartition(relPath: String,
+                                 partitionCols: Seq[String],
+                                 touched: Set[Seq[Option[String]]])
+      : Boolean =
+    if (partitionCols.isEmpty) true
+    else {
+      val pv = partValuesOf(relPath).toMap
+      touched.contains(partitionCols.map(c => Option(pv.getOrElse(c, null))))
+    }
 
   /** List a commit dir's parquet files as root-relative entries with
     * their sizes (the one listing a file ever gets — after this, every
@@ -462,11 +469,29 @@ object Manifest {
     val prev = readManifest(spark, root, cur)
     checkPartCols(prev, partitionCols)
     val fresh = writeCommit(spark, root, cur + 1, df, partitionCols)
-    val schema = prev.schema.map(mergeSchemas(_, df.schema))
-      .getOrElse(df.schema)
     publish(spark, root, cur, prev.entries ++ fresh,
-      prev.meta ++ schemaHeaders(schema, partitionCols))
+      prev.meta ++ schemaHeaders(appendSchema(spark, root, prev, df),
+        partitionCols))
   }
+
+  /** The schema header an append-shaped commit publishes: the previous
+    * header widened with the new frame's fields. A LEGACY table (no
+    * header yet) must not publish `df.schema` alone — columns that live
+    * only in older commits' files would silently vanish from every
+    * subsequent read (relationOver selects only the header's fields) —
+    * so the first header a legacy table ever gets is the union of its
+    * ACTUAL on-disk schema (one union-read resolution, no data IO) and
+    * the new frame's. */
+  private def appendSchema(spark: SparkSession, root: String,
+                           prev: SnapshotMeta, df: DataFrame)
+      : org.apache.spark.sql.types.StructType =
+    prev.schema match {
+      case Some(s) => mergeSchemas(s, df.schema)
+      case None if prev.files.nonEmpty =>
+        mergeSchemas(legacyUnionRead(spark, root, prev.files).schema,
+          df.schema)
+      case None => df.schema
+    }
 
   /** EXACTLY-ONCE streaming sink commit: an append-commit that records
     * `(queryId, batchId)` in the manifest header and becomes a NO-OP
@@ -501,12 +526,10 @@ object Manifest {
         else {
           checkPartCols(prev, partitionCols)
           val fresh = writeCommit(spark, root, cur + 1, df, partitionCols)
-          val schema = prev.schema.map(mergeSchemas(_, df.schema))
-            .getOrElse(df.schema)
           // carry other queries' high-water marks forward
           publish(spark, root, cur, prev.entries ++ fresh,
-            prev.meta ++ schemaHeaders(schema, partitionCols) +
-              (metaKey -> batchId.toString))
+            prev.meta ++ schemaHeaders(appendSchema(spark, root, prev, df),
+              partitionCols) + (metaKey -> batchId.toString))
         }
     }
   }
@@ -533,36 +556,94 @@ object Manifest {
     * new manifest untouched. One rename publishes all partitions at
     * once; pinned readers keep the pre-merge snapshot. */
   def mergeInto(spark: SparkSession, root: String, updates: DataFrame,
-                key: String, partitionCol: String): Long = {
+                key: String, partitionCol: String): Long =
+    mergeInto(spark, root, updates, key, Seq(partitionCol))
+
+  /** Multi-column (or unpartitioned) MERGE: `partitionCols` is the
+    * table's full layout — e.g. the reference raw zone's
+    * `(dataType, date)` (reference: python-data-ingestions/
+    * ingest-data-lambda.py:68). Touched PARTITION TUPLES are discovered
+    * from the updates; files of untouched tuples carry forward by
+    * reference, byte-identical. `Nil` = unpartitioned: the whole table
+    * is the one partition and the commit rewrites it. */
+  def mergeInto(spark: SparkSession, root: String, updates: DataFrame,
+                key: String, partitionCols: Seq[String]): Long = {
     val cur = latestVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"$root not initialized"))
     val prev = readManifest(spark, root, cur)
     val table = read(spark, root, Some(cur))
-    // null-safe semi join (<=>): a null partition value is a real,
-    // touchable partition (__HIVE_DEFAULT_PARTITION__ on disk); a plain
-    // equi-join would drop its existing rows from the rewrite and the
-    // commit would lose them.
-    val touched = updates.select(col(partitionCol).as("__touched_pv"))
-      .distinct()
-    val merged = Catalog.upsert(
-      table.join(broadcast(touched),
-        table(partitionCol) <=> touched("__touched_pv"), "left_semi"),
-      updates, key)
-    checkPartCols(prev, Seq(partitionCol))
-    val fresh = writeCommit(spark, root, cur + 1, merged, Seq(partitionCol))
+    checkPartCols(prev, partitionCols)
+    // the distinct partition tuples the updates touch: ONE job, reused
+    // both as the (broadcast) semi-join side of the rewrite and —
+    // stringified, null-aware — for the driver-side manifest match
+    val touchedRows = touchedTuples(updates, partitionCols)
+    val merged =
+      if (partitionCols.isEmpty) Catalog.upsert(table, updates, key)
+      else
+        // null-safe semi join (<=>) per layout column: a null partition
+        // value is a real, touchable partition
+        // (__HIVE_DEFAULT_PARTITION__ on disk); a plain equi-join would
+        // drop its existing rows from the rewrite and the commit would
+        // lose them.
+        Catalog.upsert(
+          table.join(broadcast(localTuples(spark, updates, partitionCols,
+            touchedRows)), touchCond(table, partitionCols), "left_semi"),
+          updates, key)
+    val fresh = writeCommit(spark, root, cur + 1, merged, partitionCols)
     // Carry over files of partitions the updates did not touch — the
-    // touched set is matched against each file's PARSED partition value
-    // (hive-unescaped, null-aware) on the driver: metadata-scale, no
-    // data IO.
-    val touchedVals = touched.collect()
-      .map(r => if (r.isNullAt(0)) None else Some(r.get(0).toString)).toSet
+    // touched tuple set is matched against each file's PARSED partition
+    // values (hive-unescaped, null-aware) on the driver:
+    // metadata-scale, no data IO.
+    val touchedVals = stringTuples(touchedRows, partitionCols)
     val keep = prev.entries.filterNot(e =>
-      inTouchedPartition(e.path, partitionCol, touchedVals))
+      inTouchedPartition(e.path, partitionCols, touchedVals))
     val schema = prev.schema.map(mergeSchemas(_, updates.schema))
       .getOrElse(table.schema)
     publish(spark, root, cur, keep ++ fresh,
-      prev.meta ++ schemaHeaders(schema, Seq(partitionCol)))
+      prev.meta ++ schemaHeaders(schema, partitionCols))
   }
+
+  /** The distinct partition-value tuples `df` contains, collected to
+    * the driver (bounded: O(touched partitions), the same cardinality
+    * every partition-overwrite planner materializes). */
+  private def touchedTuples(df: DataFrame, partitionCols: Seq[String])
+      : Array[org.apache.spark.sql.Row] =
+    if (partitionCols.isEmpty) Array.empty
+    else df.select(partitionCols.map(col): _*).distinct().collect()
+
+  /** Stringify collected tuples for the manifest path match (same
+    * formatting as Spark's hive path layout, pre-escaping). Empty
+    * layout → one empty tuple (the whole-table partition). */
+  private def stringTuples(rows: Array[org.apache.spark.sql.Row],
+                           partitionCols: Seq[String])
+      : Set[Seq[Option[String]]] =
+    if (partitionCols.isEmpty) Set(Seq.empty)
+    else rows.map(r => partitionCols.indices
+      .map(i => if (r.isNullAt(i)) None else Some(r.get(i).toString))
+      .toSeq).toSet
+
+  /** Local (already-collected) touched tuples as a one-partition
+    * relation with `__touched_i` column names, typed like the source
+    * frame's layout columns. */
+  private def localTuples(spark: SparkSession, src: DataFrame,
+                          partitionCols: Seq[String],
+                          rows: Array[org.apache.spark.sql.Row])
+      : DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(
+      partitionCols.zipWithIndex.map { case (c, i) =>
+        src.schema(c).copy(name = s"__touched_$i") })
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), schema)
+  }
+
+  /** Null-safe conjunction matching a table row's layout columns
+    * against the `__touched_i` tuple columns. */
+  private def touchCond(table: DataFrame,
+                        partitionCols: Seq[String])
+      : org.apache.spark.sql.Column =
+    partitionCols.zipWithIndex
+      .map { case (c, i) => table(c) <=> col(s"__touched_$i") }
+      .reduce(_ && _)
 
   /** DML DELETE as a copy-on-write commit: rows of `partitionCol`
     * partitions containing matches are rewritten without the matching
@@ -573,34 +654,41 @@ object Manifest {
     * contain the deleted rows until vacuumed. */
   def deleteWhere(spark: SparkSession, root: String,
                   predicate: org.apache.spark.sql.Column,
-                  partitionCol: String): Long = {
+                  partitionCol: String): Long =
+    deleteWhere(spark, root, predicate, Seq(partitionCol))
+
+  /** Multi-column (or unpartitioned) DELETE: touched partition TUPLES
+    * are the ones containing at least one matching row; `Nil` layout
+    * rewrites the whole table. */
+  def deleteWhere(spark: SparkSession, root: String,
+                  predicate: org.apache.spark.sql.Column,
+                  partitionCols: Seq[String]): Long = {
     val cur = latestVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"$root not initialized"))
     val prev = readManifest(spark, root, cur)
     val table = read(spark, root, Some(cur))
-    // native-typed touched values for the rewrite filter; stringified
-    // (null-aware) for the driver-side manifest match
-    val touchedRaw = table.filter(predicate)
-      .select(partitionCol).distinct().collect().map(_.get(0))
-    if (touchedRaw.isEmpty) return cur // nothing matches: no-op commit
-    val touchedVals = touchedRaw
-      .map(v => Option(v).map(_.toString)).toSet
-    val nonNull = touchedRaw.filter(_ != null).toSeq
-    val inTouched = {
-      val base = if (nonNull.isEmpty) lit(false)
-        else col(partitionCol).isin(nonNull: _*)
-      if (touchedVals.contains(None)) base || col(partitionCol).isNull
-      else base
-    }
+    checkPartCols(prev, partitionCols)
+    val matches = table.filter(predicate)
+    val touchedRows = touchedTuples(matches, partitionCols)
+    if (partitionCols.isEmpty) {
+      if (matches.isEmpty) return cur // nothing matches: no-op
+    } else if (touchedRows.isEmpty) return cur
+    val touchedVals = stringTuples(touchedRows, partitionCols)
+    // rewrite filter: rows of touched partitions only (null-safe
+    // semi-join against the already-collected touched tuples — typed,
+    // not stringly, and broadcast: O(touched partitions))
+    val inTouched =
+      if (partitionCols.isEmpty) table
+      else table.join(
+        broadcast(localTuples(spark, table, partitionCols, touchedRows)),
+        touchCond(table, partitionCols), "left_semi")
     // SQL DELETE semantics: drop rows where the predicate is TRUE;
     // rows where it evaluates NULL survive (`!predicate` alone would
     // filter them out — three-valued logic).
-    val remain = table.filter(inTouched)
-      .filter(!coalesce(predicate, lit(false)))
-    checkPartCols(prev, Seq(partitionCol))
-    val fresh = writeCommit(spark, root, cur + 1, remain, Seq(partitionCol))
+    val remain = inTouched.filter(!coalesce(predicate, lit(false)))
+    val fresh = writeCommit(spark, root, cur + 1, remain, partitionCols)
     val keep = prev.entries.filterNot(e =>
-      inTouchedPartition(e.path, partitionCol, touchedVals))
+      inTouchedPartition(e.path, partitionCols, touchedVals))
     publish(spark, root, cur, keep ++ fresh, prev.meta)
   }
 
@@ -632,7 +720,19 @@ object Manifest {
     val sized = fillSizes(spark, root, m.entries)
     val (small, keep) = sized.partition(_.size.exists(_ < smallBytes))
     if (small.size < 2) return cur
-    val partCols = m.partCols.getOrElse(Nil)
+    // Legacy manifests carry no partcols header; derive the layout from
+    // the files' own paths — rewriting a partitioned table's small files
+    // UNPARTITIONED would produce a mixed-layout snapshot the connector
+    // then refuses. A legacy table whose files already disagree on
+    // layout can only be converged by commitReplace.
+    val partCols = m.partCols.getOrElse {
+      val layouts = m.files.map(f => partValuesOf(f).map(_._1)).distinct
+      require(layouts.size <= 1,
+        s"cannot compact $root v$cur: files carry mixed partition " +
+          s"layouts ${layouts.map(_.mkString("[", ",", "]")).mkString(" vs ")}" +
+          " — converge with commitReplace first")
+      layouts.headOption.getOrElse(Nil)
+    }
     val smallRows =
       if (m.schema.isDefined) relationOver(spark, root, m, small)
       else legacyUnionRead(spark, root, small.map(_.path))

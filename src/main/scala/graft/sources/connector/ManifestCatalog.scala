@@ -60,11 +60,25 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces {
 
   private def spark = SparkSession.active
 
+  /** Identifier segments become PATH segments under the warehouse root,
+    * so they must never traverse: a backtick-quoted name carrying '/'
+    * or '..' would otherwise resolve (and dropTable would recursively
+    * DELETE) outside the warehouse. */
+  private def checkSegment(seg: String): String = {
+    require(seg.nonEmpty && seg != "." && seg != ".." &&
+      !seg.contains("/") && !seg.contains("\\"),
+      s"invalid identifier segment '$seg': must be non-empty and must " +
+        "not contain '/', '\\' or be a relative path component")
+    seg
+  }
+
   private def pathOf(ident: Identifier): String =
-    (warehouse +: ident.namespace.toSeq :+ ident.name).mkString("/")
+    (warehouse +: ident.namespace.toSeq.map(checkSegment) :+
+      checkSegment(ident.name)).mkString("/")
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
-    val base = new Path((warehouse +: namespace.toSeq).mkString("/"))
+    val base = new Path(
+      (warehouse +: namespace.toSeq.map(checkSegment)).mkString("/"))
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(base)) Array.empty
     else fs.listStatus(base).filter(_.isDirectory)
@@ -155,7 +169,7 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def nsPath(namespace: Seq[String]): Path =
-    new Path((warehouse +: namespace).mkString("/"))
+    new Path((warehouse +: namespace.map(checkSegment)).mkString("/"))
 
   private def isTableDir(fs: org.apache.hadoop.fs.FileSystem,
                          p: Path): Boolean =

@@ -115,4 +115,18 @@ class ManifestCatalogSpec extends SparkSpec {
     intercept[Exception](spark.sql(
       "ALTER TABLE graftcat.db.once RENAME TO graftcat.db.twice"))
   }
+
+  test("identifier segments cannot traverse outside the warehouse") {
+    // a backtick-quoted name carrying '..' or '/' would otherwise
+    // resolve (and DROP TABLE would recursively delete) outside the
+    // warehouse root
+    intercept[Exception](spark.sql(
+      "CREATE TABLE graftcat.db.`../evil` (id BIGINT)"))
+    intercept[Exception](spark.sql(
+      "CREATE TABLE graftcat.db.`a/b` (id BIGINT)"))
+    intercept[Exception](spark.sql(
+      "DROP TABLE graftcat.`..`.`..`"))
+    intercept[Exception](spark.sql(
+      "CREATE NAMESPACE graftcat.`../outside`"))
+  }
 }

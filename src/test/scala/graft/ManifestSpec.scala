@@ -429,4 +429,100 @@ class ManifestSpec extends SparkSpec {
       Manifest.readChanges(spark, root, 4L, Some(4L))
     }
   }
+
+  test("multi-column partition DML: merge and delete on a " +
+    "(dtype, date) layout carry untouched tuples byte-identical") {
+    val root = newRoot()
+    Manifest.init(spark, root,
+      Seq((1L, "a", "d1", 10), (2L, "a", "d2", 20),
+        (3L, "b", "d1", 30), (4L, "b", "d2", 40))
+        .toDF("id", "dtype", "date", "v"),
+      Seq("dtype", "date"))
+    val before = Manifest.snapshot(spark, root, 1L)
+    // merge touches ONLY the (a, d2) tuple
+    Manifest.mergeInto(spark, root,
+      Seq((2L, "a", "d2", 99), (5L, "a", "d2", 50))
+        .toDF("id", "dtype", "date", "v"),
+      "id", Seq("dtype", "date"))
+    val after = Manifest.snapshot(spark, root, 2L)
+    val untouched = before.files.filterNot(_.contains("dtype=a/date=d2"))
+    assert(untouched.nonEmpty &&
+      untouched.toSet.subsetOf(after.files.toSet),
+      "untouched (dtype, date) tuples must carry files by reference")
+    assert(after.files.filter(_.contains("dtype=a/date=d2"))
+      .forall(!before.files.contains(_)))
+    assert(Manifest.read(spark, root, None)
+      .select("id", "dtype", "date", "v")
+      .as[(Long, String, String, Int)].collect().toSet ==
+      Set((1L, "a", "d1", 10), (2L, "a", "d2", 99), (5L, "a", "d2", 50),
+        (3L, "b", "d1", 30), (4L, "b", "d2", 40)))
+    // delete touches ONLY the (b, d1) tuple; (a, d1) carries forward
+    Manifest.deleteWhere(spark, root, col("id") === 3L,
+      Seq("dtype", "date"))
+    val v3 = Manifest.snapshot(spark, root, 3L)
+    assert(before.files.filter(_.contains("dtype=a/date=d1"))
+      .toSet.subsetOf(v3.files.toSet))
+    assert(Manifest.read(spark, root, None)
+      .select("id").as[Long].collect().toSet == Set(1L, 2L, 5L, 4L))
+  }
+
+  test("unpartitioned DML: merge and delete rewrite the whole table; " +
+    "unmatched delete is a no-op commit") {
+    val root = newRoot()
+    Manifest.init(spark, root, Seq((1L, 10), (2L, 20)).toDF("id", "v"))
+    Manifest.mergeInto(spark, root,
+      Seq((2L, 99), (3L, 30)).toDF("id", "v"), "id", Nil)
+    assert(Manifest.read(spark, root, None)
+      .as[(Long, Int)].collect().toSet ==
+      Set((1L, 10), (2L, 99), (3L, 30)))
+    Manifest.deleteWhere(spark, root, col("id") === 1L, Nil)
+    assert(Manifest.read(spark, root, None)
+      .as[(Long, Int)].collect().toSet == Set((2L, 99), (3L, 30)))
+    val cur = Manifest.latestVersion(spark, root).get
+    assert(Manifest.deleteWhere(spark, root, col("id") === 42L, Nil)
+      == cur, "unmatched DELETE must not commit a new version")
+  }
+
+  test("append onto a legacy (pre-header) manifest keeps columns that " +
+    "only older commits carry") {
+    val root = newRoot()
+    Manifest.init(spark, root, Seq((1L, "x", 5)).toDF("id", "s", "extra"))
+    // strip the schema header: simulate a manifest written before the
+    // header format existed
+    val m = Manifest.snapshotMeta(spark, root, 1L)
+    Manifest.publish(spark, root, 1L, m.entries)
+    // the appended frame LACKS 'extra' — the republished header must be
+    // the union of the on-disk schema and the new frame's, not the new
+    // frame's alone
+    Manifest.commitAppend(spark, root, Seq((2L, "y")).toDF("id", "s"))
+    val df = Manifest.read(spark, root, None)
+    assert(df.columns.toSet == Set("id", "s", "extra"),
+      s"legacy column lost: ${df.columns.mkString(",")}")
+    assert(df.select("id", "s", "extra")
+      .as[(Long, String, Option[Int])].collect().toSet ==
+      Set((1L, "x", Some(5)), (2L, "y", None)))
+  }
+
+  test("compact on a legacy partitioned manifest derives the layout " +
+    "from file paths instead of rewriting unpartitioned") {
+    val root = newRoot()
+    Manifest.init(spark, root,
+      Seq((1L, "a", 10), (2L, "b", 20)).toDF("id", "part", "v"),
+      Seq("part"))
+    Manifest.commitAppend(spark, root,
+      Seq((3L, "a", 30)).toDF("id", "part", "v"), Seq("part"))
+    // strip headers: a legacy manifest whose files ARE hive-partitioned
+    val m = Manifest.snapshotMeta(spark, root, 2L)
+    Manifest.publish(spark, root, 2L, m.entries)
+    val v = Manifest.compact(spark, root,
+      smallBytes = 1L << 30, targetBytes = 1L << 30)
+    assert(v == 4L)
+    val files = Manifest.snapshot(spark, root, v).files
+    assert(files.forall(_.contains("part=")),
+      s"compacted files lost the hive layout: $files")
+    assert(Manifest.read(spark, root, None)
+      .select("id", "part", "v").as[(Long, String, Int)]
+      .collect().toSet ==
+      Set((1L, "a", 10), (2L, "b", 20), (3L, "a", 30)))
+  }
 }

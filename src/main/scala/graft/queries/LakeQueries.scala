@@ -1061,5 +1061,48 @@ object LakeQueries {
           count(DISTINCT lang)
         FROM documents WHERE doc_id % 2 = 1
         ORDER BY run"""),
+      kind = QueryDef.Pipeline),
+
+    // ---- SQL DELETE FROM on a manifest table ----------------------------
+    // The last DML asymmetry between the Scala API and the SQL catalog:
+    // `DELETE FROM` routes through SupportsDelete into the SAME
+    // copy-on-write deleteWhere commit (untouched partitions carry
+    // files by reference). Two deletes — a data-column predicate (CoW
+    // rewrite of every partition holding matches) and a
+    // partition-column predicate (whole-partition drop) — then a
+    // grouped read of latest plus a `VERSION AS OF` scalar proving the
+    // pre-delete snapshot still holds every row (erase-with-audit-
+    // window, as in q112, but through pure SQL).
+    QueryDef("q122_sql_delete",
+      (s, dir) => {
+        s.conf.set("spark.sql.catalog.graftsql",
+          classOf[graft.sources.connector.ManifestCatalog].getName)
+        if (s.conf.getOption("spark.sql.catalog.graftsql.root").isEmpty)
+          s.conf.set("spark.sql.catalog.graftsql.root",
+            "file://" + Files.createTempDirectory("graft_sqlcat").toString)
+        Tables.load(s, dir, "documents")
+          .select("doc_id", "lang", "n_chars")
+          .createOrReplaceTempView("q122_docs")
+        s.sql("DROP TABLE IF EXISTS graftsql.db.del_docs")
+        s.sql("CREATE TABLE graftsql.db.del_docs " +
+          "(doc_id BIGINT, lang STRING, n_chars BIGINT) " +
+          "PARTITIONED BY (lang)")
+        s.sql("INSERT INTO graftsql.db.del_docs " +
+          "SELECT doc_id, lang, n_chars FROM q122_docs")
+        // v1 = create, v2 = insert, v3 = CoW delete, v4 = partition drop
+        s.sql("DELETE FROM graftsql.db.del_docs WHERE doc_id % 7 = 0")
+        s.sql("DELETE FROM graftsql.db.del_docs WHERE lang = 'fr'")
+        s.sql("""SELECT lang, count(*) AS n,
+            CAST(sum(n_chars) AS BIGINT) AS chars,
+            (SELECT count(*) FROM graftsql.db.del_docs VERSION AS OF 2)
+              AS before_n
+          FROM graftsql.db.del_docs GROUP BY lang ORDER BY lang""")
+      },
+      Some("""SELECT lang, count(*) AS n,
+          CAST(sum(n_chars) AS BIGINT) AS chars,
+          (SELECT count(*) FROM documents) AS before_n
+        FROM documents
+        WHERE doc_id % 7 <> 0 AND lang <> 'fr'
+        GROUP BY lang ORDER BY lang"""),
       kind = QueryDef.Pipeline))
 }

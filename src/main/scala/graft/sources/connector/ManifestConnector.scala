@@ -387,6 +387,103 @@ object ManifestConnector {
     }
   }
 
+  /** V2 connector `Expression` → `Column`, for routing SQL DML
+    * (`DELETE FROM ... WHERE`) into the manifest layer's copy-on-write
+    * [[graft.sources.Manifest.deleteWhere]]. V2 predicates carry
+    * general scalar shapes (arithmetic, casts) that the V1 `Filter`
+    * algebra cannot — `doc_id % 7 = 0` arrives as a nested
+    * `GeneralScalarExpression` and rebuilds here as the equivalent
+    * Column tree. `None` for anything unknown — `canDeleteWhere` then
+    * refuses and Spark reports the DELETE untranslatable. Semantics
+    * are exact (the Column IS the predicate, three-valued logic and
+    * all), not conservative like the skipping paths above. */
+  def v2ExprToColumn(e: org.apache.spark.sql.connector.expressions
+      .Expression): Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.Column
+    // the Scala case classes (FieldReference, LiteralValue) are
+    // private[sql]; their Java interfaces are the public surface
+    import org.apache.spark.sql.connector.expressions.{Cast => V2Cast, GeneralScalarExpression, Literal => V2Literal, NamedReference}
+    import org.apache.spark.sql.functions.{col, lit, not}
+
+    def all(es: Array[org.apache.spark.sql.connector.expressions
+        .Expression]): Option[Seq[Column]] = {
+      val cs = es.toSeq.map(v2ExprToColumn)
+      if (cs.exists(_.isEmpty)) None else Some(cs.flatten)
+    }
+
+    e match {
+      case f: NamedReference =>
+        // top-level columns only (the connector's flat-primitive scope)
+        if (f.fieldNames.length == 1) Some(col(f.fieldNames.head)) else None
+      case l: V2Literal[_] => literalColumn(l)
+      case c: V2Cast =>
+        v2ExprToColumn(c.expression()).map(_.cast(c.dataType()))
+      case g: GeneralScalarExpression =>
+        val kids = g.children()
+        (g.name(), kids.length) match {
+          case ("ALWAYS_TRUE", 0)  => Some(lit(true))
+          case ("ALWAYS_FALSE", 0) => Some(lit(false))
+          case ("AND", 2) => all(kids).map(c => c(0) && c(1))
+          case ("OR", 2)  => all(kids).map(c => c(0) || c(1))
+          case ("NOT", 1) => all(kids).map(c => not(c(0)))
+          case ("IS_NULL", 1)     => all(kids).map(_.head.isNull)
+          case ("IS_NOT_NULL", 1) => all(kids).map(_.head.isNotNull)
+          case ("=", 2)   => all(kids).map(c => c(0) === c(1))
+          case ("<>", 2)  => all(kids).map(c => c(0) =!= c(1))
+          case ("<=>", 2) => all(kids).map(c => c(0) <=> c(1))
+          case ("<", 2)   => all(kids).map(c => c(0) < c(1))
+          case ("<=", 2)  => all(kids).map(c => c(0) <= c(1))
+          case (">", 2)   => all(kids).map(c => c(0) > c(1))
+          case (">=", 2)  => all(kids).map(c => c(0) >= c(1))
+          case ("+", 2)   => all(kids).map(c => c(0) + c(1))
+          case ("-", 2)   => all(kids).map(c => c(0) - c(1))
+          case ("-", 1)   => all(kids).map(c => -c(0))
+          case ("*", 2)   => all(kids).map(c => c(0) * c(1))
+          case ("/", 2)   => all(kids).map(c => c(0) / c(1))
+          case ("%", 2)   => all(kids).map(c => c(0) % c(1))
+          case ("IN", n) if n >= 2 =>
+            all(kids).map(c => c.head.isin(c.tail: _*))
+          case ("STARTS_WITH", 2) =>
+            all(kids).map(c => c(0).startsWith(c(1)))
+          case ("ENDS_WITH", 2) => all(kids).map(c => c(0).endsWith(c(1)))
+          case ("CONTAINS", 2)  => all(kids).map(c => c(0).contains(c(1)))
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
+  /** A V2 literal (catalyst-internal value) as a Column, for the
+    * connector's supported scalar types. */
+  private def literalColumn(l: org.apache.spark.sql.connector
+      .expressions.Literal[_])
+      : Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.lit
+    val v = l.value
+    if (v == null)
+      return Some(lit(null).cast(l.dataType))
+    l.dataType match {
+      case StringType => Some(lit(v.toString))
+      case BooleanType | IntegerType | LongType | DoubleType |
+           FloatType | ShortType | ByteType | BinaryType => Some(lit(v))
+      case _: org.apache.spark.sql.types.DecimalType =>
+        Some(lit(v.asInstanceOf[org.apache.spark.sql.types.Decimal]
+          .toJavaBigDecimal))
+      case DateType => v match {
+        case d: Integer => Some(lit(java.time.LocalDate.ofEpochDay(
+          d.longValue())))
+        case _ => None
+      }
+      case TimestampType => v match {
+        case t: java.lang.Long => Some(lit(
+          java.time.Instant.EPOCH.plus(t, java.time.temporal.ChronoUnit
+            .MICROS)))
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
   /** Is this a data filter we can hand to parquet? (column set checked
     * by the caller; here just the shape + value types) */
   def parquetTranslatable(f: SFilter): Boolean = f match {
@@ -536,15 +633,43 @@ object ManifestConnector {
   * through Spark's native vectorized parquet writer and the commit is
   * the same atomic create-if-absent publish every other writer uses
   * (exactly-once, snapshot-isolated, time-travelable). INSERT INTO =
-  * append commit; INSERT OVERWRITE/truncate = replace commit. */
+  * append commit; INSERT OVERWRITE/truncate = replace commit.
+  *
+  * SQL DML rides the standard V2 mix-ins: `SupportsDelete` routes
+  * `DELETE FROM t WHERE ...` with translatable predicates straight
+  * into the copy-on-write [[Manifest.deleteWhere]] commit (untouched
+  * partitions carry files by reference; history stays time-travelable)
+  * — the SQL-level parity for the reference's item update/delete
+  * surface (reference: python-data-ingestions/index-data-lambda.py:
+  * 164-172; Athena SQL, query-data-lambda.py:195-218). */
 final case class ManifestTable(res: ManifestConnector.Resolved)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDeleteV2 {
   override def name(): String = s"graft-manifest ${res.root} v${res.version}"
   override def schema(): StructType = res.fullSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def canDeleteWhere(predicates: Array[org.apache.spark.sql
+      .connector.expressions.filter.Predicate]): Boolean =
+    predicates.forall(ManifestConnector.v2ExprToColumn(_).isDefined)
+
+  /** All conjuncts AND-ed (an empty array = unconditional DELETE =
+    * rewrite to empty). Applies to the CURRENT snapshot — DML never
+    * targets a pinned version. */
+  override def deleteWhere(predicates: Array[org.apache.spark.sql
+      .connector.expressions.filter.Predicate]): Unit = {
+    val cond = predicates.toSeq.map(p =>
+      ManifestConnector.v2ExprToColumn(p).getOrElse(
+        throw new IllegalArgumentException(
+          s"untranslatable DELETE predicate $p — canDeleteWhere " +
+            "should have refused this")))
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    Manifest.deleteWhere(SparkSession.active, res.root, cond, res.partCols)
+  }
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder = new ManifestScanBuilder(res,
     Option(options.get("maxVersionsPerTrigger")).map(_.toLong))

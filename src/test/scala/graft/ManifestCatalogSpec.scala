@@ -116,6 +116,55 @@ class ManifestCatalogSpec extends SparkSpec {
       "ALTER TABLE graftcat.db.once RENAME TO graftcat.db.twice"))
   }
 
+  test("SQL DELETE FROM: copy-on-write commit, partition drop, " +
+    "time travel keeps pre-delete rows") {
+    spark.sql("CREATE TABLE graftcat.db.del " +
+      "(id BIGINT, part STRING, v BIGINT) PARTITIONED BY (part)")
+    spark.sql("INSERT INTO graftcat.db.del VALUES " +
+      "(1, 'a', 10), (2, 'a', 20), (3, 'b', 30), (4, 'c', 40)")
+    // data-column predicate: CoW rewrite of the partitions holding
+    // matches; untouched partitions' files carry by reference
+    val before = Manifest.snapshot(spark, s"$warehouse/db/del", 2L)
+    spark.sql("DELETE FROM graftcat.db.del WHERE id = 2")
+    val after = Manifest.snapshot(spark, s"$warehouse/db/del", 3L)
+    assert(before.files.filter(_.contains("part=b/"))
+      .toSet.subsetOf(after.files.toSet),
+      "untouched partition must carry files by reference")
+    // partition-column predicate: whole-partition drop
+    spark.sql("DELETE FROM graftcat.db.del WHERE part = 'c'")
+    assert(spark.sql("SELECT id FROM graftcat.db.del")
+      .as[Long].collect().toSet == Set(1L, 3L))
+    // pre-delete snapshot intact (erase with audit window)
+    assert(spark.sql(
+      "SELECT id FROM graftcat.db.del VERSION AS OF 2")
+      .as[Long].collect().toSet == Set(1L, 2L, 3L, 4L))
+    // unconditional DELETE empties the table but keeps the schema
+    spark.sql("DELETE FROM graftcat.db.del")
+    assert(spark.table("graftcat.db.del").count() == 0)
+  }
+
+  test("SQL DELETE FROM handles hive-escaped and NULL partition values") {
+    spark.sql("CREATE TABLE graftcat.db.del_esc " +
+      "(id BIGINT, part STRING) PARTITIONED BY (part)")
+    spark.sql("INSERT INTO graftcat.db.del_esc VALUES " +
+      "(1, 'a:b'), (2, 'a:b'), (3, NULL), (4, 'plain')")
+    // delete inside the escaped partition (path has a%3Ab): the old
+    // file must be dropped from the manifest, not substring-missed
+    spark.sql("DELETE FROM graftcat.db.del_esc WHERE id = 1")
+    assert(spark.sql("SELECT id FROM graftcat.db.del_esc")
+      .as[Long].collect().toSet == Set(2L, 3L, 4L))
+    // delete the NULL partition via IS NULL
+    spark.sql("DELETE FROM graftcat.db.del_esc WHERE part IS NULL")
+    assert(spark.sql("SELECT id FROM graftcat.db.del_esc")
+      .as[Long].collect().toSet == Set(2L, 4L))
+    // 3-valued DELETE: `part = 'x'` is NULL for null-partition rows —
+    // they must SURVIVE a not-equals-style delete
+    spark.sql("INSERT INTO graftcat.db.del_esc VALUES (5, NULL)")
+    spark.sql("DELETE FROM graftcat.db.del_esc WHERE part = 'plain'")
+    assert(spark.sql("SELECT id FROM graftcat.db.del_esc")
+      .as[Long].collect().toSet == Set(2L, 5L))
+  }
+
   test("identifier segments cannot traverse outside the warehouse") {
     // a backtick-quoted name carrying '..' or '/' would otherwise
     // resolve (and DROP TABLE would recursively delete) outside the

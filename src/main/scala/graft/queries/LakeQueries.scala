@@ -766,15 +766,16 @@ object LakeQueries {
         FROM d GROUP BY event_type ORDER BY event_type"""),
       kind = QueryDef.Pipeline),
 
-    // ---- R2+Manifest: EXACTLY-ONCE streaming table sink -----------------
-    // foreachBatch is at-least-once; commitStreamBatch makes the sink
-    // transactional (batch high-water mark in the manifest header →
-    // replays no-op, ManifestSpec proves the replay path). Here the
-    // full event table streams in via file-source discovery and lands
-    // in a manifest table whose latest snapshot must equal the plain
-    // batch view of the source — independent of how AvailableNow
-    // splits the micro-batches, since every commit is additive and
-    // atomic.
+    // ---- R2+Manifest: EXACTLY-ONCE native streaming table sink ----------
+    // No foreachBatch indirection: `writeStream.format("graft-manifest")`
+    // IS the transactional sink — executors stage each epoch's parquet
+    // files, the driver publishes them as one atomic manifest version
+    // carrying the (queryId, epochId) high-water mark, so replays no-op
+    // (ManifestStreamSpec proves the replay path). The full event table
+    // streams in via file-source discovery and lands in a manifest
+    // table whose latest snapshot must equal the plain batch view of
+    // the source — independent of how AvailableNow splits the
+    // micro-batches, since every commit is additive and atomic.
     QueryDef("q111_stream_manifest_sink",
       (s, dir) => {
         val root0 = Files.createTempDirectory("graft_sms").toString
@@ -787,16 +788,14 @@ object LakeQueries {
         ev.filter(col("event_id") % 2 === 1)
           .write.mode("append").parquet(s"$root0/raw")
         val schema = s.read.parquet(s"$root0/raw").schema
+        // CREATE the sink table (schema header), then stream into it
+        Manifest.init(s, table, s.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), schema))
         IngestStream.rawStream(s, s"$root0/raw", schema, "parquet")
-          .writeStream
+          .writeStream.format("graft-manifest")
           .option("checkpointLocation", s"$root0/ckpt")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .foreachBatch {
-            (b: org.apache.spark.sql.DataFrame, id: Long) =>
-              Manifest.commitStreamBatch(s, table, b, "ingest", id)
-              ()
-          }
-          .start().awaitTermination()
+          .start(table).awaitTermination()
         Manifest.read(s, table, None)
           .groupBy("event_type")
           .agg(count(lit(1)).as("n"),
@@ -1104,5 +1103,56 @@ object LakeQueries {
         FROM documents
         WHERE doc_id % 7 <> 0 AND lang <> 'fr'
         GROUP BY lang ORDER BY lang"""),
+      kind = QueryDef.Pipeline),
+
+    // ---- Fully-native incremental pipeline: source → transform → sink ---
+    // bronze→silver with ZERO driver indirection: the manifest table is
+    // both the streaming SOURCE (versions as offsets, q120) and the
+    // native SINK (executor-staged files, exactly-once epoch commits).
+    // Run 1 replays the bronze snapshot through a projection into
+    // silver; a commit lands while the stream is down; run 2 consumes
+    // exactly that delta over the same checkpoint. The oracle replays
+    // the whole pipeline relationally — a replayed epoch, a lost
+    // micro-batch, or a hive-layout/typing bug in the executor writer
+    // flips counts or sums.
+    QueryDef("q124_stream_native_pipeline",
+      (s, dir) => {
+        val base = "file://" + Files
+          .createTempDirectory("graft_npipe").toString
+        val bronze = s"$base/bronze"
+        val silver = s"$base/silver"
+        val ckpt = s"$base/ckpt"
+        val docs = Tables.load(s, dir, "documents")
+          .select("doc_id", "lang", "source", "n_chars")
+        Manifest.init(s, bronze,
+          docs.filter(col("doc_id") % 2 === 0), Seq("lang"))
+        val silverSchema = docs
+          .withColumn("n2", (col("n_chars") * 2).cast("long")).schema
+        Manifest.init(s, silver, s.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          silverSchema), Seq("lang"))
+        def runOnce(): Unit =
+          s.readStream.format("graft-manifest").load(bronze)
+            .withColumn("n2", (col("n_chars") * 2).cast("long"))
+            .writeStream.format("graft-manifest")
+            .option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start(silver).awaitTermination()
+        runOnce() // epoch 0: the even half
+        Manifest.commitAppend(s, bronze,
+          docs.filter(col("doc_id") % 2 === 1), Seq("lang"))
+        runOnce() // checkpoint restart: exactly the odd delta
+        Manifest.read(s, silver, None)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n"),
+            countDistinct("doc_id").as("ids"),
+            sum("n_chars").as("chars"), sum("n2").as("doubled"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, count(*) AS n,
+          count(DISTINCT doc_id) AS ids,
+          CAST(sum(n_chars) AS BIGINT) AS chars,
+          CAST(sum(n_chars * 2) AS BIGINT) AS doubled
+        FROM documents GROUP BY lang ORDER BY lang"""),
       kind = QueryDef.Pipeline))
 }

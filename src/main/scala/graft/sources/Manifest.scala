@@ -470,27 +470,27 @@ object Manifest {
     checkPartCols(prev, partitionCols)
     val fresh = writeCommit(spark, root, cur + 1, df, partitionCols)
     publish(spark, root, cur, prev.entries ++ fresh,
-      prev.meta ++ schemaHeaders(appendSchema(spark, root, prev, df),
+      prev.meta ++ schemaHeaders(appendSchema(spark, root, prev, df.schema),
         partitionCols))
   }
 
   /** The schema header an append-shaped commit publishes: the previous
-    * header widened with the new frame's fields. A LEGACY table (no
-    * header yet) must not publish `df.schema` alone — columns that live
-    * only in older commits' files would silently vanish from every
-    * subsequent read (relationOver selects only the header's fields) —
-    * so the first header a legacy table ever gets is the union of its
-    * ACTUAL on-disk schema (one union-read resolution, no data IO) and
-    * the new frame's. */
+    * header widened with the new commit's fields. A LEGACY table (no
+    * header yet) must not publish the new schema alone — columns that
+    * live only in older commits' files would silently vanish from
+    * every subsequent read (relationOver selects only the header's
+    * fields) — so the first header a legacy table ever gets is the
+    * union of its ACTUAL on-disk schema (one union-read resolution, no
+    * data IO) and the new commit's. */
   private def appendSchema(spark: SparkSession, root: String,
-                           prev: SnapshotMeta, df: DataFrame)
+                           prev: SnapshotMeta,
+                           add: org.apache.spark.sql.types.StructType)
       : org.apache.spark.sql.types.StructType =
     prev.schema match {
-      case Some(s) => mergeSchemas(s, df.schema)
+      case Some(s) => mergeSchemas(s, add)
       case None if prev.files.nonEmpty =>
-        mergeSchemas(legacyUnionRead(spark, root, prev.files).schema,
-          df.schema)
-      case None => df.schema
+        mergeSchemas(legacyUnionRead(spark, root, prev.files).schema, add)
+      case None => add
     }
 
   /** EXACTLY-ONCE streaming sink commit: an append-commit that records
@@ -528,8 +528,43 @@ object Manifest {
           val fresh = writeCommit(spark, root, cur + 1, df, partitionCols)
           // carry other queries' high-water marks forward
           publish(spark, root, cur, prev.entries ++ fresh,
-            prev.meta ++ schemaHeaders(appendSchema(spark, root, prev, df),
+            prev.meta ++ schemaHeaders(appendSchema(spark, root, prev, df.schema),
               partitionCols) + (metaKey -> batchId.toString))
+        }
+    }
+  }
+
+  /** EXACTLY-ONCE streaming commit of ALREADY-WRITTEN files — the
+    * driver half of the native `writeStream.format("graft-manifest")`
+    * sink, whose executors have staged the epoch's parquet files
+    * themselves ([[graft.sources.connector.ManifestDataWriter]]) and
+    * report only `(path, size)`. Identical dedup contract to
+    * [[commitStreamBatch]]: the `(queryId, batchId)` high-water mark in
+    * the header makes an epoch replay a no-op — returns None so the
+    * caller can reclaim the replayed epoch's staged files. Zone-map
+    * stats are collected here (footer reads, O(this epoch)). */
+  private[graft] def commitStreamEntries(spark: SparkSession, root: String,
+      entries: Seq[FileEntry],
+      schema: org.apache.spark.sql.types.StructType,
+      partitionCols: Seq[String], queryId: String,
+      batchId: Long): Option[Long] = {
+    val metaKey = s"batch.$queryId"
+    val stated = withStats(spark, root, entries.sortBy(_.path))
+    latestVersion(spark, root) match {
+      case None =>
+        Some(publish(spark, root, 0L, stated,
+          schemaHeaders(schema, partitionCols) +
+            (metaKey -> batchId.toString)))
+      case Some(cur) =>
+        val prev = readManifest(spark, root, cur)
+        if (prev.meta.get(metaKey).map(_.toLong).exists(_ >= batchId))
+          None // replayed epoch: no-op, caller cleans the staged files
+        else {
+          checkPartCols(prev, partitionCols)
+          Some(publish(spark, root, cur, prev.entries ++ stated,
+            prev.meta ++ schemaHeaders(
+              appendSchema(spark, root, prev, schema), partitionCols) +
+              (metaKey -> batchId.toString)))
         }
     }
   }

@@ -178,8 +178,16 @@ object ManifestConnector {
     val p = t.asPrimitiveType()
     p.getPrimitiveTypeName match {
       case BOOLEAN => BooleanType
+      case INT32
+        if p.getLogicalTypeAnnotation ==
+          LogicalTypeAnnotation.dateType() => DateType
       case INT32   => IntegerType
+      case INT64
+        if p.getLogicalTypeAnnotation ==
+          LogicalTypeAnnotation.timestampType(true,
+            LogicalTypeAnnotation.TimeUnit.MICROS) => TimestampType
       case INT64   => LongType
+      case INT96   => TimestampType // Spark's default timestamp encoding
       case FLOAT   => FloatType
       case DOUBLE  => DoubleType
       case BINARY
@@ -197,7 +205,8 @@ object ManifestConnector {
     * recursive listing per live commit dir, one parquet footer. */
   private def supportedDataType(dt: DataType): Boolean = dt match {
     case BooleanType | IntegerType | LongType | FloatType |
-         DoubleType | StringType | BinaryType => true
+         DoubleType | StringType | BinaryType | TimestampType |
+         DateType => true
     case _ => false
   }
 
@@ -649,7 +658,7 @@ final case class ManifestTable(res: ManifestConnector.Resolved)
   override def schema(): StructType = res.fullSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.MICRO_BATCH_READ,
+      TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def canDeleteWhere(predicates: Array[org.apache.spark.sql
@@ -690,6 +699,11 @@ final case class ManifestTable(res: ManifestConnector.Resolved)
                 Manifest.commitAppend(spark, res.root, data, res.partCols)
             }
           }
+        // the streaming plane of the SAME builder: executor-staged
+        // files, exactly-once epoch commits (see ManifestStreamingWrite)
+        override def toStreaming: org.apache.spark.sql.connector.write
+            .streaming.StreamingWrite =
+          new ManifestStreamingWrite(res, info.queryId(), info.schema())
       }
     }
 }
@@ -922,6 +936,11 @@ final class ManifestPartitionReader(part: ManifestInputPartition,
             case DoubleType  => g.getDouble(idx, 0)
             case FloatType   => g.getFloat(idx, 0)
             case BooleanType => g.getBoolean(idx, 0)
+            // row path decodes INT64-micros timestamps only (the
+            // connector's own write encoding); INT96 files take the
+            // vectorized path, which Spark decodes natively
+            case TimestampType => g.getLong(idx, 0)
+            case DateType      => g.getInteger(idx, 0)
             case StringType  =>
               UTF8String.fromBytes(g.getBinary(idx, 0).getBytes)
             case BinaryType  => g.getBinary(idx, 0).getBytes

@@ -121,3 +121,80 @@ final class ManifestMicroBatchStream(
   override def toString: String =
     s"ManifestMicroBatchStream(${res.root})"
 }
+
+/** Manifest tables as a NATIVE STRUCTURED STREAMING SINK —
+  * `df.writeStream.format("graft-manifest").start(root)` — closing the
+  * symmetry with the streaming source above (the reference's event
+  * pipeline is symmetric too: S3 event in → indexed out,
+  * reference: python-data-ingestions/lambda-function.py:247-275).
+  *
+  * Exactly-once without `foreachBatch`: executors stage each epoch's
+  * parquet files ([[ManifestDataWriter]]) and report `(path, size)`;
+  * the driver's `commit(epochId, ...)` publishes them as ONE atomic
+  * manifest version carrying the `(queryId, epochId)` high-water mark
+  * — a replayed epoch (restart inside the at-least-once window)
+  * becomes a no-op and its staged files are deleted, so the table
+  * never double-counts a micro-batch. The streaming query id is the
+  * dedup key: it is stable across restarts (checkpoint metadata), and
+  * distinct queries interleave commits freely.
+  *
+  * 100 TB posture: data never touches the driver — each task streams
+  * rows to shared storage; the commit is O(epoch files) metadata. Many
+  * small epochs → many small files is the expected steady state;
+  * [[graft.sources.Manifest.compact]] + vacuum are the maintenance
+  * loop, exactly as with the foreachBatch sink. */
+final class ManifestStreamingWrite(res: ManifestConnector.Resolved,
+    queryId: String,
+    schema: org.apache.spark.sql.types.StructType)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  import org.apache.spark.sql.connector.write.{PhysicalWriteInfo, WriterCommitMessage}
+  import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
+
+  private def spark = SparkSession.active
+
+  // one staging-dir family per write lifecycle; the per-epoch suffix
+  // comes from createWriter(epochId), so restarts can never collide
+  private val salt = java.util.UUID.randomUUID().toString.take(8)
+
+  private def confEntries: Array[(String, String)] = {
+    import scala.collection.JavaConverters._
+    spark.sparkContext.hadoopConfiguration.iterator().asScala
+      .map(e => (e.getKey, e.getValue)).toArray
+  }
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : StreamingDataWriterFactory =
+    ManifestWriterFactory(confEntries, res.root, s"s$salt", schema,
+      res.partCols)
+
+  private def entriesOf(messages: Array[WriterCommitMessage]) =
+    messages.toSeq.collect { case m: ManifestWriteMessage => m.entries }
+      .flatten.map { case (p, sz) => Manifest.FileEntry(p, Some(sz)) }
+
+  private def deleteStaged(entries: Seq[Manifest.FileEntry]): Unit = {
+    val root = new org.apache.hadoop.fs.Path(res.root)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    entries.foreach { e =>
+      try fs.delete(new org.apache.hadoop.fs.Path(s"${res.root}/${e.path}"),
+        false)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
+
+  override def commit(epochId: Long,
+                      messages: Array[WriterCommitMessage]): Unit = {
+    val entries = entriesOf(messages)
+    Manifest.commitStreamEntries(spark, res.root, entries, schema,
+      res.partCols, queryId, epochId) match {
+      case None => deleteStaged(entries) // replayed epoch
+      case Some(_) => ()
+    }
+  }
+
+  override def abort(epochId: Long,
+                     messages: Array[WriterCommitMessage]): Unit =
+    deleteStaged(entriesOf(messages))
+
+  override def toString: String = s"ManifestStreamingWrite(${res.root})"
+}

@@ -121,6 +121,95 @@ class ManifestStreamSpec extends SparkSpec {
       Seq(Set(1L), Set(2L), Set(3L)), batches)
   }
 
+  test("native streaming SINK: writeStream.format(graft-manifest) " +
+    "commits exactly-once per epoch; restart consumes only the delta") {
+    val base = newDir()
+    val src = s"$base/src"
+    val dst = s"$base/dst"
+    val ckpt = s"$base/ckpt"
+    Manifest.init(spark, src,
+      Seq((1L, "a", 10), (2L, "b", 20)).toDF("id", "part", "v"),
+      Seq("part"))
+    // the sink table must exist (schema header) — CREATE then stream in
+    Manifest.init(spark, dst,
+      spark.createDataFrame(new java.util.ArrayList[
+        org.apache.spark.sql.Row](),
+        Manifest.read(spark, src, None).schema), Seq("part"))
+    def runPipe(): Unit = {
+      val q = spark.readStream.format("graft-manifest").load(src)
+        .writeStream.format("graft-manifest")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start(dst)
+      q.awaitTermination()
+    }
+    def sunk = Manifest.read(spark, dst, None)
+      .select("id", "part", "v").as[(Long, String, Int)].collect().toSeq
+    runPipe()
+    assert(sunk.toSet == Set((1L, "a", 10), (2L, "b", 20)))
+    // files landed hive-partitioned and escaped like every other commit
+    assert(Manifest.read(spark, dst, None).filter(col("part") === "a")
+      .count() == 1)
+    // upstream delta flows through on restart; no replay of epoch 0
+    Manifest.commitAppend(spark, src,
+      Seq((3L, "a", 30)).toDF("id", "part", "v"), Seq("part"))
+    runPipe()
+    assert(sunk.toSet ==
+      Set((1L, "a", 10), (2L, "b", 20), (3L, "a", 30)))
+    assert(sunk.size == 3, s"duplicated rows: $sunk")
+    // idle run: no new commit on the sink (exactly-once, not at-least)
+    val vBefore = Manifest.latestVersion(spark, dst)
+    runPipe()
+    assert(Manifest.latestVersion(spark, dst) == vBefore)
+    // the connector read path (vectorized, pruned) sees the sunk table
+    assert(spark.read.format("graft-manifest").load(dst)
+      .filter(col("part") === "a").select("id")
+      .as[Long].collect().toSet == Set(1L, 3L))
+  }
+
+  test("native sink: replayed epoch is a no-op commit and its staged " +
+    "files are reclaimed") {
+    val base = newDir()
+    val dst = s"$base/t"
+    val schema = Seq((1L, "a")).toDF("id", "part").schema
+    Manifest.init(spark, dst,
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema),
+      Seq("part"))
+    import graft.sources.connector.{ManifestConnector, ManifestStreamingWrite, ManifestWriteMessage, ManifestWriterFactory}
+    val res = ManifestConnector.resolve(spark, Map("path" -> dst))
+    val w = new ManifestStreamingWrite(res, "q-replay", schema)
+    def writeEpoch(epoch: Long, id: Long): Array[
+        org.apache.spark.sql.connector.write.WriterCommitMessage] = {
+      val fac = w.createStreamingWriterFactory(null)
+      val dw = fac.createWriter(0, 0L, epoch)
+      val row = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(Array[Any](id,
+          org.apache.spark.unsafe.types.UTF8String.fromString("a")))
+      dw.write(row)
+      Array(dw.commit())
+    }
+    w.commit(0L, writeEpoch(0L, 1L))
+    val v1 = Manifest.latestVersion(spark, dst)
+    // at-least-once replay of epoch 0 (restart window): same epoch id,
+    // new staged files — must NOT commit, and must delete the orphans
+    val replayed = writeEpoch(0L, 99L)
+    val staged = replayed.collect {
+      case m: ManifestWriteMessage => m.entries.map(_._1) }.flatten
+    w.commit(0L, replayed)
+    assert(Manifest.latestVersion(spark, dst) == v1,
+      "replayed epoch must not advance the table version")
+    val fs = new org.apache.hadoop.fs.Path(dst).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    staged.foreach(p => assert(
+      !fs.exists(new org.apache.hadoop.fs.Path(s"$dst/$p")),
+      s"replayed epoch's staged file survived: $p"))
+    // next epoch commits normally
+    w.commit(1L, writeEpoch(1L, 2L))
+    assert(Manifest.read(spark, dst, None).select("id")
+      .as[Long].collect().toSet == Set(1L, 2L))
+  }
+
   test("streaming source composes with pushdown: a partition filter " +
     "keeps other partitions' files out of every micro-batch") {
     val root = newDir() + "/t"

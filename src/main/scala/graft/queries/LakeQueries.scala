@@ -1105,6 +1105,70 @@ object LakeQueries {
         GROUP BY lang ORDER BY lang"""),
       kind = QueryDef.Pipeline),
 
+    // ---- SQL MERGE INTO + UPDATE on a manifest table --------------------
+    // The full row-level-operation surface through pure SQL: a MERGE
+    // (update-matched + insert-unmatched, Spark's group-based
+    // ReplaceData rewrite over the connector's CoW scan/write) followed
+    // by an UPDATE, with a `VERSION AS OF` scalar proving the pre-merge
+    // snapshot still holds the original rows. The oracle replays both
+    // statements relationally — a lost carry-over row, a double-applied
+    // assignment, or a rewrite that touched the wrong groups all flip
+    // the per-lang sums.
+    QueryDef("q123_sql_merge",
+      (s, dir) => {
+        s.conf.set("spark.sql.catalog.graftsql",
+          classOf[graft.sources.connector.ManifestCatalog].getName)
+        if (s.conf.getOption("spark.sql.catalog.graftsql.root").isEmpty)
+          s.conf.set("spark.sql.catalog.graftsql.root",
+            "file://" + Files.createTempDirectory("graft_sqlcat").toString)
+        Tables.load(s, dir, "documents")
+          .select("doc_id", "lang", "n_chars")
+          .createOrReplaceTempView("q123_docs")
+        s.sql("DROP TABLE IF EXISTS graftsql.db.mrg_docs")
+        s.sql("CREATE TABLE graftsql.db.mrg_docs " +
+          "(doc_id BIGINT, lang STRING, n_chars BIGINT) " +
+          "PARTITIONED BY (lang)")
+        s.sql("INSERT INTO graftsql.db.mrg_docs " +
+          "SELECT doc_id, lang, n_chars FROM q123_docs")
+        s.sql("""SELECT doc_id, lang,
+            CAST(n_chars + 1000 AS BIGINT) AS n_chars
+          FROM q123_docs WHERE doc_id % 10 = 0
+          UNION ALL
+          SELECT doc_id + 100000, lang, CAST(42 AS BIGINT)
+          FROM q123_docs WHERE doc_id % 25 = 0""")
+          .createOrReplaceTempView("q123_src")
+        // v1 create, v2 insert, v3 merge, v4 update
+        s.sql("""MERGE INTO graftsql.db.mrg_docs t USING q123_src s
+          ON t.doc_id = s.doc_id
+          WHEN MATCHED THEN UPDATE SET *
+          WHEN NOT MATCHED THEN INSERT *""")
+        s.sql("UPDATE graftsql.db.mrg_docs " +
+          "SET n_chars = n_chars + 7 WHERE lang = 'de'")
+        s.sql("""SELECT lang, count(*) AS n,
+            CAST(sum(n_chars) AS BIGINT) AS chars,
+            (SELECT count(*) FROM graftsql.db.mrg_docs VERSION AS OF 2)
+              AS before_n
+          FROM graftsql.db.mrg_docs GROUP BY lang ORDER BY lang""")
+      },
+      Some("""WITH merged AS (
+          SELECT doc_id, lang,
+            CASE WHEN doc_id % 10 = 0 THEN n_chars + 1000
+                 ELSE n_chars END AS n_chars
+          FROM documents
+          UNION ALL
+          SELECT doc_id + 100000, lang, 42 FROM documents
+          WHERE doc_id % 25 = 0),
+        upd AS (
+          SELECT doc_id, lang,
+            CASE WHEN lang = 'de' THEN n_chars + 7
+                 ELSE n_chars END AS n_chars
+          FROM merged)
+        SELECT lang, count(*) AS n,
+          CAST(sum(n_chars) AS BIGINT) AS chars,
+          (SELECT count(*) FROM documents) AS before_n
+        FROM upd GROUP BY lang ORDER BY lang"""),
+      kind = QueryDef.Pipeline),
+
     // ---- Fully-native incremental pipeline: source → transform → sink ---
     // bronze→silver with ZERO driver indirection: the manifest table is
     // both the streaming SOURCE (versions as offsets, q120) and the

@@ -569,6 +569,29 @@ object Manifest {
     }
   }
 
+  /** Atomic swap-commit for a row-level rewrite (SQL UPDATE / MERGE /
+    * DELETE through the connector): next snapshot = previous files
+    * minus `removed` (the files the rewrite scan planned) plus `added`
+    * (the executor-written replacements). `expected` pins the version
+    * the rewrite READ — if the table advanced meanwhile, committing
+    * would silently drop that concurrent commit's files, so it fails
+    * loudly instead (optimistic concurrency, same as every other
+    * commit here). */
+  private[graft] def commitRewrite(spark: SparkSession, root: String,
+      expected: Long, removed: Set[String], added: Seq[FileEntry],
+      partitionCols: Seq[String]): Long = {
+    val cur = latestVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"$root not initialized"))
+    require(cur == expected,
+      s"concurrent commit: $root advanced from v$expected to v$cur " +
+        "during the row-level rewrite — retry the operation")
+    val prev = readManifest(spark, root, cur)
+    checkPartCols(prev, partitionCols)
+    val stated = withStats(spark, root, added.sortBy(_.path))
+    publish(spark, root, cur,
+      prev.entries.filterNot(e => removed(e.path)) ++ stated, prev.meta)
+  }
+
   /** Replace-commit (compaction shape): next snapshot = `df` alone.
     * Old snapshots keep reading their own files until vacuumed. */
   def commitReplace(spark: SparkSession, root: String, df: DataFrame,

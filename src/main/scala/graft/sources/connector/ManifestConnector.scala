@@ -653,7 +653,8 @@ object ManifestConnector {
   * 164-172; Athena SQL, query-data-lambda.py:195-218). */
 final case class ManifestTable(res: ManifestConnector.Resolved)
     extends Table with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDeleteV2 {
+    with org.apache.spark.sql.connector.catalog.SupportsDeleteV2
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   override def name(): String = s"graft-manifest ${res.root} v${res.version}"
   override def schema(): StructType = res.fullSchema
   override def capabilities(): java.util.Set[TableCapability] =
@@ -679,6 +680,14 @@ final case class ManifestTable(res: ManifestConnector.Resolved)
       .getOrElse(org.apache.spark.sql.functions.lit(true))
     Manifest.deleteWhere(SparkSession.active, res.root, cond, res.partCols)
   }
+
+  /** SQL UPDATE / MERGE INTO (and DELETEs whose predicates the
+    * metadata path cannot translate) — group-based copy-on-write via
+    * Spark's ReplaceData rewrite; see [[ManifestRowLevelOperation]]. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    () => new ManifestRowLevelOperation(res, info.command())
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder = new ManifestScanBuilder(res,
     Option(options.get("maxVersionsPerTrigger")).map(_.toLong))

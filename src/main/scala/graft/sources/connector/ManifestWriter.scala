@@ -144,6 +144,24 @@ final class ManifestDataWriter(confEntries: Array[(String, String)],
   }
   private val uuid = java.util.UUID.randomUUID().toString.take(8)
   private val partIdx = partCols.map(schema.fieldIndex)
+
+  /** Ordinal base for incoming rows. Group-based ReplaceData rewrites
+    * (SQL UPDATE/MERGE/DELETE) prepend Spark's `__row_operation` int
+    * marker to every replacement row, and `ReplaceDataExec` only
+    * strips it when the operation declares metadata attributes (the
+    * no-metadata path falls back to the non-projecting writing task) —
+    * so the row may be `[op, <schema fields...>]` or exactly the
+    * schema. Detected once from arity; anything else fails loudly. */
+  private var base = -1
+  private def baseOf(row: InternalRow): Int = {
+    if (base < 0) {
+      base = row.numFields - schema.length
+      require(base == 0 || base == 1,
+        s"row arity ${row.numFields} does not match write schema " +
+          s"${schema.length} (+ optional operation column)")
+    }
+    base
+  }
   private val dataFields = schema.fields.zipWithIndex
     .filterNot { case (f, _) => partCols.contains(f.name) }
   private val dataSchema = StructType(dataFields.map(_._1))
@@ -157,7 +175,9 @@ final class ManifestDataWriter(confEntries: Array[(String, String)],
   private var seq = 0
 
   private def relDirOf(row: InternalRow): String = {
-    val vals = partIdx.zip(partCols).map { case (i, c) =>
+    val b = baseOf(row)
+    val vals = partIdx.zip(partCols).map { case (i0, c) =>
+      val i = i0 + b
       if (row.isNullAt(i)) null
       else schema(c).dataType match {
         case StringType  => row.getUTF8String(i).toString
@@ -187,8 +207,10 @@ final class ManifestDataWriter(confEntries: Array[(String, String)],
     })
 
   override def write(row: InternalRow): Unit = {
+    val b = baseOf(row)
     val g = groupFactory.newGroup()
-    dataFields.foreach { case (f, i) =>
+    dataFields.foreach { case (f, i0) =>
+      val i = i0 + b
       if (!row.isNullAt(i)) f.dataType match {
         case BooleanType => g.add(f.name, row.getBoolean(i))
         case IntegerType => g.add(f.name, row.getInt(i))

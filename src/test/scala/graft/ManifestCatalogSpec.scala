@@ -165,6 +165,78 @@ class ManifestCatalogSpec extends SparkSpec {
       .as[Long].collect().toSet == Set(2L, 5L))
   }
 
+  test("SQL UPDATE: group-based copy-on-write rewrite; untouched " +
+    "partitions carry files by reference; time travel intact") {
+    spark.sql("CREATE TABLE graftcat.db.upd " +
+      "(id BIGINT, part STRING, v BIGINT) PARTITIONED BY (part)")
+    spark.sql("INSERT INTO graftcat.db.upd VALUES " +
+      "(1, 'a', 10), (2, 'a', 20), (3, 'b', 30), (4, 'c', 40)")
+    val root = s"$warehouse/db/upd"
+    val before = Manifest.snapshot(spark, root, 2L)
+    // static group pruning: the condition names the partition column,
+    // so only part='a' files are rewritten
+    spark.sql("UPDATE graftcat.db.upd SET v = v + 100 " +
+      "WHERE part = 'a' AND id % 2 = 0")
+    val after = Manifest.snapshot(spark, root, 3L)
+    assert(before.files.filterNot(_.contains("part=a/"))
+      .toSet.subsetOf(after.files.toSet),
+      "untouched partitions must carry files by reference")
+    assert(spark.sql("SELECT id, v FROM graftcat.db.upd ORDER BY id")
+      .as[(Long, Long)].collect().toSeq ==
+      Seq((1L, 10L), (2L, 120L), (3L, 30L), (4L, 40L)))
+    // arbitrary-expression UPDATE (no partition hint): still correct
+    spark.sql("UPDATE graftcat.db.upd SET v = v * 10 " +
+      "WHERE length(part) + id = 4")
+    assert(spark.sql("SELECT id, v FROM graftcat.db.upd ORDER BY id")
+      .as[(Long, Long)].collect().toSeq ==
+      Seq((1L, 10L), (2L, 120L), (3L, 300L), (4L, 40L)))
+    // pre-update snapshot intact
+    assert(spark.sql(
+      "SELECT v FROM graftcat.db.upd VERSION AS OF 2 ORDER BY v")
+      .as[Long].collect().toSeq == Seq(10L, 20L, 30L, 40L))
+  }
+
+  test("SQL MERGE INTO: upsert through the row-level rewrite; runtime " +
+    "group filtering keeps unmatched partitions untouched") {
+    spark.sql("CREATE TABLE graftcat.db.mrg " +
+      "(id BIGINT, part STRING, v BIGINT) PARTITIONED BY (part)")
+    spark.sql("INSERT INTO graftcat.db.mrg VALUES " +
+      "(1, 'a', 10), (2, 'a', 20), (3, 'b', 30), (4, 'c', 40)")
+    Seq((2L, "a", 999L), (5L, "a", 50L))
+      .toDF("id", "part", "v").createOrReplaceTempView("mrg_src")
+    val root = s"$warehouse/db/mrg"
+    val before = Manifest.snapshot(spark, root, 2L)
+    spark.sql("""MERGE INTO graftcat.db.mrg t USING mrg_src s
+      ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    assert(spark.sql("SELECT id, part, v FROM graftcat.db.mrg ORDER BY id")
+      .as[(Long, String, Long)].collect().toSeq ==
+      Seq((1L, "a", 10L), (2L, "a", 999L), (3L, "b", 30L),
+        (4L, "c", 40L), (5L, "a", 50L)))
+    // MERGE with delete action
+    spark.sql("""MERGE INTO graftcat.db.mrg t USING mrg_src s
+      ON t.id = s.id
+      WHEN MATCHED AND s.v > 100 THEN DELETE
+      WHEN MATCHED THEN UPDATE SET t.v = s.v""")
+    assert(spark.sql("SELECT id, v FROM graftcat.db.mrg ORDER BY id")
+      .as[(Long, Long)].collect().toSeq ==
+      Seq((1L, 10L), (3L, 30L), (4L, 40L), (5L, 50L)))
+    // pre-merge snapshot intact (time travel over DML history)
+    assert(spark.sql(
+      "SELECT id FROM graftcat.db.mrg VERSION AS OF 2 ORDER BY id")
+      .as[Long].collect().toSeq == Seq(1L, 2L, 3L, 4L))
+    // the merges touched only part='a': b and c files of v2 must
+    // still be referenced by the LATEST manifest (runtime group
+    // filtering / static pruning kept them out of the rewrite)
+    val latest = Manifest.latestVersion(spark, root).get
+    val cur = Manifest.snapshot(spark, root, latest)
+    assert(before.files.filterNot(_.contains("part=a/"))
+      .toSet.subsetOf(cur.files.toSet),
+      s"untouched partitions were rewritten:\n  v2: ${before.files}\n" +
+        s"  v$latest: ${cur.files}")
+  }
+
   test("identifier segments cannot traverse outside the warehouse") {
     // a backtick-quoted name carrying '..' or '/' would otherwise
     // resolve (and DROP TABLE would recursively delete) outside the

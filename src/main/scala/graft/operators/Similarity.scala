@@ -240,10 +240,35 @@ object Similarity {
     * Returns the corpus with `cid`, `sim` (cosine to centroid) and
     * `is_dup`. Survivors = `!is_dup`. The assignment subplan is
     * deterministic, so its two consumers (pair sides) can recompute
-    * freely — nothing corpus-sized is pinned. */
+    * freely — nothing corpus-sized is pinned.
+    *
+    * CLUSTER-SIZE FENCE: the pairwise stage is quadratic WITHIN a
+    * cluster, so a degenerate clustering (skewed corpus, k too small)
+    * must fail loudly instead of silently going all-pairs. The largest
+    * cluster is checked against `maxClusterSize` (0 = auto: 8× the
+    * even split `n/k`, floored at 4096 so small corpora never trip) —
+    * the paper's own scaling discipline, k ∝ n, expressed as an
+    * invariant. The check is one metadata-sized aggregate (k rows)
+    * over the deterministic assignment subplan. On violation: raise
+    * `k` (∝ corpus size / target cluster size) or, if the skew is
+    * semantic (a true mega-cluster of near-identicals), pre-split with
+    * a cheaper exact/minhash pass. */
   def semDedup(emb: DataFrame, idCol: String, vecCol: String,
-               k: Int, iters: Int, threshold: Double): DataFrame = {
+               k: Int, iters: Int, threshold: Double,
+               maxClusterSize: Long = 0L): DataFrame = {
     val assigned = kmeansAssign(emb, idCol, vecCol, k, iters)
+    val szRow = assigned.groupBy(col("cid")).count()
+      .agg(max("count"), sum("count")).head()
+    val (largest, n) =
+      if (szRow.isNullAt(0)) (0L, 0L)
+      else (szRow.getLong(0), szRow.getLong(1))
+    val bound = if (maxClusterSize > 0) maxClusterSize
+      else math.max(4096L, 8L * (n / math.max(k, 1) + 1))
+    require(largest <= bound,
+      s"semDedup cluster-size fence: largest cluster holds $largest of " +
+        s"$n items (bound $bound for k=$k) — the within-cluster " +
+        "pairwise stage would be quadratic in it; increase k " +
+        "(keep n/k roughly constant) or raise maxClusterSize")
     val left = assigned.select(col("cid"), col(idCol).as("id_a"),
       col("v").as("va"))
     val right = assigned.select(col("cid"), col(idCol).as("id_b"),

@@ -3,11 +3,14 @@ package graft.sources.connector
 import org.apache.hadoop.fs.Path
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Column, Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange, TableInfo}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{Column, Identifier, NamespaceChange, ProcedureCatalog, SupportsNamespaces, Table, TableCatalog, TableChange, TableInfo}
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.types.StructField
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.sources.Manifest
@@ -42,7 +45,8 @@ import graft.sources.Manifest
   * (the manifest header merge), and a rename under snapshot readers
   * cannot be made atomic on a plain filesystem.
   */
-class ManifestCatalog extends TableCatalog with SupportsNamespaces {
+class ManifestCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -230,4 +234,95 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces {
           "use DROP NAMESPACE ... CASCADE")
     fs.delete(p, true)
   }
+
+  // ---- procedures: table maintenance without the Scala API -------------
+  //
+  //   CALL <catalog>.system.compact(table => 'db.t' [, small_bytes =>
+  //     n, target_bytes => n])                 → (version, files)
+  //   CALL <catalog>.system.vacuum(table => 'db.t' [, keep_versions =>
+  //     n])                                    → (removed_files)
+  //
+  // The stored-procedure analog of OPTIMIZE/VACUUM — SQL-only sessions
+  // can run the maintenance loop the streaming sink's many small
+  // commits require.
+
+  /** `db.t` (as passed to a procedure's `table` arg) → table root. */
+  private[connector] def tableRoot(table: String): String = {
+    val parts = table.split('.').toSeq
+    require(parts.nonEmpty, "empty table name")
+    val path = (warehouse +: parts.map(checkSegment)).mkString("/")
+    require(Manifest.latestVersion(spark, path).isDefined,
+      s"$table is not a manifest table of catalog $catalogName")
+    path
+  }
+
+  private def oneRowScan(schema: StructType,
+                         values: Array[Any]): java.util.Iterator[Scan] =
+    java.util.Collections.singletonList[Scan](new LocalScan {
+      override def rows(): Array[InternalRow] =
+        Array(new GenericInternalRow(values))
+      override def readSchema(): StructType = schema
+    }).iterator()
+
+  private object CompactProcedure extends UnboundProcedure
+      with BoundProcedure {
+    override def name(): String = "compact"
+    override def description(): String =
+      "bin-pack a manifest table's small files (Manifest.compact)"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("small_bytes", LongType)
+        .defaultValue((32L * 1024 * 1024).toString).build(),
+      ProcedureParameter.in("target_bytes", LongType)
+        .defaultValue((128L * 1024 * 1024).toString).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val root = tableRoot(input.getUTF8String(0).toString)
+      val v = Manifest.compact(spark, root, input.getLong(1),
+        input.getLong(2))
+      oneRowScan(
+        StructType(Seq(StructField("version", LongType, false),
+          StructField("files", LongType, false))),
+        Array[Any](v, Manifest.snapshot(spark, root, v).files.size.toLong))
+    }
+  }
+
+  private object VacuumProcedure extends UnboundProcedure
+      with BoundProcedure {
+    override def name(): String = "vacuum"
+    override def description(): String =
+      "drop old snapshots and delete unreferenced files (Manifest.vacuum)"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("keep_versions", IntegerType)
+        .defaultValue("2").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val root = tableRoot(input.getUTF8String(0).toString)
+      val removed = Manifest.vacuum(spark, root, input.getInt(1))
+      oneRowScan(
+        StructType(Seq(StructField("removed_files", LongType, false))),
+        Array[Any](removed.size.toLong))
+    }
+  }
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    require(ident.namespace.isEmpty ||
+      ident.namespace.toSeq == Seq("system"),
+      s"unknown procedure namespace ${ident.namespace.mkString(".")}")
+    ident.name.toLowerCase match {
+      case "compact" => CompactProcedure
+      case "vacuum"  => VacuumProcedure
+      case other => throw new UnsupportedOperationException(
+        s"catalog $catalogName has no procedure '$other' " +
+          "(available: compact, vacuum)")
+    }
+  }
+
+  override def listProcedures(namespace: Array[String])
+      : Array[Identifier] =
+    Array(Identifier.of(Array("system"), "compact"),
+      Identifier.of(Array("system"), "vacuum"))
 }

@@ -820,7 +820,16 @@ final class ManifestScan(res: ManifestConnector.Resolved,
     // exactly when its surviving files fit the threshold
     override def sizeInBytes(): OptionalLong =
       OptionalLong.of(plannedFiles.map(_.size).sum max 1L)
-    override def numRows(): OptionalLong = OptionalLong.empty()
+    // exact post-pruning row count from the manifest zone maps (files
+    // are immutable, so the commit-time footer count is exact) — AQE
+    // and join-strategy costing see real cardinalities, not a guess
+    // derived from bytes. Absent only when a pre-stats file survives
+    // pruning.
+    override def numRows(): OptionalLong = {
+      val rs = plannedFiles.map(_.stats.map(_.rows))
+      if (rs.forall(_.isDefined)) OptionalLong.of(rs.flatMap(_.toSeq).sum)
+      else OptionalLong.empty()
+    }
   }
 }
 

@@ -30,6 +30,29 @@ class IvfSpec extends SparkSpec {
     assert(out.values.count(_ == false) == 3)
   }
 
+  test("semDedup cluster-size fence: a skewed corpus that collapses " +
+    "into one cluster fails loudly instead of going all-pairs") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // 64 near-identical vectors + 1 outlier, k=2: (at least) 64 land
+    // in one cluster — over an explicit bound of 16, the quadratic
+    // fence must throw, naming the violation
+    val skewed = ((1L to 64L).map(i =>
+      (i, Array(1.0f, 0.0001f * i, 0.0f))) :+
+      (65L, Array(0.0f, 0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.semDedup(skewed, "vec_id", "embedding", k = 2,
+        iters = 1, threshold = 0.99, maxClusterSize = 16L)
+        .count()
+    }
+    assert(e.getMessage.contains("cluster-size fence"), e.getMessage)
+    // the same corpus under the default (auto) bound stays fine —
+    // small corpora never trip the floor
+    assert(Similarity.semDedup(skewed, "vec_id", "embedding", k = 2,
+      iters = 1, threshold = 0.99).count() == 65L)
+  }
+
   import spark.implicits._
 
   // Two tight clusters around orthogonal axes + the query vector.

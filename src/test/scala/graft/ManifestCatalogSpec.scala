@@ -237,6 +237,37 @@ class ManifestCatalogSpec extends SparkSpec {
         s"  v$latest: ${cur.files}")
   }
 
+  test("CALL system.compact / system.vacuum: table maintenance through " +
+    "pure SQL") {
+    spark.sql("CREATE TABLE graftcat.db.maint " +
+      "(id BIGINT, part STRING) PARTITIONED BY (part)")
+    spark.sql("INSERT INTO graftcat.db.maint VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO graftcat.db.maint VALUES (3, 'a')")
+    spark.sql("INSERT INTO graftcat.db.maint VALUES (4, 'b')")
+    val root = s"$warehouse/db/maint"
+    val filesBefore = Manifest.snapshot(spark, root, 4L).files.size
+    // everything is tiny → every file is a compaction victim
+    val res = spark.sql("CALL graftcat.system.compact(" +
+      "table => 'db.maint', target_bytes => 1073741824)")
+      .as[(Long, Long)].collect().toSeq
+    assert(res.size == 1)
+    val (v, files) = res.head
+    assert(v == 5L && files < filesBefore, s"v=$v files=$files")
+    assert(spark.sql("SELECT id FROM graftcat.db.maint")
+      .as[Long].collect().toSet == Set(1L, 2L, 3L, 4L))
+    // vacuum with retention 1: only the compacted snapshot's files
+    // survive; the pre-compaction originals are reclaimed
+    val removed = spark.sql("CALL graftcat.system.vacuum(" +
+      "table => 'db.maint', keep_versions => 1)")
+      .as[Long].collect().head
+    assert(removed >= filesBefore.toLong,
+      s"expected >= $filesBefore reclaimed, got $removed")
+    assert(spark.sql("SELECT id FROM graftcat.db.maint")
+      .as[Long].collect().toSet == Set(1L, 2L, 3L, 4L))
+    // unknown procedure fails loudly
+    intercept[Exception](spark.sql("CALL graftcat.system.nope()"))
+  }
+
   test("identifier segments cannot traverse outside the warehouse") {
     // a backtick-quoted name carrying '..' or '/' would otherwise
     // resolve (and DROP TABLE would recursively delete) outside the

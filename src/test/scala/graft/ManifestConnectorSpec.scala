@@ -141,6 +141,44 @@ class ManifestConnectorSpec extends SparkSpec {
       .filter($"part" === "p1").select($"id"))
     assert(pruned.estimateStatistics().sizeInBytes.getAsLong <
       all.estimateStatistics().sizeInBytes.getAsLong)
+    // ...and row counts are EXACT (manifest zone-map rows), not
+    // byte-derived guesses
+    val total = Manifest.read(spark, root).count()
+    val p1 = Manifest.read(spark, root).filter($"part" === "p1").count()
+    assert(all.estimateStatistics().numRows.getAsLong == total)
+    assert(pruned.estimateStatistics().numRows.getAsLong == p1)
+  }
+
+  test("a pruned connector scan under a join flips to broadcast from " +
+    "its post-pruning statistics") {
+    val root = newRoot()
+    // one small partition, one much larger one: the pruned scan's
+    // surviving bytes fit the broadcast threshold; the full scan's
+    // do not
+    val small = (1 to 10).map(i => (i.toLong, "s", s"v$i"))
+    val big = (1 to 20000).map(i =>
+      (i.toLong + 100, "b", ("x" * 64) + i))
+    Manifest.init(spark, root,
+      (small ++ big).toDF("id", "part", "text"), Seq("part"))
+    // probe side sits ABOVE the broadcast threshold, so the only
+    // broadcastable side is the (pruned) connector scan
+    val probe = spark.range(20000).select($"id", ($"id" * 2).as("w"))
+    def joinPlan(pruned: Boolean): String = {
+      val scan = if (pruned)
+        connRead(root).filter($"part" === "s") else connRead(root)
+      probe.join(scan, "id").queryExecution.executedPlan.toString
+    }
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "65536")
+      val prunedPlan = joinPlan(pruned = true)
+      assert(prunedPlan.contains("BroadcastHashJoin") &&
+        prunedPlan.contains("BuildRight"),
+        s"pruned scan (small surviving bytes) must broadcast:\n$prunedPlan")
+      assert(!joinPlan(pruned = false).contains("BroadcastHashJoin"),
+        "with both sides above the threshold nothing may broadcast")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
   }
 
   test("connector scans decode vectorized: columnar batches behind a " +

@@ -238,9 +238,14 @@ object Similarity {
     * product in index order).
     *
     * Returns the corpus with `cid`, `sim` (cosine to centroid) and
-    * `is_dup`. Survivors = `!is_dup`. The assignment subplan is
-    * deterministic, so its two consumers (pair sides) can recompute
-    * freely — nothing corpus-sized is pinned.
+    * `is_dup`. Survivors = `!is_dup`. The assignment is computed ONCE:
+    * the fence aggregate below materializes it into a `persist`
+    * (MEMORY_AND_DISK, lineage kept), and the three downstream
+    * consumers — both pair sides and the final join — read the cached
+    * blocks instead of re-running the O(n·k·d) assignment math each.
+    * Lineage is kept, so an evicted/lost block transparently
+    * recomputes (the deterministic-subplan property that made
+    * recompute safe also makes the cache safe).
     *
     * CLUSTER-SIZE FENCE: the pairwise stage is quadratic WITHIN a
     * cluster, so a degenerate clustering (skewed corpus, k too small)
@@ -257,6 +262,7 @@ object Similarity {
                k: Int, iters: Int, threshold: Double,
                maxClusterSize: Long = 0L): DataFrame = {
     val assigned = kmeansAssign(emb, idCol, vecCol, k, iters)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val szRow = assigned.groupBy(col("cid")).count()
       .agg(max("count"), sum("count")).head()
     val (largest, n) =

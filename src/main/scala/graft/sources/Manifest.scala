@@ -170,17 +170,21 @@ object Manifest {
       listed.map(e => e.copy(stats = statsFor.getOrElse(e.path, None)))
     }
 
-  /** Highest committed version, or None for an uninitialized root. */
-  def latestVersion(spark: SparkSession, root: String): Option[Long] = {
+  /** All committed versions, ascending (one manifest-dir listing). */
+  def versions(spark: SparkSession, root: String): Seq[Long] = {
     val (fs, _) = fsOf(spark, root)
     val md = new Path(manifestDir(root))
-    if (!fs.exists(md)) None
+    if (!fs.exists(md)) Nil
     else fs.listStatus(md).iterator
       .map(_.getPath.getName)
       .collect { case n if n.startsWith("v") && n.endsWith(".txt") =>
         n.stripPrefix("v").stripSuffix(".txt").toLong }
-      .maxOption
+      .toSeq.sorted
   }
+
+  /** Highest committed version, or None for an uninitialized root. */
+  def latestVersion(spark: SparkSession, root: String): Option[Long] =
+    versions(spark, root).lastOption
 
   /** `#key=value` header lines carry commit metadata: the snapshot's
     * `schema` (Spark JSON) and `partcols`, streaming batch high-water
@@ -590,6 +594,30 @@ object Manifest {
     val stated = withStats(spark, root, added.sortBy(_.path))
     publish(spark, root, cur,
       prev.entries.filterNot(e => removed(e.path)) ++ stated, prev.meta)
+  }
+
+  /** METADATA-ONLY schema evolution (the ALTER TABLE ADD COLUMN
+    * commit): next snapshot = the same files under a schema header
+    * widened with `add`'s fields (forced nullable — existing files
+    * read them back NULL, the same contract append-evolution has).
+    * Zero data IO, time-travelable like every commit: pinned readers
+    * of older versions keep the narrower schema. Type conflicts with
+    * existing columns fail loudly (mergeSchemas). */
+  def commitAddColumns(spark: SparkSession, root: String,
+      add: org.apache.spark.sql.types.StructType): Long = {
+    val cur = latestVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"$root not initialized"))
+    val prev = readManifest(spark, root, cur)
+    val nullable = org.apache.spark.sql.types.StructType(
+      add.fields.map(_.copy(nullable = true)))
+    val existing = prev.schema.map(_.fieldNames.toSet).getOrElse(Set.empty)
+    val dup = nullable.fieldNames.filter(existing)
+    require(dup.isEmpty,
+      s"column(s) ${dup.mkString(", ")} already exist in $root")
+    publish(spark, root, cur, prev.entries,
+      prev.meta ++ schemaHeaders(
+        appendSchema(spark, root, prev, nullable),
+        prev.partCols.getOrElse(Nil)))
   }
 
   /** Replace-commit (compaction shape): next snapshot = `df` alone.

@@ -150,11 +150,29 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces
   override def createTable(ident: Identifier, info: TableInfo): Table =
     create(ident, toStructType(info.columns), info.partitions)
 
+  /** `ALTER TABLE ... ADD COLUMN(S)` = a METADATA-ONLY commit widening
+    * the schema header (existing files read the new columns back NULL;
+    * pinned readers of older versions keep the narrower schema). All
+    * other alterations stay unsupported: types/renames cannot be
+    * rewritten in place under snapshot readers, and schema also evolves
+    * implicitly through append commits. */
   override def alterTable(ident: Identifier,
-                          changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE is not supported on manifest tables; schema evolves " +
-        "through append commits (new columns arrive nullable)")
+                          changes: TableChange*): Table = {
+    val adds = changes.collect { case a: TableChange.AddColumn => a }
+    if (adds.size != changes.size)
+      throw new UnsupportedOperationException(
+        "manifest tables support ALTER TABLE ADD COLUMN(S) only; " +
+          "other schema changes cannot be made in place under " +
+          "snapshot readers")
+    val fields = adds.map { a =>
+      require(a.fieldNames.length == 1,
+        s"cannot add nested column ${a.fieldNames.mkString(".")} " +
+          "(flat schemas only)")
+      StructField(a.fieldNames.head, a.dataType, nullable = true)
+    }
+    Manifest.commitAddColumns(spark, pathOf(ident), StructType(fields))
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val p = new Path(pathOf(ident))
@@ -308,6 +326,35 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces
     }
   }
 
+  private object HistoryProcedure extends UnboundProcedure
+      with BoundProcedure {
+    override def name(): String = "history"
+    override def description(): String =
+      "list a manifest table's snapshots (version, files, bytes)"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] =
+      Array(ProcedureParameter.in("table", StringType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val root = tableRoot(input.getUTF8String(0).toString)
+      val schema = StructType(Seq(
+        StructField("version", LongType, false),
+        StructField("files", LongType, false),
+        StructField("bytes", LongType, false)))
+      // NOTE: named distinctly from LocalScan.rows() — referring to a
+      // same-named outer val inside the anon class self-recurses
+      val snapRows = Manifest.versions(spark, root).map { v =>
+        val m = Manifest.snapshotMeta(spark, root, v)
+        new GenericInternalRow(Array[Any](v, m.entries.size.toLong,
+          m.entries.flatMap(_.size).sum)): InternalRow
+      }.toArray
+      java.util.Collections.singletonList[Scan](new LocalScan {
+        override def rows(): Array[InternalRow] = snapRows
+        override def readSchema(): StructType = schema
+      }).iterator()
+    }
+  }
+
   override def loadProcedure(ident: Identifier): UnboundProcedure = {
     require(ident.namespace.isEmpty ||
       ident.namespace.toSeq == Seq("system"),
@@ -315,14 +362,16 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces
     ident.name.toLowerCase match {
       case "compact" => CompactProcedure
       case "vacuum"  => VacuumProcedure
+      case "history" => HistoryProcedure
       case other => throw new UnsupportedOperationException(
         s"catalog $catalogName has no procedure '$other' " +
-          "(available: compact, vacuum)")
+          "(available: compact, vacuum, history)")
     }
   }
 
   override def listProcedures(namespace: Array[String])
       : Array[Identifier] =
     Array(Identifier.of(Array("system"), "compact"),
-      Identifier.of(Array("system"), "vacuum"))
+      Identifier.of(Array("system"), "vacuum"),
+      Identifier.of(Array("system"), "history"))
 }

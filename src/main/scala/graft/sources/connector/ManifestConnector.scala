@@ -657,6 +657,18 @@ final case class ManifestTable(res: ManifestConnector.Resolved)
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   override def name(): String = s"graft-manifest ${res.root} v${res.version}"
   override def schema(): StructType = res.fullSchema
+
+  /** Surface snapshot facts to DESCRIBE EXTENDED / SHOW TBLPROPERTIES:
+    * pinned version, layout, and the planned file/byte footprint. */
+  override def properties(): java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    m.put("format", "graft-manifest")
+    m.put("version", res.version.toString)
+    m.put("partition-columns", res.partCols.mkString(","))
+    m.put("files", res.files.length.toString)
+    m.put("size-bytes", res.files.map(_.size).sum.toString)
+    m
+  }
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE,

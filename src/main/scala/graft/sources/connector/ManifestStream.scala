@@ -185,11 +185,23 @@ final class ManifestStreamingWrite(res: ManifestConnector.Resolved,
   override def commit(epochId: Long,
                       messages: Array[WriterCommitMessage]): Unit = {
     val entries = entriesOf(messages)
-    Manifest.commitStreamEntries(spark, res.root, entries, schema,
-      res.partCols, queryId, epochId) match {
-      case None => deleteStaged(entries) // replayed epoch
-      case Some(_) => ()
+    // a concurrent BATCH committer racing the sink loses us only the
+    // version claim, not data — commitStreamEntries re-reads latest on
+    // every attempt (and the high-water mark still dedups), so a few
+    // bounded retries ride out interleaved writers instead of failing
+    // the whole streaming query
+    var attempt = 0
+    var committed: Option[Option[Long]] = None
+    while (committed.isEmpty) {
+      try committed = Some(Manifest.commitStreamEntries(spark, res.root,
+        entries, schema, res.partCols, queryId, epochId))
+      catch {
+        case e: IllegalStateException
+            if e.getMessage.contains("commit conflict") && attempt < 3 =>
+          attempt += 1
+      }
     }
+    if (committed.get.isEmpty) deleteStaged(entries) // replayed epoch
   }
 
   override def abort(epochId: Long,

@@ -103,15 +103,17 @@ class ManifestCatalogSpec extends SparkSpec {
   }
 
   test("catalog refuses what it cannot make safe: duplicate create, " +
-    "non-identity partitioning, ALTER, RENAME") {
+    "non-identity partitioning, in-place type changes, RENAME") {
     spark.sql("CREATE TABLE graftcat.db.once (id BIGINT)")
     intercept[Exception](
       spark.sql("CREATE TABLE graftcat.db.once (id BIGINT)"))
     intercept[Exception](spark.sql(
       "CREATE TABLE graftcat.db.bucketed (id BIGINT, b STRING) " +
         "PARTITIONED BY (bucket(4, id))"))
+    // ADD COLUMN is supported (metadata-only commit); everything that
+    // would need an in-place rewrite under snapshot readers is not
     intercept[Exception](spark.sql(
-      "ALTER TABLE graftcat.db.once ADD COLUMN x BIGINT"))
+      "ALTER TABLE graftcat.db.once ALTER COLUMN id TYPE STRING"))
     intercept[Exception](spark.sql(
       "ALTER TABLE graftcat.db.once RENAME TO graftcat.db.twice"))
   }
@@ -266,6 +268,57 @@ class ManifestCatalogSpec extends SparkSpec {
       .as[Long].collect().toSet == Set(1L, 2L, 3L, 4L))
     // unknown procedure fails loudly
     intercept[Exception](spark.sql("CALL graftcat.system.nope()"))
+  }
+
+  test("ALTER TABLE ADD COLUMN: metadata-only schema widening; old " +
+    "files read NULL; pinned versions keep the narrower schema") {
+    spark.sql("CREATE TABLE graftcat.db.evolve (id BIGINT, part STRING) " +
+      "PARTITIONED BY (part)")
+    spark.sql("INSERT INTO graftcat.db.evolve VALUES (1, 'a'), (2, 'b')")
+    val root = s"$warehouse/db/evolve"
+    val filesBefore = Manifest.snapshot(spark, root, 2L).files
+    spark.sql("ALTER TABLE graftcat.db.evolve ADD COLUMN score BIGINT")
+    // v3: SAME files, wider header — zero data IO
+    assert(Manifest.snapshot(spark, root, 3L).files == filesBefore)
+    assert(spark.table("graftcat.db.evolve").schema.fieldNames.toSeq ==
+      Seq("id", "part", "score"))
+    assert(spark.sql("SELECT id, score FROM graftcat.db.evolve")
+      .as[(Long, Option[Long])].collect().toSet ==
+      Set((1L, None), (2L, None)))
+    // new writes fill the column; old files still read NULL
+    spark.sql("INSERT INTO graftcat.db.evolve VALUES (3, 'a', 30)")
+    assert(spark.sql(
+      "SELECT sum(score) FROM graftcat.db.evolve").as[Long].head == 30L)
+    // pinned pre-ALTER snapshot keeps the narrower schema
+    assert(spark.sql(
+      "SELECT * FROM graftcat.db.evolve VERSION AS OF 2")
+      .schema.fieldNames.toSeq == Seq("id", "part"))
+    // duplicates and non-ADD alterations fail loudly
+    intercept[Exception](spark.sql(
+      "ALTER TABLE graftcat.db.evolve ADD COLUMN id BIGINT"))
+    intercept[Exception](spark.sql(
+      "ALTER TABLE graftcat.db.evolve DROP COLUMN score"))
+  }
+
+  test("CALL system.history lists every snapshot with its footprint; " +
+    "table properties surface snapshot facts") {
+    spark.sql("CREATE TABLE graftcat.db.hist (id BIGINT)")
+    spark.sql("INSERT INTO graftcat.db.hist VALUES (1)")
+    spark.sql("INSERT INTO graftcat.db.hist VALUES (2)")
+    val hist = spark.sql("CALL graftcat.system.history(table => 'db.hist')")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(hist.map(_._1) == Seq(1L, 2L, 3L), hist)
+    assert(hist.last._2 > hist(1)._2 && hist.last._3 > hist(1)._3,
+      s"footprint must grow across appends: $hist")
+    val props = spark.sessionState.catalogManager.catalog("graftcat")
+      .asInstanceOf[ManifestCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier
+        .of(Array("db"), "hist")).properties()
+    assert(props.get("version") == "3")
+    // CREATE's zero-row init writes one empty file, each INSERT one more;
+    // properties must agree with what history reports for the same version
+    assert(props.get("files") == hist.last._2.toString)
+    assert(props.get("size-bytes") == hist.last._3.toString)
   }
 
   test("identifier segments cannot traverse outside the warehouse") {

@@ -1218,5 +1218,46 @@ object LakeQueries {
           CAST(sum(n_chars) AS BIGINT) AS chars,
           CAST(sum(n_chars * 2) AS BIGINT) AS doubled
         FROM documents GROUP BY lang ORDER BY lang"""),
+      kind = QueryDef.Pipeline),
+
+    // ---- SQL schema evolution: ALTER TABLE ADD COLUMN mid-lifecycle -----
+    // A metadata-only commit widens the schema between two inserts: rows
+    // written BEFORE the ALTER read the new column back NULL, rows after
+    // fill it, and a `VERSION AS OF` scalar pins the pre-ALTER snapshot.
+    // count(n_chars) vs count(*) splits the two populations — a widened
+    // header that rewrote data, a NULL-fill bug, or an ALTER that broke
+    // time travel all flip the row.
+    QueryDef("q125_sql_evolve",
+      (s, dir) => {
+        s.conf.set("spark.sql.catalog.graftsql",
+          classOf[graft.sources.connector.ManifestCatalog].getName)
+        if (s.conf.getOption("spark.sql.catalog.graftsql.root").isEmpty)
+          s.conf.set("spark.sql.catalog.graftsql.root",
+            "file://" + Files.createTempDirectory("graft_sqlcat").toString)
+        Tables.load(s, dir, "documents")
+          .select("doc_id", "lang", "n_chars")
+          .createOrReplaceTempView("q125_docs")
+        s.sql("DROP TABLE IF EXISTS graftsql.db.evo_docs")
+        s.sql("CREATE TABLE graftsql.db.evo_docs " +
+          "(doc_id BIGINT, lang STRING) PARTITIONED BY (lang)")
+        s.sql("INSERT INTO graftsql.db.evo_docs " +
+          "SELECT doc_id, lang FROM q125_docs WHERE doc_id % 2 = 0")
+        // v1 create, v2 narrow insert, v3 ALTER (zero data IO), v4 insert
+        s.sql("ALTER TABLE graftsql.db.evo_docs ADD COLUMN n_chars BIGINT")
+        s.sql("INSERT INTO graftsql.db.evo_docs " +
+          "SELECT doc_id, lang, n_chars FROM q125_docs WHERE doc_id % 2 = 1")
+        s.sql("""SELECT lang, count(*) AS n,
+            count(n_chars) AS filled,
+            CAST(sum(n_chars) AS BIGINT) AS chars,
+            (SELECT count(*) FROM graftsql.db.evo_docs VERSION AS OF 2)
+              AS before_n
+          FROM graftsql.db.evo_docs GROUP BY lang ORDER BY lang""")
+      },
+      Some("""SELECT lang, count(*) AS n,
+          count(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS filled,
+          CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS BIGINT)
+            AS chars,
+          (SELECT count(*) FROM documents WHERE doc_id % 2 = 0) AS before_n
+        FROM documents GROUP BY lang ORDER BY lang"""),
       kind = QueryDef.Pipeline))
 }

@@ -1259,5 +1259,95 @@ object LakeQueries {
             AS chars,
           (SELECT count(*) FROM documents WHERE doc_id % 2 = 0) AS before_n
         FROM documents GROUP BY lang ORDER BY lang"""),
+      kind = QueryDef.Pipeline),
+
+    // ---- Timestamp time travel: TIMESTAMP AS OF through SQL -------------
+    // Every commit stamps its wall-clock into the manifest header;
+    // `TIMESTAMP AS OF` resolves to the newest snapshot committed at or
+    // before the given time (commit clocks are non-decreasing, so the
+    // resolution scans O(1) recent manifests). The query pins the
+    // mid-lifecycle commit's timestamp, forces the next commit's clock
+    // strictly past it, and reads both "now" and "then" — a wrong
+    // resolution boundary (< vs <=), a millis/micros slip, or a header
+    // that lost the stamp all flip the scalar.
+    QueryDef("q126_time_travel_ts",
+      (s, dir) => {
+        s.conf.set("spark.sql.catalog.graftsql",
+          classOf[graft.sources.connector.ManifestCatalog].getName)
+        if (s.conf.getOption("spark.sql.catalog.graftsql.root").isEmpty)
+          s.conf.set("spark.sql.catalog.graftsql.root",
+            "file://" + Files.createTempDirectory("graft_sqlcat").toString)
+        Tables.load(s, dir, "documents")
+          .select("doc_id", "lang", "n_chars")
+          .createOrReplaceTempView("q126_docs")
+        s.sql("DROP TABLE IF EXISTS graftsql.db.tt_docs")
+        s.sql("CREATE TABLE graftsql.db.tt_docs " +
+          "(doc_id BIGINT, lang STRING, n_chars BIGINT) " +
+          "PARTITIONED BY (lang)")
+        s.sql("INSERT INTO graftsql.db.tt_docs " +
+          "SELECT doc_id, lang, n_chars FROM q126_docs WHERE doc_id % 2 = 0")
+        val root = s.conf.get("spark.sql.catalog.graftsql.root")
+          .stripSuffix("/") + "/db/tt_docs"
+        val ts2 = Manifest.snapshotMeta(s, root, 2L).ts.get
+        // make v3's commit clock strictly later than v2's so the
+        // TIMESTAMP AS OF boundary is deterministic
+        while (System.currentTimeMillis() <= ts2) Thread.sleep(1)
+        s.sql("INSERT INTO graftsql.db.tt_docs " +
+          "SELECT doc_id, lang, n_chars FROM q126_docs WHERE doc_id % 2 = 1")
+        s.sql(s"""SELECT lang, count(*) AS n,
+            CAST(sum(n_chars) AS BIGINT) AS chars,
+            (SELECT count(*) FROM graftsql.db.tt_docs
+               TIMESTAMP AS OF timestamp_millis($ts2)) AS before_n
+          FROM graftsql.db.tt_docs GROUP BY lang ORDER BY lang""")
+      },
+      Some("""SELECT lang, count(*) AS n,
+          CAST(sum(n_chars) AS BIGINT) AS chars,
+          (SELECT count(*) FROM documents WHERE doc_id % 2 = 0) AS before_n
+        FROM documents GROUP BY lang ORDER BY lang"""),
+      kind = QueryDef.Pipeline),
+
+    // ---- Merge-on-read DELETE: O(keys), zero data rewrite --------------
+    // `deleteByKeys` commits the key set as a delete file; NO data file
+    // is rewritten (the `no_rewrite` bit pins v2's file list == v1's —
+    // at 100 TB that is the whole point: DELETE costs O(deleted keys),
+    // not O(partitions containing matches)). The read is through the
+    // CONNECTOR, whose executors load the key set once per task and
+    // drop rows as they stream. A post-delete append reinserts a
+    // subset of the deleted keys — file sequence numbers exempt rows
+    // newer than the delete, so they must survive. The oracle replays
+    // survivors ∪ reinserts relationally; a resurrect, a retro-delete
+    // of the reinserts, or a delete that leaked into the carried files
+    // all flip the per-lang aggregates.
+    QueryDef("q127_mor_delete",
+      (s, dir) => {
+        val root = "file://" + Files
+          .createTempDirectory("graft_mor").toString + "/t"
+        val docs = Tables.load(s, dir, "documents")
+          .select("doc_id", "lang", "n_chars")
+        Manifest.init(s, root, docs, Seq("lang"))
+        Manifest.deleteByKeys(s, root,
+          docs.filter(col("doc_id") % 7 === 0).select("doc_id"))
+        val noRewrite =
+          Manifest.snapshot(s, root, 2L).files.toSet ==
+            Manifest.snapshot(s, root, 1L).files.toSet
+        Manifest.commitAppend(s, root,
+          docs.filter(col("doc_id") % 21 === 0)
+            .withColumn("n_chars", (col("n_chars") + 5000).cast("long")),
+          Seq("lang"))
+        s.read.format("graft-manifest").load(root)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n"),
+            sum("n_chars").as("chars"))
+          .withColumn("no_rewrite", lit(noRewrite))
+          .orderBy("lang")
+      },
+      Some("""WITH surv AS (
+          SELECT lang, n_chars FROM documents WHERE doc_id % 7 <> 0
+          UNION ALL
+          SELECT lang, n_chars + 5000 FROM documents WHERE doc_id % 21 = 0)
+        SELECT lang, count(*) AS n,
+          CAST(sum(n_chars) AS BIGINT) AS chars,
+          TRUE AS no_rewrite
+        FROM surv GROUP BY lang ORDER BY lang"""),
       kind = QueryDef.Pipeline))
 }

@@ -66,10 +66,27 @@ object Manifest {
     * planning. Both absent only in pre-format manifests, which fall
     * back to listing / no skipping. */
   final case class FileEntry(path: String, size: Option[Long],
-                             stats: Option[String] = None) {
+                             stats: Option[String] = None,
+                             seq: Option[Long] = None) {
     lazy val fileStats: Option[ManifestStats.FileStats] =
       stats.flatMap(ManifestStats.decode)
+    /** Data sequence for merge-on-read: the version whose commit added
+      * this file. A delete file applies to data files with a STRICTLY
+      * smaller sequence (rows written after the delete are never
+      * retro-deleted). Pre-`seq` manifests read as 0 — oldest, so
+      * every delete applies: conservative-correct, since those files
+      * predate the feature and therefore every delete commit. */
+    def dataSeq: Long = seq.getOrElse(0L)
   }
+
+  /** One merge-on-read equality-delete file: `path` holds the DISTINCT
+    * key tuples (columns `keyCols`, table-typed) whose rows are deleted
+    * from every data file with `dataSeq < seq`. Reads apply it as a
+    * null-safe anti-join; [[rewriteDeletes]]/[[compact]] materialize
+    * it away. O(deleted keys) to delete from a 100 TB table — no data
+    * rewrite on the DELETE path at all. */
+  final case class DeleteEntry(path: String, size: Option[Long],
+                               seq: Long, keyCols: Seq[String])
 
   private def fsOf(spark: SparkSession, dir: String): (FileSystem, Path) = {
     val p = new Path(dir)
@@ -186,12 +203,27 @@ object Manifest {
   def latestVersion(spark: SparkSession, root: String): Option[Long] =
     versions(spark, root).lastOption
 
+  /** Timestamp travel: the newest version committed at or before
+    * `tsMillis` (what `TIMESTAMP AS OF` resolves to). Versions are
+    * committed in order, so commit timestamps are non-decreasing —
+    * scan from newest and take the first qualifying header, O(1)
+    * manifest reads for "recent" timestamps. Pre-`ts` manifests
+    * (older format) predate the feature and qualify for any queried
+    * time. Fails loudly for a timestamp before the first commit. */
+  def versionAt(spark: SparkSession, root: String, tsMillis: Long): Long =
+    versions(spark, root).reverseIterator
+      .find(v => snapshotMeta(spark, root, v).ts.forall(_ <= tsMillis))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no snapshot of $root exists at or before epoch-millis " +
+          s"$tsMillis (first commit is newer)"))
+
   /** `#key=value` header lines carry commit metadata: the snapshot's
     * `schema` (Spark JSON) and `partcols`, streaming batch high-water
     * marks, and the torn-read `count` fence. Every other line is one
     * data file: `path<TAB>size` (size optional in older manifests). */
   final case class SnapshotMeta(version: Long, entries: Seq[FileEntry],
-                                meta: Map[String, String]) {
+                                meta: Map[String, String],
+                                deletes: Seq[DeleteEntry] = Nil) {
     def files: Seq[String] = entries.map(_.path)
     def schema: Option[org.apache.spark.sql.types.StructType] =
       meta.get("schema").map(js =>
@@ -199,6 +231,8 @@ object Manifest {
           .asInstanceOf[org.apache.spark.sql.types.StructType])
     def partCols: Option[Seq[String]] =
       meta.get("partcols").map(_.split(",").toSeq.filter(_.nonEmpty))
+    /** Commit wall-clock (epoch millis); None for pre-`ts` manifests. */
+    def ts: Option[Long] = meta.get("ts").flatMap(_.toLongOption)
   }
 
   private[graft] def snapshotMeta(spark: SparkSession, root: String,
@@ -215,12 +249,28 @@ object Manifest {
       try scala.io.Source.fromInputStream(in, "UTF-8")
         .getLines().filter(_.nonEmpty).toList
       finally in.close()
-    val (hdr, fileLines) = lines.partition(_.startsWith("#"))
+    val (hdr, bodyLines) = lines.partition(_.startsWith("#"))
+    // `~`-prefixed lines are merge-on-read delete files; the rest data
+    val (delLines, fileLines) = bodyLines.partition(_.startsWith("~"))
     val files = fileLines.map { l =>
+      // fields: path, size, stats (zone-map JSON; "" = absent), seq.
+      // JSON escapes control chars, so a literal tab never splits stats.
       l.split('\t') match {
+        case Array(p0, sz, st, sq) =>
+          FileEntry(p0, sz.toLongOption,
+            Some(st).filter(_.nonEmpty), sq.toLongOption)
         case Array(p0, sz, st) => FileEntry(p0, sz.toLongOption, Some(st))
         case Array(p0, sz)     => FileEntry(p0, sz.toLongOption)
         case _                 => FileEntry(l, None)
+      }
+    }
+    val deletes = delLines.map { l =>
+      l.stripPrefix("~").split('\t') match {
+        case Array(p0, sz, sq, kc) =>
+          DeleteEntry(p0, sz.toLongOption, sq.toLong,
+            kc.split(',').toSeq.filter(_.nonEmpty))
+        case _ => throw new IllegalStateException(
+          s"malformed delete line in v$version of $root: $l")
       }
     }
     val meta = hdr.map(_.stripPrefix("#").split("=", 2))
@@ -230,13 +280,18 @@ object Manifest {
     // than the #count header promises and must fail loudly (transient —
     // retrying re-reads the completed file), never scan a partial
     // snapshot. Manifests without the header (older format) skip the
-    // check.
+    // check. `dcount` fences the delete lines the same way.
     meta.get("count").foreach { c =>
       require(c.toLong == files.size,
         s"torn manifest read: version $version of $root promises $c " +
           s"files, read ${files.size} — concurrent commit in flight, retry")
     }
-    SnapshotMeta(version, files, meta)
+    meta.get("dcount").foreach { c =>
+      require(c.toLong == deletes.size,
+        s"torn manifest read: version $version of $root promises $c " +
+          s"delete files, read ${deletes.size} — retry")
+    }
+    SnapshotMeta(version, files, meta, deletes)
   }
 
   def snapshot(spark: SparkSession, root: String,
@@ -315,19 +370,53 @@ object Manifest {
   /** Read the table at `version` (default: latest). The scan is over
     * exactly the snapshot's files — concurrent commits are invisible.
     * A snapshot with a schema header but no files (freshly created
-    * empty table) reads as an empty frame with the declared schema. */
+    * empty table) reads as an empty frame with the declared schema.
+    * Pending merge-on-read deletes are applied (anti-join). */
   def read(spark: SparkSession, root: String,
            version: Option[Long] = None): DataFrame = {
     val v = version.orElse(latestVersion(spark, root))
       .getOrElse(throw new IllegalStateException(
         s"$root has no committed version"))
     val m = readManifest(spark, root, v)
-    if (m.schema.isDefined) relationOver(spark, root, m, m.entries)
+    if (m.schema.isDefined) readEntries(spark, root, m, m.entries)
     else {
       require(m.files.nonEmpty, s"version $v of $root lists no files")
       legacyUnionRead(spark, root, m.files)
     }
   }
+
+  /** Scan `entries` with the snapshot's pending merge-on-read deletes
+    * applied. A delete file applies to data files with a strictly
+    * smaller sequence, so entries are grouped by their APPLICABLE
+    * delete set (usually two groups: pre-delete files and post-delete
+    * appends), each group anti-joined against its delete keys. The
+    * anti-join is null-safe (`<=>`): a NULL key value deletes NULL
+    * rows, matching the null-safe semantics everywhere else in this
+    * layer. Delete sets are typically tiny next to the table — the
+    * join side carries an explicit broadcast hint so a 100 TB scan
+    * never shuffles on account of a few thousand deleted keys. */
+  private def readEntries(spark: SparkSession, root: String,
+                          m: SnapshotMeta,
+                          entries: Seq[FileEntry]): DataFrame =
+    if (m.deletes.isEmpty || entries.isEmpty)
+      relationOver(spark, root, m, entries)
+    else {
+      entries.groupBy(e =>
+          m.deletes.filter(_.seq > e.dataSeq).map(_.path).toSet)
+        .toSeq.sortBy(_._1.size)
+        .map { case (delPaths, ents) =>
+          val base = relationOver(spark, root, m, ents)
+          m.deletes.filter(d => delPaths(d.path))
+            .groupBy(_.keyCols).foldLeft(base) { case (df, (kc, ds)) =>
+              val keys = spark.read.parquet(
+                ds.map(d => s"$root/${d.path}"): _*)
+                .select(kc.map(col): _*)
+              df.join(broadcast(keys),
+                kc.map(c => df(c) <=> keys(c)).reduce(_ && _),
+                "left_anti")
+            }
+        }.reduce(_.unionByName(_))
+    }
 
   /** Create-if-absent: the commit claim primitive. On file:// Hadoop's
     * own `create(path, overwrite = false)` is exists-then-open (TOCTOU
@@ -352,22 +441,33 @@ object Manifest {
     * version. */
   private[graft] def publish(spark: SparkSession, root: String,
                       expected: Long, entries: Seq[FileEntry],
-                      meta: Map[String, String] = Map.empty): Long = {
+                      meta: Map[String, String] = Map.empty,
+                      deletes: Seq[DeleteEntry] = Nil): Long = {
     val (fs, _) = fsOf(spark, root)
     val next = expected + 1
     val md = new Path(manifestDir(root))
     fs.mkdirs(md)
     val dst = new Path(md, vName(next))
-    // #count fences readers racing the write (see readManifest);
-    // carried-forward metas are overridden with THIS snapshot's count.
-    val hdr = (meta + ("count" -> entries.size.toString)).toSeq.sorted
+    // #count/#dcount fence readers racing the write (see readManifest);
+    // carried-forward metas are overridden with THIS snapshot's counts
+    // and commit time (the publish moment IS the snapshot's timestamp —
+    // what `TIMESTAMP AS OF` resolves against).
+    val hdr = (meta + ("count" -> entries.size.toString) +
+      ("dcount" -> deletes.size.toString) +
+      ("ts" -> System.currentTimeMillis().toString)).toSeq.sorted
       .map { case (k, v) => s"#$k=$v" }
-    val fileLines = entries.map {
-      case FileEntry(p, Some(sz), Some(st)) => s"$p\t$sz\t$st"
-      case FileEntry(p, Some(sz), None)     => s"$p\t$sz"
-      case FileEntry(p, None, _)            => p
+    val fileLines = entries.map { e =>
+      (e.size, e.stats, e.seq) match {
+        case (Some(sz), st, Some(sq)) => s"${e.path}\t$sz\t${st.getOrElse("")}\t$sq"
+        case (Some(sz), Some(st), None) => s"${e.path}\t$sz\t$st"
+        case (Some(sz), None, None)     => s"${e.path}\t$sz"
+        case _                          => e.path
+      }
     }
-    val body = (hdr ++ fileLines).mkString("\n") + "\n"
+    val delLines = deletes.map(d =>
+      s"~${d.path}\t${d.size.map(_.toString).getOrElse("")}\t${d.seq}\t" +
+        d.keyCols.mkString(","))
+    val body = (hdr ++ delLines ++ fileLines).mkString("\n") + "\n"
     val out =
       try createExclusive(fs, dst)
       catch {
@@ -397,6 +497,7 @@ object Manifest {
       .parquet(dir)
     val (fs, rootP) = fsOf(spark, root)
     withStats(spark, root, commitFiles(fs, rootP, new Path(dir)))
+      .map(_.copy(seq = Some(next)))
   }
 
   /** The snapshot-describing headers every commit (re)publishes: the
@@ -475,7 +576,8 @@ object Manifest {
     val fresh = writeCommit(spark, root, cur + 1, df, partitionCols)
     publish(spark, root, cur, prev.entries ++ fresh,
       prev.meta ++ schemaHeaders(appendSchema(spark, root, prev, df.schema),
-        partitionCols))
+        partitionCols),
+      prev.deletes) // pending MoR deletes still apply to older files
   }
 
   /** The schema header an append-shaped commit publishes: the previous
@@ -533,7 +635,8 @@ object Manifest {
           // carry other queries' high-water marks forward
           publish(spark, root, cur, prev.entries ++ fresh,
             prev.meta ++ schemaHeaders(appendSchema(spark, root, prev, df.schema),
-              partitionCols) + (metaKey -> batchId.toString))
+              partitionCols) + (metaKey -> batchId.toString),
+            prev.deletes)
         }
     }
   }
@@ -553,9 +656,10 @@ object Manifest {
       partitionCols: Seq[String], queryId: String,
       batchId: Long): Option[Long] = {
     val metaKey = s"batch.$queryId"
-    val stated = withStats(spark, root, entries.sortBy(_.path))
     latestVersion(spark, root) match {
       case None =>
+        val stated = withStats(spark, root, entries.sortBy(_.path))
+          .map(_.copy(seq = Some(1L)))
         Some(publish(spark, root, 0L, stated,
           schemaHeaders(schema, partitionCols) +
             (metaKey -> batchId.toString)))
@@ -565,10 +669,13 @@ object Manifest {
           None // replayed epoch: no-op, caller cleans the staged files
         else {
           checkPartCols(prev, partitionCols)
+          val stated = withStats(spark, root, entries.sortBy(_.path))
+            .map(_.copy(seq = Some(cur + 1)))
           Some(publish(spark, root, cur, prev.entries ++ stated,
             prev.meta ++ schemaHeaders(
               appendSchema(spark, root, prev, schema), partitionCols) +
-              (metaKey -> batchId.toString)))
+              (metaKey -> batchId.toString),
+            prev.deletes))
         }
     }
   }
@@ -592,8 +699,10 @@ object Manifest {
     val prev = readManifest(spark, root, cur)
     checkPartCols(prev, partitionCols)
     val stated = withStats(spark, root, added.sortBy(_.path))
+      .map(_.copy(seq = Some(cur + 1)))
     publish(spark, root, cur,
-      prev.entries.filterNot(e => removed(e.path)) ++ stated, prev.meta)
+      prev.entries.filterNot(e => removed(e.path)) ++ stated, prev.meta,
+      prev.deletes)
   }
 
   /** METADATA-ONLY schema evolution (the ALTER TABLE ADD COLUMN
@@ -617,7 +726,8 @@ object Manifest {
     publish(spark, root, cur, prev.entries,
       prev.meta ++ schemaHeaders(
         appendSchema(spark, root, prev, nullable),
-        prev.partCols.getOrElse(Nil)))
+        prev.partCols.getOrElse(Nil)),
+      prev.deletes)
   }
 
   /** Replace-commit (compaction shape): next snapshot = `df` alone.
@@ -685,8 +795,10 @@ object Manifest {
       inTouchedPartition(e.path, partitionCols, touchedVals))
     val schema = prev.schema.map(mergeSchemas(_, updates.schema))
       .getOrElse(table.schema)
+    // `table` is deletes-applied, so the rewritten partitions
+    // materialize any pending MoR deletes; carried files still need them
     publish(spark, root, cur, keep ++ fresh,
-      prev.meta ++ schemaHeaders(schema, partitionCols))
+      prev.meta ++ schemaHeaders(schema, partitionCols), prev.deletes)
   }
 
   /** The distinct partition-value tuples `df` contains, collected to
@@ -775,7 +887,80 @@ object Manifest {
     val fresh = writeCommit(spark, root, cur + 1, remain, partitionCols)
     val keep = prev.entries.filterNot(e =>
       inTouchedPartition(e.path, partitionCols, touchedVals))
-    publish(spark, root, cur, keep ++ fresh, prev.meta)
+    publish(spark, root, cur, keep ++ fresh, prev.meta, prev.deletes)
+  }
+
+  /** MERGE-ON-READ DELETE: erase every row whose key tuple appears in
+    * `keys` (columns = the equality key) by committing the DISTINCT
+    * key set as a delete file — NO data file is rewritten. At 100 TB
+    * this is the difference between a DELETE costing O(deleted keys)
+    * and one rewriting every partition that contains a match
+    * (copy-on-write [[deleteWhere]]). Reads apply the delete as a
+    * broadcast anti-join; rows appended AFTER this commit are never
+    * retro-deleted (file sequence numbers), so delete-then-reinsert
+    * works. Run [[rewriteDeletes]] (or [[compact]]) periodically to
+    * fold accumulated delete files back into plain data files. */
+  def deleteByKeys(spark: SparkSession, root: String,
+                   keys: DataFrame): Long = {
+    val cur = latestVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"$root not initialized"))
+    val prev = readManifest(spark, root, cur)
+    val schema = prev.schema.getOrElse(throw new IllegalStateException(
+      s"$root has no schema header; merge-on-read needs one " +
+        "(converge legacy tables with commitReplace first)"))
+    val kc = keys.columns.toSeq
+    require(kc.nonEmpty, "delete keys need at least one column")
+    kc.foreach { c =>
+      require(!c.contains(",") && !c.contains("\t"),
+        s"key column name '$c' must not contain ',' or tab")
+      require(schema.fieldNames.contains(c),
+        s"key column '$c' is not a column of $root " +
+          s"(${schema.fieldNames.mkString(", ")})")
+    }
+    // table-typed, distinct keys — the delete file IS the predicate
+    val casted = keys.select(
+      kc.map(c => col(c).cast(schema(c).dataType).as(c)): _*).distinct()
+    val cnt = casted.count()
+    if (cnt == 0L) return cur // nothing to delete
+    // ~4M keys per delete file keeps each a single broadcastable blob
+    val next = cur + 1
+    val packed = casted.coalesce(
+      math.max(1, math.min(200, (cnt / 4000000L).toInt + 1)))
+    val salt = java.util.UUID.randomUUID().toString.take(8)
+    val dir = f"$root/data/d$next%08d-$salt"
+    // INT64-micros timestamps: the connector's executor-side key
+    // decode (and its own data-file encoding) is INT64, not INT96
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val oldTs = spark.conf.getOption(tsKey)
+    spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+    try packed.write.mode("overwrite").parquet(dir)
+    finally oldTs.fold(spark.conf.unset(tsKey))(spark.conf.set(tsKey, _))
+    val (fs, rootP) = fsOf(spark, root)
+    val delEntries = commitFiles(fs, rootP, new Path(dir))
+      .map(e => DeleteEntry(e.path, e.size, next, kc))
+    publish(spark, root, cur, prev.entries, prev.meta,
+      prev.deletes ++ delEntries)
+  }
+
+  /** Materialize pending merge-on-read deletes: rewrite ONLY the data
+    * files at least one delete applies to (their deletes-applied
+    * post-image), carry every other file by reference, and drop the
+    * delete entries. The maintenance half of [[deleteByKeys]]'s
+    * read-time cost — run it when the accumulated delete set starts
+    * to show up in scan times. Partition layout is preserved. */
+  def rewriteDeletes(spark: SparkSession, root: String): Long = {
+    val cur = latestVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"$root not initialized"))
+    val m = readManifest(spark, root, cur)
+    if (m.deletes.isEmpty) return cur
+    val (hit, clean) = m.entries.partition(e =>
+      m.deletes.exists(_.seq > e.dataSeq))
+    if (hit.isEmpty) // deletes apply to nothing: drop them, keep files
+      return publish(spark, root, cur, m.entries, m.meta)
+    val partCols = m.partCols.getOrElse(Nil)
+    val rows = readEntries(spark, root, m, hit)
+    val fresh = writeCommit(spark, root, cur + 1, rows, partCols)
+    publish(spark, root, cur, clean ++ fresh, m.meta)
   }
 
   /** Bin-packing compaction (the lakehouse OPTIMIZE): rewrite files
@@ -819,8 +1004,8 @@ object Manifest {
           " — converge with commitReplace first")
       layouts.headOption.getOrElse(Nil)
     }
-    val smallRows =
-      if (m.schema.isDefined) relationOver(spark, root, m, small)
+    val smallRows = // deletes-applied: compaction must not resurrect rows
+      if (m.schema.isDefined) readEntries(spark, root, m, small)
       else legacyUnionRead(spark, root, small.map(_.path))
     // size the rewrite from manifest metadata: ceil(bytes / target)
     // output files, range-clustered on the partition columns so each
@@ -832,7 +1017,9 @@ object Manifest {
         smallRows.repartitionByRange(nOut, partCols.map(col): _*)
       else smallRows.repartition(nOut)
     val fresh = writeCommit(spark, root, cur + 1, packed, partCols)
-    publish(spark, root, cur, keep ++ fresh, m.meta)
+    // deletes carry forward: they still apply to the kept (healthy)
+    // files; the rewritten small files materialized them (new seq)
+    publish(spark, root, cur, keep ++ fresh, m.meta, m.deletes)
   }
 
   /** Drop snapshots older than the newest `keepVersions` and delete
@@ -851,9 +1038,14 @@ object Manifest {
         .sorted.toSeq
     }
     val (drop, keep) = all.partition(_ <= cur - keepVersions)
-    val live = keep.flatMap(v => snapshot(spark, root, v).files).toSet
-    val dead = drop.flatMap(v => snapshot(spark, root, v).files)
-      .distinct.filterNot(live)
+    // delete files are live references too — reclaiming one while a
+    // kept snapshot still carries it would resurrect deleted rows
+    def refs(v: Long): Seq[String] = {
+      val m = readManifest(spark, root, v)
+      m.files ++ m.deletes.map(_.path)
+    }
+    val live = keep.flatMap(refs).toSet
+    val dead = drop.flatMap(refs).distinct.filterNot(live)
     dead.foreach(f => fs.delete(new Path(s"$root/$f"), false))
     drop.foreach(v =>
       fs.delete(new Path(manifestDir(root), vName(v)), false))
@@ -899,6 +1091,16 @@ object Manifest {
     require(added.nonEmpty,
       s"no files added between v$from and v$hi of $root")
     val m = readManifest(spark, root, hi)
+    // a merge-on-read delete commit changes rows without changing the
+    // file list — a file-level change feed would silently MISS those
+    // retractions, so crossing one fails loudly instead
+    // (materialize with rewriteDeletes/compact, then resume)
+    val crossing = m.deletes.filter(d => d.seq > from && d.seq <= hi)
+    require(crossing.isEmpty,
+      s"change feed v$from..v$hi of $root crosses merge-on-read delete " +
+        s"commit(s) at seq ${crossing.map(_.seq).distinct.sorted.mkString(",")} — " +
+        "file-level changes cannot express row retractions; run " +
+        "rewriteDeletes and consume the rewrite, or read full snapshots")
     if (m.schema.isDefined)
       // same single-relation plan as read(), over just the added files
       relationOver(spark, root, m, m.entries.filter(e => added(e.path)))

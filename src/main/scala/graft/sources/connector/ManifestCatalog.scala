@@ -10,7 +10,7 @@ import org.apache.spark.sql.connector.catalog.{Column, Identifier, NamespaceChan
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{LocalScan, Scan}
-import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.sources.Manifest
@@ -99,6 +99,16 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces
   /** SQL `VERSION AS OF n` lands here. */
   override def loadTable(ident: Identifier, version: String): Table =
     loadVersion(ident, Some(version))
+
+  /** SQL `TIMESTAMP AS OF ts` lands here (Spark hands epoch MICROS);
+    * resolves to the newest snapshot committed at or before it. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val path = pathOf(ident)
+    if (Manifest.latestVersion(spark, path).isEmpty)
+      throw new NoSuchTableException(ident)
+    loadVersion(ident, Some(
+      Manifest.versionAt(spark, path, timestampMicros / 1000L).toString))
+  }
 
   private def loadVersion(ident: Identifier,
                           version: Option[String]): Table = {
@@ -326,11 +336,31 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces
     }
   }
 
+  private object RewriteDeletesProcedure extends UnboundProcedure
+      with BoundProcedure {
+    override def name(): String = "rewrite_deletes"
+    override def description(): String =
+      "materialize pending merge-on-read deletes " +
+        "(Manifest.rewriteDeletes)"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] =
+      Array(ProcedureParameter.in("table", StringType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val root = tableRoot(input.getUTF8String(0).toString)
+      val v = Manifest.rewriteDeletes(spark, root)
+      oneRowScan(
+        StructType(Seq(StructField("version", LongType, false))),
+        Array[Any](v))
+    }
+  }
+
   private object HistoryProcedure extends UnboundProcedure
       with BoundProcedure {
     override def name(): String = "history"
     override def description(): String =
-      "list a manifest table's snapshots (version, files, bytes)"
+      "list a manifest table's snapshots " +
+        "(version, committed_at, files, bytes)"
     override def bind(inputType: StructType): BoundProcedure = this
     override def isDeterministic: Boolean = false
     override def parameters(): Array[ProcedureParameter] =
@@ -339,13 +369,16 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces
       val root = tableRoot(input.getUTF8String(0).toString)
       val schema = StructType(Seq(
         StructField("version", LongType, false),
+        StructField("committed_at", TimestampType, true),
         StructField("files", LongType, false),
         StructField("bytes", LongType, false)))
       // NOTE: named distinctly from LocalScan.rows() — referring to a
       // same-named outer val inside the anon class self-recurses
       val snapRows = Manifest.versions(spark, root).map { v =>
         val m = Manifest.snapshotMeta(spark, root, v)
-        new GenericInternalRow(Array[Any](v, m.entries.size.toLong,
+        new GenericInternalRow(Array[Any](v,
+          m.ts.map(ms => ms * 1000L).orNull, // micros; legacy = NULL
+          m.entries.size.toLong,
           m.entries.flatMap(_.size).sum)): InternalRow
       }.toArray
       java.util.Collections.singletonList[Scan](new LocalScan {
@@ -363,9 +396,10 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces
       case "compact" => CompactProcedure
       case "vacuum"  => VacuumProcedure
       case "history" => HistoryProcedure
+      case "rewrite_deletes" => RewriteDeletesProcedure
       case other => throw new UnsupportedOperationException(
         s"catalog $catalogName has no procedure '$other' " +
-          "(available: compact, vacuum, history)")
+          "(available: compact, vacuum, history, rewrite_deletes)")
     }
   }
 
@@ -373,5 +407,6 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces
       : Array[Identifier] =
     Array(Identifier.of(Array("system"), "compact"),
       Identifier.of(Array("system"), "vacuum"),
-      Identifier.of(Array("system"), "history"))
+      Identifier.of(Array("system"), "history"),
+      Identifier.of(Array("system"), "rewrite_deletes"))
 }

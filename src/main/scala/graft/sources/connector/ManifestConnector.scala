@@ -127,7 +127,8 @@ object ManifestConnector {
   final case class FileInfo(absPath: String, size: Long,
                             partValues: Seq[(String, String)],
                             stats: Option[graft.sources.ManifestStats
-                              .FileStats] = None)
+                              .FileStats] = None,
+                            seq: Long = 0L)
 
   /** `declared` = the manifest's schema header (present for every
     * table the current writer produced): column order and partition
@@ -137,7 +138,13 @@ object ManifestConnector {
   final case class Resolved(root: String, version: Long,
                             files: Seq[FileInfo], partCols: Seq[String],
                             dataSchema: StructType,
-                            declared: Option[StructType] = None) {
+                            declared: Option[StructType] = None,
+                            deletes: Seq[Manifest.DeleteEntry] = Nil) {
+    /** Merge-on-read delete files applying to `f` (strictly newer than
+      * the file's data sequence), as executor-shippable specs. */
+    def deleteSpecsFor(f: FileInfo): Array[DeleteFileSpec] =
+      deletes.filter(_.seq > f.seq).map(d =>
+        DeleteFileSpec(s"$root/${d.path}", d.keyCols.toArray)).toArray
     val fullSchema: StructType = declared.getOrElse(
       StructType(dataSchema.fields ++
         partCols.map(c => StructField(c, StringType, nullable = true))))
@@ -213,7 +220,12 @@ object ManifestConnector {
   def resolve(spark: SparkSession, opts: Map[String, String]): Resolved = {
     val root = opts.getOrElse("path", throw new IllegalArgumentException(
       "graft-manifest needs a load(path) pointing at a manifest table root"))
+    // option keys arrive lowercased (CaseInsensitiveStringMap)
+    require(!(opts.contains("version") && opts.contains("timestampasof")),
+      "give either version or timestampAsOf, not both")
     val version = opts.get("version").map(_.toLong)
+      .orElse(opts.get("timestampasof").map(ts =>
+        Manifest.versionAt(spark, root, ts.toLong)))
       .orElse(Manifest.latestVersion(spark, root))
       .getOrElse(throw new IllegalStateException(
         s"$root has no committed manifest version"))
@@ -247,7 +259,7 @@ object ManifestConnector {
 
     val files = snap.entries.map { e =>
       FileInfo(s"$root/${e.path}", sizes.getOrElse(e.path, 0L),
-        partValuesOf(e.path), e.fileStats)
+        partValuesOf(e.path), e.fileStats, e.dataSeq)
     }
     // partition layout must be UNIFORM across the snapshot's files: a
     // single odd file would otherwise silently miss every partition
@@ -287,7 +299,8 @@ object ManifestConnector {
             s" but the manifest declares ${partCols.mkString("[", ",", "]")}")
         val dataSchema = StructType(
           full.filterNot(f => partCols.contains(f.name)))
-        Resolved(root, version, files, partCols, dataSchema, Some(full))
+        Resolved(root, version, files, partCols, dataSchema, Some(full),
+          snap.deletes)
 
       case None =>
         // legacy manifest: derive the layout from paths and the data
@@ -811,7 +824,8 @@ final class ManifestScan(res: ManifestConnector.Resolved,
     val entries = conf.iterator().asScala
       .map(e => (e.getKey, e.getValue)).toArray
     ManifestReaderFactory(entries, required, res.partCols.toArray,
-      dataFilters, limit)
+      dataFilters, limit, res.fullSchema,
+      plannedFiles.exists(f => res.deleteSpecsFor(f).nonEmpty))
   }
 
   override def description(): String =
@@ -822,7 +836,8 @@ final class ManifestScan(res: ManifestConnector.Resolved,
 
   override def planInputPartitions(): Array[InputPartition] =
     plannedFiles.map(f => ManifestInputPartition(
-      f.absPath, f.size, f.partValues.toArray): InputPartition).toArray
+      f.absPath, f.size, f.partValues.toArray,
+      res.deleteSpecsFor(f)): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     mkReaderFactory()
@@ -835,40 +850,55 @@ final class ManifestScan(res: ManifestConnector.Resolved,
     // exact post-pruning row count from the manifest zone maps (files
     // are immutable, so the commit-time footer count is exact) — AQE
     // and join-strategy costing see real cardinalities, not a guess
-    // derived from bytes. Absent only when a pre-stats file survives
-    // pruning.
+    // derived from bytes. Absent when a pre-stats file survives
+    // pruning, or when pending merge-on-read deletes make footer
+    // counts an overestimate (bytes stay: still an upper bound).
     override def numRows(): OptionalLong = {
       val rs = plannedFiles.map(_.stats.map(_.rows))
-      if (rs.forall(_.isDefined)) OptionalLong.of(rs.flatMap(_.toSeq).sum)
+      if (rs.forall(_.isDefined) &&
+          plannedFiles.forall(f => res.deleteSpecsFor(f).isEmpty))
+        OptionalLong.of(rs.flatMap(_.toSeq).sum)
       else OptionalLong.empty()
     }
   }
 }
 
+/** One merge-on-read delete file applying to a task's data file: the
+  * task loads its DISTINCT key tuples into a hash set once and drops
+  * matching rows as it reads — the executor half of [[graft.sources
+  * .Manifest.deleteByKeys]]. */
+final case class DeleteFileSpec(absPath: String, keyCols: Array[String])
+
 final case class ManifestInputPartition(path: String, size: Long,
-    partValues: Array[(String, String)]) extends InputPartition
+    partValues: Array[(String, String)],
+    deletes: Array[DeleteFileSpec] = Array.empty) extends InputPartition
 
 final case class ManifestReaderFactory(confEntries: Array[(String, String)],
     required: StructType, partCols: Array[String],
-    dataFilters: Array[SFilter], limit: Int)
+    dataFilters: Array[SFilter], limit: Int,
+    tableSchema: StructType = new StructType(),
+    anyDeletes: Boolean = false)
     extends PartitionReaderFactory {
 
   // Columnar (vectorized) reading whenever data columns are requested
   // and no limit is pushed: Spark's own vectorized parquet decoder +
   // a ColumnarToRow boundary beats row-by-row Group assembly by the
   // same margin it does in the native file source. The row path stays
-  // for the footer-count fast path (no data columns) and pushed
-  // limits (honored per reader there).
+  // for the footer-count fast path (no data columns), pushed limits,
+  // and scans with applicable merge-on-read deletes (row-level
+  // filtering needs row emission, and Spark requires one mode for the
+  // WHOLE scan — rewriteDeletes restores vectorized reads).
   private val dataFieldCount =
     required.fields.count(f => !partCols.contains(f.name))
   override def supportColumnarReads(partition: InputPartition): Boolean =
-    dataFieldCount > 0 && limit < 0
+    dataFieldCount > 0 && limit < 0 && !anyDeletes
 
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] =
     new ManifestPartitionReader(
       partition.asInstanceOf[ManifestInputPartition],
-      confEntries, required, partCols.toSet, dataFilters, limit)
+      confEntries, required, partCols.toSet, dataFilters, limit,
+      tableSchema)
 
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
@@ -884,7 +914,8 @@ final case class ManifestReaderFactory(confEntries: Array[(String, String)],
   * without touching a data page. */
 final class ManifestPartitionReader(part: ManifestInputPartition,
     confEntries: Array[(String, String)], required: StructType,
-    partCols: Set[String], dataFilters: Array[SFilter], limit: Int)
+    partCols: Set[String], dataFilters: Array[SFilter], limit: Int,
+    tableSchema: StructType = new StructType())
     extends PartitionReader[InternalRow] {
 
   private val conf = {
@@ -909,14 +940,29 @@ final class ManifestPartitionReader(part: ManifestInputPartition,
 
   private val dataFields = required.fields.filterNot(f =>
     partCols.contains(f.name))
+  // merge-on-read delete keys must be read even when pruned from the
+  // projection — extraction needs them, emission does not
+  private val delKeyCols: Array[String] =
+    part.deletes.flatMap(_.keyCols).distinct
   // projection keeps file order for stable Group field indexes
-  private val presentNames = dataFields.map(_.name)
-    .filter(fileSchema.containsField).toSet
+  private val presentNames =
+    (dataFields.map(_.name) ++
+      delKeyCols.filterNot(partCols.contains))
+      .filter(fileSchema.containsField).toSet
   private val projection: Option[MessageType] =
     if (presentNames.isEmpty) None
     else Some(new MessageType(fileSchema.getName,
       fileSchema.getFields.asScala.filter(f =>
         presentNames.contains(f.getName)).asJava))
+
+  if (part.deletes.nonEmpty)
+    projection.foreach(_.getFields.asScala.foreach { f =>
+      require(!(f.isPrimitive && f.asPrimitiveType().getPrimitiveTypeName
+          == org.apache.parquet.schema.PrimitiveType
+            .PrimitiveTypeName.INT96),
+        s"merge-on-read over INT96-timestamp files is unsupported " +
+          s"(${part.path}); run Manifest.rewriteDeletes to materialize")
+    })
 
   private val plans: Array[ColPlan] = required.fields.map { f =>
     if (partCols.contains(f.name)) {
@@ -929,14 +975,80 @@ final class ManifestPartitionReader(part: ManifestInputPartition,
     }
   }
 
+  private def typeOf(c: String): DataType =
+    if (tableSchema.fieldNames.contains(c)) tableSchema(c).dataType
+    else required(c).dataType
+
+  private def keyPlan(c: String): ColPlan =
+    if (partCols.contains(c))
+      PartCol(ManifestConnector.castPartitionValue(
+        partValues.getOrElse(c, null), typeOf(c)))
+    else projection match {
+      case Some(p) if p.containsField(c) =>
+        DataCol(p.getFieldIndex(c), typeOf(c))
+      case _ => MissingCol // schema evolution: rows read NULL here
+    }
+
+  // byte arrays compare by identity; key tuples normalize them
+  private def normKey(v: Any): Any = v match {
+    case b: Array[Byte] => b.toSeq
+    case x              => x
+  }
+
+  /** One entry per distinct key-column tuple among the applicable
+    * delete files: the extraction plan for this data file's rows plus
+    * the loaded key set (all delete files of that tuple, unioned). A
+    * row is deleted when ANY set contains its tuple — null-safe (a
+    * NULL key value matches NULL), matching the read path's `<=>`
+    * anti-join. Loading happens once per task, before the data reader
+    * touches the shared Configuration. */
+  private val deleteSets: Array[(Array[ColPlan], java.util.HashSet[List[Any]])] =
+    part.deletes.groupBy(_.keyCols.toSeq).map { case (kc, specs) =>
+      val set = new java.util.HashSet[List[Any]]()
+      val types = kc.map(typeOf)
+      specs.map(_.absPath).distinct.foreach { dp =>
+        val dPath = new Path(dp)
+        val dSchema = {
+          val r = ParquetFileReader.open(
+            HadoopInputFile.fromPath(dPath, conf))
+          try r.getFileMetaData.getSchema finally r.close()
+        }
+        val idx = kc.map(dSchema.getFieldIndex).toArray
+        // fresh conf: must not inherit the data file's read projection
+        val dConf = new Configuration(conf)
+        val dr = ParquetReader.builder(new GroupReadSupport(), dPath)
+          .withConf(dConf).build()
+        try {
+          var g = dr.read()
+          while (g != null) {
+            set.add(kc.indices.map(i =>
+              if (g.getFieldRepetitionCount(idx(i)) == 0) null
+              else normKey(decodeGroupValue(g, idx(i), types(i)))).toList)
+            g = dr.read()
+          }
+        } finally dr.close()
+      }
+      (kc.map(keyPlan).toArray, set)
+    }.toArray
+
   private var emitted = 0L
   private def capped(n: Long): Long = if (limit >= 0) n min limit else n
 
   // fast path: no data columns requested → no data filters exist either
   // (Spark keeps residual-filter columns in the required schema), so the
-  // footer row count is exact
+  // footer row count is exact. With applicable deletes the key columns
+  // are in the projection unless they are ALL partition/missing — then
+  // the whole file shares one constant key tuple and is either fully
+  // deleted or untouched.
   private val rowsOnly = projection.isEmpty
-  private val rowsOnlyTotal = if (rowsOnly) capped(fileRows) else 0L
+  private val constDeleted = rowsOnly && deleteSets.exists {
+    case (kps, set) => set.contains(kps.map {
+      case PartCol(v) => normKey(v)
+      case _          => null
+    }.toList)
+  }
+  private val rowsOnlyTotal =
+    if (!rowsOnly || constDeleted) 0L else capped(fileRows)
 
   private val reader: ParquetReader[Group] = if (rowsOnly) null else {
     conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
@@ -949,8 +1061,45 @@ final class ManifestPartitionReader(part: ManifestInputPartition,
     predicate.fold(b)(p => b.withFilter(FilterCompat.get(p))).build()
   }
 
+  /** Is this row erased by a pending merge-on-read delete? */
+  private def deleted(g: Group): Boolean = {
+    var i = 0
+    while (i < deleteSets.length) {
+      val (kps, set) = deleteSets(i)
+      val key = kps.map {
+        case PartCol(v) => normKey(v)
+        case MissingCol => null
+        case DataCol(idx, dt) =>
+          if (g.getFieldRepetitionCount(idx) == 0) null
+          else normKey(decodeGroupValue(g, idx, dt))
+      }.toList
+      if (set.contains(key)) return true
+      i += 1
+    }
+    false
+  }
+
+  private def decodeGroupValue(g: Group, idx: Int, dt: DataType): Any =
+    dt match {
+      case LongType    => g.getLong(idx, 0)
+      case IntegerType => g.getInteger(idx, 0)
+      case DoubleType  => g.getDouble(idx, 0)
+      case FloatType   => g.getFloat(idx, 0)
+      case BooleanType => g.getBoolean(idx, 0)
+      case TimestampType => g.getLong(idx, 0)
+      case DateType      => g.getInteger(idx, 0)
+      case StringType  =>
+        UTF8String.fromBytes(g.getBinary(idx, 0).getBytes)
+      case BinaryType  => g.getBinary(idx, 0).getBytes
+      case other => throw new IllegalStateException(
+        s"unreachable: unsupported type $other")
+    }
+
   private var current: InternalRow = _
 
+  // row path decodes INT64-micros timestamps only (the connector's
+  // own write encoding); INT96 files take the vectorized path, which
+  // Spark decodes natively
   private def rowOf(g: Group): InternalRow = {
     val vals = new Array[Any](plans.length)
     var i = 0
@@ -960,23 +1109,7 @@ final class ManifestPartitionReader(part: ManifestInputPartition,
         case MissingCol => null
         case DataCol(idx, dt) =>
           if (g.getFieldRepetitionCount(idx) == 0) null
-          else dt match {
-            case LongType    => g.getLong(idx, 0)
-            case IntegerType => g.getInteger(idx, 0)
-            case DoubleType  => g.getDouble(idx, 0)
-            case FloatType   => g.getFloat(idx, 0)
-            case BooleanType => g.getBoolean(idx, 0)
-            // row path decodes INT64-micros timestamps only (the
-            // connector's own write encoding); INT96 files take the
-            // vectorized path, which Spark decodes natively
-            case TimestampType => g.getLong(idx, 0)
-            case DateType      => g.getInteger(idx, 0)
-            case StringType  =>
-              UTF8String.fromBytes(g.getBinary(idx, 0).getBytes)
-            case BinaryType  => g.getBinary(idx, 0).getBytes
-            case other => throw new IllegalStateException(
-              s"unreachable: unsupported type $other")
-          }
+          else decodeGroupValue(g, idx, dt)
       }
       i += 1
     }
@@ -997,7 +1130,10 @@ final class ManifestPartitionReader(part: ManifestInputPartition,
       else { current = partOnlyRow; emitted += 1; true }
     } else if (limit >= 0 && emitted >= limit) false
     else {
-      val g = reader.read()
+      var g = reader.read()
+      // skip rows erased by pending merge-on-read deletes
+      while (g != null && deleteSets.nonEmpty && deleted(g))
+        g = reader.read()
       if (g == null) false
       else { current = rowOf(g); emitted += 1; true }
     }

@@ -195,8 +195,11 @@ final class ManifestCowScan(res: ManifestConnector.Resolved,
   }
 
   override def planInputPartitions(): Array[InputPartition] =
+    // applicable merge-on-read deletes ride along: a rewrite that
+    // re-emitted deleted rows would resurrect them in the replacement
     files.map(f => ManifestInputPartition(f.absPath, f.size,
-      f.partValues.toArray): InputPartition).toArray
+      f.partValues.toArray, res.deleteSpecsFor(f)): InputPartition)
+      .toArray
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val conf = SparkSession.active.sparkContext.hadoopConfiguration
@@ -204,7 +207,8 @@ final class ManifestCowScan(res: ManifestConnector.Resolved,
       .map(e => (e.getKey, e.getValue)).toArray
     // NO data filters, NO limit: the rewrite read is full-fidelity
     ManifestReaderFactory(entries, required, res.partCols.toArray,
-      Array.empty, -1)
+      Array.empty, -1, res.fullSchema,
+      files.exists(f => res.deleteSpecsFor(f).nonEmpty))
   }
 
   override def description(): String =

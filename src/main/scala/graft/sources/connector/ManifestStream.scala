@@ -101,6 +101,15 @@ final class ManifestMicroBatchStream(
       if (lo == 0L) Set.empty
       else Manifest.snapshot(spark, res.root, lo).files.toSet
     val cur = Manifest.snapshotMeta(spark, res.root, hi)
+    // a merge-on-read delete commit in range changes rows without
+    // adding files — an append-shaped stream would silently miss the
+    // retraction, so fail the query loudly (materialize with
+    // rewriteDeletes, then restart; the rewrite IS the change)
+    val crossing = cur.deletes.filter(d => d.seq > lo && d.seq <= hi)
+    require(crossing.isEmpty,
+      s"stream batch v$lo..v$hi of ${res.root} crosses merge-on-read " +
+        s"delete commit(s) ${crossing.map(_.seq).distinct.sorted.mkString(",")}" +
+        " — run Manifest.rewriteDeletes and restart the stream")
     cur.entries.filterNot(e => prev.contains(e.path))
       .filter { e =>
         val pv = Manifest.partValuesOf(e.path).toMap

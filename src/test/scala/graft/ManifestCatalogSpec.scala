@@ -306,10 +306,13 @@ class ManifestCatalogSpec extends SparkSpec {
     spark.sql("INSERT INTO graftcat.db.hist VALUES (1)")
     spark.sql("INSERT INTO graftcat.db.hist VALUES (2)")
     val hist = spark.sql("CALL graftcat.system.history(table => 'db.hist')")
-      .as[(Long, Long, Long)].collect().toSeq
+      .as[(Long, java.sql.Timestamp, Long, Long)].collect().toSeq
     assert(hist.map(_._1) == Seq(1L, 2L, 3L), hist)
-    assert(hist.last._2 > hist(1)._2 && hist.last._3 > hist(1)._3,
+    assert(hist.last._3 > hist(1)._3 && hist.last._4 > hist(1)._4,
       s"footprint must grow across appends: $hist")
+    // commit timestamps are present and non-decreasing across versions
+    assert(hist.forall(_._2 != null) &&
+      hist.sliding(2).forall(p => !p(0)._2.after(p(1)._2)), hist)
     val props = spark.sessionState.catalogManager.catalog("graftcat")
       .asInstanceOf[ManifestCatalog]
       .loadTable(org.apache.spark.sql.connector.catalog.Identifier
@@ -317,8 +320,58 @@ class ManifestCatalogSpec extends SparkSpec {
     assert(props.get("version") == "3")
     // CREATE's zero-row init writes one empty file, each INSERT one more;
     // properties must agree with what history reports for the same version
-    assert(props.get("files") == hist.last._2.toString)
-    assert(props.get("size-bytes") == hist.last._3.toString)
+    assert(props.get("files") == hist.last._3.toString)
+    assert(props.get("size-bytes") == hist.last._4.toString)
+  }
+
+  test("TIMESTAMP AS OF resolves the newest snapshot committed at or " +
+    "before the given time, through SQL and the reader option") {
+    spark.sql("CREATE TABLE graftcat.db.tt (id BIGINT)")
+    spark.sql("INSERT INTO graftcat.db.tt VALUES (1)") // v2
+    val root = s"$warehouse/db/tt"
+    val ts2 = Manifest.snapshotMeta(spark, root, 2L).ts.get
+    // commit clocks must strictly advance past v2 for a deterministic test
+    while (System.currentTimeMillis() <= ts2) Thread.sleep(1)
+    spark.sql("INSERT INTO graftcat.db.tt VALUES (2)") // v3
+    assert(Manifest.versionAt(spark, root, ts2) == 2L)
+    assert(Manifest.versionAt(spark, root, System.currentTimeMillis()) == 3L)
+    // SQL: timestamp_millis is exact and timezone-independent
+    assert(spark.sql(
+      s"SELECT count(*) FROM graftcat.db.tt " +
+        s"TIMESTAMP AS OF timestamp_millis($ts2)")
+      .as[Long].head == 1L)
+    // DataFrame reader option (epoch millis)
+    assert(spark.read.format("graft-manifest")
+      .option("timestampAsOf", ts2).load(root).count() == 1L)
+    intercept[Exception](spark.read.format("graft-manifest")
+      .option("timestampAsOf", ts2).option("version", 2).load(root))
+    // a timestamp before the first commit fails loudly
+    intercept[Exception](spark.sql(
+      "SELECT * FROM graftcat.db.tt " +
+        "TIMESTAMP AS OF CAST(0.0 AS TIMESTAMP)").collect())
+  }
+
+  test("SQL UPDATE over pending merge-on-read deletes never " +
+    "resurrects; CALL system.rewrite_deletes materializes") {
+    spark.sql("CREATE TABLE graftcat.db.mor " +
+      "(id BIGINT, part STRING, v BIGINT) PARTITIONED BY (part)")
+    spark.sql("INSERT INTO graftcat.db.mor VALUES " +
+      "(1, 'a', 10), (2, 'a', 20), (3, 'b', 30), (4, 'b', 40)")
+    val root = s"$warehouse/db/mor"
+    Manifest.deleteByKeys(spark, root, Seq(2L, 4L).toDF("id"))
+    // the row-level rewrite reads deletes-applied: id=2 must NOT come
+    // back when partition a is rewritten by the UPDATE
+    spark.sql("UPDATE graftcat.db.mor SET v = v + 1 WHERE part = 'a'")
+    assert(spark.table("graftcat.db.mor")
+      .as[(Long, String, Long)].collect().toSet ==
+      Set((1L, "a", 11L), (3L, "b", 30L)))
+    // materialize through SQL; content unchanged, deletes gone
+    spark.sql("CALL graftcat.system.rewrite_deletes(table => 'db.mor')")
+    assert(Manifest.snapshotMeta(spark, root,
+      Manifest.latestVersion(spark, root).get).deletes.isEmpty)
+    assert(spark.table("graftcat.db.mor")
+      .as[(Long, String, Long)].collect().toSet ==
+      Set((1L, "a", 11L), (3L, "b", 30L)))
   }
 
   test("identifier segments cannot traverse outside the warehouse") {

@@ -295,4 +295,53 @@ class ManifestConnectorSpec extends SparkSpec {
     val e = intercept[Exception](connRead(root).schema)
     assert(e.getMessage.contains("graft-manifest"), e.getMessage)
   }
+
+  test("merge-on-read deletes apply through the connector: full scans, " +
+    "pruned projections, count(*), and reinserted keys") {
+    val root = fixture()
+    // delete a spread of ids (data-column key) — no data file rewritten
+    val before = Manifest.snapshot(spark, root, 3L).files.toSet
+    Manifest.deleteByKeys(spark, root,
+      (1L to 200L by 7L).toDF("id"))
+    assert(Manifest.snapshot(spark, root, 4L).files.toSet == before)
+    // reinsert two deleted keys — newer than the delete, must survive
+    Manifest.commitAppend(spark, root,
+      Seq((8L, "p0", "resurrected", 0L), (15L, "p3", "resurrected", 0L))
+        .toDF("id", "part", "text", "score"), Seq("part"))
+    val want = Manifest.read(spark, root)
+      .select("id", "part", "text", "score")
+      .as[(Long, String, String, Long)].collect().toSet
+    val got = connRead(root).select("id", "part", "text", "score")
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(got == want)
+    assert(got.exists(_._3 == "resurrected"))
+    assert(!got.exists(r => r._1 % 7 == 1 && r._3 != "resurrected"
+      && (1L to 200L by 7L).contains(r._1)))
+    // projection WITHOUT the key column still filters on it
+    assert(connRead(root).select("part").count() == want.size)
+    // count(*) — footer counts are not trusted under deletes
+    assert(connRead(root).count() == want.size)
+    // statistics: bytes stay (upper bound), exact row count withdrawn
+    val sc = scanOf(connRead(root).select($"id"))
+    assert(sc.estimateStatistics().sizeInBytes.isPresent)
+    assert(!sc.estimateStatistics().numRows.isPresent)
+  }
+
+  test("merge-on-read delete keyed on the PARTITION column erases " +
+    "whole partitions through the count fast path") {
+    val root = newRoot()
+    Manifest.init(spark, root,
+      Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "part"),
+      Seq("part"))
+    Manifest.deleteByKeys(spark, root, Seq("a").toDF("part"))
+    // no data columns requested → constant-key fast path per file
+    assert(connRead(root).count() == 1L)
+    assert(connRead(root).select("id", "part").as[(Long, String)]
+      .collect().toSet == Set((3L, "b")))
+    // a later append into the deleted partition is exempt
+    Manifest.commitAppend(spark, root,
+      Seq((9L, "a")).toDF("id", "part"), Seq("part"))
+    assert(connRead(root).as[(Long, String)].collect().toSet ==
+      Set((3L, "b"), (9L, "a")))
+  }
 }

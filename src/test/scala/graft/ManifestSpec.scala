@@ -525,4 +525,129 @@ class ManifestSpec extends SparkSpec {
       .collect().toSet ==
       Set((1L, "a", 10), (2L, "b", 20), (3L, "a", 30)))
   }
+
+  private def rowsOf(root: String, v: Option[Long] = None) =
+    Manifest.read(spark, root, v)
+      .select("id", "part", "v").as[(Long, String, Int)].collect().toSet
+
+  test("deleteByKeys: merge-on-read DELETE rewrites NO data file; " +
+    "time travel keeps pre-delete rows; later appends are exempt") {
+    val root = newRoot()
+    Manifest.init(spark, root,
+      Seq((1L, "a", 10), (2L, "a", 20), (3L, "b", 30), (4L, "c", 40))
+        .toDF("id", "part", "v"), Seq("part"))
+    val before = Manifest.snapshot(spark, root, 1L).files.toSet
+    val v2 = Manifest.deleteByKeys(spark, root, Seq(2L, 3L).toDF("id"))
+    assert(v2 == 2L)
+    // ZERO data files rewritten: v2 carries v1's files byte-identical
+    assert(Manifest.snapshot(spark, root, 2L).files.toSet == before)
+    assert(Manifest.snapshotMeta(spark, root, 2L).deletes.nonEmpty)
+    assert(rowsOf(root) == Set((1L, "a", 10), (4L, "c", 40)))
+    // pinned pre-delete snapshot still holds every row
+    assert(rowsOf(root, Some(1L)).size == 4)
+    // delete-then-reinsert: the NEW row with an old key is visible
+    // (delete files apply only to data files with a smaller sequence)
+    Manifest.commitAppend(spark, root,
+      Seq((2L, "a", 99)).toDF("id", "part", "v"), Seq("part"))
+    assert(rowsOf(root) ==
+      Set((1L, "a", 10), (4L, "c", 40), (2L, "a", 99)))
+    // an empty key set is a no-op commit
+    assert(Manifest.deleteByKeys(spark, root,
+      spark.emptyDataset[Long].toDF("id")) == 3L)
+  }
+
+  test("deleteByKeys: multi-column and NULL keys delete null-safely") {
+    val root = newRoot()
+    Manifest.init(spark, root,
+      Seq((1L, Some("a"), 10), (1L, Some("b"), 20), (2L, None, 30),
+        (3L, Some("a"), 40))
+        .toDF("id", "part", "v"), Nil)
+    Manifest.deleteByKeys(spark, root,
+      Seq((1L, Some("a")), (2L, Option.empty[String]))
+        .toDF("id", "part"))
+    assert(Manifest.read(spark, root, None)
+      .select("id", "part", "v").as[(Long, Option[String], Int)]
+      .collect().toSet ==
+      Set((1L, Some("b"), 20), (3L, Some("a"), 40)))
+    // unknown key columns fail loudly
+    intercept[Exception](
+      Manifest.deleteByKeys(spark, root, Seq(1L).toDF("nope")))
+  }
+
+  test("rewriteDeletes materializes: delete entries dropped, content " +
+    "identical, delete-free files carried by reference") {
+    val root = newRoot()
+    Manifest.init(spark, root,
+      Seq((1L, "a", 10), (2L, "a", 20), (3L, "b", 30))
+        .toDF("id", "part", "v"), Seq("part"))
+    Manifest.deleteByKeys(spark, root, Seq(2L).toDF("id"))
+    // post-delete append: no delete applies to it → carried by reference
+    Manifest.commitAppend(spark, root,
+      Seq((5L, "c", 50)).toDF("id", "part", "v"), Seq("part"))
+    val exempt = Manifest.snapshot(spark, root, 3L).files
+      .filter(_.contains("part=c/")).toSet
+    val contentBefore = rowsOf(root)
+    val v = Manifest.rewriteDeletes(spark, root)
+    val m = Manifest.snapshotMeta(spark, root, v)
+    assert(m.deletes.isEmpty)
+    assert(rowsOf(root) == contentBefore)
+    assert(exempt.subsetOf(m.files.toSet),
+      "files with no applicable delete must carry by reference")
+    // idempotent: nothing pending → same version back
+    assert(Manifest.rewriteDeletes(spark, root) == v)
+  }
+
+  test("compact under pending deletes never resurrects deleted rows; " +
+    "vacuum keeps live delete files") {
+    val root = newRoot()
+    Manifest.init(spark, root,
+      Seq((1L, "a", 10), (2L, "a", 20)).toDF("id", "part", "v"),
+      Seq("part"))
+    Manifest.commitAppend(spark, root,
+      Seq((3L, "a", 30)).toDF("id", "part", "v"), Seq("part"))
+    Manifest.deleteByKeys(spark, root, Seq(2L).toDF("id"))
+    val v = Manifest.compact(spark, root,
+      smallBytes = 1L << 30, targetBytes = 1L << 30)
+    assert(rowsOf(root, Some(v)) == Set((1L, "a", 10), (3L, "a", 30)))
+    // vacuum to the latest-only window: reads stay correct (no live
+    // delete file was reclaimed)
+    Manifest.vacuum(spark, root, keepVersions = 1)
+    assert(rowsOf(root) == Set((1L, "a", 10), (3L, "a", 30)))
+  }
+
+  test("change feed refuses to cross a merge-on-read delete commit") {
+    val root = newRoot()
+    Manifest.init(spark, root,
+      Seq((1L, "a", 10)).toDF("id", "part", "v"), Seq("part"))
+    Manifest.commitAppend(spark, root,
+      Seq((2L, "a", 20)).toDF("id", "part", "v"), Seq("part"))
+    Manifest.deleteByKeys(spark, root, Seq(1L).toDF("id"))
+    Manifest.commitAppend(spark, root,
+      Seq((3L, "b", 30)).toDF("id", "part", "v"), Seq("part"))
+    // v1..v2 predates the delete: fine
+    assert(Manifest.readChanges(spark, root, 1L, Some(2L)).count() == 1L)
+    // v3..v4 postdates it: fine
+    assert(Manifest.readChanges(spark, root, 3L, Some(4L)).count() == 1L)
+    // any range crossing v3 fails loudly instead of missing retractions
+    val e = intercept[IllegalArgumentException](
+      Manifest.readChanges(spark, root, 2L, Some(4L)))
+    assert(e.getMessage.contains("merge-on-read"))
+  }
+
+  test("copy-on-write merge on top of pending deletes: touched " +
+    "partition materializes, untouched keeps the delete applied") {
+    val root = newRoot()
+    Manifest.init(spark, root,
+      Seq((1L, "a", 10), (2L, "a", 20), (3L, "b", 30), (4L, "b", 40))
+        .toDF("id", "part", "v"), Seq("part"))
+    Manifest.deleteByKeys(spark, root, Seq(2L, 4L).toDF("id"))
+    // merge touches partition a only
+    Manifest.mergeInto(spark, root,
+      Seq((1L, "a", 11)).toDF("id", "part", "v"), "id", "part")
+    // a: rewritten deletes-applied + update; b: carried, delete applies
+    assert(rowsOf(root) == Set((1L, "a", 11), (3L, "b", 30)))
+    // the rewritten partition's files are exempt going forward, the
+    // carried delete entry still guards partition b
+    assert(Manifest.snapshotMeta(spark, root, 3L).deletes.nonEmpty)
+  }
 }

@@ -899,7 +899,10 @@ object Manifest {
     * broadcast anti-join; rows appended AFTER this commit are never
     * retro-deleted (file sequence numbers), so delete-then-reinsert
     * works. Run [[rewriteDeletes]] (or [[compact]]) periodically to
-    * fold accumulated delete files back into plain data files. */
+    * fold accumulated delete files back into plain data files.
+    * The versioned analog of the reference's keyed item delete
+    * (reference: python-data-ingestions/index-data-lambda.py:164-172),
+    * at a cost model that survives its 100 TB restatement. */
   def deleteByKeys(spark: SparkSession, root: String,
                    keys: DataFrame): Long = {
     val cur = latestVersion(spark, root).getOrElse(
@@ -1028,8 +1031,34 @@ object Manifest {
   def vacuum(spark: SparkSession, root: String,
              keepVersions: Int = 2): Seq[String] = {
     require(keepVersions >= 1, "must keep at least the latest version")
-    val (fs, rootP) = fsOf(spark, root)
     val cur = latestVersion(spark, root).getOrElse(return Nil)
+    reclaim(spark, root, _ <= cur - keepVersions)
+  }
+
+  /** Age-based retention: drop snapshots COMMITTED before
+    * `olderThanMillis` (epoch), always keeping the newest
+    * `keepLast`. The commit timestamps this resolves against are the
+    * same header stamps `TIMESTAMP AS OF` uses, so the contract
+    * composes: a timestamp inside the retention window always
+    * resolves. Pre-`ts` manifests have no age and are treated as
+    * expired (they predate the feature by definition). */
+  def expireSnapshots(spark: SparkSession, root: String,
+                      olderThanMillis: Long,
+                      keepLast: Int = 1): Seq[String] = {
+    require(keepLast >= 1, "must keep at least the latest version")
+    val cur = latestVersion(spark, root).getOrElse(return Nil)
+    reclaim(spark, root, v =>
+      v <= cur - keepLast &&
+        readManifest(spark, root, v).ts.forall(_ < olderThanMillis))
+  }
+
+  /** Shared reclamation: drop the manifests `expire` selects and
+    * delete every file (data AND delete files — reclaiming a delete
+    * file a kept snapshot still carries would resurrect rows) no
+    * surviving snapshot references. */
+  private def reclaim(spark: SparkSession, root: String,
+                      expire: Long => Boolean): Seq[String] = {
+    val (fs, _) = fsOf(spark, root)
     val all = {
       val md = fs.listStatus(new Path(manifestDir(root)))
       md.map(_.getPath.getName)
@@ -1037,9 +1066,7 @@ object Manifest {
           n.stripPrefix("v").stripSuffix(".txt").toLong }
         .sorted.toSeq
     }
-    val (drop, keep) = all.partition(_ <= cur - keepVersions)
-    // delete files are live references too — reclaiming one while a
-    // kept snapshot still carries it would resurrect deleted rows
+    val (drop, keep) = all.partition(expire)
     def refs(v: Long): Seq[String] = {
       val m = readManifest(spark, root, v)
       m.files ++ m.deletes.map(_.path)

@@ -336,6 +336,29 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces
     }
   }
 
+  private object ExpireSnapshotsProcedure extends UnboundProcedure
+      with BoundProcedure {
+    override def name(): String = "expire_snapshots"
+    override def description(): String =
+      "drop snapshots committed before a timestamp " +
+        "(Manifest.expireSnapshots; epoch millis)"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("older_than_ms", LongType).build(),
+      ProcedureParameter.in("keep_last", IntegerType)
+        .defaultValue("1").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val root = tableRoot(input.getUTF8String(0).toString)
+      val removed = Manifest.expireSnapshots(spark, root,
+        input.getLong(1), input.getInt(2))
+      oneRowScan(
+        StructType(Seq(StructField("removed_files", LongType, false))),
+        Array[Any](removed.size.toLong))
+    }
+  }
+
   private object RewriteDeletesProcedure extends UnboundProcedure
       with BoundProcedure {
     override def name(): String = "rewrite_deletes"
@@ -397,9 +420,10 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces
       case "vacuum"  => VacuumProcedure
       case "history" => HistoryProcedure
       case "rewrite_deletes" => RewriteDeletesProcedure
+      case "expire_snapshots" => ExpireSnapshotsProcedure
       case other => throw new UnsupportedOperationException(
-        s"catalog $catalogName has no procedure '$other' " +
-          "(available: compact, vacuum, history, rewrite_deletes)")
+        s"catalog $catalogName has no procedure '$other' (available: " +
+          "compact, vacuum, history, rewrite_deletes, expire_snapshots)")
     }
   }
 
@@ -408,5 +432,6 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces
     Array(Identifier.of(Array("system"), "compact"),
       Identifier.of(Array("system"), "vacuum"),
       Identifier.of(Array("system"), "history"),
-      Identifier.of(Array("system"), "rewrite_deletes"))
+      Identifier.of(Array("system"), "rewrite_deletes"),
+      Identifier.of(Array("system"), "expire_snapshots"))
 }

@@ -266,6 +266,13 @@ class ManifestCatalogSpec extends SparkSpec {
       s"expected >= $filesBefore reclaimed, got $removed")
     assert(spark.sql("SELECT id FROM graftcat.db.maint")
       .as[Long].collect().toSet == Set(1L, 2L, 3L, 4L))
+    // age-based retention through SQL: keep_last floors the drop, so
+    // an expire-everything cutoff on a 1-version table removes nothing
+    assert(spark.sql("CALL graftcat.system.expire_snapshots(" +
+      s"table => 'db.maint', older_than_ms => ${Long.MaxValue})")
+      .as[Long].collect().head == 0L)
+    assert(spark.sql("SELECT id FROM graftcat.db.maint")
+      .as[Long].collect().toSet == Set(1L, 2L, 3L, 4L))
     // unknown procedure fails loudly
     intercept[Exception](spark.sql("CALL graftcat.system.nope()"))
   }

@@ -634,6 +634,30 @@ class ManifestSpec extends SparkSpec {
     assert(e.getMessage.contains("merge-on-read"))
   }
 
+  test("expireSnapshots: age-based retention off the same commit " +
+    "clocks TIMESTAMP AS OF reads; newest always survives") {
+    val root = newRoot()
+    Manifest.init(spark, root,
+      Seq((1L, "a", 10)).toDF("id", "part", "v"), Seq("part"))
+    val ts1 = Manifest.snapshotMeta(spark, root, 1L).ts.get
+    while (System.currentTimeMillis() <= ts1) Thread.sleep(1)
+    Manifest.commitReplace(spark, root,
+      Seq((2L, "b", 20)).toDF("id", "part", "v"), Seq("part"))
+    val ts2 = Manifest.snapshotMeta(spark, root, 2L).ts.get
+    // cutoff strictly between the two commits: v1 expires, v2 stays
+    val removed = Manifest.expireSnapshots(spark, root, ts1 + 1)
+    assert(removed.nonEmpty, "v1's replaced file should be reclaimed")
+    assert(Manifest.versions(spark, root) == Seq(2L))
+    assert(rowsOf(root) == Set((2L, "b", 20)))
+    intercept[Exception](Manifest.read(spark, root, Some(1L)).collect())
+    // a timestamp inside the retention window still resolves
+    assert(Manifest.versionAt(spark, root, ts2) == 2L)
+    // keepLast floors the drop even with an expire-everything cutoff
+    assert(Manifest.expireSnapshots(spark, root,
+      System.currentTimeMillis() + 1000000L).isEmpty)
+    assert(Manifest.versions(spark, root) == Seq(2L))
+  }
+
   test("copy-on-write merge on top of pending deletes: touched " +
     "partition materializes, untouched keeps the delete applied") {
     val root = newRoot()

@@ -1349,5 +1349,47 @@ object LakeQueries {
           CAST(sum(n_chars) AS BIGINT) AS chars,
           TRUE AS no_rewrite
         FROM surv GROUP BY lang ORDER BY lang"""),
+      kind = QueryDef.Pipeline),
+
+    // ---- SQL DELETE routed merge-on-read --------------------------------
+    // With delete.mode=merge-on-read, a keyed SQL DELETE (`IN` list)
+    // commits the keys straight off the predicate as a delete file —
+    // no scan, no data rewrite (the `no_rewrite` bit pins the file
+    // list). The same table then reads correctly through pure SQL.
+    QueryDef("q128_sql_mor_delete",
+      (s, dir) => {
+        s.conf.set("spark.sql.catalog.graftsql",
+          classOf[graft.sources.connector.ManifestCatalog].getName)
+        if (s.conf.getOption("spark.sql.catalog.graftsql.root").isEmpty)
+          s.conf.set("spark.sql.catalog.graftsql.root",
+            "file://" + Files.createTempDirectory("graft_sqlcat").toString)
+        Tables.load(s, dir, "documents")
+          .select("doc_id", "lang", "n_chars")
+          .createOrReplaceTempView("q128_docs")
+        s.sql("DROP TABLE IF EXISTS graftsql.db.mor_docs")
+        s.sql("CREATE TABLE graftsql.db.mor_docs " +
+          "(doc_id BIGINT, lang STRING, n_chars BIGINT) " +
+          "PARTITIONED BY (lang)")
+        s.sql("INSERT INTO graftsql.db.mor_docs " +
+          "SELECT doc_id, lang, n_chars FROM q128_docs")
+        val root = s.conf.get("spark.sql.catalog.graftsql.root")
+          .stripSuffix("/") + "/db/mor_docs"
+        val before = Manifest.snapshot(s, root, 2L).files.toSet
+        s.conf.set("spark.graft.manifest.delete.mode", "merge-on-read")
+        try s.sql("DELETE FROM graftsql.db.mor_docs WHERE doc_id IN (" +
+          (1L to 50L).mkString(", ") + ")")
+        finally s.conf.unset("spark.graft.manifest.delete.mode")
+        val noRewrite =
+          Manifest.snapshot(s, root, 3L).files.toSet == before
+        s.sql("""SELECT lang, count(*) AS n,
+            CAST(sum(n_chars) AS BIGINT) AS chars
+          FROM graftsql.db.mor_docs GROUP BY lang ORDER BY lang""")
+          .withColumn("no_rewrite", lit(noRewrite))
+      },
+      Some("""SELECT lang, count(*) AS n,
+          CAST(sum(n_chars) AS BIGINT) AS chars,
+          TRUE AS no_rewrite
+        FROM documents WHERE doc_id < 1 OR doc_id > 50
+        GROUP BY lang ORDER BY lang"""),
       kind = QueryDef.Pipeline))
 }

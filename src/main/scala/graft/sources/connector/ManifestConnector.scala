@@ -477,6 +477,78 @@ object ManifestConnector {
 
   /** A V2 literal (catalyst-internal value) as a Column, for the
     * connector's supported scalar types. */
+  /** DELETE predicates of pure key shape — a conjunction of
+    * `col = lit` / `col IN (lits)` over DISTINCT columns — as the
+    * cross-product key-tuple set they denote. This is what lets
+    * `DELETE FROM t WHERE id IN (...)` run as a merge-on-read
+    * metadata commit: the keys come straight off the predicate, no
+    * scan. `None` for any other shape (ranges, arithmetic, NULLs,
+    * repeated columns), or when the cross product exceeds 10k tuples
+    * — those keep the copy-on-write path. Only eligible when each
+    * literal's type equals the table column's type exactly (Spark
+    * would otherwise have wrapped the column in a cast, which already
+    * disqualifies the shape). */
+  def predicatesToKeys(predicates: Array[org.apache.spark.sql.connector
+        .expressions.filter.Predicate], table: StructType)
+      : Option[(Seq[String], Seq[Seq[Any]])] = {
+    import org.apache.spark.sql.connector.expressions.{Expression => V2Expr, GeneralScalarExpression, Literal => V2Literal, NamedReference}
+    def flat(e: V2Expr): Seq[V2Expr] = e match {
+      case g: GeneralScalarExpression
+          if g.name == "AND" && g.children.length == 2 =>
+        g.children().toSeq.flatMap(flat)
+      case x => Seq(x)
+    }
+    // a key literal: non-null, simple external value, and typed
+    // EXACTLY like the table column (else createDataFrame would lie)
+    def simpleValue(c: String, l: V2Literal[_]): Option[Any] = {
+      val v = l.value
+      if (v == null) return None // `= NULL` never matches; leave to CoW
+      if (!table.fieldNames.contains(c) ||
+          table(c).dataType != l.dataType) return None
+      l.dataType match {
+        case StringType => Some(v.toString)
+        case BooleanType | IntegerType | LongType | DoubleType |
+             FloatType | ShortType | ByteType => Some(v)
+        case _ => None
+      }
+    }
+    def colValues(e: V2Expr): Option[(String, Seq[Any])] = e match {
+      case g: GeneralScalarExpression =>
+        (g.name, g.children().toSeq) match {
+          case ("=", Seq(r: NamedReference, l: V2Literal[_]))
+              if r.fieldNames.length == 1 =>
+            simpleValue(r.fieldNames.head, l)
+              .map(v => r.fieldNames.head -> Seq(v))
+          case ("=", Seq(l: V2Literal[_], r: NamedReference))
+              if r.fieldNames.length == 1 =>
+            simpleValue(r.fieldNames.head, l)
+              .map(v => r.fieldNames.head -> Seq(v))
+          case ("IN", (r: NamedReference) +: lits)
+              if r.fieldNames.length == 1 && lits.nonEmpty =>
+            val vs = lits.map {
+              case l: V2Literal[_] => simpleValue(r.fieldNames.head, l)
+              case _               => None
+            }
+            if (vs.exists(_.isEmpty)) None
+            else Some(r.fieldNames.head -> vs.flatten)
+          case _ => None
+        }
+      case _ => None
+    }
+    val conjuncts = predicates.toSeq.flatMap(flat)
+    if (conjuncts.isEmpty) return None // unconditional DELETE = truncate
+    val extracted = conjuncts.map(colValues)
+    if (extracted.exists(_.isEmpty)) return None
+    val byCol = extracted.flatten
+    val cols = byCol.map(_._1)
+    if (cols.distinct.size != cols.size) return None
+    if (byCol.map(_._2.size.toLong).product > 10000L) return None
+    val tuples = byCol.foldLeft(Seq(Seq.empty[Any])) {
+      case (acc, (_, vs)) => acc.flatMap(t => vs.map(t :+ _))
+    }
+    Some((cols, tuples))
+  }
+
   private def literalColumn(l: org.apache.spark.sql.connector
       .expressions.Literal[_])
       : Option[org.apache.spark.sql.Column] = {
@@ -693,17 +765,42 @@ final case class ManifestTable(res: ManifestConnector.Resolved)
 
   /** All conjuncts AND-ed (an empty array = unconditional DELETE =
     * rewrite to empty). Applies to the CURRENT snapshot — DML never
-    * targets a pinned version. */
+    * targets a pinned version.
+    *
+    * With `spark.graft.manifest.delete.mode=merge-on-read`, a DELETE
+    * whose predicate is a pure key shape (`col = lit` / `col IN
+    * (...)` conjunctions) commits the keys as a delete file instead
+    * of rewriting data — O(keys) regardless of table size
+    * ([[graft.sources.Manifest.deleteByKeys]]). Every other
+    * predicate, and the default mode, takes the copy-on-write path. */
   override def deleteWhere(predicates: Array[org.apache.spark.sql
       .connector.expressions.filter.Predicate]): Unit = {
-    val cond = predicates.toSeq.map(p =>
-      ManifestConnector.v2ExprToColumn(p).getOrElse(
-        throw new IllegalArgumentException(
-          s"untranslatable DELETE predicate $p — canDeleteWhere " +
-            "should have refused this")))
-      .reduceOption(_ && _)
-      .getOrElse(org.apache.spark.sql.functions.lit(true))
-    Manifest.deleteWhere(SparkSession.active, res.root, cond, res.partCols)
+    val spark = SparkSession.active
+    val mor = spark.conf
+      .getOption("spark.graft.manifest.delete.mode")
+      .contains("merge-on-read")
+    val keyed = if (mor)
+      ManifestConnector.predicatesToKeys(predicates, res.fullSchema)
+    else None
+    keyed match {
+      case Some((cols, tuples)) =>
+        val schema = StructType(
+          cols.map(c => res.fullSchema(c).copy(nullable = false)))
+        val rows: java.util.List[org.apache.spark.sql.Row] =
+          java.util.Arrays.asList(tuples.map(t =>
+            org.apache.spark.sql.Row.fromSeq(t)): _*)
+        Manifest.deleteByKeys(spark, res.root,
+          spark.createDataFrame(rows, schema))
+      case None =>
+        val cond = predicates.toSeq.map(p =>
+          ManifestConnector.v2ExprToColumn(p).getOrElse(
+            throw new IllegalArgumentException(
+              s"untranslatable DELETE predicate $p — canDeleteWhere " +
+                "should have refused this")))
+          .reduceOption(_ && _)
+          .getOrElse(org.apache.spark.sql.functions.lit(true))
+        Manifest.deleteWhere(spark, res.root, cond, res.partCols)
+    }
   }
 
   /** SQL UPDATE / MERGE INTO (and DELETEs whose predicates the
@@ -869,6 +966,29 @@ final class ManifestScan(res: ManifestConnector.Resolved,
   * .Manifest.deleteByKeys]]. */
 final case class DeleteFileSpec(absPath: String, keyCols: Array[String])
 
+/** JVM-wide (per-executor) cache of loaded delete-key sets. A scan
+  * over N data files would otherwise read every applicable delete
+  * file N times — once per task. Delete files are IMMUTABLE (new
+  * commits write new paths), so a path is a complete cache key.
+  * Crudely bounded: maintenance cycles (rewriteDeletes → vacuum)
+  * retire paths, so on overflow the cache just resets. */
+private[connector] object DeleteSetCache {
+  private val MaxEntries = 64
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      java.util.HashSet[List[Any]]]()
+  def getOrLoad(path: String,
+                load: () => java.util.HashSet[List[Any]])
+      : java.util.HashSet[List[Any]] = {
+    val hit = cache.get(path)
+    if (hit != null) return hit
+    val v = load()
+    if (cache.size >= MaxEntries) cache.clear()
+    cache.putIfAbsent(path, v)
+    v
+  }
+}
+
 final case class ManifestInputPartition(path: String, size: Long,
     partValues: Array[(String, String)],
     deletes: Array[DeleteFileSpec] = Array.empty) extends InputPartition
@@ -1002,33 +1122,37 @@ final class ManifestPartitionReader(part: ManifestInputPartition,
     * NULL key value matches NULL), matching the read path's `<=>`
     * anti-join. Loading happens once per task, before the data reader
     * touches the shared Configuration. */
-  private val deleteSets: Array[(Array[ColPlan], java.util.HashSet[List[Any]])] =
+  private val deleteSets
+      : Array[(Array[ColPlan], Array[java.util.HashSet[List[Any]]])] =
     part.deletes.groupBy(_.keyCols.toSeq).map { case (kc, specs) =>
-      val set = new java.util.HashSet[List[Any]]()
       val types = kc.map(typeOf)
-      specs.map(_.absPath).distinct.foreach { dp =>
-        val dPath = new Path(dp)
-        val dSchema = {
-          val r = ParquetFileReader.open(
-            HadoopInputFile.fromPath(dPath, conf))
-          try r.getFileMetaData.getSchema finally r.close()
-        }
-        val idx = kc.map(dSchema.getFieldIndex).toArray
-        // fresh conf: must not inherit the data file's read projection
-        val dConf = new Configuration(conf)
-        val dr = ParquetReader.builder(new GroupReadSupport(), dPath)
-          .withConf(dConf).build()
-        try {
-          var g = dr.read()
-          while (g != null) {
-            set.add(kc.indices.map(i =>
-              if (g.getFieldRepetitionCount(idx(i)) == 0) null
-              else normKey(decodeGroupValue(g, idx(i), types(i)))).toList)
-            g = dr.read()
+      val sets = specs.map(_.absPath).distinct.map { dp =>
+        DeleteSetCache.getOrLoad(dp, () => {
+          val set = new java.util.HashSet[List[Any]]()
+          val dPath = new Path(dp)
+          val dSchema = {
+            val r = ParquetFileReader.open(
+              HadoopInputFile.fromPath(dPath, conf))
+            try r.getFileMetaData.getSchema finally r.close()
           }
-        } finally dr.close()
+          val idx = kc.map(dSchema.getFieldIndex).toArray
+          // fresh conf: must not inherit the data file's read projection
+          val dConf = new Configuration(conf)
+          val dr = ParquetReader.builder(new GroupReadSupport(), dPath)
+            .withConf(dConf).build()
+          try {
+            var g = dr.read()
+            while (g != null) {
+              set.add(kc.indices.map(i =>
+                if (g.getFieldRepetitionCount(idx(i)) == 0) null
+                else normKey(decodeGroupValue(g, idx(i), types(i)))).toList)
+              g = dr.read()
+            }
+          } finally dr.close()
+          set
+        })
       }
-      (kc.map(keyPlan).toArray, set)
+      (kc.map(keyPlan).toArray, sets.toArray)
     }.toArray
 
   private var emitted = 0L
@@ -1042,10 +1166,12 @@ final class ManifestPartitionReader(part: ManifestInputPartition,
   // deleted or untouched.
   private val rowsOnly = projection.isEmpty
   private val constDeleted = rowsOnly && deleteSets.exists {
-    case (kps, set) => set.contains(kps.map {
-      case PartCol(v) => normKey(v)
-      case _          => null
-    }.toList)
+    case (kps, sets) =>
+      val key = kps.map {
+        case PartCol(v) => normKey(v)
+        case _          => null
+      }.toList
+      sets.exists(_.contains(key))
   }
   private val rowsOnlyTotal =
     if (!rowsOnly || constDeleted) 0L else capped(fileRows)
@@ -1065,7 +1191,7 @@ final class ManifestPartitionReader(part: ManifestInputPartition,
   private def deleted(g: Group): Boolean = {
     var i = 0
     while (i < deleteSets.length) {
-      val (kps, set) = deleteSets(i)
+      val (kps, sets) = deleteSets(i)
       val key = kps.map {
         case PartCol(v) => normKey(v)
         case MissingCol => null
@@ -1073,7 +1199,11 @@ final class ManifestPartitionReader(part: ManifestInputPartition,
           if (g.getFieldRepetitionCount(idx) == 0) null
           else normKey(decodeGroupValue(g, idx, dt))
       }.toList
-      if (set.contains(key)) return true
+      var j = 0
+      while (j < sets.length) {
+        if (sets(j).contains(key)) return true
+        j += 1
+      }
       i += 1
     }
     false

@@ -381,6 +381,37 @@ class ManifestCatalogSpec extends SparkSpec {
       Set((1L, "a", 11L), (3L, "b", 30L)))
   }
 
+  test("delete.mode=merge-on-read: a keyed SQL DELETE commits a " +
+    "delete file with ZERO data rewrite; other shapes stay CoW") {
+    spark.sql("CREATE TABLE graftcat.db.morsql " +
+      "(id BIGINT, part STRING) PARTITIONED BY (part)")
+    spark.sql("INSERT INTO graftcat.db.morsql VALUES " +
+      "(1, 'a'), (2, 'a'), (3, 'b'), (4, 'b'), (5, 'b')")
+    val root = s"$warehouse/db/morsql"
+    val before = Manifest.snapshot(spark, root, 2L).files.toSet
+    spark.conf.set("spark.graft.manifest.delete.mode", "merge-on-read")
+    try {
+      spark.sql("DELETE FROM graftcat.db.morsql WHERE id IN (2, 4)")
+      // metadata-only: same data files, one delete entry
+      assert(Manifest.snapshot(spark, root, 3L).files.toSet == before)
+      assert(Manifest.snapshotMeta(spark, root, 3L).deletes.size == 1)
+      assert(spark.table("graftcat.db.morsql").as[(Long, String)]
+        .collect().toSet == Set((1L, "a"), (3L, "b"), (5L, "b")))
+      // composite key shape: id = 5 AND part = 'b' → one tuple
+      spark.sql(
+        "DELETE FROM graftcat.db.morsql WHERE id = 5 AND part = 'b'")
+      assert(Manifest.snapshot(spark, root, 4L).files.toSet == before)
+      assert(spark.table("graftcat.db.morsql").as[(Long, String)]
+        .collect().toSet == Set((1L, "a"), (3L, "b")))
+      // non-key shape (arithmetic) falls back to copy-on-write:
+      // partition a's files are rewritten, not carried
+      spark.sql("DELETE FROM graftcat.db.morsql WHERE id % 2 = 1")
+      assert(spark.table("graftcat.db.morsql").count() == 0L)
+      assert(Manifest.snapshot(spark, root, 5L).files.toSet != before)
+    } finally
+      spark.conf.unset("spark.graft.manifest.delete.mode")
+  }
+
   test("identifier segments cannot traverse outside the warehouse") {
     // a backtick-quoted name carrying '..' or '/' would otherwise
     // resolve (and DROP TABLE would recursively delete) outside the

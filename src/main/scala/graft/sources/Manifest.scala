@@ -486,13 +486,37 @@ object Manifest {
     * layout when `partitionCols` given) and return the file list. The
     * commit dir carries a random suffix so two racing committers of
     * the same version can never clobber each other's staged files —
-    * the loser's dir simply orphans (never referenced by a manifest). */
+    * the loser's dir simply orphans (never referenced by a manifest).
+    *
+    * `spark.graft.manifest.write.clustered=true` repartitions the
+    * commit by its partition columns first: without it a commit with
+    * T input tasks and P partition values writes up to T×P files (the
+    * classic small-files explosion — every task holds every value);
+    * with it each value's rows co-locate and the commit writes O(P)
+    * files. Costs one shuffle and serializes each value into one task
+    * — skip it for skewed layouts, run [[compact]] instead. */
   private def writeCommit(spark: SparkSession, root: String, next: Long,
                           df: DataFrame,
                           partitionCols: Seq[String]): Seq[FileEntry] = {
     val salt = java.util.UUID.randomUUID().toString.take(8)
     val dir = f"$root/data/c$next%08d-$salt"
-    val w = df.write.mode("overwrite")
+    val clustered = partitionCols.nonEmpty && spark.conf
+      .getOption("spark.graft.manifest.write.clustered")
+      .contains("true")
+    val shaped =
+      if (clustered) df.repartition(partitionCols.map(col): _*) else df
+    // `spark.graft.parquet.bloom.columns=c1,c2` writes parquet bloom
+    // filters for those columns: point lookups (`=`/`IN`) then skip
+    // whole row groups through the SAME pushed FilterPredicate both
+    // read paths already install — zone maps can't skip uniformly
+    // distributed keys (every file's min/max envelope matches), blooms
+    // can. Costs ~1 MB/row-group/column at write; no read-side change.
+    val bloomCols = spark.conf
+      .getOption("spark.graft.parquet.bloom.columns")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil).filter(df.columns.contains)
+    val w = bloomCols.foldLeft(shaped.write.mode("overwrite"))((w, c) =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true"))
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(dir)
     val (fs, rootP) = fsOf(spark, root)

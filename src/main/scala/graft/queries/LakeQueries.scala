@@ -1391,5 +1391,45 @@ object LakeQueries {
           TRUE AS no_rewrite
         FROM documents WHERE doc_id < 1 OR doc_id > 50
         GROUP BY lang ORDER BY lang"""),
+      kind = QueryDef.Pipeline),
+
+    // ---- Snapshot tags: named refs through pure SQL ---------------------
+    // CALL system.tag pins "the corpus this run trained on" to a name;
+    // `VERSION AS OF 'name'` keeps resolving it no matter how many
+    // commits (or retention sweeps — tags are vacuum-proof) scroll
+    // past. The query tags the mid-lifecycle snapshot and reads both
+    // latest and the tag; a ref that drifted or resolved to the wrong
+    // version flips the scalar.
+    QueryDef("q129_sql_tag",
+      (s, dir) => {
+        s.conf.set("spark.sql.catalog.graftsql",
+          classOf[graft.sources.connector.ManifestCatalog].getName)
+        if (s.conf.getOption("spark.sql.catalog.graftsql.root").isEmpty)
+          s.conf.set("spark.sql.catalog.graftsql.root",
+            "file://" + Files.createTempDirectory("graft_sqlcat").toString)
+        Tables.load(s, dir, "documents")
+          .select("doc_id", "lang", "n_chars")
+          .createOrReplaceTempView("q129_docs")
+        s.sql("DROP TABLE IF EXISTS graftsql.db.tag_docs")
+        s.sql("CREATE TABLE graftsql.db.tag_docs " +
+          "(doc_id BIGINT, lang STRING, n_chars BIGINT) " +
+          "PARTITIONED BY (lang)")
+        s.sql("INSERT INTO graftsql.db.tag_docs " +
+          "SELECT doc_id, lang, n_chars FROM q129_docs WHERE doc_id % 2 = 0")
+        s.sql("CALL graftsql.system.tag(" +
+          "table => 'db.tag_docs', name => 'evens')")
+        s.sql("INSERT INTO graftsql.db.tag_docs " +
+          "SELECT doc_id, lang, n_chars FROM q129_docs WHERE doc_id % 2 = 1")
+        s.sql("""SELECT lang, count(*) AS n,
+            CAST(sum(n_chars) AS BIGINT) AS chars,
+            (SELECT count(*) FROM graftsql.db.tag_docs
+               VERSION AS OF 'evens') AS tagged_n
+          FROM graftsql.db.tag_docs GROUP BY lang ORDER BY lang""")
+      },
+      Some("""SELECT lang, count(*) AS n,
+          CAST(sum(n_chars) AS BIGINT) AS chars,
+          (SELECT count(*) FROM documents WHERE doc_id % 2 = 0)
+            AS tagged_n
+        FROM documents GROUP BY lang ORDER BY lang"""),
       kind = QueryDef.Pipeline))
 }

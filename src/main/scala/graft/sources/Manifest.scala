@@ -203,6 +203,56 @@ object Manifest {
   def latestVersion(spark: SparkSession, root: String): Option[Long] =
     versions(spark, root).lastOption
 
+  /** TAGS: named immutable refs to snapshots — the audit/publish
+    * handle ("the corpus we trained run 7 on") that survives version
+    * numbers scrolling past. A tag is one tiny file
+    * (`_manifests/tag-<name>.txt` holding the version); `VERSION AS
+    * OF 'name'` resolves through it, and [[vacuum]]/[[expireSnapshots]]
+    * NEVER reclaim a tagged snapshot — dropping the tag releases it.
+    * Re-tagging an existing name moves it (one-file overwrite). */
+  def tag(spark: SparkSession, root: String, name: String,
+          version: Long): Unit = {
+    require(name.matches("[A-Za-z][A-Za-z0-9._-]*"),
+      s"tag name '$name' must match [A-Za-z][A-Za-z0-9._-]*")
+    val (fs, _) = fsOf(spark, root)
+    require(fs.exists(new Path(manifestDir(root), vName(version))),
+      s"cannot tag: version $version of $root does not exist")
+    val out = fs.create(new Path(manifestDir(root), s"tag-$name.txt"),
+      true)
+    try out.write(version.toString.getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** All tags, name → version (one manifest-dir listing). */
+  def tags(spark: SparkSession, root: String): Map[String, Long] = {
+    val (fs, _) = fsOf(spark, root)
+    val md = new Path(manifestDir(root))
+    if (!fs.exists(md)) Map.empty
+    else fs.listStatus(md).iterator
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("tag-") && n.endsWith(".txt") =>
+        val in = fs.open(new Path(md, n))
+        val v = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .mkString.trim.toLong finally in.close()
+        n.stripPrefix("tag-").stripSuffix(".txt") -> v
+      }.toMap
+  }
+
+  def dropTag(spark: SparkSession, root: String, name: String): Boolean = {
+    val (fs, _) = fsOf(spark, root)
+    fs.delete(new Path(manifestDir(root), s"tag-$name.txt"), false)
+  }
+
+  /** `VERSION AS OF` argument → version: a number is itself, anything
+    * else resolves as a tag name. Fails loudly on unknown tags. */
+  def resolveVersion(spark: SparkSession, root: String,
+                     ref: String): Long =
+    ref.toLongOption.getOrElse(
+      tags(spark, root).getOrElse(ref,
+        throw new IllegalArgumentException(
+          s"'$ref' is neither a version number nor a tag of $root " +
+            s"(tags: ${tags(spark, root).keys.toSeq.sorted.mkString(", ")})")))
+
   /** Timestamp travel: the newest version committed at or before
     * `tsMillis` (what `TIMESTAMP AS OF` resolves to). Versions are
     * committed in order, so commit timestamps are non-decreasing —
@@ -1079,7 +1129,8 @@ object Manifest {
   /** Shared reclamation: drop the manifests `expire` selects and
     * delete every file (data AND delete files — reclaiming a delete
     * file a kept snapshot still carries would resurrect rows) no
-    * surviving snapshot references. */
+    * surviving snapshot references. TAGGED snapshots never expire —
+    * a tag is a promise that `VERSION AS OF 'name'` keeps resolving. */
   private def reclaim(spark: SparkSession, root: String,
                       expire: Long => Boolean): Seq[String] = {
     val (fs, _) = fsOf(spark, root)
@@ -1090,7 +1141,8 @@ object Manifest {
           n.stripPrefix("v").stripSuffix(".txt").toLong }
         .sorted.toSeq
     }
-    val (drop, keep) = all.partition(expire)
+    val tagged = tags(spark, root).values.toSet
+    val (drop, keep) = all.partition(v => expire(v) && !tagged(v))
     def refs(v: Long): Seq[String] = {
       val m = readManifest(spark, root, v)
       m.files ++ m.deletes.map(_.path)

@@ -10,7 +10,7 @@ import org.apache.spark.sql.connector.catalog.{Column, Identifier, NamespaceChan
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{LocalScan, Scan}
-import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType, TimestampType}
+import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType, StringType, StructField, StructType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.sources.Manifest
@@ -336,6 +336,78 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces
     }
   }
 
+  private object TagProcedure extends UnboundProcedure
+      with BoundProcedure {
+    override def name(): String = "tag"
+    override def description(): String =
+      "pin a named immutable ref to a snapshot; VERSION AS OF 'name' " +
+        "resolves it and retention never reclaims it (Manifest.tag)"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("name", StringType).build(),
+      ProcedureParameter.in("version", LongType)
+        .defaultValue("-1").build()) // -1 = latest
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val root = tableRoot(input.getUTF8String(0).toString)
+      val v = input.getLong(2) match {
+        case -1L => Manifest.latestVersion(spark, root).get
+        case x   => x
+      }
+      Manifest.tag(spark, root, input.getUTF8String(1).toString, v)
+      oneRowScan(
+        StructType(Seq(StructField("version", LongType, false))),
+        Array[Any](v))
+    }
+  }
+
+  private object DropTagProcedure extends UnboundProcedure
+      with BoundProcedure {
+    override def name(): String = "drop_tag"
+    override def description(): String =
+      "release a named snapshot ref (Manifest.dropTag)"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("name", StringType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val root = tableRoot(input.getUTF8String(0).toString)
+      val dropped = Manifest.dropTag(spark, root,
+        input.getUTF8String(1).toString)
+      oneRowScan(
+        StructType(Seq(StructField("dropped", BooleanType, false))),
+        Array[Any](dropped))
+    }
+  }
+
+  private object TagsProcedure extends UnboundProcedure
+      with BoundProcedure {
+    override def name(): String = "tags"
+    override def description(): String =
+      "list a manifest table's tags (name, version)"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] =
+      Array(ProcedureParameter.in("table", StringType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val root = tableRoot(input.getUTF8String(0).toString)
+      val schema = StructType(Seq(
+        StructField("name", StringType, false),
+        StructField("version", LongType, false)))
+      val tagRows = Manifest.tags(spark, root).toSeq.sortBy(_._1).map {
+        case (n, v) => new GenericInternalRow(Array[Any](
+          org.apache.spark.unsafe.types.UTF8String.fromString(n), v))
+          : InternalRow
+      }.toArray
+      java.util.Collections.singletonList[Scan](new LocalScan {
+        override def rows(): Array[InternalRow] = tagRows
+        override def readSchema(): StructType = schema
+      }).iterator()
+    }
+  }
+
   private object ExpireSnapshotsProcedure extends UnboundProcedure
       with BoundProcedure {
     override def name(): String = "expire_snapshots"
@@ -421,9 +493,13 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces
       case "history" => HistoryProcedure
       case "rewrite_deletes" => RewriteDeletesProcedure
       case "expire_snapshots" => ExpireSnapshotsProcedure
+      case "tag" => TagProcedure
+      case "drop_tag" => DropTagProcedure
+      case "tags" => TagsProcedure
       case other => throw new UnsupportedOperationException(
         s"catalog $catalogName has no procedure '$other' (available: " +
-          "compact, vacuum, history, rewrite_deletes, expire_snapshots)")
+          "compact, vacuum, history, rewrite_deletes, " +
+          "expire_snapshots, tag, drop_tag, tags)")
     }
   }
 
@@ -433,5 +509,8 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces
       Identifier.of(Array("system"), "vacuum"),
       Identifier.of(Array("system"), "history"),
       Identifier.of(Array("system"), "rewrite_deletes"),
-      Identifier.of(Array("system"), "expire_snapshots"))
+      Identifier.of(Array("system"), "expire_snapshots"),
+      Identifier.of(Array("system"), "tag"),
+      Identifier.of(Array("system"), "drop_tag"),
+      Identifier.of(Array("system"), "tags"))
 }

@@ -223,7 +223,8 @@ object ManifestConnector {
     // option keys arrive lowercased (CaseInsensitiveStringMap)
     require(!(opts.contains("version") && opts.contains("timestampasof")),
       "give either version or timestampAsOf, not both")
-    val version = opts.get("version").map(_.toLong)
+    val version = opts.get("version")
+      .map(Manifest.resolveVersion(spark, root, _)) // number or tag
       .orElse(opts.get("timestampasof").map(ts =>
         Manifest.versionAt(spark, root, ts.toLong)))
       .orElse(Manifest.latestVersion(spark, root))

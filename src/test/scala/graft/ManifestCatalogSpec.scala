@@ -412,6 +412,37 @@ class ManifestCatalogSpec extends SparkSpec {
       spark.conf.unset("spark.graft.manifest.delete.mode")
   }
 
+  test("tags through SQL: CALL system.tag pins a ref, VERSION AS OF " +
+    "'name' reads it, retention respects it, drop_tag releases") {
+    spark.sql("CREATE TABLE graftcat.db.tagged (id BIGINT)")
+    spark.sql("INSERT INTO graftcat.db.tagged VALUES (1)") // v2
+    spark.sql("INSERT INTO graftcat.db.tagged VALUES (2)") // v3
+    spark.sql(
+      "CALL graftcat.system.tag(table => 'db.tagged', name => 'audit', " +
+        "version => 2)")
+    assert(spark.sql(
+      "SELECT sum(id) FROM graftcat.db.tagged VERSION AS OF 'audit'")
+      .as[Long].head == 1L)
+    assert(spark.sql("CALL graftcat.system.tags(table => 'db.tagged')")
+      .as[(String, Long)].collect().toSeq == Seq(("audit", 2L)))
+    // vacuum to latest-only: the tagged v2 survives
+    spark.sql("CALL graftcat.system.vacuum(" +
+      "table => 'db.tagged', keep_versions => 1)")
+    assert(spark.sql(
+      "SELECT count(*) FROM graftcat.db.tagged VERSION AS OF 'audit'")
+      .as[Long].head == 1L)
+    // default version = latest
+    spark.sql("CALL graftcat.system.tag(" +
+      "table => 'db.tagged', name => 'latest_run')")
+    assert(spark.sql(
+      "SELECT count(*) FROM graftcat.db.tagged " +
+        "VERSION AS OF 'latest_run'").as[Long].head == 2L)
+    assert(spark.sql("CALL graftcat.system.drop_tag(" +
+      "table => 'db.tagged', name => 'audit')").as[Boolean].head)
+    intercept[Exception](spark.sql(
+      "SELECT * FROM graftcat.db.tagged VERSION AS OF 'audit'").collect())
+  }
+
   test("identifier segments cannot traverse outside the warehouse") {
     // a backtick-quoted name carrying '..' or '/' would otherwise
     // resolve (and DROP TABLE would recursively delete) outside the

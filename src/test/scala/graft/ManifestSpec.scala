@@ -636,6 +636,35 @@ class ManifestSpec extends SparkSpec {
     assert(e.getMessage.contains("merge-on-read"))
   }
 
+  test("tags: named refs resolve, survive retention, release on drop") {
+    val root = newRoot()
+    Manifest.init(spark, root,
+      Seq((1L, "a", 10)).toDF("id", "part", "v"), Seq("part"))
+    Manifest.commitReplace(spark, root,
+      Seq((2L, "b", 20)).toDF("id", "part", "v"), Seq("part"))
+    Manifest.commitReplace(spark, root,
+      Seq((3L, "c", 30)).toDF("id", "part", "v"), Seq("part"))
+    Manifest.tag(spark, root, "audit", 2L)
+    assert(Manifest.resolveVersion(spark, root, "audit") == 2L)
+    assert(Manifest.resolveVersion(spark, root, "3") == 3L)
+    assert(rowsOf(root, Some(2L)) == Set((2L, "b", 20)))
+    // retention keeps the tagged snapshot even outside the window
+    Manifest.vacuum(spark, root, keepVersions = 1)
+    assert(Manifest.versions(spark, root).contains(2L))
+    assert(rowsOf(root, Some(2L)) == Set((2L, "b", 20)))
+    assert(!Manifest.versions(spark, root).contains(1L))
+    // reader option resolves the tag through the connector too
+    assert(spark.read.format("graft-manifest")
+      .option("version", "audit").load(root)
+      .select("id").as[Long].head == 2L)
+    // drop releases it; the next vacuum reclaims
+    assert(Manifest.dropTag(spark, root, "audit"))
+    Manifest.vacuum(spark, root, keepVersions = 1)
+    assert(Manifest.versions(spark, root) == Seq(3L))
+    intercept[Exception](Manifest.resolveVersion(spark, root, "audit"))
+    intercept[Exception](Manifest.tag(spark, root, "x", 99L))
+  }
+
   test("clustered writes co-locate partition values: O(values) files " +
     "instead of O(tasks × values); content identical") {
     val root = newRoot()

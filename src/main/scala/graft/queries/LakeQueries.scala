@@ -1431,5 +1431,148 @@ object LakeQueries {
           (SELECT count(*) FROM documents WHERE doc_id % 2 = 0)
             AS tagged_n
         FROM documents GROUP BY lang ORDER BY lang"""),
+      kind = QueryDef.Pipeline),
+
+    // ---- OPTIMIZE ZORDER through SQL ------------------------------------
+    // CALL system.zorder rewrites the table clustered by the Morton
+    // interleave of (event_id, user_id) — range-normalized so both
+    // dimensions get envelope locality. The `skipped` bit pins the
+    // point of the exercise: after the rewrite, a point filter on
+    // user_id (the dimension the natural insert order is NOT sorted
+    // by) plans FEWER files than the snapshot holds — zone maps
+    // skipping on the secondary dimension. Results still match the
+    // relational oracle exactly.
+    QueryDef("q130_sql_zorder",
+      (s, dir) => {
+        s.conf.set("spark.sql.catalog.graftsql",
+          classOf[graft.sources.connector.ManifestCatalog].getName)
+        if (s.conf.getOption("spark.sql.catalog.graftsql.root").isEmpty)
+          s.conf.set("spark.sql.catalog.graftsql.root",
+            "file://" + Files.createTempDirectory("graft_sqlcat").toString)
+        Tables.events(s, dir)
+          .select("event_id", "user_id", "event_type", "value")
+          .createOrReplaceTempView("q130_ev")
+        s.sql("DROP TABLE IF EXISTS graftsql.db.zev")
+        s.sql("CREATE TABLE graftsql.db.zev (event_id BIGINT, " +
+          "user_id BIGINT, event_type STRING, value DOUBLE)")
+        s.sql("INSERT INTO graftsql.db.zev " +
+          "SELECT event_id, user_id, event_type, value FROM q130_ev")
+        s.sql("CALL graftsql.system.zorder(table => 'db.zev', " +
+          "columns => 'event_id,user_id', target_bytes => 16384)")
+        val root = s.conf.get("spark.sql.catalog.graftsql.root")
+          .stripSuffix("/") + "/db/zev"
+        val files = Manifest
+          .snapshot(s, root, Manifest.latestVersion(s, root).get)
+          .files.size
+        val probe = Manifest.read(s, root, None)
+          .filter(col("user_id") === 7L)
+        probe.collect()
+        val planned = probe.queryExecution.executedPlan.collectLeaves()
+          .flatMap(_.metrics.get("numFiles")).map(_.value).sum
+        // tiny SFs may pack into <3 files — nothing to skip there
+        val skipped = files < 3 || planned < files
+        s.sql("""SELECT user_id, count(*) AS n
+          FROM graftsql.db.zev WHERE user_id BETWEEN 5 AND 9
+          GROUP BY user_id ORDER BY user_id""")
+          .withColumn("skipped", lit(skipped))
+      },
+      Some("""SELECT user_id, count(*) AS n, TRUE AS skipped
+        FROM events WHERE user_id BETWEEN 5 AND 9
+        GROUP BY user_id ORDER BY user_id"""),
+      kind = QueryDef.Pipeline),
+
+    // ---- ALTER TABLE DROP COLUMN ---------------------------------------
+    // The dual of q125's ADD: dropping a column is a METADATA-ONLY
+    // commit (`meta_only` pins the file list unchanged), the live
+    // table stops exposing it, and the pre-drop snapshot still reads
+    // every value through time travel — the correlated scalar
+    // replays the dropped column's sum out of version 2.
+    QueryDef("q131_sql_drop_column",
+      (s, dir) => {
+        s.conf.set("spark.sql.catalog.graftsql",
+          classOf[graft.sources.connector.ManifestCatalog].getName)
+        if (s.conf.getOption("spark.sql.catalog.graftsql.root").isEmpty)
+          s.conf.set("spark.sql.catalog.graftsql.root",
+            "file://" + Files.createTempDirectory("graft_sqlcat").toString)
+        Tables.load(s, dir, "documents")
+          .select("doc_id", "lang", "n_chars")
+          .createOrReplaceTempView("q131_docs")
+        s.sql("DROP TABLE IF EXISTS graftsql.db.slim")
+        s.sql("CREATE TABLE graftsql.db.slim " +
+          "(doc_id BIGINT, lang STRING, n_chars BIGINT) " +
+          "PARTITIONED BY (lang)")
+        s.sql("INSERT INTO graftsql.db.slim " +
+          "SELECT doc_id, lang, n_chars FROM q131_docs")
+        val root = s.conf.get("spark.sql.catalog.graftsql.root")
+          .stripSuffix("/") + "/db/slim"
+        val before = Manifest.snapshot(s, root, 2L).files
+        s.sql("ALTER TABLE graftsql.db.slim DROP COLUMN n_chars")
+        val metaOnly =
+          Manifest.snapshot(s, root, 3L).files == before &&
+            s.table("graftsql.db.slim").columns.toSeq ==
+              Seq("doc_id", "lang")
+        s.sql("""SELECT lang, count(*) AS n,
+            (SELECT CAST(sum(n_chars) AS BIGINT)
+               FROM graftsql.db.slim VERSION AS OF 2) AS chars_v2
+          FROM graftsql.db.slim GROUP BY lang ORDER BY lang""")
+          .withColumn("meta_only", lit(metaOnly))
+      },
+      Some("""SELECT lang, count(*) AS n,
+          (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents)
+            AS chars_v2,
+          TRUE AS meta_only
+        FROM documents GROUP BY lang ORDER BY lang"""),
+      kind = QueryDef.Pipeline),
+
+    // ---- Write-audit-publish -------------------------------------------
+    // The corpus-drop quality gate: the odd half of `documents` is
+    // STAGED off the version chain (plain readers keep seeing only
+    // the evens — `staged_invisible` pins that), audited through the
+    // connector's stage option (`audit_n` = base + delta, the exact
+    // snapshot publishing produces), then CALL publish_stage
+    // fast-forwards atomically. The final aggregate must equal the
+    // whole corpus — a publish that dropped or duplicated rows flips
+    // every row of the diff.
+    QueryDef("q132_sql_wap",
+      (s, dir) => {
+        s.conf.set("spark.sql.catalog.graftsql",
+          classOf[graft.sources.connector.ManifestCatalog].getName)
+        if (s.conf.getOption("spark.sql.catalog.graftsql.root").isEmpty)
+          s.conf.set("spark.sql.catalog.graftsql.root",
+            "file://" + Files.createTempDirectory("graft_sqlcat").toString)
+        val docs = Tables.load(s, dir, "documents")
+          .select("doc_id", "lang", "n_chars")
+        docs.createOrReplaceTempView("q132_docs")
+        s.sql("DROP TABLE IF EXISTS graftsql.db.wap_docs")
+        s.sql("CREATE TABLE graftsql.db.wap_docs " +
+          "(doc_id BIGINT, lang STRING, n_chars BIGINT) " +
+          "PARTITIONED BY (lang)")
+        s.sql("INSERT INTO graftsql.db.wap_docs " +
+          "SELECT doc_id, lang, n_chars FROM q132_docs " +
+          "WHERE doc_id % 2 = 0")
+        val root = s.conf.get("spark.sql.catalog.graftsql.root")
+          .stripSuffix("/") + "/db/wap_docs"
+        Manifest.stageAppend(s, root,
+          docs.filter(col("doc_id") % 2 === 1)
+            .select("doc_id", "n_chars", "lang"), // data cols then part
+          "drop7", Seq("lang"))
+        val stagedInvisible =
+          s.table("graftsql.db.wap_docs").count() ==
+            docs.filter(col("doc_id") % 2 === 0).count()
+        val auditN = s.read.format("graft-manifest")
+          .option("stage", "drop7").load(root).count()
+        s.sql("CALL graftsql.system.publish_stage(" +
+          "table => 'db.wap_docs', id => 'drop7')")
+        s.sql("""SELECT lang, count(*) AS n,
+            CAST(sum(n_chars) AS BIGINT) AS chars
+          FROM graftsql.db.wap_docs GROUP BY lang ORDER BY lang""")
+          .withColumn("staged_invisible", lit(stagedInvisible))
+          .withColumn("audit_n", lit(auditN))
+      },
+      Some("""SELECT lang, count(*) AS n,
+          CAST(sum(n_chars) AS BIGINT) AS chars,
+          TRUE AS staged_invisible,
+          (SELECT count(*) FROM documents) AS audit_n
+        FROM documents GROUP BY lang ORDER BY lang"""),
       kind = QueryDef.Pipeline))
 }

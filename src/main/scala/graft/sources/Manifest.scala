@@ -5,8 +5,8 @@ import scala.collection.mutable.ArrayBuffer
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit, max, min}
 
 /** Versioned manifest commit layer: the missing cross-partition
   * atomicity for the lake's upsert/compaction story (SURVEY §7 — the
@@ -253,6 +253,135 @@ object Manifest {
           s"'$ref' is neither a version number nor a tag of $root " +
             s"(tags: ${tags(spark, root).keys.toSeq.sorted.mkString(", ")})")))
 
+  // ---- WRITE-AUDIT-PUBLISH: staged commits ------------------------------
+  //
+  // The quality-gate workflow a training-data pipeline runs on every
+  // corpus drop: WRITE the new data as a staged commit that is NOT on
+  // the version chain, AUDIT it by reading the staged snapshot (base
+  // + delta, exactly what publishing would produce), then atomically
+  // PUBLISH it onto the chain — or discard it, reclaiming the staged
+  // files. Readers of the table never see unaudited data; the publish
+  // itself is the ordinary O_EXCL manifest rename, so it is all-or-
+  // nothing under concurrency.
+
+  private def stageName(id: String) = s"stage-$id.txt"
+
+  private def checkRefName(kind: String, name: String): Unit =
+    require(name.matches("[A-Za-z][A-Za-z0-9._-]*"),
+      s"$kind '$name' must match [A-Za-z][A-Za-z0-9._-]*")
+
+  /** Stage `df` as an UNPUBLISHED append: data files are written (so
+    * the audit reads real files through the real scan machinery) and
+    * the would-be manifest lands in `_manifests/stage-<id>.txt`,
+    * recording the base version it appends onto. The version chain —
+    * and every reader of the table — is untouched. A stage id can be
+    * claimed once (O_EXCL); [[discardStage]] releases it. */
+  def stageAppend(spark: SparkSession, root: String, df: DataFrame,
+                  stageId: String,
+                  partitionCols: Seq[String] = Nil): Unit = {
+    checkRefName("stage id", stageId)
+    val cur = latestVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"$root not initialized"))
+    val prev = readManifest(spark, root, cur)
+    checkPartCols(prev, partitionCols)
+    val fresh = writeCommit(spark, root, cur + 1, df, partitionCols)
+    val meta = prev.meta ++
+      schemaHeaders(appendSchema(spark, root, prev, df.schema),
+        partitionCols) + ("base" -> cur.toString)
+    val entries = prev.entries ++ fresh
+    val (fs, _) = fsOf(spark, root)
+    val dst = new Path(manifestDir(root), stageName(stageId))
+    val out =
+      try createExclusive(fs, dst)
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+             _: java.nio.file.FileAlreadyExistsException =>
+          throw new IllegalStateException(
+            s"stage '$stageId' already exists on $root — audit and " +
+              "publishStage/discardStage it first")
+      }
+    try out.write(
+      manifestBody(entries, meta, prev.deletes).getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readStageManifest(spark: SparkSession, root: String,
+                                stageId: String): SnapshotMeta = {
+    val m = readManifestAt(spark, root,
+      new Path(manifestDir(root), stageName(stageId)), -1L)
+    require(m.meta.contains("base"),
+      s"stage '$stageId' of $root carries no base version")
+    // label with the version publishing would mint
+    m.copy(version = m.meta("base").toLong + 1)
+  }
+
+  /** Connector handle for `option("stage", id)` audit reads. */
+  private[graft] def stageMeta(spark: SparkSession, root: String,
+                               stageId: String): SnapshotMeta =
+    readStageManifest(spark, root, stageId)
+
+  /** AUDIT read: the snapshot publishing stage `id` would produce
+    * (base + staged delta, pending deletes applied) — run the quality
+    * gates on this. */
+  def readStage(spark: SparkSession, root: String,
+                stageId: String): DataFrame = {
+    val m = readStageManifest(spark, root, stageId)
+    readEntries(spark, root, m, m.entries)
+  }
+
+  /** Live stage ids (one manifest-dir listing). */
+  def stages(spark: SparkSession, root: String): Seq[String] = {
+    val (fs, _) = fsOf(spark, root)
+    val md = new Path(manifestDir(root))
+    if (!fs.exists(md)) Nil
+    else fs.listStatus(md).iterator.map(_.getPath.getName)
+      .collect { case n if n.startsWith("stage-") && n.endsWith(".txt") =>
+        n.stripPrefix("stage-").stripSuffix(".txt") }
+      .toSeq.sorted
+  }
+
+  /** PUBLISH: fast-forward the chain to the staged snapshot — the
+    * ordinary atomic commit. Fails loudly if the table advanced past
+    * the stage's base (publishing would silently drop the concurrent
+    * commits AND the audit ran against a snapshot that no longer
+    * exists — re-stage on the new base instead). The stage file is
+    * released on success. */
+  def publishStage(spark: SparkSession, root: String,
+                   stageId: String): Long = {
+    val m = readStageManifest(spark, root, stageId)
+    val base = m.meta("base").toLong
+    val cur = latestVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"$root not initialized"))
+    require(cur == base,
+      s"cannot publish stage '$stageId': $root advanced from " +
+        s"v$base to v$cur since it was staged — the audited snapshot " +
+        "no longer reflects the table; discard and re-stage")
+    val v = publish(spark, root, cur, m.entries, m.meta - "base",
+      m.deletes)
+    val (fs, _) = fsOf(spark, root)
+    fs.delete(new Path(manifestDir(root), stageName(stageId)), false)
+    v
+  }
+
+  /** Discard a stage: delete its manifest and the staged data files no
+    * chain snapshot references (the base's files are shared by
+    * reference and survive untouched). Returns the deleted files. */
+  def discardStage(spark: SparkSession, root: String,
+                   stageId: String): Seq[String] = {
+    val m = readStageManifest(spark, root, stageId)
+    val (fs, _) = fsOf(spark, root)
+    val chainRefs = versions(spark, root).flatMap { v =>
+      val cm = readManifest(spark, root, v)
+      cm.files ++ cm.deletes.map(_.path)
+    }.toSet
+    val otherStages = stages(spark, root).filterNot(_ == stageId)
+      .flatMap(id => readStageManifest(spark, root, id).files).toSet
+    val dead = m.files.filterNot(chainRefs).filterNot(otherStages)
+    dead.foreach(f => fs.delete(new Path(s"$root/$f"), false))
+    fs.delete(new Path(manifestDir(root), stageName(stageId)), false)
+    dead
+  }
+
   /** Timestamp travel: the newest version committed at or before
     * `tsMillis` (what `TIMESTAMP AS OF` resolves to). Versions are
     * committed in order, so commit timestamps are non-decreasing —
@@ -290,10 +419,16 @@ object Manifest {
     readManifest(spark, root, version)
 
   private def readManifest(spark: SparkSession, root: String,
-                           version: Long): SnapshotMeta = {
+                           version: Long): SnapshotMeta =
+    readManifestAt(spark, root,
+      new Path(manifestDir(root), vName(version)), version)
+
+  /** Parse one manifest file (chain version or staged commit — same
+    * format; `version` only labels the result). */
+  private def readManifestAt(spark: SparkSession, root: String,
+                             p: Path, version: Long): SnapshotMeta = {
     val (fs, _) = fsOf(spark, root)
-    val p = new Path(manifestDir(root), vName(version))
-    require(fs.exists(p), s"no manifest for version $version under $root")
+    require(fs.exists(p), s"no manifest at $p under $root")
     val in = fs.open(p)
     val lines =
       try scala.io.Source.fromInputStream(in, "UTF-8")
@@ -502,6 +637,29 @@ object Manifest {
     // carried-forward metas are overridden with THIS snapshot's counts
     // and commit time (the publish moment IS the snapshot's timestamp —
     // what `TIMESTAMP AS OF` resolves against).
+    val body = manifestBody(entries, meta, deletes)
+    val out =
+      try createExclusive(fs, dst)
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+             _: java.nio.file.FileAlreadyExistsException =>
+          throw new IllegalStateException(
+            s"commit conflict: version $next of $root already exists " +
+              "(concurrent committer won); re-read latest and retry")
+      }
+    try out.write(body.getBytes("UTF-8"))
+    finally out.close()
+    next
+  }
+
+  /** One manifest file's full text: sorted `#k=v` headers (count/
+    * dcount torn-read fences and the commit wall-clock stamped here),
+    * `~`-prefixed delete lines, then one line per data file. Shared by
+    * chain commits ([[publish]]) and staged commits ([[stageAppend]])
+    * — one format, one parser. */
+  private def manifestBody(entries: Seq[FileEntry],
+                           meta: Map[String, String],
+                           deletes: Seq[DeleteEntry]): String = {
     val hdr = (meta + ("count" -> entries.size.toString) +
       ("dcount" -> deletes.size.toString) +
       ("ts" -> System.currentTimeMillis().toString)).toSeq.sorted
@@ -517,19 +675,7 @@ object Manifest {
     val delLines = deletes.map(d =>
       s"~${d.path}\t${d.size.map(_.toString).getOrElse("")}\t${d.seq}\t" +
         d.keyCols.mkString(","))
-    val body = (hdr ++ delLines ++ fileLines).mkString("\n") + "\n"
-    val out =
-      try createExclusive(fs, dst)
-      catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
-             _: java.nio.file.FileAlreadyExistsException =>
-          throw new IllegalStateException(
-            s"commit conflict: version $next of $root already exists " +
-              "(concurrent committer won); re-read latest and retry")
-      }
-    try out.write(body.getBytes("UTF-8"))
-    finally out.close()
-    next
+    (hdr ++ delLines ++ fileLines).mkString("\n") + "\n"
   }
 
   /** Write `df`'s rows as the next commit's data files (hive-partition
@@ -797,10 +943,72 @@ object Manifest {
     val dup = nullable.fieldNames.filter(existing)
     require(dup.isEmpty,
       s"column(s) ${dup.mkString(", ")} already exist in $root")
+    // a previously-dropped name cannot come back while old files may
+    // still carry the physical column: name-based parquet resolution
+    // would read the STALE values, not NULL (see commitDropColumns)
+    val tomb = prev.meta.get("dropped")
+      .map(_.split(",").toSet.filter(_.nonEmpty)).getOrElse(Set.empty)
+    val shadowed = nullable.fieldNames.filter(tomb)
+    require(shadowed.isEmpty,
+      s"column(s) ${shadowed.mkString(", ")} were dropped earlier and " +
+        "old files still carry their stale values — rewrite the table " +
+        "first (commitReplace / zorder clears the tombstones)")
     publish(spark, root, cur, prev.entries,
       prev.meta ++ schemaHeaders(
         appendSchema(spark, root, prev, nullable),
         prev.partCols.getOrElse(Nil)),
+      prev.deletes)
+  }
+
+  /** METADATA-ONLY column drop (the ALTER TABLE DROP COLUMN commit):
+    * next snapshot = the same files under a schema header without
+    * `names`. Zero data IO — reads project the header's fields, so the
+    * physical column simply stops being read; pinned older versions
+    * keep it. Partition columns and pending merge-on-read delete keys
+    * cannot be dropped (the former is the layout, the latter would
+    * orphan the delete predicate).
+    *
+    * The dropped names accumulate in a `dropped` header: re-ADDing one
+    * is refused while any old file may still carry the physical column
+    * — name-based parquet resolution would resurrect the STALE values
+    * instead of reading NULL. A full rewrite ([[commitReplace]],
+    * [[zorder]]) clears the set; this is the no-field-ID analog of
+    * Delta/Iceberg column mapping, trading rename support for zero
+    * file-format magic. */
+  def commitDropColumns(spark: SparkSession, root: String,
+                        names: Seq[String]): Long = {
+    val cur = latestVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"$root not initialized"))
+    val prev = readManifest(spark, root, cur)
+    val schema = prev.schema.getOrElse(throw new IllegalStateException(
+      s"cannot drop columns on $root: legacy manifest has no schema " +
+        "header — converge with commitReplace first"))
+    val partCols = prev.partCols.getOrElse(Nil)
+    require(names.nonEmpty && names.distinct.size == names.size,
+      "drop list must be non-empty and duplicate-free")
+    names.foreach { n =>
+      require(!n.contains(","), s"column name '$n' must not contain ','")
+      require(schema.fieldNames.contains(n),
+        s"column '$n' does not exist in $root " +
+          s"(${schema.fieldNames.mkString(", ")})")
+      require(!partCols.contains(n),
+        s"cannot drop partition column '$n' — it IS the table layout")
+    }
+    prev.deletes.foreach { d =>
+      val hit = d.keyCols.filter(names.contains)
+      require(hit.isEmpty,
+        s"cannot drop ${hit.mkString(", ")}: pending merge-on-read " +
+          "delete files key on it — rewriteDeletes first")
+    }
+    val remaining = org.apache.spark.sql.types.StructType(
+      schema.filterNot(f => names.contains(f.name)))
+    require(remaining.nonEmpty, "cannot drop every column of a table")
+    val dropped = (prev.meta.get("dropped")
+      .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil) ++
+      names).distinct
+    publish(spark, root, cur, prev.entries,
+      prev.meta ++ schemaHeaders(remaining, partCols) +
+        ("dropped" -> dropped.mkString(",")),
       prev.deletes)
   }
 
@@ -813,10 +1021,11 @@ object Manifest {
     val prev = readManifest(spark, root, cur)
     // a replace swaps the ENTIRE file set, so the schema and layout
     // headers reset to the new frame's (this is also the sanctioned
-    // way to converge a mixed-layout or legacy table)
+    // way to converge a mixed-layout or legacy table); with no old
+    // files left, dropped-column tombstones are released too
     publish(spark, root, cur,
       writeCommit(spark, root, cur + 1, df, partitionCols),
-      prev.meta ++ schemaHeaders(df.schema, partitionCols))
+      prev.meta - "dropped" ++ schemaHeaders(df.schema, partitionCols))
   }
 
   /** Copy-on-write MERGE with cross-partition atomicity — the
@@ -1099,6 +1308,105 @@ object Manifest {
     publish(spark, root, cur, keep ++ fresh, m.meta, m.deletes)
   }
 
+  /** OPTIMIZE ZORDER — snapshot layout rewrite clustering rows by the
+    * Morton interleave of two integral columns ([[Layout.morton2]]).
+    * A single-column sort gives tight per-file min/max envelopes on
+    * that column only; interleaving keeps rows close in BOTH
+    * dimensions, so the commit-time zone maps ([[ManifestStats]]) can
+    * skip files for predicates on EITHER column — the layout behind
+    * Delta/Iceberg `OPTIMIZE ZORDER BY`, riding this table format's
+    * ordinary commit machinery.
+    *
+    * Both columns are RANGE-NORMALIZED to the full `bits` width before
+    * interleaving — raw interleave is useless when ranges differ (a
+    * 24-bit id drowns an 8-bit code: the sort degenerates to id order
+    * and the narrow column's envelopes stay full-range). The global
+    * bounds come from the manifest's own zone maps when every file
+    * carries them (driver metadata, zero IO), else one min/max
+    * aggregation over the rows being rewritten anyway.
+    *
+    * Scale shape: the z-value is one map-only expression; laying out
+    * by it is the range-partitioned shuffle any bulk rewrite pays
+    * (`targetBytes` sizes the output files from manifest metadata —
+    * no listings). Within a hive-partitioned table files are ranged on
+    * (partition cols, z) so each stays in its partition dir. Pending
+    * merge-on-read deletes are materialized by the rewrite (same as
+    * [[rewriteDeletes]]); pinned readers keep the old layout until
+    * [[vacuum]]. At 100 TB you run this per hot partition or after
+    * ingest waves, not per query — it is a full rewrite of the
+    * snapshot's data, deliberately. */
+  def zorder(spark: SparkSession, root: String, xCol: String,
+             yCol: String, targetBytes: Long = 128L * 1024 * 1024,
+             bits: Int = Layout.DefaultBits): Long = {
+    val cur = latestVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"$root not initialized"))
+    val m = readManifest(spark, root, cur)
+    val schema = m.schema.getOrElse(throw new IllegalStateException(
+      s"cannot zorder $root: legacy manifest has no schema header — " +
+        "converge with commitReplace first"))
+    val partCols = m.partCols.getOrElse(Nil)
+    Seq(xCol, yCol).foreach { c =>
+      require(schema.fieldNames.contains(c),
+        s"z-order column '$c' is not a column of $root " +
+          s"(${schema.fieldNames.mkString(", ")})")
+      require(!partCols.contains(c),
+        s"z-order column '$c' is a partition column — partition values " +
+          "are already directory-pruned; z-order data columns instead")
+      val integral = schema(c).dataType match {
+        case org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType => true
+        case _ => false
+      }
+      require(integral,
+        s"z-order column '$c' must be integral (byte/short/int/long), " +
+          s"got ${schema(c).dataType.catalogString}")
+    }
+    val rows = readEntries(spark, root, m, m.entries) // deletes applied
+    // global [lo, hi] per z-column: zone-map bounds when every file has
+    // them (free), else one agg over the rows we are rewriting anyway
+    def boundsOf(c: String): (Long, Long) = {
+      val perFile = m.entries.map(_.stats
+        .flatMap(ManifestStats.decode)
+        .flatMap(_.cols.get(c))
+        .flatMap(s => for (mn <- s.min; mx <- s.max)
+          yield (mn.toLong, mx.toLong)))
+      if (perFile.nonEmpty && perFile.forall(_.isDefined)) {
+        val bs = perFile.flatten
+        (bs.map(_._1).min, bs.map(_._2).max)
+      } else {
+        val r = rows.agg(min(col(c)), max(col(c))).head
+        if (r.isNullAt(0)) (0L, 0L)
+        else (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue)
+      }
+    }
+    // [lo, hi] → [0, 2^bits - 1]; double precision is fine here — the
+    // scale only shapes the LAYOUT, never results (NULLs sort first)
+    def scaled(c: String): Column = {
+      val (lo, hi) = boundsOf(c)
+      if (hi <= lo) lit(0L)
+      else ((col(c) - lit(lo)).cast("double") /
+        lit((hi - lo).toDouble) *
+        lit(((1L << bits) - 1).toDouble)).cast("long")
+    }
+    val totalBytes = fillSizes(spark, root, m.entries).flatMap(_.size).sum
+    val nOut = math.max(1,
+      math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val zv = "__graft_zval"
+    val rangeCols = partCols.map(col) :+ col(zv)
+    val shaped = rows
+      .withColumn(zv, Layout.morton2(scaled(xCol), scaled(yCol), bits))
+      .repartitionByRange(nOut, rangeCols: _*)
+      .sortWithinPartitions(rangeCols: _*)
+      .drop(zv)
+    val fresh = writeCommit(spark, root, cur + 1, shaped, partCols)
+    // meta carries schema/partcols/high-water marks forward; the
+    // rewrite materialized every pending delete (none re-publish) and
+    // rewrote every file (dropped-column tombstones release)
+    publish(spark, root, cur, fresh, m.meta - "dropped")
+  }
+
   /** Drop snapshots older than the newest `keepVersions` and delete
     * data files no surviving snapshot references. The retention floor
     * is the reader contract: pin only snapshots inside it. */
@@ -1147,7 +1455,14 @@ object Manifest {
       val m = readManifest(spark, root, v)
       m.files ++ m.deletes.map(_.path)
     }
-    val live = keep.flatMap(refs).toSet
+    // un-published staged commits keep their files (and, via the base
+    // they carry by reference, the base's files) alive — reclaiming
+    // under a pending audit would corrupt the stage
+    val stagedRefs = stages(spark, root).flatMap { id =>
+      val sm = readStageManifest(spark, root, id)
+      sm.files ++ sm.deletes.map(_.path)
+    }.toSet
+    val live = keep.flatMap(refs).toSet ++ stagedRefs
     val dead = drop.flatMap(refs).distinct.filterNot(live)
     dead.foreach(f => fs.delete(new Path(s"$root/$f"), false))
     drop.foreach(v =>

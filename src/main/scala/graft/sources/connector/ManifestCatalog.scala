@@ -169,18 +169,31 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces
   override def alterTable(ident: Identifier,
                           changes: TableChange*): Table = {
     val adds = changes.collect { case a: TableChange.AddColumn => a }
-    if (adds.size != changes.size)
+    val drops = changes.collect { case d: TableChange.DeleteColumn => d }
+    if (adds.size + drops.size != changes.size)
       throw new UnsupportedOperationException(
-        "manifest tables support ALTER TABLE ADD COLUMN(S) only; " +
+        "manifest tables support ALTER TABLE ADD/DROP COLUMN(S) only; " +
           "other schema changes cannot be made in place under " +
           "snapshot readers")
-    val fields = adds.map { a =>
-      require(a.fieldNames.length == 1,
-        s"cannot add nested column ${a.fieldNames.mkString(".")} " +
-          "(flat schemas only)")
-      StructField(a.fieldNames.head, a.dataType, nullable = true)
+    require(adds.isEmpty || drops.isEmpty,
+      "mix of ADD and DROP in one ALTER is not supported")
+    if (drops.nonEmpty) {
+      val names = drops.map { d =>
+        require(d.fieldNames.length == 1,
+          s"cannot drop nested column ${d.fieldNames.mkString(".")} " +
+            "(flat schemas only)")
+        d.fieldNames.head
+      }
+      Manifest.commitDropColumns(spark, pathOf(ident), names)
+    } else {
+      val fields = adds.map { a =>
+        require(a.fieldNames.length == 1,
+          s"cannot add nested column ${a.fieldNames.mkString(".")} " +
+            "(flat schemas only)")
+        StructField(a.fieldNames.head, a.dataType, nullable = true)
+      }
+      Manifest.commitAddColumns(spark, pathOf(ident), StructType(fields))
     }
-    Manifest.commitAddColumns(spark, pathOf(ident), StructType(fields))
     loadTable(ident)
   }
 
@@ -336,6 +349,36 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces
     }
   }
 
+  private object ZorderProcedure extends UnboundProcedure
+      with BoundProcedure {
+    override def name(): String = "zorder"
+    override def description(): String =
+      "rewrite a manifest table clustered by the Morton interleave of " +
+        "two integral columns so zone maps skip files on either " +
+        "(Manifest.zorder)"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("columns", StringType).build(), // 'x,y'
+      ProcedureParameter.in("target_bytes", LongType)
+        .defaultValue((128L * 1024 * 1024).toString).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val root = tableRoot(input.getUTF8String(0).toString)
+      val cols = input.getUTF8String(1).toString
+        .split(',').map(_.trim).filter(_.nonEmpty)
+      require(cols.length == 2,
+        s"columns must name exactly two columns 'x,y', got '${
+          input.getUTF8String(1)}'")
+      val v = Manifest.zorder(spark, root, cols(0), cols(1),
+        input.getLong(2))
+      oneRowScan(
+        StructType(Seq(StructField("version", LongType, false),
+          StructField("files", LongType, false))),
+        Array[Any](v, Manifest.snapshot(spark, root, v).files.size.toLong))
+    }
+  }
+
   private object TagProcedure extends UnboundProcedure
       with BoundProcedure {
     override def name(): String = "tag"
@@ -403,6 +446,72 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces
       }.toArray
       java.util.Collections.singletonList[Scan](new LocalScan {
         override def rows(): Array[InternalRow] = tagRows
+        override def readSchema(): StructType = schema
+      }).iterator()
+    }
+  }
+
+  private object PublishStageProcedure extends UnboundProcedure
+      with BoundProcedure {
+    override def name(): String = "publish_stage"
+    override def description(): String =
+      "fast-forward the table to an audited staged commit " +
+        "(Manifest.publishStage); fails loudly if the table advanced"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("id", StringType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val root = tableRoot(input.getUTF8String(0).toString)
+      val v = Manifest.publishStage(spark, root,
+        input.getUTF8String(1).toString)
+      oneRowScan(
+        StructType(Seq(StructField("version", LongType, false))),
+        Array[Any](v))
+    }
+  }
+
+  private object DiscardStageProcedure extends UnboundProcedure
+      with BoundProcedure {
+    override def name(): String = "discard_stage"
+    override def description(): String =
+      "drop a staged commit and reclaim its files (Manifest.discardStage)"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("id", StringType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val root = tableRoot(input.getUTF8String(0).toString)
+      val removed = Manifest.discardStage(spark, root,
+        input.getUTF8String(1).toString)
+      oneRowScan(
+        StructType(Seq(StructField("removed_files", LongType, false))),
+        Array[Any](removed.size.toLong))
+    }
+  }
+
+  private object StagesProcedure extends UnboundProcedure
+      with BoundProcedure {
+    override def name(): String = "stages"
+    override def description(): String =
+      "list a manifest table's staged (unpublished) commits"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] =
+      Array(ProcedureParameter.in("table", StringType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val root = tableRoot(input.getUTF8String(0).toString)
+      val schema = StructType(Seq(
+        StructField("id", StringType, false)))
+      val stageRows = Manifest.stages(spark, root).map { id =>
+        new GenericInternalRow(Array[Any](
+          org.apache.spark.unsafe.types.UTF8String.fromString(id)))
+          : InternalRow
+      }.toArray
+      java.util.Collections.singletonList[Scan](new LocalScan {
+        override def rows(): Array[InternalRow] = stageRows
         override def readSchema(): StructType = schema
       }).iterator()
     }
@@ -493,13 +602,18 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces
       case "history" => HistoryProcedure
       case "rewrite_deletes" => RewriteDeletesProcedure
       case "expire_snapshots" => ExpireSnapshotsProcedure
+      case "zorder" => ZorderProcedure
+      case "publish_stage" => PublishStageProcedure
+      case "discard_stage" => DiscardStageProcedure
+      case "stages" => StagesProcedure
       case "tag" => TagProcedure
       case "drop_tag" => DropTagProcedure
       case "tags" => TagsProcedure
       case other => throw new UnsupportedOperationException(
         s"catalog $catalogName has no procedure '$other' (available: " +
           "compact, vacuum, history, rewrite_deletes, " +
-          "expire_snapshots, tag, drop_tag, tags)")
+          "expire_snapshots, zorder, publish_stage, discard_stage, " +
+          "stages, tag, drop_tag, tags)")
     }
   }
 
@@ -510,6 +624,10 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces
       Identifier.of(Array("system"), "history"),
       Identifier.of(Array("system"), "rewrite_deletes"),
       Identifier.of(Array("system"), "expire_snapshots"),
+      Identifier.of(Array("system"), "zorder"),
+      Identifier.of(Array("system"), "publish_stage"),
+      Identifier.of(Array("system"), "discard_stage"),
+      Identifier.of(Array("system"), "stages"),
       Identifier.of(Array("system"), "tag"),
       Identifier.of(Array("system"), "drop_tag"),
       Identifier.of(Array("system"), "tags"))

@@ -221,16 +221,23 @@ object ManifestConnector {
     val root = opts.getOrElse("path", throw new IllegalArgumentException(
       "graft-manifest needs a load(path) pointing at a manifest table root"))
     // option keys arrive lowercased (CaseInsensitiveStringMap)
-    require(!(opts.contains("version") && opts.contains("timestampasof")),
-      "give either version or timestampAsOf, not both")
-    val version = opts.get("version")
-      .map(Manifest.resolveVersion(spark, root, _)) // number or tag
-      .orElse(opts.get("timestampasof").map(ts =>
-        Manifest.versionAt(spark, root, ts.toLong)))
-      .orElse(Manifest.latestVersion(spark, root))
-      .getOrElse(throw new IllegalStateException(
-        s"$root has no committed manifest version"))
-    val snap = Manifest.snapshotMeta(spark, root, version)
+    require(Seq("version", "timestampasof", "stage")
+        .count(opts.contains) <= 1,
+      "give at most one of version, timestampAsOf, stage")
+    val snap = opts.get("stage") match {
+      case Some(id) => // audit read of an unpublished staged commit
+        Manifest.stageMeta(spark, root, id)
+      case None =>
+        val version = opts.get("version")
+          .map(Manifest.resolveVersion(spark, root, _)) // number or tag
+          .orElse(opts.get("timestampasof").map(ts =>
+            Manifest.versionAt(spark, root, ts.toLong)))
+          .orElse(Manifest.latestVersion(spark, root))
+          .getOrElse(throw new IllegalStateException(
+            s"$root has no committed manifest version"))
+        Manifest.snapshotMeta(spark, root, version)
+    }
+    val version = snap.version
 
     val conf = spark.sparkContext.hadoopConfiguration
     val rootPath = new Path(root)

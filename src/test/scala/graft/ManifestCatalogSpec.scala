@@ -300,11 +300,40 @@ class ManifestCatalogSpec extends SparkSpec {
     assert(spark.sql(
       "SELECT * FROM graftcat.db.evolve VERSION AS OF 2")
       .schema.fieldNames.toSeq == Seq("id", "part"))
-    // duplicates and non-ADD alterations fail loudly
+    // duplicates and unsupported alterations fail loudly
     intercept[Exception](spark.sql(
       "ALTER TABLE graftcat.db.evolve ADD COLUMN id BIGINT"))
     intercept[Exception](spark.sql(
-      "ALTER TABLE graftcat.db.evolve DROP COLUMN score"))
+      "ALTER TABLE graftcat.db.evolve RENAME COLUMN score TO s2"))
+  }
+
+  test("ALTER TABLE DROP COLUMN: metadata-only; pinned versions keep " +
+    "the column; re-add refused until a rewrite") {
+    spark.sql("CREATE TABLE graftcat.db.shrink (id BIGINT, " +
+      "part STRING, score BIGINT) PARTITIONED BY (part)")
+    spark.sql(
+      "INSERT INTO graftcat.db.shrink VALUES (1, 'a', 10), (2, 'b', 20)")
+    val root = s"$warehouse/db/shrink"
+    val filesBefore = Manifest.snapshot(spark, root, 2L).files
+    spark.sql("ALTER TABLE graftcat.db.shrink DROP COLUMN score")
+    // v3: SAME files, narrower header — zero data IO
+    assert(Manifest.snapshot(spark, root, 3L).files == filesBefore)
+    assert(spark.table("graftcat.db.shrink").schema.fieldNames.toSeq ==
+      Seq("id", "part"))
+    // pinned pre-DROP snapshot still reads the values
+    assert(spark.sql(
+      "SELECT score FROM graftcat.db.shrink VERSION AS OF 2")
+      .as[Long].collect().toSet == Set(10L, 20L))
+    // the partition column cannot go; the dropped name cannot come back
+    intercept[Exception](spark.sql(
+      "ALTER TABLE graftcat.db.shrink DROP COLUMN part"))
+    intercept[Exception](spark.sql(
+      "ALTER TABLE graftcat.db.shrink ADD COLUMN score BIGINT"))
+    // INSERT OVERWRITE rewrites every file → tombstone releases
+    spark.sql("INSERT OVERWRITE graftcat.db.shrink VALUES (3, 'c')")
+    spark.sql("ALTER TABLE graftcat.db.shrink ADD COLUMN score BIGINT")
+    assert(spark.sql("SELECT id, score FROM graftcat.db.shrink")
+      .as[(Long, Option[Long])].collect().toSeq == Seq((3L, None)))
   }
 
   test("CALL system.history lists every snapshot with its footprint; " +
@@ -441,6 +470,48 @@ class ManifestCatalogSpec extends SparkSpec {
       "table => 'db.tagged', name => 'audit')").as[Boolean].head)
     intercept[Exception](spark.sql(
       "SELECT * FROM graftcat.db.tagged VERSION AS OF 'audit'").collect())
+  }
+
+  test("CALL system.zorder rewrites the layout through SQL; reads " +
+    "stay identical and history keeps the pre-rewrite snapshot") {
+    spark.sql("CREATE TABLE graftcat.db.zt (x BIGINT, y BIGINT)")
+    spark.sql("INSERT INTO graftcat.db.zt " +
+      "SELECT id AS x, 4095 - id AS y FROM range(0, 4096)")
+    val before = spark.sql(
+      "SELECT sum(x) AS sx, sum(y) AS sy FROM graftcat.db.zt")
+      .as[(Long, Long)].head
+    val out = spark.sql("CALL graftcat.system.zorder(" +
+      "table => 'db.zt', columns => 'x,y', target_bytes => 65536)")
+      .as[(Long, Long)].head
+    assert(out._2 >= 1L)
+    assert(spark.sql(
+      "SELECT sum(x) AS sx, sum(y) AS sy FROM graftcat.db.zt")
+      .as[(Long, Long)].head == before)
+    // the rewrite is a commit like any other: time travel still works
+    assert(spark.sql(
+      s"SELECT count(*) FROM graftcat.db.zt VERSION AS OF ${out._1 - 1}")
+      .as[Long].head == 4096L)
+  }
+
+  test("write-audit-publish through SQL: stages list, publish " +
+    "fast-forwards, discard reclaims") {
+    spark.sql("CREATE TABLE graftcat.db.wap (id BIGINT)") // v1
+    spark.sql("INSERT INTO graftcat.db.wap VALUES (1)")   // v2
+    val root = s"$warehouse/db/wap"
+    Manifest.stageAppend(spark, root, Seq(2L).toDF("id"), "drop1")
+    assert(spark.sql("SELECT count(*) FROM graftcat.db.wap")
+      .as[Long].head == 1L)
+    assert(spark.sql("CALL graftcat.system.stages(table => 'db.wap')")
+      .as[String].collect().toSeq == Seq("drop1"))
+    assert(spark.sql("CALL graftcat.system.publish_stage(" +
+      "table => 'db.wap', id => 'drop1')").as[Long].head == 3L)
+    assert(spark.sql("SELECT count(*) FROM graftcat.db.wap")
+      .as[Long].head == 2L)
+    Manifest.stageAppend(spark, root, Seq(9L).toDF("id"), "bad")
+    assert(spark.sql("CALL graftcat.system.discard_stage(" +
+      "table => 'db.wap', id => 'bad')").as[Long].head >= 1L)
+    assert(spark.sql("SELECT count(*) FROM graftcat.db.wap")
+      .as[Long].head == 2L)
   }
 
   test("identifier segments cannot traverse outside the warehouse") {

@@ -111,6 +111,88 @@ class ManifestSpec extends SparkSpec {
     assert(Manifest.compact(spark, root, smallBytes = 1L) == 5L)
   }
 
+  test("write-audit-publish: staged commits are invisible until " +
+    "published; stale publish fails loudly; discard reclaims") {
+    val root = newRoot()
+    Manifest.init(spark, root,
+      Seq((1L, "a", 10)).toDF("id", "part", "v"), Seq("part")) // v1
+    Manifest.stageAppend(spark, root,
+      Seq((2L, "b", 20)).toDF("id", "part", "v"), "wap1", Seq("part"))
+    // the chain — and every plain reader — is untouched
+    assert(Manifest.latestVersion(spark, root).contains(1L))
+    assert(Manifest.read(spark, root, None).count() == 1L)
+    // the audit sees base + delta through BOTH read paths
+    assert(Manifest.readStage(spark, root, "wap1")
+      .select("id").as[Long].collect().toSet == Set(1L, 2L))
+    assert(spark.read.format("graft-manifest")
+      .option("stage", "wap1").load(root).count() == 2L)
+    assert(Manifest.stages(spark, root) == Seq("wap1"))
+    // a stage id is claimed once
+    intercept[IllegalStateException](Manifest.stageAppend(spark, root,
+      Seq((9L, "z", 0)).toDF("id", "part", "v"), "wap1", Seq("part")))
+    // retention never reclaims under a pending audit
+    Manifest.vacuum(spark, root, keepVersions = 1)
+    assert(Manifest.readStage(spark, root, "wap1").count() == 2L)
+    // publish = ordinary atomic fast-forward; stage file released
+    val v2 = Manifest.publishStage(spark, root, "wap1")
+    assert(v2 == 2L)
+    assert(Manifest.read(spark, root, None).count() == 2L)
+    assert(Manifest.stages(spark, root).isEmpty)
+    // a commit that lands mid-audit invalidates the stage
+    Manifest.stageAppend(spark, root,
+      Seq((3L, "c", 30)).toDF("id", "part", "v"), "wap2", Seq("part"))
+    Manifest.commitAppend(spark, root,
+      Seq((4L, "d", 40)).toDF("id", "part", "v"), Seq("part")) // v3
+    intercept[IllegalArgumentException](
+      Manifest.publishStage(spark, root, "wap2"))
+    // discard deletes ONLY the staged files; the table reads clean
+    val removed = Manifest.discardStage(spark, root, "wap2")
+    assert(removed.nonEmpty)
+    assert(Manifest.read(spark, root, None)
+      .select("id").as[Long].collect().toSet == Set(1L, 2L, 4L))
+    intercept[Exception](Manifest.readStage(spark, root, "wap2"))
+  }
+
+  test("commitDropColumns: metadata-only shrink; pinned versions keep " +
+    "the column; re-add refused until a rewrite clears the tombstone") {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val root = newRoot()
+    Manifest.init(spark, root,
+      Seq((1L, "a", 10L)).toDF("id", "part", "v"), Seq("part"))
+    val before = Manifest.snapshot(spark, root, 1L).files.toSet
+    val v2 = Manifest.commitDropColumns(spark, root, Seq("v"))
+    // SAME files, narrower header — zero data IO
+    assert(Manifest.snapshot(spark, root, v2).files.toSet == before)
+    assert(Manifest.read(spark, root, None).columns.toSeq ==
+      Seq("id", "part"))
+    assert(spark.read.format("graft-manifest").load(root)
+      .columns.toSeq == Seq("id", "part"))
+    // pinned pre-drop snapshot still reads the column's values
+    assert(Manifest.read(spark, root, Some(1L))
+      .select("v").as[Long].collect().toSeq == Seq(10L))
+    // guards: partition column, unknown column, re-add over tombstone
+    intercept[IllegalArgumentException](
+      Manifest.commitDropColumns(spark, root, Seq("part")))
+    intercept[IllegalArgumentException](
+      Manifest.commitDropColumns(spark, root, Seq("nope")))
+    intercept[IllegalArgumentException](
+      Manifest.commitAddColumns(spark, root,
+        StructType(Seq(StructField("v", LongType)))))
+    // pending merge-on-read delete keys are protected
+    val root2 = newRoot()
+    Manifest.init(spark, root2, Seq((1L, 5L)).toDF("id", "x"))
+    Manifest.deleteByKeys(spark, root2, Seq(1L).toDF("id"))
+    intercept[IllegalArgumentException](
+      Manifest.commitDropColumns(spark, root2, Seq("id")))
+    // a full rewrite releases the tombstone: re-add reads NULL
+    Manifest.commitReplace(spark, root,
+      Seq((2L, "b")).toDF("id", "part"), Seq("part"))
+    Manifest.commitAddColumns(spark, root,
+      StructType(Seq(StructField("v", LongType))))
+    assert(Manifest.read(spark, root, None)
+      .select("v").as[Option[Long]].collect().toSeq == Seq(None))
+  }
+
   test("vacuum drops only files no surviving snapshot references") {
     val root = newRoot()
     Manifest.init(spark, root, Seq((1L, "x")).toDF("id", "s"))
@@ -663,6 +745,59 @@ class ManifestSpec extends SparkSpec {
     assert(Manifest.versions(spark, root) == Seq(3L))
     intercept[Exception](Manifest.resolveVersion(spark, root, "audit"))
     intercept[Exception](Manifest.tag(spark, root, "x", 99L))
+  }
+
+  test("zorder: rewrite clusters both dimensions — zone maps skip " +
+    "files on either column; content identical; deletes materialize") {
+    val root = newRoot()
+    // y decorrelated from x (odd multiplier mod 2^12): an x-range
+    // layout is tight on x and FULL-RANGE on y in every file — the
+    // case z-order exists to fix (y = 4095 - x would be tight on both)
+    val df = spark.range(0, 4096)
+      .select(col("id").as("x"), (col("id") * 37 % 4096).as("y"),
+        (col("id") % 97).as("v"))
+      .repartitionByRange(8, col("x"))
+    Manifest.init(spark, root, df)
+    def planned(probe: org.apache.spark.sql.DataFrame): Long = {
+      probe.collect()
+      probe.queryExecution.executedPlan.collectLeaves()
+        .flatMap(_.metrics.get("numFiles")).map(_.value).sum
+    }
+    // pre-zorder: a y point-filter cannot skip (every file spans all y)
+    assert(planned(Manifest.read(spark, root, None)
+      .filter(col("y") === 2000L)) == 8L)
+    val before = Manifest.read(spark, root, None)
+      .as[(Long, Long, Long)].collect().toSet
+    val v = Manifest.zorder(spark, root, "x", "y",
+      targetBytes = 8L * 1024)
+    assert(Manifest.read(spark, root, None)
+      .as[(Long, Long, Long)].collect().toSet == before)
+    val files = Manifest.snapshot(spark, root, v).files.size
+    assert(files > 2, s"need >2 files to prove skipping, got $files")
+    // post-zorder: point filters on EITHER dimension skip most files
+    val px = planned(Manifest.read(spark, root, None)
+      .filter(col("x") === 2000L))
+    val py = planned(Manifest.read(spark, root, None)
+      .filter(col("y") === 2000L))
+    assert(px < files && py < files,
+      s"zone maps did not skip after zorder: x=$px y=$py of $files")
+    // guards: partition / non-integral / unknown columns fail loudly
+    intercept[IllegalArgumentException](
+      Manifest.zorder(spark, root, "x", "nope"))
+    val root2 = newRoot()
+    Manifest.init(spark, root2,
+      Seq((1L, "a", 10L)).toDF("x", "part", "y"), Seq("part"))
+    intercept[IllegalArgumentException](
+      Manifest.zorder(spark, root2, "x", "part"))
+    // pending MoR deletes materialize: post-zorder manifest has none
+    val root3 = newRoot()
+    Manifest.init(spark, root3,
+      spark.range(0, 100).select(col("id"), col("id").as("y")))
+    Manifest.deleteByKeys(spark, root3,
+      spark.range(0, 10).select(col("id")))
+    val v3 = Manifest.zorder(spark, root3, "id", "y")
+    assert(Manifest.snapshotMeta(spark, root3, v3).deletes.isEmpty)
+    assert(Manifest.read(spark, root3, None).count() == 90L)
   }
 
   test("clustered writes co-locate partition values: O(values) files " +

@@ -1574,5 +1574,110 @@ object LakeQueries {
           TRUE AS staged_invisible,
           (SELECT count(*) FROM documents) AS audit_n
         FROM documents GROUP BY lang ORDER BY lang"""),
+      kind = QueryDef.Pipeline),
+
+    // ---- Aggregate pushdown from manifest zone maps --------------------
+    // count(*) / count(col) / min / max over a manifest table are
+    // answered entirely from commit-time footer stats: the scan emits
+    // ONE driver-computed row, zero data IO at any table size. The
+    // `meta_answered` bit pins that the plan actually took the
+    // pushed-aggregate path (description carries pushedAggregates);
+    // the values still have to match DuckDB computing them the hard way.
+    QueryDef("q133_sql_agg_pushdown",
+      (s, dir) => {
+        s.conf.set("spark.sql.catalog.graftsql",
+          classOf[graft.sources.connector.ManifestCatalog].getName)
+        if (s.conf.getOption("spark.sql.catalog.graftsql.root").isEmpty)
+          s.conf.set("spark.sql.catalog.graftsql.root",
+            "file://" + Files.createTempDirectory("graft_sqlcat").toString)
+        Tables.events(s, dir)
+          .select("event_id", "user_id", "event_type")
+          .createOrReplaceTempView("q133_ev")
+        s.sql("DROP TABLE IF EXISTS graftsql.db.aggt")
+        s.sql("CREATE TABLE graftsql.db.aggt (event_id BIGINT, " +
+          "user_id BIGINT, event_type STRING)")
+        s.sql("INSERT INTO graftsql.db.aggt " +
+          "SELECT event_id, user_id, event_type FROM q133_ev")
+        val agg = s.sql("""SELECT count(*) AS n,
+            min(event_id) AS lo, max(event_id) AS hi,
+            count(user_id) AS n_users
+          FROM graftsql.db.aggt""")
+        val pushed = agg.queryExecution.executedPlan.toString
+          .contains("pushedAggregates")
+        agg.withColumn("meta_answered", lit(pushed))
+      },
+      Some("""SELECT count(*) AS n, min(event_id) AS lo,
+          max(event_id) AS hi, count(user_id) AS n_users,
+          TRUE AS meta_answered
+        FROM events"""),
+      kind = QueryDef.Pipeline),
+
+    // ---- Storage-partitioned join --------------------------------------
+    // Two manifest tables hive-partitioned by the same column report
+    // KeyGroupedPartitioning; with v2 bucketing on, the join keyed on
+    // that column — AND the group-by behind it — runs with ZERO
+    // shuffle exchanges (`no_shuffle` pins the executed plan). At
+    // 100 TB, a co-partitioned fact-fact join shuffling neither side
+    // is the largest single cost this layout can delete.
+    QueryDef("q134_sql_spj",
+      (s, dir) => {
+        s.conf.set("spark.sql.catalog.graftsql",
+          classOf[graft.sources.connector.ManifestCatalog].getName)
+        if (s.conf.getOption("spark.sql.catalog.graftsql.root").isEmpty)
+          s.conf.set("spark.sql.catalog.graftsql.root",
+            "file://" + Files.createTempDirectory("graft_sqlcat").toString)
+        Tables.events(s, dir)
+          .select("event_id", "user_id", "event_type")
+          .createOrReplaceTempView("q134_ev")
+        for (side <- Seq("a", "b")) {
+          s.sql(s"DROP TABLE IF EXISTS graftsql.db.spj_$side")
+          s.sql(s"CREATE TABLE graftsql.db.spj_$side " +
+            "(user_id BIGINT, event_type STRING) " +
+            "PARTITIONED BY (event_type)")
+          val par = if (side == "a") 0 else 1
+          s.sql(s"INSERT INTO graftsql.db.spj_$side " +
+            "SELECT DISTINCT user_id, event_type FROM q134_ev " +
+            s"WHERE event_id % 2 = $par AND user_id < 100")
+        }
+        def joined = s.table("graftsql.db.spj_a")
+          .join(s.table("graftsql.db.spj_b"), Seq("event_type"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("pairs"))
+        val saved = Seq("spark.sql.sources.v2.bucketing.enabled",
+          "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+          "spark.sql.autoBroadcastJoinThreshold")
+          .map(k => k -> s.conf.getOption(k)).toMap
+        val noShuffle =
+          try {
+            s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+            s.conf.set(
+              "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+              "true")
+            s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            val probe = joined
+            probe.collect()
+            val plan = probe.queryExecution.executedPlan match {
+              case a: org.apache.spark.sql.execution.adaptive
+                .AdaptiveSparkPlanExec => a.executedPlan
+              case other => other
+            }
+            plan.collect {
+              case e: org.apache.spark.sql.execution.exchange
+                .ShuffleExchangeExec => e
+            }.isEmpty
+          } finally saved.foreach {
+            case (k, Some(v)) => s.conf.set(k, v)
+            case (k, None)    => s.conf.unset(k)
+          }
+        joined.withColumn("no_shuffle", lit(noShuffle))
+          .orderBy("event_type")
+      },
+      Some("""WITH a AS (SELECT DISTINCT user_id, event_type
+            FROM events WHERE event_id % 2 = 0 AND user_id < 100),
+          b AS (SELECT DISTINCT user_id, event_type
+            FROM events WHERE event_id % 2 = 1 AND user_id < 100)
+        SELECT a.event_type, count(*) AS pairs, TRUE AS no_shuffle
+        FROM a JOIN b ON a.event_type = b.event_type
+        GROUP BY a.event_type ORDER BY a.event_type"""),
       kind = QueryDef.Pipeline))
 }

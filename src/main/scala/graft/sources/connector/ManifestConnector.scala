@@ -850,12 +850,14 @@ final case class ManifestTable(res: ManifestConnector.Resolved)
 final class ManifestScanBuilder(res: ManifestConnector.Resolved,
                                 maxVersionsPerTrigger: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
+    with SupportsPushDownRequiredColumns with SupportsPushDownLimit
+    with SupportsPushDownAggregates {
 
   private var required: StructType = res.fullSchema
   private var partitionFilters: Array[SFilter] = Array.empty
   private var dataFilters: Array[SFilter] = Array.empty
   private var limit: Int = -1
+  private var aggPlan: Option[(StructType, Array[Any])] = None
 
   override def pushFilters(filters: Array[SFilter]): Array[SFilter] = {
     val partCols = res.partCols.toSet
@@ -879,8 +881,8 @@ final class ManifestScanBuilder(res: ManifestConnector.Resolved,
   override def pushLimit(n: Int): Boolean = { limit = n; true }
   override def isPartiallyPushed: Boolean = true
 
-  override def build(): Scan = {
-    val surviving = res.files.filter { f =>
+  private def survivingFiles(): Seq[ManifestConnector.FileInfo] =
+    res.files.filter { f =>
       val pv = f.partValues.toMap
       // survive only on definite TRUE — unknown (NULL) drops the file,
       // matching WHERE semantics (these filters are consumed, not
@@ -893,9 +895,124 @@ final class ManifestScanBuilder(res: ManifestConnector.Resolved,
         f.stats.forall(st =>
           dataFilters.forall(ManifestConnector.mayMatch(_, st)))
     }
-    new ManifestScan(res, surviving, required, dataFilters, limit,
-      partitionFilters, maxVersionsPerTrigger)
+
+  /** COMPLETE aggregate pushdown answered from the manifest zone maps
+    * alone: `count(*)` / `count(col)` / `min(col)` / `max(col)` with
+    * no grouping become ONE driver-computed row — zero data IO, zero
+    * tasks per file, at any table size. Partition filters compose
+    * (they prune whole files before the stats are summed).
+    *
+    * Everything here is REFUSE-BY-DEFAULT: residual data filters
+    * (stats can't evaluate them), pending merge-on-read deletes
+    * (footer counts overestimate), any file without stats, any column
+    * without an entry in every file, bounds absent on a not-provably-
+    * all-NULL file, distinct counts, grouping, or a column type whose
+    * bound string does not round-trip EXACTLY to the Spark internal
+    * value (int/long/float/double/date only — strings are excluded
+    * until footer truncation is ruled out, timestamps until the unit
+    * is pinned) — all fall back to the ordinary scan. */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation): Boolean =
+    planAggregate(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation): Boolean = {
+    aggPlan = planAggregate(agg)
+    aggPlan.isDefined
   }
+
+  private def planAggregate(
+      agg: org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation): Option[(StructType, Array[Any])] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
+    if (agg.groupByExpressions.nonEmpty) return None
+    if (dataFilters.nonEmpty || limit >= 0) return None
+    val files = survivingFiles()
+    if (files.exists(f => res.deleteSpecsFor(f).nonEmpty)) return None
+    if (files.exists(_.stats.isEmpty)) return None
+    val sts = files.flatMap(_.stats)
+    val totalRows = sts.map(_.rows).sum
+    val partSet = res.partCols.toSet
+
+    def colName(e: org.apache.spark.sql.connector.expressions
+        .Expression): Option[String] = e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 =>
+        Some(nr.fieldNames.head)
+      case _ => None
+    }
+    // every file must carry an entry for the column: an absent entry is
+    // indistinguishable from failed stats collection
+    def eachCol(name: String)
+        : Option[Seq[(graft.sources.ManifestStats.FileStats,
+                      graft.sources.ManifestStats.ColStats)]] = {
+      val per = sts.map(fs => fs.cols.get(name).map((fs, _)))
+      if (per.forall(_.isDefined)) Some(per.flatten) else None
+    }
+    def boundValue(dt: DataType, s: String): Option[Any] = dt match {
+      case IntegerType => s.toIntOption
+      case LongType    => s.toLongOption
+      case FloatType   => s.toFloatOption
+      case DoubleType  => s.toDoubleOption
+      case DateType    => s.toIntOption // days since epoch = internal
+      case _           => None
+    }
+    def lt(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: Int, y: Int)       => x < y
+      case (x: Long, y: Long)     => x < y
+      case (x: Float, y: Float)   => x < y
+      case (x: Double, y: Double) => x < y
+      case _                      => false
+    }
+    def minMax(col: org.apache.spark.sql.connector.expressions
+        .Expression, isMin: Boolean): Option[(StructField, Any)] = {
+      val name = colName(col).getOrElse(return None)
+      if (partSet(name)) return None
+      val field = res.fullSchema.find(_.name == name).getOrElse(
+        return None)
+      val pairs = eachCol(name).getOrElse(return None)
+      val bounds = scala.collection.mutable.ArrayBuffer.empty[Any]
+      pairs.foreach { case (fs, cs) =>
+        (if (isMin) cs.min else cs.max) match {
+          case Some(s) =>
+            bounds += boundValue(field.dataType, s).getOrElse(return None)
+          case None if cs.nulls.contains(fs.rows) => () // all-NULL file
+          case None => return None // bound genuinely unknown
+        }
+      }
+      val v: Any =
+        if (bounds.isEmpty) null
+        else bounds.reduce((a, b) => if (lt(a, b) == isMin) a else b)
+      Some(StructField(if (isMin) s"min_$name" else s"max_$name",
+        field.dataType, nullable = true) -> v)
+    }
+
+    val out = scala.collection.mutable
+      .ArrayBuffer.empty[(StructField, Any)]
+    agg.aggregateExpressions.foreach {
+      case _: CountStar =>
+        out += StructField("count_star", LongType, false) -> totalRows
+      case c: Count if !c.isDistinct =>
+        val name = colName(c.column).getOrElse(return None)
+        if (partSet(name)) return None // partition cols carry no stats
+        val pairs = eachCol(name).getOrElse(return None)
+        if (pairs.exists(_._2.nulls.isEmpty)) return None
+        out += StructField(s"count_$name", LongType, false) ->
+          (totalRows - pairs.map(_._2.nulls.get).sum)
+      case m: Min => out += minMax(m.column, isMin = true)
+        .getOrElse(return None)
+      case m: Max => out += minMax(m.column, isMin = false)
+        .getOrElse(return None)
+      case _ => return None
+    }
+    Some((StructType(out.map(_._1).toSeq), out.map(_._2).toArray))
+  }
+
+  override def build(): Scan =
+    new ManifestScan(res, survivingFiles(), required, dataFilters, limit,
+      partitionFilters, maxVersionsPerTrigger, aggPlan)
 }
 
 final class ManifestScan(res: ManifestConnector.Resolved,
@@ -904,10 +1021,38 @@ final class ManifestScan(res: ManifestConnector.Resolved,
                          dataFilters: Array[SFilter],
                          limit: Int,
                          partitionFilters: Array[SFilter] = Array.empty,
-                         maxVersionsPerTrigger: Option[Long] = None)
-    extends Scan with Batch with SupportsReportStatistics {
+                         maxVersionsPerTrigger: Option[Long] = None,
+                         aggPlan: Option[(StructType, Array[Any])] = None)
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsReportPartitioning {
 
-  override def readSchema(): StructType = required
+  override def readSchema(): StructType =
+    aggPlan.map(_._1).getOrElse(required)
+
+  /** The scan's rows arrive pre-clustered by the hive partition tuple
+    * — report it ([[KeyGroupedPartitioning]] over identity transforms)
+    * so that with `spark.sql.sources.v2.bucketing.enabled` a join or
+    * aggregation keyed on the partition columns skips its shuffle
+    * entirely (storage-partitioned join). Spark groups the per-file
+    * input partitions by [[HasPartitionKey]] itself; with the conf off
+    * nothing changes. At 100 TB a co-partitioned fact-fact join
+    * shuffling neither side is the single largest cost this table
+    * format can delete. */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    val partCols = res.partCols
+    if (aggPlan.isEmpty && partCols.nonEmpty) {
+      val tuples = plannedFiles
+        .map(f => partCols.map(f.partValues.toMap.apply)).distinct.size
+      new org.apache.spark.sql.connector.read.partitioning
+        .KeyGroupedPartitioning(
+          partCols.map(c => org.apache.spark.sql.connector.expressions
+            .Expressions.identity(c)).toArray[
+            org.apache.spark.sql.connector.expressions.Expression],
+          tuples)
+    } else new org.apache.spark.sql.connector.read.partitioning
+      .UnknownPartitioning(0)
+  }
   override def toBatch: Batch = this
 
   /** Streaming read: manifest VERSIONS are the offsets, each
@@ -937,21 +1082,43 @@ final class ManifestScan(res: ManifestConnector.Resolved,
     s"graft-manifest ${res.root} v${res.version} " +
       s"files=${plannedFiles.length}/${res.files.length} " +
       s"pushed=[${dataFilters.mkString(", ")}]" +
-      (if (limit >= 0) s" limit=$limit" else "")
+      (if (limit >= 0) s" limit=$limit" else "") +
+      aggPlan.map(a =>
+        s" pushedAggregates=[${a._1.fieldNames.mkString(", ")}]")
+        .getOrElse("")
 
   override def planInputPartitions(): Array[InputPartition] =
-    plannedFiles.map(f => ManifestInputPartition(
-      f.absPath, f.size, f.partValues.toArray,
-      res.deleteSpecsFor(f)): InputPartition).toArray
+    aggPlan match {
+      // fully-pushed aggregate: the row is already computed from the
+      // manifest zone maps — one partition, zero file IO
+      case Some((_, values)) => Array(AggRowInputPartition(values))
+      case None =>
+        // typed partition-key values (layout order) back the
+        // HasPartitionKey grouping when KeyGroupedPartitioning is on
+        val keyTypes = res.partCols.map(c =>
+          res.fullSchema.find(_.name == c)
+            .map(_.dataType).getOrElse(StringType))
+        plannedFiles.map { f =>
+          val pv = f.partValues.toMap
+          val keys = res.partCols.zip(keyTypes).map { case (c, dt) =>
+            ManifestConnector.castPartitionValue(pv(c), dt)
+          }.toArray
+          ManifestInputPartition(
+            f.absPath, f.size, f.partValues.toArray,
+            res.deleteSpecsFor(f), keys): InputPartition
+        }.toArray
+    }
 
   override def createReaderFactory(): PartitionReaderFactory =
     mkReaderFactory()
 
   override def estimateStatistics(): Statistics = new Statistics {
     // post-pruning bytes: a pruned scan becomes broadcast-eligible
-    // exactly when its surviving files fit the threshold
+    // exactly when its surviving files fit the threshold (a pushed
+    // aggregate is one tiny row)
     override def sizeInBytes(): OptionalLong =
-      OptionalLong.of(plannedFiles.map(_.size).sum max 1L)
+      if (aggPlan.isDefined) OptionalLong.of(64L)
+      else OptionalLong.of(plannedFiles.map(_.size).sum max 1L)
     // exact post-pruning row count from the manifest zone maps (files
     // are immutable, so the commit-time footer count is exact) — AQE
     // and join-strategy costing see real cardinalities, not a guess
@@ -959,6 +1126,7 @@ final class ManifestScan(res: ManifestConnector.Resolved,
     // pruning, or when pending merge-on-read deletes make footer
     // counts an overestimate (bytes stay: still an upper bound).
     override def numRows(): OptionalLong = {
+      if (aggPlan.isDefined) return OptionalLong.of(1L)
       val rs = plannedFiles.map(_.stats.map(_.rows))
       if (rs.forall(_.isDefined) &&
           plannedFiles.forall(f => res.deleteSpecsFor(f).isEmpty))
@@ -999,7 +1167,21 @@ private[connector] object DeleteSetCache {
 
 final case class ManifestInputPartition(path: String, size: Long,
     partValues: Array[(String, String)],
-    deletes: Array[DeleteFileSpec] = Array.empty) extends InputPartition
+    deletes: Array[DeleteFileSpec] = Array.empty,
+    keyValues: Array[Any] = Array.empty)
+    extends InputPartition with HasPartitionKey {
+  // consulted only when the scan reports KeyGroupedPartitioning (the
+  // batch path populates keyValues with typed values in layout order)
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(keyValues)
+}
+
+/** The single partition of a fully-pushed-down aggregate scan: the
+  * result row was computed on the DRIVER from manifest zone maps; the
+  * executor just emits it (values are Spark internal representations —
+  * primitives or null). */
+final case class AggRowInputPartition(values: Array[Any])
+    extends InputPartition
 
 final case class ManifestReaderFactory(confEntries: Array[(String, String)],
     required: StructType, partCols: Array[String],
@@ -1019,14 +1201,24 @@ final case class ManifestReaderFactory(confEntries: Array[(String, String)],
   private val dataFieldCount =
     required.fields.count(f => !partCols.contains(f.name))
   override def supportColumnarReads(partition: InputPartition): Boolean =
-    dataFieldCount > 0 && limit < 0 && !anyDeletes
+    !partition.isInstanceOf[AggRowInputPartition] &&
+      dataFieldCount > 0 && limit < 0 && !anyDeletes
 
   override def createReader(partition: InputPartition)
-      : PartitionReader[InternalRow] =
-    new ManifestPartitionReader(
-      partition.asInstanceOf[ManifestInputPartition],
-      confEntries, required, partCols.toSet, dataFilters, limit,
-      tableSchema)
+      : PartitionReader[InternalRow] = partition match {
+    case AggRowInputPartition(values) =>
+      new PartitionReader[InternalRow] {
+        private var done = false
+        override def next(): Boolean =
+          if (done) false else { done = true; true }
+        override def get(): InternalRow = new GenericInternalRow(values)
+        override def close(): Unit = ()
+      }
+    case p: ManifestInputPartition =>
+      new ManifestPartitionReader(p,
+        confEntries, required, partCols.toSet, dataFilters, limit,
+        tableSchema)
+  }
 
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =

@@ -344,4 +344,110 @@ class ManifestConnectorSpec extends SparkSpec {
     assert(connRead(root).as[(Long, String)].collect().toSet ==
       Set((3L, "b"), (9L, "a")))
   }
+
+  test("storage-partitioned join: co-partitioned manifest tables " +
+    "join with ZERO shuffles when v2 bucketing is on") {
+    val rootA = newRoot(); val rootB = newRoot()
+    Manifest.init(spark, rootA,
+      (1L to 100L).map(i => (i, "p" + (i % 4), i * 2))
+        .toDF("id", "part", "va"), Seq("part"))
+    Manifest.init(spark, rootB,
+      (1L to 100L).map(i => (i, "p" + (i % 4), i * 3))
+        .toDF("idb", "part", "vb"), Seq("part"))
+    val saved = Seq(
+      "spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set(
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = connRead(rootA).join(connRead(rootB), Seq("part"))
+      assert(j.count() == 2500L) // 25 × 25 per partition × 4
+      j.collect()
+      val plan = j.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case other                    => other
+      }
+      val shuffles = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange
+          .ShuffleExchangeExec => e
+      }
+      assert(shuffles.isEmpty,
+        s"co-partitioned join must not shuffle:\n$plan")
+      // correctness against the ordinary (shuffling) plan
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      assert(j.count() ==
+        connRead(rootA).join(connRead(rootB), Seq("part")).count())
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  /** numOutputRows of the scan leaf AFTER executing `df` (pushdown
+    * plans are non-adaptive scan+project; fallbacks shuffle and need
+    * the final AQE plan for live metrics). */
+  private def scanRows(df: DataFrame): Long = {
+    df.collect()
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other                    => other
+    }
+    plan.collectLeaves()
+      .flatMap(_.metrics.get("numOutputRows")).map(_.value).sum
+  }
+
+  test("aggregate pushdown: count/min/max answered from zone maps — " +
+    "one scan row, zero file IO; unsafe shapes fall back correctly") {
+    val root = fixture() // 200 rows over 3 commits, partitioned
+    val agg = connRead(root)
+      .agg(count(lit(1)).as("n"), min($"score").as("lo"),
+        max($"score").as("hi"), count($"score").as("n_score"))
+    assert(agg.as[(Long, Long, Long, Long)].head ==
+      ((200L, 10L, 3000L, 200L))) // 3000: the merge bumped id=200
+    // ONE row left the scan: the aggregate never touched a data page
+    assert(scanRows(agg) == 1L,
+      "aggregate was not answered from manifest stats")
+    // partition filters compose: pruned files drop out of the stats sum
+    val p1 = connRead(root).filter($"part" === "p1")
+      .agg(count(lit(1)).as("n"), min($"id").as("lo"))
+    assert(p1.as[(Long, Long)].head == ((50L, 1L)))
+    assert(scanRows(p1) == 1L)
+    // a residual data filter makes stats unanswerable → full fallback
+    val filtered = connRead(root).filter($"score" > 500L)
+      .agg(count(lit(1)).as("n"))
+    assert(filtered.as[Long].head ==
+      Manifest.read(spark, root).filter($"score" > 500L).count())
+    // the scan is NOT in aggregate mode: it reads the data column
+    assert(scanOf(filtered).readSchema().fieldNames.contains("score"))
+    // distinct counts and string min/max fall back
+    val distinctN = connRead(root).agg(countDistinct($"part").as("n"))
+    assert(distinctN.as[Long].head == 4L)
+    val strMin = connRead(root).agg(min($"text").as("lo"))
+    assert(strMin.as[String].head ==
+      Manifest.read(spark, root).agg(min($"text")).as[String].head)
+    // NULLs: count(col) subtracts them; an all-NULL file contributes
+    // nothing to min/max but its rows to count(*)
+    val root2 = newRoot()
+    Manifest.init(spark, root2,
+      Seq[(java.lang.Long, String)]((null, "x"), (null, "y"))
+        .toDF("v", "s"))
+    Manifest.commitAppend(spark, root2,
+      Seq[(java.lang.Long, String)]((5L, "z"), (7L, "w"), (null, "q"))
+        .toDF("v", "s"))
+    val nullAgg = spark.read.format("graft-manifest").load(root2)
+      .agg(count(lit(1)).as("n"), count($"v").as("nv"),
+        min($"v").as("lo"), max($"v").as("hi"))
+    assert(nullAgg.as[(Long, Long, Option[Long], Option[Long])].head ==
+      ((5L, 2L, Some(5L), Some(7L))))
+    assert(scanRows(nullAgg) == 1L)
+    // pending merge-on-read deletes poison footer counts → fallback
+    Manifest.deleteByKeys(spark, root2, Seq("z").toDF("s"))
+    val afterDel = spark.read.format("graft-manifest").load(root2)
+      .agg(count(lit(1)).as("n"), max($"v").as("hi"))
+    assert(afterDel.as[(Long, Option[Long])].head == ((4L, Some(7L))))
+  }
 }

@@ -1679,5 +1679,74 @@ object LakeQueries {
         SELECT a.event_type, count(*) AS pairs, TRUE AS no_shuffle
         FROM a JOIN b ON a.event_type = b.event_type
         GROUP BY a.event_type ORDER BY a.event_type"""),
+      kind = QueryDef.Pipeline),
+
+    // ---- Grouped aggregate pushdown ------------------------------------
+    // GROUP BY a partition column is answered per partition tuple
+    // from the manifest stats — the corpus-composition query
+    // ("rows per language") with zero data IO at any table size.
+    QueryDef("q135_sql_agg_groupby",
+      (s, dir) => {
+        s.conf.set("spark.sql.catalog.graftsql",
+          classOf[graft.sources.connector.ManifestCatalog].getName)
+        if (s.conf.getOption("spark.sql.catalog.graftsql.root").isEmpty)
+          s.conf.set("spark.sql.catalog.graftsql.root",
+            "file://" + Files.createTempDirectory("graft_sqlcat").toString)
+        Tables.events(s, dir)
+          .select("event_id", "user_id", "event_type")
+          .createOrReplaceTempView("q135_ev")
+        s.sql("DROP TABLE IF EXISTS graftsql.db.aggp")
+        s.sql("CREATE TABLE graftsql.db.aggp (event_id BIGINT, " +
+          "user_id BIGINT, event_type STRING) " +
+          "PARTITIONED BY (event_type)")
+        s.sql("INSERT INTO graftsql.db.aggp " +
+          "SELECT event_id, user_id, event_type FROM q135_ev")
+        val agg = s.sql("""SELECT event_type, count(*) AS n,
+            min(event_id) AS lo, max(user_id) AS hi_user
+          FROM graftsql.db.aggp GROUP BY event_type""")
+        val pushed = agg.queryExecution.executedPlan.toString
+          .contains("pushedAggregates")
+        agg.withColumn("meta_answered", lit(pushed))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n, min(event_id) AS lo,
+          max(user_id) AS hi_user, TRUE AS meta_answered
+        FROM events GROUP BY event_type ORDER BY event_type"""),
+      kind = QueryDef.Pipeline),
+
+    // ---- Row-level CDC across merge-on-read deletes --------------------
+    // readChanges fails loudly across a MoR delete commit (file-level
+    // feeds cannot express retractions); readChangesCdc is the
+    // honest upgrade: inserts re-emit added files stamped with their
+    // commit version, the delete commit emits its KEY TUPLES as
+    // 'delete' rows (non-key columns NULL — keys are all a MoR delete
+    // stores). Replayed in _commit_version order the feed reproduces
+    // the table exactly; the oracle rebuilds both halves relationally.
+    QueryDef("q136_cdc_mor_deletes",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .select("doc_id", "lang", "n_chars")
+        val root = "file://" + Files.createTempDirectory("graft_cdc")
+          .toString + "/t"
+        Manifest.init(s, root,
+          docs.filter(col("doc_id") % 2 === 0), Seq("lang"))   // v1
+        Manifest.commitAppend(s, root,
+          docs.filter(col("doc_id") % 2 === 1), Seq("lang"))   // v2
+        Manifest.deleteByKeys(s, root,
+          docs.filter(col("doc_id") % 10 === 0).select("doc_id")) // v3
+        Manifest.readChangesCdc(s, root, from = 1L)
+          .select(col("doc_id"), col("lang"), col("n_chars"),
+            col("_change_type"), col("_commit_version"))
+          .orderBy("_commit_version", "doc_id")
+      },
+      Some("""SELECT doc_id, lang, n_chars,
+          'insert' AS _change_type,
+          CAST(2 AS BIGINT) AS _commit_version
+        FROM documents WHERE doc_id % 2 = 1
+        UNION ALL
+        SELECT doc_id, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+          'delete', CAST(3 AS BIGINT)
+        FROM documents WHERE doc_id % 10 = 0
+        ORDER BY _commit_version, doc_id"""),
       kind = QueryDef.Pipeline))
 }

@@ -1524,4 +1524,60 @@ object Manifest {
       relationOver(spark, root, m, m.entries.filter(e => added(e.path)))
     else legacyUnionRead(spark, root, added.toSeq.sorted)
   }
+
+  /** ROW-LEVEL change feed (CDC): the changes between `from`
+    * (exclusive) and `to` (inclusive) as table rows plus
+    * `_change_type` ('insert' | 'delete') and `_commit_version` —
+    * the contract [[readChanges]] deliberately refuses to fake when a
+    * merge-on-read delete commit is in the range. Per commit, in
+    * version order:
+    *
+    *  - files ADDED at version v emit their raw rows as 'insert'
+    *    (merge/CoW-delete commits re-emit rewritten partitions'
+    *    post-image, same file-level semantics as [[readChanges]]);
+    *  - a merge-on-read delete committed at version v emits its KEY
+    *    TUPLES as 'delete' rows — key columns populated, every other
+    *    column NULL (the keys are all a MoR delete stores; there is
+    *    no pre-image to fabricate).
+    *
+    * A consumer applying commits in `_commit_version` order replays
+    * the table exactly: a row inserted at v+1 and deleted at v+2 is
+    * emitted as both, netting out. Scale shape: reads exactly the
+    * added files and the (tiny) delete-key files — never the table. */
+  def readChangesCdc(spark: SparkSession, root: String, from: Long,
+                     to: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col => fcol, lit => flit}
+    val hi = to.orElse(latestVersion(spark, root)).getOrElse(
+      throw new IllegalStateException(s"$root has no committed version"))
+    require(from <= hi, s"from=$from must be <= to=$hi")
+    val m = readManifest(spark, root, hi)
+    val schema = m.schema.getOrElse(throw new IllegalStateException(
+      s"CDC read of $root needs a schema header — converge legacy " +
+        "tables with commitReplace first"))
+    val added = changedFiles(spark, root, from, hi).added.toSet
+    def stamp(df: DataFrame, kind: String, v: Long): DataFrame =
+      df.withColumn("_change_type", flit(kind))
+        .withColumn("_commit_version", flit(v))
+    // inserts: added files grouped by the commit that added them
+    val ins = m.entries.filter(e => added(e.path))
+      .groupBy(_.dataSeq).toSeq.sortBy(_._1)
+      .map { case (v, ents) =>
+        stamp(relationOver(spark, root, m, ents), "insert", v) }
+    // deletes: key files committed inside the window, keys populated,
+    // every non-key column NULL at its declared type
+    val dels = m.deletes.filter(d => d.seq > from && d.seq <= hi)
+      .groupBy(d => (d.seq, d.keyCols)).toSeq.sortBy(_._1._1)
+      .map { case ((v, keyCols), ds) =>
+        val keys = spark.read.parquet(ds.map(d => s"$root/${d.path}"): _*)
+        val full = keys.select(schema.map { f =>
+          if (keyCols.contains(f.name)) fcol(f.name)
+          else flit(null).cast(f.dataType).as(f.name)
+        }: _*)
+        stamp(full, "delete", v)
+      }
+    val parts = ins ++ dels
+    require(parts.nonEmpty,
+      s"no changes between v$from and v$hi of $root")
+    parts.reduce(_.unionByName(_))
+  }
 }

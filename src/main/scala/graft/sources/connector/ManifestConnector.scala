@@ -857,7 +857,7 @@ final class ManifestScanBuilder(res: ManifestConnector.Resolved,
   private var partitionFilters: Array[SFilter] = Array.empty
   private var dataFilters: Array[SFilter] = Array.empty
   private var limit: Int = -1
-  private var aggPlan: Option[(StructType, Array[Any])] = None
+  private var aggPlan: Option[(StructType, Array[Array[Any]])] = None
 
   override def pushFilters(filters: Array[SFilter]): Array[SFilter] = {
     val partCols = res.partCols.toSet
@@ -897,20 +897,24 @@ final class ManifestScanBuilder(res: ManifestConnector.Resolved,
     }
 
   /** COMPLETE aggregate pushdown answered from the manifest zone maps
-    * alone: `count(*)` / `count(col)` / `min(col)` / `max(col)` with
-    * no grouping become ONE driver-computed row — zero data IO, zero
-    * tasks per file, at any table size. Partition filters compose
+    * alone: `count(*)` / `count(col)` / `min(col)` / `max(col)`,
+    * ungrouped or GROUPED BY PARTITION COLUMNS, become driver-computed
+    * rows (one per partition tuple) — zero data IO, zero tasks per
+    * file, at any table size. `SELECT lang, count(*) FROM corpus
+    * GROUP BY lang` — the composition query every training pipeline
+    * runs — never touches a data page. Partition filters compose
     * (they prune whole files before the stats are summed).
     *
     * Everything here is REFUSE-BY-DEFAULT: residual data filters
     * (stats can't evaluate them), pending merge-on-read deletes
     * (footer counts overestimate), any file without stats, any column
     * without an entry in every file, bounds absent on a not-provably-
-    * all-NULL file, distinct counts, grouping, or a column type whose
-    * bound string does not round-trip EXACTLY to the Spark internal
-    * value (int/long/float/double/date only — strings are excluded
-    * until footer truncation is ruled out, timestamps until the unit
-    * is pinned) — all fall back to the ordinary scan. */
+    * all-NULL file, distinct counts, grouping by anything but
+    * partition columns, or a column type whose bound string does not
+    * round-trip EXACTLY to the Spark internal value
+    * (int/long/float/double/date only — strings are excluded until
+    * footer truncation is ruled out, timestamps until the unit is
+    * pinned) — all fall back to the ordinary scan. */
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate
         .Aggregation): Boolean =
@@ -925,16 +929,13 @@ final class ManifestScanBuilder(res: ManifestConnector.Resolved,
 
   private def planAggregate(
       agg: org.apache.spark.sql.connector.expressions.aggregate
-        .Aggregation): Option[(StructType, Array[Any])] = {
+        .Aggregation): Option[(StructType, Array[Array[Any]])] = {
     import org.apache.spark.sql.connector.expressions.NamedReference
     import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
-    if (agg.groupByExpressions.nonEmpty) return None
     if (dataFilters.nonEmpty || limit >= 0) return None
     val files = survivingFiles()
     if (files.exists(f => res.deleteSpecsFor(f).nonEmpty)) return None
     if (files.exists(_.stats.isEmpty)) return None
-    val sts = files.flatMap(_.stats)
-    val totalRows = sts.map(_.rows).sum
     val partSet = res.partCols.toSet
 
     def colName(e: org.apache.spark.sql.connector.expressions
@@ -942,14 +943,6 @@ final class ManifestScanBuilder(res: ManifestConnector.Resolved,
       case nr: NamedReference if nr.fieldNames.length == 1 =>
         Some(nr.fieldNames.head)
       case _ => None
-    }
-    // every file must carry an entry for the column: an absent entry is
-    // indistinguishable from failed stats collection
-    def eachCol(name: String)
-        : Option[Seq[(graft.sources.ManifestStats.FileStats,
-                      graft.sources.ManifestStats.ColStats)]] = {
-      val per = sts.map(fs => fs.cols.get(name).map((fs, _)))
-      if (per.forall(_.isDefined)) Some(per.flatten) else None
     }
     def boundValue(dt: DataType, s: String): Option[Any] = dt match {
       case IntegerType => s.toIntOption
@@ -966,48 +959,97 @@ final class ManifestScanBuilder(res: ManifestConnector.Resolved,
       case (x: Double, y: Double) => x < y
       case _                      => false
     }
-    def minMax(col: org.apache.spark.sql.connector.expressions
-        .Expression, isMin: Boolean): Option[(StructField, Any)] = {
-      val name = colName(col).getOrElse(return None)
-      if (partSet(name)) return None
-      val field = res.fullSchema.find(_.name == name).getOrElse(
-        return None)
-      val pairs = eachCol(name).getOrElse(return None)
-      val bounds = scala.collection.mutable.ArrayBuffer.empty[Any]
-      pairs.foreach { case (fs, cs) =>
-        (if (isMin) cs.min else cs.max) match {
-          case Some(s) =>
-            bounds += boundValue(field.dataType, s).getOrElse(return None)
-          case None if cs.nulls.contains(fs.rows) => () // all-NULL file
-          case None => return None // bound genuinely unknown
-        }
+
+    // GROUP BY is supported over partition columns only: the groups
+    // are the distinct partition tuples, and every group aggregates
+    // its own files' stats
+    val groupCols = agg.groupByExpressions.toSeq.map(e =>
+      colName(e).filter(partSet).getOrElse(return None))
+    val groupFields = groupCols.map(c =>
+      res.fullSchema.find(_.name == c).getOrElse(return None))
+
+    // the output field list (validated against schema/part layout) is
+    // group-independent; per-group VALUES are computed below
+    sealed trait AggSpec
+    case object CountStarSpec extends AggSpec
+    case class CountColSpec(name: String) extends AggSpec
+    case class MinMaxSpec(field: StructField, isMin: Boolean)
+        extends AggSpec
+    val specs: Seq[(StructField, AggSpec)] =
+      agg.aggregateExpressions.toSeq.map {
+        case _: CountStar =>
+          StructField("count_star", LongType, false) -> CountStarSpec
+        case c: Count if !c.isDistinct =>
+          val name = colName(c.column).getOrElse(return None)
+          if (partSet(name)) return None // part cols carry no stats
+          if (!res.fullSchema.fieldNames.contains(name)) return None
+          StructField(s"count_$name", LongType, false) ->
+            CountColSpec(name)
+        case m: Min =>
+          val name = colName(m.column).getOrElse(return None)
+          if (partSet(name)) return None
+          val f = res.fullSchema.find(_.name == name).getOrElse(
+            return None)
+          StructField(s"min_$name", f.dataType, nullable = true) ->
+            MinMaxSpec(f, isMin = true)
+        case m: Max =>
+          val name = colName(m.column).getOrElse(return None)
+          if (partSet(name)) return None
+          val f = res.fullSchema.find(_.name == name).getOrElse(
+            return None)
+          StructField(s"max_$name", f.dataType, nullable = true) ->
+            MinMaxSpec(f, isMin = false)
+        case _ => return None
       }
-      val v: Any =
-        if (bounds.isEmpty) null
-        else bounds.reduce((a, b) => if (lt(a, b) == isMin) a else b)
-      Some(StructField(if (isMin) s"min_$name" else s"max_$name",
-        field.dataType, nullable = true) -> v)
+
+    /** Aggregate values over one file group's stats; None refuses the
+      * whole pushdown (a missing entry is indistinguishable from
+      * failed stats collection). */
+    def valuesOf(group: Seq[ManifestConnector.FileInfo])
+        : Option[Array[Any]] = {
+      val sts = group.flatMap(_.stats)
+      val totalRows = sts.map(_.rows).sum
+      def eachCol(name: String)
+          : Option[Seq[(graft.sources.ManifestStats.FileStats,
+                        graft.sources.ManifestStats.ColStats)]] = {
+        val per = sts.map(fs => fs.cols.get(name).map((fs, _)))
+        if (per.forall(_.isDefined)) Some(per.flatten) else None
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+      specs.foreach {
+        case (_, CountStarSpec) => out += totalRows
+        case (_, CountColSpec(name)) =>
+          val pairs = eachCol(name).getOrElse(return None)
+          if (pairs.exists(_._2.nulls.isEmpty)) return None
+          out += totalRows - pairs.map(_._2.nulls.get).sum
+        case (_, MinMaxSpec(field, isMin)) =>
+          val pairs = eachCol(field.name).getOrElse(return None)
+          val bounds = scala.collection.mutable.ArrayBuffer.empty[Any]
+          pairs.foreach { case (fs, cs) =>
+            (if (isMin) cs.min else cs.max) match {
+              case Some(s) => bounds +=
+                boundValue(field.dataType, s).getOrElse(return None)
+              case None if cs.nulls.contains(fs.rows) => () // all-NULL
+              case None => return None // bound genuinely unknown
+            }
+          }
+          out += (if (bounds.isEmpty) null
+            else bounds.reduce((a, b) => if (lt(a, b) == isMin) a else b))
+      }
+      Some(out.toArray)
     }
 
-    val out = scala.collection.mutable
-      .ArrayBuffer.empty[(StructField, Any)]
-    agg.aggregateExpressions.foreach {
-      case _: CountStar =>
-        out += StructField("count_star", LongType, false) -> totalRows
-      case c: Count if !c.isDistinct =>
-        val name = colName(c.column).getOrElse(return None)
-        if (partSet(name)) return None // partition cols carry no stats
-        val pairs = eachCol(name).getOrElse(return None)
-        if (pairs.exists(_._2.nulls.isEmpty)) return None
-        out += StructField(s"count_$name", LongType, false) ->
-          (totalRows - pairs.map(_._2.nulls.get).sum)
-      case m: Min => out += minMax(m.column, isMin = true)
-        .getOrElse(return None)
-      case m: Max => out += minMax(m.column, isMin = false)
-        .getOrElse(return None)
-      case _ => return None
-    }
-    Some((StructType(out.map(_._1).toSeq), out.map(_._2).toArray))
+    val schema = StructType(groupFields ++ specs.map(_._1))
+    val rows: Array[Array[Any]] =
+      if (groupCols.isEmpty) Array(valuesOf(files).getOrElse(return None))
+      else files.groupBy(f => groupCols.map(f.partValues.toMap.apply))
+        .toSeq.map { case (tuple, group) =>
+          val keyVals = tuple.zip(groupFields).map { case (v, f) =>
+            ManifestConnector.castPartitionValue(v, f.dataType)
+          }
+          (keyVals ++ valuesOf(group).getOrElse(return None)).toArray
+        }.toArray
+    Some((schema, rows))
   }
 
   override def build(): Scan =
@@ -1022,7 +1064,7 @@ final class ManifestScan(res: ManifestConnector.Resolved,
                          limit: Int,
                          partitionFilters: Array[SFilter] = Array.empty,
                          maxVersionsPerTrigger: Option[Long] = None,
-                         aggPlan: Option[(StructType, Array[Any])] = None)
+                         aggPlan: Option[(StructType, Array[Array[Any]])] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportPartitioning {
 
@@ -1091,7 +1133,7 @@ final class ManifestScan(res: ManifestConnector.Resolved,
     aggPlan match {
       // fully-pushed aggregate: the row is already computed from the
       // manifest zone maps — one partition, zero file IO
-      case Some((_, values)) => Array(AggRowInputPartition(values))
+      case Some((_, rows)) => Array(AggRowInputPartition(rows))
       case None =>
         // typed partition-key values (layout order) back the
         // HasPartitionKey grouping when KeyGroupedPartitioning is on
@@ -1117,7 +1159,8 @@ final class ManifestScan(res: ManifestConnector.Resolved,
     // exactly when its surviving files fit the threshold (a pushed
     // aggregate is one tiny row)
     override def sizeInBytes(): OptionalLong =
-      if (aggPlan.isDefined) OptionalLong.of(64L)
+      if (aggPlan.isDefined)
+        OptionalLong.of(64L * aggPlan.get._2.length max 64L)
       else OptionalLong.of(plannedFiles.map(_.size).sum max 1L)
     // exact post-pruning row count from the manifest zone maps (files
     // are immutable, so the commit-time footer count is exact) — AQE
@@ -1126,7 +1169,8 @@ final class ManifestScan(res: ManifestConnector.Resolved,
     // pruning, or when pending merge-on-read deletes make footer
     // counts an overestimate (bytes stay: still an upper bound).
     override def numRows(): OptionalLong = {
-      if (aggPlan.isDefined) return OptionalLong.of(1L)
+      if (aggPlan.isDefined)
+        return OptionalLong.of(aggPlan.get._2.length.toLong)
       val rs = plannedFiles.map(_.stats.map(_.rows))
       if (rs.forall(_.isDefined) &&
           plannedFiles.forall(f => res.deleteSpecsFor(f).isEmpty))
@@ -1177,10 +1221,11 @@ final case class ManifestInputPartition(path: String, size: Long,
 }
 
 /** The single partition of a fully-pushed-down aggregate scan: the
-  * result row was computed on the DRIVER from manifest zone maps; the
-  * executor just emits it (values are Spark internal representations —
-  * primitives or null). */
-final case class AggRowInputPartition(values: Array[Any])
+  * result rows (one, or one per partition-tuple group) were computed
+  * on the DRIVER from manifest zone maps; the executor just emits
+  * them (values are Spark internal representations — primitives,
+  * UTF8String or null). */
+final case class AggRowInputPartition(rows: Array[Array[Any]])
     extends InputPartition
 
 final case class ManifestReaderFactory(confEntries: Array[(String, String)],
@@ -1206,12 +1251,11 @@ final case class ManifestReaderFactory(confEntries: Array[(String, String)],
 
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = partition match {
-    case AggRowInputPartition(values) =>
+    case AggRowInputPartition(rows) =>
       new PartitionReader[InternalRow] {
-        private var done = false
-        override def next(): Boolean =
-          if (done) false else { done = true; true }
-        override def get(): InternalRow = new GenericInternalRow(values)
+        private var i = -1
+        override def next(): Boolean = { i += 1; i < rows.length }
+        override def get(): InternalRow = new GenericInternalRow(rows(i))
         override def close(): Unit = ()
       }
     case p: ManifestInputPartition =>

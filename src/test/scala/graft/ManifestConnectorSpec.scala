@@ -450,4 +450,27 @@ class ManifestConnectorSpec extends SparkSpec {
       .agg(count(lit(1)).as("n"), max($"v").as("hi"))
     assert(afterDel.as[(Long, Option[Long])].head == ((4L, Some(7L))))
   }
+
+  test("grouped aggregate pushdown: GROUP BY partition columns is " +
+    "answered per partition tuple from stats — no data pages") {
+    val root = fixture() // partitioned by part ∈ p0..p3, 50 rows each
+    val byPart = connRead(root).groupBy($"part")
+      .agg(count(lit(1)).as("n"), min($"score").as("lo"))
+    assert(byPart.as[(String, Long, Long)].collect().toSeq.sorted ==
+      Seq(("p0", 50L, 40L), ("p1", 50L, 10L),
+        ("p2", 50L, 20L), ("p3", 50L, 30L)))
+    // 4 group rows left the scan — not 200 data rows
+    assert(scanRows(byPart) == 4L,
+      "grouped aggregate was not answered from manifest stats")
+    // composes with a partition filter (pruned groups disappear)
+    val one = connRead(root).filter($"part" === "p2")
+      .groupBy($"part").agg(max($"id").as("hi"))
+    assert(one.as[(String, Long)].collect().toSeq == Seq(("p2", 198L)))
+    assert(scanRows(one) == 1L)
+    // grouping by a DATA column falls back and stays correct
+    val byData = connRead(root).groupBy($"score")
+      .agg(count(lit(1)).as("n"))
+    assert(byData.as[(Long, Long)].collect().length ==
+      Manifest.read(spark, root).select("score").distinct().count())
+  }
 }

@@ -111,6 +111,45 @@ class ManifestSpec extends SparkSpec {
     assert(Manifest.compact(spark, root, smallBytes = 1L) == 5L)
   }
 
+  test("readChangesCdc: row-level feed with retraction keys across " +
+    "merge-on-read delete commits, stamped by commit version") {
+    val root = newRoot()
+    Manifest.init(spark, root,
+      Seq((1L, "a", 10), (2L, "b", 20)).toDF("id", "part", "v"),
+      Seq("part"))                                              // v1
+    Manifest.commitAppend(spark, root,
+      Seq((3L, "a", 30), (4L, "c", 40)).toDF("id", "part", "v"),
+      Seq("part"))                                              // v2
+    Manifest.deleteByKeys(spark, root, Seq(1L, 3L).toDF("id"))  // v3
+    val cdc = Manifest.readChangesCdc(spark, root, from = 1L)
+      .select("id", "part", "v", "_change_type", "_commit_version")
+      .as[(Option[Long], Option[String], Option[Int], String, Long)]
+      .collect().toSet
+    assert(cdc == Set(
+      (Some(3L), Some("a"), Some(30), "insert", 2L),
+      (Some(4L), Some("c"), Some(40), "insert", 2L),
+      (Some(1L), None, None, "delete", 3L),
+      (Some(3L), None, None, "delete", 3L)))
+    // plain readChanges still fails loudly across the delete commit
+    intercept[IllegalArgumentException](
+      Manifest.readChanges(spark, root, from = 1L))
+    // a window before the delete is pure inserts
+    assert(Manifest.readChangesCdc(spark, root, 1L, Some(2L))
+      .select("_change_type").distinct().as[String]
+      .collect().toSeq == Seq("insert"))
+    // replaying the feed over the base reproduces the table
+    val base = Manifest.read(spark, root, Some(1L))
+      .select("id", "part", "v")
+      .as[(Long, String, Int)].collect().toSet
+    val ins = cdc.filter(_._4 == "insert")
+      .map(r => (r._1.get, r._2.get, r._3.get))
+    val delKeys = cdc.filter(_._4 == "delete").map(_._1.get)
+    assert((base ++ ins).filterNot(r => delKeys.contains(r._1)) ==
+      Manifest.read(spark, root, None)
+        .select("id", "part", "v")
+        .as[(Long, String, Int)].collect().toSet)
+  }
+
   test("write-audit-publish: staged commits are invisible until " +
     "published; stale publish fails loudly; discard reclaims") {
     val root = newRoot()

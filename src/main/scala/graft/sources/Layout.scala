@@ -40,6 +40,24 @@ object Layout {
     }.reduce(_.bitwiseOR(_))
   }
 
+  /** K-dimensional Morton code: bit `i` of column `j` lands at
+    * position `i*k + j` — the 2-d [[morton2]] layout generalized (for
+    * k=2 the bit placement is identical). All dims get `bits` bits;
+    * `bits*k` must fit a positive long (≤ 62). Same pure
+    * shift/mask/or fold, codegen-friendly, no UDF. */
+  def mortonN(cols: Seq[Column], bits: Int): Column = {
+    val k = cols.size
+    require(k >= 2, s"mortonN needs at least 2 columns, got $k")
+    require(bits > 0 && bits * k <= 62,
+      s"bits*dims must be in [1,62], got $bits*$k")
+    cols.zipWithIndex.map { case (c, j) =>
+      val m = c.cast("long") % lit(1L << bits)
+      (0 until bits).map(i =>
+        shiftleft(shiftright(m, i).bitwiseAND(lit(1L)), i * k + j))
+        .reduce(_.bitwiseOR(_))
+    }.reduce(_.bitwiseOR(_))
+  }
+
   /** The same morton2 as engine-portable SQL text (for oracle mirrors
     * and pushdown into other engines): identical shift/mask arithmetic,
     * generated term by term. */

@@ -1337,7 +1337,23 @@ object Manifest {
     * snapshot's data, deliberately. */
   def zorder(spark: SparkSession, root: String, xCol: String,
              yCol: String, targetBytes: Long = 128L * 1024 * 1024,
-             bits: Int = Layout.DefaultBits): Long = {
+             bits: Int = Layout.DefaultBits): Long =
+    zorderBy(spark, root, Seq(xCol, yCol), targetBytes, bits)
+
+  /** K-dimensional variant: cluster by [[Layout.mortonN]] over 2+
+    * integral columns (each range-normalized to `bits` bits;
+    * `bits * k ≤ 62` — the default narrows automatically as
+    * dimensions are added). More dimensions = coarser per-dimension
+    * envelopes; two or three is the sweet spot, matching
+    * Delta/Iceberg guidance. */
+  def zorderBy(spark: SparkSession, root: String, zCols: Seq[String],
+               targetBytes: Long = 128L * 1024 * 1024,
+               bitsOpt: Int = -1): Long = {
+    require(zCols.size >= 2 && zCols.distinct.size == zCols.size,
+      s"zorder needs 2+ distinct columns, got ${zCols.mkString(", ")}")
+    val bits =
+      if (bitsOpt > 0) bitsOpt
+      else math.min(Layout.DefaultBits, 62 / zCols.size)
     val cur = latestVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"$root not initialized"))
     val m = readManifest(spark, root, cur)
@@ -1345,7 +1361,7 @@ object Manifest {
       s"cannot zorder $root: legacy manifest has no schema header — " +
         "converge with commitReplace first"))
     val partCols = m.partCols.getOrElse(Nil)
-    Seq(xCol, yCol).foreach { c =>
+    zCols.foreach { c =>
       require(schema.fieldNames.contains(c),
         s"z-order column '$c' is not a column of $root " +
           s"(${schema.fieldNames.mkString(", ")})")
@@ -1396,7 +1412,7 @@ object Manifest {
     val zv = "__graft_zval"
     val rangeCols = partCols.map(col) :+ col(zv)
     val shaped = rows
-      .withColumn(zv, Layout.morton2(scaled(xCol), scaled(yCol), bits))
+      .withColumn(zv, Layout.mortonN(zCols.map(scaled), bits))
       .repartitionByRange(nOut, rangeCols: _*)
       .sortWithinPartitions(rangeCols: _*)
       .drop(zv)

@@ -354,23 +354,23 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces
     override def name(): String = "zorder"
     override def description(): String =
       "rewrite a manifest table clustered by the Morton interleave of " +
-        "two integral columns so zone maps skip files on either " +
-        "(Manifest.zorder)"
+        "2+ integral columns so zone maps skip files on any of them " +
+        "(Manifest.zorderBy)"
     override def bind(inputType: StructType): BoundProcedure = this
     override def isDeterministic: Boolean = false
     override def parameters(): Array[ProcedureParameter] = Array(
       ProcedureParameter.in("table", StringType).build(),
-      ProcedureParameter.in("columns", StringType).build(), // 'x,y'
+      ProcedureParameter.in("columns", StringType).build(), // 'x,y[,z…]'
       ProcedureParameter.in("target_bytes", LongType)
         .defaultValue((128L * 1024 * 1024).toString).build())
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val root = tableRoot(input.getUTF8String(0).toString)
       val cols = input.getUTF8String(1).toString
         .split(',').map(_.trim).filter(_.nonEmpty)
-      require(cols.length == 2,
-        s"columns must name exactly two columns 'x,y', got '${
+      require(cols.length >= 2,
+        s"columns must name 2+ columns 'x,y[,z…]', got '${
           input.getUTF8String(1)}'")
-      val v = Manifest.zorder(spark, root, cols(0), cols(1),
+      val v = Manifest.zorderBy(spark, root, cols.toSeq,
         input.getLong(2))
       oneRowScan(
         StructType(Seq(StructField("version", LongType, false),

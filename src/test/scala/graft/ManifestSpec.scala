@@ -839,6 +839,39 @@ class ManifestSpec extends SparkSpec {
     assert(Manifest.read(spark, root3, None).count() == 90L)
   }
 
+  test("zorderBy: three dimensions — zone maps skip on each; content " +
+    "identical") {
+    val root = newRoot()
+    // three mutually decorrelated dims over 0..4095
+    val df = spark.range(0, 4096).select(
+      col("id").as("x"),
+      (col("id") * 37 % 4096).as("y"),
+      (col("id") * 1423 % 4096).as("z"))
+      .repartitionByRange(8, col("x"))
+    Manifest.init(spark, root, df)
+    val before = Manifest.read(spark, root, None)
+      .as[(Long, Long, Long)].collect().toSet
+    val v = Manifest.zorderBy(spark, root, Seq("x", "y", "z"),
+      targetBytes = 4L * 1024)
+    assert(Manifest.read(spark, root, None)
+      .as[(Long, Long, Long)].collect().toSet == before)
+    val files = Manifest.snapshot(spark, root, v).files.size
+    assert(files > 7, s"need >7 files, got $files")
+    def planned(c: String): Long = {
+      // an extreme value: files rank-straddling a high-bit flip keep
+      // wide envelopes, so probe the low end, which only the lowest
+      // z-region files can contain
+      val probe = Manifest.read(spark, root, None)
+        .filter(col(c) === 100L)
+      probe.collect()
+      probe.queryExecution.executedPlan.collectLeaves()
+        .flatMap(_.metrics.get("numFiles")).map(_.value).sum
+    }
+    for (c <- Seq("x", "y", "z"))
+      assert(planned(c) < files,
+        s"no skip on $c: ${planned(c)} of $files")
+  }
+
   test("clustered writes co-locate partition values: O(values) files " +
     "instead of O(tasks × values); content identical") {
     val root = newRoot()

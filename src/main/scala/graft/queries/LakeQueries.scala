@@ -1552,10 +1552,11 @@ object LakeQueries {
           "WHERE doc_id % 2 = 0")
         val root = s.conf.get("spark.sql.catalog.graftsql.root")
           .stripSuffix("/") + "/db/wap_docs"
-        Manifest.stageAppend(s, root,
-          docs.filter(col("doc_id") % 2 === 1)
-            .select("doc_id", "n_chars", "lang"), // data cols then part
-          "drop7", Seq("lang"))
+        docs.filter(col("doc_id") % 2 === 1)
+          .select("doc_id", "n_chars", "lang") // data cols then part
+          .createOrReplaceTempView("q132_odds")
+        s.sql("CALL graftsql.system.stage(table => 'db.wap_docs', " +
+          "id => 'drop7', source => 'q132_odds')")
         val stagedInvisible =
           s.table("graftsql.db.wap_docs").count() ==
             docs.filter(col("doc_id") % 2 === 0).count()

@@ -1423,6 +1423,56 @@ object Manifest {
     publish(spark, root, cur, fresh, m.meta - "dropped")
   }
 
+  /** Delete files under `data/` that NO snapshot (any live version),
+    * stage, or delete entry references — the crash leftovers the
+    * commit protocol creates BY DESIGN: a losing committer's staged
+    * dir, a killed write's partial output. [[vacuum]] can never see
+    * these (it walks manifests; orphans are precisely what no
+    * manifest mentions), so this is the one maintenance op that must
+    * list the filesystem — one recursive listing of `data/`, run it
+    * on the cadence of crashes, not queries.
+    *
+    * `graceMillis` guards in-flight commits: files younger than the
+    * grace window are kept even when unreferenced, because a commit
+    * that has staged its files but not yet published its manifest
+    * looks exactly like an orphan. Default 24 h; a commit that takes
+    * longer than that has already failed. Returns the deleted
+    * table-relative paths. */
+  def removeOrphans(spark: SparkSession, root: String,
+                    graceMillis: Long = 24L * 3600 * 1000)
+      : Seq[String] = {
+    val (fs, _) = fsOf(spark, root)
+    val dataDir = new Path(s"$root/data")
+    if (!fs.exists(dataDir)) return Nil
+    val referenced: Set[String] =
+      (versions(spark, root).flatMap { v =>
+        val m = readManifest(spark, root, v)
+        m.files ++ m.deletes.map(_.path)
+      } ++ stages(spark, root).flatMap { id =>
+        val sm = readStageManifest(spark, root, id)
+        sm.files ++ sm.deletes.map(_.path)
+      }).toSet
+    val rootUri = fs.makeQualified(new Path(root)).toUri.getPath
+    val cutoff = System.currentTimeMillis() - graceMillis
+    val dead = ArrayBuffer.empty[String]
+    val it = fs.listFiles(dataDir, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName
+      val rel = st.getPath.toUri.getPath
+        .stripPrefix(rootUri).stripPrefix("/")
+      // `_SUCCESS`/`.crc`-style markers are commit-dir metadata, not
+      // data — manifests never reference them and they are not orphans
+      if (!name.startsWith("_") && !name.startsWith(".") &&
+          !referenced.contains(rel) &&
+          st.getModificationTime < cutoff) {
+        fs.delete(st.getPath, false)
+        dead += rel
+      }
+    }
+    dead.toSeq
+  }
+
   /** Drop snapshots older than the newest `keepVersions` and delete
     * data files no surviving snapshot references. The retention floor
     * is the reader contract: pin only snapshots inside it. */

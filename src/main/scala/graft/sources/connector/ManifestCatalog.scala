@@ -451,6 +451,55 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces
     }
   }
 
+  private object RemoveOrphansProcedure extends UnboundProcedure
+      with BoundProcedure {
+    override def name(): String = "remove_orphans"
+    override def description(): String =
+      "delete data files no snapshot or stage references — crash " +
+        "leftovers vacuum cannot see (Manifest.removeOrphans)"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("grace_ms", LongType)
+        .defaultValue((24L * 3600 * 1000).toString).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val root = tableRoot(input.getUTF8String(0).toString)
+      val removed = Manifest.removeOrphans(spark, root, input.getLong(1))
+      oneRowScan(
+        StructType(Seq(StructField("removed_files", LongType, false))),
+        Array[Any](removed.size.toLong))
+    }
+  }
+
+  private object StageProcedure extends UnboundProcedure
+      with BoundProcedure {
+    override def name(): String = "stage"
+    override def description(): String =
+      "stage a view/table's rows as an unpublished commit " +
+        "(Manifest.stageAppend) — audit via option(stage, id), then " +
+        "publish_stage or discard_stage"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("id", StringType).build(),
+      ProcedureParameter.in("source", StringType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val root = tableRoot(input.getUTF8String(0).toString)
+      val partCols = Manifest
+        .snapshotMeta(spark, root,
+          Manifest.latestVersion(spark, root).get)
+        .partCols.getOrElse(Nil)
+      Manifest.stageAppend(spark, root,
+        spark.table(input.getUTF8String(2).toString),
+        input.getUTF8String(1).toString, partCols)
+      oneRowScan(
+        StructType(Seq(StructField("staged", BooleanType, false))),
+        Array[Any](true))
+    }
+  }
+
   private object PublishStageProcedure extends UnboundProcedure
       with BoundProcedure {
     override def name(): String = "publish_stage"
@@ -603,6 +652,8 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces
       case "rewrite_deletes" => RewriteDeletesProcedure
       case "expire_snapshots" => ExpireSnapshotsProcedure
       case "zorder" => ZorderProcedure
+      case "remove_orphans" => RemoveOrphansProcedure
+      case "stage" => StageProcedure
       case "publish_stage" => PublishStageProcedure
       case "discard_stage" => DiscardStageProcedure
       case "stages" => StagesProcedure
@@ -612,8 +663,8 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces
       case other => throw new UnsupportedOperationException(
         s"catalog $catalogName has no procedure '$other' (available: " +
           "compact, vacuum, history, rewrite_deletes, " +
-          "expire_snapshots, zorder, publish_stage, discard_stage, " +
-          "stages, tag, drop_tag, tags)")
+          "expire_snapshots, zorder, remove_orphans, stage, " +
+          "publish_stage, discard_stage, stages, tag, drop_tag, tags)")
     }
   }
 
@@ -625,6 +676,8 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces
       Identifier.of(Array("system"), "rewrite_deletes"),
       Identifier.of(Array("system"), "expire_snapshots"),
       Identifier.of(Array("system"), "zorder"),
+      Identifier.of(Array("system"), "remove_orphans"),
+      Identifier.of(Array("system"), "stage"),
       Identifier.of(Array("system"), "publish_stage"),
       Identifier.of(Array("system"), "discard_stage"),
       Identifier.of(Array("system"), "stages"),

@@ -498,7 +498,10 @@ class ManifestCatalogSpec extends SparkSpec {
     spark.sql("CREATE TABLE graftcat.db.wap (id BIGINT)") // v1
     spark.sql("INSERT INTO graftcat.db.wap VALUES (1)")   // v2
     val root = s"$warehouse/db/wap"
-    Manifest.stageAppend(spark, root, Seq(2L).toDF("id"), "drop1")
+    // staging is pure SQL too: CALL system.stage reads a view
+    Seq(2L).toDF("id").createOrReplaceTempView("wap_drop1")
+    assert(spark.sql("CALL graftcat.system.stage(table => 'db.wap', " +
+      "id => 'drop1', source => 'wap_drop1')").as[Boolean].head)
     assert(spark.sql("SELECT count(*) FROM graftcat.db.wap")
       .as[Long].head == 1L)
     assert(spark.sql("CALL graftcat.system.stages(table => 'db.wap')")
@@ -510,6 +513,11 @@ class ManifestCatalogSpec extends SparkSpec {
     Manifest.stageAppend(spark, root, Seq(9L).toDF("id"), "bad")
     assert(spark.sql("CALL graftcat.system.discard_stage(" +
       "table => 'db.wap', id => 'bad')").as[Long].head >= 1L)
+    assert(spark.sql("SELECT count(*) FROM graftcat.db.wap")
+      .as[Long].head == 2L)
+    // orphan cleanup through SQL: nothing referenced is reclaimable
+    assert(spark.sql("CALL graftcat.system.remove_orphans(" +
+      "table => 'db.wap', grace_ms => 0)").as[Long].head == 0L)
     assert(spark.sql("SELECT count(*) FROM graftcat.db.wap")
       .as[Long].head == 2L)
   }

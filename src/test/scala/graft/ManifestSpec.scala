@@ -150,6 +150,36 @@ class ManifestSpec extends SparkSpec {
         .as[(Long, String, Int)].collect().toSet)
   }
 
+  test("removeOrphans deletes only unreferenced data files outside " +
+    "the grace window; snapshots, stages and young files survive") {
+    val root = newRoot()
+    Manifest.init(spark, root,
+      Seq((1L, "a", 10)).toDF("id", "part", "v"), Seq("part"))
+    Manifest.commitAppend(spark, root,
+      Seq((2L, "b", 20)).toDF("id", "part", "v"), Seq("part"))
+    Manifest.stageAppend(spark, root,
+      Seq((3L, "c", 30)).toDF("id", "part", "v"), "pend", Seq("part"))
+    // plant crash leftovers: a losing committer's whole staged dir
+    val (fs, _) = (new org.apache.hadoop.fs.Path(root))
+      .getFileSystem(spark.sparkContext.hadoopConfiguration) -> ()
+    val orphanDir = new org.apache.hadoop.fs.Path(
+      s"$root/data/c00000099-dead/part=z")
+    fs.mkdirs(orphanDir)
+    val f = fs.create(
+      new org.apache.hadoop.fs.Path(orphanDir, "part-0.parquet"))
+    f.write(Array[Byte](1, 2, 3)); f.close()
+    // young orphan survives the default grace window
+    assert(Manifest.removeOrphans(spark, root).isEmpty)
+    // with no grace it is reclaimed; nothing referenced is touched
+    val dead = Manifest.removeOrphans(spark, root, graceMillis = 0L)
+    assert(dead == Seq("data/c00000099-dead/part=z/part-0.parquet"))
+    assert(Manifest.read(spark, root, None).count() == 2L)
+    assert(Manifest.read(spark, root, Some(1L)).count() == 1L)
+    assert(Manifest.readStage(spark, root, "pend").count() == 3L)
+    // idempotent
+    assert(Manifest.removeOrphans(spark, root, 0L).isEmpty)
+  }
+
   test("write-audit-publish: staged commits are invisible until " +
     "published; stale publish fails loudly; discard reclaims") {
     val root = newRoot()

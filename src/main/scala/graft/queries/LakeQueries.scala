@@ -1749,5 +1749,65 @@ object LakeQueries {
           'delete', CAST(3 AS BIGINT)
         FROM documents WHERE doc_id % 10 = 0
         ORDER BY _commit_version, doc_id"""),
+      kind = QueryDef.Pipeline),
+
+    // ---- CDC streaming source ------------------------------------------
+    // The streaming half of q136: option("cdc","true") turns the
+    // manifest stream into a retraction-aware feed. Run 1 replays the
+    // snapshot as inserts; an append AND a merge-on-read delete land
+    // while the stream is down; run 2 crosses the delete commit —
+    // which the plain stream refuses — emitting the insert delta plus
+    // the delete keys as retraction rows, all stamped with their
+    // commit version.
+    QueryDef("q137_cdc_stream",
+      (s, dir) => {
+        val base = "file://" + Files
+          .createTempDirectory("graft_cdcs").toString
+        val root = s"$base/t"
+        val sink = s"$base/sink"
+        val ckpt = s"$base/ckpt"
+        val docs = Tables.load(s, dir, "documents")
+          .select("doc_id", "lang", "n_chars")
+        Manifest.init(s, root,
+          docs.filter(col("doc_id") % 2 === 0), Seq("lang")) // v1
+        def runOnce(run: String): Unit = {
+          val q = s.readStream.format("graft-manifest")
+            .option("cdc", "true").load(root)
+            .writeStream
+            .foreachBatch {
+              (df: org.apache.spark.sql.DataFrame, _: Long) =>
+                df.withColumn("run", lit(run))
+                  .write.mode("append").parquet(sink); ()
+            }
+            .option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger
+              .AvailableNow()).start()
+          q.awaitTermination()
+        }
+        runOnce("run1") // snapshot replay: evens as inserts @v1
+        Manifest.commitAppend(s, root,
+          docs.filter(col("doc_id") % 2 === 1), Seq("lang"))  // v2
+        Manifest.deleteByKeys(s, root,
+          docs.filter(col("doc_id") % 10 === 0).select("doc_id")) // v3
+        runOnce("run2") // odd inserts @v2 + delete keys @v3
+        s.read.parquet(sink)
+          .groupBy("run", "_change_type", "_commit_version")
+          .agg(count(lit(1)).as("n"),
+            sum("n_chars").as("chars"))
+          .orderBy("run", "_change_type")
+      },
+      Some("""SELECT 'run1' AS run, 'insert' AS _change_type,
+          CAST(1 AS BIGINT) AS _commit_version, count(*) AS n,
+          CAST(sum(n_chars) AS BIGINT) AS chars
+        FROM documents WHERE doc_id % 2 = 0
+        UNION ALL
+        SELECT 'run2', 'delete', CAST(3 AS BIGINT), count(*),
+          CAST(NULL AS BIGINT)
+        FROM documents WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT 'run2', 'insert', CAST(2 AS BIGINT), count(*),
+          CAST(sum(n_chars) AS BIGINT)
+        FROM documents WHERE doc_id % 2 = 1
+        ORDER BY run, _change_type"""),
       kind = QueryDef.Pipeline))
 }

@@ -109,20 +109,42 @@ class ManifestDataSource extends TableProvider with DataSourceRegister {
     o.asCaseSensitiveMap().asScala.toMap.map { case (k, v) =>
       k.toLowerCase -> v }
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    resolved(optMap(options)).fullSchema
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val opts = optMap(options)
+    val base = resolved(opts).fullSchema
+    if (opts.get("cdc").contains("true"))
+      ManifestConnector.cdcSchema(base)
+    else base
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: java.util.Map[String, String]): Table = {
     val opts = properties.asScala.toMap.map { case (k, v) =>
       k.toLowerCase -> v }
-    ManifestTable(resolved(opts))
+    ManifestTable(resolved(opts), cdc = opts.get("cdc").contains("true"))
   }
 }
 
 /** Driver-side resolution + shared helpers (path parsing, parquet⇄Spark
   * schema bridging, filter translation). */
 object ManifestConnector {
+
+  /** Columns a CDC stream appends to the table schema: what happened
+    * and at which commit. Values are injected per input partition
+    * through the constant-column machinery — never read from files. */
+  val cdcMetaFields: Array[org.apache.spark.sql.types.StructField] =
+    Array(
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType, nullable = true),
+      org.apache.spark.sql.types.StructField("_commit_version",
+        org.apache.spark.sql.types.LongType, nullable = true))
+
+  /** A CDC read's schema: every table column forced NULLABLE (delete
+    * rows carry NULL for everything but the key columns — a
+    * non-nullable declaration would silently decode those NULLs as
+    * zero/empty) plus the meta columns. */
+  def cdcSchema(base: StructType): StructType =
+    StructType(base.fields.map(_.copy(nullable = true)) ++ cdcMetaFields)
 
   final case class FileInfo(absPath: String, size: Long,
                             partValues: Seq[(String, String)],
@@ -744,12 +766,15 @@ object ManifestConnector {
   * — the SQL-level parity for the reference's item update/delete
   * surface (reference: python-data-ingestions/index-data-lambda.py:
   * 164-172; Athena SQL, query-data-lambda.py:195-218). */
-final case class ManifestTable(res: ManifestConnector.Resolved)
+final case class ManifestTable(res: ManifestConnector.Resolved,
+                               cdc: Boolean = false)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDeleteV2
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   override def name(): String = s"graft-manifest ${res.root} v${res.version}"
-  override def schema(): StructType = res.fullSchema
+  override def schema(): StructType =
+    if (cdc) ManifestConnector.cdcSchema(res.fullSchema)
+    else res.fullSchema
 
   /** Surface snapshot facts to DESCRIBE EXTENDED / SHOW TBLPROPERTIES:
     * pinned version, layout, and the planned file/byte footprint. */
@@ -820,7 +845,7 @@ final case class ManifestTable(res: ManifestConnector.Resolved)
     () => new ManifestRowLevelOperation(res, info.command())
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder = new ManifestScanBuilder(res,
-    Option(options.get("maxVersionsPerTrigger")).map(_.toLong))
+    Option(options.get("maxVersionsPerTrigger")).map(_.toLong), cdc)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
@@ -848,18 +873,26 @@ final case class ManifestTable(res: ManifestConnector.Resolved)
 }
 
 final class ManifestScanBuilder(res: ManifestConnector.Resolved,
-                                maxVersionsPerTrigger: Option[Long] = None)
+                                maxVersionsPerTrigger: Option[Long] = None,
+                                cdc: Boolean = false)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit
     with SupportsPushDownAggregates {
 
-  private var required: StructType = res.fullSchema
+  private var required: StructType =
+    if (cdc) ManifestConnector.cdcSchema(res.fullSchema)
+    else res.fullSchema
   private var partitionFilters: Array[SFilter] = Array.empty
   private var dataFilters: Array[SFilter] = Array.empty
   private var limit: Int = -1
   private var aggPlan: Option[(StructType, Array[Array[Any]])] = None
 
   override def pushFilters(filters: Array[SFilter]): Array[SFilter] = {
+    // CDC mode consumes NOTHING: retraction rows carry NULL partition
+    // values (a delete-key file belongs to no partition), so a
+    // consumed partition filter would silently re-admit or drop them —
+    // Spark evaluates every filter on the emitted rows instead
+    if (cdc) return filters
     val partCols = res.partCols.toSet
     val (part, rest) = filters.partition(
       ManifestConnector.isPartitionFilter(_, partCols))
@@ -932,6 +965,7 @@ final class ManifestScanBuilder(res: ManifestConnector.Resolved,
         .Aggregation): Option[(StructType, Array[Array[Any]])] = {
     import org.apache.spark.sql.connector.expressions.NamedReference
     import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
+    if (cdc) return None // CDC scans are streaming-only row feeds
     if (dataFilters.nonEmpty || limit >= 0) return None
     val files = survivingFiles()
     if (files.exists(f => res.deleteSpecsFor(f).nonEmpty)) return None
@@ -1054,7 +1088,7 @@ final class ManifestScanBuilder(res: ManifestConnector.Resolved,
 
   override def build(): Scan =
     new ManifestScan(res, survivingFiles(), required, dataFilters, limit,
-      partitionFilters, maxVersionsPerTrigger, aggPlan)
+      partitionFilters, maxVersionsPerTrigger, aggPlan, cdc)
 }
 
 final class ManifestScan(res: ManifestConnector.Resolved,
@@ -1064,7 +1098,8 @@ final class ManifestScan(res: ManifestConnector.Resolved,
                          limit: Int,
                          partitionFilters: Array[SFilter] = Array.empty,
                          maxVersionsPerTrigger: Option[Long] = None,
-                         aggPlan: Option[(StructType, Array[Array[Any]])] = None)
+                         aggPlan: Option[(StructType, Array[Array[Any]])] = None,
+                         cdc: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportPartitioning {
 
@@ -1107,7 +1142,7 @@ final class ManifestScan(res: ManifestConnector.Resolved,
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new ManifestMicroBatchStream(res, required, partitionFilters,
-      dataFilters, mkReaderFactory(), maxVersionsPerTrigger)
+      dataFilters, mkReaderFactory(), maxVersionsPerTrigger, cdc)
 
   private[connector] def mkReaderFactory(): PartitionReaderFactory = {
     // Hadoop Configuration is not serializable; ship the entries and
@@ -1115,9 +1150,16 @@ final class ManifestScan(res: ManifestConnector.Resolved,
     val conf = SparkSession.active.sparkContext.hadoopConfiguration
     val entries = conf.iterator().asScala
       .map(e => (e.getKey, e.getValue)).toArray
-    ManifestReaderFactory(entries, required, res.partCols.toArray,
+    // CDC: the meta columns ride the constant-column (partition value)
+    // machinery — each input partition carries their values, typed
+    // from the required schema
+    val constCols =
+      if (cdc) res.partCols.toArray ++
+        ManifestConnector.cdcMetaFields.map(_.name)
+      else res.partCols.toArray
+    ManifestReaderFactory(entries, required, constCols,
       dataFilters, limit, res.fullSchema,
-      plannedFiles.exists(f => res.deleteSpecsFor(f).nonEmpty))
+      plannedFiles.exists(f => res.deleteSpecsFor(f).nonEmpty) || cdc)
   }
 
   override def description(): String =
@@ -1134,6 +1176,10 @@ final class ManifestScan(res: ManifestConnector.Resolved,
       // fully-pushed aggregate: the row is already computed from the
       // manifest zone maps — one partition, zero file IO
       case Some((_, rows)) => Array(AggRowInputPartition(rows))
+      case None if cdc => throw new UnsupportedOperationException(
+        "option(\"cdc\", \"true\") is a STREAMING read " +
+          "(spark.readStream); for a batch change feed use " +
+          "Manifest.readChangesCdc")
       case None =>
         // typed partition-key values (layout order) back the
         // HasPartitionKey grouping when KeyGroupedPartitioning is on
@@ -1232,7 +1278,7 @@ final case class ManifestReaderFactory(confEntries: Array[(String, String)],
     required: StructType, partCols: Array[String],
     dataFilters: Array[SFilter], limit: Int,
     tableSchema: StructType = new StructType(),
-    anyDeletes: Boolean = false)
+    forceRowPath: Boolean = false)
     extends PartitionReaderFactory {
 
   // Columnar (vectorized) reading whenever data columns are requested
@@ -1247,7 +1293,7 @@ final case class ManifestReaderFactory(confEntries: Array[(String, String)],
     required.fields.count(f => !partCols.contains(f.name))
   override def supportColumnarReads(partition: InputPartition): Boolean =
     !partition.isInstanceOf[AggRowInputPartition] &&
-      dataFieldCount > 0 && limit < 0 && !anyDeletes
+      dataFieldCount > 0 && limit < 0 && !forceRowPath
 
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = partition match {

@@ -50,7 +50,8 @@ final class ManifestMicroBatchStream(
     partitionFilters: Array[org.apache.spark.sql.sources.Filter],
     dataFilters: Array[org.apache.spark.sql.sources.Filter],
     readerFactory: PartitionReaderFactory,
-    maxVersionsPerTrigger: Option[Long] = None)
+    maxVersionsPerTrigger: Option[Long] = None,
+    cdc: Boolean = false)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private def spark = SparkSession.active
@@ -101,27 +102,52 @@ final class ManifestMicroBatchStream(
       if (lo == 0L) Set.empty
       else Manifest.snapshot(spark, res.root, lo).files.toSet
     val cur = Manifest.snapshotMeta(spark, res.root, hi)
-    // a merge-on-read delete commit in range changes rows without
-    // adding files — an append-shaped stream would silently miss the
-    // retraction, so fail the query loudly (materialize with
-    // rewriteDeletes, then restart; the rewrite IS the change)
     val crossing = cur.deletes.filter(d => d.seq > lo && d.seq <= hi)
-    require(crossing.isEmpty,
-      s"stream batch v$lo..v$hi of ${res.root} crosses merge-on-read " +
-        s"delete commit(s) ${crossing.map(_.seq).distinct.sorted.mkString(",")}" +
-        " — run Manifest.rewriteDeletes and restart the stream")
-    cur.entries.filterNot(e => prev.contains(e.path))
-      .filter { e =>
-        val pv = Manifest.partValuesOf(e.path).toMap
-        partitionFilters.forall(
-          ManifestConnector.evalPartitionFilter(_, pv).contains(true)) &&
-          e.fileStats.forall(st =>
-            dataFilters.forall(ManifestConnector.mayMatch(_, st)))
-      }
+    if (!cdc) {
+      // a merge-on-read delete commit in range changes rows without
+      // adding files — an append-shaped stream would silently miss the
+      // retraction, so fail the query loudly (materialize with
+      // rewriteDeletes, or restart with option("cdc","true") for a
+      // retraction-aware feed)
+      require(crossing.isEmpty,
+        s"stream batch v$lo..v$hi of ${res.root} crosses merge-on-read " +
+          s"delete commit(s) ${crossing.map(_.seq).distinct.sorted.mkString(",")}" +
+          " — run Manifest.rewriteDeletes and restart the stream, or " +
+          "read with option(\"cdc\", \"true\")")
+      return cur.entries.filterNot(e => prev.contains(e.path))
+        .filter { e =>
+          val pv = Manifest.partValuesOf(e.path).toMap
+          partitionFilters.forall(
+            ManifestConnector.evalPartitionFilter(_, pv).contains(true)) &&
+            e.fileStats.forall(st =>
+              dataFilters.forall(ManifestConnector.mayMatch(_, st)))
+        }
+        .map(e => ManifestInputPartition(s"${res.root}/${e.path}",
+          e.size.getOrElse(0L),
+          Manifest.partValuesOf(e.path).toArray): InputPartition)
+        .toArray
+    }
+    // CDC batch = [[Manifest.readChangesCdc]] semantics, streamed:
+    // added files re-emit their rows as 'insert' stamped with the
+    // commit that added them; in-range MoR delete commits emit their
+    // KEY files as 'delete' rows (key columns read from the file,
+    // every other column NULL — partition values included, since a
+    // key file belongs to no partition). The meta columns ride the
+    // constant-column machinery, so neither reader changes. No
+    // manifest-level pruning here: CDC consumes no filters (a dropped
+    // retraction is corruption; Spark filters the emitted rows).
+    def meta(kind: String, v: Long) = Array(
+      "_change_type" -> kind, "_commit_version" -> v.toString)
+    val inserts = cur.entries.filterNot(e => prev.contains(e.path))
       .map(e => ManifestInputPartition(s"${res.root}/${e.path}",
         e.size.getOrElse(0L),
-        Manifest.partValuesOf(e.path).toArray): InputPartition)
-      .toArray
+        Manifest.partValuesOf(e.path).toArray ++
+          meta("insert", e.dataSeq)): InputPartition)
+    val deletes = crossing
+      .map(d => ManifestInputPartition(s"${res.root}/${d.path}",
+        d.size.getOrElse(0L),
+        meta("delete", d.seq)): InputPartition)
+    (inserts ++ deletes).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

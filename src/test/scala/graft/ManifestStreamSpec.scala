@@ -59,6 +59,64 @@ class ManifestStreamSpec extends SparkSpec {
     assert(runOnce() == Set((1L, "a", 99), (3L, "a", 30)))
   }
 
+  test("CDC stream: option(cdc) crosses merge-on-read delete commits " +
+    "with retraction rows instead of failing; replay is exact") {
+    val root = newDir() + "/t"
+    Manifest.init(spark, root,
+      Seq((1L, "a", 10), (2L, "b", 20)).toDF("id", "part", "v"),
+      Seq("part"))                                             // v1
+    val ckpt = newDir() + "/ckpt"
+    type Row5 = (Option[Long], Option[String], Option[Int], String, Long)
+    def runOnce(): Set[Row5] = {
+      val got = scala.collection.mutable.Set.empty[Row5]
+      val q = spark.readStream.format("graft-manifest")
+        .option("cdc", "true").load(root)
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          got.synchronized {
+            got ++= df.select("id", "part", "v", "_change_type",
+              "_commit_version")
+              .as[Row5](org.apache.spark.sql.Encoders.product[
+                (Option[Long], Option[String], Option[Int],
+                  String, Long)])
+              .collect()
+          }; ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      got.toSet
+    }
+    // first run: the snapshot replays as inserts stamped v1
+    assert(runOnce() == Set(
+      (Some(1L), Some("a"), Some(10), "insert", 1L),
+      (Some(2L), Some("b"), Some(20), "insert", 1L)))
+    // an append and a MoR delete land while the stream is down
+    Manifest.commitAppend(spark, root,
+      Seq((3L, "c", 30)).toDF("id", "part", "v"), Seq("part")) // v2
+    Manifest.deleteByKeys(spark, root, Seq(1L, 3L).toDF("id")) // v3
+    // the restart crosses the delete commit: inserts + retractions
+    assert(runOnce() == Set(
+      (Some(3L), Some("c"), Some(30), "insert", 2L),
+      (Some(1L), None, None, "delete", 3L),
+      (Some(3L), None, None, "delete", 3L)))
+    // the plain (non-cdc) stream still fails loudly over the same range
+    val plainCkpt = newDir() + "/ckpt2"
+    Manifest.commitAppend(spark, root,
+      Seq((5L, "a", 50)).toDF("id", "part", "v"), Seq("part")) // v4
+    val q = spark.readStream.format("graft-manifest").load(root)
+      .writeStream.format("memory").queryName("cdc_plain")
+      .option("checkpointLocation", plainCkpt)
+      .trigger(Trigger.AvailableNow()).start()
+    val err = intercept[org.apache.spark.sql.streaming
+      .StreamingQueryException](q.awaitTermination())
+    assert(err.getMessage.contains("merge-on-read") ||
+      Option(err.getCause).exists(_.getMessage.contains("merge-on-read")))
+    // batch reads with the option are refused, pointing at readStream
+    intercept[Exception](spark.read.format("graft-manifest")
+      .option("cdc", "true").load(root).collect())
+  }
+
   test("end-to-end incremental pipeline: manifest source → transform " +
     "→ exactly-once manifest sink (bronze→silver), replay-safe") {
     val base = newDir()

@@ -1118,9 +1118,12 @@ final class ManifestScan(res: ManifestConnector.Resolved,
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
     val partCols = res.partCols
-    if (aggPlan.isEmpty && partCols.nonEmpty) {
-      val tuples = plannedFiles
-        .map(f => partCols.map(f.partValues.toMap.apply)).distinct.size
+    val tuples =
+      if (aggPlan.isEmpty && partCols.nonEmpty)
+        plannedFiles
+          .map(f => partCols.map(f.partValues.toMap.apply)).distinct.size
+      else 0
+    if (tuples > 0) { // a 0-partition report would be malformed
       new org.apache.spark.sql.connector.read.partitioning
         .KeyGroupedPartitioning(
           partCols.map(c => org.apache.spark.sql.connector.expressions

@@ -844,8 +844,15 @@ final case class ManifestTable(res: ManifestConnector.Resolved,
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
     () => new ManifestRowLevelOperation(res, info.command())
   override def newScanBuilder(options: CaseInsensitiveStringMap)
-      : ScanBuilder = new ManifestScanBuilder(res,
-    Option(options.get("maxVersionsPerTrigger")).map(_.toLong), cdc)
+      : ScanBuilder = {
+    require(!(options.containsKey("startingVersion") &&
+        options.containsKey("startingTimestamp")),
+      "give either startingVersion or startingTimestamp, not both")
+    new ManifestScanBuilder(res,
+      Option(options.get("maxVersionsPerTrigger")).map(_.toLong), cdc,
+      Option(options.get("startingVersion")),
+      Option(options.get("startingTimestamp")).map(_.toLong))
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
@@ -874,7 +881,9 @@ final case class ManifestTable(res: ManifestConnector.Resolved,
 
 final class ManifestScanBuilder(res: ManifestConnector.Resolved,
                                 maxVersionsPerTrigger: Option[Long] = None,
-                                cdc: Boolean = false)
+                                cdc: Boolean = false,
+                                startingVersion: Option[String] = None,
+                                startingTimestamp: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit
     with SupportsPushDownAggregates {
@@ -1088,7 +1097,8 @@ final class ManifestScanBuilder(res: ManifestConnector.Resolved,
 
   override def build(): Scan =
     new ManifestScan(res, survivingFiles(), required, dataFilters, limit,
-      partitionFilters, maxVersionsPerTrigger, aggPlan, cdc)
+      partitionFilters, maxVersionsPerTrigger, aggPlan, cdc,
+      startingVersion, startingTimestamp)
 }
 
 final class ManifestScan(res: ManifestConnector.Resolved,
@@ -1099,7 +1109,9 @@ final class ManifestScan(res: ManifestConnector.Resolved,
                          partitionFilters: Array[SFilter] = Array.empty,
                          maxVersionsPerTrigger: Option[Long] = None,
                          aggPlan: Option[(StructType, Array[Array[Any]])] = None,
-                         cdc: Boolean = false)
+                         cdc: Boolean = false,
+                         startingVersion: Option[String] = None,
+                         startingTimestamp: Option[Long] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportPartitioning {
 
@@ -1145,7 +1157,8 @@ final class ManifestScan(res: ManifestConnector.Resolved,
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new ManifestMicroBatchStream(res, required, partitionFilters,
-      dataFilters, mkReaderFactory(), maxVersionsPerTrigger, cdc)
+      dataFilters, mkReaderFactory(), maxVersionsPerTrigger, cdc,
+      startingVersion, startingTimestamp)
 
   private[connector] def mkReaderFactory(): PartitionReaderFactory = {
     // Hadoop Configuration is not serializable; ship the entries and

@@ -51,7 +51,9 @@ final class ManifestMicroBatchStream(
     dataFilters: Array[org.apache.spark.sql.sources.Filter],
     readerFactory: PartitionReaderFactory,
     maxVersionsPerTrigger: Option[Long] = None,
-    cdc: Boolean = false)
+    cdc: Boolean = false,
+    startingVersion: Option[String] = None,
+    startingTimestamp: Option[Long] = None)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private def spark = SparkSession.active
@@ -65,7 +67,31 @@ final class ManifestMicroBatchStream(
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowCap = Some(currentVersion)
 
-  override def initialOffset(): Offset = VersionOffset(0L)
+  /** Where a FRESH stream starts (Spark consults this only when the
+    * checkpoint is empty — restarts resume from the checkpoint and
+    * never re-resolve). Default: version 0, i.e. replay the whole
+    * table. `startingVersion` n = the first batch begins WITH commit
+    * n (`"latest"` = only commits after the stream starts);
+    * `startingTimestamp` = the first commit AT or AFTER that
+    * epoch-millis. */
+  override def initialOffset(): Offset = startingVersion match {
+    case Some("latest") => VersionOffset(currentVersion)
+    case Some(v) =>
+      val n = v.toLong
+      require(n >= 1 && n <= currentVersion + 1,
+        s"startingVersion $n is outside ${res.root}'s committed " +
+          s"range [1, $currentVersion]")
+      VersionOffset(n - 1) // offsets are exclusive lower bounds
+    case None => startingTimestamp match {
+      case Some(ts) =>
+        // newest version committed strictly BEFORE ts is the exclusive
+        // bound; a ts before the first commit replays everything
+        val lo = try Manifest.versionAt(spark, res.root, ts - 1)
+          catch { case _: IllegalArgumentException => 0L }
+        VersionOffset(lo)
+      case None => VersionOffset(0L)
+    }
+  }
 
   override def latestOffset(): Offset = VersionOffset(currentVersion)
 

@@ -59,6 +59,56 @@ class ManifestStreamSpec extends SparkSpec {
     assert(runOnce() == Set((1L, "a", 99), (3L, "a", 30)))
   }
 
+  test("startingVersion / startingTimestamp position a fresh stream; " +
+    "'latest' skips history entirely") {
+    val root = newDir() + "/t"
+    Manifest.init(spark, root, Seq((1L, "a")).toDF("id", "s"))  // v1
+    Manifest.commitAppend(spark, root, Seq((2L, "b")).toDF("id", "s"))
+    Thread.sleep(5)
+    val betweenV2andV3 = System.currentTimeMillis()
+    Thread.sleep(5)
+    Manifest.commitAppend(spark, root, Seq((3L, "c")).toDF("id", "s"))
+    def runOnce(ckpt: String, opts: Map[String, String]): Set[Long] = {
+      val got = scala.collection.mutable.Set.empty[Long]
+      val r = spark.readStream.format("graft-manifest")
+      val q = opts.foldLeft(r) { case (b, (k, v)) => b.option(k, v) }
+        .load(root)
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          got.synchronized {
+            got ++= df.select("id").as[Long](
+              org.apache.spark.sql.Encoders.scalaLong).collect()
+          }; ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      got.toSet
+    }
+    // begin WITH commit 3
+    assert(runOnce(newDir() + "/c1",
+      Map("startingVersion" -> "3")) == Set(3L))
+    // first commit at-or-after the timestamp is v3
+    assert(runOnce(newDir() + "/c2",
+      Map("startingTimestamp" -> betweenV2andV3.toString)) == Set(3L))
+    // 'latest': nothing replays; the NEXT commit streams
+    val latestCkpt = newDir() + "/c3"
+    assert(runOnce(latestCkpt,
+      Map("startingVersion" -> "latest")) == Set.empty)
+    Manifest.commitAppend(spark, root, Seq((4L, "d")).toDF("id", "s"))
+    assert(runOnce(latestCkpt,
+      Map("startingVersion" -> "latest")) == Set(4L))
+    // out-of-range versions fail loudly
+    intercept[Exception] {
+      val q = spark.readStream.format("graft-manifest")
+        .option("startingVersion", "99").load(root)
+        .writeStream.format("memory").queryName("sv_bad")
+        .option("checkpointLocation", newDir() + "/c4")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+  }
+
   test("CDC stream: option(cdc) crosses merge-on-read delete commits " +
     "with retraction rows instead of failing; replay is exact") {
     val root = newDir() + "/t"

@@ -1809,5 +1809,44 @@ object LakeQueries {
           CAST(sum(n_chars) AS BIGINT)
         FROM documents WHERE doc_id % 2 = 1
         ORDER BY run, _change_type"""),
+      kind = QueryDef.Pipeline),
+
+    // ---- Metadata columns: row-level lineage ---------------------------
+    // `SELECT _commit_version FROM t` stamps every row with the commit
+    // that added it — straight from the manifest's per-file facts,
+    // zero extra IO. Two INSERTs land as v2/v3; grouping by the
+    // lineage column must reproduce each commit's exact footprint.
+    QueryDef("q138_metadata_columns",
+      (s, dir) => {
+        s.conf.set("spark.sql.catalog.graftsql",
+          classOf[graft.sources.connector.ManifestCatalog].getName)
+        if (s.conf.getOption("spark.sql.catalog.graftsql.root").isEmpty)
+          s.conf.set("spark.sql.catalog.graftsql.root",
+            "file://" + Files.createTempDirectory("graft_sqlcat").toString)
+        Tables.load(s, dir, "documents")
+          .select("doc_id", "lang", "n_chars")
+          .createOrReplaceTempView("q138_docs")
+        s.sql("DROP TABLE IF EXISTS graftsql.db.lin")
+        s.sql("CREATE TABLE graftsql.db.lin " +
+          "(doc_id BIGINT, lang STRING, n_chars BIGINT)")    // v1
+        s.sql("INSERT INTO graftsql.db.lin " +
+          "SELECT doc_id, lang, n_chars FROM q138_docs " +
+          "WHERE doc_id % 2 = 0")                            // v2
+        s.sql("INSERT INTO graftsql.db.lin " +
+          "SELECT doc_id, lang, n_chars FROM q138_docs " +
+          "WHERE doc_id % 2 = 1")                            // v3
+        s.sql("""SELECT _commit_version, count(*) AS n,
+            CAST(sum(n_chars) AS BIGINT) AS chars
+          FROM graftsql.db.lin
+          GROUP BY _commit_version ORDER BY _commit_version""")
+      },
+      Some("""SELECT CAST(2 AS BIGINT) AS _commit_version,
+          count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+        FROM documents WHERE doc_id % 2 = 0
+        UNION ALL
+        SELECT CAST(3 AS BIGINT), count(*),
+          CAST(sum(n_chars) AS BIGINT)
+        FROM documents WHERE doc_id % 2 = 1
+        ORDER BY _commit_version"""),
       kind = QueryDef.Pipeline))
 }

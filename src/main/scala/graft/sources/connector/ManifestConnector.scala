@@ -146,6 +146,18 @@ object ManifestConnector {
   def cdcSchema(base: StructType): StructType =
     StructType(base.fields.map(_.copy(nullable = true)) ++ cdcMetaFields)
 
+  /** Metadata columns a batch read can select (`SELECT _file,
+    * _commit_version FROM t`): row-level lineage, injected per input
+    * partition through the constant-column machinery. Hidden unless
+    * referenced; not advertised in CDC mode (whose schema already
+    * owns `_commit_version` as a REAL column). */
+  val metadataColumnFields: Array[org.apache.spark.sql.types.StructField] =
+    Array(
+      org.apache.spark.sql.types.StructField("_file",
+        org.apache.spark.sql.types.StringType, nullable = true),
+      org.apache.spark.sql.types.StructField("_commit_version",
+        org.apache.spark.sql.types.LongType, nullable = true))
+
   final case class FileInfo(absPath: String, size: Long,
                             partValues: Seq[(String, String)],
                             stats: Option[graft.sources.ManifestStats
@@ -770,7 +782,23 @@ final case class ManifestTable(res: ManifestConnector.Resolved,
                                cdc: Boolean = false)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDeleteV2
-    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+
+  /** `SELECT _file, _commit_version FROM t` — row-level lineage from
+    * the manifest's own per-file facts, zero extra IO. Not advertised
+    * in CDC mode, whose schema owns `_commit_version` outright. */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    if (cdc) Array.empty
+    else ManifestConnector.metadataColumnFields.map { f =>
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = f.name
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          f.dataType
+        override def isNullable: Boolean = true
+      }
+    }
   override def name(): String = s"graft-manifest ${res.root} v${res.version}"
   override def schema(): StructType =
     if (cdc) ManifestConnector.cdcSchema(res.fullSchema)
@@ -1166,13 +1194,14 @@ final class ManifestScan(res: ManifestConnector.Resolved,
     val conf = SparkSession.active.sparkContext.hadoopConfiguration
     val entries = conf.iterator().asScala
       .map(e => (e.getKey, e.getValue)).toArray
-    // CDC: the meta columns ride the constant-column (partition value)
-    // machinery — each input partition carries their values, typed
-    // from the required schema
+    // CDC meta and selected metadata columns ride the constant-column
+    // (partition value) machinery — each input partition carries
+    // their values, typed from the required schema
     val constCols =
-      if (cdc) res.partCols.toArray ++
+      (if (cdc) res.partCols ++
         ManifestConnector.cdcMetaFields.map(_.name)
-      else res.partCols.toArray
+      else res.partCols ++ ManifestConnector.metadataColumnFields
+        .map(_.name).filter(required.fieldNames.contains)).toArray
     ManifestReaderFactory(entries, required, constCols,
       dataFilters, limit, res.fullSchema,
       plannedFiles.exists(f => res.deleteSpecsFor(f).nonEmpty) || cdc)
@@ -1208,7 +1237,10 @@ final class ManifestScan(res: ManifestConnector.Resolved,
             ManifestConnector.castPartitionValue(pv(c), dt)
           }.toArray
           ManifestInputPartition(
-            f.absPath, f.size, f.partValues.toArray,
+            f.absPath, f.size, f.partValues.toArray ++
+              // lineage constants, emitted only when selected
+              Array("_file" -> f.absPath,
+                "_commit_version" -> f.seq.toString),
             res.deleteSpecsFor(f), keys): InputPartition
         }.toArray
     }

@@ -451,6 +451,28 @@ class ManifestConnectorSpec extends SparkSpec {
     assert(afterDel.as[(Long, Option[Long])].head == ((4L, Some(7L))))
   }
 
+  test("metadata columns: _file / _commit_version are selectable " +
+    "row-level lineage; SELECT * hides them") {
+    val root = newRoot()
+    Manifest.init(spark, root,
+      spark.range(0, 10).filter($"id" % 2 === 0).toDF("id")) // v1
+    Manifest.commitAppend(spark, root,
+      spark.range(0, 10).filter($"id" % 2 === 1).toDF("id")) // v2
+    val df = connRead(root).select($"id", $"_commit_version", $"_file")
+    val rows = df.as[(Long, Long, String)].collect()
+    assert(rows.length == 10)
+    // the commit that added each row is its version stamp
+    assert(rows.forall { case (id, v, f) =>
+      v == (if (id % 2 == 0) 1L else 2L) && f.contains("/data/c")
+    })
+    // each version's rows name only that commit's files
+    assert(rows.filter(_._2 == 1L).map(_._3).distinct
+      .forall(_.contains("/data/c00000001-")))
+    // hidden unless referenced
+    assert(!connRead(root).columns.contains("_file"))
+    assert(connRead(root).select($"*").columns.toSeq == Seq("id"))
+  }
+
   test("grouped aggregate pushdown: GROUP BY partition columns is " +
     "answered per partition tuple from stats — no data pages") {
     val root = fixture() // partitioned by part ∈ p0..p3, 50 rows each

@@ -1346,9 +1346,15 @@ object Manifest {
     * dimensions are added). More dimensions = coarser per-dimension
     * envelopes; two or three is the sweet spot, matching
     * Delta/Iceberg guidance. */
+  /** `partitionSpec` scopes the rewrite: only files whose partition
+    * tuple carries every given (column → value) entry are re-laid-out;
+    * everything else — and any pending merge-on-read delete — carries
+    * forward untouched. At 100 TB this is how z-ordering actually
+    * runs: per hot partition after an ingest wave, never the table. */
   def zorderBy(spark: SparkSession, root: String, zCols: Seq[String],
                targetBytes: Long = 128L * 1024 * 1024,
-               bitsOpt: Int = -1): Long = {
+               bitsOpt: Int = -1,
+               partitionSpec: Map[String, String] = Map.empty): Long = {
     require(zCols.size >= 2 && zCols.distinct.size == zCols.size,
       s"zorder needs 2+ distinct columns, got ${zCols.mkString(", ")}")
     val bits =
@@ -1361,6 +1367,9 @@ object Manifest {
       s"cannot zorder $root: legacy manifest has no schema header — " +
         "converge with commitReplace first"))
     val partCols = m.partCols.getOrElse(Nil)
+    partitionSpec.keys.foreach(c => require(partCols.contains(c),
+      s"partition spec names '$c', not a partition column of $root " +
+        s"(${partCols.mkString(", ")})"))
     zCols.foreach { c =>
       require(schema.fieldNames.contains(c),
         s"z-order column '$c' is not a column of $root " +
@@ -1379,11 +1388,19 @@ object Manifest {
         s"z-order column '$c' must be integral (byte/short/int/long), " +
           s"got ${schema(c).dataType.catalogString}")
     }
-    val rows = readEntries(spark, root, m, m.entries) // deletes applied
-    // global [lo, hi] per z-column: zone-map bounds when every file has
+    val (scoped, carried) =
+      if (partitionSpec.isEmpty) (m.entries, Seq.empty[FileEntry])
+      else m.entries.partition { e =>
+        val pv = partValuesOf(e.path).toMap
+        partitionSpec.forall { case (c, v) => pv.get(c).contains(v) }
+      }
+    require(scoped.nonEmpty,
+      s"no files of $root match partition spec $partitionSpec")
+    val rows = readEntries(spark, root, m, scoped) // deletes applied
+    // scoped [lo, hi] per z-column: zone-map bounds when every file has
     // them (free), else one agg over the rows we are rewriting anyway
     def boundsOf(c: String): (Long, Long) = {
-      val perFile = m.entries.map(_.stats
+      val perFile = scoped.map(_.stats
         .flatMap(ManifestStats.decode)
         .flatMap(_.cols.get(c))
         .flatMap(s => for (mn <- s.min; mx <- s.max)
@@ -1406,7 +1423,7 @@ object Manifest {
         lit((hi - lo).toDouble) *
         lit(((1L << bits) - 1).toDouble)).cast("long")
     }
-    val totalBytes = fillSizes(spark, root, m.entries).flatMap(_.size).sum
+    val totalBytes = fillSizes(spark, root, scoped).flatMap(_.size).sum
     val nOut = math.max(1,
       math.ceil(totalBytes.toDouble / targetBytes).toInt)
     val zv = "__graft_zval"
@@ -1417,10 +1434,16 @@ object Manifest {
       .sortWithinPartitions(rangeCols: _*)
       .drop(zv)
     val fresh = writeCommit(spark, root, cur + 1, shaped, partCols)
-    // meta carries schema/partcols/high-water marks forward; the
-    // rewrite materialized every pending delete (none re-publish) and
-    // rewrote every file (dropped-column tombstones release)
-    publish(spark, root, cur, fresh, m.meta - "dropped")
+    if (carried.isEmpty)
+      // full rewrite: every pending delete materialized (none
+      // re-publish), every file rewritten (tombstones release)
+      publish(spark, root, cur, fresh, m.meta - "dropped")
+    else
+      // scoped rewrite: untouched files carry BY REFERENCE, and so
+      // must the deletes (they still apply to the carried files; the
+      // fresh files' higher seq exempts them) and any dropped-column
+      // tombstones
+      publish(spark, root, cur, carried ++ fresh, m.meta, m.deletes)
   }
 
   /** Delete files under `data/` that NO snapshot (any live version),

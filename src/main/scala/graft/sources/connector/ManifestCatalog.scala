@@ -362,7 +362,11 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces
       ProcedureParameter.in("table", StringType).build(),
       ProcedureParameter.in("columns", StringType).build(), // 'x,y[,z…]'
       ProcedureParameter.in("target_bytes", LongType)
-        .defaultValue((128L * 1024 * 1024).toString).build())
+        .defaultValue((128L * 1024 * 1024).toString).build(),
+      // 'col=val[,col2=val2]' scopes the rewrite to one partition —
+      // how z-ordering actually runs at scale; '' = whole table
+      ProcedureParameter.in("partition", StringType)
+        .defaultValue("''").build())
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val root = tableRoot(input.getUTF8String(0).toString)
       val cols = input.getUTF8String(1).toString
@@ -370,8 +374,15 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces
       require(cols.length >= 2,
         s"columns must name 2+ columns 'x,y[,z…]', got '${
           input.getUTF8String(1)}'")
+      val spec = input.getUTF8String(3).toString
+        .split(',').map(_.trim).filter(_.nonEmpty)
+        .map { kv =>
+          val i = kv.indexOf('=')
+          require(i > 0, s"partition entry '$kv' is not col=val")
+          kv.take(i).trim -> kv.drop(i + 1).trim
+        }.toMap
       val v = Manifest.zorderBy(spark, root, cols.toSeq,
-        input.getLong(2))
+        input.getLong(2), partitionSpec = spec)
       oneRowScan(
         StructType(Seq(StructField("version", LongType, false),
           StructField("files", LongType, false))),

@@ -491,6 +491,20 @@ class ManifestCatalogSpec extends SparkSpec {
     assert(spark.sql(
       s"SELECT count(*) FROM graftcat.db.zt VERSION AS OF ${out._1 - 1}")
       .as[Long].head == 4096L)
+    // scoped to one partition through SQL
+    spark.sql("CREATE TABLE graftcat.db.ztp (x BIGINT, y BIGINT, " +
+      "p STRING) PARTITIONED BY (p)")
+    spark.sql("INSERT INTO graftcat.db.ztp SELECT id, 4095 - id, " +
+      "CAST(id % 2 AS STRING) FROM range(0, 4096)")
+    val root = s"$warehouse/db/ztp"
+    val keep = Manifest.snapshot(spark, root, 2L).files
+      .filter(_.contains("p=1/")).toSet
+    spark.sql("CALL graftcat.system.zorder(table => 'db.ztp', " +
+      "columns => 'x,y', partition => 'p=0')")
+    assert(Manifest.snapshot(spark, root, 3L).files
+      .filter(_.contains("p=1/")).toSet == keep)
+    assert(spark.sql("SELECT count(*) FROM graftcat.db.ztp")
+      .as[Long].head == 4096L)
   }
 
   test("write-audit-publish through SQL: stages list, publish " +

@@ -869,6 +869,38 @@ class ManifestSpec extends SparkSpec {
     assert(Manifest.read(spark, root3, None).count() == 90L)
   }
 
+  test("zorderBy with a partition spec rewrites ONLY that partition; " +
+    "other partitions and pending deletes carry by reference") {
+    val root = newRoot()
+    val df = spark.range(0, 2048).select(
+      (col("id") % 2).cast("string").as("part"),
+      col("id").as("x"), (col("id") * 37 % 2048).as("y"))
+      .repartitionByRange(4, col("x"))
+    Manifest.init(spark, root, df.select("x", "y", "part"), Seq("part"))
+    Manifest.deleteByKeys(spark, root, Seq(0L, 1L).toDF("x"))   // v2
+    val before = Manifest.snapshot(spark, root, 2L).files
+    val untouched = before.filter(_.contains("part=1/")).toSet
+    val v = Manifest.zorderBy(spark, root, Seq("x", "y"),
+      targetBytes = 8L * 1024, partitionSpec = Map("part" -> "0"))
+    val after = Manifest.snapshot(spark, root, v).files
+    // partition 1's files are byte-identical carries
+    assert(after.filter(_.contains("part=1/")).toSet == untouched)
+    // partition 0 was rewritten
+    assert(after.filter(_.contains("part=0/"))
+      .forall(f => !before.contains(f)))
+    // deletes stayed correct on BOTH sides: x=0 (part 0, rewritten —
+    // materialized) and x=1 (part 1, carried — delete file still live)
+    assert(Manifest.read(spark, root, None).count() == 2046L)
+    assert(Manifest.read(spark, root, None)
+      .filter(col("x") < 2L).count() == 0L)
+    assert(Manifest.snapshotMeta(spark, root, v).deletes.nonEmpty)
+    // unknown partition values / columns fail loudly
+    intercept[IllegalArgumentException](Manifest.zorderBy(spark, root,
+      Seq("x", "y"), partitionSpec = Map("part" -> "9")))
+    intercept[IllegalArgumentException](Manifest.zorderBy(spark, root,
+      Seq("x", "y"), partitionSpec = Map("nope" -> "0")))
+  }
+
   test("zorderBy: three dimensions — zone maps skip on each; content " +
     "identical") {
     val root = newRoot()

@@ -285,10 +285,37 @@ object Manifest {
     val prev = readManifest(spark, root, cur)
     checkPartCols(prev, partitionCols)
     val fresh = writeCommit(spark, root, cur + 1, df, partitionCols)
-    val meta = prev.meta ++
-      schemaHeaders(appendSchema(spark, root, prev, df.schema),
-        partitionCols) + ("base" -> cur.toString)
-    val entries = prev.entries ++ fresh
+    writeStage(spark, root, stageId, prev.entries ++ fresh,
+      prev.meta ++
+        schemaHeaders(appendSchema(spark, root, prev, df.schema),
+          partitionCols) + ("base" -> cur.toString),
+      prev.deletes)
+  }
+
+  /** Stage an UNPUBLISHED replace (the audited corpus re-drop): the
+    * staged snapshot is `df` ALONE — publishing swaps the entire file
+    * set, resets the schema/layout headers to the new frame's, and
+    * drops pending deletes and tombstones, exactly like
+    * [[commitReplace]]. Same audit/publish/discard lifecycle as
+    * [[stageAppend]]. */
+  def stageReplace(spark: SparkSession, root: String, df: DataFrame,
+                   stageId: String,
+                   partitionCols: Seq[String] = Nil): Unit = {
+    checkRefName("stage id", stageId)
+    val cur = latestVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"$root not initialized"))
+    val prev = readManifest(spark, root, cur)
+    val fresh = writeCommit(spark, root, cur + 1, df, partitionCols)
+    writeStage(spark, root, stageId, fresh,
+      prev.meta - "dropped" ++
+        schemaHeaders(df.schema, partitionCols) +
+        ("base" -> cur.toString),
+      Nil) // a replace leaves nothing for deletes to apply to
+  }
+
+  private def writeStage(spark: SparkSession, root: String,
+      stageId: String, entries: Seq[FileEntry],
+      meta: Map[String, String], deletes: Seq[DeleteEntry]): Unit = {
     val (fs, _) = fsOf(spark, root)
     val dst = new Path(manifestDir(root), stageName(stageId))
     val out =
@@ -300,8 +327,7 @@ object Manifest {
             s"stage '$stageId' already exists on $root — audit and " +
               "publishStage/discardStage it first")
       }
-    try out.write(
-      manifestBody(entries, meta, prev.deletes).getBytes("UTF-8"))
+    try out.write(manifestBody(entries, meta, deletes).getBytes("UTF-8"))
     finally out.close()
   }
 

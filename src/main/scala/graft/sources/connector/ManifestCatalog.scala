@@ -495,14 +495,22 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces
     override def parameters(): Array[ProcedureParameter] = Array(
       ProcedureParameter.in("table", StringType).build(),
       ProcedureParameter.in("id", StringType).build(),
-      ProcedureParameter.in("source", StringType).build())
+      ProcedureParameter.in("source", StringType).build(),
+      ProcedureParameter.in("mode", StringType)
+        .defaultValue("'append'").build()) // append | replace
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val root = tableRoot(input.getUTF8String(0).toString)
       val partCols = Manifest
         .snapshotMeta(spark, root,
           Manifest.latestVersion(spark, root).get)
         .partCols.getOrElse(Nil)
-      Manifest.stageAppend(spark, root,
+      val stage = input.getUTF8String(3).toString match {
+        case "append"  => Manifest.stageAppend _
+        case "replace" => Manifest.stageReplace _
+        case other => throw new IllegalArgumentException(
+          s"mode must be 'append' or 'replace', got '$other'")
+      }
+      stage(spark, root,
         spark.table(input.getUTF8String(2).toString),
         input.getUTF8String(1).toString, partCols)
       oneRowScan(

@@ -534,6 +534,18 @@ class ManifestCatalogSpec extends SparkSpec {
       "table => 'db.wap', grace_ms => 0)").as[Long].head == 0L)
     assert(spark.sql("SELECT count(*) FROM graftcat.db.wap")
       .as[Long].head == 2L)
+    // staged REPLACE through SQL: audit, then the swap
+    Seq(8L, 9L).toDF("id").createOrReplaceTempView("wap_redrop")
+    spark.sql("CALL graftcat.system.stage(table => 'db.wap', " +
+      "id => 'redrop', source => 'wap_redrop', mode => 'replace')")
+    assert(spark.sql("SELECT count(*) FROM graftcat.db.wap")
+      .as[Long].head == 2L)
+    assert(spark.read.format("graft-manifest")
+      .option("stage", "redrop").load(root).count() == 2L)
+    spark.sql("CALL graftcat.system.publish_stage(" +
+      "table => 'db.wap', id => 'redrop')")
+    assert(spark.sql("SELECT sum(id) FROM graftcat.db.wap")
+      .as[Long].head == 17L)
   }
 
   test("identifier segments cannot traverse outside the warehouse") {

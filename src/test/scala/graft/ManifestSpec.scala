@@ -220,6 +220,16 @@ class ManifestSpec extends SparkSpec {
     assert(Manifest.read(spark, root, None)
       .select("id").as[Long].collect().toSet == Set(1L, 2L, 4L))
     intercept[Exception](Manifest.readStage(spark, root, "wap2"))
+    // staged REPLACE: the audit sees ONLY the new corpus; publish
+    // swaps the whole table
+    Manifest.stageReplace(spark, root,
+      Seq((7L, "z", 70)).toDF("id", "part", "v"), "redrop", Seq("part"))
+    assert(Manifest.read(spark, root, None).count() == 3L) // untouched
+    assert(Manifest.readStage(spark, root, "redrop")
+      .select("id").as[Long].collect().toSeq == Seq(7L))
+    Manifest.publishStage(spark, root, "redrop")
+    assert(Manifest.read(spark, root, None)
+      .select("id").as[Long].collect().toSeq == Seq(7L))
   }
 
   test("commitDropColumns: metadata-only shrink; pinned versions keep " +

@@ -258,11 +258,26 @@ object Similarity {
     * `k` (∝ corpus size / target cluster size) or, if the skew is
     * semantic (a true mega-cluster of near-identicals), pre-split with
     * a cheaper exact/minhash pass. */
+  /** Cached assignment frames [[semDedup]] has pinned (lineage kept —
+    * an evicted block recomputes). [[releaseCaches]] is the hygiene
+    * hook between pipeline waves; without it each semDedup call's
+    * cache would stay registered for the session. */
+  private val liveCaches = java.util.Collections.synchronizedList(
+    new java.util.ArrayList[DataFrame]())
+
+  /** Unpersist every assignment cache; downstream consumers keep
+    * working (lineage recomputes on next use). */
+  def releaseCaches(): Unit = {
+    liveCaches.forEach(df => df.unpersist(false))
+    liveCaches.clear()
+  }
+
   def semDedup(emb: DataFrame, idCol: String, vecCol: String,
                k: Int, iters: Int, threshold: Double,
                maxClusterSize: Long = 0L): DataFrame = {
     val assigned = kmeansAssign(emb, idCol, vecCol, k, iters)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    liveCaches.add(assigned)
     val szRow = assigned.groupBy(col("cid")).count()
       .agg(max("count"), sum("count")).head()
     val (largest, n) =

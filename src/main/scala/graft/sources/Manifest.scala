@@ -1557,13 +1557,7 @@ object Manifest {
   private def reclaim(spark: SparkSession, root: String,
                       expire: Long => Boolean): Seq[String] = {
     val (fs, _) = fsOf(spark, root)
-    val all = {
-      val md = fs.listStatus(new Path(manifestDir(root)))
-      md.map(_.getPath.getName)
-        .collect { case n if n.startsWith("v") && n.endsWith(".txt") =>
-          n.stripPrefix("v").stripSuffix(".txt").toLong }
-        .sorted.toSeq
-    }
+    val all = versions(spark, root)
     val tagged = tags(spark, root).values.toSet
     val (drop, keep) = all.partition(v => expire(v) && !tagged(v))
     def refs(v: Long): Seq[String] = {

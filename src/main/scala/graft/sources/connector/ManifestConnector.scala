@@ -951,6 +951,10 @@ final class ManifestScanBuilder(res: ManifestConnector.Resolved,
   override def pushLimit(n: Int): Boolean = { limit = n; true }
   override def isPartiallyPushed: Boolean = true
 
+  // computed after pushFilters (Spark pushes filters before aggregates
+  // and before build), consumed up to three times — memoize
+  private lazy val survivingFilesCached = survivingFiles()
+
   private def survivingFiles(): Seq[ManifestConnector.FileInfo] =
     res.files.filter { f =>
       val pv = f.partValues.toMap
@@ -985,15 +989,32 @@ final class ManifestScanBuilder(res: ManifestConnector.Resolved,
     * (int/long/float/double/date only — strings are excluded until
     * footer truncation is ruled out, timestamps until the unit is
     * pinned) — all fall back to the ordinary scan. */
+  // Spark calls supportCompletePushDown then pushAggregation with the
+  // SAME Aggregation — memoize the driver-side stats fold
+  private var aggMemo: Option[(org.apache.spark.sql.connector
+    .expressions.aggregate.Aggregation,
+    Option[(StructType, Array[Array[Any]])])] = None
+
+  private def planAggregateMemo(
+      agg: org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation): Option[(StructType, Array[Array[Any]])] =
+    aggMemo match {
+      case Some((a, r)) if a eq agg => r
+      case _ =>
+        val r = planAggregate(agg)
+        aggMemo = Some((agg, r))
+        r
+    }
+
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate
         .Aggregation): Boolean =
-    planAggregate(agg).isDefined
+    planAggregateMemo(agg).isDefined
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate
         .Aggregation): Boolean = {
-    aggPlan = planAggregate(agg)
+    aggPlan = planAggregateMemo(agg)
     aggPlan.isDefined
   }
 
@@ -1004,7 +1025,7 @@ final class ManifestScanBuilder(res: ManifestConnector.Resolved,
     import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
     if (cdc) return None // CDC scans are streaming-only row feeds
     if (dataFilters.nonEmpty || limit >= 0) return None
-    val files = survivingFiles()
+    val files = survivingFilesCached
     if (files.exists(f => res.deleteSpecsFor(f).nonEmpty)) return None
     if (files.exists(_.stats.isEmpty)) return None
     val partSet = res.partCols.toSet
@@ -1124,8 +1145,8 @@ final class ManifestScanBuilder(res: ManifestConnector.Resolved,
   }
 
   override def build(): Scan =
-    new ManifestScan(res, survivingFiles(), required, dataFilters, limit,
-      partitionFilters, maxVersionsPerTrigger, aggPlan, cdc,
+    new ManifestScan(res, survivingFilesCached, required, dataFilters,
+      limit, partitionFilters, maxVersionsPerTrigger, aggPlan, cdc,
       startingVersion, startingTimestamp)
 }
 
@@ -1396,6 +1417,17 @@ final class ManifestPartitionReader(part: ManifestInputPartition,
     finally r.close()
   }
 
+  // a const-designated column (partition / CDC meta) falls back to
+  // being READ FROM THE FILE when this partition carries no value for
+  // it but the file does — the CDC delete-key case: a delete file
+  // keyed on a PARTITION column stores the key values as an ordinary
+  // data column, and emitting the constant NULL instead would hand the
+  // consumer an unreplayable retraction. Hive scans are unaffected
+  // (their partitions always carry every partition value).
+  private def constFallsToFile(name: String): Boolean =
+    partCols.contains(name) && !partValues.contains(name) &&
+      fileSchema.containsField(name)
+
   private val dataFields = required.fields.filterNot(f =>
     partCols.contains(f.name))
   // merge-on-read delete keys must be read even when pruned from the
@@ -1405,6 +1437,7 @@ final class ManifestPartitionReader(part: ManifestInputPartition,
   // projection keeps file order for stable Group field indexes
   private val presentNames =
     (dataFields.map(_.name) ++
+      required.fields.map(_.name).filter(constFallsToFile) ++
       delKeyCols.filterNot(partCols.contains))
       .filter(fileSchema.containsField).toSet
   private val projection: Option[MessageType] =
@@ -1423,7 +1456,7 @@ final class ManifestPartitionReader(part: ManifestInputPartition,
     })
 
   private val plans: Array[ColPlan] = required.fields.map { f =>
-    if (partCols.contains(f.name)) {
+    if (partCols.contains(f.name) && !constFallsToFile(f.name)) {
       val v = partValues.getOrElse(f.name, null)
       PartCol(ManifestConnector.castPartitionValue(v, f.dataType))
     } else projection match {

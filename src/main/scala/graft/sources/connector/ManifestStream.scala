@@ -257,8 +257,14 @@ final class ManifestStreamingWrite(res: ManifestConnector.Resolved,
       try committed = Some(Manifest.commitStreamEntries(spark, res.root,
         entries, schema, res.partCols, queryId, epochId))
       catch {
+        // both faces of the same concurrent-writer race: losing the
+        // version claim, and reading the winner's manifest mid-write
+        // (the torn-read fence says "retry" explicitly)
         case e: IllegalStateException
             if e.getMessage.contains("commit conflict") && attempt < 3 =>
+          attempt += 1
+        case e: IllegalArgumentException
+            if e.getMessage.contains("torn manifest read") && attempt < 3 =>
           attempt += 1
       }
     }

@@ -150,10 +150,17 @@ class ManifestStreamSpec extends SparkSpec {
       (Some(3L), Some("c"), Some(30), "insert", 2L),
       (Some(1L), None, None, "delete", 3L),
       (Some(3L), None, None, "delete", 3L)))
+    // a delete keyed on the PARTITION column: the key values must be
+    // read FROM the key file (not emitted as the constant NULL a
+    // partition-less file would imply) — the retraction names the
+    // partition it erases
+    Manifest.deleteByKeys(spark, root, Seq("b").toDF("part"))  // v4
+    assert(runOnce() == Set(
+      (None, Some("b"), None, "delete", 4L)))
     // the plain (non-cdc) stream still fails loudly over the same range
     val plainCkpt = newDir() + "/ckpt2"
     Manifest.commitAppend(spark, root,
-      Seq((5L, "a", 50)).toDF("id", "part", "v"), Seq("part")) // v4
+      Seq((5L, "a", 50)).toDF("id", "part", "v"), Seq("part")) // v5
     val q = spark.readStream.format("graft-manifest").load(root)
       .writeStream.format("memory").queryName("cdc_plain")
       .option("checkpointLocation", plainCkpt)

@@ -143,6 +143,12 @@ class ManifestCatalogSpec extends SparkSpec {
     // unconditional DELETE empties the table but keeps the schema
     spark.sql("DELETE FROM graftcat.db.del")
     assert(spark.table("graftcat.db.del").count() == 0)
+    // TRUNCATE TABLE rides the same path; history stays intact
+    spark.sql("INSERT INTO graftcat.db.del VALUES (9, 'z', 90)")
+    spark.sql("TRUNCATE TABLE graftcat.db.del")
+    assert(spark.table("graftcat.db.del").count() == 0)
+    assert(spark.sql("SELECT id FROM graftcat.db.del VERSION AS OF 2")
+      .as[Long].collect().toSet == Set(1L, 2L, 3L, 4L))
   }
 
   test("SQL DELETE FROM handles hive-escaped and NULL partition values") {

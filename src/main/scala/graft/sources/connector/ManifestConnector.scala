@@ -902,7 +902,8 @@ final case class ManifestTable(res: ManifestConnector.Resolved,
         // files, exactly-once epoch commits (see ManifestStreamingWrite)
         override def toStreaming: org.apache.spark.sql.connector.write
             .streaming.StreamingWrite =
-          new ManifestStreamingWrite(res, info.queryId(), info.schema())
+          new ManifestStreamingWrite(res, info.queryId(), info.schema(),
+            Option(info.options.get("autocompactevery")).map(_.toLong))
       }
     }
 }

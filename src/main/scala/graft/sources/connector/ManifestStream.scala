@@ -206,7 +206,8 @@ final class ManifestMicroBatchStream(
   * loop, exactly as with the foreachBatch sink. */
 final class ManifestStreamingWrite(res: ManifestConnector.Resolved,
     queryId: String,
-    schema: org.apache.spark.sql.types.StructType)
+    schema: org.apache.spark.sql.types.StructType,
+    autoCompactEvery: Option[Long] = None)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   import org.apache.spark.sql.connector.write.{PhysicalWriteInfo, WriterCommitMessage}
@@ -269,6 +270,19 @@ final class ManifestStreamingWrite(res: ManifestConnector.Resolved,
       }
     }
     if (committed.get.isEmpty) deleteStaged(entries) // replayed epoch
+    // the maintenance loop riding the very sink that creates the
+    // small-files steady state: every N committed versions, bin-pack
+    // (`.option("autoCompactEvery", n)`). BEST-EFFORT — a compaction
+    // losing a race with a concurrent committer skips this cycle
+    // rather than failing the streaming query; the next multiple
+    // retries. Vacuum stays a deliberate, user-owned policy call.
+    for (n <- autoCompactEvery; v <- committed.get)
+      if (v % n == 0)
+        try Manifest.compact(spark, res.root)
+        catch {
+          case e: IllegalStateException
+              if e.getMessage.contains("commit conflict") => ()
+        }
   }
 
   override def abort(epochId: Long,

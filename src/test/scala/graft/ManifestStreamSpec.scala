@@ -282,6 +282,42 @@ class ManifestStreamSpec extends SparkSpec {
       .as[Long].collect().toSet == Set(1L, 3L))
   }
 
+  test("native sink autoCompactEvery: the maintenance loop rides the " +
+    "sink — periodic bin-packing, content identical, marks survive") {
+    val base = newDir()
+    val src = s"$base/src"
+    val dst = s"$base/dst"
+    Manifest.init(spark, src, Seq((0L, 0L)).toDF("id", "v"))
+    Manifest.init(spark, dst,
+      spark.createDataFrame(new java.util.ArrayList[
+        org.apache.spark.sql.Row](),
+        Manifest.read(spark, src, None).schema))
+    val ckpt = s"$base/ckpt"
+    def runPipe(): Unit = {
+      val q = spark.readStream.format("graft-manifest").load(src)
+        .writeStream.format("graft-manifest")
+        .option("checkpointLocation", ckpt)
+        .option("autoCompactEvery", "2")
+        .trigger(Trigger.AvailableNow())
+        .start(dst)
+      q.awaitTermination()
+    }
+    // several one-commit epochs: every 2nd sink version compacts
+    for (i <- 1 to 4) {
+      Manifest.commitAppend(spark, src,
+        Seq((i.toLong, i * 10L)).toDF("id", "v"))
+      runPipe()
+    }
+    val vs = Manifest.versions(spark, dst)
+    // more versions than epochs → compactions interleaved
+    assert(vs.size > 5, s"no auto-compaction happened: $vs")
+    // content exact, exactly-once intact
+    assert(Manifest.read(spark, dst, None)
+      .select("id").as[Long].collect().toSet == (0L to 4L).toSet)
+    // the latest snapshot is packed: fewer files than rows landed
+    assert(Manifest.snapshot(spark, dst, vs.last).files.size < 5)
+  }
+
   test("native sink: replayed epoch is a no-op commit and its staged " +
     "files are reclaimed") {
     val base = newDir()

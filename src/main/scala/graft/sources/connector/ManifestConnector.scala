@@ -903,7 +903,17 @@ final case class ManifestTable(res: ManifestConnector.Resolved,
         override def toStreaming: org.apache.spark.sql.connector.write
             .streaming.StreamingWrite =
           new ManifestStreamingWrite(res, info.queryId(), info.schema(),
-            Option(info.options.get("autocompactevery")).map(_.toLong))
+            Option(info.options.get("autocompactevery")).map { s =>
+              val n = try s.toLong catch {
+                case _: NumberFormatException =>
+                  throw new IllegalArgumentException(
+                    s"autoCompactEvery must be a positive integer " +
+                      s"(got '$s')")
+              }
+              require(n > 0,
+                s"autoCompactEvery must be positive (got $n)")
+              n
+            })
       }
     }
 }

@@ -280,8 +280,12 @@ final class ManifestStreamingWrite(res: ManifestConnector.Resolved,
       if (v % n == 0)
         try Manifest.compact(spark, res.root)
         catch {
+          // both faces of the concurrent-writer race (see the commit
+          // retry loop above): skip the cycle, never fail the query
           case e: IllegalStateException
               if e.getMessage.contains("commit conflict") => ()
+          case e: IllegalArgumentException
+              if e.getMessage.contains("torn manifest read") => ()
         }
   }
 

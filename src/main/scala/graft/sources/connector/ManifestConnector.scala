@@ -879,7 +879,8 @@ final case class ManifestTable(res: ManifestConnector.Resolved,
     new ManifestScanBuilder(res,
       Option(options.get("maxVersionsPerTrigger")).map(_.toLong), cdc,
       Option(options.get("startingVersion")),
-      Option(options.get("startingTimestamp")).map(_.toLong))
+      Option(options.get("startingTimestamp")).map(_.toLong),
+      Option(options.get("changesFrom")).map(_.toLong))
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -922,7 +923,8 @@ final class ManifestScanBuilder(res: ManifestConnector.Resolved,
                                 maxVersionsPerTrigger: Option[Long] = None,
                                 cdc: Boolean = false,
                                 startingVersion: Option[String] = None,
-                                startingTimestamp: Option[Long] = None)
+                                startingTimestamp: Option[Long] = None,
+                                changesFrom: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit
     with SupportsPushDownAggregates {
@@ -1158,7 +1160,7 @@ final class ManifestScanBuilder(res: ManifestConnector.Resolved,
   override def build(): Scan =
     new ManifestScan(res, survivingFilesCached, required, dataFilters,
       limit, partitionFilters, maxVersionsPerTrigger, aggPlan, cdc,
-      startingVersion, startingTimestamp)
+      startingVersion, startingTimestamp, changesFrom)
 }
 
 final class ManifestScan(res: ManifestConnector.Resolved,
@@ -1171,7 +1173,8 @@ final class ManifestScan(res: ManifestConnector.Resolved,
                          aggPlan: Option[(StructType, Array[Array[Any]])] = None,
                          cdc: Boolean = false,
                          startingVersion: Option[String] = None,
-                         startingTimestamp: Option[Long] = None)
+                         startingTimestamp: Option[Long] = None,
+                         changesFrom: Option[Long] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportPartitioning {
 
@@ -1191,7 +1194,7 @@ final class ManifestScan(res: ManifestConnector.Resolved,
       : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
     val partCols = res.partCols
     val tuples =
-      if (aggPlan.isEmpty && partCols.nonEmpty)
+      if (aggPlan.isEmpty && !cdc && partCols.nonEmpty)
         plannedFiles
           .map(f => partCols.map(f.partValues.toMap.apply)).distinct.size
       else 0
@@ -1253,10 +1256,29 @@ final class ManifestScan(res: ManifestConnector.Resolved,
       // fully-pushed aggregate: the row is already computed from the
       // manifest zone maps — one partition, zero file IO
       case Some((_, rows)) => Array(AggRowInputPartition(rows))
-      case None if cdc => throw new UnsupportedOperationException(
-        "option(\"cdc\", \"true\") is a STREAMING read " +
-          "(spark.readStream); for a batch change feed use " +
-          "Manifest.readChangesCdc")
+      case None if cdc => changesFrom match {
+        // batch CDC: the row-level change feed (from, pinned version]
+        // through the connector — readChangesCdc as a DataFrame read
+        case Some(from) =>
+          val spark = SparkSession.active
+          require(from >= 0 && from <= res.version,
+            s"changesFrom $from is outside [0, ${res.version}] of " +
+              res.root)
+          val prev: Set[String] =
+            if (from == 0L) Set.empty
+            else graft.sources.Manifest
+              .snapshot(spark, res.root, from).files.toSet
+          val cur = graft.sources.Manifest
+            .snapshotMeta(spark, res.root, res.version)
+          val crossing = cur.deletes.filter(d =>
+            d.seq > from && d.seq <= res.version)
+          ManifestStreamHelpers.cdcInputPartitions(res, prev, cur,
+            crossing)
+        case None => throw new UnsupportedOperationException(
+          "option(\"cdc\", \"true\") needs changesFrom for a batch " +
+            "read (the feed is a version range), or spark.readStream " +
+            "for the streaming feed")
+      }
       case None =>
         // typed partition-key values (layout order) back the
         // HasPartitionKey grouping when KeyGroupedPartitioning is on

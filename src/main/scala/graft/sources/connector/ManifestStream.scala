@@ -153,18 +153,34 @@ final class ManifestMicroBatchStream(
           Manifest.partValuesOf(e.path).toArray): InputPartition)
         .toArray
     }
-    // CDC batch = [[Manifest.readChangesCdc]] semantics, streamed:
-    // added files re-emit their rows as 'insert' stamped with the
-    // commit that added them; in-range MoR delete commits emit their
-    // KEY files as 'delete' rows (key columns read from the file,
-    // every other column NULL — partition values included, since a
-    // key file belongs to no partition). The meta columns ride the
-    // constant-column machinery, so neither reader changes. No
-    // manifest-level pruning here: CDC consumes no filters (a dropped
-    // retraction is corruption; Spark filters the emitted rows).
+    // CDC batch = [[Manifest.readChangesCdc]] semantics, streamed —
+    // shared with the connector's batch changesFrom reads
+    ManifestStreamHelpers.cdcInputPartitions(res, prev, cur, crossing)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    readerFactory
+
+  override def toString: String =
+    s"ManifestMicroBatchStream(${res.root})"
+}
+
+/** CDC partition planning shared by the streaming source and the
+  * connector's batch `changesFrom` reads: added files re-emit their
+  * rows as 'insert' stamped with the commit that added them; in-range
+  * MoR delete commits emit their KEY files as 'delete' rows (key
+  * columns read from the file, every other column NULL — partition
+  * values included, since a key file belongs to no partition). The
+  * meta columns ride the constant-column machinery, so neither reader
+  * changes. No manifest-level pruning: CDC consumes no filters (a
+  * dropped retraction is corruption; Spark filters the emitted rows). */
+private[connector] object ManifestStreamHelpers {
+  def cdcInputPartitions(res: ManifestConnector.Resolved,
+      prevFiles: Set[String], cur: Manifest.SnapshotMeta,
+      crossing: Seq[Manifest.DeleteEntry]): Array[InputPartition] = {
     def meta(kind: String, v: Long) = Array(
       "_change_type" -> kind, "_commit_version" -> v.toString)
-    val inserts = cur.entries.filterNot(e => prev.contains(e.path))
+    val inserts = cur.entries.filterNot(e => prevFiles.contains(e.path))
       .map(e => ManifestInputPartition(s"${res.root}/${e.path}",
         e.size.getOrElse(0L),
         Manifest.partValuesOf(e.path).toArray ++
@@ -175,12 +191,6 @@ final class ManifestMicroBatchStream(
         meta("delete", d.seq)): InputPartition)
     (inserts ++ deletes).toArray
   }
-
-  override def createReaderFactory(): PartitionReaderFactory =
-    readerFactory
-
-  override def toString: String =
-    s"ManifestMicroBatchStream(${res.root})"
 }
 
 /** Manifest tables as a NATIVE STRUCTURED STREAMING SINK —

@@ -451,6 +451,36 @@ class ManifestConnectorSpec extends SparkSpec {
     assert(afterDel.as[(Long, Option[Long])].head == ((4L, Some(7L))))
   }
 
+  test("batch CDC through the connector: option(cdc, changesFrom) " +
+    "equals Manifest.readChangesCdc, retraction keys included") {
+    val root = newRoot()
+    Manifest.init(spark, root,
+      Seq((1L, "a", 10), (2L, "b", 20)).toDF("id", "part", "v"),
+      Seq("part"))                                             // v1
+    Manifest.commitAppend(spark, root,
+      Seq((3L, "c", 30)).toDF("id", "part", "v"), Seq("part")) // v2
+    Manifest.deleteByKeys(spark, root, Seq(1L, 3L).toDF("id")) // v3
+    type Row5 = (Option[Long], Option[String], Option[Int], String, Long)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[Row5] =
+      df.select("id", "part", "v", "_change_type", "_commit_version")
+        .as[Row5](org.apache.spark.sql.Encoders.product[
+          (Option[Long], Option[String], Option[Int], String, Long)])
+        .collect().toSet
+    val conn = rows(spark.read.format("graft-manifest")
+      .option("cdc", "true").option("changesFrom", "1").load(root))
+    assert(conn == rows(Manifest.readChangesCdc(spark, root, 1L)))
+    assert(conn == Set(
+      (Some(3L), Some("c"), Some(30), "insert", 2L),
+      (Some(1L), None, None, "delete", 3L),
+      (Some(3L), None, None, "delete", 3L)))
+    // from 0 = full replay as CDC; cdc without changesFrom is refused
+    assert(rows(spark.read.format("graft-manifest")
+      .option("cdc", "true").option("changesFrom", "0").load(root))
+      .count(_._4 == "insert") == 3)
+    intercept[Exception](spark.read.format("graft-manifest")
+      .option("cdc", "true").load(root).collect())
+  }
+
   test("metadata columns: _file / _commit_version are selectable " +
     "row-level lineage; SELECT * hides them") {
     val root = newRoot()

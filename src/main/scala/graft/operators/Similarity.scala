@@ -259,9 +259,14 @@ object Similarity {
     * semantic (a true mega-cluster of near-identicals), pre-split with
     * a cheaper exact/minhash pass. */
   /** Cached assignment frames [[semDedup]] has pinned (lineage kept —
-    * an evicted block recomputes). [[releaseCaches]] is the hygiene
-    * hook between pipeline waves; without it each semDedup call's
-    * cache would stay registered for the session. */
+    * an evicted block recomputes). Bounded FIFO: each new call evicts
+    * the oldest entries past [[maxLiveCaches]], so a long session (a
+    * 100+-query bench loop) cannot accumulate MEMORY_AND_DISK caches
+    * without bound even when nobody calls [[releaseCaches]]; an
+    * evicted assignment a consumer still holds simply recomputes from
+    * lineage. [[releaseCaches]] remains the explicit hygiene hook
+    * between pipeline waves. */
+  private val maxLiveCaches = 4
   private val liveCaches = java.util.Collections.synchronizedList(
     new java.util.ArrayList[DataFrame]())
 
@@ -277,7 +282,11 @@ object Similarity {
                maxClusterSize: Long = 0L): DataFrame = {
     val assigned = kmeansAssign(emb, idCol, vecCol, k, iters)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    liveCaches.add(assigned)
+    liveCaches.synchronized {
+      liveCaches.add(assigned)
+      while (liveCaches.size > maxLiveCaches)
+        liveCaches.remove(0).unpersist(false)
+    }
     val szRow = assigned.groupBy(col("cid")).count()
       .agg(max("count"), sum("count")).head()
     val (largest, n) =

@@ -1848,5 +1848,63 @@ object LakeQueries {
           CAST(sum(n_chars) AS BIGINT)
         FROM documents WHERE doc_id % 2 = 1
         ORDER BY _commit_version"""),
+      kind = QueryDef.Pipeline),
+
+    // ---- Top-N pushdown: ORDER BY + LIMIT answered from a file subset --
+    // A single-key ORDER BY … LIMIT n over a manifest table plans only
+    // the files whose zone maps can reach the top-n (SupportsPushDownTopN,
+    // partial: Spark still runs the real sort over the survivors). The
+    // rank key is made unique (n_chars ⊕ doc_id) so the result is
+    // deterministic under any engine's tie-breaking.
+    QueryDef("q139_topn_pushdown",
+      (s, dir) => {
+        val root = "file://" + Files
+          .createTempDirectory("graft_topn").toString + "/t"
+        val docs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars"))
+          .withColumn("rank_key",
+            col("n_chars") * lit(1000000L) + col("doc_id"))
+        Manifest.init(s, root, docs.filter(col("doc_id") % 2 === 0))
+        Manifest.commitAppend(s, root,
+          docs.filter(col("doc_id") % 2 === 1))
+        s.read.format("graft-manifest").load(root)
+          .orderBy(col("rank_key").desc).limit(10)
+          .select("doc_id", "rank_key")
+      },
+      Some("""SELECT doc_id,
+          CAST(n_chars * 1000000 + doc_id AS BIGINT) AS rank_key
+        FROM documents ORDER BY rank_key DESC LIMIT 10"""),
+      kind = QueryDef.Pipeline),
+
+    // ---- Runtime (dynamic) file pruning through a join ----------------
+    // The fact side is a lang-partitioned manifest table; the dim side
+    // is a stored table with a selective predicate. Spark hands the
+    // scan the dim's surviving join keys at EXECUTION time
+    // (SupportsRuntimeFiltering) and the scan drops every other
+    // partition's files before any task launches — dynamic partition
+    // pruning with zero user hints.
+    QueryDef("q140_runtime_filter_join",
+      (s, dir) => {
+        val root = "file://" + Files
+          .createTempDirectory("graft_dpp").toString + "/t"
+        val docs = Tables.load(s, dir, "documents")
+          .select("doc_id", "lang", "n_chars")
+        Manifest.init(s, root, docs, Seq("lang"))
+        val dimPath = Files
+          .createTempDirectory("graft_dpp_dim").toString + "/dim"
+        docs.select("lang").distinct().write.parquet(dimPath)
+        val dim = s.read.parquet(dimPath).filter(col("lang") < "f")
+        s.read.format("graft-manifest").load(root)
+          .join(dim, "lang")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))
+          .orderBy("lang")
+      },
+      Some("""SELECT d.lang, count(*) AS n,
+          CAST(sum(d.n_chars) AS BIGINT) AS chars
+        FROM documents d
+        JOIN (SELECT DISTINCT lang FROM documents WHERE lang < 'f') x
+          ON d.lang = x.lang
+        GROUP BY d.lang ORDER BY d.lang"""),
       kind = QueryDef.Pipeline))
 }

@@ -739,8 +739,15 @@ object Manifest {
       .getOrElse(Nil).filter(df.columns.contains)
     val w = bloomCols.foldLeft(shaped.write.mode("overwrite"))((w, c) =>
       w.option(s"parquet.bloom.filter.enabled#$c", "true"))
-    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
-      .parquet(dir)
+    // INT64-micros timestamps, same pin as deleteByKeys: Spark's
+    // default INT96 encoding is unreadable by the connector's row-path
+    // reader (pushed LIMIT, CDC feeds decode TimestampType as INT64)
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val oldTs = spark.conf.getOption(tsKey)
+    spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+    try (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*)
+         else w).parquet(dir)
+    finally oldTs.fold(spark.conf.unset(tsKey))(spark.conf.set(tsKey, _))
     val (fs, rootP) = fsOf(spark, root)
     withStats(spark, root, commitFiles(fs, rootP, new Path(dir)))
       .map(_.copy(seq = Some(next)))

@@ -584,7 +584,14 @@ object ManifestConnector {
     val byCol = extracted.flatten
     val cols = byCol.map(_._1)
     if (cols.distinct.size != cols.size) return None
-    if (byCol.map(_._2.size.toLong).product > 10000L) return None
+    // running bound with early exit: a plain product of many large
+    // IN lists can overflow Long to a negative value and slip past
+    // the cap, then OOM the driver materializing the cross product
+    var bound = 1L
+    byCol.foreach { case (_, vs) =>
+      bound *= vs.size.toLong
+      if (bound > 10000L) return None
+    }
     val tuples = byCol.foldLeft(Seq(Seq.empty[Any])) {
       case (acc, (_, vs)) => acc.flatMap(t => vs.map(t :+ _))
     }
@@ -927,7 +934,8 @@ final class ManifestScanBuilder(res: ManifestConnector.Resolved,
                                 changesFrom: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
 
   private var required: StructType =
     if (cdc) ManifestConnector.cdcSchema(res.fullSchema)
@@ -1049,11 +1057,14 @@ final class ManifestScanBuilder(res: ManifestConnector.Resolved,
         Some(nr.fieldNames.head)
       case _ => None
     }
+    // Float/double are deliberately absent: parquet footer min/max may
+    // omit NaN from the envelope while Spark's max() ranks NaN above
+    // every value, so [1.0, NaN] would answer max = 1.0 from stats.
+    // Without a NaN count in the stats (Iceberg's nan_value_counts)
+    // the bounds are not authoritative — refuse and let the scan run.
     def boundValue(dt: DataType, s: String): Option[Any] = dt match {
       case IntegerType => s.toIntOption
       case LongType    => s.toLongOption
-      case FloatType   => s.toFloatOption
-      case DoubleType  => s.toDoubleOption
       case DateType    => s.toIntOption // days since epoch = internal
       case _           => None
     }
@@ -1157,10 +1168,105 @@ final class ManifestScanBuilder(res: ManifestConnector.Resolved,
     Some((schema, rows))
   }
 
+  /** Top-N file pruning (`SupportsPushDownTopN`, PARTIAL): for
+    * `ORDER BY col [ASC|DESC] LIMIT n` over a single int/long/date
+    * key, the zone maps alone identify a file subset guaranteed to
+    * contain a complete top-n — plan only those files; Spark still
+    * runs the real sort+limit on what they hold. The argument: sort
+    * files by their WORST guaranteed bound (max for ASC) best-first
+    * and accumulate row counts until ≥ n — that bound B provably has
+    * ≥ n rows at-or-before it, so any file whose BEST value (min for
+    * ASC) lies beyond B cannot contribute and is dropped. NULL rows
+    * ride the null counts: NULLS FIRST they pre-fill the budget
+    * (n nulls → only null-bearing files), NULLS LAST they never rank
+    * while ≥ n non-nulls exist. `ORDER BY ts DESC LIMIT 100` on an
+    * append-mostly 100 TB table reads the newest few files instead of
+    * every file.
+    *
+    * Refuse-by-default, same discipline as the aggregate path:
+    * residual data filters and MoR deletes make footer counts
+    * overestimates of contributing rows (the accumulation argument
+    * collapses), multi-key sorts need row-level comparison, missing
+    * stats/bounds/null counts are indistinguishable from failed
+    * collection, and float/double bounds are NaN-unsound. */
+  private var topNFiles: Option[Seq[ManifestConnector.FileInfo]] = None
+
+  override def pushTopN(orders: Array[
+      org.apache.spark.sql.connector.expressions.SortOrder],
+      n: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NamedReference,
+      NullOrdering, SortDirection}
+    if (cdc || aggPlan.isDefined || n <= 0 || orders.length != 1)
+      return false
+    if (dataFilters.nonEmpty) return false
+    val o = orders.head
+    val name = o.expression() match {
+      case nr: NamedReference if nr.fieldNames.length == 1 =>
+        nr.fieldNames.head
+      case _ => return false
+    }
+    if (res.partCols.contains(name)) return false
+    val dt = res.fullSchema.find(_.name == name)
+      .map(_.dataType).getOrElse(return false)
+    def parse(s: String): Option[Long] = dt match {
+      case IntegerType => s.toIntOption.map(_.toLong)
+      case LongType    => s.toLongOption
+      case DateType    => s.toIntOption.map(_.toLong)
+      case _           => None // float/double NaN-unsound; strings truncate
+    }
+    val files = survivingFilesCached
+    if (files.exists(f => res.deleteSpecsFor(f).nonEmpty)) return false
+    val asc = o.direction() == SortDirection.ASCENDING
+    val nullsFirst = o.nullOrdering() == NullOrdering.NULLS_FIRST
+    // per file: non-null count + directional bounds (lo = best value
+    // in sort order, hi = worst bound its non-nulls are guaranteed at)
+    case class F(fi: ManifestConnector.FileInfo, nonNull: Long,
+                 nulls: Long, lo: Option[Long], hi: Option[Long])
+    val parsed: Seq[F] = files.map { fi =>
+      val st = fi.stats.getOrElse(return false)
+      val cs = st.cols.get(name).getOrElse(return false)
+      val nulls = cs.nulls.getOrElse(return false)
+      val nonNull = st.rows - nulls
+      if (nonNull == 0L) F(fi, 0L, nulls, None, None)
+      else {
+        val mn = cs.min.flatMap(parse).getOrElse(return false)
+        val mx = cs.max.flatMap(parse).getOrElse(return false)
+        if (asc) F(fi, nonNull, nulls, Some(mn), Some(mx))
+        else F(fi, nonNull, nulls, Some(mx), Some(mn))
+      }
+    }
+    def leq(a: Long, b: Long): Boolean = if (asc) a <= b else a >= b
+    val totalNulls = parsed.map(_.nulls).sum
+    if (nullsFirst && totalNulls >= n) {
+      // the top-n is n NULL rows — any null-bearing file subset with
+      // ≥ n nulls is a complete answer; keep them all (conservative)
+      topNFiles = Some(parsed.filter(_.nulls > 0).map(_.fi))
+      return true
+    }
+    var cum = if (nullsFirst) totalNulls else 0L
+    var bound: Option[Long] = None
+    val it = parsed.filter(_.nonNull > 0)
+      .sortBy(_.hi.get)(if (asc) Ordering.Long else Ordering.Long.reverse)
+      .iterator
+    while (bound.isEmpty && it.hasNext) {
+      val f = it.next()
+      cum += f.nonNull
+      if (cum >= n) bound = Some(f.hi.get)
+    }
+    topNFiles = bound match {
+      case None => Some(files) // fewer than n rows total: keep all
+      case Some(b) => Some(parsed.filter(f =>
+        (nullsFirst && f.nulls > 0) || f.lo.exists(leq(_, b))).map(_.fi))
+    }
+    true
+  }
+
   override def build(): Scan =
-    new ManifestScan(res, survivingFilesCached, required, dataFilters,
+    new ManifestScan(res, topNFiles.getOrElse(survivingFilesCached),
+      required, dataFilters,
       limit, partitionFilters, maxVersionsPerTrigger, aggPlan, cdc,
-      startingVersion, startingTimestamp, changesFrom)
+      startingVersion, startingTimestamp, changesFrom,
+      topNPushed = topNFiles.isDefined)
 }
 
 final class ManifestScan(res: ManifestConnector.Resolved,
@@ -1174,12 +1280,55 @@ final class ManifestScan(res: ManifestConnector.Resolved,
                          cdc: Boolean = false,
                          startingVersion: Option[String] = None,
                          startingTimestamp: Option[Long] = None,
-                         changesFrom: Option[Long] = None)
+                         changesFrom: Option[Long] = None,
+                         topNPushed: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsReportPartitioning {
+    with SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
   override def readSchema(): StructType =
     aggPlan.map(_._1).getOrElse(required)
+
+  /** Runtime (dynamic) file pruning — the DSv2 face of dynamic
+    * partition pruning, extended to zone maps. A join whose build side
+    * is selective hands this scan an `IN (join-key values…)` filter at
+    * EXECUTION time; files whose partition value or min/max envelope
+    * cannot match are dropped before any task launches. At 100 TB a
+    * fact⋈dim join with a filtered dim typically names a handful of
+    * partition values — this turns the probe-side scan from "all
+    * files" into "those partitions' files" with zero user hints.
+    * Narrowing only: `mayMatch` is conservative (a file that MIGHT
+    * hold a matching row survives), and the join itself still
+    * evaluates the real condition — dropped files are provably
+    * rowless for the filter, so results are unchanged. */
+  @volatile private var runtimeFiles: Seq[ManifestConnector.FileInfo] =
+    plannedFiles
+
+  /** Post-runtime-filter file count (= planned when no filter fired). */
+  def runtimeFileCount: Int = runtimeFiles.length
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    if (aggPlan.isDefined || cdc) Array.empty
+    // only columns in the scan OUTPUT: Spark resolves these against
+    // the (column-pruned) relation and throws on anything absent
+    else required.fieldNames.filter(res.fullSchema.fieldNames.contains)
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+
+  override def filter(filters: Array[SFilter]): Unit = {
+    val partCols = res.partCols.toSet
+    runtimeFiles = runtimeFiles.filter { f =>
+      val pv = f.partValues.toMap
+      filters.forall { flt =>
+        if (ManifestConnector.isPartitionFilter(flt, partCols))
+          ManifestConnector.evalPartitionFilter(flt, pv).contains(true)
+        else if (flt.references.nonEmpty &&
+            !flt.references.exists(partCols.contains))
+          f.stats.forall(st => ManifestConnector.mayMatch(flt, st))
+        else true // mixed/unknown shape: keep the file
+      }
+    }
+  }
 
   /** The scan's rows arrive pre-clustered by the hive partition tuple
     * — report it ([[KeyGroupedPartitioning]] over identity transforms)
@@ -1247,6 +1396,7 @@ final class ManifestScan(res: ManifestConnector.Resolved,
       s"files=${plannedFiles.length}/${res.files.length} " +
       s"pushed=[${dataFilters.mkString(", ")}]" +
       (if (limit >= 0) s" limit=$limit" else "") +
+      (if (topNPushed) " pushedTopN" else "") +
       aggPlan.map(a =>
         s" pushedAggregates=[${a._1.fieldNames.mkString(", ")}]")
         .getOrElse("")
@@ -1281,11 +1431,13 @@ final class ManifestScan(res: ManifestConnector.Resolved,
       }
       case None =>
         // typed partition-key values (layout order) back the
-        // HasPartitionKey grouping when KeyGroupedPartitioning is on
+        // HasPartitionKey grouping when KeyGroupedPartitioning is on.
+        // runtimeFiles ⊆ plannedFiles: re-planned after a runtime
+        // filter narrowed the set (Spark re-invokes this post-filter)
         val keyTypes = res.partCols.map(c =>
           res.fullSchema.find(_.name == c)
             .map(_.dataType).getOrElse(StringType))
-        plannedFiles.map { f =>
+        runtimeFiles.map { f =>
           val pv = f.partValues.toMap
           val keys = res.partCols.zip(keyTypes).map { case (c, dt) =>
             ManifestConnector.castPartitionValue(pv(c), dt)
@@ -1479,14 +1631,19 @@ final class ManifestPartitionReader(part: ManifestInputPartition,
       fileSchema.getFields.asScala.filter(f =>
         presentNames.contains(f.getName)).asJava))
 
-  if (part.deletes.nonEmpty)
-    projection.foreach(_.getFields.asScala.foreach { f =>
-      require(!(f.isPrimitive && f.asPrimitiveType().getPrimitiveTypeName
-          == org.apache.parquet.schema.PrimitiveType
-            .PrimitiveTypeName.INT96),
-        s"merge-on-read over INT96-timestamp files is unsupported " +
-          s"(${part.path}); run Manifest.rewriteDeletes to materialize")
-    })
+  // the row path decodes TimestampType as INT64 micros only — an INT96
+  // file would misdecode silently, so EVERY row-path projection (MoR
+  // deletes, pushed LIMIT, CDC feeds) refuses it loudly. Files written
+  // by this library are pinned to TIMESTAMP_MICROS; INT96 can only
+  // arrive via externally-written parquet adopted into a commit.
+  projection.foreach(_.getFields.asScala.foreach { f =>
+    require(!(f.isPrimitive && f.asPrimitiveType().getPrimitiveTypeName
+        == org.apache.parquet.schema.PrimitiveType
+          .PrimitiveTypeName.INT96),
+      s"row-path read over INT96-timestamp files is unsupported " +
+        s"(${part.path}); rewrite the table (Manifest.compact / " +
+        s"rewriteDeletes) to INT64-micros files")
+  })
 
   private val plans: Array[ColPlan] = required.fields.map { f =>
     if (partCols.contains(f.name) && !constFallsToFile(f.name)) {

@@ -53,6 +53,26 @@ class IvfSpec extends SparkSpec {
       iters = 1, threshold = 0.99).count() == 65L)
   }
 
+  test("semDedup cache registry is bounded: repeated calls evict the " +
+    "oldest assignment cache instead of accumulating for the session") {
+    import spark.implicits._
+    Similarity.releaseCaches()
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val emb = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val outs = (1 to 7).map { _ =>
+      Similarity.semDedup(emb, "vec_id", "embedding", k = 2, iters = 1,
+        threshold = 0.99)
+    }
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after - before <= 4,
+      s"semDedup grew the persistent-RDD set by ${after - before}")
+    // results stay correct even when their cache was evicted —
+    // lineage is kept, the evicted assignment recomputes
+    assert(outs.head.filter(!col("is_dup")).count() == 2L)
+    Similarity.releaseCaches()
+  }
+
   import spark.implicits._
 
   // Two tight clusters around orthogonal axes + the query vector.

@@ -525,4 +525,110 @@ class ManifestConnectorSpec extends SparkSpec {
     assert(byData.as[(Long, Long)].collect().length ==
       Manifest.read(spark, root).select("score").distinct().count())
   }
+
+  test("min/max over float/double refuses stats pushdown: parquet " +
+    "footer bounds may omit NaN, so the scan must run") {
+    val root = newRoot()
+    Manifest.init(spark, root,
+      Seq(1.0d, Double.NaN, -3.5d).toDF("x")
+        .withColumn("f", $"x".cast("float")))
+    // Spark ranks NaN above every value; footer stats would answer 1.0
+    val mx = connRead(root).agg(max($"x").as("hi"), min($"x").as("lo"))
+    val (hi, lo) = mx.as[(Double, Double)].head
+    assert(hi.isNaN && lo == -3.5d)
+    // the scan is NOT in aggregate mode — it read the data column
+    assert(scanOf(mx).readSchema().fieldNames.contains("x"))
+    val mf = connRead(root).agg(max($"f").as("hi"))
+    assert(mf.as[Float].head.isNaN)
+    assert(scanOf(mf).readSchema().fieldNames.contains("f"))
+    // counts remain stats-answerable on the same table
+    val cnt = connRead(root).agg(count(lit(1)).as("n"))
+    assert(cnt.as[Long].head == 3L && scanRows(cnt) == 1L)
+  }
+
+  test("runtime filtering: a selective dim join prunes fact files at " +
+    "execution time — dynamic partition pruning through the DSv2 scan") {
+    val root = fixture() // partitioned by part ∈ p0..p3
+    val fact = connRead(root)
+    // the dim must come from storage: a local Seq constant-folds its
+    // filter away and DPP sees no selective predicate to reuse
+    val dimPath = java.nio.file.Files
+      .createTempDirectory("graft-dpp-dim").toString + "/dim"
+    Seq(("p2", "keep"), ("p9", "other")).toDF("dpart", "tag")
+      .write.parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+    val joined = fact.join(dim.filter($"tag" === "keep"),
+      fact("part") === dim("dpart"))
+      .select($"id", $"part", $"score")
+    // collect THIS dataset: .as[...] would re-plan with a fresh scan
+    // instance and the narrowing assert below would watch the wrong one
+    val rows = joined.collect()
+    // correctness first: exactly partition p2's rows
+    assert(rows.length == 50 && rows.forall(_.getString(1) == "p2"))
+    // the scan narrowed its file set at execution time: only p2's
+    // files were planned into tasks
+    val scan = scanOf(joined)
+    assert(scan.runtimeFileCount < scan.plannedFiles.length,
+      s"runtime filter did not narrow: ${scan.runtimeFileCount} of " +
+        s"${scan.plannedFiles.length} files")
+    assert(scan.runtimeFileCount ==
+      scan.plannedFiles.count(_.partValues.toMap.apply("part") == "p2"))
+    // a second read of the same table is untouched (fresh scan)
+    assert(connRead(root).count() == 200L)
+  }
+
+  test("top-N pushdown: ORDER BY + LIMIT plans only files whose zone " +
+    "maps can contribute; unsafe shapes refuse and stay correct") {
+    val root = newRoot()
+    // four commits with disjoint score ranges → file bounds separate
+    for (lo <- Seq(1L, 51L, 101L, 151L))
+      if (lo == 1L)
+        Manifest.init(spark, root,
+          (lo to lo + 49L).map(i => (i, i * 2)).toDF("id", "score"))
+      else
+        Manifest.commitAppend(spark, root,
+          (lo to lo + 49L).map(i => (i, i * 2)).toDF("id", "score"))
+    val total = connRead(root).select($"_file").distinct().count()
+    val top = connRead(root).orderBy($"score".desc).limit(5)
+      .select($"id", $"score")
+    assert(top.as[(Long, Long)].collect().toSeq ==
+      (0 until 5).map(i => (200L - i, 400L - 2 * i)))
+    val scan = scanOf(top)
+    assert(scan.description().contains("pushedTopN"),
+      "top-N was not pushed: " + scan.description())
+    assert(scan.plannedFiles.length < total,
+      s"no file narrowing: ${scan.plannedFiles.length} of $total")
+    // ascending (bottom-n) narrows from the other end
+    val bottom = connRead(root).orderBy($"score".asc).limit(3)
+      .select($"score")
+    assert(bottom.as[Long].collect().toSeq == Seq(2L, 4L, 6L))
+    assert(scanOf(bottom).plannedFiles.length < total)
+    // a residual data filter breaks the row-count guarantee → refuse,
+    // full file set, correct result
+    val filtered = connRead(root).filter($"id" % 2 === 0L)
+      .orderBy($"score".desc).limit(3).select($"score")
+    assert(filtered.as[Long].collect().toSeq == Seq(400L, 396L, 392L))
+    assert(!scanOf(filtered).description().contains("pushedTopN"))
+  }
+
+  test("timestamp tables written by the Scala API survive the row " +
+    "path: pushed LIMIT and CDC decode INT64-micros timestamps") {
+    val root = newRoot()
+    val t0 = java.sql.Timestamp.valueOf("2026-01-02 03:04:05.000006")
+    val t1 = java.sql.Timestamp.valueOf("2026-05-06 07:08:09.000010")
+    Manifest.init(spark, root,
+      Seq((1L, t0), (2L, t1)).toDF("id", "ts"))         // v1
+    Manifest.deleteByKeys(spark, root, Seq(2L).toDF("id")) // v2
+    // pushed LIMIT forces the row-path reader over v1's files
+    val lim = connRead(root, version = Some(1L)).limit(2)
+      .as[(Long, java.sql.Timestamp)].collect().toMap
+    assert(lim == Map(1L -> t0, 2L -> t1))
+    // CDC replay (always row-path) round-trips the same encoding
+    val cdc = spark.read.format("graft-manifest")
+      .option("cdc", "true").option("changesFrom", "0").load(root)
+      .filter($"_change_type" === "insert")
+      .select($"id", $"ts").as[(Long, java.sql.Timestamp)]
+      .collect().toMap
+    assert(cdc == Map(1L -> t0, 2L -> t1))
+  }
 }

@@ -1906,5 +1906,45 @@ object LakeQueries {
         JOIN (SELECT DISTINCT lang FROM documents WHERE lang < 'f') x
           ON d.lang = x.lang
         GROUP BY d.lang ORDER BY d.lang"""),
+      kind = QueryDef.Pipeline),
+
+    // ---- Branches: writable forks of the version chain ----------------
+    // Fork the corpus, append an experimental drop on the fork (main's
+    // readers see nothing), then fast-forward main to the audited
+    // branch head — write-audit-publish generalized to a multi-commit
+    // experiment. The three scoped aggregates pin each visibility
+    // boundary: main before (evens only), the branch head (all), main
+    // after the merge (all).
+    QueryDef("q141_branch_fork_merge",
+      (s, dir) => {
+        val root = "file://" + Files
+          .createTempDirectory("graft_branch").toString + "/t"
+        val docs = Tables.load(s, dir, "documents")
+          .select("doc_id", "lang", "n_chars")
+        Manifest.init(s, root, docs.filter(col("doc_id") % 2 === 0))
+        Manifest.createBranch(s, root, "exp")               // fork @v1
+        Manifest.commitAppendBranch(s, root, "exp",
+          docs.filter(col("doc_id") % 2 === 1))             // branch v2
+        def agg(df: org.apache.spark.sql.DataFrame, scope: String) =
+          df.agg(count(lit(1)).as("n"),
+            sum("n_chars").as("chars")).withColumn("scope", lit(scope))
+        val mainBefore = agg(Manifest.read(s, root), "a_main_before")
+        val branchHead = agg(s.read.format("graft-manifest")
+          .option("branch", "exp").load(root), "b_branch")
+        Manifest.fastForward(s, root, "exp")
+        val mainAfter = agg(Manifest.read(s, root), "c_main_after")
+        mainBefore.unionByName(branchHead).unionByName(mainAfter)
+          .select("scope", "n", "chars").orderBy("scope")
+      },
+      Some("""SELECT 'a_main_before' AS scope, count(*) AS n,
+          CAST(sum(n_chars) AS BIGINT) AS chars
+        FROM documents WHERE doc_id % 2 = 0
+        UNION ALL
+        SELECT 'b_branch', count(*), CAST(sum(n_chars) AS BIGINT)
+        FROM documents
+        UNION ALL
+        SELECT 'c_main_after', count(*), CAST(sum(n_chars) AS BIGINT)
+        FROM documents
+        ORDER BY scope"""),
       kind = QueryDef.Pipeline))
 }

@@ -408,6 +408,187 @@ object Manifest {
     dead
   }
 
+  // ---- BRANCHES: named writable forks of the version chain -------------
+  //
+  // Write-audit-publish generalized from one staged commit to a whole
+  // divergent chain: fork the table, run a multi-commit experiment (new
+  // cleaning rules, a re-tokenized corpus) against the fork, validate,
+  // then fast-forward main to the branch head — or drop the branch and
+  // reclaim its files. Main-chain readers never see branch data.
+  // Mechanics mirror the main chain exactly: a branch commit is
+  // `_manifests/branch-<name>-v%08d.txt` (same body format, same O_EXCL
+  // commit-race rules), data files live in the shared `data/` dir and
+  // fork by REFERENCE — creating a branch costs one manifest copy and
+  // zero data IO at any table size.
+
+  private def branchManifestName(name: String, v: Long) =
+    s"branch-$name-${vName(v)}"
+  private val BranchManifestRe = """branch-(.+)-v(\d+)\.txt""".r
+
+  /** Branch heads, name → head version (one manifest-dir listing). */
+  def branches(spark: SparkSession, root: String): Map[String, Long] = {
+    val (fs, _) = fsOf(spark, root)
+    val md = new Path(manifestDir(root))
+    if (!fs.exists(md)) Map.empty
+    else fs.listStatus(md).iterator.map(_.getPath.getName)
+      .collect { case BranchManifestRe(n, v) => n -> v.toLong }
+      .toSeq.groupBy(_._1).map { case (n, vs) => n -> vs.map(_._2).max }
+  }
+
+  /** A branch's committed versions, ascending; head() is the last, the
+    * FIRST is the fork base (the copied main snapshot). */
+  private def branchVersions(spark: SparkSession, root: String,
+                             name: String): Seq[Long] = {
+    val (fs, _) = fsOf(spark, root)
+    val md = new Path(manifestDir(root))
+    if (!fs.exists(md)) Nil
+    else fs.listStatus(md).iterator.map(_.getPath.getName)
+      .collect { case BranchManifestRe(n, v) if n == name => v.toLong }
+      .toSeq.sorted
+  }
+
+  def branchHead(spark: SparkSession, root: String, name: String): Long =
+    branchVersions(spark, root, name).lastOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"no branch '$name' on $root (branches: " +
+          s"${branches(spark, root).keys.toSeq.sorted.mkString(", ")})"))
+
+  /** Connector handle for `option("branch", name)` reads. */
+  private[graft] def branchMeta(spark: SparkSession, root: String,
+                                name: String,
+                                version: Option[Long] = None)
+      : SnapshotMeta = {
+    val bvs = branchVersions(spark, root, name)
+    require(bvs.nonEmpty,
+      s"no branch '$name' on $root (branches: " +
+        s"${branches(spark, root).keys.toSeq.sorted.mkString(", ")})")
+    val v = version.getOrElse(bvs.last)
+    require(bvs.contains(v),
+      s"branch '$name' of $root has no version $v " +
+        s"(versions: ${bvs.mkString(", ")})")
+    readManifestAt(spark, root,
+      new Path(manifestDir(root), branchManifestName(name, v)), v)
+  }
+
+  /** Fork the table at `from` (default: latest). One O_EXCL manifest
+    * copy; the fork shares every data file by reference. */
+  def createBranch(spark: SparkSession, root: String, name: String,
+                   from: Option[Long] = None): Long = {
+    checkRefName("branch name", name)
+    val v = from.getOrElse(latestVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"$root not initialized")))
+    val m = readManifest(spark, root, v) // validates the version exists
+    if (branchVersions(spark, root, name).nonEmpty)
+      throw new IllegalStateException(
+        s"branch '$name' already exists on $root — dropBranch it first")
+    writeBranchManifest(spark, root, name, v, m.entries, m.meta,
+      m.deletes)
+    v
+  }
+
+  private def writeBranchManifest(spark: SparkSession, root: String,
+      name: String, v: Long, entries: Seq[FileEntry],
+      meta: Map[String, String], deletes: Seq[DeleteEntry]): Long = {
+    val (fs, _) = fsOf(spark, root)
+    val dst = new Path(manifestDir(root), branchManifestName(name, v))
+    val out =
+      try createExclusive(fs, dst)
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+             _: java.nio.file.FileAlreadyExistsException =>
+          throw new IllegalStateException(
+            s"commit conflict: version $v of branch '$name' on $root " +
+              "already exists (concurrent committer won); re-read the " +
+              "branch head and retry")
+      }
+    try out.write(manifestBody(entries, meta, deletes).getBytes("UTF-8"))
+    finally out.close()
+    v
+  }
+
+  /** Append-commit onto a branch — [[commitAppend]] with the branch
+    * head as the base; the main chain is untouched. */
+  def commitAppendBranch(spark: SparkSession, root: String, name: String,
+                         df: DataFrame,
+                         partitionCols: Seq[String] = Nil): Long = {
+    val head = branchHead(spark, root, name)
+    val prev = branchMeta(spark, root, name, Some(head))
+    checkPartCols(prev, partitionCols)
+    val fresh = writeCommit(spark, root, head + 1, df, partitionCols)
+    writeBranchManifest(spark, root, name, head + 1,
+      prev.entries ++ fresh,
+      prev.meta ++ schemaHeaders(
+        appendSchema(spark, root, prev, df.schema), partitionCols),
+      prev.deletes)
+  }
+
+  /** Read a branch snapshot (head by default). */
+  def readBranch(spark: SparkSession, root: String, name: String,
+                 version: Option[Long] = None): DataFrame = {
+    val m = branchMeta(spark, root, name, version)
+    readEntries(spark, root, m, m.entries)
+  }
+
+  /** MERGE a branch: squash-publish the branch HEAD onto main as one
+    * ordinary atomic commit. Requires main to still be at the branch's
+    * fork base — if main advanced, the branch diverged from a snapshot
+    * that is no longer the table and must be re-created (rebased) on
+    * the new head instead of silently overwriting the concurrent
+    * commits. The branch itself is left in place (drop it when done). */
+  def fastForward(spark: SparkSession, root: String,
+                  name: String): Long = {
+    val bvs = branchVersions(spark, root, name)
+    require(bvs.nonEmpty, s"no branch '$name' on $root")
+    val base = bvs.head
+    val head = bvs.last
+    val cur = latestVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"$root not initialized"))
+    if (head == base) return cur // nothing committed on the branch
+    require(cur == base,
+      s"cannot fast-forward '$name': $root advanced from v$base to " +
+        s"v$cur since the fork — re-create the branch on the new head")
+    val m = branchMeta(spark, root, name, Some(head))
+    publish(spark, root, cur, m.entries, m.meta, m.deletes)
+  }
+
+  /** Drop a branch: delete its manifests and every data file that ONLY
+    * this branch references (main chain, tags ride the chain, stages
+    * and other branches keep theirs — same liveness rule as
+    * [[discardStage]]). Returns the deleted data files. */
+  def dropBranch(spark: SparkSession, root: String,
+                 name: String): Seq[String] = {
+    val bvs = branchVersions(spark, root, name)
+    require(bvs.nonEmpty, s"no branch '$name' on $root")
+    val (fs, _) = fsOf(spark, root)
+    def refsOf(m: SnapshotMeta): Seq[String] =
+      m.files ++ m.deletes.map(_.path)
+    val mine = bvs.flatMap(v =>
+      refsOf(branchMeta(spark, root, name, Some(v)))).toSet
+    val keep: Set[String] =
+      (versions(spark, root).flatMap(v =>
+        refsOf(readManifest(spark, root, v))) ++
+        stages(spark, root).flatMap(id =>
+          refsOf(readStageManifest(spark, root, id))) ++
+        branches(spark, root).keys.filterNot(_ == name).flatMap(b =>
+          branchVersions(spark, root, b).flatMap(v =>
+            refsOf(branchMeta(spark, root, b, Some(v)))))).toSet
+    val dead = (mine -- keep).toSeq.sorted
+    dead.foreach(f => fs.delete(new Path(s"$root/$f"), false))
+    bvs.foreach(v => fs.delete(
+      new Path(manifestDir(root), branchManifestName(name, v)), false))
+    dead
+  }
+
+  /** Every file any branch (any version) references — branch commits
+    * must survive main-chain vacuum/orphan reclamation. */
+  private def branchRefs(spark: SparkSession, root: String)
+      : Set[String] =
+    branches(spark, root).keys.flatMap(b =>
+      branchVersions(spark, root, b).flatMap { v =>
+        val m = branchMeta(spark, root, b, Some(v))
+        m.files ++ m.deletes.map(_.path)
+      }).toSet
+
   /** Timestamp travel: the newest version committed at or before
     * `tsMillis` (what `TIMESTAMP AS OF` resolves to). Versions are
     * committed in order, so commit timestamps are non-decreasing —
@@ -1507,7 +1688,7 @@ object Manifest {
       } ++ stages(spark, root).flatMap { id =>
         val sm = readStageManifest(spark, root, id)
         sm.files ++ sm.deletes.map(_.path)
-      }).toSet
+      }).toSet ++ branchRefs(spark, root)
     val rootUri = fs.makeQualified(new Path(root)).toUri.getPath
     val cutoff = System.currentTimeMillis() - graceMillis
     val dead = ArrayBuffer.empty[String]
@@ -1578,7 +1759,10 @@ object Manifest {
       val sm = readStageManifest(spark, root, id)
       sm.files ++ sm.deletes.map(_.path)
     }.toSet
-    val live = keep.flatMap(refs).toSet ++ stagedRefs
+    // branch commits share the fork's files by reference — a branch
+    // must survive main-chain retention the same way tags do
+    val live = keep.flatMap(refs).toSet ++ stagedRefs ++
+      branchRefs(spark, root)
     val dead = drop.flatMap(refs).distinct.filterNot(live)
     dead.foreach(f => fs.delete(new Path(s"$root/$f"), false))
     drop.foreach(v =>

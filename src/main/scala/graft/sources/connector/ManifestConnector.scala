@@ -255,13 +255,15 @@ object ManifestConnector {
     val root = opts.getOrElse("path", throw new IllegalArgumentException(
       "graft-manifest needs a load(path) pointing at a manifest table root"))
     // option keys arrive lowercased (CaseInsensitiveStringMap)
-    require(Seq("version", "timestampasof", "stage")
+    require(Seq("version", "timestampasof", "stage", "branch")
         .count(opts.contains) <= 1,
-      "give at most one of version, timestampAsOf, stage")
-    val snap = opts.get("stage") match {
-      case Some(id) => // audit read of an unpublished staged commit
+      "give at most one of version, timestampAsOf, stage, branch")
+    val snap = (opts.get("stage"), opts.get("branch")) match {
+      case (Some(id), _) => // audit read of an unpublished staged commit
         Manifest.stageMeta(spark, root, id)
-      case None =>
+      case (_, Some(name)) => // branch head (writable fork)
+        Manifest.branchMeta(spark, root, name)
+      case _ =>
         val version = opts.get("version")
           .map(Manifest.resolveVersion(spark, root, _)) // number or tag
           .orElse(opts.get("timestampasof").map(ts =>

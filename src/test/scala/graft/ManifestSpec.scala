@@ -1029,4 +1029,71 @@ class ManifestSpec extends SparkSpec {
     // carried delete entry still guards partition b
     assert(Manifest.snapshotMeta(spark, root, 3L).deletes.nonEmpty)
   }
+
+  test("branches: fork, commit to the fork, main untouched, " +
+    "fast-forward merges, drop reclaims only branch-owned files") {
+    val root = newRoot()
+    Manifest.init(spark, root, Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    Manifest.commitAppend(spark, root, Seq((3L, "c")).toDF("id", "s"))
+    // fork at head (v2); the fork shares files by reference
+    assert(Manifest.createBranch(spark, root, "exp") == 2L)
+    assert(Manifest.branches(spark, root) == Map("exp" -> 2L))
+    // two branch commits; main chain must not move
+    Manifest.commitAppendBranch(spark, root, "exp",
+      Seq((4L, "d")).toDF("id", "s"))
+    Manifest.commitAppendBranch(spark, root, "exp",
+      Seq((5L, "e")).toDF("id", "s"))
+    assert(Manifest.latestVersion(spark, root).contains(2L))
+    assert(Manifest.branchHead(spark, root, "exp") == 4L)
+    assert(Manifest.readBranch(spark, root, "exp")
+      .as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e")))
+    assert(Manifest.read(spark, root)
+      .as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // connector read of the branch head
+    assert(spark.read.format("graft-manifest")
+      .option("branch", "exp").load(root).count() == 5L)
+    // fast-forward: main squashes to the branch head as one commit
+    assert(Manifest.fastForward(spark, root, "exp") == 3L)
+    assert(Manifest.read(spark, root).count() == 5L)
+    // after the merge the branch's files are on the chain: drop
+    // deletes manifests only, zero data files
+    assert(Manifest.dropBranch(spark, root, "exp").isEmpty)
+    assert(Manifest.branches(spark, root).isEmpty)
+    assert(Manifest.read(spark, root).count() == 5L)
+  }
+
+  test("branches: divergence fences the fast-forward; dropped " +
+    "unmerged branches reclaim their own files; vacuum keeps " +
+    "branch-referenced files alive") {
+    val root = newRoot()
+    Manifest.init(spark, root, Seq((1L, "a")).toDF("id", "s"))
+    Manifest.createBranch(spark, root, "exp")
+    Manifest.commitAppendBranch(spark, root, "exp",
+      Seq((2L, "b")).toDF("id", "s"))
+    // main advances past the fork → merge must refuse
+    Manifest.commitAppend(spark, root, Seq((9L, "z")).toDF("id", "s"))
+    val e = intercept[IllegalArgumentException](
+      Manifest.fastForward(spark, root, "exp"))
+    assert(e.getMessage.contains("advanced"), e.getMessage)
+    // vacuum on main keeps files the branch still references: the
+    // branch head must stay fully readable afterwards
+    Manifest.commitAppend(spark, root, Seq((10L, "y")).toDF("id", "s"))
+    Manifest.vacuum(spark, root, keepVersions = 1)
+    assert(Manifest.readBranch(spark, root, "exp")
+      .as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b")))
+    // dropping the unmerged branch deletes ONLY its own commit's files
+    val dead = Manifest.dropBranch(spark, root, "exp")
+    assert(dead.nonEmpty)
+    assert(Manifest.read(spark, root)
+      .as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (9L, "z"), (10L, "y")))
+    // double-create guard and unknown-branch error
+    Manifest.createBranch(spark, root, "exp2")
+    intercept[IllegalStateException](
+      Manifest.createBranch(spark, root, "exp2"))
+    intercept[IllegalArgumentException](
+      Manifest.branchHead(spark, root, "nope"))
+  }
 }

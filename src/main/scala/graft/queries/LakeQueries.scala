@@ -1946,5 +1946,39 @@ object LakeQueries {
         SELECT 'c_main_after', count(*), CAST(sum(n_chars) AS BIGINT)
         FROM documents
         ORDER BY scope"""),
+      kind = QueryDef.Pipeline),
+
+    // ---- Incrementally-maintained materialized aggregate --------------
+    // The corpus-composition view (per-language doc count + char sum)
+    // maintained across an append and a copy-on-write merge with
+    // refresh cost ∝ changed files, never a source rescan. The final
+    // contents must equal a from-scratch aggregate of the final table.
+    QueryDef("q142_materialized_agg",
+      (s, dir) => {
+        val src = "file://" + Files
+          .createTempDirectory("graft_mv_src").toString + "/t"
+        val mv = "file://" + Files
+          .createTempDirectory("graft_mv").toString + "/t"
+        val docs = Tables.load(s, dir, "documents")
+          .select("doc_id", "lang", "n_chars")
+        Manifest.init(s, src, docs.filter(col("doc_id") % 2 === 0),
+          Seq("lang"))
+        graft.sources.MaterializedAgg.create(s, src, mv,
+          Seq("lang"), Seq("n_chars"), buckets = 8)
+        Manifest.commitAppend(s, src,
+          docs.filter(col("doc_id") % 2 === 1), Seq("lang"))
+        graft.sources.MaterializedAgg.refresh(s, src, mv)
+        Manifest.mergeInto(s, src,
+          docs.filter(col("doc_id") % 10 === 0)
+            .withColumn("n_chars", col("n_chars") + 1000),
+          "doc_id", "lang")
+        graft.sources.MaterializedAgg.refresh(s, src, mv)
+        graft.sources.MaterializedAgg.read(s, mv)
+          .select("lang", "mv_count", "sum_n_chars").orderBy("lang")
+      },
+      Some("""SELECT lang, count(*) AS mv_count,
+          CAST(sum(n_chars + CASE WHEN doc_id % 10 = 0 THEN 1000
+            ELSE 0 END) AS BIGINT) AS sum_n_chars
+        FROM documents GROUP BY lang ORDER BY lang"""),
       kind = QueryDef.Pipeline))
 }

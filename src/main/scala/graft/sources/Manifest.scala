@@ -777,6 +777,24 @@ object Manifest {
     }
   }
 
+  /** Rows of a SUBSET of a snapshot's files (by table-relative path) —
+    * the building block incremental consumers (materialized-view
+    * refresh) use to read just a commit range's added or removed
+    * files through the same single-relation plan as [[read]]. The
+    * snapshot's schema resolves evolution (older files surface NULL
+    * for later columns); pending MoR deletes of that snapshot apply. */
+  private[graft] def readSubset(spark: SparkSession, root: String,
+                                version: Long,
+                                paths: Set[String]): DataFrame = {
+    val m = readManifest(spark, root, version)
+    val sel = m.entries.filter(e => paths(e.path))
+    require(sel.size == paths.size,
+      s"readSubset: ${paths.size - sel.size} path(s) are not files of " +
+        s"$root v$version")
+    if (m.schema.isDefined) readEntries(spark, root, m, sel)
+    else legacyUnionRead(spark, root, sel.map(_.path))
+  }
+
   /** Scan `entries` with the snapshot's pending merge-on-read deletes
     * applied. A delete file applies to data files with a strictly
     * smaller sequence, so entries are grouped by their APPLICABLE
@@ -986,16 +1004,33 @@ object Manifest {
           s"${partitionCols.mkString("[", ",", "]")}")
     }
 
+  /** Custom commit metadata (`extraMeta`) rides the manifest header
+    * like any other `#k=v` line and carries forward commit-to-commit —
+    * the audit-trail / application-state channel (who committed, which
+    * pipeline run, a consumer's resume point). Reserved keys are the
+    * table's own headers; newlines would tear the line format. */
+  private val ReservedMeta =
+    Set("schema", "partcols", "count", "dcount", "ts", "base", "dropped")
+  private def checkExtraMeta(m: Map[String, String]): Unit =
+    m.foreach { case (k, v) =>
+      require(k.nonEmpty && !ReservedMeta(k) && !k.startsWith("batch.") &&
+          !k.contains("=") && !k.contains("\n") && !v.contains("\n"),
+        s"commit metadata key '$k' is reserved or malformed " +
+          "(no '=', no newlines, not a table header)")
+    }
+
   /** Initialize the table: version 1 = `df`. An EMPTY `df` creates a
     * zero-file snapshot whose schema header still makes the table
     * readable (the CREATE TABLE shape). */
   def init(spark: SparkSession, root: String, df: DataFrame,
-           partitionCols: Seq[String] = Nil): Long = {
+           partitionCols: Seq[String] = Nil,
+           extraMeta: Map[String, String] = Map.empty): Long = {
     require(latestVersion(spark, root).isEmpty,
       s"$root is already a manifest table")
+    checkExtraMeta(extraMeta)
     publish(spark, root, 0L,
       writeCommit(spark, root, 1L, df, partitionCols),
-      schemaHeaders(df.schema, partitionCols))
+      schemaHeaders(df.schema, partitionCols) ++ extraMeta)
   }
 
   /** Append-commit: next snapshot = previous files + `df`'s files.
@@ -1229,7 +1264,9 @@ object Manifest {
   /** Replace-commit (compaction shape): next snapshot = `df` alone.
     * Old snapshots keep reading their own files until vacuumed. */
   def commitReplace(spark: SparkSession, root: String, df: DataFrame,
-                    partitionCols: Seq[String] = Nil): Long = {
+                    partitionCols: Seq[String] = Nil,
+                    extraMeta: Map[String, String] = Map.empty): Long = {
+    checkExtraMeta(extraMeta)
     val cur = latestVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"$root not initialized"))
     val prev = readManifest(spark, root, cur)
@@ -1239,7 +1276,8 @@ object Manifest {
     // files left, dropped-column tombstones are released too
     publish(spark, root, cur,
       writeCommit(spark, root, cur + 1, df, partitionCols),
-      prev.meta - "dropped" ++ schemaHeaders(df.schema, partitionCols))
+      prev.meta - "dropped" ++ schemaHeaders(df.schema, partitionCols)
+        ++ extraMeta)
   }
 
   /** Copy-on-write MERGE with cross-partition atomicity — the
@@ -1260,7 +1298,9 @@ object Manifest {
     * reference, byte-identical. `Nil` = unpartitioned: the whole table
     * is the one partition and the commit rewrites it. */
   def mergeInto(spark: SparkSession, root: String, updates: DataFrame,
-                key: String, partitionCols: Seq[String]): Long = {
+                key: String, partitionCols: Seq[String],
+                extraMeta: Map[String, String] = Map.empty): Long = {
+    checkExtraMeta(extraMeta)
     val cur = latestVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"$root not initialized"))
     val prev = readManifest(spark, root, cur)
@@ -1295,7 +1335,8 @@ object Manifest {
     // `table` is deletes-applied, so the rewritten partitions
     // materialize any pending MoR deletes; carried files still need them
     publish(spark, root, cur, keep ++ fresh,
-      prev.meta ++ schemaHeaders(schema, partitionCols), prev.deletes)
+      prev.meta ++ schemaHeaders(schema, partitionCols) ++ extraMeta,
+      prev.deletes)
   }
 
   /** The distinct partition-value tuples `df` contains, collected to

@@ -1,0 +1,195 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incrementally-maintained grouped aggregates over a manifest table —
+  * the "corpus composition dashboard" every training pipeline keeps:
+  * `SELECT lang, source, count(*), sum(n_tokens) GROUP BY lang, source`
+  * refreshed after each ingest without rescanning 100 TB.
+  *
+  * The view is itself a manifest table (time travel, atomic commits and
+  * concurrent-reader isolation come for free), partitioned by a hash
+  * bucket of the group key so a refresh rewrites only the buckets
+  * holding changed groups. Its commit header carries the maintenance
+  * state (`mv.base` = the source version the contents reflect, plus the
+  * spec), so the refresh base advances ATOMICALLY with the merge commit
+  * — a crash between "apply delta" and "record base" cannot double-count
+  * because there is no such gap.
+  *
+  * REFRESH COST ∝ CHANGES, not table size: the delta is computed from
+  * the file-level diff between the base and head snapshots — added
+  * files' rows count +1, removed files' rows count −1 (copy-on-write
+  * rewrites re-list untouched rows on both sides; they cancel exactly).
+  * Count and sum are the distributive aggregates this closes over
+  * (avg = sum/count at read; min/max are NOT maintainable from deltas
+  * — a removed max needs a rescan — and are deliberately absent).
+  *
+  * Falls back to a FULL recompute (one [[Manifest.commitReplace]]) when
+  * the incremental contract doesn't hold: pending merge-on-read deletes
+  * at either end (their retractions are row-level, not file-level), a
+  * vacuumed-away base snapshot, or removed files already reclaimed.
+  *
+  * NULL sums: a maintained sum whose group ever held non-null values
+  * tracks the recompute exactly; a group whose values are ALL null
+  * surfaces sum NULL on create and on the all-null refresh edge, same
+  * as a recompute. */
+object MaterializedAgg {
+
+  private val KeyCol = "mv_key"
+  private val BucketCol = "mv_bucket"
+  private val CountCol = "mv_count"
+  private def sumCol(c: String) = s"sum_$c"
+
+  /** Deterministic, null-safe group key: md5 of the canonical JSON of
+    * the group tuple (field order = spec order, so the same tuple
+    * always hashes identically). */
+  private def withKey(df: DataFrame, groupCols: Seq[String],
+                      buckets: Int): DataFrame =
+    df.withColumn(KeyCol,
+        md5(to_json(struct(groupCols.map(col): _*))))
+      .withColumn(BucketCol,
+        pmod(crc32(col(KeyCol)), lit(buckets.toLong)).cast("int"))
+
+  private def aggregateOf(df: DataFrame, groupCols: Seq[String],
+                          sumCols: Seq[String],
+                          buckets: Int): DataFrame = {
+    val aggs = count(lit(1)).as(CountCol) +:
+      sumCols.map(c => sum(col(c)).as(sumCol(c)))
+    withKey(df.groupBy(groupCols.map(col): _*).agg(aggs.head,
+      aggs.tail: _*), groupCols, buckets)
+  }
+
+  private def stateMeta(srcRoot: String, groupCols: Seq[String],
+                        sumCols: Seq[String], buckets: Int,
+                        base: Long): Map[String, String] = {
+    require((groupCols ++ sumCols).forall(c =>
+        !c.contains(",") && !c.contains("\n")),
+      "materialized-agg column names must not contain ','")
+    Map("mv.base" -> base.toString, "mv.src" -> srcRoot,
+      "mv.group" -> groupCols.mkString(","),
+      "mv.sum" -> sumCols.mkString(","),
+      "mv.buckets" -> buckets.toString)
+  }
+
+  /** Create the view at the source's current version (one full
+    * aggregate — the last full scan this view ever needs). */
+  def create(spark: SparkSession, srcRoot: String, mvRoot: String,
+             groupCols: Seq[String], sumCols: Seq[String],
+             buckets: Int = 64): Long = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(buckets >= 1, "buckets must be >= 1")
+    val head = Manifest.latestVersion(spark, srcRoot).getOrElse(
+      throw new IllegalStateException(s"$srcRoot not initialized"))
+    val result = aggregateOf(Manifest.read(spark, srcRoot, Some(head)),
+      groupCols, sumCols, buckets)
+    Manifest.init(spark, mvRoot, result, Seq(BucketCol),
+      extraMeta = stateMeta(srcRoot, groupCols, sumCols, buckets, head))
+  }
+
+  /** The source version the view currently reflects. */
+  def baseVersion(spark: SparkSession, mvRoot: String): Long =
+    state(spark, mvRoot)._1("mv.base").toLong
+
+  private def state(spark: SparkSession, mvRoot: String)
+      : (Map[String, String], Long) = {
+    val mvHead = Manifest.latestVersion(spark, mvRoot).getOrElse(
+      throw new IllegalStateException(s"$mvRoot not initialized"))
+    val meta = Manifest.snapshotMeta(spark, mvRoot, mvHead).meta
+    require(meta.contains("mv.base"),
+      s"$mvRoot is not a materialized aggregate (no mv.base header)")
+    (meta, mvHead)
+  }
+
+  /** The view's contents (groups with zero surviving rows are
+    * tombstoned in storage and hidden here). */
+  def read(spark: SparkSession, mvRoot: String): DataFrame =
+    Manifest.read(spark, mvRoot).filter(col(CountCol) > 0L)
+      .drop(KeyCol, BucketCol)
+
+  /** Advance the view to the source's current version. Incremental
+    * when the file-diff contract holds (cost ∝ changed files), full
+    * recompute otherwise. Returns the view's new version (unchanged
+    * when the source hasn't moved). */
+  def refresh(spark: SparkSession, srcRoot: String,
+              mvRoot: String): Long = {
+    val (meta, mvHead) = state(spark, mvRoot)
+    val base = meta("mv.base").toLong
+    val groupCols = meta("mv.group").split(',').toSeq
+    val sumCols = meta("mv.sum").split(',').toSeq.filter(_.nonEmpty)
+    val buckets = meta("mv.buckets").toInt
+    val srcHead = Manifest.latestVersion(spark, srcRoot).getOrElse(
+      throw new IllegalStateException(s"$srcRoot not initialized"))
+    if (srcHead == base) return mvHead
+    require(srcHead > base,
+      s"$srcRoot is at v$srcHead but the view reflects v$base — " +
+        "the source table was replaced; recreate the view")
+
+    def full(): Long =
+      Manifest.commitReplace(spark, mvRoot,
+        aggregateOf(Manifest.read(spark, srcRoot, Some(srcHead)),
+          groupCols, sumCols, buckets),
+        Seq(BucketCol),
+        extraMeta = stateMeta(srcRoot, groupCols, sumCols, buckets,
+          srcHead))
+
+    // incremental contract: both snapshots resolvable, no pending
+    // merge-on-read deletes at either end (row-level retractions are
+    // invisible to a file diff), removed files still on disk
+    val plan: Option[(Set[String], Set[String])] =
+      if (!Manifest.versions(spark, srcRoot).contains(base)) None
+      else {
+        val baseSnap = Manifest.snapshotMeta(spark, srcRoot, base)
+        val headSnap = Manifest.snapshotMeta(spark, srcRoot, srcHead)
+        if (baseSnap.deletes.nonEmpty || headSnap.deletes.nonEmpty) None
+        else {
+          val ch = Manifest.changedFiles(spark, srcRoot, base, srcHead)
+          val p = new org.apache.hadoop.fs.Path(srcRoot)
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (ch.removed.forall(f =>
+              fs.exists(new org.apache.hadoop.fs.Path(s"$srcRoot/$f"))))
+            Some((ch.added.toSet, ch.removed.toSet))
+          else None // vacuum got there first
+        }
+      }
+
+    plan match {
+      case None => full()
+      case Some((added, removed)) =>
+        val sign = col("__sign")
+        val plus = Manifest.readSubset(spark, srcRoot, srcHead, added)
+          .withColumn("__sign", lit(1L))
+        val changes =
+          if (removed.isEmpty) plus
+          else plus.unionByName(
+            Manifest.readSubset(spark, srcRoot, base, removed)
+              .withColumn("__sign", lit(-1L)),
+            allowMissingColumns = true)
+        val deltaAggs = sum(sign).as("d_count") +:
+          sumCols.map(c => sum(col(c) * sign).as(s"d_$c"))
+        val delta = withKey(
+          changes.groupBy(groupCols.map(col): _*)
+            .agg(deltaAggs.head, deltaAggs.tail: _*),
+          groupCols, buckets)
+        val stored = Manifest.read(spark, mvRoot, Some(mvHead))
+          .select(col(KeyCol) +: col(CountCol).as("__old_count") +:
+            sumCols.map(c => col(sumCol(c)).as(s"__old_$c")): _*)
+        val updates = delta.join(stored, Seq(KeyCol), "left")
+          .select(
+            groupCols.map(col) ++
+              Seq((coalesce(col("__old_count"), lit(0L)) +
+                col("d_count")).as(CountCol)) ++
+              sumCols.map { c =>
+                val o = col(s"__old_$c")
+                val d = col(s"d_$c")
+                // both-null → null (all-null group), else null-as-zero
+                when(o.isNull && d.isNull, o)
+                  .otherwise(coalesce(o, lit(0)) + coalesce(d, lit(0)))
+                  .as(sumCol(c))
+              } ++ Seq(col(KeyCol), col(BucketCol)): _*)
+        Manifest.mergeInto(spark, mvRoot, updates, KeyCol,
+          Seq(BucketCol),
+          extraMeta = Map("mv.base" -> srcHead.toString))
+    }
+  }
+}

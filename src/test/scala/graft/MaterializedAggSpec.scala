@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{Manifest, MaterializedAgg}
+
+/** Incrementally-maintained grouped aggregates: refresh ∝ changes,
+  * atomic base advancement, fallback to full recompute when the
+  * file-diff contract breaks. */
+class MaterializedAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def newRoot(tag: String) = "file://" + java.nio.file.Files
+    .createTempDirectory(s"graft-mv-$tag").toString + "/t"
+
+  private def recompute(src: String) =
+    Manifest.read(spark, src).groupBy("lang")
+      .agg(count(lit(1)).as("mv_count"), sum("n").as("sum_n"))
+      .as[(String, Long, Long)].collect().toSet
+
+  private def mvContents(mv: String) =
+    MaterializedAgg.read(spark, mv).select("lang", "mv_count", "sum_n")
+      .as[(String, Long, Long)].collect().toSet
+
+  test("create + incremental refresh track the recompute across " +
+    "append, copy-on-write merge and group disappearance") {
+    val src = newRoot("src")
+    val mv = newRoot("mv")
+    Manifest.init(spark, src,
+      Seq((1L, "en", 10L), (2L, "en", 20L), (3L, "de", 5L))
+        .toDF("id", "lang", "n"), Seq("lang"))
+    MaterializedAgg.create(spark, src, mv, Seq("lang"), Seq("n"),
+      buckets = 8)
+    assert(mvContents(mv) == Set(("en", 2L, 30L), ("de", 1L, 5L)))
+    assert(MaterializedAgg.baseVersion(spark, mv) == 1L)
+
+    // append: new group appears, existing group grows
+    Manifest.commitAppend(spark, src,
+      Seq((4L, "en", 40L), (5L, "fr", 7L)).toDF("id", "lang", "n"),
+      Seq("lang"))
+    MaterializedAgg.refresh(spark, src, mv)
+    assert(MaterializedAgg.baseVersion(spark, mv) == 2L)
+    assert(mvContents(mv) == recompute(src))
+    // the refresh was a MERGE, not a replace: untouched buckets'
+    // files carry forward by reference
+    val v1Files = Manifest.snapshot(spark, mv, 1L).files.toSet
+    val v2Files = Manifest.snapshot(spark, mv, 2L).files.toSet
+    assert(v1Files.intersect(v2Files).nonEmpty,
+      "incremental refresh rewrote every bucket (looks like a replace)")
+
+    // copy-on-write merge rewrites a partition: removed + added files
+    // must cancel for untouched rows
+    Manifest.mergeInto(spark, src,
+      Seq((1L, "en", 100L)).toDF("id", "lang", "n"), "id", "lang")
+    MaterializedAgg.refresh(spark, src, mv)
+    assert(mvContents(mv) == recompute(src))
+    assert(mvContents(mv).contains(("en", 3L, 160L)))
+
+    // a group losing its last row tombstones out of the view
+    Manifest.deleteWhere(spark, src, col("lang") === "de", "lang")
+    MaterializedAgg.refresh(spark, src, mv)
+    assert(mvContents(mv) == recompute(src))
+    assert(!mvContents(mv).exists(_._1 == "de"))
+
+    // no-op refresh: source unchanged → same version back
+    val before = Manifest.latestVersion(spark, mv).get
+    assert(MaterializedAgg.refresh(spark, src, mv) == before)
+  }
+
+  test("merge-on-read deletes and vacuumed history fall back to a " +
+    "full recompute and stay correct") {
+    val src = newRoot("src2")
+    val mv = newRoot("mv2")
+    Manifest.init(spark, src,
+      Seq((1L, "en", 10L), (2L, "de", 20L), (3L, "de", 30L))
+        .toDF("id", "lang", "n"))
+    MaterializedAgg.create(spark, src, mv, Seq("lang"), Seq("n"),
+      buckets = 4)
+    // MoR delete: row-level retraction invisible to a file diff
+    Manifest.deleteByKeys(spark, src, Seq(2L).toDF("id"))
+    MaterializedAgg.refresh(spark, src, mv)
+    assert(mvContents(mv) == recompute(src))
+    assert(mvContents(mv) == Set(("en", 1L, 10L), ("de", 1L, 30L)))
+
+    // vacuum away the view's base snapshot → fallback, still correct
+    Manifest.rewriteDeletes(spark, src)
+    Manifest.commitAppend(spark, src, Seq((4L, "fr", 1L))
+      .toDF("id", "lang", "n"))
+    Manifest.vacuum(spark, src, keepVersions = 1)
+    MaterializedAgg.refresh(spark, src, mv)
+    assert(mvContents(mv) == recompute(src))
+  }
+}

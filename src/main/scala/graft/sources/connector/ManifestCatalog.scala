@@ -289,12 +289,18 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces
 
   /** `db.t` (as passed to a procedure's `table` arg) → table root. */
   private[connector] def tableRoot(table: String): String = {
-    val parts = table.split('.').toSeq
-    require(parts.nonEmpty, "empty table name")
-    val path = (warehouse +: parts.map(checkSegment)).mkString("/")
+    val path = newTableRoot(table)
     require(Manifest.latestVersion(spark, path).isDefined,
       s"$table is not a manifest table of catalog $catalogName")
     path
+  }
+
+  /** Same mapping without the existence check — for procedures that
+    * CREATE the table at that path (create_mv). */
+  private[connector] def newTableRoot(table: String): String = {
+    val parts = table.split('.').toSeq
+    require(parts.nonEmpty, "empty table name")
+    (warehouse +: parts.map(checkSegment)).mkString("/")
   }
 
   private def oneRowScan(schema: StructType,
@@ -660,6 +666,180 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces
     }
   }
 
+  private object CreateBranchProcedure extends UnboundProcedure
+      with BoundProcedure {
+    override def name(): String = "create_branch"
+    override def description(): String =
+      "fork the table at a version (default latest) as a named " +
+        "writable branch (Manifest.createBranch)"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("name", StringType).build(),
+      ProcedureParameter.in("version", LongType)
+        .defaultValue("-1").build()) // -1 = latest
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val root = tableRoot(input.getUTF8String(0).toString)
+      val from = input.getLong(2) match {
+        case -1L => None
+        case x   => Some(x)
+      }
+      val v = Manifest.createBranch(spark, root,
+        input.getUTF8String(1).toString, from)
+      oneRowScan(
+        StructType(Seq(StructField("forked_at", LongType, false))),
+        Array[Any](v))
+    }
+  }
+
+  private object BranchAppendProcedure extends UnboundProcedure
+      with BoundProcedure {
+    override def name(): String = "branch_append"
+    override def description(): String =
+      "append a view/table's rows onto a branch; the main chain is " +
+        "untouched (Manifest.commitAppendBranch)"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("name", StringType).build(),
+      ProcedureParameter.in("source", StringType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val root = tableRoot(input.getUTF8String(0).toString)
+      val name = input.getUTF8String(1).toString
+      val partCols = Manifest
+        .branchMeta(spark, root, name).partCols.getOrElse(Nil)
+      val v = Manifest.commitAppendBranch(spark, root, name,
+        spark.table(input.getUTF8String(2).toString), partCols)
+      oneRowScan(
+        StructType(Seq(StructField("head", LongType, false))),
+        Array[Any](v))
+    }
+  }
+
+  private object FastForwardProcedure extends UnboundProcedure
+      with BoundProcedure {
+    override def name(): String = "fast_forward"
+    override def description(): String =
+      "squash-publish a branch head onto main; refuses if main " +
+        "advanced past the fork (Manifest.fastForward)"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("name", StringType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val root = tableRoot(input.getUTF8String(0).toString)
+      val v = Manifest.fastForward(spark, root,
+        input.getUTF8String(1).toString)
+      oneRowScan(
+        StructType(Seq(StructField("version", LongType, false))),
+        Array[Any](v))
+    }
+  }
+
+  private object DropBranchProcedure extends UnboundProcedure
+      with BoundProcedure {
+    override def name(): String = "drop_branch"
+    override def description(): String =
+      "delete a branch and the files only it references " +
+        "(Manifest.dropBranch)"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("name", StringType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val root = tableRoot(input.getUTF8String(0).toString)
+      val removed = Manifest.dropBranch(spark, root,
+        input.getUTF8String(1).toString)
+      oneRowScan(
+        StructType(Seq(StructField("removed_files", LongType, false))),
+        Array[Any](removed.size.toLong))
+    }
+  }
+
+  private object BranchesProcedure extends UnboundProcedure
+      with BoundProcedure {
+    override def name(): String = "branches"
+    override def description(): String =
+      "list a manifest table's branches (name, head)"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] =
+      Array(ProcedureParameter.in("table", StringType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val root = tableRoot(input.getUTF8String(0).toString)
+      val schema = StructType(Seq(
+        StructField("name", StringType, false),
+        StructField("head", LongType, false)))
+      val branchRows = Manifest.branches(spark, root).toSeq
+        .sortBy(_._1).map { case (n, v) =>
+          new GenericInternalRow(Array[Any](
+            org.apache.spark.unsafe.types.UTF8String.fromString(n), v))
+            : InternalRow
+        }.toArray
+      java.util.Collections.singletonList[Scan](new LocalScan {
+        override def rows(): Array[InternalRow] = branchRows
+        override def readSchema(): StructType = schema
+      }).iterator()
+    }
+  }
+
+  private object CreateMvProcedure extends UnboundProcedure
+      with BoundProcedure {
+    override def name(): String = "create_mv"
+    override def description(): String =
+      "create an incrementally-maintained grouped count/sum view of a " +
+        "manifest table (MaterializedAgg.create); the view is itself " +
+        "a catalog table"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("view", StringType).build(),
+      ProcedureParameter.in("group_cols", StringType).build(), // 'a,b'
+      ProcedureParameter.in("sum_cols", StringType)
+        .defaultValue("''").build(),
+      ProcedureParameter.in("buckets", IntegerType)
+        .defaultValue("64").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val src = tableRoot(input.getUTF8String(0).toString)
+      val mvRoot = newTableRoot(input.getUTF8String(1).toString)
+      def cols(i: Int) = input.getUTF8String(i).toString
+        .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+      val v = graft.sources.MaterializedAgg.create(spark, src, mvRoot,
+        cols(2), cols(3), input.getInt(4))
+      oneRowScan(
+        StructType(Seq(StructField("version", LongType, false))),
+        Array[Any](v))
+    }
+  }
+
+  private object RefreshMvProcedure extends UnboundProcedure
+      with BoundProcedure {
+    override def name(): String = "refresh_mv"
+    override def description(): String =
+      "advance a materialized view to its source's current version — " +
+        "incremental, cost ∝ changed files (MaterializedAgg.refresh)"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("view", StringType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val src = tableRoot(input.getUTF8String(0).toString)
+      val mvRoot = tableRoot(input.getUTF8String(1).toString)
+      val v = graft.sources.MaterializedAgg.refresh(spark, src, mvRoot)
+      oneRowScan(
+        StructType(Seq(StructField("version", LongType, false),
+          StructField("base", LongType, false))),
+        Array[Any](v,
+          graft.sources.MaterializedAgg.baseVersion(spark, mvRoot)))
+    }
+  }
+
   override def loadProcedure(ident: Identifier): UnboundProcedure = {
     require(ident.namespace.isEmpty ||
       ident.namespace.toSeq == Seq("system"),
@@ -679,11 +859,20 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces
       case "tag" => TagProcedure
       case "drop_tag" => DropTagProcedure
       case "tags" => TagsProcedure
+      case "create_branch" => CreateBranchProcedure
+      case "branch_append" => BranchAppendProcedure
+      case "fast_forward" => FastForwardProcedure
+      case "drop_branch" => DropBranchProcedure
+      case "branches" => BranchesProcedure
+      case "create_mv" => CreateMvProcedure
+      case "refresh_mv" => RefreshMvProcedure
       case other => throw new UnsupportedOperationException(
         s"catalog $catalogName has no procedure '$other' (available: " +
           "compact, vacuum, history, rewrite_deletes, " +
           "expire_snapshots, zorder, remove_orphans, stage, " +
-          "publish_stage, discard_stage, stages, tag, drop_tag, tags)")
+          "publish_stage, discard_stage, stages, tag, drop_tag, tags, " +
+          "create_branch, branch_append, fast_forward, drop_branch, " +
+          "branches, create_mv, refresh_mv)")
     }
   }
 
@@ -702,5 +891,12 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces
       Identifier.of(Array("system"), "stages"),
       Identifier.of(Array("system"), "tag"),
       Identifier.of(Array("system"), "drop_tag"),
-      Identifier.of(Array("system"), "tags"))
+      Identifier.of(Array("system"), "tags"),
+      Identifier.of(Array("system"), "create_branch"),
+      Identifier.of(Array("system"), "branch_append"),
+      Identifier.of(Array("system"), "fast_forward"),
+      Identifier.of(Array("system"), "drop_branch"),
+      Identifier.of(Array("system"), "branches"),
+      Identifier.of(Array("system"), "create_mv"),
+      Identifier.of(Array("system"), "refresh_mv"))
 }

@@ -567,4 +567,54 @@ class ManifestCatalogSpec extends SparkSpec {
     intercept[Exception](spark.sql(
       "CREATE NAMESPACE graftcat.`../outside`"))
   }
+
+  test("branches through SQL: create_branch / branch_append / " +
+    "fast_forward / branches / drop_branch") {
+    spark.sql("CREATE TABLE graftcat.db.br (id BIGINT, s STRING)")
+    spark.sql("INSERT INTO graftcat.db.br VALUES (1, 'a'), (2, 'b')")
+    assert(spark.sql("CALL graftcat.system.create_branch(" +
+      "table => 'db.br', name => 'exp')")
+      .as[Long].head == 2L)
+    Seq((3L, "c"), (4L, "d")).toDF("id", "s")
+      .createOrReplaceTempView("br_delta")
+    assert(spark.sql("CALL graftcat.system.branch_append(" +
+      "table => 'db.br', name => 'exp', source => 'br_delta')")
+      .as[Long].head == 3L)
+    // main untouched; branch readable via the connector option
+    assert(spark.table("graftcat.db.br").count() == 2L)
+    assert(spark.read.format("graft-manifest").option("branch", "exp")
+      .load(warehouse.stripPrefix("file://") + "/db/br").count() == 4L)
+    assert(spark.sql("CALL graftcat.system.branches(table => 'db.br')")
+      .as[(String, Long)].collect().toSeq == Seq(("exp", 3L)))
+    assert(spark.sql("CALL graftcat.system.fast_forward(" +
+      "table => 'db.br', name => 'exp')").as[Long].head == 3L)
+    assert(spark.table("graftcat.db.br").count() == 4L)
+    assert(spark.sql("CALL graftcat.system.drop_branch(" +
+      "table => 'db.br', name => 'exp')").as[Long].head == 0L)
+    assert(spark.sql("CALL graftcat.system.branches(table => 'db.br')")
+      .count() == 0L)
+  }
+
+  test("materialized views through SQL: create_mv aggregates into a " +
+    "catalog table, refresh_mv advances it incrementally") {
+    spark.sql("CREATE TABLE graftcat.db.corpus " +
+      "(id BIGINT, lang STRING, n BIGINT) PARTITIONED BY (lang)")
+    spark.sql("INSERT INTO graftcat.db.corpus VALUES " +
+      "(1, 'en', 10), (2, 'en', 20), (3, 'de', 5)")
+    spark.sql("CALL graftcat.system.create_mv(table => 'db.corpus', " +
+      "view => 'db.corpus_by_lang', group_cols => 'lang', " +
+      "sum_cols => 'n', buckets => 8)")
+    // the view IS a catalog table (tombstones + internal cols visible
+    // on a raw read; the maintained columns are correct)
+    def mv = spark.sql("SELECT lang, mv_count, sum_n FROM " +
+      "graftcat.db.corpus_by_lang WHERE mv_count > 0")
+      .as[(String, Long, Long)].collect().toSet
+    assert(mv == Set(("en", 2L, 30L), ("de", 1L, 5L)))
+    spark.sql("INSERT INTO graftcat.db.corpus VALUES (4, 'fr', 7)")
+    val r = spark.sql("CALL graftcat.system.refresh_mv(" +
+      "table => 'db.corpus', view => 'db.corpus_by_lang')")
+      .as[(Long, Long)].head
+    assert(r._2 == 3L, s"mv base should be the source head, got $r")
+    assert(mv == Set(("en", 2L, 30L), ("de", 1L, 5L), ("fr", 1L, 7L)))
+  }
 }

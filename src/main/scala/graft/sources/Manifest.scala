@@ -318,17 +318,9 @@ object Manifest {
       meta: Map[String, String], deletes: Seq[DeleteEntry]): Unit = {
     val (fs, _) = fsOf(spark, root)
     val dst = new Path(manifestDir(root), stageName(stageId))
-    val out =
-      try createExclusive(fs, dst)
-      catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
-             _: java.nio.file.FileAlreadyExistsException =>
-          throw new IllegalStateException(
-            s"stage '$stageId' already exists on $root — audit and " +
-              "publishStage/discardStage it first")
-      }
-    try out.write(manifestBody(entries, meta, deletes).getBytes("UTF-8"))
-    finally out.close()
+    writeExclusiveManifest(fs, dst, manifestBody(entries, meta, deletes),
+      s"stage '$stageId' already exists on $root — audit and " +
+        "publishStage/discardStage it first")
   }
 
   private def readStageManifest(spark: SparkSession, root: String,
@@ -426,26 +418,35 @@ object Manifest {
   private val BranchManifestRe = """branch-(.+)-v(\d+)\.txt""".r
 
   /** Branch heads, name → head version (one manifest-dir listing). */
-  def branches(spark: SparkSession, root: String): Map[String, Long] = {
+  def branches(spark: SparkSession, root: String): Map[String, Long] =
+    allBranchVersions(spark, root).map { case (n, vs) => n -> vs.last }
+
+  /** Every branch's committed versions, ascending, from ONE
+    * manifest-dir listing — the primitive the liveness scans
+    * (vacuum/orphans/drop) iterate so they never re-list per version. */
+  private def allBranchVersions(spark: SparkSession, root: String)
+      : Map[String, Seq[Long]] = {
     val (fs, _) = fsOf(spark, root)
     val md = new Path(manifestDir(root))
     if (!fs.exists(md)) Map.empty
     else fs.listStatus(md).iterator.map(_.getPath.getName)
       .collect { case BranchManifestRe(n, v) => n -> v.toLong }
-      .toSeq.groupBy(_._1).map { case (n, vs) => n -> vs.map(_._2).max }
+      .toSeq.groupBy(_._1)
+      .map { case (n, vs) => n -> vs.map(_._2).sorted }
   }
 
   /** A branch's committed versions, ascending; head() is the last, the
     * FIRST is the fork base (the copied main snapshot). */
   private def branchVersions(spark: SparkSession, root: String,
-                             name: String): Seq[Long] = {
-    val (fs, _) = fsOf(spark, root)
-    val md = new Path(manifestDir(root))
-    if (!fs.exists(md)) Nil
-    else fs.listStatus(md).iterator.map(_.getPath.getName)
-      .collect { case BranchManifestRe(n, v) if n == name => v.toLong }
-      .toSeq.sorted
-  }
+                             name: String): Seq[Long] =
+    allBranchVersions(spark, root).getOrElse(name, Nil)
+
+  /** Read one branch manifest directly by constructed name — no
+    * listing; callers pass versions they already hold. */
+  private def readBranchManifest(spark: SparkSession, root: String,
+                                 name: String, v: Long): SnapshotMeta =
+    readManifestAt(spark, root,
+      new Path(manifestDir(root), branchManifestName(name, v)), v)
 
   def branchHead(spark: SparkSession, root: String, name: String): Long =
     branchVersions(spark, root, name).lastOption.getOrElse(
@@ -466,8 +467,7 @@ object Manifest {
     require(bvs.contains(v),
       s"branch '$name' of $root has no version $v " +
         s"(versions: ${bvs.mkString(", ")})")
-    readManifestAt(spark, root,
-      new Path(manifestDir(root), branchManifestName(name, v)), v)
+    readBranchManifest(spark, root, name, v)
   }
 
   /** Fork the table at `from` (default: latest). One O_EXCL manifest
@@ -483,6 +483,20 @@ object Manifest {
         s"branch '$name' already exists on $root — dropBranch it first")
     writeBranchManifest(spark, root, name, v, m.entries, m.meta,
       m.deletes)
+    // O_EXCL only fences same-version collisions; two racing creators
+    // forking at DIFFERENT versions both pass the exists-check and
+    // write different filenames, leaving a corrupt two-base branch.
+    // Post-write validation: if our manifest is not the branch's
+    // minimum (fork-base) version, we lost — withdraw and fail.
+    val after = branchVersions(spark, root, name)
+    if (after.headOption != Some(v)) {
+      val (fs, _) = fsOf(spark, root)
+      fs.delete(new Path(manifestDir(root), branchManifestName(name, v)),
+        false)
+      throw new IllegalStateException(
+        s"branch '$name' was concurrently created on $root at " +
+          s"v${after.headOption.getOrElse(-1L)} — lost the race")
+    }
     v
   }
 
@@ -491,18 +505,10 @@ object Manifest {
       meta: Map[String, String], deletes: Seq[DeleteEntry]): Long = {
     val (fs, _) = fsOf(spark, root)
     val dst = new Path(manifestDir(root), branchManifestName(name, v))
-    val out =
-      try createExclusive(fs, dst)
-      catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
-             _: java.nio.file.FileAlreadyExistsException =>
-          throw new IllegalStateException(
-            s"commit conflict: version $v of branch '$name' on $root " +
-              "already exists (concurrent committer won); re-read the " +
-              "branch head and retry")
-      }
-    try out.write(manifestBody(entries, meta, deletes).getBytes("UTF-8"))
-    finally out.close()
+    writeExclusiveManifest(fs, dst, manifestBody(entries, meta, deletes),
+      s"commit conflict: version $v of branch '$name' on $root " +
+        "already exists (concurrent committer won); re-read the " +
+        "branch head and retry")
     v
   }
 
@@ -557,21 +563,22 @@ object Manifest {
     * [[discardStage]]). Returns the deleted data files. */
   def dropBranch(spark: SparkSession, root: String,
                  name: String): Seq[String] = {
-    val bvs = branchVersions(spark, root, name)
+    val byBranch = allBranchVersions(spark, root) // ONE listing
+    val bvs = byBranch.getOrElse(name, Nil)
     require(bvs.nonEmpty, s"no branch '$name' on $root")
     val (fs, _) = fsOf(spark, root)
     def refsOf(m: SnapshotMeta): Seq[String] =
       m.files ++ m.deletes.map(_.path)
     val mine = bvs.flatMap(v =>
-      refsOf(branchMeta(spark, root, name, Some(v)))).toSet
+      refsOf(readBranchManifest(spark, root, name, v))).toSet
     val keep: Set[String] =
       (versions(spark, root).flatMap(v =>
         refsOf(readManifest(spark, root, v))) ++
         stages(spark, root).flatMap(id =>
           refsOf(readStageManifest(spark, root, id))) ++
-        branches(spark, root).keys.filterNot(_ == name).flatMap(b =>
-          branchVersions(spark, root, b).flatMap(v =>
-            refsOf(branchMeta(spark, root, b, Some(v)))))).toSet
+        (byBranch - name).flatMap { case (b, vs) =>
+          vs.flatMap(v => refsOf(readBranchManifest(spark, root, b, v)))
+        }).toSet
     val dead = (mine -- keep).toSeq.sorted
     dead.foreach(f => fs.delete(new Path(s"$root/$f"), false))
     bvs.foreach(v => fs.delete(
@@ -580,14 +587,16 @@ object Manifest {
   }
 
   /** Every file any branch (any version) references — branch commits
-    * must survive main-chain vacuum/orphan reclamation. */
+    * must survive main-chain vacuum/orphan reclamation. One listing,
+    * then direct manifest reads by constructed name. */
   private def branchRefs(spark: SparkSession, root: String)
       : Set[String] =
-    branches(spark, root).keys.flatMap(b =>
-      branchVersions(spark, root, b).flatMap { v =>
-        val m = branchMeta(spark, root, b, Some(v))
+    allBranchVersions(spark, root).flatMap { case (b, vs) =>
+      vs.flatMap { v =>
+        val m = readBranchManifest(spark, root, b, v)
         m.files ++ m.deletes.map(_.path)
-      }).toSet
+      }
+    }.toSet
 
   /** Timestamp travel: the newest version committed at or before
     * `tsMillis` (what `TIMESTAMP AS OF` resolves to). Versions are
@@ -844,6 +853,26 @@ object Manifest {
     case _ => fs.create(dst, false)
   }
 
+  /** The ONE exclusive-manifest-write primitive every committer (chain
+    * publish, staged commit, branch commit) goes through: O_EXCL
+    * create, write, close; a lost race surfaces as IllegalStateException
+    * with the caller's message. Centralized so a future atomicity fix
+    * (an S3A-specific conflict exception, an fsync) lands everywhere
+    * at once. */
+  private def writeExclusiveManifest(fs: FileSystem, dst: Path,
+                                     body: String,
+                                     conflictMsg: => String): Unit = {
+    val out =
+      try createExclusive(fs, dst)
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+             _: java.nio.file.FileAlreadyExistsException =>
+          throw new IllegalStateException(conflictMsg)
+      }
+    try out.write(body.getBytes("UTF-8"))
+    finally out.close()
+  }
+
   /** Atomically publish `entries` as version `expected+1`. Throws on a
     * lost race (someone else committed that version first) — the
     * winner's manifest is never clobbered. `private[graft]` so the
@@ -862,18 +891,9 @@ object Manifest {
     // carried-forward metas are overridden with THIS snapshot's counts
     // and commit time (the publish moment IS the snapshot's timestamp —
     // what `TIMESTAMP AS OF` resolves against).
-    val body = manifestBody(entries, meta, deletes)
-    val out =
-      try createExclusive(fs, dst)
-      catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
-             _: java.nio.file.FileAlreadyExistsException =>
-          throw new IllegalStateException(
-            s"commit conflict: version $next of $root already exists " +
-              "(concurrent committer won); re-read latest and retry")
-      }
-    try out.write(body.getBytes("UTF-8"))
-    finally out.close()
+    writeExclusiveManifest(fs, dst, manifestBody(entries, meta, deletes),
+      s"commit conflict: version $next of $root already exists " +
+        "(concurrent committer won); re-read latest and retry")
     next
   }
 
@@ -901,6 +921,39 @@ object Manifest {
       s"~${d.path}\t${d.size.map(_.toString).getOrElse("")}\t${d.seq}\t" +
         d.keyCols.mkString(","))
     (hdr ++ delLines ++ fileLines).mkString("\n") + "\n"
+  }
+
+  /** Reference-counted session pin of
+    * `spark.sql.parquet.outputTimestampType` = TIMESTAMP_MICROS around
+    * every data write (Spark's INT96 default is unreadable by the
+    * connector's row path). A plain save/set/restore races concurrent
+    * committers on the same session — one thread's `finally` would
+    * restore INT96 while another's write job is still running, and its
+    * files would land INT96. Instead the FIRST writer in saves and
+    * pins, the LAST writer out restores; everyone in between shares
+    * the pin. Per-session state so independent sessions don't cross. */
+  private val tsPins =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession,
+      (Int, Option[String])]()
+  private def withMicrosTimestamps[A](spark: SparkSession)(body: => A): A = {
+    val key = "spark.sql.parquet.outputTimestampType"
+    tsPins.synchronized {
+      tsPins.get(spark) match {
+        case null =>
+          tsPins.put(spark, (1, spark.conf.getOption(key)))
+          spark.conf.set(key, "TIMESTAMP_MICROS")
+        case (depth, saved) => tsPins.put(spark, (depth + 1, saved))
+      }
+    }
+    try body
+    finally tsPins.synchronized {
+      tsPins.get(spark) match {
+        case (1, saved) =>
+          tsPins.remove(spark)
+          saved.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+        case (depth, saved) => tsPins.put(spark, (depth - 1, saved))
+      }
+    }
   }
 
   /** Write `df`'s rows as the next commit's data files (hive-partition
@@ -938,15 +991,13 @@ object Manifest {
       .getOrElse(Nil).filter(df.columns.contains)
     val w = bloomCols.foldLeft(shaped.write.mode("overwrite"))((w, c) =>
       w.option(s"parquet.bloom.filter.enabled#$c", "true"))
-    // INT64-micros timestamps, same pin as deleteByKeys: Spark's
-    // default INT96 encoding is unreadable by the connector's row-path
-    // reader (pushed LIMIT, CDC feeds decode TimestampType as INT64)
-    val tsKey = "spark.sql.parquet.outputTimestampType"
-    val oldTs = spark.conf.getOption(tsKey)
-    spark.conf.set(tsKey, "TIMESTAMP_MICROS")
-    try (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*)
-         else w).parquet(dir)
-    finally oldTs.fold(spark.conf.unset(tsKey))(spark.conf.set(tsKey, _))
+    // INT64-micros timestamps: Spark's default INT96 encoding is
+    // unreadable by the connector's row-path reader (pushed LIMIT,
+    // CDC feeds decode TimestampType as INT64)
+    withMicrosTimestamps(spark) {
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*)
+       else w).parquet(dir)
+    }
     val (fs, rootP) = fsOf(spark, root)
     withStats(spark, root, commitFiles(fs, rootP, new Path(dir)))
       .map(_.copy(seq = Some(next)))
@@ -1471,11 +1522,9 @@ object Manifest {
     val dir = f"$root/data/d$next%08d-$salt"
     // INT64-micros timestamps: the connector's executor-side key
     // decode (and its own data-file encoding) is INT64, not INT96
-    val tsKey = "spark.sql.parquet.outputTimestampType"
-    val oldTs = spark.conf.getOption(tsKey)
-    spark.conf.set(tsKey, "TIMESTAMP_MICROS")
-    try packed.write.mode("overwrite").parquet(dir)
-    finally oldTs.fold(spark.conf.unset(tsKey))(spark.conf.set(tsKey, _))
+    withMicrosTimestamps(spark) {
+      packed.write.mode("overwrite").parquet(dir)
+    }
     val (fs, rootP) = fsOf(spark, root)
     val delEntries = commitFiles(fs, rootP, new Path(dir))
       .map(e => DeleteEntry(e.path, e.size, next, kc))

@@ -40,22 +40,37 @@ object MaterializedAgg {
   private val BucketCol = "mv_bucket"
   private val CountCol = "mv_count"
   private def sumCol(c: String) = s"sum_$c"
+  // hidden per-sum non-null counter: the NULL-ness oracle. sum over a
+  // group is NULL iff the group holds zero non-null values, and that
+  // fact is delta-maintainable even though the sum's null-ness alone
+  // is not (old 5 + delta −5 could be "empty" or "two rows netting 0")
+  private def nnCol(c: String) = s"nn_$c"
 
-  /** Deterministic, null-safe group key: md5 of the canonical JSON of
-    * the group tuple (field order = spec order, so the same tuple
-    * always hashes identically). */
+  /** Deterministic, null-safe, SESSION-INDEPENDENT group key: md5 of
+    * the canonical JSON of the group tuple (field order = spec order).
+    * Timestamp members hash their epoch micros, never their rendered
+    * string — to_json renders timestamps in the session timezone, and
+    * a refresh run under a different zone would miss every stored key. */
   private def withKey(df: DataFrame, groupCols: Seq[String],
-                      buckets: Int): DataFrame =
-    df.withColumn(KeyCol,
-        md5(to_json(struct(groupCols.map(col): _*))))
+                      buckets: Int): DataFrame = {
+    val canon = groupCols.map { c =>
+      df.schema(c).dataType match {
+        case org.apache.spark.sql.types.TimestampType =>
+          unix_micros(col(c)).as(c)
+        case _ => col(c)
+      }
+    }
+    df.withColumn(KeyCol, md5(to_json(struct(canon: _*))))
       .withColumn(BucketCol,
         pmod(crc32(col(KeyCol)), lit(buckets.toLong)).cast("int"))
+  }
 
   private def aggregateOf(df: DataFrame, groupCols: Seq[String],
                           sumCols: Seq[String],
                           buckets: Int): DataFrame = {
     val aggs = count(lit(1)).as(CountCol) +:
-      sumCols.map(c => sum(col(c)).as(sumCol(c)))
+      (sumCols.map(c => sum(col(c)).as(sumCol(c))) ++
+        sumCols.map(c => count(col(c)).as(nnCol(c))))
     withKey(df.groupBy(groupCols.map(col): _*).agg(aggs.head,
       aggs.tail: _*), groupCols, buckets)
   }
@@ -63,9 +78,18 @@ object MaterializedAgg {
   private def stateMeta(srcRoot: String, groupCols: Seq[String],
                         sumCols: Seq[String], buckets: Int,
                         base: Long): Map[String, String] = {
-    require((groupCols ++ sumCols).forall(c =>
-        !c.contains(",") && !c.contains("\n")),
-      "materialized-agg column names must not contain ','")
+    val reserved = Set(KeyCol, BucketCol, CountCol, "count")
+    (groupCols ++ sumCols).foreach { c =>
+      require(!c.contains(",") && !c.contains("\n"),
+        s"materialized-agg column name '$c' must not contain ','")
+      // internal alias namespaces (mv_*, sum_*, nn_*, d_*, __old_*)
+      // would collide with the refresh plan's columns — fail at CREATE,
+      // not on the first refresh
+      require(!reserved(c) &&
+          !Seq("mv_", "sum_", "nn_", "d_", "__old_").exists(c.startsWith),
+        s"materialized-agg column name '$c' collides with the view's " +
+          "internal columns (mv_*/sum_*/nn_*/d_*/__old_*/count)")
+    }
     Map("mv.base" -> base.toString, "mv.src" -> srcRoot,
       "mv.group" -> groupCols.mkString(","),
       "mv.sum" -> sumCols.mkString(","),
@@ -102,10 +126,14 @@ object MaterializedAgg {
   }
 
   /** The view's contents (groups with zero surviving rows are
-    * tombstoned in storage and hidden here). */
-  def read(spark: SparkSession, mvRoot: String): DataFrame =
+    * tombstoned in storage and hidden here; internal key/bucket and
+    * non-null-counter columns are dropped). */
+  def read(spark: SparkSession, mvRoot: String): DataFrame = {
+    val (meta, _) = state(spark, mvRoot)
+    val sumCols = meta("mv.sum").split(',').toSeq.filter(_.nonEmpty)
     Manifest.read(spark, mvRoot).filter(col(CountCol) > 0L)
-      .drop(KeyCol, BucketCol)
+      .drop(KeyCol +: BucketCol +: sumCols.map(nnCol): _*)
+  }
 
   /** Advance the view to the source's current version. Incremental
     * when the file-diff contract holds (cost ∝ changed files), full
@@ -114,6 +142,9 @@ object MaterializedAgg {
   def refresh(spark: SparkSession, srcRoot: String,
               mvRoot: String): Long = {
     val (meta, mvHead) = state(spark, mvRoot)
+    require(meta("mv.src") == srcRoot,
+      s"$mvRoot materializes ${meta("mv.src")}, not $srcRoot — " +
+        "refreshing against a different table would corrupt the view")
     val base = meta("mv.base").toLong
     val groupCols = meta("mv.group").split(',').toSeq
     val sumCols = meta("mv.sum").split(',').toSeq.filter(_.nonEmpty)
@@ -166,26 +197,36 @@ object MaterializedAgg {
               .withColumn("__sign", lit(-1L)),
             allowMissingColumns = true)
         val deltaAggs = sum(sign).as("d_count") +:
-          sumCols.map(c => sum(col(c) * sign).as(s"d_$c"))
+          (sumCols.map(c => sum(col(c) * sign).as(s"d_s_$c")) ++
+            sumCols.map(c => sum(when(col(c).isNotNull, sign)
+              .otherwise(lit(0L))).as(s"d_n_$c")))
         val delta = withKey(
           changes.groupBy(groupCols.map(col): _*)
             .agg(deltaAggs.head, deltaAggs.tail: _*),
           groupCols, buckets)
         val stored = Manifest.read(spark, mvRoot, Some(mvHead))
           .select(col(KeyCol) +: col(CountCol).as("__old_count") +:
-            sumCols.map(c => col(sumCol(c)).as(s"__old_$c")): _*)
+            (sumCols.map(c => col(sumCol(c)).as(s"__old_s_$c")) ++
+              sumCols.map(c => col(nnCol(c)).as(s"__old_n_$c"))): _*)
         val updates = delta.join(stored, Seq(KeyCol), "left")
           .select(
             groupCols.map(col) ++
               Seq((coalesce(col("__old_count"), lit(0L)) +
                 col("d_count")).as(CountCol)) ++
-              sumCols.map { c =>
-                val o = col(s"__old_$c")
-                val d = col(s"d_$c")
-                // both-null → null (all-null group), else null-as-zero
-                when(o.isNull && d.isNull, o)
-                  .otherwise(coalesce(o, lit(0)) + coalesce(d, lit(0)))
-                  .as(sumCol(c))
+              sumCols.flatMap { c =>
+                val os = col(s"__old_s_$c")
+                val ds = col(s"d_s_$c")
+                val nn = coalesce(col(s"__old_n_$c"), lit(0L)) +
+                  coalesce(col(s"d_n_$c"), lit(0L))
+                Seq(
+                  // the non-null counter decides NULL-ness exactly as
+                  // a recompute would: zero non-null values → NULL sum
+                  // (removing a group's last non-null row must not
+                  // leave a spurious 0 behind)
+                  when(nn === 0L, lit(null))
+                    .otherwise(coalesce(os, lit(0)) + coalesce(ds, lit(0)))
+                    .as(sumCol(c)),
+                  nn.as(nnCol(c)))
               } ++ Seq(col(KeyCol), col(BucketCol)): _*)
         Manifest.mergeInto(spark, mvRoot, updates, KeyCol,
           Seq(BucketCol),

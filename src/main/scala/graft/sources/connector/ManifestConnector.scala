@@ -173,7 +173,8 @@ object ManifestConnector {
                             files: Seq[FileInfo], partCols: Seq[String],
                             dataSchema: StructType,
                             declared: Option[StructType] = None,
-                            deletes: Seq[Manifest.DeleteEntry] = Nil) {
+                            deletes: Seq[Manifest.DeleteEntry] = Nil,
+                            branch: Option[String] = None) {
     /** Merge-on-read delete files applying to `f` (strictly newer than
       * the file's data sequence), as executor-shippable specs. */
     def deleteSpecsFor(f: FileInfo): Array[DeleteFileSpec] =
@@ -258,7 +259,18 @@ object ManifestConnector {
     require(Seq("version", "timestampasof", "stage", "branch")
         .count(opts.contains) <= 1,
       "give at most one of version, timestampAsOf, stage, branch")
-    val snap = (opts.get("stage"), opts.get("branch")) match {
+    // `VERSION AS OF 'branch:name'` reads a branch head through SQL —
+    // the version slot is the only channel SQL time travel carries
+    val branchOpt: Option[String] = opts.get("branch").orElse(
+      opts.get("version").collect {
+        case v if v.startsWith("branch:") => v.stripPrefix("branch:") })
+    // the CDC feed resolves MAIN-CHAIN manifests by version number; a
+    // branch's version numbers live on its own chain, so combining the
+    // two would silently serve main's changes as the branch's
+    require(!(branchOpt.isDefined && opts.contains("cdc")),
+      "option(branch) cannot combine with cdc: the change feed is " +
+        "defined over the main version chain")
+    val snap = (opts.get("stage"), branchOpt) match {
       case (Some(id), _) => // audit read of an unpublished staged commit
         Manifest.stageMeta(spark, root, id)
       case (_, Some(name)) => // branch head (writable fork)
@@ -344,7 +356,7 @@ object ManifestConnector {
         val dataSchema = StructType(
           full.filterNot(f => partCols.contains(f.name)))
         Resolved(root, version, files, partCols, dataSchema, Some(full),
-          snap.deletes)
+          snap.deletes, branchOpt)
 
       case None =>
         // legacy manifest: derive the layout from paths and the data
@@ -363,7 +375,8 @@ object ManifestConnector {
           StructField(f.getName, sparkTypeOf(f),
             nullable = !f.isRepetition(PType.Repetition.REQUIRED))
         })
-        Resolved(root, version, files, partCols, dataSchema)
+        Resolved(root, version, files, partCols, dataSchema,
+          branch = branchOpt)
     }
   }
 
@@ -1369,10 +1382,16 @@ final class ManifestScan(res: ManifestConnector.Resolved,
     * projection) applies per batch through the same paths as the batch
     * scan. */
   override def toMicroBatchStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    // stream offsets are MAIN-CHAIN versions; a branch has its own
+    // numbering, so streaming a branch would replay main's commits
+    require(res.branch.isEmpty,
+      "option(branch) cannot combine with readStream: stream offsets " +
+        "are main-chain versions")
     new ManifestMicroBatchStream(res, required, partitionFilters,
       dataFilters, mkReaderFactory(), maxVersionsPerTrigger, cdc,
       startingVersion, startingTimestamp)
+  }
 
   private[connector] def mkReaderFactory(): PartitionReaderFactory = {
     // Hadoop Configuration is not serializable; ship the entries and

@@ -586,6 +586,10 @@ class ManifestCatalogSpec extends SparkSpec {
       .load(warehouse.stripPrefix("file://") + "/db/br").count() == 4L)
     assert(spark.sql("CALL graftcat.system.branches(table => 'db.br')")
       .as[(String, Long)].collect().toSeq == Seq(("exp", 3L)))
+    // pure-SQL branch read: the version slot carries the branch ref
+    assert(spark.sql(
+      "SELECT count(*) FROM graftcat.db.br VERSION AS OF 'branch:exp'")
+      .as[Long].head == 4L)
     assert(spark.sql("CALL graftcat.system.fast_forward(" +
       "table => 'db.br', name => 'exp')").as[Long].head == 3L)
     assert(spark.table("graftcat.db.br").count() == 4L)

@@ -1096,4 +1096,24 @@ class ManifestSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Manifest.branchHead(spark, root, "nope"))
   }
+
+  test("branches: the connector refuses branch+cdc and branch " +
+    "streaming — both would resolve main-chain versions") {
+    val root = newRoot()
+    Manifest.init(spark, root, Seq((1L, "a")).toDF("id", "s"))
+    Manifest.createBranch(spark, root, "exp")
+    intercept[Exception](spark.read.format("graft-manifest")
+      .option("branch", "exp").option("cdc", "true")
+      .option("changesFrom", "0").load(root).collect())
+    // streaming resolves lazily: the refusal surfaces at query start
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-brs").toString
+    val q = spark.readStream.format("graft-manifest")
+      .option("branch", "exp").load(root)
+      .writeStream.format("noop")
+      .option("checkpointLocation", ckpt).start()
+    val e = intercept[org.apache.spark.sql.streaming
+      .StreamingQueryException](q.awaitTermination())
+    assert(e.getMessage.contains("branch"), e.getMessage)
+  }
 }

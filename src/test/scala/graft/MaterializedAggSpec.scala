@@ -90,4 +90,56 @@ class MaterializedAggSpec extends SparkSpec {
     MaterializedAgg.refresh(spark, src, mv)
     assert(mvContents(mv) == recompute(src))
   }
+
+  test("NULL-sum fidelity: removing a group's last non-null value " +
+    "yields NULL, not 0 — the non-null counter decides like a recompute") {
+    val src = newRoot("src3")
+    val mv = newRoot("mv3")
+    Manifest.init(spark, src,
+      Seq((1L, "a", Some(5L)), (2L, "a", None), (3L, "b", Some(7L)))
+        .toDF("id", "lang", "n"))
+    MaterializedAgg.create(spark, src, mv, Seq("lang"), Seq("n"),
+      buckets = 4)
+    // CoW delete of the only non-null 'a' row; the null row survives
+    Manifest.deleteWhere(spark, src, col("id") === 1L, Nil)
+    MaterializedAgg.refresh(spark, src, mv)
+    val rows = MaterializedAgg.read(spark, mv)
+      .select("lang", "mv_count", "sum_n")
+      .as[(String, Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(rows("a") == ((1L, None)),
+      s"sum over an all-null group must be NULL, got ${rows("a")}")
+    assert(rows("b") == ((1L, Some(7L))))
+    // and a new value arriving later resumes from zero, not from null
+    Manifest.commitAppend(spark, src,
+      Seq((4L, "a", Some(9L))).toDF("id", "lang", "n"))
+    MaterializedAgg.refresh(spark, src, mv)
+    assert(MaterializedAgg.read(spark, mv)
+      .filter(col("lang") === "a").select("sum_n")
+      .as[Option[Long]].head.contains(9L))
+  }
+
+  test("guard rails: wrong source root refuses, colliding column " +
+    "names fail at create") {
+    val src = newRoot("src4")
+    val other = newRoot("src5")
+    val mv = newRoot("mv4")
+    Manifest.init(spark, src, Seq((1L, "a", 1L)).toDF("id", "lang", "n"))
+    Manifest.init(spark, other,
+      Seq((1L, "a", 1L)).toDF("id", "lang", "n"))
+    MaterializedAgg.create(spark, src, mv, Seq("lang"), Seq("n"))
+    val e = intercept[IllegalArgumentException](
+      MaterializedAgg.refresh(spark, other, mv))
+    assert(e.getMessage.contains("materializes"), e.getMessage)
+    // internal-namespace collisions are caught at CREATE, not on the
+    // first refresh
+    for (bad <- Seq("count", "mv_key", "sum_x", "nn_y", "d_z", "__old_w"))
+      intercept[IllegalArgumentException] {
+        val r = newRoot("bad")
+        Manifest.init(spark, r,
+          Seq((1L, "a")).toDF(bad, "lang"))
+        MaterializedAgg.create(spark, r, newRoot("badmv"),
+          Seq("lang"), Seq(bad))
+      }
+  }
 }

@@ -1200,6 +1200,34 @@ object Manifest {
     }
   }
 
+  /** Batch commit of ALREADY-WRITTEN files — the driver half of the
+    * native V2 `INSERT INTO` / `INSERT OVERWRITE` path, whose
+    * executors staged the parquet files themselves and report only
+    * `(path, size)`. Append carries the previous snapshot forward
+    * (schema header widens, pending MoR deletes still guard older
+    * files); replace swaps the entire file set, commitReplace-style.
+    * Zone-map stats are collected here (footer reads, O(this commit)). */
+  private[graft] def commitStagedEntries(spark: SparkSession,
+      root: String, entries: Seq[FileEntry],
+      schema: org.apache.spark.sql.types.StructType,
+      partitionCols: Seq[String], replace: Boolean): Long = {
+    val cur = latestVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"$root not initialized"))
+    val prev = readManifest(spark, root, cur)
+    val stated = withStats(spark, root, entries.sortBy(_.path))
+      .map(_.copy(seq = Some(cur + 1)))
+    if (replace)
+      publish(spark, root, cur, stated,
+        prev.meta - "dropped" ++ schemaHeaders(schema, partitionCols))
+    else {
+      checkPartCols(prev, partitionCols)
+      publish(spark, root, cur, prev.entries ++ stated,
+        prev.meta ++ schemaHeaders(
+          appendSchema(spark, root, prev, schema), partitionCols),
+        prev.deletes)
+    }
+  }
+
   /** Atomic swap-commit for a row-level rewrite (SQL UPDATE / MERGE /
     * DELETE through the connector): next snapshot = previous files
     * minus `removed` (the files the rewrite scan planned) plus `added`

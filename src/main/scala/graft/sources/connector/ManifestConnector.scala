@@ -22,7 +22,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, Write, WriteBuilder}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.sources.{Filter => SFilter}
 import org.apache.spark.sql.types._
@@ -786,12 +786,14 @@ object ManifestConnector {
 }
 
 /** Reads plan against the frozen `res` snapshot; writes commit through
-  * the manifest protocol via the V1 write bridge — `toInsertableRelation`
-  * hands the whole DataFrame back to the driver, so the data files go
-  * through Spark's native vectorized parquet writer and the commit is
-  * the same atomic create-if-absent publish every other writer uses
-  * (exactly-once, snapshot-isolated, time-travelable). INSERT INTO =
-  * append commit; INSERT OVERWRITE/truncate = replace commit.
+  * the manifest protocol via the NATIVE V2 batch write — executors
+  * stage the parquet files themselves (the driver sees only
+  * (path, size) reports) and the commit is the same atomic
+  * create-if-absent publish every other writer uses (exactly-once,
+  * snapshot-isolated, time-travelable). INSERT INTO = append commit;
+  * INSERT OVERWRITE/truncate = replace commit; partitioned tables
+  * declare a clustered write distribution so inserts write O(values)
+  * files.
   *
   * SQL DML rides the standard V2 mix-ins: `SupportsDelete` routes
   * `DELETE FROM t WHERE ...` with translatable predicates straight
@@ -840,7 +842,7 @@ final case class ManifestTable(res: ManifestConnector.Resolved,
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def canDeleteWhere(predicates: Array[org.apache.spark.sql
       .connector.expressions.filter.Predicate]): Boolean =
@@ -905,22 +907,46 @@ final case class ManifestTable(res: ManifestConnector.Resolved,
       Option(options.get("changesFrom")).map(_.toLong))
   }
 
+  /** NATIVE V2 batch write (INSERT INTO / INSERT OVERWRITE): executors
+    * stream rows straight into staged parquet files (same data plane
+    * as the streaming sink and row-level rewrites — the driver never
+    * holds a DataFrame) and the driver publishes their (path, size)
+    * reports as one atomic commit. Declares
+    * `RequiresDistributionAndOrdering`: a PARTITIONED table asks Spark
+    * to cluster incoming rows by the partition columns, so an INSERT
+    * with T tasks over P partition values writes O(P) files instead of
+    * the O(T×P) small-files explosion — the SQL-path twin of the Scala
+    * API's `write.clustered` opt-in, on by default where Spark can
+    * plan the exchange (the same default Delta/Iceberg chose). */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
       private var replace = false
       override def truncate(): WriteBuilder = { replace = true; this }
-      override def build(): Write = new V1Write {
-        override def toInsertableRelation: InsertableRelation =
-          new InsertableRelation {
-            override def insert(data: org.apache.spark.sql.DataFrame,
-                                overwrite: Boolean): Unit = {
-              val spark = data.sparkSession
-              if (replace || overwrite)
-                Manifest.commitReplace(spark, res.root, data, res.partCols)
-              else
-                Manifest.commitAppend(spark, res.root, data, res.partCols)
-            }
-          }
+      override def build(): Write = new Write
+          with org.apache.spark.sql.connector.write
+            .RequiresDistributionAndOrdering {
+        override def requiredDistribution()
+            : org.apache.spark.sql.connector.distributions.Distribution =
+          if (res.partCols.isEmpty)
+            org.apache.spark.sql.connector.distributions.Distributions
+              .unspecified()
+          else
+            org.apache.spark.sql.connector.distributions.Distributions
+              .clustered(res.partCols.map(c =>
+                org.apache.spark.sql.connector.expressions.Expressions
+                  .identity(c)).toArray[
+                org.apache.spark.sql.connector.expressions.Expression])
+        override def requiredOrdering()
+            : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+          Array.empty
+        // clustering is an optimization, not a correctness need: let
+        // AQE skip/shrink the exchange for tiny inserts
+        override def distributionStrictlyRequired(): Boolean = false
+
+        override def toBatch: org.apache.spark.sql.connector.write
+            .BatchWrite =
+          new ManifestBatchWrite(res, info.schema(), replace)
+
         // the streaming plane of the SAME builder: executor-staged
         // files, exactly-once epoch commits (see ManifestStreamingWrite)
         override def toStreaming: org.apache.spark.sql.connector.write
@@ -939,6 +965,65 @@ final case class ManifestTable(res: ManifestConnector.Resolved,
             })
       }
     }
+}
+
+/** Driver half of the native batch INSERT: collect the executors'
+  * staged (path, size) entries and publish ONE atomic append/replace
+  * commit. Commit conflicts with concurrent writers retry (the staged
+  * files are already on disk — a retry is one manifest re-read, no
+  * data rewrite); aborts delete whatever the failed tasks staged. */
+final class ManifestBatchWrite(res: ManifestConnector.Resolved,
+    schema: StructType, replace: Boolean)
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+
+  import org.apache.spark.sql.connector.write.{DataWriterFactory, PhysicalWriteInfo, WriterCommitMessage}
+
+  private def spark = SparkSession.active
+  private val salt = java.util.UUID.randomUUID().toString.take(8)
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : DataWriterFactory = {
+    val confEntries = spark.sparkContext.hadoopConfiguration
+      .iterator().asScala.map(e => (e.getKey, e.getValue)).toArray
+    ManifestWriterFactory(confEntries, res.root, s"b$salt", schema,
+      res.partCols)
+  }
+
+  private def entriesOf(messages: Array[WriterCommitMessage]) =
+    messages.toSeq.collect { case m: ManifestWriteMessage => m.entries }
+      .flatten.map { case (p, sz) => Manifest.FileEntry(p, Some(sz)) }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val entries = entriesOf(messages)
+    var attempt = 0
+    var done = false
+    while (!done) {
+      try {
+        Manifest.commitStagedEntries(spark, res.root, entries, schema,
+          res.partCols, replace)
+        done = true
+      } catch {
+        // both faces of the concurrent-writer race (see the streaming
+        // sink's identical loop): the staged data is safe, retry the
+        // metadata claim a bounded number of times
+        case e: IllegalStateException
+            if e.getMessage.contains("commit conflict") && attempt < 3 =>
+          attempt += 1
+        case e: IllegalArgumentException
+            if e.getMessage.contains("torn manifest read") && attempt < 3 =>
+          attempt += 1
+      }
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(res.root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    entriesOf(messages).foreach { e =>
+      try fs.delete(new Path(s"${res.root}/${e.path}"), false)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
 }
 
 final class ManifestScanBuilder(res: ManifestConnector.Resolved,

@@ -568,6 +568,31 @@ class ManifestCatalogSpec extends SparkSpec {
       "CREATE NAMESPACE graftcat.`../outside`"))
   }
 
+  test("native batch INSERT clusters by partition columns: a " +
+    "multi-task insert writes O(partition values) files, not O(T×P)") {
+    spark.sql("CREATE TABLE graftcat.db.clustered " +
+      "(id BIGINT, lang STRING) PARTITIONED BY (lang)")
+    spark.range(0, 400, 1, 8) // 8 upstream tasks
+      .selectExpr("id", "CASE CAST(id % 4 AS INT) WHEN 0 THEN 'de' " +
+        "WHEN 1 THEN 'en' WHEN 2 THEN 'fr' ELSE 'zh' END AS lang")
+      .createOrReplaceTempView("clustered_src")
+    spark.sql("INSERT INTO graftcat.db.clustered " +
+      "SELECT id, lang FROM clustered_src")
+    assert(spark.table("graftcat.db.clustered").count() == 400L)
+    // 8 tasks × 4 values would be 32 files unclustered; the declared
+    // write distribution co-locates each value into one task
+    val files = Manifest
+      .snapshot(spark, s"$warehouse/db/clustered",
+        Manifest.latestVersion(spark, s"$warehouse/db/clustered").get)
+      .files
+    assert(files.size <= 4, s"expected ≤4 clustered files, got " +
+      s"${files.size}:\n${files.mkString("\n")}")
+    // and the rows round-trip exactly
+    assert(spark.sql("SELECT lang, count(*) FROM graftcat.db.clustered " +
+      "GROUP BY lang ORDER BY lang").as[(String, Long)].collect().toSeq ==
+      Seq(("de", 100L), ("en", 100L), ("fr", 100L), ("zh", 100L)))
+  }
+
   test("branches through SQL: create_branch / branch_append / " +
     "fast_forward / branches / drop_branch") {
     spark.sql("CREATE TABLE graftcat.db.br (id BIGINT, s STRING)")

@@ -188,6 +188,49 @@ object Dedup {
         col("jaccard")): _*)
   }
 
+  /** X2/X4: EXACT duplicated-span coverage — the signal behind
+    * suffix-array exact-substring dedup (Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better"),
+    * re-expressed relationally: for every document, how many of its
+    * DISTINCT n-token spans also occur in at least `minDocs`
+    * documents corpus-wide (itself included), plus the coverage
+    * ratio. Documents with high `dup_ratio` are boilerplate/mirror
+    * suspects; a length-L duplicated substring in the suffix-array
+    * formulation is exactly a run of duplicated n-grams here.
+    *
+    * Scale design: one explode → one aggregation keyed on the n-gram
+    * → one semi-join back, all shuffles on the gram key — linear in
+    * corpus token count, never pairwise in documents. The per-gram
+    * state is a counter (no doc-list materialization), so viral
+    * grams ("click here to subscribe") cost one long, not one list;
+    * map-side partial counts absorb within-partition repeats. The
+    * gram string itself is the shuffle key to keep the operator
+    * exact and oracle-replayable; at 100 TB substitute
+    * `xxhash64(gram)` for the key (64-bit, collision-safe at any
+    * realistic gram cardinality) — same plan shape, smaller shuffle.
+    *
+    * Output: (idCol, total_ngrams, dup_ngrams, dup_ratio); documents
+    * below the shingle width carry 0 totals and a NULL ratio. */
+  def dupSpanCoverage(df: DataFrame, idCol: String, textCol: String,
+                      shingleN: Int = 3, minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val sh = shingleSets(df, idCol, textCol, shingleN)
+    val grams = sh.select(col("doc"), explode(col("sh")).as("gram"))
+    // shingle sets are per-doc distinct, so count(*) = document count
+    val dup = grams.groupBy("gram").agg(count(lit(1)).as("docs"))
+      .filter(col("docs") >= minDocs).select("gram")
+    val dupPerDoc = grams.join(dup, Seq("gram"), "left_semi")
+      .groupBy("doc").agg(count(lit(1)).as("dup_ngrams"))
+    val dups = coalesce(col("dup_ngrams"), lit(0L))
+    sh.select(col("doc"), size(col("sh")).cast("long").as("total_ngrams"))
+      .join(dupPerDoc, Seq("doc"), "left")
+      .select(col("doc").as(idCol), col("total_ngrams"),
+        dups.as("dup_ngrams"),
+        when(col("total_ngrams") > 0L,
+          dups.cast("double") / col("total_ngrams").cast("double"))
+          .as("dup_ratio"))
+  }
+
   /** X1 incremental: dedup a NEW batch against an already-ingested
     * corpus — the continual-ingestion shape (nightly crawl vs the
     * existing 100 TB corpus). Survivors are batch rows that are (a)

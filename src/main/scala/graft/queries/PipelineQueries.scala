@@ -1680,5 +1680,34 @@ object PipelineQueries {
         SELECT lang, count(*) AS n_chunks,
           CAST(sum(ctoks) AS BIGINT) AS chunk_tokens,
           max(ctoks) AS max_chunk, min(ctoks) AS min_chunk
-        FROM x GROUP BY lang ORDER BY lang""")))
+        FROM x GROUP BY lang ORDER BY lang""")),
+
+    // ---- X2/X4: exact duplicated-span coverage (Lee et al. 2021) --------
+    // The suffix-array exact-substring dedup signal, relationally: a
+    // doc's distinct 3-grams that occur in >= 2 docs corpus-wide.
+    // Linear shuffles on the gram key — never pairwise in documents.
+    QueryDef("q143_dup_spans",
+      (s, dir) => Dedup.dupSpanCoverage(
+          Tables.load(s, dir, "documents"), "doc_id", "text",
+          shingleN = 3)
+        .orderBy("doc_id"),
+      Some("""WITH sh AS (
+          SELECT doc_id, CASE WHEN len(toks) >= 3 THEN list_distinct(
+            [array_to_string(toks[i:i+2], ' ')
+              for i in range(1, len(toks) - 1)])
+          ELSE [] END AS s
+          FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+                FROM documents)),
+        g AS (SELECT doc_id, unnest(s) AS gram FROM sh),
+        d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+        dp AS (SELECT doc_id, count(*) AS dup_ngrams
+          FROM g JOIN d USING (gram) GROUP BY doc_id)
+        SELECT sh.doc_id, CAST(len(sh.s) AS BIGINT) AS total_ngrams,
+          CAST(coalesce(dp.dup_ngrams, 0) AS BIGINT) AS dup_ngrams,
+          CASE WHEN len(sh.s) > 0 THEN
+            CAST(coalesce(dp.dup_ngrams, 0) AS DOUBLE)
+              / CAST(len(sh.s) AS DOUBLE)
+          END AS dup_ratio
+        FROM sh LEFT JOIN dp USING (doc_id)
+        ORDER BY sh.doc_id""")))
 }

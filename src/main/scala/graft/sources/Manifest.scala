@@ -612,6 +612,130 @@ object Manifest {
         s"no snapshot of $root exists at or before epoch-millis " +
           s"$tsMillis (first commit is newer)"))
 
+  /** Non-destructive ROLLBACK: publish a NEW head whose snapshot
+    * equals version `to` — entries (with their original sequence
+    * numbers), pending merge-on-read deletes, and every header
+    * (schema, partition layout, dropped-column tombstones, streaming
+    * high-water marks) are `to`'s, re-referenced with ZERO data IO.
+    * The abandoned commits stay on the chain, time-travelable until
+    * expired, so a rollback is itself undoable (roll "back" to the
+    * old head's number). Retention keeps `to`'s files live because
+    * the new head references them. Streaming batch marks revert WITH
+    * the content: a sink batch the rollback undid becomes
+    * re-appliable on replay — exactly-once is a property of the
+    * table's current content, not of its abandoned history. Fails
+    * loudly on an unknown/expired `to`, on `to` >= head (nothing to
+    * roll back), and on a lost commit race (retry). */
+  def rollback(spark: SparkSession, root: String, to: Long): Long = {
+    val cur = latestVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"$root not initialized"))
+    require(to < cur,
+      s"rollback target v$to is not an ancestor of the head v$cur")
+    require(versions(spark, root).contains(to),
+      s"version $to of $root no longer exists (expired?) — " +
+        "cannot roll back to it")
+    val m = readManifest(spark, root, to)
+    publish(spark, root, cur, m.entries,
+      m.meta + ("rollback-of" -> to.toString), m.deletes)
+  }
+
+  /** ANALYZE TABLE: one column-pruned aggregation pass over the
+    * current snapshot collects per-column NDV (HyperLogLog++
+    * approximate), exact null counts, and (strings/binary) average and
+    * max byte lengths, then publishes them as a `colstats` header on a
+    * new metadata-only commit — same files, zero data IO beyond the
+    * stats pass itself. The connector folds these into the DSv2
+    * `columnStats()` report, which Spark's `transformV2Stats` converts
+    * to catalyst per-attribute statistics: with `spark.sql.cbo.enabled`
+    * the join-reorder and filter-selectivity estimators see real NDVs
+    * instead of guessing from row counts. Stats are ADVISORY — later
+    * commits carry the header forward unchanged (the `colstats-v`
+    * header records which version was analyzed, so staleness is
+    * observable); estimates never affect results, only plans.
+    * `cols = Nil` analyzes every column. */
+  def analyzeTable(spark: SparkSession, root: String,
+                   cols: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.functions.{approx_count_distinct, avg,
+      length, octet_length, sum, when}
+    val cur = latestVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"$root not initialized"))
+    val df = read(spark, root, Some(cur))
+    val fields = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val targets = if (cols.isEmpty) df.schema.fieldNames.toSeq else cols
+    targets.foreach(c => require(fields.contains(c),
+      s"cannot analyze '$c': not a column of $root " +
+        s"(${df.schema.fieldNames.mkString(", ")})"))
+    import org.apache.spark.sql.types.{BinaryType, StringType}
+    val aggs = targets.flatMap { c =>
+      Seq(approx_count_distinct(col(c)).as(s"ndv:$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls:$c")) ++
+        (fields(c) match {
+          case StringType => Seq(
+            avg(octet_length(col(c))).as(s"avglen:$c"),
+            max(octet_length(col(c))).as(s"maxlen:$c"))
+          case BinaryType => Seq(
+            avg(length(col(c))).as(s"avglen:$c"),
+            max(length(col(c))).as(s"maxlen:$c"))
+          case _ => Nil
+        })
+    }
+    val row = df.select(targets.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*).collect()(0)
+    def longAt(n: String): Option[Long] = {
+      if (!row.schema.fieldNames.contains(n)) return None
+      val i = row.fieldIndex(n)
+      if (row.isNullAt(i)) None
+      else Some(row.get(i) match {
+        case l: Long   => l
+        case i2: Int   => i2.toLong
+        case d: Double => math.ceil(d).toLong
+        case o         => o.toString.toDouble.ceil.toLong
+      })
+    }
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val json = JsonMethods.compact(JsonMethods.render(JObject(
+      targets.sorted.map { c =>
+        c -> (JObject(List(
+          "ndv" -> (JLong(longAt(s"ndv:$c").getOrElse(0L)): JValue),
+          "nulls" -> (JLong(longAt(s"nulls:$c").getOrElse(0L)): JValue)) ++
+          longAt(s"avglen:$c").map(v => "avglen" -> (JLong(v): JValue)) ++
+          longAt(s"maxlen:$c").map(v => "maxlen" -> (JLong(v): JValue)))
+          : JValue)
+      }.toList)))
+    val prev = readManifest(spark, root, cur)
+    publish(spark, root, cur, prev.entries,
+      prev.meta + ("colstats" -> json) +
+        ("colstats-v" -> (cur + 1).toString),
+      prev.deletes)
+  }
+
+  /** One analyzed column's stats, decoded from the `colstats` header. */
+  final case class AnalyzedCol(ndv: Long, nulls: Long,
+                               avgLen: Option[Long], maxLen: Option[Long])
+
+  /** Decode a `colstats` header; empty on any irregularity. */
+  def decodeColStats(s: String): Map[String, AnalyzedCol] =
+    try {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      def l(v: JValue): Option[Long] = v match {
+        case JLong(n) => Some(n)
+        case JInt(n)  => Some(n.toLong)
+        case _        => None
+      }
+      JsonMethods.parse(s) match {
+        case JObject(fields) => fields.flatMap { case (c, v) =>
+          for {
+            ndv <- l(v \ "ndv")
+            nulls <- l(v \ "nulls")
+          } yield c -> AnalyzedCol(ndv, nulls,
+            l(v \ "avglen"), l(v \ "maxlen"))
+        }.toMap
+        case _ => Map.empty
+      }
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+
   /** `#key=value` header lines carry commit metadata: the snapshot's
     * `schema` (Spark JSON) and `partcols`, streaming batch high-water
     * marks, and the torn-read `count` fence. Every other line is one
@@ -1061,7 +1185,8 @@ object Manifest {
     * pipeline run, a consumer's resume point). Reserved keys are the
     * table's own headers; newlines would tear the line format. */
   private val ReservedMeta =
-    Set("schema", "partcols", "count", "dcount", "ts", "base", "dropped")
+    Set("schema", "partcols", "count", "dcount", "ts", "base", "dropped",
+      "colstats", "colstats-v", "rollback-of")
   private def checkExtraMeta(m: Map[String, String]): Unit =
     m.foreach { case (k, v) =>
       require(k.nonEmpty && !ReservedMeta(k) && !k.startsWith("batch.") &&

@@ -666,6 +666,52 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces
     }
   }
 
+  private object RollbackProcedure extends UnboundProcedure
+      with BoundProcedure {
+    override def name(): String = "rollback"
+    override def description(): String =
+      "roll the table back to an earlier version or tag as a NEW " +
+        "commit — history preserved, zero data IO (Manifest.rollback)"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("version", StringType).build()) // number or tag
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val root = tableRoot(input.getUTF8String(0).toString)
+      val to = Manifest.resolveVersion(spark, root,
+        input.getUTF8String(1).toString)
+      val v = Manifest.rollback(spark, root, to)
+      oneRowScan(
+        StructType(Seq(StructField("version", LongType, false))),
+        Array[Any](v))
+    }
+  }
+
+  private object AnalyzeProcedure extends UnboundProcedure
+      with BoundProcedure {
+    override def name(): String = "analyze"
+    override def description(): String =
+      "collect per-column NDV/null/length statistics into the table " +
+        "header for the CBO (Manifest.analyzeTable); columns = " +
+        "comma-separated list, '' = all"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("columns", StringType)
+        .defaultValue("''").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val root = tableRoot(input.getUTF8String(0).toString)
+      val cols = input.getUTF8String(1).toString
+        .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+      val v = Manifest.analyzeTable(spark, root, cols)
+      oneRowScan(
+        StructType(Seq(StructField("version", LongType, false))),
+        Array[Any](v))
+    }
+  }
+
   private object CreateBranchProcedure extends UnboundProcedure
       with BoundProcedure {
     override def name(): String = "create_branch"
@@ -848,6 +894,8 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces
       case "compact" => CompactProcedure
       case "vacuum"  => VacuumProcedure
       case "history" => HistoryProcedure
+      case "rollback" => RollbackProcedure
+      case "analyze" => AnalyzeProcedure
       case "rewrite_deletes" => RewriteDeletesProcedure
       case "expire_snapshots" => ExpireSnapshotsProcedure
       case "zorder" => ZorderProcedure

@@ -174,7 +174,8 @@ object ManifestConnector {
                             dataSchema: StructType,
                             declared: Option[StructType] = None,
                             deletes: Seq[Manifest.DeleteEntry] = Nil,
-                            branch: Option[String] = None) {
+                            branch: Option[String] = None,
+                            tableMeta: Map[String, String] = Map.empty) {
     /** Merge-on-read delete files applying to `f` (strictly newer than
       * the file's data sequence), as executor-shippable specs. */
     def deleteSpecsFor(f: FileInfo): Array[DeleteFileSpec] =
@@ -356,7 +357,7 @@ object ManifestConnector {
         val dataSchema = StructType(
           full.filterNot(f => partCols.contains(f.name)))
         Resolved(root, version, files, partCols, dataSchema, Some(full),
-          snap.deletes, branchOpt)
+          snap.deletes, branchOpt, snap.meta)
 
       case None =>
         // legacy manifest: derive the layout from paths and the data
@@ -376,7 +377,7 @@ object ManifestConnector {
             nullable = !f.isRepetition(PType.Repetition.REQUIRED))
         })
         Resolved(root, version, files, partCols, dataSchema,
-          branch = branchOpt)
+          branch = branchOpt, tableMeta = snap.meta)
     }
   }
 
@@ -1583,7 +1584,152 @@ final class ManifestScan(res: ManifestConnector.Resolved,
         OptionalLong.of(rs.flatMap(_.toSeq).sum)
       else OptionalLong.empty()
     }
+
+    /** Per-column statistics for the CBO (`transformV2Stats` folds
+      * them into catalyst attribute stats): min/max and null counts
+      * aggregated from the PLANNED files' zone maps (so a pruned scan
+      * reports its pruned ranges, not the table's), NDV and byte
+      * lengths from the last `analyzeTable` header. All advisory —
+      * estimates steer join order and selectivity guesses, never
+      * results — and all conservative: any file missing a bound drops
+      * that statistic rather than narrowing it. */
+    override def columnStats(): java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+      val out = new java.util.HashMap[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+      if (aggPlan.isDefined || cdc ||
+          plannedFiles.exists(f => res.deleteSpecsFor(f).nonEmpty))
+        return out
+      val analyzed = res.tableMeta.get("colstats")
+        .map(Manifest.decodeColStats)
+        .getOrElse(Map.empty[String, Manifest.AnalyzedCol])
+      val rowsKnown = plannedFiles.forall(_.stats.isDefined)
+      val totalRows =
+        if (rowsKnown) Some(plannedFiles.map(_.stats.get.rows).sum)
+        else None
+      val partCols = res.partCols.toSet
+      val metaNames = ManifestConnector.metadataColumnFields
+        .map(_.name).toSet
+      required.fields
+        .filterNot(f => metaNames(f.name))
+        .foreach { f =>
+        val (mn, mx, nulls, ndvExact) =
+          if (partCols(f.name)) {
+            // partition columns: exact values per file from the path
+            val vs = plannedFiles.map(_.partValues.toMap.apply(f.name))
+            val nonNull = vs.filter(_ != null).distinct
+            val typed = f.dataType match {
+              case IntegerType | LongType | DoubleType | FloatType =>
+                scala.util.Try(nonNull
+                  .map(v => ManifestConnector
+                    .castPartitionValue(v, f.dataType))).toOption
+              case _ => None
+            }
+            val bounds = typed.filter(_.nonEmpty).map { tv =>
+              def d(a: Any) = a match {
+                case x: Int => x.toDouble; case x: Long => x.toDouble
+                case x: Float => x.toDouble; case x: Double => x
+              }
+              (tv.minBy(d), tv.maxBy(d))
+            }
+            val nullRows =
+              if (rowsKnown)
+                Some(plannedFiles.filter(
+                  _.partValues.toMap.apply(f.name) == null)
+                  .map(_.stats.get.rows).sum)
+              else None
+            (bounds.map(_._1), bounds.map(_._2), nullRows,
+              Some(nonNull.size.toLong +
+                (if (vs.contains(null)) 1L else 0L)))
+          } else {
+            // zero-row files (CREATE TABLE's empty init commit) carry
+            // no bounds and no rows — their envelope is vacuous, so
+            // they must not poison the fold
+            val nonEmpty =
+              plannedFiles.filterNot(_.stats.exists(_.rows == 0L))
+            val perFile = nonEmpty.map(
+              _.stats.flatMap(_.cols.get(f.name)))
+            val bounds: Option[(Any, Any)] =
+              if (perFile.isEmpty || perFile.exists(s =>
+                  s.isEmpty || s.get.min.isEmpty || s.get.max.isEmpty))
+                None
+              else ManifestScan.foldBounds(f.dataType,
+                perFile.map(s => (s.get.min.get, s.get.max.get)))
+            val nulls =
+              if (perFile.forall(s =>
+                  s.isDefined && s.get.nulls.isDefined))
+                Some(perFile.flatMap(s => s.get.nulls).sum)
+              else None
+            (bounds.map(_._1), bounds.map(_._2), nulls, None)
+          }
+        val an = analyzed.get(f.name)
+        val ndv = ndvExact.orElse(an.map(_.ndv))
+          .map(n => totalRows.fold(n)(r => math.min(n, r)))
+        if (mn.isDefined || mx.isDefined || nulls.isDefined ||
+            ndv.isDefined || an.exists(_.avgLen.isDefined)) {
+          out.put(
+            org.apache.spark.sql.connector.expressions.Expressions
+              .column(f.name),
+            new org.apache.spark.sql.connector.read.colstats
+                .ColumnStatistics {
+              override def distinctCount(): OptionalLong =
+                ndv.fold(OptionalLong.empty())(OptionalLong.of)
+              override def min(): java.util.Optional[Object] =
+                mn.fold(java.util.Optional.empty[Object]())(v =>
+                  java.util.Optional.of(v.asInstanceOf[Object]))
+              override def max(): java.util.Optional[Object] =
+                mx.fold(java.util.Optional.empty[Object]())(v =>
+                  java.util.Optional.of(v.asInstanceOf[Object]))
+              override def nullCount(): OptionalLong =
+                nulls.fold(OptionalLong.empty())(OptionalLong.of)
+              override def avgLen(): OptionalLong =
+                an.flatMap(_.avgLen)
+                  .fold(OptionalLong.empty())(OptionalLong.of)
+              override def maxLen(): OptionalLong =
+                an.flatMap(_.maxLen)
+                  .fold(OptionalLong.empty())(OptionalLong.of)
+            })
+        }
+      }
+      out
+    }
   }
+}
+
+object ManifestScan {
+  /** Fold per-file zone-map `(min, max)` bound strings into one typed
+    * envelope of CATALYST values for `dt` (Int days for dates, Long
+    * micros for timestamps — what the estimators expect). None for
+    * types the CBO doesn't range over (strings/binary), for
+    * unparsable bounds, and for float/double envelopes touching NaN
+    * (parquet stats may omit NaNs; the range would be misleading even
+    * as an estimate). */
+  private[connector] def foldBounds(dt: DataType,
+      perFile: Seq[(String, String)]): Option[(Any, Any)] =
+    try dt match {
+      case IntegerType | DateType =>
+        Some((perFile.map(_._1.toLong).min.toInt,
+          perFile.map(_._2.toLong).max.toInt))
+      case LongType | TimestampType =>
+        Some((perFile.map(_._1.toLong).min,
+          perFile.map(_._2.toLong).max))
+      case DoubleType =>
+        val (mins, maxs) =
+          (perFile.map(_._1.toDouble), perFile.map(_._2.toDouble))
+        if ((mins ++ maxs).exists(_.isNaN)) None
+        else Some((mins.min, maxs.max))
+      case FloatType =>
+        val (mins, maxs) =
+          (perFile.map(_._1.toFloat), perFile.map(_._2.toFloat))
+        if ((mins ++ maxs).exists(_.isNaN)) None
+        else Some((mins.min, maxs.max))
+      case BooleanType =>
+        Some((perFile.map(_._1.toBoolean).min,
+          perFile.map(_._2.toBoolean).max))
+      case _ => None
+    } catch { case scala.util.control.NonFatal(_) => None }
 }
 
 /** One merge-on-read delete file applying to a task's data file: the

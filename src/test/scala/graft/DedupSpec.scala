@@ -222,6 +222,24 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("dupSpanCoverage counts exactly the n-grams shared across " +
+    "docs; short docs carry zero totals and a NULL ratio") {
+    // docs 1 and 2 share the 5-token run "the quick brown fox jumps"
+    // → 3 shared 3-grams; doc 3 is disjoint; doc 4 is below width
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over x"),
+      (2L, "intro the quick brown fox jumps"),
+      (3L, "completely different words here entirely"),
+      (4L, "too short")).toDF("doc_id", "text")
+    val out = Dedup.dupSpanCoverage(docs, "doc_id", "text", shingleN = 3)
+      .as[(Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((5L, 3L, Some(3.0 / 5.0))))
+    assert(out(2L) == ((4L, 3L, Some(3.0 / 4.0))))
+    assert(out(3L) == ((3L, 0L, Some(0.0))))
+    assert(out(4L) == ((0L, 0L, None)))
+  }
+
   test("keepBestPerCluster keeps the highest-quality doc per cluster " +
     "and passes singletons through") {
     val docs = Seq(

@@ -478,6 +478,49 @@ class ManifestCatalogSpec extends SparkSpec {
       "SELECT * FROM graftcat.db.tagged VERSION AS OF 'audit'").collect())
   }
 
+  test("CALL system.rollback: restores an earlier version or tag as " +
+    "a NEW commit; history stays time-travelable") {
+    spark.sql("CREATE TABLE graftcat.db.rolled (id BIGINT)")
+    spark.sql("INSERT INTO graftcat.db.rolled VALUES (1), (2)") // v2
+    spark.sql("CALL graftcat.system.tag(" +
+      "table => 'db.rolled', name => 'good')")
+    spark.sql("INSERT OVERWRITE graftcat.db.rolled VALUES (99)") // v3
+    assert(spark.table("graftcat.db.rolled")
+      .as[Long].collect().toSet == Set(99L))
+    // roll back by tag name → v4 restores the tagged content
+    assert(spark.sql("CALL graftcat.system.rollback(" +
+      "table => 'db.rolled', version => 'good')").as[Long].head == 4L)
+    assert(spark.table("graftcat.db.rolled")
+      .as[Long].collect().toSet == Set(1L, 2L))
+    // the abandoned overwrite stays readable; numeric refs work too
+    assert(spark.sql(
+      "SELECT id FROM graftcat.db.rolled VERSION AS OF 3")
+      .as[Long].collect().toSet == Set(99L))
+    spark.sql("CALL graftcat.system.rollback(" +
+      "table => 'db.rolled', version => '3')")
+    assert(spark.table("graftcat.db.rolled")
+      .as[Long].collect().toSet == Set(99L))
+  }
+
+  test("CALL system.analyze: column stats land in the header and " +
+    "feed CBO attribute stats through the catalog read") {
+    spark.sql("CREATE TABLE graftcat.db.anl (id BIGINT, s STRING)")
+    spark.sql("INSERT INTO graftcat.db.anl " +
+      "SELECT id, concat('s', id) FROM range(1, 51)")
+    assert(spark.sql("CALL graftcat.system.analyze(" +
+      "table => 'db.anl')").as[Long].head == 3L)
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val stats = spark.table("graftcat.db.anl")
+        .queryExecution.optimizedPlan.stats
+      assert(stats.rowCount.contains(BigInt(50)))
+      val idStat = stats.attributeStats.toSeq
+        .collectFirst { case (a, st) if a.name == "id" => st }.get
+      assert(idStat.min.contains(1L) && idStat.max.contains(50L))
+      assert(idStat.distinctCount.exists(n => n > 40 && n <= 55))
+    } finally spark.conf.set("spark.sql.cbo.enabled", "false")
+  }
+
   test("CALL system.zorder rewrites the layout through SQL; reads " +
     "stay identical and history keeps the pre-rewrite snapshot") {
     spark.sql("CREATE TABLE graftcat.db.zt (x BIGINT, y BIGINT)")

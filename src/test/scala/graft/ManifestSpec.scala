@@ -1013,6 +1013,54 @@ class ManifestSpec extends SparkSpec {
     assert(Manifest.versions(spark, root) == Seq(2L))
   }
 
+  test("rollback: new head equals the target snapshot by reference; " +
+    "history preserved and the rollback itself is undoable") {
+    val root = newRoot()
+    Manifest.init(spark, root,
+      Seq((1L, "a", 10), (2L, "b", 20)).toDF("id", "part", "v"),
+      Seq("part"))
+    Manifest.commitAppend(spark, root,
+      Seq((3L, "a", 30)).toDF("id", "part", "v"), Seq("part"))
+    // v3 carries a pending merge-on-read delete
+    Manifest.deleteByKeys(spark, root, Seq(2L).toDF("id"))
+    Manifest.commitAppend(spark, root,
+      Seq((4L, "b", 40)).toDF("id", "part", "v"), Seq("part"))
+    val headRows = rowsOf(root)
+    assert(headRows == Set((1L, "a", 10), (3L, "a", 30), (4L, "b", 40)))
+
+    // roll back to v2 (before the delete): content restored, the new
+    // head re-references v2's files — zero data IO
+    val v5 = Manifest.rollback(spark, root, 2L)
+    assert(v5 == 5L)
+    assert(rowsOf(root) ==
+      Set((1L, "a", 10), (2L, "b", 20), (3L, "a", 30)))
+    val m2 = Manifest.snapshotMeta(spark, root, 2L)
+    val m5 = Manifest.snapshotMeta(spark, root, 5L)
+    assert(m5.files.toSet == m2.files.toSet)
+    assert(m5.deletes.isEmpty)
+    assert(m5.meta.get("rollback-of").contains("2"))
+
+    // rolling back ONTO a snapshot with pending deletes keeps them
+    Manifest.rollback(spark, root, 3L)
+    assert(rowsOf(root) == Set((1L, "a", 10), (3L, "a", 30)))
+    assert(Manifest.snapshotMeta(spark, root, 6L).deletes.nonEmpty)
+
+    // the abandoned commits stay time-travelable → undo the rollback
+    assert(rowsOf(root, Some(4L)) == headRows)
+    Manifest.rollback(spark, root, 4L)
+    assert(rowsOf(root) == headRows)
+
+    // retention after rollback keeps the re-referenced files live
+    assert(Manifest.vacuum(spark, root).isEmpty)
+    assert(rowsOf(root) == headRows)
+
+    // head and unknown targets are refused
+    intercept[IllegalArgumentException](
+      Manifest.rollback(spark, root, 7L))
+    intercept[IllegalArgumentException](
+      Manifest.rollback(spark, root, 0L))
+  }
+
   test("copy-on-write merge on top of pending deletes: touched " +
     "partition materializes, untouched keeps the delete applied") {
     val root = newRoot()

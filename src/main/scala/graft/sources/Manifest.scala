@@ -513,19 +513,27 @@ object Manifest {
   }
 
   /** Append-commit onto a branch — [[commitAppend]] with the branch
-    * head as the base; the main chain is untouched. */
+    * head as the base; the main chain is untouched. Runs the same
+    * bounded optimistic-concurrency loop as [[commitAppend]]: a lost
+    * race against a concurrent branch committer re-reads the branch
+    * head and republishes the already-written files. */
   def commitAppendBranch(spark: SparkSession, root: String, name: String,
                          df: DataFrame,
                          partitionCols: Seq[String] = Nil): Long = {
-    val head = branchHead(spark, root, name)
-    val prev = branchMeta(spark, root, name, Some(head))
-    checkPartCols(prev, partitionCols)
-    val fresh = writeCommit(spark, root, head + 1, df, partitionCols)
-    writeBranchManifest(spark, root, name, head + 1,
-      prev.entries ++ fresh,
-      prev.meta ++ schemaHeaders(
-        appendSchema(spark, root, prev, df.schema), partitionCols),
-      prev.deletes)
+    val head0 = branchHead(spark, root, name)
+    checkPartCols(branchMeta(spark, root, name, Some(head0)), partitionCols)
+    val fresh = writeCommit(spark, root, head0 + 1, df, partitionCols)
+    retryingAppend(maxAttempts = 5) {
+      val head = branchHead(spark, root, name)
+      val prev = branchMeta(spark, root, name, Some(head))
+      checkPartCols(prev, partitionCols)
+      appendRaceFence() // between head-read and claim: the race window
+      writeBranchManifest(spark, root, name, head + 1,
+        prev.entries ++ fresh.map(_.copy(seq = Some(head + 1))),
+        prev.meta ++ schemaHeaders(
+          appendSchema(spark, root, prev, df.schema), partitionCols),
+        prev.deletes)
+    }
   }
 
   /** Read a branch snapshot (head by default). */
@@ -1211,18 +1219,64 @@ object Manifest {
 
   /** Append-commit: next snapshot = previous files + `df`'s files.
     * Header metadata (streaming high-water marks) carries forward; the
-    * schema header widens to the union (schema evolution). */
+    * schema header widens to the union (schema evolution).
+    *
+    * OPTIMISTIC CONCURRENCY: the data files are written exactly once;
+    * losing the commit race to a concurrent writer costs one manifest
+    * re-read and a republish at the new head — never a data rewrite
+    * (the same bounded loop the native V2 INSERT and the streaming
+    * sink already run). Appends commute with every commit kind:
+    * entries are re-stamped with the head-at-publish sequence, so a
+    * concurrent merge-on-read delete (strictly-smaller-seq
+    * applicability) can never retro-delete rows this append publishes
+    * after it, and a concurrent replace simply precedes the append.
+    * What does NOT auto-retry: a concurrent layout change still fails
+    * `checkPartCols` loudly, and exhausting the attempts rethrows —
+    * unbounded spinning would hide a stuck committer. */
   def commitAppend(spark: SparkSession, root: String, df: DataFrame,
                    partitionCols: Seq[String] = Nil): Long = {
     val cur = latestVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"$root not initialized"))
-    val prev = readManifest(spark, root, cur)
-    checkPartCols(prev, partitionCols)
+    checkPartCols(readManifest(spark, root, cur), partitionCols)
     val fresh = writeCommit(spark, root, cur + 1, df, partitionCols)
-    publish(spark, root, cur, prev.entries ++ fresh,
-      prev.meta ++ schemaHeaders(appendSchema(spark, root, prev, df.schema),
-        partitionCols),
-      prev.deletes) // pending MoR deletes still apply to older files
+    retryingAppend(maxAttempts = 5) {
+      val head = latestVersion(spark, root).get
+      val prev = readManifest(spark, root, head)
+      checkPartCols(prev, partitionCols)
+      appendRaceFence() // between head-read and claim: the race window
+      publish(spark, root, head,
+        prev.entries ++ fresh.map(_.copy(seq = Some(head + 1))),
+        prev.meta ++ schemaHeaders(
+          appendSchema(spark, root, prev, df.schema), partitionCols),
+        prev.deletes) // pending MoR deletes still apply to older files
+    }
+  }
+
+  /** Test seam for the optimistic-append loop: runs between the
+    * head-read and the publish claim of every attempt so a spec can
+    * inject a concurrent commit into exactly the window the race
+    * occupies. Production no-op. */
+  private[graft] var appendRaceFence: () => Unit = () => ()
+
+  /** The bounded optimistic-commit loop: retry only the two faces of
+    * the concurrent-writer race (lost O_EXCL claim, torn read of an
+    * in-flight manifest); everything else — layout mismatch, schema
+    * conflict — propagates on first throw. */
+  private def retryingAppend(maxAttempts: Int)(attempt: => Long): Long = {
+    var n = 0
+    var last: Throwable = null
+    while (n < maxAttempts) {
+      try return attempt
+      catch {
+        case e: IllegalStateException
+            if e.getMessage.contains("commit conflict") =>
+          last = e; n += 1
+        case e: IllegalArgumentException
+            if e.getMessage.contains("torn manifest read") =>
+          last = e; n += 1
+      }
+    }
+    throw last
   }
 
   /** The schema header an append-shaped commit publishes: the previous

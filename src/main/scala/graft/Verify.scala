@@ -20,6 +20,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A failed query must never vanish from the report: record every
+    // failure in failures.json AND leave a _FAILED marker where the
+    // result parquet would be, so the driver's compare sees `err`
+    // instead of silently omitting the query (round-9 lesson: 8 red
+    // queries produced a correctness file with zero failures).
+    val failures = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>
@@ -30,7 +36,12 @@ object Verify {
           System.err.println(
             f"[verify] $name ok ${(System.nanoTime() - t0) / 1e9}%.1fs")
         } catch { case e: Throwable =>
-          System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
+          val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+          System.err.println(s"[verify] $name FAILED: $msg")
+          failures(name) = msg.take(500)
+          val d = new java.io.File(s"$outDir/$name")
+          d.mkdirs()
+          Files.writeString(Paths.get(s"$outDir/$name/_FAILED"), msg.take(500))
         }
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -48,6 +59,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val failJson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/failures.json"), failJson)
+    if (failures.nonEmpty)
+      System.err.println(s"[verify] ${failures.size} FAILED: " +
+        failures.keys.mkString(", "))
     spark.stop()
   }
 }

@@ -102,6 +102,61 @@ object Search {
       .orderBy(col("tf").desc, col(idCol).asc)
       .limit(k)
 
+  /** T2: relevance-ranked multi-term search — the reference's analyzed
+    * OpenSearch `match` query with scoring (reference README.md:26;
+    * index built at lambda-function.py:134-172), re-expressed as BM25
+    * over the same analyzed token stream the inverted index uses.
+    *
+    * Shape, scale-first:
+    *  - the query's terms become an `isin` literal filter applied to
+    *    the exploded token stream BEFORE any shuffle — the postings
+    *    aggregation only ever carries query-term rows;
+    *  - document lengths are one hash-aggregate over the stream (the
+    *    same shuffle an index build pays); avgdl and N reduce to
+    *    1-row frames, broadcast;
+    *  - per-term df comes from the already-tiny postings frame
+    *    (≤ |terms| rows after its groupBy), broadcast back;
+    *  - final ranking is orderBy+limit → TakeOrderedAndProject, never
+    *    a global sort.
+    *
+    * Scoring is textbook Robertson/Lucene BM25:
+    *   idf = ln(1 + (N - df + 0.5) / (df + 0.5))
+    *   s   = Σ_terms idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    * The score is rounded (4 dp) and the rounded value drives the
+    * ordering, so a sub-ulp engine difference cannot reorder the
+    * top-k (doc id tie-breaks equal rounded scores).
+    *
+    * Returns (idCol, score, matched) — matched = how many distinct
+    * query terms hit the document. */
+  def rankBm25(docs: DataFrame, idCol: String, textCol: String,
+               query: String, k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val terms = query.toLowerCase.split(" ").filter(_.nonEmpty).distinct.toSeq
+    require(terms.nonEmpty, "BM25 query needs at least one term")
+    val toks = tokenStream(docs, idCol, textCol)
+    val docLen = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    val avgdl = docLen.agg(avg(col("dl")).as("avgdl"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val tf = toks.filter(col("token").isin(terms: _*))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token"))
+      .agg(countDistinct(col(idCol)).as("df"))
+    val idf = log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5))
+    tf.join(broadcast(df), "token")
+      .join(docLen, idCol)
+      .crossJoin(broadcast(n))
+      .crossJoin(broadcast(avgdl))
+      .withColumn("_s", idf * col("tf") * (lit(k1) + 1.0) /
+        (col("tf") + lit(k1) *
+          (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("_s")), 4).as("score"),
+        count(lit(1)).as("matched"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** K5: bulk index build — positional _id like the reference's bulk
     * body (row ordinal), made deterministic with an explicit total
     * order, WITHOUT a global single-partition window. Shape:

@@ -44,5 +44,36 @@ object SearchQueries {
               - length(replace(' ' || text || ' ', ' spark ', ''))) / 7
               AS BIGINT) AS tf
           FROM documents) t
-        WHERE tf > 0 ORDER BY tf DESC, doc_id ASC LIMIT 20""")))
+        WHERE tf > 0 ORDER BY tf DESC, doc_id ASC LIMIT 20""")),
+
+    // ---- T2: BM25 relevance-ranked multi-term search --------------------
+    // The reference's scored OpenSearch `match` query (README.md:26,
+    // lambda-function.py:134-172) as native BM25 over the analyzed
+    // token stream. Ordering is on the ROUNDED score so a sub-ulp
+    // ln/division difference between engines cannot flip the top-k.
+    QueryDef("q144_bm25_search",
+      (s, dir) => Search.rankBm25(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        "window merge scan", 15),
+      Some("""WITH t AS (SELECT doc_id,
+            unnest(string_split(lower(text), ' ')) AS token
+          FROM documents),
+        dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+        s AS (SELECT avg(dl) AS avgdl FROM dl),
+        n AS (SELECT count(*) AS n FROM documents),
+        q AS (SELECT unnest(['window', 'merge', 'scan']) AS token),
+        tf AS (SELECT doc_id, token, count(*) AS tf
+          FROM t JOIN q USING (token) GROUP BY 1, 2),
+        df AS (SELECT token, count(DISTINCT doc_id) AS df
+          FROM tf GROUP BY 1)
+        SELECT tf.doc_id,
+          round(sum(ln(1 + (n.n - df.df + 0.5) / (df.df + 0.5))
+            * tf.tf * 2.2
+            / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))), 4)
+            AS score,
+          count(*) AS matched
+        FROM tf JOIN df USING (token) JOIN dl USING (doc_id)
+          CROSS JOIN n CROSS JOIN s
+        GROUP BY tf.doc_id
+        ORDER BY score DESC, tf.doc_id ASC LIMIT 15""")))
 }

@@ -1255,24 +1255,33 @@ object Manifest {
   /** Test seam for the optimistic-append loop: runs between the
     * head-read and the publish claim of every attempt so a spec can
     * inject a concurrent commit into exactly the window the race
-    * occupies. Production no-op. */
-  private[graft] var appendRaceFence: () => Unit = () => ()
+    * occupies. Production no-op. Volatile (cross-thread visibility for
+    * specs that flip it) and specs must reset it in a finally. */
+  @volatile private[graft] var appendRaceFence: () => Unit = () => ()
+
+  private def msgContains(e: Throwable, s: String): Boolean =
+    Option(e.getMessage).exists(_.contains(s))
 
   /** The bounded optimistic-commit loop: retry only the two faces of
     * the concurrent-writer race (lost O_EXCL claim, torn read of an
     * in-flight manifest); everything else — layout mismatch, schema
-    * conflict — propagates on first throw. */
+    * conflict — propagates on first throw. The first retry is
+    * immediate (the common 2-writer race resolves at once); later ones
+    * back off exponentially with jitter so N herding writers don't
+    * re-collide every round and spuriously exhaust the budget. */
   private def retryingAppend(maxAttempts: Int)(attempt: => Long): Long = {
     var n = 0
     var last: Throwable = null
     while (n < maxAttempts) {
+      if (n > 1) Thread.sleep((10L << (n - 2)) +
+        java.util.concurrent.ThreadLocalRandom.current().nextLong(10L << (n - 2)))
       try return attempt
       catch {
         case e: IllegalStateException
-            if e.getMessage.contains("commit conflict") =>
+            if msgContains(e, "commit conflict") =>
           last = e; n += 1
         case e: IllegalArgumentException
-            if e.getMessage.contains("torn manifest read") =>
+            if msgContains(e, "torn manifest read") =>
           last = e; n += 1
       }
     }

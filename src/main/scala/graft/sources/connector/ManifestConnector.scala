@@ -1008,10 +1008,10 @@ final class ManifestBatchWrite(res: ManifestConnector.Resolved,
         // sink's identical loop): the staged data is safe, retry the
         // metadata claim a bounded number of times
         case e: IllegalStateException
-            if e.getMessage.contains("commit conflict") && attempt < 3 =>
+            if Option(e.getMessage).exists(_.contains("commit conflict")) && attempt < 3 =>
           attempt += 1
         case e: IllegalArgumentException
-            if e.getMessage.contains("torn manifest read") && attempt < 3 =>
+            if Option(e.getMessage).exists(_.contains("torn manifest read")) && attempt < 3 =>
           attempt += 1
       }
     }

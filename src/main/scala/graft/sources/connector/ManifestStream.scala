@@ -272,10 +272,10 @@ final class ManifestStreamingWrite(res: ManifestConnector.Resolved,
         // version claim, and reading the winner's manifest mid-write
         // (the torn-read fence says "retry" explicitly)
         case e: IllegalStateException
-            if e.getMessage.contains("commit conflict") && attempt < 3 =>
+            if Option(e.getMessage).exists(_.contains("commit conflict")) && attempt < 3 =>
           attempt += 1
         case e: IllegalArgumentException
-            if e.getMessage.contains("torn manifest read") && attempt < 3 =>
+            if Option(e.getMessage).exists(_.contains("torn manifest read")) && attempt < 3 =>
           attempt += 1
       }
     }
@@ -293,9 +293,9 @@ final class ManifestStreamingWrite(res: ManifestConnector.Resolved,
           // both faces of the concurrent-writer race (see the commit
           // retry loop above): skip the cycle, never fail the query
           case e: IllegalStateException
-              if e.getMessage.contains("commit conflict") => ()
+              if Option(e.getMessage).exists(_.contains("commit conflict")) => ()
           case e: IllegalArgumentException
-              if e.getMessage.contains("torn manifest read") => ()
+              if Option(e.getMessage).exists(_.contains("torn manifest read")) => ()
         }
   }
 

@@ -95,6 +95,15 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("*(1)"), s.take(2000))
   }
 
+  test("q144: BM25 broadcasts df/N/avgdl, ranks via " +
+    "TakeOrderedAndProject, no cartesian/nested-loop over postings") {
+    val p = plan("q144_bm25_search")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastExchange"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("no registered query uses a Scala/Python UDF") {
     for ((name, _) <- SparkEntry.defs) {
       val p = plan(name)

@@ -161,4 +161,34 @@ class SearchCatalogSpec extends SparkSpec {
       .select("id").as[String].collect().toSet
     assert(one == Set("a", "c", "d"))
   }
+
+  test("rankBm25: scores match a hand-computed BM25, rare terms beat " +
+    "common ones, non-matching docs are absent") {
+    val docs = Seq(
+      (1L, "spark spark spark common common"),
+      (2L, "rare common"),
+      (3L, "common common common common"),
+      (4L, "nothing here matches at all"))
+      .toDF("doc_id", "text")
+    val got = Search.rankBm25(docs, "doc_id", "text", "spark rare", 10)
+      .select("doc_id", "score", "matched")
+      .as[(Long, Double, Long)].collect()
+      .map { case (id, s, m) => id -> ((s, m)) }.toMap
+    // hand-computed: N=4, avgdl=(5+2+4+5)/4=4.0
+    def bm25(tf: Long, df: Long, dl: Long): Double = {
+      val idf = math.log(1 + (4.0 - df + 0.5) / (df + 0.5))
+      idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / 4.0))
+    }
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.keySet == Set(1L, 2L)) // doc 3/4: no query term
+    assert(got(1L) == ((r4(bm25(3, 1, 5)), 1L)))
+    assert(got(2L) == ((r4(bm25(1, 1, 2)), 1L)))
+    // a doc matching BOTH terms outranks single-term docs of equal tf
+    val both = Search.rankBm25(
+      docs.union(Seq((5L, "spark rare")).toDF("doc_id", "text")),
+      "doc_id", "text", "spark rare", 1)
+      .select("doc_id").as[Long].head()
+    assert(both == 5L)
+  }
 }

@@ -157,6 +157,58 @@ object Search {
       .limit(k)
   }
 
+  /** T2/X12: BATCH BM25 — score a whole frame of queries against the
+    * corpus in ONE pass over the token stream, the search twin of the
+    * batch-ANN shape (q82): per-query scans would pay |queries| corpus
+    * passes; here the union of all query terms semi-join-filters the
+    * exploded stream once (broadcast — the query frame is small by
+    * construction), the per-(doc, token) postings fan out to the
+    * queries mentioning each token via a second broadcast join, and
+    * the per-query top-k runs through the bounded-heap TopKPerGroup
+    * operator — no global sort, no per-query window over the corpus.
+    * Scoring and rounding exactly as [[rankBm25]].
+    *
+    * `queries` must have (queryIdCol, queryTextCol). Returns
+    * (queryIdCol, idCol, score, matched), k rows per query, ordered
+    * (queryId asc, score desc, id asc). */
+  def rankBm25Batch(docs: DataFrame, idCol: String, textCol: String,
+                    queries: DataFrame, queryIdCol: String,
+                    queryTextCol: String, k: Int,
+                    k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val qToks = queries.select(col(queryIdCol),
+        explode(array_distinct(Text.tokens(col(queryTextCol))))
+          .as("token"))
+      .filter(col("token") =!= "")
+    val toks = tokenStream(docs, idCol, textCol)
+    val docLen = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    val avgdl = docLen.agg(avg(col("dl")).as("avgdl"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val tf = toks
+      .join(broadcast(qToks.select("token").distinct()),
+        Seq("token"), "left_semi")
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token"))
+      .agg(countDistinct(col(idCol)).as("df"))
+    val scored = tf
+      .join(broadcast(qToks), "token")
+      .join(broadcast(df), "token")
+      .join(docLen, idCol)
+      .crossJoin(broadcast(n))
+      .crossJoin(broadcast(avgdl))
+      .withColumn("_s",
+        log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
+          col("tf") * (lit(k1) + 1.0) /
+          (col("tf") + lit(k1) *
+            (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col(queryIdCol), col(idCol))
+      .agg(round(sum(col("_s")), 4).as("score"),
+        count(lit(1)).as("matched"))
+    graft.plans.TopK.perGroup(scored, Seq(queryIdCol),
+        Seq(graft.plans.TopK.desc("score"), graft.plans.TopK.asc(idCol)), k)
+      .orderBy(col(queryIdCol).asc, col("score").desc, col(idCol).asc)
+  }
+
   /** K5: bulk index build — positional _id like the reference's bulk
     * body (row ordinal), made deterministic with an explicit total
     * order, WITHOUT a global single-partition window. Shape:

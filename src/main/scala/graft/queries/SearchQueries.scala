@@ -75,5 +75,48 @@ object SearchQueries {
         FROM tf JOIN df USING (token) JOIN dl USING (doc_id)
           CROSS JOIN n CROSS JOIN s
         GROUP BY tf.doc_id
-        ORDER BY score DESC, tf.doc_id ASC LIMIT 15""")))
+        ORDER BY score DESC, tf.doc_id ASC LIMIT 15""")),
+
+    // ---- T2/X12: batch BM25 — K queries, one corpus pass, top-k per
+    // query via the bounded-heap TopKPerGroup operator (no per-query
+    // corpus scans, no window sort). df is GLOBAL per token (shared
+    // across queries), identical to q144's arithmetic.
+    QueryDef("q145_bm25_batch",
+      (s, dir) => {
+        import s.implicits._
+        val qs = Seq((1L, "window merge scan"), (2L, "spark query data"),
+          (3L, "slow batch"))
+          .toDF("query_id", "qtext")
+        Search.rankBm25Batch(Tables.load(s, dir, "documents"),
+          "doc_id", "text", qs, "query_id", "qtext", 10)
+      },
+      Some("""WITH t AS (SELECT doc_id,
+            unnest(string_split(lower(text), ' ')) AS token
+          FROM documents),
+        dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+        s AS (SELECT avg(dl) AS avgdl FROM dl),
+        n AS (SELECT count(*) AS n FROM documents),
+        qs(query_id, qtext) AS (VALUES (1, 'window merge scan'),
+          (2, 'spark query data'), (3, 'slow batch')),
+        q AS (SELECT DISTINCT query_id,
+            unnest(string_split(qtext, ' ')) AS token FROM qs),
+        tf AS (SELECT doc_id, token, count(*) AS tf FROM t
+          WHERE token IN (SELECT token FROM q) GROUP BY 1, 2),
+        df AS (SELECT token, count(DISTINCT doc_id) AS df
+          FROM tf GROUP BY 1),
+        scored AS (SELECT q.query_id, tf.doc_id,
+            round(sum(ln(1 + (n.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * 2.2
+              / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))), 4)
+              AS score,
+            count(*) AS matched
+          FROM tf JOIN q USING (token) JOIN df USING (token)
+            JOIN dl USING (doc_id) CROSS JOIN n CROSS JOIN s
+          GROUP BY q.query_id, tf.doc_id),
+        ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY score DESC, doc_id ASC) AS rn FROM scored)
+        SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score,
+          matched
+        FROM ranked WHERE rn <= 10
+        ORDER BY query_id ASC, score DESC, doc_id ASC""")))
 }

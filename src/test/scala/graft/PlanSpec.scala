@@ -104,6 +104,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("q145: batch BM25 plans through TopKPerGroup (bounded heaps, " +
+    "no per-query corpus window)") {
+    val p = plan("q145_bm25_batch")
+    assert(p.contains("TopKPerGroup"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("no registered query uses a Scala/Python UDF") {
     for ((name, _) <- SparkEntry.defs) {
       val p = plan(name)

@@ -191,4 +191,29 @@ class SearchCatalogSpec extends SparkSpec {
       .select("doc_id").as[Long].head()
     assert(both == 5L)
   }
+
+  test("rankBm25Batch: each query's top-k equals the single-query " +
+    "rankBm25 for the same corpus") {
+    val docs = Seq(
+      (1L, "spark spark spark common common"),
+      (2L, "rare common"),
+      (3L, "common common common common"),
+      (4L, "alpha beta gamma"))
+      .toDF("doc_id", "text")
+    val qs = Seq((10L, "spark rare"), (20L, "common"), (30L, "beta"))
+      .toDF("query_id", "qtext")
+    val batch = Search.rankBm25Batch(
+        docs, "doc_id", "text", qs, "query_id", "qtext", 3)
+      .select("query_id", "doc_id", "score", "matched")
+      .as[(Long, Long, Double, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3, t._4)).toSeq)
+      .toMap
+    for ((qid, qtext) <- Seq(10L -> "spark rare", 20L -> "common",
+        30L -> "beta")) {
+      val single = Search.rankBm25(docs, "doc_id", "text", qtext, 3)
+        .select("doc_id", "score", "matched")
+        .as[(Long, Double, Long)].collect().toSeq
+      assert(batch(qid) == single, s"query $qid diverged from rankBm25")
+    }
+  }
 }

@@ -1715,6 +1715,41 @@ object LakeQueries {
         FROM events GROUP BY event_type ORDER BY event_type"""),
       kind = QueryDef.Pipeline),
 
+    // ---- Queryable metadata tables: db.t.partitions / .files ----------
+    // Iceberg-style dotted metadata relations, driver-computed from
+    // the manifests (zero data IO, LocalScan → no tasks). Oracle pins
+    // the per-partition PHYSICAL row counts against the source; the
+    // files-vs-partitions rollup consistency rides as an invariant
+    // bit (file COUNT is write-shape-dependent, so only its
+    // consistency is asserted, never the number).
+    QueryDef("q146_metadata_tables",
+      (s, dir) => {
+        s.conf.set("spark.sql.catalog.graftsql",
+          classOf[graft.sources.connector.ManifestCatalog].getName)
+        if (s.conf.getOption("spark.sql.catalog.graftsql.root").isEmpty)
+          s.conf.set("spark.sql.catalog.graftsql.root",
+            "file://" + Files.createTempDirectory("graft_sqlcat").toString)
+        Tables.events(s, dir)
+          .select("event_id", "event_type", "value")
+          .createOrReplaceTempView("q146_ev")
+        s.sql("DROP TABLE IF EXISTS graftsql.db.metat")
+        s.sql("CREATE TABLE graftsql.db.metat (event_id BIGINT, " +
+          "event_type STRING, value DOUBLE) PARTITIONED BY (event_type)")
+        s.sql("INSERT INTO graftsql.db.metat " +
+          "SELECT event_id, event_type, value FROM q146_ev")
+        s.sql("""SELECT p.partition, p.row_count,
+            (p.row_count = f.rc AND p.files = f.nf) AS files_consistent
+          FROM graftsql.db.metat.partitions p
+          JOIN (SELECT partition, sum(row_count) AS rc, count(*) AS nf
+            FROM graftsql.db.metat.files GROUP BY partition) f
+          ON p.partition = f.partition
+          ORDER BY p.partition""")
+      },
+      Some("""SELECT 'event_type=' || event_type AS partition,
+          count(*) AS row_count, TRUE AS files_consistent
+        FROM events GROUP BY event_type ORDER BY 1"""),
+      kind = QueryDef.Pipeline),
+
     // ---- Row-level CDC across merge-on-read deletes --------------------
     // readChanges fails loudly across a MoR delete commit (file-level
     // feeds cannot express retractions); readChangesCdc is the

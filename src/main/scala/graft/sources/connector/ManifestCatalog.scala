@@ -113,8 +113,23 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces
   private def loadVersion(ident: Identifier,
                           version: Option[String]): Table = {
     val path = pathOf(ident)
-    if (Manifest.latestVersion(spark, path).isEmpty)
+    if (Manifest.latestVersion(spark, path).isEmpty) {
+      // Iceberg-style dotted METADATA TABLES: `db.t.files` resolves
+      // with namespace [db, t] and name "files" — if the namespace
+      // path is itself a manifest table and the name is a metadata
+      // suffix, serve the metadata relation instead. Ordinary tables
+      // win (a real table at warehouse/db/t/files shadows), so this
+      // only activates where normal resolution has already failed.
+      if (ident.namespace.nonEmpty &&
+          MetadataTables.suffixes(ident.name.toLowerCase)) {
+        val base = (warehouse +: ident.namespace.toSeq.map(checkSegment))
+          .mkString("/")
+        if (Manifest.latestVersion(spark, base).isDefined)
+          return MetadataTables.table(spark, base,
+            ident.name.toLowerCase, version)
+      }
       throw new NoSuchTableException(ident)
+    }
     ManifestTable(ManifestConnector.resolve(spark,
       Map("path" -> path) ++ version.map("version" -> _)))
   }

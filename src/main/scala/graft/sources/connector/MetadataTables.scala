@@ -1,0 +1,127 @@
+package graft.sources.connector
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType, TimestampType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.Manifest
+
+/** Iceberg-style queryable METADATA TABLES over a manifest table —
+  * `SELECT * FROM catalog.db.t.files` (dotted suffix on the table
+  * identifier), composable with joins/filters/aggregates like any
+  * relation, where the CALL procedures (`system.history` etc.) return
+  * a one-shot result set.
+  *
+  *   - `history`    — one row per snapshot: version, committed_at,
+  *                    files, bytes (same facts as `system.history`).
+  *   - `files`      — one row per data file of the resolved snapshot:
+  *                    path, partition, size_bytes, row_count, seq.
+  *   - `partitions` — per-partition rollup of `files`: files,
+  *                    row_count, bytes.
+  *
+  * `VERSION AS OF` composes: `files`/`partitions` describe the pinned
+  * snapshot; `history` always returns the full log. All rows are
+  * driver-computed from the manifests alone — zero data IO at any
+  * table size (the same O(files) metadata the planner already reads),
+  * served through a `LocalScan` (Spark plans a LocalTableScan, no
+  * tasks).
+  *
+  * `row_count` is the PHYSICAL row count from the per-file stats —
+  * pending merge-on-read deletes are not subtracted (they are delete
+  * FILES, visible as their own facts); a file written without stats
+  * reports NULL, and a partition containing any such file reports a
+  * NULL rollup rather than an undercount.
+  */
+private[connector] object MetadataTables {
+
+  val suffixes: Set[String] = Set("history", "files", "partitions")
+
+  private def u(s: String): UTF8String =
+    if (s == null) null else UTF8String.fromString(s)
+
+  /** Hive-style partition string of a data path: "lang=de/source=s1"
+    * (unescaped values, layout order), "" for unpartitioned. */
+  private def partString(relPath: String): String =
+    Manifest.partValuesOf(relPath)
+      .map { case (k, v) =>
+        s"$k=${if (v == null) "__HIVE_DEFAULT_PARTITION__" else v}" }
+      .mkString("/")
+
+  def table(spark: SparkSession, root: String, suffix: String,
+            version: Option[String]): Table = {
+    val v = version
+      .map(Manifest.resolveVersion(spark, root, _))
+      .getOrElse(Manifest.latestVersion(spark, root).get)
+    suffix match {
+      case "history" =>
+        val schema = StructType(Seq(
+          StructField("version", LongType, nullable = false),
+          StructField("committed_at", TimestampType, nullable = true),
+          StructField("files", LongType, nullable = false),
+          StructField("bytes", LongType, nullable = false)))
+        local(s"$root#history", schema,
+          Manifest.versions(spark, root).map { ver =>
+            val m = Manifest.snapshotMeta(spark, root, ver)
+            new GenericInternalRow(Array[Any](ver,
+              m.ts.map(ms => ms * 1000L).orNull,
+              m.entries.size.toLong,
+              m.entries.flatMap(_.size).sum)): InternalRow
+          }.toArray)
+      case "files" =>
+        val schema = StructType(Seq(
+          StructField("path", StringType, nullable = false),
+          StructField("partition", StringType, nullable = false),
+          StructField("size_bytes", LongType, nullable = true),
+          StructField("row_count", LongType, nullable = true),
+          StructField("seq", LongType, nullable = true)))
+        local(s"$root#files@$v", schema,
+          Manifest.snapshotMeta(spark, root, v).entries.map { e =>
+            new GenericInternalRow(Array[Any](u(e.path),
+              u(partString(e.path)),
+              e.size.map(Long.box).orNull,
+              e.fileStats.map(s => Long.box(s.rows)).orNull,
+              e.seq.map(Long.box).orNull)): InternalRow
+          }.toArray)
+      case "partitions" =>
+        val schema = StructType(Seq(
+          StructField("partition", StringType, nullable = false),
+          StructField("files", LongType, nullable = false),
+          StructField("row_count", LongType, nullable = true),
+          StructField("bytes", LongType, nullable = true)))
+        val groups = Manifest.snapshotMeta(spark, root, v).entries
+          .groupBy(e => partString(e.path)).toSeq.sortBy(_._1)
+        local(s"$root#partitions@$v", schema,
+          groups.map { case (p, es) =>
+            // NULL rollup when ANY member lacks the fact — an
+            // undercount would read as truth
+            def sumOpt(xs: Seq[Option[Long]]): Any =
+              if (xs.exists(_.isEmpty)) null
+              else Long.box(xs.flatten.sum)
+            new GenericInternalRow(Array[Any](u(p), es.size.toLong,
+              sumOpt(es.map(_.fileStats.map(_.rows))),
+              sumOpt(es.map(_.size)))): InternalRow
+          }.toArray)
+    }
+  }
+
+  private def local(tableName: String, tableSchema: StructType,
+                    tableRows: Array[InternalRow]): Table =
+    new Table with SupportsRead {
+      override def name(): String = tableName
+      override def schema(): StructType = tableSchema
+      override def capabilities(): java.util.Set[TableCapability] =
+        java.util.EnumSet.of(TableCapability.BATCH_READ)
+      override def newScanBuilder(options: CaseInsensitiveStringMap)
+          : ScanBuilder = new ScanBuilder {
+        override def build(): Scan = new LocalScan {
+          override def rows(): Array[InternalRow] = tableRows
+          override def readSchema(): StructType = tableSchema
+        }
+      }
+    }
+}

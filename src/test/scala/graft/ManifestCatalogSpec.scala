@@ -689,4 +689,54 @@ class ManifestCatalogSpec extends SparkSpec {
     assert(r._2 == 3L, s"mv base should be the source head, got $r")
     assert(mv == Set(("en", 2L, 30L), ("de", 1L, 5L), ("fr", 1L, 7L)))
   }
+
+  test("metadata tables: db.t.files / .partitions / .history are " +
+    "queryable relations; VERSION AS OF pins files/partitions") {
+    spark.sql("CREATE TABLE graftcat.db.meta " +
+      "(id BIGINT, lang STRING, v BIGINT) PARTITIONED BY (lang)")
+    spark.sql("INSERT INTO graftcat.db.meta VALUES " +
+      "(1, 'de', 10), (2, 'en', 20), (3, 'de', 30)")
+    spark.sql("INSERT INTO graftcat.db.meta VALUES (4, 'fr', 40)")
+
+    // partitions: per-partition physical row counts from file stats
+    val parts = spark.sql("SELECT partition, row_count FROM " +
+      "graftcat.db.meta.partitions ORDER BY partition")
+      .as[(String, Long)].collect().toSeq
+    assert(parts == Seq(("lang=de", 2L), ("lang=en", 1L),
+      ("lang=fr", 1L)))
+
+    // files: one row per data file; rollup matches partitions; paths
+    // carry their hive dirs and commit seqs
+    val files = spark.sql("SELECT partition, row_count, seq FROM " +
+      "graftcat.db.meta.files").as[(String, Long, Long)].collect()
+    assert(files.map(_._2).sum == 4L)
+    assert(files.filter(_._1 == "lang=fr").forall(_._3 == 3L),
+      "fr was added by commit 3")
+
+    // history: full snapshot log (v1 create, v2 + v3 inserts)
+    val hist = spark.sql("SELECT version, files FROM " +
+      "graftcat.db.meta.history ORDER BY version")
+      .as[(Long, Long)].collect().toSeq
+    assert(hist.map(_._1) == Seq(1L, 2L, 3L))
+    assert(hist.last._2 == files.length.toLong)
+
+    // VERSION AS OF pins the snapshot files/partitions describe
+    val p2 = spark.sql("SELECT partition FROM " +
+      "graftcat.db.meta.partitions VERSION AS OF 2")
+      .as[String].collect().toSet
+    assert(p2 == Set("lang=de", "lang=en"))
+
+    // metadata relations compose like any other: join files → history
+    val joined = spark.sql("""SELECT h.version, count(*)
+        FROM graftcat.db.meta.files f
+        JOIN graftcat.db.meta.history h ON f.seq = h.version
+        GROUP BY h.version ORDER BY h.version""")
+      .as[(Long, Long)].collect()
+    assert(joined.map(_._2).sum == files.length.toLong)
+
+    // a real table still shadows: no metadata suffix hijacks names
+    intercept[Exception] {
+      spark.table("graftcat.db.meta.nosuch").collect()
+    }
+  }
 }

@@ -17,15 +17,21 @@ import graft.sources.Manifest
   * relation, where the CALL procedures (`system.history` etc.) return
   * a one-shot result set.
   *
-  *   - `history`    — one row per snapshot: version, committed_at,
-  *                    files, bytes (same facts as `system.history`).
-  *   - `files`      — one row per data file of the resolved snapshot:
-  *                    path, partition, size_bytes, row_count, seq.
-  *   - `partitions` — per-partition rollup of `files`: files,
-  *                    row_count, bytes.
+  *   - `history`      — one row per snapshot: version, committed_at,
+  *                      files, bytes (same facts as `system.history`).
+  *   - `files`        — one row per data file of the resolved
+  *                      snapshot: path, partition, size_bytes,
+  *                      row_count, seq.
+  *   - `partitions`   — per-partition rollup of `files`: files,
+  *                      row_count, bytes.
+  *   - `delete_files` — pending merge-on-read delete files of the
+  *                      snapshot: path, size_bytes, seq, key_columns.
+  *   - `tags`         — name → version of every immutable snapshot ref.
+  *   - `branches`     — name → head of every writable branch.
   *
-  * `VERSION AS OF` composes: `files`/`partitions` describe the pinned
-  * snapshot; `history` always returns the full log. All rows are
+  * `VERSION AS OF` composes: `files`/`partitions`/`delete_files`
+  * describe the pinned snapshot; `history`/`tags`/`branches` are
+  * version-independent refs and always return the current log. All rows are
   * driver-computed from the manifests alone — zero data IO at any
   * table size (the same O(files) metadata the planner already reads),
   * served through a `LocalScan` (Spark plans a LocalTableScan, no
@@ -39,7 +45,9 @@ import graft.sources.Manifest
   */
 private[connector] object MetadataTables {
 
-  val suffixes: Set[String] = Set("history", "files", "partitions")
+  val suffixes: Set[String] =
+    Set("history", "files", "partitions", "delete_files", "tags",
+      "branches")
 
   private def u(s: String): UTF8String =
     if (s == null) null else UTF8String.fromString(s)
@@ -105,6 +113,38 @@ private[connector] object MetadataTables {
             new GenericInternalRow(Array[Any](u(p), es.size.toLong,
               sumOpt(es.map(_.fileStats.map(_.rows))),
               sumOpt(es.map(_.size)))): InternalRow
+          }.toArray)
+      case "delete_files" =>
+        // pending merge-on-read delete files of the snapshot: the keys
+        // they erase apply to data files with STRICTLY smaller seq
+        val schema = StructType(Seq(
+          StructField("path", StringType, nullable = false),
+          StructField("size_bytes", LongType, nullable = true),
+          StructField("seq", LongType, nullable = false),
+          StructField("key_columns", StringType, nullable = false)))
+        local(s"$root#delete_files@$v", schema,
+          Manifest.snapshotMeta(spark, root, v).deletes.map { d =>
+            new GenericInternalRow(Array[Any](u(d.path),
+              d.size.map(Long.box).orNull, d.seq,
+              u(d.keyCols.mkString(",")))): InternalRow
+          }.toArray)
+      case "tags" =>
+        val schema = StructType(Seq(
+          StructField("name", StringType, nullable = false),
+          StructField("version", LongType, nullable = false)))
+        local(s"$root#tags", schema,
+          Manifest.tags(spark, root).toSeq.sortBy(_._1).map {
+            case (n, ver) =>
+              new GenericInternalRow(Array[Any](u(n), ver)): InternalRow
+          }.toArray)
+      case "branches" =>
+        val schema = StructType(Seq(
+          StructField("name", StringType, nullable = false),
+          StructField("head", LongType, nullable = false)))
+        local(s"$root#branches", schema,
+          Manifest.branches(spark, root).toSeq.sortBy(_._1).map {
+            case (n, h) =>
+              new GenericInternalRow(Array[Any](u(n), h)): InternalRow
           }.toArray)
     }
   }

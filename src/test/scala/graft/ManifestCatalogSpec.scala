@@ -739,4 +739,28 @@ class ManifestCatalogSpec extends SparkSpec {
       spark.table("graftcat.db.meta.nosuch").collect()
     }
   }
+
+  test("metadata tables: tags, branches, delete_files reflect refs " +
+    "and pending MoR deletes") {
+    import graft.sources.Manifest
+    spark.sql("CREATE TABLE graftcat.db.meta2 (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graftcat.db.meta2 VALUES (1, 10), (2, 20)")
+    val root = s"$warehouse/db/meta2"
+    assert(spark.table("graftcat.db.meta2.tags").count() == 0)
+    assert(spark.table("graftcat.db.meta2.branches").count() == 0)
+    assert(spark.table("graftcat.db.meta2.delete_files").count() == 0)
+    Manifest.tag(spark, root, "published", 2L)
+    Manifest.createBranch(spark, root, "dev")
+    Manifest.deleteByKeys(spark, root, Seq(1L).toDF("id"))
+    assert(spark.table("graftcat.db.meta2.tags")
+      .as[(String, Long)].collect().toSeq == Seq(("published", 2L)))
+    assert(spark.table("graftcat.db.meta2.branches")
+      .as[(String, Long)].collect().toSeq == Seq(("dev", 2L)))
+    val dels = spark.sql("SELECT seq, key_columns FROM " +
+      "graftcat.db.meta2.delete_files").as[(Long, String)].collect()
+    assert(dels.toSeq == Seq((3L, "id")))
+    // the pre-delete snapshot has no pending delete files
+    assert(spark.sql("SELECT * FROM graftcat.db.meta2.delete_files " +
+      "VERSION AS OF 2").count() == 0)
+  }
 }

@@ -88,6 +88,47 @@ class TablesSpec extends SparkSpec {
     assert(y >= 2023 && y <= 2025, s"event_time year drifted: $y")
   }
 
+  test("both timestamp encodings of the same instants normalize to " +
+    "identical epoch-nanos (seeded randomized round-trip)") {
+    import org.apache.spark.sql.functions._
+    // 200 seeded random micro-precision instants across 1970-2100,
+    // written as TIMESTAMP and TIMESTAMP_NTZ parquet; the loader must
+    // produce the same nanos for both — any tz or unit slip diverges.
+    val rnd = new scala.util.Random(42)
+    val micros = Seq.fill(200)(
+      math.abs(rnd.nextLong()) % (4102444800L * 1000000L))
+    val dir = java.nio.file.Files.createTempDirectory("graft_enc").toString
+    val base = spark.createDataFrame(
+      spark.sparkContext.parallelize(micros.zipWithIndex.map {
+        case (us, i) => org.apache.spark.sql.Row(i.toLong, us)
+      }, 2),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("us",
+          org.apache.spark.sql.types.LongType))))
+      .select(col("event_id"), lit(0L).as("user_id"),
+        lit("t").as("event_type"), lit(0.0).as("value"),
+        lit("{}").as("props"), col("us"))
+    base.withColumn("ts", timestamp_micros(col("us"))).drop("us")
+      .write.mode("overwrite").parquet(s"$dir/tz/events.parquet")
+    base.withColumn("ts",
+        timestamp_micros(col("us")).cast(TimestampNTZType)).drop("us")
+      .write.mode("overwrite").parquet(s"$dir/ntz/events.parquet")
+    assert(Tables.load(spark, s"$dir/tz", "events")
+      .schema("ts").dataType == TimestampType)
+    assert(Tables.load(spark, s"$dir/ntz", "events")
+      .schema("ts").dataType == TimestampNTZType)
+    def nanos(sub: String): Map[Long, Long] =
+      Tables.events(spark, s"$dir/$sub").select("event_id", "ts")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (tz, ntz) = (nanos("tz"), nanos("ntz"))
+    val expect = micros.zipWithIndex
+      .map { case (us, i) => i.toLong -> us * 1000L }.toMap
+    assert(tz == expect, "TimestampType path diverged from epoch-nanos")
+    assert(ntz == expect, "NTZ path diverged from epoch-nanos")
+  }
+
   test("Tables.events normalizes a synthetic TimestampType encoding too") {
     // The current files ship NTZ; cover the with-timezone branch by
     // writing a tiny TimestampType parquet and loading through Tables.

@@ -185,4 +185,39 @@ object Curation {
       .groupBy(col(partCol), col("bin"))
       .agg(count(lit(1)).as("docs"), sum(col(unitsCol)).as("units"))
   }
+
+  /** The composed end-to-end curation pipeline — one call from raw
+    * corpus to export-ready shards, chaining the library's stages in
+    * the order a production training-data build runs them:
+    *
+    *   1. exact dedup (digest groupBy, min-id survivor)
+    *   2. Gopher-rule quality gate ([[repetitionStats]] + [[gopherGate]])
+    *   3. exact n-gram decontamination vs `bench` ([[contamination]]
+    *      → anti-join; every doc sharing ANY n-gram with the benchmark
+    *      is dropped)
+    *   4. deterministic shuffle + hash-mod shard assignment
+    *      ([[graft.operators.Sampling.deterministicShuffle]])
+    *
+    * Returns the clean corpus with `shuffle_key` and `bucket` columns.
+    * Every stage is linear with uniform shuffle keys (digest, (id,
+    * token), gram, id — no windows over the corpus, no collects), so
+    * the composition inherits each stage's 100 TB posture; it is also
+    * engine-replayable end-to-end (md5 digests, integer-exact ratios,
+    * portable hash), which q147 exploits to oracle-check the whole
+    * pipeline, not just its parts. */
+  def curate(docs: DataFrame, bench: DataFrame, idCol: String,
+             textCol: String, cfg: GopherConfig = GopherConfig(),
+             contamN: Int = 8, salt: String = "epoch0",
+             buckets: Int = 8): DataFrame = {
+    val deduped = graft.operators.Dedup.dropExactDups(docs, idCol, textCol)
+    val kept = deduped.join(
+      repetitionStats(deduped, idCol, textCol)
+        .filter(gopherGate(cfg)).select(col(idCol)),
+      Seq(idCol), "left_semi")
+    val dirty = contamination(kept, bench, idCol, textCol, contamN)
+      .select(col("train_id").as(idCol))
+    val clean = kept.join(dirty, Seq(idCol), "left_anti")
+    graft.operators.Sampling.deterministicShuffle(clean, idCol, salt,
+      buckets)
+  }
 }

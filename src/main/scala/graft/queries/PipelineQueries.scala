@@ -1709,5 +1709,67 @@ object PipelineQueries {
               / CAST(len(sh.s) AS DOUBLE)
           END AS dup_ratio
         FROM sh LEFT JOIN dp USING (doc_id)
-        ORDER BY sh.doc_id""")))
+        ORDER BY sh.doc_id""")),
+
+    // ---- The COMPOSED pipeline: dedup → quality gate → decontam →
+    // shuffle/shard, oracle-checked END-TO-END (every stage is
+    // engine-replayable, so the whole chain is too — a wrong result in
+    // ANY stage flips the final per-shard rollup). Benchmark = the
+    // doc_id%7==0 slice; corpus = the rest.
+    QueryDef("q147_curation_pipeline",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val sharded = Curation.curate(
+          docs.filter(col("doc_id") % 7 =!= 0),
+          docs.filter(col("doc_id") % 7 === 0),
+          "doc_id", "text", contamN = 8, salt = "epoch0", buckets = 8)
+        sharded.groupBy("bucket")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(graft.functions.Text.tokenCount(col("text")))
+              .as("tokens"),
+            min("doc_id").as("first_id"), max("doc_id").as("last_id"))
+          .orderBy("bucket")
+      },
+      Some("""WITH corpus AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
+        dd AS (SELECT min(doc_id) AS doc_id FROM corpus
+          GROUP BY md5(text)),
+        d AS (SELECT c.doc_id, c.text FROM corpus c
+          JOIN dd ON c.doc_id = dd.doc_id),
+        toks AS (SELECT doc_id,
+            unnest(string_split(lower(text), ' ')) AS tok FROM d),
+        pd AS (SELECT doc_id, tok, count(*) AS c,
+            sum(length(tok)) AS chars FROM toks GROUP BY 1, 2),
+        st AS (SELECT doc_id, sum(c) AS words, count(*) AS dwords,
+            max(c) AS topc, sum(chars) AS wchars FROM pd GROUP BY 1),
+        kept AS (SELECT d.doc_id, d.text FROM d JOIN st USING (doc_id)
+          WHERE st.words BETWEEN 50 AND 100000
+            AND CAST(st.wchars AS DOUBLE) / st.words BETWEEN 3.0 AND 10.0
+            AND CAST(st.topc AS DOUBLE) / st.words <= 0.2
+            AND CAST(st.dwords AS DOUBLE) / st.words >= 0.3),
+        kg AS (SELECT doc_id, unnest(CASE WHEN len(tk) >= 8 THEN
+              list_distinct([array_to_string(tk[i:i+7], ' ')
+                for i in range(1, len(tk) - 6)])
+            ELSE [] END) AS g
+          FROM (SELECT doc_id, string_split(lower(text), ' ') AS tk
+            FROM kept)),
+        bg AS (SELECT unnest(CASE WHEN len(tk) >= 8 THEN
+              list_distinct([array_to_string(tk[i:i+7], ' ')
+                for i in range(1, len(tk) - 6)])
+            ELSE [] END) AS g
+          FROM (SELECT string_split(lower(text), ' ') AS tk
+            FROM documents WHERE doc_id % 7 = 0)),
+        dirty AS (SELECT DISTINCT kg.doc_id FROM kg
+          JOIN (SELECT DISTINCT g FROM bg) b USING (g)),
+        clean AS (SELECT * FROM kept
+          WHERE doc_id NOT IN (SELECT doc_id FROM dirty)),
+        sh AS (SELECT doc_id, text,
+            CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+              || '|epoch0'), 1, 8)) AS BIGINT) AS sk
+          FROM clean)
+        SELECT sk % 8 AS bucket, count(*) AS n_docs,
+          CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT)
+            AS tokens,
+          min(doc_id) AS first_id, max(doc_id) AS last_id
+        FROM sh GROUP BY 1 ORDER BY 1""")))
 }

@@ -1262,6 +1262,15 @@ object Manifest {
   private def msgContains(e: Throwable, s: String): Boolean =
     Option(e.getMessage).exists(_.contains(s))
 
+  /** Shared race backoff: nothing on the first retry (the common
+    * 2-writer race resolves immediately), exponential + jitter after,
+    * so N herding writers don't re-collide every round. Used by the
+    * append loop here and the V2 batch/streaming commit loops. */
+  private[graft] def raceBackoff(attempt: Int): Unit =
+    if (attempt > 1) Thread.sleep((10L << (attempt - 2)) +
+      java.util.concurrent.ThreadLocalRandom.current()
+        .nextLong(10L << (attempt - 2)))
+
   /** The bounded optimistic-commit loop: retry only the two faces of
     * the concurrent-writer race (lost O_EXCL claim, torn read of an
     * in-flight manifest); everything else — layout mismatch, schema
@@ -1273,8 +1282,7 @@ object Manifest {
     var n = 0
     var last: Throwable = null
     while (n < maxAttempts) {
-      if (n > 1) Thread.sleep((10L << (n - 2)) +
-        java.util.concurrent.ThreadLocalRandom.current().nextLong(10L << (n - 2)))
+      raceBackoff(n)
       try return attempt
       catch {
         case e: IllegalStateException

@@ -1009,10 +1009,10 @@ final class ManifestBatchWrite(res: ManifestConnector.Resolved,
         // metadata claim a bounded number of times
         case e: IllegalStateException
             if Option(e.getMessage).exists(_.contains("commit conflict")) && attempt < 3 =>
-          attempt += 1
+          attempt += 1; Manifest.raceBackoff(attempt)
         case e: IllegalArgumentException
             if Option(e.getMessage).exists(_.contains("torn manifest read")) && attempt < 3 =>
-          attempt += 1
+          attempt += 1; Manifest.raceBackoff(attempt)
       }
     }
   }

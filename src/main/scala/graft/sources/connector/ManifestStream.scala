@@ -273,10 +273,10 @@ final class ManifestStreamingWrite(res: ManifestConnector.Resolved,
         // (the torn-read fence says "retry" explicitly)
         case e: IllegalStateException
             if Option(e.getMessage).exists(_.contains("commit conflict")) && attempt < 3 =>
-          attempt += 1
+          attempt += 1; Manifest.raceBackoff(attempt)
         case e: IllegalArgumentException
             if Option(e.getMessage).exists(_.contains("torn manifest read")) && attempt < 3 =>
-          attempt += 1
+          attempt += 1; Manifest.raceBackoff(attempt)
       }
     }
     if (committed.get.isEmpty) deleteStaged(entries) // replayed epoch

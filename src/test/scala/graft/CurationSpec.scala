@@ -95,4 +95,30 @@ class CurationSpec extends SparkSpec {
     assert(Curation.fuzzyContamination(train, shortBench, "doc_id",
       "text", 0.7).count() == 0)
   }
+
+  test("curate: each stage drops exactly the docs it should, shards " +
+    "are deterministic") {
+    // 60 good words — passes every Gopher bound
+    val good = (1 to 60).map(i => s"word$i").mkString(" ")
+    val repetitive = Seq.fill(60)("spam").mkString(" ") // top_word_frac 1.0
+    val contaminated = good + " the leaked benchmark answer key right here ok"
+    val benchText = "the leaked benchmark answer key right here ok yes"
+    val docs = Seq(
+      (1L, good),               // survives everything
+      (2L, good),               // exact dup of 1 → dropped (min-id wins)
+      (3L, repetitive),         // gated by top-word fraction
+      (4L, contaminated),       // shares an 8-gram with bench → dropped
+      (5L, good + " unique tail marker avoids the dup digest entirely"))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, benchText)).toDF("doc_id", "text")
+    val out = Curation.curate(docs, bench, "doc_id", "text",
+      contamN = 8, salt = "s1", buckets = 4)
+    assert(out.select("doc_id").as[Long].collect().toSet == Set(1L, 5L))
+    // shards are a pure function of (id, salt): rerun = same assignment
+    val a = out.select("doc_id", "bucket").as[(Long, Long)].collect().toSet
+    val b = Curation.curate(docs, bench, "doc_id", "text",
+        contamN = 8, salt = "s1", buckets = 4)
+      .select("doc_id", "bucket").as[(Long, Long)].collect().toSet
+    assert(a == b)
+  }
 }

@@ -681,6 +681,38 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces
     }
   }
 
+  private object OptimizeProcedure extends UnboundProcedure
+      with BoundProcedure {
+    override def name(): String = "optimize"
+    override def description(): String =
+      "one-call maintenance: fold pending merge-on-read delete files " +
+        "back into data (rewrite_deletes), then bin-pack small files " +
+        "(compact) — each step a no-op commit when it has nothing to do"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("small_bytes", LongType)
+        .defaultValue((32L * 1024 * 1024).toString).build(),
+      ProcedureParameter.in("target_bytes", LongType)
+        .defaultValue((128L * 1024 * 1024).toString).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val root = tableRoot(input.getUTF8String(0).toString)
+      val before = Manifest.latestVersion(spark, root).getOrElse(
+        throw new IllegalStateException(s"$root not initialized"))
+      val afterRw = Manifest.rewriteDeletes(spark, root)
+      val afterC = Manifest.compact(spark, root, input.getLong(1),
+        input.getLong(2))
+      oneRowScan(
+        StructType(Seq(StructField("version", LongType, false),
+          StructField("rewrote_deletes", BooleanType, false),
+          StructField("compacted", BooleanType, false),
+          StructField("files", LongType, false))),
+        Array[Any](afterC, afterRw != before, afterC != afterRw,
+          Manifest.snapshot(spark, root, afterC).files.size.toLong))
+    }
+  }
+
   private object RollbackProcedure extends UnboundProcedure
       with BoundProcedure {
     override def name(): String = "rollback"
@@ -910,6 +942,7 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces
       case "vacuum"  => VacuumProcedure
       case "history" => HistoryProcedure
       case "rollback" => RollbackProcedure
+      case "optimize" => OptimizeProcedure
       case "analyze" => AnalyzeProcedure
       case "rewrite_deletes" => RewriteDeletesProcedure
       case "expire_snapshots" => ExpireSnapshotsProcedure

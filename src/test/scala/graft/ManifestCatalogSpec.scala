@@ -763,4 +763,24 @@ class ManifestCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT * FROM graftcat.db.meta2.delete_files " +
       "VERSION AS OF 2").count() == 0)
   }
+
+  test("CALL system.optimize folds MoR deletes then bin-packs; " +
+    "no-op on an already-clean table") {
+    import graft.sources.Manifest
+    spark.sql("CREATE TABLE graftcat.db.opt (id BIGINT, v BIGINT)")
+    for (i <- 0 until 3) // several tiny-file commits + a MoR delete
+      spark.sql(s"INSERT INTO graftcat.db.opt VALUES ($i, ${i * 10})")
+    Manifest.deleteByKeys(spark, s"$warehouse/db/opt", Seq(1L).toDF("id"))
+    val r = spark.sql("CALL graftcat.system.optimize(table => 'db.opt')")
+      .as[(Long, Boolean, Boolean, Long)].head
+    assert(r._2, "should have rewritten the pending delete")
+    assert(r._3, "should have compacted the small files")
+    assert(spark.table("graftcat.db.opt.delete_files").count() == 0)
+    assert(spark.sql("SELECT id FROM graftcat.db.opt")
+      .as[Long].collect().toSet == Set(0L, 2L))
+    // clean table → both steps report no-op, version unchanged
+    val r2 = spark.sql("CALL graftcat.system.optimize(table => 'db.opt')")
+      .as[(Long, Boolean, Boolean, Long)].head
+    assert(r2._1 == r._1 && !r2._2 && !r2._3)
+  }
 }

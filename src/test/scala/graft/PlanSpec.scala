@@ -111,6 +111,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("q147: the composed curation pipeline stays equi-join " +
+    "end-to-end — no cartesian or nested-loop over any stage") {
+    val p = plan("q147_curation_pipeline")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
   test("no registered query uses a Scala/Python UDF") {
     for ((name, _) <- SparkEntry.defs) {
       val p = plan(name)

@@ -126,11 +126,16 @@ object Search {
     * ordering, so a sub-ulp engine difference cannot reorder the
     * top-k (doc id tie-breaks equal rounded scores).
     *
+    * `requireAll` = the reference `match` operator=and: only documents
+    * containing EVERY query term rank (filter on matched = |terms| —
+    * applied after the per-doc aggregation, before top-k).
+    *
     * Returns (idCol, score, matched) — matched = how many distinct
     * query terms hit the document. */
   def rankBm25(docs: DataFrame, idCol: String, textCol: String,
                query: String, k: Int,
-               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+               k1: Double = 1.2, b: Double = 0.75,
+               requireAll: Boolean = false): DataFrame = {
     val terms = query.toLowerCase.split(" ").filter(_.nonEmpty).distinct.toSeq
     require(terms.nonEmpty, "BM25 query needs at least one term")
     val toks = tokenStream(docs, idCol, textCol)
@@ -153,6 +158,7 @@ object Search {
       .groupBy(col(idCol))
       .agg(round(sum(col("_s")), 4).as("score"),
         count(lit(1)).as("matched"))
+      .filter(if (requireAll) col("matched") === terms.size else lit(true))
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
   }
@@ -168,9 +174,11 @@ object Search {
     * operator — no global sort, no per-query window over the corpus.
     * Scoring and rounding exactly as [[rankBm25]].
     *
-    * `queries` must have (queryIdCol, queryTextCol). Returns
-    * (queryIdCol, idCol, score, matched), k rows per query, ordered
-    * (queryId asc, score desc, id asc). */
+    * `queries` must have (queryIdCol, queryTextCol) and be SMALL —
+    * its distinct term union is broadcast (thousands of queries are
+    * fine; a corpus-sized query frame belongs in a join-based design,
+    * not this operator). Returns (queryIdCol, idCol, score, matched),
+    * k rows per query, ordered (queryId asc, score desc, id asc). */
   def rankBm25Batch(docs: DataFrame, idCol: String, textCol: String,
                     queries: DataFrame, queryIdCol: String,
                     queryTextCol: String, k: Int,

@@ -190,6 +190,12 @@ class SearchCatalogSpec extends SparkSpec {
       "doc_id", "text", "spark rare", 1)
       .select("doc_id").as[Long].head()
     assert(both == 5L)
+    // operator=and: only the doc containing EVERY term ranks
+    val conj = Search.rankBm25(
+      docs.union(Seq((5L, "spark rare")).toDF("doc_id", "text")),
+      "doc_id", "text", "spark rare", 10, requireAll = true)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(conj == Seq(5L))
   }
 
   test("rankBm25Batch: each query's top-k equals the single-query " +

@@ -69,6 +69,136 @@ object Search {
       .select(col(idCol), explode_outer(col("toks")).as("token"))
       .filter(col("token").isNotNull)
 
+  /** POSITIONAL analyzed token stream — (doc_id, pos, token), pos
+    * 0-based within the document. The phrase-search input: same
+    * tokenizer as [[tokenStream]], plus the ordinal that plain explode
+    * drops. At 100 TB the position column adds 4-8 bytes per token to
+    * the (map-side, pre-filter) stream — it never reaches a shuffle
+    * unfiltered (see [[phraseMatches]]). */
+  def posTokenStream(docs: DataFrame, idCol: String,
+                     textCol: String): DataFrame =
+    graft.scaleOut(docs, col(idCol))
+      .select(col(idCol), Text.tokens(col(textCol)).as("toks"))
+      .select(col(idCol),
+        posexplode_outer(col("toks")).as(Seq("pos", "token")))
+      .filter(col("token").isNotNull)
+
+  /** T2: match_phrase — documents containing the EXACT adjacent-term
+    * sequence, with per-document phrase frequency. The OpenSearch
+    * `match_phrase` analog (reference README.md:26; index at
+    * lambda-function.py:134-172): the repo's token stream is analyzed
+    * the same way, so phrase semantics = consecutive positions.
+    *
+    * Shape, scale-first (anchor trick — no per-term self-joins):
+    *  - the positional stream is filtered to the phrase's terms BEFORE
+    *    any shuffle (literal isin, codegen'd);
+    *  - each surviving (doc, pos, token) row fans out to the phrase
+    *    RANKS that token occupies — via a literal token→ranks MAP
+    *    expression (repeated phrase terms yield several ranks), so the
+    *    fan-out is pure expression work, no join;
+    *  - anchor = pos − rank: a phrase occurrence starting at position a
+    *    puts ALL its ranks on anchor a, so one hash-aggregate on
+    *    (doc, anchor) counting distinct ranks finds full matches —
+    *    m-term phrases cost ONE shuffle of phrase-term rows only,
+    *    never an m-way positional self-join;
+    *  - phrase frequency = matching anchors per doc (second, tiny agg).
+    *
+    * Returns (idCol, phrase_tf), one row per matching document. */
+  def phraseMatches(docs: DataFrame, idCol: String, textCol: String,
+                    phrase: String): DataFrame = {
+    val terms = phrase.toLowerCase.split(" ").filter(_.nonEmpty).toSeq
+    require(terms.size >= 2,
+      s"match_phrase needs >= 2 terms, got '$phrase' — use matchTerm/rankBm25")
+    val ranksByTerm: Map[String, Seq[Int]] =
+      terms.zipWithIndex.groupBy(_._1).map { case (t, trs) =>
+        t -> trs.map(_._2)
+      }
+    val rankMap: Column = map(ranksByTerm.toSeq.sortBy(_._1).flatMap {
+      case (t, rs) => Seq(lit(t), array(rs.map(lit(_)): _*))
+    }: _*)
+    posTokenStream(docs, idCol, textCol)
+      .filter(col("token").isin(ranksByTerm.keys.toSeq: _*))
+      .select(col(idCol), col("pos"),
+        explode(element_at(rankMap, col("token"))).as("rank"))
+      .groupBy(col(idCol), (col("pos") - col("rank")).as("anchor"))
+      .agg(countDistinct(col("rank")).as("hits"))
+      .filter(col("hits") === terms.size)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("phrase_tf"))
+  }
+
+  /** T2: relevance-ranked phrase search — [[phraseMatches]] scored with
+    * the BM25 arithmetic of [[rankBm25]], treating the WHOLE phrase as
+    * one term (Lucene PhraseQuery semantics: tf = phrase frequency,
+    * df = number of documents containing the phrase). Doc length /
+    * avgdl / N are the same broadcast one-row frames as rankBm25; the
+    * phrase df reduces to one row (count of matching docs), broadcast.
+    * Rounded (4 dp) score drives the ordering, doc id tie-breaks;
+    * orderBy+limit → TakeOrderedAndProject, never a global sort.
+    *
+    * Returns (idCol, score, phrase_tf), top `k`. */
+  def rankPhrase(docs: DataFrame, idCol: String, textCol: String,
+                 phrase: String, k: Int,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val ph = phraseMatches(docs, idCol, textCol, phrase)
+    val docLen = docLengths(docs, idCol, textCol)
+    val avgdl = docLen.agg(avg(col("dl")).as("avgdl"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val dfp = ph.agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5))
+    ph.join(docLen, idCol)
+      .crossJoin(broadcast(dfp))
+      .crossJoin(broadcast(n))
+      .crossJoin(broadcast(avgdl))
+      .withColumn("score", round(idf * col("phrase_tf") * (lit(k1) + 1.0) /
+        (col("phrase_tf") + lit(k1) *
+          (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))), 4))
+      .select(col(idCol), col("score"), col("phrase_tf"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** T2: fuzzy term match (edit distance ≤ `maxEdits`) — the OpenSearch
+    * `match` fuzziness analog (reference README.md:26): a typo'd query
+    * term retrieves documents containing any vocabulary token within
+    * `maxEdits` Levenshtein edits.
+    *
+    * Shape, scale-first — never query-terms × vocabulary, and never a
+    * vocabulary shuffle:
+    *  - candidate filtering runs on the exploded token stream BEFORE
+    *    any shuffle: a cheap length-window predicate
+    *    (|len(token) − len(term)| ≤ maxEdits — sound: each edit changes
+    *    length by at most 1) guards the `levenshtein()` call, both
+    *    codegen'd map-side expressions;
+    *  - only surviving candidate rows reach the (doc, token) postings
+    *    aggregation — the shuffle carries matched-variant rows only;
+    *  - per-variant distance is recomputed on the ≤|variants| postings
+    *    frame (tiny) to weight the score.
+    *
+    * Score = Σ_variants tf · (maxEdits + 1 − dist): exact hits weigh
+    * full, each edit steps the weight down — integer arithmetic,
+    * bit-exact across engines. `matched` = distinct variant tokens in
+    * the doc. Returns (idCol, score, matched), top `k`, score desc /
+    * id asc. */
+  def matchFuzzy(docs: DataFrame, idCol: String, textCol: String,
+                 term: String, k: Int, maxEdits: Int = 2): DataFrame = {
+    val q = term.toLowerCase
+    require(q.nonEmpty && !q.contains(" "),
+      s"fuzzy match takes ONE term, got '$term' — use rankBm25 for multi-term")
+    val cand = tokenStream(docs, idCol, textCol)
+      .filter(
+        abs(length(col("token")) - lit(q.length)) <= maxEdits &&
+          levenshtein(col("token"), lit(q)) <= maxEdits)
+    cand.groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("dist", levenshtein(col("token"), lit(q)))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf") * (lit(maxEdits + 1) - col("dist"))).as("score"),
+        count(lit(1)).as("matched"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Term frequencies per document: the inverted-index postings list.
     * One hash-aggregate shuffle on (token, doc) — partial aggregation
     * (map-side combine) does the heavy lifting before the exchange. */
@@ -84,6 +214,18 @@ object Search {
       .groupBy(col("token"))
       .agg(count(lit(1)).as("cf"),
            countDistinct(col(idCol)).as("df"))
+
+  /** Per-document analyzed length — (idCol, dl) — computed MAP-SIDE as
+    * `size(tokens(text))`: bit-identical to counting the exploded
+    * stream (split never yields nulls; "" counts in both), but with no
+    * explode, no shuffle, and no aggregation. The BM25 family uses
+    * this for dl and avgdl; before this, each scorer paid 2 extra
+    * tokenize+shuffle+agg passes over the corpus for lengths alone.
+    * (null text → null dl, which avg() skips — same aggregate the old
+    * explode path produced by dropping those docs.) */
+  def docLengths(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+      size(Text.tokens(col(textCol))).cast("long").as("dl"))
 
   /** T1: match_all — trivial scan. */
   def matchAll(index: DataFrame): DataFrame = index
@@ -139,7 +281,7 @@ object Search {
     val terms = query.toLowerCase.split(" ").filter(_.nonEmpty).distinct.toSeq
     require(terms.nonEmpty, "BM25 query needs at least one term")
     val toks = tokenStream(docs, idCol, textCol)
-    val docLen = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    val docLen = docLengths(docs, idCol, textCol)
     val avgdl = docLen.agg(avg(col("dl")).as("avgdl"))
     val n = docs.agg(count(lit(1)).as("n"))
     val tf = toks.filter(col("token").isin(terms: _*))
@@ -177,18 +319,28 @@ object Search {
     * `queries` must have (queryIdCol, queryTextCol) and be SMALL —
     * its distinct term union is broadcast (thousands of queries are
     * fine; a corpus-sized query frame belongs in a join-based design,
-    * not this operator). Returns (queryIdCol, idCol, score, matched),
+    * not this operator).
+    *
+    * `requireAll` = the reference `match` operator=and, per query: a
+    * document ranks for query q only when it contains EVERY distinct
+    * term of q — filter on matched = |terms(q)| (the per-query term
+    * count is a ≤|queries|-row broadcast), applied after the per-
+    * (query, doc) aggregation and BEFORE the top-k heaps, so heap
+    * slots never go to partial matches. Mirrors [[rankBm25]].
+    *
+    * Returns (queryIdCol, idCol, score, matched),
     * k rows per query, ordered (queryId asc, score desc, id asc). */
   def rankBm25Batch(docs: DataFrame, idCol: String, textCol: String,
                     queries: DataFrame, queryIdCol: String,
                     queryTextCol: String, k: Int,
-                    k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+                    k1: Double = 1.2, b: Double = 0.75,
+                    requireAll: Boolean = false): DataFrame = {
     val qToks = queries.select(col(queryIdCol),
         explode(array_distinct(Text.tokens(col(queryTextCol))))
           .as("token"))
       .filter(col("token") =!= "")
     val toks = tokenStream(docs, idCol, textCol)
-    val docLen = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    val docLen = docLengths(docs, idCol, textCol)
     val avgdl = docLen.agg(avg(col("dl")).as("avgdl"))
     val n = docs.agg(count(lit(1)).as("n"))
     val tf = toks
@@ -212,7 +364,16 @@ object Search {
       .groupBy(col(queryIdCol), col(idCol))
       .agg(round(sum(col("_s")), 4).as("score"),
         count(lit(1)).as("matched"))
-    graft.plans.TopK.perGroup(scored, Seq(queryIdCol),
+    val gated =
+      if (!requireAll) scored
+      else {
+        val qn = qToks.groupBy(col(queryIdCol))
+          .agg(count(lit(1)).as("_qn")) // qToks is distinct per query
+        scored.join(broadcast(qn), queryIdCol)
+          .filter(col("matched") === col("_qn"))
+          .drop("_qn")
+      }
+    graft.plans.TopK.perGroup(gated, Seq(queryIdCol),
         Seq(graft.plans.TopK.desc("score"), graft.plans.TopK.asc(idCol)), k)
       .orderBy(col(queryIdCol).asc, col("score").desc, col(idCol).asc)
   }

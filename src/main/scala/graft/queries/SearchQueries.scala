@@ -118,5 +118,62 @@ object SearchQueries {
         SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score,
           matched
         FROM ranked WHERE rn <= 10
-        ORDER BY query_id ASC, score DESC, doc_id ASC""")))
+        ORDER BY query_id ASC, score DESC, doc_id ASC""")),
+
+    // ---- T2: match_phrase — adjacency via the positional token stream
+    // (anchor trick: one shuffle of phrase-term rows, no positional
+    // self-joins), scored as BM25 with the phrase as one term (Lucene
+    // PhraseQuery: tf = phrase frequency, df = phrase doc count). The
+    // oracle replays positions with DuckDB's zipped unnest (unnest +
+    // range over the same array align element-wise = WITH ORDINALITY).
+    QueryDef("q148_phrase_search",
+      (s, dir) => Search.rankPhrase(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        "window merge", 15),
+      Some("""WITH arr AS (SELECT doc_id, string_split(lower(text), ' ') AS a
+          FROM documents),
+        t AS (SELECT doc_id, unnest(a) AS token,
+            unnest(range(0, len(a))) AS pos
+          FROM arr),
+        q(rank, term) AS (VALUES (0, 'window'), (1, 'merge')),
+        cand AS (SELECT t.doc_id, t.pos - q.rank AS anchor, q.rank AS rank
+          FROM t JOIN q ON t.token = q.term),
+        hits AS (SELECT doc_id, anchor, count(DISTINCT rank) AS h
+          FROM cand GROUP BY 1, 2),
+        ph AS (SELECT doc_id, count(*) AS phrase_tf
+          FROM hits WHERE h = 2 GROUP BY 1),
+        dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+        s AS (SELECT avg(dl) AS avgdl FROM dl),
+        n AS (SELECT count(*) AS n FROM documents),
+        d AS (SELECT count(*) AS df FROM ph)
+        SELECT ph.doc_id,
+          round(ln(1 + (n.n - d.df + 0.5) / (d.df + 0.5))
+            * ph.phrase_tf * 2.2
+            / (ph.phrase_tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)), 4)
+            AS score,
+          ph.phrase_tf
+        FROM ph JOIN dl USING (doc_id) CROSS JOIN s CROSS JOIN n
+          CROSS JOIN d
+        ORDER BY score DESC, doc_id ASC LIMIT 15""")),
+
+    // ---- T2: fuzzy term match — 'sprak' (planted typo) retrieves docs
+    // containing vocabulary tokens within 2 Levenshtein edits; the
+    // length-window + levenshtein candidate filter runs on the token
+    // stream BEFORE any shuffle. Integer score: Σ tf·(maxEdits+1−dist).
+    QueryDef("q149_fuzzy_match",
+      (s, dir) => Search.matchFuzzy(
+        Tables.load(s, dir, "documents"), "doc_id", "text", "sprak", 20),
+      Some("""WITH t AS (SELECT doc_id,
+            unnest(string_split(lower(text), ' ')) AS token
+          FROM documents),
+        c AS (SELECT doc_id, token FROM t
+          WHERE abs(length(token) - 5) <= 2
+            AND levenshtein(token, 'sprak') <= 2),
+        tf AS (SELECT doc_id, token, count(*) AS tf,
+            levenshtein(token, 'sprak') AS dist
+          FROM c GROUP BY 1, 2)
+        SELECT doc_id, CAST(sum(tf * (3 - dist)) AS BIGINT) AS score,
+          count(*) AS matched
+        FROM tf GROUP BY 1
+        ORDER BY score DESC, doc_id ASC LIMIT 20""")))
 }

@@ -111,6 +111,47 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
+  /** The search-family scale contract: the query-term filter must sit
+    * DIRECTLY on the exploded token stream (its child is the Generate),
+    * i.e. before any aggregation or exchange — a refactor that floats
+    * it above the postings shuffle would make every search query
+    * shuffle the whole corpus's tokens. */
+  private def termFilterOnStream(p: String, marker: String): Unit = {
+    val lines = p.linesIterator.toSeq
+    val idxs = lines.zipWithIndex.collect {
+      case (l, i) if l.contains("Filter") && l.contains(marker) => i
+    }
+    assert(idxs.nonEmpty, s"no Filter containing '$marker':\n${p.take(2000)}")
+    idxs.foreach { i =>
+      assert(lines.lift(i + 1).exists(_.contains("Generate")),
+        s"term filter not directly above its Generate:\n" +
+          lines.slice(i, i + 3).mkString("\n"))
+    }
+  }
+
+  test("q144/q148/q149: the term predicate filters the exploded stream " +
+    "pre-shuffle (literal isin / levenshtein directly above Generate)") {
+    termFilterOnStream(plan("q144_bm25_search"), "IN (window,merge,scan)")
+    termFilterOnStream(plan("q148_phrase_search"), "IN (window,merge)")
+    termFilterOnStream(plan("q149_fuzzy_match"), "levenshtein")
+  }
+
+  test("q145: batch BM25 semi-join term filter stays below the postings " +
+    "aggregation (LeftSemi directly over the exploded stream)") {
+    val p = plan("q145_bm25_batch")
+    assert(p.contains("LeftSemi"), p.take(2000))
+    val lines = p.linesIterator.toSeq
+    val semis = lines.zipWithIndex.collect {
+      case (l, i) if l.contains("LeftSemi") => i
+    }
+    semis.foreach { i =>
+      val below = lines.slice(i + 1, i + 3).mkString("\n")
+      assert(below.contains("Generate"),
+        s"semi join not over the exploded stream:\n" +
+          lines.slice(i, i + 4).mkString("\n"))
+    }
+  }
+
   test("q147: the composed curation pipeline stays equi-join " +
     "end-to-end — no cartesian or nested-loop over any stage") {
     val p = plan("q147_curation_pipeline")

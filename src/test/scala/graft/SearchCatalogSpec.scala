@@ -222,4 +222,100 @@ class SearchCatalogSpec extends SparkSpec {
       assert(batch(qid) == single, s"query $qid diverged from rankBm25")
     }
   }
+
+  test("rankBm25Batch requireAll: per-query conjunctive gate equals the " +
+    "single-query requireAll result") {
+    val docs = Seq(
+      (1L, "spark rare common"),
+      (2L, "spark common"),
+      (3L, "rare common"),
+      (4L, "alpha beta"))
+      .toDF("doc_id", "text")
+    val qs = Seq((10L, "spark rare"), (20L, "common alpha"))
+      .toDF("query_id", "qtext")
+    val batch = Search.rankBm25Batch(docs, "doc_id", "text",
+        qs, "query_id", "qtext", 5, requireAll = true)
+      .select("query_id", "doc_id").as[(Long, Long)].collect().toSet
+    // q10: only doc 1 has BOTH spark and rare; q20: no doc has both
+    // common and alpha
+    assert(batch == Set((10L, 1L)))
+    for ((qid, qtext) <- Seq(10L -> "spark rare", 20L -> "common alpha")) {
+      val single = Search.rankBm25(docs, "doc_id", "text", qtext, 5,
+          requireAll = true)
+        .select("doc_id").as[Long].collect().toSet
+      assert(batch.collect { case (q, d) if q == qid => d } == single)
+    }
+  }
+
+  test("phraseMatches: adjacency required, order required, overlapping " +
+    "occurrences counted, repeated-term phrases handled") {
+    val docs = Seq(
+      (1L, "big window merge now"),       // exact phrase once
+      (2L, "merge window"),               // both terms, wrong order
+      (3L, "window x merge"),             // both terms, gap
+      (4L, "window merge window merge"),  // phrase twice
+      (5L, "no terms at all"))
+      .toDF("doc_id", "text")
+    val got = Search.phraseMatches(docs, "doc_id", "text", "window merge")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 4L -> 2L))
+    // repeated-term phrase: "data data" needs two ADJACENT 'data'
+    val rep = Seq(
+      (1L, "x data data y"),   // one occurrence
+      (2L, "data x data"),     // not adjacent
+      (3L, "data data data"))  // overlapping: anchors 0 and 1
+      .toDF("doc_id", "text")
+    val gotRep = Search.phraseMatches(rep, "doc_id", "text", "data data")
+      .as[(Long, Long)].collect().toMap
+    assert(gotRep == Map(1L -> 1L, 3L -> 2L))
+  }
+
+  test("rankPhrase: only phrase-matching docs rank, scored as BM25 with " +
+    "the phrase as one term (tf = phrase freq, df = phrase doc count)") {
+    val docs = Seq(
+      (1L, "window merge a b c"),            // tf=1, dl=5
+      (2L, "window merge window merge"),     // tf=2, dl=4
+      (3L, "merge window merge window x y"), // window@1 merge@2 → tf=1
+      (4L, "window x merge"))                // gap: no phrase
+      .toDF("doc_id", "text")
+    val got = Search.rankPhrase(docs, "doc_id", "text", "window merge", 10)
+      .select("doc_id", "score", "phrase_tf")
+      .as[(Long, Double, Long)].collect()
+      .map { case (id, s, tf) => id -> ((s, tf)) }.toMap
+    val n = 4.0
+    val df = 3.0 // docs 1, 2, 3 contain the phrase
+    val avgdl = (5 + 4 + 6 + 3) / 4.0
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def bm25(tf: Long, dl: Long): Double = {
+      val idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+      idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    }
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got(1L) == ((r4(bm25(1, 5)), 1L)))
+    assert(got(2L) == ((r4(bm25(2, 4)), 2L)))
+    assert(got(3L) == ((r4(bm25(1, 6)), 1L)))
+  }
+
+  test("matchFuzzy: planted typos within maxEdits retrieve, weighted by " +
+    "closeness; beyond maxEdits excluded; score = sum tf*(3-dist)") {
+    val docs = Seq(
+      (1L, "spark spark engine"),  // exact 'spark' x2: 2*(3-0)=6
+      (2L, "sprak engine"),        // dist-2 variant:   1*(3-2)=1
+      (3L, "spar engine"),         // dist-1 variant:   1*(3-1)=2
+      (4L, "spork spar"),          // spork d1 + spar d1: 2+2=4
+      (5L, "zzzzzzzz engine"))     // nothing within 2 edits
+      .toDF("doc_id", "text")
+    val got = Search.matchFuzzy(docs, "doc_id", "text", "spark", 10)
+      .select("doc_id", "score", "matched")
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, s, m) => id -> ((s, m)) }.toMap
+    assert(got == Map(
+      1L -> ((6L, 1L)), 2L -> ((1L, 1L)),
+      3L -> ((2L, 1L)), 4L -> ((4L, 2L))))
+    // ordering: score desc, id asc
+    val order = Search.matchFuzzy(docs, "doc_id", "text", "spark", 10)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(order == Seq(1L, 4L, 3L, 2L))
+  }
 }

@@ -450,6 +450,70 @@ object Similarity {
       .select(col("id").as(idCol), col("approx_dist"))
   }
 
+  /** IVF-PQ composition — the production ANN shape at 100 TB: the IVF
+    * coarse quantizer picks `nProbe` candidate cells (so only those
+    * cells' vectors are scored at all), and within them ADC over PQ
+    * codes replaces float-vector math (so scoring touches ~m bytes per
+    * candidate, not the raw embedding). Both halves are the existing
+    * oracle-anchored operators ([[ivfTopK]] q63, [[pqTopK]] q113);
+    * this wires probe → encode → lookup end-to-end.
+    *
+    * Scale shape: pivots and the m·k lookup table ride broadcasts; the
+    * only corpus-wide passes are the cell assignment (map-only argmax)
+    * and codebook training (the existing Lloyd operator — at 100 TB
+    * train on a fenced sample and reuse the codebook across queries);
+    * candidate scoring shuffles probed-cell rows only. Cells are
+    * cosine-assigned, ADC is squared-L2 — the FAISS-style hybrid.
+    *
+    * With `nProbe >= nCentroids`, `m = 1`, `k >= |corpus|`, `iters = 0`
+    * the approximation vanishes (every cell probed, every vector its
+    * own codeword) and the composition must reproduce EXACT L2 top-k —
+    * the machinery invariant q150's oracle checks end-to-end.
+    *
+    * Returns (idCol, approx_dist) ascending, query row excluded. */
+  def ivfPqTopK(emb: DataFrame, idCol: String, vecCol: String,
+                queryId: Long, topK: Int, dim: Int,
+                nCentroids: Int = 16, nProbe: Int = 4,
+                m: Int = 4, k: Int = 16, iters: Int = 1): DataFrame = {
+    val subDim = dim / m
+    val index = ivfIndex(emb, idCol, vecCol, nCentroids)
+    val qrow = index.filter(col(idCol) === queryId)
+      .select(col("v").as("qvec"))
+    val pivots = broadcast(
+      emb.orderBy(pmod(xxhash64(col(idCol)), lit(1000000007L)).asc,
+          col(idCol).asc)
+        .limit(nCentroids)
+        .select(col(idCol).as("pid"),
+          Vectors.toDouble(col(vecCol)).as("pv")))
+    val probes = broadcast(
+      qrow.crossJoin(pivots)
+        .select(col("pid"),
+          coalesce(Vectors.cosine(col("qvec"), col("pv")), lit(-2.0))
+            .as("pc"))
+        .orderBy(col("pc").desc, col("pid").asc)
+        .limit(nProbe)
+        .select(col("pid").as("centroid_id")))
+    val candIds = index.join(probes, Seq("centroid_id"))
+      .filter(col(idCol) =!= queryId)
+      .select(col(idCol))
+    val cand = emb.join(candIds, Seq(idCol), "left_semi")
+    val books = pqCodebooks(emb, idCol, vecCol, dim, m, k, iters)
+    val codes = pqEncode(cand, idCol, vecCol, books, dim, m)
+    val qsub = broadcast(
+      emb.filter(col(idCol) === queryId)
+        .select(Vectors.toDouble(col(vecCol)).as("qv"))
+        .select(posexplode(subspaces(col("qv"), m, subDim)))
+        .toDF("m", "qsv"))
+    val lut = broadcast(books.join(qsub, Seq("m"))
+      .select(col("m"), col("cid").as("code"),
+        l2sq(col("cv"), col("qsv")).as("pd")))
+    codes.join(lut, Seq("m", "code"))
+      .groupBy("id").agg(sum("pd").as("approx_dist"))
+      .orderBy(col("approx_dist").asc, col("id").asc)
+      .limit(topK)
+      .select(col("id").as(idCol), col("approx_dist"))
+  }
+
   /** All-pairs top-k neighbors per vector (small-side utility; the
     * per-row window keeps only k). At scale use the LSH bucket join —
     * this exact variant is O(n²) by definition, so it is FENCED: it

@@ -101,13 +101,25 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces
     loadVersion(ident, Some(version))
 
   /** SQL `TIMESTAMP AS OF ts` lands here (Spark hands epoch MICROS);
-    * resolves to the newest snapshot committed at or before it. */
+    * resolves to the newest snapshot committed at or before it. For a
+    * metadata-table identifier (`db.t.files`) the timestamp resolves
+    * against the BASE table's commit log — the suffix relation has no
+    * log of its own — then delegates to loadVersion's metadata
+    * fallback, keeping TIMESTAMP AS OF and VERSION AS OF consistent
+    * across the whole time-travel surface. */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
     val path = pathOf(ident)
-    if (Manifest.latestVersion(spark, path).isEmpty)
-      throw new NoSuchTableException(ident)
+    val logPath =
+      if (Manifest.latestVersion(spark, path).isDefined) path
+      else if (ident.namespace.nonEmpty &&
+          MetadataTables.suffixes(ident.name.toLowerCase)) {
+        val base = (warehouse +: ident.namespace.toSeq.map(checkSegment))
+          .mkString("/")
+        if (Manifest.latestVersion(spark, base).isDefined) base
+        else throw new NoSuchTableException(ident)
+      } else throw new NoSuchTableException(ident)
     loadVersion(ident, Some(
-      Manifest.versionAt(spark, path, timestampMicros / 1000L).toString))
+      Manifest.versionAt(spark, logPath, timestampMicros / 1000L).toString))
   }
 
   private def loadVersion(ident: Identifier,

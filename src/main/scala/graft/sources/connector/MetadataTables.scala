@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
-import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, LocalScan, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -33,9 +33,12 @@ import graft.sources.Manifest
   * describe the pinned snapshot; `history`/`tags`/`branches` are
   * version-independent refs and always return the current log. All rows are
   * driver-computed from the manifests alone — zero data IO at any
-  * table size (the same O(files) metadata the planner already reads),
-  * served through a `LocalScan` (Spark plans a LocalTableScan, no
-  * tasks).
+  * table size (the same O(files) metadata the planner already reads).
+  * Small relations (≤ [[LocalScanThresholdKey]] rows, default 100k)
+  * are served through a `LocalScan` (LocalTableScan, no tasks); above
+  * the threshold the rows ship to executors through a distributed
+  * batch scan so a metadata join over ~10⁶ files never funnels a
+  * multi-GB relation through the driver plan.
   *
   * `row_count` is the PHYSICAL row count from the per-file stats —
   * pending merge-on-read deletes are not subtracted (they are delete
@@ -71,14 +74,19 @@ private[connector] object MetadataTables {
           StructField("version", LongType, nullable = false),
           StructField("committed_at", TimestampType, nullable = true),
           StructField("files", LongType, nullable = false),
-          StructField("bytes", LongType, nullable = false)))
-        local(s"$root#history", schema,
+          // nullable: same NULL-rollup-over-undercount policy as the
+          // partitions table — a snapshot holding any file without a
+          // recorded size reports NULL, not a silently smaller sum
+          StructField("bytes", LongType, nullable = true)))
+        relation(spark, s"$root#history", schema,
           Manifest.versions(spark, root).map { ver =>
             val m = Manifest.snapshotMeta(spark, root, ver)
+            val sizes = m.entries.map(_.size)
             new GenericInternalRow(Array[Any](ver,
               m.ts.map(ms => ms * 1000L).orNull,
               m.entries.size.toLong,
-              m.entries.flatMap(_.size).sum)): InternalRow
+              if (sizes.exists(_.isEmpty)) null
+              else Long.box(sizes.flatten.sum))): InternalRow
           }.toArray)
       case "files" =>
         val schema = StructType(Seq(
@@ -87,7 +95,7 @@ private[connector] object MetadataTables {
           StructField("size_bytes", LongType, nullable = true),
           StructField("row_count", LongType, nullable = true),
           StructField("seq", LongType, nullable = true)))
-        local(s"$root#files@$v", schema,
+        relation(spark, s"$root#files@$v", schema,
           Manifest.snapshotMeta(spark, root, v).entries.map { e =>
             new GenericInternalRow(Array[Any](u(e.path),
               u(partString(e.path)),
@@ -103,7 +111,7 @@ private[connector] object MetadataTables {
           StructField("bytes", LongType, nullable = true)))
         val groups = Manifest.snapshotMeta(spark, root, v).entries
           .groupBy(e => partString(e.path)).toSeq.sortBy(_._1)
-        local(s"$root#partitions@$v", schema,
+        relation(spark, s"$root#partitions@$v", schema,
           groups.map { case (p, es) =>
             // NULL rollup when ANY member lacks the fact — an
             // undercount would read as truth
@@ -122,7 +130,7 @@ private[connector] object MetadataTables {
           StructField("size_bytes", LongType, nullable = true),
           StructField("seq", LongType, nullable = false),
           StructField("key_columns", StringType, nullable = false)))
-        local(s"$root#delete_files@$v", schema,
+        relation(spark, s"$root#delete_files@$v", schema,
           Manifest.snapshotMeta(spark, root, v).deletes.map { d =>
             new GenericInternalRow(Array[Any](u(d.path),
               d.size.map(Long.box).orNull, d.seq,
@@ -132,7 +140,7 @@ private[connector] object MetadataTables {
         val schema = StructType(Seq(
           StructField("name", StringType, nullable = false),
           StructField("version", LongType, nullable = false)))
-        local(s"$root#tags", schema,
+        relation(spark, s"$root#tags", schema,
           Manifest.tags(spark, root).toSeq.sortBy(_._1).map {
             case (n, ver) =>
               new GenericInternalRow(Array[Any](u(n), ver)): InternalRow
@@ -141,7 +149,7 @@ private[connector] object MetadataTables {
         val schema = StructType(Seq(
           StructField("name", StringType, nullable = false),
           StructField("head", LongType, nullable = false)))
-        local(s"$root#branches", schema,
+        relation(spark, s"$root#branches", schema,
           Manifest.branches(spark, root).toSeq.sortBy(_._1).map {
             case (n, h) =>
               new GenericInternalRow(Array[Any](u(n), h)): InternalRow
@@ -149,8 +157,43 @@ private[connector] object MetadataTables {
     }
   }
 
-  private def local(tableName: String, tableSchema: StructType,
-                    tableRows: Array[InternalRow]): Table =
+  /** Rows-per-relation threshold above which a metadata table is served
+    * through a DISTRIBUTED batch scan instead of a driver-side
+    * LocalScan. Below it (the common case — history/tags/branches are
+    * O(snapshots), and most tables hold well under 10⁵ files) a
+    * LocalTableScan is strictly better: no tasks, no serialization.
+    * Above it — a 100 TB table has ~10⁶ files, and `SELECT * FROM
+    * db.t.files` joined against anything would otherwise drag a
+    * multi-GB LocalTableScan through the driver plan (Iceberg
+    * distributes these scans for the same reason) — the rows ship to
+    * executors in chunks and the join/aggregate runs distributed. */
+  private[connector] val LocalScanThresholdKey =
+    "spark.graft.metadataTables.localScanThreshold"
+  private val LocalScanThresholdDefault = 100000
+
+  private def relation(spark: SparkSession, tableName: String,
+                       tableSchema: StructType,
+                       tableRows: Array[InternalRow]): Table = {
+    val threshold = spark.conf
+      .getOption(LocalScanThresholdKey).map(_.toInt)
+      .getOrElse(LocalScanThresholdDefault)
+    val scanOf: () => Scan =
+      if (tableRows.length <= threshold)
+        () => new LocalScan {
+          override def rows(): Array[InternalRow] = tableRows
+          override def readSchema(): StructType = tableSchema
+        }
+      else {
+        // chunk so each task carries ~threshold rows (>=1 chunk per
+        // core up to the row count): parallel enough to join at scale,
+        // coarse enough that task overhead stays negligible
+        val width = spark.sparkContext.defaultParallelism.max(1)
+        val perChunk = math.max(1,
+          math.min(threshold, math.ceil(tableRows.length.toDouble / width)
+            .toInt))
+        () => new DistributedMetaScan(tableSchema,
+          tableRows.grouped(perChunk).map(MetaChunk(_)).toArray)
+      }
     new Table with SupportsRead {
       override def name(): String = tableName
       override def schema(): StructType = tableSchema
@@ -158,10 +201,38 @@ private[connector] object MetadataTables {
         java.util.EnumSet.of(TableCapability.BATCH_READ)
       override def newScanBuilder(options: CaseInsensitiveStringMap)
           : ScanBuilder = new ScanBuilder {
-        override def build(): Scan = new LocalScan {
-          override def rows(): Array[InternalRow] = tableRows
-          override def readSchema(): StructType = tableSchema
-        }
+        override def build(): Scan = scanOf()
       }
     }
+  }
+
+  /** A metadata chunk: its rows ride the serialized InputPartition to
+    * the executor (InternalRow/UTF8String are Serializable) — same
+    * mechanism Spark uses for LocalTableScan broadcast, but split into
+    * parallel tasks. */
+  private final case class MetaChunk(chunkRows: Array[InternalRow])
+    extends InputPartition
+
+  private final class DistributedMetaScan(
+      scanSchema: StructType, chunks: Array[InputPartition])
+    extends Scan with Batch {
+    override def readSchema(): StructType = scanSchema
+    override def toBatch: Batch = this
+    override def planInputPartitions(): Array[InputPartition] = chunks
+    override def createReaderFactory(): PartitionReaderFactory =
+      MetaReaderFactory
+  }
+
+  private object MetaReaderFactory extends PartitionReaderFactory {
+    override def createReader(p: InputPartition)
+        : PartitionReader[InternalRow] =
+      new PartitionReader[InternalRow] {
+        private val it = p.asInstanceOf[MetaChunk].chunkRows.iterator
+        private var cur: InternalRow = _
+        override def next(): Boolean =
+          if (it.hasNext) { cur = it.next(); true } else false
+        override def get(): InternalRow = cur
+        override def close(): Unit = ()
+      }
+  }
 }

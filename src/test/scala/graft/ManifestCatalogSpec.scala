@@ -764,6 +764,47 @@ class ManifestCatalogSpec extends SparkSpec {
       "VERSION AS OF 2").count() == 0)
   }
 
+  test("metadata tables: distributed batch scan above the LocalScan " +
+    "threshold, same rows either way; TIMESTAMP AS OF resolves " +
+    "against the base table's commit log") {
+    import graft.sources.Manifest
+    val thresholdKey = "spark.graft.metadataTables.localScanThreshold"
+    spark.sql("CREATE TABLE graftcat.db.meta3 (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graftcat.db.meta3 VALUES (1, 10), (2, 20)")
+    val root = s"$warehouse/db/meta3"
+    val ts2 = Manifest.snapshotMeta(spark, root, 2L).ts.get
+    while (System.currentTimeMillis() <= ts2) Thread.sleep(1)
+    spark.sql("INSERT INTO graftcat.db.meta3 VALUES (3, 30)") // v3
+    def files = spark.table("graftcat.db.meta3.files")
+    val localPlan = files.queryExecution.executedPlan.toString
+    assert(localPlan.contains("LocalTableScan"), localPlan.take(1000))
+    val localRows = files.select("path").as[String].collect().toSet
+    spark.conf.set(thresholdKey, "1")
+    try {
+      val p = files.queryExecution.executedPlan.toString
+      assert(!p.contains("LocalTableScan"), p.take(1000))
+      assert(p.contains("BatchScan"), p.take(1000))
+      assert(files.select("path").as[String].collect().toSet == localRows)
+    } finally spark.conf.unset(thresholdKey)
+    // TIMESTAMP AS OF on the suffix relation: pins the file list of the
+    // newest base-table snapshot at or before the timestamp (v2), while
+    // VERSION AS OF and the unpinned read agree on the head
+    val pinned = spark.sql("SELECT path FROM graftcat.db.meta3.files " +
+      s"TIMESTAMP AS OF timestamp_millis($ts2)")
+      .as[String].collect().toSet
+    val v2 = spark.sql("SELECT path FROM graftcat.db.meta3.files " +
+      "VERSION AS OF 2").as[String].collect().toSet
+    assert(pinned == v2)
+    assert(pinned.subsetOf(localRows) && pinned.size < localRows.size)
+    // history.bytes: non-null when every entry carries a size, and it
+    // matches the files rollup for the head snapshot
+    val (bytes, headVer) = spark.sql("SELECT bytes, version FROM " +
+      "graftcat.db.meta3.history ORDER BY version DESC LIMIT 1")
+      .as[(Option[Long], Long)].head
+    val sumFiles = files.selectExpr("sum(size_bytes)").as[Long].head
+    assert(headVer == 3L && bytes.contains(sumFiles))
+  }
+
   test("CALL system.optimize folds MoR deletes then bin-packs; " +
     "no-op on an already-clean table") {
     import graft.sources.Manifest

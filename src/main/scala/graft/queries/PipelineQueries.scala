@@ -1652,6 +1652,63 @@ object PipelineQueries {
           ORDER BY d2 ASC, e.vec_id ASC LIMIT 5) t
         ORDER BY d2, vec_id""")),
 
+    // ---- X3/X12: IVF-PQ composition — probe cells, ADC within them ------
+    // The production ANN shape at 100 TB (q63's coarse probe + q113's
+    // code scoring, composed). Oracle strategy: a brute-force recall
+    // floor gates NOTHING here (measured overlap 0-0.5 across SFs —
+    // the embeddings are near-uniform random, the PQ-hostile case
+    // q113 documents), so the invariants are structural instead:
+    //  (1) found_k — the production-shaped run (8 cells, probe 4,
+    //      4×16 codebook, full corpus) returns exactly topK rows;
+    //  (2) ivf_lossless_ok — with EVERY cell probed the IVF layer must
+    //      vanish: ivfPqTopK ≡ pqTopK row-for-row (6dp) at production
+    //      codebook shape on a fenced 2000-vector sample — pins the
+    //      probe→candidate→encode glue losslessly;
+    //  (3) the degenerate-exactness differential: all cells probed,
+    //      m=1, every sample vector its own codeword, 0 iterations →
+    //      the whole composition must reproduce EXACT squared-L2
+    //      top-5, and DuckDB verifies those VALUES end-to-end on the
+    //      absolute-fenced 200-vector sample.
+    QueryDef("q150_ivfpq_ann",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val dim = 64
+        val prod = Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+          queryId = 7L, topK = 10, dim = dim,
+          nCentroids = 8, nProbe = 4, m = 4, k = 16, iters = 1)
+        val mid = emb.filter(col("vec_id") < 2000)
+        val allProbe = Similarity.ivfPqTopK(mid, "vec_id", "embedding",
+            queryId = 7L, topK = 10, dim = dim,
+            nCentroids = 8, nProbe = 8, m = 4, k = 16, iters = 1)
+          .select(col("vec_id"), round(col("approx_dist"), 6).as("d"))
+        val pqOnly = Similarity.pqTopK(mid, "vec_id", "embedding",
+            queryId = 7L, topK = 10, dim = dim, m = 4, k = 16, iters = 1)
+          .select(col("vec_id"), round(col("approx_dist"), 6).as("d"))
+        val bits = prod.agg(count(lit(1)).as("found_k"))
+          .crossJoin(broadcast(
+            allProbe.join(pqOnly, Seq("vec_id", "d"), "left_semi")
+              .agg((count(lit(1)) === 10).as("ivf_lossless_ok"))))
+        val sample = emb.filter(col("vec_id") < 200)
+        val exact = Similarity.ivfPqTopK(sample, "vec_id", "embedding",
+            queryId = 7L, topK = 5, dim = dim,
+            nCentroids = 4, nProbe = 4, m = 1, k = 200, iters = 0)
+          .select(col("vec_id"), round(col("approx_dist"), 6).as("d2"))
+        exact.crossJoin(broadcast(bits)).orderBy("d2", "vec_id")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings WHERE vec_id < 200),
+          q AS (SELECT v AS qv FROM e WHERE vec_id = 7)
+        SELECT t.vec_id, round(t.d2, 6) AS d2,
+          CAST(10 AS BIGINT) AS found_k,
+          true AS ivf_lossless_ok
+        FROM (SELECT e.vec_id,
+            list_dot_product(e.v, e.v)
+              - 2.0 * list_dot_product(e.v, q.qv)
+              + list_dot_product(q.qv, q.qv) AS d2
+          FROM e, q WHERE e.vec_id <> 7
+          ORDER BY d2 ASC, e.vec_id ASC LIMIT 5) t
+        ORDER BY d2, vec_id""")),
+
     // ---- X4: passage chunking (RAG / pretraining token windows) ---------
     // 32-token chunks, 8-token overlap (stride 24). The oracle replays
     // the exact window arithmetic (chunk count = ceil((n-8)/24) min 1,

@@ -49,4 +49,39 @@ class PqSpec extends SparkSpec {
       .select("vec_id").as[Long].collect().toSet
     assert(got == Set(11L, 12L, 13L), s"got $got")
   }
+
+  test("ivfPqTopK: probing every cell makes the IVF layer vanish " +
+    "(row-for-row equal to pqTopK at the same codebook shape)") {
+    val emb = clustered()
+    val ivfpq = Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+        queryId = 0L, topK = 6, dim = 4, nCentroids = 3, nProbe = 3,
+        m = 2, k = 3, iters = 1)
+      .select(col("vec_id"), round(col("approx_dist"), 9).as("d"))
+      .as[(Long, Double)].collect().toSeq
+    val pq = Similarity.pqTopK(emb, "vec_id", "embedding",
+        queryId = 0L, topK = 6, dim = 4, m = 2, k = 3, iters = 1)
+      .select(col("vec_id"), round(col("approx_dist"), 9).as("d"))
+      .as[(Long, Double)].collect().toSeq
+    assert(ivfpq == pq, s"ivfpq $ivfpq vs pq $pq")
+  }
+
+  test("ivfPqTopK: degenerate parameters (all cells, m=1, own-codeword, " +
+    "0 iters) reproduce exact L2 — and restricted probes stay in-cell " +
+    "on separated clusters") {
+    val emb = clustered()
+    val exact = Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+        queryId = 0L, topK = 5, dim = 4, nCentroids = 2, nProbe = 2,
+        m = 1, k = 12, iters = 0)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(exact == Seq(1L, 2L, 3L, 10L, 11L)) // same as pqTopK exact test
+    // nProbe=1 on tightly separated clusters: results come from the
+    // query's own cluster only (whatever the probed cell contains, the
+    // top hits are the cluster mates — distances to them are ~0.01-0.02
+    // vs >=50 cross-cluster)
+    val near = Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+        queryId = 10L, topK = 3, dim = 4, nCentroids = 3, nProbe = 1,
+        m = 2, k = 3, iters = 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(near.subsetOf(Set(11L, 12L, 13L)), s"got $near")
+  }
 }

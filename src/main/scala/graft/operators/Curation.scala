@@ -122,6 +122,91 @@ object Curation {
       col("top_word_frac") <= cfg.maxTopWordFrac &&
       col("distinct_frac") >= cfg.minDistinctFrac
 
+  /** Per-document REPETITION signals — the other half of the published
+    * Gopher/MassiveText repetition-removal rules that
+    * [[repetitionStats]]'s word-level pass cannot see: duplicate-LINE
+    * fractions and repeated-N-GRAM character coverage. These are the
+    * filters that catch boilerplate pages (navigation chrome repeated
+    * per line) and degenerate generations (the same phrase looping),
+    * and every production web-scale corpus build runs them.
+    *
+    * Emitted per doc:
+    *  - `lines` — line count (split on `lineDelim`, literal);
+    *  - `dup_line_frac` — fraction of lines that are repeats of an
+    *    earlier-seen line (occurrences beyond the first, over lines);
+    *  - `dup_line_char_frac` — characters inside those repeated
+    *    occurrences, over total line characters (delimiters excluded);
+    *  - `top_gram_char_frac` — characters covered by the single
+    *    heaviest `topN`-gram (count x gram length, over doc chars).
+    *    Deterministic form of Gopher's "most frequent n-gram" rule:
+    *    max coverage, so frequency ties cannot make the answer
+    *    engine-dependent;
+    *  - `dup_gram_char_frac` — characters covered by ALL `dupN`-grams
+    *    occurring more than once (count x length summed; overlapping
+    *    occurrences counted per occurrence — the standard linear-cost
+    *    approximation, may exceed 1 on pathological docs).
+    *
+    * Shape, scale-first: three explode → hash-aggregate passes, every
+    * shuffle key (id, line) / (id, gram) carrying the doc id — uniform,
+    * skew-free, linear at 100 TB; joined back per doc (id key). All
+    * ratios are exact long/long divisions → bit-identical doubles in
+    * any engine (DuckDB-oracle-safe unrounded). */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String,
+                        lineDelim: String = "\n", topN: Int = 2,
+                        dupN: Int = 5): DataFrame = {
+    val id = col(idCol)
+    val base = df.select(id, length(col(textCol)).as("chars"),
+      col(textCol).as("_t"))
+    val lineAgg = graft.scaleOut(base, id)
+      .select(id, explode(split(col("_t"),
+        java.util.regex.Pattern.quote(lineDelim), -1)).as("line"))
+      .groupBy(id, col("line")).agg(count(lit(1)).as("c"))
+      .groupBy(id).agg(
+        sum("c").as("lines"),
+        (sum("c") - count(lit(1))).as("dup_lines"),
+        sum(col("c") * length(col("line"))).as("line_chars"),
+        sum(when(col("c") > 1, (col("c") - 1) * length(col("line")))
+          .otherwise(0L)).as("dup_line_chars"))
+    def gramAgg(n: Int, out: Column => Column, as: String) =
+      graft.scaleOut(base, id)
+        .select(id, Text.tokens(col("_t")).as("_toks"))
+        .select(id,
+          explode(Text.shinglesOfTokens(col("_toks"), n)).as("g"))
+        .groupBy(id, col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(id).agg(out(col("c") * length(col("g"))).as(as))
+    val top = gramAgg(topN, max, "top_chars")
+    val dup = gramAgg(dupN,
+      cov => sum(when(col("c") > 1, cov).otherwise(0L)), "dup_chars")
+    base.drop("_t")
+      .join(lineAgg, Seq(idCol))
+      .join(top, Seq(idCol), "left")
+      .join(dup, Seq(idCol), "left")
+      .select(id, col("lines"),
+        (col("dup_lines").cast("double") / col("lines").cast("double"))
+          .as("dup_line_frac"),
+        when(col("line_chars") === 0L, lit(0.0))
+          .otherwise(col("dup_line_chars").cast("double") /
+            col("line_chars").cast("double")).as("dup_line_char_frac"),
+        when(col("chars") === 0L, lit(0.0))
+          .otherwise(coalesce(col("top_chars"), lit(0L)).cast("double") /
+            col("chars").cast("double")).as("top_gram_char_frac"),
+        when(col("chars") === 0L, lit(0.0))
+          .otherwise(coalesce(col("dup_chars"), lit(0L)).cast("double") /
+            col("chars").cast("double")).as("dup_gram_char_frac"))
+  }
+
+  /** The Gopher repetition-removal keep predicate over
+    * [[repetitionSignals]] output (published thresholds: dup-line 0.30,
+    * dup-line-chars 0.20, top-2-gram 0.20, dup-5-gram 0.15). */
+  def repetitionGate(maxDupLineFrac: Double = 0.30,
+                     maxDupLineCharFrac: Double = 0.20,
+                     maxTopGramFrac: Double = 0.20,
+                     maxDupGramFrac: Double = 0.15): Column =
+    col("dup_line_frac") <= maxDupLineFrac &&
+      col("dup_line_char_frac") <= maxDupLineCharFrac &&
+      col("top_gram_char_frac") <= maxTopGramFrac &&
+      col("dup_gram_char_frac") <= maxDupGramFrac
+
   /** Fuzzy train/eval decontamination: MinHash band keys joined ACROSS
     * the two corpora, candidates verified with exact Jaccard ≥
     * `threshold`. Complements [[contamination]] (exact n-gram overlap):

@@ -305,6 +305,108 @@ object Search {
       .limit(k)
   }
 
+  /** T2: BOOL query — the OpenSearch compound `bool` analog
+    * (must / should / must_not; reference README.md:26 — the query DSL
+    * tier above the analyzed `match`): a document ranks iff it
+    * contains EVERY `must` term and NO `mustNot` term; both `must` and
+    * `should` terms contribute BM25 score (identical arithmetic to
+    * [[rankBm25]], ES semantics: should-clauses only boost).
+    *
+    * Shape, scale-first: ONE pass over the token stream filtered to
+    * must ∪ should ∪ mustNot BEFORE any shuffle; the postings frame
+    * then splits — banned doc ids (≤ docs containing a mustNot term)
+    * anti-join the scored side, the must-coverage gate is a per-doc
+    * indicator sum on the already-aggregated frame. No second corpus
+    * pass, no cartesian anything.
+    *
+    * Returns (idCol, score, matched), top `k` — matched counts
+    * distinct scoring terms present. */
+  def searchBool(docs: DataFrame, idCol: String, textCol: String,
+                 must: Seq[String], should: Seq[String],
+                 mustNot: Seq[String], k: Int,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val mustT = must.map(_.toLowerCase).distinct
+    val shouldT = should.map(_.toLowerCase).distinct
+      .filterNot(mustT.contains)
+    val notT = mustNot.map(_.toLowerCase).distinct
+    val scoreT = mustT ++ shouldT
+    require(scoreT.nonEmpty, "bool query needs a must or should term")
+    require(notT.intersect(scoreT).isEmpty,
+      "a term cannot be both required/optional and excluded")
+    val toks = tokenStream(docs, idCol, textCol)
+      .filter(col("token").isin(scoreT ++ notT: _*))
+    val tf = toks.groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val banned = tf.filter(col("token").isin(notT: _*))
+      .select(col(idCol)).distinct()
+    val scoreTf = tf.filter(col("token").isin(scoreT: _*))
+    val df = scoreTf.groupBy(col("token"))
+      .agg(countDistinct(col(idCol)).as("df"))
+    val docLen = docLengths(docs, idCol, textCol)
+    val avgdl = docLen.agg(avg(col("dl")).as("avgdl"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val idf = log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5))
+    scoreTf.join(broadcast(df), "token")
+      .join(docLen, idCol)
+      .crossJoin(broadcast(n))
+      .crossJoin(broadcast(avgdl))
+      .withColumn("_s", idf * col("tf") * (lit(k1) + 1.0) /
+        (col("tf") + lit(k1) *
+          (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .withColumn("_m",
+        when(col("token").isin(mustT: _*), lit(1L)).otherwise(lit(0L)))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("_s")), 4).as("score"),
+        count(lit(1)).as("matched"), sum(col("_m")).as("_mm"))
+      .filter(col("_mm") === mustT.size).drop("_mm")
+      .join(banned, Seq(idCol), "left_anti")
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** T2/A1: FACETED search — the OpenSearch `aggs` analog: the terms
+    * aggregation runs over ALL matching documents (not the top-k page),
+    * here per `facetCol` with doc counts, total matched-term count and
+    * the best per-doc BM25 score in the facet. Scoring is [[rankBm25]]
+    * without the top-k (the facet rollup replaces it): same one-pass
+    * term-filtered stream, same broadcasts; the extra cost over a
+    * search is one facet-keyed hash aggregate. Facet metrics are
+    * chosen order-independent (count/sum of longs, max of the ROUNDED
+    * per-doc score) so the result is engine-replayable. */
+  def facetedSearch(docs: DataFrame, idCol: String, textCol: String,
+                    query: String, facetCol: String,
+                    k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val terms = query.toLowerCase.split(" ").filter(_.nonEmpty)
+      .distinct.toSeq
+    require(terms.nonEmpty, "faceted search needs at least one term")
+    val toks = tokenStream(docs, idCol, textCol)
+    val docLen = docLengths(docs, idCol, textCol)
+    val avgdl = docLen.agg(avg(col("dl")).as("avgdl"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val tf = toks.filter(col("token").isin(terms: _*))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token"))
+      .agg(countDistinct(col(idCol)).as("df"))
+    val idf = log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5))
+    val scored = tf.join(broadcast(df), "token")
+      .join(docLen, idCol)
+      .crossJoin(broadcast(n))
+      .crossJoin(broadcast(avgdl))
+      .withColumn("_s", idf * col("tf") * (lit(k1) + 1.0) /
+        (col("tf") + lit(k1) *
+          (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("_s")), 4).as("score"),
+        count(lit(1)).as("matched"))
+    scored.join(docs.select(col(idCol), col(facetCol)), idCol)
+      .groupBy(col(facetCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("matched")).as("matched_terms"),
+        max(col("score")).as("top_score"))
+      .orderBy(col(facetCol).asc)
+  }
+
   /** T2/X12: BATCH BM25 — score a whole frame of queries against the
     * corpus in ONE pass over the token stream, the search twin of the
     * batch-ANN shape (q82): per-query scans would pay |queries| corpus

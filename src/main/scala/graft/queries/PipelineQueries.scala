@@ -1244,6 +1244,74 @@ object PipelineQueries {
             AND CAST(distinct_words AS DOUBLE) / words >= 0.3) AS keep
         FROM st ORDER BY doc_id""")),
 
+    // ---- X13: Gopher REPETITION rules (dup lines / repeated n-grams) ----
+    // The fixture corpus is single-line, so duplicate lines are PLANTED
+    // in-query (q77's planted-PII idiom): every doc gains a second line
+    // (its own 40-char prefix) and every third doc gains that line
+    // TWICE — known dup-line fractions with real n-gram signal from the
+    // small-vocabulary corpus. All ratios are exact long/long divisions,
+    // bit-identical across engines (no rounding).
+    QueryDef("q151_repetition_rules",
+      (s, dir) => {
+        val line1 = substring(col("text"), 1, 40)
+        val planted = Tables.load(s, dir, "documents")
+          .filter(col("doc_id") < 300)
+          .withColumn("t2", concat(col("text"), lit("\n"), line1,
+            when(col("doc_id") % 3 === 0, concat(lit("\n"), line1))
+              .otherwise(lit(""))))
+        Curation.repetitionSignals(planted, "doc_id", "t2")
+          .withColumn("keep", Curation.repetitionGate())
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id,
+            text || chr(10) || substr(text, 1, 40) ||
+              CASE WHEN doc_id % 3 = 0
+                THEN chr(10) || substr(text, 1, 40) ELSE '' END AS t
+          FROM documents WHERE doc_id < 300),
+        l AS (SELECT doc_id, line, count(*) AS c FROM (
+            SELECT doc_id, unnest(string_split(t, chr(10))) AS line
+            FROM d) GROUP BY 1, 2),
+        la AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS lines,
+            CAST(sum(c) - count(*) AS BIGINT) AS dup_lines,
+            CAST(sum(c * length(line)) AS BIGINT) AS line_chars,
+            CAST(sum(CASE WHEN c > 1 THEN (c - 1) * length(line)
+              ELSE 0 END) AS BIGINT) AS dup_line_chars
+          FROM l GROUP BY 1),
+        tk AS (SELECT doc_id, string_split(lower(t), ' ') AS toks,
+            length(t) AS chars FROM d),
+        g2 AS (SELECT doc_id, g, count(*) AS c FROM (
+            SELECT doc_id, unnest(CASE WHEN len(toks) >= 2 THEN
+                [array_to_string(toks[i:i+1], ' ')
+                  for i in range(1, len(toks))]
+              ELSE [] END) AS g FROM tk) GROUP BY 1, 2),
+        g2a AS (SELECT doc_id, max(c * length(g)) AS top_chars
+          FROM g2 GROUP BY 1),
+        g5 AS (SELECT doc_id, g, count(*) AS c FROM (
+            SELECT doc_id, unnest(CASE WHEN len(toks) >= 5 THEN
+                [array_to_string(toks[i:i+4], ' ')
+                  for i in range(1, len(toks) - 3)]
+              ELSE [] END) AS g FROM tk) GROUP BY 1, 2),
+        g5a AS (SELECT doc_id, sum(CASE WHEN c > 1
+              THEN c * length(g) ELSE 0 END) AS dup_chars
+          FROM g5 GROUP BY 1),
+        sig AS (SELECT tk.doc_id, la.lines,
+            CAST(la.dup_lines AS DOUBLE) / la.lines AS dup_line_frac,
+            CASE WHEN la.line_chars = 0 THEN 0.0
+              ELSE CAST(la.dup_line_chars AS DOUBLE) / la.line_chars
+              END AS dup_line_char_frac,
+            CASE WHEN tk.chars = 0 THEN 0.0
+              ELSE CAST(coalesce(g2a.top_chars, 0) AS DOUBLE) / tk.chars
+              END AS top_gram_char_frac,
+            CASE WHEN tk.chars = 0 THEN 0.0
+              ELSE CAST(coalesce(g5a.dup_chars, 0) AS DOUBLE) / tk.chars
+              END AS dup_gram_char_frac
+          FROM tk JOIN la USING (doc_id)
+            LEFT JOIN g2a USING (doc_id) LEFT JOIN g5a USING (doc_id))
+        SELECT *, (dup_line_frac <= 0.30 AND dup_line_char_frac <= 0.20
+            AND top_gram_char_frac <= 0.20 AND dup_gram_char_frac <= 0.15)
+            AS keep
+        FROM sig ORDER BY doc_id""")),
+
     // ---- X8 fuzzy: paraphrase-level train/eval decontamination ----------
     // Band-join across corpora + exact-Jaccard verify; the full matched
     // pair set hash-checks against DuckDB's exact cross-corpus Jaccard

@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
 import graft.operators.Search
+import graft.sources.{Manifest, SearchIndex}
 
 /** The search-engine surface as native operators (SURVEY.md §2.10). */
 object SearchQueries {
@@ -175,5 +176,131 @@ object SearchQueries {
         SELECT doc_id, CAST(sum(tf * (3 - dist)) AS BIGINT) AS score,
           count(*) AS matched
         FROM tf GROUP BY 1
-        ORDER BY score DESC, doc_id ASC LIMIT 20""")))
+        ORDER BY score DESC, doc_id ASC LIMIT 20""")),
+
+    // ---- T2/K5: MATERIALIZED inverted index, incrementally maintained,
+    // BM25 served FROM the index (SearchIndex.scala — the OpenSearch
+    // tier as a versioned manifest table). The pipeline exercises every
+    // maintenance path under ONE oracle over the final corpus: create
+    // on 4/5 of the docs → append the rest (atomic append-only
+    // refresh) → copy-on-write merge rewriting one lang partition
+    // (delete+append refresh: merge-on-read erase of the rewritten
+    // docs, re-index of their post-images) → query. Hash-equality with
+    // corpus BM25 proves index ≡ corpus at every step.
+    QueryDef("q152_indexed_bm25",
+      (s, dir) => {
+        val src = "file://" + java.nio.file.Files
+          .createTempDirectory("graft_idx_src").toString + "/t"
+        val idx = "file://" + java.nio.file.Files
+          .createTempDirectory("graft_idx").toString + "/i"
+        val docs = Tables.load(s, dir, "documents")
+          .select("doc_id", "lang", "text")
+        Manifest.init(s, src, docs.filter(col("doc_id") % 5 =!= 0),
+          Seq("lang"))
+        SearchIndex.create(s, src, idx, "doc_id", "text", buckets = 16)
+        Manifest.commitAppend(s, src,
+          docs.filter(col("doc_id") % 5 === 0), Seq("lang"))
+        SearchIndex.refresh(s, src, idx) // append-only: one atomic commit
+        Manifest.mergeInto(s, src,
+          docs.filter(col("lang") === "de" && col("doc_id") % 7 === 0)
+            .withColumn("text", concat(col("text"), lit(" merge merge"))),
+          "doc_id", "lang")
+        SearchIndex.refresh(s, src, idx) // rewrite: MoR erase + append
+        SearchIndex.searchBm25(s, idx, "window merge scan", 15)
+      },
+      Some("""WITH src AS (SELECT doc_id,
+            CASE WHEN lang = 'de' AND doc_id % 7 = 0
+              THEN text || ' merge merge' ELSE text END AS text
+          FROM documents),
+        t AS (SELECT doc_id,
+            unnest(string_split(lower(text), ' ')) AS token FROM src),
+        dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+        s AS (SELECT avg(dl) AS avgdl FROM dl),
+        n AS (SELECT count(*) AS n FROM src),
+        q AS (SELECT unnest(['window', 'merge', 'scan']) AS token),
+        tf AS (SELECT doc_id, token, count(*) AS tf
+          FROM t JOIN q USING (token) GROUP BY 1, 2),
+        df AS (SELECT token, count(DISTINCT doc_id) AS df
+          FROM tf GROUP BY 1)
+        SELECT tf.doc_id,
+          round(sum(ln(1 + (n.n - df.df + 0.5) / (df.df + 0.5))
+            * tf.tf * 2.2
+            / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))), 4)
+            AS score,
+          count(*) AS matched
+        FROM tf JOIN df USING (token) JOIN dl USING (doc_id)
+          CROSS JOIN n CROSS JOIN s
+        GROUP BY tf.doc_id
+        ORDER BY score DESC, tf.doc_id ASC LIMIT 15"""),
+      kind = QueryDef.Pipeline),
+
+    // ---- T2: compound bool query (must / should / must_not) -------------
+    // The OpenSearch `bool` DSL analog: docs must contain BOTH required
+    // terms, must not contain the excluded one; the optional term only
+    // boosts. One term-filtered pass; BM25 arithmetic identical to q144.
+    QueryDef("q153_bool_search",
+      (s, dir) => Search.searchBool(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        must = Seq("window", "scan"), should = Seq("merge"),
+        mustNot = Seq("slow"), k = 15),
+      Some("""WITH t AS (SELECT doc_id,
+            unnest(string_split(lower(text), ' ')) AS token
+          FROM documents),
+        dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+        s AS (SELECT avg(dl) AS avgdl FROM dl),
+        n AS (SELECT count(*) AS n FROM documents),
+        q(token, req) AS (VALUES ('window', 1), ('scan', 1),
+          ('merge', 0)),
+        tf AS (SELECT doc_id, token, count(*) AS tf FROM t
+          WHERE token IN ('window', 'scan', 'merge') GROUP BY 1, 2),
+        banned AS (SELECT DISTINCT doc_id FROM t WHERE token = 'slow'),
+        df AS (SELECT token, count(DISTINCT doc_id) AS df
+          FROM tf GROUP BY 1),
+        sc AS (SELECT tf.doc_id,
+            round(sum(ln(1 + (n.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * 2.2
+              / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))), 4)
+              AS score,
+            count(*) AS matched, sum(q.req) AS mm
+          FROM tf JOIN q USING (token) JOIN df USING (token)
+            JOIN dl USING (doc_id) CROSS JOIN n CROSS JOIN s
+          GROUP BY 1)
+        SELECT doc_id, score, matched FROM sc
+        WHERE mm = 2
+          AND doc_id NOT IN (SELECT doc_id FROM banned)
+        ORDER BY score DESC, doc_id ASC LIMIT 15""")),
+
+    // ---- T2/A1: faceted search (the OpenSearch `aggs` analog) -----------
+    // Terms aggregation over ALL matching docs, per language: doc count,
+    // matched-term total, best rounded per-doc BM25 score (all
+    // order-independent metrics — engine-replayable).
+    QueryDef("q154_search_facets",
+      (s, dir) => Search.facetedSearch(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        "window merge scan", "lang"),
+      Some("""WITH t AS (SELECT doc_id,
+            unnest(string_split(lower(text), ' ')) AS token
+          FROM documents),
+        dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+        s AS (SELECT avg(dl) AS avgdl FROM dl),
+        n AS (SELECT count(*) AS n FROM documents),
+        q AS (SELECT unnest(['window', 'merge', 'scan']) AS token),
+        tf AS (SELECT doc_id, token, count(*) AS tf
+          FROM t JOIN q USING (token) GROUP BY 1, 2),
+        df AS (SELECT token, count(DISTINCT doc_id) AS df
+          FROM tf GROUP BY 1),
+        sc AS (SELECT tf.doc_id,
+            round(sum(ln(1 + (n.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * 2.2
+              / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))), 4)
+              AS score,
+            count(*) AS matched
+          FROM tf JOIN df USING (token) JOIN dl USING (doc_id)
+            CROSS JOIN n CROSS JOIN s
+          GROUP BY 1)
+        SELECT d.lang, count(*) AS n_docs,
+          CAST(sum(sc.matched) AS BIGINT) AS matched_terms,
+          max(sc.score) AS top_score
+        FROM sc JOIN documents d USING (doc_id)
+        GROUP BY d.lang ORDER BY d.lang ASC""")))
 }

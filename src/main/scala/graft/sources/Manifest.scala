@@ -1234,7 +1234,9 @@ object Manifest {
     * `checkPartCols` loudly, and exhausting the attempts rethrows —
     * unbounded spinning would hide a stuck committer. */
   def commitAppend(spark: SparkSession, root: String, df: DataFrame,
-                   partitionCols: Seq[String] = Nil): Long = {
+                   partitionCols: Seq[String] = Nil,
+                   extraMeta: Map[String, String] = Map.empty): Long = {
+    checkExtraMeta(extraMeta)
     val cur = latestVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"$root not initialized"))
     checkPartCols(readManifest(spark, root, cur), partitionCols)
@@ -1247,7 +1249,8 @@ object Manifest {
       publish(spark, root, head,
         prev.entries ++ fresh.map(_.copy(seq = Some(head + 1))),
         prev.meta ++ schemaHeaders(
-          appendSchema(spark, root, prev, df.schema), partitionCols),
+          appendSchema(spark, root, prev, df.schema), partitionCols)
+          ++ extraMeta,
         prev.deletes) // pending MoR deletes still apply to older files
     }
   }
@@ -1717,7 +1720,9 @@ object Manifest {
     * (reference: python-data-ingestions/index-data-lambda.py:164-172),
     * at a cost model that survives its 100 TB restatement. */
   def deleteByKeys(spark: SparkSession, root: String,
-                   keys: DataFrame): Long = {
+                   keys: DataFrame,
+                   extraMeta: Map[String, String] = Map.empty): Long = {
+    checkExtraMeta(extraMeta)
     val cur = latestVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"$root not initialized"))
     val prev = readManifest(spark, root, cur)
@@ -1752,7 +1757,7 @@ object Manifest {
     val (fs, rootP) = fsOf(spark, root)
     val delEntries = commitFiles(fs, rootP, new Path(dir))
       .map(e => DeleteEntry(e.path, e.size, next, kc))
-    publish(spark, root, cur, prev.entries, prev.meta,
+    publish(spark, root, cur, prev.entries, prev.meta ++ extraMeta,
       prev.deletes ++ delEntries)
   }
 

@@ -55,6 +55,40 @@ class CurationSpec extends SparkSpec {
     assert(r2.getAs[Double]("distinct_frac") == 1.0)
   }
 
+  test("repetitionSignals: exact fractions on hand-built docs") {
+    // d1: "a b c" twice + "d e" → 3 lines, 1 dup (frac 1/3), dup line
+    //     chars 5/13; tokens split on ' ' keep \n inside tokens, so all
+    //     2-grams are unique → top coverage = longest gram (5 of 15)
+    val d1 = "a b c\na b c\nd e"
+    // d2: looping phrase → "p q r s t" 5-gram twice (18 of 19 chars);
+    //     top 2-gram "p q" (and 3 others) at c=2 → 6 of 19
+    val d2 = "p q r s t p q r s t"
+    // d3: 20 distinct tokens, no repetition anywhere → keeps
+    val d3 = (0 until 20).map(i => s"tok$i").mkString(" ")
+    val df = Seq((1L, d1), (2L, d2), (3L, d3)).toDF("doc_id", "text")
+    val sig = Curation.repetitionSignals(df, "doc_id", "text")
+      .withColumn("keep", Curation.repetitionGate())
+      .orderBy("doc_id").collect()
+    val r1 = sig(0)
+    assert(r1.getAs[Long]("lines") == 3L)
+    assert(r1.getAs[Double]("dup_line_frac") == 1.0 / 3.0)
+    assert(r1.getAs[Double]("dup_line_char_frac") == 5.0 / 13.0)
+    assert(r1.getAs[Double]("top_gram_char_frac") == 5.0 / 15.0)
+    assert(r1.getAs[Double]("dup_gram_char_frac") == 0.0)
+    assert(!r1.getAs[Boolean]("keep")) // dup_line_frac 0.33 > 0.30
+    val r2 = sig(1)
+    assert(r2.getAs[Long]("lines") == 1L)
+    assert(r2.getAs[Double]("dup_line_frac") == 0.0)
+    assert(r2.getAs[Double]("top_gram_char_frac") == 6.0 / 19.0)
+    assert(r2.getAs[Double]("dup_gram_char_frac") == 18.0 / 19.0)
+    assert(!r2.getAs[Boolean]("keep")) // looping phrase caught
+    val r3 = sig(2)
+    assert(r3.getAs[Double]("dup_line_frac") == 0.0)
+    assert(r3.getAs[Double]("top_gram_char_frac") == 11.0 / 109.0)
+    assert(r3.getAs[Double]("dup_gram_char_frac") == 0.0)
+    assert(r3.getAs[Boolean]("keep"))
+  }
+
   test("gopherGate drops repetitive and out-of-range docs") {
     val long = Seq.tabulate(60)(i => s"word$i").mkString(" ")   // healthy
     val repetitive = Seq.fill(60)("spam").mkString(" ")          // top frac 1

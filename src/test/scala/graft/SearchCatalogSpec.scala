@@ -318,4 +318,56 @@ class SearchCatalogSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSeq
     assert(order == Seq(1L, 4L, 3L, 2L))
   }
+
+  test("searchBool: must gates, must_not excludes, should only boosts") {
+    val docs = Seq(
+      (1L, "alpha beta gamma"),   // must both, no banned → ranks
+      (2L, "alpha beta bad"),     // banned term → excluded
+      (3L, "alpha gamma gamma"),  // missing must 'beta' → gated out
+      (4L, "alpha beta"),         // must both, no should
+      (5L, "beta gamma"))         // missing must 'alpha' → gated out
+      .toDF("doc_id", "text")
+    val got = Search.searchBool(docs, "doc_id", "text",
+      must = Seq("alpha", "beta"), should = Seq("gamma"),
+      mustNot = Seq("bad"), k = 10)
+      .select("doc_id", "matched").as[(Long, Long)].collect().toMap
+    assert(got.keySet == Set(1L, 4L))
+    assert(got(1L) == 3L && got(4L) == 2L) // should term counts when hit
+    // the should term boosts: doc 1 (3 terms) outranks doc 4 (2 terms)
+    val order = Search.searchBool(docs, "doc_id", "text",
+      Seq("alpha", "beta"), Seq("gamma"), Seq("bad"), 10)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(order == Seq(1L, 4L))
+    // guard: a term cannot be both scored and excluded
+    intercept[IllegalArgumentException] {
+      Search.searchBool(docs, "doc_id", "text",
+        Seq("alpha"), Nil, Seq("alpha"), 5)
+    }
+  }
+
+  test("facetedSearch: per-facet counts over ALL matching docs, " +
+    "order-independent metrics") {
+    val docs = Seq(
+      (1L, "en", "alpha beta"),
+      (2L, "en", "alpha alpha"),
+      (3L, "de", "beta"),
+      (4L, "de", "nothing relevant"),
+      (5L, "fr", "gamma only"))
+      .toDF("doc_id", "lang", "text")
+    val got = Search.facetedSearch(docs, "doc_id", "text",
+      "alpha beta", "lang")
+      .select("lang", "n_docs", "matched_terms")
+      .as[(String, Long, Long)].collect().toSeq
+    // en: docs 1 (2 terms) + 2 (1 term); de: doc 3 (1 term); fr: none
+    assert(got == Seq(("de", 1L, 1L), ("en", 2L, 3L)))
+    // top_score equals the best single-doc rankBm25 score in the facet
+    val best = Search.rankBm25(docs, "doc_id", "text", "alpha beta", 10)
+      .filter(col("doc_id").isin(1L, 2L))
+      .agg(max("score")).as[Double].head()
+    val enTop = Search.facetedSearch(docs, "doc_id", "text",
+      "alpha beta", "lang")
+      .filter(col("lang") === "en")
+      .select("top_score").as[Double].head()
+    assert(enTop == best)
+  }
 }

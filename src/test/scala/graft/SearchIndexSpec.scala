@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Search
+import graft.sources.{Manifest, SearchIndex}
+
+/** Materialized inverted index: index-served BM25 must be hash-equal
+  * to corpus BM25 after every maintenance path — create, atomic
+  * append-only refresh, copy-on-write rewrite (merge-on-read erase +
+  * re-index), full-rebuild fallbacks, and torn-refresh healing. */
+class SearchIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def newRoot(tag: String) = "file://" + java.nio.file.Files
+    .createTempDirectory(s"graft-idx-$tag").toString + "/t"
+
+  private val corpus0 = Seq(
+    (1L, "en", "spark scans the fast table"),
+    (2L, "en", "merge window scan window"),
+    (3L, "de", "slow merge of the window table"),
+    (4L, "de", "a b c d e"),
+    (5L, "fr", "window window window scan"))
+
+  private def corpusBm25(src: String, q: String,
+                         requireAll: Boolean = false) =
+    Search.rankBm25(Manifest.read(spark, src), "id", "text", q, 10,
+        requireAll = requireAll)
+      .as[(Long, Double, Long)].collect().toSeq
+
+  private def indexBm25(idx: String, q: String,
+                        requireAll: Boolean = false) =
+    SearchIndex.searchBm25(spark, idx, q, 10, requireAll = requireAll)
+      .as[(Long, Double, Long)].collect().toSeq
+
+  private def freshPair(tag: String): (String, String) = {
+    val src = newRoot(s"$tag-src"); val idx = newRoot(s"$tag-idx")
+    Manifest.init(spark, src, corpus0.toDF("id", "lang", "text"),
+      Seq("lang"))
+    SearchIndex.create(spark, src, idx, "id", "text", buckets = 8)
+    (src, idx)
+  }
+
+  test("create: index-served BM25 equals corpus BM25, incl. requireAll") {
+    val (src, idx) = freshPair("eq")
+    val q = "window merge scan"
+    assert(indexBm25(idx, q) == corpusBm25(src, q))
+    assert(indexBm25(idx, q).nonEmpty)
+    assert(indexBm25(idx, q, requireAll = true) ==
+      corpusBm25(src, q, requireAll = true))
+    assert(SearchIndex.baseVersion(spark, idx) == 1L)
+  }
+
+  test("append-only refresh is ONE atomic commit and tracks the corpus") {
+    val (src, idx) = freshPair("app")
+    Manifest.commitAppend(spark, src,
+      Seq((6L, "en", "fresh window batch"),
+        (7L, "fr", "another merge")).toDF("id", "lang", "text"),
+      Seq("lang"))
+    val before = Manifest.latestVersion(spark, idx).get
+    SearchIndex.refresh(spark, src, idx)
+    val after = Manifest.latestVersion(spark, idx).get
+    assert(after == before + 1, "append-only refresh must be one commit")
+    assert(SearchIndex.baseVersion(spark, idx) == 2L)
+    assert(indexBm25(idx, "window merge") == corpusBm25(src, "window merge"))
+    // incremental, not a replace: v1 files carry forward by reference
+    val v1 = Manifest.snapshot(spark, idx, before).files.toSet
+    val v2 = Manifest.snapshot(spark, idx, after).files.toSet
+    assert(v1.intersect(v2).nonEmpty)
+    // no-op refresh when the source hasn't moved
+    assert(SearchIndex.refresh(spark, src, idx) == after)
+  }
+
+  test("copy-on-write rewrite takes the erase+append path and tracks") {
+    val (src, idx) = freshPair("cow")
+    // rewrite the de partition: doc 3 changes, doc 4 re-lists unchanged
+    Manifest.mergeInto(spark, src,
+      Seq((3L, "de", "slow merge of the window table window window"))
+        .toDF("id", "lang", "text"), "id", "lang")
+    val before = Manifest.latestVersion(spark, idx).get
+    SearchIndex.refresh(spark, src, idx)
+    val after = Manifest.latestVersion(spark, idx).get
+    assert(after == before + 2, "rewrite refresh = MoR delete + append")
+    assert(indexBm25(idx, "window merge") == corpusBm25(src, "window merge"))
+    // untouched buckets' files carry forward (not a full replace)
+    val v1 = Manifest.snapshot(spark, idx, before).files.toSet
+    val vN = Manifest.snapshot(spark, idx, after).files.toSet
+    assert(v1.intersect(vN).nonEmpty)
+  }
+
+  test("merge-on-read delete at the source head forces a full rebuild") {
+    val (src, idx) = freshPair("mor")
+    Manifest.deleteByKeys(spark, src, Seq(5L).toDF("id"))
+    val before = Manifest.latestVersion(spark, idx).get
+    SearchIndex.refresh(spark, src, idx)
+    // full rebuild = commitReplace: no old files survive
+    val v1 = Manifest.snapshot(spark, idx, before).files.toSet
+    val vN = Manifest.snapshot(spark, idx,
+      Manifest.latestVersion(spark, idx).get).files.toSet
+    assert(v1.intersect(vN).isEmpty, "MoR-delete fallback must rebuild")
+    assert(indexBm25(idx, "window scan") == corpusBm25(src, "window scan"))
+    assert(!indexBm25(idx, "window scan").exists(_._1 == 5L))
+  }
+
+  test("torn refresh: reads refuse loudly, the next refresh heals") {
+    val (src, idx) = freshPair("torn")
+    // simulate the crash window: the delete half of a rewrite refresh
+    // landed (pending stamped) but the append never did
+    Manifest.deleteByKeys(spark, idx, Seq(3L).toDF("id"),
+      extraMeta = Map("idx.pending" -> "99"))
+    val e = intercept[IllegalArgumentException] {
+      SearchIndex.searchBm25(spark, idx, "window", 5).collect()
+    }
+    assert(e.getMessage.contains("torn"))
+    SearchIndex.refresh(spark, src, idx) // heals via full rebuild
+    assert(indexBm25(idx, "window merge") == corpusBm25(src, "window merge"))
+  }
+
+  test("a term lookup prunes the postings scan to the term's buckets") {
+    val (_, idx) = freshPair("prune")
+    val plan = SearchIndex.searchBm25(spark, idx, "window", 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"),
+      "postings scan lost manifest partition pruning")
+    val b = SearchIndex.termBucket("window", 8)
+    assert(plan.contains(s"bucket#") && plan.contains(s"($b)") ||
+      plan.contains(s"= $b"),
+      s"expected a literal bucket=$b partition predicate in:\n$plan")
+  }
+
+  test("guard rails: wrong source refuses, empty query refuses") {
+    val (src, idx) = freshPair("guard")
+    intercept[IllegalArgumentException] {
+      SearchIndex.refresh(spark, "file:///nonexistent", idx)
+    }
+    intercept[IllegalArgumentException] {
+      SearchIndex.searchBm25(spark, idx, "   ", 5)
+    }
+    // rollback/replace of the source below the indexed base refuses
+    Manifest.commitAppend(spark, src,
+      Seq((8L, "en", "x y")).toDF("id", "lang", "text"), Seq("lang"))
+    SearchIndex.refresh(spark, src, idx)
+    Manifest.rollback(spark, src, 1L)
+    // rollback commits a NEW version replaying v1's files, so the head
+    // moved FORWARD; the diff contract still reconciles it (files of
+    // v2 removed) or rebuilds — either way results must track
+    SearchIndex.refresh(spark, src, idx)
+    assert(indexBm25(idx, "window merge") == corpusBm25(src, "window merge"))
+  }
+}

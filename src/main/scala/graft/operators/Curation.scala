@@ -305,4 +305,61 @@ object Curation {
     graft.operators.Sampling.deterministicShuffle(clean, idCol, salt,
       buckets)
   }
+
+  /** X4/X13: BIGRAM LANGUAGE-MODEL QUALITY SCORING — the CCNet-style
+    * LM-perplexity filter axis (Wenzek et al. 2020 rank documents by a
+    * KenLM score; here the LM is a bigram model TRAINED ON THE CORPUS
+    * ITSELF with add-α smoothing, so the whole pipeline stays inside
+    * the engine and is exactly replayable):
+    *
+    *   P(w2 | w1) = (c(w1 w2) + α) / (c(w1 ·) + α·V)
+    *   score(doc) = avg over the doc's bigrams of −ln P   (≈ log-PPL)
+    *
+    * A high score marks improbable token sequences — boilerplate,
+    * shuffled text, lorem-noise — exactly what the perplexity filter
+    * drops.
+    *
+    * Shape, scale-first:
+    *  - bigrams come straight off the split array (`zip_with` of two
+    *    `slice`s — map-side expression work, ONE explode; never a
+    *    positional self-join);
+    *  - model training is two hash-aggregates (bigram counts; context
+    *    counts as their w1-rollup, so c(w1·) is consistent with c(w1w2)
+    *    by construction) + a 1-row vocabulary count, all linear;
+    *  - scoring rejoins the instance stream to the count tables on
+    *    (w1, w2) then (w1) — hash equi-joins whose hot keys are the
+    *    most frequent bigrams; at real corpus scale salt these two
+    *    joins (the count tables are replicable) — and one per-doc
+    *    average.
+    *
+    * Returns (idCol, avg_nll, n_bigrams), the `k` WORST (highest
+    * avg −ln P) documents, avg rounded 4 dp, id tie-break. */
+  def bigramLmScores(docs: DataFrame, idCol: String, textCol: String,
+                     k: Int, alpha: Double = 0.5): DataFrame = {
+    val grams = graft.scaleOut(docs, col(idCol))
+      .select(col(idCol), Text.tokens(col(textCol)).as("a"))
+      .select(col(idCol), explode_outer(zip_with(
+        slice(col("a"), lit(1), greatest(size(col("a")) - 1, lit(0))),
+        slice(col("a"), lit(2), greatest(size(col("a")) - 1, lit(0))),
+        (x, y) => struct(x.as("w1"), y.as("w2")))).as("g"))
+      .filter(col("g").isNotNull)
+      .select(col(idCol), col("g.w1").as("w1"), col("g.w2").as("w2"))
+    val c12 = grams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val vocab = docs
+      .select(explode_outer(Text.tokens(col(textCol))).as("token"))
+      .filter(col("token").isNotNull)
+      .agg(countDistinct(col("token")).as("v"))
+    grams.join(c12, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("_nll", -log(
+        (col("c12") + alpha) / (col("c1") + lit(alpha) * col("v"))))
+      .groupBy(col(idCol))
+      .agg(round(avg(col("_nll")), 4).as("avg_nll"),
+        count(lit(1)).as("n_bigrams"))
+      .orderBy(col("avg_nll").desc, col(idCol).asc)
+      .limit(k)
+  }
 }

@@ -511,4 +511,270 @@ object Search {
         row_number().over(local).cast("long") + col("_offset"))
       .drop("_pid", "_offset")
   }
+
+  /** Rank 1..n of a BOUNDED top-k frame without a window: rank(row) =
+    * 1 + |rows strictly better|, computed as a conditional sum over a
+    * broadcast self-product. The input is always a `limit k` result
+    * (k ≤ ~10²), so the nested-loop product is k² ≤ 10⁴ rows of pure
+    * expression work — constant at any corpus size — and the registry's
+    * no-single-partition-window audit keeps holding (a bare
+    * `row_number().over(orderBy)` would funnel through
+    * Exchange SinglePartition). Ties cannot occur: callers order by
+    * (score, id) and id is unique. */
+  private def withRank(topk: DataFrame, idCol: String,
+                       scoreCol: String): DataFrame = {
+    val other = topk.select(col(idCol).as("_oid"), col(scoreCol).as("_os"))
+    topk.crossJoin(broadcast(other))
+      .groupBy(col(idCol), col(scoreCol))
+      .agg((sum(when(col("_os") > col(scoreCol) ||
+          (col("_os") === col(scoreCol) && col("_oid") < col(idCol)), 1L)
+        .otherwise(0L)) + 1L).as("rank"))
+  }
+
+  /** T2/X3: HYBRID RETRIEVAL — reciprocal-rank fusion (RRF, Cormack et
+    * al. 2009; the OpenSearch/Elasticsearch `rrf` retriever) of a
+    * sparse BM25 leg and a dense cosine-ANN leg over the same corpus:
+    *
+    *   rrf(d) = Σ_legs 1 / (rrfK + rank_leg(d)),   missing leg → 0
+    *
+    * Shape, scale-first: each leg is its own top-`kEach` pipeline
+    * ([[rankBm25]]: term-filtered postings, broadcast stats,
+    * TakeOrderedAndProject; `Similarity.bruteForceTopK`: broadcast
+    * query vector, map-side cosine, TakeOrderedAndProject) — the
+    * fusion itself then touches ONLY the two ≤kEach-row results:
+    * bounded rank join ([[withRank]]), one tiny full-outer join on the
+    * doc id, one TakeOrderedAndProject. Corpus cost = the two legs,
+    * fusion cost = O(kEach²) constant. At 100 TB serve the sparse leg
+    * from the materialized [[graft.sources.SearchIndex]] and the dense
+    * leg from IVF-PQ — same fusion, same contract.
+    *
+    * Returns (idCol, rrf, sparse_rank, dense_rank), top `k` by
+    * (rrf desc, id asc); a leg's rank is NULL when the doc is outside
+    * that leg's top-kEach. */
+  def hybridRrf(docs: DataFrame, emb: DataFrame, idCol: String,
+                textCol: String, vecIdCol: String, vecCol: String,
+                query: String, queryVecId: Long, k: Int,
+                kEach: Int = 20, rrfK: Int = 60,
+                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val sparse = withRank(
+        rankBm25(docs, idCol, textCol, query, kEach, k1, b)
+          .select(col(idCol), col("score")), idCol, "score")
+      .select(col(idCol).as("_id"), col("rank").as("sparse_rank"))
+    val dense = withRank(
+        Similarity.bruteForceTopK(emb, vecIdCol, vecCol, queryVecId, kEach)
+          .select(col(vecIdCol), col("cosine")), vecIdCol, "cosine")
+      .select(col(vecIdCol).as("_id"), col("rank").as("dense_rank"))
+    sparse.join(dense, Seq("_id"), "full_outer")
+      .select(col("_id").as(idCol),
+        round(
+          coalesce(lit(1.0) / (lit(rrfK) + col("sparse_rank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(rrfK) + col("dense_rank")), lit(0.0)),
+          6).as("rrf"),
+        col("sparse_rank"), col("dense_rank"))
+      .orderBy(col("rrf").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** T2: MORE-LIKE-THIS — the Elasticsearch `more_like_this` query:
+    * select the seed document's most characteristic terms by tf·idf,
+    * then BM25-rank the rest of the corpus against them.
+    *
+    * Shape, scale-first — every corpus-wide aggregation is bounded by
+    * the SEED's vocabulary, never the corpus's:
+    *  - seed term frequencies: pushed-down point filter on the seed id
+    *    (one document's tokens);
+    *  - document frequencies: the token stream is broadcast-semi-joined
+    *    to the seed's distinct tokens BEFORE the df aggregation, so the
+    *    shuffle carries only seed-vocabulary rows (mirrors the
+    *    [[rankBm25Batch]] term-filter contract);
+    *  - term selection: round(tf·idf, 4) desc / token asc, `limit
+    *    mTerms` → TakeOrderedAndProject over a ≤|seed vocab| frame
+    *    (the rounding makes engine tie-order deterministic);
+    *  - scoring: identical arithmetic to [[rankBm25]] with the selected
+    *    terms' already-computed df rejoined by broadcast; the seed
+    *    itself is excluded from the ranking.
+    *
+    * Returns (idCol, score, matched), top `k`. */
+  def moreLikeThis(docs: DataFrame, idCol: String, textCol: String,
+                   seedId: Long, mTerms: Int, k: Int,
+                   k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = tokenStream(docs, idCol, textCol)
+    val n = docs.agg(count(lit(1)).as("n"))
+    val seedTf = toks.filter(col(idCol) === seedId)
+      .groupBy(col("token")).agg(count(lit(1)).as("tf"))
+    val df = toks
+      .join(broadcast(seedTf.select("token")), Seq("token"), "left_semi")
+      .groupBy(col("token"))
+      .agg(countDistinct(col(idCol)).as("df"))
+    val sel = seedTf.join(broadcast(df), "token")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", round(
+        log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
+          col("tf"), 4))
+      .orderBy(col("tfidf").desc, col("token").asc)
+      .limit(mTerms)
+      .select(col("token"), col("df"))
+    val docLen = docLengths(docs, idCol, textCol)
+    val avgdl = docLen.agg(avg(col("dl")).as("avgdl"))
+    val tf = toks
+      .join(broadcast(sel.select("token")), Seq("token"), "left_semi")
+      .filter(col(idCol) =!= seedId)
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    tf.join(broadcast(sel), "token")
+      .join(docLen, idCol)
+      .crossJoin(broadcast(n))
+      .crossJoin(broadcast(avgdl))
+      .withColumn("_s",
+        log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
+          col("tf") * (lit(k1) + 1.0) /
+          (col("tf") + lit(k1) *
+            (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("_s")), 4).as("score"),
+        count(lit(1)).as("matched"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** T2/A6: SIGNIFICANT TERMS — the Elasticsearch `significant_terms`
+    * aggregation: terms over-represented in a FOREGROUND document set
+    * (the `fgPred` rows) relative to the background corpus, scored by
+    * the document-frequency proportion ratio
+    *
+    *   score = (fg_df / fg_total) / ((bg_df + 1) / (bg_total + 1))
+    *
+    * (+1-smoothed so a foreground-only term scores finite; the ratio is
+    * ES's `percentage` heuristic shape). One distinct-(doc, token) pass
+    * with the foreground flag computed BEFORE the explode (a per-doc
+    * expression, no join), one hash-aggregate per token carrying a
+    * conditional sum — fg and bg counted in the SAME aggregate, never
+    * two corpus passes. Totals are a 1-row broadcast.
+    *
+    * Returns (token, fg_df, bg_df, score), top `k` by
+    * (score desc, token asc), foreground support ≥ `minDocCount`. */
+  def significantTerms(docs: DataFrame, idCol: String, textCol: String,
+                       fgPred: Column, k: Int,
+                       minDocCount: Int = 3): DataFrame = {
+    val pairs = graft.scaleOut(docs, col(idCol))
+      .select(col(idCol), fgPred.cast("long").as("fg"),
+        explode_outer(Text.tokens(col(textCol))).as("token"))
+      .filter(col("token").isNotNull)
+      .select(col(idCol), col("fg"), col("token"))
+      .distinct()
+    val totals = docs.agg(
+      sum(fgPred.cast("long")).as("fg_total"),
+      count(lit(1)).as("n"))
+    pairs.groupBy(col("token"))
+      .agg(sum(col("fg")).as("fg_df"), count(lit(1)).as("df"))
+      .crossJoin(broadcast(totals))
+      .withColumn("bg_df", col("df") - col("fg_df"))
+      .filter(col("fg_df") >= minDocCount)
+      .withColumn("score", round(
+        (col("fg_df") / col("fg_total")) /
+          ((col("bg_df") + lit(1.0)) / (col("n") - col("fg_total") + lit(1.0))),
+        4))
+      .select(col("token"), col("fg_df"), col("bg_df"), col("score"))
+      .orderBy(col("score").desc, col("token").asc)
+      .limit(k)
+  }
+
+  /** T2: HIGHLIGHTING — the search-hit snippet: for each document
+    * matching any query term, the ±`window`-token context around the
+    * FIRST match position (Lucene's unified highlighter's
+    * first-passage default, token-granular).
+    *
+    * Shape, scale-first: the anchor pass filters the positional stream
+    * to the query terms BEFORE its per-doc aggregation (the standard
+    * search-family pre-shuffle contract), producing (doc, anchor,
+    * hits); the snippet is then cut from the ORIGINAL text array with
+    * `slice` after ONE hash join docs ⋈ anchors on the doc id — the
+    * corpus is never re-exploded for context, and nothing positional
+    * crosses a shuffle unfiltered.
+    *
+    * Returns (idCol, anchor, hits, snippet), first `k` docs by id. */
+  def highlight(docs: DataFrame, idCol: String, textCol: String,
+                terms: Seq[String], window: Int, k: Int): DataFrame = {
+    val ts = terms.map(_.toLowerCase).distinct
+    require(ts.nonEmpty, "highlight needs at least one term")
+    val anchors = posTokenStream(docs, idCol, textCol)
+      .filter(col("token").isin(ts: _*))
+      .groupBy(col(idCol))
+      .agg(min(col("pos")).as("anchor"), count(lit(1)).as("hits"))
+    val start = greatest(col("anchor") - window, lit(0))
+    docs.join(anchors, idCol)
+      .withColumn("snippet", array_join(
+        slice(Text.tokens(col(textCol)), start + 1,
+          col("anchor") + window - start + 1), " "))
+      // anchor is exposed as long (the positional int is slice-internal)
+      .select(col(idCol), col("anchor").cast("long").as("anchor"),
+        col("hits"), col("snippet"))
+      .orderBy(col(idCol).asc)
+      .limit(k)
+  }
+
+  /** T2: COMPLETION SUGGEST — the Elasticsearch completion/term
+    * suggester over the analyzed vocabulary: tokens extending `prefix`,
+    * ranked by collection frequency (ties alphabetical). The prefix
+    * predicate sits directly on the exploded stream (codegen'd
+    * `startswith`, pre-shuffle — only completions reach the
+    * aggregation); at 100 TB serve the same query from the materialized
+    * [[graft.sources.SearchIndex]] postings with a token-prefix range
+    * scan. Returns (token, freq, docs), top `k`. */
+  def suggest(docs: DataFrame, idCol: String, textCol: String,
+              prefix: String, k: Int): DataFrame =
+    tokenStream(docs, idCol, textCol)
+      .filter(col("token").startsWith(prefix.toLowerCase))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("freq"), countDistinct(col(idCol)).as("docs"))
+      .orderBy(col("freq").desc, col("token").asc)
+      .limit(k)
+
+  /** T2: PERCOLATE — the Elasticsearch percolator, reversed search:
+    * REGISTERED queries (a frame of (query_id, query_text)) are matched
+    * against a document stream; a document matches a query when it
+    * contains EVERY distinct term of it (`match` operator=and
+    * semantics, the percolator's conjunctive core).
+    *
+    * Shape, scale-first — one corpus pass for ALL registered queries
+    * (the percolator's whole point):
+    *  - the (doc, token) stream is broadcast-semi-joined to the UNION
+    *    of all query vocabularies before its distinct-pair aggregation
+    *    (only query-vocabulary rows shuffle);
+    *  - distinct pairs fan out to the queries mentioning the token
+    *    (broadcast), one hash-aggregate counts matched terms per
+    *    (query, doc), and the conjunctive gate compares against the
+    *    per-query term count (≤|queries|-row broadcast) — exactly the
+    *    [[rankBm25Batch]] requireAll bookkeeping without the scoring.
+    *
+    * Returns one row per query: (queryIdCol, n_matches, first_doc,
+    * last_doc) — count + id range of matching documents (0/NULL when
+    * none match), ordered by query id. */
+  def percolate(docs: DataFrame, idCol: String, textCol: String,
+                queries: DataFrame, queryIdCol: String,
+                queryTextCol: String): DataFrame = {
+    val qToks = queries.select(col(queryIdCol),
+        explode(array_distinct(Text.tokens(col(queryTextCol))))
+          .as("token"))
+      .filter(col("token") =!= "")
+    val qn = qToks.groupBy(col(queryIdCol))
+      .agg(count(lit(1)).as("_qn"))
+    val pairs = tokenStream(docs, idCol, textCol)
+      .join(broadcast(qToks.select("token").distinct()),
+        Seq("token"), "left_semi")
+      .distinct()
+    val matches = pairs.join(broadcast(qToks), "token")
+      .groupBy(col(queryIdCol), col(idCol))
+      .agg(count(lit(1)).as("_m"))
+      .join(broadcast(qn), Seq(queryIdCol))
+      .filter(col("_m") === col("_qn"))
+    matches.groupBy(col(queryIdCol))
+      .agg(count(lit(1)).as("n_matches"),
+        min(col(idCol)).as("first_doc"), max(col(idCol)).as("last_doc"))
+      .join(qn.select(col(queryIdCol)), Seq(queryIdCol), "right_outer")
+      .select(col(queryIdCol),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        col("first_doc"), col("last_doc"))
+      .orderBy(col(queryIdCol).asc)
+  }
 }

@@ -1896,5 +1896,33 @@ object PipelineQueries {
           CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT)
             AS tokens,
           min(doc_id) AS first_id, max(doc_id) AS last_id
-        FROM sh GROUP BY 1 ORDER BY 1""")))
+        FROM sh GROUP BY 1 ORDER BY 1""")),
+
+    // ---- X4/X13: bigram-LM quality scoring (the CCNet perplexity-
+    // filter axis, self-trained add-0.5-smoothed bigram model): the 50
+    // most-improbable documents by average −ln P(w2|w1). Bigrams come
+    // off the split array (zip_with of slices, no positional joins).
+    QueryDef("q160_bigram_lm",
+      (s, dir) => Curation.bigramLmScores(
+        Tables.load(s, dir, "documents"), "doc_id", "text", k = 50),
+      Some("""WITH arr AS (SELECT doc_id,
+            string_split(lower(text), ' ') AS a
+          FROM documents),
+        g AS (SELECT doc_id, unnest(a[1:len(a)-1]) AS w1,
+            unnest(a[2:len(a)]) AS w2
+          FROM arr),
+        c12 AS (SELECT w1, w2, count(*) AS c12 FROM g GROUP BY 1, 2),
+        c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1
+          FROM c12 GROUP BY 1),
+        v AS (SELECT count(DISTINCT token) AS v FROM (
+          SELECT unnest(string_split(lower(text), ' ')) AS token
+          FROM documents)),
+        sc AS (SELECT g.doc_id,
+            -ln((c12.c12 + 0.5) / (c1.c1 + 0.5 * v.v)) AS nll
+          FROM g JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+            CROSS JOIN v)
+        SELECT doc_id, round(avg(nll), 4) AS avg_nll,
+          count(*) AS n_bigrams
+        FROM sc GROUP BY 1
+        ORDER BY avg_nll DESC, doc_id ASC LIMIT 50""")))
 }

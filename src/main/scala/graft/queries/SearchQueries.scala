@@ -302,5 +302,183 @@ object SearchQueries {
           CAST(sum(sc.matched) AS BIGINT) AS matched_terms,
           max(sc.score) AS top_score
         FROM sc JOIN documents d USING (doc_id)
-        GROUP BY d.lang ORDER BY d.lang ASC""")))
+        GROUP BY d.lang ORDER BY d.lang ASC""")),
+
+    // ---- T2/X3: hybrid retrieval — reciprocal-rank fusion of the BM25
+    // sparse leg (q144's arithmetic) and the dense cosine leg (q47's),
+    // fused on bounded top-20 frames (rank join is k², constant). The
+    // modern two-tower retrieval stack in one declarative plan.
+    QueryDef("q155_hybrid_rrf",
+      (s, dir) => Search.hybridRrf(
+        Tables.load(s, dir, "documents"), Tables.load(s, dir, "embeddings"),
+        "doc_id", "text", "vec_id", "embedding",
+        "window merge scan", queryVecId = 7L, k = 10),
+      Some("""WITH t AS (SELECT doc_id,
+            unnest(string_split(lower(text), ' ')) AS token
+          FROM documents),
+        dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+        s AS (SELECT avg(dl) AS avgdl FROM dl),
+        n AS (SELECT count(*) AS n FROM documents),
+        q AS (SELECT unnest(['window', 'merge', 'scan']) AS token),
+        tf AS (SELECT doc_id, token, count(*) AS tf
+          FROM t JOIN q USING (token) GROUP BY 1, 2),
+        df AS (SELECT token, count(DISTINCT doc_id) AS df
+          FROM tf GROUP BY 1),
+        bm AS (SELECT tf.doc_id,
+            round(sum(ln(1 + (n.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * 2.2
+              / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))), 4)
+              AS score
+          FROM tf JOIN df USING (token) JOIN dl USING (doc_id)
+            CROSS JOIN n CROSS JOIN s
+          GROUP BY 1 ORDER BY score DESC, doc_id ASC LIMIT 20),
+        sr AS (SELECT doc_id, row_number()
+            OVER (ORDER BY score DESC, doc_id ASC) AS sparse_rank
+          FROM bm),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+        qv AS (SELECT v AS qv FROM e WHERE vec_id = 7),
+        cos AS (SELECT e.vec_id,
+            list_dot_product(e.v, qv.qv)
+              / (sqrt(list_dot_product(e.v, e.v))
+                 * sqrt(list_dot_product(qv.qv, qv.qv))) AS cosine
+          FROM e, qv WHERE e.vec_id <> 7
+          ORDER BY cosine DESC, e.vec_id ASC LIMIT 20),
+        dr AS (SELECT vec_id AS doc_id, row_number()
+            OVER (ORDER BY cosine DESC, vec_id ASC) AS dense_rank
+          FROM cos)
+        SELECT doc_id,
+          round(COALESCE(1.0 / (60 + sparse_rank), 0)
+            + COALESCE(1.0 / (60 + dense_rank), 0), 6) AS rrf,
+          sparse_rank, dense_rank
+        FROM sr FULL OUTER JOIN dr USING (doc_id)
+        ORDER BY rrf DESC, doc_id ASC LIMIT 10""")),
+
+    // ---- T2: more-like-this — seed doc 42's top-5 tf-idf terms drive a
+    // BM25 ranking of the rest of the corpus; every corpus aggregation
+    // is bounded by the seed's vocabulary (semi-join before df).
+    QueryDef("q156_more_like_this",
+      (s, dir) => Search.moreLikeThis(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        seedId = 42L, mTerms = 5, k = 10),
+      Some("""WITH t AS (SELECT doc_id,
+            unnest(string_split(lower(text), ' ')) AS token
+          FROM documents),
+        n AS (SELECT count(*) AS n FROM documents),
+        seed AS (SELECT token, count(*) AS tf FROM t
+          WHERE doc_id = 42 GROUP BY 1),
+        df AS (SELECT token, count(DISTINCT doc_id) AS df FROM t
+          WHERE token IN (SELECT token FROM seed) GROUP BY 1),
+        sel AS (SELECT seed.token, df.df,
+            round(ln(1 + (n.n - df.df + 0.5) / (df.df + 0.5)) * seed.tf, 4)
+              AS tfidf
+          FROM seed JOIN df USING (token) CROSS JOIN n
+          ORDER BY tfidf DESC, token ASC LIMIT 5),
+        dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+        s AS (SELECT avg(dl) AS avgdl FROM dl),
+        tf AS (SELECT doc_id, token, count(*) AS tf FROM t
+          WHERE token IN (SELECT token FROM sel) AND doc_id <> 42
+          GROUP BY 1, 2)
+        SELECT tf.doc_id,
+          round(sum(ln(1 + (n.n - sel.df + 0.5) / (sel.df + 0.5))
+            * tf.tf * 2.2
+            / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))), 4)
+            AS score,
+          count(*) AS matched
+        FROM tf JOIN sel USING (token) JOIN dl USING (doc_id)
+          CROSS JOIN n CROSS JOIN s
+        GROUP BY 1 ORDER BY score DESC, doc_id ASC LIMIT 10""")),
+
+    // ---- T2/A6: significant terms — tokens over-represented in the
+    // English foreground vs the rest of the corpus (df-proportion
+    // ratio, +1-smoothed); one distinct-(doc, fg, token) pass.
+    QueryDef("q157_significant_terms",
+      (s, dir) => Search.significantTerms(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        col("lang") === "en", k = 20, minDocCount = 3),
+      Some("""WITH t AS (SELECT DISTINCT doc_id, fg, token FROM (
+            SELECT doc_id, CAST(lang = 'en' AS BIGINT) AS fg,
+              unnest(string_split(lower(text), ' ')) AS token
+            FROM documents)),
+        tot AS (SELECT CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+              AS BIGINT) AS fg_total, count(*) AS n
+          FROM documents),
+        g AS (SELECT token, CAST(sum(fg) AS BIGINT) AS fg_df,
+            count(*) AS df
+          FROM t GROUP BY 1)
+        SELECT token, fg_df, df - fg_df AS bg_df,
+          round((fg_df / tot.fg_total)
+            / ((df - fg_df + 1.0) / (tot.n - tot.fg_total + 1.0)), 4)
+            AS score
+        FROM g CROSS JOIN tot WHERE fg_df >= 3
+        ORDER BY score DESC, token ASC LIMIT 20""")),
+
+    // ---- T2: highlighting — ±3-token snippet around the first match
+    // of any query term; anchors from the pre-shuffle-filtered
+    // positional stream, snippets cut from the original array (slice),
+    // never a second corpus explode.
+    QueryDef("q158_highlight",
+      (s, dir) => Search.highlight(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        Seq("merge", "window"), window = 3, k = 15),
+      Some("""WITH arr AS (SELECT doc_id,
+            string_split(lower(text), ' ') AS a
+          FROM documents),
+        t AS (SELECT doc_id, unnest(a) AS token,
+            unnest(range(0, len(a))) AS pos
+          FROM arr),
+        anch AS (SELECT doc_id, min(pos) AS anchor, count(*) AS hits
+          FROM t WHERE token IN ('merge', 'window') GROUP BY 1)
+        SELECT arr.doc_id, anch.anchor, anch.hits,
+          array_to_string(list_slice(arr.a,
+            greatest(anchor - 3, 0) + 1, anchor + 3 + 1), ' ') AS snippet
+        FROM arr JOIN anch USING (doc_id)
+        ORDER BY doc_id ASC LIMIT 15""")),
+
+    // ---- T2: completion suggest — vocabulary tokens extending 's',
+    // ranked by collection frequency; the prefix predicate runs on the
+    // exploded stream pre-shuffle.
+    QueryDef("q159_suggest_prefix",
+      (s, dir) => Search.suggest(
+        Tables.load(s, dir, "documents"), "doc_id", "text", "s", k = 10),
+      Some("""WITH t AS (SELECT doc_id,
+            unnest(string_split(lower(text), ' ')) AS token
+          FROM documents)
+        SELECT token, count(*) AS freq, count(DISTINCT doc_id) AS docs
+        FROM t WHERE token LIKE 's%'
+        GROUP BY 1 ORDER BY freq DESC, token ASC LIMIT 10""")),
+
+    // ---- T2: percolate — four registered conjunctive queries matched
+    // against the whole corpus in ONE pass (query 4 is a planted
+    // no-match exercising the 0/NULL path).
+    QueryDef("q161_percolate",
+      (s, dir) => {
+        import s.implicits._
+        val qs = Seq((1L, "window merge"), (2L, "scan"),
+          (3L, "window slow batch"), (4L, "dup vector customer the"))
+          .toDF("query_id", "qtext")
+        Search.percolate(Tables.load(s, dir, "documents"),
+          "doc_id", "text", qs, "query_id", "qtext")
+      },
+      Some("""WITH t AS (SELECT DISTINCT doc_id, token FROM (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+            FROM documents)),
+        q(query_id, qt) AS (VALUES
+          (CAST(1 AS BIGINT), 'window merge'), (2, 'scan'),
+          (3, 'window slow batch'), (4, 'dup vector customer the')),
+        qtok AS (SELECT query_id,
+            unnest(list_distinct(string_split(lower(qt), ' '))) AS token
+          FROM q),
+        qn AS (SELECT query_id, count(*) AS qn FROM qtok GROUP BY 1),
+        m AS (SELECT qtok.query_id, t.doc_id, count(*) AS m
+          FROM t JOIN qtok USING (token) GROUP BY 1, 2),
+        ok AS (SELECT m.query_id, m.doc_id FROM m JOIN qn USING (query_id)
+          WHERE m.m = qn.qn),
+        agg AS (SELECT query_id, count(*) AS n_matches,
+            min(doc_id) AS first_doc, max(doc_id) AS last_doc
+          FROM ok GROUP BY 1)
+        SELECT q.query_id, COALESCE(agg.n_matches, 0) AS n_matches,
+          agg.first_doc, agg.last_doc
+        FROM q LEFT JOIN agg USING (query_id)
+        ORDER BY query_id ASC""")))
 }

@@ -152,6 +152,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q158/q159: highlight anchors and suggest completions filter " +
+    "the exploded stream pre-shuffle (isin / StartsWith above Generate)") {
+    termFilterOnStream(plan("q158_highlight"), "IN (merge,window)")
+    termFilterOnStream(plan("q159_suggest_prefix"), "StartsWith")
+  }
+
+  test("q155: both hybrid-RRF corpus legs rank via per-partition heaps " +
+    "(TakeOrderedAndProject), and the fusion itself is top-k too — " +
+    "nothing about the fusion sorts the corpus") {
+    val p = plan("q155_hybrid_rrf")
+    assert(p.linesIterator.count(_.contains("TakeOrderedAndProject")) >= 3,
+      p.take(2000))
+  }
+
   test("q147: the composed curation pipeline stays equi-join " +
     "end-to-end — no cartesian or nested-loop over any stage") {
     val p = plan("q147_curation_pipeline")

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Curation, Search}
+
+/** Hand-computed fixtures for the round-11 retrieval family: hybrid
+  * RRF fusion, more-like-this, significant terms, highlighting,
+  * completion suggest, percolate, and the bigram-LM quality scorer.
+  * Every expected value below is worked out by hand in the comments —
+  * the DuckDB oracles (q155-q161) replay the same math at SF scale;
+  * these pin the semantics on inputs small enough to eyeball. */
+class RetrievalSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def docs4 = Seq(
+    (1L, "apple banana"),
+    (2L, "apple apple cherry"),
+    (3L, "durian fig"),
+    (4L, "banana fig")).toDF("doc_id", "text")
+
+  test("hybridRrf: fuses hand-computed sparse and dense ranks; a doc " +
+    "missing from one leg gets that leg's contribution as 0 (NULL rank)") {
+    // dense: query vec 1 → cos(2)=0.994, cos(3)=0, cos(4)=-1 → ranks 2,3,4
+    val emb = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0f, 1f)), (4L, Array(-1f, 0f)))
+      .toDF("vec_id", "embedding")
+    // sparse ("apple"): doc2 (tf=2) outranks doc1 (tf=1) → ranks 2,1
+    val out = Search.hybridRrf(docs4, emb, "doc_id", "text",
+        "vec_id", "embedding", "apple", queryVecId = 1L, k = 4,
+        kEach = 3)
+      .select("doc_id", "rrf", "sparse_rank", "dense_rank")
+      .collect().map(r => (r.getLong(0), r.getDouble(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+    // rrf: doc2 = 1/61 + 1/61 = .032787; doc1 = 1/62 = .016129;
+    // doc3 = 1/62 = .016129 (ties doc1 → id asc); doc4 = 1/63 = .015873
+    assert(out.toSeq == Seq(
+      (2L, 0.032787, 1L, 1L),
+      (1L, 0.016129, 2L, -1L),
+      (3L, 0.016129, -1L, 2L),
+      (4L, 0.015873, -1L, 3L)))
+  }
+
+  test("moreLikeThis: selects the seed's top tf-idf terms (rare beats " +
+    "common) and ranks only other docs containing them") {
+    val docs = Seq(
+      (1L, "rare rare common"), // seed: 'rare' tf=2 df=2, 'common' df=4
+      (2L, "common stuff"),
+      (3L, "rare common"),
+      (4L, "common other")).toDF("doc_id", "text")
+    // mTerms=1 → only 'rare' (tfidf ln(1+(4-2+.5)/2.5)*2=1.386 vs
+    // 'common' ln(1+.5/4.5)*1=.105); matching non-seed docs: only 3.
+    val out = Search.moreLikeThis(docs, "doc_id", "text",
+      seedId = 1L, mTerms = 1, k = 10).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(3L))
+    assert(out.head.getLong(2) == 1L) // matched = 1 selected term
+  }
+
+  test("significantTerms: a foreground-only token scores the smoothed " +
+    "ratio, a uniform token scores 1.0") {
+    val docs = Seq(
+      (1L, "x y"), (2L, "x y"), // foreground (id <= 2)
+      (3L, "y z"), (4L, "y z")).toDF("doc_id", "text")
+    val out = Search.significantTerms(docs, "doc_id", "text",
+        col("doc_id") <= 2, k = 10, minDocCount = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    // x: fg_df=2 bg_df=0 → (2/2)/((0+1)/(2+1)) = 3.0
+    // y: fg_df=2 bg_df=2 → (2/2)/((2+1)/(2+1)) = 1.0
+    // z: fg_df=0 < minDocCount → dropped
+    assert(out.toSeq == Seq(("x", 2L, 0L, 3.0), ("y", 2L, 2L, 1.0)))
+  }
+
+  test("highlight: snippet is the ±window token context of the FIRST " +
+    "match, clamped at the document start") {
+    val docs = Seq(
+      (1L, "a b c term d e f"),  // anchor 3 → tokens [1..5]
+      (2L, "term y z"),          // anchor 0 → clamp → tokens [0..2]
+      (3L, "no match here")).toDF("doc_id", "text")
+    val out = Search.highlight(docs, "doc_id", "text",
+        Seq("term"), window = 2, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 3L, "b c term d e"),
+      (2L, 0L, "term y z")))
+  }
+
+  test("suggest: frequency-ranked completions of the prefix, " +
+    "alphabetical tie-break") {
+    val docs = Seq(
+      (1L, "scan scan sort"), (2L, "scan small banana"))
+      .toDF("doc_id", "text")
+    val out = Search.suggest(docs, "doc_id", "text", "s", k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // scan freq 3 docs 2; small freq 1 docs 1; sort freq 1 docs 1
+    assert(out.toSeq == Seq(("scan", 3L, 2L),
+      ("small", 1L, 1L), ("sort", 1L, 1L)))
+  }
+
+  test("percolate: conjunctive match per registered query, one row per " +
+    "query with 0/NULL for a no-match query") {
+    val qs = Seq((1L, "apple"), (2L, "apple cherry"), (3L, "zzz"))
+      .toDF("query_id", "qtext")
+    val out = Search.percolate(docs4, "doc_id", "text",
+        qs, "query_id", "qtext")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+    // q1 'apple' → docs 1,2; q2 'apple cherry' → doc 2; q3 → none
+    assert(out.toSeq == Seq(
+      (1L, 2L, 1L, 2L), (2L, 1L, 2L, 2L), (3L, 0L, -1L, -1L)))
+  }
+
+  test("bigramLmScores: add-0.5-smoothed bigram NLL, hand-checked; " +
+    "rarer continuations score worse (higher)") {
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"))
+      .toDF("doc_id", "text")
+    // c12: (a,b)=2, (a,c)=1; c1(a)=3; V=3; α=.5
+    // P(b|a) = 2.5/4.5 → nll .5878 ; P(c|a) = 1.5/4.5 → nll 1.0986
+    val out = Curation.bigramLmScores(docs, "doc_id", "text", k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (3L, 1.0986, 1L), (1L, 0.5878, 1L), (2L, 0.5878, 1L)))
+  }
+}

@@ -306,6 +306,64 @@ object Curation {
       buckets)
   }
 
+  /** X2/X13: BOILERPLATE CHUNK REMOVAL WITH RECONSTRUCTION — the
+    * C4-style corpus-wide duplicated-span removal (Raffel et al. 2020
+    * drop any three-sentence span occurring more than once; CCNet drops
+    * duplicated paragraphs): the document is cut into fixed
+    * `chunkTokens`-token chunks, a chunk whose exact text occurs in
+    * more than `maxDocFreq` DISTINCT documents is boilerplate, and the
+    * document is REBUILT from its surviving chunks in order — this is
+    * the rewriting half that the q143 dup-span COVERAGE pass only
+    * measures.
+    *
+    * Shape, scale-first:
+    *  - chunking is map-side expression work (`transform` over a
+    *    staged token array — one explode, no positional joins);
+    *  - chunk doc-frequency is a two-level distinct aggregate whose
+    *    first shuffle key is the uniform (chunk, doc) pair;
+    *  - the boilerplate SET (cdf > maxDocFreq) is small by definition
+    *    (it's the repeated matter), so instances are cleaned by a
+    *    broadcast ANTI-join — the instance stream never shuffles on
+    *    the skewed chunk text. (If the boilerplate set ever outgrew a
+    *    broadcast, drop the hint and Spark falls back to a shuffled
+    *    anti-join; the aggregate side is already uniform.)
+    *  - reconstruction is one per-doc hash-aggregate
+    *    (array_sort(collect_list(struct(pos, chunk)))) — keyed by doc
+    *    id, uniform.
+    *
+    * Returns one row per input document:
+    * (idCol, n_chunks, n_kept, clean_text) — clean_text = "" when
+    * every chunk was boilerplate. */
+  def dropBoilerplate(docs: DataFrame, idCol: String, textCol: String,
+                      chunkTokens: Int, maxDocFreq: Int): DataFrame = {
+    require(chunkTokens > 0 && maxDocFreq > 0, "positive chunk/df args")
+    val chunks = graft.scaleOut(docs, col(idCol))
+      .select(col(idCol), Text.tokens(col(textCol)).as("a"))
+      .withColumn("_nch", floor(
+        (size(col("a")) + (chunkTokens - 1)).cast("double") / chunkTokens)
+        .cast("int"))
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0), col("_nch") - 1),
+        i => array_join(
+          slice(col("a"), i * chunkTokens + 1, lit(chunkTokens)), " ")))
+        .as(Seq("cpos", "chunk")))
+    val boiler = chunks.groupBy(col("chunk"))
+      .agg(countDistinct(col(idCol)).as("cdf"))
+      .filter(col("cdf") > maxDocFreq)
+      .select(col("chunk"))
+    val kept = chunks.join(broadcast(boiler), Seq("chunk"), "left_anti")
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("cpos"), col("chunk")))),
+          s => s.getField("chunk")), " ").as("clean_text"))
+    chunks.groupBy(col(idCol)).agg(count(lit(1)).as("n_chunks"))
+      .join(rebuilt, Seq(idCol), "left_outer")
+      .select(col(idCol), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** X4/X13: BIGRAM LANGUAGE-MODEL QUALITY SCORING — the CCNet-style
     * LM-perplexity filter axis (Wenzek et al. 2020 rank documents by a
     * KenLM score; here the LM is a bigram model TRAINED ON THE CORPUS

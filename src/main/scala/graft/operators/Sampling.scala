@@ -91,4 +91,39 @@ object Sampling {
         col("_min_n").cast("double") / col("_n").cast("double"))
       .drop("_n", "_min_n")
   }
+
+  /** TEMPERATURE-flattened domain mixture — the published data-mixing
+    * rule for multi-domain/multilingual corpora (mT5 / GPT-3 / PaLM:
+    * sampling probability ∝ share^α; α < 1 upsamples tail domains,
+    * α = 1 is natural, α = 0 is [[balanceStrata]]'s uniform): keep-rate
+    *
+    *   r_s = min(1, targetFrac · C · (c_s^α / Σ_t c_t^α) / c_s)
+    *
+    * resamples the corpus to ≈ targetFrac·C rows whose domain shares
+    * follow the α-temperature distribution, capped at 1 — no row is
+    * ever duplicated (the single-epoch cap). The per-row decision is
+    * the portable hash, so the mixture is reproducible, resumable, and
+    * engine-replayable. r_s is rounded to 9 dp BEFORE the comparison:
+    * Σ c^α is a floating sum whose association order an engine may
+    * choose freely, and the rounding pins the keep/drop boundary to a
+    * value both engines agree on. Costs one tiny counts aggregate
+    * (|strata| rows, broadcast); the filter itself is map-only. */
+  def temperatureMixture(df: DataFrame, stratumCol: String, idCol: String,
+                         alpha: Double, targetFrac: Double,
+                         salt: String): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha in [0,1], got $alpha")
+    require(targetFrac > 0.0 && targetFrac <= 1.0,
+      s"targetFrac in (0,1], got $targetFrac")
+    val counts = df.groupBy(stratumCol).agg(count(lit(1)).as("_n"))
+    val z = counts.agg(sum(pow(col("_n"), alpha)).as("_z"),
+      sum(col("_n")).as("_c"))
+    df.join(broadcast(counts), Seq(stratumCol))
+      .crossJoin(broadcast(z))
+      .withColumn("_r", round(least(lit(1.0),
+        lit(targetFrac) * col("_c") * pow(col("_n"), alpha) /
+          col("_z") / col("_n")), 9))
+      .filter(portableHash(col(idCol), salt).cast("double") /
+        lit(4294967296.0) < col("_r"))
+      .drop("_n", "_z", "_c", "_r")
+  }
 }

@@ -575,6 +575,45 @@ object Search {
       .limit(k)
   }
 
+  /** T2/X3: RESCORE — the Elasticsearch `rescore` API: a cheap first
+    * pass retrieves a top-`windowN` candidate window (BM25), then an
+    * expensive secondary signal re-scores ONLY that window — here the
+    * cosine of each candidate's embedding to a query vector:
+    *
+    *   combined = queryWeight·bm25 + rescoreWeight·cosine
+    *
+    * Shape, scale-first: the corpus pays exactly the [[rankBm25]] cost;
+    * the rescore pass is a broadcast hash join of the ≤windowN-row
+    * window against the embeddings table (point lookups on the id) plus
+    * a broadcast 1-row query vector — the expensive signal is evaluated
+    * windowN times, never corpus-wide. This is the two-phase shape that
+    * makes cross-encoder-style reranking affordable at 100 TB.
+    *
+    * Returns (idCol, combined, score, cosine), top `k` by
+    * (combined desc, id asc); combined and cosine rounded 6 dp. */
+  def rescore(docs: DataFrame, emb: DataFrame, idCol: String,
+              textCol: String, vecIdCol: String, vecCol: String,
+              query: String, queryVecId: Long, windowN: Int, k: Int,
+              queryWeight: Double = 1.0,
+              rescoreWeight: Double = 1.0): DataFrame = {
+    import graft.functions.Vectors
+    val window = rankBm25(docs, idCol, textCol, query, windowN)
+      .select(col(idCol), col("score"))
+    val qv = broadcast(emb.filter(col(vecIdCol) === queryVecId)
+      .select(Vectors.toDouble(col(vecCol)).as("_qv")))
+    emb.select(col(vecIdCol).as(idCol),
+        Vectors.toDouble(col(vecCol)).as("_v"))
+      .join(broadcast(window), Seq(idCol))
+      .crossJoin(qv)
+      .withColumn("cosine", Vectors.cosine(col("_v"), col("_qv")))
+      .select(col(idCol),
+        round(lit(queryWeight) * col("score") +
+          lit(rescoreWeight) * col("cosine"), 6).as("combined"),
+        col("score"), round(col("cosine"), 6).as("cosine"))
+      .orderBy(col("combined").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** T2: MORE-LIKE-THIS — the Elasticsearch `more_like_this` query:
     * select the seed document's most characteristic terms by tf·idf,
     * then BM25-rank the rest of the corpus against them.

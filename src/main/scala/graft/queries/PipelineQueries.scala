@@ -1924,5 +1924,80 @@ object PipelineQueries {
         SELECT doc_id, round(avg(nll), 4) AS avg_nll,
           count(*) AS n_bigrams
         FROM sc GROUP BY 1
-        ORDER BY avg_nll DESC, doc_id ASC LIMIT 50""")))
+        ORDER BY avg_nll DESC, doc_id ASC LIMIT 50""")),
+
+    // ---- X7: temperature-flattened language mixture (α=0.5,
+    // target 50% of the corpus): tail languages keep a higher rate
+    // than English, per the mT5/GPT-3 share^α rule; decisions by the
+    // portable hash so the mixture is engine-replayable.
+    QueryDef("q163_temperature_mixture",
+      (s, dir) => Sampling.temperatureMixture(
+          Tables.load(s, dir, "documents"), "lang", "doc_id",
+          alpha = 0.5, targetFrac = 0.5, salt = "mix0")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"), min("doc_id").as("first_id"),
+          max("doc_id").as("last_id"))
+        .orderBy("lang"),
+      Some("""WITH c AS (SELECT lang, count(*) AS n FROM documents
+          GROUP BY 1),
+        z AS (SELECT sum(pow(n, 0.5)) AS z,
+            CAST(sum(n) AS BIGINT) AS ctot
+          FROM c),
+        r AS (SELECT c.lang, round(least(1.0,
+            0.5 * z.ctot * pow(c.n, 0.5) / z.z / c.n), 9) AS r
+          FROM c CROSS JOIN z),
+        kept AS (SELECT d.lang, d.doc_id
+          FROM documents d JOIN r USING (lang)
+          WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+              || '|mix0'), 1, 8)) AS UBIGINT) / 4294967296.0 < r.r)
+        SELECT lang, count(*) AS n_kept, min(doc_id) AS first_id,
+          max(doc_id) AS last_id
+        FROM kept GROUP BY 1 ORDER BY lang""")),
+
+    // ---- X2/X13: boilerplate chunk removal + reconstruction — a
+    // planted 8-token header on every doc_id % 5 = 0 becomes a
+    // corpus-wide duplicated chunk (df > 3) and is stripped; documents
+    // are rebuilt from surviving chunks in order (C4-style span
+    // removal, the rewriting half of q143's coverage pass).
+    QueryDef("q164_boilerplate_chunks",
+      (s, dir) => {
+        val header = "begin legal notice copyright footer nav bar end "
+        val d = Tables.load(s, dir, "documents")
+          .withColumn("text", when(col("doc_id") % 5 === 0,
+            concat(lit(header), col("text"))).otherwise(col("text")))
+        Curation.dropBoilerplate(d, "doc_id", "text",
+            chunkTokens = 8, maxDocFreq = 3)
+          .filter(col("doc_id") < 40)
+          .orderBy("doc_id")
+      },
+      Some("""WITH src AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0
+            THEN 'begin legal notice copyright footer nav bar end '
+              || text
+            ELSE text END AS text
+          FROM documents),
+        arr AS (SELECT doc_id, string_split(lower(text), ' ') AS a
+          FROM src),
+        ch AS (SELECT doc_id, unnest(cl) AS chunk,
+            unnest(range(0, len(cl))) AS cpos
+          FROM (SELECT doc_id,
+              [array_to_string(a[(i-1)*8+1 : i*8], ' ')
+                for i in range(1, CAST(ceil(len(a) / 8.0) AS INT) + 1)]
+                AS cl
+            FROM arr)),
+        boiler AS (SELECT chunk FROM (
+            SELECT chunk, count(DISTINCT doc_id) AS cdf
+            FROM ch GROUP BY 1)
+          WHERE cdf > 3),
+        kept AS (SELECT * FROM ch
+          WHERE chunk NOT IN (SELECT chunk FROM boiler)),
+        reb AS (SELECT doc_id, count(*) AS n_kept,
+            string_agg(chunk, ' ' ORDER BY cpos) AS clean_text
+          FROM kept GROUP BY 1),
+        tot AS (SELECT doc_id, count(*) AS n_chunks
+          FROM ch GROUP BY 1)
+        SELECT tot.doc_id, tot.n_chunks,
+          COALESCE(reb.n_kept, 0) AS n_kept,
+          COALESCE(reb.clean_text, '') AS clean_text
+        FROM tot LEFT JOIN reb USING (doc_id)
+        WHERE tot.doc_id < 40 ORDER BY tot.doc_id""")))
 }

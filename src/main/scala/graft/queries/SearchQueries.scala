@@ -195,17 +195,32 @@ object SearchQueries {
           .createTempDirectory("graft_idx").toString + "/i"
         val docs = Tables.load(s, dir, "documents")
           .select("doc_id", "lang", "text")
-        Manifest.init(s, src, docs.filter(col("doc_id") % 5 =!= 0),
-          Seq("lang"))
-        SearchIndex.create(s, src, idx, "doc_id", "text", buckets = 16)
-        Manifest.commitAppend(s, src,
-          docs.filter(col("doc_id") % 5 === 0), Seq("lang"))
-        SearchIndex.refresh(s, src, idx) // append-only: one atomic commit
-        Manifest.mergeInto(s, src,
-          docs.filter(col("lang") === "de" && col("doc_id") % 7 === 0)
-            .withColumn("text", concat(col("text"), lit(" merge merge"))),
-          "doc_id", "lang")
-        SearchIndex.refresh(s, src, idx) // rewrite: MoR erase + append
+        // Clustered writes for the whole build pipeline: a W-task
+        // shuffle writing P hive partitions otherwise leaves W×P
+        // small files per commit; one file per touched partition is
+        // what an index-build job would configure.
+        val key = "spark.graft.manifest.write.clustered"
+        val prev = s.conf.getOption(key)
+        s.conf.set(key, "true")
+        try {
+          Manifest.init(s, src, docs.filter(col("doc_id") % 5 =!= 0),
+            Seq("lang"))
+          SearchIndex.create(s, src, idx, "doc_id", "text", buckets = 16)
+          Manifest.commitAppend(s, src,
+            docs.filter(col("doc_id") % 5 === 0), Seq("lang"))
+          SearchIndex.refresh(s, src, idx) // append-only: one atomic commit
+          Manifest.mergeInto(s, src,
+            docs.filter(col("lang") === "de" && col("doc_id") % 7 === 0)
+              .withColumn("text",
+                concat(col("text"), lit(" merge merge"))),
+            "doc_id", "lang")
+          SearchIndex.refresh(s, src, idx) // rewrite: MoR erase + append
+        } finally {
+          prev match {
+            case Some(v) => s.conf.set(key, v)
+            case None => s.conf.unset(key)
+          }
+        }
         SearchIndex.searchBm25(s, idx, "window merge scan", 15)
       },
       Some("""WITH src AS (SELECT doc_id,
@@ -480,5 +495,44 @@ object SearchQueries {
         SELECT q.query_id, COALESCE(agg.n_matches, 0) AS n_matches,
           agg.first_doc, agg.last_doc
         FROM q LEFT JOIN agg USING (query_id)
-        ORDER BY query_id ASC""")))
+        ORDER BY query_id ASC""")),
+
+    // ---- T2/X3: rescore — BM25 top-50 window re-scored by embedding
+    // cosine to query vector 7 (the ES rescore API / two-phase rerank:
+    // the expensive signal runs on the bounded window only).
+    QueryDef("q162_rescore",
+      (s, dir) => Search.rescore(
+        Tables.load(s, dir, "documents"), Tables.load(s, dir, "embeddings"),
+        "doc_id", "text", "vec_id", "embedding",
+        "window merge scan", queryVecId = 7L, windowN = 50, k = 10),
+      Some("""WITH t AS (SELECT doc_id,
+            unnest(string_split(lower(text), ' ')) AS token
+          FROM documents),
+        dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+        s AS (SELECT avg(dl) AS avgdl FROM dl),
+        n AS (SELECT count(*) AS n FROM documents),
+        q AS (SELECT unnest(['window', 'merge', 'scan']) AS token),
+        tf AS (SELECT doc_id, token, count(*) AS tf
+          FROM t JOIN q USING (token) GROUP BY 1, 2),
+        df AS (SELECT token, count(DISTINCT doc_id) AS df
+          FROM tf GROUP BY 1),
+        bm AS (SELECT tf.doc_id,
+            round(sum(ln(1 + (n.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * 2.2
+              / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))), 4)
+              AS score
+          FROM tf JOIN df USING (token) JOIN dl USING (doc_id)
+            CROSS JOIN n CROSS JOIN s
+          GROUP BY 1 ORDER BY score DESC, doc_id ASC LIMIT 50),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+        qv AS (SELECT v AS qv FROM e WHERE vec_id = 7),
+        cs AS (SELECT bm.doc_id, bm.score,
+            list_dot_product(e.v, qv.qv)
+              / (sqrt(list_dot_product(e.v, e.v))
+                 * sqrt(list_dot_product(qv.qv, qv.qv))) AS cosine
+          FROM bm JOIN e ON bm.doc_id = e.vec_id CROSS JOIN qv)
+        SELECT doc_id, round(score + cosine, 6) AS combined,
+          score, round(cosine, 6) AS cosine
+        FROM cs ORDER BY combined DESC, doc_id ASC LIMIT 10""")))
 }

@@ -84,7 +84,16 @@ object SearchIndex {
           .as(BucketCol),
         lit(null).cast("string").as("token"), col(idCol),
         col("dl").as("tf"))
-    postings.unionByName(dl)
+    // Cluster by bucket BEFORE the partitioned write: without this, a
+    // W-partition shuffle writing P hive partitions leaves up to W×P
+    // files per commit (measured ~640 tiny files per index commit at
+    // the bench SF — and every search then plans over all of them);
+    // clustered, a commit writes ≈ one file per touched bucket. At
+    // 100 TB per-bucket volume is controlled by `buckets` itself (the
+    // default 64 → more, smaller buckets), so the clustering shuffle
+    // stays balanced — it is the SAME hash the bucket column already
+    // encodes.
+    postings.unionByName(dl).repartition(col(BucketCol))
   }
 
   /** (docs, docs with text, total tokens) — one bounded driver row. */

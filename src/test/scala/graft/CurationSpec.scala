@@ -155,4 +155,27 @@ class CurationSpec extends SparkSpec {
       .select("doc_id", "bucket").as[(Long, Long)].collect().toSet
     assert(a == b)
   }
+
+  test("dropBoilerplate: a chunk repeated across > maxDocFreq docs is " +
+    "stripped and the doc is rebuilt in order; all-boilerplate docs " +
+    "survive as empty text") {
+    val docs = Seq(
+      (1L, "h1 h2 x1 x2"), // header chunk + unique tail
+      (2L, "h1 h2 y1 y2"),
+      (3L, "h1 h2 z1 z2"),
+      (4L, "a1 a2 b1 b2"), // no boilerplate at all
+      (5L, "h1 h2"))       // nothing but the header
+      .toDF("doc_id", "text")
+    val out = Curation.dropBoilerplate(docs, "doc_id", "text",
+        chunkTokens = 2, maxDocFreq = 2)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    // "h1 h2" df=4 > 2 → boilerplate; every other chunk df=1
+    assert(out == Seq(
+      (1L, 2L, 1L, "x1 x2"),
+      (2L, 2L, 1L, "y1 y2"),
+      (3L, 2L, 1L, "z1 z2"),
+      (4L, 2L, 2L, "a1 a2 b1 b2"),
+      (5L, 1L, 0L, "")))
+  }
 }

@@ -114,6 +114,27 @@ class RetrievalSpec extends SparkSpec {
       (1L, 2L, 1L, 2L), (2L, 1L, 2L, 2L), (3L, 0L, -1L, -1L)))
   }
 
+  test("rescore: combined = bm25 + cosine over the candidate window " +
+    "only; the secondary signal can reorder the window") {
+    val emb = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0f, 1f)), (4L, Array(-1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val out = Search.rescore(docs4, emb, "doc_id", "text",
+        "vec_id", "embedding", "apple", queryVecId = 1L,
+        windowN = 3, k = 3).collect()
+    // window = BM25 'apple' hits {2: 0.8714, 1: 0.7262}; cosines to
+    // v1: doc2 = .993884, doc1 = 1.0 → doc2 1.8653 > doc1 1.7262
+    assert(out.map(_.getLong(0)).toSeq == Seq(2L, 1L))
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(byId(1L)._3 == 1.0) // own-vector cosine
+    assert(byId(2L)._2 == 0.8714 && byId(1L)._2 == 0.7262) // bm25 leg
+    // combined is exactly round(score + cosine, 6) of its own columns
+    for ((_, (comb, sc, cosRounded)) <- byId)
+      assert(math.abs(comb - (sc + cosRounded)) < 1e-5)
+  }
+
   test("bigramLmScores: add-0.5-smoothed bigram NLL, hand-checked; " +
     "rarer continuations score worse (higher)") {
     val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"))

@@ -110,4 +110,26 @@ class SamplingSpec extends SparkSpec {
     assert(buckets.keySet == (0L until 8L).toSet)
     assert(buckets.values.forall(n => n > 150 && n < 350)) // ~250 each
   }
+
+  test("temperatureMixture: α=1 is exactly deterministicSample; α<1 " +
+    "upsamples the tail stratum (rate caps at 1 → every row kept)") {
+    import org.apache.spark.sql.functions._
+    // 900 'a' rows + 100 'b' rows; α=.5, target .5:
+    //   z = √900 + √100 = 40
+    //   r_a = min(1, .5·1000·30/40/900) = .4166667 ; r_b = min(1, 1.25) = 1
+    val df = spark.range(0, 1000).toDF("id")
+      .withColumn("dom", when(col("id") < 900, "a").otherwise("b"))
+    val out = Sampling.temperatureMixture(df, "dom", "id", 0.5, 0.5, "s")
+      .groupBy("dom").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("b") == 100L) // capped rate 1.0 → whole tail stratum kept
+    assert(out("a") > 300L && out("a") < 450L) // ≈ .4167 · 900
+    // α=1 → r_s = targetFrac for every stratum = plain deterministic
+    // sampling with the same salt, row for row
+    val t1 = Sampling.temperatureMixture(df, "dom", "id", 1.0, 0.25, "s")
+      .select("id").as[Long].collect().toSet
+    val ds = Sampling.deterministicSample(df, "id", 0.25, "s")
+      .select("id").as[Long].collect().toSet
+    assert(t1 == ds)
+  }
 }

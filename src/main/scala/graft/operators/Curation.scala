@@ -393,7 +393,20 @@ object Curation {
     * Returns (idCol, avg_nll, n_bigrams), the `k` WORST (highest
     * avg −ln P) documents, avg rounded 4 dp, id tie-break. */
   def bigramLmScores(docs: DataFrame, idCol: String, textCol: String,
-                     k: Int, alpha: Double = 0.5): DataFrame = {
+                     k: Int, alpha: Double = 0.5): DataFrame =
+    bigramNll(docs, idCol, textCol, alpha)
+      .orderBy(col("avg_nll").desc, col(idCol).asc)
+      .limit(k)
+
+  /** The full per-document score frame behind [[bigramLmScores]] —
+    * (idCol, avg_nll, n_bigrams), one row per document that HAS at
+    * least one bigram (single-token documents carry no sequence
+    * evidence and are absent; a gate built on this frame therefore
+    * drops them, which is the C4/CCNet short-document behavior).
+    * avg_nll is rounded 4 dp so a downstream threshold gate compares
+    * the same value in every engine. */
+  def bigramNll(docs: DataFrame, idCol: String, textCol: String,
+                alpha: Double = 0.5): DataFrame = {
     val grams = graft.scaleOut(docs, col(idCol))
       .select(col(idCol), Text.tokens(col(textCol)).as("a"))
       .select(col(idCol), explode_outer(zip_with(
@@ -417,7 +430,5 @@ object Curation {
       .groupBy(col(idCol))
       .agg(round(avg(col("_nll")), 4).as("avg_nll"),
         count(lit(1)).as("n_bigrams"))
-      .orderBy(col("avg_nll").desc, col(idCol).asc)
-      .limit(k)
   }
 }

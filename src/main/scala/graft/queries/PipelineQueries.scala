@@ -1999,5 +1999,129 @@ object PipelineQueries {
           COALESCE(reb.n_kept, 0) AS n_kept,
           COALESCE(reb.clean_text, '') AS clean_text
         FROM tot LEFT JOIN reb USING (doc_id)
-        WHERE tot.doc_id < 40 ORDER BY tot.doc_id""")))
+        WHERE tot.doc_id < 40 ORDER BY tot.doc_id""")),
+
+    // ---- Composed curation pipeline v2 (round-11 stages end-to-end):
+    // boilerplate strip + rebuild → bigram-LM perplexity gate (≤ 3.5,
+    // trained on the cleaned corpus itself) → exact 8-gram
+    // decontamination vs the held-out bench slice → temperature
+    // mixture (lang, α=.5, f=.5) → deterministic shuffle/shard. Every
+    // stage is the already-oracle-checked operator (q164, q160, q76,
+    // q163, q95); this query proves the COMPOSITION replays
+    // engine-for-engine, like q147 for the round-7 stages.
+    QueryDef("q165_curation_v2",
+      (s, dir) => {
+        val header = "begin legal notice copyright footer nav bar end "
+        val all = Tables.load(s, dir, "documents")
+        val corpus = all.filter(col("doc_id") % 7 =!= 0)
+          .withColumn("text", when(col("doc_id") % 5 === 0,
+            concat(lit(header), col("text"))).otherwise(col("text")))
+        val bench = all.filter(col("doc_id") % 7 === 0)
+          .select("doc_id", "text")
+        val cleaned = Curation.dropBoilerplate(corpus, "doc_id", "text",
+            chunkTokens = 8, maxDocFreq = 3)
+          .filter(col("n_kept") > 0)
+          .select(col("doc_id"), col("clean_text").as("text"))
+        val gated = cleaned.join(
+          Curation.bigramNll(cleaned, "doc_id", "text")
+            .filter(col("avg_nll") <= 3.5).select("doc_id"),
+          Seq("doc_id"), "left_semi")
+        val dirty = Curation.contamination(gated, bench,
+            "doc_id", "text", n = 8)
+          .select(col("train_id").as("doc_id"))
+        val decon = gated.join(dirty, Seq("doc_id"), "left_anti")
+        val withLang = decon.join(all.select("doc_id", "lang"),
+          Seq("doc_id"))
+        val mixed = Sampling.temperatureMixture(withLang, "lang",
+          "doc_id", alpha = 0.5, targetFrac = 0.5, salt = "v2mix")
+        Sampling.deterministicShuffle(mixed, "doc_id", "v2", buckets = 8)
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(graft.functions.Text.tokenCount(col("text")))
+              .as("tokens"),
+            min("doc_id").as("first_id"), max("doc_id").as("last_id"))
+          .orderBy("bucket")
+      },
+      Some("""WITH base AS (SELECT doc_id, lang,
+            CASE WHEN doc_id % 5 = 0
+              THEN 'begin legal notice copyright footer nav bar end '
+                || text
+              ELSE text END AS text
+          FROM documents WHERE doc_id % 7 <> 0),
+        bench AS (SELECT doc_id, text FROM documents
+          WHERE doc_id % 7 = 0),
+        arr AS (SELECT doc_id, string_split(lower(text), ' ') AS a
+          FROM base),
+        ch AS (SELECT doc_id, unnest(cl) AS chunk,
+            unnest(range(0, len(cl))) AS cpos
+          FROM (SELECT doc_id,
+              [array_to_string(a[(i-1)*8+1 : i*8], ' ')
+                for i in range(1, CAST(ceil(len(a) / 8.0) AS INT) + 1)]
+                AS cl
+            FROM arr)),
+        boiler AS (SELECT chunk FROM (
+            SELECT chunk, count(DISTINCT doc_id) AS cdf
+            FROM ch GROUP BY 1)
+          WHERE cdf > 3),
+        clean AS (SELECT doc_id,
+            string_agg(chunk, ' ' ORDER BY cpos) AS text
+          FROM ch WHERE chunk NOT IN (SELECT chunk FROM boiler)
+          GROUP BY 1),
+        ca AS (SELECT doc_id, string_split(lower(text), ' ') AS a
+          FROM clean),
+        g AS (SELECT doc_id, unnest(a[1:len(a)-1]) AS w1,
+            unnest(a[2:len(a)]) AS w2
+          FROM ca),
+        c12 AS (SELECT w1, w2, count(*) AS c12 FROM g GROUP BY 1, 2),
+        c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1
+          FROM c12 GROUP BY 1),
+        v AS (SELECT count(DISTINCT token) AS v FROM (
+          SELECT unnest(string_split(lower(text), ' ')) AS token
+          FROM clean)),
+        nll AS (SELECT g.doc_id,
+            round(avg(-ln((c12.c12 + 0.5) / (c1.c1 + 0.5 * v.v))), 4)
+              AS avg_nll
+          FROM g JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+            CROSS JOIN v
+          GROUP BY 1),
+        gated AS (SELECT clean.doc_id, clean.text
+          FROM clean JOIN nll USING (doc_id) WHERE nll.avg_nll <= 3.5),
+        kg AS (SELECT doc_id, unnest(CASE WHEN len(tk) >= 8 THEN
+              list_distinct([array_to_string(tk[i:i+7], ' ')
+                for i in range(1, len(tk) - 6)])
+            ELSE [] END) AS g
+          FROM (SELECT doc_id, string_split(lower(text), ' ') AS tk
+            FROM gated)),
+        bg AS (SELECT unnest(CASE WHEN len(tk) >= 8 THEN
+              list_distinct([array_to_string(tk[i:i+7], ' ')
+                for i in range(1, len(tk) - 6)])
+            ELSE [] END) AS g
+          FROM (SELECT string_split(lower(text), ' ') AS tk
+            FROM bench)),
+        dirty AS (SELECT DISTINCT kg.doc_id FROM kg
+          JOIN (SELECT DISTINCT g FROM bg) b USING (g)),
+        decon AS (SELECT * FROM gated
+          WHERE doc_id NOT IN (SELECT doc_id FROM dirty)),
+        wl AS (SELECT decon.doc_id, decon.text, d.lang
+          FROM decon JOIN documents d USING (doc_id)),
+        c AS (SELECT lang, count(*) AS n FROM wl GROUP BY 1),
+        z AS (SELECT sum(pow(n, 0.5)) AS z,
+            CAST(sum(n) AS BIGINT) AS ctot
+          FROM c),
+        r AS (SELECT c.lang, round(least(1.0,
+            0.5 * z.ctot * pow(c.n, 0.5) / z.z / c.n), 9) AS r
+          FROM c CROSS JOIN z),
+        mixed AS (SELECT wl.doc_id, wl.text
+          FROM wl JOIN r USING (lang)
+          WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+              || '|v2mix'), 1, 8)) AS UBIGINT) / 4294967296.0 < r.r),
+        sh AS (SELECT doc_id, text,
+            CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+              || '|v2'), 1, 8)) AS BIGINT) AS sk
+          FROM mixed)
+        SELECT sk % 8 AS bucket, count(*) AS n_docs,
+          CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT)
+            AS tokens,
+          min(doc_id) AS first_id, max(doc_id) AS last_id
+        FROM sh GROUP BY 1 ORDER BY 1""")))
 }

@@ -534,5 +534,28 @@ object SearchQueries {
           FROM bm JOIN e ON bm.doc_id = e.vec_id CROSS JOIN qv)
         SELECT doc_id, round(score + cosine, 6) AS combined,
           score, round(cosine, 6) AS cosine
-        FROM cs ORDER BY combined DESC, doc_id ASC LIMIT 10""")))
+        FROM cs ORDER BY combined DESC, doc_id ASC LIMIT 10""")),
+
+    // ---- T2: completion suggest served FROM the materialized index —
+    // same oracle as the corpus-pass q159 (hash-equality proves
+    // index ≡ corpus for the suggest path too); the index scan reads
+    // |vocabulary| aggregated postings rows, no tokenization.
+    QueryDef("q166_index_suggest",
+      (s, dir) => {
+        val src = "file://" + java.nio.file.Files
+          .createTempDirectory("graft_sg_src").toString + "/t"
+        val idx = "file://" + java.nio.file.Files
+          .createTempDirectory("graft_sg").toString + "/i"
+        Manifest.init(s, src,
+          Tables.load(s, dir, "documents").select("doc_id", "text"))
+        SearchIndex.create(s, src, idx, "doc_id", "text", buckets = 16)
+        SearchIndex.suggest(s, idx, "s", k = 10)
+      },
+      Some("""WITH t AS (SELECT doc_id,
+            unnest(string_split(lower(text), ' ')) AS token
+          FROM documents)
+        SELECT token, count(*) AS freq, count(DISTINCT doc_id) AS docs
+        FROM t WHERE token LIKE 's%'
+        GROUP BY 1 ORDER BY freq DESC, token ASC LIMIT 10"""),
+      kind = QueryDef.Pipeline))
 }

@@ -283,4 +283,47 @@ object SearchIndex {
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
   }
+
+  /** Completion suggest served FROM THE INDEX — identical semantics to
+    * `Search.suggest` (freq = collection frequency = Σ tf) but with NO
+    * corpus tokenization: one scan of the postings buckets (the
+    * doc-length bucket range is partition-pruned away). A hash-bucketed
+    * layout cannot prune a PREFIX predicate — at scale, if suggest is
+    * hot, maintain a token-RANGE partitioned twin of the postings
+    * table; the per-token rows here are already aggregated, so even the
+    * unpruned scan reads |vocabulary| rows, not |corpus tokens|.
+    * Returns (token, freq, docs), top `k`. */
+  def suggest(spark: SparkSession, indexRoot: String, prefix: String,
+              k: Int): DataFrame = {
+    val (meta, _) = state(spark, indexRoot)
+    require(!torn(meta),
+      s"$indexRoot has a torn refresh; run SearchIndex.refresh to heal")
+    val idCol = meta("idx.id")
+    val buckets = meta("idx.buckets").toInt
+    Manifest.read(spark, indexRoot)
+      .filter(col(BucketCol) < buckets &&
+        col("token").startsWith(prefix.toLowerCase))
+      .groupBy(col("token"))
+      .agg(sum(col("tf")).as("freq"),
+        countDistinct(col(idCol)).as("docs"))
+      .orderBy(col("freq").desc, col("token").asc)
+      .limit(k)
+  }
+
+  /** Collection statistics — the `_cat/indices` analog, answered from
+    * the delta-maintained commit header alone: zero data IO, no tasks.
+    * One row: (docs, docs_with_text, total_tokens, avgdl, buckets,
+    * base_version). */
+  def stats(spark: SparkSession, indexRoot: String): DataFrame = {
+    val (meta, _) = state(spark, indexRoot)
+    val n = meta("idx.n").toLong
+    val ndl = meta("idx.ndl").toLong
+    val sumdl = meta("idx.sumdl").toLong
+    import spark.implicits._
+    Seq((n, ndl, sumdl,
+        if (ndl == 0) 0.0 else sumdl.toDouble / ndl,
+        meta("idx.buckets").toInt, meta("idx.base").toLong))
+      .toDF("docs", "docs_with_text", "total_tokens", "avgdl",
+        "buckets", "base_version")
+  }
 }

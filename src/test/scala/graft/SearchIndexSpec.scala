@@ -147,4 +147,22 @@ class SearchIndexSpec extends SparkSpec {
     SearchIndex.refresh(spark, src, idx)
     assert(indexBm25(idx, "window merge") == corpusBm25(src, "window merge"))
   }
+
+  test("suggest served from the index equals the corpus-pass suggest; " +
+    "stats answers from the header with zero data IO") {
+    val (src, idx) = freshPair("sg")
+    val fromIdx = SearchIndex.suggest(spark, idx, "s", 10)
+      .as[(String, Long, Long)].collect().toSeq
+    val fromCorpus = Search.suggest(Manifest.read(spark, src),
+        "id", "text", "s", 10)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(fromIdx == fromCorpus && fromIdx.nonEmpty)
+    // corpus0 s-prefix tokens: scan×2 (docs 2,5), scans/slow/spark ×1
+    assert(fromIdx.head == ("scan", 2L, 2L))
+    val st = SearchIndex.stats(spark, idx).collect().head
+    assert(st.getLong(0) == 5L)   // docs
+    assert(st.getLong(1) == 5L)   // docs with text
+    assert(st.getLong(2) == 24L)  // total tokens (5+4+6+5+4)
+    assert(st.getInt(4) == 8 && st.getLong(5) == 1L)
+  }
 }

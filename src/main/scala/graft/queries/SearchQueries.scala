@@ -4,7 +4,8 @@ import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
 import graft.operators.Search
-import graft.sources.{Manifest, SearchIndex}
+import graft.sources.{Manifest, SearchIndex, VectorIndex}
+import graft.streaming.IngestStream
 
 /** The search-engine surface as native operators (SURVEY.md §2.10). */
 object SearchQueries {
@@ -557,5 +558,103 @@ object SearchQueries {
         SELECT token, count(*) AS freq, count(DISTINCT doc_id) AS docs
         FROM t WHERE token LIKE 's%'
         GROUP BY 1 ORDER BY freq DESC, token ASC LIMIT 10"""),
+      kind = QueryDef.Pipeline),
+
+    // ---- T2/R: STREAMING percolate — the ES percolator's actual
+    // deployment shape (alerting): registered queries are matched
+    // against an INCREMENTAL document stream, per micro-batch; because
+    // a percolate match is a per-document decision, the merged
+    // per-batch aggregates equal the whole-corpus percolate (q161's
+    // oracle verifies exactly that).
+    QueryDef("q167_stream_percolate",
+      (s, dir) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_spt").toString
+        val docs = Tables.load(s, dir, "documents")
+          .select("doc_id", "text")
+        docs.filter(col("doc_id") % 2 === 0)
+          .write.mode("append").parquet(s"$root/raw")
+        docs.filter(col("doc_id") % 2 === 1)
+          .write.mode("append").parquet(s"$root/raw")
+        val schema = s.read.parquet(s"$root/raw").schema
+        import s.implicits._
+        val qs = Seq((1L, "window merge"), (2L, "scan"),
+          (3L, "window slow batch"), (4L, "dup vector customer the"))
+          .toDF("query_id", "qtext")
+        IngestStream.rawStream(s, s"$root/raw", schema, "parquet")
+          .writeStream
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch {
+            (b: org.apache.spark.sql.DataFrame, id: Long) =>
+              Search.percolate(b, "doc_id", "text",
+                  qs, "query_id", "qtext")
+                .write.mode("overwrite")
+                .parquet(s"$root/alerts/batch_id=$id")
+              ()
+          }
+          .start().awaitTermination()
+        s.read.parquet(s"$root/alerts")
+          .groupBy("query_id")
+          .agg(sum("n_matches").cast("long").as("n_matches"),
+            min("first_doc").as("first_doc"),
+            max("last_doc").as("last_doc"))
+          .orderBy("query_id")
+      },
+      Some("""WITH t AS (SELECT DISTINCT doc_id, token FROM (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+            FROM documents)),
+        q(query_id, qt) AS (VALUES
+          (CAST(1 AS BIGINT), 'window merge'), (2, 'scan'),
+          (3, 'window slow batch'), (4, 'dup vector customer the')),
+        qtok AS (SELECT query_id,
+            unnest(list_distinct(string_split(lower(qt), ' '))) AS token
+          FROM q),
+        qn AS (SELECT query_id, count(*) AS qn FROM qtok GROUP BY 1),
+        m AS (SELECT qtok.query_id, t.doc_id, count(*) AS m
+          FROM t JOIN qtok USING (token) GROUP BY 1, 2),
+        ok AS (SELECT m.query_id, m.doc_id FROM m JOIN qn USING (query_id)
+          WHERE m.m = qn.qn),
+        agg AS (SELECT query_id, count(*) AS n_matches,
+            min(doc_id) AS first_doc, max(doc_id) AS last_doc
+          FROM ok GROUP BY 1)
+        SELECT q.query_id, COALESCE(agg.n_matches, 0) AS n_matches,
+          agg.first_doc, agg.last_doc
+        FROM q LEFT JOIN agg USING (query_id)
+        ORDER BY query_id ASC"""),
+      kind = QueryDef.Pipeline),
+
+    // ---- X3: persisted IVF vector index — create (8 cells, clustered
+    // write) + probe-ALL search for vec 7's vector. Probing every cell
+    // is EXACT by construction, so DuckDB replays the result as plain
+    // brute-force cosine over the corpus (q150's lossless-anchor
+    // pattern); partial-probe recall and partition pruning are
+    // spec-asserted (VectorIndexSpec).
+    QueryDef("q168_vector_index",
+      (s, dir) => {
+        val idx = "file://" + java.nio.file.Files
+          .createTempDirectory("graft_vidx").toString + "/v"
+        val emb = Tables.load(s, dir, "embeddings")
+        VectorIndex.create(s, idx, emb, "vec_id", "embedding",
+          nCells = 8)
+        // bounded 1-row collect: the external query vector (an ANN
+        // query's input is a vector, not a row reference)
+        val qv = emb.filter(col("vec_id") === 7L)
+          .select(graft.functions.Vectors.toDouble(col("embedding")))
+          .collect().head.getSeq[Double](0).toArray
+        VectorIndex.search(s, idx, qv, k = 10, nProbe = 8)
+          .select(col("id").as("vec_id"),
+            round(col("cosine"), 6).as("cosine"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = 7)
+        SELECT vec_id, round(cosine, 6) AS cosine FROM (
+          SELECT e.vec_id,
+            list_dot_product(e.v, q.qv)
+              / (sqrt(list_dot_product(e.v, e.v))
+                 * sqrt(list_dot_product(q.qv, q.qv))) AS cosine
+          FROM e, q
+          ORDER BY cosine DESC, e.vec_id ASC LIMIT 10)"""),
       kind = QueryDef.Pipeline))
 }

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{Manifest, VectorIndex}
+
+/** The persisted IVF vector index: exactness under probe-all, recall
+  * subset under partial probe, frozen-pivot appends, and real
+  * partition pruning on the probed cells. */
+class VectorIndexSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def newRoot(tag: String) = "file://" + java.nio.file.Files
+    .createTempDirectory(s"graft-vidx-$tag").toString + "/v"
+
+  // three visibly separated directions + noise
+  private val vecs: Seq[(Long, Array[Float])] = Seq(
+    1L -> Array(1f, 0f), 2L -> Array(0.95f, 0.05f),
+    3L -> Array(0.9f, 0.1f), 4L -> Array(0f, 1f),
+    5L -> Array(0.05f, 0.95f), 6L -> Array(0.1f, 0.9f),
+    7L -> Array(-1f, 0f), 8L -> Array(-0.95f, -0.05f),
+    9L -> Array(-0.9f, -0.1f), 10L -> Array(0.7f, 0.7f),
+    11L -> Array(-0.7f, 0.7f), 12L -> Array(0.6f, 0.8f)
+  ).map { case (i, v) => (i, v) }
+
+  private def emb = vecs.toDF("vec_id", "embedding")
+
+  private def cos(a: Array[Double], b: Array[Double]): Double = {
+    val dot = a.zip(b).map { case (x, y) => x * y }.sum
+    dot / (math.sqrt(a.map(x => x * x).sum) *
+      math.sqrt(b.map(x => x * x).sum))
+  }
+
+  private def bruteTop(q: Array[Double], k: Int): Seq[Long] =
+    vecs.map { case (i, v) => (i, cos(q, v.map(_.toDouble))) }
+      .sortBy { case (i, c) => (-c, i) }.take(k).map(_._1)
+
+  test("probe-all search is exact: row-equal to brute-force cosine " +
+    "over the indexed corpus") {
+    val root = newRoot("exact")
+    VectorIndex.create(spark, root, emb, "vec_id", "embedding",
+      nCells = 3)
+    val q = Array(0.9, 0.2)
+    val got = VectorIndex.search(spark, root, q, k = 5, nProbe = 3)
+      .select("id").as[Long].collect().toSeq
+    assert(got == bruteTop(q, 5))
+  }
+
+  test("partial probe returns a subset of the probe-all result's " +
+    "universe and prunes the scan to the probed cells") {
+    val root = newRoot("probe")
+    VectorIndex.create(spark, root, emb, "vec_id", "embedding",
+      nCells = 3)
+    val q = Array(1.0, 0.0)
+    val one = VectorIndex.search(spark, root, q, k = 12, nProbe = 1)
+    val all = VectorIndex.search(spark, root, q, k = 12, nProbe = 3)
+      .select("id").as[Long].collect().toSet
+    assert(one.select("id").as[Long].collect().toSet.subsetOf(all))
+    // top-1 must be found by the 1-cell probe: the query's own
+    // direction cluster is the nearest cell
+    assert(one.select("id").as[Long].collect().headOption ==
+      bruteTop(q, 1).headOption)
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan.take(1500))
+  }
+
+  test("append assigns against the frozen create-time pivots and " +
+    "probe-all search tracks the grown corpus exactly") {
+    val root = newRoot("append")
+    val (first, rest) = vecs.partition(_._1 <= 6L)
+    VectorIndex.create(spark, root,
+      first.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      nCells = 2)
+    VectorIndex.append(spark, root,
+      rest.toDF("vec_id", "embedding"), "vec_id", "embedding")
+    val q = Array(-0.9, -0.1)
+    val got = VectorIndex.search(spark, root, q, k = 4, nProbe = 2)
+      .select("id").as[Long].collect().toSeq
+    assert(got == bruteTop(q, 4))
+    // two commits, one table; cell values stay within [0, nCells)
+    val cells = Manifest.read(spark, root)
+      .select("cell").distinct().as[Int].collect().toSet
+    assert(cells.subsetOf(Set(0, 1)))
+  }
+}

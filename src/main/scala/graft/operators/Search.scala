@@ -139,24 +139,99 @@ object Search {
     * Returns (idCol, score, phrase_tf), top `k`. */
   def rankPhrase(docs: DataFrame, idCol: String, textCol: String,
                  phrase: String, k: Int,
-                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val ph = phraseMatches(docs, idCol, textCol, phrase)
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    rankAsOneTerm(docs, idCol, textCol,
+      phraseMatches(docs, idCol, textCol, phrase), "phrase_tf", k, k1, b)
+
+  /** BM25 scoring of a (idCol, tfCol) hit frame as if the whole match
+    * were ONE term (Lucene PhraseQuery/SpanQuery scoring: tf = match
+    * frequency, df = matching-doc count — one broadcast row). Shared by
+    * [[rankPhrase]] and [[rankNear]] so their arithmetic cannot
+    * diverge. */
+  private def rankAsOneTerm(docs: DataFrame, idCol: String,
+                            textCol: String, hits: DataFrame,
+                            tfCol: String, k: Int, k1: Double,
+                            b: Double): DataFrame = {
     val docLen = docLengths(docs, idCol, textCol)
     val avgdl = docLen.agg(avg(col("dl")).as("avgdl"))
     val n = docs.agg(count(lit(1)).as("n"))
-    val dfp = ph.agg(count(lit(1)).as("df"))
+    val dfp = hits.agg(count(lit(1)).as("df"))
     val idf = log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5))
-    ph.join(docLen, idCol)
+    hits.join(docLen, idCol)
       .crossJoin(broadcast(dfp))
       .crossJoin(broadcast(n))
       .crossJoin(broadcast(avgdl))
-      .withColumn("score", round(idf * col("phrase_tf") * (lit(k1) + 1.0) /
-        (col("phrase_tf") + lit(k1) *
+      .withColumn("score", round(idf * col(tfCol) * (lit(k1) + 1.0) /
+        (col(tfCol) + lit(k1) *
           (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))), 4))
-      .select(col(idCol), col("score"), col("phrase_tf"))
+      .select(col(idCol), col("score"), col(tfCol))
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
   }
+
+  /** T2: SPAN-NEAR (in-order sloppy phrase) — documents where the
+    * phrase terms appear IN ORDER within a window of `terms.size - 1 +
+    * slop` positions; slop 0 degenerates to the exact phrase. Span
+    * count (the Lucene SpanNearQuery frequency analog) is defined
+    * head-anchored: the number of distinct occurrences q₀ of the FIRST
+    * term from which an in-order chain q₀ < q₁ < … < q_{m−1} of the
+    * remaining terms exists with q_{m−1} − q₀ ≤ m−1+slop. The chain is
+    * found GREEDILY — each next position is the smallest one past the
+    * current — which is exact for this definition (picking the
+    * smallest next position minimizes the chain end, by exchange), and
+    * being deterministic arithmetic any engine replays it bit-for-bit.
+    *
+    * Shape, scale-first: the positional stream is filtered to the
+    * phrase's terms BEFORE its one shuffle (same posture as
+    * [[phraseMatches]]); per-doc state is the matched terms' position
+    * arrays (bounded by those terms' tf), and the chain walk is a
+    * nested higher-order `filter`/`array_min` over them — map-side,
+    * codegen-friendly, no positional self-joins. Worst case per doc is
+    * O(tf₀ · Σᵣ tfᵣ) array scans; for the pathological
+    * stopword-phrase case a per-doc merge scan would be O(Σ tf), but
+    * the HOF form wins everywhere short of that and keeps the plan
+    * free of explode-again joins.
+    *
+    * Returns (idCol, span_tf), one row per matching document. */
+  def spanNearMatches(docs: DataFrame, idCol: String, textCol: String,
+                      phrase: String, slop: Int): DataFrame = {
+    val terms = phrase.toLowerCase.split(" ").filter(_.nonEmpty).toSeq
+    require(terms.size >= 2,
+      s"span_near needs >= 2 terms, got '$phrase' — use matchTerm/rankBm25")
+    require(slop >= 0, "slop must be >= 0")
+    val distinctTerms = terms.distinct
+    val perTerm = posTokenStream(docs, idCol, textCol)
+      .filter(col("token").isin(distinctTerms: _*))
+      .groupBy(col(idCol), col("token"))
+      .agg(sort_array(collect_list(col("pos"))).as("ps"))
+    val perDoc = perTerm.groupBy(col(idCol))
+      .agg(map_from_entries(collect_list(struct(col("token"), col("ps"))))
+        .as("tp"))
+      .filter(size(col("tp")) === distinctTerms.size)
+    val bound = lit(terms.size - 1 + slop)
+    val starts = element_at(col("tp"), lit(terms.head))
+    val spanOk: Column => Column = p0 => {
+      val end = terms.indices.tail.foldLeft(p0)((cur, r) =>
+        array_min(filter(element_at(col("tp"), lit(terms(r))),
+          x => x > cur)))
+      end.isNotNull && (end - p0) <= bound
+    }
+    perDoc
+      .select(col(idCol),
+        size(filter(starts, spanOk)).cast("long").as("span_tf"))
+      .filter(col("span_tf") > 0)
+  }
+
+  /** T2: relevance-ranked span-near search — [[spanNearMatches]] scored
+    * with the single-term BM25 arithmetic of [[rankPhrase]] (tf = span
+    * frequency, df = span-matching doc count). Returns (idCol, score,
+    * span_tf), top `k`. */
+  def rankNear(docs: DataFrame, idCol: String, textCol: String,
+               phrase: String, slop: Int, k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    rankAsOneTerm(docs, idCol, textCol,
+      spanNearMatches(docs, idCol, textCol, phrase, slop), "span_tf",
+      k, k1, b)
 
   /** T2: fuzzy term match (edit distance ≤ `maxEdits`) — the OpenSearch
     * `match` fuzziness analog (reference README.md:26): a typo'd query
@@ -556,22 +631,39 @@ object Search {
                 query: String, queryVecId: Long, k: Int,
                 kEach: Int = 20, rrfK: Int = 60,
                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val sparse = withRank(
-        rankBm25(docs, idCol, textCol, query, kEach, k1, b)
-          .select(col(idCol), col("score")), idCol, "score")
-      .select(col(idCol).as("_id"), col("rank").as("sparse_rank"))
-    val dense = withRank(
-        Similarity.bruteForceTopK(emb, vecIdCol, vecCol, queryVecId, kEach)
-          .select(col(vecIdCol), col("cosine")), vecIdCol, "cosine")
-      .select(col(vecIdCol).as("_id"), col("rank").as("dense_rank"))
-    sparse.join(dense, Seq("_id"), "full_outer")
-      .select(col("_id").as(idCol),
+    rrfFuse(
+      rankBm25(docs, idCol, textCol, query, kEach, k1, b)
+        .select(col(idCol), col("score")),
+      Similarity.bruteForceTopK(emb, vecIdCol, vecCol, queryVecId, kEach)
+        .select(col(vecIdCol), col("cosine")),
+      idCol, vecIdCol, idCol, k, rrfK)
+  }
+
+  /** RRF fusion of two ALREADY-RETRIEVED legs — `sparse` = (sparseIdCol,
+    * score), `dense` = (denseIdCol, cosine), each a ≤kEach-row top-k
+    * frame from any retriever (corpus-pass [[rankBm25]] /
+    * `bruteForceTopK`, or the served [[graft.sources.SearchIndex]] /
+    * [[graft.sources.VectorIndex]] paths — the fusion is retriever-
+    * agnostic, which is why it is factored out). Ranks come from the
+    * k²-broadcast [[withRank]] product (constant at any corpus size),
+    * fused full-outer as Σ 1/(rrfK + rank) with 0 for a missing leg.
+    * Returns (outIdCol, rrf, sparse_rank, dense_rank), top `k` by
+    * (rrf desc, id asc); rrf rounded 6 dp. */
+  def rrfFuse(sparse: DataFrame, dense: DataFrame, sparseIdCol: String,
+              denseIdCol: String, outIdCol: String, k: Int,
+              rrfK: Int = 60): DataFrame = {
+    val s = withRank(sparse, sparseIdCol, "score")
+      .select(col(sparseIdCol).as("_id"), col("rank").as("sparse_rank"))
+    val d = withRank(dense, denseIdCol, "cosine")
+      .select(col(denseIdCol).as("_id"), col("rank").as("dense_rank"))
+    s.join(d, Seq("_id"), "full_outer")
+      .select(col("_id").as(outIdCol),
         round(
           coalesce(lit(1.0) / (lit(rrfK) + col("sparse_rank")), lit(0.0)) +
             coalesce(lit(1.0) / (lit(rrfK) + col("dense_rank")), lit(0.0)),
           6).as("rrf"),
         col("sparse_rank"), col("dense_rank"))
-      .orderBy(col("rrf").desc, col(idCol).asc)
+      .orderBy(col("rrf").desc, col(outIdCol).asc)
       .limit(k)
   }
 

@@ -656,5 +656,202 @@ object SearchQueries {
                  * sqrt(list_dot_product(q.qv, q.qv))) AS cosine
           FROM e, q
           ORDER BY cosine DESC, e.vec_id ASC LIMIT 10)"""),
+      kind = QueryDef.Pipeline),
+
+    // ---- T2: span-near (in-order sloppy phrase) — 'table scan merge'
+    // within a window of 2+slop(2) = 4 extra-gap-bounded positions.
+    // Span frequency is head-anchored with a GREEDY min-chain (exact
+    // for the head-anchored definition); the oracle replays the same
+    // greedy chain as two min-joins, so engine and oracle agree
+    // bit-for-bit, scored as one-term BM25 (q148's arithmetic).
+    QueryDef("q169_span_near",
+      (s, dir) => Search.rankNear(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        "table scan merge", slop = 2, k = 15),
+      Some("""WITH arr AS (SELECT doc_id, string_split(lower(text), ' ') AS a
+          FROM documents),
+        t AS (SELECT doc_id, unnest(a) AS token,
+            unnest(range(0, len(a))) AS pos
+          FROM arr),
+        t0 AS (SELECT doc_id, pos FROM t WHERE token = 'table'),
+        t1 AS (SELECT doc_id, pos FROM t WHERE token = 'scan'),
+        t2 AS (SELECT doc_id, pos FROM t WHERE token = 'merge'),
+        c1 AS (SELECT s.doc_id, s.pos AS p0, min(t1.pos) AS p1
+          FROM t0 s JOIN t1 ON t1.doc_id = s.doc_id AND t1.pos > s.pos
+          GROUP BY 1, 2),
+        c2 AS (SELECT c1.doc_id, c1.p0, min(t2.pos) AS p2
+          FROM c1 JOIN t2 ON t2.doc_id = c1.doc_id AND t2.pos > c1.p1
+          GROUP BY 1, 2),
+        ph AS (SELECT doc_id, count(*) AS span_tf FROM c2
+          WHERE p2 - p0 <= 4 GROUP BY 1),
+        dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+        s AS (SELECT avg(dl) AS avgdl FROM dl),
+        n AS (SELECT count(*) AS n FROM documents),
+        d AS (SELECT count(*) AS df FROM ph)
+        SELECT ph.doc_id,
+          round(ln(1 + (n.n - d.df + 0.5) / (d.df + 0.5))
+            * ph.span_tf * 2.2
+            / (ph.span_tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)), 4)
+            AS score,
+          ph.span_tf
+        FROM ph JOIN dl USING (doc_id) CROSS JOIN s CROSS JOIN n
+          CROSS JOIN d
+        ORDER BY score DESC, doc_id ASC LIMIT 15""")),
+
+    // ---- T2/K5: search_after — deep pagination as a keyset cursor on
+    // the served index: page 1's last (score, doc_id) sort key filters
+    // the NEXT page before its top-k heap, so page N costs page-1
+    // work. The 1-row cursor collect is the protocol itself (the
+    // client hands the cursor back). Oracle: keyset page 2 of a strict
+    // total order ≡ ranks k+1..2k of the full ranking.
+    QueryDef("q170_search_after",
+      (s, dir) => {
+        val src = "file://" + java.nio.file.Files
+          .createTempDirectory("graft_sa_src").toString + "/t"
+        val idx = "file://" + java.nio.file.Files
+          .createTempDirectory("graft_sa_idx").toString + "/i"
+        Manifest.init(s, src,
+          Tables.load(s, dir, "documents")
+            .select("doc_id", "lang", "text"), Seq("lang"))
+        SearchIndex.create(s, src, idx, "doc_id", "text", buckets = 16)
+        val page1 = SearchIndex
+          .searchBm25(s, idx, "window merge scan", k = 10)
+          .collect()
+        require(page1.length == 10, "page 1 underfilled; widen the query")
+        val last = page1.last
+        SearchIndex.searchBm25(s, idx, "window merge scan", k = 10,
+          after = Some((last.getDouble(1), last.getLong(0))))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+            unnest(string_split(lower(text), ' ')) AS token
+          FROM documents),
+        dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+        s AS (SELECT avg(dl) AS avgdl FROM dl),
+        n AS (SELECT count(*) AS n FROM documents),
+        q AS (SELECT unnest(['window', 'merge', 'scan']) AS token),
+        tf AS (SELECT doc_id, token, count(*) AS tf
+          FROM t JOIN q USING (token) GROUP BY 1, 2),
+        df AS (SELECT token, count(DISTINCT doc_id) AS df
+          FROM tf GROUP BY 1),
+        scored AS (SELECT tf.doc_id,
+            round(sum(ln(1 + (n.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * 2.2
+              / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))), 4)
+              AS score,
+            count(*) AS matched
+          FROM tf JOIN df USING (token) JOIN dl USING (doc_id)
+            CROSS JOIN n CROSS JOIN s
+          GROUP BY tf.doc_id),
+        ranked AS (SELECT *, row_number()
+            OVER (ORDER BY score DESC, doc_id ASC) AS rn FROM scored)
+        SELECT doc_id, score, matched FROM ranked
+        WHERE rn BETWEEN 11 AND 20
+        ORDER BY score DESC, doc_id ASC"""),
+      kind = QueryDef.Pipeline),
+
+    // ---- X3: FILTERED ANN — the OpenSearch kNN `filter` / FAISS
+    // IDSelector shape: the metadata field (label) is a PAYLOAD column
+    // stored in the vector index, so the predicate applies inside the
+    // probed cells BEFORE ranking (pre-filter: the page has k
+    // surviving neighbors, no post-filter holes) and pushes into the
+    // index's own parquet scan. Probe-all keeps it exact → plain
+    // filtered brute-force oracle.
+    QueryDef("q171_filtered_ann",
+      (s, dir) => {
+        val idx = "file://" + java.nio.file.Files
+          .createTempDirectory("graft_fvidx").toString + "/v"
+        val emb = Tables.load(s, dir, "embeddings")
+        VectorIndex.create(s, idx, emb, "vec_id", "embedding",
+          nCells = 8, payloadCols = Seq("label"))
+        val qv = emb.filter(col("vec_id") === 7L)
+          .select(graft.functions.Vectors.toDouble(col("embedding")))
+          .collect().head.getSeq[Double](0).toArray
+        VectorIndex.search(s, idx, qv, k = 10, nProbe = 8,
+            filter = Some(col("label") === 3))
+          .select(col("id").as("vec_id"),
+            round(col("cosine"), 6).as("cosine"))
+      },
+      Some("""WITH e AS (SELECT vec_id, label,
+            CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = 7)
+        SELECT vec_id, round(cosine, 6) AS cosine FROM (
+          SELECT e.vec_id,
+            list_dot_product(e.v, q.qv)
+              / (sqrt(list_dot_product(e.v, e.v))
+                 * sqrt(list_dot_product(q.qv, q.qv))) AS cosine
+          FROM e, q WHERE e.label = 3
+          ORDER BY cosine DESC, e.vec_id ASC LIMIT 10)"""),
+      kind = QueryDef.Pipeline),
+
+    // ---- T2/X3: HYBRID RETRIEVAL SERVED FROM INDEXES — the q155
+    // corpus-pass hybrid's deployment shape: sparse leg from the
+    // materialized inverted index (pruned term buckets, header
+    // N/avgdl), dense leg from the IVF vector index (probe-all =
+    // exact; id ≠ 7 via the filtered-ANN predicate), fused with the
+    // SAME rrfFuse. Hash-equal to q155's oracle — index ≡ corpus for
+    // the whole hybrid stack.
+    QueryDef("q172_indexed_hybrid",
+      (s, dir) => {
+        val src = "file://" + java.nio.file.Files
+          .createTempDirectory("graft_hy_src").toString + "/t"
+        val idx = "file://" + java.nio.file.Files
+          .createTempDirectory("graft_hy_idx").toString + "/i"
+        val vidx = "file://" + java.nio.file.Files
+          .createTempDirectory("graft_hy_vidx").toString + "/v"
+        Manifest.init(s, src,
+          Tables.load(s, dir, "documents")
+            .select("doc_id", "lang", "text"), Seq("lang"))
+        SearchIndex.create(s, src, idx, "doc_id", "text", buckets = 16)
+        val emb = Tables.load(s, dir, "embeddings")
+        VectorIndex.create(s, vidx, emb, "vec_id", "embedding",
+          nCells = 8)
+        val qv = emb.filter(col("vec_id") === 7L)
+          .select(graft.functions.Vectors.toDouble(col("embedding")))
+          .collect().head.getSeq[Double](0).toArray
+        SearchIndex.hybridRrf(s, idx, vidx, "window merge scan", qv,
+          k = 10, kEach = 20, nProbe = 8,
+          denseFilter = Some(col("id") =!= 7L))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+            unnest(string_split(lower(text), ' ')) AS token
+          FROM documents),
+        dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+        s AS (SELECT avg(dl) AS avgdl FROM dl),
+        n AS (SELECT count(*) AS n FROM documents),
+        q AS (SELECT unnest(['window', 'merge', 'scan']) AS token),
+        tf AS (SELECT doc_id, token, count(*) AS tf
+          FROM t JOIN q USING (token) GROUP BY 1, 2),
+        df AS (SELECT token, count(DISTINCT doc_id) AS df
+          FROM tf GROUP BY 1),
+        bm AS (SELECT tf.doc_id,
+            round(sum(ln(1 + (n.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * 2.2
+              / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))), 4)
+              AS score
+          FROM tf JOIN df USING (token) JOIN dl USING (doc_id)
+            CROSS JOIN n CROSS JOIN s
+          GROUP BY 1 ORDER BY score DESC, doc_id ASC LIMIT 20),
+        sr AS (SELECT doc_id, row_number()
+            OVER (ORDER BY score DESC, doc_id ASC) AS sparse_rank
+          FROM bm),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+        qv AS (SELECT v AS qv FROM e WHERE vec_id = 7),
+        cos AS (SELECT e.vec_id,
+            list_dot_product(e.v, qv.qv)
+              / (sqrt(list_dot_product(e.v, e.v))
+                 * sqrt(list_dot_product(qv.qv, qv.qv))) AS cosine
+          FROM e, qv WHERE e.vec_id <> 7
+          ORDER BY cosine DESC, e.vec_id ASC LIMIT 20),
+        dr AS (SELECT vec_id AS doc_id, row_number()
+            OVER (ORDER BY cosine DESC, vec_id ASC) AS dense_rank
+          FROM cos)
+        SELECT doc_id,
+          round(COALESCE(1.0 / (60 + sparse_rank), 0)
+            + COALESCE(1.0 / (60 + dense_rank), 0), 6) AS rrf,
+          sparse_rank, dense_rank
+        FROM sr FULL OUTER JOIN dr USING (doc_id)
+        ORDER BY rrf DESC, doc_id ASC LIMIT 10"""),
       kind = QueryDef.Pipeline))
 }

@@ -242,9 +242,19 @@ object SearchIndex {
     * partition-pruned postings scan → broadcast per-term df → join the
     * (pruned) doc-length rows → TakeOrderedAndProject. N and avgdl come
     * from the header — zero corpus aggregation at query time. */
+  /** `after` = the OpenSearch `search_after` cursor: the (score, id)
+    * sort key of the LAST hit of the previous page. Deep pagination as
+    * a keyset predicate — rows at or before the cursor in the
+    * (score desc, id asc) total order are filtered out BEFORE the
+    * top-k heap, so page N costs exactly what page 1 costs (one pruned
+    * postings pass + a k-row heap), never an offset-sized sort — the
+    * reason ES deprecated `from`+`size` deep paging in favor of
+    * search_after. The cursor compares against the ROUNDED score (the
+    * sort key the caller saw), so pages tile exactly. */
   def searchBm25(spark: SparkSession, indexRoot: String, query: String,
                  k: Int, k1: Double = 1.2, b: Double = 0.75,
-                 requireAll: Boolean = false): DataFrame = {
+                 requireAll: Boolean = false,
+                 after: Option[(Double, Any)] = None): DataFrame = {
     val (meta, _) = state(spark, indexRoot)
     require(!torn(meta),
       s"$indexRoot has a torn refresh (pending=${meta("idx.pending")}" +
@@ -280,6 +290,11 @@ object SearchIndex {
         count(lit(1)).as("matched"))
       .filter(if (requireAll) col("matched") === terms.size
         else lit(true))
+      .filter(after match {
+        case Some((s, id)) => col("score") < s ||
+          (col("score") === s && col(idCol) > lit(id))
+        case None => lit(true)
+      })
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
   }
@@ -308,6 +323,32 @@ object SearchIndex {
         countDistinct(col(idCol)).as("docs"))
       .orderBy(col("freq").desc, col("token").asc)
       .limit(k)
+  }
+
+  /** HYBRID RETRIEVAL SERVED FROM INDEXES — the deployment shape of
+    * `Search.hybridRrf` (the OpenSearch `rrf` retriever really runs
+    * against maintained indexes, not corpus scans): the sparse leg is
+    * [[searchBm25]] (partition-pruned postings, header N/avgdl), the
+    * dense leg is [[VectorIndex.search]] (pruned cells, optional
+    * filtered-ANN predicate), and the fusion is the SAME
+    * `Search.rrfFuse` over the two ≤kEach-row frames — so with
+    * probe-all on the dense side the result is hash-equal to the
+    * corpus-pass hybrid, while the plan touches only the query's term
+    * buckets and probed cells. Query cost is O(term postings +
+    * probed-cell vectors), independent of corpus size. */
+  def hybridRrf(spark: SparkSession, indexRoot: String,
+                vecIndexRoot: String, query: String,
+                queryVec: Array[Double], k: Int, kEach: Int = 20,
+                rrfK: Int = 60, nProbe: Int = Int.MaxValue,
+                denseFilter: Option[org.apache.spark.sql.Column] = None)
+      : DataFrame = {
+    val idCol = state(spark, indexRoot)._1("idx.id")
+    Search.rrfFuse(
+      searchBm25(spark, indexRoot, query, kEach)
+        .select(col(idCol), col("score")),
+      VectorIndex.search(spark, vecIndexRoot, queryVec, kEach,
+        nProbe, denseFilter),
+      idCol, "id", idCol, k, rrfK)
   }
 
   /** Collection statistics — the `_cat/indices` analog, answered from

@@ -48,11 +48,11 @@ object VectorIndex {
   private def parse(s: String): Seq[Array[Double]] =
     s.split(";").toSeq.map(_.split(",").map(_.toDouble))
 
-  /** Map-only cell assignment of `(id, v)` rows against literal
-    * pivots: argmax cosine, ascending cell on ties, cell -1 never
-    * survives (pivots are non-empty). */
-  private def assign(withV: DataFrame, pivots: Seq[Array[Double]])
-      : DataFrame = {
+  /** Map-only cell assignment of `(id, v, payload...)` rows against
+    * literal pivots: argmax cosine, ascending cell on ties, cell -1
+    * never survives (pivots are non-empty). */
+  private def assign(withV: DataFrame, pivots: Seq[Array[Double]],
+                     payload: Seq[String]): DataFrame = {
     val cents = array(pivots.zipWithIndex.map { case (p, cid) =>
       struct(lit(cid).cast("int").as("cid"),
         array(p.map(lit(_)): _*).as("cv"))
@@ -67,22 +67,35 @@ object VectorIndex {
               struct(s.as("sim"), c.getField("cid").as("cid")))
               .otherwise(acc)
           }))
-      .select(col("best.cid").as(CellCol), col("id"), col("v"))
+      .select(col("best.cid").as(CellCol) +: col("id") +: col("v") +:
+        payload.map(col): _*)
   }
 
-  private def withV(emb: DataFrame, idCol: String,
-                    vecCol: String): DataFrame =
+  private def withV(emb: DataFrame, idCol: String, vecCol: String,
+                    payload: Seq[String]): DataFrame =
     graft.scaleOut(emb)
-      .select(col(idCol).as("id"), Vectors.toDouble(col(vecCol)).as("v"))
+      .select(col(idCol).as("id") +:
+        Vectors.toDouble(col(vecCol)).as("v") +: payload.map(col): _*)
 
   /** Build the index: deterministic pivots (first nCells vectors in
     * portable-hash order — one bounded nCells-row collect, the
     * header-residency contract), one assignment pass, one clustered
-    * write. */
+    * write.
+    *
+    * `payloadCols` are metadata columns stored ALONGSIDE each vector
+    * (the OpenSearch filtered-kNN shape: the filter field lives in the
+    * index). A [[search]] filter over them is an ordinary column
+    * predicate on the index's own parquet files — Catalyst pushes it
+    * into the cell-pruned scan (`PushedFilters`), so filtered ANN
+    * never joins back to the source table. */
   def create(spark: SparkSession, indexRoot: String, emb: DataFrame,
-             idCol: String, vecCol: String, nCells: Int): Long = {
+             idCol: String, vecCol: String, nCells: Int,
+             payloadCols: Seq[String] = Nil): Long = {
     require(nCells >= 1, "nCells must be >= 1")
-    val v = withV(emb, idCol, vecCol)
+    val reserved = Set(CellCol, "id", "v")
+    require(payloadCols.forall(c => !reserved(c)),
+      s"payload columns collide with the index's own: $reserved")
+    val v = withV(emb, idCol, vecCol, payloadCols)
     val pivots = v
       .orderBy(Sampling.portableHash(col("id"), "vidx").asc,
         col("id").asc)
@@ -90,10 +103,12 @@ object VectorIndex {
       .select(col("v")).collect().map(_.getSeq[Double](0).toArray).toSeq
     require(pivots.nonEmpty, "empty embedding frame")
     Manifest.init(spark, indexRoot,
-      assign(v, pivots).repartition(col(CellCol)), Seq(CellCol),
+      assign(v, pivots, payloadCols).repartition(col(CellCol)),
+      Seq(CellCol),
       extraMeta = Map(
         "vidx.id" -> idCol, "vidx.vec" -> vecCol,
         "vidx.cells" -> pivots.size.toString,
+        "vidx.payload" -> payloadCols.mkString(","),
         "vidx.pivots" -> serialize(pivots)))
   }
 
@@ -113,12 +128,18 @@ object VectorIndex {
   def append(spark: SparkSession, indexRoot: String, emb: DataFrame,
              idCol: String, vecCol: String): Long = {
     val meta = state(spark, indexRoot)
+    val payload = payloadOf(meta)
     Manifest.commitAppend(spark, indexRoot,
-      assign(withV(emb, idCol, vecCol), parse(meta("vidx.pivots")))
+      assign(withV(emb, idCol, vecCol, payload),
+          parse(meta("vidx.pivots")), payload)
         .repartition(col(CellCol)),
       Seq(CellCol), extraMeta = meta.view.filterKeys(_.startsWith("vidx."))
         .toMap)
   }
+
+  private def payloadOf(meta: Map[String, String]): Seq[String] =
+    meta.getOrElse("vidx.payload", "").split(",").toSeq
+      .filter(_.nonEmpty)
 
   /** ANN search for an EXTERNAL query vector: probe the `nProbe` cells
     * whose pivots are nearest the query (driver arithmetic over the
@@ -126,9 +147,21 @@ object VectorIndex {
     * cells with map-side cosine and TakeOrderedAndProject. `nProbe >=
     * nCells` probes everything and is EXACT (row-equal to brute force
     * over the indexed rows) — the oracle anchor; partial probes trade
-    * recall for the pruned scan. */
+    * recall for the pruned scan.
+    *
+    * `filter` is the FILTERED-ANN predicate (OpenSearch kNN `filter`,
+    * FAISS IDSelector) over the id and the create-time payload
+    * columns: it applies BEFORE ranking, inside the probed cells —
+    * pre-filtering, so the top-k is k SURVIVING neighbors, never a
+    * post-filtered hole-y page — and being a plain predicate on the
+    * index's own columns it pushes into the parquet scan. With partial
+    * probes a selective filter warrants a larger `nProbe` (the
+    * standard over-probe rule); probe-all stays exact under any
+    * filter. */
   def search(spark: SparkSession, indexRoot: String,
-             queryVec: Array[Double], k: Int, nProbe: Int): DataFrame = {
+             queryVec: Array[Double], k: Int, nProbe: Int,
+             filter: Option[org.apache.spark.sql.Column] = None)
+      : DataFrame = {
     require(k >= 1 && nProbe >= 1, "k and nProbe must be >= 1")
     val meta = state(spark, indexRoot)
     val pivots = parse(meta("vidx.pivots"))
@@ -147,6 +180,7 @@ object VectorIndex {
     val qv = array(queryVec.map(lit(_)): _*)
     Manifest.read(spark, indexRoot)
       .filter(col(CellCol).isin(probed: _*))
+      .filter(filter.getOrElse(lit(true)))
       .select(col("id"), Vectors.cosine(col("v"), qv).as("cosine"))
       .orderBy(col("cosine").desc, col("id").asc)
       .limit(k)

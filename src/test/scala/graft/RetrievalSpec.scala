@@ -146,4 +146,60 @@ class RetrievalSpec extends SparkSpec {
     assert(out.toSeq == Seq(
       (3L, 1.0986, 1L), (1L, 0.5878, 1L), (2L, 0.5878, 1L)))
   }
+
+  private def spanTf(docs: org.apache.spark.sql.DataFrame,
+                     phrase: String, slop: Int): Map[Long, Long] =
+    Search.spanNearMatches(docs, "doc_id", "text", phrase, slop)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("spanNearMatches: window bound, in-order enforcement, multiple " +
+    "heads, and greedy 3-term chains — all hand-checked") {
+    val docs = Seq(
+      (1L, "a b c"),      // a@0 c@2: gap 2 → slop 1 hits, slop 0 not
+      (2L, "c x a"),      // c before a: never matches in-order 'a c'
+      (3L, "a a c"),      // heads a@0 (c@2, span 2) and a@1 (span 1)
+      (4L, "a b x c b"),  // 3-term: greedy a@0→b@1→c@3, span 3
+      (5L, "x y z")       // no phrase terms at all
+    ).toDF("doc_id", "text")
+    // 'a c' bound = 1+slop
+    assert(spanTf(docs, "a c", 0) == Map(3L -> 1L)) // only a@1,c@2
+    assert(spanTf(docs, "a c", 1) == Map(1L -> 1L, 3L -> 2L))
+    // in-order: doc 2 matches at NO slop, even a huge one
+    assert(!spanTf(docs, "a c", 10).contains(2L))
+    // 3-term 'a b c' bound = 2+slop: doc4 span 3 needs slop ≥ 1;
+    // doc1 is exact-adjacent (span 2) at slop 0
+    assert(spanTf(docs, "a b c", 0) == Map(1L -> 1L))
+    assert(spanTf(docs, "a b c", 1) == Map(1L -> 1L, 4L -> 1L))
+  }
+
+  test("spanNearMatches: repeated phrase term consumes DISTINCT " +
+    "positions; slop 0 equals exact phraseMatches") {
+    val docs = Seq(
+      (1L, "a x a"),   // 'a a' head a@0 → next a@2, span 2 → slop 1
+      (2L, "a a"),     // exact adjacent
+      (3L, "a")        // single occurrence can't chain to itself
+    ).toDF("doc_id", "text")
+    assert(spanTf(docs, "a a", 0) == Map(2L -> 1L))
+    assert(spanTf(docs, "a a", 1) == Map(1L -> 1L, 2L -> 1L))
+    // slop-0 ≡ phraseMatches on a mixed corpus (head-anchored count =
+    // anchor count when every gap must be exactly 1)
+    val mixed = Seq(
+      (1L, "p q p q r"), (2L, "q p"), (3L, "p p q q"),
+      (4L, "p q p q p q")).toDF("doc_id", "text")
+    val exact = Search.phraseMatches(mixed, "doc_id", "text", "p q")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(spanTf(mixed, "p q", 0) == exact)
+  }
+
+  test("rankNear: slop-0 scores equal rankPhrase scores (shared " +
+    "one-term BM25 arithmetic)") {
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a b a b"), (3L, "c d e f"),
+      (4L, "b a")).toDF("doc_id", "text")
+    val near = Search.rankNear(docs, "doc_id", "text", "a b", 0, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val phrase = Search.rankPhrase(docs, "doc_id", "text", "a b", 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(near.toSeq == phrase.toSeq)
+  }
 }

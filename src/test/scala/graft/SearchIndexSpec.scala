@@ -165,4 +165,55 @@ class SearchIndexSpec extends SparkSpec {
     assert(st.getLong(2) == 24L)  // total tokens (5+4+6+5+4)
     assert(st.getInt(4) == 8 && st.getLong(5) == 1L)
   }
+
+  test("search_after: keyset pages tile the full ranking exactly — " +
+    "disjoint, ordered, and equal to the one-shot top-k concatenation") {
+    val (_, idx) = freshPair("sa")
+    val q = "window merge scan table"
+    val full = SearchIndex.searchBm25(spark, idx, q, 10)
+      .as[(Long, Double, Long)].collect().toSeq
+    assert(full.size >= 4) // corpus0: docs 1,2,3,5 match
+    val pages = Iterator.iterate(
+        (SearchIndex.searchBm25(spark, idx, q, 2)
+          .as[(Long, Double, Long)].collect().toSeq, 0)) {
+        case (page, n) =>
+          val last = page.last
+          (SearchIndex.searchBm25(spark, idx, q, 2,
+            after = Some((last._2, last._1)))
+            .as[(Long, Double, Long)].collect().toSeq, n + 1)
+      }.map(_._1).takeWhile(_.nonEmpty).take(10).toSeq
+    assert(pages.flatten == full)
+    // the cursor at the final hit yields an empty page (full holds
+    // ALL hits here: 4 matching docs < k=10)
+    val endCursor = full.last
+    assert(SearchIndex.searchBm25(spark, idx, q, 2,
+      after = Some((endCursor._2, endCursor._1))).isEmpty)
+  }
+
+  test("hybridRrf served from both indexes equals the corpus-pass " +
+    "hybrid (sparse leg ≡ rankBm25, dense leg ≡ brute force)") {
+    val (src, idx) = freshPair("hy")
+    val vidx = newRoot("hy-vidx")
+    val emb = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0.9f, 0.3f)),
+      (3L, Array(0.2f, 1f)), (4L, Array(-0.5f, 0.5f)),
+      (5L, Array(0.8f, 0.6f))).toDF("vec_id", "embedding")
+    graft.sources.VectorIndex.create(spark, vidx, emb, "vec_id",
+      "embedding", nCells = 2)
+    val qv = Array(1.0, 0.1)
+    val served = SearchIndex.hybridRrf(spark, idx, vidx,
+        "window merge", qv, k = 5, kEach = 4,
+        denseFilter = Some(col("id") =!= 1L))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // corpus-pass legs with the same inputs, fused the same way
+    val expected = Search.rrfFuse(
+        Search.rankBm25(Manifest.read(spark, src), "id", "text",
+          "window merge", 4).select(col("id"), col("score")),
+        graft.operators.Similarity.bruteForceTopK(emb, "vec_id",
+          "embedding", queryId = 1L, k = 4)
+          .select(col("vec_id"), col("cosine")),
+        "id", "vec_id", "id", 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(served == expected && served.nonEmpty)
+  }
 }

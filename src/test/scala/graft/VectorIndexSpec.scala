@@ -83,4 +83,60 @@ class VectorIndexSpec extends SparkSpec {
       .select("cell").distinct().as[Int].collect().toSet
     assert(cells.subsetOf(Set(0, 1)))
   }
+
+  // payload: vec_id parity as the filter field
+  private def embP = vecs.map { case (i, v) => (i, v, (i % 2).toInt) }
+    .toDF("vec_id", "embedding", "parity")
+
+  test("filtered ANN: payload predicate applies BEFORE ranking (top-k " +
+    "are k SURVIVORS) and pushes into the index's parquet scan") {
+    val root = newRoot("filter")
+    VectorIndex.create(spark, root, embP, "vec_id", "embedding",
+      nCells = 3, payloadCols = Seq("parity"))
+    val q = Array(0.9, 0.2)
+    val got = VectorIndex.search(spark, root, q, k = 4, nProbe = 3,
+      filter = Some(col("parity") === 1))
+    val ids = got.select("id").as[Long].collect().toSeq
+    // brute force over odd ids only — pre-filter semantics
+    val want = vecs.filter(_._1 % 2 == 1)
+      .map { case (i, v) => (i, cos(q, v.map(_.toDouble))) }
+      .sortBy { case (i, c) => (-c, i) }.take(4).map(_._1)
+    assert(ids == want)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.replaceAll("\\s+", " ").matches(".*PushedFilters:[^\\]]*" +
+        "parity[^\\]]*\\].*"), plan.take(2000))
+  }
+
+  test("filtered ANN composes with partial probes (subset of the " +
+    "filtered probe-all result) and appends carry the payload") {
+    val root = newRoot("filterprobe")
+    val (first, rest) = vecs.partition(_._1 <= 6L)
+    VectorIndex.create(spark, root,
+      first.map { case (i, v) => (i, v, (i % 2).toInt) }
+        .toDF("vec_id", "embedding", "parity"),
+      "vec_id", "embedding", nCells = 2, payloadCols = Seq("parity"))
+    VectorIndex.append(spark, root,
+      rest.map { case (i, v) => (i, v, (i % 2).toInt) }
+        .toDF("vec_id", "embedding", "parity"),
+      "vec_id", "embedding")
+    val q = Array(1.0, 0.0)
+    val even = col("parity") === 0
+    val all = VectorIndex.search(spark, root, q, k = 12, nProbe = 2,
+      filter = Some(even)).select("id").as[Long].collect().toSet
+    val one = VectorIndex.search(spark, root, q, k = 12, nProbe = 1,
+      filter = Some(even)).select("id").as[Long].collect().toSet
+    assert(one.subsetOf(all))
+    assert(all == vecs.map(_._1).filter(_ % 2 == 0).toSet) // appended too
+  }
+
+  test("payload guard rails: reserved column names refuse at create") {
+    val root = newRoot("guard")
+    val bad = vecs.map { case (i, v) => (i, v, 0) }
+      .toDF("vec_id", "embedding", "cell")
+    intercept[IllegalArgumentException] {
+      VectorIndex.create(spark, root, bad, "vec_id", "embedding",
+        nCells = 2, payloadCols = Seq("cell"))
+    }
+  }
 }

@@ -380,6 +380,66 @@ object Search {
       .limit(k)
   }
 
+  /** T2: SYNONYM-EXPANDED match — the OpenSearch `synonym_graph`
+    * query-time filter scored with Lucene SynonymQuery semantics: each
+    * original query term and its synonyms form ONE concept, scored as
+    * a single BM25 term whose tf is the summed occurrences of ALL
+    * variants and whose df counts documents containing ANY variant —
+    * so expanding a query can only broaden recall, never double-count
+    * a concept's idf (the failure mode of naively OR-ing variants as
+    * independent terms).
+    *
+    * Shape: identical to [[rankBm25]] except the pre-shuffle stream
+    * filter admits every variant and a literal variant→concepts map
+    * (a shared synonym token maps to each of its concepts) rewrites
+    * tokens before the postings aggregation — still one shuffle of
+    * matched-variant rows only.
+    *
+    * Returns (idCol, score, matched) — matched = distinct concepts
+    * present in the document. */
+  def rankBm25Synonyms(docs: DataFrame, idCol: String, textCol: String,
+                       query: String,
+                       synonyms: Map[String, Seq[String]], k: Int,
+                       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val terms = query.toLowerCase.split(" ").filter(_.nonEmpty)
+      .distinct.toSeq
+    require(terms.nonEmpty, "BM25 query needs at least one term")
+    val groups: Seq[(String, Seq[String])] = terms.map(t =>
+      t -> (t +: synonyms.getOrElse(t, Nil).map(_.toLowerCase)).distinct)
+    val variantToConcepts: Seq[(String, Seq[String])] = groups
+      .flatMap { case (c, vs) => vs.map(_ -> c) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct).toSeq
+      .sortBy(_._1)
+    val conceptMap: Column = map(variantToConcepts.flatMap {
+      case (v, cs) => Seq(lit(v), array(cs.map(lit(_)): _*))
+    }: _*)
+    val variants = variantToConcepts.map(_._1)
+    val toks = tokenStream(docs, idCol, textCol)
+    val docLen = docLengths(docs, idCol, textCol)
+    val avgdl = docLen.agg(avg(col("dl")).as("avgdl"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val tf = toks.filter(col("token").isin(variants: _*))
+      .select(col(idCol),
+        explode(element_at(conceptMap, col("token"))).as("concept"))
+      .groupBy(col(idCol), col("concept"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("concept"))
+      .agg(countDistinct(col(idCol)).as("df"))
+    val idf = log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5))
+    tf.join(broadcast(df), "concept")
+      .join(docLen, idCol)
+      .crossJoin(broadcast(n))
+      .crossJoin(broadcast(avgdl))
+      .withColumn("_s", idf * col("tf") * (lit(k1) + 1.0) /
+        (col("tf") + lit(k1) *
+          (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("_s")), 4).as("score"),
+        count(lit(1)).as("matched"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** T2: BOOL query — the OpenSearch compound `bool` analog
     * (must / should / must_not; reference README.md:26 — the query DSL
     * tier above the analyzed `match`): a document ranks iff it

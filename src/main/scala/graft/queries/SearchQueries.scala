@@ -853,5 +853,123 @@ object SearchQueries {
           sparse_rank, dense_rank
         FROM sr FULL OUTER JOIN dr USING (doc_id)
         ORDER BY rrf DESC, doc_id ASC LIMIT 10"""),
+      kind = QueryDef.Pipeline),
+
+    // ---- T2: synonym-expanded match — 'scan merge' with
+    // scan→{filter}, merge→{join, blend}: Lucene SynonymQuery
+    // semantics (variants pool into ONE concept: tf summed, df =
+    // docs with ANY variant), so expansion broadens recall without
+    // double-counting idf. 'blend' never occurs — a zero-hit variant
+    // must not perturb its concept's stats.
+    QueryDef("q173_synonym_match",
+      (s, dir) => Search.rankBm25Synonyms(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        "scan merge",
+        Map("scan" -> Seq("filter"), "merge" -> Seq("join", "blend")),
+        15),
+      Some("""WITH t AS (SELECT doc_id,
+            unnest(string_split(lower(text), ' ')) AS token
+          FROM documents),
+        dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+        s AS (SELECT avg(dl) AS avgdl FROM dl),
+        n AS (SELECT count(*) AS n FROM documents),
+        v(token, concept) AS (VALUES ('scan', 'scan'),
+          ('filter', 'scan'), ('merge', 'merge'), ('join', 'merge'),
+          ('blend', 'merge')),
+        tf AS (SELECT t.doc_id, v.concept, count(*) AS tf
+          FROM t JOIN v USING (token) GROUP BY 1, 2),
+        df AS (SELECT concept, count(DISTINCT doc_id) AS df
+          FROM tf GROUP BY 1)
+        SELECT tf.doc_id,
+          round(sum(ln(1 + (n.n - df.df + 0.5) / (df.df + 0.5))
+            * tf.tf * 2.2
+            / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))), 4)
+            AS score,
+          count(*) AS matched
+        FROM tf JOIN df USING (concept) JOIN dl USING (doc_id)
+          CROSS JOIN n CROSS JOIN s
+        GROUP BY tf.doc_id
+        ORDER BY score DESC, tf.doc_id ASC LIMIT 15""")),
+
+    // ---- T2/K5: token-range partitioned SUGGEST TWIN — the at-scale
+    // suggest layout the hash-bucketed index cannot give (a prefix
+    // predicate can't prune hash buckets): per-token aggregates
+    // re-materialized partitioned by first character, so a prefix
+    // lookup prunes to ONE partition. The pipeline exercises
+    // create → index refresh → twin refresh; the oracle is the same
+    // whole-corpus suggest as q159/q166.
+    QueryDef("q174_suggest_twin",
+      (s, dir) => {
+        val src = "file://" + java.nio.file.Files
+          .createTempDirectory("graft_tw_src").toString + "/t"
+        val idx = "file://" + java.nio.file.Files
+          .createTempDirectory("graft_tw_idx").toString + "/i"
+        val twin = "file://" + java.nio.file.Files
+          .createTempDirectory("graft_tw").toString + "/s"
+        val docs = Tables.load(s, dir, "documents")
+          .select("doc_id", "text")
+        Manifest.init(s, src, docs.filter(col("doc_id") % 4 =!= 0))
+        SearchIndex.create(s, src, idx, "doc_id", "text", buckets = 16)
+        SearchIndex.createSuggestTwin(s, idx, twin)
+        Manifest.commitAppend(s, src, docs.filter(col("doc_id") % 4 === 0))
+        SearchIndex.refresh(s, src, idx)
+        SearchIndex.refreshSuggestTwin(s, idx, twin)
+        SearchIndex.suggestFromTwin(s, twin, "s", k = 10)
+      },
+      Some("""WITH t AS (SELECT doc_id,
+            unnest(string_split(lower(text), ' ')) AS token
+          FROM documents)
+        SELECT token, count(*) AS freq, count(DISTINCT doc_id) AS docs
+        FROM t WHERE token LIKE 's%'
+        GROUP BY 1 ORDER BY freq DESC, token ASC LIMIT 10"""),
+      kind = QueryDef.Pipeline),
+
+    // ---- T2/K5: TIME-TRAVEL SEARCH — query an OLDER index version:
+    // postings AND header stats (N, avgdl) come from that snapshot,
+    // so the answer is exactly what the live query returned at that
+    // version. The index advances past the create (append refresh),
+    // then is queried AS OF the create-time version; the oracle
+    // replays BM25 over the create-time document slice.
+    QueryDef("q175_search_asof",
+      (s, dir) => {
+        val src = "file://" + java.nio.file.Files
+          .createTempDirectory("graft_tt_src").toString + "/t"
+        val idx = "file://" + java.nio.file.Files
+          .createTempDirectory("graft_tt_idx").toString + "/i"
+        val docs = Tables.load(s, dir, "documents")
+          .select("doc_id", "lang", "text")
+        Manifest.init(s, src, docs.filter(col("doc_id") % 4 =!= 0),
+          Seq("lang"))
+        val v1 = SearchIndex.create(s, src, idx, "doc_id", "text",
+          buckets = 16)
+        Manifest.commitAppend(s, src,
+          docs.filter(col("doc_id") % 4 === 0), Seq("lang"))
+        SearchIndex.refresh(s, src, idx)
+        SearchIndex.searchBm25(s, idx, "window merge scan", k = 15,
+          asOf = Some(v1))
+      },
+      Some("""WITH base AS (SELECT doc_id, text FROM documents
+          WHERE doc_id % 4 <> 0),
+        t AS (SELECT doc_id,
+            unnest(string_split(lower(text), ' ')) AS token
+          FROM base),
+        dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+        s AS (SELECT avg(dl) AS avgdl FROM dl),
+        n AS (SELECT count(*) AS n FROM base),
+        q AS (SELECT unnest(['window', 'merge', 'scan']) AS token),
+        tf AS (SELECT doc_id, token, count(*) AS tf
+          FROM t JOIN q USING (token) GROUP BY 1, 2),
+        df AS (SELECT token, count(DISTINCT doc_id) AS df
+          FROM tf GROUP BY 1)
+        SELECT tf.doc_id,
+          round(sum(ln(1 + (n.n - df.df + 0.5) / (df.df + 0.5))
+            * tf.tf * 2.2
+            / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))), 4)
+            AS score,
+          count(*) AS matched
+        FROM tf JOIN df USING (token) JOIN dl USING (doc_id)
+          CROSS JOIN n CROSS JOIN s
+        GROUP BY tf.doc_id
+        ORDER BY score DESC, tf.doc_id ASC LIMIT 15"""),
       kind = QueryDef.Pipeline))
 }

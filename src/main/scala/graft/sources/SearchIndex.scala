@@ -132,10 +132,15 @@ object SearchIndex {
         docStats(docs, idCol, textCol)))
   }
 
-  private def state(spark: SparkSession, indexRoot: String)
+  private def state(spark: SparkSession, indexRoot: String,
+                    asOf: Option[Long] = None)
       : (Map[String, String], Long) = {
-    val head = Manifest.latestVersion(spark, indexRoot).getOrElse(
-      throw new IllegalStateException(s"$indexRoot not initialized"))
+    val head = asOf.getOrElse(
+      Manifest.latestVersion(spark, indexRoot).getOrElse(
+        throw new IllegalStateException(s"$indexRoot not initialized")))
+    asOf.foreach(v => require(
+      Manifest.versions(spark, indexRoot).contains(v),
+      s"$indexRoot has no version $v"))
     val meta = Manifest.snapshotMeta(spark, indexRoot, head).meta
     require(meta.contains("idx.base"),
       s"$indexRoot is not a search index (no idx.base header)")
@@ -250,12 +255,22 @@ object SearchIndex {
     * postings pass + a k-row heap), never an offset-sized sort — the
     * reason ES deprecated `from`+`size` deep paging in favor of
     * search_after. The cursor compares against the ROUNDED score (the
-    * sort key the caller saw), so pages tile exactly. */
+    * sort key the caller saw), so pages tile exactly.
+    *
+    * `asOf` = TIME-TRAVEL SEARCH: answer the query from an older
+    * VERSION of the index — postings, MoR deletes, AND the header
+    * collection stats (N, avgdl) all come from that snapshot, because
+    * the stats are delta-maintained per commit; the result is exactly
+    * what the live query returned when that version was the head.
+    * This falls out of the index being a versioned manifest table —
+    * the OpenSearch tier has no analog (an index mutation there
+    * destroys the prior state). */
   def searchBm25(spark: SparkSession, indexRoot: String, query: String,
                  k: Int, k1: Double = 1.2, b: Double = 0.75,
                  requireAll: Boolean = false,
-                 after: Option[(Double, Any)] = None): DataFrame = {
-    val (meta, _) = state(spark, indexRoot)
+                 after: Option[(Double, Any)] = None,
+                 asOf: Option[Long] = None): DataFrame = {
+    val (meta, _) = state(spark, indexRoot, asOf)
     require(!torn(meta),
       s"$indexRoot has a torn refresh (pending=${meta("idx.pending")}" +
         s" base=${meta("idx.base")}); run SearchIndex.refresh to heal")
@@ -269,7 +284,7 @@ object SearchIndex {
       .distinct.toSeq
     require(terms.nonEmpty, "BM25 query needs at least one term")
     val tBuckets = terms.map(termBucket(_, buckets)).distinct
-    val tbl = Manifest.read(spark, indexRoot)
+    val tbl = Manifest.read(spark, indexRoot, asOf)
     val tf = tbl
       .filter(col(BucketCol).isin(tBuckets: _*) &&
         col("token").isin(terms: _*))
@@ -321,6 +336,74 @@ object SearchIndex {
       .groupBy(col("token"))
       .agg(sum(col("tf")).as("freq"),
         countDistinct(col(idCol)).as("docs"))
+      .orderBy(col("freq").desc, col("token").asc)
+      .limit(k)
+  }
+
+  /** The token-RANGE partitioned SUGGEST TWIN the [[suggest]] Scaladoc
+    * names as the at-scale move: a hash-bucketed postings layout
+    * cannot prune a PREFIX predicate, so if completion suggest is hot,
+    * materialize the per-token aggregates (token, freq, docs) AS THEIR
+    * OWN manifest table partitioned by the token's first character —
+    * a prefix lookup then prunes to one partition via real
+    * `PartitionFilters` and scans only that character's share of the
+    * vocabulary. The twin is |vocabulary|-sized (already aggregated),
+    * so building or rebuilding it costs one scan of the postings
+    * buckets — nothing corpus-sized — and `sug.base` records the index
+    * version it reflects. */
+  def createSuggestTwin(spark: SparkSession, indexRoot: String,
+                        twinRoot: String): Long = {
+    val (meta, idxHead) = state(spark, indexRoot)
+    require(!torn(meta),
+      s"$indexRoot has a torn refresh; run SearchIndex.refresh to heal")
+    Manifest.init(spark, twinRoot, twinRows(spark, indexRoot, meta),
+      Seq("p1"), extraMeta = Map("sug.src" -> indexRoot,
+        "sug.base" -> idxHead.toString))
+  }
+
+  /** Rebuild the twin at the index's current head (vocabulary-sized
+    * work); a no-op commit-wise when already current. */
+  def refreshSuggestTwin(spark: SparkSession, indexRoot: String,
+                         twinRoot: String): Long = {
+    val (meta, idxHead) = state(spark, indexRoot)
+    require(!torn(meta),
+      s"$indexRoot has a torn refresh; run SearchIndex.refresh to heal")
+    val twinHead = Manifest.latestVersion(spark, twinRoot).getOrElse(
+      throw new IllegalStateException(s"$twinRoot not initialized"))
+    val twinMeta = Manifest.snapshotMeta(spark, twinRoot, twinHead).meta
+    require(twinMeta.get("sug.src").contains(indexRoot),
+      s"$twinRoot is not a suggest twin of $indexRoot")
+    if (twinMeta("sug.base").toLong == idxHead) twinHead
+    else Manifest.commitReplace(spark, twinRoot,
+      twinRows(spark, indexRoot, meta), Seq("p1"),
+      extraMeta = Map("sug.src" -> indexRoot,
+        "sug.base" -> idxHead.toString))
+  }
+
+  private def twinRows(spark: SparkSession, indexRoot: String,
+                       meta: Map[String, String]): DataFrame = {
+    val idCol = meta("idx.id")
+    Manifest.read(spark, indexRoot)
+      .filter(col(BucketCol) < meta("idx.buckets").toInt)
+      .groupBy(col("token"))
+      .agg(sum(col("tf")).as("freq"),
+        countDistinct(col(idCol)).as("docs"))
+      .select(substring(col("token"), 1, 1).as("p1"), col("token"),
+        col("freq"), col("docs"))
+      .repartition(col("p1"))
+  }
+
+  /** Completion suggest from the twin — identical semantics and
+    * ordering to [[suggest]], but the scan prunes to the prefix's
+    * first-character partition. */
+  def suggestFromTwin(spark: SparkSession, twinRoot: String,
+                      prefix: String, k: Int): DataFrame = {
+    val p = prefix.toLowerCase
+    require(p.nonEmpty, "suggest needs a non-empty prefix")
+    Manifest.read(spark, twinRoot)
+      .filter(col("p1") === p.substring(0, 1) &&
+        col("token").startsWith(p))
+      .select(col("token"), col("freq"), col("docs"))
       .orderBy(col("freq").desc, col("token").asc)
       .limit(k)
   }

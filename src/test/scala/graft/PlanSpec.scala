@@ -136,6 +136,14 @@ class PlanSpec extends SparkSpec {
     termFilterOnStream(plan("q149_fuzzy_match"), "levenshtein")
   }
 
+  test("q169: span-near's phrase-term predicate filters the positional " +
+    "stream pre-shuffle, and the chain walk adds no join or window") {
+    val p = plan("q169_span_near")
+    termFilterOnStream(p, "IN (table,scan,merge)")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("q145: batch BM25 semi-join term filter stays below the postings " +
     "aggregation (LeftSemi directly over the exploded stream)") {
     val p = plan("q145_bm25_batch")

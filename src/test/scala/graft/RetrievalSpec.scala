@@ -191,6 +191,43 @@ class RetrievalSpec extends SparkSpec {
     assert(spanTf(mixed, "p q", 0) == exact)
   }
 
+  test("rankBm25Synonyms: variants pool into one concept (tf summed, " +
+    "df = any-variant docs), zero-hit variants are inert, empty map " +
+    "degenerates to rankBm25") {
+    // pooling: 'cat feline' under cat→feline scores EXACTLY like
+    // 'cat cat' under plain BM25 — same tf 2, df, dl, N
+    val a = Seq((1L, "cat feline"), (2L, "cat dog"), (3L, "dog"))
+      .toDF("doc_id", "text")
+    val b = Seq((1L, "cat cat"), (2L, "cat dog"), (3L, "dog"))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+        .toSeq
+    assert(rows(Search.rankBm25Synonyms(a, "doc_id", "text", "cat",
+        Map("cat" -> Seq("feline")), 10)) ==
+      rows(Search.rankBm25(b, "doc_id", "text", "cat", 10)))
+    // a synonym with no occurrences changes nothing
+    assert(rows(Search.rankBm25Synonyms(a, "doc_id", "text", "cat",
+        Map("cat" -> Seq("feline", "unicorn")), 10)) ==
+      rows(Search.rankBm25Synonyms(a, "doc_id", "text", "cat",
+        Map("cat" -> Seq("feline")), 10)))
+    // empty synonym map = plain BM25, bit for bit
+    assert(rows(Search.rankBm25Synonyms(b, "doc_id", "text", "cat dog",
+        Map.empty, 10)) ==
+      rows(Search.rankBm25(b, "doc_id", "text", "cat dog", 10)))
+  }
+
+  test("rankBm25Synonyms: a variant shared by two concepts counts " +
+    "toward BOTH (matched = 2 from a single shared token)") {
+    val docs = Seq((1L, "pet"), (2L, "cat"), (3L, "x"))
+      .toDF("doc_id", "text")
+    val out = Search.rankBm25Synonyms(docs, "doc_id", "text",
+        "cat dog", Map("cat" -> Seq("pet"), "dog" -> Seq("pet")), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    // doc1's lone 'pet' hits both concepts; doc2 hits only 'cat'
+    assert(out == Seq((1L, 2L), (2L, 1L)))
+  }
+
   test("rankNear: slop-0 scores equal rankPhrase scores (shared " +
     "one-term BM25 arithmetic)") {
     val docs = Seq(

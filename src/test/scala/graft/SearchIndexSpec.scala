@@ -190,6 +190,50 @@ class SearchIndexSpec extends SparkSpec {
       after = Some((endCursor._2, endCursor._1))).isEmpty)
   }
 
+  test("suggest twin: prefix lookup equals the corpus suggest, prunes " +
+    "to the first-char partition, and refresh tracks the index") {
+    val (src, idx) = freshPair("tw")
+    val twin = newRoot("tw-twin")
+    SearchIndex.createSuggestTwin(spark, idx, twin)
+    val got = SearchIndex.suggestFromTwin(spark, twin, "s", 10)
+    assert(got.as[(String, Long, Long)].collect().toSeq ==
+      Search.suggest(Manifest.read(spark, src), "id", "text", "s", 10)
+        .as[(String, Long, Long)].collect().toSeq)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan.take(1500))
+    // advance source + index, refresh the twin: new tokens appear
+    Manifest.commitAppend(spark, src,
+      Seq((6L, "en", "sunny sunny table")).toDF("id", "lang", "text"),
+      Seq("lang"))
+    SearchIndex.refresh(spark, src, idx)
+    SearchIndex.refreshSuggestTwin(spark, idx, twin)
+    val after = SearchIndex.suggestFromTwin(spark, twin, "su", 10)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(after == Seq(("sunny", 2L, 1L)))
+    // current twin refreshes are commit-free no-ops
+    val v = Manifest.latestVersion(spark, twin).get
+    assert(SearchIndex.refreshSuggestTwin(spark, idx, twin) == v)
+  }
+
+  test("search asOf: an older version answers from that snapshot's " +
+    "postings AND header stats; an unknown version refuses") {
+    val (src, idx) = freshPair("tt")
+    val q = "window merge"
+    val live1 = indexBm25(idx, q)
+    Manifest.commitAppend(spark, src,
+      Seq((7L, "en", "window window merge")).toDF("id", "lang", "text"),
+      Seq("lang"))
+    SearchIndex.refresh(spark, src, idx)
+    assert(indexBm25(idx, q) != live1) // head moved: N/df/avgdl shifted
+    val asOf = SearchIndex.searchBm25(spark, idx, q, 10,
+        asOf = Some(1L))
+      .as[(Long, Double, Long)].collect().toSeq
+    assert(asOf == live1)
+    intercept[IllegalArgumentException] {
+      SearchIndex.searchBm25(spark, idx, q, 5, asOf = Some(99L))
+    }
+  }
+
   test("hybridRrf served from both indexes equals the corpus-pass " +
     "hybrid (sparse leg ≡ rankBm25, dense leg ≡ brute force)") {
     val (src, idx) = freshPair("hy")

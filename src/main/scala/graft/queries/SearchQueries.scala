@@ -971,5 +971,83 @@ object SearchQueries {
           CROSS JOIN n CROSS JOIN s
         GROUP BY tf.doc_id
         ORDER BY score DESC, tf.doc_id ASC LIMIT 15"""),
+      kind = QueryDef.Pipeline),
+
+    // ---- X3: INCREMENTAL VECTOR-INDEX REFRESH — the dense mirror of
+    // q152's maintenance story: index 3/4 of the embeddings from a
+    // manifest source, append the rest, refresh (append-only diff →
+    // added rows assigned against FROZEN pivots, one commit), then
+    // probe-all search — exact, so the brute-force oracle covers the
+    // whole grown corpus and proves refresh ≡ reindex.
+    QueryDef("q176_vector_refresh",
+      (s, dir) => {
+        val src = "file://" + java.nio.file.Files
+          .createTempDirectory("graft_vr_src").toString + "/t"
+        val idx = "file://" + java.nio.file.Files
+          .createTempDirectory("graft_vr_idx").toString + "/v"
+        val emb = Tables.load(s, dir, "embeddings")
+        Manifest.init(s, src, emb.filter(col("vec_id") % 4 =!= 0))
+        VectorIndex.createFromManifest(s, src, idx, "vec_id",
+          "embedding", nCells = 8)
+        Manifest.commitAppend(s, src, emb.filter(col("vec_id") % 4 === 0))
+        VectorIndex.refresh(s, src, idx)
+        val qv = emb.filter(col("vec_id") === 7L)
+          .select(graft.functions.Vectors.toDouble(col("embedding")))
+          .collect().head.getSeq[Double](0).toArray
+        VectorIndex.search(s, idx, qv, k = 10, nProbe = 8)
+          .select(col("id").as("vec_id"),
+            round(col("cosine"), 6).as("cosine"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = 7)
+        SELECT vec_id, round(cosine, 6) AS cosine FROM (
+          SELECT e.vec_id,
+            list_dot_product(e.v, q.qv)
+              / (sqrt(list_dot_product(e.v, e.v))
+                 * sqrt(list_dot_product(q.qv, q.qv))) AS cosine
+          FROM e, q
+          ORDER BY cosine DESC, e.vec_id ASC LIMIT 10)"""),
+      kind = QueryDef.Pipeline),
+
+    // ---- T2/K5: COMPACTION PRESERVES SEARCH — the inverted index is
+    // an ordinary manifest table, so generic table maintenance
+    // composes with it: build with UNclustered writes (many small
+    // files per bucket), Manifest.compact rewrites them (meta header
+    // carries forward), and BM25 from the compacted index still
+    // hash-equals corpus BM25.
+    QueryDef("q177_compacted_search",
+      (s, dir) => {
+        val src = "file://" + java.nio.file.Files
+          .createTempDirectory("graft_cp_src").toString + "/t"
+        val idx = "file://" + java.nio.file.Files
+          .createTempDirectory("graft_cp_idx").toString + "/i"
+        Manifest.init(s, src,
+          Tables.load(s, dir, "documents").select("doc_id", "text"))
+        SearchIndex.create(s, src, idx, "doc_id", "text", buckets = 16)
+        Manifest.compact(s, idx, smallBytes = 1L << 30)
+        SearchIndex.searchBm25(s, idx, "window merge scan", 15)
+      },
+      Some("""WITH t AS (SELECT doc_id,
+            unnest(string_split(lower(text), ' ')) AS token
+          FROM documents),
+        dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+        s AS (SELECT avg(dl) AS avgdl FROM dl),
+        n AS (SELECT count(*) AS n FROM documents),
+        q AS (SELECT unnest(['window', 'merge', 'scan']) AS token),
+        tf AS (SELECT doc_id, token, count(*) AS tf
+          FROM t JOIN q USING (token) GROUP BY 1, 2),
+        df AS (SELECT token, count(DISTINCT doc_id) AS df
+          FROM tf GROUP BY 1)
+        SELECT tf.doc_id,
+          round(sum(ln(1 + (n.n - df.df + 0.5) / (df.df + 0.5))
+            * tf.tf * 2.2
+            / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))), 4)
+            AS score,
+          count(*) AS matched
+        FROM tf JOIN df USING (token) JOIN dl USING (doc_id)
+          CROSS JOIN n CROSS JOIN s
+        GROUP BY tf.doc_id
+        ORDER BY score DESC, tf.doc_id ASC LIMIT 15"""),
       kind = QueryDef.Pipeline))
 }

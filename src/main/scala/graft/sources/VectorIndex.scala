@@ -90,7 +90,17 @@ object VectorIndex {
     * never joins back to the source table. */
   def create(spark: SparkSession, indexRoot: String, emb: DataFrame,
              idCol: String, vecCol: String, nCells: Int,
-             payloadCols: Seq[String] = Nil): Long = {
+             payloadCols: Seq[String] = Nil): Long =
+    build(spark, indexRoot, emb, idCol, vecCol, nCells, payloadCols,
+      Map.empty, replace = false)
+
+  /** (pivots trained on `emb`, assigned rows, full header) — shared by
+    * create and the full-rebuild refresh path. */
+  private def build(spark: SparkSession, indexRoot: String,
+                    emb: DataFrame, idCol: String, vecCol: String,
+                    nCells: Int, payloadCols: Seq[String],
+                    extra: Map[String, String],
+                    replace: Boolean): Long = {
     require(nCells >= 1, "nCells must be >= 1")
     val reserved = Set(CellCol, "id", "v")
     require(payloadCols.forall(c => !reserved(c)),
@@ -102,14 +112,93 @@ object VectorIndex {
       .limit(nCells)
       .select(col("v")).collect().map(_.getSeq[Double](0).toArray).toSeq
     require(pivots.nonEmpty, "empty embedding frame")
-    Manifest.init(spark, indexRoot,
-      assign(v, pivots, payloadCols).repartition(col(CellCol)),
-      Seq(CellCol),
-      extraMeta = Map(
-        "vidx.id" -> idCol, "vidx.vec" -> vecCol,
-        "vidx.cells" -> pivots.size.toString,
-        "vidx.payload" -> payloadCols.mkString(","),
-        "vidx.pivots" -> serialize(pivots)))
+    val rows = assign(v, pivots, payloadCols).repartition(col(CellCol))
+    val meta = Map(
+      "vidx.id" -> idCol, "vidx.vec" -> vecCol,
+      "vidx.cells" -> pivots.size.toString,
+      "vidx.payload" -> payloadCols.mkString(","),
+      "vidx.pivots" -> serialize(pivots)) ++ extra
+    if (replace)
+      Manifest.commitReplace(spark, indexRoot, rows, Seq(CellCol),
+        extraMeta = meta)
+    else
+      Manifest.init(spark, indexRoot, rows, Seq(CellCol),
+        extraMeta = meta)
+  }
+
+  /** Build the index over a MANIFEST TABLE source, recording the
+    * source root and version so [[refresh]] can advance it
+    * incrementally — the dense mirror of
+    * [[SearchIndex.create]]/[[SearchIndex.refresh]]. */
+  def createFromManifest(spark: SparkSession, srcRoot: String,
+                         indexRoot: String, idCol: String,
+                         vecCol: String, nCells: Int,
+                         payloadCols: Seq[String] = Nil): Long = {
+    val head = Manifest.latestVersion(spark, srcRoot).getOrElse(
+      throw new IllegalStateException(s"$srcRoot not initialized"))
+    build(spark, indexRoot, Manifest.read(spark, srcRoot, Some(head)),
+      idCol, vecCol, nCells, payloadCols,
+      Map("vidx.src" -> srcRoot, "vidx.base" -> head.toString),
+      replace = false)
+  }
+
+  /** Advance a manifest-sourced index to its source's head.
+    * APPEND-ONLY source commits are incremental: the added files' rows
+    * are assigned against the FROZEN create-time pivots and appended
+    * in one commit — cost ∝ added rows (the IVF contract: cell
+    * membership never moves under append). Any rewrite (removed
+    * files), merge-on-read deletes at either end, or an unresolvable
+    * base falls back to a FULL REBUILD, which RE-TRAINS the pivots on
+    * the new corpus (rebuilding is how an IVF index re-trains —
+    * stale pivots after heavy churn degrade cell balance, never
+    * correctness, but a rebuild restores both). Never silently
+    * wrong. */
+  def refresh(spark: SparkSession, srcRoot: String,
+              indexRoot: String): Long = {
+    val meta = state(spark, indexRoot)
+    require(meta.get("vidx.src").contains(srcRoot),
+      s"$indexRoot does not index $srcRoot (created from a frame, or " +
+        s"a different source: ${meta.getOrElse("vidx.src", "<none>")})")
+    val base = meta("vidx.base").toLong
+    val idCol = meta("vidx.id"); val vecCol = meta("vidx.vec")
+    val nCells = meta("vidx.cells").toInt
+    val payload = payloadOf(meta)
+    val idxHead = Manifest.latestVersion(spark, indexRoot).get
+    val srcHead = Manifest.latestVersion(spark, srcRoot).getOrElse(
+      throw new IllegalStateException(s"$srcRoot not initialized"))
+    if (srcHead == base) return idxHead
+    require(srcHead > base,
+      s"$srcRoot is at v$srcHead but the index reflects v$base — " +
+        "the source was replaced or rolled back; recreate the index")
+
+    def full(): Long = build(spark, indexRoot,
+      Manifest.read(spark, srcRoot, Some(srcHead)), idCol, vecCol,
+      nCells, payload,
+      Map("vidx.src" -> srcRoot, "vidx.base" -> srcHead.toString),
+      replace = true)
+
+    val incremental =
+      Manifest.versions(spark, srcRoot).contains(base) && {
+        val baseSnap = Manifest.snapshotMeta(spark, srcRoot, base)
+        val headSnap = Manifest.snapshotMeta(spark, srcRoot, srcHead)
+        baseSnap.deletes.isEmpty && headSnap.deletes.isEmpty &&
+          Manifest.changedFiles(spark, srcRoot, base, srcHead)
+            .removed.isEmpty
+      }
+    if (!incremental) full()
+    else {
+      val added = Manifest
+        .changedFiles(spark, srcRoot, base, srcHead).added.toSet
+      Manifest.commitAppend(spark, indexRoot,
+        assign(withV(
+            Manifest.readSubset(spark, srcRoot, srcHead, added),
+            idCol, vecCol, payload),
+          parse(meta("vidx.pivots")), payload)
+          .repartition(col(CellCol)),
+        Seq(CellCol),
+        extraMeta = meta.view.filterKeys(_.startsWith("vidx."))
+          .toMap + ("vidx.base" -> srcHead.toString))
+    }
   }
 
   private def state(spark: SparkSession, indexRoot: String)

@@ -130,6 +130,48 @@ class VectorIndexSpec extends SparkSpec {
     assert(all == vecs.map(_._1).filter(_ % 2 == 0).toSet) // appended too
   }
 
+  private def metaOf(root: String): Map[String, String] =
+    Manifest.snapshotMeta(spark, root,
+      Manifest.latestVersion(spark, root).get).meta
+
+  test("manifest-sourced refresh: no-op is commit-free, append-only " +
+    "commits are incremental with FROZEN pivots, a source rewrite " +
+    "forces a full rebuild that re-trains them") {
+    val src = newRoot("rf-src"); val idx = newRoot("rf-idx")
+    val (first, rest) = vecs.partition(_._1 <= 6L)
+    Manifest.init(spark, src, first.toDF("vec_id", "embedding"))
+    VectorIndex.createFromManifest(spark, src, idx, "vec_id",
+      "embedding", nCells = 2)
+    val pivots0 = metaOf(idx)("vidx.pivots")
+    val v1 = Manifest.latestVersion(spark, idx).get
+    assert(VectorIndex.refresh(spark, src, idx) == v1) // already current
+    // append-only source commit → incremental refresh, pivots frozen
+    Manifest.commitAppend(spark, src, rest.toDF("vec_id", "embedding"))
+    assert(VectorIndex.refresh(spark, src, idx) == v1 + 1)
+    assert(metaOf(idx)("vidx.pivots") == pivots0)
+    assert(metaOf(idx)("vidx.base").toLong == 2L)
+    val q = Array(-0.9, -0.1)
+    assert(VectorIndex.search(spark, idx, q, k = 4, nProbe = 2)
+      .select("id").as[Long].collect().toSeq == bruteTop(q, 4))
+    // replace (rewrite) → full rebuild; the dropped vector disappears
+    Manifest.commitReplace(spark, src,
+      vecs.filter(_._1 != 9L).toDF("vec_id", "embedding"))
+    VectorIndex.refresh(spark, src, idx)
+    val got = VectorIndex.search(spark, idx, q, k = 12, nProbe = 2)
+      .select("id").as[Long].collect().toSet
+    assert(got == vecs.map(_._1).filter(_ != 9L).toSet)
+  }
+
+  test("refresh guards: a frame-created index refuses a source " +
+    "refresh; a foreign source refuses") {
+    val root = newRoot("rf-guard")
+    VectorIndex.create(spark, root, emb, "vec_id", "embedding",
+      nCells = 2)
+    intercept[IllegalArgumentException] {
+      VectorIndex.refresh(spark, newRoot("rf-other"), root)
+    }
+  }
+
   test("payload guard rails: reserved column names refuse at create") {
     val root = newRoot("guard")
     val bad = vecs.map { case (i, v) => (i, v, 0) }

@@ -195,15 +195,32 @@ object Search {
     * Returns (idCol, span_tf), one row per matching document. */
   def spanNearMatches(docs: DataFrame, idCol: String, textCol: String,
                       phrase: String, slop: Int): DataFrame = {
+    val terms = parseSpanTerms(phrase, slop)
+    val perTerm = posTokenStream(docs, idCol, textCol)
+      .filter(col("token").isin(terms.distinct: _*))
+      .groupBy(col(idCol), col("token"))
+      .agg(sort_array(collect_list(col("pos"))).as("ps"))
+    spanFromPerTerm(perTerm, idCol, terms, slop)
+  }
+
+  private[graft] def parseSpanTerms(phrase: String,
+                                    slop: Int): Seq[String] = {
     val terms = phrase.toLowerCase.split(" ").filter(_.nonEmpty).toSeq
     require(terms.size >= 2,
       s"span_near needs >= 2 terms, got '$phrase' — use matchTerm/rankBm25")
     require(slop >= 0, "slop must be >= 0")
+    terms
+  }
+
+  /** The greedy span-chain walk over an already-materialized
+    * per-(doc, token) SORTED position-array frame (idCol, token, ps) —
+    * shared by the corpus pass above and the positional-index serving
+    * path ([[graft.sources.SearchIndex.searchNear]]), so the two
+    * cannot diverge. */
+  private[graft] def spanFromPerTerm(perTerm: DataFrame, idCol: String,
+                                     terms: Seq[String],
+                                     slop: Int): DataFrame = {
     val distinctTerms = terms.distinct
-    val perTerm = posTokenStream(docs, idCol, textCol)
-      .filter(col("token").isin(distinctTerms: _*))
-      .groupBy(col(idCol), col("token"))
-      .agg(sort_array(collect_list(col("pos"))).as("ps"))
     val perDoc = perTerm.groupBy(col(idCol))
       .agg(map_from_entries(collect_list(struct(col("token"), col("ps"))))
         .as("tp"))

@@ -1049,5 +1049,58 @@ object SearchQueries {
           CROSS JOIN n CROSS JOIN s
         GROUP BY tf.doc_id
         ORDER BY score DESC, tf.doc_id ASC LIMIT 15"""),
+      kind = QueryDef.Pipeline),
+
+    // ---- T2/K5: POSITIONAL INDEX — per-posting position arrays
+    // (Lucene positional postings) let phrase/span queries run FROM
+    // the index: pruned term buckets + stored positions + the SAME
+    // greedy span chain as the corpus pass, through an append refresh
+    // that must preserve positional rows. Same span semantics and
+    // oracle as q169 — index ≡ corpus for spans.
+    QueryDef("q178_indexed_span",
+      (s, dir) => {
+        val src = "file://" + java.nio.file.Files
+          .createTempDirectory("graft_ps_src").toString + "/t"
+        val idx = "file://" + java.nio.file.Files
+          .createTempDirectory("graft_ps_idx").toString + "/i"
+        val docs = Tables.load(s, dir, "documents")
+          .select("doc_id", "text")
+        Manifest.init(s, src, docs.filter(col("doc_id") % 5 =!= 0))
+        SearchIndex.create(s, src, idx, "doc_id", "text", buckets = 16,
+          positions = true)
+        Manifest.commitAppend(s, src, docs.filter(col("doc_id") % 5 === 0))
+        SearchIndex.refresh(s, src, idx)
+        SearchIndex.searchNear(s, idx, "table scan merge", slop = 2,
+          k = 15)
+      },
+      Some("""WITH arr AS (SELECT doc_id, string_split(lower(text), ' ') AS a
+          FROM documents),
+        t AS (SELECT doc_id, unnest(a) AS token,
+            unnest(range(0, len(a))) AS pos
+          FROM arr),
+        t0 AS (SELECT doc_id, pos FROM t WHERE token = 'table'),
+        t1 AS (SELECT doc_id, pos FROM t WHERE token = 'scan'),
+        t2 AS (SELECT doc_id, pos FROM t WHERE token = 'merge'),
+        c1 AS (SELECT s.doc_id, s.pos AS p0, min(t1.pos) AS p1
+          FROM t0 s JOIN t1 ON t1.doc_id = s.doc_id AND t1.pos > s.pos
+          GROUP BY 1, 2),
+        c2 AS (SELECT c1.doc_id, c1.p0, min(t2.pos) AS p2
+          FROM c1 JOIN t2 ON t2.doc_id = c1.doc_id AND t2.pos > c1.p1
+          GROUP BY 1, 2),
+        ph AS (SELECT doc_id, count(*) AS span_tf FROM c2
+          WHERE p2 - p0 <= 4 GROUP BY 1),
+        dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+        s AS (SELECT avg(dl) AS avgdl FROM dl),
+        n AS (SELECT count(*) AS n FROM documents),
+        d AS (SELECT count(*) AS df FROM ph)
+        SELECT ph.doc_id,
+          round(ln(1 + (n.n - d.df + 0.5) / (d.df + 0.5))
+            * ph.span_tf * 2.2
+            / (ph.span_tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)), 4)
+            AS score,
+          ph.span_tf
+        FROM ph JOIN dl USING (doc_id) CROSS JOIN s CROSS JOIN n
+          CROSS JOIN d
+        ORDER BY score DESC, doc_id ASC LIMIT 15"""),
       kind = QueryDef.Pipeline))
 }

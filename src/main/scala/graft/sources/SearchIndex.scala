@@ -68,22 +68,37 @@ object SearchIndex {
   def termBucket(term: String, buckets: Int): Int =
     (crc32Of(term) % buckets).toInt
 
-  /** (postings ∪ doc-length) rows for `docs`, bucket-routed. */
+  /** (postings ∪ doc-length) rows for `docs`, bucket-routed. With
+    * `positions`, each postings row also carries the token's SORTED
+    * in-document position array (the Lucene positional-postings
+    * analog) — what phrase/span queries need to run from the index;
+    * ~4 bytes per corpus token of extra index size, the standard
+    * price. */
   private def indexRows(docs: DataFrame, idCol: String, textCol: String,
-                        buckets: Int): DataFrame = {
-    val postings = Search.invertedIndex(docs, idCol, textCol)
+                        buckets: Int,
+                        positions: Boolean): DataFrame = {
+    val base =
+      if (!positions) Search.invertedIndex(docs, idCol, textCol)
+      else Search.posTokenStream(docs, idCol, textCol)
+        .groupBy(col("token"), col(idCol))
+        .agg(count(lit(1)).as("tf"),
+          sort_array(collect_list(col("pos"))).as("ps"))
+    val postings = base
       .select(
         pmod(crc32(col("token")), lit(buckets.toLong)).cast("int")
-          .as(BucketCol),
-        col("token"), col(idCol), col("tf"))
+          .as(BucketCol) +:
+        col("token") +: col(idCol) +: col("tf") +:
+        (if (positions) Seq(col("ps")) else Nil): _*)
     val dl = Search.docLengths(docs, idCol, textCol)
       .filter(col("dl").isNotNull)
       .select(
         (lit(buckets) + pmod(crc32(col(idCol).cast("string")),
           lit(dlBuckets(buckets).toLong)).cast("int")).cast("int")
-          .as(BucketCol),
-        lit(null).cast("string").as("token"), col(idCol),
-        col("dl").as("tf"))
+          .as(BucketCol) +:
+        lit(null).cast("string").as("token") +: col(idCol) +:
+        col("dl").as("tf") +:
+        (if (positions) Seq(lit(null).cast("array<int>").as("ps"))
+         else Nil): _*)
     // Cluster by bucket BEFORE the partitioned write: without this, a
     // W-partition shuffle writing P hive partitions leaves up to W×P
     // files per commit (measured ~640 tiny files per index commit at
@@ -108,28 +123,35 @@ object SearchIndex {
 
   private def stateMeta(srcRoot: String, idCol: String, textCol: String,
                         buckets: Int, base: Long,
-                        stats: (Long, Long, Long)): Map[String, String] =
+                        stats: (Long, Long, Long),
+                        positions: Boolean): Map[String, String] =
     Map("idx.src" -> srcRoot, "idx.id" -> idCol, "idx.text" -> textCol,
       "idx.buckets" -> buckets.toString, "idx.base" -> base.toString,
       "idx.pending" -> base.toString,
+      "idx.positions" -> positions.toString,
       "idx.n" -> stats._1.toString, "idx.ndl" -> stats._2.toString,
       "idx.sumdl" -> stats._3.toString)
 
   /** Build the index at the source's current version — the last full
-    * tokenization pass this index ever needs on the append-only path. */
+    * tokenization pass this index ever needs on the append-only path.
+    * `positions = true` stores per-posting position arrays so phrase /
+    * span-near queries can be served from the index
+    * ([[searchNear]]). */
   def create(spark: SparkSession, srcRoot: String, indexRoot: String,
-             idCol: String, textCol: String, buckets: Int = 64): Long = {
+             idCol: String, textCol: String, buckets: Int = 64,
+             positions: Boolean = false): Long = {
     require(buckets >= 1, "buckets must be >= 1")
     require(!idCol.contains(",") && idCol != BucketCol &&
-        idCol != "token" && idCol != "tf",
+        idCol != "token" && idCol != "tf" && idCol != "ps",
       s"id column '$idCol' collides with the index's own columns")
     val head = Manifest.latestVersion(spark, srcRoot).getOrElse(
       throw new IllegalStateException(s"$srcRoot not initialized"))
     val docs = Manifest.read(spark, srcRoot, Some(head))
     Manifest.init(spark, indexRoot,
-      indexRows(docs, idCol, textCol, buckets), Seq(BucketCol),
+      indexRows(docs, idCol, textCol, buckets, positions),
+      Seq(BucketCol),
       extraMeta = stateMeta(srcRoot, idCol, textCol, buckets, head,
-        docStats(docs, idCol, textCol)))
+        docStats(docs, idCol, textCol), positions))
   }
 
   private def state(spark: SparkSession, indexRoot: String,
@@ -166,15 +188,17 @@ object SearchIndex {
     val base = meta("idx.base").toLong
     val idCol = meta("idx.id"); val textCol = meta("idx.text")
     val buckets = meta("idx.buckets").toInt
+    val positions = positionsOf(meta)
     val srcHead = Manifest.latestVersion(spark, srcRoot).getOrElse(
       throw new IllegalStateException(s"$srcRoot not initialized"))
 
     def full(): Long = {
       val docs = Manifest.read(spark, srcRoot, Some(srcHead))
       Manifest.commitReplace(spark, indexRoot,
-        indexRows(docs, idCol, textCol, buckets), Seq(BucketCol),
+        indexRows(docs, idCol, textCol, buckets, positions),
+        Seq(BucketCol),
         extraMeta = stateMeta(srcRoot, idCol, textCol, buckets, srcHead,
-          docStats(docs, idCol, textCol)))
+          docStats(docs, idCol, textCol), positions))
     }
 
     if (torn(meta)) return full() // heal a crashed delete+append pair
@@ -227,11 +251,15 @@ object SearchIndex {
             extraMeta = Map("idx.pending" -> srcHead.toString))
         }
         Manifest.commitAppend(spark, indexRoot,
-          indexRows(addedDocs, idCol, textCol, buckets), Seq(BucketCol),
+          indexRows(addedDocs, idCol, textCol, buckets, positions),
+          Seq(BucketCol),
           extraMeta = stateMeta(srcRoot, idCol, textCol, buckets,
-            srcHead, newStats))
+            srcHead, newStats, positions))
     }
   }
+
+  private def positionsOf(meta: Map[String, String]): Boolean =
+    meta.get("idx.positions").contains("true")
 
   /** The postings relation (token, id, tf). */
   def postings(spark: SparkSession, indexRoot: String): DataFrame = {
@@ -310,6 +338,57 @@ object SearchIndex {
           (col("score") === s && col(idCol) > lit(id))
         case None => lit(true)
       })
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** PHRASE / SPAN-NEAR SERVED FROM THE INDEX — requires a
+    * positions-enabled index ([[create]] `positions = true`); refuses
+    * loudly otherwise. `slop = 0` is exact `match_phrase`. The plan
+    * prunes to the phrase terms' buckets, reads their stored position
+    * arrays, and runs the SAME greedy span chain as the corpus pass
+    * (`Search.spanFromPerTerm` — shared code, cannot diverge), scored
+    * as one-term BM25 with df = matching docs (one broadcast row) and
+    * N/avgdl from the header. Query cost O(phrase-term postings) —
+    * the corpus is never re-tokenized, which is the entire point of
+    * storing positions.
+    *
+    * Returns (idCol, score, span_tf), top `k`. */
+  def searchNear(spark: SparkSession, indexRoot: String, phrase: String,
+                 slop: Int, k: Int, k1: Double = 1.2,
+                 b: Double = 0.75): DataFrame = {
+    val (meta, _) = state(spark, indexRoot)
+    require(!torn(meta),
+      s"$indexRoot has a torn refresh; run SearchIndex.refresh to heal")
+    require(positionsOf(meta),
+      s"$indexRoot was built without positions — recreate with " +
+        "SearchIndex.create(..., positions = true) to serve phrase " +
+        "queries")
+    val idCol = meta("idx.id")
+    val buckets = meta("idx.buckets").toInt
+    val n = meta("idx.n").toLong
+    val ndl = meta("idx.ndl").toLong
+    require(ndl > 0, s"$indexRoot indexes no non-empty documents")
+    val avgdl = meta("idx.sumdl").toLong.toDouble / ndl
+    val terms = Search.parseSpanTerms(phrase, slop)
+    val tBuckets = terms.distinct.map(termBucket(_, buckets)).distinct
+    val tbl = Manifest.read(spark, indexRoot)
+    val perTerm = tbl
+      .filter(col(BucketCol).isin(tBuckets: _*) &&
+        col("token").isin(terms.distinct: _*))
+      .select(col(idCol), col("token"), col("ps"))
+    val hits = Search.spanFromPerTerm(perTerm, idCol, terms, slop)
+    val dl = tbl.filter(col(BucketCol) >= buckets)
+      .select(col(idCol), col("tf").as("dl"))
+    val dfp = hits.agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) +
+      (lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5))
+    hits.join(dl, idCol)
+      .crossJoin(broadcast(dfp))
+      .withColumn("score", round(idf * col("span_tf") * (lit(k1) + 1.0) /
+        (col("span_tf") + lit(k1) *
+          (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl))), 4))
+      .select(col(idCol), col("score"), col("span_tf"))
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
   }

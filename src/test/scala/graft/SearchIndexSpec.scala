@@ -234,6 +234,40 @@ class SearchIndexSpec extends SparkSpec {
     }
   }
 
+  test("positional index: searchNear equals corpus rankNear/rankPhrase " +
+    "through a copy-on-write rewrite refresh; a positionless index " +
+    "refuses") {
+    val src = newRoot("ps-src"); val idx = newRoot("ps-idx")
+    Manifest.init(spark, src, corpus0.toDF("id", "lang", "text"),
+      Seq("lang"))
+    SearchIndex.create(spark, src, idx, "id", "text", buckets = 8,
+      positions = true)
+    // rewrite one partition (erase + re-index must carry positions)
+    Manifest.mergeInto(spark, src,
+      Seq((3L, "de", "slow merge of the window window table"))
+        .toDF("id", "lang", "text"), "id", "lang")
+    SearchIndex.refresh(spark, src, idx)
+    def fromIdx(p: String, slop: Int) =
+      SearchIndex.searchNear(spark, idx, p, slop, 10)
+        .as[(Long, Double, Long)].collect().toSeq
+    def fromCorpus(p: String, slop: Int) =
+      Search.rankNear(Manifest.read(spark, src), "id", "text", p,
+          slop, 10)
+        .as[(Long, Double, Long)].collect().toSeq
+    assert(fromIdx("window table", 1).nonEmpty)
+    assert(fromIdx("window table", 1) == fromCorpus("window table", 1))
+    // slop 0 = exact phrase, equal to rankPhrase's scores
+    assert(fromIdx("merge window", 0) ==
+      Search.rankPhrase(Manifest.read(spark, src), "id", "text",
+          "merge window", 10)
+        .as[(Long, Double, Long)].collect().toSeq)
+    // an index built without positions refuses span queries
+    val (_, plain) = freshPair("ps-plain")
+    intercept[IllegalArgumentException] {
+      SearchIndex.searchNear(spark, plain, "window merge", 0, 5)
+    }
+  }
+
   test("hybridRrf served from both indexes equals the corpus-pass " +
     "hybrid (sparse leg ≡ rankBm25, dense leg ≡ brute force)") {
     val (src, idx) = freshPair("hy")

@@ -1102,5 +1102,79 @@ object SearchQueries {
         FROM ph JOIN dl USING (doc_id) CROSS JOIN s CROSS JOIN n
           CROSS JOIN d
         ORDER BY score DESC, doc_id ASC LIMIT 15"""),
+      kind = QueryDef.Pipeline),
+
+    // ---- T2/K5: BOOL QUERY SERVED FROM THE INDEX — q153's compound
+    // must/should/must_not semantics from pruned term buckets + header
+    // stats; same oracle as q153 (index ≡ corpus for bool).
+    QueryDef("q179_indexed_bool",
+      (s, dir) => {
+        val src = "file://" + java.nio.file.Files
+          .createTempDirectory("graft_bl_src").toString + "/t"
+        val idx = "file://" + java.nio.file.Files
+          .createTempDirectory("graft_bl_idx").toString + "/i"
+        Manifest.init(s, src,
+          Tables.load(s, dir, "documents").select("doc_id", "text"))
+        SearchIndex.create(s, src, idx, "doc_id", "text", buckets = 16)
+        SearchIndex.searchBool(s, idx, must = Seq("window", "scan"),
+          should = Seq("merge"), mustNot = Seq("slow"), k = 15)
+      },
+      Some("""WITH t AS (SELECT doc_id,
+            unnest(string_split(lower(text), ' ')) AS token
+          FROM documents),
+        dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+        s AS (SELECT avg(dl) AS avgdl FROM dl),
+        n AS (SELECT count(*) AS n FROM documents),
+        q(token, req) AS (VALUES ('window', 1), ('scan', 1),
+          ('merge', 0)),
+        tf AS (SELECT doc_id, token, count(*) AS tf FROM t
+          WHERE token IN ('window', 'scan', 'merge') GROUP BY 1, 2),
+        banned AS (SELECT DISTINCT doc_id FROM t WHERE token = 'slow'),
+        df AS (SELECT token, count(DISTINCT doc_id) AS df
+          FROM tf GROUP BY 1),
+        sc AS (SELECT tf.doc_id,
+            round(sum(ln(1 + (n.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * 2.2
+              / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))), 4)
+              AS score,
+            count(*) AS matched, sum(q.req) AS mm
+          FROM tf JOIN q USING (token) JOIN df USING (token)
+            JOIN dl USING (doc_id) CROSS JOIN n CROSS JOIN s
+          GROUP BY 1)
+        SELECT doc_id, score, matched FROM sc
+        WHERE mm = 2
+          AND doc_id NOT IN (SELECT doc_id FROM banned)
+        ORDER BY score DESC, doc_id ASC LIMIT 15"""),
+      kind = QueryDef.Pipeline),
+
+    // ---- T2/K5: FUZZY MATCH SERVED FROM THE INDEX — q149's
+    // edit-distance semantics over the ALREADY-AGGREGATED postings:
+    // the length-window + levenshtein candidate filter scans postings
+    // rows (pushed to the parquet scan), never re-tokenizes the
+    // corpus. Same oracle as q149 (index ≡ corpus for fuzzy).
+    QueryDef("q180_indexed_fuzzy",
+      (s, dir) => {
+        val src = "file://" + java.nio.file.Files
+          .createTempDirectory("graft_fz_src").toString + "/t"
+        val idx = "file://" + java.nio.file.Files
+          .createTempDirectory("graft_fz_idx").toString + "/i"
+        Manifest.init(s, src,
+          Tables.load(s, dir, "documents").select("doc_id", "text"))
+        SearchIndex.create(s, src, idx, "doc_id", "text", buckets = 16)
+        SearchIndex.matchFuzzy(s, idx, "sprak", k = 20)
+      },
+      Some("""WITH t AS (SELECT doc_id,
+            unnest(string_split(lower(text), ' ')) AS token
+          FROM documents),
+        c AS (SELECT doc_id, token FROM t
+          WHERE abs(length(token) - 5) <= 2
+            AND levenshtein(token, 'sprak') <= 2),
+        tf AS (SELECT doc_id, token, count(*) AS tf,
+            levenshtein(token, 'sprak') AS dist
+          FROM c GROUP BY 1, 2)
+        SELECT doc_id, CAST(sum(tf * (3 - dist)) AS BIGINT) AS score,
+          count(*) AS matched
+        FROM tf GROUP BY 1
+        ORDER BY score DESC, doc_id ASC LIMIT 20"""),
       kind = QueryDef.Pipeline))
 }

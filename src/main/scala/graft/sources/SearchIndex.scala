@@ -393,6 +393,96 @@ object SearchIndex {
       .limit(k)
   }
 
+  /** BOOL QUERY SERVED FROM THE INDEX — `Search.searchBool` semantics
+    * (must gates, must_not anti-join, should boosts; identical BM25
+    * arithmetic) answered from the pruned buckets of must ∪ should ∪
+    * mustNot, with N/avgdl from the header. Query cost O(those terms'
+    * postings). */
+  def searchBool(spark: SparkSession, indexRoot: String,
+                 must: Seq[String], should: Seq[String],
+                 mustNot: Seq[String], k: Int, k1: Double = 1.2,
+                 b: Double = 0.75): DataFrame = {
+    val (meta, _) = state(spark, indexRoot)
+    require(!torn(meta),
+      s"$indexRoot has a torn refresh; run SearchIndex.refresh to heal")
+    val idCol = meta("idx.id")
+    val buckets = meta("idx.buckets").toInt
+    val n = meta("idx.n").toLong
+    val ndl = meta("idx.ndl").toLong
+    require(ndl > 0, s"$indexRoot indexes no non-empty documents")
+    val avgdl = meta("idx.sumdl").toLong.toDouble / ndl
+    val mustT = must.map(_.toLowerCase).distinct
+    val shouldT = should.map(_.toLowerCase).distinct
+      .filterNot(mustT.contains)
+    val notT = mustNot.map(_.toLowerCase).distinct
+    val scoreT = mustT ++ shouldT
+    require(scoreT.nonEmpty, "bool query needs a must or should term")
+    require(notT.intersect(scoreT).isEmpty,
+      "a term cannot be both required/optional and excluded")
+    val allT = scoreT ++ notT
+    val tBuckets = allT.map(termBucket(_, buckets)).distinct
+    val tbl = Manifest.read(spark, indexRoot)
+    val tf = tbl
+      .filter(col(BucketCol).isin(tBuckets: _*) &&
+        col("token").isin(allT: _*))
+      .select(col(idCol), col("token"), col("tf"))
+    val banned = tf.filter(col("token").isin(notT: _*))
+      .select(col(idCol)).distinct()
+    val scoreTf = tf.filter(col("token").isin(scoreT: _*))
+    val df = scoreTf.groupBy(col("token"))
+      .agg(countDistinct(col(idCol)).as("df"))
+    val dl = tbl.filter(col(BucketCol) >= buckets)
+      .select(col(idCol), col("tf").as("dl"))
+    val idf = log(lit(1.0) +
+      (lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5))
+    scoreTf.join(broadcast(df), "token")
+      .join(dl, idCol)
+      .withColumn("_s", idf * col("tf") * (lit(k1) + 1.0) /
+        (col("tf") + lit(k1) *
+          (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl))))
+      .withColumn("_m",
+        when(col("token").isin(mustT: _*), lit(1L)).otherwise(lit(0L)))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("_s")), 4).as("score"),
+        count(lit(1)).as("matched"), sum(col("_m")).as("_mm"))
+      .filter(col("_mm") === mustT.size).drop("_mm")
+      .join(banned, Seq(idCol), "left_anti")
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** FUZZY TERM MATCH SERVED FROM THE INDEX — `Search.matchFuzzy`
+    * semantics (edit distance ≤ maxEdits, integer score
+    * Σ tf·(maxEdits+1−dist)). A hash-bucketed layout cannot prune an
+    * edit-distance predicate, so this scans the POSTINGS buckets'
+    * token column — but those rows are the already-aggregated
+    * (token, doc, tf) postings: the length-window + levenshtein
+    * candidate filter runs over |postings of candidate-length tokens|
+    * rows with the predicate pushed to the parquet scan, and the
+    * corpus is never re-tokenized. */
+  def matchFuzzy(spark: SparkSession, indexRoot: String, term: String,
+                 k: Int, maxEdits: Int = 2): DataFrame = {
+    val (meta, _) = state(spark, indexRoot)
+    require(!torn(meta),
+      s"$indexRoot has a torn refresh; run SearchIndex.refresh to heal")
+    val idCol = meta("idx.id")
+    val buckets = meta("idx.buckets").toInt
+    val q = term.toLowerCase
+    require(q.nonEmpty && !q.contains(" "),
+      s"fuzzy match takes ONE term, got '$term' — use searchBm25 for " +
+        "multi-term")
+    Manifest.read(spark, indexRoot)
+      .filter(col(BucketCol) < buckets &&
+        abs(length(col("token")) - lit(q.length)) <= maxEdits &&
+        levenshtein(col("token"), lit(q)) <= maxEdits)
+      .withColumn("dist", levenshtein(col("token"), lit(q)))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf") * (lit(maxEdits + 1) - col("dist"))).as("score"),
+        count(lit(1)).as("matched"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Completion suggest served FROM THE INDEX — identical semantics to
     * `Search.suggest` (freq = collection frequency = Σ tf) but with NO
     * corpus tokenization: one scan of the postings buckets (the

@@ -268,6 +268,24 @@ class SearchIndexSpec extends SparkSpec {
     }
   }
 
+  test("bool and fuzzy served from the index equal their corpus-pass " +
+    "twins (must gate, must_not anti-join, edit-distance weighting)") {
+    val (src, idx) = freshPair("bf")
+    val corpus = Manifest.read(spark, src)
+    assert(SearchIndex.searchBool(spark, idx, must = Seq("window"),
+        should = Seq("merge"), mustNot = Seq("slow"), k = 10)
+        .as[(Long, Double, Long)].collect().toSeq ==
+      Search.searchBool(corpus, "id", "text", must = Seq("window"),
+        should = Seq("merge"), mustNot = Seq("slow"), k = 10)
+        .as[(Long, Double, Long)].collect().toSeq)
+    // 'window' (typo) reaches window/windows-like vocabulary tokens
+    val fIdx = SearchIndex.matchFuzzy(spark, idx, "window", 10)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(fIdx == Search.matchFuzzy(corpus, "id", "text", "window", 10)
+      .as[(Long, Long, Long)].collect().toSeq)
+    assert(fIdx.nonEmpty)
+  }
+
   test("hybridRrf served from both indexes equals the corpus-pass " +
     "hybrid (sparse leg ≡ rankBm25, dense leg ≡ brute force)") {
     val (src, idx) = freshPair("hy")

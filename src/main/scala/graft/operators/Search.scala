@@ -527,7 +527,20 @@ object Search {
     * per-doc score) so the result is engine-replayable. */
   def facetedSearch(docs: DataFrame, idCol: String, textCol: String,
                     query: String, facetCol: String,
-                    k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+                    k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25Scored(docs, idCol, textCol, query, k1, b)
+      .join(docs.select(col(idCol), col(facetCol)), idCol)
+      .groupBy(col(facetCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("matched")).as("matched_terms"),
+        max(col("score")).as("top_score"))
+      .orderBy(col(facetCol).asc)
+
+  /** The all-matching-docs BM25 frame (idCol, score, matched) —
+    * [[rankBm25]] without the top-k — shared by the facet family. */
+  private def bm25Scored(docs: DataFrame, idCol: String,
+                         textCol: String, query: String, k1: Double,
+                         b: Double): DataFrame = {
     val terms = query.toLowerCase.split(" ").filter(_.nonEmpty)
       .distinct.toSeq
     require(terms.nonEmpty, "faceted search needs at least one term")
@@ -541,7 +554,7 @@ object Search {
     val df = tf.groupBy(col("token"))
       .agg(countDistinct(col(idCol)).as("df"))
     val idf = log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5))
-    val scored = tf.join(broadcast(df), "token")
+    tf.join(broadcast(df), "token")
       .join(docLen, idCol)
       .crossJoin(broadcast(n))
       .crossJoin(broadcast(avgdl))
@@ -551,12 +564,29 @@ object Search {
       .groupBy(col(idCol))
       .agg(round(sum(col("_s")), 4).as("score"),
         count(lit(1)).as("matched"))
-    scored.join(docs.select(col(idCol), col(facetCol)), idCol)
-      .groupBy(col(facetCol))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("matched")).as("matched_terms"),
-        max(col("score")).as("top_score"))
-      .orderBy(col(facetCol).asc)
+  }
+
+  /** T2/A1: `top_hits` SUB-AGGREGATION — the OpenSearch `aggs` +
+    * `top_hits` combination [[facetedSearch]]'s summary metrics can't
+    * answer: the actual top `kPerBucket` matching DOCUMENTS inside
+    * each facet bucket. The per-bucket top-k runs through the
+    * TopKPerGroup bounded-heap plan (O(n log k) heaps, no per-bucket
+    * sort or window spill — the same operator the batch-ANN path
+    * uses), so bucket skew (one hot facet value holding most matches)
+    * costs a heap insert, never a partition sort. Returns
+    * (facetCol, idCol, score, matched), buckets ascending, hits by
+    * (score desc, id asc) within each. */
+  def facetTopHits(docs: DataFrame, idCol: String, textCol: String,
+                   query: String, facetCol: String, kPerBucket: Int,
+                   k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(kPerBucket >= 1, "kPerBucket must be >= 1")
+    val withFacet = bm25Scored(docs, idCol, textCol, query, k1, b)
+      .join(docs.select(col(idCol), col(facetCol)), idCol)
+      .select(col(facetCol), col(idCol), col("score"), col("matched"))
+    graft.plans.TopK.perGroup(withFacet, Seq(facetCol),
+        Seq(graft.plans.TopK.desc("score"),
+          graft.plans.TopK.asc(idCol)), kPerBucket)
+      .orderBy(col(facetCol).asc, col("score").desc, col(idCol).asc)
   }
 
   /** T2/X12: BATCH BM25 — score a whole frame of queries against the

@@ -1176,5 +1176,39 @@ object SearchQueries {
           count(*) AS matched
         FROM tf GROUP BY 1
         ORDER BY score DESC, doc_id ASC LIMIT 20"""),
-      kind = QueryDef.Pipeline))
+      kind = QueryDef.Pipeline),
+
+    // ---- T2/A1: top_hits sub-aggregation — the docs themselves, top-3
+    // per lang bucket by BM25, through the TopKPerGroup bounded-heap
+    // plan (no per-bucket sort; skewed buckets cost heap inserts).
+    QueryDef("q181_facet_top_hits",
+      (s, dir) => Search.facetTopHits(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        "window merge scan", "lang", kPerBucket = 3),
+      Some("""WITH t AS (SELECT doc_id,
+            unnest(string_split(lower(text), ' ')) AS token
+          FROM documents),
+        dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+        s AS (SELECT avg(dl) AS avgdl FROM dl),
+        n AS (SELECT count(*) AS n FROM documents),
+        q AS (SELECT unnest(['window', 'merge', 'scan']) AS token),
+        tf AS (SELECT doc_id, token, count(*) AS tf
+          FROM t JOIN q USING (token) GROUP BY 1, 2),
+        df AS (SELECT token, count(DISTINCT doc_id) AS df
+          FROM tf GROUP BY 1),
+        sc AS (SELECT tf.doc_id,
+            round(sum(ln(1 + (n.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * 2.2
+              / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))), 4)
+              AS score,
+            count(*) AS matched
+          FROM tf JOIN df USING (token) JOIN dl USING (doc_id)
+            CROSS JOIN n CROSS JOIN s
+          GROUP BY 1),
+        wf AS (SELECT d.lang, sc.doc_id, sc.score, sc.matched
+          FROM sc JOIN documents d USING (doc_id)),
+        r AS (SELECT *, row_number() OVER (PARTITION BY lang
+            ORDER BY score DESC, doc_id ASC) AS rn FROM wf)
+        SELECT lang, doc_id, score, matched FROM r WHERE rn <= 3
+        ORDER BY lang ASC, score DESC, doc_id ASC""")))
 }

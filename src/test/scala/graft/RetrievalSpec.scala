@@ -191,6 +191,27 @@ class RetrievalSpec extends SparkSpec {
     assert(spanTf(mixed, "p q", 0) == exact)
   }
 
+  test("facetTopHits: top-k DOCS per facet bucket by BM25, planned " +
+    "through the bounded-heap TopKPerGroup operator") {
+    val docs = Seq(
+      (1L, "a", "apple banana"), (2L, "a", "apple apple cherry"),
+      (3L, "b", "durian fig"), (4L, "b", "banana apple"))
+      .toDF("doc_id", "lang", "text")
+    val out = Search.facetTopHits(docs, "doc_id", "text", "apple",
+      "lang", kPerBucket = 1)
+    // bucket a: doc2 (tf 2, dl 3) outscores doc1 (tf 1, dl 2) —
+    // 4.4/3.5 > 2.2/2.1 per unit idf; bucket b: only doc4 matches
+    assert(out.collect().map(r => (r.getString(0), r.getLong(1)))
+      .toSeq == Seq(("a", 2L), ("b", 4L)))
+    assert(out.queryExecution.executedPlan.toString
+      .contains("TopKPerGroup"))
+    // kPerBucket past the bucket sizes returns every matching doc
+    val all = Search.facetTopHits(docs, "doc_id", "text", "apple",
+        "lang", kPerBucket = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(all == Seq(("a", 2L), ("a", 1L), ("b", 4L)))
+  }
+
   test("rankBm25Synonyms: variants pool into one concept (tf summed, " +
     "df = any-variant docs), zero-hit variants are inert, empty map " +
     "degenerates to rankBm25") {

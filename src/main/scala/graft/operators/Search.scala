@@ -589,6 +589,27 @@ object Search {
       .orderBy(col(facetCol).asc, col("score").desc, col(idCol).asc)
   }
 
+  /** T2/A1: HISTOGRAM AGGREGATION — the ES `histogram` agg over a
+    * numeric document field, restricted to the query's matches:
+    * bucket = floor(field / width) · width, per bucket the match
+    * count and best rounded BM25 score. Same one term-filtered pass
+    * as [[facetedSearch]]; the bucketing is a map-side expression, so
+    * the extra cost over a terms facet is zero. `date_histogram` is
+    * this exact shape with a time column bucketed by
+    * `width`-second/day arithmetic. */
+  def histogramFacet(docs: DataFrame, idCol: String, textCol: String,
+                     query: String, numCol: String, width: Long,
+                     k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(width >= 1, "histogram width must be >= 1")
+    bm25Scored(docs, idCol, textCol, query, k1, b)
+      .join(docs.select(col(idCol), col(numCol)), idCol)
+      .groupBy((floor(col(numCol) / width) * width).cast("long")
+        .as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("score")).as("top_score"))
+      .orderBy(col("bucket").asc)
+  }
+
   /** T2/X12: BATCH BM25 — score a whole frame of queries against the
     * corpus in ONE pass over the token stream, the search twin of the
     * batch-ANN shape (q82): per-query scans would pay |queries| corpus

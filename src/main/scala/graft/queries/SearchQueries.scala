@@ -1210,5 +1210,37 @@ object SearchQueries {
         r AS (SELECT *, row_number() OVER (PARTITION BY lang
             ORDER BY score DESC, doc_id ASC) AS rn FROM wf)
         SELECT lang, doc_id, score, matched FROM r WHERE rn <= 3
-        ORDER BY lang ASC, score DESC, doc_id ASC""")))
+        ORDER BY lang ASC, score DESC, doc_id ASC""")),
+
+    // ---- T2/A1: histogram aggregation — match counts and best score
+    // bucketed by floor(n_chars / 100)·100 over the query's matches
+    // (the ES histogram agg; date_histogram is the same arithmetic on
+    // a time column).
+    QueryDef("q182_histogram_facet",
+      (s, dir) => Search.histogramFacet(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        "window merge scan", "n_chars", width = 100L),
+      Some("""WITH t AS (SELECT doc_id,
+            unnest(string_split(lower(text), ' ')) AS token
+          FROM documents),
+        dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+        s AS (SELECT avg(dl) AS avgdl FROM dl),
+        n AS (SELECT count(*) AS n FROM documents),
+        q AS (SELECT unnest(['window', 'merge', 'scan']) AS token),
+        tf AS (SELECT doc_id, token, count(*) AS tf
+          FROM t JOIN q USING (token) GROUP BY 1, 2),
+        df AS (SELECT token, count(DISTINCT doc_id) AS df
+          FROM tf GROUP BY 1),
+        sc AS (SELECT tf.doc_id,
+            round(sum(ln(1 + (n.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * 2.2
+              / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))), 4)
+              AS score
+          FROM tf JOIN df USING (token) JOIN dl USING (doc_id)
+            CROSS JOIN n CROSS JOIN s
+          GROUP BY 1)
+        SELECT CAST(floor(d.n_chars / 100) * 100 AS BIGINT) AS bucket,
+          count(*) AS n_docs, max(sc.score) AS top_score
+        FROM sc JOIN documents d USING (doc_id)
+        GROUP BY 1 ORDER BY bucket ASC""")))
 }

@@ -37,7 +37,11 @@ import graft.operators.Sampling
   * Scale: create = one map-only assignment pass + one clustered write
   * (≈ one file per cell, same reasoning as SearchIndex.indexRows);
   * append = the same for the delta only; search = partition-pruned
-  * scan of nProbe cells, map-side cosine, TakeOrderedAndProject. */
+  * scan of nProbe cells, map-side cosine, TakeOrderedAndProject.
+  *
+  * PRECONDITION (same as SearchIndex): rows are unique by the id
+  * column — run exact dedup upstream; appending an existing id leaves
+  * both rows in the index and both would rank. */
 object VectorIndex {
 
   private val CellCol = "cell"

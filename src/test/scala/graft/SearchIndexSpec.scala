@@ -261,6 +261,10 @@ class SearchIndexSpec extends SparkSpec {
       Search.rankPhrase(Manifest.read(spark, src), "id", "text",
           "merge window", 10)
         .as[(Long, Double, Long)].collect().toSeq)
+    // generic compaction preserves positional rows and span results
+    val before = fromIdx("window table", 1)
+    Manifest.compact(spark, idx, smallBytes = 1L << 30)
+    assert(fromIdx("window table", 1) == before)
     // an index built without positions refuses span queries
     val (_, plain) = freshPair("ps-plain")
     intercept[IllegalArgumentException] {

@@ -1242,5 +1242,51 @@ object SearchQueries {
         SELECT CAST(floor(d.n_chars / 100) * 100 AS BIGINT) AS bucket,
           count(*) AS n_docs, max(sc.score) AS top_score
         FROM sc JOIN documents d USING (doc_id)
-        GROUP BY 1 ORDER BY bucket ASC""")))
+        GROUP BY 1 ORDER BY bucket ASC""")),
+
+    // ---- T2/K5: SHARDED SEARCH, GLOBAL STATS — three independently
+    // built indexes (different bucket counts) over disjoint corpus
+    // thirds, searched as one: N/avgdl summed from the headers, df
+    // from the unioned pruned postings — hash-equal to ONE index over
+    // the whole corpus (q144's oracle), the dfs_query_then_fetch
+    // shape.
+    QueryDef("q183_sharded_search",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .select("doc_id", "text")
+        val idxs = Seq(8, 16, 4).zipWithIndex.map { case (bk, i) =>
+          val src = "file://" + java.nio.file.Files
+            .createTempDirectory(s"graft_sh${i}_src").toString + "/t"
+          val idx = "file://" + java.nio.file.Files
+            .createTempDirectory(s"graft_sh${i}_idx").toString + "/i"
+          Manifest.init(s, src, docs.filter(col("doc_id") % 3 === i))
+          SearchIndex.create(s, src, idx, "doc_id", "text",
+            buckets = bk)
+          idx
+        }
+        SearchIndex.searchBm25Sharded(s, idxs, "window merge scan",
+          k = 15)
+      },
+      Some("""WITH t AS (SELECT doc_id,
+            unnest(string_split(lower(text), ' ')) AS token
+          FROM documents),
+        dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+        s AS (SELECT avg(dl) AS avgdl FROM dl),
+        n AS (SELECT count(*) AS n FROM documents),
+        q AS (SELECT unnest(['window', 'merge', 'scan']) AS token),
+        tf AS (SELECT doc_id, token, count(*) AS tf
+          FROM t JOIN q USING (token) GROUP BY 1, 2),
+        df AS (SELECT token, count(DISTINCT doc_id) AS df
+          FROM tf GROUP BY 1)
+        SELECT tf.doc_id,
+          round(sum(ln(1 + (n.n - df.df + 0.5) / (df.df + 0.5))
+            * tf.tf * 2.2
+            / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))), 4)
+            AS score,
+          count(*) AS matched
+        FROM tf JOIN df USING (token) JOIN dl USING (doc_id)
+          CROSS JOIN n CROSS JOIN s
+        GROUP BY tf.doc_id
+        ORDER BY score DESC, tf.doc_id ASC LIMIT 15"""),
+      kind = QueryDef.Pipeline))
 }

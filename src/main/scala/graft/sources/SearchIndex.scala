@@ -317,10 +317,24 @@ object SearchIndex {
       .filter(col(BucketCol).isin(tBuckets: _*) &&
         col("token").isin(terms: _*))
       .select(col(idCol), col("token"), col("tf"))
-    val df = tf.groupBy(col("token"))
-      .agg(countDistinct(col(idCol)).as("df"))
     val dl = tbl.filter(col(BucketCol) >= buckets)
       .select(col(idCol), col("tf").as("dl"))
+    scorePostings(tf, dl, idCol, n, avgdl, terms, k, k1, b,
+      requireAll, after)
+  }
+
+  /** The BM25 scoring tail over a (idCol, token, tf) postings frame
+    * and a (idCol, dl) length frame with DRIVER-literal N/avgdl —
+    * shared by the single-index and sharded paths so their arithmetic
+    * cannot diverge. df is computed from the (already pruned) postings
+    * frame itself. */
+  private def scorePostings(tf: DataFrame, dl: DataFrame, idCol: String,
+                            n: Long, avgdl: Double, terms: Seq[String],
+                            k: Int, k1: Double, b: Double,
+                            requireAll: Boolean,
+                            after: Option[(Double, Any)]): DataFrame = {
+    val df = tf.groupBy(col("token"))
+      .agg(countDistinct(col(idCol)).as("df"))
     val idf = log(lit(1.0) +
       (lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5))
     tf.join(broadcast(df), "token")
@@ -340,6 +354,55 @@ object SearchIndex {
       })
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
+  }
+
+  /** SHARDED SEARCH WITH GLOBAL STATISTICS — BM25 over SEVERAL
+    * indexes at once (indexes built per ingest wave, per tenant, per
+    * partition — searched together without ever merging them), the
+    * Elasticsearch `dfs_query_then_fetch` analog: naive per-shard
+    * scoring ranks with per-shard N/avgdl/df and the merged page is
+    * incomparable; here the collection stats are GLOBALIZED first —
+    * N = Σ nᵢ and avgdl = Σ sumdlᵢ / Σ ndlᵢ from the headers (driver
+    * arithmetic, zero IO), df from the UNION of the shards' pruned
+    * postings — so the result is exactly what one index over the
+    * union corpus would return (the oracle), while each shard's scan
+    * still prunes to its own term buckets. Shards may disagree on
+    * bucket count (each routes by its own header); they MUST
+    * partition the document space (globally unique ids — same
+    * precondition as the single index, per shard pair). */
+  def searchBm25Sharded(spark: SparkSession, indexRoots: Seq[String],
+                        query: String, k: Int, k1: Double = 1.2,
+                        b: Double = 0.75,
+                        requireAll: Boolean = false): DataFrame = {
+    require(indexRoots.nonEmpty, "sharded search needs >= 1 index")
+    val states = indexRoots.map(r => (r, state(spark, r)._1))
+    states.foreach { case (r, m) => require(!torn(m),
+      s"$r has a torn refresh; run SearchIndex.refresh to heal") }
+    val idCol = states.head._2("idx.id")
+    require(states.forall(_._2("idx.id") == idCol),
+      "shards disagree on the id column")
+    val n = states.map(_._2("idx.n").toLong).sum
+    val ndl = states.map(_._2("idx.ndl").toLong).sum
+    require(ndl > 0, "shards index no non-empty documents")
+    val avgdl = states.map(_._2("idx.sumdl").toLong).sum.toDouble / ndl
+    val terms = query.toLowerCase.split(" ").filter(_.nonEmpty)
+      .distinct.toSeq
+    require(terms.nonEmpty, "BM25 query needs at least one term")
+    val tf = states.map { case (r, m) =>
+      val buckets = m("idx.buckets").toInt
+      val tb = terms.map(termBucket(_, buckets)).distinct
+      Manifest.read(spark, r)
+        .filter(col(BucketCol).isin(tb: _*) &&
+          col("token").isin(terms: _*))
+        .select(col(idCol), col("token"), col("tf"))
+    }.reduce(_ unionByName _)
+    val dl = states.map { case (r, m) =>
+      Manifest.read(spark, r)
+        .filter(col(BucketCol) >= m("idx.buckets").toInt)
+        .select(col(idCol), col("tf").as("dl"))
+    }.reduce(_ unionByName _)
+    scorePostings(tf, dl, idCol, n, avgdl, terms, k, k1, b,
+      requireAll, after = None)
   }
 
   /** PHRASE / SPAN-NEAR SERVED FROM THE INDEX — requires a

@@ -272,6 +272,31 @@ class SearchIndexSpec extends SparkSpec {
     }
   }
 
+  test("sharded search: globalized N/avgdl/df make two heterogeneous " +
+    "shards score exactly like ONE index over the union corpus") {
+    val (a, b) = corpus0.partition(_._1 <= 2L)
+    def shard(tag: String, rows: Seq[(Long, String, String)],
+              buckets: Int): String = {
+      val src = newRoot(s"$tag-src"); val idx = newRoot(s"$tag-idx")
+      Manifest.init(spark, src, rows.toDF("id", "lang", "text"),
+        Seq("lang"))
+      SearchIndex.create(spark, src, idx, "id", "text", buckets)
+      idx
+    }
+    val shards = Seq(shard("sh-a", a, 4), shard("sh-b", b, 16))
+    val (_, whole) = freshPair("sh-union")
+    val q = "window merge scan"
+    val sharded = SearchIndex
+      .searchBm25Sharded(spark, shards, q, 10)
+      .as[(Long, Double, Long)].collect().toSeq
+    assert(sharded == indexBm25(whole, q) && sharded.nonEmpty)
+    // requireAll composes with the union
+    assert(SearchIndex.searchBm25Sharded(spark, shards, q, 10,
+        requireAll = true)
+      .as[(Long, Double, Long)].collect().toSeq ==
+      indexBm25(whole, q, requireAll = true))
+  }
+
   test("bool and fuzzy served from the index equal their corpus-pass " +
     "twins (must gate, must_not anti-join, edit-distance weighting)") {
     val (src, idx) = freshPair("bf")

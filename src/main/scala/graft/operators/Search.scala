@@ -143,6 +143,18 @@ object Search {
     rankAsOneTerm(docs, idCol, textCol,
       phraseMatches(docs, idCol, textCol, phrase), "phrase_tf", k, k1, b)
 
+  /** THE BM25 per-term weight — every scorer in this library and in
+    * [[graft.sources.SearchIndex]] builds this exact expression tree
+    * (same operand order, so the floating-point result is
+    * bit-identical across paths):
+    *   ln(1 + (N − df + 0.5)/(df + 0.5)) · tf·(k1+1) /
+    *     (tf + k1·(1 − b + b·dl/avgdl)) */
+  private[graft] def bm25Weight(tf: Column, dl: Column, df: Column,
+                                n: Column, avgdl: Column,
+                                k1: Double, b: Double): Column =
+    log(lit(1.0) + (n - df + 0.5) / (df + 0.5)) * tf * (lit(k1) + 1.0) /
+      (tf + lit(k1) * (lit(1.0 - b) + lit(b) * dl / avgdl))
+
   /** BM25 scoring of a (idCol, tfCol) hit frame as if the whole match
     * were ONE term (Lucene PhraseQuery/SpanQuery scoring: tf = match
     * frequency, df = matching-doc count — one broadcast row). Shared by
@@ -156,14 +168,12 @@ object Search {
     val avgdl = docLen.agg(avg(col("dl")).as("avgdl"))
     val n = docs.agg(count(lit(1)).as("n"))
     val dfp = hits.agg(count(lit(1)).as("df"))
-    val idf = log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5))
     hits.join(docLen, idCol)
       .crossJoin(broadcast(dfp))
       .crossJoin(broadcast(n))
       .crossJoin(broadcast(avgdl))
-      .withColumn("score", round(idf * col(tfCol) * (lit(k1) + 1.0) /
-        (col(tfCol) + lit(k1) *
-          (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))), 4))
+      .withColumn("score", round(bm25Weight(col(tfCol), col("dl"),
+        col("df"), col("n"), col("avgdl"), k1, b), 4))
       .select(col(idCol), col("score"), col(tfCol))
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
@@ -381,14 +391,12 @@ object Search {
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("token"))
       .agg(countDistinct(col(idCol)).as("df"))
-    val idf = log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5))
     tf.join(broadcast(df), "token")
       .join(docLen, idCol)
       .crossJoin(broadcast(n))
       .crossJoin(broadcast(avgdl))
-      .withColumn("_s", idf * col("tf") * (lit(k1) + 1.0) /
-        (col("tf") + lit(k1) *
-          (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .withColumn("_s", bm25Weight(col("tf"), col("dl"), col("df"),
+        col("n"), col("avgdl"), k1, b))
       .groupBy(col(idCol))
       .agg(round(sum(col("_s")), 4).as("score"),
         count(lit(1)).as("matched"))
@@ -421,8 +429,11 @@ object Search {
     val terms = query.toLowerCase.split(" ").filter(_.nonEmpty)
       .distinct.toSeq
     require(terms.nonEmpty, "BM25 query needs at least one term")
+    // keys normalize like the query terms they must match — a
+    // mixed-case key would otherwise silently disable its expansion
+    val syn = synonyms.map { case (t, vs) => t.toLowerCase -> vs }
     val groups: Seq[(String, Seq[String])] = terms.map(t =>
-      t -> (t +: synonyms.getOrElse(t, Nil).map(_.toLowerCase)).distinct)
+      t -> (t +: syn.getOrElse(t, Nil).map(_.toLowerCase)).distinct)
     val variantToConcepts: Seq[(String, Seq[String])] = groups
       .flatMap { case (c, vs) => vs.map(_ -> c) }
       .groupBy(_._1).view.mapValues(_.map(_._2).distinct).toSeq
@@ -442,14 +453,12 @@ object Search {
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("concept"))
       .agg(countDistinct(col(idCol)).as("df"))
-    val idf = log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5))
     tf.join(broadcast(df), "concept")
       .join(docLen, idCol)
       .crossJoin(broadcast(n))
       .crossJoin(broadcast(avgdl))
-      .withColumn("_s", idf * col("tf") * (lit(k1) + 1.0) /
-        (col("tf") + lit(k1) *
-          (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .withColumn("_s", bm25Weight(col("tf"), col("dl"), col("df"),
+        col("n"), col("avgdl"), k1, b))
       .groupBy(col(idCol))
       .agg(round(sum(col("_s")), 4).as("score"),
         count(lit(1)).as("matched"))
@@ -497,14 +506,12 @@ object Search {
     val docLen = docLengths(docs, idCol, textCol)
     val avgdl = docLen.agg(avg(col("dl")).as("avgdl"))
     val n = docs.agg(count(lit(1)).as("n"))
-    val idf = log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5))
     scoreTf.join(broadcast(df), "token")
       .join(docLen, idCol)
       .crossJoin(broadcast(n))
       .crossJoin(broadcast(avgdl))
-      .withColumn("_s", idf * col("tf") * (lit(k1) + 1.0) /
-        (col("tf") + lit(k1) *
-          (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .withColumn("_s", bm25Weight(col("tf"), col("dl"), col("df"),
+        col("n"), col("avgdl"), k1, b))
       .withColumn("_m",
         when(col("token").isin(mustT: _*), lit(1L)).otherwise(lit(0L)))
       .groupBy(col(idCol))
@@ -553,14 +560,12 @@ object Search {
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("token"))
       .agg(countDistinct(col(idCol)).as("df"))
-    val idf = log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5))
     tf.join(broadcast(df), "token")
       .join(docLen, idCol)
       .crossJoin(broadcast(n))
       .crossJoin(broadcast(avgdl))
-      .withColumn("_s", idf * col("tf") * (lit(k1) + 1.0) /
-        (col("tf") + lit(k1) *
-          (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .withColumn("_s", bm25Weight(col("tf"), col("dl"), col("df"),
+        col("n"), col("avgdl"), k1, b))
       .groupBy(col(idCol))
       .agg(round(sum(col("_s")), 4).as("score"),
         count(lit(1)).as("matched"))
@@ -603,6 +608,9 @@ object Search {
     require(width >= 1, "histogram width must be >= 1")
     bm25Scored(docs, idCol, textCol, query, k1, b)
       .join(docs.select(col(idCol), col(numCol)), idCol)
+      // ES histogram semantics: docs missing the field are skipped,
+      // never pooled into a phantom NULL bucket
+      .filter(col(numCol).isNotNull)
       .groupBy((floor(col(numCol) / width) * width).cast("long")
         .as("bucket"))
       .agg(count(lit(1)).as("n_docs"),

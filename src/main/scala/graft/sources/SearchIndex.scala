@@ -261,10 +261,38 @@ object SearchIndex {
   private def positionsOf(meta: Map[String, String]): Boolean =
     meta.get("idx.positions").contains("true")
 
+  /** Header snapshot for a serving query: the meta AND the version it
+    * was resolved at. Every serving path scans the index PINNED to
+    * this version — resolving stats at one version and then scanning
+    * 'latest' would let a concurrent rewrite-refresh interleave its
+    * torn delete commit between the two reads, returning erased
+    * postings under the old stats, exactly the state the torn guard
+    * exists to refuse. */
+  private final case class Serving(meta: Map[String, String],
+                                   head: Long, idCol: String,
+                                   buckets: Int, n: Long, ndl: Long,
+                                   sumdl: Long) {
+    def avgdl(root: String): Double = {
+      require(ndl > 0, s"$root indexes no non-empty documents")
+      sumdl.toDouble / ndl
+    }
+  }
+
+  private def serving(spark: SparkSession, indexRoot: String,
+                      asOf: Option[Long] = None): Serving = {
+    val (meta, head) = state(spark, indexRoot, asOf)
+    require(!torn(meta),
+      s"$indexRoot has a torn refresh (pending=${meta("idx.pending")}" +
+        s" base=${meta("idx.base")}); run SearchIndex.refresh to heal")
+    Serving(meta, head, meta("idx.id"), meta("idx.buckets").toInt,
+      meta("idx.n").toLong, meta("idx.ndl").toLong,
+      meta("idx.sumdl").toLong)
+  }
+
   /** The postings relation (token, id, tf). */
   def postings(spark: SparkSession, indexRoot: String): DataFrame = {
-    val (meta, _) = state(spark, indexRoot)
-    Manifest.read(spark, indexRoot)
+    val (meta, head) = state(spark, indexRoot)
+    Manifest.read(spark, indexRoot, Some(head))
       .filter(col(BucketCol) < meta("idx.buckets").toInt)
       .select(col("token"), col(meta("idx.id")), col("tf"))
   }
@@ -298,28 +326,20 @@ object SearchIndex {
                  requireAll: Boolean = false,
                  after: Option[(Double, Any)] = None,
                  asOf: Option[Long] = None): DataFrame = {
-    val (meta, _) = state(spark, indexRoot, asOf)
-    require(!torn(meta),
-      s"$indexRoot has a torn refresh (pending=${meta("idx.pending")}" +
-        s" base=${meta("idx.base")}); run SearchIndex.refresh to heal")
-    val idCol = meta("idx.id")
-    val buckets = meta("idx.buckets").toInt
-    val n = meta("idx.n").toLong
-    val ndl = meta("idx.ndl").toLong
-    require(ndl > 0, s"$indexRoot indexes no non-empty documents")
-    val avgdl = meta("idx.sumdl").toLong.toDouble / ndl
+    val sv = serving(spark, indexRoot, asOf)
+    val avgdl = sv.avgdl(indexRoot)
     val terms = query.toLowerCase.split(" ").filter(_.nonEmpty)
       .distinct.toSeq
     require(terms.nonEmpty, "BM25 query needs at least one term")
-    val tBuckets = terms.map(termBucket(_, buckets)).distinct
-    val tbl = Manifest.read(spark, indexRoot, asOf)
+    val tBuckets = terms.map(termBucket(_, sv.buckets)).distinct
+    val tbl = Manifest.read(spark, indexRoot, Some(sv.head))
     val tf = tbl
       .filter(col(BucketCol).isin(tBuckets: _*) &&
         col("token").isin(terms: _*))
-      .select(col(idCol), col("token"), col("tf"))
-    val dl = tbl.filter(col(BucketCol) >= buckets)
-      .select(col(idCol), col("tf").as("dl"))
-    scorePostings(tf, dl, idCol, n, avgdl, terms, k, k1, b,
+      .select(col(sv.idCol), col("token"), col("tf"))
+    val dl = tbl.filter(col(BucketCol) >= sv.buckets)
+      .select(col(sv.idCol), col("tf").as("dl"))
+    scorePostings(tf, dl, sv.idCol, sv.n, avgdl, terms, k, k1, b,
       requireAll, after)
   }
 
@@ -335,13 +355,10 @@ object SearchIndex {
                             after: Option[(Double, Any)]): DataFrame = {
     val df = tf.groupBy(col("token"))
       .agg(countDistinct(col(idCol)).as("df"))
-    val idf = log(lit(1.0) +
-      (lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5))
     tf.join(broadcast(df), "token")
       .join(dl, idCol)
-      .withColumn("_s", idf * col("tf") * (lit(k1) + 1.0) /
-        (col("tf") + lit(k1) *
-          (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl))))
+      .withColumn("_s", Search.bm25Weight(col("tf"), col("dl"),
+        col("df"), lit(n.toDouble), lit(avgdl), k1, b))
       .groupBy(col(idCol))
       .agg(round(sum(col("_s")), 4).as("score"),
         count(lit(1)).as("matched"))
@@ -375,34 +392,30 @@ object SearchIndex {
                         b: Double = 0.75,
                         requireAll: Boolean = false): DataFrame = {
     require(indexRoots.nonEmpty, "sharded search needs >= 1 index")
-    val states = indexRoots.map(r => (r, state(spark, r)._1))
-    states.foreach { case (r, m) => require(!torn(m),
-      s"$r has a torn refresh; run SearchIndex.refresh to heal") }
-    val idCol = states.head._2("idx.id")
-    require(states.forall(_._2("idx.id") == idCol),
+    val shards = indexRoots.map(r => (r, serving(spark, r)))
+    val idCol = shards.head._2.idCol
+    require(shards.forall(_._2.idCol == idCol),
       "shards disagree on the id column")
-    val n = states.map(_._2("idx.n").toLong).sum
-    val ndl = states.map(_._2("idx.ndl").toLong).sum
+    val n = shards.map(_._2.n).sum
+    val ndl = shards.map(_._2.ndl).sum
     require(ndl > 0, "shards index no non-empty documents")
-    val avgdl = states.map(_._2("idx.sumdl").toLong).sum.toDouble / ndl
+    val avgdl = shards.map(_._2.sumdl).sum.toDouble / ndl
     val terms = query.toLowerCase.split(" ").filter(_.nonEmpty)
       .distinct.toSeq
     require(terms.nonEmpty, "BM25 query needs at least one term")
-    val tf = states.map { case (r, m) =>
-      val buckets = m("idx.buckets").toInt
-      val tb = terms.map(termBucket(_, buckets)).distinct
-      Manifest.read(spark, r)
-        .filter(col(BucketCol).isin(tb: _*) &&
+    // ONE pinned read per shard serves both legs (postings + dl)
+    val legs = shards.map { case (r, sv) =>
+      val tb = terms.map(termBucket(_, sv.buckets)).distinct
+      val tbl = Manifest.read(spark, r, Some(sv.head))
+      (tbl.filter(col(BucketCol).isin(tb: _*) &&
           col("token").isin(terms: _*))
-        .select(col(idCol), col("token"), col("tf"))
-    }.reduce(_ unionByName _)
-    val dl = states.map { case (r, m) =>
-      Manifest.read(spark, r)
-        .filter(col(BucketCol) >= m("idx.buckets").toInt)
-        .select(col(idCol), col("tf").as("dl"))
-    }.reduce(_ unionByName _)
-    scorePostings(tf, dl, idCol, n, avgdl, terms, k, k1, b,
-      requireAll, after = None)
+        .select(col(idCol), col("token"), col("tf")),
+        tbl.filter(col(BucketCol) >= sv.buckets)
+          .select(col(idCol), col("tf").as("dl")))
+    }
+    scorePostings(legs.map(_._1).reduce(_ unionByName _),
+      legs.map(_._2).reduce(_ unionByName _),
+      idCol, n, avgdl, terms, k, k1, b, requireAll, after = None)
   }
 
   /** PHRASE / SPAN-NEAR SERVED FROM THE INDEX — requires a
@@ -420,39 +433,31 @@ object SearchIndex {
   def searchNear(spark: SparkSession, indexRoot: String, phrase: String,
                  slop: Int, k: Int, k1: Double = 1.2,
                  b: Double = 0.75): DataFrame = {
-    val (meta, _) = state(spark, indexRoot)
-    require(!torn(meta),
-      s"$indexRoot has a torn refresh; run SearchIndex.refresh to heal")
-    require(positionsOf(meta),
+    val sv = serving(spark, indexRoot)
+    require(positionsOf(sv.meta),
       s"$indexRoot was built without positions — recreate with " +
         "SearchIndex.create(..., positions = true) to serve phrase " +
         "queries")
-    val idCol = meta("idx.id")
-    val buckets = meta("idx.buckets").toInt
-    val n = meta("idx.n").toLong
-    val ndl = meta("idx.ndl").toLong
-    require(ndl > 0, s"$indexRoot indexes no non-empty documents")
-    val avgdl = meta("idx.sumdl").toLong.toDouble / ndl
+    val avgdl = sv.avgdl(indexRoot)
     val terms = Search.parseSpanTerms(phrase, slop)
-    val tBuckets = terms.distinct.map(termBucket(_, buckets)).distinct
-    val tbl = Manifest.read(spark, indexRoot)
+    val tBuckets = terms.distinct.map(termBucket(_, sv.buckets))
+      .distinct
+    val tbl = Manifest.read(spark, indexRoot, Some(sv.head))
     val perTerm = tbl
       .filter(col(BucketCol).isin(tBuckets: _*) &&
         col("token").isin(terms.distinct: _*))
-      .select(col(idCol), col("token"), col("ps"))
-    val hits = Search.spanFromPerTerm(perTerm, idCol, terms, slop)
-    val dl = tbl.filter(col(BucketCol) >= buckets)
-      .select(col(idCol), col("tf").as("dl"))
+      .select(col(sv.idCol), col("token"), col("ps"))
+    val hits = Search.spanFromPerTerm(perTerm, sv.idCol, terms, slop)
+    val dl = tbl.filter(col(BucketCol) >= sv.buckets)
+      .select(col(sv.idCol), col("tf").as("dl"))
     val dfp = hits.agg(count(lit(1)).as("df"))
-    val idf = log(lit(1.0) +
-      (lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5))
-    hits.join(dl, idCol)
+    hits.join(dl, sv.idCol)
       .crossJoin(broadcast(dfp))
-      .withColumn("score", round(idf * col("span_tf") * (lit(k1) + 1.0) /
-        (col("span_tf") + lit(k1) *
-          (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl))), 4))
-      .select(col(idCol), col("score"), col("span_tf"))
-      .orderBy(col("score").desc, col(idCol).asc)
+      .withColumn("score", round(Search.bm25Weight(col("span_tf"),
+        col("dl"), col("df"), lit(sv.n.toDouble), lit(avgdl), k1, b),
+        4))
+      .select(col(sv.idCol), col("score"), col("span_tf"))
+      .orderBy(col("score").desc, col(sv.idCol).asc)
       .limit(k)
   }
 
@@ -465,15 +470,9 @@ object SearchIndex {
                  must: Seq[String], should: Seq[String],
                  mustNot: Seq[String], k: Int, k1: Double = 1.2,
                  b: Double = 0.75): DataFrame = {
-    val (meta, _) = state(spark, indexRoot)
-    require(!torn(meta),
-      s"$indexRoot has a torn refresh; run SearchIndex.refresh to heal")
-    val idCol = meta("idx.id")
-    val buckets = meta("idx.buckets").toInt
-    val n = meta("idx.n").toLong
-    val ndl = meta("idx.ndl").toLong
-    require(ndl > 0, s"$indexRoot indexes no non-empty documents")
-    val avgdl = meta("idx.sumdl").toLong.toDouble / ndl
+    val sv = serving(spark, indexRoot)
+    val idCol = sv.idCol
+    val avgdl = sv.avgdl(indexRoot)
     val mustT = must.map(_.toLowerCase).distinct
     val shouldT = should.map(_.toLowerCase).distinct
       .filterNot(mustT.contains)
@@ -483,8 +482,8 @@ object SearchIndex {
     require(notT.intersect(scoreT).isEmpty,
       "a term cannot be both required/optional and excluded")
     val allT = scoreT ++ notT
-    val tBuckets = allT.map(termBucket(_, buckets)).distinct
-    val tbl = Manifest.read(spark, indexRoot)
+    val tBuckets = allT.map(termBucket(_, sv.buckets)).distinct
+    val tbl = Manifest.read(spark, indexRoot, Some(sv.head))
     val tf = tbl
       .filter(col(BucketCol).isin(tBuckets: _*) &&
         col("token").isin(allT: _*))
@@ -494,15 +493,12 @@ object SearchIndex {
     val scoreTf = tf.filter(col("token").isin(scoreT: _*))
     val df = scoreTf.groupBy(col("token"))
       .agg(countDistinct(col(idCol)).as("df"))
-    val dl = tbl.filter(col(BucketCol) >= buckets)
+    val dl = tbl.filter(col(BucketCol) >= sv.buckets)
       .select(col(idCol), col("tf").as("dl"))
-    val idf = log(lit(1.0) +
-      (lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5))
     scoreTf.join(broadcast(df), "token")
       .join(dl, idCol)
-      .withColumn("_s", idf * col("tf") * (lit(k1) + 1.0) /
-        (col("tf") + lit(k1) *
-          (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl))))
+      .withColumn("_s", Search.bm25Weight(col("tf"), col("dl"),
+        col("df"), lit(sv.n.toDouble), lit(avgdl), k1, b))
       .withColumn("_m",
         when(col("token").isin(mustT: _*), lit(1L)).otherwise(lit(0L)))
       .groupBy(col(idCol))
@@ -525,17 +521,14 @@ object SearchIndex {
     * corpus is never re-tokenized. */
   def matchFuzzy(spark: SparkSession, indexRoot: String, term: String,
                  k: Int, maxEdits: Int = 2): DataFrame = {
-    val (meta, _) = state(spark, indexRoot)
-    require(!torn(meta),
-      s"$indexRoot has a torn refresh; run SearchIndex.refresh to heal")
-    val idCol = meta("idx.id")
-    val buckets = meta("idx.buckets").toInt
+    val sv = serving(spark, indexRoot)
+    val idCol = sv.idCol
     val q = term.toLowerCase
     require(q.nonEmpty && !q.contains(" "),
       s"fuzzy match takes ONE term, got '$term' — use searchBm25 for " +
         "multi-term")
-    Manifest.read(spark, indexRoot)
-      .filter(col(BucketCol) < buckets &&
+    Manifest.read(spark, indexRoot, Some(sv.head))
+      .filter(col(BucketCol) < sv.buckets &&
         abs(length(col("token")) - lit(q.length)) <= maxEdits &&
         levenshtein(col("token"), lit(q)) <= maxEdits)
       .withColumn("dist", levenshtein(col("token"), lit(q)))
@@ -557,17 +550,13 @@ object SearchIndex {
     * Returns (token, freq, docs), top `k`. */
   def suggest(spark: SparkSession, indexRoot: String, prefix: String,
               k: Int): DataFrame = {
-    val (meta, _) = state(spark, indexRoot)
-    require(!torn(meta),
-      s"$indexRoot has a torn refresh; run SearchIndex.refresh to heal")
-    val idCol = meta("idx.id")
-    val buckets = meta("idx.buckets").toInt
-    Manifest.read(spark, indexRoot)
-      .filter(col(BucketCol) < buckets &&
+    val sv = serving(spark, indexRoot)
+    Manifest.read(spark, indexRoot, Some(sv.head))
+      .filter(col(BucketCol) < sv.buckets &&
         col("token").startsWith(prefix.toLowerCase))
       .groupBy(col("token"))
       .agg(sum(col("tf")).as("freq"),
-        countDistinct(col(idCol)).as("docs"))
+        countDistinct(col(sv.idCol)).as("docs"))
       .orderBy(col("freq").desc, col("token").asc)
       .limit(k)
   }
@@ -585,45 +574,39 @@ object SearchIndex {
     * version it reflects. */
   def createSuggestTwin(spark: SparkSession, indexRoot: String,
                         twinRoot: String): Long = {
-    val (meta, idxHead) = state(spark, indexRoot)
-    require(!torn(meta),
-      s"$indexRoot has a torn refresh; run SearchIndex.refresh to heal")
-    Manifest.init(spark, twinRoot, twinRows(spark, indexRoot, meta),
+    val sv = serving(spark, indexRoot)
+    Manifest.init(spark, twinRoot, twinRows(spark, indexRoot, sv),
       Seq("p1"), extraMeta = Map("sug.src" -> indexRoot,
-        "sug.base" -> idxHead.toString))
+        "sug.base" -> sv.head.toString))
   }
 
   /** Rebuild the twin at the index's current head (vocabulary-sized
     * work); a no-op commit-wise when already current. */
   def refreshSuggestTwin(spark: SparkSession, indexRoot: String,
                          twinRoot: String): Long = {
-    val (meta, idxHead) = state(spark, indexRoot)
-    require(!torn(meta),
-      s"$indexRoot has a torn refresh; run SearchIndex.refresh to heal")
+    val sv = serving(spark, indexRoot)
     val twinHead = Manifest.latestVersion(spark, twinRoot).getOrElse(
       throw new IllegalStateException(s"$twinRoot not initialized"))
     val twinMeta = Manifest.snapshotMeta(spark, twinRoot, twinHead).meta
     require(twinMeta.get("sug.src").contains(indexRoot),
       s"$twinRoot is not a suggest twin of $indexRoot")
-    if (twinMeta("sug.base").toLong == idxHead) twinHead
+    if (twinMeta("sug.base").toLong == sv.head) twinHead
     else Manifest.commitReplace(spark, twinRoot,
-      twinRows(spark, indexRoot, meta), Seq("p1"),
+      twinRows(spark, indexRoot, sv), Seq("p1"),
       extraMeta = Map("sug.src" -> indexRoot,
-        "sug.base" -> idxHead.toString))
+        "sug.base" -> sv.head.toString))
   }
 
   private def twinRows(spark: SparkSession, indexRoot: String,
-                       meta: Map[String, String]): DataFrame = {
-    val idCol = meta("idx.id")
-    Manifest.read(spark, indexRoot)
-      .filter(col(BucketCol) < meta("idx.buckets").toInt)
+                       sv: Serving): DataFrame =
+    Manifest.read(spark, indexRoot, Some(sv.head))
+      .filter(col(BucketCol) < sv.buckets)
       .groupBy(col("token"))
       .agg(sum(col("tf")).as("freq"),
-        countDistinct(col(idCol)).as("docs"))
+        countDistinct(col(sv.idCol)).as("docs"))
       .select(substring(col("token"), 1, 1).as("p1"), col("token"),
         col("freq"), col("docs"))
       .repartition(col("p1"))
-  }
 
   /** Completion suggest from the twin — identical semantics and
     * ordering to [[suggest]], but the scan prunes to the prefix's
@@ -632,8 +615,12 @@ object SearchIndex {
                       prefix: String, k: Int): DataFrame = {
     val p = prefix.toLowerCase
     require(p.nonEmpty, "suggest needs a non-empty prefix")
+    // first CODE POINT, not code unit: Spark's substring stored a full
+    // supplementary-plane character in p1; a lone surrogate would
+    // never match it
+    val p1 = p.substring(0, p.offsetByCodePoints(0, 1))
     Manifest.read(spark, twinRoot)
-      .filter(col("p1") === p.substring(0, 1) &&
+      .filter(col("p1") === p1 &&
         col("token").startsWith(p))
       .select(col("token"), col("freq"), col("docs"))
       .orderBy(col("freq").desc, col("token").asc)

@@ -206,13 +206,16 @@ object VectorIndex {
   }
 
   private def state(spark: SparkSession, indexRoot: String)
-      : Map[String, String] = {
+      : Map[String, String] = stateAt(spark, indexRoot)._1
+
+  private def stateAt(spark: SparkSession, indexRoot: String)
+      : (Map[String, String], Long) = {
     val head = Manifest.latestVersion(spark, indexRoot).getOrElse(
       throw new IllegalStateException(s"$indexRoot not initialized"))
     val meta = Manifest.snapshotMeta(spark, indexRoot, head).meta
     require(meta.contains("vidx.pivots"),
       s"$indexRoot is not a vector index (no vidx.pivots header)")
-    meta
+    (meta, head)
   }
 
   /** Append new vectors, assigned against the FROZEN create-time
@@ -221,6 +224,11 @@ object VectorIndex {
   def append(spark: SparkSession, indexRoot: String, emb: DataFrame,
              idCol: String, vecCol: String): Long = {
     val meta = state(spark, indexRoot)
+    require(!meta.contains("vidx.src"),
+      s"$indexRoot is manifest-sourced (${meta.getOrElse("vidx.src",
+        "")}): append rows to the SOURCE table and run " +
+        "VectorIndex.refresh — a direct append would be re-indexed " +
+        "by the next refresh as duplicates")
     val payload = payloadOf(meta)
     Manifest.commitAppend(spark, indexRoot,
       assign(withV(emb, idCol, vecCol, payload),
@@ -256,7 +264,7 @@ object VectorIndex {
              filter: Option[org.apache.spark.sql.Column] = None)
       : DataFrame = {
     require(k >= 1 && nProbe >= 1, "k and nProbe must be >= 1")
-    val meta = state(spark, indexRoot)
+    val (meta, head) = stateAt(spark, indexRoot)
     val pivots = parse(meta("vidx.pivots"))
     def cos(a: Array[Double], b: Array[Double]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
@@ -271,7 +279,9 @@ object VectorIndex {
       .sortBy { case (s, cid) => (-s, cid) }
       .take(nProbe).map(_._2)
     val qv = array(queryVec.map(lit(_)): _*)
-    Manifest.read(spark, indexRoot)
+    // pinned to the header's version: scanning 'latest' could read a
+    // rebuild committed after the pivots above were resolved
+    Manifest.read(spark, indexRoot, Some(head))
       .filter(col(CellCol).isin(probed: _*))
       .filter(filter.getOrElse(lit(true)))
       .select(col("id"), Vectors.cosine(col("v"), qv).as("cosine"))

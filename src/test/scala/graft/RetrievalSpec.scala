@@ -249,6 +249,37 @@ class RetrievalSpec extends SparkSpec {
     assert(out == Seq((1L, 2L), (2L, 1L)))
   }
 
+  test("spanNearMatches agrees with a brute-force greedy reference on " +
+    "a 60-doc randomized corpus across phrases and slops") {
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "b", "c", "d")
+    val corpus = (1L to 60L).map(i =>
+      (i, Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")))
+    val df = corpus.toDF("doc_id", "text")
+    def ref(text: String, terms: Seq[String], slop: Int): Long = {
+      val toks = text.split(" ").filter(_.nonEmpty)
+      val bound = terms.size - 1 + slop
+      def greedyEnd(p0: Int): Option[Int] =
+        terms.indices.tail.foldLeft(Option(p0)) { (cur, r) =>
+          cur.flatMap(c => toks.zipWithIndex.collectFirst {
+            case (t, i) if i > c && t == terms(r) => i
+          })
+        }
+      toks.zipWithIndex.count { case (t, i) =>
+        t == terms.head && greedyEnd(i).exists(_ - i <= bound)
+      }
+    }
+    for (phrase <- Seq("a b", "a b c", "b a", "a a", "d c b a");
+         slop <- Seq(0, 1, 3)) {
+      val terms = phrase.split(" ").toSeq
+      val want = corpus.map { case (i, t) => i -> ref(t, terms, slop) }
+        .filter(_._2 > 0).toMap
+      assert(spanTf(df, phrase, slop) == want,
+        s"phrase=$phrase slop=$slop")
+    }
+  }
+
   test("rankNear: slop-0 scores equal rankPhrase scores (shared " +
     "one-term BM25 arithmetic)") {
     val docs = Seq(

@@ -2123,5 +2123,64 @@ object PipelineQueries {
           CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT)
             AS tokens,
           min(doc_id) AS first_id, max(doc_id) AS last_id
-        FROM sh GROUP BY 1 ORDER BY 1""")))
+        FROM sh GROUP BY 1 ORDER BY 1""")),
+
+    // ---- R/X: STREAMING CURATION — the curation pipeline's
+    // deployment shape (q167's pattern for this family): two ingest
+    // waves drained by sequential AvailableNow rounds over ONE
+    // checkpoint; each micro-batch gates on the Gopher word-count
+    // rule, dedups INCREMENTALLY against the already-curated table
+    // (q79's operator — the corpus is never re-deduped), and commits
+    // via the exactly-once streaming sink (batch replay = no-op).
+    // Waves split by ascending doc_id range, so the incremental
+    // first-seen survivor is globally the MIN doc_id per text — which
+    // is exactly what the batch oracle computes over the whole corpus.
+    QueryDef("q184_stream_curation",
+      (s, dir) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_sc").toString
+        val tbl = "file://" + root + "/curated"
+        val docs = Tables.load(s, dir, "documents")
+          .select("doc_id", "text")
+        val cut = docs.agg(max("doc_id")).head().getLong(0) / 2
+        val schema = docs.schema
+        def drain(): Unit =
+          graft.streaming.IngestStream
+            .rawStream(s, s"$root/raw", schema, "parquet")
+            .writeStream
+            .option("checkpointLocation", s"$root/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger
+              .AvailableNow())
+            .foreachBatch {
+              (b: org.apache.spark.sql.DataFrame, id: Long) =>
+                val pass = b.filter(
+                  size(split(col("text"), " ")) >= 30)
+                val corpus = graft.sources.Manifest
+                  .latestVersion(s, tbl) match {
+                  case Some(_) => graft.sources.Manifest.read(s, tbl)
+                  case None => s.createDataFrame(
+                    s.sparkContext
+                      .emptyRDD[org.apache.spark.sql.Row], schema)
+                }
+                graft.sources.Manifest.commitStreamBatch(s, tbl,
+                  Dedup.incrementalNew(pass, corpus, "doc_id", "text"),
+                  "curate", id)
+                ()
+            }
+            .start().awaitTermination()
+        docs.filter(col("doc_id") <= cut)
+          .write.mode("append").parquet(s"$root/raw")
+        drain()
+        docs.filter(col("doc_id") > cut)
+          .write.mode("append").parquet(s"$root/raw")
+        drain()
+        graft.sources.Manifest.read(s, tbl).orderBy("doc_id")
+      },
+      Some("""WITH pass AS (SELECT doc_id, text FROM documents
+          WHERE len(string_split(text, ' ')) >= 30),
+        keep AS (SELECT min(doc_id) AS doc_id FROM pass GROUP BY text)
+        SELECT p.doc_id, p.text FROM pass p
+        JOIN keep k USING (doc_id)
+        ORDER BY p.doc_id"""),
+      kind = QueryDef.Pipeline))
 }

@@ -178,4 +178,33 @@ class CurationSpec extends SparkSpec {
       (4L, 2L, 2L, "a1 a2 b1 b2"),
       (5L, 1L, 0L, "")))
   }
+
+  test("streaming-curation survivor rule: incremental dedup across " +
+    "ordered waves + exactly-once commits keep the GLOBAL min id per " +
+    "text") {
+    import graft.operators.Dedup
+    import graft.sources.Manifest
+    val root = "file://" + java.nio.file.Files
+      .createTempDirectory("graft-sc-spec").toString + "/t"
+    val w1 = Seq((1L, "alpha beta gamma"), (2L, "unique one"))
+      .toDF("doc_id", "text")
+    val w2 = Seq((10L, "alpha beta gamma"), (11L, "unique two"),
+      (12L, "unique two")).toDF("doc_id", "text")
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], w1.schema)
+    Manifest.commitStreamBatch(spark, root,
+      Dedup.incrementalNew(w1, empty, "doc_id", "text"), "curate", 0L)
+    Manifest.commitStreamBatch(spark, root,
+      Dedup.incrementalNew(w2, Manifest.read(spark, root), "doc_id",
+        "text"), "curate", 1L)
+    // 10 dropped (cross-wave dup of 1), 12 dropped (in-batch dup of 11)
+    assert(Manifest.read(spark, root).select("doc_id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 2L, 11L))
+    // replayed batch (the foreachBatch at-least-once case) is a no-op
+    val v = Manifest.latestVersion(spark, root).get
+    Manifest.commitStreamBatch(spark, root,
+      Dedup.incrementalNew(w2, Manifest.read(spark, root), "doc_id",
+        "text"), "curate", 1L)
+    assert(Manifest.latestVersion(spark, root).get == v)
+  }
 }

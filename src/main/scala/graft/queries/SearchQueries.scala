@@ -1288,5 +1288,70 @@ object SearchQueries {
           CROSS JOIN n CROSS JOIN s
         GROUP BY tf.doc_id
         ORDER BY score DESC, tf.doc_id ASC LIMIT 15"""),
+      kind = QueryDef.Pipeline),
+
+    // ---- R/K5: CONTINUOUS INDEXING — the ES refresh-interval analog:
+    // each micro-batch lands in the source table through the
+    // exactly-once streaming sink and the inverted index advances by
+    // its INCREMENTAL refresh (append-only file diff → one atomic
+    // index commit per batch; the corpus is re-tokenized never, the
+    // batch once). After two AvailableNow rounds over one checkpoint,
+    // BM25 from the continuously-maintained index hash-equals corpus
+    // BM25 over everything ingested.
+    QueryDef("q185_stream_indexing",
+      (s, dir) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_si").toString
+        val src = "file://" + root + "/docs"
+        val idx = "file://" + root + "/idx"
+        val docs = Tables.load(s, dir, "documents")
+          .select("doc_id", "text")
+        val cut = docs.agg(max("doc_id")).head().getLong(0) / 2
+        val schema = docs.schema
+        def drain(): Unit = IngestStream
+          .rawStream(s, s"$root/raw", schema, "parquet")
+          .writeStream
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger
+            .AvailableNow())
+          .foreachBatch {
+            (b: org.apache.spark.sql.DataFrame, id: Long) =>
+              Manifest.commitStreamBatch(s, src, b, "ingest", id)
+              if (Manifest.latestVersion(s, idx).isEmpty)
+                SearchIndex.create(s, src, idx, "doc_id", "text",
+                  buckets = 16)
+              else SearchIndex.refresh(s, src, idx)
+              ()
+          }
+          .start().awaitTermination()
+        docs.filter(col("doc_id") <= cut)
+          .write.mode("append").parquet(s"$root/raw")
+        drain()
+        docs.filter(col("doc_id") > cut)
+          .write.mode("append").parquet(s"$root/raw")
+        drain()
+        SearchIndex.searchBm25(s, idx, "window merge scan", k = 15)
+      },
+      Some("""WITH t AS (SELECT doc_id,
+            unnest(string_split(lower(text), ' ')) AS token
+          FROM documents),
+        dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+        s AS (SELECT avg(dl) AS avgdl FROM dl),
+        n AS (SELECT count(*) AS n FROM documents),
+        q AS (SELECT unnest(['window', 'merge', 'scan']) AS token),
+        tf AS (SELECT doc_id, token, count(*) AS tf
+          FROM t JOIN q USING (token) GROUP BY 1, 2),
+        df AS (SELECT token, count(DISTINCT doc_id) AS df
+          FROM tf GROUP BY 1)
+        SELECT tf.doc_id,
+          round(sum(ln(1 + (n.n - df.df + 0.5) / (df.df + 0.5))
+            * tf.tf * 2.2
+            / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))), 4)
+            AS score,
+          count(*) AS matched
+        FROM tf JOIN df USING (token) JOIN dl USING (doc_id)
+          CROSS JOIN n CROSS JOIN s
+        GROUP BY tf.doc_id
+        ORDER BY score DESC, tf.doc_id ASC LIMIT 15"""),
       kind = QueryDef.Pipeline))
 }

@@ -256,6 +256,10 @@ class SearchIndexSpec extends SparkSpec {
         .as[(Long, Double, Long)].collect().toSeq
     assert(fromIdx("window table", 1).nonEmpty)
     assert(fromIdx("window table", 1) == fromCorpus("window table", 1))
+    // the span query's scan still prunes to the phrase terms' buckets
+    val plan = SearchIndex.searchNear(spark, idx, "window table", 1, 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan.take(1500))
     // slop 0 = exact phrase, equal to rankPhrase's scores
     assert(fromIdx("merge window", 0) ==
       Search.rankPhrase(Manifest.read(spark, src), "id", "text",

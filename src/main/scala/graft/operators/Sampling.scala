@@ -108,6 +108,33 @@ object Sampling {
     * choose freely, and the rounding pins the keep/drop boundary to a
     * value both engines agree on. Costs one tiny counts aggregate
     * (|strata| rows, broadcast); the filter itself is map-only. */
+  /** X7: the MIXTURE PLAN itself — the (stratum, share, rate) table
+    * [[temperatureMixture]] applies, surfaced as a first-class result
+    * so a data-mixing run can be REVIEWED before it samples (the mT5
+    * paper publishes exactly this table). Identical arithmetic to the
+    * sampler, including the 9-dp rate rounding that pins the floating
+    * Σ c^α across engines; `expected_docs` = rate·n (3 dp) is the
+    * audit column — Σ expected ≈ targetFrac·corpus unless the cap at
+    * 1 binds on small strata, which this table makes visible. One
+    * |strata|-row aggregate; no corpus pass beyond the counts. */
+  def mixtureRates(df: DataFrame, stratumCol: String, alpha: Double,
+                   targetFrac: Double): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha in [0,1], got $alpha")
+    require(targetFrac > 0.0 && targetFrac <= 1.0,
+      s"targetFrac in (0,1], got $targetFrac")
+    val counts = df.groupBy(stratumCol).agg(count(lit(1)).as("n_docs"))
+    val z = counts.agg(sum(pow(col("n_docs"), alpha)).as("_z"),
+      sum(col("n_docs")).as("_c"))
+    counts.crossJoin(broadcast(z))
+      .withColumn("share", round(col("n_docs") / col("_c"), 9))
+      .withColumn("rate", round(least(lit(1.0),
+        lit(targetFrac) * col("_c") * pow(col("n_docs"), alpha) /
+          col("_z") / col("n_docs")), 9))
+      .select(col(stratumCol), col("n_docs"), col("share"), col("rate"),
+        round(col("rate") * col("n_docs"), 3).as("expected_docs"))
+      .orderBy(col(stratumCol).asc)
+  }
+
   def temperatureMixture(df: DataFrame, stratumCol: String, idCol: String,
                          alpha: Double, targetFrac: Double,
                          salt: String): DataFrame = {

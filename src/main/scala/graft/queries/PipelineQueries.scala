@@ -2182,5 +2182,27 @@ object PipelineQueries {
         SELECT p.doc_id, p.text FROM pass p
         JOIN keep k USING (doc_id)
         ORDER BY p.doc_id"""),
-      kind = QueryDef.Pipeline))
+      kind = QueryDef.Pipeline),
+
+    // ---- X7: the MIXTURE PLAN — the per-stratum (share, rate,
+    // expected) table q163's temperature sampler applies, surfaced for
+    // review before sampling (the mT5-paper table). rate rounded 9 dp
+    // pins the floating Σ c^α across engines; expected = rate·n makes
+    // the cap-at-1 distortion on small strata visible.
+    QueryDef("q186_mixture_plan",
+      (s, dir) => Sampling.mixtureRates(
+        Tables.load(s, dir, "documents"), "lang", alpha = 0.5,
+        targetFrac = 0.3),
+      Some("""WITH c AS (SELECT lang, count(*) AS n_docs
+          FROM documents GROUP BY 1),
+        z AS (SELECT sum(pow(n_docs, 0.5)) AS z, sum(n_docs) AS ctot
+          FROM c),
+        r AS (SELECT c.lang, c.n_docs,
+            round(c.n_docs / z.ctot, 9) AS share,
+            round(least(1.0, 0.3 * z.ctot * pow(c.n_docs, 0.5)
+              / z.z / c.n_docs), 9) AS rate
+          FROM c, z)
+        SELECT lang, n_docs, share, rate,
+          round(rate * n_docs, 3) AS expected_docs
+        FROM r ORDER BY lang ASC""")))
 }

@@ -132,4 +132,22 @@ class SamplingSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     assert(t1 == ds)
   }
+
+  test("mixtureRates: α=1 is uniform targetFrac, α=0 equalizes " +
+    "strata with the cap binding on the small one — hand-checked") {
+    val docs = (1L to 90L)
+      .map(i => (i, if (i <= 80) "big" else "small"))
+      .toDF("id", "dom")
+    def rates(alpha: Double, f: Double): Map[String, (Double, Double)] =
+      Sampling.mixtureRates(docs, "dom", alpha, f).collect()
+        .map(r => r.getString(0) -> (r.getDouble(3), r.getDouble(4)))
+        .toMap
+    // α=0, f=0.5: z = 2, c = 90 → rate_s = min(1, 22.5/n):
+    // big (80) = 0.28125, small (10) capped at 1.0
+    assert(rates(0.0, 0.5) ==
+      Map("big" -> (0.28125, 22.5), "small" -> (1.0, 10.0)))
+    // α=1: every stratum keeps exactly targetFrac
+    assert(rates(1.0, 0.4) ==
+      Map("big" -> (0.4, 32.0), "small" -> (0.4, 4.0)))
+  }
 }

@@ -48,22 +48,31 @@ object Bench {
       sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val results = SparkEntry.defs.values.toSeq.sortBy(_.name)
       .filter(d => only.forall(_.contains(d.name))).map { d =>
-      val sec =
+      val times: Seq[Double] =
         try {
           execute(d.fn(spark, sfDir)) // warm-up: plan + codegen + JIT
-          val times = (1 to reps).map { _ =>
+          (1 to reps).map { _ =>
             val t0 = System.nanoTime()
             execute(d.fn(spark, sfDir)) // timed steady-state run
             (System.nanoTime() - t0) / 1e9
-          }.sorted
-          times(times.size / 2) // median (upper on even reps)
-        } catch { case _: Throwable => -1.0 }
-      (d.name, d.kind, sec)
+          }
+        } catch { case _: Throwable => Nil }
+      val median =
+        if (times.isEmpty) -1.0
+        else times.sorted.apply(times.size / 2) // upper on even reps
+      (d.name, d.kind, median, times)
     }
-    val qs = results.map { case (k, _, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, _, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // per-rep times in EXECUTION order: IO-latency variance (and
+    // residual warm-up drift) is then self-evident in the artifact —
+    // a 3× max/min spread on a lifecycle row reads as environment
+    // noise, a uniform shift as a plan change
+    val repsDetail = results.map { case (k, _, _, ts) =>
+      "\"" + k + "\":[" + ts.map(t => f"$t%.4f").mkString(",") + "]"
+    }.mkString("{", ",", "}")
     def sumKind(kind: String) =
-      results.collect { case (_, `kind`, v) if v >= 0 => v }.sum
+      results.collect { case (_, `kind`, v, _) if v >= 0 => v }.sum
     // query_total: pure engine work, the round-over-round comparable.
     // pipeline_total: zone-IO roundtrips (q31-q33/q56/q65/q73) whose time
     // is dominated by tempdir file IO — split out so IO noise never
@@ -72,7 +81,7 @@ object Bench {
       (sumKind(QueryDef.Query), sumKind(QueryDef.Pipeline))
     val total = queryTotal + pipeTotal
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","query_total":$queryTotal,"pipeline_total":$pipeTotal,"reps":$reps,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","query_total":$queryTotal,"pipeline_total":$pipeTotal,"reps":$reps,"queries":$qs,"reps_detail":$repsDetail,"sf":"$sfDir"}"""
     println(json)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")

@@ -294,11 +294,21 @@ object Curation {
              textCol: String, cfg: GopherConfig = GopherConfig(),
              contamN: Int = 8, salt: String = "epoch0",
              buckets: Int = 8): DataFrame = {
-    val deduped = graft.operators.Dedup.dropExactDups(docs, idCol, textCol)
+    // persist() at the reused stage boundaries — `deduped` feeds both
+    // the repetition-stats pass and the gate join's left side, `kept`
+    // both the contamination train side and the anti-join left:
+    // without the cache each upstream stage re-evaluates once per
+    // consumer inside the same action (stage 1 would run ~4×). Blocks
+    // are dropped by the ContextCleaner once the frames are
+    // unreachable; a production 100 TB build would instead commit
+    // each stage boundary to the lake and read it back.
+    val deduped = graft.operators.Dedup.dropExactDups(docs, idCol,
+      textCol).persist()
     val kept = deduped.join(
       repetitionStats(deduped, idCol, textCol)
         .filter(gopherGate(cfg)).select(col(idCol)),
       Seq(idCol), "left_semi")
+      .persist()
     val dirty = contamination(kept, bench, idCol, textCol, contamN)
       .select(col("train_id").as(idCol))
     val clean = kept.join(dirty, Seq(idCol), "left_anti")

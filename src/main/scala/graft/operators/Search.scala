@@ -780,17 +780,30 @@ object Search {
     * frame from any retriever (corpus-pass [[rankBm25]] /
     * `bruteForceTopK`, or the served [[graft.sources.SearchIndex]] /
     * [[graft.sources.VectorIndex]] paths — the fusion is retriever-
-    * agnostic, which is why it is factored out). Ranks come from the
-    * k²-broadcast [[withRank]] product (constant at any corpus size),
-    * fused full-outer as Σ 1/(rrfK + rank) with 0 for a missing leg.
-    * Returns (outIdCol, rrf, sparse_rank, dense_rank), top `k` by
+    * agnostic, which is why it is factored out). The legs' SCORE
+    * columns are parameters too (defaults match the library's own
+    * retrievers), so an external retriever with its own naming fuses
+    * without a rename — and a missing column fails fast with a clear
+    * message instead of an unrelated analysis error. Ranks come from
+    * the k²-broadcast [[withRank]] product (constant at any corpus
+    * size), fused full-outer as Σ 1/(rrfK + rank) with 0 for a missing
+    * leg. Returns (outIdCol, rrf, sparse_rank, dense_rank), top `k` by
     * (rrf desc, id asc); rrf rounded 6 dp. */
   def rrfFuse(sparse: DataFrame, dense: DataFrame, sparseIdCol: String,
               denseIdCol: String, outIdCol: String, k: Int,
-              rrfK: Int = 60): DataFrame = {
-    val s = withRank(sparse, sparseIdCol, "score")
+              rrfK: Int = 60, sparseScoreCol: String = "score",
+              denseScoreCol: String = "cosine"): DataFrame = {
+    Seq((sparse, "sparse", sparseIdCol, sparseScoreCol),
+      (dense, "dense", denseIdCol, denseScoreCol)).foreach {
+      case (leg, name, id, score) => Seq(id, score).foreach(c =>
+        require(leg.columns.contains(c),
+          s"rrfFuse $name leg has no '$c' column " +
+            s"(columns: ${leg.columns.mkString(", ")}) — pass the " +
+            "right idCol/scoreCol for this retriever"))
+    }
+    val s = withRank(sparse, sparseIdCol, sparseScoreCol)
       .select(col(sparseIdCol).as("_id"), col("rank").as("sparse_rank"))
-    val d = withRank(dense, denseIdCol, "cosine")
+    val d = withRank(dense, denseIdCol, denseScoreCol)
       .select(col(denseIdCol).as("_id"), col("rank").as("dense_rank"))
     s.join(d, Seq("_id"), "full_outer")
       .select(col("_id").as(outIdCol),

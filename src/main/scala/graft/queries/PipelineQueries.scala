@@ -2018,14 +2018,23 @@ object PipelineQueries {
             concat(lit(header), col("text"))).otherwise(col("text")))
         val bench = all.filter(col("doc_id") % 7 === 0)
           .select("doc_id", "text")
+        // persist() at the reused stage boundaries: `cleaned` feeds
+        // both the bigram-LM training pass and the gate join's left
+        // side, `gated` both contamination legs — without the cache
+        // the boilerplate-strip subtree (the most expensive stage)
+        // re-evaluates ~4× inside one action. At 100 TB the
+        // production-faithful equivalent is committing each stage to
+        // the lake; in-process, MEMORY_AND_DISK is the same cut.
         val cleaned = Curation.dropBoilerplate(corpus, "doc_id", "text",
             chunkTokens = 8, maxDocFreq = 3)
           .filter(col("n_kept") > 0)
           .select(col("doc_id"), col("clean_text").as("text"))
+          .persist()
         val gated = cleaned.join(
           Curation.bigramNll(cleaned, "doc_id", "text")
             .filter(col("avg_nll") <= 3.5).select("doc_id"),
           Seq("doc_id"), "left_semi")
+          .persist()
         val dirty = Curation.contamination(gated, bench,
             "doc_id", "text", n = 8)
           .select(col("train_id").as("doc_id"))
@@ -2144,9 +2153,19 @@ object PipelineQueries {
           .select("doc_id", "text")
         val cut = docs.agg(max("doc_id")).head().getLong(0) / 2
         val schema = docs.schema
+        // Each wave must drain as ONE micro-batch: the file source
+        // splits batches by file order (timestamp/path), which is not
+        // doc_id-correlated, so a wave split across batches could
+        // commit a duplicate's LARGER doc_id first and incremental
+        // dedup would then keep it — diverging from the batch oracle's
+        // global min-id survivor. A wave-sized maxFilesPerTrigger
+        // makes the first-seen order equal the wave order by
+        // construction (the production analog: align the trigger batch
+        // with the ingest commit unit).
         def drain(): Unit =
           graft.streaming.IngestStream
-            .rawStream(s, s"$root/raw", schema, "parquet")
+            .rawStream(s, s"$root/raw", schema, "parquet",
+              maxFilesPerTrigger = 100000)
             .writeStream
             .option("checkpointLocation", s"$root/ckpt")
             .trigger(org.apache.spark.sql.streaming.Trigger

@@ -1205,16 +1205,24 @@ object Manifest {
 
   /** Initialize the table: version 1 = `df`. An EMPTY `df` creates a
     * zero-file snapshot whose schema header still makes the table
-    * readable (the CREATE TABLE shape). */
+    * readable (the CREATE TABLE shape).
+    *
+    * `lateMeta` is evaluated AFTER the data write and merged into the
+    * same commit's header — the channel for metadata that only exists
+    * once the write job ran (an `Observation`'s metrics, folded into
+    * the write instead of costing a separate pass; see
+    * [[SearchIndex.create]]). Same reserved-key rules as `extraMeta`. */
   def init(spark: SparkSession, root: String, df: DataFrame,
            partitionCols: Seq[String] = Nil,
-           extraMeta: Map[String, String] = Map.empty): Long = {
+           extraMeta: Map[String, String] = Map.empty,
+           lateMeta: () => Map[String, String] = () => Map.empty): Long = {
     require(latestVersion(spark, root).isEmpty,
       s"$root is already a manifest table")
     checkExtraMeta(extraMeta)
-    publish(spark, root, 0L,
-      writeCommit(spark, root, 1L, df, partitionCols),
-      schemaHeaders(df.schema, partitionCols) ++ extraMeta)
+    val fresh = writeCommit(spark, root, 1L, df, partitionCols)
+    val lm = lateMeta(); checkExtraMeta(lm)
+    publish(spark, root, 0L, fresh,
+      schemaHeaders(df.schema, partitionCols) ++ extraMeta ++ lm)
   }
 
   /** Append-commit: next snapshot = previous files + `df`'s files.
@@ -1235,12 +1243,18 @@ object Manifest {
     * unbounded spinning would hide a stuck committer. */
   def commitAppend(spark: SparkSession, root: String, df: DataFrame,
                    partitionCols: Seq[String] = Nil,
-                   extraMeta: Map[String, String] = Map.empty): Long = {
+                   extraMeta: Map[String, String] = Map.empty,
+                   lateMeta: () => Map[String, String] = () => Map.empty)
+      : Long = {
     checkExtraMeta(extraMeta)
     val cur = latestVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"$root not initialized"))
     checkPartCols(readManifest(spark, root, cur), partitionCols)
     val fresh = writeCommit(spark, root, cur + 1, df, partitionCols)
+    // post-write metadata (see init): evaluated ONCE, outside the
+    // optimistic-retry loop — a lost commit race re-publishes the same
+    // already-computed values, never re-runs the job they came from
+    val lm = lateMeta(); checkExtraMeta(lm)
     retryingAppend(maxAttempts = 5) {
       val head = latestVersion(spark, root).get
       val prev = readManifest(spark, root, head)
@@ -1250,7 +1264,7 @@ object Manifest {
         prev.entries ++ fresh.map(_.copy(seq = Some(head + 1))),
         prev.meta ++ schemaHeaders(
           appendSchema(spark, root, prev, df.schema), partitionCols)
-          ++ extraMeta,
+          ++ extraMeta ++ lm,
         prev.deletes) // pending MoR deletes still apply to older files
     }
   }
@@ -1543,19 +1557,22 @@ object Manifest {
     * Old snapshots keep reading their own files until vacuumed. */
   def commitReplace(spark: SparkSession, root: String, df: DataFrame,
                     partitionCols: Seq[String] = Nil,
-                    extraMeta: Map[String, String] = Map.empty): Long = {
+                    extraMeta: Map[String, String] = Map.empty,
+                    lateMeta: () => Map[String, String] = () => Map.empty)
+      : Long = {
     checkExtraMeta(extraMeta)
     val cur = latestVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"$root not initialized"))
     val prev = readManifest(spark, root, cur)
+    val fresh = writeCommit(spark, root, cur + 1, df, partitionCols)
+    val lm = lateMeta(); checkExtraMeta(lm) // post-write meta (see init)
     // a replace swaps the ENTIRE file set, so the schema and layout
     // headers reset to the new frame's (this is also the sanctioned
     // way to converge a mixed-layout or legacy table); with no old
     // files left, dropped-column tombstones are released too
-    publish(spark, root, cur,
-      writeCommit(spark, root, cur + 1, df, partitionCols),
+    publish(spark, root, cur, fresh,
       prev.meta - "dropped" ++ schemaHeaders(df.schema, partitionCols)
-        ++ extraMeta)
+        ++ extraMeta ++ lm)
   }
 
   /** Copy-on-write MERGE with cross-partition atomicity — the

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.Search
@@ -16,29 +16,33 @@ import graft.operators.Search
   * — re-expressed as a versioned manifest table the rest of this
   * library already knows how to commit, time-travel, and stream.
   *
-  * LAYOUT — one manifest table, hash-partitioned by `bucket`:
-  *  - postings rows: bucket = crc32(token) mod B ∈ [0, B),
-  *    (token, id, tf). A term lookup prunes to its term buckets via
-  *    manifest partition pruning (real `PartitionFilters`), so query
-  *    cost is O(postings of the query's terms), independent of corpus
-  *    size;
-  *  - doc-length rows: bucket = B + crc32(id) mod ceil(B/4) ∈ [B, ...),
-  *    token NULL, tf = analyzed length. Separate bucket range keeps the
-  *    dl scan off the postings files and vice versa.
-  * One table (not two) so the append-only refresh is ONE atomic commit.
+  * LAYOUT — one manifest table, hash-partitioned by `bucket` =
+  * crc32(token) mod B ∈ [0, B): rows (token, id, tf, dl[, ps]). A term
+  * lookup prunes to its term buckets via manifest partition pruning
+  * (real `PartitionFilters`), so query cost is O(postings of the
+  * query's terms), independent of corpus size. The document's analyzed
+  * length `dl` is DENORMALIZED onto every one of its postings rows —
+  * the Lucene norms-with-postings move — so BM25 needs NO doc-length
+  * side table and NO join: before this, every served query scanned one
+  * doc-length row per corpus document (an O(N-docs) leg that
+  * contradicted the O(query-postings) claim); now the pruned postings
+  * rows carry everything the scorer needs, at ~8 bytes/posting.
   *
   * COLLECTION STATS ride the commit header (`idx.n` docs, `idx.ndl`
   * docs with non-null text, `idx.sumdl` total tokens) and are
   * delta-maintained on refresh — BM25's N and avgdl are driver
-  * literals; a query never aggregates the corpus.
+  * literals; a query never aggregates the corpus. The stats themselves
+  * are folded into the index-build WRITE job via an `Observation` on
+  * the per-document analyzed frame (zero extra corpus passes, zero
+  * extra jobs — they land in the same commit through
+  * [[Manifest.init]]'s `lateMeta` hook).
   *
   * REFRESH COST ∝ CHANGES (the q142 MaterializedAgg contract): the
   * file-level diff between the indexed base version and the source
   * head drives it. Append-only commits index just the added files
   * (one commit, atomic). Rewrites (compaction, copy-on-write merge)
   * first erase removed files' docs with a merge-on-read
-  * [[Manifest.deleteByKeys]] (O(changed docs), erases postings AND dl
-  * rows in one commit since both carry the id column), then append the
+  * [[Manifest.deleteByKeys]] (O(changed docs)), then append the
   * re-indexed docs. That pair is not atomic, so the delete commit
   * stamps `idx.pending` = target version; base advances only with the
   * append. A crash between them leaves pending ≠ base — reads refuse
@@ -63,42 +67,72 @@ object SearchIndex {
     c.getValue
   }
 
-  private def dlBuckets(b: Int): Int = math.max(1, b / 4)
-
   def termBucket(term: String, buckets: Int): Int =
     (crc32Of(term) % buckets).toInt
 
-  /** (postings ∪ doc-length) rows for `docs`, bucket-routed. With
-    * `positions`, each postings row also carries the token's SORTED
-    * in-document position array (the Lucene positional-postings
-    * analog) — what phrase/span queries need to run from the index;
-    * ~4 bytes per corpus token of extra index size, the standard
-    * price. */
+  /** Per-document analyzed frame (id, toks, dl) — ONE tokenizer pass
+    * feeds the postings explode, the denormalized per-posting dl, AND
+    * (via `observe`) the collection stats, all inside the same write
+    * job. dl = size(tokens(text)) map-side (null text → null dl). */
+  private def analyzedDocs(docs: DataFrame, idCol: String,
+                           textCol: String): DataFrame =
+    graft.scaleOut(docs, col(idCol))
+      .select(col(idCol),
+        graft.functions.Text.tokens(col(textCol)).as("toks"))
+      .select(col(idCol), col("toks"),
+        size(col("toks")).cast("long").as("dl"))
+
+  /** Stats observation over a per-document frame: (docs, docs with
+    * non-null text, total tokens) accumulated DURING whatever action
+    * first executes the returned frame — the replacement for the old
+    * separate `docStats` aggregation job. */
+  private def observed(analyzed: DataFrame, obs: Observation): DataFrame =
+    analyzed.observe(obs, count(lit(1)).as("n"),
+      count(col("dl")).as("ndl"), sum(col("dl")).as("sumdl"))
+
+  private def statsOf(obs: Observation): (Long, Long, Long) = {
+    val m = obs.get
+    def l(k: String): Long = m.get(k) match {
+      case Some(v: Number) => v.longValue()
+      case _ => 0L
+    }
+    (l("n"), l("ndl"), l("sumdl"))
+  }
+
+  /** Postings rows for `docs`, bucket-routed, dl-denormalized. With
+    * `positions`, each row also carries the token's SORTED in-document
+    * position array (the Lucene positional-postings analog) — what
+    * phrase/span queries need to run from the index; ~4 bytes per
+    * corpus token of extra index size, the standard price. */
   private def indexRows(docs: DataFrame, idCol: String, textCol: String,
-                        buckets: Int,
-                        positions: Boolean): DataFrame = {
-    val base =
-      if (!positions) Search.invertedIndex(docs, idCol, textCol)
-      else Search.posTokenStream(docs, idCol, textCol)
-        .groupBy(col("token"), col(idCol))
-        .agg(count(lit(1)).as("tf"),
-          sort_array(collect_list(col("pos"))).as("ps"))
-    val postings = base
+                        buckets: Int, positions: Boolean,
+                        obs: Option[Observation]): DataFrame = {
+    val base = analyzedDocs(docs, idCol, textCol)
+    val analyzed = obs.fold(base)(observed(base, _))
+    // explode_outer + isNotNull instead of plain explode so the
+    // optimizer's inferred size() filter can't re-inline the tokenizer
+    // below the exchange (see Dedup.minhashSignatures)
+    val stream =
+      if (positions)
+        analyzed.select(col(idCol), col("dl"),
+          posexplode_outer(col("toks")).as(Seq("pos", "token")))
+      else
+        analyzed.select(col(idCol), col("dl"),
+          explode_outer(col("toks")).as("token"))
+    // dl is functionally determined by the id, so grouping by it too
+    // changes no groups — it just rides the ONE (token, id) postings
+    // aggregation for free instead of joining back afterwards
+    val aggs = count(lit(1)).as("tf") +:
+      (if (positions) Seq(sort_array(collect_list(col("pos"))).as("ps"))
+       else Nil)
+    val postings = stream.filter(col("token").isNotNull)
+      .groupBy(col("token"), col(idCol), col("dl"))
+      .agg(aggs.head, aggs.tail: _*)
       .select(
         pmod(crc32(col("token")), lit(buckets.toLong)).cast("int")
           .as(BucketCol) +:
-        col("token") +: col(idCol) +: col("tf") +:
+        col("token") +: col(idCol) +: col("tf") +: col("dl") +:
         (if (positions) Seq(col("ps")) else Nil): _*)
-    val dl = Search.docLengths(docs, idCol, textCol)
-      .filter(col("dl").isNotNull)
-      .select(
-        (lit(buckets) + pmod(crc32(col(idCol).cast("string")),
-          lit(dlBuckets(buckets).toLong)).cast("int")).cast("int")
-          .as(BucketCol) +:
-        lit(null).cast("string").as("token") +: col(idCol) +:
-        col("dl").as("tf") +:
-        (if (positions) Seq(lit(null).cast("array<int>").as("ps"))
-         else Nil): _*)
     // Cluster by bucket BEFORE the partitioned write: without this, a
     // W-partition shuffle writing P hive partitions leaves up to W×P
     // files per commit (measured ~640 tiny files per index commit at
@@ -108,17 +142,7 @@ object SearchIndex {
     // default 64 → more, smaller buckets), so the clustering shuffle
     // stays balanced — it is the SAME hash the bucket column already
     // encodes.
-    postings.unionByName(dl).repartition(col(BucketCol))
-  }
-
-  /** (docs, docs with text, total tokens) — one bounded driver row. */
-  private def docStats(docs: DataFrame, idCol: String,
-                       textCol: String): (Long, Long, Long) = {
-    val r = Search.docLengths(docs, idCol, textCol)
-      .agg(count(lit(1)).as("n"), count(col("dl")).as("ndl"),
-        sum(col("dl")).as("sumdl")).head()
-    (r.getLong(0), r.getLong(1),
-      if (r.isNullAt(2)) 0L else r.getLong(2))
+    postings.repartition(col(BucketCol))
   }
 
   private def stateMeta(srcRoot: String, idCol: String, textCol: String,
@@ -133,25 +157,28 @@ object SearchIndex {
       "idx.sumdl" -> stats._3.toString)
 
   /** Build the index at the source's current version — the last full
-    * tokenization pass this index ever needs on the append-only path.
-    * `positions = true` stores per-posting position arrays so phrase /
-    * span-near queries can be served from the index
-    * ([[searchNear]]). */
+    * tokenization pass this index ever needs on the append-only path,
+    * and the ONLY job this method runs (stats ride the write via
+    * `observe` + `lateMeta`). `positions = true` stores per-posting
+    * position arrays so phrase / span-near queries can be served from
+    * the index ([[searchNear]]). */
   def create(spark: SparkSession, srcRoot: String, indexRoot: String,
              idCol: String, textCol: String, buckets: Int = 64,
              positions: Boolean = false): Long = {
     require(buckets >= 1, "buckets must be >= 1")
     require(!idCol.contains(",") && idCol != BucketCol &&
-        idCol != "token" && idCol != "tf" && idCol != "ps",
+        idCol != "token" && idCol != "tf" && idCol != "dl" &&
+        idCol != "ps",
       s"id column '$idCol' collides with the index's own columns")
     val head = Manifest.latestVersion(spark, srcRoot).getOrElse(
       throw new IllegalStateException(s"$srcRoot not initialized"))
     val docs = Manifest.read(spark, srcRoot, Some(head))
+    val obs = Observation()
     Manifest.init(spark, indexRoot,
-      indexRows(docs, idCol, textCol, buckets, positions),
+      indexRows(docs, idCol, textCol, buckets, positions, Some(obs)),
       Seq(BucketCol),
-      extraMeta = stateMeta(srcRoot, idCol, textCol, buckets, head,
-        docStats(docs, idCol, textCol), positions))
+      lateMeta = () => stateMeta(srcRoot, idCol, textCol, buckets, head,
+        statsOf(obs), positions))
   }
 
   private def state(spark: SparkSession, indexRoot: String,
@@ -194,11 +221,12 @@ object SearchIndex {
 
     def full(): Long = {
       val docs = Manifest.read(spark, srcRoot, Some(srcHead))
+      val obs = Observation()
       Manifest.commitReplace(spark, indexRoot,
-        indexRows(docs, idCol, textCol, buckets, positions),
+        indexRows(docs, idCol, textCol, buckets, positions, Some(obs)),
         Seq(BucketCol),
-        extraMeta = stateMeta(srcRoot, idCol, textCol, buckets, srcHead,
-          docStats(docs, idCol, textCol), positions))
+        lateMeta = () => stateMeta(srcRoot, idCol, textCol, buckets,
+          srcHead, statsOf(obs), positions))
     }
 
     if (torn(meta)) return full() // heal a crashed delete+append pair
@@ -232,29 +260,35 @@ object SearchIndex {
       case None => full()
       case Some((added, removed)) =>
         val addedDocs = Manifest.readSubset(spark, srcRoot, srcHead, added)
-        val (na, nda, sa) = docStats(addedDocs, idCol, textCol)
         val (nr, ndr, sr) =
           if (removed.isEmpty) (0L, 0L, 0L)
-          else docStats(
-            Manifest.readSubset(spark, srcRoot, base, removed),
-            idCol, textCol)
-        val newStats = (meta("idx.n").toLong + na - nr,
-          meta("idx.ndl").toLong + nda - ndr,
-          meta("idx.sumdl").toLong + sa - sr)
-        if (removed.nonEmpty) {
-          // erase rewritten files' docs (postings + dl rows share the
-          // id column, so ONE merge-on-read delete covers both); the
-          // pending stamp makes a crash before the append detectable
-          Manifest.deleteByKeys(spark, indexRoot,
-            Manifest.readSubset(spark, srcRoot, base, removed)
-              .select(col(idCol)),
-            extraMeta = Map("idx.pending" -> srcHead.toString))
-        }
+          else {
+            // erase rewritten files' docs via merge-on-read delete; the
+            // pending stamp makes a crash before the append detectable.
+            // The removed docs' STATS observation rides the delete's own
+            // key job (the ids are projected from the same analyzed
+            // frame), so the erase costs no extra pass.
+            val obsR = Observation()
+            val analyzedR = observed(analyzedDocs(
+              Manifest.readSubset(spark, srcRoot, base, removed),
+              idCol, textCol), obsR)
+            Manifest.deleteByKeys(spark, indexRoot,
+              analyzedR.select(col(idCol)),
+              extraMeta = Map("idx.pending" -> srcHead.toString))
+            statsOf(obsR)
+          }
+        val obsA = Observation()
         Manifest.commitAppend(spark, indexRoot,
-          indexRows(addedDocs, idCol, textCol, buckets, positions),
+          indexRows(addedDocs, idCol, textCol, buckets, positions,
+            Some(obsA)),
           Seq(BucketCol),
-          extraMeta = stateMeta(srcRoot, idCol, textCol, buckets,
-            srcHead, newStats, positions))
+          lateMeta = () => {
+            val (na, nda, sa) = statsOf(obsA)
+            stateMeta(srcRoot, idCol, textCol, buckets, srcHead,
+              (meta("idx.n").toLong + na - nr,
+                meta("idx.ndl").toLong + nda - ndr,
+                meta("idx.sumdl").toLong + sa - sr), positions)
+          })
     }
   }
 
@@ -293,17 +327,33 @@ object SearchIndex {
   def postings(spark: SparkSession, indexRoot: String): DataFrame = {
     val (meta, head) = state(spark, indexRoot)
     Manifest.read(spark, indexRoot, Some(head))
-      .filter(col(BucketCol) < meta("idx.buckets").toInt)
       .select(col("token"), col(meta("idx.id")), col("tf"))
+  }
+
+  /** The pruned postings frame for a literal term set: ONLY the terms'
+    * buckets are planned (`PartitionFilters`), every row already
+    * carries its document's dl — the one scan every serving query is
+    * built from. */
+  private def prunedPostings(spark: SparkSession, indexRoot: String,
+                             sv: Serving, terms: Seq[String],
+                             extraCols: Seq[String] = Nil): DataFrame = {
+    val tBuckets = terms.map(termBucket(_, sv.buckets)).distinct
+    Manifest.read(spark, indexRoot, Some(sv.head))
+      .filter(col(BucketCol).isin(tBuckets: _*) &&
+        col("token").isin(terms: _*))
+      .select(col(sv.idCol) +: col("token") +: col("tf") +: col("dl") +:
+        extraCols.map(col): _*)
   }
 
   /** BM25 top-k served FROM THE INDEX — identical arithmetic (and
     * rounding) to [[Search.rankBm25]], so the two are hash-equal on the
     * same corpus, but the plan touches only the query terms' buckets:
-    * partition-pruned postings scan → broadcast per-term df → join the
-    * (pruned) doc-length rows → TakeOrderedAndProject. N and avgdl come
-    * from the header — zero corpus aggregation at query time. */
-  /** `after` = the OpenSearch `search_after` cursor: the (score, id)
+    * partition-pruned postings scan (dl rides each row — no doc-length
+    * join, nothing corpus-sized anywhere) → broadcast per-term df →
+    * TakeOrderedAndProject. N and avgdl come from the header — zero
+    * corpus aggregation at query time.
+    *
+    * `after` = the OpenSearch `search_after` cursor: the (score, id)
     * sort key of the LAST hit of the previous page. Deep pagination as
     * a keyset predicate — rows at or before the cursor in the
     * (score desc, id asc) total order are filtered out BEFORE the
@@ -327,40 +377,46 @@ object SearchIndex {
                  after: Option[(Double, Any)] = None,
                  asOf: Option[Long] = None): DataFrame = {
     val sv = serving(spark, indexRoot, asOf)
-    val avgdl = sv.avgdl(indexRoot)
     val terms = query.toLowerCase.split(" ").filter(_.nonEmpty)
       .distinct.toSeq
     require(terms.nonEmpty, "BM25 query needs at least one term")
-    val tBuckets = terms.map(termBucket(_, sv.buckets)).distinct
-    val tbl = Manifest.read(spark, indexRoot, Some(sv.head))
-    val tf = tbl
-      .filter(col(BucketCol).isin(tBuckets: _*) &&
-        col("token").isin(terms: _*))
-      .select(col(sv.idCol), col("token"), col("tf"))
-    val dl = tbl.filter(col(BucketCol) >= sv.buckets)
-      .select(col(sv.idCol), col("tf").as("dl"))
-    scorePostings(tf, dl, sv.idCol, sv.n, avgdl, terms, k, k1, b,
-      requireAll, after)
+    scorePostings(prunedPostings(spark, indexRoot, sv, terms), sv.idCol,
+      sv.n, sv.avgdl(indexRoot), terms, k, k1, b, requireAll, after)
   }
 
-  /** The BM25 scoring tail over a (idCol, token, tf) postings frame
-    * and a (idCol, dl) length frame with DRIVER-literal N/avgdl —
-    * shared by the single-index and sharded paths so their arithmetic
-    * cannot diverge. df is computed from the (already pruned) postings
-    * frame itself. */
-  private def scorePostings(tf: DataFrame, dl: DataFrame, idCol: String,
+  /** The BM25 scoring tail over a (idCol, token, tf, dl) postings
+    * frame with DRIVER-literal N/avgdl — shared by the single-index
+    * and sharded paths so their arithmetic cannot diverge. df is
+    * computed from the (already pruned) postings frame itself.
+    * `shardGuard` (sharded path only) names a shard-ordinal column:
+    * a doc id seen in >1 shard violates the disjointness precondition
+    * and fails the QUERY loudly (raise_error inside the score
+    * expression — zero extra jobs) instead of silently mis-ranking
+    * merged scores. */
+  private def scorePostings(tf: DataFrame, idCol: String,
                             n: Long, avgdl: Double, terms: Seq[String],
                             k: Int, k1: Double, b: Double,
                             requireAll: Boolean,
-                            after: Option[(Double, Any)]): DataFrame = {
+                            after: Option[(Double, Any)],
+                            shardGuard: Option[String] = None)
+      : DataFrame = {
     val df = tf.groupBy(col("token"))
       .agg(countDistinct(col(idCol)).as("df"))
+    val guard: Column = shardGuard match {
+      case Some(sc) => when(countDistinct(col(sc)) > 1,
+        raise_error(concat(
+          lit("sharded search precondition violated: doc id "),
+          col(idCol).cast("string"),
+          lit(" appears in more than one shard — shards must " +
+            "partition the document space"))).cast("double"))
+        .otherwise(lit(0.0))
+      case None => lit(0.0)
+    }
     tf.join(broadcast(df), "token")
-      .join(dl, idCol)
       .withColumn("_s", Search.bm25Weight(col("tf"), col("dl"),
         col("df"), lit(n.toDouble), lit(avgdl), k1, b))
       .groupBy(col(idCol))
-      .agg(round(sum(col("_s")), 4).as("score"),
+      .agg((round(sum(col("_s")), 4) + guard).as("score"),
         count(lit(1)).as("matched"))
       .filter(if (requireAll) col("matched") === terms.size
         else lit(true))
@@ -386,7 +442,9 @@ object SearchIndex {
     * still prunes to its own term buckets. Shards may disagree on
     * bucket count (each routes by its own header); they MUST
     * partition the document space (globally unique ids — same
-    * precondition as the single index, per shard pair). */
+    * precondition as the single index, per shard pair). Violations
+    * fail the query loudly: each leg is tagged with its shard ordinal
+    * and the scorer raises on any doc id spanning two shards. */
   def searchBm25Sharded(spark: SparkSession, indexRoots: Seq[String],
                         query: String, k: Int, k1: Double = 1.2,
                         b: Double = 0.75,
@@ -403,19 +461,12 @@ object SearchIndex {
     val terms = query.toLowerCase.split(" ").filter(_.nonEmpty)
       .distinct.toSeq
     require(terms.nonEmpty, "BM25 query needs at least one term")
-    // ONE pinned read per shard serves both legs (postings + dl)
-    val legs = shards.map { case (r, sv) =>
-      val tb = terms.map(termBucket(_, sv.buckets)).distinct
-      val tbl = Manifest.read(spark, r, Some(sv.head))
-      (tbl.filter(col(BucketCol).isin(tb: _*) &&
-          col("token").isin(terms: _*))
-        .select(col(idCol), col("token"), col("tf")),
-        tbl.filter(col(BucketCol) >= sv.buckets)
-          .select(col(idCol), col("tf").as("dl")))
+    val legs = shards.zipWithIndex.map { case ((r, sv), i) =>
+      prunedPostings(spark, r, sv, terms)
+        .withColumn("_shard", lit(i))
     }
-    scorePostings(legs.map(_._1).reduce(_ unionByName _),
-      legs.map(_._2).reduce(_ unionByName _),
-      idCol, n, avgdl, terms, k, k1, b, requireAll, after = None)
+    scorePostings(legs.reduce(_ unionByName _), idCol, n, avgdl, terms,
+      k, k1, b, requireAll, after = None, shardGuard = Some("_shard"))
   }
 
   /** PHRASE / SPAN-NEAR SERVED FROM THE INDEX — requires a
@@ -425,9 +476,11 @@ object SearchIndex {
     * arrays, and runs the SAME greedy span chain as the corpus pass
     * (`Search.spanFromPerTerm` — shared code, cannot diverge), scored
     * as one-term BM25 with df = matching docs (one broadcast row) and
-    * N/avgdl from the header. Query cost O(phrase-term postings) —
-    * the corpus is never re-tokenized, which is the entire point of
-    * storing positions.
+    * N/avgdl from the header; dl comes off the matched docs' own
+    * pruned postings rows (max over a doc's rows — they all carry the
+    * same value), so nothing corpus-sized is read. Query cost
+    * O(phrase-term postings) — the corpus is never re-tokenized, which
+    * is the entire point of storing positions.
     *
     * Returns (idCol, score, span_tf), top `k`. */
   def searchNear(spark: SparkSession, indexRoot: String, phrase: String,
@@ -440,16 +493,12 @@ object SearchIndex {
         "queries")
     val avgdl = sv.avgdl(indexRoot)
     val terms = Search.parseSpanTerms(phrase, slop)
-    val tBuckets = terms.distinct.map(termBucket(_, sv.buckets))
-      .distinct
-    val tbl = Manifest.read(spark, indexRoot, Some(sv.head))
-    val perTerm = tbl
-      .filter(col(BucketCol).isin(tBuckets: _*) &&
-        col("token").isin(terms.distinct: _*))
-      .select(col(sv.idCol), col("token"), col("ps"))
-    val hits = Search.spanFromPerTerm(perTerm, sv.idCol, terms, slop)
-    val dl = tbl.filter(col(BucketCol) >= sv.buckets)
-      .select(col(sv.idCol), col("tf").as("dl"))
+    val pruned = prunedPostings(spark, indexRoot, sv, terms.distinct,
+      extraCols = Seq("ps"))
+    val hits = Search.spanFromPerTerm(
+      pruned.select(col(sv.idCol), col("token"), col("ps")),
+      sv.idCol, terms, slop)
+    val dl = pruned.groupBy(col(sv.idCol)).agg(max(col("dl")).as("dl"))
     val dfp = hits.agg(count(lit(1)).as("df"))
     hits.join(dl, sv.idCol)
       .crossJoin(broadcast(dfp))
@@ -464,8 +513,8 @@ object SearchIndex {
   /** BOOL QUERY SERVED FROM THE INDEX — `Search.searchBool` semantics
     * (must gates, must_not anti-join, should boosts; identical BM25
     * arithmetic) answered from the pruned buckets of must ∪ should ∪
-    * mustNot, with N/avgdl from the header. Query cost O(those terms'
-    * postings). */
+    * mustNot, with N/avgdl from the header and dl on the postings rows
+    * themselves. Query cost O(those terms' postings). */
   def searchBool(spark: SparkSession, indexRoot: String,
                  must: Seq[String], should: Seq[String],
                  mustNot: Seq[String], k: Int, k1: Double = 1.2,
@@ -481,22 +530,13 @@ object SearchIndex {
     require(scoreT.nonEmpty, "bool query needs a must or should term")
     require(notT.intersect(scoreT).isEmpty,
       "a term cannot be both required/optional and excluded")
-    val allT = scoreT ++ notT
-    val tBuckets = allT.map(termBucket(_, sv.buckets)).distinct
-    val tbl = Manifest.read(spark, indexRoot, Some(sv.head))
-    val tf = tbl
-      .filter(col(BucketCol).isin(tBuckets: _*) &&
-        col("token").isin(allT: _*))
-      .select(col(idCol), col("token"), col("tf"))
+    val tf = prunedPostings(spark, indexRoot, sv, scoreT ++ notT)
     val banned = tf.filter(col("token").isin(notT: _*))
       .select(col(idCol)).distinct()
     val scoreTf = tf.filter(col("token").isin(scoreT: _*))
     val df = scoreTf.groupBy(col("token"))
       .agg(countDistinct(col(idCol)).as("df"))
-    val dl = tbl.filter(col(BucketCol) >= sv.buckets)
-      .select(col(idCol), col("tf").as("dl"))
     scoreTf.join(broadcast(df), "token")
-      .join(dl, idCol)
       .withColumn("_s", Search.bm25Weight(col("tf"), col("dl"),
         col("df"), lit(sv.n.toDouble), lit(avgdl), k1, b))
       .withColumn("_m",
@@ -518,7 +558,10 @@ object SearchIndex {
     * (token, doc, tf) postings: the length-window + levenshtein
     * candidate filter runs over |postings of candidate-length tokens|
     * rows with the predicate pushed to the parquet scan, and the
-    * corpus is never re-tokenized. */
+    * corpus is never re-tokenized. If fuzzy queries are hot, maintain
+    * a [[createFuzzyTwin]] n-gram term dictionary and serve them with
+    * [[matchFuzzyFromTwin]] — candidate vocabulary bounded by gram
+    * pruning, postings pruned to the candidates' buckets. */
   def matchFuzzy(spark: SparkSession, indexRoot: String, term: String,
                  k: Int, maxEdits: Int = 2): DataFrame = {
     val sv = serving(spark, indexRoot)
@@ -528,8 +571,7 @@ object SearchIndex {
       s"fuzzy match takes ONE term, got '$term' — use searchBm25 for " +
         "multi-term")
     Manifest.read(spark, indexRoot, Some(sv.head))
-      .filter(col(BucketCol) < sv.buckets &&
-        abs(length(col("token")) - lit(q.length)) <= maxEdits &&
+      .filter(abs(length(col("token")) - lit(q.length)) <= maxEdits &&
         levenshtein(col("token"), lit(q)) <= maxEdits)
       .withColumn("dist", levenshtein(col("token"), lit(q)))
       .groupBy(col(idCol))
@@ -541,19 +583,18 @@ object SearchIndex {
 
   /** Completion suggest served FROM THE INDEX — identical semantics to
     * `Search.suggest` (freq = collection frequency = Σ tf) but with NO
-    * corpus tokenization: one scan of the postings buckets (the
-    * doc-length bucket range is partition-pruned away). A hash-bucketed
-    * layout cannot prune a PREFIX predicate — at scale, if suggest is
-    * hot, maintain a token-RANGE partitioned twin of the postings
-    * table; the per-token rows here are already aggregated, so even the
-    * unpruned scan reads |vocabulary| rows, not |corpus tokens|.
+    * corpus tokenization: one scan of the postings buckets. A
+    * hash-bucketed layout cannot prune a PREFIX predicate — at scale,
+    * if suggest is hot, maintain a token-RANGE partitioned twin of the
+    * postings table ([[createSuggestTwin]]); the per-token rows here
+    * are already aggregated, so even the unpruned scan reads
+    * |vocabulary| rows, not |corpus tokens|.
     * Returns (token, freq, docs), top `k`. */
   def suggest(spark: SparkSession, indexRoot: String, prefix: String,
               k: Int): DataFrame = {
     val sv = serving(spark, indexRoot)
     Manifest.read(spark, indexRoot, Some(sv.head))
-      .filter(col(BucketCol) < sv.buckets &&
-        col("token").startsWith(prefix.toLowerCase))
+      .filter(col("token").startsWith(prefix.toLowerCase))
       .groupBy(col("token"))
       .agg(sum(col("tf")).as("freq"),
         countDistinct(col(sv.idCol)).as("docs"))
@@ -600,7 +641,6 @@ object SearchIndex {
   private def twinRows(spark: SparkSession, indexRoot: String,
                        sv: Serving): DataFrame =
     Manifest.read(spark, indexRoot, Some(sv.head))
-      .filter(col(BucketCol) < sv.buckets)
       .groupBy(col("token"))
       .agg(sum(col("tf")).as("freq"),
         countDistinct(col(sv.idCol)).as("docs"))
@@ -625,6 +665,171 @@ object SearchIndex {
       .select(col("token"), col("freq"), col("docs"))
       .orderBy(col("freq").desc, col("token").asc)
       .limit(k)
+  }
+
+  // ---------------------------------------------------------------------
+  // FUZZY TWIN — the n-gram term dictionary Lucene solves fuzzy queries
+  // with (FuzzyQuery intersects a Levenshtein automaton with the term
+  // dictionary; the classic pre-automaton design is an n-gram index over
+  // the vocabulary). [[matchFuzzy]] is honest about scanning all
+  // postings buckets under a levenshtein filter; the twin bounds the
+  // CANDIDATE VOCABULARY instead: a token within `e` edits of the query
+  // must share all but 3e of the query's distinct padded 3-grams (each
+  // edit destroys at most 3 grams of the ^token$-padded form), so the
+  // lookup prunes to the query's own gram partitions, counts shared
+  // grams per token, verifies with levenshtein over that tiny candidate
+  // set, and then reads ONLY the matched variants' postings buckets —
+  // both scans partition-pruned, nothing vocabulary- or corpus-sized.
+  // ---------------------------------------------------------------------
+
+  private val GramBuckets = 32
+
+  /** Padded character 3-grams of a token — DISTINCT (the twin stores
+    * set membership; shared-gram counting must not double-count a gram
+    * that repeats inside the token). "^" / "$" padding gives |t| grams
+    * for any non-empty token, so 1- and 2-char tokens are indexed too. */
+  private def gramsOf(t: String): Seq[String] = {
+    val p = "^" + t + "$"
+    (0 to p.length - 3).map(i => p.substring(i, i + 3)).distinct
+  }
+
+  /** Build the n-gram term-dictionary twin: one vocabulary-sized pass
+    * over the postings buckets → rows (gp, gram, token, len), gp =
+    * crc32(gram) mod 32 the partition key a fuzzy lookup prunes on.
+    * `fz.base` records the index version the twin reflects. */
+  def createFuzzyTwin(spark: SparkSession, indexRoot: String,
+                      twinRoot: String): Long = {
+    val sv = serving(spark, indexRoot)
+    Manifest.init(spark, twinRoot, fuzzyTwinRows(spark, indexRoot, sv),
+      Seq("gp"), extraMeta = Map("fz.src" -> indexRoot,
+        "fz.base" -> sv.head.toString))
+  }
+
+  /** Rebuild the fuzzy twin at the index's current head
+    * (vocabulary-sized work); a no-op commit-wise when current. */
+  def refreshFuzzyTwin(spark: SparkSession, indexRoot: String,
+                       twinRoot: String): Long = {
+    val sv = serving(spark, indexRoot)
+    val twinHead = Manifest.latestVersion(spark, twinRoot).getOrElse(
+      throw new IllegalStateException(s"$twinRoot not initialized"))
+    val twinMeta = Manifest.snapshotMeta(spark, twinRoot, twinHead).meta
+    require(twinMeta.get("fz.src").contains(indexRoot),
+      s"$twinRoot is not a fuzzy twin of $indexRoot")
+    if (twinMeta("fz.base").toLong == sv.head) twinHead
+    else Manifest.commitReplace(spark, twinRoot,
+      fuzzyTwinRows(spark, indexRoot, sv), Seq("gp"),
+      extraMeta = Map("fz.src" -> indexRoot,
+        "fz.base" -> sv.head.toString))
+  }
+
+  private def fuzzyTwinRows(spark: SparkSession, indexRoot: String,
+                            sv: Serving): DataFrame = {
+    // distinct vocabulary → DISTINCT padded 3-grams, exploded (the
+    // executor-side twin of [[gramsOf]] — same padding, same distinct)
+    val vocab = Manifest.read(spark, indexRoot, Some(sv.head))
+      .select(col("token")).distinct()
+    val padded = concat(lit("^"), col("token"), lit("$"))
+    vocab
+      .select(col("token"), length(col("token")).as("len"),
+        array_distinct(transform(sequence(lit(1), length(padded) - 2),
+          i => padded.substr(i, lit(3)))).as("grams"))
+      .select(col("token"), col("len"),
+        explode_outer(col("grams")).as("gram"))
+      .filter(col("gram").isNotNull)
+      .select(pmod(crc32(col("gram")), lit(GramBuckets.toLong))
+        .cast("int").as("gp"), col("gram"), col("token"), col("len"))
+      .repartition(col("gp"))
+  }
+
+  /** Fuzzy term match served from the TWIN + the index — hash-equal to
+    * [[matchFuzzy]] by construction (same score arithmetic over the
+    * same matched variants), but the plan is fully pruned:
+    *  1. candidate lookup scans ONLY the query's gram partitions
+    *     (literal `gp` values → real `PartitionFilters`) with the
+    *     shared-gram lower bound (distinct grams − 3·maxEdits) and the length
+    *     window as cheap pre-filters, levenshtein as the verifier —
+    *     when the bound is vacuous (short terms) it falls back to the
+    *     length-windowed dictionary scan, still |vocabulary|-sized at
+    *     worst, never corpus-sized;
+    *  2. the verified variant set (a handful of tokens by nature of
+    *     edit distance) is collected and the postings scan prunes to
+    *     THOSE tokens' buckets — the same literal-pruning contract as
+    *     [[searchBm25]], with the per-variant edit distance baked in
+    *     as a literal weight map. */
+  def matchFuzzyFromTwin(spark: SparkSession, indexRoot: String,
+                         twinRoot: String, term: String, k: Int,
+                         maxEdits: Int = 2): DataFrame = {
+    val sv = serving(spark, indexRoot)
+    val idCol = sv.idCol
+    val q = term.toLowerCase
+    require(q.nonEmpty && !q.contains(" "),
+      s"fuzzy match takes ONE term, got '$term' — use searchBm25 for " +
+        "multi-term")
+    val twinHead = Manifest.latestVersion(spark, twinRoot).getOrElse(
+      throw new IllegalStateException(s"$twinRoot not initialized"))
+    val twinMeta = Manifest.snapshotMeta(spark, twinRoot, twinHead).meta
+    require(twinMeta.get("fz.src").contains(indexRoot),
+      s"$twinRoot is not a fuzzy twin of $indexRoot")
+    require(twinMeta("fz.base").toLong == sv.head,
+      s"$twinRoot reflects index version ${twinMeta("fz.base")} but " +
+        s"$indexRoot is at ${sv.head} — run refreshFuzzyTwin first")
+    val grams = gramsOf(q)
+    // each edit touches ≤3 padded grams, and a gram TYPE only goes
+    // missing when all its instances are destroyed — so a true match
+    // shares ≥ |distinct grams| − 3e types (distinct count, NOT |q|:
+    // repeated grams would over-tighten the bound and drop matches)
+    val minShared = grams.size - 3 * maxEdits
+    val lenOk = abs(col("len") - lit(q.length)) <= maxEdits
+    val twin = Manifest.read(spark, twinRoot, Some(twinHead))
+    val candFrame =
+      if (minShared > 0) {
+        // gram-pruned: only the query's gram partitions are planned
+        val gp = grams.map(g => (crc32Of(g) % GramBuckets).toInt).distinct
+        twin.filter(col("gp").isin(gp: _*) &&
+            col("gram").isin(grams: _*) && lenOk)
+          .groupBy(col("token"))
+          .agg(count(lit(1)).as("shared")) // (gram, token) rows distinct
+          .filter(col("shared") >= minShared &&
+            levenshtein(col("token"), lit(q)) <= maxEdits)
+      } else {
+        // bound vacuous for short terms: length-windowed dictionary
+        // scan (|vocabulary| at worst — matchFuzzy would scan postings)
+        twin.filter(lenOk).select(col("token")).distinct()
+          .filter(levenshtein(col("token"), lit(q)) <= maxEdits)
+      }
+    // the verified variant set is edit-distance-bounded — a handful of
+    // tokens; collecting it is what lets the postings scan prune to
+    // literal buckets (the same driver-side routing searchBm25 does)
+    val variants = candFrame.select(col("token")).collect()
+      .map(_.getString(0)).toSeq.sorted
+    if (variants.isEmpty)
+      return Manifest.read(spark, indexRoot, Some(sv.head))
+        .select(col(idCol), lit(0L).as("score"), lit(0L).as("matched"))
+        .limit(0)
+    val weights = variants.map(v =>
+      (v, (maxEdits + 1 - levenshteinOf(v, q)).toLong)).toMap
+    val wExpr = variants.foldLeft(lit(0L)) { (acc, v) =>
+      when(col("token") === v, lit(weights(v))).otherwise(acc)
+    }
+    prunedPostings(spark, indexRoot, sv, variants)
+      .groupBy(col(idCol))
+      .agg(sum(col("tf") * wExpr).as("score"),
+        count(lit(1)).as("matched"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Driver-side Levenshtein (same semantics as Spark's `levenshtein`
+    * expression) — weights the collected variants without another
+    * scan. */
+  private def levenshteinOf(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
   }
 
   /** HYBRID RETRIEVAL SERVED FROM INDEXES — the deployment shape of

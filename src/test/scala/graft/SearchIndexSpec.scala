@@ -319,6 +319,93 @@ class SearchIndexSpec extends SparkSpec {
     assert(fIdx.nonEmpty)
   }
 
+  test("served queries plan NO corpus-sized leg: every scan is " +
+    "term-bucket pruned — the old bucket >= B doc-length leg is gone") {
+    val src = newRoot("dl-src"); val idx = newRoot("dl-idx")
+    Manifest.init(spark, src, corpus0.toDF("id", "lang", "text"),
+      Seq("lang"))
+    SearchIndex.create(spark, src, idx, "id", "text", buckets = 8,
+      positions = true)
+    val plans = Seq(
+      SearchIndex.searchBm25(spark, idx, "window merge", 5),
+      SearchIndex.searchBool(spark, idx, must = Seq("window"),
+        should = Seq("merge"), mustNot = Seq("slow"), k = 5),
+      SearchIndex.searchNear(spark, idx, "window table", 1, 5))
+      .map(_.queryExecution.executedPlan.toString)
+    plans.foreach { plan =>
+      assert(plan.contains("PartitionFilters"), plan.take(1500))
+      // dl now rides each postings row: no serving plan may scan a
+      // bucket RANGE (the shape of the old one-row-per-corpus-doc leg)
+      assert(!"bucket#\\d+ >=".r.findFirstIn(plan).isDefined,
+        s"found a corpus-sized bucket-range leg in:\n${plan.take(2000)}")
+    }
+  }
+
+  test("fuzzy twin: gram-pruned candidates reproduce matchFuzzy " +
+    "exactly (pruned and vacuous-bound paths); stale twin refuses") {
+    val (src, idx) = freshPair("fz")
+    val twin = newRoot("fz-twin")
+    SearchIndex.createFuzzyTwin(spark, idx, twin)
+    def viaTwin(t: String, e: Int) =
+      SearchIndex.matchFuzzyFromTwin(spark, idx, twin, t, 10,
+        maxEdits = e).as[(Long, Long, Long)].collect().toSeq
+    def direct(t: String, e: Int) =
+      SearchIndex.matchFuzzy(spark, idx, t, 10, maxEdits = e)
+        .as[(Long, Long, Long)].collect().toSeq
+    // maxEdits=1 on a 6-gram term: bound 6-3=3 > 0 → gram-pruned path
+    assert(viaTwin("windoe", 1) == direct("windoe", 1))
+    assert(viaTwin("windoe", 1).nonEmpty)
+    // maxEdits=2: bound 6-6=0 vacuous → length-windowed dictionary path
+    assert(viaTwin("windok", 2) == direct("windok", 2))
+    // short term exercises padding (1-char tokens are indexed too)
+    assert(viaTwin("b", 1) == direct("b", 1))
+    assert(viaTwin("b", 1).nonEmpty)
+    // no candidates at all → empty frame with the right shape
+    assert(viaTwin("zzzzzzzzzz", 1).isEmpty)
+    // the postings scan for the matched variants is bucket-pruned
+    val plan = SearchIndex.matchFuzzyFromTwin(spark, idx, twin,
+        "windoe", 10, maxEdits = 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan.take(1500))
+    // twin must reflect the index head: stale → loud refusal, refresh heals
+    Manifest.commitAppend(spark, src,
+      Seq((6L, "en", "windows vista")).toDF("id", "lang", "text"),
+      Seq("lang"))
+    SearchIndex.refresh(spark, src, idx)
+    val e = intercept[IllegalArgumentException] {
+      SearchIndex.matchFuzzyFromTwin(spark, idx, twin, "windoe", 10)
+    }
+    assert(e.getMessage.contains("refreshFuzzyTwin"))
+    SearchIndex.refreshFuzzyTwin(spark, idx, twin)
+    assert(viaTwin("windoe", 1) == direct("windoe", 1))
+    // current twin refreshes are commit-free no-ops
+    val v = Manifest.latestVersion(spark, twin).get
+    assert(SearchIndex.refreshFuzzyTwin(spark, idx, twin) == v)
+  }
+
+  test("sharded search fails LOUDLY when shards overlap on a doc id " +
+    "instead of silently double-counting the merged scores") {
+    // both shards index doc 2 — the disjointness precondition broken
+    val dup = corpus0.filter(_._1 == 2L)
+    def shard(tag: String, rows: Seq[(Long, String, String)]): String = {
+      val src = newRoot(s"$tag-src"); val idx = newRoot(s"$tag-idx")
+      Manifest.init(spark, src, rows.toDF("id", "lang", "text"),
+        Seq("lang"))
+      SearchIndex.create(spark, src, idx, "id", "text", buckets = 4)
+      idx
+    }
+    val shards = Seq(shard("ov-a", corpus0.take(3)), shard("ov-b", dup))
+    val e = intercept[Exception] {
+      SearchIndex.searchBm25Sharded(spark, shards, "window merge", 10)
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("more than one shard")),
+      s"expected the overlap guard, got: ${msgs(e).mkString(" | ")}")
+  }
+
   test("hybridRrf served from both indexes equals the corpus-pass " +
     "hybrid (sparse leg ≡ rankBm25, dense leg ≡ brute force)") {
     val (src, idx) = freshPair("hy")

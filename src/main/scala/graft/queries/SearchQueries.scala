@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
 import graft.operators.Search
-import graft.sources.{Manifest, SearchIndex, VectorIndex}
+import graft.sources.{IndexAlias, Manifest, SearchIndex, VectorIndex}
 import graft.streaming.IngestStream
 
 /** The search-engine surface as native operators (SURVEY.md §2.10). */
@@ -1353,5 +1353,193 @@ object SearchQueries {
           CROSS JOIN n CROSS JOIN s
         GROUP BY tf.doc_id
         ORDER BY score DESC, tf.doc_id ASC LIMIT 15"""),
+      kind = QueryDef.Pipeline),
+
+    // ---- R/X3: CONTINUOUS VECTOR INDEXING — q185's streaming shape
+    // for the DENSE index: waves of embeddings drained by sequential
+    // AvailableNow rounds over one checkpoint, each micro-batch
+    // committed to the source table and the IVF index advanced with a
+    // per-batch append-only refresh (new vectors assigned against the
+    // FROZEN first-wave pivots — the IVF contract; cost ∝ the batch).
+    // Probe-all search is then EXACT, so the stream-fed index must
+    // equal brute-force cosine over everything ingested — the oracle.
+    QueryDef("q187_stream_vector_index",
+      (s, dir) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_svi").toString
+        val src = "file://" + root + "/emb"
+        val idx = "file://" + root + "/vidx"
+        val emb = Tables.load(s, dir, "embeddings")
+        val cut = emb.agg(max("vec_id")).head().getLong(0) / 2
+        val schema = emb.schema
+        def drain(): Unit = IngestStream
+          // one micro-batch per wave (q184's lesson: file order is not
+          // id order; the refresh itself is order-safe, this just keeps
+          // commit counts deterministic)
+          .rawStream(s, s"$root/raw", schema, "parquet",
+            maxFilesPerTrigger = 100000)
+          .writeStream
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger
+            .AvailableNow())
+          .foreachBatch {
+            (b: org.apache.spark.sql.DataFrame, id: Long) =>
+              Manifest.commitStreamBatch(s, src, b, "ingest", id)
+              if (Manifest.latestVersion(s, idx).isEmpty)
+                VectorIndex.createFromManifest(s, src, idx, "vec_id",
+                  "embedding", nCells = 8)
+              else VectorIndex.refresh(s, src, idx)
+              ()
+          }
+          .start().awaitTermination()
+        emb.filter(col("vec_id") <= cut)
+          .write.mode("append").parquet(s"$root/raw")
+        drain()
+        emb.filter(col("vec_id") > cut)
+          .write.mode("append").parquet(s"$root/raw")
+        drain()
+        val qv = emb.filter(col("vec_id") === 7L)
+          .select(graft.functions.Vectors.toDouble(col("embedding")))
+          .collect().head.getSeq[Double](0).toArray
+        VectorIndex.search(s, idx, qv, k = 10, nProbe = 8)
+          .select(col("id").as("vec_id"),
+            round(col("cosine"), 6).as("cosine"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = 7)
+        SELECT vec_id, round(cosine, 6) AS cosine FROM (
+          SELECT e.vec_id,
+            list_dot_product(e.v, q.qv)
+              / (sqrt(list_dot_product(e.v, e.v))
+                 * sqrt(list_dot_product(q.qv, q.qv))) AS cosine
+          FROM e, q
+          ORDER BY cosine DESC, e.vec_id ASC LIMIT 10)"""),
+      kind = QueryDef.Pipeline),
+
+    // ---- T2/K5: INDEX ALIAS / ZERO-DOWNTIME REINDEX — the ES
+    // alias-swap analog: queries address a named alias; a replacement
+    // index (here with a different bucket count — a create-time
+    // parameter an in-place refresh can never change) is built at a
+    // NEW root while the old one keeps serving, then ONE atomic
+    // generation-file claim repoints the alias. Three query phases
+    // prove the contract: (1) before the rebuild and (2) after the
+    // rebuild but BEFORE the swap both serve the OLD corpus untouched;
+    // (3) after the swap serves the new — old-then-new wholesale,
+    // never a mix.
+    QueryDef("q188_index_alias",
+      (s, dir) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_alias").toString
+        val alias = "file://" + root + "/alias"
+        val docs = Tables.load(s, dir, "documents")
+          .select("doc_id", "text")
+        val qq = "window merge scan"
+        def phase(p: Int) = IndexAlias.searchBm25(s, alias, qq, 10)
+          .select(lit(p).as("phase"), col("doc_id"), col("score"),
+            col("matched"))
+        Manifest.init(s, "file://" + root + "/srcA",
+          docs.filter(col("doc_id") % 5 =!= 0))
+        SearchIndex.create(s, "file://" + root + "/srcA",
+          "file://" + root + "/idxA", "doc_id", "text", buckets = 16)
+        IndexAlias.set(s, alias, "file://" + root + "/idxA")
+        val p1 = phase(1)
+        // zero-downtime reindex: the full corpus, re-bucketed, at a
+        // new root — the alias (and p1's pinned plan) still serve A
+        Manifest.init(s, "file://" + root + "/srcB", docs)
+        SearchIndex.create(s, "file://" + root + "/srcB",
+          "file://" + root + "/idxB", "doc_id", "text", buckets = 32)
+        val p2 = phase(2) // resolved after the rebuild, before the swap
+        IndexAlias.set(s, alias, "file://" + root + "/idxB") // THE swap
+        val p3 = phase(3)
+        p1.unionByName(p2).unionByName(p3)
+          .orderBy(col("phase"), col("doc_id"))
+      },
+      Some("""WITH old0 AS (SELECT doc_id, text FROM documents
+            WHERE doc_id % 5 <> 0),
+        t0 AS (SELECT doc_id,
+            unnest(string_split(lower(text), ' ')) AS token FROM old0),
+        dl0 AS (SELECT doc_id, count(*) AS dl FROM t0 GROUP BY 1),
+        s0 AS (SELECT avg(dl) AS avgdl FROM dl0),
+        n0 AS (SELECT count(*) AS n FROM old0),
+        q AS (SELECT unnest(['window', 'merge', 'scan']) AS token),
+        tf0 AS (SELECT doc_id, token, count(*) AS tf
+          FROM t0 JOIN q USING (token) GROUP BY 1, 2),
+        df0 AS (SELECT token, count(DISTINCT doc_id) AS df
+          FROM tf0 GROUP BY 1),
+        r0 AS (SELECT tf0.doc_id,
+            round(sum(ln(1 + (n0.n - df0.df + 0.5) / (df0.df + 0.5))
+              * tf0.tf * 2.2
+              / (tf0.tf + 1.2 * (0.25 + 0.75 * dl0.dl / s0.avgdl))), 4)
+              AS score,
+            count(*) AS matched
+          FROM tf0 JOIN df0 USING (token) JOIN dl0 USING (doc_id)
+            CROSS JOIN n0 CROSS JOIN s0
+          GROUP BY tf0.doc_id
+          ORDER BY score DESC, tf0.doc_id ASC LIMIT 10),
+        t1 AS (SELECT doc_id,
+            unnest(string_split(lower(text), ' ')) AS token
+          FROM documents),
+        dl1 AS (SELECT doc_id, count(*) AS dl FROM t1 GROUP BY 1),
+        s1 AS (SELECT avg(dl) AS avgdl FROM dl1),
+        n1 AS (SELECT count(*) AS n FROM documents),
+        tf1 AS (SELECT doc_id, token, count(*) AS tf
+          FROM t1 JOIN q USING (token) GROUP BY 1, 2),
+        df1 AS (SELECT token, count(DISTINCT doc_id) AS df
+          FROM tf1 GROUP BY 1),
+        r1 AS (SELECT tf1.doc_id,
+            round(sum(ln(1 + (n1.n - df1.df + 0.5) / (df1.df + 0.5))
+              * tf1.tf * 2.2
+              / (tf1.tf + 1.2 * (0.25 + 0.75 * dl1.dl / s1.avgdl))), 4)
+              AS score,
+            count(*) AS matched
+          FROM tf1 JOIN df1 USING (token) JOIN dl1 USING (doc_id)
+            CROSS JOIN n1 CROSS JOIN s1
+          GROUP BY tf1.doc_id
+          ORDER BY score DESC, tf1.doc_id ASC LIMIT 10)
+        SELECT phase, doc_id, score, matched FROM (
+          SELECT 1 AS phase, * FROM r0
+          UNION ALL SELECT 2 AS phase, * FROM r0
+          UNION ALL SELECT 3 AS phase, * FROM r1)
+        ORDER BY phase, doc_id"""),
+      kind = QueryDef.Pipeline),
+
+    // ---- T2: FUZZY VIA THE N-GRAM TERM-DICTIONARY TWIN — q180's
+    // query served with a fully pruned plan (Lucene's fuzzy design:
+    // bound the candidate vocabulary first, then read only the matched
+    // variants' postings): the twin scan prunes to the query's padded
+    // 3-gram partitions under the shared-gram lower bound, levenshtein
+    // verifies the tiny candidate set, and the postings scan prunes to
+    // those variants' term buckets. maxEdits = 1 keeps the gram bound
+    // binding (5 distinct grams − 3 > 0 — the pruned path, not the
+    // dictionary fallback), and 'merje' has a real 1-edit vocabulary
+    // neighbor ('merge'); same integer score arithmetic as q149/q180.
+    QueryDef("q189_fuzzy_twin",
+      (s, dir) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_fzt").toString
+        val src = "file://" + root + "/src"
+        val idx = "file://" + root + "/idx"
+        val twin = "file://" + root + "/twin"
+        Manifest.init(s, src,
+          Tables.load(s, dir, "documents").select("doc_id", "text"))
+        SearchIndex.create(s, src, idx, "doc_id", "text", buckets = 16)
+        SearchIndex.createFuzzyTwin(s, idx, twin)
+        SearchIndex.matchFuzzyFromTwin(s, idx, twin, "merje", k = 20,
+          maxEdits = 1)
+      },
+      Some("""WITH t AS (SELECT doc_id,
+            unnest(string_split(lower(text), ' ')) AS token
+          FROM documents),
+        c AS (SELECT doc_id, token FROM t
+          WHERE abs(length(token) - 5) <= 1
+            AND levenshtein(token, 'merje') <= 1),
+        tf AS (SELECT doc_id, token, count(*) AS tf,
+            levenshtein(token, 'merje') AS dist
+          FROM c GROUP BY 1, 2)
+        SELECT doc_id, CAST(sum(tf * (2 - dist)) AS BIGINT) AS score,
+          count(*) AS matched
+        FROM tf GROUP BY 1
+        ORDER BY score DESC, doc_id ASC LIMIT 20"""),
       kind = QueryDef.Pipeline))
 }

@@ -974,8 +974,8 @@ object Manifest {
     * window) and `rename` silently overwrites, so the local path goes
     * through NIO `CREATE_NEW` — a true POSIX O_EXCL. On HDFS `create`
     * with overwrite=false is atomic natively. */
-  private def createExclusive(fs: FileSystem,
-                              dst: Path): java.io.OutputStream = fs match {
+  private[graft] def createExclusive(fs: FileSystem,
+                                     dst: Path): java.io.OutputStream = fs match {
     case _: org.apache.hadoop.fs.LocalFileSystem |
          _: org.apache.hadoop.fs.RawLocalFileSystem =>
       java.nio.file.Files.newOutputStream(
@@ -1755,27 +1755,35 @@ object Manifest {
         s"key column '$c' is not a column of $root " +
           s"(${schema.fieldNames.mkString(", ")})")
     }
-    // table-typed, distinct keys — the delete file IS the predicate
+    // table-typed, distinct keys — the delete file IS the predicate.
+    // persist(): the frame is executed twice (count for the early
+    // return + pack sizing, then the write) and the caller's key
+    // derivation can be expensive — SearchIndex.refresh projects the
+    // ids out of a full tokenize of the removed files' docs; without
+    // the cache that upstream runs once per action.
     val casted = keys.select(
       kc.map(c => col(c).cast(schema(c).dataType).as(c)): _*).distinct()
-    val cnt = casted.count()
-    if (cnt == 0L) return cur // nothing to delete
-    // ~4M keys per delete file keeps each a single broadcastable blob
-    val next = cur + 1
-    val packed = casted.coalesce(
-      math.max(1, math.min(200, (cnt / 4000000L).toInt + 1)))
-    val salt = java.util.UUID.randomUUID().toString.take(8)
-    val dir = f"$root/data/d$next%08d-$salt"
-    // INT64-micros timestamps: the connector's executor-side key
-    // decode (and its own data-file encoding) is INT64, not INT96
-    withMicrosTimestamps(spark) {
-      packed.write.mode("overwrite").parquet(dir)
-    }
-    val (fs, rootP) = fsOf(spark, root)
-    val delEntries = commitFiles(fs, rootP, new Path(dir))
-      .map(e => DeleteEntry(e.path, e.size, next, kc))
-    publish(spark, root, cur, prev.entries, prev.meta ++ extraMeta,
-      prev.deletes ++ delEntries)
+      .persist()
+    try {
+      val cnt = casted.count()
+      if (cnt == 0L) return cur // nothing to delete
+      // ~4M keys per delete file keeps each a single broadcastable blob
+      val next = cur + 1
+      val packed = casted.coalesce(
+        math.max(1, math.min(200, (cnt / 4000000L).toInt + 1)))
+      val salt = java.util.UUID.randomUUID().toString.take(8)
+      val dir = f"$root/data/d$next%08d-$salt"
+      // INT64-micros timestamps: the connector's executor-side key
+      // decode (and its own data-file encoding) is INT64, not INT96
+      withMicrosTimestamps(spark) {
+        packed.write.mode("overwrite").parquet(dir)
+      }
+      val (fs, rootP) = fsOf(spark, root)
+      val delEntries = commitFiles(fs, rootP, new Path(dir))
+        .map(e => DeleteEntry(e.path, e.size, next, kc))
+      publish(spark, root, cur, prev.entries, prev.meta ++ extraMeta,
+        prev.deletes ++ delEntries)
+    } finally casted.unpersist()
   }
 
   /** Materialize pending merge-on-read deletes: rewrite ONLY the data

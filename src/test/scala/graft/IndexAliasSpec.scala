@@ -1,0 +1,77 @@
+package graft
+
+import graft.sources.{IndexAlias, Manifest, SearchIndex}
+
+/** Alias-swap contract: resolve-per-query, atomic repoint, audit
+  * history, loud refusals. The end-to-end old-then-new-never-a-mix
+  * behavior is oracle-checked by q188. */
+class IndexAliasSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def newRoot(tag: String) = "file://" + java.nio.file.Files
+    .createTempDirectory(s"graft-al-$tag").toString + "/t"
+
+  private def mkIndex(tag: String,
+                      rows: Seq[(Long, String)]): String = {
+    val src = newRoot(s"$tag-src"); val idx = newRoot(s"$tag-idx")
+    Manifest.init(spark, src, rows.toDF("id", "text"))
+    SearchIndex.create(spark, src, idx, "id", "text", buckets = 4)
+    idx
+  }
+
+  test("set/resolve/swap/history; queries through the alias equal " +
+    "direct queries against the resolved index") {
+    val a = mkIndex("a", Seq((1L, "red fish"), (2L, "blue fish")))
+    val b = mkIndex("b", Seq((1L, "red fish"), (2L, "blue fish"),
+      (3L, "blue whale blue")))
+    val alias = newRoot("alias")
+    assert(IndexAlias.set(spark, alias, a) == 1L)
+    assert(IndexAlias.resolve(spark, alias) == a)
+    def viaAlias() = IndexAlias.searchBm25(spark, alias, "blue", 5)
+      .as[(Long, Double, Long)].collect().toSeq
+    assert(viaAlias() ==
+      SearchIndex.searchBm25(spark, a, "blue", 5)
+        .as[(Long, Double, Long)].collect().toSeq)
+    assert(IndexAlias.set(spark, alias, b) == 2L) // the swap
+    assert(IndexAlias.resolve(spark, alias) == b)
+    assert(viaAlias() ==
+      SearchIndex.searchBm25(spark, b, "blue", 5)
+        .as[(Long, Double, Long)].collect().toSeq)
+    assert(IndexAlias.history(spark, alias) == Seq((1L, a), (2L, b)))
+  }
+
+  test("refusals: uninitialized target, unresolved alias, claimed " +
+    "generation") {
+    val alias = newRoot("alias-r")
+    intercept[IllegalArgumentException] {
+      IndexAlias.set(spark, alias, "file:///nonexistent/t")
+    }
+    intercept[IllegalStateException] {
+      IndexAlias.resolve(spark, alias)
+    }
+    val a = mkIndex("r", Seq((1L, "x y"))) // valid target
+    IndexAlias.set(spark, alias, a)
+    // a concurrent swap claimed generation 2 between list and create:
+    // simulate by pre-claiming the exact file set would write
+    val p = new org.apache.hadoop.fs.Path(alias, "a00000002.txt")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // race window: the file appears AFTER set() listed generations —
+    // emulate by racing two writers through the public API instead
+    val r1 = scala.concurrent.Future(
+      try Some(IndexAlias.set(spark, alias, a))
+      catch { case _: IllegalStateException => None })(
+      scala.concurrent.ExecutionContext.global)
+    val r2 = scala.concurrent.Future(
+      try Some(IndexAlias.set(spark, alias, a))
+      catch { case _: IllegalStateException => None })(
+      scala.concurrent.ExecutionContext.global)
+    import scala.concurrent.duration._
+    val got = Seq(r1, r2).map(f =>
+      scala.concurrent.Await.result(f, 30.seconds))
+    // both may succeed (serial interleaving) but never claim the SAME
+    // generation; at least one claim lands
+    val claimed = got.flatten
+    assert(claimed.nonEmpty && claimed.distinct.size == claimed.size)
+    assert(fs.exists(p)) // generation 2 exists exactly once
+  }
+}

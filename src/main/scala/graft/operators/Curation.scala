@@ -441,4 +441,65 @@ object Curation {
       .agg(round(avg(col("_nll")), 4).as("avg_nll"),
         count(lit(1)).as("n_bigrams"))
   }
+
+  /** X13: NAIVE-BAYES QUALITY CLASSIFIER — the fasttext/CCNet-style
+    * learned quality axis (CCNet trains a linear classifier to rank
+    * web text against a high-quality corpus; fasttext's supervised
+    * mode is the standard tool), self-contained in the engine: a
+    * multinomial NB model is TRAINED on the corpus itself against a
+    * caller-supplied boolean label column (any heuristic gate — a
+    * length cut, a Gopher pass, a trusted-source flag), then every
+    * document is scored with the per-token average log-likelihood
+    * ratio
+    *
+    *   avg_llr(d) = (1/dl) Σ_t tf_t · [ ln((c⁺_t + 1)/(T⁺ + V))
+    *                                  − ln((c⁻_t + 1)/(T⁻ + V)) ]
+    *
+    * (add-1 smoothing over the joint vocabulary V; c± = class token
+    * counts, T± = class token totals). Positive = looks like the
+    * positive class; the length normalization makes the threshold
+    * length-free, the CCNet move. Training and scoring are exactly
+    * replayable (integer counts, one ln per distinct token, 4-dp
+    * rounding at the end), so the whole learned gate sits under a
+    * DuckDB oracle — the distinction vs an external model import.
+    *
+    * Shape, scale-first: the label rides the tokenize explode (no
+    * doc-level join); class counts are ONE (token)-keyed hash
+    * aggregate with map-side partials; T±/V ride a broadcast 1-row
+    * frame; scoring joins per-doc postings (uniform (id, token) first
+    * shuffle) to the vocabulary-sized weight frame on token, then one
+    * per-doc aggregate. No windows, no collects, nothing corpus-sized
+    * on the driver.
+    *
+    * Returns (idCol, dl, llr, avg_llr), one row per document with at
+    * least one token, llr/avg_llr rounded 4 dp. */
+  def nbQualityScores(docs: DataFrame, idCol: String, textCol: String,
+                      label: Column): DataFrame = {
+    val stream = graft.scaleOut(docs, col(idCol))
+      .select(col(idCol), label.cast("boolean").as("_lab"),
+        Text.tokens(col(textCol)).as("toks"))
+      .select(col(idCol), col("_lab"),
+        size(col("toks")).cast("long").as("dl"),
+        explode_outer(col("toks")).as("token"))
+      .filter(col("token").isNotNull)
+    val counts = stream.groupBy(col("token"))
+      .agg(sum(when(col("_lab"), 1L).otherwise(0L)).as("cpos"),
+        sum(when(!col("_lab"), 1L).otherwise(0L)).as("cneg"))
+    val tot = counts.agg(sum(col("cpos")).as("tpos"),
+      sum(col("cneg")).as("tneg"), count(lit(1)).as("v"))
+    val w = counts.crossJoin(broadcast(tot))
+      .select(col("token"),
+        (log((col("cpos") + 1) / (col("tpos") + col("v"))) -
+          log((col("cneg") + 1) / (col("tneg") + col("v")))).as("_w"))
+    stream.groupBy(col(idCol), col("dl"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .join(w, Seq("token"))
+      .groupBy(col(idCol), col("dl"))
+      .agg(sum(col("tf") * col("_w")).as("_llr"))
+      // + 0.0 collapses IEEE negative zero (a tiny negative sum rounds
+      // to -0.0, which engines print differently from 0.0)
+      .select(col(idCol), col("dl"),
+        (round(col("_llr"), 4) + lit(0.0)).as("llr"),
+        (round(col("_llr") / col("dl"), 4) + lit(0.0)).as("avg_llr"))
+  }
 }

@@ -2223,5 +2223,41 @@ object PipelineQueries {
           FROM c, z)
         SELECT lang, n_docs, share, rate,
           round(rate * n_docs, 3) AS expected_docs
-        FROM r ORDER BY lang ASC""")))
+        FROM r ORDER BY lang ASC""")),
+
+    // ---- X13: the LEARNED quality axis — a multinomial Naive-Bayes
+    // classifier trained ON the corpus against a heuristic label
+    // (here: n_chars >= 250, a length cut standing in for any trusted
+    // gate), scoring every doc's per-token average log-likelihood
+    // ratio — the CCNet/fasttext quality-classifier shape,
+    // self-contained and exactly replayable (integer counts + add-1
+    // smoothing), so the trained model itself sits under the oracle.
+    QueryDef("q190_nb_quality",
+      (s, dir) => Curation.nbQualityScores(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        col("n_chars") >= 250)
+        .orderBy("doc_id"),
+      Some("""WITH lab AS (SELECT doc_id, n_chars >= 250 AS l,
+            string_split(lower(text), ' ') AS a FROM documents),
+        st AS (SELECT doc_id, l, len(a) AS dl, unnest(a) AS token
+          FROM lab),
+        c AS (SELECT token,
+            sum(CASE WHEN l THEN 1 ELSE 0 END) AS cpos,
+            sum(CASE WHEN NOT l THEN 1 ELSE 0 END) AS cneg
+          FROM st GROUP BY 1),
+        tot AS (SELECT sum(cpos) AS tpos, sum(cneg) AS tneg,
+            count(*) AS v
+          FROM c),
+        w AS (SELECT token,
+            ln((cpos + 1.0) / (tpos + v))
+              - ln((cneg + 1.0) / (tneg + v)) AS w
+          FROM c, tot),
+        tf AS (SELECT doc_id, dl, token, count(*) AS tf
+          FROM st GROUP BY 1, 2, 3)
+        SELECT tf.doc_id, CAST(tf.dl AS BIGINT) AS dl,
+          round(sum(tf.tf * w.w), 4) + 0.0 AS llr,
+          round(sum(tf.tf * w.w) / tf.dl, 4) + 0.0 AS avg_llr
+        FROM tf JOIN w USING (token)
+        GROUP BY tf.doc_id, tf.dl
+        ORDER BY tf.doc_id""")))
 }

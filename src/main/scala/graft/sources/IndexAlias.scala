@@ -107,4 +107,16 @@ object IndexAlias {
                  requireAll: Boolean = false): DataFrame =
     SearchIndex.searchBm25(spark, resolve(spark, aliasRoot), query, k,
       k1, b, requireAll)
+
+  /** ANN through the alias — the target machinery is generic (an
+    * alias resolves to a ROOT; nothing text-specific), so the dense
+    * index gets the same zero-downtime re-train-and-swap story:
+    * rebuild a [[VectorIndex]] with fresh pivots / different nCells at
+    * a new root, validate, swap. */
+  def searchVector(spark: SparkSession, aliasRoot: String,
+                   queryVec: Array[Double], k: Int, nProbe: Int,
+                   filter: Option[org.apache.spark.sql.Column] = None)
+      : DataFrame =
+    VectorIndex.search(spark, resolve(spark, aliasRoot), queryVec, k,
+      nProbe, filter)
 }

@@ -207,4 +207,32 @@ class CurationSpec extends SparkSpec {
         "text"), "curate", 1L)
     assert(Manifest.latestVersion(spark, root).get == v)
   }
+
+  test("nbQualityScores: hand-computed add-1 multinomial NB log-odds " +
+    "(2-doc fixture), label polarity, and length normalization") {
+    // corpus: doc 1 = "a a b" (positive), doc 2 = "a c" (negative)
+    // counts  a: 2+/1-, b: 1+/0-, c: 0+/1-; T+=3, T-=2, V=3
+    // w(a)=ln(3/6)-ln(2/5)=ln 1.25   w(b)=ln(2/6)-ln(1/5)=ln(5/3)
+    // w(c)=ln(1/6)-ln(2/5)=ln(5/12)
+    // doc1 llr = 2w(a)+w(b) = .9571127 → .9571, avg = /3 → .3190
+    // doc2 llr = w(a)+w(c) = -.6523252 → -.6523, avg = /2 → -.3262
+    val docs = Seq((1L, "a a b", true), (2L, "a c", false))
+      .toDF("doc_id", "text", "good")
+    val got = Curation.nbQualityScores(docs, "doc_id", "text",
+        col("good"))
+      .orderBy("doc_id")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(got == Seq((1L, 3L, 0.9571, 0.3190), (2L, 2L, -0.6523,
+      -0.3262)))
+    // per-token averaging keeps the axis length-free: two docs with
+    // the SAME token mix at different lengths (one model, one corpus)
+    // get the same avg_llr
+    val mixed = Seq((1L, "a a b", true), (2L, "a c", false),
+      (3L, "a a b a a b a a b", true)).toDF("doc_id", "text", "good")
+    val avgs = Curation.nbQualityScores(mixed, "doc_id", "text",
+        col("good"))
+      .filter(col("doc_id").isin(1L, 3L))
+      .select("avg_llr").as[Double].collect().toSet
+    assert(avgs.size == 1)
+  }
 }

@@ -69,7 +69,11 @@ object Bench {
     // a 3× max/min spread on a lifecycle row reads as environment
     // noise, a uniform shift as a plan change
     val repsDetail = results.map { case (k, _, _, ts) =>
-      "\"" + k + "\":[" + ts.map(t => f"$t%.4f").mkString(",") + "]"
+      // Locale.ROOT: a comma-decimal default locale would corrupt the
+      // JSON (f"" interpolation is locale-sensitive)
+      "\"" + k + "\":[" + ts.map(t => String.format(
+        java.util.Locale.ROOT, "%.4f", Double.box(t))).mkString(",") +
+        "]"
     }.mkString("{", ",", "}")
     def sumKind(kind: String) =
       results.collect { case (_, `kind`, v, _) if v >= 0 => v }.sum

@@ -475,25 +475,33 @@ object Curation {
     * least one token, llr/avg_llr rounded 4 dp. */
   def nbQualityScores(docs: DataFrame, idCol: String, textCol: String,
                       label: Column): DataFrame = {
-    val stream = graft.scaleOut(docs, col(idCol))
+    // ONE tokenize+explode pass: the per-doc postings (with the label
+    // riding along — it is constant per doc) feed BOTH the class
+    // counts (Σ tf per class ≡ class token occurrences) and the
+    // scoring join; persist() cuts the three-consumer re-evaluation
+    // (counts, totals, scoring) to one, the same stage-boundary move
+    // as [[curate]]. tf is postings-sized — far smaller than the
+    // exploded stream.
+    val tf = graft.scaleOut(docs, col(idCol))
       .select(col(idCol), label.cast("boolean").as("_lab"),
         Text.tokens(col(textCol)).as("toks"))
       .select(col(idCol), col("_lab"),
         size(col("toks")).cast("long").as("dl"),
         explode_outer(col("toks")).as("token"))
       .filter(col("token").isNotNull)
-    val counts = stream.groupBy(col("token"))
-      .agg(sum(when(col("_lab"), 1L).otherwise(0L)).as("cpos"),
-        sum(when(!col("_lab"), 1L).otherwise(0L)).as("cneg"))
+      .groupBy(col(idCol), col("_lab"), col("dl"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .persist()
+    val counts = tf.groupBy(col("token"))
+      .agg(sum(when(col("_lab"), col("tf")).otherwise(0L)).as("cpos"),
+        sum(when(!col("_lab"), col("tf")).otherwise(0L)).as("cneg"))
     val tot = counts.agg(sum(col("cpos")).as("tpos"),
       sum(col("cneg")).as("tneg"), count(lit(1)).as("v"))
     val w = counts.crossJoin(broadcast(tot))
       .select(col("token"),
         (log((col("cpos") + 1) / (col("tpos") + col("v"))) -
           log((col("cneg") + 1) / (col("tneg") + col("v")))).as("_w"))
-    stream.groupBy(col(idCol), col("dl"), col("token"))
-      .agg(count(lit(1)).as("tf"))
-      .join(w, Seq("token"))
+    tf.join(w, Seq("token"))
       .groupBy(col(idCol), col("dl"))
       .agg(sum(col("tf") * col("_w")).as("_llr"))
       // + 0.0 collapses IEEE negative zero (a tiny negative sum rounds

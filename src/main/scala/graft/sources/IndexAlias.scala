@@ -39,12 +39,34 @@ object IndexAlias {
 
   private def genName(g: Long) = f"a$g%08d.txt"
 
+  // The O_EXCL create makes the CLAIM atomic but the file is visible
+  // (empty) before its content lands, and a crash can leave it that
+  // way forever. So a generation only COMMITS once its content ends
+  // with this fence line (the manifest layer's #count-fence idiom):
+  // readers skip unfenced generations — they keep serving the previous
+  // target through the swap window, and a crashed swap is simply a
+  // dead number the next set() skips past, never a bricked alias.
+  private val Fence = "#ok"
+
   private def generations(fs: FileSystem, root: Path): Seq[Long] =
     if (!fs.exists(root)) Nil
     else fs.listStatus(root).iterator.map(_.getPath.getName)
       .collect { case n if n.matches("a\\d{8}\\.txt") =>
         n.substring(1, 9).toLong
       }.toSeq.sorted
+
+  /** The generation's target if its fence landed; None for a torn or
+    * in-flight write. */
+  private def readGen(fs: FileSystem, root: Path,
+                      g: Long): Option[String] = {
+    val in = fs.open(new Path(root, genName(g)))
+    val txt =
+      try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      finally in.close()
+    val lines = txt.split("\n", -1)
+    if (lines.length >= 2 && lines(1) == Fence) Some(lines(0)) else None
+  }
 
   /** Point the alias at `target` (an index table root). The first call
     * creates the alias; later calls are the atomic swap. Returns the
@@ -68,35 +90,35 @@ object IndexAlias {
             s"alias swap conflict: generation $next of $aliasRoot was " +
               "claimed concurrently; re-resolve and retry")
       }
-    try out.write(target.getBytes("UTF-8"))
+    try out.write((target + "\n" + Fence + "\n").getBytes("UTF-8"))
     finally out.close()
     next
   }
 
-  /** The index root the alias currently points at. */
+  /** The index root the alias currently points at: the highest FENCED
+    * generation — an in-flight or crashed swap's unfenced file is
+    * invisible, so readers stay on the previous target until the new
+    * one fully lands. */
   def resolve(spark: SparkSession, aliasRoot: String): String = {
     val (fs, root) = fsOf(spark, aliasRoot)
-    val g = generations(fs, root).lastOption.getOrElse(
+    val gens = generations(fs, root)
+    if (gens.isEmpty)
       throw new IllegalStateException(s"$aliasRoot is not an alias " +
-        "(no generations) — IndexAlias.set it first"))
-    val in = fs.open(new Path(root, genName(g)))
-    try new String(
-      org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
-    finally in.close()
+        "(no generations) — IndexAlias.set it first")
+    gens.reverseIterator.flatMap(readGen(fs, root, _))
+      .nextOption().getOrElse(
+        throw new IllegalStateException(s"$aliasRoot has no committed " +
+          "generation (every swap crashed before its fence landed) — " +
+          "run IndexAlias.set to repoint it"))
   }
 
-  /** Full audit trail: (generation, target), ascending. */
+  /** Full audit trail: (generation, target), ascending; torn
+    * generations are skipped. */
   def history(spark: SparkSession, aliasRoot: String)
       : Seq[(Long, String)] = {
     val (fs, root) = fsOf(spark, aliasRoot)
-    generations(fs, root).map { g =>
-      val in = fs.open(new Path(root, genName(g)))
-      val t =
-        try new String(
-          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
-        finally in.close()
-      (g, t)
-    }
+    generations(fs, root).flatMap(g =>
+      readGen(fs, root, g).map((g, _)))
   }
 
   /** BM25 through the alias — resolve once, then the standard pinned

@@ -153,8 +153,27 @@ object SearchIndex {
       "idx.buckets" -> buckets.toString, "idx.base" -> base.toString,
       "idx.pending" -> base.toString,
       "idx.positions" -> positions.toString,
+      "idx.layout" -> Layout,
       "idx.n" -> stats._1.toString, "idx.ndl" -> stats._2.toString,
       "idx.sumdl" -> stats._3.toString)
+
+  /** Physical-layout version stamped in the header. "2" = dl
+    * denormalized onto every postings row, no doc-length bucket range.
+    * Serving against any OTHER layout refuses loudly (an old table's
+    * postings rows would read dl = NULL through schema evolution and
+    * score silently wrong); [[refresh]] HEALS an old-layout index with
+    * a full rebuild instead. */
+  private val Layout = "2"
+
+  private def layoutOf(meta: Map[String, String]): String =
+    meta.getOrElse("idx.layout", "1")
+
+  private def requireLayout(root: String,
+                            meta: Map[String, String]): Unit =
+    require(layoutOf(meta) == Layout,
+      s"$root uses index layout ${layoutOf(meta)} but this build " +
+        s"serves layout $Layout (dl-on-postings) — run " +
+        "SearchIndex.refresh to rebuild it in place")
 
   /** Build the index at the source's current version — the last full
     * tokenization pass this index ever needs on the append-only path,
@@ -229,7 +248,10 @@ object SearchIndex {
           srcHead, statsOf(obs), positions))
     }
 
-    if (torn(meta)) return full() // heal a crashed delete+append pair
+    // heal a crashed delete+append pair, and REBUILD any pre-layout-2
+    // index in place (its rows have no dl column — incremental appends
+    // onto it would mix layouts and score NULL)
+    if (torn(meta) || layoutOf(meta) != Layout) return full()
     if (srcHead == base) return idxHead
     require(srcHead > base,
       s"$srcRoot is at v$srcHead but the index reflects v$base — " +
@@ -315,6 +337,7 @@ object SearchIndex {
   private def serving(spark: SparkSession, indexRoot: String,
                       asOf: Option[Long] = None): Serving = {
     val (meta, head) = state(spark, indexRoot, asOf)
+    requireLayout(indexRoot, meta)
     require(!torn(meta),
       s"$indexRoot has a torn refresh (pending=${meta("idx.pending")}" +
         s" base=${meta("idx.base")}); run SearchIndex.refresh to heal")
@@ -326,6 +349,7 @@ object SearchIndex {
   /** The postings relation (token, id, tf). */
   def postings(spark: SparkSession, indexRoot: String): DataFrame = {
     val (meta, head) = state(spark, indexRoot)
+    requireLayout(indexRoot, meta)
     Manifest.read(spark, indexRoot, Some(head))
       .select(col("token"), col(meta("idx.id")), col("tf"))
   }

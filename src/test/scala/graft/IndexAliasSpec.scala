@@ -74,4 +74,21 @@ class IndexAliasSpec extends SparkSpec {
     assert(claimed.nonEmpty && claimed.distinct.size == claimed.size)
     assert(fs.exists(p)) // generation 2 exists exactly once
   }
+
+  test("a torn swap (file claimed, fence never landed) is invisible: " +
+    "readers stay on the previous target and the next set() heals") {
+    val a = mkIndex("t1", Seq((1L, "x y")))
+    val b = mkIndex("t2", Seq((2L, "x z")))
+    val alias = newRoot("alias-t")
+    IndexAlias.set(spark, alias, a)
+    // simulate a swap that crashed between O_EXCL claim and content
+    val gens = new org.apache.hadoop.fs.Path(alias, "a00000002.txt")
+    val fs = gens.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(gens, false).close() // empty, unfenced
+    assert(IndexAlias.resolve(spark, alias) == a) // old target serves
+    assert(IndexAlias.history(spark, alias) == Seq((1L, a)))
+    // the next swap claims generation 3 past the dead number
+    assert(IndexAlias.set(spark, alias, b) == 3L)
+    assert(IndexAlias.resolve(spark, alias) == b)
+  }
 }

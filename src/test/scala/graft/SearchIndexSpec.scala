@@ -319,6 +319,21 @@ class SearchIndexSpec extends SparkSpec {
     assert(fIdx.nonEmpty)
   }
 
+  test("create over an EMPTY source table: zero stats (the write-job " +
+    "observation completes with no tasks), first refresh brings them") {
+    val src = newRoot("e-src"); val idx = newRoot("e-idx")
+    Manifest.init(spark, src, Seq.empty[(Long, String)].toDF("id", "text"))
+    SearchIndex.create(spark, src, idx, "id", "text", buckets = 4)
+    val st = SearchIndex.stats(spark, idx).collect().head
+    assert(st.getLong(0) == 0L && st.getLong(1) == 0L)
+    Manifest.commitAppend(spark, src,
+      Seq((1L, "hello world")).toDF("id", "text"))
+    SearchIndex.refresh(spark, src, idx)
+    val st2 = SearchIndex.stats(spark, idx).collect().head
+    assert(st2.getLong(0) == 1L && st2.getLong(2) == 2L)
+    assert(SearchIndex.searchBm25(spark, idx, "hello", 5).count() == 1L)
+  }
+
   test("served queries plan NO corpus-sized leg: every scan is " +
     "term-bucket pruned — the old bucket >= B doc-length leg is gone") {
     val src = newRoot("dl-src"); val idx = newRoot("dl-idx")

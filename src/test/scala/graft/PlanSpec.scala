@@ -5,6 +5,7 @@ package graft
   * executes). If an operator edit silently turns a broadcast join into
   * a shuffle join or drops a pushed filter, these fail. */
 class PlanSpec extends SparkSpec {
+  import spark.implicits._
 
   private val dir = "/root/testdata/sf0.001"
 
@@ -216,6 +217,24 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("BroadcastNestedLoopJoin"),
         s"$name:\n${p.take(2000)}")
     }
+  }
+
+  test("served search plans ONLY term-bucket partitions: real " +
+    "PartitionFilters, and no bucket-range (doc-length) leg anywhere") {
+    import graft.sources.{Manifest, SearchIndex}
+    val root = "file://" + java.nio.file.Files
+      .createTempDirectory("graft-plan-idx").toString
+    Manifest.init(spark, s"$root/src",
+      Seq((1L, "alpha beta"), (2L, "beta gamma"), (3L, "alpha alpha"))
+        .toDF("id", "text"))
+    SearchIndex.create(spark, s"$root/src", s"$root/idx", "id", "text",
+      buckets = 8)
+    val p = SearchIndex.searchBm25(spark, s"$root/idx", "alpha gamma", 5)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters"), p.take(1500))
+    assert(!"bucket#\\d+ >=".r.findFirstIn(p).isDefined,
+      s"served BM25 still scans a bucket range (the corpus-sized " +
+        s"doc-length leg):\n${p.take(2000)}")
   }
 
   test("no registered query funnels the corpus through a " +

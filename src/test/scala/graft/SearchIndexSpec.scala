@@ -398,6 +398,34 @@ class SearchIndexSpec extends SparkSpec {
     assert(SearchIndex.refreshFuzzyTwin(spark, idx, twin) == v)
   }
 
+  test("fuzzy twin randomized differential: twin-served == direct for " +
+    "30 random (term, maxEdits) probes over a dense-neighbor corpus") {
+    // alphabet {a..d}, short words: edit-distance-1/2 neighbors are
+    // everywhere, so the gram bound, the length window, and the
+    // vacuous-bound fallback all get exercised for real
+    val rnd = new scala.util.Random(421)
+    def word() = (1 to (1 + rnd.nextInt(6)))
+      .map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+    val corpus = (1L to 40L).map(i =>
+      (i, (1 to (3 + rnd.nextInt(8))).map(_ => word()).mkString(" ")))
+    val src = newRoot("fzr-src"); val idx = newRoot("fzr-idx")
+    val twin = newRoot("fzr-twin")
+    Manifest.init(spark, src, corpus.toDF("id", "text"))
+    SearchIndex.create(spark, src, idx, "id", "text", buckets = 8)
+    SearchIndex.createFuzzyTwin(spark, idx, twin)
+    var nonEmpty = 0
+    (1 to 30).foreach { _ =>
+      val t = word(); val e = 1 + rnd.nextInt(2)
+      val got = SearchIndex.matchFuzzyFromTwin(spark, idx, twin, t, 50,
+        maxEdits = e).as[(Long, Long, Long)].collect().toSeq
+      val want = SearchIndex.matchFuzzy(spark, idx, t, 50, maxEdits = e)
+        .as[(Long, Long, Long)].collect().toSeq
+      assert(got == want, s"term '$t' maxEdits $e")
+      if (want.nonEmpty) nonEmpty += 1
+    }
+    assert(nonEmpty >= 10, s"degenerate probe set ($nonEmpty non-empty)")
+  }
+
   test("sharded search fails LOUDLY when shards overlap on a doc id " +
     "instead of silently double-counting the merged scores") {
     // both shards index doc 2 — the disjointness precondition broken

@@ -32,10 +32,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * one ~100-byte file create. Generations are never rewritten. */
 object IndexAlias {
 
-  private def fsOf(spark: SparkSession, dir: String): (FileSystem, Path) = {
-    val p = new Path(dir)
-    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
-  }
+  private def fsOf(spark: SparkSession, dir: String): (FileSystem, Path) =
+    Manifest.fsOf(spark, dir) // one FS-resolution helper for sources/
 
   private def genName(g: Long) = f"a$g%08d.txt"
 

@@ -88,7 +88,7 @@ object Manifest {
   final case class DeleteEntry(path: String, size: Option[Long],
                                seq: Long, keyCols: Seq[String])
 
-  private def fsOf(spark: SparkSession, dir: String): (FileSystem, Path) = {
+  private[graft] def fsOf(spark: SparkSession, dir: String): (FileSystem, Path) = {
     val p = new Path(dir)
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }

@@ -638,28 +638,59 @@ object SearchIndex {
     * buckets — nothing corpus-sized — and `sug.base` records the index
     * version it reflects. */
   def createSuggestTwin(spark: SparkSession, indexRoot: String,
-                        twinRoot: String): Long = {
-    val sv = serving(spark, indexRoot)
-    Manifest.init(spark, twinRoot, twinRows(spark, indexRoot, sv),
-      Seq("p1"), extraMeta = Map("sug.src" -> indexRoot,
-        "sug.base" -> sv.head.toString))
-  }
+                        twinRoot: String): Long =
+    createTwin(spark, indexRoot, twinRoot, "sug", "p1", twinRows)
 
   /** Rebuild the twin at the index's current head (vocabulary-sized
     * work); a no-op commit-wise when already current. */
   def refreshSuggestTwin(spark: SparkSession, indexRoot: String,
-                         twinRoot: String): Long = {
-    val sv = serving(spark, indexRoot)
-    val twinHead = Manifest.latestVersion(spark, twinRoot).getOrElse(
+                         twinRoot: String): Long =
+    refreshTwin(spark, indexRoot, twinRoot, "sug", "suggest", "p1",
+      twinRows)
+
+  // ---- shared twin plumbing (suggest + fuzzy): both twins are
+  // vocabulary-sized derived tables stamped with the index version
+  // they reflect (`<p>.src` / `<p>.base`), created once and rebuilt
+  // wholesale on refresh (a no-op commit-wise when current) ----------
+
+  private def twinMeta(prefix: String, indexRoot: String,
+                       sv: Serving): Map[String, String] =
+    Map(s"$prefix.src" -> indexRoot, s"$prefix.base" -> sv.head.toString)
+
+  /** The twin's (meta, head), checked to belong to `indexRoot`. */
+  private def twinState(spark: SparkSession, twinRoot: String,
+                        prefix: String, kind: String, indexRoot: String)
+      : (Map[String, String], Long) = {
+    val head = Manifest.latestVersion(spark, twinRoot).getOrElse(
       throw new IllegalStateException(s"$twinRoot not initialized"))
-    val twinMeta = Manifest.snapshotMeta(spark, twinRoot, twinHead).meta
-    require(twinMeta.get("sug.src").contains(indexRoot),
-      s"$twinRoot is not a suggest twin of $indexRoot")
-    if (twinMeta("sug.base").toLong == sv.head) twinHead
+    val meta = Manifest.snapshotMeta(spark, twinRoot, head).meta
+    require(meta.get(s"$prefix.src").contains(indexRoot),
+      s"$twinRoot is not a $kind twin of $indexRoot")
+    (meta, head)
+  }
+
+  private def createTwin(spark: SparkSession, indexRoot: String,
+                         twinRoot: String, prefix: String,
+                         partCol: String,
+                         rows: (SparkSession, String, Serving) => DataFrame)
+      : Long = {
+    val sv = serving(spark, indexRoot)
+    Manifest.init(spark, twinRoot, rows(spark, indexRoot, sv),
+      Seq(partCol), extraMeta = twinMeta(prefix, indexRoot, sv))
+  }
+
+  private def refreshTwin(spark: SparkSession, indexRoot: String,
+                          twinRoot: String, prefix: String,
+                          kind: String, partCol: String,
+                          rows: (SparkSession, String, Serving) => DataFrame)
+      : Long = {
+    val sv = serving(spark, indexRoot)
+    val (meta, head) = twinState(spark, twinRoot, prefix, kind,
+      indexRoot)
+    if (meta(s"$prefix.base").toLong == sv.head) head
     else Manifest.commitReplace(spark, twinRoot,
-      twinRows(spark, indexRoot, sv), Seq("p1"),
-      extraMeta = Map("sug.src" -> indexRoot,
-        "sug.base" -> sv.head.toString))
+      rows(spark, indexRoot, sv), Seq(partCol),
+      extraMeta = twinMeta(prefix, indexRoot, sv))
   }
 
   private def twinRows(spark: SparkSession, indexRoot: String,
@@ -722,29 +753,15 @@ object SearchIndex {
     * crc32(gram) mod 32 the partition key a fuzzy lookup prunes on.
     * `fz.base` records the index version the twin reflects. */
   def createFuzzyTwin(spark: SparkSession, indexRoot: String,
-                      twinRoot: String): Long = {
-    val sv = serving(spark, indexRoot)
-    Manifest.init(spark, twinRoot, fuzzyTwinRows(spark, indexRoot, sv),
-      Seq("gp"), extraMeta = Map("fz.src" -> indexRoot,
-        "fz.base" -> sv.head.toString))
-  }
+                      twinRoot: String): Long =
+    createTwin(spark, indexRoot, twinRoot, "fz", "gp", fuzzyTwinRows)
 
   /** Rebuild the fuzzy twin at the index's current head
     * (vocabulary-sized work); a no-op commit-wise when current. */
   def refreshFuzzyTwin(spark: SparkSession, indexRoot: String,
-                       twinRoot: String): Long = {
-    val sv = serving(spark, indexRoot)
-    val twinHead = Manifest.latestVersion(spark, twinRoot).getOrElse(
-      throw new IllegalStateException(s"$twinRoot not initialized"))
-    val twinMeta = Manifest.snapshotMeta(spark, twinRoot, twinHead).meta
-    require(twinMeta.get("fz.src").contains(indexRoot),
-      s"$twinRoot is not a fuzzy twin of $indexRoot")
-    if (twinMeta("fz.base").toLong == sv.head) twinHead
-    else Manifest.commitReplace(spark, twinRoot,
-      fuzzyTwinRows(spark, indexRoot, sv), Seq("gp"),
-      extraMeta = Map("fz.src" -> indexRoot,
-        "fz.base" -> sv.head.toString))
-  }
+                       twinRoot: String): Long =
+    refreshTwin(spark, indexRoot, twinRoot, "fz", "fuzzy", "gp",
+      fuzzyTwinRows)
 
   private def fuzzyTwinRows(spark: SparkSession, indexRoot: String,
                             sv: Serving): DataFrame = {
@@ -789,13 +806,10 @@ object SearchIndex {
     require(q.nonEmpty && !q.contains(" "),
       s"fuzzy match takes ONE term, got '$term' — use searchBm25 for " +
         "multi-term")
-    val twinHead = Manifest.latestVersion(spark, twinRoot).getOrElse(
-      throw new IllegalStateException(s"$twinRoot not initialized"))
-    val twinMeta = Manifest.snapshotMeta(spark, twinRoot, twinHead).meta
-    require(twinMeta.get("fz.src").contains(indexRoot),
-      s"$twinRoot is not a fuzzy twin of $indexRoot")
-    require(twinMeta("fz.base").toLong == sv.head,
-      s"$twinRoot reflects index version ${twinMeta("fz.base")} but " +
+    val (tMeta, twinHead) = twinState(spark, twinRoot, "fz", "fuzzy",
+      indexRoot)
+    require(tMeta("fz.base").toLong == sv.head,
+      s"$twinRoot reflects index version ${tMeta("fz.base")} but " +
         s"$indexRoot is at ${sv.head} — run refreshFuzzyTwin first")
     val grams = gramsOf(q)
     // each edit touches ≤3 padded grams, and a gram TYPE only goes
@@ -843,18 +857,13 @@ object SearchIndex {
       .limit(k)
   }
 
-  /** Driver-side Levenshtein (same semantics as Spark's `levenshtein`
-    * expression) — weights the collected variants without another
-    * scan. */
-  private def levenshteinOf(a: String, b: String): Int = {
-    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
-      if (i == 0) j else if (j == 0) i else 0
-    }
-    for (i <- 1 to a.length; j <- 1 to b.length)
-      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
-        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
-    d(a.length)(b.length)
-  }
+  /** Driver-side Levenshtein — the SAME implementation Spark's
+    * `levenshtein` expression runs on executors, so the collected
+    * variants' weights cannot diverge from the scan-side filter. */
+  private def levenshteinOf(a: String, b: String): Int =
+    org.apache.spark.unsafe.types.UTF8String.fromString(a)
+      .levenshteinDistance(
+        org.apache.spark.unsafe.types.UTF8String.fromString(b))
 
   /** HYBRID RETRIEVAL SERVED FROM INDEXES — the deployment shape of
     * `Search.hybridRrf` (the OpenSearch `rrf` retriever really runs

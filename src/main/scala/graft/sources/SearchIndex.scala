@@ -817,7 +817,10 @@ object SearchIndex {
     // shares ≥ |distinct grams| − 3e types (distinct count, NOT |q|:
     // repeated grams would over-tighten the bound and drop matches)
     val minShared = grams.size - 3 * maxEdits
-    val lenOk = abs(col("len") - lit(q.length)) <= maxEdits
+    // range form, not abs(): >=/<= on the stored len column push down
+    // to the twin's parquet scan (abs() is not a pushable predicate)
+    val lenOk = col("len") >= q.length - maxEdits &&
+      col("len") <= q.length + maxEdits
     val twin = Manifest.read(spark, twinRoot, Some(twinHead))
     val candFrame =
       if (minShared > 0) {

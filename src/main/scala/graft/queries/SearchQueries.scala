@@ -1541,5 +1541,63 @@ object SearchQueries {
           count(*) AS matched
         FROM tf GROUP BY 1
         ORDER BY score DESC, doc_id ASC LIMIT 20"""),
+      kind = QueryDef.Pipeline),
+
+    // ---- T2/K5: the search-index lifecycle driven ENTIRELY from SQL —
+    // CREATE TABLE / INSERT build the corpus, CALL create_search_index
+    // materializes the index as a catalog table, a second INSERT +
+    // CALL refresh_search_index advances it incrementally, and CALL
+    // search serves the BM25 page — the whole OpenSearch tier for a
+    // SQL-only session (the reference's users drive indexing through
+    // an API; here the API is the catalog's procedure namespace).
+    QueryDef("q191_sql_search_ddl",
+      (s, dir) => {
+        s.conf.set("spark.sql.catalog.graftsql",
+          classOf[graft.sources.connector.ManifestCatalog].getName)
+        if (s.conf.getOption("spark.sql.catalog.graftsql.root").isEmpty)
+          s.conf.set("spark.sql.catalog.graftsql.root",
+            "file://" + java.nio.file.Files
+              .createTempDirectory("graft_sqlcat").toString)
+        Tables.load(s, dir, "documents").select("doc_id", "text")
+          .createOrReplaceTempView("q191_docs")
+        s.sql("DROP TABLE IF EXISTS graftsql.db.sdocs")
+        s.sql("DROP TABLE IF EXISTS graftsql.db.sdocs_idx")
+        s.sql("CREATE TABLE graftsql.db.sdocs (doc_id BIGINT, " +
+          "text STRING)")
+        s.sql("INSERT INTO graftsql.db.sdocs SELECT doc_id, text " +
+          "FROM q191_docs WHERE doc_id % 3 <> 0")
+        s.sql("CALL graftsql.system.create_search_index(" +
+          "table => 'db.sdocs', index => 'db.sdocs_idx', " +
+          "id_col => 'doc_id', text_col => 'text', buckets => 16)")
+        s.sql("INSERT INTO graftsql.db.sdocs SELECT doc_id, text " +
+          "FROM q191_docs WHERE doc_id % 3 = 0")
+        s.sql("CALL graftsql.system.refresh_search_index(" +
+          "table => 'db.sdocs', index => 'db.sdocs_idx')")
+        s.sql("CALL graftsql.system.search(index => 'db.sdocs_idx', " +
+            "query => 'window merge scan', k => 15)")
+          .select(col("id").cast("long").as("doc_id"), col("score"),
+            col("matched"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+            unnest(string_split(lower(text), ' ')) AS token
+          FROM documents),
+        dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+        s AS (SELECT avg(dl) AS avgdl FROM dl),
+        n AS (SELECT count(*) AS n FROM documents),
+        q AS (SELECT unnest(['window', 'merge', 'scan']) AS token),
+        tf AS (SELECT doc_id, token, count(*) AS tf
+          FROM t JOIN q USING (token) GROUP BY 1, 2),
+        df AS (SELECT token, count(DISTINCT doc_id) AS df
+          FROM tf GROUP BY 1)
+        SELECT tf.doc_id,
+          round(sum(ln(1 + (n.n - df.df + 0.5) / (df.df + 0.5))
+            * tf.tf * 2.2
+            / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))), 4)
+            AS score,
+          count(*) AS matched
+        FROM tf JOIN df USING (token) JOIN dl USING (doc_id)
+          CROSS JOIN n CROSS JOIN s
+        GROUP BY tf.doc_id
+        ORDER BY score DESC, tf.doc_id ASC LIMIT 15"""),
       kind = QueryDef.Pipeline))
 }

@@ -10,7 +10,7 @@ import org.apache.spark.sql.connector.catalog.{Column, Identifier, NamespaceChan
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{LocalScan, Scan}
-import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType, StringType, StructField, StructType, TimestampType}
+import org.apache.spark.sql.types.{BooleanType, DoubleType, IntegerType, LongType, StringType, StructField, StructType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.sources.Manifest
@@ -945,6 +945,160 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces
     }
   }
 
+  private def rowsScan(schema: StructType,
+                       data: Array[InternalRow]): java.util.Iterator[Scan] =
+    // parameter deliberately NOT named `rows`: inside the anonymous
+    // class that name would resolve to the `rows()` method being
+    // defined — a self-call the compiler turns into an infinite loop
+    java.util.Collections.singletonList[Scan](new LocalScan {
+      override def rows(): Array[InternalRow] = data
+      override def readSchema(): StructType = schema
+    }).iterator()
+
+  // ---- serving-tier procedures: the OpenSearch index lifecycle for
+  // SQL-only sessions (reference capability: the search tier is driven
+  // through the API, lambda-function.py:108-172; here the index is a
+  // catalog table, so after create_search_index the postings are also
+  // plain SELECT-able) ---------------------------------------------------
+
+  private object CreateSearchIndexProcedure extends UnboundProcedure
+      with BoundProcedure {
+    override def name(): String = "create_search_index"
+    override def description(): String =
+      "build a materialized inverted index over a manifest table " +
+        "(SearchIndex.create); the index is itself a catalog table"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("index", StringType).build(),
+      ProcedureParameter.in("id_col", StringType).build(),
+      ProcedureParameter.in("text_col", StringType).build(),
+      ProcedureParameter.in("buckets", IntegerType)
+        .defaultValue("64").build(),
+      ProcedureParameter.in("positions", BooleanType)
+        .defaultValue("false").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val src = tableRoot(input.getUTF8String(0).toString)
+      val idxRoot = newTableRoot(input.getUTF8String(1).toString)
+      val v = graft.sources.SearchIndex.create(spark, src, idxRoot,
+        input.getUTF8String(2).toString, input.getUTF8String(3).toString,
+        input.getInt(4), input.getBoolean(5))
+      oneRowScan(
+        StructType(Seq(StructField("version", LongType, false))),
+        Array[Any](v))
+    }
+  }
+
+  private object RefreshSearchIndexProcedure extends UnboundProcedure
+      with BoundProcedure {
+    override def name(): String = "refresh_search_index"
+    override def description(): String =
+      "advance a search index to its source's head — incremental, " +
+        "cost ∝ changed files (SearchIndex.refresh)"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("index", StringType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val src = tableRoot(input.getUTF8String(0).toString)
+      val idxRoot = tableRoot(input.getUTF8String(1).toString)
+      val v = graft.sources.SearchIndex.refresh(spark, src, idxRoot)
+      oneRowScan(
+        StructType(Seq(StructField("version", LongType, false),
+          StructField("base", LongType, false))),
+        Array[Any](v,
+          graft.sources.SearchIndex.baseVersion(spark, idxRoot)))
+    }
+  }
+
+  private object SearchProcedure extends UnboundProcedure
+      with BoundProcedure {
+    override def name(): String = "search"
+    override def description(): String =
+      "BM25 top-k from a maintained search index " +
+        "(SearchIndex.searchBm25) — partition-pruned term buckets, " +
+        "header collection stats; id returned as a string"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("index", StringType).build(),
+      ProcedureParameter.in("query", StringType).build(),
+      ProcedureParameter.in("k", IntegerType).defaultValue("10").build(),
+      ProcedureParameter.in("require_all", BooleanType)
+        .defaultValue("false").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val idxRoot = tableRoot(input.getUTF8String(0).toString)
+      // bounded ≤k-row collect — the page a search API returns
+      val hits = graft.sources.SearchIndex.searchBm25(spark, idxRoot,
+          input.getUTF8String(1).toString, input.getInt(2),
+          requireAll = input.getBoolean(3))
+        .collect()
+      rowsScan(
+        StructType(Seq(StructField("id", StringType, false),
+          StructField("score", DoubleType, false),
+          StructField("matched", LongType, false))),
+        hits.map(r => new GenericInternalRow(Array[Any](
+          org.apache.spark.unsafe.types.UTF8String
+            .fromString(String.valueOf(r.get(0))),
+          r.getDouble(1), r.getLong(2))): InternalRow))
+    }
+  }
+
+  private object CreateVectorIndexProcedure extends UnboundProcedure
+      with BoundProcedure {
+    override def name(): String = "create_vector_index"
+    override def description(): String =
+      "build a persisted IVF vector index over a manifest table " +
+        "(VectorIndex.createFromManifest). The source table carries an " +
+        "array column, which the connector's SQL DDL does not cover " +
+        "(flat primitives only) — create it with the Scala Manifest " +
+        "API at its warehouse path; this procedure resolves the root " +
+        "directly"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("index", StringType).build(),
+      ProcedureParameter.in("id_col", StringType).build(),
+      ProcedureParameter.in("vec_col", StringType).build(),
+      ProcedureParameter.in("cells", IntegerType)
+        .defaultValue("16").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val src = tableRoot(input.getUTF8String(0).toString)
+      val idxRoot = newTableRoot(input.getUTF8String(1).toString)
+      val v = graft.sources.VectorIndex.createFromManifest(spark, src,
+        idxRoot, input.getUTF8String(2).toString,
+        input.getUTF8String(3).toString, input.getInt(4))
+      oneRowScan(
+        StructType(Seq(StructField("version", LongType, false))),
+        Array[Any](v))
+    }
+  }
+
+  private object RefreshVectorIndexProcedure extends UnboundProcedure
+      with BoundProcedure {
+    override def name(): String = "refresh_vector_index"
+    override def description(): String =
+      "advance a vector index to its source's head — append-only " +
+        "diffs assign against the frozen pivots; rewrites rebuild " +
+        "(VectorIndex.refresh)"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("index", StringType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val src = tableRoot(input.getUTF8String(0).toString)
+      val idxRoot = tableRoot(input.getUTF8String(1).toString)
+      val v = graft.sources.VectorIndex.refresh(spark, src, idxRoot)
+      oneRowScan(
+        StructType(Seq(StructField("version", LongType, false))),
+        Array[Any](v))
+    }
+  }
+
   override def loadProcedure(ident: Identifier): UnboundProcedure = {
     require(ident.namespace.isEmpty ||
       ident.namespace.toSeq == Seq("system"),
@@ -974,13 +1128,20 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces
       case "branches" => BranchesProcedure
       case "create_mv" => CreateMvProcedure
       case "refresh_mv" => RefreshMvProcedure
+      case "create_search_index" => CreateSearchIndexProcedure
+      case "refresh_search_index" => RefreshSearchIndexProcedure
+      case "search" => SearchProcedure
+      case "create_vector_index" => CreateVectorIndexProcedure
+      case "refresh_vector_index" => RefreshVectorIndexProcedure
       case other => throw new UnsupportedOperationException(
         s"catalog $catalogName has no procedure '$other' (available: " +
           "compact, vacuum, history, rewrite_deletes, " +
           "expire_snapshots, zorder, remove_orphans, stage, " +
           "publish_stage, discard_stage, stages, tag, drop_tag, tags, " +
           "create_branch, branch_append, fast_forward, drop_branch, " +
-          "branches, create_mv, refresh_mv)")
+          "branches, create_mv, refresh_mv, create_search_index, " +
+          "refresh_search_index, search, create_vector_index, " +
+          "refresh_vector_index)")
     }
   }
 

@@ -2015,5 +2015,34 @@ object LakeQueries {
           CAST(sum(n_chars + CASE WHEN doc_id % 10 = 0 THEN 1000
             ELSE 0 END) AS BIGINT) AS sum_n_chars
         FROM documents GROUP BY lang ORDER BY lang"""),
+      kind = QueryDef.Pipeline),
+
+    // ---- per-file Bloom sidecars: point-lookup file pruning where zone
+    // maps cannot help. Orders are committed in four stripes keyed by
+    // o_orderkey % 4, so every file's o_custkey [min,max] envelope spans
+    // the whole domain — the planning-time bloom probe is the ONLY thing
+    // standing between `WHERE o_custkey IN (...)` and a full-table scan
+    // (ManifestBloomsSpec asserts the planned-file count; here the
+    // oracle proves the pruned read returns exactly the right rows).
+    QueryDef("q192_bloom_lookup",
+      (s, dir) => {
+        val root = "file://" + Files
+          .createTempDirectory("graft_bloom").toString + "/orders"
+        val o = Tables.load(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        Manifest.init(s, root,
+          o.filter(col("o_orderkey") % 4 === 0).coalesce(1))
+        for (k <- 1 to 3)
+          Manifest.commitAppend(s, root,
+            o.filter(col("o_orderkey") % 4 === k).coalesce(1))
+        graft.sources.ManifestBlooms.build(s, root, Seq("o_custkey"))
+        s.read.format("graft-manifest").load(root)
+          .filter(col("o_custkey").isin(7L, 42L, 101L))
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders WHERE o_custkey IN (7, 42, 101)
+        ORDER BY o_orderkey"""),
       kind = QueryDef.Pipeline))
 }

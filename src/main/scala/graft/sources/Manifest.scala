@@ -1194,7 +1194,7 @@ object Manifest {
     * table's own headers; newlines would tear the line format. */
   private val ReservedMeta =
     Set("schema", "partcols", "count", "dcount", "ts", "base", "dropped",
-      "colstats", "colstats-v", "rollback-of")
+      "colstats", "colstats-v", "rollback-of", "blooms", "blooms-v")
   private def checkExtraMeta(m: Map[String, String]): Unit =
     m.foreach { case (k, v) =>
       require(k.nonEmpty && !ReservedMeta(k) && !k.startsWith("batch.") &&
@@ -2051,6 +2051,9 @@ object Manifest {
         dead += rel
       }
     }
+    // sidecars of the files just removed (and any stragglers from
+    // earlier reclamation) die with their data files
+    if (dead.nonEmpty) ManifestBlooms.removeOrphanSidecars(spark, root)
     dead.toSeq
   }
 
@@ -2109,6 +2112,19 @@ object Manifest {
       branchRefs(spark, root)
     val dead = drop.flatMap(refs).distinct.filterNot(live)
     dead.foreach(f => fs.delete(new Path(s"$root/$f"), false))
+    // bloom sidecars index immutable data files — a reclaimed file's
+    // sidecars are dead with it (directory may legitimately not exist)
+    val bloomDir = new Path(s"$root/${ManifestBlooms.Dir}")
+    if (dead.nonEmpty && fs.exists(bloomDir)) dead.foreach { f =>
+      val parent = new Path(s"$root/${ManifestBlooms.Dir}/$f").getParent
+      val name = new Path(f).getName
+      if (fs.exists(parent))
+        fs.listStatus(parent).foreach { st =>
+          if (st.getPath.getName.startsWith(s"$name.") &&
+              st.getPath.getName.endsWith(".bloom"))
+            fs.delete(st.getPath, false)
+        }
+    }
     drop.foreach(v =>
       fs.delete(new Path(manifestDir(root), vName(v)), false))
     // remove now-empty commit dirs (cosmetic; harmless if it fails)

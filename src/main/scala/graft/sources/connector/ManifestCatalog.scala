@@ -1099,6 +1099,32 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces
     }
   }
 
+  private object BuildBloomsProcedure extends UnboundProcedure
+      with BoundProcedure {
+    override def name(): String = "build_blooms"
+    override def description(): String =
+      "build (or incrementally extend) per-file Bloom sidecars over " +
+        "data columns so point lookups prune files zone maps cannot " +
+        "(ManifestBlooms.build); only uncovered files are read"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("columns", StringType).build(), // 'a[,b…]'
+      ProcedureParameter.in("fpp", DoubleType)
+        .defaultValue("0.01").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val root = tableRoot(input.getUTF8String(0).toString)
+      val cols = input.getUTF8String(1).toString
+        .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+      val v = graft.sources.ManifestBlooms.build(spark, root, cols,
+        input.getDouble(2))
+      oneRowScan(
+        StructType(Seq(StructField("version", LongType, false))),
+        Array[Any](v))
+    }
+  }
+
   override def loadProcedure(ident: Identifier): UnboundProcedure = {
     require(ident.namespace.isEmpty ||
       ident.namespace.toSeq == Seq("system"),
@@ -1133,6 +1159,7 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces
       case "search" => SearchProcedure
       case "create_vector_index" => CreateVectorIndexProcedure
       case "refresh_vector_index" => RefreshVectorIndexProcedure
+      case "build_blooms" => BuildBloomsProcedure
       case other => throw new UnsupportedOperationException(
         s"catalog $catalogName has no procedure '$other' (available: " +
           "compact, vacuum, history, rewrite_deletes, " +
@@ -1141,7 +1168,7 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces
           "create_branch, branch_append, fast_forward, drop_branch, " +
           "branches, create_mv, refresh_mv, create_search_index, " +
           "refresh_search_index, search, create_vector_index, " +
-          "refresh_vector_index)")
+          "refresh_vector_index, build_blooms)")
     }
   }
 

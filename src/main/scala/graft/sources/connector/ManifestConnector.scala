@@ -1077,7 +1077,14 @@ final class ManifestScanBuilder(res: ManifestConnector.Resolved,
   // and before build), consumed up to three times — memoize
   private lazy val survivingFilesCached = survivingFiles()
 
-  private def survivingFiles(): Seq[ManifestConnector.FileInfo] =
+  private def survivingFiles(): Seq[ManifestConnector.FileInfo] = {
+    // bloom-sidecar skip (point lookups on unclustered high-cardinality
+    // columns, where zone-map envelopes prune nothing): None unless the
+    // table advertises blooms AND a pushed filter is bloom-decidable,
+    // so the common case costs zero FS round trips
+    val bloomPruner = graft.sources.ManifestBlooms.prunerFor(
+      res.root, res.dataSchema, res.tableMeta, dataFilters)
+    val relPrefix = s"${res.root}/"
     res.files.filter { f =>
       val pv = f.partValues.toMap
       // survive only on definite TRUE — unknown (NULL) drops the file,
@@ -1089,8 +1096,10 @@ final class ManifestScanBuilder(res: ManifestConnector.Resolved,
         // pushed data filter is never planned (pure IO skip — data
         // filters stay residual)
         f.stats.forall(st =>
-          dataFilters.forall(ManifestConnector.mayMatch(_, st)))
+          dataFilters.forall(ManifestConnector.mayMatch(_, st))) &&
+        bloomPruner.forall(_.mayMatch(f.absPath.stripPrefix(relPrefix)))
     }
+  }
 
   /** COMPLETE aggregate pushdown answered from the manifest zone maps
     * alone: `count(*)` / `count(col)` / `min(col)` / `max(col)`,

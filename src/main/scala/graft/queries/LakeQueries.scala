@@ -2044,5 +2044,50 @@ object LakeQueries {
       Some("""SELECT o_orderkey, o_custkey, o_totalprice
         FROM orders WHERE o_custkey IN (7, 42, 101)
         ORDER BY o_orderkey"""),
+      kind = QueryDef.Pipeline),
+
+    // ---- CLONE: zero-copy snapshot-and-diverge (the ES snapshot/
+    // restore + Delta CLONE analog). Source starts as ⅔ of documents,
+    // is shallow-cloned (manifest references only — no bytes move),
+    // then BOTH sides diverge: the source gains the remaining third,
+    // the clone MoR-deletes doc_id%5 rows. The unioned per-side rollup
+    // proves the clone pinned its snapshot (source's append invisible)
+    // and the delete touched only the clone — all reconstructable in
+    // SQL over the documents table.
+    QueryDef("q193_clone_snapshot",
+      (s, dir) => {
+        val base = "file://" + Files
+          .createTempDirectory("graft_clone").toString
+        val src = s"$base/src"
+        val cl = s"$base/clone"
+        val docs = Tables.load(s, dir, "documents")
+          .select("doc_id", "lang", "n_chars")
+        Manifest.init(s, src,
+          docs.filter(col("doc_id") % 3 =!= 0), Seq("lang"))
+        Manifest.cloneTable(s, src, cl)
+        Manifest.commitAppend(s, src,
+          docs.filter(col("doc_id") % 3 === 0), Seq("lang"))
+        Manifest.deleteByKeys(s, cl,
+          docs.filter(col("doc_id") % 5 === 0).select("doc_id"))
+        def side(root: String, name: String) =
+          Manifest.read(s, root).groupBy("lang")
+            .agg(count(lit(1)).as("n"),
+              sum("n_chars").as("chars"))
+            .withColumn("side", lit(name))
+        side(src, "src").unionByName(side(cl, "clone"))
+          .select("side", "lang", "n", "chars")
+          .orderBy("side", "lang")
+      },
+      Some("""SELECT side, lang, n, chars FROM (
+          SELECT 'src' AS side, lang, count(*) AS n,
+            sum(n_chars) AS chars
+          FROM documents GROUP BY lang
+          UNION ALL
+          SELECT 'clone' AS side, lang, count(*) AS n,
+            sum(n_chars) AS chars
+          FROM documents
+          WHERE doc_id % 3 <> 0 AND doc_id % 5 <> 0
+          GROUP BY lang)
+        ORDER BY side, lang"""),
       kind = QueryDef.Pipeline))
 }

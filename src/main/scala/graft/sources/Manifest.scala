@@ -112,16 +112,44 @@ object Manifest {
     sb.toString
   }
 
+  /** Is this manifest entry an ABSOLUTE scheme-qualified URI into
+    * another table's root (a shallow clone's borrowed file) rather
+    * than a path relative to this table? [[cloneTable]] writes
+    * qualified URIs only, so the test is unambiguous — relative
+    * entries always start with `data/`. */
+  private[graft] def isForeignEntry(p: String): Boolean =
+    p.contains("://") || p.matches("^[A-Za-z][A-Za-z0-9+.-]*:/.*")
+
+  /** Resolve a manifest entry to its readable location: foreign
+    * (clone-borrowed) entries are already absolute; local ones live
+    * under this table's root. */
+  private[graft] def absEntryPath(root: String, p: String): String =
+    if (isForeignEntry(p)) p else s"$root/$p"
+
+  /** A foreign entry's table-relative tail (`data/...`) — what it
+    * would be named if it lived under this root (deep-clone copy
+    * target, partition parsing). */
+  private[graft] def relTailOf(p: String): String =
+    if (!isForeignEntry(p)) p
+    else {
+      val i = p.lastIndexOf("/data/")
+      if (i >= 0) p.substring(i + 1) else p
+    }
+
   /** `data/c00000001-ab12/lang=de/part-0.parquet` → Seq(lang -> de).
-    * Null partitions (`__HIVE_DEFAULT_PARTITION__`) map to null. */
+    * Null partitions (`__HIVE_DEFAULT_PARTITION__`) map to null.
+    * Foreign (clone-borrowed) absolute entries parse their tail under
+    * the SOURCE's `data/` dir — same layout, same tuple. */
   def partValuesOf(relPath: String): Seq[(String, String)] =
-    relPath.split('/').drop(2).dropRight(1).toSeq.flatMap { seg =>
-      seg.split("=", 2) match {
-        case Array(k, v) =>
-          val uv = unescapePathName(v)
-          Some(k -> (if (uv == "__HIVE_DEFAULT_PARTITION__") null else uv))
-        case _ => None
-      }
+    relTailOf(relPath).split('/').drop(2).dropRight(1).toSeq.flatMap {
+      seg =>
+        seg.split("=", 2) match {
+          case Array(k, v) =>
+            val uv = unescapePathName(v)
+            Some(k ->
+              (if (uv == "__HIVE_DEFAULT_PARTITION__") null else uv))
+          case _ => None
+        }
     }
 
   /** Does `relPath` belong to one of the `touched` partitions? Matches
@@ -395,6 +423,7 @@ object Manifest {
     val otherStages = stages(spark, root).filterNot(_ == stageId)
       .flatMap(id => readStageManifest(spark, root, id).files).toSet
     val dead = m.files.filterNot(chainRefs).filterNot(otherStages)
+      .filterNot(isForeignEntry) // clone-borrowed bytes belong to the source
     dead.foreach(f => fs.delete(new Path(s"$root/$f"), false))
     fs.delete(new Path(manifestDir(root), stageName(stageId)), false)
     dead
@@ -587,7 +616,7 @@ object Manifest {
         (byBranch - name).flatMap { case (b, vs) =>
           vs.flatMap(v => refsOf(readBranchManifest(spark, root, b, v)))
         }).toSet
-    val dead = (mine -- keep).toSeq.sorted
+    val dead = (mine -- keep).toSeq.sorted.filterNot(isForeignEntry)
     dead.foreach(f => fs.delete(new Path(s"$root/$f"), false))
     bvs.foreach(v => fs.delete(
       new Path(manifestDir(root), branchManifestName(name, v)), false))
@@ -645,6 +674,118 @@ object Manifest {
     val m = readManifest(spark, root, to)
     publish(spark, root, cur, m.entries,
       m.meta + ("rollback-of" -> to.toString), m.deletes)
+  }
+
+  /** CLONE: a new independent table whose first version IS a snapshot
+    * of another table — the Delta `CLONE` / Iceberg snapshot-export /
+    * OpenSearch snapshot-restore move.
+    *
+    * SHALLOW (default): zero data movement at ANY size — the clone's
+    * manifest references the source's immutable files by absolute URI
+    * (one driver-side text write; a 100 TB clone costs the same as a
+    * 100 MB one). The cloned snapshot is PINNED with a tag on the
+    * source (`clone-<hash>`), so the source's vacuum/expiration can
+    * never reclaim the borrowed files — the footgun Delta documents
+    * ("vacuum on the source breaks shallow clones") is closed by
+    * construction here; [[releaseClone]] drops the pin when the clone
+    * is abandoned. Writes to either table never touch the other: new
+    * files land under their own root, and the clone's own vacuum
+    * skips foreign entries (the source owns those bytes).
+    *
+    * DEEP: a distributed file copy under the clone's root — the clone
+    * owns its bytes and survives the source's deletion; cost ∝ data.
+    *
+    * MoR delete files ride along (absolutized or copied), so cloning
+    * a table with pending deletes reproduces exactly its visible
+    * rows. Streaming high-water marks (`batch.*`) are NOT carried:
+    * the clone is a new sink identity, and inherited fences would
+    * silently drop a new stream's first batches. Bloom sidecars are
+    * not carried either (rebuild on the clone if wanted).
+    * The clone's FIRST manifest is published at the SOURCE version
+    * number (not 1): carried entries keep their original merge-on-read
+    * sequence numbers, so publishing lower would let a future delete
+    * on the clone (stamped `version+1`) skip carried files whose seq
+    * outranked it — silent resurrection. Starting at the source
+    * version preserves the carried order verbatim AND guarantees every
+    * new clone commit outranks it. Returns that version. */
+  def cloneTable(spark: SparkSession, srcRoot: String, dstRoot: String,
+                 version: Option[Long] = None,
+                 deep: Boolean = false): Long = {
+    val (sfs, _) = fsOf(spark, srcRoot)
+    val qualifiedSrc =
+      sfs.makeQualified(new Path(srcRoot)).toString.stripSuffix("/")
+    val v = version.getOrElse(latestVersion(spark, srcRoot).getOrElse(
+      throw new IllegalStateException(s"$srcRoot not initialized")))
+    require(versions(spark, srcRoot).contains(v),
+      s"version $v of $srcRoot does not exist")
+    require(latestVersion(spark, dstRoot).isEmpty,
+      s"clone target $dstRoot already has commits")
+    val m = readManifest(spark, srcRoot, v)
+    require(m.schema.isDefined,
+      s"cannot clone $srcRoot v$v: legacy manifest without a schema " +
+        "header — rewrite (commitReplace) first")
+    // fill sizes now so the clone never has to stat foreign files
+    val sized = m.entries.map { e =>
+      if (e.size.isDefined) e
+      else e.copy(size = Some(sfs.getFileStatus(
+        new Path(absEntryPath(qualifiedSrc, e.path))).getLen))
+    }
+    val keepMeta = m.meta -- Seq("count", "dcount", "ts", "base",
+      "dropped", "rollback-of", ManifestBlooms.MetaKey,
+      ManifestBlooms.MetaVersionKey, "cloned-from", "clone-mode",
+      "clone-pin") filterNot { case (k, _) => k.startsWith("batch.") }
+    val (entries, deletes, cloneMeta) =
+      if (deep) {
+        val rels = (sized.map(_.path) ++ m.deletes.map(_.path)).distinct
+        val confArr = spark.sparkContext.hadoopConfiguration
+          .iterator().asScala.map(e => (e.getKey, e.getValue)).toArray
+        val srcQ = qualifiedSrc
+        val dstQ = dstRoot
+        spark.sparkContext
+          .parallelize(rels, rels.size.max(1).min(256))
+          .foreach { rel =>
+            val c = new org.apache.hadoop.conf.Configuration(false)
+            confArr.foreach { case (k, vv) => c.set(k, vv) }
+            val from = new Path(absEntryPath(srcQ, rel))
+            val to = new Path(s"$dstQ/${relTailOf(rel)}")
+            val ffs = from.getFileSystem(c)
+            val tfs = to.getFileSystem(c)
+            org.apache.hadoop.fs.FileUtil.copy(
+              ffs, from, tfs, to, false, true, c)
+          }
+        (sized.map(e => e.copy(path = relTailOf(e.path))),
+          m.deletes.map(d => d.copy(path = relTailOf(d.path))),
+          Map("cloned-from" -> s"$qualifiedSrc@v$v",
+            "clone-mode" -> "deep"))
+      } else {
+        val pin = "clone-" + java.security.MessageDigest
+          .getInstance("MD5").digest(dstRoot.getBytes("UTF-8"))
+          .take(6).map("%02x".format(_)).mkString
+        tag(spark, srcRoot, pin, v)
+        (sized.map(e =>
+            e.copy(path = absEntryPath(qualifiedSrc, e.path))),
+          m.deletes.map(d =>
+            d.copy(path = absEntryPath(qualifiedSrc, d.path))),
+          Map("cloned-from" -> s"$qualifiedSrc@v$v",
+            "clone-mode" -> "shallow", "clone-pin" -> pin))
+      }
+    publish(spark, dstRoot, v - 1L, entries, keepMeta ++ cloneMeta,
+      deletes)
+  }
+
+  /** Drop a shallow clone's pin tag on its source, releasing the
+    * borrowed snapshot back to the source's normal retention. Call
+    * when abandoning the clone (or after rewriting it to own all its
+    * files). No-op (false) for deep clones or already-released pins. */
+  def releaseClone(spark: SparkSession, dstRoot: String): Boolean = {
+    val cur = latestVersion(spark, dstRoot).getOrElse(return false)
+    val meta = readManifest(spark, dstRoot, cur).meta
+    (meta.get("cloned-from"), meta.get("clone-pin")) match {
+      case (Some(from), Some(pin)) =>
+        val srcRoot = from.substring(0, from.lastIndexOf("@v"))
+        dropTag(spark, srcRoot, pin)
+      case _ => false
+    }
   }
 
   /** ANALYZE TABLE: one column-pruned aggregation pass over the
@@ -960,7 +1101,7 @@ object Manifest {
           m.deletes.filter(d => delPaths(d.path))
             .groupBy(_.keyCols).foldLeft(base) { case (df, (kc, ds)) =>
               val keys = spark.read.parquet(
-                ds.map(d => s"$root/${d.path}"): _*)
+                ds.map(d => absEntryPath(root, d.path)): _*)
                 .select(kc.map(col): _*)
               df.join(broadcast(keys),
                 kc.map(c => df(c) <=> keys(c)).reduce(_ && _),
@@ -1194,7 +1335,8 @@ object Manifest {
     * table's own headers; newlines would tear the line format. */
   private val ReservedMeta =
     Set("schema", "partcols", "count", "dcount", "ts", "base", "dropped",
-      "colstats", "colstats-v", "rollback-of", "blooms", "blooms-v")
+      "colstats", "colstats-v", "rollback-of", "blooms", "blooms-v",
+      "cloned-from", "clone-mode", "clone-pin")
   private def checkExtraMeta(m: Map[String, String]): Unit =
     m.foreach { case (k, v) =>
       require(k.nonEmpty && !ReservedMeta(k) && !k.startsWith("batch.") &&
@@ -2111,6 +2253,9 @@ object Manifest {
     val live = keep.flatMap(refs).toSet ++ stagedRefs ++
       branchRefs(spark, root)
     val dead = drop.flatMap(refs).distinct.filterNot(live)
+      // a shallow clone's foreign entries are the SOURCE's bytes — its
+      // own retention (pinned by the clone tag) governs them, never ours
+      .filterNot(isForeignEntry)
     dead.foreach(f => fs.delete(new Path(s"$root/$f"), false))
     // bloom sidecars index immutable data files — a reclaimed file's
     // sidecars are dead with it (directory may legitimately not exist)
@@ -2228,7 +2373,8 @@ object Manifest {
     val dels = m.deletes.filter(d => d.seq > from && d.seq <= hi)
       .groupBy(d => (d.seq, d.keyCols)).toSeq.sortBy(_._1._1)
       .map { case ((v, keyCols), ds) =>
-        val keys = spark.read.parquet(ds.map(d => s"$root/${d.path}"): _*)
+        val keys = spark.read.parquet(
+          ds.map(d => absEntryPath(root, d.path)): _*)
         val full = keys.select(schema.map { f =>
           if (keyCols.contains(f.name)) fcol(f.name)
           else flit(null).cast(f.dataType).as(f.name)

@@ -75,7 +75,8 @@ final class ManifestFileIndex(
           // immutable once committed, so the recorded length is exact
           // and mtime is irrelevant to the scan
           new FileStatus(e.size.getOrElse(0L), false, 1,
-            128L * 1024 * 1024, 0L, new Path(s"$root/${e.path}"))
+            128L * 1024 * 1024, 0L,
+            new Path(Manifest.absEntryPath(root, e.path)))
         }.toArray
         (PartitionDirectory(row: InternalRow, statuses),
           fs.map(_.fileStats))

@@ -1125,6 +1125,35 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces
     }
   }
 
+  private object CloneProcedure extends UnboundProcedure
+      with BoundProcedure {
+    override def name(): String = "clone"
+    override def description(): String =
+      "clone a table snapshot into a new table (Manifest.cloneTable): " +
+        "shallow = zero-copy manifest references pinned on the source " +
+        "with a tag; deep = distributed file copy the clone owns; " +
+        "version 0 = head"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("target", StringType).build(),
+      ProcedureParameter.in("version", LongType)
+        .defaultValue("0").build(),
+      ProcedureParameter.in("deep", BooleanType)
+        .defaultValue("false").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val src = tableRoot(input.getUTF8String(0).toString)
+      val dst = newTableRoot(input.getUTF8String(1).toString)
+      val ver = Some(input.getLong(2)).filter(_ > 0L)
+      val v = Manifest.cloneTable(spark, src, dst, ver,
+        deep = input.getBoolean(3))
+      oneRowScan(
+        StructType(Seq(StructField("version", LongType, false))),
+        Array[Any](v))
+    }
+  }
+
   override def loadProcedure(ident: Identifier): UnboundProcedure = {
     require(ident.namespace.isEmpty ||
       ident.namespace.toSeq == Seq("system"),
@@ -1160,6 +1189,7 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces
       case "create_vector_index" => CreateVectorIndexProcedure
       case "refresh_vector_index" => RefreshVectorIndexProcedure
       case "build_blooms" => BuildBloomsProcedure
+      case "clone" => CloneProcedure
       case other => throw new UnsupportedOperationException(
         s"catalog $catalogName has no procedure '$other' (available: " +
           "compact, vacuum, history, rewrite_deletes, " +
@@ -1168,7 +1198,7 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces
           "create_branch, branch_append, fast_forward, drop_branch, " +
           "branches, create_mv, refresh_mv, create_search_index, " +
           "refresh_search_index, search, create_vector_index, " +
-          "refresh_vector_index, build_blooms)")
+          "refresh_vector_index, build_blooms, clone)")
     }
   }
 

@@ -180,7 +180,8 @@ object ManifestConnector {
       * the file's data sequence), as executor-shippable specs. */
     def deleteSpecsFor(f: FileInfo): Array[DeleteFileSpec] =
       deletes.filter(_.seq > f.seq).map(d =>
-        DeleteFileSpec(s"$root/${d.path}", d.keyCols.toArray)).toArray
+        DeleteFileSpec(graft.sources.Manifest.absEntryPath(root, d.path),
+          d.keyCols.toArray)).toArray
     val fullSchema: StructType = declared.getOrElse(
       StructType(dataSchema.fields ++
         partCols.map(c => StructField(c, StringType, nullable = true))))
@@ -315,7 +316,8 @@ object ManifestConnector {
       }.toMap
 
     val files = snap.entries.map { e =>
-      FileInfo(s"$root/${e.path}", sizes.getOrElse(e.path, 0L),
+      FileInfo(graft.sources.Manifest.absEntryPath(root, e.path),
+        sizes.getOrElse(e.path, 0L),
         partValuesOf(e.path), e.fileStats, e.dataSeq)
     }
     // partition layout must be UNIFORM across the snapshot's files: a
@@ -1427,6 +1429,14 @@ final class ManifestScan(res: ManifestConnector.Resolved,
 
   override def filter(filters: Array[SFilter]): Unit = {
     val partCols = res.partCols.toSet
+    // a runtime IN over a bloom-covered join key consults the sidecars
+    // too — dynamic FILE pruning on unclustered keys, where min/max
+    // envelopes (the zone-map leg below) cannot narrow anything
+    val bloomPruner = graft.sources.ManifestBlooms.prunerFor(
+      res.root, res.dataSchema, res.tableMeta, filters.filter(flt =>
+        flt.references.nonEmpty &&
+          !flt.references.exists(partCols.contains)))
+    val relPrefix = s"${res.root}/"
     runtimeFiles = runtimeFiles.filter { f =>
       val pv = f.partValues.toMap
       filters.forall { flt =>
@@ -1436,7 +1446,8 @@ final class ManifestScan(res: ManifestConnector.Resolved,
             !flt.references.exists(partCols.contains))
           f.stats.forall(st => ManifestConnector.mayMatch(flt, st))
         else true // mixed/unknown shape: keep the file
-      }
+      } && bloomPruner.forall(
+        _.mayMatch(f.absPath.stripPrefix(relPrefix)))
     }
   }
 

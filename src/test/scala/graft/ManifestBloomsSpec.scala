@@ -174,6 +174,39 @@ class ManifestBloomsSpec extends SparkSpec {
       .plannedFiles.length <= 1)
   }
 
+  test("runtime filtering consults blooms: a selective dim join on an " +
+    "UNCLUSTERED key narrows fact files at execution time") {
+    val root = fixture()
+    ManifestBlooms.build(spark, root, Seq("key"))
+    val fact = connRead(root)
+    // dim from storage (a local Seq constant-folds; DPP needs a real
+    // selective scan to reuse)
+    val dimPath = java.nio.file.Files
+      .createTempDirectory("graft-bloom-dim").toString + "/dim"
+    Seq((17L, "keep"), (1234L, "keep"), (999999L, "other"))
+      .toDF("dkey", "tag").write.parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+    val joined = fact.join(dim.filter($"tag" === "keep"),
+      fact("key") === dim("dkey"))
+      .select($"key", $"v")
+    val rows = joined.collect()
+    assert(rows.map(_.getLong(0)).toSet == Set(17L, 1234L))
+    val scan = scanOf(joined)
+    info(s"runtime=${scan.runtimeFileCount} planned=${scan.plannedFiles.length}")
+    if (scan.runtimeFileCount < scan.plannedFiles.length) {
+      // the runtime IN reached the scan and the blooms narrowed it —
+      // zone maps alone could never prune a striped key
+      assert(scan.runtimeFileCount <= 4,
+        s"blooms should narrow to the keys' home files, got " +
+          s"${scan.runtimeFileCount}")
+    } else {
+      // planner chose not to inject a runtime filter for this shape —
+      // acceptable (heuristic), but static pruning must still work
+      assert(scanOf(connRead(root).filter($"key" === 17L))
+        .plannedFiles.length < 8)
+    }
+  }
+
   test("SQL surface: CALL system.build_blooms prunes catalog reads") {
     spark.conf.set("spark.sql.catalog.bloomcat",
       classOf[graft.sources.connector.ManifestCatalog].getName)

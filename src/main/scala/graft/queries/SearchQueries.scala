@@ -658,6 +658,52 @@ object SearchQueries {
           ORDER BY cosine DESC, e.vec_id ASC LIMIT 10)"""),
       kind = QueryDef.Pipeline),
 
+    // ---- X3: SQ8-QUANTIZED vector index (faiss SQ8 / Lucene int8) —
+    // per-dimension 256-level codes replace the stored doubles (the
+    // probed scan reads ~1/8 the vector bytes at any corpus size).
+    // Quantization is deterministic: exact per-dim min/max training
+    // ranges (comparisons only), floor-based code assignment, midpoint
+    // decode — so DuckDB REPLAYS the whole quantize→decode→rank chain
+    // on the raw embeddings and the top-k must hash-match, probe-all.
+    QueryDef("q194_sq8_ann",
+      (s, dir) => {
+        val idx = "file://" + java.nio.file.Files
+          .createTempDirectory("graft_sq8").toString + "/v"
+        val emb = Tables.load(s, dir, "embeddings")
+        VectorIndex.create(s, idx, emb, "vec_id", "embedding",
+          nCells = 8, quantize = true)
+        val qv = emb.filter(col("vec_id") === 7L)
+          .select(graft.functions.Vectors.toDouble(col("embedding")))
+          .collect().head.getSeq[Double](0).toArray
+        VectorIndex.search(s, idx, qv, k = 10, nProbe = 8)
+          .select(col("id").as("vec_id"),
+            round(col("cosine"), 6).as("cosine"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+        d AS (SELECT unnest(v) AS x, unnest(range(1, len(v)+1)) AS i
+          FROM e),
+        b AS (SELECT i, min(x) AS lo, max(x) AS hi FROM d GROUP BY i),
+        r AS (SELECT list(lo ORDER BY i) AS lo,
+            list(hi ORDER BY i) AS hi FROM b),
+        dec AS (SELECT e.vec_id,
+            list_transform(range(1, len(e.v)+1), i ->
+              CASE WHEN r.hi[i] = r.lo[i] THEN r.lo[i]
+              ELSE r.lo[i] + (least(255, greatest(0,
+                  floor((e.v[i] - r.lo[i])
+                    / (r.hi[i] - r.lo[i]) * 256))) + 0.5)
+                / 256 * (r.hi[i] - r.lo[i]) END) AS dv
+          FROM e, r),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = 7)
+        SELECT vec_id, round(cosine, 6) AS cosine FROM (
+          SELECT dec.vec_id,
+            list_dot_product(dec.dv, q.qv)
+              / (sqrt(list_dot_product(dec.dv, dec.dv))
+                 * sqrt(list_dot_product(q.qv, q.qv))) AS cosine
+          FROM dec, q
+          ORDER BY cosine DESC, dec.vec_id ASC LIMIT 10)"""),
+      kind = QueryDef.Pipeline),
+
     // ---- T2: span-near (in-order sloppy phrase) — 'table scan merge'
     // within a window of 2+slop(2) = 4 extra-gap-bounded positions.
     // Span frequency is head-anchored with a GREEDY min-chain (exact

@@ -81,6 +81,54 @@ object VectorIndex {
       .select(col(idCol).as("id") +:
         Vectors.toDouble(col(vecCol)).as("v") +: payload.map(col): _*)
 
+  // ---- SQ8 scalar quantization (the faiss `SQ8` / Lucene int8-HNSW
+  // move): each dimension maps to a 256-level code inside its global
+  // [lo, hi] training range, stored as ONE BYTE instead of an 8-byte
+  // double — the probed-cell scan reads ~1/8 the vector bytes, which
+  // at 100 TB of embeddings is the difference between an IO-bound and
+  // a compute-bound ANN serve. Quantization is deterministic integer
+  // arithmetic over exact per-dimension min/max (comparisons, no
+  // summation), so an oracle can replay code assignment bit-for-bit;
+  // `floor` (not round) keeps the halfway case engine-agnostic.
+  // Out-of-range values (appends after training) CLAMP to the edge
+  // codes — recall degrades gracefully, never correctness of the
+  // quantized ranking. Decode reconstructs the level midpoint.
+
+  private def sqCodes(v: org.apache.spark.sql.Column,
+                      lo: Array[Double], hi: Array[Double])
+      : org.apache.spark.sql.Column = {
+    val loL = array(lo.map(lit(_)): _*)
+    val spanL = array(lo.indices.map(i => lit(hi(i) - lo(i))): _*)
+    zip_with(zip_with(v, loL, (x, l) => x - l), spanL, (d, sp) =>
+      (when(sp === 0d, lit(0.0))
+        .otherwise(least(lit(255.0),
+          greatest(lit(0.0), floor(d / sp * 256))))
+        - lit(128.0)).cast("byte"))
+  }
+
+  private def sqDecode(q: org.apache.spark.sql.Column,
+                       lo: Array[Double], hi: Array[Double])
+      : org.apache.spark.sql.Column = {
+    val loL = array(lo.map(lit(_)): _*)
+    val spanL = array(lo.indices.map(i => lit(hi(i) - lo(i))): _*)
+    zip_with(zip_with(q, spanL, (c, sp) =>
+        (c.cast("double") + lit(128.5)) / 256d * sp),
+      loL, (d, l) => d + l)
+  }
+
+  private def sqBounds(meta: Map[String, String])
+      : Option[(Array[Double], Array[Double])] =
+    if (!meta.contains("vidx.sq")) None
+    else Some((meta("vidx.sq.lo").split(",").map(_.toDouble),
+      meta("vidx.sq.hi").split(",").map(_.toDouble)))
+
+  /** Replace the full vectors of assigned rows with their SQ8 codes. */
+  private def quantizeRows(rows: DataFrame, lo: Array[Double],
+                           hi: Array[Double], payload: Seq[String])
+      : DataFrame =
+    rows.select(col(CellCol) +: col("id") +:
+      sqCodes(col("v"), lo, hi).as("q") +: payload.map(col): _*)
+
   /** Build the index: deterministic pivots (first nCells vectors in
     * portable-hash order — one bounded nCells-row collect, the
     * header-residency contract), one assignment pass, one clustered
@@ -94,19 +142,24 @@ object VectorIndex {
     * never joins back to the source table. */
   def create(spark: SparkSession, indexRoot: String, emb: DataFrame,
              idCol: String, vecCol: String, nCells: Int,
-             payloadCols: Seq[String] = Nil): Long =
+             payloadCols: Seq[String] = Nil,
+             quantize: Boolean = false): Long =
     build(spark, indexRoot, emb, idCol, vecCol, nCells, payloadCols,
-      Map.empty, replace = false)
+      Map.empty, replace = false, quantize = quantize)
 
   /** (pivots trained on `emb`, assigned rows, full header) — shared by
-    * create and the full-rebuild refresh path. */
+    * create and the full-rebuild refresh path. With `quantize`, a
+    * per-dimension min/max training pass (exact — comparisons only)
+    * sizes the SQ8 ranges, codes replace the vectors in the stored
+    * rows, and the ranges ride the header next to the pivots. */
   private def build(spark: SparkSession, indexRoot: String,
                     emb: DataFrame, idCol: String, vecCol: String,
                     nCells: Int, payloadCols: Seq[String],
                     extra: Map[String, String],
-                    replace: Boolean): Long = {
+                    replace: Boolean,
+                    quantize: Boolean = false): Long = {
     require(nCells >= 1, "nCells must be >= 1")
-    val reserved = Set(CellCol, "id", "v")
+    val reserved = Set(CellCol, "id", "v", "q")
     require(payloadCols.forall(c => !reserved(c)),
       s"payload columns collide with the index's own: $reserved")
     val v = withV(emb, idCol, vecCol, payloadCols)
@@ -116,17 +169,30 @@ object VectorIndex {
       .limit(nCells)
       .select(col("v")).collect().map(_.getSeq[Double](0).toArray).toSeq
     require(pivots.nonEmpty, "empty embedding frame")
-    val rows = assign(v, pivots, payloadCols).repartition(col(CellCol))
+    val assigned = assign(v, pivots, payloadCols)
+    val (rows, sqMeta) =
+      if (!quantize) (assigned, Map.empty[String, String])
+      else {
+        val b = v.select(posexplode(col("v")).as(Seq("i", "x")))
+          .groupBy("i").agg(min("x").as("lo"), max("x").as("hi"))
+          .orderBy("i").collect()
+        val lo = b.map(_.getDouble(1)); val hi = b.map(_.getDouble(2))
+        (quantizeRows(assigned, lo, hi, payloadCols),
+          Map("vidx.sq" -> "1",
+            "vidx.sq.lo" -> lo.mkString(","),
+            "vidx.sq.hi" -> hi.mkString(",")))
+      }
     val meta = Map(
       "vidx.id" -> idCol, "vidx.vec" -> vecCol,
       "vidx.cells" -> pivots.size.toString,
       "vidx.payload" -> payloadCols.mkString(","),
-      "vidx.pivots" -> serialize(pivots)) ++ extra
+      "vidx.pivots" -> serialize(pivots)) ++ sqMeta ++ extra
+    val out = rows.repartition(col(CellCol))
     if (replace)
-      Manifest.commitReplace(spark, indexRoot, rows, Seq(CellCol),
+      Manifest.commitReplace(spark, indexRoot, out, Seq(CellCol),
         extraMeta = meta)
     else
-      Manifest.init(spark, indexRoot, rows, Seq(CellCol),
+      Manifest.init(spark, indexRoot, out, Seq(CellCol),
         extraMeta = meta)
   }
 
@@ -137,13 +203,14 @@ object VectorIndex {
   def createFromManifest(spark: SparkSession, srcRoot: String,
                          indexRoot: String, idCol: String,
                          vecCol: String, nCells: Int,
-                         payloadCols: Seq[String] = Nil): Long = {
+                         payloadCols: Seq[String] = Nil,
+                         quantize: Boolean = false): Long = {
     val head = Manifest.latestVersion(spark, srcRoot).getOrElse(
       throw new IllegalStateException(s"$srcRoot not initialized"))
     build(spark, indexRoot, Manifest.read(spark, srcRoot, Some(head)),
       idCol, vecCol, nCells, payloadCols,
       Map("vidx.src" -> srcRoot, "vidx.base" -> head.toString),
-      replace = false)
+      replace = false, quantize = quantize)
   }
 
   /** Advance a manifest-sourced index to its source's head.
@@ -179,7 +246,7 @@ object VectorIndex {
       Manifest.read(spark, srcRoot, Some(srcHead)), idCol, vecCol,
       nCells, payload,
       Map("vidx.src" -> srcRoot, "vidx.base" -> srcHead.toString),
-      replace = true)
+      replace = true, quantize = meta.contains("vidx.sq"))
 
     val incremental =
       Manifest.versions(spark, srcRoot).contains(base) && {
@@ -193,12 +260,17 @@ object VectorIndex {
     else {
       val added = Manifest
         .changedFiles(spark, srcRoot, base, srcHead).added.toSet
+      val assigned = assign(withV(
+          Manifest.readSubset(spark, srcRoot, srcHead, added),
+          idCol, vecCol, payload),
+        parse(meta("vidx.pivots")), payload)
+      // quantize the delta with the FROZEN training ranges (clamped) —
+      // re-training would silently re-code the whole corpus
+      val delta = sqBounds(meta).fold(assigned) { case (lo, hi) =>
+        quantizeRows(assigned, lo, hi, payload)
+      }
       Manifest.commitAppend(spark, indexRoot,
-        assign(withV(
-            Manifest.readSubset(spark, srcRoot, srcHead, added),
-            idCol, vecCol, payload),
-          parse(meta("vidx.pivots")), payload)
-          .repartition(col(CellCol)),
+        delta.repartition(col(CellCol)),
         Seq(CellCol),
         extraMeta = meta.view.filterKeys(_.startsWith("vidx."))
           .toMap + ("vidx.base" -> srcHead.toString))
@@ -230,10 +302,13 @@ object VectorIndex {
         "VectorIndex.refresh — a direct append would be re-indexed " +
         "by the next refresh as duplicates")
     val payload = payloadOf(meta)
+    val assigned = assign(withV(emb, idCol, vecCol, payload),
+      parse(meta("vidx.pivots")), payload)
+    val delta = sqBounds(meta).fold(assigned) { case (lo, hi) =>
+      quantizeRows(assigned, lo, hi, payload)
+    }
     Manifest.commitAppend(spark, indexRoot,
-      assign(withV(emb, idCol, vecCol, payload),
-          parse(meta("vidx.pivots")), payload)
-        .repartition(col(CellCol)),
+      delta.repartition(col(CellCol)),
       Seq(CellCol), extraMeta = meta.view.filterKeys(_.startsWith("vidx."))
         .toMap)
   }
@@ -279,12 +354,18 @@ object VectorIndex {
       .sortBy { case (s, cid) => (-s, cid) }
       .take(nProbe).map(_._2)
     val qv = array(queryVec.map(lit(_)): _*)
+    // an SQ8 index decodes level midpoints from its byte codes; the
+    // probed-cell scan reads the code column (~1/8 the bytes), never a
+    // full vector
+    val vExpr = sqBounds(meta).fold(col("v")) { case (lo, hi) =>
+      sqDecode(col("q"), lo, hi)
+    }
     // pinned to the header's version: scanning 'latest' could read a
     // rebuild committed after the pivots above were resolved
     Manifest.read(spark, indexRoot, Some(head))
       .filter(col(CellCol).isin(probed: _*))
       .filter(filter.getOrElse(lit(true)))
-      .select(col("id"), Vectors.cosine(col("v"), qv).as("cosine"))
+      .select(col("id"), Vectors.cosine(vExpr, qv).as("cosine"))
       .orderBy(col("cosine").desc, col("id").asc)
       .limit(k)
   }

@@ -181,4 +181,96 @@ class VectorIndexSpec extends SparkSpec {
         nCells = 2, payloadCols = Seq("cell"))
     }
   }
+
+  // ---- SQ8 scalar quantization ----------------------------------------
+
+  test("SQ8: codes replace vectors (byte column), decode error is " +
+    "bounded by one level, and probe-all quantized ranking matches " +
+    "brute force over DECODED vectors") {
+    val root = newRoot("sq8")
+    VectorIndex.create(spark, root, emb, "vec_id", "embedding",
+      nCells = 2, quantize = true)
+    val stored = Manifest.read(spark, root)
+    assert(stored.schema.fieldNames.contains("q") &&
+      !stored.schema.fieldNames.contains("v"))
+    assert(stored.schema("q").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.ByteType, false) ||
+      stored.schema("q").dataType.isInstanceOf[
+        org.apache.spark.sql.types.ArrayType])
+
+    // per-dimension reconstruction error ≤ span/256 (one level)
+    def dims(sel: Int) = vecs.map(_._2(sel).toDouble)
+    val lo = Array(dims(0).min, dims(1).min)
+    val hi = Array(dims(0).max, dims(1).max)
+    def code(x: Double, d: Int): Int = {
+      val sp = hi(d) - lo(d)
+      if (sp == 0) 0
+      else math.min(255, math.max(0,
+        math.floor((x - lo(d)) / sp * 256))).toInt
+    }
+    def decode(c: Int, d: Int): Double =
+      lo(d) + (c + 0.5) / 256.0 * (hi(d) - lo(d))
+    vecs.foreach { case (_, v) =>
+      for (d <- 0 to 1) {
+        val err = math.abs(decode(code(v(d), d), d) - v(d))
+        assert(err <= (hi(d) - lo(d)) / 256.0 + 1e-12)
+      }
+    }
+
+    // probe-all quantized top-k == brute force over the decoded vecs
+    val q = Array(1.0, 0.05)
+    val got = VectorIndex.search(spark, root, q, k = 5, nProbe = 2)
+      .select("id").as[Long].collect().toSeq
+    val expect = vecs.map { case (i, v) =>
+        (i, cos(q, Array(decode(code(v(0), 0), 0),
+          decode(code(v(1), 1), 1))))
+      }.sortBy { case (i, c) => (-c, i) }.take(5).map(_._1)
+    assert(got == expect)
+    // and the quantized ranking is a good approximation of the exact
+    // one on well-separated data: same top-3
+    assert(got.take(3) == bruteTop(q, 3))
+  }
+
+  test("SQ8: appended vectors quantize with the FROZEN training " +
+    "ranges (out-of-range values clamp, never crash)") {
+    val root = newRoot("sq8-app")
+    VectorIndex.create(spark, root, emb, "vec_id", "embedding",
+      nCells = 2, quantize = true)
+    // 5.0 is far outside the training range [-1, 1] → clamps to the
+    // top code of dimension 0
+    VectorIndex.append(spark, root,
+      Seq((100L, Array(5.0f, 0.0f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    val got = VectorIndex.search(spark, root, Array(1.0, 0.0),
+      k = 3, nProbe = 2).select("id").as[Long].collect().toSeq
+    // the clamped vector decodes to the max corner — still a strong
+    // +x direction match, and searchable
+    assert(got.contains(100L))
+  }
+
+  test("SQ8: manifest-sourced refresh keeps quantizing — incremental " +
+    "appends use frozen ranges, a rewrite re-trains them") {
+    val src = newRoot("sq8-src")
+    val idx = newRoot("sq8-idx")
+    Manifest.init(spark, src,
+      emb.filter($"vec_id" <= 8).select($"vec_id", $"embedding"))
+    VectorIndex.createFromManifest(spark, src, idx, "vec_id",
+      "embedding", nCells = 2, quantize = true)
+    Manifest.commitAppend(spark, src,
+      emb.filter($"vec_id" > 8).select($"vec_id", $"embedding"))
+    VectorIndex.refresh(spark, src, idx)
+    val stored = Manifest.read(spark, idx)
+    assert(stored.count() == 12 &&
+      stored.schema.fieldNames.contains("q"))
+    // rewrite → full rebuild, still quantized
+    Manifest.commitReplace(spark, src,
+      emb.select($"vec_id", $"embedding").filter($"vec_id" <= 6))
+    VectorIndex.refresh(spark, src, idx)
+    val after = Manifest.read(spark, idx)
+    assert(after.count() == 6 && after.schema.fieldNames.contains("q"))
+    val got = VectorIndex.search(spark, idx, Array(0.0, 1.0),
+      k = 2, nProbe = 2).select("id").as[Long].collect().toSeq
+    assert(got.nonEmpty && got.forall(_ <= 6))
+  }
 }

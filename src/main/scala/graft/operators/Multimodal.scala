@@ -143,7 +143,8 @@ object Multimodal {
     * oracle can recompute without any codec, so a green hash proves the
     * encode→decode round trip touched real pixels. Map-only, no
     * shuffle; encode cost is per-row and scales linearly. */
-  def pngFromDocuments(spark: SparkSession, docs: DataFrame): DataFrame = {
+  def pngFromDocuments(spark: SparkSession, docs: DataFrame,
+                       rBump: Boolean = false): DataFrame = {
     import spark.implicits._
     graft.scaleOut(docs).select(col("doc_id")).as[Long]
       .mapPartitions { ids =>
@@ -156,7 +157,12 @@ object Multimodal {
           while (y < h) {
             var x = 0
             while (x < w) {
-              val r = ((id * 31 + x * 7 + y * 13) % 256).toInt
+              // rBump = a deterministic one-count red nudge on the
+              // even-checkerboard pixels: a VISUALLY near-identical
+              // variant (for perceptual-hash near-dup fixtures) whose
+              // pixels stay a closed form the oracle can recompute
+              val bump = if (rBump) (1 - (x + y) % 2) else 0
+              val r = ((id * 31 + x * 7 + y * 13 + bump) % 256).toInt
               val g = ((id * 17 + x * 11 + y * 3) % 256).toInt
               val b = ((id * 29 + x * 5 + y * 19) % 256).toInt
               img.setRGB(x, y, (r << 16) | (g << 8) | b)
@@ -169,6 +175,87 @@ object Multimodal {
           (id, bos.toByteArray)
         }
       }.toDF("media_id", "payload")
+  }
+
+  /** 64-bit AVERAGE-HASH perceptual fingerprint from a REAL decode
+    * (the classic aHash, nearest-neighbor variant): sample an 8×8
+    * grid at `(gx·w/8, gy·h/8)` (integer arithmetic — no resampling
+    * kernel, so any engine replays the exact samples), take
+    * `gray = r+g+b` (monotone in luminance, division-free), and set
+    * bit `gy·8+gx` iff the sample exceeds the 64-sample mean. Two
+    * images that LOOK the same hash within a few bits regardless of
+    * byte-level differences — the image analog of SimHash for text.
+    * Map-only; one decode per image. */
+  case class ImageHash(media_id: Long, ahash: Long)
+
+  def imageAHash(spark: SparkSession, media: DataFrame)
+      : Dataset[ImageHash] = {
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        imageIoNoCache
+        rows.map { case (id, payload) =>
+          val img = ImageIO.read(new ByteArrayInputStream(payload))
+          require(img != null,
+            s"media_id=$id: payload is not a decodable image")
+          val (w, h) = (img.getWidth, img.getHeight)
+          val gray = new Array[Long](64)
+          var sum = 0L
+          var i = 0
+          while (i < 64) {
+            val sx = (i % 8) * w / 8
+            val sy = (i / 8) * h / 8
+            val rgb = img.getRGB(sx, sy)
+            gray(i) = ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) +
+              (rgb & 0xFF)
+            sum += gray(i)
+            i += 1
+          }
+          val mean = sum / 64.0
+          var hash = 0L
+          i = 0
+          while (i < 64) {
+            if (gray(i) > mean) hash |= (1L << i)
+            i += 1
+          }
+          ImageHash(id, hash)
+        }
+      }
+  }
+
+  /** All image pairs within `maxHamming` aHash bits — perceptual
+    * (near-)duplicate detection over a decoded corpus. Blocking is the
+    * standard LSH pigeonhole: the 64 bits split into `maxHamming + 1`
+    * bands, and any pair within the threshold must agree EXACTLY on at
+    * least one band, so the self-join runs per (band, value) bucket —
+    * never a corpus × corpus product — and the hamming verify
+    * (`bit_count(xor)`) touches only banded candidates. Guaranteed
+    * complete at the threshold (no missed pairs, unlike probabilistic
+    * MinHash banding). `maxHamming` ≤ 15 keeps every band ≥ 4 bits. */
+  def nearDupImagePairs(spark: SparkSession, media: DataFrame,
+                        maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"maxHamming must be in [0, 15], got $maxHamming")
+    val nb = maxHamming + 1
+    val hashes = imageAHash(spark, media).toDF("media_id", "ahash")
+    val bands = hashes.select(col("media_id"), col("ahash"),
+      posexplode(array((0 until nb).map { j =>
+        val lo = j * 64 / nb
+        val width = (j + 1) * 64 / nb - lo
+        val mask = if (width >= 64) -1L else (1L << width) - 1L
+        shiftrightunsigned(col("ahash"), lo).bitwiseAND(lit(mask))
+      }: _*)).as(Seq("band_idx", "band_val")))
+    val a = bands.select(col("media_id").as("id_a"),
+      col("ahash").as("h_a"), col("band_idx"), col("band_val"))
+    val b = bands.select(col("media_id").as("id_b"),
+      col("ahash").as("h_b"), col("band_idx"), col("band_val"))
+    a.join(b, Seq("band_idx", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Exact per-image pixel statistics from a REAL `javax.imageio`

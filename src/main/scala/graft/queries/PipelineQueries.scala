@@ -2259,5 +2259,55 @@ object PipelineQueries {
           round(sum(tf.tf * w.w) / tf.dl, 4) + 0.0 AS avg_llr
         FROM tf JOIN w USING (token)
         GROUP BY tf.doc_id, tf.dl
-        ORDER BY tf.doc_id""")))
+        ORDER BY tf.doc_id""")),
+
+    // ---- X6: PERCEPTUAL image near-dup (aHash + banded hamming join)
+    // over REAL decoded pixels. The corpus = the doc_id<200 PNGs plus a
+    // checkerboard red-nudged variant of each (byte-different, visually
+    // identical — the re-encoded / slightly-retouched duplicate class
+    // byte-hash dedup can never catch). Engine: decode → 8×8 NN-sampled
+    // aHash → pigeonhole-banded self-join (complete at the threshold,
+    // never corpus²) → bit_count verify. The oracle recomputes the
+    // sampled grays from the generator's closed form (no codec) and
+    // brute-forces the subset — a green hash proves the decode→hash→
+    // blocked-join chain end to end, including which variant pairs
+    // drift past 3 bits.
+    QueryDef("q195_image_neardup",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .filter(col("doc_id") < 200)
+        val base = Multimodal.pngFromDocuments(s, docs)
+        val variants = Multimodal.pngFromDocuments(s, docs, rBump = true)
+          .withColumn("media_id", col("media_id") + 1000000L)
+        Multimodal.nearDupImagePairs(s,
+            base.unionByName(variants), maxHamming = 3)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH ids AS (
+          SELECT doc_id AS id, doc_id AS seed, 0 AS bump
+          FROM documents WHERE doc_id < 200
+          UNION ALL
+          SELECT doc_id + 1000000, doc_id, 1
+          FROM documents WHERE doc_id < 200),
+        g AS (SELECT id, seed, bump,
+            8 + seed % 9 AS w, 8 + (seed * 7) % 9 AS h FROM ids),
+        samp AS (SELECT id,
+            ((i % 8) * w) // 8 AS sx, ((i // 8) * h) // 8 AS sy,
+            seed, bump, i
+          FROM g CROSS JOIN range(0, 64) r(i)),
+        gray AS (SELECT id, i,
+            (seed * 31 + sx * 7 + sy * 13
+              + bump * (1 - (sx + sy) % 2)) % 256
+            + (seed * 17 + sx * 11 + sy * 3) % 256
+            + (seed * 29 + sx * 5 + sy * 19) % 256 AS gval
+          FROM samp),
+        m AS (SELECT id, avg(gval) AS mean FROM gray GROUP BY 1),
+        bits AS (SELECT gray.id, i, gval > mean AS bit
+          FROM gray JOIN m ON gray.id = m.id)
+        SELECT id_a, id_b, hamming FROM (
+          SELECT a.id AS id_a, b.id AS id_b,
+            sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS hamming
+          FROM bits a JOIN bits b ON a.i = b.i AND a.id < b.id
+          GROUP BY 1, 2)
+        WHERE hamming <= 3 ORDER BY id_a, id_b""")))
 }

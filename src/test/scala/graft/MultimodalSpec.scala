@@ -71,4 +71,43 @@ class MultimodalSpec extends SparkSpec {
     val f = Multimodal.decodeFeatures(spark, txt).collect().head
     assert(f.n_frames == 3 && f.size_bytes == 250L)
   }
+
+  test("imageAHash is stable across byte-identical copies and close " +
+    "for the nudged variant; nearDupImagePairs finds exactly the " +
+    "threshold pairs the brute-force hamming check admits") {
+    val docs = (0L until 40L).toDF("doc_id")
+    val base = Multimodal.pngFromDocuments(spark, docs)
+    // byte-identical copy under a shifted id → hamming 0
+    val copies = base.withColumn("media_id",
+      col("media_id") + 500L)
+    val variants = Multimodal.pngFromDocuments(spark, docs,
+        rBump = true)
+      .withColumn("media_id", col("media_id") + 1000L)
+    val all = base.unionByName(copies).unionByName(variants)
+
+    val hashes = Multimodal.imageAHash(spark, all)
+      .collect().map(h => h.media_id -> h.ahash).toMap
+    // exact copies hash identically
+    (0L until 40L).foreach { d =>
+      assert(hashes(d) == hashes(d + 500L))
+    }
+    // the nudged variant stays CLOSE (a one-count gray nudge can only
+    // flip samples near the mean) but is a different image byte-wise
+    val drifts = (0L until 40L).map(d =>
+      java.lang.Long.bitCount(hashes(d) ^ hashes(d + 1000L)))
+    assert(drifts.max <= 10 && drifts.count(_ == 0) < 40)
+
+    // blocked pairs == brute force at the threshold (completeness of
+    // the pigeonhole banding)
+    val got = Multimodal.nearDupImagePairs(spark, all, maxHamming = 3)
+      .select("id_a", "id_b", "hamming")
+      .as[(Long, Long, Long)].collect().toSet
+    val idsAll = hashes.keys.toSeq.sorted
+    val brute = (for {
+      a <- idsAll; b <- idsAll if a < b
+      h = java.lang.Long.bitCount(hashes(a) ^ hashes(b))
+      if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    assert(got == brute && got.nonEmpty)
+  }
 }

@@ -2089,5 +2089,47 @@ object LakeQueries {
           WHERE doc_id % 3 <> 0 AND doc_id % 5 <> 0
           GROUP BY lang)
         ORDER BY side, lang"""),
+      kind = QueryDef.Pipeline),
+
+    // ---- incrementally-maintained JOIN view: fact ⋈ dim kept fresh
+    // through appends on BOTH sides without re-joining the tables.
+    // Lifecycle: ⅔ of orders ⋈ half the customers, then the remaining
+    // orders land (ΔL ⋈ R_head), then the remaining customers land
+    // (L_base ⋈ ΔR) — two incremental refreshes whose union must equal
+    // the full join, which is exactly what the oracle recomputes. The
+    // rollup keeps the compared surface small; integer sums are exact.
+    QueryDef("q196_materialized_join",
+      (s, dir) => {
+        val base = "file://" + Files
+          .createTempDirectory("graft_mvj").toString
+        val l = s"$base/fact"; val r = s"$base/dim"
+        val mv = s"$base/mv"
+        val o = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"),
+            col("o_custkey").as("custkey"), col("o_totalprice"))
+        val c = Tables.load(s, dir, "customer")
+          .select(col("c_custkey").as("custkey"), col("c_name"),
+            col("c_mktsegment"))
+        Manifest.init(s, l, o.filter(col("o_orderkey") % 3 =!= 0))
+        Manifest.init(s, r, c.filter(col("custkey") % 2 === 0))
+        graft.sources.MaterializedJoin.create(s, l, r, mv,
+          Seq("custkey"), buckets = 8)
+        Manifest.commitAppend(s, l,
+          o.filter(col("o_orderkey") % 3 === 0))
+        graft.sources.MaterializedJoin.refresh(s, mv)
+        Manifest.commitAppend(s, r,
+          c.filter(col("custkey") % 2 === 1))
+        graft.sources.MaterializedJoin.refresh(s, mv)
+        graft.sources.MaterializedJoin.read(s, mv)
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"),
+            sum("o_orderkey").as("sum_ok"),
+            sum("custkey").as("sum_ck"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n,
+          sum(o_orderkey) AS sum_ok, sum(c_custkey) AS sum_ck
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
       kind = QueryDef.Pipeline))
 }

@@ -922,6 +922,59 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces
     }
   }
 
+  private object CreateJoinMvProcedure extends UnboundProcedure
+      with BoundProcedure {
+    override def name(): String = "create_join_mv"
+    override def description(): String =
+      "create an incrementally-maintained inner equi-join view of two " +
+        "manifest tables (MaterializedJoin.create); the view is " +
+        "itself a catalog table"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("left", StringType).build(),
+      ProcedureParameter.in("right", StringType).build(),
+      ProcedureParameter.in("view", StringType).build(),
+      ProcedureParameter.in("keys", StringType).build(), // 'k[,k2…]'
+      ProcedureParameter.in("buckets", IntegerType)
+        .defaultValue("64").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val l = tableRoot(input.getUTF8String(0).toString)
+      val r = tableRoot(input.getUTF8String(1).toString)
+      val mvRoot = newTableRoot(input.getUTF8String(2).toString)
+      val keys = input.getUTF8String(3).toString
+        .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+      val v = graft.sources.MaterializedJoin.create(spark, l, r,
+        mvRoot, keys, input.getInt(4))
+      oneRowScan(
+        StructType(Seq(StructField("version", LongType, false))),
+        Array[Any](v))
+    }
+  }
+
+  private object RefreshJoinMvProcedure extends UnboundProcedure
+      with BoundProcedure {
+    override def name(): String = "refresh_join_mv"
+    override def description(): String =
+      "advance a materialized join view to both sources' heads — " +
+        "incremental delta joins under appends, full rebuild " +
+        "otherwise (MaterializedJoin.refresh)"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("view", StringType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val mvRoot = tableRoot(input.getUTF8String(0).toString)
+      val v = graft.sources.MaterializedJoin.refresh(spark, mvRoot)
+      val (lb, rb) = graft.sources.MaterializedJoin.bases(spark, mvRoot)
+      oneRowScan(
+        StructType(Seq(StructField("version", LongType, false),
+          StructField("left_base", LongType, false),
+          StructField("right_base", LongType, false))),
+        Array[Any](v, lb, rb))
+    }
+  }
+
   private object RefreshMvProcedure extends UnboundProcedure
       with BoundProcedure {
     override def name(): String = "refresh_mv"
@@ -1154,6 +1207,25 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces
     }
   }
 
+  private object ReleaseCloneProcedure extends UnboundProcedure
+      with BoundProcedure {
+    override def name(): String = "release_clone"
+    override def description(): String =
+      "drop a shallow clone's pin tag on its source, returning the " +
+        "borrowed snapshot to normal retention (Manifest.releaseClone); " +
+        "false for deep clones or already-released pins"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val root = tableRoot(input.getUTF8String(0).toString)
+      oneRowScan(
+        StructType(Seq(StructField("released", BooleanType, false))),
+        Array[Any](Manifest.releaseClone(spark, root)))
+    }
+  }
+
   override def loadProcedure(ident: Identifier): UnboundProcedure = {
     require(ident.namespace.isEmpty ||
       ident.namespace.toSeq == Seq("system"),
@@ -1183,6 +1255,8 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces
       case "branches" => BranchesProcedure
       case "create_mv" => CreateMvProcedure
       case "refresh_mv" => RefreshMvProcedure
+      case "create_join_mv" => CreateJoinMvProcedure
+      case "refresh_join_mv" => RefreshJoinMvProcedure
       case "create_search_index" => CreateSearchIndexProcedure
       case "refresh_search_index" => RefreshSearchIndexProcedure
       case "search" => SearchProcedure
@@ -1190,6 +1264,7 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces
       case "refresh_vector_index" => RefreshVectorIndexProcedure
       case "build_blooms" => BuildBloomsProcedure
       case "clone" => CloneProcedure
+      case "release_clone" => ReleaseCloneProcedure
       case other => throw new UnsupportedOperationException(
         s"catalog $catalogName has no procedure '$other' (available: " +
           "compact, vacuum, history, rewrite_deletes, " +
@@ -1198,7 +1273,8 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces
           "create_branch, branch_append, fast_forward, drop_branch, " +
           "branches, create_mv, refresh_mv, create_search_index, " +
           "refresh_search_index, search, create_vector_index, " +
-          "refresh_vector_index, build_blooms, clone)")
+          "refresh_vector_index, build_blooms, clone, release_clone, " +
+          "create_join_mv, refresh_join_mv)")
     }
   }
 

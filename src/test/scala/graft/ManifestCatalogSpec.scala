@@ -871,4 +871,27 @@ class ManifestCatalogSpec extends SparkSpec {
       .as[(Long, Double)].collect().toSeq
     assert(ann.map(_._1) == Seq(1L, 4L)) // probe-all exact, 4 indexed
   }
+
+  test("join MV through SQL: create_join_mv materializes, " +
+    "refresh_join_mv advances incrementally, the view is SELECT-able") {
+    spark.sql("CREATE TABLE graftcat.db.jf (k BIGINT, fv BIGINT)")
+    spark.sql("CREATE TABLE graftcat.db.jd (k BIGINT, dv STRING)")
+    spark.sql("INSERT INTO graftcat.db.jf SELECT id, id * 2 " +
+      "FROM range(20)")
+    spark.sql("INSERT INTO graftcat.db.jd " +
+      "SELECT id, concat('d', id) FROM range(15)")
+    spark.sql("CALL graftcat.system.create_join_mv(" +
+      "left => 'db.jf', right => 'db.jd', view => 'db.jmv', " +
+      "keys => 'k', buckets => 2)")
+    assert(spark.sql("SELECT count(*) FROM graftcat.db.jmv")
+      .as[Long].head == 15L)
+    spark.sql("INSERT INTO graftcat.db.jd SELECT 17, 'd17'")
+    val r = spark.sql("CALL graftcat.system.refresh_join_mv(" +
+      "view => 'db.jmv')").as[(Long, Long, Long)].head
+    assert(r._3 == 3L, s"right base should advance to head, got $r")
+    assert(spark.sql("SELECT fv FROM graftcat.db.jmv WHERE k = 17")
+      .as[Long].collect().toSeq == Seq(34L))
+    assert(spark.sql("SELECT count(*) FROM graftcat.db.jmv")
+      .as[Long].head == 16L)
+  }
 }

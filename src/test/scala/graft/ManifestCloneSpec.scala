@@ -159,5 +159,10 @@ class ManifestCloneSpec extends SparkSpec {
       .as[Long].head == 101L)
     assert(spark.sql("SELECT sum(v) FROM clonecat.db.snap")
       .as[Long].head == (0L until 100L).map(_ * 3).sum)
+    // SQL release of the pin tag (true once, then a no-op)
+    assert(spark.sql("CALL clonecat.system.release_clone(" +
+      "table => 'db.snap')").as[Boolean].head)
+    assert(!spark.sql("CALL clonecat.system.release_clone(" +
+      "table => 'db.snap')").as[Boolean].head)
   }
 }

@@ -2092,12 +2092,15 @@ object LakeQueries {
       kind = QueryDef.Pipeline),
 
     // ---- incrementally-maintained JOIN view: fact ⋈ dim kept fresh
-    // through appends on BOTH sides without re-joining the tables.
-    // Lifecycle: ⅔ of orders ⋈ half the customers, then the remaining
-    // orders land (ΔL ⋈ R_head), then the remaining customers land
-    // (L_base ⋈ ΔR) — two incremental refreshes whose union must equal
-    // the full join, which is exactly what the oracle recomputes. The
-    // rollup keeps the compared surface small; integer sums are exact.
+    // through appends AND join-key deletes on BOTH sides without
+    // re-joining the tables. Lifecycle: ⅔ of orders ⋈ half the
+    // customers, then the remaining orders land (ΔL ⋈ R_head), then
+    // the remaining customers land (L_base ⋈ ΔR), then a churn wave
+    // ERASES every custkey ≡ 3 (mod 10) from the dim — propagated to
+    // the view as a merge-on-read delete of the same keys, zero view
+    // rewrite. Three incremental refreshes whose net must equal the
+    // full join of the final states, which is exactly what the oracle
+    // recomputes. Integer sums keep the rollup exact.
     QueryDef("q196_materialized_join",
       (s, dir) => {
         val base = "file://" + Files
@@ -2120,6 +2123,9 @@ object LakeQueries {
         Manifest.commitAppend(s, r,
           c.filter(col("custkey") % 2 === 1))
         graft.sources.MaterializedJoin.refresh(s, mv)
+        Manifest.deleteByKeys(s, r,
+          c.filter(col("custkey") % 10 === 3).select("custkey"))
+        graft.sources.MaterializedJoin.refresh(s, mv)
         graft.sources.MaterializedJoin.read(s, mv)
           .groupBy(col("c_mktsegment"))
           .agg(count(lit(1)).as("n"),
@@ -2130,6 +2136,7 @@ object LakeQueries {
       Some("""SELECT c_mktsegment, count(*) AS n,
           sum(o_orderkey) AS sum_ok, sum(c_custkey) AS sum_ck
         FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE c_custkey % 10 <> 3
         GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
       kind = QueryDef.Pipeline))
 }

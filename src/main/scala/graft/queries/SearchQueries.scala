@@ -1645,5 +1645,105 @@ object SearchQueries {
           CROSS JOIN n CROSS JOIN s
         GROUP BY tf.doc_id
         ORDER BY score DESC, tf.doc_id ASC LIMIT 15"""),
+      kind = QueryDef.Pipeline),
+
+    // ---- the ERASURE path propagated through the serving tier (the
+    // GDPR right-to-be-forgotten / takedown shape): deleteByKeys
+    // commits the forgotten ids as a merge-on-read delete file —
+    // O(keys), zero data rewrite at any corpus size — rewriteDeletes
+    // materializes post-images of ONLY the files that can hold a
+    // forgotten key (zone-map/bloom-narrowed planning), and the
+    // index's file-diff refresh erases exactly the rewritten files'
+    // docs and re-indexes their survivors: no step ever touches the
+    // unaffected corpus. The oracle recomputes BM25 over the retained
+    // documents — hash-equality proves no forgotten doc can surface
+    // AND every survivor rescored against the post-delete N/avgdl.
+    QueryDef("q197_forget_search",
+      (s, dir) => {
+        val base = "file://" + java.nio.file.Files
+          .createTempDirectory("graft_forget").toString
+        val src = s"$base/t"; val idx = s"$base/i"
+        val docs = Tables.load(s, dir, "documents")
+          .select("doc_id", "lang", "text")
+        val key = "spark.graft.manifest.write.clustered"
+        val prev = s.conf.getOption(key)
+        s.conf.set(key, "true")
+        try {
+          Manifest.init(s, src, docs, Seq("lang"))
+          SearchIndex.create(s, src, idx, "doc_id", "text",
+            buckets = 16)
+          Manifest.deleteByKeys(s, src,
+            docs.filter(col("doc_id") % 23 === 0).select("doc_id"))
+          Manifest.rewriteDeletes(s, src)
+          SearchIndex.refresh(s, src, idx)
+        } finally {
+          prev match {
+            case Some(v) => s.conf.set(key, v)
+            case None => s.conf.unset(key)
+          }
+        }
+        SearchIndex.searchBm25(s, idx, "window merge scan", 15)
+      },
+      Some("""WITH src AS (SELECT doc_id, text FROM documents
+          WHERE doc_id % 23 <> 0),
+        t AS (SELECT doc_id,
+            unnest(string_split(lower(text), ' ')) AS token FROM src),
+        dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+        s AS (SELECT avg(dl) AS avgdl FROM dl),
+        n AS (SELECT count(*) AS n FROM src),
+        q AS (SELECT unnest(['window', 'merge', 'scan']) AS token),
+        tf AS (SELECT doc_id, token, count(*) AS tf
+          FROM t JOIN q USING (token) GROUP BY 1, 2),
+        df AS (SELECT token, count(DISTINCT doc_id) AS df
+          FROM tf GROUP BY 1)
+        SELECT tf.doc_id,
+          round(sum(ln(1 + (n.n - df.df + 0.5) / (df.df + 0.5))
+            * tf.tf * 2.2
+            / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))), 4)
+            AS score,
+          count(*) AS matched
+        FROM tf JOIN df USING (token) JOIN dl USING (doc_id)
+          CROSS JOIN n CROSS JOIN s
+        GROUP BY tf.doc_id
+        ORDER BY score DESC, tf.doc_id ASC LIMIT 15"""),
+      kind = QueryDef.Pipeline),
+
+    // ---- the same erasure propagated through the DENSE index: MoR
+    // delete of the forgotten vectors → narrowed materialization →
+    // VectorIndex.refresh sees a rewrite and REBUILDS (re-training is
+    // how an IVF index forgets — stale pivots would keep clustering
+    // around deleted mass). Probe-all search = brute-force cosine over
+    // the retained vectors, which is exactly what the oracle computes.
+    QueryDef("q198_forget_vector",
+      (s, dir) => {
+        val base = "file://" + java.nio.file.Files
+          .createTempDirectory("graft_forgetv").toString
+        val src = s"$base/t"; val idx = s"$base/v"
+        val emb = Tables.load(s, dir, "embeddings")
+        Manifest.init(s, src, emb)
+        VectorIndex.createFromManifest(s, src, idx, "vec_id",
+          "embedding", nCells = 8)
+        Manifest.deleteByKeys(s, src,
+          emb.filter(col("vec_id") % 13 === 0).select("vec_id"))
+        Manifest.rewriteDeletes(s, src)
+        VectorIndex.refresh(s, src, idx)
+        val qv = emb.filter(col("vec_id") === 7L)
+          .select(graft.functions.Vectors.toDouble(col("embedding")))
+          .collect().head.getSeq[Double](0).toArray
+        VectorIndex.search(s, idx, qv, k = 10, nProbe = 8)
+          .select(col("id").as("vec_id"),
+            round(col("cosine"), 6).as("cosine"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings WHERE vec_id % 13 <> 0),
+        q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id = 7)
+        SELECT vec_id, round(cosine, 6) AS cosine FROM (
+          SELECT e.vec_id,
+            list_dot_product(e.v, q.qv)
+              / (sqrt(list_dot_product(e.v, e.v))
+                 * sqrt(list_dot_product(q.qv, q.qv))) AS cosine
+          FROM e, q
+          ORDER BY cosine DESC, e.vec_id ASC LIMIT 10)"""),
       kind = QueryDef.Pipeline))
 }

@@ -1939,14 +1939,79 @@ object Manifest {
       throw new IllegalStateException(s"$root not initialized"))
     val m = readManifest(spark, root, cur)
     if (m.deletes.isEmpty) return cur
-    val (hit, clean) = m.entries.partition(e =>
+    val (seqHit, clean) = m.entries.partition(e =>
       m.deletes.exists(_.seq > e.dataSeq))
-    if (hit.isEmpty) // deletes apply to nothing: drop them, keep files
+    if (seqHit.isEmpty) // deletes apply to nothing: drop them, keep files
+      return publish(spark, root, cur, m.entries, m.meta)
+    val (hit, spared) = pruneDeleteHits(spark, root, m, seqHit)
+    if (hit.isEmpty) // no file can hold a deleted key: metadata-only drop
       return publish(spark, root, cur, m.entries, m.meta)
     val partCols = m.partCols.getOrElse(Nil)
     val rows = readEntries(spark, root, m, hit)
     val fresh = writeCommit(spark, root, cur + 1, rows, partCols)
-    publish(spark, root, cur, clean ++ fresh, m.meta)
+    publish(spark, root, cur, clean ++ spared ++ fresh, m.meta)
+  }
+
+  /** Planning-time narrowing of [[rewriteDeletes]]'s rewrite set: a
+    * data file older than a delete only needs rewriting if some deleted
+    * key can actually be PRESENT in it — otherwise its delete-applied
+    * post-image is byte-for-byte itself, and rewriting it is pure
+    * wasted IO (at 100 TB, an erasure of a handful of keys would
+    * otherwise rewrite the whole corpus). The probe is the SAME
+    * conservative machinery point lookups use at planning: zone maps
+    * ([[ManifestStats.mayEqual]], [[ManifestStats.mayBeNull]]) and,
+    * where built, the per-file Bloom sidecars ([[ManifestBlooms]] —
+    * min/max envelopes prune nothing on unclustered keys, blooms do),
+    * evaluated against the delete files' collected distinct keys.
+    * Bounded: a delete set past `cap` distinct keys, or candidates ×
+    * keys past the compare budget, skips narrowing and rewrites every
+    * seq-hit file — never unsound, and the collect itself is one tiny
+    * job over the delete files (already O(deleted keys) by contract).
+    * Multi-column keys probe per column: a file is spared only when
+    * some key column can match NO deleted value, which row-wise
+    * conjunction makes a sound superset of the true hit set. */
+  private def pruneDeleteHits(spark: SparkSession, root: String,
+                              m: SnapshotMeta, cand: Seq[FileEntry],
+                              cap: Int = 10000)
+      : (Seq[FileEntry], Seq[FileEntry]) = {
+    val groups = m.deletes.groupBy(_.keyCols).toSeq
+    val collected = groups.map { case (kc, ds) =>
+      val rows = spark.read
+        .parquet(ds.map(d => absEntryPath(root, d.path)): _*)
+        .select(kc.map(col): _*).distinct().limit(cap + 1).collect()
+      (kc, ds, rows)
+    }
+    if (collected.exists(_._3.length > cap)) return (cand, Nil)
+    val totalKeys = collected.map(_._3.length.toLong).sum
+    if (cand.size.toLong * totalKeys > 50000000L) return (cand, Nil)
+    val probes = collected.map { case (kc, ds, rows) =>
+      val colVals: Seq[(String, Array[Any])] = kc.zipWithIndex.map {
+        case (c, i) => c -> rows.map(_.get(i)).distinct.toArray
+      }
+      val pruner = m.schema.flatMap { sch =>
+        val ins = colVals.collect {
+          case (c, vs) if vs.nonEmpty && !vs.contains(null) =>
+            org.apache.spark.sql.sources.In(c, vs)
+              : org.apache.spark.sql.sources.Filter
+        }
+        if (ins.isEmpty) None
+        else ManifestBlooms.prunerFor(root, sch, m.meta, ins.toArray)
+      }
+      (colVals, pruner, ds.map(_.seq))
+    }
+    cand.partition { e =>
+      probes.exists { case (colVals, pruner, seqs) =>
+        seqs.exists(_ > e.dataSeq) && {
+          val zoneMay = e.fileStats.forall(fs =>
+            colVals.forall { case (c, vs) =>
+              vs.exists(v =>
+                if (v == null) ManifestStats.mayBeNull(fs, c)
+                else ManifestStats.mayEqual(fs, c, v))
+            })
+          zoneMay && pruner.forall(_.mayMatch(e.path))
+        }
+      }
+    }
   }
 
   /** Bin-packing compaction (the lakehouse OPTIMIZE): rewrite files

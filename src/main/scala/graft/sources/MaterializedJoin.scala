@@ -134,10 +134,29 @@ object MaterializedJoin {
       }
     }
 
-  /** Advance the view to both sources' heads. Incremental (two
-    * delta-vs-other-side joins, appended in one commit) when both
-    * advances are pure appends; full recompute otherwise. Returns the
-    * view's new version (unchanged when neither source moved). */
+  /** Advance the view to both sources' heads. Three tiers, cheapest
+    * first:
+    *
+    *  1. both advances pure appends → TWO delta joins appended in ONE
+    *     commit (the common ingest case);
+    *  2. appends interleaved with merge-on-read deletes KEYED ON THE
+    *     JOIN KEYS → per-commit replay: each source append joins
+    *     against the other side's pinned snapshot, each source delete
+    *     propagates as a merge-on-read delete of the SAME keys on the
+    *     view (a view row for key k exists iff both sides hold k, so
+    *     erasing k from either side erases exactly the view's k rows —
+    *     O(deleted keys), no data rewrite). Left commits replay
+    *     against R_base, then right commits against L_head; induction
+    *     gives exactly `L_head ⋈ R_head` in bag semantics. Every
+    *     replayed step is its own atomic view commit carrying the
+    *     advanced base, so a crash leaves a consistent prefix the next
+    *     refresh resumes from;
+    *  3. anything else (rewrites, replaces, compaction, deletes on
+    *     non-join keys, vacuumed bases) → full recompute. Never
+    *     silently wrong.
+    *
+    * Returns the view's new version (unchanged when neither source
+    * moved). */
   def refresh(spark: SparkSession, mvRoot: String): Long = {
     val (meta, mvHead) = state(spark, mvRoot)
     val leftRoot = meta("mvj.left"); val rightRoot = meta("mvj.right")
@@ -178,7 +197,99 @@ object MaterializedJoin {
           withBucket(delta, keys, buckets), Seq(BucketCol),
           extraMeta = Map("mvj.lbase" -> lHead.toString,
             "mvj.rbase" -> rHead.toString))
-      case _ => full()
+      case _ =>
+        (replayPlan(spark, leftRoot, lBase, lHead, keys),
+          replayPlan(spark, rightRoot, rBase, rHead, keys)) match {
+          case (Some(ls), Some(rs)) =>
+            try replay(spark, mvRoot, leftRoot, rightRoot, keys,
+              buckets, ls, rs, lHead, rHead, rBase)
+            catch { case NonFatal(_) => full() } // e.g. reclaimed files
+          case _ => full()
+        }
     }
+  }
+
+  // ---- per-commit replay (tier 2) ----------------------------------
+
+  private sealed trait Step { def v: Long }
+  private final case class AppendStep(v: Long,
+                                      added: Set[String]) extends Step
+  private final case class DeleteStep(v: Long,
+                                      delPaths: Seq[String]) extends Step
+
+  /** Classify one source's commits in `(base, head]` for replay: each
+    * must be a pure append or a merge-on-read delete whose key columns
+    * are exactly the join keys. None → not replayable (fall back to a
+    * full rebuild). */
+  private def replayPlan(spark: SparkSession, root: String, base: Long,
+                         head: Long, keys: Seq[String])
+      : Option[Seq[Step]] = {
+    if (head == base) return Some(Nil)
+    if (head < base) return None
+    val vs = Manifest.versions(spark, root).toSet
+    if (!((base to head).forall(vs))) return None
+    val steps = Seq.newBuilder[Step]
+    var v = base + 1
+    while (v <= head) {
+      val prev = Manifest.snapshotMeta(spark, root, v - 1)
+      val curr = Manifest.snapshotMeta(spark, root, v)
+      val prevF = prev.files.toSet; val currF = curr.files.toSet
+      val added = currF -- prevF; val removed = prevF -- currF
+      val prevD = prev.deletes.map(_.path).toSet
+      val dNew = curr.deletes.filterNot(d => prevD(d.path))
+      val dDropped = prevD -- curr.deletes.map(_.path).toSet
+      if (removed.isEmpty && dNew.isEmpty && dDropped.isEmpty) {
+        if (added.nonEmpty) steps += AppendStep(v, added)
+      } else if (added.isEmpty && removed.isEmpty && dDropped.isEmpty &&
+        dNew.nonEmpty && dNew.forall(_.keyCols.toSet == keys.toSet)) {
+        steps += DeleteStep(v, dNew.map(_.path))
+      } else return None
+      v += 1
+    }
+    Some(steps.result())
+  }
+
+  /** Apply the two sides' replay plans: left commits against the
+    * pinned `R_base`, then right commits against the pinned `L_head`.
+    * Each step is one atomic view commit whose header advances that
+    * side's base; a trailing metadata-only commit covers plans whose
+    * last source commits changed nothing joinable. */
+  private def replay(spark: SparkSession, mvRoot: String,
+                     leftRoot: String, rightRoot: String,
+                     keys: Seq[String], buckets: Int,
+                     ls: Seq[Step], rs: Seq[Step],
+                     lHead: Long, rHead: Long, rBase: Long): Long = {
+    def applySide(steps: Seq[Step], srcRoot: String, baseKey: String,
+                  joinTo: => DataFrame, srcIsLeft: Boolean): Unit =
+      steps.foreach {
+        case AppendStep(v, added) =>
+          val delta = Manifest.readSubset(spark, srcRoot, v, added)
+          val j =
+            if (srcIsLeft) delta.join(joinTo, keys)
+            else joinTo.join(delta, keys)
+          Manifest.commitAppend(spark, mvRoot,
+            withBucket(j, keys, buckets), Seq(BucketCol),
+            extraMeta = Map(baseKey -> v.toString))
+        case DeleteStep(v, paths) =>
+          val delKeys = spark.read.parquet(
+            paths.map(p => Manifest.absEntryPath(srcRoot, p)): _*)
+            .select(keys.map(col): _*).distinct()
+          Manifest.deleteByKeys(spark, mvRoot, delKeys,
+            extraMeta = Map(baseKey -> v.toString))
+      }
+    applySide(ls, leftRoot, "mvj.lbase",
+      readPinned(spark, rightRoot, rBase), srcIsLeft = true)
+    applySide(rs, rightRoot, "mvj.rbase",
+      readPinned(spark, leftRoot, lHead), srcIsLeft = false)
+    // bases can lag the heads when trailing source commits emitted no
+    // step (metadata-only commits) — settle them in one header commit
+    val cur = Manifest.latestVersion(spark, mvRoot).get
+    val m = Manifest.snapshotMeta(spark, mvRoot, cur)
+    if (m.meta("mvj.lbase").toLong != lHead ||
+      m.meta("mvj.rbase").toLong != rHead)
+      Manifest.publish(spark, mvRoot, cur, m.entries,
+        m.meta ++ Map("mvj.lbase" -> lHead.toString,
+          "mvj.rbase" -> rHead.toString), m.deletes)
+    else cur
   }
 }

@@ -760,6 +760,66 @@ class ManifestSpec extends SparkSpec {
     assert(Manifest.rewriteDeletes(spark, root) == v)
   }
 
+  test("rewriteDeletes rewrites ONLY files that can hold a deleted key " +
+    "(zone-map narrowing); the rest carry by reference") {
+    val root = newRoot()
+    // 4 files with disjoint id ranges → zone maps decide presence
+    Manifest.init(spark, root,
+      (0L until 40L).map(i => (i, s"p${i / 10}", i.toInt))
+        .toDF("id", "part", "v"), Seq("part"))
+    val before = Manifest.snapshotMeta(spark, root, 1L).files.toSet
+    Manifest.deleteByKeys(spark, root, Seq(13L, 17L).toDF("id"))
+    val v = Manifest.rewriteDeletes(spark, root)
+    val after = Manifest.snapshotMeta(spark, root, v)
+    assert(after.deletes.isEmpty)
+    val carried = before & after.files.toSet
+    assert(carried == before.filterNot(_.contains("part=p1/")),
+      s"exactly the ids-10..19 files should rewrite; carried=$carried")
+    assert(rowsOf(root) == (0L until 40L)
+      .filterNot(i => i == 13L || i == 17L)
+      .map(i => (i, s"p${i / 10}", i.toInt)).toSet)
+  }
+
+  test("rewriteDeletes with no present key is metadata-only: every " +
+    "data file carries by reference, delete entries drop") {
+    val root = newRoot()
+    Manifest.init(spark, root,
+      Seq((1L, "a", 10), (2L, "b", 20)).toDF("id", "part", "v"),
+      Seq("part"))
+    val before = Manifest.snapshotMeta(spark, root, 1L).files.toSet
+    Manifest.deleteByKeys(spark, root, Seq(99L).toDF("id"))
+    val v = Manifest.rewriteDeletes(spark, root)
+    val after = Manifest.snapshotMeta(spark, root, v)
+    assert(after.deletes.isEmpty)
+    assert(after.files.toSet == before)
+    assert(rowsOf(root) == Set((1L, "a", 10), (2L, "b", 20)))
+  }
+
+  test("bloom sidecars narrow rewriteDeletes where zone maps cannot " +
+    "(unclustered key: every file's envelope spans the domain)") {
+    val root = newRoot()
+    // ids interleaved mod 4 across parts → each file's id min/max
+    // covers nearly the whole domain, zone maps prune nothing
+    Manifest.init(spark, root,
+      (0L until 40L).map(i => (i, s"p${i % 4}", i.toInt))
+        .toDF("id", "part", "v"), Seq("part"))
+    graft.sources.ManifestBlooms.build(spark, root, Seq("id"))
+    val cur = Manifest.latestVersion(spark, root).get
+    val before = Manifest.snapshotMeta(spark, root, cur).files.toSet
+    Manifest.deleteByKeys(spark, root, Seq(12L).toDF("id")) // p0 only
+    val v = Manifest.rewriteDeletes(spark, root)
+    val after = Manifest.snapshotMeta(spark, root, v)
+    assert(after.deletes.isEmpty)
+    // blooms are file-precise: of p0's several files, only the ONE
+    // actually holding id=12 rewrites; every other file (p0's siblings
+    // included) carries by reference
+    val rewritten = before -- after.files.toSet
+    assert(rewritten.size == 1 && rewritten.head.contains("part=p0/"),
+      s"only the single file holding id=12 should rewrite: $rewritten")
+    assert(rowsOf(root) == (0L until 40L).filterNot(_ == 12L)
+      .map(i => (i, s"p${i % 4}", i.toInt)).toSet)
+  }
+
   test("compact under pending deletes never resurrects deleted rows; " +
     "vacuum keeps live delete files") {
     val root = newRoot()

@@ -84,18 +84,66 @@ class MaterializedJoinSpec extends SparkSpec {
     assert(MaterializedJoin.read(spark, mv).count() == 7) // 3*2 + 1
   }
 
-  test("rewrites and merge-on-read deletes on a source fall back to " +
-    "a full rebuild — never silently wrong") {
+  test("merge-on-read deletes keyed on the join keys propagate " +
+    "INCREMENTALLY: the view gains a delete entry, no data rewrite") {
+    val (l, r, mv) = fixture()
+    val beforeFiles = Manifest.snapshotMeta(spark, mv,
+      Manifest.latestVersion(spark, mv).get).files.toSet
+    Manifest.deleteByKeys(spark, r, Seq(3L, 4L).toDF("k"))
+    MaterializedJoin.refresh(spark, mv)
+    assert(view(mv) == recompute(l, r) && view(mv).size == 38)
+    val m = Manifest.snapshotMeta(spark, mv,
+      Manifest.latestVersion(spark, mv).get)
+    assert(m.deletes.nonEmpty,
+      "the erasure must land as a merge-on-read delete on the view")
+    assert(beforeFiles.subsetOf(m.files.toSet),
+      "no view data file may be rewritten by a propagated delete")
+    assert(MaterializedJoin.bases(spark, mv) ==
+      (Manifest.latestVersion(spark, l).get,
+        Manifest.latestVersion(spark, r).get))
+  }
+
+  test("appends interleaved with join-key deletes on BOTH sides " +
+    "replay per commit and equal a recompute (incremental, resumable)") {
+    val (l, r, mv) = fixture()
+    val beforeFiles = Manifest.snapshotMeta(spark, mv,
+      Manifest.latestVersion(spark, mv).get).files.toSet
+    // left: delete keys 1-2, then append a new row for key 1 (the
+    // re-append must survive — replay order matters)
+    Manifest.deleteByKeys(spark, l, Seq(1L, 2L).toDF("k"))
+    Manifest.commitAppend(spark, l, Seq((1L, 111L)).toDF("k", "lv"))
+    // right: append a second row for key 10, delete keys 5-6
+    Manifest.commitAppend(spark, r, Seq((10L, "r10b")).toDF("k", "rv"))
+    Manifest.deleteByKeys(spark, r, Seq(5L, 6L).toDF("k"))
+    MaterializedJoin.refresh(spark, mv)
+    assert(view(mv) == recompute(l, r))
+    assert(view(mv).contains((1L, 111L, "r1")),
+      "a key re-appended after its delete must re-join")
+    assert(!view(mv).exists(t => t._1 == 5L || t._1 == 6L))
+    val m = Manifest.snapshotMeta(spark, mv,
+      Manifest.latestVersion(spark, mv).get)
+    assert(beforeFiles.subsetOf(m.files.toSet),
+      "replay must never rewrite existing view files")
+    // a second refresh is a no-op (bases settled at both heads)
+    val v = Manifest.latestVersion(spark, mv).get
+    assert(MaterializedJoin.refresh(spark, mv) == v)
+  }
+
+  test("rewrites and deletes on NON-join keys fall back to a full " +
+    "rebuild — never silently wrong") {
     val (l, r, mv) = fixture()
     // copy-on-write rewrite of the left: file diff is not append-only
     Manifest.commitReplace(spark, l,
       Manifest.read(spark, l).filter($"k" <= 10))
     MaterializedJoin.refresh(spark, mv)
     assert(view(mv) == recompute(l, r) && view(mv).size == 10)
-    // MoR delete on the right: retraction invisible to a file diff
-    Manifest.deleteByKeys(spark, r, Seq(3L, 4L).toDF("k"))
+    // MoR delete keyed on a NON-join column: not propagatable by key
+    Manifest.deleteByKeys(spark, l, Seq(30L).toDF("lv")) // k=3's lv
     MaterializedJoin.refresh(spark, mv)
-    assert(view(mv) == recompute(l, r) && view(mv).size == 8)
+    assert(view(mv) == recompute(l, r) && view(mv).size == 9)
+    // the rebuild left a clean (delete-free) view snapshot
+    assert(Manifest.snapshotMeta(spark, mv,
+      Manifest.latestVersion(spark, mv).get).deletes.isEmpty)
   }
 
   test("guard rails: colliding non-key columns and missing keys " +

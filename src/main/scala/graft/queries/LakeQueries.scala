@@ -2008,13 +2008,20 @@ object LakeQueries {
             .withColumn("n_chars", col("n_chars") + 1000),
           "doc_id", "lang")
         graft.sources.MaterializedAgg.refresh(s, src, mv)
+        // churn wave: keyed merge-on-read ERASURE, retracted from the
+        // partials incrementally (per-commit replay, sign −1) — the
+        // view never rescans the table
+        Manifest.deleteByKeys(s, src,
+          docs.filter(col("doc_id") % 7 === 3).select("doc_id"))
+        graft.sources.MaterializedAgg.refresh(s, src, mv)
         graft.sources.MaterializedAgg.read(s, mv)
           .select("lang", "mv_count", "sum_n_chars").orderBy("lang")
       },
       Some("""SELECT lang, count(*) AS mv_count,
           CAST(sum(n_chars + CASE WHEN doc_id % 10 = 0 THEN 1000
             ELSE 0 END) AS BIGINT) AS sum_n_chars
-        FROM documents GROUP BY lang ORDER BY lang"""),
+        FROM documents WHERE doc_id % 7 <> 3
+        GROUP BY lang ORDER BY lang"""),
       kind = QueryDef.Pipeline),
 
     // ---- per-file Bloom sidecars: point-lookup file pruning where zone
@@ -2137,6 +2144,62 @@ object LakeQueries {
           sum(o_orderkey) AS sum_ok, sum(c_custkey) AS sum_ck
         FROM orders JOIN customer ON o_custkey = c_custkey
         WHERE c_custkey % 10 <> 3
+        GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
+      kind = QueryDef.Pipeline),
+
+    // ---- CONTINUOUS join-view maintenance: the fact side arrives as a
+    // STREAM (exactly-once epoch-deduped commits), and each micro-batch
+    // advances the view through the pure-append delta path — the
+    // deployment shape of a "keep the enriched fact fresh" pipeline.
+    // Every wave drains as one batch; the final view must equal the
+    // full join of everything ingested, which the oracle recomputes.
+    QueryDef("q200_stream_join_mv",
+      (s, dir) => {
+        val root = Files.createTempDirectory("graft_sjm").toString
+        val l = "file://" + root + "/fact"
+        val r = "file://" + root + "/dim"
+        val mv = "file://" + root + "/mv"
+        val o = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"),
+            col("o_custkey").as("custkey"), col("o_totalprice"))
+        val c = Tables.load(s, dir, "customer")
+          .select(col("c_custkey").as("custkey"), col("c_name"),
+            col("c_mktsegment"))
+        Manifest.init(s, r, c)
+        Manifest.init(s, l, o.filter(col("o_orderkey") % 3 === 0))
+        graft.sources.MaterializedJoin.create(s, l, r, mv,
+          Seq("custkey"), buckets = 8)
+        val schema = o.schema
+        def drain(): Unit = IngestStream
+          .rawStream(s, s"$root/raw", schema, "parquet",
+            maxFilesPerTrigger = 100000)
+          .writeStream
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger
+            .AvailableNow())
+          .foreachBatch {
+            (b: org.apache.spark.sql.DataFrame, id: Long) =>
+              Manifest.commitStreamBatch(s, l, b, "ingest", id)
+              graft.sources.MaterializedJoin.refresh(s, mv)
+              ()
+          }
+          .start().awaitTermination()
+        o.filter(col("o_orderkey") % 3 === 1)
+          .write.mode("append").parquet(s"$root/raw")
+        drain()
+        o.filter(col("o_orderkey") % 3 === 2)
+          .write.mode("append").parquet(s"$root/raw")
+        drain()
+        graft.sources.MaterializedJoin.read(s, mv)
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"),
+            sum("o_orderkey").as("sum_ok"),
+            sum("custkey").as("sum_ck"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n,
+          sum(o_orderkey) AS sum_ok, sum(c_custkey) AS sum_ck
+        FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
       kind = QueryDef.Pipeline))
 }

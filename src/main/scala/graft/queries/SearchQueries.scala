@@ -1708,6 +1708,76 @@ object SearchQueries {
         ORDER BY score DESC, tf.doc_id ASC LIMIT 15"""),
       kind = QueryDef.Pipeline),
 
+    // ---- the ERASURE lifecycle from a SQL-ONLY session (the
+    // OpenSearch delete-by-query analog): keyed DELETE FROM routes
+    // merge-on-read (zero rewrite), CALL rewrite_deletes materializes
+    // only the forgotten keys' home files, CALL refresh_search_index
+    // heals the index from the file diff, CALL search serves the
+    // retained corpus. Same oracle as q197 — a SQL user and a Scala
+    // user must see the identical post-erasure ranking. The id list
+    // arrives as an explicit IN — the shape of a real takedown/GDPR
+    // request (bounded by the REQUEST, not the corpus; the collect
+    // here only synthesizes that external list deterministically).
+    QueryDef("q199_sql_forget",
+      (s, dir) => {
+        s.conf.set("spark.sql.catalog.graftsql",
+          classOf[graft.sources.connector.ManifestCatalog].getName)
+        if (s.conf.getOption("spark.sql.catalog.graftsql.root").isEmpty)
+          s.conf.set("spark.sql.catalog.graftsql.root",
+            "file://" + java.nio.file.Files
+              .createTempDirectory("graft_sqlcat").toString)
+        val docs = Tables.load(s, dir, "documents")
+          .select("doc_id", "text")
+        docs.createOrReplaceTempView("q199_docs")
+        val forget = docs.filter(col("doc_id") % 23 === 0)
+          .select("doc_id").as[Long](org.apache.spark.sql.Encoders
+            .scalaLong).collect().sorted
+        s.sql("DROP TABLE IF EXISTS graftsql.db.fdocs")
+        s.sql("DROP TABLE IF EXISTS graftsql.db.fdocs_idx")
+        s.sql("CREATE TABLE graftsql.db.fdocs (doc_id BIGINT, " +
+          "text STRING)")
+        s.sql("INSERT INTO graftsql.db.fdocs SELECT doc_id, text " +
+          "FROM q199_docs")
+        s.sql("CALL graftsql.system.create_search_index(" +
+          "table => 'db.fdocs', index => 'db.fdocs_idx', " +
+          "id_col => 'doc_id', text_col => 'text', buckets => 16)")
+        s.conf.set("spark.graft.manifest.delete.mode", "merge-on-read")
+        try s.sql("DELETE FROM graftsql.db.fdocs WHERE doc_id IN (" +
+          forget.mkString(", ") + ")")
+        finally s.conf.unset("spark.graft.manifest.delete.mode")
+        s.sql("CALL graftsql.system.rewrite_deletes(" +
+          "table => 'db.fdocs')")
+        s.sql("CALL graftsql.system.refresh_search_index(" +
+          "table => 'db.fdocs', index => 'db.fdocs_idx')")
+        s.sql("CALL graftsql.system.search(index => 'db.fdocs_idx', " +
+            "query => 'window merge scan', k => 15)")
+          .select(col("id").cast("long").as("doc_id"), col("score"),
+            col("matched"))
+      },
+      Some("""WITH src AS (SELECT doc_id, text FROM documents
+          WHERE doc_id % 23 <> 0),
+        t AS (SELECT doc_id,
+            unnest(string_split(lower(text), ' ')) AS token FROM src),
+        dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+        s AS (SELECT avg(dl) AS avgdl FROM dl),
+        n AS (SELECT count(*) AS n FROM src),
+        q AS (SELECT unnest(['window', 'merge', 'scan']) AS token),
+        tf AS (SELECT doc_id, token, count(*) AS tf
+          FROM t JOIN q USING (token) GROUP BY 1, 2),
+        df AS (SELECT token, count(DISTINCT doc_id) AS df
+          FROM tf GROUP BY 1)
+        SELECT tf.doc_id,
+          round(sum(ln(1 + (n.n - df.df + 0.5) / (df.df + 0.5))
+            * tf.tf * 2.2
+            / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))), 4)
+            AS score,
+          count(*) AS matched
+        FROM tf JOIN df USING (token) JOIN dl USING (doc_id)
+          CROSS JOIN n CROSS JOIN s
+        GROUP BY tf.doc_id
+        ORDER BY score DESC, tf.doc_id ASC LIMIT 15"""),
+      kind = QueryDef.Pipeline),
+
     // ---- the same erasure propagated through the DENSE index: MoR
     // delete of the forgotten vectors → narrowed materialization →
     // VectorIndex.refresh sees a rewrite and REBUILDS (re-training is

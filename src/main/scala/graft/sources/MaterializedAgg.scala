@@ -25,10 +25,20 @@ import org.apache.spark.sql.functions._
   * (avg = sum/count at read; min/max are NOT maintainable from deltas
   * — a removed max needs a rescan — and are deliberately absent).
   *
+  * MERGE-ON-READ DELETES also maintain incrementally: when the version
+  * range holds only appends and keyed MoR deletes, a per-commit replay
+  * retracts each delete's rows by reading the snapshot JUST BEFORE it
+  * semi-joined to the delete keys (the connector read runtime-prunes
+  * that scan to the keys' home files via zone maps / bloom sidecars —
+  * cost ∝ erased rows' files, not the table), folded in with sign −1
+  * through the same partial-merge primitive; every replayed step is
+  * its own atomic commit carrying the advanced base, so a crash leaves
+  * a consistent resumable prefix.
+  *
   * Falls back to a FULL recompute (one [[Manifest.commitReplace]]) when
-  * the incremental contract doesn't hold: pending merge-on-read deletes
-  * at either end (their retractions are row-level, not file-level), a
-  * vacuumed-away base snapshot, or removed files already reclaimed.
+  * neither contract holds: rewrites interleaved with pending deletes,
+  * a commit mixing delete key sets, a vacuumed-away base snapshot, or
+  * removed files already reclaimed.
   *
   * NULL sums: a maintained sum whose group ever held non-null values
   * tracks the recompute exactly; a group whose values are ALL null
@@ -185,9 +195,7 @@ object MaterializedAgg {
       }
 
     plan match {
-      case None => full()
       case Some((added, removed)) =>
-        val sign = col("__sign")
         val plus = Manifest.readSubset(spark, srcRoot, srcHead, added)
           .withColumn("__sign", lit(1L))
         val changes =
@@ -196,41 +204,132 @@ object MaterializedAgg {
             Manifest.readSubset(spark, srcRoot, base, removed)
               .withColumn("__sign", lit(-1L)),
             allowMissingColumns = true)
-        val deltaAggs = sum(sign).as("d_count") +:
-          (sumCols.map(c => sum(col(c) * sign).as(s"d_s_$c")) ++
-            sumCols.map(c => sum(when(col(c).isNotNull, sign)
-              .otherwise(lit(0L))).as(s"d_n_$c")))
-        val delta = withKey(
-          changes.groupBy(groupCols.map(col): _*)
-            .agg(deltaAggs.head, deltaAggs.tail: _*),
-          groupCols, buckets)
-        val stored = Manifest.read(spark, mvRoot, Some(mvHead))
-          .select(col(KeyCol) +: col(CountCol).as("__old_count") +:
-            (sumCols.map(c => col(sumCol(c)).as(s"__old_s_$c")) ++
-              sumCols.map(c => col(nnCol(c)).as(s"__old_n_$c"))): _*)
-        val updates = delta.join(stored, Seq(KeyCol), "left")
-          .select(
-            groupCols.map(col) ++
-              Seq((coalesce(col("__old_count"), lit(0L)) +
-                col("d_count")).as(CountCol)) ++
-              sumCols.flatMap { c =>
-                val os = col(s"__old_s_$c")
-                val ds = col(s"d_s_$c")
-                val nn = coalesce(col(s"__old_n_$c"), lit(0L)) +
-                  coalesce(col(s"d_n_$c"), lit(0L))
-                Seq(
-                  // the non-null counter decides NULL-ness exactly as
-                  // a recompute would: zero non-null values → NULL sum
-                  // (removing a group's last non-null row must not
-                  // leave a spurious 0 behind)
-                  when(nn === 0L, lit(null))
-                    .otherwise(coalesce(os, lit(0)) + coalesce(ds, lit(0)))
-                    .as(sumCol(c)),
-                  nn.as(nnCol(c)))
-              } ++ Seq(col(KeyCol), col(BucketCol)): _*)
-        Manifest.mergeInto(spark, mvRoot, updates, KeyCol,
-          Seq(BucketCol),
-          extraMeta = Map("mv.base" -> srcHead.toString))
+        applyDelta(spark, mvRoot, changes, groupCols, sumCols,
+          buckets, srcHead)
+      case None =>
+        replayPlan(spark, srcRoot, base, srcHead) match {
+          case Some(steps) =>
+            try {
+              steps.foreach {
+                case (v, Right(added)) =>
+                  applyDelta(spark, mvRoot,
+                    Manifest.readSubset(spark, srcRoot, v, added)
+                      .withColumn("__sign", lit(1L)),
+                    groupCols, sumCols, buckets, v)
+                case (v, Left((kc, paths))) =>
+                  val keys = spark.read.parquet(paths.map(p =>
+                    Manifest.absEntryPath(srcRoot, p)): _*)
+                    .select(kc.map(col): _*).distinct()
+                  // rows VISIBLE at v−1 matching the new keys = exactly
+                  // the newly-erased rows (earlier deletes and later-
+                  // append seq exemptions already applied by the read);
+                  // the connector path runtime-prunes the scan to the
+                  // keys' home files via zone maps / bloom sidecars
+                  val visible =
+                    try spark.read.format("graft-manifest")
+                      .option("version", (v - 1).toString).load(srcRoot)
+                    catch { case scala.util.control.NonFatal(_) =>
+                      Manifest.read(spark, srcRoot, Some(v - 1)) }
+                  val minus = visible.join(broadcast(keys),
+                    kc.map(c => visible(c) <=> keys(c)).reduce(_ && _),
+                    "left_semi").withColumn("__sign", lit(-1L))
+                  applyDelta(spark, mvRoot, minus, groupCols, sumCols,
+                    buckets, v)
+              }
+              // trailing metadata-only source commits: settle the base
+              val cur = Manifest.latestVersion(spark, mvRoot).get
+              val m = Manifest.snapshotMeta(spark, mvRoot, cur)
+              if (m.meta("mv.base").toLong != srcHead)
+                Manifest.publish(spark, mvRoot, cur, m.entries,
+                  m.meta + ("mv.base" -> srcHead.toString), m.deletes)
+              else cur
+            } catch {
+              case scala.util.control.NonFatal(_) => full()
+            }
+          case None => full()
+        }
     }
+  }
+
+  /** Fold one batch of signed row changes (`__sign` = +1 added /
+    * −1 removed) into the stored partials and commit with the advanced
+    * base — the ONE maintenance primitive both the file-diff path and
+    * the per-commit replay path share. */
+  private def applyDelta(spark: SparkSession, mvRoot: String,
+                         changes: DataFrame, groupCols: Seq[String],
+                         sumCols: Seq[String], buckets: Int,
+                         newBase: Long): Long = {
+    val sign = col("__sign")
+    val deltaAggs = sum(sign).as("d_count") +:
+      (sumCols.map(c => sum(col(c) * sign).as(s"d_s_$c")) ++
+        sumCols.map(c => sum(when(col(c).isNotNull, sign)
+          .otherwise(lit(0L))).as(s"d_n_$c")))
+    val delta = withKey(
+      changes.groupBy(groupCols.map(col): _*)
+        .agg(deltaAggs.head, deltaAggs.tail: _*),
+      groupCols, buckets)
+    val mvHead = Manifest.latestVersion(spark, mvRoot).get
+    val stored = Manifest.read(spark, mvRoot, Some(mvHead))
+      .select(col(KeyCol) +: col(CountCol).as("__old_count") +:
+        (sumCols.map(c => col(sumCol(c)).as(s"__old_s_$c")) ++
+          sumCols.map(c => col(nnCol(c)).as(s"__old_n_$c"))): _*)
+    val updates = delta.join(stored, Seq(KeyCol), "left")
+      .select(
+        groupCols.map(col) ++
+          Seq((coalesce(col("__old_count"), lit(0L)) +
+            col("d_count")).as(CountCol)) ++
+          sumCols.flatMap { c =>
+            val os = col(s"__old_s_$c")
+            val ds = col(s"d_s_$c")
+            val nn = coalesce(col(s"__old_n_$c"), lit(0L)) +
+              coalesce(col(s"d_n_$c"), lit(0L))
+            Seq(
+              // the non-null counter decides NULL-ness exactly as
+              // a recompute would: zero non-null values → NULL sum
+              // (removing a group's last non-null row must not
+              // leave a spurious 0 behind)
+              when(nn === 0L, lit(null))
+                .otherwise(coalesce(os, lit(0)) + coalesce(ds, lit(0)))
+                .as(sumCol(c)),
+              nn.as(nnCol(c)))
+          } ++ Seq(col(KeyCol), col(BucketCol)): _*)
+    Manifest.mergeInto(spark, mvRoot, updates, KeyCol,
+      Seq(BucketCol),
+      extraMeta = Map("mv.base" -> newBase.toString))
+  }
+
+  /** Classify the source's commits in `(base, head]` for per-commit
+    * replay: each must be a pure append (Right: added files) or a
+    * merge-on-read delete whose new delete files share ONE key-column
+    * set (Left: keyCols → delete-file paths; a commit mixing key sets
+    * would double-retract rows matching both). None → full rebuild
+    * (rewrites, compaction, materialized deletes, vacuumed bases). */
+  private def replayPlan(spark: SparkSession, root: String, base: Long,
+                         head: Long)
+      : Option[Seq[(Long, Either[(Seq[String], Seq[String]),
+        Set[String]])]] = {
+    val vs = Manifest.versions(spark, root).toSet
+    if (!((base to head).forall(vs))) return None
+    val steps = Seq.newBuilder[(Long,
+      Either[(Seq[String], Seq[String]), Set[String]])]
+    var v = base + 1
+    while (v <= head) {
+      val prev = Manifest.snapshotMeta(spark, root, v - 1)
+      val curr = Manifest.snapshotMeta(spark, root, v)
+      val prevF = prev.files.toSet; val currF = curr.files.toSet
+      val added = currF -- prevF; val removed = prevF -- currF
+      val prevD = prev.deletes.map(_.path).toSet
+      val dNew = curr.deletes.filterNot(d => prevD(d.path))
+      val dDropped = prevD -- curr.deletes.map(_.path).toSet
+      if (removed.isEmpty && dNew.isEmpty && dDropped.isEmpty) {
+        if (added.nonEmpty) steps += ((v, Right(added)))
+      } else if (added.isEmpty && removed.isEmpty &&
+        dDropped.isEmpty && dNew.nonEmpty &&
+        dNew.map(_.keyCols).distinct.size == 1) {
+        steps += ((v, Left((dNew.head.keyCols, dNew.map(_.path)))))
+      } else return None
+      v += 1
+    }
+    Some(steps.result())
   }
 }

@@ -67,8 +67,8 @@ class MaterializedAggSpec extends SparkSpec {
     assert(MaterializedAgg.refresh(spark, src, mv) == before)
   }
 
-  test("merge-on-read deletes and vacuumed history fall back to a " +
-    "full recompute and stay correct") {
+  test("merge-on-read deletes retract INCREMENTALLY: per-commit " +
+    "replay reads only the pre-delete snapshot's matching rows") {
     val src = newRoot("src2")
     val mv = newRoot("mv2")
     Manifest.init(spark, src,
@@ -76,11 +76,43 @@ class MaterializedAggSpec extends SparkSpec {
         .toDF("id", "lang", "n"))
     MaterializedAgg.create(spark, src, mv, Seq("lang"), Seq("n"),
       buckets = 4)
-    // MoR delete: row-level retraction invisible to a file diff
+    val v1Files = Manifest.snapshot(spark, mv, 1L).files.toSet
+    // MoR delete: retracts group de's row 2 through the replay tier
     Manifest.deleteByKeys(spark, src, Seq(2L).toDF("id"))
     MaterializedAgg.refresh(spark, src, mv)
     assert(mvContents(mv) == recompute(src))
     assert(mvContents(mv) == Set(("en", 1L, 10L), ("de", 1L, 30L)))
+    assert(MaterializedAgg.baseVersion(spark, mv) == 2L)
+    // the retraction was a MERGE of changed buckets, not a replace
+    val now = Manifest.snapshot(spark, mv,
+      Manifest.latestVersion(spark, mv).get).files.toSet
+    assert(v1Files.intersect(now).nonEmpty,
+      "a keyed retraction must not rewrite the whole view")
+
+    // a delete AND an append land before one refresh: replay in order
+    Manifest.deleteByKeys(spark, src, Seq(3L).toDF("id"))
+    Manifest.commitAppend(spark, src,
+      Seq((5L, "de", 50L), (6L, "it", 6L)).toDF("id", "lang", "n"))
+    MaterializedAgg.refresh(spark, src, mv)
+    assert(mvContents(mv) == recompute(src))
+    assert(mvContents(mv) == Set(("en", 1L, 10L), ("de", 1L, 50L),
+      ("it", 1L, 6L)))
+    assert(MaterializedAgg.baseVersion(spark, mv) ==
+      Manifest.latestVersion(spark, src).get)
+  }
+
+  test("deleting a group's LAST row through replay tombstones it, " +
+    "and vacuumed history still falls back to a full recompute") {
+    val src = newRoot("src2b")
+    val mv = newRoot("mv2b")
+    Manifest.init(spark, src,
+      Seq((1L, "en", 10L), (2L, "de", 20L)).toDF("id", "lang", "n"))
+    MaterializedAgg.create(spark, src, mv, Seq("lang"), Seq("n"),
+      buckets = 4)
+    Manifest.deleteByKeys(spark, src, Seq(2L).toDF("id"))
+    MaterializedAgg.refresh(spark, src, mv)
+    assert(mvContents(mv) == Set(("en", 1L, 10L)),
+      "an emptied group must disappear from the view")
 
     // vacuum away the view's base snapshot → fallback, still correct
     Manifest.rewriteDeletes(spark, src)

@@ -2147,6 +2147,47 @@ object LakeQueries {
         GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
       kind = QueryDef.Pipeline),
 
+    // ---- CHECK constraints (the Delta ADD CONSTRAINT analog): an
+    // ingestion-time quality gate every later commit must pass — the
+    // probe is one bounded job over the COMMIT's rows, never the
+    // table. The lifecycle plants a poisoned batch (a synthetic row
+    // violating the gate rides an otherwise-clean append) and proves
+    // the WHOLE batch is refused before anything publishes: the final
+    // rollup hash-equals the oracle over exactly the clean rows, which
+    // only holds if the poisoned append left no trace and the clean
+    // retry landed once.
+    QueryDef("q201_check_constraints",
+      (s, dir) => {
+        val root = "file://" + Files
+          .createTempDirectory("graft_check").toString + "/t"
+        val docs = Tables.load(s, dir, "documents")
+          .select("doc_id", "lang", "n_chars")
+        val half1 = docs.filter(col("doc_id") % 2 === 0)
+        val half2 = docs.filter(col("doc_id") % 2 === 1)
+        Manifest.init(s, root, half1)
+        Manifest.addConstraint(s, root, "quality",
+          "n_chars >= 0 AND lang IS NOT NULL")
+        val poisoned = half2.unionByName(
+          s.range(1).select(lit(-1L).as("doc_id"),
+            lit(null).cast("string").as("lang"),
+            lit(-999L).as("n_chars")))
+        val refused =
+          try { Manifest.commitAppend(s, root, poisoned); false }
+          catch {
+            case _: Manifest.ConstraintViolationException => true
+          }
+        require(refused, "the poisoned batch must be refused")
+        Manifest.commitAppend(s, root, half2)
+        Manifest.read(s, root).groupBy("lang")
+          .agg(count(lit(1)).as("n"),
+            sum("n_chars").as("sum_chars"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, count(*) AS n,
+          CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents GROUP BY lang ORDER BY lang"""),
+      kind = QueryDef.Pipeline),
+
     // ---- CONTINUOUS join-view maintenance: the fact side arrives as a
     // STREAM (exactly-once epoch-deduped commits), and each micro-batch
     // advances the view through the pure-append delta path — the

@@ -1674,6 +1674,13 @@ object SearchQueries {
             buckets = 16)
           Manifest.deleteByKeys(s, src,
             docs.filter(col("doc_id") % 23 === 0).select("doc_id"))
+          // pure merge-on-read propagation: the refresh erases the
+          // forgotten docs from the index (same-id MoR delete, stats
+          // decremented in the same commit) with ZERO rewrite on
+          // either side — the O(erased docs) erasure path
+          SearchIndex.refresh(s, src, idx)
+          // then materialize (narrowed to the keys' home files) and
+          // refresh again — the rewrite path must be a semantic no-op
           Manifest.rewriteDeletes(s, src)
           SearchIndex.refresh(s, src, idx)
         } finally {
@@ -1795,6 +1802,11 @@ object SearchQueries {
           "embedding", nCells = 8)
         Manifest.deleteByKeys(s, src,
           emb.filter(col("vec_id") % 13 === 0).select("vec_id"))
+        // pure merge-on-read propagation: the erased ids land as a
+        // MoR delete on the index (zero rewrite, frozen pivots)
+        VectorIndex.refresh(s, src, idx)
+        // then materialize and refresh again — the rewrite path
+        // rebuilds (re-trains) and must land on the same answer
         Manifest.rewriteDeletes(s, src)
         VectorIndex.refresh(s, src, idx)
         val qv = emb.filter(col("vec_id") === 7L)

@@ -6,7 +6,7 @@ import scala.collection.mutable.ArrayBuffer
 import org.apache.hadoop.fs.{FileSystem, Path}
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit, max, min}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, expr, lit, max, min, struct, to_json}
 
 /** Versioned manifest commit layer: the missing cross-partition
   * atomicity for the lake's upsert/compaction story (SURVEY §7 — the
@@ -312,6 +312,7 @@ object Manifest {
       throw new IllegalStateException(s"$root not initialized"))
     val prev = readManifest(spark, root, cur)
     checkPartCols(prev, partitionCols)
+    enforceConstraints(root, df, prev.meta)
     val fresh = writeCommit(spark, root, cur + 1, df, partitionCols)
     writeStage(spark, root, stageId, prev.entries ++ fresh,
       prev.meta ++
@@ -333,6 +334,7 @@ object Manifest {
     val cur = latestVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"$root not initialized"))
     val prev = readManifest(spark, root, cur)
+    enforceConstraints(root, df, prev.meta)
     val fresh = writeCommit(spark, root, cur + 1, df, partitionCols)
     writeStage(spark, root, stageId, fresh,
       prev.meta - "dropped" ++
@@ -550,7 +552,11 @@ object Manifest {
                          df: DataFrame,
                          partitionCols: Seq[String] = Nil): Long = {
     val head0 = branchHead(spark, root, name)
-    checkPartCols(branchMeta(spark, root, name, Some(head0)), partitionCols)
+    val bm0 = branchMeta(spark, root, name, Some(head0))
+    checkPartCols(bm0, partitionCols)
+    // constraints fork with the branch (its manifest carries the
+    // check.* headers) — a branch append obeys the same gates
+    enforceConstraints(root, df, bm0.meta)
     val fresh = writeCommit(spark, root, head0 + 1, df, partitionCols)
     retryingAppend(maxAttempts = 5) {
       val head = branchHead(spark, root, name)
@@ -1340,9 +1346,136 @@ object Manifest {
   private def checkExtraMeta(m: Map[String, String]): Unit =
     m.foreach { case (k, v) =>
       require(k.nonEmpty && !ReservedMeta(k) && !k.startsWith("batch.") &&
+          !k.startsWith(CheckPrefix) &&
           !k.contains("=") && !k.contains("\n") && !v.contains("\n"),
         s"commit metadata key '$k' is reserved or malformed " +
-          "(no '=', no newlines, not a table header)")
+          "(no '=', no newlines, not a table header; constraints go " +
+          "through addConstraint)")
+    }
+
+  // ---- CHECK constraints (ingestion-time quality gates) -----------
+
+  /** A commit was refused because incoming rows violate a table CHECK
+    * constraint ([[addConstraint]]). Nothing published. */
+  final class ConstraintViolationException(msg: String)
+    extends IllegalStateException(msg)
+
+  private val CheckPrefix = "check."
+
+  private def constraintsIn(meta: Map[String, String])
+      : Seq[(String, String)] =
+    meta.toSeq.collect {
+      case (k, v) if k.startsWith(CheckPrefix) =>
+        (k.stripPrefix(CheckPrefix), v)
+    }.sortBy(_._1)
+
+  /** The table's CHECK constraints: name → boolean SQL expression. */
+  def constraintsOf(spark: SparkSession, root: String)
+      : Map[String, String] = {
+    val cur = latestVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"$root not initialized"))
+    constraintsIn(readManifest(spark, root, cur).meta).toMap
+  }
+
+  /** Add a CHECK constraint (the Delta/lakehouse `ALTER TABLE ADD
+    * CONSTRAINT` analog): from this commit on, EVERY path that makes
+    * rows visible — append, replace, merge, staged WAP writes, the
+    * native INSERT / streaming-sink / row-level-DML commits —
+    * validates the incoming rows against `exprSql` (SQL CHECK
+    * semantics: NULL passes) and REFUSES the commit on the first
+    * violation, before anything publishes. Enforcement is one bounded
+    * probe job over the COMMIT's rows, never the table — the cost
+    * model that survives 100 TB ingest. `validate` (default) also
+    * proves the existing rows already satisfy the constraint (one
+    * table scan, the one-off every engine pays at ADD CONSTRAINT);
+    * pass false to skip it for known-clean tables. */
+  def addConstraint(spark: SparkSession, root: String, name: String,
+                    exprSql: String, validate: Boolean = true): Long = {
+    checkRefName("constraint name", name)
+    require(!exprSql.contains("\n") && !exprSql.contains("\t"),
+      "constraint expression must be a single line without tabs")
+    val cur = latestVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"$root not initialized"))
+    val m = readManifest(spark, root, cur)
+    require(!m.meta.contains(CheckPrefix + name),
+      s"constraint '$name' already exists on $root")
+    val table = read(spark, root, Some(cur))
+    if (validate)
+      enforceConstraints(root, table, Map(CheckPrefix + name -> exprSql))
+    else // still fail unknown columns / non-boolean types loudly
+      table.filter(coalesce(expr(exprSql), lit(true)))
+        .queryExecution.assertAnalyzed()
+    publish(spark, root, cur, m.entries,
+      m.meta + (CheckPrefix + name -> exprSql), m.deletes)
+  }
+
+  /** Drop a CHECK constraint; false when it does not exist. */
+  def dropConstraint(spark: SparkSession, root: String,
+                     name: String): Boolean = {
+    val cur = latestVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"$root not initialized"))
+    val m = readManifest(spark, root, cur)
+    if (!m.meta.contains(CheckPrefix + name)) false
+    else {
+      publish(spark, root, cur, m.entries,
+        m.meta - (CheckPrefix + name), m.deletes)
+      true
+    }
+  }
+
+  /** Refuse `df` if any row violates a CHECK constraint in `meta`.
+    * Columns a constraint references that `df` lacks evaluate as NULL
+    * (exactly what a reader of the evolved table would see; SQL CHECK
+    * lets NULL pass). One bounded probe job over the incoming rows —
+    * zero cost when no constraints exist. */
+  private def enforceConstraints(root: String, df: DataFrame,
+                                 meta: Map[String, String]): Unit = {
+    val cs = constraintsIn(meta)
+    if (cs.isEmpty) return
+    val parser = df.sparkSession.sessionState.sqlParser
+    val needed = cs.flatMap { case (_, e) =>
+      parser.parseExpression(e).collect {
+        case a: org.apache.spark.sql.catalyst.analysis
+          .UnresolvedAttribute => a.name
+      }
+    }.distinct
+    val have = df.columns.toSet
+    val padded = needed.filterNot(have).foldLeft(df)(
+      (d, c) => d.withColumn(c, lit(null)))
+    val flags = cs.map { case (n, e) =>
+      (!coalesce(expr(e), lit(true))).as(s"__viol_$n") }
+    val present = needed.filter(have)
+    val sample =
+      if (present.isEmpty) lit("{}").as("__row")
+      else to_json(struct(present.map(col): _*)).as("__row")
+    val bad = padded.select(flags :+ sample: _*)
+      .filter(cs.map { case (n, _) => col(s"__viol_$n") }
+        .reduce(_ || _))
+      .limit(1).collect()
+    if (bad.nonEmpty) {
+      val row = bad.head
+      val names = cs.zipWithIndex.collect {
+        case ((n, e), i) if row.getBoolean(i) => s"$n [$e]" }
+      throw new ConstraintViolationException(
+        s"commit to $root rejected: CHECK constraint(s) " +
+          s"${names.mkString(", ")} violated — offending row's " +
+          s"constrained columns: ${row.getString(cs.size)}")
+    }
+  }
+
+  /** [[enforceConstraints]] over ALREADY-WRITTEN staged files (the
+    * executor-written commit faces: native INSERT, streaming sink,
+    * row-level DML). Reads only the staged entries — O(this commit). */
+  private def enforceConstraintsOnEntries(spark: SparkSession,
+      root: String, meta: Map[String, String],
+      schema: org.apache.spark.sql.types.StructType,
+      partitionCols: Seq[String], entries: Seq[FileEntry]): Unit =
+    if (constraintsIn(meta).nonEmpty && entries.nonEmpty) {
+      val em = SnapshotMeta(0L, entries,
+        Map("schema" -> schema.json,
+          "partcols" -> partitionCols.mkString(",")))
+      enforceConstraints(root, relationOver(spark, root, em, entries),
+        meta)
     }
 
   /** Initialize the table: version 1 = `df`. An EMPTY `df` creates a
@@ -1391,7 +1524,9 @@ object Manifest {
     checkExtraMeta(extraMeta)
     val cur = latestVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"$root not initialized"))
-    checkPartCols(readManifest(spark, root, cur), partitionCols)
+    val m0 = readManifest(spark, root, cur)
+    checkPartCols(m0, partitionCols)
+    enforceConstraints(root, df, m0.meta)
     val fresh = writeCommit(spark, root, cur + 1, df, partitionCols)
     // post-write metadata (see init): evaluated ONCE, outside the
     // optimistic-retry loop — a lost commit race re-publishes the same
@@ -1506,6 +1641,7 @@ object Manifest {
         if (already.exists(_ >= batchId)) cur // replayed batch: no-op
         else {
           checkPartCols(prev, partitionCols)
+          enforceConstraints(root, df, prev.meta)
           val fresh = writeCommit(spark, root, cur + 1, df, partitionCols)
           // carry other queries' high-water marks forward
           publish(spark, root, cur, prev.entries ++ fresh,
@@ -1544,6 +1680,9 @@ object Manifest {
           None // replayed epoch: no-op, caller cleans the staged files
         else {
           checkPartCols(prev, partitionCols)
+          enforceConstraintsOnEntries(spark, root, prev.meta,
+            appendSchema(spark, root, prev, schema), partitionCols,
+            entries)
           val stated = withStats(spark, root, entries.sortBy(_.path))
             .map(_.copy(seq = Some(cur + 1)))
           Some(publish(spark, root, cur, prev.entries ++ stated,
@@ -1569,6 +1708,9 @@ object Manifest {
     val cur = latestVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"$root not initialized"))
     val prev = readManifest(spark, root, cur)
+    enforceConstraintsOnEntries(spark, root, prev.meta,
+      if (replace) schema else appendSchema(spark, root, prev, schema),
+      partitionCols, entries)
     val stated = withStats(spark, root, entries.sortBy(_.path))
       .map(_.copy(seq = Some(cur + 1)))
     if (replace)
@@ -1601,6 +1743,8 @@ object Manifest {
         "during the row-level rewrite — retry the operation")
     val prev = readManifest(spark, root, cur)
     checkPartCols(prev, partitionCols)
+    prev.schema.foreach(sch => enforceConstraintsOnEntries(spark, root,
+      prev.meta, sch, partitionCols, added))
     val stated = withStats(spark, root, added.sortBy(_.path))
       .map(_.copy(seq = Some(cur + 1)))
     publish(spark, root, cur,
@@ -1706,6 +1850,7 @@ object Manifest {
     val cur = latestVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"$root not initialized"))
     val prev = readManifest(spark, root, cur)
+    enforceConstraints(root, df, prev.meta)
     val fresh = writeCommit(spark, root, cur + 1, df, partitionCols)
     val lm = lateMeta(); checkExtraMeta(lm) // post-write meta (see init)
     // a replace swaps the ENTIRE file set, so the schema and layout
@@ -1741,6 +1886,7 @@ object Manifest {
     val cur = latestVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"$root not initialized"))
     val prev = readManifest(spark, root, cur)
+    enforceConstraints(root, updates, prev.meta)
     val table = read(spark, root, Some(cur))
     checkPartCols(prev, partitionCols)
     // the distinct partition tuples the updates touch: ONE job, reused
@@ -1880,7 +2026,9 @@ object Manifest {
     * at a cost model that survives its 100 TB restatement. */
   def deleteByKeys(spark: SparkSession, root: String,
                    keys: DataFrame,
-                   extraMeta: Map[String, String] = Map.empty): Long = {
+                   extraMeta: Map[String, String] = Map.empty,
+                   lateMeta: () => Map[String, String] = () => Map.empty)
+      : Long = {
     checkExtraMeta(extraMeta)
     val cur = latestVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"$root not initialized"))
@@ -1923,9 +2071,51 @@ object Manifest {
       val (fs, rootP) = fsOf(spark, root)
       val delEntries = commitFiles(fs, rootP, new Path(dir))
         .map(e => DeleteEntry(e.path, e.size, next, kc))
-      publish(spark, root, cur, prev.entries, prev.meta ++ extraMeta,
+      // post-write metadata (see init's lateMeta): the channel for
+      // stats observed DURING the key job — e.g. the erased docs'
+      // token counts riding SearchIndex's delete propagation
+      val lm = lateMeta(); checkExtraMeta(lm)
+      publish(spark, root, cur, prev.entries,
+        prev.meta ++ extraMeta ++ lm,
         prev.deletes ++ delEntries)
     } finally casted.unpersist()
+  }
+
+  /** Classify `root`'s commits in `(base, head]` for incremental
+    * consumers (materialized views, serving indexes): per version,
+    * `Right(addedFiles)` for a pure append, `Left(keyCols →
+    * delete-file paths)` for a merge-on-read delete whose new delete
+    * files share ONE key-column set. None when any commit is anything
+    * else (rewrite, replace, compaction, materialized deletes, mixed
+    * key sets, missing versions) — the caller falls back to a full
+    * rebuild. Commits that changed nothing consumable emit no step. */
+  private[graft] def commitSteps(spark: SparkSession, root: String,
+      base: Long, head: Long)
+      : Option[Seq[(Long, Either[(Seq[String], Seq[String]),
+        Set[String]])]] = {
+    val vs = versions(spark, root).toSet
+    if (!((base to head).forall(vs))) return None
+    val steps = Seq.newBuilder[(Long,
+      Either[(Seq[String], Seq[String]), Set[String]])]
+    var v = base + 1
+    while (v <= head) {
+      val prev = snapshotMeta(spark, root, v - 1)
+      val curr = snapshotMeta(spark, root, v)
+      val prevF = prev.files.toSet; val currF = curr.files.toSet
+      val added = currF -- prevF; val removed = prevF -- currF
+      val prevD = prev.deletes.map(_.path).toSet
+      val dNew = curr.deletes.filterNot(d => prevD(d.path))
+      val dDropped = prevD -- curr.deletes.map(_.path).toSet
+      if (removed.isEmpty && dNew.isEmpty && dDropped.isEmpty) {
+        if (added.nonEmpty) steps += ((v, Right(added)))
+      } else if (added.isEmpty && removed.isEmpty &&
+        dDropped.isEmpty && dNew.nonEmpty &&
+        dNew.map(_.keyCols).distinct.size == 1) {
+        steps += ((v, Left((dNew.head.keyCols, dNew.map(_.path)))))
+      } else return None
+      v += 1
+    }
+    Some(steps.result())
   }
 
   /** Materialize pending merge-on-read deletes: rewrite ONLY the data

@@ -207,7 +207,7 @@ object MaterializedAgg {
         applyDelta(spark, mvRoot, changes, groupCols, sumCols,
           buckets, srcHead)
       case None =>
-        replayPlan(spark, srcRoot, base, srcHead) match {
+        Manifest.commitSteps(spark, srcRoot, base, srcHead) match {
           case Some(steps) =>
             try {
               steps.foreach {
@@ -298,38 +298,4 @@ object MaterializedAgg {
       extraMeta = Map("mv.base" -> newBase.toString))
   }
 
-  /** Classify the source's commits in `(base, head]` for per-commit
-    * replay: each must be a pure append (Right: added files) or a
-    * merge-on-read delete whose new delete files share ONE key-column
-    * set (Left: keyCols → delete-file paths; a commit mixing key sets
-    * would double-retract rows matching both). None → full rebuild
-    * (rewrites, compaction, materialized deletes, vacuumed bases). */
-  private def replayPlan(spark: SparkSession, root: String, base: Long,
-                         head: Long)
-      : Option[Seq[(Long, Either[(Seq[String], Seq[String]),
-        Set[String]])]] = {
-    val vs = Manifest.versions(spark, root).toSet
-    if (!((base to head).forall(vs))) return None
-    val steps = Seq.newBuilder[(Long,
-      Either[(Seq[String], Seq[String]), Set[String]])]
-    var v = base + 1
-    while (v <= head) {
-      val prev = Manifest.snapshotMeta(spark, root, v - 1)
-      val curr = Manifest.snapshotMeta(spark, root, v)
-      val prevF = prev.files.toSet; val currF = curr.files.toSet
-      val added = currF -- prevF; val removed = prevF -- currF
-      val prevD = prev.deletes.map(_.path).toSet
-      val dNew = curr.deletes.filterNot(d => prevD(d.path))
-      val dDropped = prevD -- curr.deletes.map(_.path).toSet
-      if (removed.isEmpty && dNew.isEmpty && dDropped.isEmpty) {
-        if (added.nonEmpty) steps += ((v, Right(added)))
-      } else if (added.isEmpty && removed.isEmpty &&
-        dDropped.isEmpty && dNew.nonEmpty &&
-        dNew.map(_.keyCols).distinct.size == 1) {
-        steps += ((v, Left((dNew.head.keyCols, dNew.map(_.path)))))
-      } else return None
-      v += 1
-    }
-    Some(steps.result())
-  }
 }

@@ -217,36 +217,24 @@ object MaterializedJoin {
   private final case class DeleteStep(v: Long,
                                       delPaths: Seq[String]) extends Step
 
-  /** Classify one source's commits in `(base, head]` for replay: each
-    * must be a pure append or a merge-on-read delete whose key columns
-    * are exactly the join keys. None → not replayable (fall back to a
-    * full rebuild). */
+  /** Classify one source's commits in `(base, head]` for replay via
+    * [[Manifest.commitSteps]]: pure appends, and merge-on-read deletes
+    * whose key columns are exactly the join keys. None → not
+    * replayable (fall back to a full rebuild). */
   private def replayPlan(spark: SparkSession, root: String, base: Long,
                          head: Long, keys: Seq[String])
       : Option[Seq[Step]] = {
     if (head == base) return Some(Nil)
     if (head < base) return None
-    val vs = Manifest.versions(spark, root).toSet
-    if (!((base to head).forall(vs))) return None
-    val steps = Seq.newBuilder[Step]
-    var v = base + 1
-    while (v <= head) {
-      val prev = Manifest.snapshotMeta(spark, root, v - 1)
-      val curr = Manifest.snapshotMeta(spark, root, v)
-      val prevF = prev.files.toSet; val currF = curr.files.toSet
-      val added = currF -- prevF; val removed = prevF -- currF
-      val prevD = prev.deletes.map(_.path).toSet
-      val dNew = curr.deletes.filterNot(d => prevD(d.path))
-      val dDropped = prevD -- curr.deletes.map(_.path).toSet
-      if (removed.isEmpty && dNew.isEmpty && dDropped.isEmpty) {
-        if (added.nonEmpty) steps += AppendStep(v, added)
-      } else if (added.isEmpty && removed.isEmpty && dDropped.isEmpty &&
-        dNew.nonEmpty && dNew.forall(_.keyCols.toSet == keys.toSet)) {
-        steps += DeleteStep(v, dNew.map(_.path))
-      } else return None
-      v += 1
+    Manifest.commitSteps(spark, root, base, head).flatMap { steps =>
+      val mapped = steps.map {
+        case (v, Right(added)) => Some(AppendStep(v, added))
+        case (v, Left((kc, paths))) if kc.toSet == keys.toSet =>
+          Some(DeleteStep(v, paths))
+        case _ => None
+      }
+      if (mapped.forall(_.isDefined)) Some(mapped.flatten) else None
     }
-    Some(steps.result())
   }
 
   /** Apply the two sides' replay plans: left commits against the

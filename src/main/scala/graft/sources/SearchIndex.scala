@@ -279,7 +279,9 @@ object SearchIndex {
       }
 
     plan match {
-      case None => full()
+      case None =>
+        replay(spark, srcRoot, indexRoot, meta, base, srcHead,
+          idCol, textCol, buckets, positions).getOrElse(full())
       case Some((added, removed)) =>
         val addedDocs = Manifest.readSubset(spark, srcRoot, srcHead, added)
         val (nr, ndr, sr) =
@@ -316,6 +318,87 @@ object SearchIndex {
 
   private def positionsOf(meta: Map[String, String]): Boolean =
     meta.get("idx.positions").contains("true")
+
+  /** Per-commit replay for source histories the batched file-diff
+    * cannot express: appends interleaved with merge-on-read DELETES
+    * keyed on the id column. An append step indexes that commit's
+    * added files; a delete step reads the erased docs' pre-images
+    * (the snapshot just before the delete, semi-joined to its keys —
+    * the connector read runtime-prunes that scan to the keys' home
+    * files), lets their token stats ride the delete-key job via
+    * `observe`, and commits a merge-on-read delete of the same ids on
+    * the INDEX with the decremented collection stats in the SAME
+    * commit — the erasure path with zero source rewrite and zero
+    * index rewrite, O(erased docs) end to end. Every step is a
+    * consistent index snapshot (stats move with their postings, base
+    * advances atomically), so a crash leaves a resumable prefix.
+    * None → not replayable (rewrites, non-id deletes, vacuumed
+    * history) — the caller full-rebuilds. */
+  private def replay(spark: SparkSession, srcRoot: String,
+                     indexRoot: String, meta: Map[String, String],
+                     base: Long, srcHead: Long, idCol: String,
+                     textCol: String, buckets: Int,
+                     positions: Boolean): Option[Long] = {
+    val steps = Manifest.commitSteps(spark, srcRoot, base, srcHead)
+      .getOrElse(return None)
+    if (steps.exists {
+        case (_, Left((kc, _))) => kc != Seq(idCol)
+        case _ => false }) return None
+    var (n, ndl, sumdl) = (meta("idx.n").toLong,
+      meta("idx.ndl").toLong, meta("idx.sumdl").toLong)
+    try {
+      steps.foreach {
+        case (v, Right(added)) =>
+          val obsA = Observation()
+          Manifest.commitAppend(spark, indexRoot,
+            indexRows(Manifest.readSubset(spark, srcRoot, v, added),
+              idCol, textCol, buckets, positions, Some(obsA)),
+            Seq(BucketCol),
+            lateMeta = () => {
+              val (na, nda, sa) = statsOf(obsA)
+              stateMeta(srcRoot, idCol, textCol, buckets, v,
+                (n + na, ndl + nda, sumdl + sa), positions)
+            })
+          val (na, nda, sa) = statsOf(obsA)
+          n += na; ndl += nda; sumdl += sa
+        case (v, Left((kc, paths))) =>
+          val keys = spark.read.parquet(paths.map(p =>
+              Manifest.absEntryPath(srcRoot, p)): _*)
+            .select(col(kc.head)).distinct()
+          val visible =
+            try spark.read.format("graft-manifest")
+              .option("version", (v - 1).toString).load(srcRoot)
+            catch { case scala.util.control.NonFatal(_) =>
+              Manifest.read(spark, srcRoot, Some(v - 1)) }
+          val erased = visible.join(broadcast(keys),
+            visible(idCol) <=> keys(kc.head), "left_semi")
+          val obsR = Observation()
+          val analyzedR = observed(
+            analyzedDocs(erased, idCol, textCol), obsR)
+          Manifest.deleteByKeys(spark, indexRoot,
+            analyzedR.select(col(idCol)),
+            lateMeta = () => {
+              val (nr, ndr, sr) = statsOf(obsR)
+              stateMeta(srcRoot, idCol, textCol, buckets, v,
+                (n - nr, ndl - ndr, sumdl - sr), positions)
+            })
+          val (nr, ndr, sr) = statsOf(obsR)
+          n -= nr; ndl -= ndr; sumdl -= sr
+      }
+      // settle the base when trailing commits emitted no step (or a
+      // delete matched zero docs and no-op'd)
+      val cur = Manifest.latestVersion(spark, indexRoot).get
+      val m2 = Manifest.snapshotMeta(spark, indexRoot, cur)
+      Some(
+        if (m2.meta("idx.base").toLong != srcHead)
+          Manifest.publish(spark, indexRoot, cur, m2.entries,
+            m2.meta ++ Map("idx.base" -> srcHead.toString,
+              "idx.pending" -> srcHead.toString), m2.deletes)
+        else cur)
+    } catch {
+      case scala.util.control.NonFatal(_) => None // caller rebuilds
+    }
+  }
 
   /** Header snapshot for a serving query: the meta AND the version it
     * was resolved at. Every serving path scans the index PINNED to

@@ -213,17 +213,17 @@ object VectorIndex {
       replace = false, quantize = quantize)
   }
 
-  /** Advance a manifest-sourced index to its source's head.
-    * APPEND-ONLY source commits are incremental: the added files' rows
-    * are assigned against the FROZEN create-time pivots and appended
-    * in one commit — cost ∝ added rows (the IVF contract: cell
-    * membership never moves under append). Any rewrite (removed
-    * files), merge-on-read deletes at either end, or an unresolvable
-    * base falls back to a FULL REBUILD, which RE-TRAINS the pivots on
-    * the new corpus (rebuilding is how an IVF index re-trains —
-    * stale pivots after heavy churn degrade cell balance, never
-    * correctness, but a rebuild restores both). Never silently
-    * wrong. */
+  /** Advance a manifest-sourced index to its source's head,
+    * per-commit: APPENDS assign the added files' rows against the
+    * FROZEN create-time pivots — cost ∝ added rows (the IVF contract:
+    * cell membership never moves under append); merge-on-read DELETES
+    * keyed on the id column propagate as a MoR delete of the same ids
+    * on the INDEX — zero rewrite, O(deleted ids), probe-all search
+    * stays exact over the retained rows (cell membership and SQ codes
+    * are per-row facts deletion cannot move; what churn degrades is
+    * cell BALANCE, which a periodic rebuild re-trains away — never
+    * correctness). Rewrites, non-id deletes, or an unresolvable base
+    * fall back to a FULL REBUILD. Never silently wrong. */
   def refresh(spark: SparkSession, srcRoot: String,
               indexRoot: String): Long = {
     val meta = state(spark, indexRoot)
@@ -248,32 +248,55 @@ object VectorIndex {
       Map("vidx.src" -> srcRoot, "vidx.base" -> srcHead.toString),
       replace = true, quantize = meta.contains("vidx.sq"))
 
-    val incremental =
-      Manifest.versions(spark, srcRoot).contains(base) && {
-        val baseSnap = Manifest.snapshotMeta(spark, srcRoot, base)
-        val headSnap = Manifest.snapshotMeta(spark, srcRoot, srcHead)
-        baseSnap.deletes.isEmpty && headSnap.deletes.isEmpty &&
-          Manifest.changedFiles(spark, srcRoot, base, srcHead)
-            .removed.isEmpty
-      }
-    if (!incremental) full()
-    else {
-      val added = Manifest
-        .changedFiles(spark, srcRoot, base, srcHead).added.toSet
-      val assigned = assign(withV(
-          Manifest.readSubset(spark, srcRoot, srcHead, added),
-          idCol, vecCol, payload),
-        parse(meta("vidx.pivots")), payload)
-      // quantize the delta with the FROZEN training ranges (clamped) —
-      // re-training would silently re-code the whole corpus
-      val delta = sqBounds(meta).fold(assigned) { case (lo, hi) =>
-        quantizeRows(assigned, lo, hi, payload)
-      }
-      Manifest.commitAppend(spark, indexRoot,
-        delta.repartition(col(CellCol)),
-        Seq(CellCol),
-        extraMeta = meta.view.filterKeys(_.startsWith("vidx."))
-          .toMap + ("vidx.base" -> srcHead.toString))
+    Manifest.commitSteps(spark, srcRoot, base, srcHead) match {
+      case None => full()
+      case Some(steps) if steps.exists {
+          case (_, Left((kc, _))) => kc != Seq(idCol)
+          case _ => false } =>
+        full() // a delete not keyed on the vector id: can't propagate
+      case Some(steps) =>
+        try {
+          steps.foreach {
+            case (v, Right(added)) =>
+              val assigned = assign(withV(
+                  Manifest.readSubset(spark, srcRoot, v, added),
+                  idCol, vecCol, payload),
+                parse(meta("vidx.pivots")), payload)
+              // quantize the delta with the FROZEN training ranges
+              // (clamped) — re-training would silently re-code the
+              // whole corpus
+              val delta = sqBounds(meta).fold(assigned) {
+                case (lo, hi) => quantizeRows(assigned, lo, hi, payload)
+              }
+              Manifest.commitAppend(spark, indexRoot,
+                delta.repartition(col(CellCol)),
+                Seq(CellCol),
+                extraMeta = meta.view
+                  .filterKeys(_.startsWith("vidx."))
+                  .toMap + ("vidx.base" -> v.toString))
+            case (v, Left((kc, paths))) =>
+              // erasure propagates as a merge-on-read delete on the
+              // INDEX — zero rewrite, O(deleted ids); probe-all stays
+              // exact over the retained rows, and the frozen pivots /
+              // SQ ranges stay valid (cell membership and codes are
+              // per-row facts deletion cannot move)
+              val keys = spark.read.parquet(paths.map(p =>
+                  Manifest.absEntryPath(srcRoot, p)): _*)
+                .select(col(kc.head).as("id")).distinct()
+              Manifest.deleteByKeys(spark, indexRoot, keys,
+                extraMeta = Map("vidx.base" -> v.toString))
+          }
+          // settle the base when trailing commits emitted no step (or
+          // a delete matched zero keys and no-op'd)
+          val cur = Manifest.latestVersion(spark, indexRoot).get
+          val m2 = Manifest.snapshotMeta(spark, indexRoot, cur)
+          if (m2.meta("vidx.base").toLong != srcHead)
+            Manifest.publish(spark, indexRoot, cur, m2.entries,
+              m2.meta + ("vidx.base" -> srcHead.toString), m2.deletes)
+          else cur
+        } catch {
+          case scala.util.control.NonFatal(_) => full()
+        }
     }
   }
 

@@ -469,6 +469,78 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces
     }
   }
 
+  private object AddConstraintProcedure extends UnboundProcedure
+      with BoundProcedure {
+    override def name(): String = "add_constraint"
+    override def description(): String =
+      "add a CHECK constraint: every later commit refuses rows that " +
+        "violate the expression (Manifest.addConstraint); validate " +
+        "(default true) also proves existing rows satisfy it"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("name", StringType).build(),
+      ProcedureParameter.in("expr", StringType).build(),
+      ProcedureParameter.in("validate", BooleanType)
+        .defaultValue("true").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val root = tableRoot(input.getUTF8String(0).toString)
+      val v = Manifest.addConstraint(spark, root,
+        input.getUTF8String(1).toString,
+        input.getUTF8String(2).toString, input.getBoolean(3))
+      oneRowScan(
+        StructType(Seq(StructField("version", LongType, false))),
+        Array[Any](v))
+    }
+  }
+
+  private object DropConstraintProcedure extends UnboundProcedure
+      with BoundProcedure {
+    override def name(): String = "drop_constraint"
+    override def description(): String =
+      "drop a CHECK constraint; false when it does not exist"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("name", StringType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val root = tableRoot(input.getUTF8String(0).toString)
+      oneRowScan(
+        StructType(Seq(StructField("dropped", BooleanType, false))),
+        Array[Any](Manifest.dropConstraint(spark, root,
+          input.getUTF8String(1).toString)))
+    }
+  }
+
+  private object ConstraintsProcedure extends UnboundProcedure
+      with BoundProcedure {
+    override def name(): String = "constraints"
+    override def description(): String =
+      "list a table's CHECK constraints (name, expr)"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] =
+      Array(ProcedureParameter.in("table", StringType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val root = tableRoot(input.getUTF8String(0).toString)
+      val schema = StructType(Seq(
+        StructField("name", StringType, false),
+        StructField("expr", StringType, false)))
+      val crows = Manifest.constraintsOf(spark, root).toSeq.sortBy(_._1)
+        .map { case (n, e) => new GenericInternalRow(Array[Any](
+          org.apache.spark.unsafe.types.UTF8String.fromString(n),
+          org.apache.spark.unsafe.types.UTF8String.fromString(e)))
+          : InternalRow
+        }.toArray
+      java.util.Collections.singletonList[Scan](new LocalScan {
+        override def rows(): Array[InternalRow] = crows
+        override def readSchema(): StructType = schema
+      }).iterator()
+    }
+  }
+
   private object TagsProcedure extends UnboundProcedure
       with BoundProcedure {
     override def name(): String = "tags"
@@ -1257,6 +1329,9 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces
       case "refresh_mv" => RefreshMvProcedure
       case "create_join_mv" => CreateJoinMvProcedure
       case "refresh_join_mv" => RefreshJoinMvProcedure
+      case "add_constraint" => AddConstraintProcedure
+      case "drop_constraint" => DropConstraintProcedure
+      case "constraints" => ConstraintsProcedure
       case "create_search_index" => CreateSearchIndexProcedure
       case "refresh_search_index" => RefreshSearchIndexProcedure
       case "search" => SearchProcedure
@@ -1274,7 +1349,8 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces
           "branches, create_mv, refresh_mv, create_search_index, " +
           "refresh_search_index, search, create_vector_index, " +
           "refresh_vector_index, build_blooms, clone, release_clone, " +
-          "create_join_mv, refresh_join_mv)")
+          "create_join_mv, refresh_join_mv, add_constraint, " +
+          "drop_constraint, constraints)")
     }
   }
 

@@ -872,6 +872,38 @@ class ManifestCatalogSpec extends SparkSpec {
     assert(ann.map(_._1) == Seq(1L, 4L)) // probe-all exact, 4 indexed
   }
 
+  test("CHECK constraints through SQL: add_constraint gates the " +
+    "native INSERT and UPDATE paths; constraints lists; drop lifts") {
+    def causesOf(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8).toSeq
+    spark.sql("CREATE TABLE graftcat.db.cons (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graftcat.db.cons SELECT id, id FROM range(5)")
+    spark.sql("CALL graftcat.system.add_constraint(" +
+      "table => 'db.cons', name => 'v_pos', expr => 'v >= 0')")
+    // violating INSERT refused (executor-staged V2 commit face)
+    val e1 = intercept[Exception] {
+      spark.sql("INSERT INTO graftcat.db.cons VALUES (9, -1)") }
+    assert(causesOf(e1).exists(c =>
+      Option(c.getMessage).exists(_.contains("CHECK constraint"))), e1)
+    assert(spark.sql("SELECT count(*) FROM graftcat.db.cons")
+      .as[Long].head == 5L)
+    // violating UPDATE refused (row-level rewrite commit face)
+    val e2 = intercept[Exception] {
+      spark.sql("UPDATE graftcat.db.cons SET v = -5 WHERE id = 2") }
+    assert(causesOf(e2).exists(c =>
+      Option(c.getMessage).exists(_.contains("CHECK constraint"))), e2)
+    assert(spark.sql("SELECT sum(v) FROM graftcat.db.cons")
+      .as[Long].head == 10L)
+    assert(spark.sql("CALL graftcat.system.constraints(" +
+        "table => 'db.cons')")
+      .as[(String, String)].collect().toSeq == Seq(("v_pos", "v >= 0")))
+    assert(spark.sql("CALL graftcat.system.drop_constraint(" +
+      "table => 'db.cons', name => 'v_pos')").as[Boolean].head)
+    spark.sql("INSERT INTO graftcat.db.cons VALUES (9, -1)")
+    assert(spark.sql("SELECT count(*) FROM graftcat.db.cons")
+      .as[Long].head == 6L)
+  }
+
   test("join MV through SQL: create_join_mv materializes, " +
     "refresh_join_mv advances incrementally, the view is SELECT-able") {
     spark.sql("CREATE TABLE graftcat.db.jf (k BIGINT, fv BIGINT)")

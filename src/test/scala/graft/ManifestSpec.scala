@@ -795,6 +795,66 @@ class ManifestSpec extends SparkSpec {
     assert(rowsOf(root) == Set((1L, "a", 10), (2L, "b", 20)))
   }
 
+  test("CHECK constraints gate append/merge/stage: violations refuse " +
+    "BEFORE publishing, NULL passes, drop lifts the gate") {
+    val root = newRoot()
+    Manifest.init(spark, root,
+      Seq((1L, "a", 10)).toDF("id", "part", "v"), Seq("part"))
+    Manifest.addConstraint(spark, root, "v_pos",
+      "v >= 0 AND id IS NOT NULL")
+    assert(Manifest.constraintsOf(spark, root) ==
+      Map("v_pos" -> "v >= 0 AND id IS NOT NULL"))
+    // clean append passes
+    Manifest.commitAppend(spark, root,
+      Seq((2L, "b", 20)).toDF("id", "part", "v"), Seq("part"))
+    // violating append refused; nothing published
+    val before = Manifest.latestVersion(spark, root).get
+    intercept[Manifest.ConstraintViolationException] {
+      Manifest.commitAppend(spark, root,
+        Seq((3L, "b", -5)).toDF("id", "part", "v"), Seq("part"))
+    }
+    assert(Manifest.latestVersion(spark, root).get == before)
+    assert(rowsOf(root) == Set((1L, "a", 10), (2L, "b", 20)))
+    // merge post-image violating → refused
+    intercept[Manifest.ConstraintViolationException] {
+      Manifest.mergeInto(spark, root,
+        Seq((2L, "b", -1)).toDF("id", "part", "v"), "id", "part")
+    }
+    // staged WAP write violating → refused at stage time
+    intercept[Manifest.ConstraintViolationException] {
+      Manifest.stageAppend(spark, root,
+        Seq((9L, "z", -9)).toDF("id", "part", "v"), "bad-stage",
+        Seq("part"))
+    }
+    // NULL passes (SQL CHECK semantics)
+    Manifest.commitAppend(spark, root,
+      Seq((4L, "c", Option.empty[Int])).toDF("id", "part", "v"),
+      Seq("part"))
+    assert(Manifest.read(spark, root).count() == 3L)
+    // adding a constraint the EXISTING rows violate is refused
+    intercept[Manifest.ConstraintViolationException] {
+      Manifest.addConstraint(spark, root, "impossible", "v > 1000")
+    }
+    // drop lifts the gate; unknown drop is false
+    assert(Manifest.dropConstraint(spark, root, "v_pos"))
+    assert(!Manifest.dropConstraint(spark, root, "v_pos"))
+    Manifest.commitAppend(spark, root,
+      Seq((5L, "b", -5)).toDF("id", "part", "v"), Seq("part"))
+    assert(Manifest.read(spark, root).count() == 4L)
+  }
+
+  test("CHECK constraints on columns an evolved append lacks read as " +
+    "NULL and pass — matching what the table's reader sees") {
+    val root = newRoot()
+    Manifest.init(spark, root,
+      Seq((1L, "a", 10)).toDF("id", "part", "v"), Seq("part"))
+    Manifest.addConstraint(spark, root, "v_pos", "v >= 0")
+    // narrower frame (no v column): stored rows read v NULL → passes
+    Manifest.commitAppend(spark, root,
+      Seq((2L, "b")).toDF("id", "part"), Seq("part"))
+    assert(Manifest.read(spark, root).count() == 2L)
+  }
+
   test("bloom sidecars narrow rewriteDeletes where zone maps cannot " +
     "(unclustered key: every file's envelope spans the domain)") {
     val root = newRoot()

@@ -282,6 +282,44 @@ class ManifestStreamSpec extends SparkSpec {
       .as[Long].collect().toSet == Set(1L, 3L))
   }
 
+  test("native sink enforces CHECK constraints: a violating epoch " +
+    "fails the query, nothing publishes, a clean retry lands") {
+    val base = newDir()
+    val src = s"$base/src"
+    val dst = s"$base/dst"
+    Manifest.init(spark, src,
+      Seq((1L, "a", 10), (2L, "b", -5)).toDF("id", "part", "v"),
+      Seq("part"))
+    Manifest.init(spark, dst,
+      spark.createDataFrame(new java.util.ArrayList[
+        org.apache.spark.sql.Row](),
+        Manifest.read(spark, src, None).schema), Seq("part"))
+    Manifest.addConstraint(spark, dst, "v_pos", "v >= 0",
+      validate = false)
+    def runPipe(ckpt: String, filter: org.apache.spark.sql.DataFrame
+        => org.apache.spark.sql.DataFrame): Unit = {
+      val q = filter(spark.readStream.format("graft-manifest")
+          .load(src))
+        .writeStream.format("graft-manifest")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start(dst)
+      q.awaitTermination()
+    }
+    val vBefore = Manifest.latestVersion(spark, dst)
+    val e = intercept[Exception] { runPipe(s"$base/ckpt1", identity) }
+    def causes(t: Throwable) = Iterator.iterate(t)(_.getCause)
+      .takeWhile(_ != null).take(8).toSeq
+    assert(causes(e).exists(c => Option(c.getMessage)
+      .exists(_.contains("CHECK constraint"))), e)
+    assert(Manifest.latestVersion(spark, dst) == vBefore,
+      "a refused epoch must publish nothing")
+    // a clean epoch (the pipeline now filters) passes the gate
+    runPipe(s"$base/ckpt2", _.filter(col("v") >= 0))
+    assert(Manifest.read(spark, dst, None)
+      .select("id").as[Long].collect().toSeq == Seq(1L))
+  }
+
   test("native sink autoCompactEvery: the maintenance loop rides the " +
     "sink — periodic bin-packing, content identical, marks survive") {
     val base = newDir()

@@ -88,18 +88,43 @@ class SearchIndexSpec extends SparkSpec {
     assert(v1.intersect(vN).nonEmpty)
   }
 
-  test("merge-on-read delete at the source head forces a full rebuild") {
+  test("merge-on-read delete at the source head propagates as a MoR " +
+    "delete on the INDEX: zero rewrite, stats decremented atomically") {
     val (src, idx) = freshPair("mor")
     Manifest.deleteByKeys(spark, src, Seq(5L).toDF("id"))
     val before = Manifest.latestVersion(spark, idx).get
-    SearchIndex.refresh(spark, src, idx)
-    // full rebuild = commitReplace: no old files survive
     val v1 = Manifest.snapshot(spark, idx, before).files.toSet
-    val vN = Manifest.snapshot(spark, idx,
-      Manifest.latestVersion(spark, idx).get).files.toSet
-    assert(v1.intersect(vN).isEmpty, "MoR-delete fallback must rebuild")
+    SearchIndex.refresh(spark, src, idx)
+    val mN = Manifest.snapshotMeta(spark, idx,
+      Manifest.latestVersion(spark, idx).get)
+    // every index data file carries by reference; the erasure is a
+    // delete entry, and BM25 (which reads N/avgdl from the header)
+    // still hash-matches the corpus — stats moved with the postings
+    assert(v1.subsetOf(mN.files.toSet),
+      "delete propagation must not rewrite index files")
+    assert(mN.deletes.nonEmpty)
     assert(indexBm25(idx, "window scan") == corpusBm25(src, "window scan"))
     assert(!indexBm25(idx, "window scan").exists(_._1 == 5L))
+    // interleaved history: append, delete, append before ONE refresh
+    Manifest.commitAppend(spark, src,
+      Seq((6L, "en", "window scan window")).toDF("id", "lang", "text"),
+      Seq("lang"))
+    Manifest.deleteByKeys(spark, src, Seq(2L, 6L).toDF("id"))
+    Manifest.commitAppend(spark, src,
+      Seq((7L, "fr", "a window returns")).toDF("id", "lang", "text"),
+      Seq("lang"))
+    SearchIndex.refresh(spark, src, idx)
+    assert(indexBm25(idx, "window merge scan") ==
+      corpusBm25(src, "window merge scan"))
+    assert(!indexBm25(idx, "window merge scan")
+      .exists(r => r._1 == 2L || r._1 == 6L))
+    assert(SearchIndex.baseVersion(spark, idx) ==
+      Manifest.latestVersion(spark, src).get)
+    // a delete NOT keyed on the id column still falls back to rebuild
+    Manifest.deleteByKeys(spark, src, Seq("fr").toDF("lang"))
+    SearchIndex.refresh(spark, src, idx)
+    assert(indexBm25(idx, "window scan") == corpusBm25(src, "window scan"))
+    assert(!indexBm25(idx, "window scan").exists(_._1 == 7L))
   }
 
   test("torn refresh: reads refuse loudly, the next refresh heals") {

@@ -162,6 +162,44 @@ class VectorIndexSpec extends SparkSpec {
     assert(got == vecs.map(_._1).filter(_ != 9L).toSet)
   }
 
+  test("manifest-sourced refresh propagates id-keyed MoR deletes as " +
+    "index deletes: zero rewrite, probe-all stays exact, frozen pivots") {
+    val src = newRoot("del-src"); val idx = newRoot("del-idx")
+    Manifest.init(spark, src, vecs.toDF("vec_id", "embedding"))
+    VectorIndex.createFromManifest(spark, src, idx, "vec_id",
+      "embedding", nCells = 2)
+    val pivots0 = metaOf(idx)("vidx.pivots")
+    val v0 = Manifest.latestVersion(spark, idx).get
+    val files0 = Manifest.snapshot(spark, idx, v0).files.toSet
+    // interleaved: delete two ids, append one, delete again — replay
+    Manifest.deleteByKeys(spark, src, Seq(3L, 9L).toDF("vec_id"))
+    Manifest.commitAppend(spark, src,
+      Seq((20L, Array(0.5f, 0.5f))).toDF("vec_id", "embedding"))
+    Manifest.deleteByKeys(spark, src, Seq(1L).toDF("vec_id"))
+    VectorIndex.refresh(spark, src, idx)
+    val mN = Manifest.snapshotMeta(spark, idx,
+      Manifest.latestVersion(spark, idx).get)
+    assert(files0.subsetOf(mN.files.toSet),
+      "delete propagation must not rewrite index files")
+    assert(mN.deletes.nonEmpty)
+    assert(metaOf(idx)("vidx.pivots") == pivots0, "pivots stay frozen")
+    assert(metaOf(idx)("vidx.base").toLong ==
+      Manifest.latestVersion(spark, src).get)
+    val q = Array(1.0, 0.0)
+    val got = VectorIndex.search(spark, idx, q, k = 20, nProbe = 2)
+      .select("id").as[Long].collect().toSet
+    assert(got == (vecs.map(_._1).toSet -- Set(1L, 3L, 9L)) + 20L)
+    // a delete keyed on something else still falls back to a rebuild
+    Manifest.commitAppend(spark, src,
+      Seq((21L, Array(0.1f, 0.9f), "x"))
+        .toDF("vec_id", "embedding", "tagx"))
+    Manifest.deleteByKeys(spark, src, Seq("x").toDF("tagx"))
+    VectorIndex.refresh(spark, src, idx)
+    val got2 = VectorIndex.search(spark, idx, q, k = 20, nProbe = 2)
+      .select("id").as[Long].collect().toSet
+    assert(got2 == (vecs.map(_._1).toSet -- Set(1L, 3L, 9L)) + 20L)
+  }
+
   test("refresh guards: a frame-created index refuses a source " +
     "refresh; a foreign source refuses") {
     val root = newRoot("rf-guard")

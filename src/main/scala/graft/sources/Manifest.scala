@@ -2081,22 +2081,39 @@ object Manifest {
     } finally casted.unpersist()
   }
 
-  /** Classify `root`'s commits in `(base, head]` for incremental
-    * consumers (materialized views, serving indexes): per version,
-    * `Right(addedFiles)` for a pure append, `Left(keyCols →
-    * delete-file paths)` for a merge-on-read delete whose new delete
-    * files share ONE key-column set. None when any commit is anything
-    * else (rewrite, replace, compaction, materialized deletes, mixed
-    * key sets, missing versions) — the caller falls back to a full
-    * rebuild. Commits that changed nothing consumable emit no step. */
+  /** One replayable unit of a source's history, for incremental
+    * consumers (materialized views, serving indexes). `v` is the LAST
+    * source version the step covers — the consumer's new base after
+    * applying it. */
+  private[graft] sealed trait CommitStep { def v: Long }
+  /** Files added by one or more CONSECUTIVE pure-append commits. */
+  private[graft] final case class AppendStep(v: Long,
+      added: Set[String]) extends CommitStep
+  /** Key files of one or more consecutive merge-on-read deletes
+    * sharing a key-column set. `vPre` = the version JUST BEFORE the
+    * run's first delete — the snapshot whose visible rows a consumer
+    * must read to compute the erased rows' pre-images (reading at
+    * `v - 1` would miss rows already erased by the run's earlier
+    * commits). */
+  private[graft] final case class DeleteStep(vPre: Long, v: Long,
+      keyCols: Seq[String], delPaths: Seq[String]) extends CommitStep
+
+  /** Classify `root`'s commits in `(base, head]` for per-commit
+    * replay: pure appends and merge-on-read deletes (one key-column
+    * set per commit). CONSECUTIVE same-kind steps merge — append ∪
+    * append is one append, delete ∪ delete with equal key columns is
+    * one delete (the key files union; overlapping keys erase a row
+    * once either way) — so a consumer lagging N commits issues
+    * O(kind alternations) commits of its own, not O(N). None when any
+    * commit is anything else (rewrite, replace, compaction,
+    * materialized deletes, mixed key sets, missing versions) — the
+    * caller falls back to a full rebuild. Commits that changed
+    * nothing consumable emit no step. */
   private[graft] def commitSteps(spark: SparkSession, root: String,
-      base: Long, head: Long)
-      : Option[Seq[(Long, Either[(Seq[String], Seq[String]),
-        Set[String]])]] = {
+      base: Long, head: Long): Option[Seq[CommitStep]] = {
     val vs = versions(spark, root).toSet
     if (!((base to head).forall(vs))) return None
-    val steps = Seq.newBuilder[(Long,
-      Either[(Seq[String], Seq[String]), Set[String]])]
+    var acc = List.empty[CommitStep]
     var v = base + 1
     while (v <= head) {
       val prev = snapshotMeta(spark, root, v - 1)
@@ -2107,15 +2124,25 @@ object Manifest {
       val dNew = curr.deletes.filterNot(d => prevD(d.path))
       val dDropped = prevD -- curr.deletes.map(_.path).toSet
       if (removed.isEmpty && dNew.isEmpty && dDropped.isEmpty) {
-        if (added.nonEmpty) steps += ((v, Right(added)))
+        if (added.nonEmpty) acc = acc match {
+          case AppendStep(_, a) :: tail =>
+            AppendStep(v, a ++ added) :: tail
+          case other => AppendStep(v, added) :: other
+        }
       } else if (added.isEmpty && removed.isEmpty &&
         dDropped.isEmpty && dNew.nonEmpty &&
         dNew.map(_.keyCols).distinct.size == 1) {
-        steps += ((v, Left((dNew.head.keyCols, dNew.map(_.path)))))
+        val kc = dNew.head.keyCols
+        acc = acc match {
+          case DeleteStep(vp, _, kc0, p) :: tail if kc0 == kc =>
+            DeleteStep(vp, v, kc, p ++ dNew.map(_.path)) :: tail
+          case other =>
+            DeleteStep(v - 1, v, kc, dNew.map(_.path)) :: other
+        }
       } else return None
       v += 1
     }
-    Some(steps.result())
+    Some(acc.reverse)
   }
 
   /** Materialize pending merge-on-read deletes: rewrite ONLY the data

@@ -211,25 +211,26 @@ object MaterializedAgg {
           case Some(steps) =>
             try {
               steps.foreach {
-                case (v, Right(added)) =>
+                case Manifest.AppendStep(v, added) =>
                   applyDelta(spark, mvRoot,
                     Manifest.readSubset(spark, srcRoot, v, added)
                       .withColumn("__sign", lit(1L)),
                     groupCols, sumCols, buckets, v)
-                case (v, Left((kc, paths))) =>
+                case Manifest.DeleteStep(vPre, v, kc, paths) =>
                   val keys = spark.read.parquet(paths.map(p =>
                     Manifest.absEntryPath(srcRoot, p)): _*)
                     .select(kc.map(col): _*).distinct()
-                  // rows VISIBLE at v−1 matching the new keys = exactly
-                  // the newly-erased rows (earlier deletes and later-
-                  // append seq exemptions already applied by the read);
-                  // the connector path runtime-prunes the scan to the
-                  // keys' home files via zone maps / bloom sidecars
+                  // rows VISIBLE just before the delete run matching
+                  // its keys = exactly the erased rows (earlier
+                  // deletes and later-append seq exemptions already
+                  // applied by the read); the connector path
+                  // runtime-prunes the scan to the keys' home files
+                  // via zone maps / bloom sidecars
                   val visible =
                     try spark.read.format("graft-manifest")
-                      .option("version", (v - 1).toString).load(srcRoot)
+                      .option("version", vPre.toString).load(srcRoot)
                     catch { case scala.util.control.NonFatal(_) =>
-                      Manifest.read(spark, srcRoot, Some(v - 1)) }
+                      Manifest.read(spark, srcRoot, Some(vPre)) }
                   val minus = visible.join(broadcast(keys),
                     kc.map(c => visible(c) <=> keys(c)).reduce(_ && _),
                     "left_semi").withColumn("__sign", lit(-1L))

@@ -211,30 +211,19 @@ object MaterializedJoin {
 
   // ---- per-commit replay (tier 2) ----------------------------------
 
-  private sealed trait Step { def v: Long }
-  private final case class AppendStep(v: Long,
-                                      added: Set[String]) extends Step
-  private final case class DeleteStep(v: Long,
-                                      delPaths: Seq[String]) extends Step
-
   /** Classify one source's commits in `(base, head]` for replay via
     * [[Manifest.commitSteps]]: pure appends, and merge-on-read deletes
     * whose key columns are exactly the join keys. None → not
     * replayable (fall back to a full rebuild). */
   private def replayPlan(spark: SparkSession, root: String, base: Long,
                          head: Long, keys: Seq[String])
-      : Option[Seq[Step]] = {
+      : Option[Seq[Manifest.CommitStep]] = {
     if (head == base) return Some(Nil)
     if (head < base) return None
-    Manifest.commitSteps(spark, root, base, head).flatMap { steps =>
-      val mapped = steps.map {
-        case (v, Right(added)) => Some(AppendStep(v, added))
-        case (v, Left((kc, paths))) if kc.toSet == keys.toSet =>
-          Some(DeleteStep(v, paths))
-        case _ => None
-      }
-      if (mapped.forall(_.isDefined)) Some(mapped.flatten) else None
-    }
+    Manifest.commitSteps(spark, root, base, head).filter(_.forall {
+      case Manifest.DeleteStep(_, _, kc, _) => kc.toSet == keys.toSet
+      case _ => true
+    })
   }
 
   /** Apply the two sides' replay plans: left commits against the
@@ -245,12 +234,14 @@ object MaterializedJoin {
   private def replay(spark: SparkSession, mvRoot: String,
                      leftRoot: String, rightRoot: String,
                      keys: Seq[String], buckets: Int,
-                     ls: Seq[Step], rs: Seq[Step],
+                     ls: Seq[Manifest.CommitStep],
+                     rs: Seq[Manifest.CommitStep],
                      lHead: Long, rHead: Long, rBase: Long): Long = {
-    def applySide(steps: Seq[Step], srcRoot: String, baseKey: String,
-                  joinTo: => DataFrame, srcIsLeft: Boolean): Unit =
+    def applySide(steps: Seq[Manifest.CommitStep], srcRoot: String,
+                  baseKey: String, joinTo: => DataFrame,
+                  srcIsLeft: Boolean): Unit =
       steps.foreach {
-        case AppendStep(v, added) =>
+        case Manifest.AppendStep(v, added) =>
           val delta = Manifest.readSubset(spark, srcRoot, v, added)
           val j =
             if (srcIsLeft) delta.join(joinTo, keys)
@@ -258,7 +249,7 @@ object MaterializedJoin {
           Manifest.commitAppend(spark, mvRoot,
             withBucket(j, keys, buckets), Seq(BucketCol),
             extraMeta = Map(baseKey -> v.toString))
-        case DeleteStep(v, paths) =>
+        case Manifest.DeleteStep(_, v, _, paths) =>
           val delKeys = spark.read.parquet(
             paths.map(p => Manifest.absEntryPath(srcRoot, p)): _*)
             .select(keys.map(col): _*).distinct()

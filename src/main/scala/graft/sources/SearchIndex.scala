@@ -342,13 +342,13 @@ object SearchIndex {
     val steps = Manifest.commitSteps(spark, srcRoot, base, srcHead)
       .getOrElse(return None)
     if (steps.exists {
-        case (_, Left((kc, _))) => kc != Seq(idCol)
+        case Manifest.DeleteStep(_, _, kc, _) => kc != Seq(idCol)
         case _ => false }) return None
     var (n, ndl, sumdl) = (meta("idx.n").toLong,
       meta("idx.ndl").toLong, meta("idx.sumdl").toLong)
     try {
       steps.foreach {
-        case (v, Right(added)) =>
+        case Manifest.AppendStep(v, added) =>
           val obsA = Observation()
           Manifest.commitAppend(spark, indexRoot,
             indexRows(Manifest.readSubset(spark, srcRoot, v, added),
@@ -361,15 +361,15 @@ object SearchIndex {
             })
           val (na, nda, sa) = statsOf(obsA)
           n += na; ndl += nda; sumdl += sa
-        case (v, Left((kc, paths))) =>
+        case Manifest.DeleteStep(vPre, v, kc, paths) =>
           val keys = spark.read.parquet(paths.map(p =>
               Manifest.absEntryPath(srcRoot, p)): _*)
             .select(col(kc.head)).distinct()
           val visible =
             try spark.read.format("graft-manifest")
-              .option("version", (v - 1).toString).load(srcRoot)
+              .option("version", vPre.toString).load(srcRoot)
             catch { case scala.util.control.NonFatal(_) =>
-              Manifest.read(spark, srcRoot, Some(v - 1)) }
+              Manifest.read(spark, srcRoot, Some(vPre)) }
           val erased = visible.join(broadcast(keys),
             visible(idCol) <=> keys(kc.head), "left_semi")
           val obsR = Observation()

@@ -251,13 +251,13 @@ object VectorIndex {
     Manifest.commitSteps(spark, srcRoot, base, srcHead) match {
       case None => full()
       case Some(steps) if steps.exists {
-          case (_, Left((kc, _))) => kc != Seq(idCol)
+          case Manifest.DeleteStep(_, _, kc, _) => kc != Seq(idCol)
           case _ => false } =>
         full() // a delete not keyed on the vector id: can't propagate
       case Some(steps) =>
         try {
           steps.foreach {
-            case (v, Right(added)) =>
+            case Manifest.AppendStep(v, added) =>
               val assigned = assign(withV(
                   Manifest.readSubset(spark, srcRoot, v, added),
                   idCol, vecCol, payload),
@@ -274,7 +274,7 @@ object VectorIndex {
                 extraMeta = meta.view
                   .filterKeys(_.startsWith("vidx."))
                   .toMap + ("vidx.base" -> v.toString))
-            case (v, Left((kc, paths))) =>
+            case Manifest.DeleteStep(_, v, kc, paths) =>
               // erasure propagates as a merge-on-read delete on the
               // INDEX — zero rewrite, O(deleted ids); probe-all stays
               // exact over the retained rows, and the frozen pivots /

@@ -129,6 +129,23 @@ class MaterializedJoinSpec extends SparkSpec {
     assert(MaterializedJoin.refresh(spark, mv) == v)
   }
 
+  test("consecutive same-kind source commits merge: an append run " +
+    "and a delete run replay as ONE view commit each") {
+    val (l, r, mv) = fixture()
+    val v0 = Manifest.latestVersion(spark, mv).get
+    Manifest.commitAppend(spark, l, Seq((35L, 777L)).toDF("k", "lv"))
+    Manifest.commitAppend(spark, l, Seq((36L, 778L)).toDF("k", "lv"))
+    Manifest.commitAppend(spark, l, Seq((37L, 779L)).toDF("k", "lv"))
+    Manifest.deleteByKeys(spark, l, Seq(1L).toDF("k"))
+    Manifest.deleteByKeys(spark, l, Seq(2L, 3L).toDF("k"))
+    MaterializedJoin.refresh(spark, mv)
+    assert(view(mv) == recompute(l, r))
+    val vN = Manifest.latestVersion(spark, mv).get
+    assert(vN - v0 == 2,
+      s"3 appends + 2 deletes must replay as 2 view commits, " +
+        s"got ${vN - v0}")
+  }
+
   test("rewrites and deletes on NON-join keys fall back to a full " +
     "rebuild — never silently wrong") {
     val (l, r, mv) = fixture()

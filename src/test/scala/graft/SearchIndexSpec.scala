@@ -120,6 +120,17 @@ class SearchIndexSpec extends SparkSpec {
       .exists(r => r._1 == 2L || r._1 == 6L))
     assert(SearchIndex.baseVersion(spark, idx) ==
       Manifest.latestVersion(spark, src).get)
+    // two CONSECUTIVE deletes merge into ONE index commit, and the
+    // merged pre-image read (at the run's first version − 1) keeps
+    // the collection stats exact
+    val vA = Manifest.latestVersion(spark, idx).get
+    Manifest.deleteByKeys(spark, src, Seq(1L).toDF("id"))
+    Manifest.deleteByKeys(spark, src, Seq(3L).toDF("id"))
+    SearchIndex.refresh(spark, src, idx)
+    assert(Manifest.latestVersion(spark, idx).get == vA + 1,
+      "a delete run must land as one merged index commit")
+    assert(indexBm25(idx, "window merge scan") ==
+      corpusBm25(src, "window merge scan"))
     // a delete NOT keyed on the id column still falls back to rebuild
     Manifest.deleteByKeys(spark, src, Seq("fr").toDF("lang"))
     SearchIndex.refresh(spark, src, idx)

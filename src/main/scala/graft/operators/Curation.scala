@@ -510,4 +510,46 @@ object Curation {
         (round(col("_llr"), 4) + lit(0.0)).as("llr"),
         (round(col("_llr") / col("dl"), 4) + lit(0.0)).as("avg_llr"))
   }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling" — public prior
+    * art): score every document by how much more likely its hashed
+    * token features are under a TARGET slice's distribution than under
+    * the raw corpus distribution. Features are portable-hash token
+    * buckets (`b = md5_32(token|dsir) mod buckets` — the q74 oracle
+    * hash, so an external engine can replay bucketing bit-for-bit);
+    * both distributions are add-½-smoothed bucket frequencies; a doc's
+    * weight is its length-normalized Σ count_b · (ln p̂(b) − ln q̂(b)),
+    * rounded 4 dp with the negative-zero collapse every score frame
+    * here uses.
+    *
+    * Scale shape: one token pass feeds both distribution aggregates
+    * and the per-doc feature counts (uniform (token) and (doc, bucket)
+    * keys); the ≤`buckets`-row log-ratio frame broadcasts — nothing
+    * corpus-sized ever sits on the driver or a single partition. */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+                  target: Column, buckets: Int = 64): DataFrame = {
+    require(buckets >= 2, s"need at least 2 feature buckets, got $buckets")
+    val feat = graft.scaleOut(docs, col(idCol))
+      .select(col(idCol), target.as("_t"),
+        explode(Text.tokens(col(textCol))).as("token"))
+      .select(col(idCol), col("_t"),
+        pmod(graft.functions.Native.md5Prefix32(
+          concat(col("token"), lit("|dsir"))), lit(buckets.toLong))
+          .as("b"))
+    val q = feat.groupBy(col("b")).agg(count(lit(1)).as("qc"),
+      sum(when(col("_t"), 1L).otherwise(0L)).as("pc"))
+    val tot = q.agg(sum(col("qc")).as("qtot"), sum(col("pc")).as("ptot"))
+    val half = lit(buckets * 0.5)
+    val ratios = q.crossJoin(broadcast(tot))
+      .select(col("b"),
+        (log((col("pc") + 0.5) / (col("ptot") + half)) -
+          log((col("qc") + 0.5) / (col("qtot") + half))).as("lr"))
+    feat.groupBy(col(idCol), col("b")).agg(count(lit(1)).as("c"))
+      .join(broadcast(ratios), Seq("b"))
+      .groupBy(col(idCol))
+      .agg((sum(col("c") * col("lr")) / sum(col("c"))).as("_w"))
+      .select(col(idCol),
+        (round(col("_w"), 4) + lit(0.0)).as("w"))
+  }
 }

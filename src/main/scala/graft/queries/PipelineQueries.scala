@@ -2309,5 +2309,39 @@ object PipelineQueries {
             sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS hamming
           FROM bits a JOIN bits b ON a.i = b.i AND a.id < b.id
           GROUP BY 1, 2)
-        WHERE hamming <= 3 ORDER BY id_a, id_b""")))
+        WHERE hamming <= 3 ORDER BY id_a, id_b""")),
+
+    // ---- X7/X13: DSIR importance resampling (Xie et al. 2023) — score
+    // docs by hashed-token importance weights between a TARGET slice
+    // (here the 'en' docs, standing in for the high-quality reference
+    // corpus) and the raw distribution, the public data-selection
+    // method behind quality-targeted pretraining mixes. Buckets use
+    // the q74 portable hash so DuckDB replays the featurization
+    // bit-for-bit; both engines round the length-normalized weight
+    // 4 dp before ranking (ties broken by id), and the + 0.0 collapses
+    // IEEE negative zero.
+    QueryDef("q202_dsir_weights",
+      (s, dir) => graft.operators.Curation.dsirWeights(
+          Tables.load(s, dir, "documents"), "doc_id", "text",
+          col("lang") === "en", buckets = 64)
+        .orderBy(col("w").desc, col("doc_id").asc)
+        .limit(25),
+      Some("""WITH f AS (SELECT doc_id, lang = 'en' AS t,
+            CAST(('0x' || substr(md5(token || '|dsir'), 1, 8))
+              AS UBIGINT) % 64 AS b
+          FROM (SELECT doc_id, lang,
+              unnest(string_split(lower(text), ' ')) AS token
+            FROM documents)),
+        q AS (SELECT b, count(*) AS qc,
+            sum(CASE WHEN t THEN 1 ELSE 0 END) AS pc
+          FROM f GROUP BY 1),
+        tot AS (SELECT sum(qc) AS qtot, sum(pc) AS ptot FROM q),
+        r AS (SELECT b,
+            ln((pc + 0.5) / (ptot + 32.0))
+              - ln((qc + 0.5) / (qtot + 32.0)) AS lr
+          FROM q CROSS JOIN tot),
+        d AS (SELECT doc_id, b, count(*) AS c FROM f GROUP BY 1, 2)
+        SELECT doc_id, round(sum(c * lr) / sum(c), 4) + 0.0 AS w
+        FROM d JOIN r USING (b)
+        GROUP BY 1 ORDER BY w DESC, doc_id ASC LIMIT 25""")))
 }

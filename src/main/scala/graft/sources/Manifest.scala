@@ -2280,10 +2280,36 @@ object Manifest {
     // lands in one hive dir
     val nOut = math.max(1,
       math.ceil(small.flatMap(_.size).sum.toDouble / targetBytes).toInt)
-    val packed =
+    // a recorded z-order (the zorder.cols header the layout rewrite
+    // stamps) is PRESERVED: merged small files — typically the
+    // unclustered append tail — re-sort by the same morton key
+    // (bounds from the FULL table's zone maps so output interleaves
+    // consistently with the already-clustered files), restoring
+    // zone-map skipping instead of destroying it. Any inapplicable
+    // header (dropped/retyped column) falls back to plain packing.
+    val zSorted: Option[DataFrame] = m.meta.get("zorder.cols")
+      .map(_.split(',').toSeq)
+      .filter(cs => cs.size >= 2 && m.schema.exists(sch =>
+        cs.forall(sch.fieldNames.contains)))
+      .flatMap { cs =>
+        val bits = m.meta.get("zorder.bits").map(_.toInt)
+          .getOrElse(math.min(Layout.DefaultBits, 62 / cs.size))
+        scala.util.Try {
+          val zv = "__graft_zval"
+          val rangeCols = partCols.map(col) :+ col(zv)
+          smallRows
+            .withColumn(zv, Layout.mortonN(
+              cs.map(c => zScaledCol(smallRows, m.entries, c, bits)),
+              bits))
+            .repartitionByRange(nOut, rangeCols: _*)
+            .sortWithinPartitions(rangeCols: _*)
+            .drop(zv)
+        }.toOption
+      }
+    val packed = zSorted.getOrElse(
       if (partCols.nonEmpty)
         smallRows.repartitionByRange(nOut, partCols.map(col): _*)
-      else smallRows.repartition(nOut)
+      else smallRows.repartition(nOut))
     val fresh = writeCommit(spark, root, cur + 1, packed, partCols)
     // deletes carry forward: they still apply to the kept (healthy)
     // files; the rewritten small files materialized them (new seq)
@@ -2379,32 +2405,7 @@ object Manifest {
     require(scoped.nonEmpty,
       s"no files of $root match partition spec $partitionSpec")
     val rows = readEntries(spark, root, m, scoped) // deletes applied
-    // scoped [lo, hi] per z-column: zone-map bounds when every file has
-    // them (free), else one agg over the rows we are rewriting anyway
-    def boundsOf(c: String): (Long, Long) = {
-      val perFile = scoped.map(_.stats
-        .flatMap(ManifestStats.decode)
-        .flatMap(_.cols.get(c))
-        .flatMap(s => for (mn <- s.min; mx <- s.max)
-          yield (mn.toLong, mx.toLong)))
-      if (perFile.nonEmpty && perFile.forall(_.isDefined)) {
-        val bs = perFile.flatten
-        (bs.map(_._1).min, bs.map(_._2).max)
-      } else {
-        val r = rows.agg(min(col(c)), max(col(c))).head
-        if (r.isNullAt(0)) (0L, 0L)
-        else (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue)
-      }
-    }
-    // [lo, hi] → [0, 2^bits - 1]; double precision is fine here — the
-    // scale only shapes the LAYOUT, never results (NULLs sort first)
-    def scaled(c: String): Column = {
-      val (lo, hi) = boundsOf(c)
-      if (hi <= lo) lit(0L)
-      else ((col(c) - lit(lo)).cast("double") /
-        lit((hi - lo).toDouble) *
-        lit(((1L << bits) - 1).toDouble)).cast("long")
-    }
+    def scaled(c: String): Column = zScaledCol(rows, scoped, c, bits)
     val totalBytes = fillSizes(spark, root, scoped).flatMap(_.size).sum
     val nOut = math.max(1,
       math.ceil(totalBytes.toDouble / targetBytes).toInt)
@@ -2416,16 +2417,49 @@ object Manifest {
       .sortWithinPartitions(rangeCols: _*)
       .drop(zv)
     val fresh = writeCommit(spark, root, cur + 1, shaped, partCols)
+    // the clustering is RECORDED so later maintenance can preserve it:
+    // compact re-sorts merged small files by this key, restoring
+    // clustering for the append tail instead of destroying it
+    val zMeta = Map("zorder.cols" -> zCols.mkString(","),
+      "zorder.bits" -> bits.toString)
     if (carried.isEmpty)
       // full rewrite: every pending delete materialized (none
       // re-publish), every file rewritten (tombstones release)
-      publish(spark, root, cur, fresh, m.meta - "dropped")
+      publish(spark, root, cur, fresh, m.meta - "dropped" ++ zMeta)
     else
       // scoped rewrite: untouched files carry BY REFERENCE, and so
       // must the deletes (they still apply to the carried files; the
       // fresh files' higher seq exempts them) and any dropped-column
       // tombstones
-      publish(spark, root, cur, carried ++ fresh, m.meta, m.deletes)
+      publish(spark, root, cur, carried ++ fresh, m.meta ++ zMeta,
+        m.deletes)
+  }
+
+  /** `[lo, hi]`-normalized morton input for z-column `c`: bounds come
+    * from zone maps over `entries` when every file carries them
+    * (free), else one agg over `rows`. Double precision is fine — the
+    * scale only shapes the LAYOUT, never results (NULLs sort first). */
+  private def zScaledCol(rows: DataFrame, entries: Seq[FileEntry],
+                         c: String, bits: Int): Column = {
+    val perFile = entries.map(_.stats
+      .flatMap(ManifestStats.decode)
+      .flatMap(_.cols.get(c))
+      .flatMap(s => for (mn <- s.min; mx <- s.max)
+        yield (mn.toLong, mx.toLong)))
+    val (lo, hi) =
+      if (perFile.nonEmpty && perFile.forall(_.isDefined)) {
+        val bs = perFile.flatten
+        (bs.map(_._1).min, bs.map(_._2).max)
+      } else {
+        val r = rows.agg(min(col(c)), max(col(c))).head
+        if (r.isNullAt(0)) (0L, 0L)
+        else (r.getAs[Number](0).longValue,
+          r.getAs[Number](1).longValue)
+      }
+    if (hi <= lo) lit(0L)
+    else ((col(c) - lit(lo)).cast("double") /
+      lit((hi - lo).toDouble) *
+      lit(((1L << bits) - 1).toDouble)).cast("long")
   }
 
   /** Delete files under `data/` that NO snapshot (any live version),

@@ -235,4 +235,29 @@ class CurationSpec extends SparkSpec {
       .select("avg_llr").as[Double].collect().toSet
     assert(avgs.size == 1)
   }
+
+  test("dsirWeights: target-typical docs outrank off-target docs, " +
+    "the weight is length-free, and labels don't leak (only tokens)") {
+    val docs = Seq(
+      (1L, "en", "alpha alpha beta"),
+      (2L, "en", "alpha beta beta"),
+      (3L, "xx", "gamma delta gamma"),
+      // target-typical TOKENS under an off-target label: must score
+      // like the target docs — the weight reads token distributions,
+      // never the label
+      (4L, "xx", "alpha beta alpha"),
+      // doc 3's text doubled: length-normalized weight is identical
+      (5L, "xx", "gamma delta gamma gamma delta gamma"))
+      .toDF("doc_id", "lang", "text")
+    val w = Curation.dsirWeights(docs, "doc_id", "text",
+        col("lang") === "en", buckets = 256)
+      .as[(Long, Double)].collect().toMap
+    assert(w(4L) > w(3L),
+      s"target-typical tokens must outscore off-target tokens: $w")
+    assert(w(5L) == w(3L),
+      s"doubling the text must not change the weight: $w")
+    assert(w(1L) > w(3L) && w(2L) > w(3L))
+    assert(w(1L) == w(4L),
+      "same token bag ⇒ same weight, labels must not leak")
+  }
 }

@@ -946,6 +946,47 @@ class ManifestSpec extends SparkSpec {
     intercept[Exception](Manifest.tag(spark, root, "x", 99L))
   }
 
+  test("compact preserves a recorded z-order: the merged append tail " +
+    "re-sorts by the morton key and zone maps keep skipping") {
+    val root = newRoot()
+    val df = spark.range(0, 4096)
+      .select(col("id").as("x"), (col("id") * 37 % 4096).as("y"),
+        (col("id") % 97).as("v"))
+      .repartitionByRange(8, col("x"))
+    Manifest.init(spark, root, df)
+    Manifest.zorder(spark, root, "x", "y", targetBytes = 8L * 1024)
+    // unclustered append tail: four tiny arrival-order batches whose
+    // x AND y envelopes each span the whole domain
+    for (k <- 0 until 4)
+      Manifest.commitAppend(spark, root,
+        spark.range(0, 512)
+          .select((col("id") * 8 + k).as("x"),
+            ((col("id") * 8 + k) * 37 % 4096).as("y"),
+            lit(k.toLong).as("v"))
+          .coalesce(1))
+    def planned(probe: org.apache.spark.sql.DataFrame): Long = {
+      probe.collect()
+      probe.queryExecution.executedPlan.collectLeaves()
+        .flatMap(_.metrics.get("numFiles")).map(_.value).sum
+    }
+    val content = Manifest.read(spark, root, None)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    val v = Manifest.compact(spark, root,
+      smallBytes = 1L << 30, targetBytes = 8L * 1024)
+    assert(Manifest.read(spark, root, None)
+      .as[(Long, Long, Long)].collect().toSeq.sorted == content)
+    val files = Manifest.snapshot(spark, root, v).files.size
+    assert(files > 2, s"need >2 files to prove skipping, got $files")
+    // the compacted layout must skip on BOTH z dimensions — the
+    // zorder.cols header made the bin-pack a clustering restore
+    val px = planned(Manifest.read(spark, root, None)
+      .filter(col("x") === 2000L))
+    val py = planned(Manifest.read(spark, root, None)
+      .filter(col("y") === 2000L))
+    assert(px < files && py < files,
+      s"compact lost the z-order clustering: x=$px y=$py of $files")
+  }
+
   test("zorder: rewrite clusters both dimensions — zone maps skip " +
     "files on either column; content identical; deletes materialize") {
     val root = newRoot()

@@ -2343,5 +2343,54 @@ object PipelineQueries {
         d AS (SELECT doc_id, b, count(*) AS c FROM f GROUP BY 1, 2)
         SELECT doc_id, round(sum(c * lr) / sum(c), 4) + 0.0 AS w
         FROM d JOIN r USING (b)
-        GROUP BY 1 ORDER BY w DESC, doc_id ASC LIMIT 25""")))
+        GROUP BY 1 ORDER BY w DESC, doc_id ASC LIMIT 25""")),
+
+    // ---- X7/X1 composed: DSIR-GATED curation — keep only docs whose
+    // importance weight is positive (more target-like than raw), then
+    // exact-dedup the survivors (min-id per text), then the corpus
+    // composition rollup. Proves the learned selection gate composes
+    // with the dedup stage under ONE oracle: the gate decision is the
+    // 4-dp-rounded weight, so both engines threshold identical values.
+    QueryDef("q203_dsir_gated_curation",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val kept = graft.operators.Curation.dsirWeights(
+            docs, "doc_id", "text", col("lang") === "en", buckets = 64)
+          .filter(col("w") > 0.0)
+          .select("doc_id")
+        val gated = docs.join(kept, Seq("doc_id"), "left_semi")
+        val surv = graft.operators.Dedup
+          .exact(gated, "doc_id", "text")
+          .select(col("keep_id").as("doc_id"))
+        docs.join(surv, Seq("doc_id"), "left_semi")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n"),
+            sum("n_chars").as("sum_chars"))
+          .orderBy("lang")
+      },
+      Some("""WITH f AS (SELECT doc_id, lang = 'en' AS t,
+            CAST(('0x' || substr(md5(token || '|dsir'), 1, 8))
+              AS UBIGINT) % 64 AS b
+          FROM (SELECT doc_id, lang,
+              unnest(string_split(lower(text), ' ')) AS token
+            FROM documents)),
+        q AS (SELECT b, count(*) AS qc,
+            sum(CASE WHEN t THEN 1 ELSE 0 END) AS pc
+          FROM f GROUP BY 1),
+        tot AS (SELECT sum(qc) AS qtot, sum(pc) AS ptot FROM q),
+        r AS (SELECT b,
+            ln((pc + 0.5) / (ptot + 32.0))
+              - ln((qc + 0.5) / (qtot + 32.0)) AS lr
+          FROM q CROSS JOIN tot),
+        d AS (SELECT doc_id, b, count(*) AS c FROM f GROUP BY 1, 2),
+        w AS (SELECT doc_id,
+            round(sum(c * lr) / sum(c), 4) + 0.0 AS w
+          FROM d JOIN r USING (b) GROUP BY 1),
+        kept AS (SELECT doc_id FROM w WHERE w > 0),
+        surv AS (SELECT min(doc_id) AS doc_id
+          FROM documents JOIN kept USING (doc_id) GROUP BY text)
+        SELECT lang, count(*) AS n,
+          CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents JOIN surv USING (doc_id)
+        GROUP BY lang ORDER BY lang""")))
 }

@@ -50,6 +50,7 @@ private[connector] object MetadataTables {
 
   val suffixes: Set[String] =
     Set("history", "files", "partitions", "delete_files", "tags",
+      "constraints",
       "branches")
 
   private def u(s: String): UTF8String =
@@ -153,6 +154,15 @@ private[connector] object MetadataTables {
           Manifest.branches(spark, root).toSeq.sortBy(_._1).map {
             case (n, h) =>
               new GenericInternalRow(Array[Any](u(n), h)): InternalRow
+          }.toArray)
+      case "constraints" =>
+        val schema = StructType(Seq(
+          StructField("name", StringType, nullable = false),
+          StructField("expr", StringType, nullable = false)))
+        relation(spark, s"$root#constraints", schema,
+          Manifest.constraintsOf(spark, root).toSeq.sortBy(_._1).map {
+            case (n, e) =>
+              new GenericInternalRow(Array[Any](u(n), u(e))): InternalRow
           }.toArray)
     }
   }

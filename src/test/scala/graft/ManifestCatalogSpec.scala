@@ -897,6 +897,9 @@ class ManifestCatalogSpec extends SparkSpec {
     assert(spark.sql("CALL graftcat.system.constraints(" +
         "table => 'db.cons')")
       .as[(String, String)].collect().toSeq == Seq(("v_pos", "v >= 0")))
+    // the queryable metadata-table face shows the same facts
+    assert(spark.sql("SELECT name, expr FROM graftcat.db.cons.constraints")
+      .as[(String, String)].collect().toSeq == Seq(("v_pos", "v >= 0")))
     assert(spark.sql("CALL graftcat.system.drop_constraint(" +
       "table => 'db.cons', name => 'v_pos')").as[Boolean].head)
     spark.sql("INSERT INTO graftcat.db.cons VALUES (9, -1)")

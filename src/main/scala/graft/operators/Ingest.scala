@@ -68,4 +68,50 @@ object Ingest {
     Catalog.append(meta, metaPath)
     meta
   }
+
+  /** EXPECTATION-style ingest (the pipeline "expect or quarantine" /
+    * dead-letter-queue pattern on top of table CHECK constraints):
+    * rows satisfying `root`'s constraints commit to it; violators land
+    * in `quarantineRoot` stamped with a `violations` column naming the
+    * constraints they broke — ingest keeps flowing under bad data
+    * while nothing bad ever becomes visible in the curated table (the
+    * softer sibling of the hard refusal
+    * [[graft.sources.Manifest.addConstraint]] enforces by default).
+    *
+    * One pass evaluates every constraint into per-row flags (the frame
+    * persists across the two writes), so cost stays ∝ the batch, and
+    * the good-side commit still runs the table's own enforcement — a
+    * race with a concurrently-added constraint fails loudly rather
+    * than leaking. Returns (table version, quarantine version). */
+  def appendWithQuarantine(spark: SparkSession, root: String,
+                           df: DataFrame, quarantineRoot: String,
+                           partitionCols: Seq[String] = Nil)
+      : (Long, Long) = {
+    val cs = graft.sources.Manifest.constraintsOf(spark, root)
+      .toSeq.sortBy(_._1)
+    require(cs.nonEmpty,
+      s"$root has no CHECK constraints — use commitAppend directly")
+    val violCol = array(cs.map { case (n, e) =>
+      when(!coalesce(expr(e), lit(true)), lit(n))
+    }: _*)
+    val flagged = df.withColumn("__viol",
+      filter(violCol, v => v.isNotNull)).persist()
+    try {
+      val good = flagged.filter(size(col("__viol")) === 0)
+        .drop("__viol")
+      val bad = flagged.filter(size(col("__viol")) > 0)
+        .withColumn("violations",
+          concat_ws(",", col("__viol"))).drop("__viol")
+      val v = graft.sources.Manifest.commitAppend(spark, root, good,
+        partitionCols)
+      val qv = graft.sources.Manifest.latestVersion(spark,
+          quarantineRoot) match {
+        case None => graft.sources.Manifest.init(spark, quarantineRoot,
+          bad, partitionCols)
+        case Some(_) => graft.sources.Manifest.commitAppend(spark,
+          quarantineRoot, bad, partitionCols)
+      }
+      (v, qv)
+    } finally flagged.unpersist()
+  }
 }

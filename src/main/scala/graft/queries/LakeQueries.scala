@@ -2242,5 +2242,72 @@ object LakeQueries {
           sum(o_orderkey) AS sum_ok, sum(c_custkey) AS sum_ck
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
+      kind = QueryDef.Pipeline),
+
+    // ---- EXPECTATION-style quarantine ingest (the DLT
+    // expect-or-quarantine / dead-letter-queue pattern): a batch with
+    // deterministically-planted corruption splits against the table's
+    // CHECK constraints — clean rows commit, violators land in the
+    // quarantine table stamped with the names of the constraints they
+    // broke (rows breaking both carry both, name-sorted). The oracle
+    // recomputes both sides from the corruption rule; hash-equality
+    // proves the split is exact and nothing bad reached the table.
+    QueryDef("q204_quarantine_ingest",
+      (s, dir) => {
+        val base = "file://" + Files
+          .createTempDirectory("graft_quar").toString
+        val t = s"$base/t"; val q = s"$base/q"
+        val docs = Tables.load(s, dir, "documents")
+          .select("doc_id", "lang", "n_chars")
+        Manifest.init(s, t, docs.filter(col("doc_id") % 2 === 0))
+        Manifest.addConstraint(s, t, "chars_pos", "n_chars >= 0")
+        Manifest.addConstraint(s, t, "lang_set", "lang IS NOT NULL")
+        val batch = docs.filter(col("doc_id") % 2 === 1)
+          .withColumn("n_chars",
+            when((col("doc_id") % 31).isin(1, 3),
+              -col("n_chars") - 1).otherwise(col("n_chars")))
+          .withColumn("lang",
+            when((col("doc_id") % 31).isin(2, 3),
+              lit(null).cast("string")).otherwise(col("lang")))
+        graft.operators.Ingest.appendWithQuarantine(s, t, batch, q)
+        val kept = Manifest.read(s, t)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"))
+          .select(lit("kept").as("side"), col("lang").as("k"),
+            col("n"), col("sum_chars"))
+        val quar = Manifest.read(s, q)
+          .groupBy(col("violations"))
+          .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"))
+          .select(lit("quarantined").as("side"),
+            col("violations").as("k"), col("n"), col("sum_chars"))
+        kept.unionByName(quar).orderBy("side", "k")
+      },
+      Some("""WITH odd AS (SELECT doc_id,
+            CASE WHEN doc_id % 31 IN (1, 3) THEN -n_chars - 1
+              ELSE n_chars END AS n_chars,
+            CASE WHEN doc_id % 31 IN (2, 3) THEN NULL
+              ELSE lang END AS lang
+          FROM documents WHERE doc_id % 2 = 1),
+        kept AS (
+          SELECT lang, n_chars FROM documents WHERE doc_id % 2 = 0
+          UNION ALL
+          SELECT lang, n_chars FROM odd
+          WHERE n_chars >= 0 AND lang IS NOT NULL),
+        quar AS (SELECT
+            CASE WHEN n_chars < 0 AND lang IS NULL
+                THEN 'chars_pos,lang_set'
+              WHEN n_chars < 0 THEN 'chars_pos'
+              ELSE 'lang_set' END AS k,
+            n_chars
+          FROM odd WHERE NOT (n_chars >= 0 AND lang IS NOT NULL))
+        SELECT side, k, n, sum_chars FROM (
+          SELECT 'kept' AS side, lang AS k, count(*) AS n,
+            CAST(sum(n_chars) AS BIGINT) AS sum_chars
+          FROM kept GROUP BY 2
+          UNION ALL
+          SELECT 'quarantined', k, count(*),
+            CAST(sum(n_chars) AS BIGINT)
+          FROM quar GROUP BY 2)
+        ORDER BY side, k"""),
       kind = QueryDef.Pipeline))
 }

@@ -69,4 +69,41 @@ class IngestSpec extends SparkSpec {
       root, metaPath, at)
     assert(spark.read.parquet(metaPath).count() == 3)
   }
+
+  test("appendWithQuarantine: exact split by CHECK constraints, " +
+    "violation names stamped (both broken → both, name-sorted), " +
+    "clean batches leave an empty quarantine") {
+    import graft.sources.Manifest
+    val base = "file://" + java.nio.file.Files
+      .createTempDirectory("graft-quar").toString
+    val t = s"$base/t"; val q = s"$base/q"
+    Manifest.init(spark, t, Seq((1L, "a", 10L)).toDF("id", "lab", "v"))
+    Manifest.addConstraint(spark, t, "lab_set", "lab IS NOT NULL")
+    Manifest.addConstraint(spark, t, "v_pos", "v >= 0")
+    val batch = Seq(
+      (2L, Option("b"), 20L),            // clean
+      (3L, Option("c"), -3L),            // v_pos only
+      (4L, Option.empty[String], 4L),    // lab_set only
+      (5L, Option.empty[String], -5L))   // both
+      .toDF("id", "lab", "v")
+    val (_, _) = graft.operators.Ingest
+      .appendWithQuarantine(spark, t, batch, q)
+    assert(Manifest.read(spark, t).select("id").as[Long]
+      .collect().toSet == Set(1L, 2L))
+    val quar = Manifest.read(spark, q)
+      .select("id", "violations").as[(Long, String)].collect().toMap
+    assert(quar == Map(3L -> "v_pos", 4L -> "lab_set",
+      5L -> "lab_set,v_pos"))
+    // a clean follow-up batch quarantines nothing
+    graft.operators.Ingest.appendWithQuarantine(spark, t,
+      Seq((6L, Option("d"), 6L)).toDF("id", "lab", "v"), q)
+    assert(Manifest.read(spark, q).count() == 3L)
+    // no constraints → refuse (use commitAppend directly)
+    val bare = s"$base/bare"
+    Manifest.init(spark, bare, Seq((1L, 1L)).toDF("id", "v"))
+    intercept[IllegalArgumentException] {
+      graft.operators.Ingest.appendWithQuarantine(spark, bare,
+        Seq((2L, 2L)).toDF("id", "v"), s"$base/bq")
+    }
+  }
 }

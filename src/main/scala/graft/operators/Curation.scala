@@ -530,6 +530,12 @@ object Curation {
   def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
                   target: Column, buckets: Int = 64): DataFrame = {
     require(buckets >= 2, s"need at least 2 feature buckets, got $buckets")
+    // ONE tokenize+explode pass: reduce the exploded stream to
+    // per-(doc, bucket) counts (postings-sized, ≤`buckets` rows per
+    // doc — far smaller than the token stream) and persist() that, so
+    // the two consumers (bucket distributions, per-doc scoring) share
+    // a single corpus tokenize — the [[nbQualityScores]] stage-boundary
+    // idiom. `_t` is constant per doc, so it rides the group key free.
     val feat = graft.scaleOut(docs, col(idCol))
       .select(col(idCol), target.as("_t"),
         explode(Text.tokens(col(textCol))).as("token"))
@@ -537,16 +543,18 @@ object Curation {
         pmod(graft.functions.Native.md5Prefix32(
           concat(col("token"), lit("|dsir"))), lit(buckets.toLong))
           .as("b"))
-    val q = feat.groupBy(col("b")).agg(count(lit(1)).as("qc"),
-      sum(when(col("_t"), 1L).otherwise(0L)).as("pc"))
+      .groupBy(col(idCol), col("_t"), col("b"))
+      .agg(count(lit(1)).as("c"))
+      .persist()
+    val q = feat.groupBy(col("b")).agg(sum(col("c")).as("qc"),
+      sum(when(col("_t"), col("c")).otherwise(0L)).as("pc"))
     val tot = q.agg(sum(col("qc")).as("qtot"), sum(col("pc")).as("ptot"))
     val half = lit(buckets * 0.5)
     val ratios = q.crossJoin(broadcast(tot))
       .select(col("b"),
         (log((col("pc") + 0.5) / (col("ptot") + half)) -
           log((col("qc") + 0.5) / (col("qtot") + half))).as("lr"))
-    feat.groupBy(col(idCol), col("b")).agg(count(lit(1)).as("c"))
-      .join(broadcast(ratios), Seq("b"))
+    feat.join(broadcast(ratios), Seq("b"))
       .groupBy(col(idCol))
       .agg((sum(col("c") * col("lr")) / sum(col("c"))).as("_w"))
       .select(col(idCol),

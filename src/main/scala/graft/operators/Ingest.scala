@@ -86,7 +86,62 @@ object Ingest {
   def appendWithQuarantine(spark: SparkSession, root: String,
                            df: DataFrame, quarantineRoot: String,
                            partitionCols: Seq[String] = Nil)
-      : (Long, Long) = {
+      : (Long, Long) =
+    splitAndCommit(spark, root, df) { (good, bad) =>
+      val v = graft.sources.Manifest.commitAppend(spark, root, good,
+        partitionCols)
+      val qv = graft.sources.Manifest.latestVersion(spark,
+          quarantineRoot) match {
+        case None => graft.sources.Manifest.init(spark, quarantineRoot,
+          bad, partitionCols)
+        case Some(_) => graft.sources.Manifest.commitAppend(spark,
+          quarantineRoot, bad, partitionCols)
+      }
+      (v, qv)
+    }
+
+  /** STREAMING twin of [[appendWithQuarantine]] — the expectation
+    * split for `foreachBatch`, so a poisoned micro-batch quarantines
+    * its violators instead of failing the whole query (the reference's
+    * ingest is event-driven, lambda-function.py:253-264; a DLQ'd
+    * record there must not stall the stream). Exactly-once on BOTH
+    * sides: good rows and violators each commit through
+    * [[graft.sources.Manifest.commitStreamBatch]], whose per-table
+    * `(queryId, batchId)` high-water mark makes a replayed epoch a
+    * no-op — and because each table carries its OWN mark, a crash
+    * BETWEEN the two commits heals on replay (the table-side commit
+    * no-ops, the quarantine-side commit lands). An all-clean batch
+    * still commits an empty violator frame so the quarantine table's
+    * mark advances — otherwise a later replay would re-quarantine.
+    * Usage:
+    * {{{
+    *   stream.writeStream.foreachBatch { (b, id) =>
+    *     Ingest.streamBatchWithQuarantine(spark, t, b, q, "ingest", id)
+    *     ()
+    *   }
+    * }}}
+    * Returns (table version, quarantine version). */
+  def streamBatchWithQuarantine(spark: SparkSession, root: String,
+                                df: DataFrame, quarantineRoot: String,
+                                queryId: String, batchId: Long,
+                                partitionCols: Seq[String] = Nil)
+      : (Long, Long) =
+    splitAndCommit(spark, root, df) { (good, bad) =>
+      (graft.sources.Manifest.commitStreamBatch(spark, root, good,
+        queryId, batchId, partitionCols),
+       graft.sources.Manifest.commitStreamBatch(spark, quarantineRoot,
+        bad, queryId, batchId, partitionCols))
+    }
+
+  /** One-pass expectation split against `root`'s CHECK constraints:
+    * evaluates every constraint into per-row flags (the frame persists
+    * across the two writes, so cost stays ∝ the batch), hands
+    * (good, bad-with-`violations`) to `commit`. The good-side commit
+    * still runs the table's own enforcement — a race with a
+    * concurrently-added constraint fails loudly rather than leaking. */
+  private def splitAndCommit(spark: SparkSession, root: String,
+                             df: DataFrame)
+      (commit: (DataFrame, DataFrame) => (Long, Long)): (Long, Long) = {
     val cs = graft.sources.Manifest.constraintsOf(spark, root)
       .toSeq.sortBy(_._1)
     require(cs.nonEmpty,
@@ -102,16 +157,7 @@ object Ingest {
       val bad = flagged.filter(size(col("__viol")) > 0)
         .withColumn("violations",
           concat_ws(",", col("__viol"))).drop("__viol")
-      val v = graft.sources.Manifest.commitAppend(spark, root, good,
-        partitionCols)
-      val qv = graft.sources.Manifest.latestVersion(spark,
-          quarantineRoot) match {
-        case None => graft.sources.Manifest.init(spark, quarantineRoot,
-          bad, partitionCols)
-        case Some(_) => graft.sources.Manifest.commitAppend(spark,
-          quarantineRoot, bad, partitionCols)
-      }
-      (v, qv)
+      commit(good, bad)
     } finally flagged.unpersist()
   }
 }

@@ -2087,11 +2087,11 @@ object LakeQueries {
       },
       Some("""SELECT side, lang, n, chars FROM (
           SELECT 'src' AS side, lang, count(*) AS n,
-            sum(n_chars) AS chars
+            CAST(sum(n_chars) AS BIGINT) AS chars
           FROM documents GROUP BY lang
           UNION ALL
           SELECT 'clone' AS side, lang, count(*) AS n,
-            sum(n_chars) AS chars
+            CAST(sum(n_chars) AS BIGINT) AS chars
           FROM documents
           WHERE doc_id % 3 <> 0 AND doc_id % 5 <> 0
           GROUP BY lang)
@@ -2141,7 +2141,8 @@ object LakeQueries {
           .orderBy("c_mktsegment")
       },
       Some("""SELECT c_mktsegment, count(*) AS n,
-          sum(o_orderkey) AS sum_ok, sum(c_custkey) AS sum_ck
+          CAST(sum(o_orderkey) AS BIGINT) AS sum_ok,
+          CAST(sum(c_custkey) AS BIGINT) AS sum_ck
         FROM orders JOIN customer ON o_custkey = c_custkey
         WHERE c_custkey % 10 <> 3
         GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
@@ -2239,7 +2240,8 @@ object LakeQueries {
           .orderBy("c_mktsegment")
       },
       Some("""SELECT c_mktsegment, count(*) AS n,
-          sum(o_orderkey) AS sum_ok, sum(c_custkey) AS sum_ck
+          CAST(sum(o_orderkey) AS BIGINT) AS sum_ok,
+          CAST(sum(c_custkey) AS BIGINT) AS sum_ck
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
       kind = QueryDef.Pipeline),
@@ -2270,6 +2272,99 @@ object LakeQueries {
             when((col("doc_id") % 31).isin(2, 3),
               lit(null).cast("string")).otherwise(col("lang")))
         graft.operators.Ingest.appendWithQuarantine(s, t, batch, q)
+        val kept = Manifest.read(s, t)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"))
+          .select(lit("kept").as("side"), col("lang").as("k"),
+            col("n"), col("sum_chars"))
+        val quar = Manifest.read(s, q)
+          .groupBy(col("violations"))
+          .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"))
+          .select(lit("quarantined").as("side"),
+            col("violations").as("k"), col("n"), col("sum_chars"))
+        kept.unionByName(quar).orderBy("side", "k")
+      },
+      Some("""WITH odd AS (SELECT doc_id,
+            CASE WHEN doc_id % 31 IN (1, 3) THEN -n_chars - 1
+              ELSE n_chars END AS n_chars,
+            CASE WHEN doc_id % 31 IN (2, 3) THEN NULL
+              ELSE lang END AS lang
+          FROM documents WHERE doc_id % 2 = 1),
+        kept AS (
+          SELECT lang, n_chars FROM documents WHERE doc_id % 2 = 0
+          UNION ALL
+          SELECT lang, n_chars FROM odd
+          WHERE n_chars >= 0 AND lang IS NOT NULL),
+        quar AS (SELECT
+            CASE WHEN n_chars < 0 AND lang IS NULL
+                THEN 'chars_pos,lang_set'
+              WHEN n_chars < 0 THEN 'chars_pos'
+              ELSE 'lang_set' END AS k,
+            n_chars
+          FROM odd WHERE NOT (n_chars >= 0 AND lang IS NOT NULL))
+        SELECT side, k, n, sum_chars FROM (
+          SELECT 'kept' AS side, lang AS k, count(*) AS n,
+            CAST(sum(n_chars) AS BIGINT) AS sum_chars
+          FROM kept GROUP BY 2
+          UNION ALL
+          SELECT 'quarantined', k, count(*),
+            CAST(sum(n_chars) AS BIGINT)
+          FROM quar GROUP BY 2)
+        ORDER BY side, k"""),
+      kind = QueryDef.Pipeline),
+
+    // ---- STREAMING quarantine ingest — q204's expectation split in
+    // its deployment shape (the reference's ingest is event-driven,
+    // S8): two corrupted waves drain through sequential AvailableNow
+    // rounds over ONE checkpoint; each micro-batch splits against the
+    // table's CHECK constraints and commits BOTH sides exactly-once
+    // (per-table (queryId, batchId) high-water marks), so a poisoned
+    // batch quarantines instead of stalling the stream. After the
+    // drains, an already-committed epoch is REPLAYED directly against
+    // the sink — both marks are past it, so both commits no-op; the
+    // once-only oracle is the proof (a leaked replay doubles wave-1
+    // counts and hash-fails).
+    QueryDef("q205_stream_quarantine",
+      (s, dir) => {
+        val root = Files.createTempDirectory("graft_squar").toString
+        val t = "file://" + root + "/t"; val q = "file://" + root + "/q"
+        val docs = Tables.load(s, dir, "documents")
+          .select("doc_id", "lang", "n_chars")
+        Manifest.init(s, t, docs.filter(col("doc_id") % 2 === 0))
+        Manifest.addConstraint(s, t, "chars_pos", "n_chars >= 0")
+        Manifest.addConstraint(s, t, "lang_set", "lang IS NOT NULL")
+        val odd = docs.filter(col("doc_id") % 2 === 1)
+          .withColumn("n_chars",
+            when((col("doc_id") % 31).isin(1, 3),
+              -col("n_chars") - 1).otherwise(col("n_chars")))
+          .withColumn("lang",
+            when((col("doc_id") % 31).isin(2, 3),
+              lit(null).cast("string")).otherwise(col("lang")))
+        val cut = docs.agg(max("doc_id")).head().getLong(0) / 2
+        val schema = odd.schema
+        def drain(): Unit =
+          IngestStream.rawStream(s, s"$root/raw", schema, "parquet",
+            maxFilesPerTrigger = 100000)
+            .writeStream
+            .option("checkpointLocation", s"$root/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger
+              .AvailableNow())
+            .foreachBatch {
+              (b: org.apache.spark.sql.DataFrame, id: Long) =>
+                Ingest.streamBatchWithQuarantine(s, t, b, q,
+                  "ingest", id)
+                ()
+            }
+            .start().awaitTermination()
+        odd.filter(col("doc_id") <= cut)
+          .write.mode("append").parquet(s"$root/raw")
+        drain()
+        odd.filter(col("doc_id") > cut)
+          .write.mode("append").parquet(s"$root/raw")
+        drain()
+        // replay epoch 0 against the sink: no-op on BOTH tables
+        Ingest.streamBatchWithQuarantine(s, t,
+          odd.filter(col("doc_id") <= cut), q, "ingest", 0L)
         val kept = Manifest.read(s, t)
           .groupBy(col("lang"))
           .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"))

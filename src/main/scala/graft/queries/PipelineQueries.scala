@@ -2306,7 +2306,8 @@ object PipelineQueries {
           FROM gray JOIN m ON gray.id = m.id)
         SELECT id_a, id_b, hamming FROM (
           SELECT a.id AS id_a, b.id AS id_b,
-            sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS hamming
+            CAST(sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END)
+              AS BIGINT) AS hamming
           FROM bits a JOIN bits b ON a.i = b.i AND a.id < b.id
           GROUP BY 1, 2)
         WHERE hamming <= 3 ORDER BY id_a, id_b""")),

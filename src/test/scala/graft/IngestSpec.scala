@@ -106,4 +106,52 @@ class IngestSpec extends SparkSpec {
         Seq((2L, 2L)).toDF("id", "v"), s"$base/bq")
     }
   }
+
+  test("streamBatchWithQuarantine: exactly-once on both sides — " +
+    "replayed epoch no-ops, crash between the two commits heals on " +
+    "replay (table no-ops, quarantine lands)") {
+    import graft.sources.Manifest
+    val base = "file://" + java.nio.file.Files
+      .createTempDirectory("graft-squar").toString
+    val t = s"$base/t"; val q = s"$base/q"
+    Manifest.init(spark, t, Seq((1L, 10L)).toDF("id", "v"))
+    Manifest.addConstraint(spark, t, "v_pos", "v >= 0")
+    val b0 = Seq((2L, 20L), (3L, -3L)).toDF("id", "v")
+    val (v1, qv1) = graft.operators.Ingest
+      .streamBatchWithQuarantine(spark, t, b0, q, "ing", 0L)
+    assert(Manifest.read(spark, t).select("id").as[Long]
+      .collect().toSet == Set(1L, 2L))
+    assert(Manifest.read(spark, q).select("id", "violations")
+      .as[(Long, String)].collect().toSeq == Seq(3L -> "v_pos"))
+    // replay the SAME epoch: both commits no-op, versions unchanged
+    val (v2, qv2) = graft.operators.Ingest
+      .streamBatchWithQuarantine(spark, t, b0, q, "ing", 0L)
+    assert(v2 == v1 && qv2 == qv1)
+    assert(Manifest.read(spark, t).count() == 2L)
+    assert(Manifest.read(spark, q).count() == 1L)
+    // crash between the two commits: simulate by committing epoch 1's
+    // good side directly (the table mark advances, quarantine's does
+    // not), then replaying the full epoch — table no-ops, quarantine
+    // catches up, nothing duplicates
+    val b1 = Seq((4L, 40L), (5L, -5L)).toDF("id", "v")
+    val tv = Manifest.commitStreamBatch(spark, t,
+      b1.filter($"v" >= 0), "ing", 1L)
+    val (v3, qv3) = graft.operators.Ingest
+      .streamBatchWithQuarantine(spark, t, b1, q, "ing", 1L)
+    assert(v3 == tv, "table side must no-op on the healed replay")
+    assert(qv3 > qv1, "quarantine side must land on the healed replay")
+    assert(Manifest.read(spark, t).select("id").as[Long]
+      .collect().toSet == Set(1L, 2L, 4L))
+    assert(Manifest.read(spark, q).select("id").as[Long]
+      .collect().toSet == Set(3L, 5L))
+    // an all-clean epoch still advances the quarantine mark: a later
+    // replay of it must not re-quarantine
+    graft.operators.Ingest.streamBatchWithQuarantine(spark, t,
+      Seq((6L, 60L)).toDF("id", "v"), q, "ing", 2L)
+    val qHead = Manifest.latestVersion(spark, q).get
+    graft.operators.Ingest.streamBatchWithQuarantine(spark, t,
+      Seq((6L, 60L)).toDF("id", "v"), q, "ing", 2L)
+    assert(Manifest.latestVersion(spark, q).get == qHead)
+    assert(Manifest.read(spark, q).count() == 2L)
+  }
 }

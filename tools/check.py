@@ -38,6 +38,29 @@ def frame_hash(df: pd.DataFrame) -> str:
         h.update(("|".join(cell(v) for v in row) + "\n").encode())
     return h.hexdigest()
 
+def type_divergence(con, sql, spark_df):
+    """Columns whose DuckDB output type will hash differently on the
+    driver even when values match. The driver fetches DuckDB results via
+    pandas: HUGEINT (uncast sum() over BIGINT) and DECIMAL become
+    float64, which the driver stringifies as '123.0' against Spark's
+    '123'. Our cell() collapses integral floats back with %.10g, so
+    this class is invisible to the hash comparison — catch it by type.
+    Returns [(col, duck_type)] for any HUGEINT, or DECIMAL/DOUBLE duck
+    column whose Spark-side dtype is integral."""
+    try:
+        desc = con.execute(f"DESCRIBE {sql}").fetchdf()
+    except Exception:
+        return []
+    bad = []
+    for _, r in desc.iterrows():
+        c, t = r["column_name"], str(r["column_type"]).upper()
+        spark_integral = c in spark_df.columns and \
+            str(spark_df[c].dtype).startswith(("int", "uint", "Int"))
+        if "HUGEINT" in t or \
+           (spark_integral and (t.startswith("DECIMAL") or t == "DOUBLE")):
+            bad.append((c, t))
+    return bad
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:]) or None
@@ -68,7 +91,15 @@ def main():
         ok_cols = list(spark_df.columns) == list(duck_df.columns)
         ok_hash = ok_rows and ok_cols and \
             frame_hash(spark_df) == frame_hash(duck_df)
-        if ok_hash:
+        tdiv = type_divergence(con, oracle[name], spark_df)
+        if ok_hash and tdiv:
+            # Value-identical here, but the driver's hasher will see
+            # float64 vs int64 strings → driver-red. Fail loudly.
+            n_fail += 1
+            print(f"FAIL {name}: oracle type divergence (driver-red): "
+                  + ", ".join(f"{c}:{t}" for c, t in tdiv)
+                  + "  -> CAST(... AS BIGINT) in the oracle SQL")
+        elif ok_hash:
             print(f"ok   {name} ({len(spark_df)} rows)")
             n_pass += 1
         else:

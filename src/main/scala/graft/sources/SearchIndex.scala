@@ -703,8 +703,10 @@ object SearchIndex {
     Manifest.read(spark, indexRoot, Some(sv.head))
       .filter(col("token").startsWith(prefix.toLowerCase))
       .groupBy(col("token"))
-      .agg(sum(col("tf")).as("freq"),
-        countDistinct(col(sv.idCol)).as("docs"))
+      // postings are unique by (token, id) — one row per live doc per
+      // term — so doc frequency is a plain count, not a countDistinct
+      // (which would plan a second, pointless dedup exchange)
+      .agg(sum(col("tf")).as("freq"), count(lit(1)).as("docs"))
       .orderBy(col("freq").desc, col("token").asc)
       .limit(k)
   }
@@ -780,8 +782,10 @@ object SearchIndex {
                        sv: Serving): DataFrame =
     Manifest.read(spark, indexRoot, Some(sv.head))
       .groupBy(col("token"))
-      .agg(sum(col("tf")).as("freq"),
-        countDistinct(col(sv.idCol)).as("docs"))
+      // (token, id)-unique postings → docs = count, not countDistinct;
+      // the distinct variant planned a second full exchange over the
+      // postings for an answer the layout already guarantees
+      .agg(sum(col("tf")).as("freq"), count(lit(1)).as("docs"))
       .select(substring(col("token"), 1, 1).as("p1"), col("token"),
         col("freq"), col("docs"))
       .repartition(col("p1"))

@@ -316,6 +316,54 @@ object Curation {
       buckets)
   }
 
+  /** The v3 composed pipeline — [[curate]] with LEARNED SELECTION as
+    * the leading stage: DSIR importance weights gate the corpus toward
+    * the `target` slice before any rule-based filtering, making the
+    * learned-selection axis a first-class stage of the end-to-end
+    * corpus build rather than a standalone score frame:
+    *
+    *   1. DSIR gate ([[dsirWeights]] vs `target`, keep w > 0 — the
+    *      q203 selection rule)
+    *   2. Gopher-rule quality gate ([[repetitionStats]] + [[gopherGate]])
+    *   3. exact n-gram decontamination vs `bench` ([[contamination]]
+    *      → anti-join)
+    *   4. temperature mixture over `mixCol`
+    *      ([[graft.operators.Sampling.temperatureMixture]] — share^α
+    *      flattening, portable-hash decisions)
+    *   5. deterministic shuffle + hash-mod shard assignment
+    *
+    * Returns the selected corpus with `shuffle_key` and `bucket`.
+    * Same 100 TB posture as [[curate]]: every stage is linear with
+    * uniform shuffle keys ((doc, bucket), (id, token), gram, id; the
+    * DSIR ratio and mixture-rate frames broadcast), and every decision
+    * is engine-replayable (portable hash, 4-dp rounded weights), so
+    * one oracle can check the whole composition. persist() marks each
+    * reused stage boundary — [[curate]]'s idiom. */
+  def curateV3(docs: DataFrame, bench: DataFrame, idCol: String,
+               textCol: String, target: Column, mixCol: String,
+               cfg: GopherConfig = GopherConfig(), contamN: Int = 8,
+               dsirBuckets: Int = 64, alpha: Double = 0.5,
+               targetFrac: Double = 0.5, salt: String = "v3",
+               buckets: Int = 8): DataFrame = {
+    val selected = docs.join(
+      dsirWeights(docs, idCol, textCol, target, dsirBuckets)
+        .filter(col("w") > 0.0).select(col(idCol)),
+      Seq(idCol), "left_semi")
+      .persist()
+    val kept = selected.join(
+      repetitionStats(selected, idCol, textCol)
+        .filter(gopherGate(cfg)).select(col(idCol)),
+      Seq(idCol), "left_semi")
+      .persist()
+    val dirty = contamination(kept, bench, idCol, textCol, contamN)
+      .select(col("train_id").as(idCol))
+    val clean = kept.join(dirty, Seq(idCol), "left_anti").persist()
+    val mixed = graft.operators.Sampling.temperatureMixture(
+      clean, mixCol, idCol, alpha, targetFrac, salt + "mix")
+    graft.operators.Sampling.deterministicShuffle(mixed, idCol, salt,
+      buckets)
+  }
+
   /** X2/X13: BOILERPLATE CHUNK REMOVAL WITH RECONSTRUCTION — the
     * C4-style corpus-wide duplicated-span removal (Raffel et al. 2020
     * drop any three-sentence span occurring more than once; CCNet drops

@@ -2393,5 +2393,98 @@ object PipelineQueries {
         SELECT lang, count(*) AS n,
           CAST(sum(n_chars) AS BIGINT) AS sum_chars
         FROM documents JOIN surv USING (doc_id)
-        GROUP BY lang ORDER BY lang""")))
+        GROUP BY lang ORDER BY lang""")),
+
+    // ---- Composed curation pipeline v3 — learned selection leads:
+    // DSIR importance gate (target = English slice, keep w > 0, the
+    // q203 rule) → Gopher quality gate → exact 8-gram decontamination
+    // vs the held-out bench slice → temperature mixture (lang, α=.5,
+    // f=.5) → deterministic shuffle/shard, all under ONE oracle.
+    // Every stage is an already-oracle-checked operator (q202, q93,
+    // q76, q163, q95); this proves the COMPOSITION replays
+    // engine-for-engine, like q147/q165 for earlier stage sets.
+    QueryDef("q206_curation_v3",
+      (s, dir) => {
+        val all = Tables.load(s, dir, "documents")
+        val sharded = Curation.curateV3(
+          all.filter(col("doc_id") % 7 =!= 0),
+          all.filter(col("doc_id") % 7 === 0).select("doc_id", "text"),
+          "doc_id", "text", target = col("lang") === "en",
+          mixCol = "lang")
+        sharded.groupBy("bucket")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(graft.functions.Text.tokenCount(col("text")))
+              .as("tokens"),
+            min("doc_id").as("first_id"), max("doc_id").as("last_id"))
+          .orderBy("bucket")
+      },
+      Some("""WITH corpus AS (SELECT doc_id, lang, text
+          FROM documents WHERE doc_id % 7 <> 0),
+        f AS (SELECT doc_id, t,
+            CAST(('0x' || substr(md5(token || '|dsir'), 1, 8))
+              AS UBIGINT) % 64 AS b
+          FROM (SELECT doc_id, lang = 'en' AS t,
+              unnest(string_split(lower(text), ' ')) AS token
+            FROM corpus)),
+        q AS (SELECT b, count(*) AS qc,
+            sum(CASE WHEN t THEN 1 ELSE 0 END) AS pc
+          FROM f GROUP BY 1),
+        tot AS (SELECT sum(qc) AS qtot, sum(pc) AS ptot FROM q),
+        r AS (SELECT b,
+            ln((pc + 0.5) / (ptot + 32.0))
+              - ln((qc + 0.5) / (qtot + 32.0)) AS lr
+          FROM q CROSS JOIN tot),
+        d AS (SELECT doc_id, b, count(*) AS c FROM f GROUP BY 1, 2),
+        w AS (SELECT doc_id,
+            round(sum(c * lr) / sum(c), 4) + 0.0 AS w
+          FROM d JOIN r USING (b) GROUP BY 1),
+        sel AS (SELECT corpus.* FROM corpus JOIN w USING (doc_id)
+          WHERE w.w > 0),
+        toks AS (SELECT doc_id,
+            unnest(string_split(lower(text), ' ')) AS tok FROM sel),
+        pd AS (SELECT doc_id, tok, count(*) AS c,
+            sum(length(tok)) AS chars FROM toks GROUP BY 1, 2),
+        st AS (SELECT doc_id, sum(c) AS words, count(*) AS dwords,
+            max(c) AS topc, sum(chars) AS wchars FROM pd GROUP BY 1),
+        kept AS (SELECT sel.* FROM sel JOIN st USING (doc_id)
+          WHERE st.words BETWEEN 50 AND 100000
+            AND CAST(st.wchars AS DOUBLE) / st.words BETWEEN 3.0 AND 10.0
+            AND CAST(st.topc AS DOUBLE) / st.words <= 0.2
+            AND CAST(st.dwords AS DOUBLE) / st.words >= 0.3),
+        kg AS (SELECT doc_id, unnest(CASE WHEN len(tk) >= 8 THEN
+              list_distinct([array_to_string(tk[i:i+7], ' ')
+                for i in range(1, len(tk) - 6)])
+            ELSE [] END) AS g
+          FROM (SELECT doc_id, string_split(lower(text), ' ') AS tk
+            FROM kept)),
+        bg AS (SELECT unnest(CASE WHEN len(tk) >= 8 THEN
+              list_distinct([array_to_string(tk[i:i+7], ' ')
+                for i in range(1, len(tk) - 6)])
+            ELSE [] END) AS g
+          FROM (SELECT string_split(lower(text), ' ') AS tk
+            FROM documents WHERE doc_id % 7 = 0)),
+        dirty AS (SELECT DISTINCT kg.doc_id FROM kg
+          JOIN (SELECT DISTINCT g FROM bg) b USING (g)),
+        clean AS (SELECT * FROM kept
+          WHERE doc_id NOT IN (SELECT doc_id FROM dirty)),
+        c AS (SELECT lang, count(*) AS n FROM clean GROUP BY 1),
+        z AS (SELECT sum(pow(n, 0.5)) AS z,
+            CAST(sum(n) AS BIGINT) AS ctot
+          FROM c),
+        rr AS (SELECT c.lang, round(least(1.0,
+            0.5 * z.ctot * pow(c.n, 0.5) / z.z / c.n), 9) AS r
+          FROM c CROSS JOIN z),
+        mixed AS (SELECT clean.doc_id, clean.text
+          FROM clean JOIN rr USING (lang)
+          WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+              || '|v3mix'), 1, 8)) AS UBIGINT) / 4294967296.0 < rr.r),
+        sh AS (SELECT doc_id, text,
+            CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+              || '|v3'), 1, 8)) AS BIGINT) AS sk
+          FROM mixed)
+        SELECT sk % 8 AS bucket, count(*) AS n_docs,
+          CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT)
+            AS tokens,
+          min(doc_id) AS first_id, max(doc_id) AS last_id
+        FROM sh GROUP BY 1 ORDER BY 1""")))
 }

@@ -310,6 +310,52 @@ object Multimodal {
             i * frameBytes + 1, lit(frameBytes)))))
       .toDF("media_id", "modality", "frame_idx", "frame")
 
+  /** REAL image resize through the decode path: nearest-neighbor
+    * rescale to (w·num/den, h·num/den), re-encoded PNG (lossless, so
+    * the only pixel change is the resampling itself). Nearest-neighbor
+    * with integer sample arithmetic — `dst(x,y) = src(x·sw/dw,
+    * y·sh/dh)`, no kernel — keeps the transform engine-replayable and
+    * makes [[imageAHash]] PROVABLY invariant under integer upscales:
+    * the scaled image's 8×8 sample grid lands on exactly the source
+    * grid's pixels (`floor(floor(k·a)/k) = floor(a)`), so an upscaled
+    * variant hashes IDENTICALLY and near-dup detection catches it at
+    * hamming 0. Downscales resample (floor vs exact grid drift of at
+    * most one pixel per sample), so their hamming distance is small
+    * but non-zero — MultimodalSpec pins the bound on the deterministic
+    * fixture corpus. Map-only, one decode+encode per image;
+    * [[resizeStub]] stays as the binary-surgery stand-in for
+    * modalities the JDK ships no codec for. */
+  def resizeImage(spark: SparkSession, media: DataFrame,
+                  num: Int, den: Int): DataFrame = {
+    require(num > 0 && den > 0, s"scale must be positive, got $num/$den")
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        imageIoNoCache
+        rows.map { case (id, payload) =>
+          val img = ImageIO.read(new ByteArrayInputStream(payload))
+          require(img != null,
+            s"media_id=$id: payload is not a decodable image")
+          val (sw, sh) = (img.getWidth, img.getHeight)
+          val dw = math.max(1, sw * num / den)
+          val dh = math.max(1, sh * num / den)
+          val out = new BufferedImage(dw, dh, BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < dh) {
+            var x = 0
+            while (x < dw) {
+              out.setRGB(x, y, img.getRGB(x * sw / dw, y * sh / dh))
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new ByteArrayOutputStream(1024)
+          ImageIO.write(out, "png", bos)
+          (id, bos.toByteArray)
+        }
+      }.toDF("media_id", "payload")
+  }
+
   /** "Resize": truncate payload to a byte budget — stands in for a
     * resolution downsample; demonstrates binary expression surgery. */
   def resizeStub(media: DataFrame, maxBytes: Int): DataFrame =

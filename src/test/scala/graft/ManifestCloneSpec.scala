@@ -80,6 +80,44 @@ class ManifestCloneSpec extends SparkSpec {
     assert(ids(src) == Set(1L))
   }
 
+  test("vacuum after releaseClone reclaims EXACTLY the previously-" +
+    "pinned files; a deep clone of the same snapshot is unaffected " +
+    "and the released shallow clone fails loudly, not partially") {
+    val src = mkSrc() // v2 = ids 1..300
+    val sh = newRoot("rel-sh"); val dp = newRoot("rel-dp")
+    Manifest.cloneTable(spark, src, sh)
+    Manifest.cloneTable(spark, src, dp, deep = true)
+    val pinned = Manifest.snapshotMeta(spark, src, 2L).files
+      .map(p => Manifest.absEntryPath(src, p)).toSet
+    assert(pinned.nonEmpty)
+    // supersede the snapshot; the pin holds every v2 file through
+    // vacuum (re-asserted here at FILE level, not just read level)
+    Manifest.commitReplace(spark, src,
+      Seq((1L, "p0", 0L)).toDF("id", "part", "v"), Seq("part"))
+    Manifest.vacuum(spark, src, keepVersions = 1)
+    val (fs, _) = Manifest.fsOf(spark, src)
+    def onDisk(paths: Set[String]): Set[String] =
+      paths.filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+    assert(onDisk(pinned) == pinned,
+      "the pin must hold every snapshot file on disk")
+    // release, then vacuum: exactly the previously-pinned files are
+    // reclaimed — every non-live pinned file gone, every live file kept
+    assert(Manifest.releaseClone(spark, sh))
+    val live = Manifest.snapshotMeta(spark, src,
+        Manifest.latestVersion(spark, src).get).files
+      .map(p => Manifest.absEntryPath(src, p)).toSet
+    Manifest.vacuum(spark, src, keepVersions = 1)
+    assert(onDisk(pinned -- live).isEmpty,
+      "released snapshot files must be reclaimed by the next vacuum")
+    assert(onDisk(live) == live,
+      "the live version's files must survive the reclaim")
+    // the deep clone owns its bytes: the reclaim is invisible to it
+    assert(ids(dp) == (1L to 300L).toSet)
+    // the released shallow clone is torn by design — it must fail
+    // LOUDLY on read (missing foreign files), never silently shrink
+    intercept[Exception] { ids(sh) }
+  }
+
   test("the clone's own vacuum never deletes the source's bytes") {
     val src = mkSrc()
     val dst = newRoot("clone-vac")

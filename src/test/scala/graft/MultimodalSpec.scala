@@ -110,4 +110,88 @@ class MultimodalSpec extends SparkSpec {
     } yield (a, b, h.toLong)).toSet
     assert(got == brute && got.nonEmpty)
   }
+
+  test("aHash survives resizeImage: integer upscales hash IDENTICALLY " +
+    "(provable: the sample grid lands on source pixels), downscale " +
+    "drifts within the near-dup threshold on the fixture corpus") {
+    val docs = (0L until 40L).toDF("doc_id")
+    val base = Multimodal.pngFromDocuments(spark, docs)
+    val hashes = Multimodal.imageAHash(spark, base)
+      .collect().map(h => h.media_id -> h.ahash).toMap
+
+    // 2x and 3x nearest-neighbor upscales: exactly the same 64 samples
+    // (floor(floor(k·a)/k) = floor(a)) → hamming 0 on every image
+    Seq(2, 3).foreach { k =>
+      val up = Multimodal.imageAHash(spark,
+          Multimodal.resizeImage(spark, base, k, 1))
+        .collect().map(h => h.media_id -> h.ahash).toMap
+      (0L until 40L).foreach { d =>
+        assert(up(d) == hashes(d),
+          s"${k}x upscale changed the hash of media $d")
+      }
+    }
+
+    // Downscale robustness is a SMOOTHNESS property (the published
+    // aHash caveat): resampling shifts each of the 64 sample points by
+    // at most one source pixel, which moves the sampled gray a LOT on
+    // high-frequency content and barely at all on smooth content. The
+    // wrapping mod-256 ramp fixture is the adversarial extreme —
+    // document (deterministically) that halving it drifts far past any
+    // bandable threshold, so a downscaled duplicate of such content is
+    // out of the average-hash family's reach by design.
+    val downAdv = Multimodal.imageAHash(spark,
+        Multimodal.resizeImage(spark, base, 1, 2))
+      .collect().map(h => h.media_id -> h.ahash).toMap
+    val advDrifts = (0L until 40L).map(d =>
+      java.lang.Long.bitCount(hashes(d) ^ downAdv(d)))
+    info(s"adversarial downscale hamming: max=${advDrifts.max} " +
+      s"mean=${advDrifts.sum / 40.0}")
+    assert(advDrifts.max > 15,
+      "the ramp fixture stopped being adversarial — revisit the bound")
+
+    // On smooth natural-image-like gradients (non-wrapping 64×64
+    // planes, neighbor gray delta ≤ ~4) the same halving stays within
+    // the near-dup threshold and the banded join catches every
+    // original↔downscale pair.
+    def smoothPng(id: Long): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val ax = 1 + (id % 3).toInt; val ay = 1 + (id % 4).toInt
+      var y = 0
+      while (y < 64) {
+        var x = 0
+        while (x < 64) {
+          val v = (ax * x + ay * y) * 255 / ((ax + ay) * 63)
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream(1024)
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val smooth = (0L until 40L).map(d => (d, smoothPng(d)))
+      .toDF("media_id", "payload")
+    val sHash = Multimodal.imageAHash(spark, smooth)
+      .collect().map(h => h.media_id -> h.ahash).toMap
+    val sDown = Multimodal.imageAHash(spark,
+        Multimodal.resizeImage(spark, smooth, 1, 2))
+      .collect().map(h => h.media_id -> h.ahash).toMap
+    val sDrifts = (0L until 40L).map(d =>
+      java.lang.Long.bitCount(sHash(d) ^ sDown(d)))
+    info(s"smooth downscale hamming: max=${sDrifts.max} " +
+      s"mean=${sDrifts.sum / 40.0}")
+    assert(sDrifts.max <= 8,
+      s"smooth downscale drift ${sDrifts.max} exceeds the pinned bound")
+    val shifted = Multimodal.resizeImage(spark, smooth, 1, 2)
+      .withColumn("media_id", col("media_id") + 500L)
+    val pairs = Multimodal
+      .nearDupImagePairs(spark, smooth.unionByName(shifted),
+        maxHamming = 8)
+      .filter(col("id_b") === col("id_a") + 500L)
+      .count()
+    assert(pairs == 40L,
+      s"expected all 40 original-downscale pairs, got $pairs")
+  }
 }

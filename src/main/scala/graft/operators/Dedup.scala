@@ -251,6 +251,75 @@ object Dedup {
       .drop("_d")
   }
 
+  /** X11 near-dup form: admit a NEW batch against an already-curated
+    * corpus by NEAR-duplicate distance, not just digest equality — the
+    * continual-ingestion shape for FUZZY dedup (nightly crawl vs the
+    * existing corpus; [[incrementalNew]] is the exact sibling). A
+    * batch row is admitted iff no corpus doc and no SMALLER-id batch
+    * doc lies within `threshold` Jaccard of its shingleN-gram shingle
+    * set — the non-recursive min-id-survivor rule: deterministic,
+    * arrival-order-free, engine-replayable (a chain b~a~corpus drops
+    * both a and b — the conservative choice, and the one a plain SQL
+    * oracle can express without recursion). Exact and COMPLETE at the
+    * threshold: size bucketing bounds candidate generation (j ≥ t
+    * forces the log2-size gap ≤ log2(1/t), the blockedJaccardPairs
+    * bound) and every candidate is verified with exact Jaccard. Docs
+    * below the shingle width carry no shingle evidence and are always
+    * admitted — run the digest-exact [[incrementalNew]] first.
+    *
+    * Scale: candidate cost ∝ batch × (corpus rows sharing a block and
+    * size bucket) — `blockCols` (e.g. lang, source) bound the cells;
+    * the batch's shingle frame persists (it feeds probe, lower-id
+    * blocker and admission legs), the corpus side streams. This exact
+    * variant is the oracle twin: at 100 TB swap candidate generation
+    * for banded MinHash keys against a persisted corpus signature
+    * table (the recall-for-cost trade q43 documents) — same verify,
+    * same admission rule — so the fence refuses degenerate batches.
+    * Returns the admitted batch rows, all columns intact. */
+  def incrementalNewNearDup(batch: DataFrame, corpus: DataFrame,
+                            idCol: String, textCol: String,
+                            blockCols: Seq[String] = Nil,
+                            shingleN: Int = 3, threshold: Double = 0.5,
+                            maxRows: Int = 1000000): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    val nbr = (math.log(1.0 / threshold) / math.log(2.0)).toInt + 1
+    graft.fenceQuadratic(batch.select(idCol), maxRows,
+      s"incrementalNewNearDup on coarse blocks (${blockCols.mkString(",")})",
+      "use banded MinHash candidates vs a corpus signature table")
+    def side(df: DataFrame): DataFrame =
+      graft.scaleOut(df, blockCols.map(col): _*)
+        .select((blockCols.map(col) :+ col(idCol).as("_id") :+
+          Native.shingleSet(col(textCol), shingleN).as("_sh")): _*)
+        .filter(col("_sh").isNotNull)
+        .withColumn("_szb",
+          length(bin(greatest(size(col("_sh")), lit(1)).cast("long"))))
+    val bsh = side(batch).persist()
+    val blockers = side(corpus).withColumn("_c", lit(true))
+      .unionByName(bsh.withColumn("_c", lit(false)))
+    // probe carries its shingle array once; the size-bucket-exploded
+    // blocker side ships scalars only (id, origin, size) — the
+    // blockedJaccardPairs payload discipline — and arrays are fetched
+    // back for the few candidates surviving the size-ratio prune
+    val probe = bsh.select((blockCols.map(col) :+ col("_szb") :+
+      col("_id") :+ col("_sh") :+ size(col("_sh")).as("_n")): _*)
+    val exploded = blockers.select((blockCols.map(col) :+
+      explode(sequence(col("_szb") - nbr, col("_szb") + nbr))
+        .as("_szb") :+
+      col("_id").as("_pid") :+ col("_c") :+
+      size(col("_sh")).as("_pn")): _*)
+    val cand = probe.join(exploded, blockCols :+ "_szb")
+      .filter(col("_c") || col("_pid") < col("_id"))
+      .filter(least(col("_n"), col("_pn")).cast("double")
+        / greatest(col("_n"), col("_pn")).cast("double") >= threshold)
+    val blockedIds = cand
+      .join(blockers.select(col("_id").as("_pid"), col("_c"),
+        col("_sh").as("_psh")), Seq("_pid", "_c"))
+      .filter(jaccard(col("_sh"), col("_psh")) >= threshold)
+      .select(col("_id").as(idCol)).distinct()
+    batch.join(blockedIds, Seq(idCol), "left_anti")
+  }
+
   /** X1 pair form: exact-dup STAR pairs (group min id → every other
     * member) per content digest — linear in corpus size where emitting
     * the full within-group clique would be quadratic in group size,

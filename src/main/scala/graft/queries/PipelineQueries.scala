@@ -2486,5 +2486,59 @@ object PipelineQueries {
           CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT)
             AS tokens,
           min(doc_id) AS first_id, max(doc_id) AS last_id
-        FROM sh GROUP BY 1 ORDER BY 1""")))
+        FROM sh GROUP BY 1 ORDER BY 1""")),
+
+    // ---- X11 fuzzy form: incremental NEAR-dedup — admit a new batch
+    // against the already-curated corpus by Jaccard distance (q79 is
+    // the digest-exact sibling). Admission = no corpus near-dup and no
+    // lower-id batch near-dup within (lang, source) blocks, exact and
+    // complete at the threshold; the oracle replays both admission
+    // legs with DuckDB list arithmetic, so a candidate-generation gap
+    // (lost size bucket, wrong block key) or a verify drift flips the
+    // rollup red.
+    QueryDef("q207_incremental_neardup",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Dedup.incrementalNewNearDup(
+            docs.filter(col("doc_id") % 3 =!= 0),  // tonight's batch
+            docs.filter(col("doc_id") % 3 === 0),  // the corpus
+            "doc_id", "text",
+            blockCols = Seq("lang", "source"), shingleN = 3,
+            threshold = 0.4)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n"),
+            sum("n_chars").as("sum_chars"),
+            min("doc_id").as("first_id"))
+          .orderBy("lang")
+      },
+      Some("""WITH sh AS (SELECT doc_id, lang, source,
+            CASE WHEN len(toks) >= 3 THEN list_distinct(
+              [array_to_string(toks[i:i+2], ' ')
+                for i in range(1, len(toks) - 1)])
+            ELSE [] END AS s
+          FROM (SELECT doc_id, lang, source,
+              string_split(lower(text), ' ') AS toks FROM documents)),
+        b AS (SELECT * FROM sh
+          WHERE doc_id % 3 <> 0 AND len(s) > 0),
+        c AS (SELECT * FROM sh
+          WHERE doc_id % 3 = 0 AND len(s) > 0),
+        bc AS (SELECT DISTINCT b.doc_id FROM b JOIN c
+            ON b.lang = c.lang AND b.source = c.source
+          WHERE CAST(len(list_intersect(b.s, c.s)) AS DOUBLE)
+            / CAST(len(list_distinct(list_concat(b.s, c.s)))
+              AS DOUBLE) >= 0.4),
+        bb AS (SELECT DISTINCT hi.doc_id FROM b hi JOIN b lo
+            ON hi.lang = lo.lang AND hi.source = lo.source
+              AND lo.doc_id < hi.doc_id
+          WHERE CAST(len(list_intersect(hi.s, lo.s)) AS DOUBLE)
+            / CAST(len(list_distinct(list_concat(hi.s, lo.s)))
+              AS DOUBLE) >= 0.4)
+        SELECT lang, count(*) AS n,
+          CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+          min(doc_id) AS first_id
+        FROM documents
+        WHERE doc_id % 3 <> 0
+          AND doc_id NOT IN (SELECT doc_id FROM bc)
+          AND doc_id NOT IN (SELECT doc_id FROM bb)
+        GROUP BY lang ORDER BY lang""")))
 }

@@ -175,6 +175,39 @@ class DedupSpec extends SparkSpec {
     assert(fresh == Set(11L, 13L))
   }
 
+  test("incrementalNewNearDup admits only batch docs with no corpus " +
+    "near-dup and no lower-id batch near-dup; the chain rule is " +
+    "conservative (blocked blockers still block)") {
+    val c = (1 to 14).map(i => s"c$i").mkString(" ")  // 12 shingles
+    val d = (1 to 14).map(i => s"d$i").mkString(" ")
+    val corpus = Seq((1L, c), (2L, d)).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, c),                       // exact dup of corpus → blocked
+      (11L, s"$d z1 z2"),             // j vs d = 12/14 ≈ .857 → blocked
+      // j vs d = 12/16 = .75 < .8 (NOT blocked by corpus) but j vs 11
+      // = 14/16 = .875 — blocked via the lower-id doc 11 even though
+      // 11 itself is blocked: the conservative non-recursive rule
+      (12L, s"$d z1 z2 z3 z4"),
+      (13L, (1 to 14).map(i => s"n$i").mkString(" ")), // fresh → kept
+      // near-dup of the ADMITTED 13 → blocked by a lower batch id
+      (14L, (1 to 14).map(i => s"n$i").mkString(" ") + " z9 z10"),
+      (15L, "too short"))             // no shingle evidence → admitted
+      .toDF("doc_id", "text")
+    val admitted = Dedup.incrementalNewNearDup(batch, corpus,
+        "doc_id", "text", threshold = 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(admitted == Set(13L, 15L))
+    // blocks bound the candidate space: the same near-dup in another
+    // block is not compared, hence admitted
+    val corpusB = Seq((1L, c, "en")).toDF("doc_id", "text", "lang")
+    val batchB = Seq((10L, c, "de"), (11L, c, "en"))
+      .toDF("doc_id", "text", "lang")
+    val adB = Dedup.incrementalNewNearDup(batchB, corpusB,
+        "doc_id", "text", blockCols = Seq("lang"), threshold = 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(adB == Set(10L))
+  }
+
   test("blocked jaccard two-level size buckets do not lose " +
     "cross-bucket pairs") {
     // A ⊂ B with |A|=12, |B|=22 shingles: jaccard 12/22 ≈ 0.545 ≥ 0.5

@@ -2540,5 +2540,94 @@ object PipelineQueries {
         WHERE doc_id % 3 <> 0
           AND doc_id NOT IN (SELECT doc_id FROM bc)
           AND doc_id NOT IN (SELECT doc_id FROM bb)
+        GROUP BY lang ORDER BY lang""")),
+
+    // ---- R/X11: STREAMING near-dedup curation — q207's admission in
+    // its deployment shape (q184's pattern, fuzzy edition): two ingest
+    // waves drain through sequential AvailableNow rounds over ONE
+    // checkpoint; each micro-batch admits against the CURRENT curated
+    // table (so only previously-ADMITTED docs block across waves,
+    // while lower-id docs block within a wave regardless of their own
+    // fate — the operator's non-recursive rule) and commits via the
+    // exactly-once streaming sink. The oracle replays the two-round
+    // fixpoint with one blocked near-pair join and two NOT EXISTS
+    // stages. Wave-sized maxFilesPerTrigger keeps wave = micro-batch
+    // (the q184 lesson: file order is not id-correlated).
+    QueryDef("q208_stream_neardup",
+      (s, dir) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_snd").toString
+        val tbl = "file://" + root + "/curated"
+        val docs = Tables.load(s, dir, "documents")
+        val cut = docs.agg(max("doc_id")).head().getLong(0) / 2
+        graft.sources.Manifest.init(s, tbl,
+          docs.filter(col("doc_id") % 3 === 0))
+        val schema = docs.schema
+        def drain(): Unit =
+          graft.streaming.IngestStream
+            .rawStream(s, s"$root/raw", schema, "parquet",
+            maxFilesPerTrigger = 100000)
+            .writeStream
+            .option("checkpointLocation", s"$root/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger
+              .AvailableNow())
+            .foreachBatch {
+              (b: org.apache.spark.sql.DataFrame, id: Long) =>
+                val admitted = Dedup.incrementalNewNearDup(b,
+                  graft.sources.Manifest.read(s, tbl), "doc_id", "text",
+                  blockCols = Seq("lang", "source"), shingleN = 3,
+                  threshold = 0.4)
+                graft.sources.Manifest.commitStreamBatch(s, tbl,
+                  admitted, "nd", id)
+                ()
+            }
+            .start().awaitTermination()
+        docs.filter(col("doc_id") % 3 =!= 0 && col("doc_id") <= cut)
+          .write.mode("append").parquet(s"$root/raw")
+        drain()
+        docs.filter(col("doc_id") % 3 =!= 0 && col("doc_id") > cut)
+          .write.mode("append").parquet(s"$root/raw")
+        drain()
+        graft.sources.Manifest.read(s, tbl).groupBy("lang")
+          .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"))
+          .orderBy("lang")
+      },
+      Some("""WITH sh AS (SELECT doc_id, lang, source,
+            CASE WHEN len(toks) >= 3 THEN list_distinct(
+              [array_to_string(toks[i:i+2], ' ')
+                for i in range(1, len(toks) - 1)])
+            ELSE [] END AS s
+          FROM (SELECT doc_id, lang, source,
+              string_split(lower(text), ' ') AS toks FROM documents)),
+        np AS (SELECT x.doc_id AS id_x, y.doc_id AS id_y
+          FROM sh x JOIN sh y
+            ON x.lang = y.lang AND x.source = y.source
+              AND x.doc_id <> y.doc_id
+          WHERE len(x.s) > 0 AND len(y.s) > 0
+            AND CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+              / CAST(len(list_distinct(list_concat(x.s, y.s)))
+                AS DOUBLE) >= 0.4),
+        cut AS (SELECT max(doc_id) // 2 AS v FROM documents),
+        c0 AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+        w1 AS (SELECT doc_id FROM documents
+          WHERE doc_id % 3 <> 0 AND doc_id <= (SELECT v FROM cut)),
+        a1 AS (SELECT w1.doc_id FROM w1 WHERE NOT EXISTS (
+          SELECT 1 FROM np WHERE np.id_x = w1.doc_id
+            AND (np.id_y IN (SELECT doc_id FROM c0)
+              OR (np.id_y IN (SELECT doc_id FROM w1)
+                AND np.id_y < w1.doc_id)))),
+        c1 AS (SELECT doc_id FROM c0 UNION ALL SELECT doc_id FROM a1),
+        w2 AS (SELECT doc_id FROM documents
+          WHERE doc_id % 3 <> 0 AND doc_id > (SELECT v FROM cut)),
+        a2 AS (SELECT w2.doc_id FROM w2 WHERE NOT EXISTS (
+          SELECT 1 FROM np WHERE np.id_x = w2.doc_id
+            AND (np.id_y IN (SELECT doc_id FROM c1)
+              OR (np.id_y IN (SELECT doc_id FROM w2)
+                AND np.id_y < w2.doc_id)))),
+        fin AS (SELECT doc_id FROM c1 UNION ALL
+          SELECT doc_id FROM a2)
+        SELECT lang, count(*) AS n,
+          CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents JOIN fin USING (doc_id)
         GROUP BY lang ORDER BY lang""")))
 }

@@ -294,8 +294,13 @@ object Dedup {
         .filter(col("_sh").isNotNull)
         .withColumn("_szb",
           length(bin(greatest(size(col("_sh")), lit(1)).cast("long"))))
+    // BOTH shingle frames persist: each feeds two legs (the exploded
+    // candidate side and the verify fetch; the batch side also feeds
+    // the admission anti-join) — without the cache the corpus
+    // tokenizes twice per call. Fine for the fenced oracle twin; the
+    // 100 TB path keeps corpus signatures as their own table anyway.
     val bsh = side(batch).persist()
-    val blockers = side(corpus).withColumn("_c", lit(true))
+    val blockers = side(corpus).persist().withColumn("_c", lit(true))
       .unionByName(bsh.withColumn("_c", lit(false)))
     // probe carries its shingle array once; the size-bucket-exploded
     // blocker side ships scalars only (id, origin, size) — the

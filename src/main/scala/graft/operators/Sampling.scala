@@ -153,4 +153,60 @@ object Sampling {
         lit(4294967296.0) < col("_r"))
       .drop("_n", "_z", "_c", "_r")
   }
+
+  /** X7: deterministic DISJOINT split (train/val/test …) by cumulative
+    * hash bands: a row's portable hash in [0, 2^32) falls into exactly
+    * one band, whose width is its fraction. Properties a training
+    * pipeline needs and rank-based splits lack: map-only (no count, no
+    * sort), exactly one label per row, reproducible across engines and
+    * retries, and STABLE UNDER GROWTH — adding documents never moves an
+    * existing document between splits, so eval sets stay uncontaminated
+    * across corpus refreshes. Fractions must sum to 1 (±1e-9); the last
+    * band absorbs the rounding tail so every hash value is labeled.
+    * Returns the input plus a `split` column. */
+  def splitFractions(df: DataFrame, idCol: String, salt: String,
+                     fracs: Seq[(String, Double)]): DataFrame = {
+    require(fracs.nonEmpty && fracs.forall(_._2 > 0.0),
+      "fractions must be positive")
+    require(fracs.map(_._1).distinct.size == fracs.size,
+      "split names must be unique")
+    require(math.abs(fracs.map(_._2).sum - 1.0) < 1e-9,
+      s"fractions must sum to 1, got ${fracs.map(_._2).sum}")
+    val h = portableHash(col(idCol), salt)
+    // integer thresholds: cum_i * 2^32 — the same literal an oracle
+    // computes, so band membership is engine-exact
+    val cuts = fracs.scanLeft(0.0)(_ + _._2).tail
+      .map(c => math.min((c * 4294967296.0).toLong, 4294967296L))
+    val label = fracs.zip(cuts).reverse.foldLeft(lit(fracs.last._1)) {
+      case (acc, ((name, _), cut)) => when(h < cut, name).otherwise(acc)
+    }
+    df.withColumn("split", label)
+  }
+
+  /** X7: WEIGHTED REPETITION for corpus mixing — "repeat high-quality
+    * sources 2.3× per epoch" (the Pile/Dolma epoch-weighting rule) made
+    * deterministic: each row is emitted floor(w) times plus one more
+    * iff the portable hash says so with probability frac(w), so the
+    * expected copy count is exactly the weight and the realized corpus
+    * is bit-reproducible. Output rows carry `copy_idx` (0-based) —
+    * salt the downstream shuffle with it so copies spread instead of
+    * clumping. Map-side sequence explode, expansion = the weight
+    * itself; weights are clamped to [0, maxRepeat] and a negative/NaN
+    * weight fails loudly rather than silently dropping rows. */
+  def repeatWeighted(df: DataFrame, idCol: String, weightCol: String,
+                     salt: String, maxRepeat: Int = 100): DataFrame = {
+    require(maxRepeat >= 1, s"maxRepeat must be >= 1, got $maxRepeat")
+    val w = col(weightCol).cast("double")
+    val guard = when(w.isNull || w =!= w || w < 0.0 || w > maxRepeat,
+      raise_error(concat(lit(s"repeatWeighted: weight out of [0, " +
+        s"$maxRepeat] for $idCol="), col(idCol).cast("string"))))
+      .otherwise(w)
+    val extra = (portableHash(col(idCol), salt).cast("double") /
+      lit(4294967296.0) < (w - floor(w))).cast("long")
+    df.withColumn("_copies", floor(guard).cast("long") + extra)
+      .filter(col("_copies") > 0)
+      .withColumn("copy_idx",
+        explode(sequence(lit(0L), col("_copies") - 1)))
+      .drop("_copies")
+  }
 }

@@ -2629,5 +2629,64 @@ object PipelineQueries {
         SELECT lang, count(*) AS n,
           CAST(sum(n_chars) AS BIGINT) AS sum_chars
         FROM documents JOIN fin USING (doc_id)
-        GROUP BY lang ORDER BY lang""")))
+        GROUP BY lang ORDER BY lang""")),
+
+    // ---- X7: deterministic train/val/test split — cumulative hash
+    // bands (90/5/5). Map-only, exactly one label per row, stable
+    // under corpus growth (a doc's hash never moves, so eval sets stay
+    // uncontaminated across refreshes). The oracle recomputes the
+    // integer band thresholds (0.9·2^32 = 3865470566,
+    // 0.95·2^32 = 4080218931) from the same portable hash.
+    QueryDef("q209_split_fractions",
+      (s, dir) => Sampling.splitFractions(
+          Tables.load(s, dir, "documents"), "doc_id", "split0",
+          Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"))
+        .orderBy("split", "lang"),
+      Some("""WITH h AS (SELECT lang, n_chars,
+            CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+              || '|split0'), 1, 8)) AS UBIGINT) AS h
+          FROM documents)
+        SELECT CASE WHEN h < 3865470566 THEN 'train'
+            WHEN h < 4080218931 THEN 'val'
+            ELSE 'test' END AS split,
+          lang, count(*) AS n,
+          CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM h GROUP BY 1, 2 ORDER BY split, lang""")),
+
+    // ---- X7: weighted repetition (epoch mixing) — English repeats
+    // ~2.5x, web sources ~0.25x, everything else once; floor(w) copies
+    // plus one more iff the portable hash < frac(w), so the realized
+    // corpus is bit-reproducible and E[copies] = w. The oracle
+    // recomputes per-doc copy counts and checks copies, distinct docs
+    // AND the copy-index sum (Σ c(c−1)/2 — wrong explode bounds flip
+    // it).
+    QueryDef("q210_repeat_weighted",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+          .withColumn("w", when(col("lang") === "en", 2.5)
+            .when(col("source") === "web", 0.25).otherwise(1.0))
+        Sampling.repeatWeighted(d, "doc_id", "w", "rep0")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("copies"),
+            countDistinct(col("doc_id")).as("docs"),
+            sum("copy_idx").as("sum_idx"))
+          .orderBy("lang")
+      },
+      Some("""WITH w AS (SELECT doc_id, lang,
+            CASE WHEN lang = 'en' THEN 2.5
+              WHEN source = 'web' THEN 0.25 ELSE 1.0 END AS w,
+            CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+              || '|rep0'), 1, 8)) AS UBIGINT) / 4294967296.0 AS u
+          FROM documents),
+        c AS (SELECT doc_id, lang,
+            CAST(floor(w) AS BIGINT)
+              + CASE WHEN u < w - floor(w) THEN 1 ELSE 0 END AS c
+          FROM w)
+        SELECT lang, CAST(sum(c) AS BIGINT) AS copies,
+          CAST(sum(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS docs,
+          CAST(sum(c * (c - 1) // 2) AS BIGINT) AS sum_idx
+        FROM c GROUP BY lang ORDER BY lang""")))
 }

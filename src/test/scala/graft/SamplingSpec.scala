@@ -111,6 +111,66 @@ class SamplingSpec extends SparkSpec {
     assert(buckets.values.forall(n => n > 150 && n < 350)) // ~250 each
   }
 
+  test("splitFractions: exactly one label per row, sizes near the " +
+    "fractions, stable under corpus growth, bad fractions refused") {
+    val ids = spark.range(0, 4000).toDF("id")
+    val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val out = Sampling.splitFractions(ids, "id", "sp0", fr)
+    assert(out.count() == 4000L) // one row in, one row out
+    val sizes = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sizes.keySet == Set("train", "val", "test"))
+    assert(sizes("train") > 3000 && sizes("train") < 3400)
+    assert(sizes("val") > 250 && sizes("val") < 550)
+    // growth stability: the same doc keeps its split when the corpus
+    // doubles — the property that keeps eval sets uncontaminated
+    val small = out.select("id", "split").as[(Long, String)]
+      .collect().toMap
+    val grown = Sampling.splitFractions(
+        spark.range(0, 8000).toDF("id"), "id", "sp0", fr)
+      .filter($"id" < 4000).select("id", "split")
+      .as[(Long, String)].collect().toMap
+    assert(grown == small)
+    intercept[IllegalArgumentException] {
+      Sampling.splitFractions(ids, "id", "s", Seq("a" -> 0.5))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.splitFractions(ids, "id", "s",
+        Seq("a" -> 0.5, "a" -> 0.5))
+    }
+  }
+
+  test("repeatWeighted: integer weights repeat exactly, fractional " +
+    "weights hit the expected count, zero drops, out-of-range fails " +
+    "loudly") {
+    val df = spark.range(0, 1000).toDF("id")
+      .withColumn("w", when($"id" < 100, 3.0)   // exactly 3 copies
+        .when($"id" < 200, 0.0)                 // dropped
+        .otherwise(2.5))                        // 2 or 3, E = 2.5
+    val out = Sampling.repeatWeighted(df, "id", "w", "ep0")
+    val byBand = out.groupBy(when($"id" < 100, "i3")
+        .when($"id" < 200, "z").otherwise("f").as("band"))
+      .agg(count(lit(1)).as("copies"),
+        countDistinct($"id").as("docs"),
+        max("copy_idx").as("maxi"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(byBand("i3") == ((300L, 100L, 2L))) // 100 docs × exactly 3
+    assert(!byBand.contains("z"))              // w = 0 emits nothing
+    val (fCopies, fDocs, fMax) = byBand("f")
+    assert(fDocs == 800L && fMax == 2L)
+    assert(fCopies > 1900L && fCopies < 2100L) // ≈ 800 × 2.5
+    // reproducible: same salt, same realization
+    assert(Sampling.repeatWeighted(df, "id", "w", "ep0").count() ==
+      out.count())
+    val bad = df.withColumn("w", lit(-1.0))
+    // raise_error surfaces as SparkRuntimeException (local relation) or
+    // SparkException (task failure) depending on where eval happens
+    intercept[Exception] {
+      Sampling.repeatWeighted(bad, "id", "w", "ep0").count()
+    }
+  }
+
   test("temperatureMixture: α=1 is exactly deterministicSample; α<1 " +
     "upsamples the tail stratum (rate caps at 1 → every row kept)") {
     import org.apache.spark.sql.functions._

@@ -274,6 +274,11 @@ object MaterializedAgg {
       .select(col(KeyCol) +: col(CountCol).as("__old_count") +:
         (sumCols.map(c => col(sumCol(c)).as(s"__old_s_$c")) ++
           sumCols.map(c => col(nnCol(c)).as(s"__old_n_$c"))): _*)
+    // persist(): mergeInto evaluates its updates twice (touched-tuple
+    // discovery, then the rewrite) — without the cache this whole
+    // subtree (changes agg + stored-view read + join) re-runs per
+    // consumer. The frame is touched-GROUP-sized, bounded at any
+    // corpus size, so caching it is free; unpersist once committed.
     val updates = delta.join(stored, Seq(KeyCol), "left")
       .select(
         groupCols.map(col) ++
@@ -294,9 +299,12 @@ object MaterializedAgg {
                 .as(sumCol(c)),
               nn.as(nnCol(c)))
           } ++ Seq(col(KeyCol), col(BucketCol)): _*)
-    Manifest.mergeInto(spark, mvRoot, updates, KeyCol,
-      Seq(BucketCol),
-      extraMeta = Map("mv.base" -> newBase.toString))
+      .persist()
+    try
+      Manifest.mergeInto(spark, mvRoot, updates, KeyCol,
+        Seq(BucketCol),
+        extraMeta = Map("mv.base" -> newBase.toString))
+    finally updates.unpersist()
   }
 
 }

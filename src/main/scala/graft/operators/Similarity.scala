@@ -393,8 +393,15 @@ object Similarity {
           coalesce(col("ncv"), col("cv")).as("cv"))
     }
 
-    var cents = init
-    for (_ <- 1 to iters) cents = update(cents, assign(cents))
+    // persist() every generation: each loop step references the
+    // previous centroids TWICE (the carry-forward join and the assign
+    // broadcast) and the RETURNED codebook is consumed twice by every
+    // caller (encode pass + query LUT) — uncached, the whole training
+    // chain (corpus TakeOrdered init + per-iteration argmax scans)
+    // re-ran once per consumer. The frames are m·k rows, bounded at
+    // any corpus size; lineage is kept so eviction just recomputes.
+    var cents = init.persist()
+    for (_ <- 1 to iters) cents = update(cents, assign(cents)).persist()
     cents
   }
 

@@ -137,8 +137,11 @@ object Similarity {
               queryId: Long, k: Int, nCentroids: Int = 16,
               nProbe: Int = 4): DataFrame = {
     val index = ivfIndex(emb, idCol, vecCol, nCentroids)
-    val qrow = index.filter(col(idCol) === queryId)
-      .select(col("v").as("qvec"))
+    // the query VECTOR comes straight from the corpus (a pruned
+    // single-row scan) — routing it through `index` would rebuild the
+    // pivot broadcast and argmax plan just to throw them away
+    val qrow = emb.filter(col(idCol) === queryId)
+      .select(Vectors.toDouble(col(vecCol)).as("qvec"))
     // nProbe nearest pivots to the query, from the same broadcast row
     val pivots = broadcast(
       emb.orderBy(pmod(xxhash64(col(idCol)), lit(1000000007L)).asc,
@@ -484,8 +487,10 @@ object Similarity {
                 m: Int = 4, k: Int = 16, iters: Int = 1): DataFrame = {
     val subDim = dim / m
     val index = ivfIndex(emb, idCol, vecCol, nCentroids)
-    val qrow = index.filter(col(idCol) === queryId)
-      .select(col("v").as("qvec"))
+    // query vector from the corpus directly (pruned single-row scan),
+    // not through the assignment plan — the ivfTopK move
+    val qrow = emb.filter(col(idCol) === queryId)
+      .select(Vectors.toDouble(col(vecCol)).as("qvec"))
     val pivots = broadcast(
       emb.orderBy(pmod(xxhash64(col(idCol)), lit(1000000007L)).asc,
           col(idCol).asc)

@@ -2688,5 +2688,63 @@ object PipelineQueries {
           CAST(sum(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT)
             AS docs,
           CAST(sum(c * (c - 1) // 2) AS BIGINT) AS sum_idx
-        FROM c GROUP BY lang ORDER BY lang""")))
+        FROM c GROUP BY lang ORDER BY lang""")),
+
+    // ---- X13+X7: DSIR importance RESAMPLING — the paper's actual
+    // selection step (sample documents ∝ importance weight), where
+    // q203/q206 only GATE by weight sign: DSIR weights → a linear,
+    // engine-exact repetition weight clamp(1 + w, 0, 4) (no exp — libm
+    // would break cross-engine hashes) → deterministic weighted
+    // repetition. Target-typical docs repeat more, anti-target docs
+    // drop toward zero copies; the whole realization is
+    // bit-reproducible and the oracle replays weights, clamp, copy
+    // counts and the copy-index sum.
+    QueryDef("q211_dsir_resample",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val w = Curation.dsirWeights(docs, "doc_id", "text",
+          col("lang") === "en", buckets = 64)
+        val weighted = docs.join(w, Seq("doc_id"))
+          .withColumn("rw",
+            greatest(lit(0.0), least(lit(4.0), lit(1.0) + col("w"))))
+        Sampling.repeatWeighted(weighted, "doc_id", "rw", "dsir-ep0",
+            maxRepeat = 4)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("copies"),
+            countDistinct(col("doc_id")).as("docs"),
+            sum("copy_idx").as("sum_idx"))
+          .orderBy("lang")
+      },
+      Some("""WITH f AS (SELECT doc_id, t,
+            CAST(('0x' || substr(md5(token || '|dsir'), 1, 8))
+              AS UBIGINT) % 64 AS b
+          FROM (SELECT doc_id, lang = 'en' AS t,
+              unnest(string_split(lower(text), ' ')) AS token
+            FROM documents)),
+        q AS (SELECT b, count(*) AS qc,
+            sum(CASE WHEN t THEN 1 ELSE 0 END) AS pc
+          FROM f GROUP BY 1),
+        tot AS (SELECT sum(qc) AS qtot, sum(pc) AS ptot FROM q),
+        r AS (SELECT b,
+            ln((pc + 0.5) / (ptot + 32.0))
+              - ln((qc + 0.5) / (qtot + 32.0)) AS lr
+          FROM q CROSS JOIN tot),
+        d AS (SELECT doc_id, b, count(*) AS c FROM f GROUP BY 1, 2),
+        w AS (SELECT doc_id,
+            round(sum(c * lr) / sum(c), 4) + 0.0 AS w
+          FROM d JOIN r USING (b) GROUP BY 1),
+        rw AS (SELECT w.doc_id, docs.lang,
+            greatest(0.0, least(4.0, 1.0 + w.w)) AS rw,
+            CAST(('0x' || substr(md5(CAST(w.doc_id AS VARCHAR)
+              || '|dsir-ep0'), 1, 8)) AS UBIGINT) / 4294967296.0 AS u
+          FROM w JOIN documents docs USING (doc_id)),
+        cc AS (SELECT doc_id, lang,
+            CAST(floor(rw) AS BIGINT)
+              + CASE WHEN u < rw - floor(rw) THEN 1 ELSE 0 END AS c
+          FROM rw)
+        SELECT lang, CAST(sum(c) AS BIGINT) AS copies,
+          CAST(sum(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS docs,
+          CAST(sum(c * (c - 1) // 2) AS BIGINT) AS sum_idx
+        FROM cc GROUP BY lang ORDER BY lang""")))
 }

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Native, Vectors}
+import graft.functions.{Native, Text, Vectors}
 
 /** Deduplication operators for pretraining-scale corpora
   * (SURVEY.md §2.11 X1/X2).
@@ -229,6 +229,54 @@ object Dedup {
         when(col("total_ngrams") > 0L,
           dups.cast("double") / col("total_ngrams").cast("double"))
           .as("dup_ratio"))
+  }
+
+  /** X2: CONTENT-DEFINED CHUNKING — shift-robust chunk fingerprints
+    * (the CDC idea from dedup storage and the winnowing/MOSS
+    * fingerprint literature, public prior art): the token stream
+    * splits AFTER every token whose portable hash ≡ 0 (mod m), so
+    * chunk boundaries are decided by CONTENT, not position. Inserting
+    * a preamble or editing a paragraph moves no boundary outside the
+    * touched chunk — exactly the robustness fixed windows (q143's
+    * n-gram spans, [[Curation.dropBoilerplate]]'s fixed chunks) cannot
+    * give, and the reason storage dedup uses CDC. Expected chunk
+    * length ≈ m tokens; every boundary decision is the q74 portable
+    * hash, so an external engine replays the chunking bit-for-bit.
+    *
+    * Scale: one explode → a per-doc running sum of boundary flags
+    * (doc-partitioned window, uniform keys, no corpus-wide sort) →
+    * one (doc, chunk) hash-aggregate. The digests then aggregate or
+    * join BY DIGEST for corpus-wide duplicate-chunk analysis — linear
+    * at any corpus size, never pairwise.
+    *
+    * Returns one row per chunk: (idCol, chunk_idx, n_tokens, digest),
+    * digest = md5 of the space-joined chunk text. */
+  def cdcChunkDigests(df: DataFrame, idCol: String, textCol: String,
+                      m: Int = 16): DataFrame = {
+    require(m >= 2, s"mean chunk length m must be >= 2, got $m")
+    val toks = graft.scaleOut(df, col(idCol))
+      .select(col(idCol),
+        posexplode_outer(Text.tokens(col(textCol)))
+          .as(Seq("pos", "tok")))
+      .filter(col("tok").isNotNull)
+    // chunk id of a token = boundary tokens strictly BEFORE it (the
+    // boundary token closes its own chunk); per-doc window state is
+    // one running sum
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    toks
+      .withColumn("_b",
+        when(pmod(Native.md5Prefix32(concat(col("tok"), lit("|cdc"))),
+          lit(m.toLong)) === 0L, 1L).otherwise(0L))
+      .withColumn("chunk_idx",
+        coalesce(sum(col("_b")).over(w), lit(0L)))
+      .groupBy(col(idCol), col("chunk_idx"))
+      .agg(count(lit(1)).as("n_tokens"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok")), " ")).as("digest"))
   }
 
   /** X1 incremental: dedup a NEW batch against an already-ingested

@@ -2746,5 +2746,78 @@ object PipelineQueries {
           CAST(sum(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT)
             AS docs,
           CAST(sum(c * (c - 1) // 2) AS BIGINT) AS sum_idx
-        FROM cc GROUP BY lang ORDER BY lang""")))
+        FROM cc GROUP BY lang ORDER BY lang""")),
+
+    // ---- X2: CONTENT-DEFINED CHUNKING — shift-robust dup detection:
+    // every doc_id % 6 = 0 document gets a planted 7-token preamble (a
+    // prefix SHIFT, the transform that defeats fixed windows), then
+    // both the originals and the shifted copies are CDC-chunked
+    // (boundaries after tokens whose portable hash ≡ 0 mod 8) and the
+    // copies' chunks are looked up in the originals' digest set. High
+    // per-lang dup-chunk counts despite the shift are the point; the
+    // oracle replays boundary flags, running-sum chunk assignment,
+    // chunk digests and the coverage rollup.
+    QueryDef("q212_cdc_chunks",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val shifted = docs.filter(col("doc_id") % 6 === 0)
+          .withColumn("text", concat(
+            lit("inserted preamble shifts every following token "),
+            col("text")))
+        val baseD = Dedup.cdcChunkDigests(docs, "doc_id", "text", m = 8)
+          .select(col("digest")).distinct()
+        val sh = Dedup.cdcChunkDigests(shifted, "doc_id", "text", m = 8)
+          .persist()
+        val dup = sh.join(baseD, Seq("digest"), "left_semi")
+          .groupBy("doc_id").agg(count(lit(1)).as("dc"))
+        sh.groupBy("doc_id").agg(count(lit(1)).as("ch"))
+          .join(dup, Seq("doc_id"), "left")
+          .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("docs"), sum("ch").as("chunks"),
+            sum(coalesce(col("dc"), lit(0L))).as("dup_chunks"))
+          .orderBy("lang")
+      },
+      Some("""WITH base AS (SELECT doc_id, lang, text FROM documents),
+        shif AS (SELECT doc_id, lang,
+            'inserted preamble shifts every following token ' || text
+              AS text
+          FROM documents WHERE doc_id % 6 = 0),
+        bt AS (SELECT doc_id, unnest(a) AS tok,
+            unnest(range(0, len(a))) AS pos
+          FROM (SELECT doc_id, string_split(lower(text), ' ') AS a
+            FROM base)),
+        st AS (SELECT doc_id, unnest(a) AS tok,
+            unnest(range(0, len(a))) AS pos
+          FROM (SELECT doc_id, string_split(lower(text), ' ') AS a
+            FROM shif)),
+        bc AS (SELECT doc_id, tok, pos,
+            COALESCE(sum(CASE WHEN CAST(('0x' || substr(md5(tok
+                || '|cdc'), 1, 8)) AS UBIGINT) % 8 = 0
+              THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id
+              ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING
+              AND 1 PRECEDING), 0) AS chunk
+          FROM bt),
+        sc AS (SELECT doc_id, tok, pos,
+            COALESCE(sum(CASE WHEN CAST(('0x' || substr(md5(tok
+                || '|cdc'), 1, 8)) AS UBIGINT) % 8 = 0
+              THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id
+              ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING
+              AND 1 PRECEDING), 0) AS chunk
+          FROM st),
+        bd AS (SELECT DISTINCT
+            md5(string_agg(tok, ' ' ORDER BY pos)) AS digest
+          FROM bc GROUP BY doc_id, chunk),
+        sd AS (SELECT doc_id, chunk,
+            md5(string_agg(tok, ' ' ORDER BY pos)) AS digest
+          FROM sc GROUP BY doc_id, chunk),
+        per AS (SELECT doc_id, count(*) AS ch,
+            sum(CASE WHEN digest IN (SELECT digest FROM bd)
+              THEN 1 ELSE 0 END) AS dc
+          FROM sd GROUP BY doc_id)
+        SELECT lang, count(*) AS docs,
+          CAST(sum(ch) AS BIGINT) AS chunks,
+          CAST(sum(dc) AS BIGINT) AS dup_chunks
+        FROM per JOIN documents USING (doc_id)
+        GROUP BY lang ORDER BY lang""")))
 }

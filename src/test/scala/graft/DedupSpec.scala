@@ -175,6 +175,32 @@ class DedupSpec extends SparkSpec {
     assert(fresh == Set(11L, 13L))
   }
 
+  test("cdcChunkDigests: boundaries are content-defined — a prefix " +
+    "insertion leaves every chunk after the first boundary intact; " +
+    "chunk sizes partition the token stream") {
+    val text = (1 to 200).map(i => s"w${i}x${i % 7}").mkString(" ")
+    val df = Seq((1L, text), (2L, "pre amble " + text))
+      .toDF("doc_id", "text")
+    val ch = Dedup.cdcChunkDigests(df, "doc_id", "text", m = 8)
+    val d1 = ch.filter($"doc_id" === 1)
+      .select("digest").as[String].collect().toSet
+    val d2 = ch.filter($"doc_id" === 2)
+      .select("digest").as[String].collect().toSet
+    // only the HEAD chunks (before/at the first boundary) can differ:
+    // the shift never reaches later chunks — the CDC property
+    assert(d1.size > 5, s"fixture produced too few chunks: ${d1.size}")
+    assert((d1 -- d2).size <= 1, "original lost more than its head chunk")
+    assert((d2 -- d1).size <= 2, "shifted copy gained beyond its head")
+    // chunks partition the stream: token counts sum to the doc length
+    val total = ch.filter($"doc_id" === 1)
+      .agg(sum("n_tokens")).head().getLong(0)
+    assert(total == 200L)
+    // deterministic: same input, same digests
+    val again = Dedup.cdcChunkDigests(df, "doc_id", "text", m = 8)
+      .filter($"doc_id" === 1).select("digest").as[String].collect().toSet
+    assert(again == d1)
+  }
+
   test("incrementalNewNearDup admits only batch docs with no corpus " +
     "near-dup and no lower-id batch near-dup; the chain rule is " +
     "conservative (blocked blockers still block)") {

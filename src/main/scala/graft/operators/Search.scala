@@ -382,19 +382,11 @@ object Search {
                requireAll: Boolean = false): DataFrame = {
     val terms = query.toLowerCase.split(" ").filter(_.nonEmpty).distinct.toSeq
     require(terms.nonEmpty, "BM25 query needs at least one term")
-    val toks = tokenStream(docs, idCol, textCol)
-    val docLen = docLengths(docs, idCol, textCol)
-    val avgdl = docLen.agg(avg(col("dl")).as("avgdl"))
-    val n = docs.agg(count(lit(1)).as("n"))
-    val tf = toks.filter(col("token").isin(terms: _*))
-      .groupBy(col(idCol), col("token"))
-      .agg(count(lit(1)).as("tf"))
+    val (tf, stats) = termPostings(docs, idCol, textCol, terms)
     val df = tf.groupBy(col("token"))
       .agg(countDistinct(col(idCol)).as("df"))
     tf.join(broadcast(df), "token")
-      .join(docLen, idCol)
-      .crossJoin(broadcast(n))
-      .crossJoin(broadcast(avgdl))
+      .crossJoin(stats)
       .withColumn("_s", bm25Weight(col("tf"), col("dl"), col("df"),
         col("n"), col("avgdl"), k1, b))
       .groupBy(col(idCol))
@@ -403,6 +395,32 @@ object Search {
       .filter(if (requireAll) col("matched") === terms.size else lit(true))
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
+  }
+
+  /** The corpus-side BM25 input shape every variant shares: ONE corpus
+    * tokenization feeds the term-filtered postings AND each posting's
+    * doc length (dl is functionally determined by the id, so it rides
+    * the (id, token) aggregation for free — the SearchIndex.indexRows
+    * move, which also deletes the corpus-sized doc-length join), and a
+    * second single pass covers both corpus stats. The naive layout
+    * tokenized the corpus four times per query (tf once per consumer,
+    * doc lengths once per consumer); the postings frame persists —
+    * it is query-term-postings sized, bounded at any corpus scale.
+    * Returns (tf = (idCol, dl, token, tf), broadcast 1-row (n, avgdl)). */
+  private def termPostings(docs: DataFrame, idCol: String,
+                           textCol: String, terms: Seq[String])
+      : (DataFrame, DataFrame) = {
+    val tf = graft.scaleOut(docs, col(idCol))
+      .select(col(idCol), Text.tokens(col(textCol)).as("toks"))
+      .select(col(idCol), size(col("toks")).cast("long").as("dl"),
+        explode_outer(col("toks")).as("token"))
+      .filter(col("token").isNotNull && col("token").isin(terms: _*))
+      .groupBy(col(idCol), col("dl"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .persist()
+    val stats = broadcast(docs.agg(count(lit(1)).as("n"),
+      avg(size(Text.tokens(col(textCol))).cast("long")).as("avgdl")))
+    (tf, stats)
   }
 
   /** T2: SYNONYM-EXPANDED match — the OpenSearch `synonym_graph`
@@ -442,21 +460,21 @@ object Search {
       case (v, cs) => Seq(lit(v), array(cs.map(lit(_)): _*))
     }: _*)
     val variants = variantToConcepts.map(_._1)
-    val toks = tokenStream(docs, idCol, textCol)
-    val docLen = docLengths(docs, idCol, textCol)
-    val avgdl = docLen.agg(avg(col("dl")).as("avgdl"))
-    val n = docs.agg(count(lit(1)).as("n"))
-    val tf = toks.filter(col("token").isin(variants: _*))
-      .select(col(idCol),
+    // [[termPostings]]' four-passes-to-two shape, with the
+    // variant→concept rewrite between the stream filter and the
+    // postings aggregation; the concept postings persist across the
+    // df aggregate and the score join
+    val (vtf, stats) = termPostings(docs, idCol, textCol, variants)
+    val tf = vtf
+      .select(col(idCol), col("dl"), col("tf"),
         explode(element_at(conceptMap, col("token"))).as("concept"))
-      .groupBy(col(idCol), col("concept"))
-      .agg(count(lit(1)).as("tf"))
+      .groupBy(col(idCol), col("dl"), col("concept"))
+      .agg(sum(col("tf")).as("tf"))
+      .persist()
     val df = tf.groupBy(col("concept"))
       .agg(countDistinct(col(idCol)).as("df"))
     tf.join(broadcast(df), "concept")
-      .join(docLen, idCol)
-      .crossJoin(broadcast(n))
-      .crossJoin(broadcast(avgdl))
+      .crossJoin(stats)
       .withColumn("_s", bm25Weight(col("tf"), col("dl"), col("df"),
         col("n"), col("avgdl"), k1, b))
       .groupBy(col(idCol))
@@ -494,22 +512,16 @@ object Search {
     require(scoreT.nonEmpty, "bool query needs a must or should term")
     require(notT.intersect(scoreT).isEmpty,
       "a term cannot be both required/optional and excluded")
-    val toks = tokenStream(docs, idCol, textCol)
-      .filter(col("token").isin(scoreT ++ notT: _*))
-    val tf = toks.groupBy(col(idCol), col("token"))
-      .agg(count(lit(1)).as("tf"))
+    // [[termPostings]] persists tf across its THREE consumers here
+    // (banned ids, df aggregate, score join)
+    val (tf, stats) = termPostings(docs, idCol, textCol, scoreT ++ notT)
     val banned = tf.filter(col("token").isin(notT: _*))
       .select(col(idCol)).distinct()
     val scoreTf = tf.filter(col("token").isin(scoreT: _*))
     val df = scoreTf.groupBy(col("token"))
       .agg(countDistinct(col(idCol)).as("df"))
-    val docLen = docLengths(docs, idCol, textCol)
-    val avgdl = docLen.agg(avg(col("dl")).as("avgdl"))
-    val n = docs.agg(count(lit(1)).as("n"))
     scoreTf.join(broadcast(df), "token")
-      .join(docLen, idCol)
-      .crossJoin(broadcast(n))
-      .crossJoin(broadcast(avgdl))
+      .crossJoin(stats)
       .withColumn("_s", bm25Weight(col("tf"), col("dl"), col("df"),
         col("n"), col("avgdl"), k1, b))
       .withColumn("_m",
@@ -551,19 +563,11 @@ object Search {
     val terms = query.toLowerCase.split(" ").filter(_.nonEmpty)
       .distinct.toSeq
     require(terms.nonEmpty, "faceted search needs at least one term")
-    val toks = tokenStream(docs, idCol, textCol)
-    val docLen = docLengths(docs, idCol, textCol)
-    val avgdl = docLen.agg(avg(col("dl")).as("avgdl"))
-    val n = docs.agg(count(lit(1)).as("n"))
-    val tf = toks.filter(col("token").isin(terms: _*))
-      .groupBy(col(idCol), col("token"))
-      .agg(count(lit(1)).as("tf"))
+    val (tf, stats) = termPostings(docs, idCol, textCol, terms)
     val df = tf.groupBy(col("token"))
       .agg(countDistinct(col(idCol)).as("df"))
     tf.join(broadcast(df), "token")
-      .join(docLen, idCol)
-      .crossJoin(broadcast(n))
-      .crossJoin(broadcast(avgdl))
+      .crossJoin(stats)
       .withColumn("_s", bm25Weight(col("tf"), col("dl"), col("df"),
         col("n"), col("avgdl"), k1, b))
       .groupBy(col(idCol))

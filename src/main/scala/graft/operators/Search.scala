@@ -164,14 +164,16 @@ object Search {
                             textCol: String, hits: DataFrame,
                             tfCol: String, k: Int, k1: Double,
                             b: Double): DataFrame = {
+    // one tokenize pass covers BOTH corpus stats; the doc-length join
+    // keeps its own pass (hits carries no dl — the phrase kernel's
+    // output), so this path is two passes, not three
+    val stats = broadcast(docs.agg(count(lit(1)).as("n"),
+      avg(size(Text.tokens(col(textCol))).cast("long")).as("avgdl")))
     val docLen = docLengths(docs, idCol, textCol)
-    val avgdl = docLen.agg(avg(col("dl")).as("avgdl"))
-    val n = docs.agg(count(lit(1)).as("n"))
     val dfp = hits.agg(count(lit(1)).as("df"))
     hits.join(docLen, idCol)
       .crossJoin(broadcast(dfp))
-      .crossJoin(broadcast(n))
-      .crossJoin(broadcast(avgdl))
+      .crossJoin(stats)
       .withColumn("score", round(bm25Weight(col(tfCol), col("dl"),
         col("df"), col("n"), col("avgdl"), k1, b), 4))
       .select(col(idCol), col("score"), col(tfCol))
@@ -409,12 +411,22 @@ object Search {
     * Returns (tf = (idCol, dl, token, tf), broadcast 1-row (n, avgdl)). */
   private def termPostings(docs: DataFrame, idCol: String,
                            textCol: String, terms: Seq[String])
+      : (DataFrame, DataFrame) =
+    prunedTermPostings(docs, idCol, textCol,
+      _.filter(col("token").isin(terms: _*)))
+
+  /** [[termPostings]] with a caller-supplied pre-shuffle prune (the
+    * batch path's term set is a frame, not literals). */
+  private def prunedTermPostings(docs: DataFrame, idCol: String,
+                                 textCol: String,
+                                 prune: DataFrame => DataFrame)
       : (DataFrame, DataFrame) = {
-    val tf = graft.scaleOut(docs, col(idCol))
+    val analyzed = graft.scaleOut(docs, col(idCol))
       .select(col(idCol), Text.tokens(col(textCol)).as("toks"))
       .select(col(idCol), size(col("toks")).cast("long").as("dl"),
         explode_outer(col("toks")).as("token"))
-      .filter(col("token").isNotNull && col("token").isin(terms: _*))
+      .filter(col("token").isNotNull)
+    val tf = prune(analyzed)
       .groupBy(col(idCol), col("dl"), col("token"))
       .agg(count(lit(1)).as("tf"))
       .persist()
@@ -656,23 +668,17 @@ object Search {
         explode(array_distinct(Text.tokens(col(queryTextCol))))
           .as("token"))
       .filter(col("token") =!= "")
-    val toks = tokenStream(docs, idCol, textCol)
-    val docLen = docLengths(docs, idCol, textCol)
-    val avgdl = docLen.agg(avg(col("dl")).as("avgdl"))
-    val n = docs.agg(count(lit(1)).as("n"))
-    val tf = toks
-      .join(broadcast(qToks.select("token").distinct()),
-        Seq("token"), "left_semi")
-      .groupBy(col(idCol), col("token"))
-      .agg(count(lit(1)).as("tf"))
+    // the shared four-passes-to-two postings shape, pruned by the
+    // batch's distinct query-term frame instead of literals
+    val (tf, stats) = prunedTermPostings(docs, idCol, textCol,
+      _.join(broadcast(qToks.select("token").distinct()),
+        Seq("token"), "left_semi"))
     val df = tf.groupBy(col("token"))
       .agg(countDistinct(col(idCol)).as("df"))
     val scored = tf
       .join(broadcast(qToks), "token")
       .join(broadcast(df), "token")
-      .join(docLen, idCol)
-      .crossJoin(broadcast(n))
-      .crossJoin(broadcast(avgdl))
+      .crossJoin(stats)
       .withColumn("_s",
         log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
           col("tf") * (lit(k1) + 1.0) /

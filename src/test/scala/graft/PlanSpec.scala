@@ -154,10 +154,20 @@ class PlanSpec extends SparkSpec {
       case (l, i) if l.contains("LeftSemi") => i
     }
     semis.foreach { i =>
-      val below = lines.slice(i + 1, i + 3).mkString("\n")
+      // the semi join's stream side must be the exploded token stream
+      // (Project/Filter in between are fine — the dl column rides the
+      // stream since the two-pass restructure); what must NOT appear
+      // between them is an aggregate or exchange, which would mean the
+      // term filter ran AFTER the postings shuffle
+      val below = lines.slice(i + 1, i + 6).mkString("\n")
       assert(below.contains("Generate"),
         s"semi join not over the exploded stream:\n" +
-          lines.slice(i, i + 4).mkString("\n"))
+          lines.slice(i, i + 7).mkString("\n"))
+      val between = lines.slice(i + 1, i + 6)
+        .takeWhile(!_.contains("Generate")).mkString("\n")
+      assert(!between.contains("HashAggregate") &&
+        !between.contains("Exchange"),
+        s"term filter above an aggregate/exchange:\n$between")
     }
   }
 

@@ -252,7 +252,19 @@ object Dedup {
     * Returns one row per chunk: (idCol, chunk_idx, n_tokens, digest),
     * digest = md5 of the space-joined chunk text. */
   def cdcChunkDigests(df: DataFrame, idCol: String, textCol: String,
-                      m: Int = 16): DataFrame = {
+                      m: Int = 16): DataFrame =
+    cdcChunks(df, idCol, textCol, m)
+      .select(col(idCol), col("chunk_idx"), col("n_tokens"),
+        col("digest"))
+
+  /** CDC chunk RELATION — one row per chunk carrying the chunk's TEXT
+    * alongside its digest: (idCol, chunk_idx, n_tokens, chunk_text,
+    * digest). The shared stage behind [[cdcChunkDigests]] (digest-only
+    * view) and [[removeDupChunks]] (needs the text back to reassemble
+    * cleaned documents). Same plan: one explode → per-doc running sum
+    * of boundary flags → one (doc, chunk) hash-aggregate. */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+                m: Int = 16): DataFrame = {
     require(m >= 2, s"mean chunk length m must be >= 2, got $m")
     val toks = graft.scaleOut(df, col(idCol))
       .select(col(idCol),
@@ -274,9 +286,71 @@ object Dedup {
         coalesce(sum(col("_b")).over(w), lit(0L)))
       .groupBy(col(idCol), col("chunk_idx"))
       .agg(count(lit(1)).as("n_tokens"),
-        md5(array_join(transform(
+        array_join(transform(
           array_sort(collect_list(struct(col("pos"), col("tok")))),
-          s => s.getField("tok")), " ")).as("digest"))
+          s => s.getField("tok")), " ").as("chunk_text"))
+      .withColumn("digest", md5(col("chunk_text")))
+  }
+
+  /** X2 applied: duplicated-span REMOVAL (the ExactSubstr behavior of
+    * Lee et al. 2021, "Deduplicating Training Data Makes Language
+    * Models Better", and the public deduplicate-text-datasets tool):
+    * emit CLEANED text with cross-document duplicated spans cut out,
+    * not just measured. Span = content-defined chunk ([[cdcChunks]],
+    * boundaries after tokens whose portable hash ≡ 0 mod m, expected
+    * length ≈ m tokens — shift-robust, so a quoted paragraph matches
+    * no matter where it lands in the host document). A chunk is cut
+    * when its digest occurs more than `maxOccurrences` times
+    * corpus-wide (every copy is cut — the conservative suffix-array
+    * tool behavior; keep-one needs a per-digest tie-break and is the
+    * documented variant, not the default). Survivor chunks reassemble
+    * in chunk order; the output text is therefore the NORMALIZED token
+    * stream (lowercased, single-spaced) — inherent to token-level
+    * chunking and what makes the operator engine-replayable.
+    *
+    * Scale: the chunk relation evaluates twice (once under the
+    * digest-count aggregation, once under the keep/cut flagging join)
+    * — both linear, keyed on digest with map-side partial counts, so a
+    * viral chunk ("click here to subscribe" × 10⁸) costs one counter,
+    * never a buffered partition (the reason this is a groupBy + join
+    * back, NOT a count-over-digest-window, which would buffer every
+    * occurrence of the hottest digest in one task). At 100 TB,
+    * materialize [[cdcChunks]] once as its own table and feed both
+    * legs from it — the chunk relation is the artifact a corpus build
+    * keeps anyway.
+    *
+    * Returns one row per input document: (idCol, clean_text,
+    * kept_chunks, cut_chunks, kept_tokens); a fully-duplicated
+    * document survives with empty clean_text (caller filters). */
+  def removeDupChunks(df: DataFrame, idCol: String, textCol: String,
+                      m: Int = 16, maxOccurrences: Long = 1): DataFrame = {
+    require(maxOccurrences >= 1,
+      s"maxOccurrences must be >= 1, got $maxOccurrences")
+    val chunks = cdcChunks(df, idCol, textCol, m)
+    val occ = chunks.groupBy("digest").agg(count(lit(1)).as("_occ"))
+    // inner join keeps every chunk row (occ covers all digests);
+    // collect_list skips the nulls the `when` leaves on cut chunks, so
+    // one per-doc aggregate yields text + kept/cut counts together
+    val cut = col("_occ") > lit(maxOccurrences)
+    val perDoc = chunks.join(occ, Seq("digest"))
+      .groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when(!cut,
+            struct(col("chunk_idx"), col("chunk_text"))))),
+          s => s.getField("chunk_text")), " ").as("clean_text"),
+        sum(when(!cut, 1L).otherwise(0L)).as("kept_chunks"),
+        sum(when(cut, 1L).otherwise(0L)).as("cut_chunks"),
+        sum(when(!cut, col("n_tokens")).otherwise(0L))
+          .as("kept_tokens"))
+    // null-text docs have zero chunks — keep them, empty, so the
+    // output is row-aligned with the input corpus
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("kept_chunks"), lit(0L)).as("kept_chunks"),
+        coalesce(col("cut_chunks"), lit(0L)).as("cut_chunks"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
   }
 
   /** X1 incremental: dedup a NEW batch against an already-ingested

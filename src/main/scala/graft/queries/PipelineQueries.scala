@@ -2819,5 +2819,55 @@ object PipelineQueries {
           CAST(sum(ch) AS BIGINT) AS chunks,
           CAST(sum(dc) AS BIGINT) AS dup_chunks
         FROM per JOIN documents USING (doc_id)
-        GROUP BY lang ORDER BY lang""")))
+        GROUP BY lang ORDER BY lang""")),
+
+    // ---- X2 applied: DUPLICATED-SPAN REMOVAL (ExactSubstr-style) —
+    // the corpus is CDC-chunked (m=8), every chunk whose digest occurs
+    // more than once corpus-wide is cut from EVERY document, and the
+    // survivors reassemble in chunk order into cleaned text. The
+    // natural synthetic corpus carries real cross-doc duplication
+    // (~1/3 of chunk occurrences at sf0.01 share a digest), so no
+    // planting is needed. Output is one row per document with the md5
+    // of the cleaned text — the oracle replays tokenize → boundary
+    // flags → chunk digests → corpus-wide counts → cut → ordered
+    // reassembly and must reproduce every md5 exactly.
+    QueryDef("q213_dup_span_removal",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Dedup.removeDupChunks(docs, "doc_id", "text", m = 8,
+            maxOccurrences = 1)
+          .select(col("doc_id"), md5(col("clean_text")).as("clean_md5"),
+            col("kept_chunks"), col("cut_chunks"), col("kept_tokens"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, unnest(a) AS tok,
+            unnest(range(0, len(a))) AS pos
+          FROM (SELECT doc_id, string_split(lower(text), ' ') AS a
+            FROM documents)),
+        c AS (SELECT doc_id, tok, pos,
+            COALESCE(sum(CASE WHEN CAST(('0x' || substr(md5(tok
+                || '|cdc'), 1, 8)) AS UBIGINT) % 8 = 0
+              THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id
+              ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING
+              AND 1 PRECEDING), 0) AS chunk
+          FROM t),
+        ch AS (SELECT doc_id, chunk, count(*) AS n_tokens,
+            string_agg(tok, ' ' ORDER BY pos) AS chunk_text,
+            md5(string_agg(tok, ' ' ORDER BY pos)) AS digest
+          FROM c GROUP BY 1, 2),
+        occ AS (SELECT digest, count(*) AS occ FROM ch GROUP BY 1),
+        fl AS (SELECT ch.*, occ.occ > 1 AS cut
+          FROM ch JOIN occ USING (digest)),
+        per AS (SELECT doc_id,
+            md5(COALESCE(string_agg(CASE WHEN NOT cut
+              THEN chunk_text END, ' ' ORDER BY chunk), '')) AS clean_md5,
+            CAST(sum(CASE WHEN NOT cut THEN 1 ELSE 0 END) AS BIGINT)
+              AS kept_chunks,
+            CAST(sum(CASE WHEN cut THEN 1 ELSE 0 END) AS BIGINT)
+              AS cut_chunks,
+            CAST(sum(CASE WHEN NOT cut THEN n_tokens ELSE 0 END)
+              AS BIGINT) AS kept_tokens
+          FROM fl GROUP BY doc_id)
+        SELECT doc_id, clean_md5, kept_chunks, cut_chunks, kept_tokens
+        FROM per ORDER BY doc_id""")))
 }

@@ -313,4 +313,45 @@ class DedupSpec extends SparkSpec {
     // best of {1,2,3} is 2 (quality 30); tie in {8,9} breaks to min id 8
     assert(kept == Set(2L, 7L, 8L))
   }
+
+  test("removeDupChunks cuts every copy of a cross-doc duplicated " +
+    "span, keeps unique docs verbatim, and reassembles in order") {
+    val common = (1 to 100).map(i => s"q${i}z${i % 5}").mkString(" ")
+    val unique = (1 to 60).map(i => s"solo$i").mkString(" ")
+    val docs = Seq(
+      (1L, unique),                                   // no dup anywhere
+      (2L, (1 to 20).map(i => s"b$i").mkString(" ") + " " + common),
+      (3L, common + " " + (1 to 20).map(i => s"e$i").mkString(" ")),
+      (4L, common),                                   // 4≡5: all chunks dup
+      (5L, common)).toDF("doc_id", "text")
+    val out = Dedup.removeDupChunks(docs, "doc_id", "text", m = 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // row-aligned with the input corpus
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    // the unique doc survives verbatim (normalized token stream)
+    assert(out(1L)._1 == unique && out(1L)._3 == 0L)
+    // the shared paragraph's interior chunks are identical in 2 and 3
+    // (CDC shift robustness) and occur >1× corpus-wide → cut from BOTH
+    assert(out(2L)._3 > 0L && out(3L)._3 > 0L)
+    val mid = common.split(" ").slice(30, 60).mkString(" ")
+    assert(!out(2L)._1.contains(mid) && !out(3L)._1.contains(mid))
+    // survivors keep their own unique spans, in original order
+    assert(out(2L)._1.startsWith("b1 b2 "))
+    assert(out(3L)._1.contains("e1") &&
+      out(3L)._1.indexOf("e1") > out(3L)._1.indexOf(
+        out(3L)._1.trim.split(" ").head))
+    // fully-duplicated docs survive as rows with empty text
+    assert(out(4L)._1 == "" && out(4L)._2 == 0L && out(4L)._4 == 0L)
+    // kept+cut partitions the chunk relation exactly
+    val totalChunks = Dedup.cdcChunkDigests(docs, "doc_id", "text", m = 8)
+      .count()
+    assert(out.values.map(v => v._2 + v._3).sum == totalChunks)
+    // raising the occurrence budget to the planted multiplicity keeps
+    // everything: no chunk occurs more than 4 times (common in 2,3,4,5)
+    val lax = Dedup.removeDupChunks(docs, "doc_id", "text", m = 8,
+        maxOccurrences = 4)
+      .agg(sum("cut_chunks")).head().getLong(0)
+    assert(lax == 0L)
+  }
 }

@@ -26,8 +26,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bench {
 
-  private def execute(df: DataFrame): Unit =
+  private def execute(df: DataFrame): Unit = {
     df.write.format("noop").mode("overwrite").save()
+    // operation boundary: each run rebuilds its operator-internal
+    // caches, so release keeps reps independent AND leak-free
+    CacheScope.releaseAll()
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

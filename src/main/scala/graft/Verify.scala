@@ -33,6 +33,9 @@ object Verify {
         try {
           fn(spark, sfDir).coalesce(1).write.mode("overwrite")
             .parquet(s"$outDir/$name")
+          // operation boundary: release operator-internal caches
+          // (BM25 postings, curation stage frames, PQ codebooks)
+          CacheScope.releaseAll()
           System.err.println(
             f"[verify] $name ok ${(System.nanoTime() - t0) / 1e9}%.1fs")
         } catch { case e: Throwable =>

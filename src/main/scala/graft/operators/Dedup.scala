@@ -413,16 +413,24 @@ object Dedup {
       graft.scaleOut(df, blockCols.map(col): _*)
         .select((blockCols.map(col) :+ col(idCol).as("_id") :+
           Native.shingleSet(col(textCol), shingleN).as("_sh")): _*)
-        .filter(col("_sh").isNotNull)
+        // shingleSet returns an EMPTY array (never null) below the
+        // shingle width — filter on size so short docs skip candidate
+        // generation entirely and flow straight to admission (the
+        // documented "no shingle evidence → admitted" contract)
+        .filter(size(col("_sh")) > 0)
         .withColumn("_szb",
           length(bin(greatest(size(col("_sh")), lit(1)).cast("long"))))
     // BOTH shingle frames persist: each feeds two legs (the exploded
     // candidate side and the verify fetch; the batch side also feeds
     // the admission anti-join) — without the cache the corpus
-    // tokenizes twice per call. Fine for the fenced oracle twin; the
-    // 100 TB path keeps corpus signatures as their own table anyway.
-    val bsh = side(batch).persist()
-    val blockers = side(corpus).persist().withColumn("_c", lit(true))
+    // tokenizes twice per call. The frames outlive this call (the
+    // returned admission plan reads them), so they register with
+    // [[graft.CacheScope]]; per-micro-batch callers (the q208
+    // streaming shape) release at each batch commit. The 100 TB path
+    // keeps corpus signatures as their own table anyway.
+    val bsh = graft.CacheScope.persist(side(batch))
+    val blockers = graft.CacheScope.persist(side(corpus))
+      .withColumn("_c", lit(true))
       .unionByName(bsh.withColumn("_c", lit(false)))
     // probe carries its shingle array once; the size-bucket-exploded
     // blocker side ships scalars only (id, origin, size) — the

@@ -337,14 +337,18 @@ object Multimodal {
           require(img != null,
             s"media_id=$id: payload is not a decodable image")
           val (sw, sh) = (img.getWidth, img.getHeight)
-          val dw = math.max(1, sw * num / den)
-          val dh = math.max(1, sh * num / den)
+          // Long arithmetic: sw·num (and x·sw) overflows Int past
+          // ~32k-pixel sources at 2×, yielding negative indices —
+          // the products are exact in Long for any BufferedImage
+          val dw = math.max(1, (sw.toLong * num / den).toInt)
+          val dh = math.max(1, (sh.toLong * num / den).toInt)
           val out = new BufferedImage(dw, dh, BufferedImage.TYPE_INT_RGB)
           var y = 0
           while (y < dh) {
+            val sy = (y.toLong * sh / dh).toInt
             var x = 0
             while (x < dw) {
-              out.setRGB(x, y, img.getRGB(x * sw / dw, y * sh / dh))
+              out.setRGB(x, y, img.getRGB((x.toLong * sw / dw).toInt, sy))
               x += 1
             }
             y += 1

@@ -406,8 +406,9 @@ object Search {
     * move, which also deletes the corpus-sized doc-length join), and a
     * second single pass covers both corpus stats. The naive layout
     * tokenized the corpus four times per query (tf once per consumer,
-    * doc lengths once per consumer); the postings frame persists —
-    * it is query-term-postings sized, bounded at any corpus scale.
+    * doc lengths once per consumer); the postings frame persists via
+    * [[graft.CacheScope]] (query-term-postings sized, bounded at any
+    * corpus scale; released at the caller's operation boundary).
     * Returns (tf = (idCol, dl, token, tf), broadcast 1-row (n, avgdl)). */
   private def termPostings(docs: DataFrame, idCol: String,
                            textCol: String, terms: Seq[String])
@@ -426,10 +427,9 @@ object Search {
       .select(col(idCol), size(col("toks")).cast("long").as("dl"),
         explode_outer(col("toks")).as("token"))
       .filter(col("token").isNotNull)
-    val tf = prune(analyzed)
+    val tf = graft.CacheScope.persist(prune(analyzed)
       .groupBy(col(idCol), col("dl"), col("token"))
-      .agg(count(lit(1)).as("tf"))
-      .persist()
+      .agg(count(lit(1)).as("tf")))
     val stats = broadcast(docs.agg(count(lit(1)).as("n"),
       avg(size(Text.tokens(col(textCol))).cast("long")).as("avgdl")))
     (tf, stats)
@@ -477,12 +477,11 @@ object Search {
     // postings aggregation; the concept postings persist across the
     // df aggregate and the score join
     val (vtf, stats) = termPostings(docs, idCol, textCol, variants)
-    val tf = vtf
+    val tf = graft.CacheScope.persist(vtf
       .select(col(idCol), col("dl"), col("tf"),
         explode(element_at(conceptMap, col("token"))).as("concept"))
       .groupBy(col(idCol), col("dl"), col("concept"))
-      .agg(sum(col("tf")).as("tf"))
-      .persist()
+      .agg(sum(col("tf")).as("tf")))
     val df = tf.groupBy(col("concept"))
       .agg(countDistinct(col(idCol)).as("df"))
     tf.join(broadcast(df), "concept")

@@ -402,10 +402,19 @@ object Similarity {
     // caller (encode pass + query LUT) — uncached, the whole training
     // chain (corpus TakeOrdered init + per-iteration argmax scans)
     // re-ran once per consumer. The frames are m·k rows, bounded at
-    // any corpus size; lineage is kept so eviction just recomputes.
+    // any corpus size. Each generation materializes EAGERLY (count()
+    // on m·k rows is free) so its predecessor can unpersist
+    // in-function; only the returned codebook outlives the loop, and
+    // it registers with [[graft.CacheScope]] for release at the
+    // caller's operation boundary.
     var cents = init.persist()
-    for (_ <- 1 to iters) cents = update(cents, assign(cents)).persist()
-    cents
+    for (_ <- 1 to iters) {
+      val next = update(cents, assign(cents)).persist()
+      next.count()
+      cents.unpersist(false)
+      cents = next
+    }
+    graft.CacheScope.track(cents)
   }
 
   /** Encode every vector as m (subspace → centroid id) codes. */

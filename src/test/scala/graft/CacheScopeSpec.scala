@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Search
+
+class CacheScopeSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "spark shuffle exchange partitions"),
+    (2L, "spark broadcast join strategy"),
+    (3L, "window frames order rows"),
+    (4L, "spark spark spark shuffle")).toDF("doc_id", "text")
+
+  test("operator-internal caches register with CacheScope and a " +
+    "release at the operation boundary drains them; released plans " +
+    "recompute identically (lineage kept)") {
+    CacheScope.releaseAll() // isolate from other suites' leftovers
+    assert(CacheScope.pending == 0)
+    val ranked = Search.rankBm25(corpus, "doc_id", "text", "spark", 3)
+    val before = ranked.collect().toSeq
+    // the BM25 postings frame registered during planning
+    assert(CacheScope.pending > 0)
+    CacheScope.releaseAll()
+    assert(CacheScope.pending == 0)
+    // release is a cache decision, never a semantic one: the SAME lazy
+    // plan re-materializes from lineage with identical rows
+    assert(ranked.collect().toSeq == before)
+    // idempotent
+    CacheScope.releaseAll()
+    assert(CacheScope.pending == 0)
+  }
+
+  test("persist() via CacheScope actually caches (InMemoryRelation in " +
+    "the consumer plan) until released") {
+    CacheScope.releaseAll()
+    // QueryExecution memoizes withCachedData, so probe with a FRESH
+    // identical plan each time (CacheManager matches canonicalized)
+    def probe: String = corpus.groupBy("text")
+      .agg(count(lit(1)).as("n"))
+      .queryExecution.withCachedData.toString
+    CacheScope.persist(corpus.groupBy("text")
+      .agg(count(lit(1)).as("n")))
+    assert(probe.contains("InMemoryRelation"))
+    CacheScope.releaseAll()
+    assert(!probe.contains("InMemoryRelation"))
+  }
+}

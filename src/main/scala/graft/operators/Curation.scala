@@ -271,6 +271,82 @@ object Curation {
       .agg(count(lit(1)).as("docs"), sum(col(unitsCol)).as("units"))
   }
 
+  /** Best-fit-decreasing sequence packing — the non-splitting sibling
+    * of [[packContiguous]]: documents are never cut at context
+    * boundaries; instead each doc goes whole into the open bin with
+    * the LEAST remaining capacity that still fits it (ties → lowest
+    * bin id), docs considered largest-first — the classic BFD bound
+    * (≤ 11/9·OPT + 1), the shape published packing work approximates
+    * by histogram (Krell et al. 2021, "Efficient Sequence Packing
+    * without Cross-contamination" — public prior art). Docs larger
+    * than `budget` open a bin of their own whose negative remainder
+    * is never eligible again.
+    *
+    * Packing is inherently sequential, so the distributed shape bounds
+    * the sequential state instead of pretending there is none: docs
+    * hash into `numSegs` segments per `partCol` group (portable
+    * md5-hash — map-only, engine-replayable, growth-stable), and BFD
+    * runs independently inside each (part, segment) via ONE
+    * `collect_list` + `aggregate` higher-order fold — native Catalyst
+    * expressions end to end (no ScalaUDF, PlanSpec-checked), state =
+    * the bin-remainder array. At 100 TB the caller scales `numSegs`
+    * with the corpus so a segment stays executor-sized (expected
+    * rows/segment = corpus / (parts·numSegs)); cross-segment waste is
+    * bounded by one partially-filled bin per segment. Deterministic
+    * given (salt, budget): the oracle replays every decision with a
+    * recursive CTE.
+    *
+    * Returns one row per doc: (partCol, seg, idCol, bin, unitsCol) —
+    * bin ids are 0-based and scoped to (partCol, seg). `idCol` must be
+    * integral (it rides the fold state as a long). */
+  def packBestFit(df: DataFrame, partCol: String, idCol: String,
+                  unitsCol: String, budget: Long, numSegs: Int = 64,
+                  salt: String = "pack"): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(numSegs > 0, s"numSegs must be positive, got $numSegs")
+    val seg = (graft.operators.Sampling.portableHash(col(idCol), salt)
+      % numSegs).cast("int")
+    // largest-first within the segment: struct sort is lexicographic
+    // ascending, so (-units, id) orders units desc, id asc
+    val sorted = graft.scaleOut(df, col(partCol))
+      .select(col(partCol), seg.as("seg"),
+        col(idCol).cast("long").as("_id"),
+        col(unitsCol).cast("long").as("_u"))
+      .groupBy(col(partCol), col("seg"))
+      .agg(array_sort(collect_list(
+        struct((-col("_u")).as("_nu"), col("_id"), col("_u"))))
+        .as("_docs"))
+    val emptyRems = array().cast("array<bigint>")
+    val emptyAsg = array()
+      .cast("array<struct<id:bigint,bin:int,units:bigint>>")
+    val packed = sorted.select(col(partCol), col("seg"),
+      aggregate(col("_docs"),
+        struct(emptyRems.as("rems"), emptyAsg.as("asg")),
+        (acc, d) => {
+          val rems = acc.getField("rems")
+          val u = d.getField("_u")
+          // best fit: min remainder among bins that fit; 1-based
+          // position, 0 = none fits → open a new bin
+          val elig = filter(rems, r => r >= u)
+          val pos = when(size(elig) > 0,
+            array_position(rems, array_min(elig))).otherwise(lit(0L))
+          val bin = when(pos > 0, pos - 1)
+            .otherwise(size(rems).cast("long")).cast("int")
+          struct(
+            when(pos > 0, transform(rems, (r, i) =>
+              when(i.cast("long") === pos - 1, r - u).otherwise(r)))
+              .otherwise(concat(rems, array(lit(budget) - u)))
+              .as("rems"),
+            concat(acc.getField("asg"), array(struct(
+              d.getField("_id").as("id"), bin.as("bin"),
+              u.as("units")))).as("asg"))
+        }).getField("asg").as("_asg"))
+    packed.select(col(partCol), col("seg"),
+        explode(col("_asg")).as("a"))
+      .select(col(partCol), col("seg"), col("a.id").as(idCol),
+        col("a.bin").as("bin"), col("a.units").as(unitsCol))
+  }
+
   /** The composed end-to-end curation pipeline — one call from raw
     * corpus to export-ready shards, chaining the library's stages in
     * the order a production training-data build runs them:
@@ -298,17 +374,17 @@ object Curation {
     // the repetition-stats pass and the gate join's left side, `kept`
     // both the contamination train side and the anti-join left:
     // without the cache each upstream stage re-evaluates once per
-    // consumer inside the same action (stage 1 would run ~4×). Blocks
-    // are dropped by the ContextCleaner once the frames are
-    // unreachable; a production 100 TB build would instead commit
-    // each stage boundary to the lake and read it back.
-    val deduped = graft.operators.Dedup.dropExactDups(docs, idCol,
-      textCol).persist()
-    val kept = deduped.join(
+    // consumer inside the same action (stage 1 would run ~4×). The
+    // frames outlive this call (the returned plan reads them), so they
+    // register with [[graft.CacheScope]] and are released at the
+    // caller's operation boundary; a production 100 TB build would
+    // instead commit each stage boundary to the lake and read it back.
+    val deduped = graft.CacheScope.persist(
+      graft.operators.Dedup.dropExactDups(docs, idCol, textCol))
+    val kept = graft.CacheScope.persist(deduped.join(
       repetitionStats(deduped, idCol, textCol)
         .filter(gopherGate(cfg)).select(col(idCol)),
-      Seq(idCol), "left_semi")
-      .persist()
+      Seq(idCol), "left_semi"))
     val dirty = contamination(kept, bench, idCol, textCol, contamN)
       .select(col("train_id").as(idCol))
     val clean = kept.join(dirty, Seq(idCol), "left_anti")
@@ -345,19 +421,18 @@ object Curation {
                dsirBuckets: Int = 64, alpha: Double = 0.5,
                targetFrac: Double = 0.5, salt: String = "v3",
                buckets: Int = 8): DataFrame = {
-    val selected = docs.join(
+    val selected = graft.CacheScope.persist(docs.join(
       dsirWeights(docs, idCol, textCol, target, dsirBuckets)
         .filter(col("w") > 0.0).select(col(idCol)),
-      Seq(idCol), "left_semi")
-      .persist()
-    val kept = selected.join(
+      Seq(idCol), "left_semi"))
+    val kept = graft.CacheScope.persist(selected.join(
       repetitionStats(selected, idCol, textCol)
         .filter(gopherGate(cfg)).select(col(idCol)),
-      Seq(idCol), "left_semi")
-      .persist()
+      Seq(idCol), "left_semi"))
     val dirty = contamination(kept, bench, idCol, textCol, contamN)
       .select(col("train_id").as(idCol))
-    val clean = kept.join(dirty, Seq(idCol), "left_anti").persist()
+    val clean = graft.CacheScope.persist(
+      kept.join(dirty, Seq(idCol), "left_anti"))
     val mixed = graft.operators.Sampling.temperatureMixture(
       clean, mixCol, idCol, alpha, targetFrac, salt + "mix")
     graft.operators.Sampling.deterministicShuffle(mixed, idCol, salt,
@@ -530,7 +605,7 @@ object Curation {
     // (counts, totals, scoring) to one, the same stage-boundary move
     // as [[curate]]. tf is postings-sized — far smaller than the
     // exploded stream.
-    val tf = graft.scaleOut(docs, col(idCol))
+    val tf0 = graft.scaleOut(docs, col(idCol))
       .select(col(idCol), label.cast("boolean").as("_lab"),
         Text.tokens(col(textCol)).as("toks"))
       .select(col(idCol), col("_lab"),
@@ -539,7 +614,7 @@ object Curation {
       .filter(col("token").isNotNull)
       .groupBy(col(idCol), col("_lab"), col("dl"), col("token"))
       .agg(count(lit(1)).as("tf"))
-      .persist()
+    val tf = graft.CacheScope.persist(tf0)
     val counts = tf.groupBy(col("token"))
       .agg(sum(when(col("_lab"), col("tf")).otherwise(0L)).as("cpos"),
         sum(when(!col("_lab"), col("tf")).otherwise(0L)).as("cneg"))
@@ -557,6 +632,87 @@ object Curation {
       .select(col(idCol), col("dl"),
         (round(col("_llr"), 4) + lit(0.0)).as("llr"),
         (round(col("_llr") / col("dl"), 4) + lit(0.0)).as("avg_llr"))
+  }
+
+  /** X4/X13: LANGUAGE-ID as a trained multiclass Naive Bayes
+    * classifier — the supervised sibling of the marker-word heuristic
+    * ([[graft.functions.Text.langId]]): real pipelines gate on
+    * detected language before every quality stage, and a trained
+    * model replaces the hand-picked marker lists with whatever the
+    * labeled slice actually separates on. Add-1-smoothed multinomial
+    * NB over whitespace tokens: per-class token counts and doc-count
+    * priors come from the `train` slice; every document (train and
+    * held-out alike) is scored per class as
+    * `ln prior + Σ_t tf_t · (ln(c_{class,t}+1) − ln(tot_class+V))`
+    * over the TRAIN vocabulary (out-of-vocab tokens carry no
+    * evidence), the prediction is the argmax over the 4-dp-ROUNDED
+    * scores with a lexicographic tie-break — rounding BEFORE the
+    * argmax is what makes the decision engine-replayable (two engines
+    * summing doubles in different orders agree on a 4-dp round, and
+    * the tie-break resolves exact rounded ties deterministically).
+    *
+    * Scale shape: one tokenize of the train slice → (class, token)
+    * counts → a per-token class-count MAP (≤ L entries, L = number of
+    * labels); one tokenize of the score side reduced to postings;
+    * the scoring join shuffles on the uniform token key; the L-row
+    * class frame (totals + priors) broadcasts. Per-doc work is
+    * postings × L rows — linear at any corpus size, nothing
+    * corpus-sized on the driver.
+    *
+    * Returns (idCol, predicted_lang, margin): margin = best minus
+    * runner-up rounded score (0.0 when only one class exists) — the
+    * confidence a downstream gate thresholds on. Documents with no
+    * train-vocab token overlap fall back to the prior argmax. */
+  def nbLangId(docs: DataFrame, idCol: String, textCol: String,
+               labelCol: String, train: Column): DataFrame = {
+    val trainDocs = docs.filter(train)
+    // (class, token) counts + per-class totals + doc-count priors;
+    // V rides the 1-row vocab frame and broadcasts with the classes
+    val tok = graft.scaleOut(trainDocs, col(idCol))
+      .select(col(labelCol).as("_cls"),
+        explode(Text.tokens(col(textCol))).as("token"))
+    val counts = tok.groupBy(col("_cls"), col("token"))
+      .agg(count(lit(1)).as("_c"))
+    val tokMap = counts.groupBy(col("token"))
+      .agg(map_from_entries(collect_list(struct(col("_cls"), col("_c"))))
+        .as("_cm"))
+    val classes = trainDocs.groupBy(col(labelCol).as("_cls"))
+      .agg(count(lit(1)).as("_docs"))
+      .join(counts.groupBy("_cls").agg(sum(col("_c")).as("_tot")),
+        Seq("_cls"))
+      .crossJoin(broadcast(tokMap.agg(count(lit(1)).as("_v"))))
+      .crossJoin(broadcast(
+        trainDocs.agg(count(lit(1)).as("_n"))))
+      .select(col("_cls"), col("_tot"), col("_v"),
+        log(col("_docs").cast("double") / col("_n")).as("_prior"))
+    // score-side postings ⋈ vocab map, then one row per (doc, class)
+    val tf = graft.scaleOut(docs, col(idCol))
+      .select(col(idCol), explode(Text.tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("_tf"))
+    val contrib = tf.join(tokMap, Seq("token"))
+      .crossJoin(broadcast(classes))
+      .groupBy(col(idCol), col("_cls"))
+      .agg(sum(col("_tf") *
+        (log(coalesce(element_at(col("_cm"), col("_cls")), lit(0L)) + 1)
+          - log(col("_tot") + col("_v")))).as("_sum"))
+    // every doc × every class, prior-only when no vocab overlap;
+    // round BEFORE the argmax so the decision replays exactly
+    val scored = docs.select(col(idCol))
+      .crossJoin(broadcast(classes.select("_cls", "_prior")))
+      .join(contrib, Seq(idCol, "_cls"), "left")
+      .select(col(idCol), col("_cls"),
+        (round(col("_prior") + coalesce(col("_sum"), lit(0.0)), 4)
+          + lit(0.0)).as("_llr"))
+    scored.groupBy(col(idCol))
+      .agg(sort_array(collect_list(
+        struct((-col("_llr")).as("_nl"), col("_cls")))).as("_a"))
+      .select(col(idCol),
+        col("_a").getItem(0).getField("_cls").as("predicted_lang"),
+        (round(when(size(col("_a")) > 1,
+          col("_a").getItem(1).getField("_nl")
+            - col("_a").getItem(0).getField("_nl"))
+          .otherwise(lit(0.0)), 4) + lit(0.0)).as("margin"))
   }
 
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
@@ -584,7 +740,7 @@ object Curation {
     // the two consumers (bucket distributions, per-doc scoring) share
     // a single corpus tokenize — the [[nbQualityScores]] stage-boundary
     // idiom. `_t` is constant per doc, so it rides the group key free.
-    val feat = graft.scaleOut(docs, col(idCol))
+    val feat0 = graft.scaleOut(docs, col(idCol))
       .select(col(idCol), target.as("_t"),
         explode(Text.tokens(col(textCol))).as("token"))
       .select(col(idCol), col("_t"),
@@ -593,7 +749,7 @@ object Curation {
           .as("b"))
       .groupBy(col(idCol), col("_t"), col("b"))
       .agg(count(lit(1)).as("c"))
-      .persist()
+    val feat = graft.CacheScope.persist(feat0)
     val q = feat.groupBy(col("b")).agg(sum(col("c")).as("qc"),
       sum(when(col("_t"), col("c")).otherwise(0L)).as("pc"))
     val tot = q.agg(sum(col("qc")).as("qtot"), sum(col("pc")).as("ptot"))

@@ -685,9 +685,9 @@ object PipelineQueries {
             .as("sk"))
           .select(explode(col("sk")).as("e"))
           .select(col("e.item").as("token"), col("e.count").as("est"))
-        val exact = toks.groupBy("token")
-          .agg(count(lit(1)).as("tc"))
-          .persist() // vocab-scale; lineage kept → recomputes on loss
+        val exact = graft.CacheScope.persist(toks.groupBy("token")
+          .agg(count(lit(1)).as("tc"))) // vocab-scale; released at the
+          // operation boundary, lineage kept → recomputes on loss
         val nRow = exact.agg(sum("tc").as("n_tokens"))
         val joined = est.join(exact, Seq("token"))
           .crossJoin(broadcast(nRow))
@@ -2025,16 +2025,15 @@ object PipelineQueries {
         // re-evaluates ~4× inside one action. At 100 TB the
         // production-faithful equivalent is committing each stage to
         // the lake; in-process, MEMORY_AND_DISK is the same cut.
-        val cleaned = Curation.dropBoilerplate(corpus, "doc_id", "text",
+        val cleaned = graft.CacheScope.persist(
+          Curation.dropBoilerplate(corpus, "doc_id", "text",
             chunkTokens = 8, maxDocFreq = 3)
           .filter(col("n_kept") > 0)
-          .select(col("doc_id"), col("clean_text").as("text"))
-          .persist()
-        val gated = cleaned.join(
+          .select(col("doc_id"), col("clean_text").as("text")))
+        val gated = graft.CacheScope.persist(cleaned.join(
           Curation.bigramNll(cleaned, "doc_id", "text")
             .filter(col("avg_nll") <= 3.5).select("doc_id"),
-          Seq("doc_id"), "left_semi")
-          .persist()
+          Seq("doc_id"), "left_semi"))
         val dirty = Curation.contamination(gated, bench,
             "doc_id", "text", n = 8)
           .select(col("train_id").as("doc_id"))
@@ -2579,6 +2578,10 @@ object PipelineQueries {
                   threshold = 0.4)
                 graft.sources.Manifest.commitStreamBatch(s, tbl,
                   admitted, "nd", id)
+                // micro-batch boundary: the admission's shingle caches
+                // are per-batch; release so a long-lived stream never
+                // accumulates cached frames across batches
+                graft.CacheScope.releaseAll()
                 ()
             }
             .start().awaitTermination()
@@ -2766,8 +2769,8 @@ object PipelineQueries {
             col("text")))
         val baseD = Dedup.cdcChunkDigests(docs, "doc_id", "text", m = 8)
           .select(col("digest")).distinct()
-        val sh = Dedup.cdcChunkDigests(shifted, "doc_id", "text", m = 8)
-          .persist()
+        val sh = graft.CacheScope.persist(
+          Dedup.cdcChunkDigests(shifted, "doc_id", "text", m = 8))
         val dup = sh.join(baseD, Seq("digest"), "left_semi")
           .groupBy("doc_id").agg(count(lit(1)).as("dc"))
         sh.groupBy("doc_id").agg(count(lit(1)).as("ch"))
@@ -2869,5 +2872,188 @@ object PipelineQueries {
               AS BIGINT) AS kept_tokens
           FROM fl GROUP BY doc_id)
         SELECT doc_id, clean_md5, kept_chunks, cut_chunks, kept_tokens
-        FROM per ORDER BY doc_id""")))
+        FROM per ORDER BY doc_id""")),
+
+    // ---- X4/X13: TRAINED LANGUAGE-ID — multiclass NB over the even
+    // doc_ids (documents.lang is the free training label), scoring
+    // EVERY doc; the oracle replays train counts, smoothing, priors,
+    // the 4-dp score rounding, and the rounded-argmax tie-break, so a
+    // green hash proves the full train→score→decide chain. Rounding
+    // BEFORE the argmax is the replayability move: two engines summing
+    // doubles in different orders still agree on the decision.
+    QueryDef("q214_lang_id_nb",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Curation.nbLangId(docs, "doc_id", "text", "lang",
+            col("doc_id") % 2 === 0)
+          .orderBy("doc_id")
+      },
+      Some("""WITH tr AS (SELECT doc_id, lang, text FROM documents
+          WHERE doc_id % 2 = 0),
+        tt AS (SELECT lang AS cls,
+            unnest(string_split(lower(text), ' ')) AS token FROM tr),
+        cnt AS (SELECT cls, token, count(*) AS c FROM tt GROUP BY 1, 2),
+        vocab AS (SELECT count(DISTINCT token) AS v FROM cnt),
+        classes AS (SELECT p.cls, t.tot, vocab.v,
+            ln(p.docs * 1.0 / (SELECT count(*) FROM tr)) AS prior
+          FROM (SELECT lang AS cls, count(*) AS docs FROM tr
+            GROUP BY 1) p
+          JOIN (SELECT cls, sum(c) AS tot FROM cnt GROUP BY 1) t
+            USING (cls)
+          CROSS JOIN vocab),
+        tf AS (SELECT doc_id, token, count(*) AS tf
+          FROM (SELECT doc_id,
+              unnest(string_split(lower(text), ' ')) AS token
+            FROM documents) GROUP BY 1, 2),
+        voc AS (SELECT DISTINCT token FROM cnt),
+        contrib AS (SELECT tf.doc_id, classes.cls,
+            sum(tf.tf * (ln(COALESCE(cnt.c, 0) + 1)
+              - ln(classes.tot + classes.v))) AS s
+          FROM tf JOIN voc USING (token)
+          CROSS JOIN classes
+          LEFT JOIN cnt ON cnt.token = tf.token
+            AND cnt.cls = classes.cls
+          GROUP BY 1, 2),
+        scored AS (SELECT d.doc_id, classes.cls,
+            round(classes.prior + COALESCE(contrib.s, 0), 4) + 0.0
+              AS llr
+          FROM (SELECT doc_id FROM documents) d
+          CROSS JOIN classes
+          LEFT JOIN contrib ON contrib.doc_id = d.doc_id
+            AND contrib.cls = classes.cls),
+        rk AS (SELECT doc_id, cls, llr,
+            row_number() OVER (PARTITION BY doc_id
+              ORDER BY llr DESC, cls ASC) AS rn
+          FROM scored)
+        SELECT a.doc_id, a.cls AS predicted_lang,
+          round(COALESCE(a.llr - b.llr, 0), 4) + 0.0 AS margin
+        FROM rk a LEFT JOIN rk b
+          ON b.doc_id = a.doc_id AND b.rn = 2
+        WHERE a.rn = 1 ORDER BY a.doc_id""")),
+
+    // ---- the q214 classifier's ACCURACY rollup, split train vs
+    // held-out — the generalization evidence a gate owner reads before
+    // thresholding on the margin. Same replayed chain, aggregated.
+    // On THIS corpus the rollup shows majority-class collapse (~99% en,
+    // ~0% elsewhere): the synthetic generator draws every language's
+    // text from nearly the same token distribution, so the en prior
+    // dominates every score. That is the honest reading a gate owner
+    // needs (reject this model for this corpus); CurationSpec proves
+    // the same operator separates a corpus whose classes actually
+    // differ, so the collapse is a property of the data, not the NB.
+    QueryDef("q215_lang_id_accuracy",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val pred = Curation.nbLangId(docs, "doc_id", "text", "lang",
+          col("doc_id") % 2 === 0)
+        docs.select(col("doc_id"), col("lang"),
+            (col("doc_id") % 2 === 0).as("is_train"))
+          .join(pred, Seq("doc_id"))
+          .groupBy("lang", "is_train")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("predicted_lang") === col("lang"), 1L)
+              .otherwise(0L)).as("correct"))
+          .withColumn("accuracy",
+            round(col("correct").cast("double") / col("n"), 4)
+              + lit(0.0))
+          .orderBy("lang", "is_train")
+      },
+      Some("""WITH tr AS (SELECT doc_id, lang, text FROM documents
+          WHERE doc_id % 2 = 0),
+        tt AS (SELECT lang AS cls,
+            unnest(string_split(lower(text), ' ')) AS token FROM tr),
+        cnt AS (SELECT cls, token, count(*) AS c FROM tt GROUP BY 1, 2),
+        vocab AS (SELECT count(DISTINCT token) AS v FROM cnt),
+        classes AS (SELECT p.cls, t.tot, vocab.v,
+            ln(p.docs * 1.0 / (SELECT count(*) FROM tr)) AS prior
+          FROM (SELECT lang AS cls, count(*) AS docs FROM tr
+            GROUP BY 1) p
+          JOIN (SELECT cls, sum(c) AS tot FROM cnt GROUP BY 1) t
+            USING (cls)
+          CROSS JOIN vocab),
+        tf AS (SELECT doc_id, token, count(*) AS tf
+          FROM (SELECT doc_id,
+              unnest(string_split(lower(text), ' ')) AS token
+            FROM documents) GROUP BY 1, 2),
+        voc AS (SELECT DISTINCT token FROM cnt),
+        contrib AS (SELECT tf.doc_id, classes.cls,
+            sum(tf.tf * (ln(COALESCE(cnt.c, 0) + 1)
+              - ln(classes.tot + classes.v))) AS s
+          FROM tf JOIN voc USING (token)
+          CROSS JOIN classes
+          LEFT JOIN cnt ON cnt.token = tf.token
+            AND cnt.cls = classes.cls
+          GROUP BY 1, 2),
+        scored AS (SELECT d.doc_id, classes.cls,
+            round(classes.prior + COALESCE(contrib.s, 0), 4) + 0.0
+              AS llr
+          FROM (SELECT doc_id FROM documents) d
+          CROSS JOIN classes
+          LEFT JOIN contrib ON contrib.doc_id = d.doc_id
+            AND contrib.cls = classes.cls),
+        pred AS (SELECT doc_id, cls AS predicted_lang FROM (
+            SELECT doc_id, cls, row_number() OVER (PARTITION BY doc_id
+              ORDER BY llr DESC, cls ASC) AS rn
+            FROM scored) WHERE rn = 1)
+        SELECT d.lang, d.doc_id % 2 = 0 AS is_train,
+          count(*) AS n,
+          CAST(sum(CASE WHEN p.predicted_lang = d.lang
+            THEN 1 ELSE 0 END) AS BIGINT) AS correct,
+          round(sum(CASE WHEN p.predicted_lang = d.lang
+            THEN 1.0 ELSE 0 END) / count(*), 4) + 0.0 AS accuracy
+        FROM documents d JOIN pred p USING (doc_id)
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ---- X10: BEST-FIT-DECREASING packing — the non-splitting sibling
+    // of q78's contiguous packing. The oracle replays every packing
+    // decision (hash segmentation, largest-first order, least-fitting-
+    // remainder choice, lowest-index tie-break, new-bin fallback) with
+    // a recursive CTE whose state is the bin-remainder list — a green
+    // hash proves the full sequential fold, not just the rollup.
+    // DuckDB lambda indexes are 1-based (Spark's transform index is
+    // 0-based); both sides compare against the SAME 1-based
+    // array_position.
+    QueryDef("q216_pack_bestfit",
+      (s, dir) => Curation.packBestFit(
+          Tables.load(s, dir, "documents"), "lang", "doc_id", "n_chars",
+          4096L, numSegs = 4, salt = "pack")
+        .orderBy("lang", "seg", "bin", "doc_id"),
+      Some("""WITH RECURSIVE segd AS (
+          SELECT lang, doc_id, n_chars,
+            CAST(CAST(('0x' || substr(md5(doc_id || '|pack'), 1, 8))
+              AS UBIGINT) % 4 AS INT) AS seg
+          FROM documents),
+        ranked AS (
+          SELECT lang, seg, doc_id, n_chars,
+            row_number() OVER (PARTITION BY lang, seg
+              ORDER BY n_chars DESC, doc_id) AS rn
+          FROM segd),
+        pack AS (
+          SELECT lang, seg, CAST(0 AS BIGINT) AS rn,
+            CAST([] AS BIGINT[]) AS rems,
+            CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS INT) AS bin,
+            CAST(NULL AS BIGINT) AS units
+          FROM (SELECT DISTINCT lang, seg FROM ranked)
+          UNION ALL
+          SELECT r.lang, r.seg, r.rn,
+            CASE WHEN coalesce(list_position(p.rems,
+                list_min(list_filter(p.rems, x -> x >= r.n_chars))), 0)
+                > 0
+              THEN list_transform(p.rems, (x, i) -> CASE WHEN i =
+                list_position(p.rems, list_min(list_filter(p.rems,
+                  x2 -> x2 >= r.n_chars)))
+                THEN x - r.n_chars ELSE x END)
+              ELSE list_append(p.rems, 4096 - r.n_chars) END,
+            r.doc_id,
+            CAST(CASE WHEN coalesce(list_position(p.rems,
+                list_min(list_filter(p.rems, x -> x >= r.n_chars))), 0)
+                > 0
+              THEN list_position(p.rems, list_min(list_filter(p.rems,
+                x -> x >= r.n_chars))) - 1
+              ELSE len(p.rems) END AS INT),
+            r.n_chars
+          FROM pack p JOIN ranked r ON r.lang = p.lang
+            AND r.seg = p.seg AND r.rn = p.rn + 1)
+        SELECT lang, seg, doc_id, bin, units AS n_chars
+        FROM pack WHERE rn > 0 ORDER BY lang, seg, bin, doc_id""")))
 }

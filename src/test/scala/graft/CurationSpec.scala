@@ -260,4 +260,74 @@ class CurationSpec extends SparkSpec {
     assert(w(1L) == w(4L),
       "same token bag ⇒ same weight, labels must not leak")
   }
+
+  test("nbLangId separates a separable corpus: held-out docs classify " +
+    "by their class's vocabulary, OOV-only docs fall back to the " +
+    "prior argmax, margins are non-negative") {
+    // vocabularies barely overlap; train = even ids, score all
+    val docs = Seq(
+      (0L, "en", "the cat sat on the mat with the dog"),
+      (2L, "en", "the dog and the cat ran to the house"),
+      (4L, "en", "a cat a dog a house the mat"),
+      (1L, "en", "the cat and the dog sat on a mat"),      // held-out
+      (10L, "de", "der hund und die katze im haus"),
+      (12L, "de", "die katze und der hund am haus"),
+      (14L, "de", "der die und das haus katze hund"),
+      (11L, "de", "die katze der hund und das haus"),      // held-out
+      (21L, "en", "zzz qqq www"))  // OOV-only → prior argmax
+      .toDF("doc_id", "lang", "text")
+    val pred = Curation.nbLangId(docs, "doc_id", "text", "lang",
+        col("doc_id") % 2 === 0)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getDouble(2))).toMap
+    assert(pred.keySet == docs.select("doc_id").as[Long].collect().toSet)
+    // held-out docs classify correctly on a separable corpus
+    assert(pred(1L)._1 == "en" && pred(11L)._1 == "de",
+      s"held-out misclassified: $pred")
+    Seq(0L, 2L, 4L).foreach(i => assert(pred(i)._1 == "en"))
+    Seq(10L, 12L, 14L).foreach(i => assert(pred(i)._1 == "de"))
+    // no vocab overlap → the prior decides (both classes have 3 train
+    // docs → exact rounded tie → lexicographic tie-break picks "de")
+    assert(pred(21L)._1 == "de", s"OOV fallback: ${pred(21L)}")
+    assert(pred(21L)._2 == 0.0)
+    pred.values.foreach { case (_, m) => assert(m >= 0.0) }
+  }
+
+  test("packBestFit: every doc packed exactly once, no bin over budget " +
+    "(except a single oversized doc), and bin count beats or equals the " +
+    "arrival-order next-fit baseline (the fill-rate claim)") {
+    val budget = 100L
+    // sizes chosen so decreasing best-fit genuinely repacks: next-fit
+    // in id order wastes tails; includes one oversized doc (140)
+    val sizes = Seq(60L, 55L, 45L, 40L, 35L, 30L, 25L, 20L, 15L, 10L,
+      140L, 5L)
+    val docs = sizes.zipWithIndex
+      .map { case (u, i) => (i.toLong, "g", u) }
+      .toDF("doc_id", "grp", "units")
+    val asg = Curation.packBestFit(docs, "grp", "doc_id", "units",
+        budget, numSegs = 1, salt = "t")
+      .collect().map(r => (r.getLong(2), r.getInt(3), r.getLong(4)))
+    // exactly once
+    assert(asg.map(_._1).sorted.toSeq == sizes.indices.map(_.toLong))
+    // bin loads: only the oversized doc's bin may exceed budget, alone
+    val loads = asg.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    for ((bin, load) <- loads if load > budget)
+      assert(asg.filter(_._2 == bin).map(_._3).toSeq == Seq(140L),
+        s"over-budget bin $bin not a lone oversized doc")
+    // arrival-order next-fit baseline (close the bin when the next doc
+    // doesn't fit): BFD must use no more bins ⇒ fill ≥ baseline
+    val nextFit = sizes.foldLeft((0, 0L)) { case ((bins, rem), u) =>
+      if (u <= rem) (bins, rem - u)
+      else (bins + 1, (budget - u).max(0L))
+    }._1
+    assert(loads.size <= nextFit,
+      s"BFD ${loads.size} bins vs next-fit $nextFit")
+    // and on this corpus it strictly improves
+    assert(loads.size < nextFit)
+    // deterministic: a second run packs identically
+    val again = Curation.packBestFit(docs, "grp", "doc_id", "units",
+        budget, numSegs = 1, salt = "t")
+      .collect().map(r => (r.getLong(2), r.getInt(3), r.getLong(4)))
+    assert(again.sortBy(_._1).toSeq == asg.sortBy(_._1).toSeq)
+  }
 }

@@ -397,7 +397,20 @@ object Dedup {
     * for banded MinHash keys against a persisted corpus signature
     * table (the recall-for-cost trade q43 documents) — same verify,
     * same admission rule — so the fence refuses degenerate batches.
-    * Returns the admitted batch rows, all columns intact. */
+    * Returns the admitted batch rows, all columns intact.
+    *
+    * CONCURRENCY CONTRACT: admission is read-committed against the
+    * corpus snapshot the caller passes — the manifest CAS serializes
+    * the COMMITS, but nothing re-validates the admission predicate at
+    * commit time, so two writers admitting concurrently into the same
+    * table (each reading the pre-both snapshot) can each admit docs
+    * that are mutual near-dups (DedupSpec pins this). Deploy ONE
+    * admitting writer per curated table — the q208 AvailableNow drain
+    * serializes micro-batches by construction — and scale ingest by
+    * sharding batches WITHIN that writer (blockCols bound the work),
+    * not by adding writers; a multi-writer deployment needs a post-hoc
+    * reconciliation pass (run [[nearDupPairsMinhash]] over the merged
+    * admissions of the conflicting window). */
   def incrementalNewNearDup(batch: DataFrame, corpus: DataFrame,
                             idCol: String, textCol: String,
                             blockCols: Seq[String] = Nil,

@@ -120,7 +120,14 @@ object Ingest {
     *     ()
     *   }
     * }}}
-    * Returns (table version, quarantine version). */
+    * Returns (table version, quarantine version).
+    *
+    * Single-writer contract: exactly-once replay healing assumes ONE
+    * stream owns each (table, queryId) mark — same contract as the
+    * near-dup admission shape ([[graft.operators.Dedup
+    * .incrementalNewNearDup]]): content-dependent admission predicates
+    * evaluate against the snapshot read BEFORE the commit, and the
+    * manifest CAS serializes commits without re-validating them. */
   def streamBatchWithQuarantine(spark: SparkSession, root: String,
                                 df: DataFrame, quarantineRoot: String,
                                 queryId: String, batchId: Long,

@@ -234,6 +234,50 @@ class DedupSpec extends SparkSpec {
     assert(adB == Set(10L))
   }
 
+  test("concurrent-admission contract: two writers admitting against " +
+    "the same corpus snapshot both admit mutual near-dups (the manifest " +
+    "CAS serializes commits, not the admission predicate); the " +
+    "single-writer schedule excludes the later one") {
+    import graft.sources.Manifest
+    val x = (1 to 14).map(i => s"x$i").mkString(" ")
+    val y = x + " z1" // 12∩13 shingles → jaccard ≈ .92 ≥ .8 vs x
+    def fresh(): String = {
+      val tbl = "file://" + java.nio.file.Files
+        .createTempDirectory("graft-adm").toString + "/curated"
+      Manifest.init(spark, tbl, Seq((1L,
+        "completely unrelated corpus text about catalyst plans and " +
+        "shuffles")).toDF("doc_id", "text"))
+      tbl
+    }
+    def admit(tbl: String, id: Long, text: String) =
+      Dedup.incrementalNewNearDup(Seq((id, text)).toDF("doc_id", "text"),
+          Manifest.read(spark, tbl), "doc_id", "text", threshold = 0.8)
+        .as[(Long, String)].collect().toSeq
+    // CONCURRENT shape: both writers compute admission against the
+    // pre-both snapshot (materialized BEFORE either commit), then the
+    // CAS layer serializes the two commits — both land
+    val t1 = fresh()
+    val admA = admit(t1, 100L, x)
+    val admB = admit(t1, 200L, y)
+    assert(admA.map(_._1) == Seq(100L) && admB.map(_._1) == Seq(200L))
+    Manifest.commitStreamBatch(spark, t1, admA.toDF("doc_id", "text"),
+      "s1", 0L)
+    Manifest.commitStreamBatch(spark, t1, admB.toDF("doc_id", "text"),
+      "s2", 0L)
+    val ids = Manifest.read(spark, t1)
+      .select("doc_id").as[Long].collect().toSet
+    // the pinned caveat: mutual near-dups BOTH admitted under
+    // concurrent writers — hence the documented single-writer contract
+    assert(ids == Set(1L, 100L, 200L))
+    // SINGLE-WRITER schedule: the second admission reads the first's
+    // commit and excludes the near-dup
+    val t2 = fresh()
+    Manifest.commitStreamBatch(spark, t2,
+      admit(t2, 100L, x).toDF("doc_id", "text"), "s1", 0L)
+    assert(admit(t2, 200L, y).isEmpty)
+    CacheScope.releaseAll()
+  }
+
   test("blocked jaccard two-level size buckets do not lose " +
     "cross-bucket pairs") {
     // A ⊂ B with |A|=12, |B|=22 shingles: jaccard 12/22 ≈ 0.545 ≥ 0.5

@@ -81,19 +81,36 @@ object Dedup {
   def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
                             shingleN: Int = 3, numHashes: Int = 64,
                             bands: Int = 16): DataFrame = {
-    val banded = graft.scaleOut(df)
-      .select(col(idCol).as("doc"),
-        Native.minhashBands(col(textCol), shingleN, numHashes, bands)
-          .as("bkeys"))
-      .select(col("doc"), posexplode_outer(col("bkeys")))
-      .toDF("doc", "band", "bkey")
-      .filter(col("bkey").isNotNull)
+    val banded = bandSignatureTable(df, idCol, textCol, Nil, shingleN,
+      numHashes, bands)
     val a = banded.select(col("band"), col("bkey"), col("doc").as("id_a"))
     val b = banded.select(col("band"), col("bkey"), col("doc").as("id_b"))
     a.join(b, Seq("band", "bkey"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
   }
+
+  /** The persisted SIGNATURE-TABLE shape of LSH banding — one row per
+    * (doc, band) with the band's hash key, plus any blocking columns:
+    * the relation a 100 TB continual-ingestion deployment keeps as its
+    * own bucketed table so nightly admission never rescans corpus
+    * text ([[incrementalNewNearDupBanded]] consumes it; append each
+    * admitted batch's rows to keep it current). Map-only: the fused
+    * native signature+banding expression computes keys in one pass per
+    * row, the explode is 'bands' rows per doc. Docs below the shingle
+    * width yield no rows (null signature) — no shingle evidence, so
+    * they can never block or be blocked. */
+  def bandSignatureTable(df: DataFrame, idCol: String, textCol: String,
+                         blockCols: Seq[String] = Nil, shingleN: Int = 3,
+                         numHashes: Int = 64, bands: Int = 16): DataFrame =
+    graft.scaleOut(df)
+      .select((blockCols.map(col) :+ col(idCol).as("doc") :+
+        Native.minhashBands(col(textCol), shingleN, numHashes, bands)
+          .as("bkeys")): _*)
+      .select((blockCols.map(col) :+ col("doc") :+
+        posexplode_outer(col("bkeys"))): _*)
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+      .filter(col("bkey").isNotNull)
 
   /** Exact Jaccard over distinct shingle sets. */
   def jaccard(a: Column, b: Column): Column =
@@ -463,6 +480,87 @@ object Dedup {
     val blockedIds = cand
       .join(blockers.select(col("_id").as("_pid"), col("_c"),
         col("_sh").as("_psh")), Seq("_pid", "_c"))
+      .filter(jaccard(col("_sh"), col("_psh")) >= threshold)
+      .select(col("_id").as(idCol)).distinct()
+    batch.join(blockedIds, Seq(idCol), "left_anti")
+  }
+
+  /** X11 SCALE PATH: the banded-MinHash incremental admission that
+    * [[incrementalNewNearDup]]'s Scaladoc names as its 100 TB swap —
+    * now real and measured (SCALING.md) instead of documented. Same
+    * admission rule (a batch row is admitted iff no corpus doc and no
+    * smaller-id batch doc verifies ≥ `threshold` exact Jaccard; docs
+    * below the shingle width carry no evidence and are admitted), but
+    * candidate generation comes from LSH band-key equality against a
+    * signature table instead of size-bucket enumeration: candidates =
+    * batch band keys ⋈ corpus signatures ∪ batch self-join, then exact
+    * Jaccard verify over shingle sets fetched for candidates only.
+    *
+    * Pass `corpusSigs` = the persisted [[bandSignatureTable]] relation
+    * (same blockCols/shingleN/numHashes/bands) to skip re-signing the
+    * corpus — the production shape: signatures live as their own
+    * bucketed table, appended per admitted batch, and the corpus is
+    * touched only to fetch candidate texts (id-keyed, broadcast-prunable
+    * — candidate sets are tiny next to the corpus). No quadratic stage
+    * and no fence: band keys are the shuffle key (uniform unless the
+    * corpus is pathologically single-valued, where any LSH degrades to
+    * its true duplicate structure).
+    *
+    * The recall trade vs the exact sibling: banding can MISS marginal
+    * pairs (pair-candidate probability 1-(1-s^r)^b), so the banded
+    * admission is a SUPERSET of the exact admission — it never falsely
+    * blocks (every block is exact-verified) but may admit a doc the
+    * exact rule blocks. q217 gates that containment plus equality on
+    * the planted corpus; DedupSpec pins both directions. */
+  def incrementalNewNearDupBanded(batch: DataFrame, corpus: DataFrame,
+                                  idCol: String, textCol: String,
+                                  blockCols: Seq[String] = Nil,
+                                  shingleN: Int = 3,
+                                  threshold: Double = 0.5,
+                                  numHashes: Int = 64, bands: Int = 16,
+                                  corpusSigs: Option[DataFrame] = None)
+      : DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    // batch signatures feed the corpus-candidate join and both sides
+    // of the self-join; registered with CacheScope (the returned
+    // admission plan reads them — callers release at the operation
+    // boundary, per-micro-batch in the streaming shape)
+    val bsig = graft.CacheScope.persist(bandSignatureTable(batch,
+      idCol, textCol, blockCols, shingleN, numHashes, bands))
+    val csig = corpusSigs.getOrElse(bandSignatureTable(corpus,
+      idCol, textCol, blockCols, shingleN, numHashes, bands))
+    val keys = blockCols ++ Seq("band", "bkey")
+    def probe(sig: DataFrame) = sig.withColumnRenamed("doc", "_id")
+    def blocker(sig: DataFrame) = sig.withColumnRenamed("doc", "_pid")
+    // origin tag rides the candidate so the text fetch can't cross
+    // id spaces (batch and corpus ids may collide numerically)
+    val cand = probe(bsig).join(blocker(csig), keys)
+      .select(col("_id"), col("_pid")).withColumn("_c", lit(true))
+      .unionByName(probe(bsig).join(blocker(bsig), keys)
+        .filter(col("_pid") < col("_id"))
+        .select(col("_id"), col("_pid")).withColumn("_c", lit(false)))
+      .distinct()
+    val bsh = graft.CacheScope.persist(
+      shingleSets(batch, idCol, textCol, shingleN))
+    // candidate texts fetched BY ID, shingled post-join — the corpus
+    // is never shingled corpus-wide on this path
+    val blockerTexts = corpus
+      .select(col(idCol).as("_pid"), col(textCol).as("_ptxt"))
+      .withColumn("_c", lit(true))
+      .unionByName(batch
+        .select(col(idCol).as("_pid"), col(textCol).as("_ptxt"))
+        .withColumn("_c", lit(false)))
+    val blockedIds = cand
+      .join(bsh.select(col("doc").as("_id"), col("sh").as("_sh")),
+        Seq("_id"))
+      .join(blockerTexts, Seq("_pid", "_c"))
+      .withColumn("_psh", Native.shingleSet(col("_ptxt"), shingleN))
+      .filter(size(col("_sh")) > 0 && size(col("_psh")) > 0)
+      // the cheap size-ratio prune before the expensive intersect
+      .filter(least(size(col("_sh")), size(col("_psh"))).cast("double")
+        / greatest(size(col("_sh")), size(col("_psh"))).cast("double")
+        >= threshold)
       .filter(jaccard(col("_sh"), col("_psh")) >= threshold)
       .select(col("_id").as(idCol)).distinct()
     batch.join(blockedIds, Seq(idCol), "left_anti")

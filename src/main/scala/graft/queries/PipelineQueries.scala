@@ -3055,5 +3055,70 @@ object PipelineQueries {
           FROM pack p JOIN ranked r ON r.lang = p.lang
             AND r.seg = p.seg AND r.rn = p.rn + 1)
         SELECT lang, seg, doc_id, bin, units AS n_chars
-        FROM pack WHERE rn > 0 ORDER BY lang, seg, bin, doc_id""")))
+        FROM pack WHERE rn > 0 ORDER BY lang, seg, bin, doc_id""")),
+
+    // ---- X11 SCALE PATH, measured: q207's admission rerun through the
+    // banded-MinHash signature-table plan (incrementalNewNearDupBanded
+    // + a persisted bandSignatureTable — the swap the exact operator's
+    // Scaladoc names for 100 TB). The query runs BOTH paths: the
+    // banded rollup is the hashed output, the oracle replays the EXACT
+    // admission (q207's SQL) — so a green hash proves banded == exact
+    // on this corpus (its near-pairs are high-similarity, where the
+    // 16-band candidate probability is ~1), and `exact_subset_ok`
+    // additionally pins the direction that holds at ANY recall: banding
+    // never falsely blocks (every block is exact-verified), so the
+    // exact admission is contained in the banded one.
+    QueryDef("q217_incremental_neardup_banded",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val batch = docs.filter(col("doc_id") % 3 =!= 0)
+        val corpus = docs.filter(col("doc_id") % 3 === 0)
+        val sigs = Dedup.bandSignatureTable(corpus, "doc_id", "text",
+          Seq("lang", "source"))
+        val banded = Dedup.incrementalNewNearDupBanded(batch, corpus,
+          "doc_id", "text", blockCols = Seq("lang", "source"),
+          shingleN = 3, threshold = 0.4, corpusSigs = Some(sigs))
+        val exact = Dedup.incrementalNewNearDup(batch, corpus,
+          "doc_id", "text", blockCols = Seq("lang", "source"),
+          shingleN = 3, threshold = 0.4)
+        val escaped = exact.select("doc_id")
+          .join(banded.select("doc_id"), Seq("doc_id"), "left_anti")
+        banded.groupBy("lang")
+          .agg(count(lit(1)).as("n"),
+            sum("n_chars").as("sum_chars"),
+            min("doc_id").as("first_id"))
+          .crossJoin(broadcast(escaped.agg(
+            (count(lit(1)) === 0).as("exact_subset_ok"))))
+          .orderBy("lang")
+      },
+      Some("""WITH sh AS (SELECT doc_id, lang, source,
+            CASE WHEN len(toks) >= 3 THEN list_distinct(
+              [array_to_string(toks[i:i+2], ' ')
+                for i in range(1, len(toks) - 1)])
+            ELSE [] END AS s
+          FROM (SELECT doc_id, lang, source,
+              string_split(lower(text), ' ') AS toks FROM documents)),
+        b AS (SELECT * FROM sh
+          WHERE doc_id % 3 <> 0 AND len(s) > 0),
+        c AS (SELECT * FROM sh
+          WHERE doc_id % 3 = 0 AND len(s) > 0),
+        bc AS (SELECT DISTINCT b.doc_id FROM b JOIN c
+            ON b.lang = c.lang AND b.source = c.source
+          WHERE CAST(len(list_intersect(b.s, c.s)) AS DOUBLE)
+            / CAST(len(list_distinct(list_concat(b.s, c.s)))
+              AS DOUBLE) >= 0.4),
+        bb AS (SELECT DISTINCT hi.doc_id FROM b hi JOIN b lo
+            ON hi.lang = lo.lang AND hi.source = lo.source
+              AND lo.doc_id < hi.doc_id
+          WHERE CAST(len(list_intersect(hi.s, lo.s)) AS DOUBLE)
+            / CAST(len(list_distinct(list_concat(hi.s, lo.s)))
+              AS DOUBLE) >= 0.4)
+        SELECT lang, count(*) AS n,
+          CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+          min(doc_id) AS first_id, true AS exact_subset_ok
+        FROM documents
+        WHERE doc_id % 3 <> 0
+          AND doc_id NOT IN (SELECT doc_id FROM bc)
+          AND doc_id NOT IN (SELECT doc_id FROM bb)
+        GROUP BY lang ORDER BY lang""")))
 }

@@ -234,6 +234,41 @@ class DedupSpec extends SparkSpec {
     assert(adB == Set(10L))
   }
 
+  test("banded incremental admission matches the exact twin on planted " +
+    "near-dups, via the persisted signature table, and never falsely " +
+    "blocks (exact-admitted ⊆ banded-admitted)") {
+    val c = (1 to 14).map(i => s"c$i").mkString(" ")
+    val d = (1 to 14).map(i => s"d$i").mkString(" ")
+    val corpus = Seq((1L, c), (2L, d)).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, c),                                        // exact corpus dup
+      (11L, s"$d z1 z2"),                              // j≈.857 vs corpus
+      (12L, s"$d z1 z2 z3 z4"),          // blocked via lower-id 11 only
+      (13L, (1 to 14).map(i => s"n$i").mkString(" ")), // fresh
+      (14L, (1 to 14).map(i => s"n$i").mkString(" ") + " z9 z10"),
+      (15L, "too short"))                // no shingle evidence → admitted
+      .toDF("doc_id", "text")
+    val exact = Dedup.incrementalNewNearDup(batch, corpus,
+        "doc_id", "text", threshold = 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    val banded = Dedup.incrementalNewNearDupBanded(batch, corpus,
+        "doc_id", "text", threshold = 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    // high-sim planted pairs: 16-band candidate probability ≈ 1, so
+    // the banded admission reproduces the exact one outright
+    assert(banded == exact && banded == Set(13L, 15L))
+    // the direction that holds at ANY recall
+    assert(exact.subsetOf(banded))
+    // production shape: admission against the PERSISTED signature
+    // table is the same plan (corpus text touched only for candidates)
+    val sigs = Dedup.bandSignatureTable(corpus, "doc_id", "text")
+    val viaTable = Dedup.incrementalNewNearDupBanded(batch, corpus,
+        "doc_id", "text", threshold = 0.8, corpusSigs = Some(sigs))
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaTable == banded)
+    CacheScope.releaseAll()
+  }
+
   test("concurrent-admission contract: two writers admitting against " +
     "the same corpus snapshot both admit mutual near-dups (the manifest " +
     "CAS serializes commits, not the admission predicate); the " +

@@ -3120,5 +3120,104 @@ object PipelineQueries {
         WHERE doc_id % 3 <> 0
           AND doc_id NOT IN (SELECT doc_id FROM bc)
           AND doc_id NOT IN (SELECT doc_id FROM bb)
+        GROUP BY lang ORDER BY lang""")),
+
+    // ---- R/X11: q208's streaming curation in its 100 TB deployment
+    // shape — banded admission against COLUMNAR signatures the stream
+    // itself maintains: the curated table carries a `bkeys` band-key
+    // column stamped at admission (map-only native expression), so each
+    // micro-batch reads signatures as a column-pruned projection of the
+    // table it already trusts, generates candidates by band-key join,
+    // fetches corpus TEXT only for candidates, and lands ONE
+    // exactly-once commit (a separate signature table was measured at
+    // 2.5× this cost at sf0.1 — its extra per-batch commits dominate
+    // small waves; columnar signatures make the sf1 crossover free,
+    // SCALING.md). Single-writer, per the admission contract. The
+    // oracle is q208's exact two-wave fixpoint replay, so a green hash
+    // proves the banded deployment reproduces the exact streaming
+    // admission end to end.
+    QueryDef("q218_stream_neardup_banded",
+      (s, dir) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_sndb").toString
+        val tbl = "file://" + root + "/curated"
+        val docs = Tables.load(s, dir, "documents")
+        val cut = docs.agg(max("doc_id")).head().getLong(0) / 2
+        def stamp(d: org.apache.spark.sql.DataFrame) =
+          d.withColumn("bkeys", graft.functions.Native
+            .minhashBands(col("text"), 3, 64, 16))
+        graft.sources.Manifest.init(s, tbl,
+          stamp(docs.filter(col("doc_id") % 3 === 0)))
+        val schema = docs.schema
+        def drain(): Unit =
+          graft.streaming.IngestStream
+            .rawStream(s, s"$root/raw", schema, "parquet",
+              maxFilesPerTrigger = 100000)
+            .writeStream
+            .option("checkpointLocation", s"$root/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger
+              .AvailableNow())
+            .foreachBatch {
+              (b: org.apache.spark.sql.DataFrame, id: Long) =>
+                val cur = graft.sources.Manifest.read(s, tbl)
+                val admitted = Dedup.incrementalNewNearDupBanded(b,
+                  cur, "doc_id", "text",
+                  blockCols = Seq("lang", "source"), shingleN = 3,
+                  threshold = 0.4,
+                  corpusSigs = Some(Dedup.explodeBandKeys(cur,
+                    "doc_id", "bkeys", Seq("lang", "source"))))
+                graft.sources.Manifest.commitStreamBatch(s, tbl,
+                  stamp(admitted), "ndb", id)
+                graft.CacheScope.releaseAll()
+                ()
+            }
+            .start().awaitTermination()
+        docs.filter(col("doc_id") % 3 =!= 0 && col("doc_id") <= cut)
+          .write.mode("append").parquet(s"$root/raw")
+        drain()
+        docs.filter(col("doc_id") % 3 =!= 0 && col("doc_id") > cut)
+          .write.mode("append").parquet(s"$root/raw")
+        drain()
+        graft.sources.Manifest.read(s, tbl).groupBy("lang")
+          .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"))
+          .orderBy("lang")
+      },
+      Some("""WITH sh AS (SELECT doc_id, lang, source,
+            CASE WHEN len(toks) >= 3 THEN list_distinct(
+              [array_to_string(toks[i:i+2], ' ')
+                for i in range(1, len(toks) - 1)])
+            ELSE [] END AS s
+          FROM (SELECT doc_id, lang, source,
+              string_split(lower(text), ' ') AS toks FROM documents)),
+        np AS (SELECT x.doc_id AS id_x, y.doc_id AS id_y
+          FROM sh x JOIN sh y
+            ON x.lang = y.lang AND x.source = y.source
+              AND x.doc_id <> y.doc_id
+          WHERE len(x.s) > 0 AND len(y.s) > 0
+            AND CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+              / CAST(len(list_distinct(list_concat(x.s, y.s)))
+                AS DOUBLE) >= 0.4),
+        cut AS (SELECT max(doc_id) // 2 AS v FROM documents),
+        c0 AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+        w1 AS (SELECT doc_id FROM documents
+          WHERE doc_id % 3 <> 0 AND doc_id <= (SELECT v FROM cut)),
+        a1 AS (SELECT w1.doc_id FROM w1 WHERE NOT EXISTS (
+          SELECT 1 FROM np WHERE np.id_x = w1.doc_id
+            AND (np.id_y IN (SELECT doc_id FROM c0)
+              OR (np.id_y IN (SELECT doc_id FROM w1)
+                AND np.id_y < w1.doc_id)))),
+        c1 AS (SELECT doc_id FROM c0 UNION ALL SELECT doc_id FROM a1),
+        w2 AS (SELECT doc_id FROM documents
+          WHERE doc_id % 3 <> 0 AND doc_id > (SELECT v FROM cut)),
+        a2 AS (SELECT w2.doc_id FROM w2 WHERE NOT EXISTS (
+          SELECT 1 FROM np WHERE np.id_x = w2.doc_id
+            AND (np.id_y IN (SELECT doc_id FROM c1)
+              OR (np.id_y IN (SELECT doc_id FROM w2)
+                AND np.id_y < w2.doc_id)))),
+        fin AS (SELECT doc_id FROM c1 UNION ALL
+          SELECT doc_id FROM a2)
+        SELECT lang, count(*) AS n,
+          CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents JOIN fin USING (doc_id)
         GROUP BY lang ORDER BY lang""")))
 }

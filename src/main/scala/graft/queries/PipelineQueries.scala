@@ -3012,16 +3012,26 @@ object PipelineQueries {
     // hash proves the full sequential fold, not just the rollup.
     // DuckDB lambda indexes are 1-based (Spark's transform index is
     // 0-based); both sides compare against the SAME 1-based
-    // array_position.
+    // array_position. numSegs scales WITH the corpus (max(4, n/1250) —
+    // the operator contract: constant ~250-doc segments at any scale),
+    // and the oracle replays the formula; the first parameterization
+    // pinned numSegs=4 and the sf1 scaling run caught it at 306 s
+    // (2,500-doc segments make the sequential fold quadratic) — scaled
+    // segments bring the same corpus to ~3 s (SCALING.md).
     QueryDef("q216_pack_bestfit",
-      (s, dir) => Curation.packBestFit(
-          Tables.load(s, dir, "documents"), "lang", "doc_id", "n_chars",
-          4096L, numSegs = 4, salt = "pack")
-        .orderBy("lang", "seg", "bin", "doc_id"),
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val nSegs = math.max(4L, docs.count() / 1250L).toInt
+        Curation.packBestFit(docs, "lang", "doc_id", "n_chars",
+            4096L, numSegs = nSegs, salt = "pack")
+          .orderBy("lang", "seg", "bin", "doc_id")
+      },
       Some("""WITH RECURSIVE segd AS (
           SELECT lang, doc_id, n_chars,
             CAST(CAST(('0x' || substr(md5(doc_id || '|pack'), 1, 8))
-              AS UBIGINT) % 4 AS INT) AS seg
+              AS UBIGINT) % CAST(greatest(4,
+                (SELECT count(*) FROM documents) // 1250) AS UBIGINT)
+              AS INT) AS seg
           FROM documents),
         ranked AS (
           SELECT lang, seg, doc_id, n_chars,

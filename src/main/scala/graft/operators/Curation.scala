@@ -249,6 +249,43 @@ object Curation {
       .select(col("eval_id"), col("train_id"), col("jaccard"))
   }
 
+  /** X8 applied: SPAN-LEVEL decontamination — cut only the
+    * contaminated spans and keep the rest of the document, where
+    * [[contamination]] → anti-join drops whole documents (the
+    * conservative default; span surgery is what published corpus
+    * builds apply when a host document merely QUOTES a benchmark
+    * passage). Built on content-defined chunking
+    * ([[graft.operators.Dedup.cdcChunks]]): both sides chunk with the
+    * same portable-hash boundaries, so a quoted benchmark passage
+    * chunks identically inside the host document no matter its offset
+    * (shift-robust — the property fixed-width windows lack), and a
+    * train chunk is cut iff its digest appears in the benchmark's
+    * chunk-digest set. Granularity = the chunk (expected m tokens):
+    * interior chunks of a long quote always match; the quote's two
+    * boundary chunks blend host and benchmark tokens and may survive —
+    * choose m small enough that residual shards are harmless (every
+    * cut is exact-content-verified by construction, digests are md5 of
+    * the chunk text).
+    *
+    * Scale: both chunk relations are linear (one explode + per-doc
+    * running-sum window + one hash agg); the cut decision is a
+    * digest-keyed semi-join against the (small) benchmark digest set —
+    * broadcast at any corpus size; reassembly is one per-doc
+    * aggregate. Returns one row per train document:
+    * (idCol, clean_text, kept_chunks, cut_chunks, kept_tokens). */
+  def removeBenchSpans(docs: DataFrame, bench: DataFrame, idCol: String,
+                       textCol: String, m: Int = 16): DataFrame = {
+    val chunks = graft.operators.Dedup.cdcChunks(docs, idCol, textCol, m)
+    val benchD = graft.operators.Dedup
+      .cdcChunkDigests(bench, idCol, textCol, m)
+      .select(col("digest")).distinct()
+    graft.operators.Dedup.reassembleKept(docs,
+      chunks.join(broadcast(benchD.withColumn("_dirty", lit(true))),
+          Seq("digest"), "left")
+        .withColumn("_cut", coalesce(col("_dirty"), lit(false))),
+      idCol)
+  }
+
   /** Greedy contiguous sequence packing: within each `partCol` group
     * (e.g. language), docs in deterministic `orderCol` order are packed
     * into consecutive training contexts of `budget` units (tokens,

@@ -357,11 +357,25 @@ object Dedup {
       s"maxOccurrences must be >= 1, got $maxOccurrences")
     val chunks = cdcChunks(df, idCol, textCol, m)
     val occ = chunks.groupBy("digest").agg(count(lit(1)).as("_occ"))
-    // inner join keeps every chunk row (occ covers all digests);
-    // collect_list skips the nulls the `when` leaves on cut chunks, so
-    // one per-doc aggregate yields text + kept/cut counts together
-    val cut = col("_occ") > lit(maxOccurrences)
-    val perDoc = chunks.join(occ, Seq("digest"))
+    // inner join keeps every chunk row (occ covers all digests)
+    reassembleKept(df,
+      chunks.join(occ, Seq("digest"))
+        .withColumn("_cut", col("_occ") > lit(maxOccurrences)),
+      idCol)
+  }
+
+  /** Reassemble the kept chunks of a flagged chunk relation
+    * ((idCol, chunk_idx, n_tokens, chunk_text, _cut)) into cleaned
+    * documents — the shared tail of [[removeDupChunks]] and
+    * [[graft.operators.Curation.removeBenchSpans]]: collect_list skips
+    * the nulls the `when` leaves on cut chunks, so ONE per-doc
+    * aggregate yields text + kept/cut counts together; null-text docs
+    * have zero chunks and come back empty, keeping the output
+    * row-aligned with the input corpus. */
+  private[operators] def reassembleKept(df: DataFrame, flagged: DataFrame,
+                                        idCol: String): DataFrame = {
+    val cut = col("_cut")
+    val perDoc = flagged
       .groupBy(col(idCol))
       .agg(
         array_join(transform(
@@ -372,8 +386,6 @@ object Dedup {
         sum(when(cut, 1L).otherwise(0L)).as("cut_chunks"),
         sum(when(!cut, col("n_tokens")).otherwise(0L))
           .as("kept_tokens"))
-    // null-text docs have zero chunks — keep them, empty, so the
-    // output is row-aligned with the input corpus
     df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("clean_text"), lit("")).as("clean_text"),

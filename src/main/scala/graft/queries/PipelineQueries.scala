@@ -3229,5 +3229,58 @@ object PipelineQueries {
         SELECT lang, count(*) AS n,
           CAST(sum(n_chars) AS BIGINT) AS sum_chars
         FROM documents JOIN fin USING (doc_id)
-        GROUP BY lang ORDER BY lang""")))
+        GROUP BY lang ORDER BY lang""")),
+
+    // ---- X8 applied: SPAN-LEVEL decontamination — q76/q94 drop whole
+    // contaminated documents; this cuts only the quoted spans (CDC
+    // chunks whose digest appears in the benchmark's chunk-digest set
+    // — shift-robust, so the quote's offset in the host doc is
+    // irrelevant) and reassembles the rest. Benchmark = the doc_id % 7
+    // slice; the synthetic corpus carries real cross-slice chunk
+    // sharing, so no planting is needed. Per-doc cleaned-text md5s:
+    // the oracle replays chunking on BOTH slices, the benchmark digest
+    // membership, and the ordered reassembly.
+    QueryDef("q219_span_decontam",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Curation.removeBenchSpans(
+            docs.filter(col("doc_id") % 7 =!= 0),   // train side
+            docs.filter(col("doc_id") % 7 === 0),   // the benchmark
+            "doc_id", "text", m = 8)
+          .select(col("doc_id"), md5(col("clean_text")).as("clean_md5"),
+            col("kept_chunks"), col("cut_chunks"), col("kept_tokens"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, unnest(a) AS tok,
+            unnest(range(0, len(a))) AS pos
+          FROM (SELECT doc_id, string_split(lower(text), ' ') AS a
+            FROM documents)),
+        c AS (SELECT doc_id, tok, pos,
+            COALESCE(sum(CASE WHEN CAST(('0x' || substr(md5(tok
+                || '|cdc'), 1, 8)) AS UBIGINT) % 8 = 0
+              THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id
+              ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING
+              AND 1 PRECEDING), 0) AS chunk
+          FROM t),
+        ch AS (SELECT doc_id, chunk, count(*) AS n_tokens,
+            string_agg(tok, ' ' ORDER BY pos) AS chunk_text,
+            md5(string_agg(tok, ' ' ORDER BY pos)) AS digest
+          FROM c GROUP BY 1, 2),
+        bd AS (SELECT DISTINCT digest FROM ch
+          WHERE doc_id % 7 = 0),
+        fl AS (SELECT ch.*,
+            digest IN (SELECT digest FROM bd) AS cut
+          FROM ch WHERE doc_id % 7 <> 0),
+        per AS (SELECT doc_id,
+            md5(COALESCE(string_agg(CASE WHEN NOT cut
+              THEN chunk_text END, ' ' ORDER BY chunk), '')) AS clean_md5,
+            CAST(sum(CASE WHEN NOT cut THEN 1 ELSE 0 END) AS BIGINT)
+              AS kept_chunks,
+            CAST(sum(CASE WHEN cut THEN 1 ELSE 0 END) AS BIGINT)
+              AS cut_chunks,
+            CAST(sum(CASE WHEN NOT cut THEN n_tokens ELSE 0 END)
+              AS BIGINT) AS kept_tokens
+          FROM fl GROUP BY doc_id)
+        SELECT doc_id, clean_md5, kept_chunks, cut_chunks, kept_tokens
+        FROM per ORDER BY doc_id""")))
 }

@@ -293,6 +293,40 @@ class CurationSpec extends SparkSpec {
     pred.values.foreach { case (_, m) => assert(m >= 0.0) }
   }
 
+  test("removeBenchSpans cuts a quoted benchmark passage wherever it " +
+    "lands (shift-robust), never cuts host-only content, and leaves " +
+    "unrelated documents intact") {
+    val passage = (1 to 40).map(i => s"p$i").mkString(" ")
+    val bench = Seq((100L, passage)).toDF("doc_id", "text")
+    // the same quote at two different offsets; distinct host vocab
+    val host1 = (1 to 7).map(i => s"a$i").mkString(" ") + " " +
+      passage + " " + (1 to 5).map(i => s"b$i").mkString(" ")
+    val host2 = (1 to 13).map(i => s"c$i").mkString(" ") + " " +
+      passage + " " + (1 to 9).map(i => s"d$i").mkString(" ")
+    val unrelated = (1 to 30).map(i => s"u$i").mkString(" ")
+    val docs = Seq((1L, host1), (2L, host2), (3L, unrelated))
+      .toDF("doc_id", "text")
+    val out = Curation.removeBenchSpans(docs, bench, "doc_id", "text",
+        m = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val (c1, c2, c3) = (out(1L), out(2L), out(3L))
+    // the quote's INTERIOR chunks are cut in both hosts — and because
+    // CDC boundaries are content-defined, the SAME chunks are cut
+    // regardless of the quote's offset
+    assert(c1._3 > 0, s"host1 cut nothing: $c1")
+    assert(c1._3 == c2._3,
+      s"shift changed the cut count: ${c1._3} vs ${c2._3}")
+    // host-only content always survives (cuts are digest-verified
+    // against the benchmark, never positional)
+    assert((1 to 7).forall(i => c1._1.contains(s"a$i")))
+    assert((1 to 5).forall(i => c1._1.contains(s"b$i")))
+    assert((1 to 13).forall(i => c2._1.contains(s"c$i")))
+    // a doc sharing nothing with the benchmark is untouched
+    assert(c3._3 == 0 && c3._1 == unrelated)
+  }
+
   test("packBestFit: every doc packed exactly once, no bin over budget " +
     "(except a single oversized doc), and bin count beats or equals the " +
     "arrival-order next-fit baseline (the fill-rate claim)") {

@@ -331,8 +331,14 @@ object Dedup {
     * no matter where it lands in the host document). A chunk is cut
     * when its digest occurs more than `maxOccurrences` times
     * corpus-wide (every copy is cut — the conservative suffix-array
-    * tool behavior; keep-one needs a per-digest tie-break and is the
-    * documented variant, not the default). Survivor chunks reassemble
+    * tool behavior). `keepOne = true` switches to the keep-one-copy
+    * variant real corpus builds often prefer: the corpus-wide FIRST
+    * occurrence (min (doc, chunk_idx) — deterministic,
+    * arrival-order-free) of an over-limit digest survives, every other
+    * copy is cut — computed as a per-digest min-struct aggregate
+    * (linear, map-side partial, one value per digest), NOT a window
+    * over occurrences, so a viral digest still costs one counter, not
+    * a buffered partition. Survivor chunks reassemble
     * in chunk order; the output text is therefore the NORMALIZED token
     * stream (lowercased, single-spaced) — inherent to token-level
     * chunking and what makes the operator engine-replayable.
@@ -352,15 +358,22 @@ object Dedup {
     * kept_chunks, cut_chunks, kept_tokens); a fully-duplicated
     * document survives with empty clean_text (caller filters). */
   def removeDupChunks(df: DataFrame, idCol: String, textCol: String,
-                      m: Int = 16, maxOccurrences: Long = 1): DataFrame = {
+                      m: Int = 16, maxOccurrences: Long = 1,
+                      keepOne: Boolean = false): DataFrame = {
     require(maxOccurrences >= 1,
       s"maxOccurrences must be >= 1, got $maxOccurrences")
     val chunks = cdcChunks(df, idCol, textCol, m)
-    val occ = chunks.groupBy("digest").agg(count(lit(1)).as("_occ"))
+    val occ = chunks.groupBy("digest")
+      .agg(count(lit(1)).as("_occ"),
+        min(struct(col(idCol), col("chunk_idx"))).as("_first"))
+    val over = col("_occ") > lit(maxOccurrences)
+    val cut =
+      if (keepOne) over &&
+        !(struct(col(idCol), col("chunk_idx")) === col("_first"))
+      else over
     // inner join keeps every chunk row (occ covers all digests)
     reassembleKept(df,
-      chunks.join(occ, Seq("digest"))
-        .withColumn("_cut", col("_occ") > lit(maxOccurrences)),
+      chunks.join(occ, Seq("digest")).withColumn("_cut", cut),
       idCol)
   }
 

@@ -3282,5 +3282,57 @@ object PipelineQueries {
               AS BIGINT) AS kept_tokens
           FROM fl GROUP BY doc_id)
         SELECT doc_id, clean_md5, kept_chunks, cut_chunks, kept_tokens
+        FROM per ORDER BY doc_id""")),
+
+    // ---- X2 applied, keep-one variant: q213 cuts EVERY copy of a
+    // duplicated span; real corpus builds usually keep one canonical
+    // copy. The corpus-wide FIRST occurrence (min (doc, chunk_idx) —
+    // deterministic, arrival-order-free) of each over-limit digest
+    // survives; the Spark side computes it as a per-digest min-struct
+    // aggregate (no window over occurrences — a viral digest costs one
+    // value), the oracle replays it with a row_number over the same
+    // ordering. Same per-doc cleaned-text md5 gate as q213.
+    QueryDef("q220_dup_span_keep_one",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Dedup.removeDupChunks(docs, "doc_id", "text", m = 8,
+            maxOccurrences = 1, keepOne = true)
+          .select(col("doc_id"), md5(col("clean_text")).as("clean_md5"),
+            col("kept_chunks"), col("cut_chunks"), col("kept_tokens"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, unnest(a) AS tok,
+            unnest(range(0, len(a))) AS pos
+          FROM (SELECT doc_id, string_split(lower(text), ' ') AS a
+            FROM documents)),
+        c AS (SELECT doc_id, tok, pos,
+            COALESCE(sum(CASE WHEN CAST(('0x' || substr(md5(tok
+                || '|cdc'), 1, 8)) AS UBIGINT) % 8 = 0
+              THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id
+              ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING
+              AND 1 PRECEDING), 0) AS chunk
+          FROM t),
+        ch AS (SELECT doc_id, chunk, count(*) AS n_tokens,
+            string_agg(tok, ' ' ORDER BY pos) AS chunk_text,
+            md5(string_agg(tok, ' ' ORDER BY pos)) AS digest
+          FROM c GROUP BY 1, 2),
+        occ AS (SELECT digest, count(*) AS occ FROM ch GROUP BY 1),
+        rk AS (SELECT doc_id, chunk, n_tokens, chunk_text, digest,
+            row_number() OVER (PARTITION BY digest
+              ORDER BY doc_id, chunk) AS rn
+          FROM ch),
+        fl AS (SELECT rk.*, occ.occ > 1 AND rk.rn > 1 AS cut
+          FROM rk JOIN occ USING (digest)),
+        per AS (SELECT doc_id,
+            md5(COALESCE(string_agg(CASE WHEN NOT cut
+              THEN chunk_text END, ' ' ORDER BY chunk), '')) AS clean_md5,
+            CAST(sum(CASE WHEN NOT cut THEN 1 ELSE 0 END) AS BIGINT)
+              AS kept_chunks,
+            CAST(sum(CASE WHEN cut THEN 1 ELSE 0 END) AS BIGINT)
+              AS cut_chunks,
+            CAST(sum(CASE WHEN NOT cut THEN n_tokens ELSE 0 END)
+              AS BIGINT) AS kept_tokens
+          FROM fl GROUP BY doc_id)
+        SELECT doc_id, clean_md5, kept_chunks, cut_chunks, kept_tokens
         FROM per ORDER BY doc_id""")))
 }

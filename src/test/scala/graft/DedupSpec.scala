@@ -234,6 +234,26 @@ class DedupSpec extends SparkSpec {
     assert(adB == Set(10L))
   }
 
+  test("removeDupChunks keepOne: exactly one copy of every over-limit " +
+    "digest survives — cut delta vs cut-all equals the over-digest " +
+    "count, and keep never loses unique content") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val all = Dedup.removeDupChunks(docs, "doc_id", "text", m = 8)
+      .agg(sum("cut_chunks"), sum("kept_chunks")).head()
+    val one = Dedup.removeDupChunks(docs, "doc_id", "text", m = 8,
+        keepOne = true)
+      .agg(sum("cut_chunks"), sum("kept_chunks")).head()
+    val overDigests = Dedup.cdcChunkDigests(docs, "doc_id", "text", m = 8)
+      .groupBy("digest").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).count()
+    assert(overDigests > 0, "corpus must carry real duplication")
+    // cut-all cuts every occurrence; keep-one spares exactly one per
+    // over-limit digest
+    assert(all.getLong(0) - one.getLong(0) == overDigests)
+    assert(one.getLong(1) - all.getLong(1) == overDigests)
+  }
+
   test("banded incremental admission matches the exact twin on planted " +
     "near-dups, via the persisted signature table, and never falsely " +
     "blocks (exact-admitted ⊆ banded-admitted)") {

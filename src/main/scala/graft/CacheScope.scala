@@ -21,40 +21,55 @@ import org.apache.spark.sql.{DataFrame, Dataset}
   * sit at OPERATION boundaries — after a query's result materializes
   * ([[Verify]], [[Bench]]), after a micro-batch commits (the q208
   * streaming admission shape) — where by construction no registered
-  * plan has a pending consumer. Lineage is always kept, so a release
-  * that races a straggling consumer degrades to recompute, never to a
-  * wrong result. Thread-safe; single-session scope (the frames
-  * themselves pin their own session).
+  * plan has a pending consumer.
+  *
+  * The registry is THREAD-scoped, not process-global: persists and the
+  * matching releaseAll always happen on the operation's own driver-side
+  * thread (Verify/Bench run queries on the main thread; a streaming
+  * `foreachBatch` body persists and releases on its stream's execution
+  * thread), so scoping by thread makes concurrent operations in one
+  * JVM safe — two streams each calling releaseAll per micro-batch, or
+  * a future parallelized Verify, drain only their OWN frames instead
+  * of evicting caches another operation is mid-consuming. An operation
+  * MUST release on the thread that persisted (true of every site; a
+  * thread that dies unreleased leaks its queue until the thread is
+  * GC'd). Lineage is always kept, so even a mis-scoped release
+  * degrades to recompute, never to a wrong result.
   */
 object CacheScope {
 
   private val tracked =
-    new java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]]()
+    new ThreadLocal[java.util.ArrayDeque[Dataset[_]]] {
+      override def initialValue() = new java.util.ArrayDeque[Dataset[_]]()
+    }
 
-  /** `df.persist()` + register for the next [[releaseAll]]. */
+  /** `df.persist()` + register for this thread's next [[releaseAll]]. */
   def persist(df: DataFrame): DataFrame = {
     val p = df.persist()
-    tracked.add(p)
+    tracked.get.add(p)
     p
   }
 
   /** Register an ALREADY-persisted frame (e.g. one materialized inside
-    * an iterative loop) for the next [[releaseAll]] without touching
-    * its storage level or computed blocks. */
+    * an iterative loop) for this thread's next [[releaseAll]] without
+    * touching its storage level or computed blocks. */
   def track[T](ds: Dataset[T]): Dataset[T] = {
-    tracked.add(ds)
+    tracked.get.add(ds)
     ds
   }
 
-  /** Unpersist (non-blocking) and forget every registered frame. */
+  /** Unpersist (non-blocking) and forget every frame registered by the
+    * CALLING thread. Frames registered by other in-flight operations
+    * (other threads) are untouched. */
   def releaseAll(): Unit = {
-    var d = tracked.poll()
+    val q = tracked.get
+    var d = q.poll()
     while (d != null) {
       d.unpersist(false)
-      d = tracked.poll()
+      d = q.poll()
     }
   }
 
-  /** Registered-but-unreleased count (spec hook). */
-  def pending: Int = tracked.size()
+  /** Calling thread's registered-but-unreleased count (spec hook). */
+  def pending: Int = tracked.get.size()
 }

@@ -33,9 +33,6 @@ object Verify {
         try {
           fn(spark, sfDir).coalesce(1).write.mode("overwrite")
             .parquet(s"$outDir/$name")
-          // operation boundary: release operator-internal caches
-          // (BM25 postings, curation stage frames, PQ codebooks)
-          CacheScope.releaseAll()
           System.err.println(
             f"[verify] $name ok ${(System.nanoTime() - t0) / 1e9}%.1fs")
         } catch { case e: Throwable =>
@@ -45,6 +42,12 @@ object Verify {
           val d = new java.io.File(s"$outDir/$name")
           d.mkdirs()
           Files.writeString(Paths.get(s"$outDir/$name/_FAILED"), msg.take(500))
+        } finally {
+          // operation boundary: release operator-internal caches (BM25
+          // postings, curation stage frames, PQ codebooks). In finally so
+          // a FAILED query's registered frames don't linger into the next
+          // query's run and cascade under memory pressure.
+          CacheScope.releaseAll()
         }
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -343,16 +343,18 @@ object Dedup {
     * stream (lowercased, single-spaced) — inherent to token-level
     * chunking and what makes the operator engine-replayable.
     *
-    * Scale: the chunk relation evaluates twice (once under the
-    * digest-count aggregation, once under the keep/cut flagging join)
-    * — both linear, keyed on digest with map-side partial counts, so a
-    * viral chunk ("click here to subscribe" × 10⁸) costs one counter,
-    * never a buffered partition (the reason this is a groupBy + join
-    * back, NOT a count-over-digest-window, which would buffer every
+    * Scale: the chunk relation feeds two legs (the digest-count
+    * aggregation and the keep/cut flagging join), so it is
+    * materialized ONCE via [[graft.CacheScope]] — both legs share the
+    * tokenize+window stage instead of paying it twice. Both legs are
+    * linear, keyed on digest with map-side partial counts, so a viral
+    * chunk ("click here to subscribe" × 10⁸) costs one counter, never
+    * a buffered partition (the reason this is a groupBy + join back,
+    * NOT a count-over-digest-window, which would buffer every
     * occurrence of the hottest digest in one task). At 100 TB,
-    * materialize [[cdcChunks]] once as its own table and feed both
-    * legs from it — the chunk relation is the artifact a corpus build
-    * keeps anyway.
+    * materialize [[cdcChunks]] as its own table and feed both legs
+    * from it — the chunk relation is the artifact a corpus build
+    * keeps anyway; the in-session persist here is the same shape.
     *
     * Returns one row per input document: (idCol, clean_text,
     * kept_chunks, cut_chunks, kept_tokens); a fully-duplicated
@@ -362,7 +364,9 @@ object Dedup {
                       keepOne: Boolean = false): DataFrame = {
     require(maxOccurrences >= 1,
       s"maxOccurrences must be >= 1, got $maxOccurrences")
-    val chunks = cdcChunks(df, idCol, textCol, m)
+    // one materialized chunk relation shared by the count and flag legs
+    // (released at the caller's operation boundary)
+    val chunks = graft.CacheScope.persist(cdcChunks(df, idCol, textCol, m))
     val occ = chunks.groupBy("digest")
       .agg(count(lit(1)).as("_occ"),
         min(struct(col(idCol), col("chunk_idx"))).as("_first"))

@@ -2871,8 +2871,12 @@ object PipelineQueries {
             CAST(sum(CASE WHEN NOT cut THEN n_tokens ELSE 0 END)
               AS BIGINT) AS kept_tokens
           FROM fl GROUP BY doc_id)
-        SELECT doc_id, clean_md5, kept_chunks, cut_chunks, kept_tokens
-        FROM per ORDER BY doc_id""")),
+        SELECT d.doc_id, COALESCE(per.clean_md5, md5('')) AS clean_md5,
+          CAST(COALESCE(per.kept_chunks, 0) AS BIGINT) AS kept_chunks,
+          CAST(COALESCE(per.cut_chunks, 0) AS BIGINT) AS cut_chunks,
+          CAST(COALESCE(per.kept_tokens, 0) AS BIGINT) AS kept_tokens
+        FROM documents d LEFT JOIN per USING (doc_id)
+        ORDER BY doc_id""")),
 
     // ---- X4/X13: TRAINED LANGUAGE-ID — multiclass NB over the even
     // doc_ids (documents.lang is the free training label), scoring
@@ -3281,8 +3285,13 @@ object PipelineQueries {
             CAST(sum(CASE WHEN NOT cut THEN n_tokens ELSE 0 END)
               AS BIGINT) AS kept_tokens
           FROM fl GROUP BY doc_id)
-        SELECT doc_id, clean_md5, kept_chunks, cut_chunks, kept_tokens
-        FROM per ORDER BY doc_id""")),
+        SELECT d.doc_id, COALESCE(per.clean_md5, md5('')) AS clean_md5,
+          CAST(COALESCE(per.kept_chunks, 0) AS BIGINT) AS kept_chunks,
+          CAST(COALESCE(per.cut_chunks, 0) AS BIGINT) AS cut_chunks,
+          CAST(COALESCE(per.kept_tokens, 0) AS BIGINT) AS kept_tokens
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 7 <> 0) d
+          LEFT JOIN per USING (doc_id)
+        ORDER BY doc_id""")),
 
     // ---- X2 applied, keep-one variant: q213 cuts EVERY copy of a
     // duplicated span; real corpus builds usually keep one canonical
@@ -3333,6 +3342,10 @@ object PipelineQueries {
             CAST(sum(CASE WHEN NOT cut THEN n_tokens ELSE 0 END)
               AS BIGINT) AS kept_tokens
           FROM fl GROUP BY doc_id)
-        SELECT doc_id, clean_md5, kept_chunks, cut_chunks, kept_tokens
-        FROM per ORDER BY doc_id""")))
+        SELECT d.doc_id, COALESCE(per.clean_md5, md5('')) AS clean_md5,
+          CAST(COALESCE(per.kept_chunks, 0) AS BIGINT) AS kept_chunks,
+          CAST(COALESCE(per.cut_chunks, 0) AS BIGINT) AS cut_chunks,
+          CAST(COALESCE(per.kept_tokens, 0) AS BIGINT) AS kept_tokens
+        FROM documents d LEFT JOIN per USING (doc_id)
+        ORDER BY doc_id""")))
 }

@@ -47,4 +47,38 @@ class CacheScopeSpec extends SparkSpec {
     CacheScope.releaseAll()
     assert(!probe.contains("InMemoryRelation"))
   }
+
+  test("registry is thread-scoped: one operation's releaseAll never " +
+    "drains frames another in-flight operation registered") {
+    CacheScope.releaseAll()
+    CacheScope.persist(corpus.filter(col("doc_id") > 1))
+    assert(CacheScope.pending == 1)
+    // a concurrent operation (another thread) registers and releases
+    // its own frames — ours must survive its boundary
+    val other = new Thread(() => {
+      CacheScope.persist(corpus.filter(col("doc_id") <= 1))
+      assert(CacheScope.pending == 1) // sees only its own
+      CacheScope.releaseAll()
+      assert(CacheScope.pending == 0)
+    })
+    other.start(); other.join()
+    assert(CacheScope.pending == 1) // untouched by the other thread
+    CacheScope.releaseAll()
+    assert(CacheScope.pending == 0)
+  }
+
+  test("removeDupChunks materializes its chunk relation once through " +
+    "CacheScope (count leg + flag leg share the tokenize stage) and " +
+    "the operation boundary drains it") {
+    CacheScope.releaseAll()
+    val cleaned = operators.Dedup.removeDupChunks(
+      corpus.withColumnRenamed("text", "body"), "doc_id", "body", m = 2)
+    val rows = cleaned.collect()
+    assert(rows.length == 4)
+    assert(CacheScope.pending == 1) // exactly the shared chunk relation
+    CacheScope.releaseAll()
+    assert(CacheScope.pending == 0)
+    // lineage kept: recompute matches
+    assert(cleaned.collect().toSeq == rows.toSeq)
+  }
 }

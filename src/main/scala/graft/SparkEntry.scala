@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.queries.{RelationalQueries, LakeQueries, SearchQueries, PipelineQueries}
+import graft.queries.{RelationalQueries, LakeQueries, SearchQueries, PipelineQueries, TokenizerQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -17,7 +17,8 @@ object SparkEntry {
     * build's first use, not the driver's compare. */
   val defs: Map[String, QueryDef] = {
     val all = RelationalQueries.entries ++ LakeQueries.entries ++
-      SearchQueries.entries ++ PipelineQueries.entries
+      SearchQueries.entries ++ PipelineQueries.entries ++
+      TokenizerQueries.entries
     val dup = all.groupBy(_.name).collect { case (n, ds) if ds.size > 1 => n }
     require(dup.isEmpty, s"duplicate query names: ${dup.mkString(", ")}")
     all.map(d => d.name -> d).toMap

@@ -1,0 +1,184 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** In-engine byte-pair-encoding tokenizer (Sennrich et al. 2016,
+  * "Neural Machine Translation of Rare Words with Subword Units" —
+  * public prior art): TRAIN merge rules on a corpus slice as pure
+  * aggregations, ENCODE via rank-ordered merge folds, and ACCOUNT in
+  * subword tokens — so packing budgets, mixture weights and per-source
+  * token counts can be denominated the way real corpus builds ship
+  * them (BPE tokens), not whitespace words or characters
+  * ([[Curation.packBestFit]]'s `unitsCol`).
+  *
+  * Reference scope: the reference pipeline has no tokenizer at all
+  * (its Athena surface counts rows, `python-data-ingestions/
+  * query-data-lambda.py:195-218`); this operator is part of the
+  * north-star 100 TB training-data suite the engine adds on top.
+  *
+  * Everything is engine-replayable — training decisions are integral
+  * pair counts with a total (count DESC, pair ASC) order, encoding is
+  * a deterministic left-to-right greedy fold — so a DuckDB oracle can
+  * replay train AND encode exactly (the q190/q214 trained-model
+  * discipline).
+  *
+  * Scale shape (100 TB): the corpus never meets the merge loop — the
+  * WORD-TYPE vocabulary does (one tokenize → `groupBy(word).count`,
+  * shuffled on the uniform word key; word types grow sub-linearly in
+  * corpus size and train slices are bounded by contract). Each merge
+  * round is one distributed adjacent-pair aggregation over that vocab
+  * plus a 1-row argmax collect (the merge becomes a literal in the
+  * next round's plan — driver traffic is `numMerges` single rows, by
+  * construction). Merge application is a map-only per-row fold.
+  * Encoding touches only DISTINCT words (encode once, join back to
+  * the token stream — the word-piece table broadcasts when small and
+  * shuffles on the word key otherwise), so per-document cost is one
+  * postings-shaped join, never a per-occurrence re-encode.
+  */
+object Bpe {
+
+  /** One learned merge: rank r rewrites adjacent (left, right) →
+    * left+right. Ranks are 1-based and dense. */
+  final case class Merge(rank: Int, left: String, right: String) {
+    def merged: String = left + right
+  }
+
+  /** Character symbol list of a word (the rank-0 segmentation).
+    * `substr` is character-based on both engines (oracle mirror:
+    * `list_transform(range(1, len(w)+1), i -> w[i])`). */
+  def charSyms(word: Column): Column =
+    transform(sequence(lit(1), length(word)),
+      i => word.substr(i, lit(1)))
+
+  /** Word-type vocabulary of a corpus: one row per distinct
+    * whitespace token with its occurrence count — the frame BPE
+    * training actually iterates (corpus-sized data reduces to
+    * vocab-sized state here, the whole scale story). */
+  def wordVocab(corpus: DataFrame, textCol: String): DataFrame =
+    graft.scaleOut(corpus)
+      .select(explode(Text.tokens(col(textCol))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("n"))
+
+  /** Apply ONE merge to a symbol array: greedy left-to-right,
+    * non-overlapping — the fold `acc[-1]==left && s==right → replace
+    * tail with merged` reproduces the scan exactly because a merged
+    * token ceases to equal `left` unless it literally is `left`.
+    * CaseWhen branches guard the empty accumulator (ANSI-safe).
+    * The zero is a LITERAL empty array, never an expression over
+    * `syms` — [[encode]] nests these folds rank-deep, and a zero that
+    * referenced the input would double the expression tree per level
+    * (2^ranks nodes; the first cut used `slice(syms,1,0)` and a
+    * 16-merge encode sat minutes in the optimizer). */
+  def applyMerge(syms: Column, left: String, right: String): Column =
+    aggregate(syms, typedLit(Array.empty[String]),
+      (acc, s) =>
+        when(size(acc) === 0, array(s))
+          .when(element_at(acc, -1) === lit(left) && (s === lit(right)),
+            concat(slice(acc, lit(1), size(acc) - 1),
+              array(lit(left + right))))
+          .otherwise(concat(acc, array(s))))
+
+  /** Adjacent-pair counts of a (word, n, syms) vocab frame, weighted
+    * by word frequency — one explode + one hash aggregate. */
+  private def pairCounts(vocab: DataFrame): DataFrame =
+    vocab.filter(size(col("syms")) > 1)
+      .select(col("n"), explode(transform(
+        sequence(lit(1), size(col("syms")) - 1),
+        i => struct(element_at(col("syms"), i).as("a"),
+          element_at(col("syms"), i + 1).as("b")))).as("p"))
+      .groupBy(col("p").getField("a").as("a"),
+        col("p").getField("b").as("b"))
+      .agg(sum(col("n")).as("c"))
+
+  /** Train `numMerges` merge rules on a corpus slice. Each round:
+    * distributed pair-count aggregation over the word-type vocab →
+    * 1-row argmax (total order: count DESC, then pair ASC — both
+    * engines agree on ties) → map-only merge application. Stops early
+    * when no adjacent pair remains.
+    *
+    * Per-round state is `localCheckpoint` (eager), NOT `persist`: the
+    * loop's plan deepens by one fold per round, and keeping lineage
+    * makes round r's analysis/canonicalization cost grow with r —
+    * measured 42 s for 16 rounds under persist vs 2.7 s checkpointed
+    * on the same corpus (planning, not compute: the vocab is tiny).
+    * The usual lineage-for-recompute argument doesn't buy anything in
+    * an iterative TRAIN loop — a lost block fails one restartable
+    * training call, the standard trade iterative algorithms make.
+    * Checkpointed blocks are vocab-sized × live rounds and are freed
+    * by the ContextCleaner as round refs drop. */
+  def train(corpus: DataFrame, textCol: String,
+            numMerges: Int): Seq[Merge] = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    val merges = Seq.newBuilder[Merge]
+    var vocab = wordVocab(corpus, textCol)
+      .withColumn("syms", charSyms(col("word")))
+      .localCheckpoint(true)
+    var r = 1
+    var exhausted = false
+    while (r <= numMerges && !exhausted) {
+      val best = pairCounts(vocab)
+        .orderBy(col("c").desc, col("a"), col("b"))
+        .limit(1).collect() // 1 row × numMerges — bounded by contract
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b) = (best(0).getString(0), best(0).getString(1))
+        merges += Merge(r, a, b)
+        vocab = vocab.withColumn("syms",
+          when(size(col("syms")) > 1,
+            applyMerge(col("syms"), a, b)).otherwise(col("syms")))
+          .localCheckpoint(true)
+        r += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** Segment each word of a one-column frame into BPE pieces by
+    * applying the learned merges in rank order — one chained fold per
+    * merge, composed into a single map-only projection. Call on
+    * DISTINCT words and join back (the [[tokenCounts]] shape); at
+    * serving scale the result IS the word-piece table a build
+    * persists. Adds `syms` (array of pieces). */
+  def encode(words: DataFrame, wordCol: String,
+             merges: Seq[Merge]): DataFrame = {
+    val segmented = merges.sortBy(_.rank)
+      .foldLeft(charSyms(col(wordCol)))((e, m) =>
+        applyMerge(e, m.left, m.right))
+    words.withColumn("syms", segmented)
+  }
+
+  /** Token-true accounting: per-document whitespace AND BPE token
+    * counts under the given merge table. Encodes each distinct word
+    * once, joins the piece counts back to the token stream, and
+    * left-joins to the document spine so the output is row-aligned
+    * with the input (NULL/empty text → 0s).
+    * Returns (idCol, ws_tokens, bpe_tokens). */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String,
+                  merges: Seq[Merge]): DataFrame = {
+    val toks = graft.scaleOut(docs, col(idCol))
+      .select(col(idCol), explode(Text.tokens(col(textCol))).as("word"))
+      .filter(col("word") =!= "")
+    val pieces = encode(toks.select("word").distinct(), "word", merges)
+      .select(col("word"), size(col("syms")).cast("long").as("_bpe"))
+    val per = toks.join(pieces, Seq("word"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("_ws"), sum(col("_bpe")).as("_bp"))
+    docs.select(col(idCol)).join(per, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("_ws"), lit(0L)).as("ws_tokens"),
+        coalesce(col("_bp"), lit(0L)).as("bpe_tokens"))
+  }
+
+  /** The learned merge table as a frame (merge_rank, left_sym,
+    * right_sym, merged) — the registrable/persistable artifact. */
+  def mergeTable(spark: org.apache.spark.sql.SparkSession,
+                 merges: Seq[Merge]): DataFrame = {
+    import spark.implicits._
+    merges.map(m => (m.rank, m.left, m.right, m.merged))
+      .toDF("merge_rank", "left_sym", "right_sym", "merged")
+  }
+}

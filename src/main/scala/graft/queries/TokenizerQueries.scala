@@ -1,0 +1,218 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+import graft.operators.{Bpe, Curation}
+
+/** In-engine BPE tokenizer queries (X10/X13 token-true accounting):
+  * train merge rules as aggregations, encode via rank-ordered merge
+  * folds, and denominate packing in SUBWORD tokens — the unit real
+  * corpus builds budget in. The oracle replays TRAINING and ENCODING
+  * exactly (the q190/q214 trained-model discipline): the merge chain
+  * is unrolled into generated SQL — one (pair-count → argmax → merge
+  * application) CTE block per rank, `MATERIALIZED` so the doubly-
+  * referenced vocab steps don't inline exponentially — so a green hash
+  * proves every training decision and every encode fold, not just the
+  * rollup.
+  *
+  * Tie-breaks are pinned to a total order both engines share: pair
+  * counts are integral, argmax is (count DESC, left ASC, right ASC).
+  * Tokenization is the registry-wide whitespace split; empty tokens
+  * are filtered identically on both sides.
+  */
+object TokenizerQueries {
+
+  /** Merge-table depth for the registered queries: enough for the
+    * synthetic corpus to assemble real multi-char subwords (rank 14
+    * reaches a whole word) while keeping the unrolled oracle readable. */
+  private val NumMerges = 16
+
+  /** Training is deterministic, so the learned merges memoize per
+    * (session, sfDir) — q221/q222/q223 share one training run instead
+    * of re-paying `NumMerges` rounds each (driver-side Seq of 16
+    * literals, not a cached plan — nothing for CacheScope to drain). */
+  private val mergeCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      Seq[Bpe.Merge]]()
+
+  private def trainedMerges(s: SparkSession, dir: String): Seq[Bpe.Merge] =
+    mergeCache.computeIfAbsent((s, dir), { _ =>
+      Bpe.train(
+        Tables.load(s, dir, "documents").filter(col("doc_id") % 2 === 0),
+        "text", NumMerges)
+    })
+
+  // ---------------------------------------------------------------
+  // Generated oracle SQL: the unrolled train/encode chains. Kept as
+  // code (not literals) because every rank's block is mechanically
+  // identical — the generator IS the specification of one round.
+  // ---------------------------------------------------------------
+
+  /** CTE chain learning `m` merges on the doc_id%2=0 slice: w0 is the
+    * word-type vocab with char symbols; each rank r contributes
+    * p{r} (adjacent-pair counts), m{r} (argmax with the pinned total
+    * order) and w{r} (the merge applied via a left fold — singleton-
+    * lifted list_reduce so the accumulator can be a list). */
+  private def trainChain(m: Int): String = {
+    val w0 = """w0 AS MATERIALIZED (SELECT word, n,
+      list_transform(range(1, len(word)+1), i -> word[i]) AS syms
+    FROM (SELECT tok AS word, count(*) AS n
+      FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok
+        FROM documents WHERE doc_id % 2 = 0)
+      WHERE tok <> '' GROUP BY tok))"""
+    val steps = (1 to m).map { i =>
+      s"""p$i AS MATERIALIZED (SELECT z.a AS a, z.b AS b, sum(n) AS c
+      FROM (SELECT n, unnest(list_transform(range(1, len(syms)),
+          j -> struct_pack(a := syms[j], b := syms[j+1]))) AS z
+        FROM w${i - 1} WHERE len(syms) > 1)
+      GROUP BY 1, 2),
+    m$i AS MATERIALIZED (SELECT a, b FROM p$i ORDER BY c DESC, a, b LIMIT 1),
+    w$i AS MATERIALIZED (SELECT word, n,
+      CASE WHEN m.a IS NULL OR len(syms) < 2 THEN syms
+        ELSE list_reduce(list_transform(syms, s -> [s]),
+          (acc, x) -> CASE WHEN acc[len(acc)] = m.a AND x[1] = m.b
+            THEN list_append(acc[1:len(acc)-1], m.a || m.b)
+            ELSE list_append(acc, x[1]) END) END AS syms
+      FROM w${i - 1} LEFT JOIN m$i m ON TRUE)"""
+    }
+    (w0 +: steps).mkString(",\n    ")
+  }
+
+  /** CTE chain encoding EVERY distinct corpus word with the learned
+    * merges in rank order — the same fold, fed by the m{r} CTEs. */
+  private def encodeChain(m: Int): String = {
+    val e0 = """e0 AS MATERIALIZED (SELECT word,
+      list_transform(range(1, len(word)+1), i -> word[i]) AS syms
+    FROM (SELECT DISTINCT tok AS word
+      FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok
+        FROM documents)
+      WHERE tok <> ''))"""
+    val steps = (1 to m).map { i =>
+      s"""e$i AS MATERIALIZED (SELECT word,
+      CASE WHEN m.a IS NULL OR len(syms) < 2 THEN syms
+        ELSE list_reduce(list_transform(syms, s -> [s]),
+          (acc, x) -> CASE WHEN acc[len(acc)] = m.a AND x[1] = m.b
+            THEN list_append(acc[1:len(acc)-1], m.a || m.b)
+            ELSE list_append(acc, x[1]) END) END AS syms
+      FROM e${i - 1} LEFT JOIN m$i m ON TRUE)"""
+    }
+    (e0 +: steps).mkString(",\n    ")
+  }
+
+  /** Per-doc whitespace + BPE token counts, document-spine-aligned. */
+  private def countsChain(m: Int): String =
+    s"""${trainChain(m)},
+    ${encodeChain(m)},
+    wl AS (SELECT word, len(syms) AS bpe FROM e$m),
+    dt AS (SELECT doc_id, tok AS word
+      FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        FROM documents) WHERE tok <> ''),
+    per AS (SELECT doc_id, count(*) AS ws, sum(bpe) AS bp
+      FROM dt JOIN wl USING (word) GROUP BY doc_id)"""
+
+  private def trainOracle(m: Int): String = {
+    val union = (1 to m).map(i =>
+      s"""SELECT $i AS merge_rank, a AS left_sym, b AS right_sym,
+        a || b AS merged FROM m$i""").mkString("\n      UNION ALL ")
+    s"""WITH ${trainChain(m)}
+    SELECT * FROM ($union) ORDER BY merge_rank"""
+  }
+
+  private def countsOracle(m: Int): String =
+    s"""WITH ${countsChain(m)}
+    SELECT d.doc_id, CAST(COALESCE(per.ws, 0) AS BIGINT) AS ws_tokens,
+      CAST(COALESCE(per.bp, 0) AS BIGINT) AS bpe_tokens
+    FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id"""
+
+  /** q216's recursive-CTE BFD replay, denominated in BPE tokens: segd
+    * draws units from the counts chain (docs with ≥1 token), budget
+    * 2048 subword tokens, numSegs = max(4, n/1250) over the PACKED set. */
+  private def packOracle(m: Int): String =
+    s"""WITH RECURSIVE ${countsChain(m)},
+    segd AS (SELECT d.lang, p.doc_id, p.bp AS units,
+        CAST(CAST(('0x' || substr(md5(p.doc_id || '|packbpe'), 1, 8))
+          AS UBIGINT) % CAST(greatest(4,
+            (SELECT count(*) FROM per) // 1250) AS UBIGINT)
+          AS INT) AS seg
+      FROM per p JOIN documents d USING (doc_id)),
+    ranked AS (
+      SELECT lang, seg, doc_id, units,
+        row_number() OVER (PARTITION BY lang, seg
+          ORDER BY units DESC, doc_id) AS rn
+      FROM segd),
+    pack AS (
+      SELECT lang, seg, CAST(0 AS BIGINT) AS rn,
+        CAST([] AS BIGINT[]) AS rems,
+        CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS INT) AS bin,
+        CAST(NULL AS BIGINT) AS units
+      FROM (SELECT DISTINCT lang, seg FROM ranked)
+      UNION ALL
+      SELECT r.lang, r.seg, r.rn,
+        CASE WHEN coalesce(list_position(p.rems,
+            list_min(list_filter(p.rems, x -> x >= r.units))), 0) > 0
+          THEN list_transform(p.rems, (x, i) -> CASE WHEN i =
+            list_position(p.rems, list_min(list_filter(p.rems,
+              x2 -> x2 >= r.units)))
+            THEN x - r.units ELSE x END)
+          ELSE list_append(p.rems, 2048 - r.units) END,
+        r.doc_id,
+        CAST(CASE WHEN coalesce(list_position(p.rems,
+            list_min(list_filter(p.rems, x -> x >= r.units))), 0) > 0
+          THEN list_position(p.rems, list_min(list_filter(p.rems,
+            x -> x >= r.units))) - 1
+          ELSE len(p.rems) END AS INT),
+        r.units
+      FROM pack p JOIN ranked r ON r.lang = p.lang
+        AND r.seg = p.seg AND r.rn = p.rn + 1)
+    SELECT lang, seg, doc_id, bin, units AS bpe_tokens
+    FROM pack WHERE rn > 0 ORDER BY lang, seg, bin, doc_id"""
+
+  val entries: Seq[QueryDef] = Seq(
+
+    // ---- X10/X13: BPE TRAINING — 16 merge rules learned on the
+    // doc_id%2=0 slice as pure aggregations (pair-count → pinned-order
+    // argmax → fold application). The oracle unrolls the identical 16
+    // rounds in SQL, so a green hash proves every training decision.
+    // On this corpus the chain assembles real words (rank 14 reaches
+    // 'customer') — the merges are structure, not noise.
+    QueryDef("q221_bpe_train",
+      (s, dir) => Bpe.mergeTable(s, trainedMerges(s, dir))
+        .orderBy("merge_rank"),
+      Some(trainOracle(NumMerges))),
+
+    // ---- X13 token-true accounting: per-document whitespace vs BPE
+    // token counts under the q221 merge table — the denominators a
+    // real corpus build budgets with (packing, mixture weights,
+    // per-source token counts). Encode touches DISTINCT words only and
+    // joins back to the token stream; output is document-spine-aligned
+    // (NULL/empty text → 0s). The oracle replays train AND encode.
+    QueryDef("q222_bpe_token_accounting",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Bpe.tokenCounts(docs, "doc_id", "text", trainedMerges(s, dir))
+          .orderBy("doc_id")
+      },
+      Some(countsOracle(NumMerges))),
+
+    // ---- X10 re-denominated: q216's best-fit-decreasing packing with
+    // budgets in SUBWORD tokens (2048 BPE tokens per context) instead
+    // of characters — the unit production packing actually uses. Same
+    // operator, same segment-scaling contract (numSegs = max(4,
+    // n/1250) over the packed set), same recursive-CTE replay; q216
+    // itself is untouched (its hashes stay pinned).
+    QueryDef("q223_pack_bestfit_bpe",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val units = graft.CacheScope.persist(
+          Bpe.tokenCounts(docs, "doc_id", "text", trainedMerges(s, dir))
+            .filter(col("ws_tokens") > 0)
+            .join(docs.select("doc_id", "lang"), Seq("doc_id")))
+        val nSegs = math.max(4L, units.count() / 1250L).toInt
+        Curation.packBestFit(units, "lang", "doc_id", "bpe_tokens",
+            2048L, numSegs = nSegs, salt = "packbpe")
+          .orderBy("lang", "seg", "bin", "doc_id")
+      },
+      Some(packOracle(NumMerges))))
+}

@@ -557,4 +557,136 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("id_a", "id_b", "cosine", "rank")
   }
+
+  /** ANN recall harness: measured recall@k of the pruned paths (IVF,
+    * PQ-ADC, IVF-PQ) against the EXACT top-k in each path's own
+    * metric — IVF probes cosine cells so it is judged against the
+    * cosine brute force; PQ/IVF-PQ rank by ADC squared-L2 so they are
+    * judged against the exact L2 top-k (judging an L2 ranker on a
+    * cosine ground truth would measure the metric mismatch, not the
+    * quantization loss).
+    *
+    * BATCH shape end to end, no driver loops: the query set rides one
+    * broadcast, every ranking (exact, cell probe, ADC) is a single
+    * [[graft.plans.TopK.perGroup]] bounded-heap pass over ALL queries
+    * at once, and recalls are computed with (qid, id) semi-joins — the
+    * X12 bulk-inference shape, |Q|-bounded broadcasts, nothing
+    * corpus-sized on the driver. Serving state (IVF assignment,
+    * codebooks, corpus codes) persists ONCE via CacheScope and every
+    * path re-probes it — how a deployed index amortizes at 100 TB.
+    *
+    * Exact rank keys are rounded to 6 dp BEFORE ranking (ties then
+    * break by id) so the exact top-k replays across engines — the
+    * registry's round-before-argmax discipline.
+    *
+    * Returns one row per query id: (query_id, exact_cos_md5,
+    * exact_l2_md5, ivf_recall, pq_recall, ivfpq_recall). The digests
+    * are md5 of the comma-joined exact top-k ids in rank order —
+    * engine-replayable (DuckDB: list_dot_product / the same rounded
+    * fold). The recall fractions are measured values in [0,1] whose
+    * approx side is xxhash64-seeded and therefore NOT replayable in
+    * SQL — callers gate them against floors (q224). */
+  def annRecall(emb: DataFrame, idCol: String, vecCol: String,
+                queryIds: Seq[Long], k: Int, dim: Int,
+                nCentroids: Int = 16, nProbe: Int = 4,
+                m: Int = 4, pqK: Int = 16, iters: Int = 1): DataFrame = {
+    require(queryIds.nonEmpty, "queryIds must be non-empty")
+    // shared serving state: assignment, codebooks, corpus codes
+    val index = graft.CacheScope.persist(
+      ivfIndex(emb, idCol, vecCol, nCentroids))
+    val books = graft.CacheScope.persist(
+      pqCodebooks(emb, idCol, vecCol, dim, m, pqK, iters))
+    val codes = graft.CacheScope.persist(
+      pqEncode(emb, idCol, vecCol, books, dim, m))
+    val subDim = dim / m
+    val qset = broadcast(emb.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("qid"),
+        Vectors.toDouble(col(vecCol)).as("qvec")))
+
+    // exact ground truths: one corpus × |Q| map pass per metric, one
+    // bounded-heap top-k per query
+    val rest = graft.scaleOut(emb)
+      .select(col(idCol).as("id"), Vectors.toDouble(col(vecCol)).as("v"))
+      .crossJoin(qset).filter(col("id") =!= col("qid"))
+    val exactCos = graft.plans.TopK.perGroup(
+      rest.select(col("qid"), col("id"),
+        round(Vectors.cosine(col("v"), col("qvec")), 6).as("c")),
+      Seq("qid"), Seq(graft.plans.TopK.desc("c"),
+        graft.plans.TopK.asc("id")), k)
+    val exactL2 = graft.plans.TopK.perGroup(
+      rest.select(col("qid"), col("id"),
+        round(l2sq(col("v"), col("qvec")), 6).as("d")),
+      Seq("qid"), Seq(graft.plans.TopK.asc("d"),
+        graft.plans.TopK.asc("id")), k)
+
+    // IVF: nProbe nearest cells per query, score only those cells
+    val pivots = emb
+      .orderBy(pmod(xxhash64(col(idCol)), lit(1000000007L)).asc,
+        col(idCol).asc)
+      .limit(nCentroids)
+      .select(col(idCol).as("pid"),
+        Vectors.toDouble(col(vecCol)).as("pv"))
+    val probes = broadcast(graft.plans.TopK.perGroup(
+      qset.crossJoin(broadcast(pivots))
+        .select(col("qid"), col("qvec"), col("pid"),
+          coalesce(Vectors.cosine(col("qvec"), col("pv")), lit(-2.0))
+            .as("pc")),
+      Seq("qid"), Seq(graft.plans.TopK.desc("pc"),
+        graft.plans.TopK.asc("pid")), nProbe)
+      .select(col("qid"), col("qvec"), col("pid").as("centroid_id")))
+    val ivf = graft.plans.TopK.perGroup(
+      index.join(probes, Seq("centroid_id"))
+        .filter(col(idCol) =!= col("qid"))
+        .select(col("qid"), col(idCol).as("id"),
+          Vectors.cosine(col("v"), col("qvec")).as("c")),
+      Seq("qid"), Seq(graft.plans.TopK.desc("c"),
+        graft.plans.TopK.asc("id")), k)
+
+    // ADC lookup tables for ALL queries at once (|Q|·m·pqK rows)
+    val qsub = qset.select(col("qid"),
+      posexplode(subspaces(col("qvec"), m, subDim))).toDF("qid", "m", "qsv")
+    val lut = broadcast(books.join(qsub, Seq("m"))
+      .select(col("qid"), col("m"), col("cid").as("code"),
+        l2sq(col("cv"), col("qsv")).as("pd")))
+    val pq = graft.plans.TopK.perGroup(
+      codes.join(lut, Seq("m", "code"))
+        .filter(col("id") =!= col("qid"))
+        .groupBy(col("qid"), col("id")).agg(sum(col("pd")).as("ad")),
+      Seq("qid"), Seq(graft.plans.TopK.asc("ad"),
+        graft.plans.TopK.asc("id")), k)
+    // IVF-PQ: ADC restricted to the probed cells' candidates
+    val cand = index.join(probes.select("qid", "centroid_id"),
+        Seq("centroid_id"))
+      .filter(col(idCol) =!= col("qid"))
+      .select(col("qid"), col(idCol).as("id"))
+    val ivfpq = graft.plans.TopK.perGroup(
+      codes.join(cand, Seq("id"))
+        .join(lut, Seq("qid", "m", "code"))
+        .groupBy(col("qid"), col("id")).agg(sum(col("pd")).as("ad")),
+      Seq("qid"), Seq(graft.plans.TopK.asc("ad"),
+        graft.plans.TopK.asc("id")), k)
+
+    // digests of the exact top-k in rank order; recalls via semi-joins
+    def digest(exact: DataFrame, rankKey: Column, as: String) =
+      exact.groupBy(col("qid"))
+        .agg(md5(array_join(transform(
+          array_sort(collect_list(struct(rankKey, col("id")))),
+          x => x.getField("id").cast("string")), ",")).as(as))
+    def recallOf(approx: DataFrame, exact: DataFrame, as: String) =
+      approx.select("qid", "id")
+        .join(exact.select("qid", "id"), Seq("qid", "id"), "left_semi")
+        .groupBy("qid").agg(count(lit(1)).as(as))
+    val kd = lit(k.toDouble)
+    digest(exactCos, (-col("c")).as("rk"), "exact_cos_md5")
+      .join(digest(exactL2, col("d").as("rk"), "exact_l2_md5"),
+        Seq("qid"))
+      .join(recallOf(ivf, exactCos, "_ivf"), Seq("qid"), "left")
+      .join(recallOf(pq, exactL2, "_pq"), Seq("qid"), "left")
+      .join(recallOf(ivfpq, exactL2, "_ivfpq"), Seq("qid"), "left")
+      .select(col("qid").as("query_id"),
+        col("exact_cos_md5"), col("exact_l2_md5"),
+        (coalesce(col("_ivf"), lit(0L)) / kd).as("ivf_recall"),
+        (coalesce(col("_pq"), lit(0L)) / kd).as("pq_recall"),
+        (coalesce(col("_ivfpq"), lit(0L)) / kd).as("ivfpq_recall"))
+  }
 }

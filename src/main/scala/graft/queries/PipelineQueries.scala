@@ -3347,5 +3347,70 @@ object PipelineQueries {
           CAST(COALESCE(per.cut_chunks, 0) AS BIGINT) AS cut_chunks,
           CAST(COALESCE(per.kept_tokens, 0) AS BIGINT) AS kept_tokens
         FROM documents d LEFT JOIN per USING (doc_id)
-        ORDER BY doc_id""")))
+        ORDER BY doc_id""")),
+
+    // ---- X3/X12: ANN RECALL DIFFERENTIAL — the number the ANN speed
+    // story was missing: measured recall@10 of the pruned paths (IVF,
+    // PQ-ADC, IVF-PQ) against the exact top-k, over an 8-query batch
+    // through ONE shared serving index (annRecall — every ranking is a
+    // bounded-heap TopKPerGroup pass, recalls are semi-joins, no
+    // driver loops). Each path is judged in its OWN metric (IVF vs
+    // exact cosine, ADC paths vs exact L2 — else the gate measures the
+    // metric mismatch, not quantization loss). The exact top-k id
+    // digests are hashed and oracle-replayed (rank keys rounded to 6dp
+    // before ranking so the sets replay across engines); the recall
+    // fractions' approx side is xxhash64-seeded (not SQL-replayable),
+    // so the hashed gate is MEAN recall over the batch ≥ a floor with
+    // measured margin: at nProbe=8/16, m=16, pqK=32, iters=2 the means
+    // run ivf 0.59-0.79, pq 0.40-0.54, ivfpq 0.37-0.46 across
+    // sf0.001-0.1 → floors 0.45/0.30/0.28. These synthetic embeddings
+    // are the ADVERSARIAL recall case (no cluster structure — true
+    // neighbors spread uniformly over cells); structured corpora sit
+    // higher, and the exactness invariant (probes→all, m=1, k≥n ⇒
+    // recall 1) is spec-pinned in AnnRecallSpec.
+    QueryDef("q224_ann_recall",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val r = graft.CacheScope.persist(
+          Similarity.annRecall(emb, "vec_id", "embedding",
+            Seq(7L, 59L, 101L, 167L, 233L, 311L, 401L, 457L),
+            k = 10, dim = 64, nCentroids = 16, nProbe = 8,
+            m = 16, pqK = 32, iters = 2))
+        val means = broadcast(r.agg(
+          avg("ivf_recall").as("mi"), avg("pq_recall").as("mp"),
+          avg("ivfpq_recall").as("mq")))
+        r.crossJoin(means)
+          .select(col("query_id"), col("exact_cos_md5"),
+            col("exact_l2_md5"),
+            (col("mi") >= 0.45).as("ivf_recall_ok"),
+            (col("mp") >= 0.30).as("pq_recall_ok"),
+            (col("mq") >= 0.28).as("ivfpq_recall_ok"))
+          .orderBy("query_id")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+        q AS (SELECT vec_id AS qid, v AS qv FROM e
+          WHERE vec_id IN (7, 59, 101, 167, 233, 311, 401, 457)),
+        s AS (SELECT q.qid, e.vec_id AS id,
+            round(list_dot_product(e.v, q.qv)
+              / (sqrt(list_dot_product(e.v, e.v))
+                 * sqrt(list_dot_product(q.qv, q.qv))), 6) AS c,
+            round(list_reduce(list_transform(range(1, len(e.v) + 1),
+              i -> (e.v[i] - q.qv[i]) * (e.v[i] - q.qv[i])),
+              (acc, x) -> acc + x), 6) AS d
+          FROM e, q WHERE e.vec_id <> q.qid),
+        rc AS (SELECT qid, id, row_number() OVER (PARTITION BY qid
+            ORDER BY c DESC, id) AS rn FROM s),
+        rl AS (SELECT qid, id, row_number() OVER (PARTITION BY qid
+            ORDER BY d ASC, id) AS rn FROM s),
+        dc AS (SELECT qid,
+            md5(string_agg(id, ',' ORDER BY rn)) AS exact_cos_md5
+          FROM rc WHERE rn <= 10 GROUP BY qid),
+        dl AS (SELECT qid,
+            md5(string_agg(id, ',' ORDER BY rn)) AS exact_l2_md5
+          FROM rl WHERE rn <= 10 GROUP BY qid)
+        SELECT dc.qid AS query_id, exact_cos_md5, exact_l2_md5,
+          true AS ivf_recall_ok, true AS pq_recall_ok,
+          true AS ivfpq_recall_ok
+        FROM dc JOIN dl USING (qid) ORDER BY query_id""")))
 }

@@ -25,6 +25,23 @@ object Text {
   def distinctTokenCount(text: Column): Column =
     size(array_distinct(tokens(text))).cast("long")
 
+  /** Character n-grams of the lowercased text (spaces included — the
+    * fastText-style language-ID feature: word-boundary characters
+    * carry signal word unigrams miss). Empty for NULL or shorter-
+    * than-n text; the guard also avoids `sequence`'s descending range
+    * when length-n+1 < 1. Engine-portable: DuckDB mirror is
+    * `list_transform(range(1, len(s) - (n-2)), i -> s[i:i+(n-1)])`
+    * (DuckDB `range` is empty when stop <= start, slices are 1-based
+    * end-inclusive). */
+  def charNgrams(text: Column, n: Int): Column = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val t = lower(text)
+    when(length(t) >= n,
+      transform(sequence(lit(1), length(t) - (n - 1)),
+        i => t.substr(i, lit(n))))
+      .otherwise(typedLit(Array.empty[String]))
+  }
+
   /** BPE-ish subword segmentation: split on whitespace AND at
     * letter/digit/punct boundaries — a deterministic stand-in for a real
     * BPE vocab (tokenizer libs are not in scope). */

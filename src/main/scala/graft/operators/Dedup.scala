@@ -466,9 +466,10 @@ object Dedup {
     * admitting writer per curated table — the q208 AvailableNow drain
     * serializes micro-batches by construction — and scale ingest by
     * sharding batches WITHIN that writer (blockCols bound the work),
-    * not by adding writers; a multi-writer deployment needs a post-hoc
-    * reconciliation pass (run [[nearDupPairsMinhash]] over the merged
-    * admissions of the conflicting window). */
+    * not by adding writers; OR use [[admitNearDupAndCommit]], which
+    * composes this operator with a conditional commit and re-runs
+    * admission against the new snapshot on every lost race, making
+    * concurrent admitters converge to the single-writer result. */
   def incrementalNewNearDup(batch: DataFrame, corpus: DataFrame,
                             idCol: String, textCol: String,
                             blockCols: Seq[String] = Nil,
@@ -605,6 +606,61 @@ object Dedup {
       .filter(jaccard(col("_sh"), col("_psh")) >= threshold)
       .select(col("_id").as(idCol)).distinct()
     batch.join(blockedIds, Seq(idCol), "left_anti")
+  }
+
+  /** X11 concurrent-safe composition: admit a batch against a
+    * manifest-backed curated table and COMMIT the survivors, with the
+    * admission predicate RE-VALIDATED on every lost commit race — the
+    * upgrade from the documented single-writer contract (the r13/r14
+    * pin at [[incrementalNewNearDup]]: the manifest CAS serializes
+    * commits but nothing re-checks admission, so two concurrent
+    * admitters can each admit mutual near-dups).
+    *
+    * Loop: read head → admit against that snapshot
+    * ([[incrementalNewNearDup]]) → conditional commit
+    * ([[graft.sources.Manifest.commitAppendIf]], which claims
+    * head+1 or throws WITHOUT retrying). A loser re-reads the NEW
+    * snapshot — which now contains the winner's rows — and re-runs
+    * admission, so its mutual near-dups are excluded exactly as in a
+    * serial schedule; racing admitters therefore CONVERGE to the
+    * single-writer result (DedupSpec pins it with an injected race).
+    * An empty admitted set commits nothing (adding nothing is
+    * snapshot-stale-safe) and returns the head it validated against.
+    *
+    * Scale: each attempt costs one admission pass (batch-sized work
+    * against the corpus digest/shingle stream) plus one batch-sized
+    * file write; contention is per-TABLE commit contention, the same
+    * as every other manifest writer, with attempts bounded — this
+    * makes concurrent admitters SAFE, not free, so the q208
+    * single-drain deployment remains the throughput shape and this is
+    * the correctness net under it. */
+  def admitNearDupAndCommit(spark: org.apache.spark.sql.SparkSession,
+                            root: String, batch: DataFrame,
+                            idCol: String, textCol: String,
+                            blockCols: Seq[String] = Nil,
+                            shingleN: Int = 3, threshold: Double = 0.5,
+                            maxAttempts: Int = 5): Long = {
+    import graft.sources.Manifest
+    var n = 0
+    var last: Throwable = null
+    while (n < maxAttempts) {
+      val head = Manifest.latestVersion(spark, root).getOrElse(
+        throw new IllegalStateException(s"$root not initialized"))
+      val admitted = incrementalNewNearDup(batch,
+        Manifest.read(spark, root), idCol, textCol, blockCols,
+        shingleN, threshold)
+      try {
+        // rows>0 probe is batch-bounded; an empty admission commits
+        // nothing — nothing stale can land
+        return if (admitted.isEmpty) head
+        else Manifest.commitAppendIf(spark, root, head, admitted)
+      } catch {
+        case e: IllegalStateException
+            if Option(e.getMessage).exists(_.contains("commit conflict")) =>
+          last = e; n += 1 // re-validate against the new snapshot
+      }
+    }
+    throw last
   }
 
   /** X1 pair form: exact-dup STAR pairs (group min id → every other

@@ -1553,6 +1553,51 @@ object Manifest {
     * specs that flip it) and specs must reset it in a finally. */
   @volatile private[graft] var appendRaceFence: () => Unit = () => ()
 
+  /** CONDITIONAL append — [[commitAppend]] minus the internal retry
+    * loop: commits `df` only if the table head still IS
+    * `expectedHead`, else throws `commit conflict` WITHOUT retrying.
+    *
+    * This is the primitive a re-validating admitter needs
+    * ([[graft.operators.Dedup.admitNearDupAndCommit]]): commitAppend's
+    * own retry re-publishes the SAME rows at the new head — correct
+    * for plain appends (they commute), wrong for admission, whose
+    * decision depends on the snapshot it read. Here the conflict
+    * propagates so the CALLER can recompute its decision against the
+    * new snapshot and try again — the read-validate-claim face of
+    * optimistic concurrency, where validation covers the decision,
+    * not just the claim.
+    *
+    * The head check is advisory (a racer can land between it and the
+    * claim); the O_EXCL version-file claim in [[publish]] is the
+    * authoritative CAS — it throws the same `commit conflict` if
+    * version expectedHead+1 was taken, so no stale decision can ever
+    * land. A lost race costs the data-file write of this attempt (the
+    * decision changed, so re-writing is inherent, unlike commitAppend
+    * whose files are decision-free and written once). */
+  def commitAppendIf(spark: SparkSession, root: String,
+                     expectedHead: Long, df: DataFrame,
+                     partitionCols: Seq[String] = Nil,
+                     extraMeta: Map[String, String] = Map.empty): Long = {
+    checkExtraMeta(extraMeta)
+    val cur = latestVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"$root not initialized"))
+    if (cur != expectedHead)
+      throw new IllegalStateException(
+        s"commit conflict: expected head $expectedHead of $root, found " +
+          s"$cur — re-validate against the new snapshot and retry")
+    val prev = readManifest(spark, root, cur)
+    checkPartCols(prev, partitionCols)
+    enforceConstraints(root, df, prev.meta)
+    val fresh = writeCommit(spark, root, cur + 1, df, partitionCols)
+    appendRaceFence() // same injection window as the append loop
+    publish(spark, root, cur,
+      prev.entries ++ fresh.map(_.copy(seq = Some(cur + 1))),
+      prev.meta ++ schemaHeaders(
+        appendSchema(spark, root, prev, df.schema), partitionCols)
+        ++ extraMeta,
+      prev.deletes)
+  }
+
   private def msgContains(e: Throwable, s: String): Boolean =
     Option(e.getMessage).exists(_.contains(s))
 

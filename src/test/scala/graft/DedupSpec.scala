@@ -333,6 +333,49 @@ class DedupSpec extends SparkSpec {
     CacheScope.releaseAll()
   }
 
+  test("admitNearDupAndCommit re-validates admission on a lost commit " +
+    "race: two racing admitters of mutual near-dups converge to the " +
+    "single-writer result (the loser re-admits against the winner's " +
+    "snapshot and commits nothing)") {
+    import graft.sources.Manifest
+    val x = (1 to 14).map(i => s"x$i").mkString(" ")
+    val y = x + " z1" // jaccard(x, y) ≈ .92 ≥ .8 — mutual near-dups
+    val tbl = "file://" + java.nio.file.Files
+      .createTempDirectory("graft-cas-adm").toString + "/curated"
+    Manifest.init(spark, tbl, Seq((1L,
+      "completely unrelated corpus text about catalyst plans and " +
+      "shuffles")).toDF("doc_id", "text"))
+    // inject writer A's full admit-and-commit into EXACTLY writer B's
+    // race window: B computes admission against the pre-A snapshot,
+    // then A lands before B's claim → B must lose the CAS, re-read,
+    // re-admit against A's rows, and exclude its near-dup
+    var injected = false
+    Manifest.appendRaceFence = () => {
+      if (!injected) {
+        injected = true // A's own commitAppendIf re-enters the fence
+        Dedup.admitNearDupAndCommit(spark, tbl,
+          Seq((100L, x)).toDF("doc_id", "text"),
+          "doc_id", "text", threshold = 0.8)
+      }
+    }
+    try {
+      val v = Dedup.admitNearDupAndCommit(spark, tbl,
+        Seq((200L, y)).toDF("doc_id", "text"),
+        "doc_id", "text", threshold = 0.8)
+      val ids = Manifest.read(spark, tbl)
+        .select("doc_id").as[Long].collect().toSet
+      // the serial-schedule outcome: A's doc in, B's mutual dup OUT
+      assert(ids == Set(1L, 100L), s"expected single-writer result, got $ids")
+      // B's losing attempt re-validated and committed nothing: the
+      // head is A's version (2), not a third commit
+      assert(v == 2L, s"expected head 2 after converged race, got $v")
+      assert(injected)
+    } finally {
+      Manifest.appendRaceFence = () => ()
+      CacheScope.releaseAll()
+    }
+  }
+
   test("blocked jaccard two-level size buckets do not lose " +
     "cross-bucket pairs") {
     // A ⊂ B with |A|=12, |B|=22 shingles: jaccard 12/22 ≈ 0.545 ≥ 0.5

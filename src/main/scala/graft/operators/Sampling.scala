@@ -92,6 +92,29 @@ object Sampling {
       .drop("_n", "_min_n")
   }
 
+  /** Weight-denominated balanced mixture — [[balanceStrata]] with the
+    * stratum size measured in an arbitrary per-row UNIT (BPE tokens,
+    * chars, bytes) instead of row count: keep-rate per stratum =
+    * min_w / w_s over the summed units, so every stratum's EXPECTED
+    * surviving units equal the smallest stratum's total. This is the
+    * denominator real corpus builds mix in — token budgets, not doc
+    * counts (a stratum of long documents is otherwise over-weighted
+    * exactly in proportion to its verbosity). Same portable-hash
+    * per-row decision: reproducible, resumable, engine-replayable;
+    * same cost shape (one unit-sum scan, both stat frames broadcast). */
+  def balanceStrataBy(df: DataFrame, stratumCol: String, idCol: String,
+                      unitsCol: String, salt: String): DataFrame = {
+    val sums = df.groupBy(stratumCol)
+      .agg(sum(col(unitsCol)).as("_w"))
+    val minW = sums.agg(min(col("_w")).as("_min_w"))
+    df.join(broadcast(sums), Seq(stratumCol))
+      .crossJoin(broadcast(minW))
+      .filter(portableHash(col(idCol), salt).cast("double") /
+        lit(4294967296.0) <
+        col("_min_w").cast("double") / col("_w").cast("double"))
+      .drop("_w", "_min_w")
+  }
+
   /** TEMPERATURE-flattened domain mixture — the published data-mixing
     * rule for multi-domain/multilingual corpora (mT5 / GPT-3 / PaLM:
     * sampling probability ∝ share^α; α < 1 upsamples tail domains,

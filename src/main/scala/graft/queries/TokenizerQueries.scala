@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
-import graft.operators.{Bpe, Curation}
+import graft.operators.{Bpe, Curation, Sampling}
 
 /** In-engine BPE tokenizer queries (X10/X13 token-true accounting):
   * train merge rules as aggregations, encode via rank-ordered merge
@@ -195,6 +195,41 @@ object TokenizerQueries {
           .orderBy("doc_id")
       },
       Some(countsOracle(NumMerges))),
+
+    // ---- X7 re-denominated: the q75 balanced mixture with stratum
+    // size measured in BPE TOKENS (Sampling.balanceStrataBy) — the
+    // denominator real corpus builds mix in: a source of long
+    // documents is doc-count-balanced yet token-over-weighted exactly
+    // in proportion to its verbosity. Keep-rate = min_w / w_s over
+    // summed subword tokens; per-row decision is the portable hash,
+    // and the oracle replays train -> encode -> per-doc counts ->
+    // stratum sums -> the hash comparison, so a green hash proves the
+    // whole token-denominated chain.
+    QueryDef("q226_bpe_token_mixture",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val units = Bpe.tokenCounts(docs, "doc_id", "text",
+            trainedMerges(s, dir))
+          .join(docs.select("doc_id", "source"), Seq("doc_id"))
+        Sampling.balanceStrataBy(units, "source", "doc_id",
+            "bpe_tokens", "mixtok-v1")
+          .groupBy("source")
+          .agg(count(lit(1)).as("docs"),
+            sum("bpe_tokens").as("bpe_tokens_kept"))
+          .orderBy("source")
+      },
+      Some(s"""WITH ${countsChain(NumMerges)},
+    src AS (SELECT d.doc_id, d.source, COALESCE(per.bp, 0) AS bp
+      FROM documents d LEFT JOIN per USING (doc_id)),
+    c AS (SELECT source, sum(bp) AS w FROM src GROUP BY source),
+    mw AS (SELECT min(w) AS min_w FROM c)
+    SELECT s.source, count(*) AS docs,
+      CAST(sum(s.bp) AS BIGINT) AS bpe_tokens_kept
+    FROM src s JOIN c USING (source) CROSS JOIN mw
+    WHERE CAST(('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)
+          || '|mixtok-v1'), 1, 8)) AS UBIGINT) / 4294967296.0
+      < CAST(mw.min_w AS DOUBLE) / CAST(c.w AS DOUBLE)
+    GROUP BY s.source ORDER BY s.source""")),
 
     // ---- X10 re-denominated: q216's best-fit-decreasing packing with
     // budgets in SUBWORD tokens (2048 BPE tokens per context) instead

@@ -40,6 +40,27 @@ class SamplingSpec extends SparkSpec {
     assert(again == bal)
   }
 
+  test("balanceStrataBy: strata balance in UNITS, not rows — a " +
+    "verbose stratum downsamples by token mass; smallest kept whole") {
+    // 'big' has 400 rows of 40 units (16,000 units); 'small' has 400
+    // rows of 10 units (4,000 units) — row-balanced already, 4x
+    // token-imbalanced
+    val df = ((0 until 400).map(i => (i.toLong, "big", 40L)) ++
+      (400 until 800).map(i => (i.toLong, "small", 10L)))
+      .toDF("id", "source", "units")
+    val bal = Sampling.balanceStrataBy(df, "source", "id", "units", "mixt")
+      .groupBy("source").agg(sum("units").as("u"))
+      .as[(String, Long)].collect().toMap
+    assert(bal("small") == 4000)              // smallest mass: kept whole
+    assert(math.abs(bal("big") - 4000) < 1400) // ~4,000 of 16,000 units
+    // deterministic
+    val again = Sampling
+      .balanceStrataBy(df, "source", "id", "units", "mixt")
+      .groupBy("source").agg(sum("units").as("u"))
+      .as[(String, Long)].collect().toMap
+    assert(again == bal)
+  }
+
   test("sampleKPerStratum: exactly k per stratum, reproducible") {
     val df = (0 until 300).map(i => (i.toLong, "s" + (i % 3)))
       .toDF("id", "source")

@@ -580,7 +580,11 @@ object Similarity {
     * registry's round-before-argmax discipline.
     *
     * Returns one row per query id: (query_id, exact_cos_md5,
-    * exact_l2_md5, ivf_recall, pq_recall, ivfpq_recall). The digests
+    * exact_l2_md5, ivf_recall, pq_recall, ivfpq_recall,
+    * pq_refined_recall) — the last is ADC + exact re-rank of a
+    * refineFactor·k shortlist, the FAISS `refine` step: recall
+    * rescued at shortlist-sized (not corpus-sized) exact cost, the
+    * production answer when raw ADC recall is low. The digests
     * are md5 of the comma-joined exact top-k ids in rank order —
     * engine-replayable (DuckDB: list_dot_product / the same rounded
     * fold). The recall fractions are measured values in [0,1] whose
@@ -589,8 +593,10 @@ object Similarity {
   def annRecall(emb: DataFrame, idCol: String, vecCol: String,
                 queryIds: Seq[Long], k: Int, dim: Int,
                 nCentroids: Int = 16, nProbe: Int = 4,
-                m: Int = 4, pqK: Int = 16, iters: Int = 1): DataFrame = {
+                m: Int = 4, pqK: Int = 16, iters: Int = 1,
+                refineFactor: Int = 10): DataFrame = {
     require(queryIds.nonEmpty, "queryIds must be non-empty")
+    require(refineFactor >= 1, s"refineFactor must be >= 1, got $refineFactor")
     // shared serving state: assignment, codebooks, corpus codes
     val index = graft.CacheScope.persist(
       ivfIndex(emb, idCol, vecCol, nCentroids))
@@ -648,11 +654,28 @@ object Similarity {
     val lut = broadcast(books.join(qsub, Seq("m"))
       .select(col("qid"), col("m"), col("cid").as("code"),
         l2sq(col("cv"), col("qsv")).as("pd")))
-    val pq = graft.plans.TopK.perGroup(
-      codes.join(lut, Seq("m", "code"))
-        .filter(col("id") =!= col("qid"))
-        .groupBy(col("qid"), col("id")).agg(sum(col("pd")).as("ad")),
+    val pqScored = codes.join(lut, Seq("m", "code"))
+      .filter(col("id") =!= col("qid"))
+      .groupBy(col("qid"), col("id")).agg(sum(col("pd")).as("ad"))
+    val pq = graft.plans.TopK.perGroup(pqScored,
       Seq("qid"), Seq(graft.plans.TopK.asc("ad"),
+        graft.plans.TopK.asc("id")), k)
+    // PQ + RE-RANK (the FAISS refine step): ADC keeps a shortlist of
+    // refineFactor·k candidates, EXACT L2 re-ranks only those — the
+    // standard recall rescue whose cost is shortlist-sized (one
+    // vector join per candidate), not corpus-sized
+    val pqShort = graft.plans.TopK.perGroup(pqScored,
+      Seq("qid"), Seq(graft.plans.TopK.asc("ad"),
+        graft.plans.TopK.asc("id")), refineFactor * k)
+    val vmap = emb.select(col(idCol).as("id"),
+      Vectors.toDouble(col(vecCol)).as("v"))
+    val pqr = graft.plans.TopK.perGroup(
+      pqShort.select("qid", "id")
+        .join(vmap, Seq("id"))
+        .join(qset, Seq("qid"))
+        .select(col("qid"), col("id"),
+          l2sq(col("v"), col("qvec")).as("d")),
+      Seq("qid"), Seq(graft.plans.TopK.asc("d"),
         graft.plans.TopK.asc("id")), k)
     // IVF-PQ: ADC restricted to the probed cells' candidates
     val cand = index.join(probes.select("qid", "centroid_id"),
@@ -683,10 +706,12 @@ object Similarity {
       .join(recallOf(ivf, exactCos, "_ivf"), Seq("qid"), "left")
       .join(recallOf(pq, exactL2, "_pq"), Seq("qid"), "left")
       .join(recallOf(ivfpq, exactL2, "_ivfpq"), Seq("qid"), "left")
+      .join(recallOf(pqr, exactL2, "_pqr"), Seq("qid"), "left")
       .select(col("qid").as("query_id"),
         col("exact_cos_md5"), col("exact_l2_md5"),
         (coalesce(col("_ivf"), lit(0L)) / kd).as("ivf_recall"),
         (coalesce(col("_pq"), lit(0L)) / kd).as("pq_recall"),
-        (coalesce(col("_ivfpq"), lit(0L)) / kd).as("ivfpq_recall"))
+        (coalesce(col("_ivfpq"), lit(0L)) / kd).as("ivfpq_recall"),
+        (coalesce(col("_pqr"), lit(0L)) / kd).as("pq_refined_recall"))
   }
 }

@@ -3447,7 +3447,10 @@ object PipelineQueries {
     // are the ADVERSARIAL recall case (no cluster structure — true
     // neighbors spread uniformly over cells); structured corpora sit
     // higher, and the exactness invariant (probes→all, m=1, k≥n ⇒
-    // recall 1) is spec-pinned in AnnRecallSpec.
+    // recall 1) is spec-pinned in AnnRecallSpec. The fourth gate is
+    // the production rescue: ADC + exact re-rank of a 10k-candidate
+    // shortlist (the FAISS refine step) — shortlist-sized exact cost,
+    // mean recall ≥ 0.80 even on the adversarial corpus.
     QueryDef("q224_ann_recall",
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")
@@ -3458,13 +3461,15 @@ object PipelineQueries {
             m = 16, pqK = 32, iters = 2))
         val means = broadcast(r.agg(
           avg("ivf_recall").as("mi"), avg("pq_recall").as("mp"),
-          avg("ivfpq_recall").as("mq")))
+          avg("ivfpq_recall").as("mq"),
+          avg("pq_refined_recall").as("mr")))
         r.crossJoin(means)
           .select(col("query_id"), col("exact_cos_md5"),
             col("exact_l2_md5"),
             (col("mi") >= 0.45).as("ivf_recall_ok"),
             (col("mp") >= 0.30).as("pq_recall_ok"),
-            (col("mq") >= 0.28).as("ivfpq_recall_ok"))
+            (col("mq") >= 0.28).as("ivfpq_recall_ok"),
+            (col("mr") >= 0.80).as("pq_refined_recall_ok"))
           .orderBy("query_id")
       },
       Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
@@ -3491,6 +3496,6 @@ object PipelineQueries {
           FROM rl WHERE rn <= 10 GROUP BY qid)
         SELECT dc.qid AS query_id, exact_cos_md5, exact_l2_md5,
           true AS ivf_recall_ok, true AS pq_recall_ok,
-          true AS ivfpq_recall_ok
+          true AS ivfpq_recall_ok, true AS pq_refined_recall_ok
         FROM dc JOIN dl USING (qid) ORDER BY query_id""")))
 }

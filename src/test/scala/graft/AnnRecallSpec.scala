@@ -33,7 +33,21 @@ class AnnRecallSpec extends SparkSpec {
       assert(row.getDouble(3) == 1.0, s"ivf_recall in $row")
       assert(row.getDouble(4) == 1.0, s"pq_recall in $row")
       assert(row.getDouble(5) == 1.0, s"ivfpq_recall in $row")
+      assert(row.getDouble(6) == 1.0, s"pq_refined_recall in $row")
     }
+  }
+
+  test("ADC re-rank (the refine step) recovers exact top-k whenever " +
+    "the shortlist covers it: with shortlist = n, refined recall is " +
+    "1.0 even under coarse quantization") {
+    val r = Similarity.annRecall(emb, "vec_id", "embedding",
+        Seq(1L, 6L), k = 3, dim = 8,
+        nCentroids = 4, nProbe = 4, m = 2, pqK = 2, iters = 0,
+        refineFactor = 4) // 12 candidates = the whole corpus
+      .collect()
+    CacheScope.releaseAll()
+    for (row <- r)
+      assert(row.getDouble(6) == 1.0, s"pq_refined_recall in $row")
   }
 
   test("exact digests equal the md5 of the rank-ordered exact top-k " +
@@ -62,7 +76,7 @@ class AnnRecallSpec extends SparkSpec {
       .collect()
     CacheScope.releaseAll()
     assert(r.length == 3)
-    for (row <- r; i <- 3 to 5) {
+    for (row <- r; i <- 3 to 6) {
       val v = row.getDouble(i)
       assert(v >= 0.0 && v <= 1.0, s"col $i in $row")
     }

@@ -75,6 +75,7 @@ class BpeSpec extends SparkSpec {
   test("train stops early when no adjacent pair remains and " +
     "registers nothing with CacheScope (round state is checkpointed, " +
     "ContextCleaner-managed)") {
+    CacheScope.releaseAll() // isolate from other suites' leftovers
     val merges = Bpe.train(Seq((1L, "ab ab")).toDF("doc_id", "text"),
       "text", 10)
     // 'ab' exhausts after one merge

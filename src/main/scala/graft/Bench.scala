@@ -61,9 +61,13 @@ object Bench {
       // query's operator-internal caches (PQ codebooks, curation stage
       // frames) the way production repeat-queries share a serving
       // index — per-rep release would bench repeated cold builds and
-      // shifted q113/q150/q165/q206 1.5-2x when tried. Releasing here
-      // still bounds cache growth to one query's frames.
-      CacheScope.releaseAll()
+      // shifted q113/q150/q165/q206 1.5-2x when tried. ALL-THREADS
+      // drain: streaming rows persist on their streams' execution
+      // threads, and a thread-scoped release here measurably inflated
+      // the late suite (accumulated frames → storage-memory
+      // evictions). Releasing here bounds cache growth to one query's
+      // frames.
+      CacheScope.releaseAllThreads()
       val median =
         if (times.isEmpty) -1.0
         else times.sorted.apply(times.size / 2) // upper on even reps

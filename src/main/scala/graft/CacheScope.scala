@@ -16,53 +16,54 @@ import org.apache.spark.sql.{DataFrame, Dataset}
   * bounded-size and MEMORY_AND_DISK-evictable, but a real leak in a
   * long-lived serving session or a per-micro-batch `foreachBatch` loop.
   *
-  * [[persist]] registers the frame; [[releaseAll]] unpersists and
-  * forgets everything registered since the last release. Release points
-  * sit at OPERATION boundaries — after a query's result materializes
-  * ([[Verify]], [[Bench]]), after a micro-batch commits (the q208
-  * streaming admission shape) — where by construction no registered
-  * plan has a pending consumer.
+  * Two release scopes, two boundary kinds:
   *
-  * The registry is THREAD-scoped, not process-global: persists and the
-  * matching releaseAll always happen on the operation's own driver-side
-  * thread (Verify/Bench run queries on the main thread; a streaming
-  * `foreachBatch` body persists and releases on its stream's execution
-  * thread), so scoping by thread makes concurrent operations in one
-  * JVM safe — two streams each calling releaseAll per micro-batch, or
-  * a future parallelized Verify, drain only their OWN frames instead
-  * of evicting caches another operation is mid-consuming. An operation
-  * MUST release on the thread that persisted (true of every site; a
-  * thread that dies unreleased leaks its queue until the thread is
-  * GC'd). Lineage is always kept, so even a mis-scoped release
-  * degrades to recompute, never to a wrong result.
+  *  - [[releaseAll]] drains only the CALLING THREAD's registrations —
+  *    the MID-OPERATION boundary (a `foreachBatch` body releasing per
+  *    micro-batch). Thread scoping is what makes concurrent operations
+  *    in one JVM safe: two streams each releasing per micro-batch, or
+  *    a future parallelized Verify, drain their OWN frames instead of
+  *    evicting caches another operation is mid-consuming.
+  *  - [[releaseAllThreads]] drains EVERY thread's registrations — the
+  *    WHOLE-OPERATION boundary ([[Verify]] after a query's result
+  *    materializes, [[Bench]] between queries), where by construction
+  *    nothing is in flight. This is what reclaims frames persisted on
+  *    streams' execution threads whose bodies never release (a query
+  *    that starts a stream, drains it, and returns): thread-scoped
+  *    release alone left those accumulating for the JVM's life —
+  *    measured as a uniform late-suite bench inflation (evictions
+  *    under storage-memory pressure) when first deployed without it.
+  *
+  * Lineage is always kept, so even a mis-scoped release degrades to
+  * recompute, never to a wrong result.
   */
 object CacheScope {
 
-  private val tracked =
-    new ThreadLocal[java.util.ArrayDeque[Dataset[_]]] {
-      override def initialValue() = new java.util.ArrayDeque[Dataset[_]]()
-    }
+  private val tracked = new java.util.concurrent.ConcurrentHashMap[
+    Long, java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]]]()
 
-  /** `df.persist()` + register for this thread's next [[releaseAll]]. */
+  private def queue(): java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]] =
+    tracked.computeIfAbsent(Thread.currentThread().getId,
+      _ => new java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]]())
+
+  /** `df.persist()` + register for release (this thread's next
+    * [[releaseAll]], or any [[releaseAllThreads]]). */
   def persist(df: DataFrame): DataFrame = {
     val p = df.persist()
-    tracked.get.add(p)
+    queue().add(p)
     p
   }
 
   /** Register an ALREADY-persisted frame (e.g. one materialized inside
-    * an iterative loop) for this thread's next [[releaseAll]] without
-    * touching its storage level or computed blocks. */
+    * an iterative loop) without touching its storage level or computed
+    * blocks. */
   def track[T](ds: Dataset[T]): Dataset[T] = {
-    tracked.get.add(ds)
+    queue().add(ds)
     ds
   }
 
-  /** Unpersist (non-blocking) and forget every frame registered by the
-    * CALLING thread. Frames registered by other in-flight operations
-    * (other threads) are untouched. */
-  def releaseAll(): Unit = {
-    val q = tracked.get
+  private def drain(
+      q: java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]]): Unit = {
     var d = q.poll()
     while (d != null) {
       d.unpersist(false)
@@ -70,6 +71,36 @@ object CacheScope {
     }
   }
 
+  /** Unpersist (non-blocking) and forget every frame registered by the
+    * CALLING thread. Frames registered by other in-flight operations
+    * (other threads) are untouched — the mid-operation boundary. */
+  def releaseAll(): Unit = {
+    val q = tracked.get(Thread.currentThread().getId)
+    if (q != null) drain(q)
+  }
+
+  /** Unpersist and forget EVERY thread's registrations — the
+    * whole-operation boundary (Verify per query, Bench between
+    * queries), where by construction no registered plan has a pending
+    * consumer on any thread. Also reclaims queues of dead threads. */
+  def releaseAllThreads(): Unit = {
+    val it = tracked.entrySet().iterator()
+    while (it.hasNext) {
+      drain(it.next().getValue)
+      it.remove()
+    }
+  }
+
   /** Calling thread's registered-but-unreleased count (spec hook). */
-  def pending: Int = tracked.get.size()
+  def pending: Int = {
+    val q = tracked.get(Thread.currentThread().getId)
+    if (q == null) 0 else q.size()
+  }
+
+  /** All threads' registered-but-unreleased count (spec hook). */
+  def pendingAllThreads: Int = {
+    var n = 0
+    tracked.forEach((_, q) => n += q.size())
+    n
+  }
 }

@@ -43,11 +43,13 @@ object Verify {
           d.mkdirs()
           Files.writeString(Paths.get(s"$outDir/$name/_FAILED"), msg.take(500))
         } finally {
-          // operation boundary: release operator-internal caches (BM25
-          // postings, curation stage frames, PQ codebooks). In finally so
-          // a FAILED query's registered frames don't linger into the next
-          // query's run and cascade under memory pressure.
-          CacheScope.releaseAll()
+          // whole-operation boundary: release operator-internal caches
+          // (BM25 postings, curation stage frames, PQ codebooks) on
+          // EVERY thread — streaming queries persist on their streams'
+          // execution threads. In finally so a FAILED query's frames
+          // don't linger into the next query's run and cascade under
+          // memory pressure.
+          CacheScope.releaseAllThreads()
         }
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -50,7 +50,7 @@ class CacheScopeSpec extends SparkSpec {
 
   test("registry is thread-scoped: one operation's releaseAll never " +
     "drains frames another in-flight operation registered") {
-    CacheScope.releaseAll()
+    CacheScope.releaseAllThreads()
     CacheScope.persist(corpus.filter(col("doc_id") > 1))
     assert(CacheScope.pending == 1)
     // a concurrent operation (another thread) registers and releases
@@ -65,6 +65,23 @@ class CacheScopeSpec extends SparkSpec {
     assert(CacheScope.pending == 1) // untouched by the other thread
     CacheScope.releaseAll()
     assert(CacheScope.pending == 0)
+  }
+
+  test("releaseAllThreads (the whole-operation boundary) reclaims " +
+    "frames persisted on OTHER threads — the streaming-execution-" +
+    "thread shape a per-thread release would leak for the JVM's life") {
+    CacheScope.releaseAllThreads()
+    assert(CacheScope.pendingAllThreads == 0)
+    // a stream's execution thread persists and exits without releasing
+    val streamThread = new Thread(() =>
+      CacheScope.persist(corpus.filter(col("doc_id") > 2)))
+    streamThread.start(); streamThread.join()
+    assert(CacheScope.pending == 0)          // not ours...
+    assert(CacheScope.pendingAllThreads == 1) // ...but still live
+    CacheScope.releaseAll()                   // thread-scoped: no-op here
+    assert(CacheScope.pendingAllThreads == 1)
+    CacheScope.releaseAllThreads()            // boundary drain reclaims
+    assert(CacheScope.pendingAllThreads == 0)
   }
 
   test("removeDupChunks materializes its chunk relation once through " +

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
-import graft.operators.{Bpe, Curation, Sampling}
+import graft.operators.{Bpe, Curation, Dedup, Sampling}
 
 /** In-engine BPE tokenizer queries (X10/X13 token-true accounting):
   * train merge rules as aggregations, encode via rank-ordered merge
@@ -131,13 +131,103 @@ object TokenizerQueries {
     * 2048 subword tokens, numSegs = max(4, n/1250) over the PACKED set. */
   private def packOracle(m: Int): String =
     s"""WITH RECURSIVE ${countsChain(m)},
-    segd AS (SELECT d.lang, p.doc_id, p.bp AS units,
+    segd AS MATERIALIZED (SELECT d.lang, p.doc_id, p.bp AS units,
         CAST(CAST(('0x' || substr(md5(p.doc_id || '|packbpe'), 1, 8))
           AS UBIGINT) % CAST(greatest(4,
             (SELECT count(*) FROM per) // 1250) AS UBIGINT)
           AS INT) AS seg
       FROM per p JOIN documents d USING (doc_id)),
-    ranked AS (
+    ranked AS MATERIALIZED (
+      SELECT lang, seg, doc_id, units,
+        row_number() OVER (PARTITION BY lang, seg
+          ORDER BY units DESC, doc_id) AS rn
+      FROM segd),
+    pack AS (
+      SELECT lang, seg, CAST(0 AS BIGINT) AS rn,
+        CAST([] AS BIGINT[]) AS rems,
+        CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS INT) AS bin,
+        CAST(NULL AS BIGINT) AS units
+      FROM (SELECT DISTINCT lang, seg FROM ranked)
+      UNION ALL
+      SELECT r.lang, r.seg, r.rn,
+        CASE WHEN coalesce(list_position(p.rems,
+            list_min(list_filter(p.rems, x -> x >= r.units))), 0) > 0
+          THEN list_transform(p.rems, (x, i) -> CASE WHEN i =
+            list_position(p.rems, list_min(list_filter(p.rems,
+              x2 -> x2 >= r.units)))
+            THEN x - r.units ELSE x END)
+          ELSE list_append(p.rems, 2048 - r.units) END,
+        r.doc_id,
+        CAST(CASE WHEN coalesce(list_position(p.rems,
+            list_min(list_filter(p.rems, x -> x >= r.units))), 0) > 0
+          THEN list_position(p.rems, list_min(list_filter(p.rems,
+            x -> x >= r.units))) - 1
+          ELSE len(p.rems) END AS INT),
+        r.units
+      FROM pack p JOIN ranked r ON r.lang = p.lang
+        AND r.seg = p.seg AND r.rn = p.rn + 1)
+    SELECT lang, seg, doc_id, bin, units AS bpe_tokens
+    FROM pack WHERE rn > 0 ORDER BY lang, seg, bin, doc_id"""
+
+  /** q227's oracle: the END-TO-END token-budgeted build — keep-one
+    * span dedup (q220's chain, emitting the full cleaned text) →
+    * subword accounting under the raw-slice-trained merges (the
+    * raw-corpus encode table covers every cleaned word: cleaning only
+    * removes tokens, never mints them) → token-mass mixture → BFD
+    * packing (q223's recursive CTE). Every stage is a chain already
+    * proven under its own query; this assembles them under ONE hash. */
+  private def buildOracle(m: Int): String =
+    s"""WITH RECURSIVE ${trainChain(m)},
+    ${encodeChain(m)},
+    wl AS (SELECT word, len(syms) AS bpe FROM e$m),
+    t AS (SELECT doc_id, unnest(a) AS tok,
+        unnest(range(0, len(a))) AS pos
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS a
+        FROM documents)),
+    c AS (SELECT doc_id, tok, pos,
+        COALESCE(sum(CASE WHEN CAST(('0x' || substr(md5(tok
+            || '|cdc'), 1, 8)) AS UBIGINT) % 8 = 0
+          THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id
+          ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING
+          AND 1 PRECEDING), 0) AS chunk
+      FROM t),
+    ch AS (SELECT doc_id, chunk, count(*) AS n_tokens,
+        string_agg(tok, ' ' ORDER BY pos) AS chunk_text,
+        md5(string_agg(tok, ' ' ORDER BY pos)) AS digest
+      FROM c GROUP BY 1, 2),
+    occ AS (SELECT digest, count(*) AS n FROM ch GROUP BY 1),
+    rk AS (SELECT doc_id, chunk, n_tokens, chunk_text, digest,
+        row_number() OVER (PARTITION BY digest
+          ORDER BY doc_id, chunk) AS rn
+      FROM ch),
+    fl AS (SELECT rk.*, occ.n > 1 AND rk.rn > 1 AS cut
+      FROM rk JOIN occ USING (digest)),
+    cln AS MATERIALIZED (SELECT doc_id,
+        string_agg(CASE WHEN NOT cut THEN chunk_text END,
+          ' ' ORDER BY chunk) AS clean_text
+      FROM fl GROUP BY doc_id
+      HAVING sum(CASE WHEN NOT cut THEN n_tokens ELSE 0 END) > 0),
+    dtc AS MATERIALIZED (SELECT doc_id, tok AS word
+      FROM (SELECT doc_id, unnest(string_split(clean_text, ' ')) AS tok
+        FROM cln) WHERE tok <> ''),
+    per2 AS MATERIALIZED (SELECT doc_id, count(*) AS ws, sum(bpe) AS bp
+      FROM dtc JOIN wl USING (word) GROUP BY doc_id),
+    src AS MATERIALIZED (SELECT p.doc_id, d.source, d.lang, p.bp
+      FROM per2 p JOIN documents d USING (doc_id)),
+    csum AS (SELECT source, sum(bp) AS w FROM src GROUP BY source),
+    mw AS (SELECT min(w) AS min_w FROM csum),
+    mixed AS MATERIALIZED (SELECT s.doc_id, s.lang, s.bp
+      FROM src s JOIN csum USING (source) CROSS JOIN mw
+      WHERE CAST(('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)
+            || '|build-v1'), 1, 8)) AS UBIGINT) / 4294967296.0
+        < CAST(mw.min_w AS DOUBLE) / CAST(csum.w AS DOUBLE)),
+    segd AS MATERIALIZED (SELECT lang, doc_id, bp AS units,
+        CAST(CAST(('0x' || substr(md5(doc_id || '|packbuild'), 1, 8))
+          AS UBIGINT) % CAST(greatest(4,
+            (SELECT count(*) FROM mixed) // 1250) AS UBIGINT)
+          AS INT) AS seg
+      FROM mixed),
+    ranked AS MATERIALIZED (
       SELECT lang, seg, doc_id, units,
         row_number() OVER (PARTITION BY lang, seg
           ORDER BY units DESC, doc_id) AS rn
@@ -230,6 +320,41 @@ object TokenizerQueries {
           || '|mixtok-v1'), 1, 8)) AS UBIGINT) / 4294967296.0
       < CAST(mw.min_w AS DOUBLE) / CAST(c.w AS DOUBLE)
     GROUP BY s.source ORDER BY s.source""")),
+
+    // ---- THE COMPOSED TOKEN-BUDGETED CORPUS BUILD — the end-to-end
+    // shape a real training-data team ships, under ONE oracle-hashed
+    // chain: (1) keep-one duplicated-span removal (q220 semantics —
+    // every repeated CDC chunk keeps its corpus-wide first copy),
+    // (2) subword accounting of the CLEANED text under the q221 merge
+    // table (a tokenizer is trained once on the raw slice and applied
+    // to every curated snapshot; cleaning only removes tokens, never
+    // mints new words, so the raw-corpus word-piece table covers the
+    // clean corpus), (3) token-MASS-balanced source mixture, (4) BFD
+    // packing into 2048-subword contexts per lang. Output is the
+    // per-document packing assignment — one wrong decision anywhere in
+    // the four stages moves a row. All four stages are individually
+    // proven (q220/q222/q226/q223); this pins their COMPOSITION.
+    QueryDef("q227_token_budget_build",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val cleaned = graft.CacheScope.persist(
+          Dedup.removeDupChunks(docs, "doc_id", "text", m = 8,
+              maxOccurrences = 1, keepOne = true)
+            .filter(col("kept_tokens") > 0)
+            .select(col("doc_id"), col("clean_text")))
+        val counts = Bpe.tokenCounts(cleaned, "doc_id", "clean_text",
+            trainedMerges(s, dir))
+          .filter(col("ws_tokens") > 0)
+          .join(docs.select("doc_id", "source", "lang"), Seq("doc_id"))
+        val mixed = graft.CacheScope.persist(
+          Sampling.balanceStrataBy(counts, "source", "doc_id",
+            "bpe_tokens", "build-v1"))
+        val nSegs = math.max(4L, mixed.count() / 1250L).toInt
+        Curation.packBestFit(mixed, "lang", "doc_id", "bpe_tokens",
+            2048L, numSegs = nSegs, salt = "packbuild")
+          .orderBy("lang", "seg", "bin", "doc_id")
+      },
+      Some(buildOracle(NumMerges))),
 
     // ---- X10 re-denominated: q216's best-fit-decreasing packing with
     // budgets in SUBWORD tokens (2048 BPE tokens per context) instead

@@ -42,15 +42,34 @@ object CacheScope {
   private val tracked = new java.util.concurrent.ConcurrentHashMap[
     Long, java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]]]()
 
-  private def queue(): java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]] =
-    tracked.computeIfAbsent(Thread.currentThread().getId,
-      _ => new java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]]())
+  /** Register under the calling thread, race-safe against a concurrent
+    * [[releaseAllThreads]]: the releaser REMOVES a queue from the map
+    * before draining it, so an add can land in a queue that is already
+    * orphaned (drained and unreachable — the registration would leak
+    * its frame forever). The re-check closes that window: if the map no
+    * longer holds OUR queue after the add, either the releaser already
+    * drained our frame (released at the boundary — consistent, lineage
+    * recomputes) or we pull it back out and re-register in a fresh
+    * queue. Lock-free, and the loop terminates because each retry means
+    * one releaseAllThreads pass completed in between. */
+  private def register(ds: Dataset[_]): Unit = {
+    var done = false
+    while (!done) {
+      val tid = Thread.currentThread().getId
+      val q = tracked.computeIfAbsent(tid,
+        _ => new java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]]())
+      q.add(ds)
+      if (tracked.get(tid) eq q) done = true // visible to future releases
+      else if (!q.remove(ds)) done = true // releaser drained it — released
+      // else: orphaned before drain — we reclaimed the frame; retry
+    }
+  }
 
   /** `df.persist()` + register for release (this thread's next
     * [[releaseAll]], or any [[releaseAllThreads]]). */
   def persist(df: DataFrame): DataFrame = {
     val p = df.persist()
-    queue().add(p)
+    register(p)
     p
   }
 
@@ -58,7 +77,7 @@ object CacheScope {
     * an iterative loop) without touching its storage level or computed
     * blocks. */
   def track[T](ds: Dataset[T]): Dataset[T] = {
-    queue().add(ds)
+    register(ds)
     ds
   }
 
@@ -82,12 +101,16 @@ object CacheScope {
   /** Unpersist and forget EVERY thread's registrations — the
     * whole-operation boundary (Verify per query, Bench between
     * queries), where by construction no registered plan has a pending
-    * consumer on any thread. Also reclaims queues of dead threads. */
+    * consumer on any thread. Also reclaims queues of dead threads.
+    * Each queue is atomically REMOVED from the map before it is
+    * drained (never drain-then-remove): a concurrent [[register]] that
+    * raced onto the removed queue detects the orphaning and
+    * re-registers, so no frame can silently leak in the window. */
   def releaseAllThreads(): Unit = {
-    val it = tracked.entrySet().iterator()
-    while (it.hasNext) {
-      drain(it.next().getValue)
-      it.remove()
+    val keys = tracked.keySet().iterator()
+    while (keys.hasNext) {
+      val q = tracked.remove(keys.next())
+      if (q != null) drain(q)
     }
   }
 

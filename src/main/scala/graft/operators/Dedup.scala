@@ -646,19 +646,27 @@ object Dedup {
     while (n < maxAttempts) {
       val head = Manifest.latestVersion(spark, root).getOrElse(
         throw new IllegalStateException(s"$root not initialized"))
+      // materialize the admission ONCE per attempt: both consumers —
+      // the emptiness probe and the commit's file write — read the
+      // cached frame, instead of running the batch-vs-corpus
+      // shingle/digest plan twice per successful commit. The frame is
+      // batch-bounded; it is released in-loop because its consumers
+      // complete inside the attempt (the MaterializedAgg idiom, not
+      // CacheScope — nothing outlives the call).
       val admitted = incrementalNewNearDup(batch,
         Manifest.read(spark, root), idCol, textCol, blockCols,
-        shingleN, threshold)
+        shingleN, threshold).persist()
       try {
-        // rows>0 probe is batch-bounded; an empty admission commits
-        // nothing — nothing stale can land
-        return if (admitted.isEmpty) head
+        // count() fills the cache fully (an isEmpty probe would cache
+        // only the partitions it touched); it is the same batch-bounded
+        // job the probe already paid
+        return if (admitted.count() == 0L) head
         else Manifest.commitAppendIf(spark, root, head, admitted)
       } catch {
         case e: IllegalStateException
             if Option(e.getMessage).exists(_.contains("commit conflict")) =>
           last = e; n += 1 // re-validate against the new snapshot
-      }
+      } finally admitted.unpersist(false)
     }
     throw last
   }

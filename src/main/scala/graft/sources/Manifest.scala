@@ -1590,12 +1590,30 @@ object Manifest {
     enforceConstraints(root, df, prev.meta)
     val fresh = writeCommit(spark, root, cur + 1, df, partitionCols)
     appendRaceFence() // same injection window as the append loop
-    publish(spark, root, cur,
+    try publish(spark, root, cur,
       prev.entries ++ fresh.map(_.copy(seq = Some(cur + 1))),
       prev.meta ++ schemaHeaders(
         appendSchema(spark, root, prev, df.schema), partitionCols)
         ++ extraMeta,
       prev.deletes)
+    catch {
+      case e: IllegalStateException if msgContains(e, "commit conflict") =>
+        // A lost race here is EXPECTED (the caller re-validates and
+        // retries with a rewritten decision), so this attempt's data
+        // directory would otherwise orphan forever: no manifest ever
+        // references it and no cleanup path covers data/ (discardStage
+        // only reclaims stages). Delete it before propagating —
+        // best-effort (a failed delete degrades back to an orphan, it
+        // never masks the conflict the caller must see).
+        try fresh.headOption.foreach { f =>
+          val rel = f.path.split('/').take(2).mkString("/")
+          if (rel.startsWith("data/")) {
+            val (fs, rootP) = fsOf(spark, root)
+            fs.delete(new Path(rootP, rel), true)
+          }
+        } catch { case _: Throwable => () }
+        throw e
+    }
   }
 
   private def msgContains(e: Throwable, s: String): Boolean =

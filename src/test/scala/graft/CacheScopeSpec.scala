@@ -84,6 +84,46 @@ class CacheScopeSpec extends SparkSpec {
     assert(CacheScope.pendingAllThreads == 0)
   }
 
+  test("register vs releaseAllThreads race: concurrent persists never " +
+    "silently leak — every frame ends unpersisted after the final " +
+    "boundary drain") {
+    // The window under test: releaseAllThreads removes a queue from
+    // the map, a racing persist() on another thread adds to that
+    // now-orphaned queue, and (pre-fix) the frame was never released.
+    // Stress it: workers persist while the main thread hammers the
+    // boundary; afterwards ONE final drain must leave zero live
+    // registrations and zero cached frames.
+    CacheScope.releaseAllThreads()
+    val frames = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[org.apache.spark.sql.DataFrame]())
+    val workers = (0 until 4).map { t =>
+      new Thread(() => {
+        var i = 0
+        while (i < 100) {
+          frames.add(CacheScope.persist(
+            spark.range(t * 1000L + i, t * 1000L + i + 1).toDF("v")))
+          i += 1
+        }
+      })
+    }
+    workers.foreach(_.start())
+    // boundary hammer while the workers are mid-register
+    var spins = 0
+    while (workers.exists(_.isAlive) && spins < 100000) {
+      CacheScope.releaseAllThreads(); spins += 1
+    }
+    workers.foreach(_.join())
+    CacheScope.releaseAllThreads() // the final whole-operation drain
+    assert(CacheScope.pendingAllThreads == 0)
+    val leaked = new java.util.ArrayList[String]()
+    frames.forEach(f =>
+      if (f.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+        leaked.add(f.storageLevel.toString))
+    assert(leaked.isEmpty,
+      s"${leaked.size} of ${frames.size} frames still cached after the " +
+        "final boundary drain — the orphaned-queue leak")
+  }
+
   test("removeDupChunks materializes its chunk relation once through " +
     "CacheScope (count leg + flag leg share the tokenize stage) and " +
     "the operation boundary drains it") {

@@ -125,4 +125,41 @@ class ManifestRaceSpec extends SparkSpec {
       .select("s").as[String].collect().toSet
     assert(ids == Set("base", "w"))
   }
+
+  test("commitAppendIf deletes its attempt's data directory on a lost " +
+    "race — repeated contention never accumulates orphaned parquet") {
+    val root = newRoot()
+    Manifest.init(spark, root, Seq((1L, "base")).toDF("id", "s"))
+    def dataDirs(): Set[String] = {
+      val d = java.nio.file.Paths
+        .get(new java.net.URI(root + "/data"))
+      val out = scala.collection.mutable.Set.empty[String]
+      val s = java.nio.file.Files.list(d)
+      try s.forEach(p => out += p.getFileName.toString)
+      finally s.close()
+      out.toSet
+    }
+    val before = dataDirs() // the init commit's dir
+    assert(before.size == 1)
+    val fired = withOneShotFence {
+      // a winner claims v2 inside the loser's publish window
+      Manifest.commitAppend(spark, root, Seq((2L, "w")).toDF("id", "s"))
+    } {
+      val e = intercept[IllegalStateException] {
+        Manifest.commitAppendIf(spark, root, 1L,
+          Seq((3L, "l")).toDF("id", "s"))
+      }
+      assert(e.getMessage.contains("commit conflict"))
+    }
+    assert(fired >= 1)
+    // exactly init's + the winner's commit dirs remain: the loser's
+    // freshly written directory was reclaimed before the rethrow
+    val after = dataDirs()
+    assert(after.size == 2,
+      s"lost-race data dir not cleaned up: $after")
+    assert(before.subsetOf(after))
+    // and the table is exactly the winner's view
+    assert(Manifest.read(spark, root, None)
+      .select("id").as[Long].collect().toSet == Set(1L, 2L))
+  }
 }

@@ -46,12 +46,25 @@ object Bpe {
     def merged: String = left + right
   }
 
-  /** Character symbol list of a word (the rank-0 segmentation).
-    * `substr` is character-based on both engines (oracle mirror:
-    * `list_transform(range(1, len(w)+1), i -> w[i])`). */
+  /** Sennrich's end-of-word marker: the final character symbol of
+    * every word carries it, so a word-FINAL piece ("est" in "lowest")
+    * and the same characters word-INTERNALLY ("est" in "estimate")
+    * learn SEPARATE merge statistics — without it the two pool and the
+    * learned merges diverge from what a reference BPE trainer
+    * produces. Caveat shared with the original: a corpus word that
+    * literally contains the marker string would alias a marked symbol;
+    * the registry's corpora are plain text, where it cannot occur. */
+  val EndOfWord = "</w>"
+
+  /** Character symbol list of a word (the rank-0 segmentation), the
+    * last symbol suffixed with [[EndOfWord]]. `substr` is
+    * character-based on both engines (oracle mirror:
+    * `list_transform(range(1, len(w)+1), i -> w[i] || CASE WHEN
+    * i = len(w) THEN '</w>' ELSE '' END)`). */
   def charSyms(word: Column): Column =
     transform(sequence(lit(1), length(word)),
-      i => word.substr(i, lit(1)))
+      i => concat(word.substr(i, lit(1)),
+        when(i === length(word), lit(EndOfWord)).otherwise(lit(""))))
 
   /** Word-type vocabulary of a corpus: one row per distinct
     * whitespace token with its occurrence count — the frame BPE

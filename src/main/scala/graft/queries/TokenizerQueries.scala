@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
 import graft.operators.{Bpe, Curation, Dedup, Sampling}
+import graft.sources.{IndexAlias, Manifest}
 
 /** In-engine BPE tokenizer queries (X10/X13 token-true accounting):
   * train merge rules as aggregations, encode via rank-ordered merge
@@ -20,28 +21,54 @@ import graft.operators.{Bpe, Curation, Dedup, Sampling}
   * Tie-breaks are pinned to a total order both engines share: pair
   * counts are integral, argmax is (count DESC, left ASC, right ASC).
   * Tokenization is the registry-wide whitespace split; empty tokens
-  * are filtered identically on both sides.
+  * are filtered identically on both sides. Symbols carry Sennrich's
+  * end-of-word marker ([[Bpe.EndOfWord]]) on both engines, so
+  * word-final and word-internal pieces keep separate statistics.
   */
 object TokenizerQueries {
 
   /** Merge-table depth for the registered queries: enough for the
-    * synthetic corpus to assemble real multi-char subwords (rank 14
-    * reaches a whole word) while keeping the unrolled oracle readable. */
+    * synthetic corpus to assemble real multi-char subwords (whole
+    * marker-terminated words like 'order</w>' emerge within the 16
+    * ranks) while keeping the unrolled oracle readable. */
   private val NumMerges = 16
 
-  /** Training is deterministic, so the learned merges memoize per
-    * (session, sfDir) — q221/q222/q223 share one training run instead
-    * of re-paying `NumMerges` rounds each (driver-side Seq of 16
-    * literals, not a cached plan — nothing for CacheScope to drain). */
+  /** Training is deterministic — same sfDir, same pinned total order,
+    * same merges — so the learned rules memoize per DIRECTORY (plus a
+    * variant tag for differently-sliced retrains): q221/q222/q223/
+    * q226/q227 share one training run instead of re-paying `NumMerges`
+    * rounds each. The value is a driver-side Seq of merge literals,
+    * not a cached plan (nothing for CacheScope to drain) and nothing
+    * here retains a SparkSession — keying by session would pin
+    * instances for the JVM's life for zero correctness gain.
+    *
+    * Bench convention (the Bench cache-release comment's sibling):
+    * only the FIRST tokenizer query to run pays training, so the
+    * family's per-query bench numbers are order-dependent by design —
+    * the shared-artifact serving policy a real build has, where the
+    * tokenizer is trained once and every consumer loads it. The cold
+    * train cost is priced separately (SCALING.md tokenizer rows). */
   private val mergeCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+    new java.util.concurrent.ConcurrentHashMap[(String, String),
       Seq[Bpe.Merge]]()
 
   private def trainedMerges(s: SparkSession, dir: String): Seq[Bpe.Merge] =
-    mergeCache.computeIfAbsent((s, dir), { _ =>
+    mergeCache.computeIfAbsent((dir, "even16"), { _ =>
       Bpe.train(
         Tables.load(s, dir, "documents").filter(col("doc_id") % 2 === 0),
         "text", NumMerges)
+    })
+
+  /** q228's RETRAINED artifact: the refreshed (odd) slice, a smaller
+    * merge budget — a genuinely different tokenizer version, memoized
+    * under its own variant tag. */
+  private val NumMergesV2 = 8
+
+  private def trainedMergesV2(s: SparkSession, dir: String): Seq[Bpe.Merge] =
+    mergeCache.computeIfAbsent((dir, "odd8"), { _ =>
+      Bpe.train(
+        Tables.load(s, dir, "documents").filter(col("doc_id") % 2 === 1),
+        "text", NumMergesV2)
     })
 
   // ---------------------------------------------------------------
@@ -50,67 +77,74 @@ object TokenizerQueries {
   // identical — the generator IS the specification of one round.
   // ---------------------------------------------------------------
 
-  /** CTE chain learning `m` merges on the doc_id%2=0 slice: w0 is the
-    * word-type vocab with char symbols; each rank r contributes
+  /** CTE chain learning `m` merges on the `slice` of documents: w0 is
+    * the word-type vocab with char symbols (last symbol marker-
+    * suffixed, mirroring [[Bpe.charSyms]]); each rank r contributes
     * p{r} (adjacent-pair counts), m{r} (argmax with the pinned total
     * order) and w{r} (the merge applied via a left fold — singleton-
-    * lifted list_reduce so the accumulator can be a list). */
-  private def trainChain(m: Int): String = {
-    val w0 = """w0 AS MATERIALIZED (SELECT word, n,
-      list_transform(range(1, len(word)+1), i -> word[i]) AS syms
+    * lifted list_reduce so the accumulator can be a list). `pfx`
+    * namespaces every CTE so TWO independently trained chains (q228's
+    * v1/v2 artifacts) coexist in one WITH. */
+  private def trainChain(m: Int, pfx: String = "",
+                         slice: String = "doc_id % 2 = 0"): String = {
+    val w0 = s"""${pfx}w0 AS MATERIALIZED (SELECT word, n,
+      list_transform(range(1, len(word)+1), i -> word[i]
+        || CASE WHEN i = len(word) THEN '</w>' ELSE '' END) AS syms
     FROM (SELECT tok AS word, count(*) AS n
       FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok
-        FROM documents WHERE doc_id % 2 = 0)
+        FROM documents WHERE $slice)
       WHERE tok <> '' GROUP BY tok))"""
     val steps = (1 to m).map { i =>
-      s"""p$i AS MATERIALIZED (SELECT z.a AS a, z.b AS b, sum(n) AS c
+      s"""${pfx}p$i AS MATERIALIZED (SELECT z.a AS a, z.b AS b, sum(n) AS c
       FROM (SELECT n, unnest(list_transform(range(1, len(syms)),
           j -> struct_pack(a := syms[j], b := syms[j+1]))) AS z
-        FROM w${i - 1} WHERE len(syms) > 1)
+        FROM ${pfx}w${i - 1} WHERE len(syms) > 1)
       GROUP BY 1, 2),
-    m$i AS MATERIALIZED (SELECT a, b FROM p$i ORDER BY c DESC, a, b LIMIT 1),
-    w$i AS MATERIALIZED (SELECT word, n,
+    ${pfx}m$i AS MATERIALIZED (SELECT a, b FROM ${pfx}p$i ORDER BY c DESC, a, b LIMIT 1),
+    ${pfx}w$i AS MATERIALIZED (SELECT word, n,
       CASE WHEN m.a IS NULL OR len(syms) < 2 THEN syms
         ELSE list_reduce(list_transform(syms, s -> [s]),
           (acc, x) -> CASE WHEN acc[len(acc)] = m.a AND x[1] = m.b
             THEN list_append(acc[1:len(acc)-1], m.a || m.b)
             ELSE list_append(acc, x[1]) END) END AS syms
-      FROM w${i - 1} LEFT JOIN m$i m ON TRUE)"""
+      FROM ${pfx}w${i - 1} LEFT JOIN ${pfx}m$i m ON TRUE)"""
     }
     (w0 +: steps).mkString(",\n    ")
   }
 
   /** CTE chain encoding EVERY distinct corpus word with the learned
-    * merges in rank order — the same fold, fed by the m{r} CTEs. */
-  private def encodeChain(m: Int): String = {
-    val e0 = """e0 AS MATERIALIZED (SELECT word,
-      list_transform(range(1, len(word)+1), i -> word[i]) AS syms
+    * merges in rank order — the same fold, fed by the {pfx}m{r} CTEs. */
+  private def encodeChain(m: Int, pfx: String = ""): String = {
+    val e0 = s"""${pfx}e0 AS MATERIALIZED (SELECT word,
+      list_transform(range(1, len(word)+1), i -> word[i]
+        || CASE WHEN i = len(word) THEN '</w>' ELSE '' END) AS syms
     FROM (SELECT DISTINCT tok AS word
       FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok
         FROM documents)
       WHERE tok <> ''))"""
     val steps = (1 to m).map { i =>
-      s"""e$i AS MATERIALIZED (SELECT word,
+      s"""${pfx}e$i AS MATERIALIZED (SELECT word,
       CASE WHEN m.a IS NULL OR len(syms) < 2 THEN syms
         ELSE list_reduce(list_transform(syms, s -> [s]),
           (acc, x) -> CASE WHEN acc[len(acc)] = m.a AND x[1] = m.b
             THEN list_append(acc[1:len(acc)-1], m.a || m.b)
             ELSE list_append(acc, x[1]) END) END AS syms
-      FROM e${i - 1} LEFT JOIN m$i m ON TRUE)"""
+      FROM ${pfx}e${i - 1} LEFT JOIN ${pfx}m$i m ON TRUE)"""
     }
     (e0 +: steps).mkString(",\n    ")
   }
 
   /** Per-doc whitespace + BPE token counts, document-spine-aligned. */
-  private def countsChain(m: Int): String =
-    s"""${trainChain(m)},
-    ${encodeChain(m)},
-    wl AS (SELECT word, len(syms) AS bpe FROM e$m),
-    dt AS (SELECT doc_id, tok AS word
+  private def countsChain(m: Int, pfx: String = "",
+                          slice: String = "doc_id % 2 = 0"): String =
+    s"""${trainChain(m, pfx, slice)},
+    ${encodeChain(m, pfx)},
+    ${pfx}wl AS (SELECT word, len(syms) AS bpe FROM ${pfx}e$m),
+    ${pfx}dt AS (SELECT doc_id, tok AS word
       FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
         FROM documents) WHERE tok <> ''),
-    per AS (SELECT doc_id, count(*) AS ws, sum(bpe) AS bp
-      FROM dt JOIN wl USING (word) GROUP BY doc_id)"""
+    ${pfx}per AS (SELECT doc_id, count(*) AS ws, sum(bpe) AS bp
+      FROM ${pfx}dt JOIN ${pfx}wl USING (word) GROUP BY doc_id)"""
 
   private def trainOracle(m: Int): String = {
     val union = (1 to m).map(i =>
@@ -125,6 +159,27 @@ object TokenizerQueries {
     SELECT d.doc_id, CAST(COALESCE(per.ws, 0) AS BIGINT) AS ws_tokens,
       CAST(COALESCE(per.bp, 0) AS BIGINT) AS bpe_tokens
     FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id"""
+
+  /** q228's oracle: two independently trained chains — v1 (16 merges,
+    * even slice) replayed for phases 1 AND 2 (the swap has not
+    * happened), v2 (8 merges, odd slice) for phase 3 — the q188
+    * three-phase alias-swap shape, applied to the tokenizer artifact. */
+  private def artifactOracle(m1: Int, m2: Int): String =
+    s"""WITH ${countsChain(m1)},
+    ${countsChain(m2, "v", "doc_id % 2 = 1")},
+    ph AS (SELECT d.doc_id,
+        CAST(COALESCE(per.ws, 0) AS BIGINT) AS ws_tokens,
+        CAST(COALESCE(per.bp, 0) AS BIGINT) AS bpe_tokens
+      FROM documents d LEFT JOIN per USING (doc_id)),
+    vph AS (SELECT d.doc_id,
+        CAST(COALESCE(vper.ws, 0) AS BIGINT) AS ws_tokens,
+        CAST(COALESCE(vper.bp, 0) AS BIGINT) AS bpe_tokens
+      FROM documents d LEFT JOIN vper USING (doc_id))
+    SELECT phase, doc_id, ws_tokens, bpe_tokens FROM (
+      SELECT 1 AS phase, * FROM ph
+      UNION ALL SELECT 2 AS phase, * FROM ph
+      UNION ALL SELECT 3 AS phase, * FROM vph)
+    ORDER BY phase, doc_id"""
 
   /** q216's recursive-CTE BFD replay, denominated in BPE tokens: segd
     * draws units from the counts chain (docs with ≥1 token), budget
@@ -263,10 +318,12 @@ object TokenizerQueries {
 
     // ---- X10/X13: BPE TRAINING — 16 merge rules learned on the
     // doc_id%2=0 slice as pure aggregations (pair-count → pinned-order
-    // argmax → fold application). The oracle unrolls the identical 16
-    // rounds in SQL, so a green hash proves every training decision.
-    // On this corpus the chain assembles real words (rank 14 reaches
-    // 'customer') — the merges are structure, not noise.
+    // argmax → fold application), with Sennrich's end-of-word marker so
+    // word-final and word-internal runs learn separate statistics. The
+    // oracle unrolls the identical 16 rounds in SQL, so a green hash
+    // proves every training decision. On this corpus the chain
+    // assembles real marker-terminated words ('order</w>',
+    // 'window</w>') — the merges are structure, not noise.
     QueryDef("q221_bpe_train",
       (s, dir) => Bpe.mergeTable(s, trainedMerges(s, dir))
         .orderBy("merge_rank"),
@@ -355,6 +412,51 @@ object TokenizerQueries {
           .orderBy("lang", "seg", "bin", "doc_id")
       },
       Some(buildOracle(NumMerges))),
+
+    // ---- X14 DEPLOYMENT SHAPE: the trained tokenizer as a VERSIONED,
+    // PERSISTED artifact served through an alias — a real build trains
+    // ONCE, commits the merge table to a versioned store, and every
+    // consumer (packing, mixture, accounting) loads the pinned
+    // artifact; retraining on a refreshed slice is an EXPLICIT
+    // versioned swap, never a session side effect. Mechanics: v1 (the
+    // q221 table) committed as a Manifest table and aliased; counts
+    // computed FROM THE LOADED TABLE (phase 1 — hash-equal to q222's
+    // in-memory path, which the shared oracle chain proves); v2
+    // retrained on the refreshed odd slice with a smaller merge budget
+    // and committed at a NEW root while v1 keeps serving (phase 2 —
+    // still v1's counts); then ONE atomic alias-generation claim
+    // repoints (phase 3 — v2's counts). The q188 three-phase oracle
+    // discipline: old-then-new wholesale, never a mix.
+    QueryDef("q228_bpe_artifact_swap",
+      (s, dir) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_tok").toString
+        val alias = "file://" + root + "/alias"
+        val docs = Tables.load(s, dir, "documents")
+        Manifest.init(s, "file://" + root + "/tok_v1",
+          Bpe.mergeTable(s, trainedMerges(s, dir)))
+        IndexAlias.set(s, alias, "file://" + root + "/tok_v1")
+        // resolve → load → reconstruct: numMerges rows by construction
+        // (the bounded-collect class of the train loop's own argmax)
+        def loadedMerges(): Seq[Bpe.Merge] =
+          Manifest.read(s, IndexAlias.resolve(s, alias))
+            .orderBy("merge_rank").collect().toSeq
+            .map(r => Bpe.Merge(r.getAs[Int]("merge_rank"),
+              r.getAs[String]("left_sym"), r.getAs[String]("right_sym")))
+        def phase(p: Int) =
+          Bpe.tokenCounts(docs, "doc_id", "text", loadedMerges())
+            .select(lit(p).as("phase"), col("doc_id"),
+              col("ws_tokens"), col("bpe_tokens"))
+        val p1 = phase(1)
+        Manifest.init(s, "file://" + root + "/tok_v2",
+          Bpe.mergeTable(s, trainedMergesV2(s, dir)))
+        val p2 = phase(2) // v2 exists but is NOT swapped in — still v1
+        IndexAlias.set(s, alias, "file://" + root + "/tok_v2") // THE swap
+        val p3 = phase(3)
+        p1.unionByName(p2).unionByName(p3).orderBy("phase", "doc_id")
+      },
+      Some(artifactOracle(NumMerges, NumMergesV2)),
+      kind = QueryDef.Pipeline),
 
     // ---- X10 re-denominated: q216's best-fit-decreasing packing with
     // budgets in SUBWORD tokens (2048 BPE tokens per context) instead

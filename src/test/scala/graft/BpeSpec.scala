@@ -21,44 +21,50 @@ class BpeSpec extends SparkSpec {
     .zipWithIndex.map { case (w, i) => (i.toLong, w) }
     .toDF("doc_id", "text")
 
-  test("train learns the hand-computed merge sequence, ties broken " +
-    "by (count DESC, pair ASC)") {
+  test("train learns the hand-computed merge sequence with Sennrich's " +
+    "end-of-word marker, ties broken by (count DESC, pair ASC)") {
     val merges = Bpe.train(corpus, "text", 4)
-    // round 1: (e,s)=9 ties (s,t)=9 → pair-ascending picks (e,s)
-    // round 2: (es,t)=9; round 3: (l,o)=7 ties (o,w)=7 → (l,o)
-    // round 4: (lo,w)=7
+    // symbols: low = l o w</w>; lower = l o w e r</w>;
+    //   newest = n e w e s t</w>; widest = w i d e s t</w>
+    // round 1: (e,s)=9 ties (s,t</w>)=9 → pair-ascending picks (e,s)
+    // round 2: (es,t</w>)=9; round 3: (l,o)=7
+    // round 4: THE MARKER'S POINT — without it (lo,w) pools low's
+    // word-final w with lower's internal w at 7 and wins; with it they
+    // split 5/2, so the 6-count tie (e,w)/(n,e)/(w,est</w>) resolves
+    // pair-ascending to (e,w)
     assert(merges.map(m => (m.rank, m.left, m.right)) ==
-      Seq((1, "e", "s"), (2, "es", "t"), (3, "l", "o"), (4, "lo", "w")))
-    assert(merges.map(_.merged) == Seq("es", "est", "lo", "low"))
+      Seq((1, "e", "s"), (2, "es", "t</w>"), (3, "l", "o"),
+        (4, "e", "w")))
+    assert(merges.map(_.merged) == Seq("es", "est</w>", "lo", "ew"))
   }
 
   test("encode applies merges in rank order with the greedy " +
-    "left-to-right fold — the classic lowest → [low, est]") {
+    "left-to-right fold; word-final pieces carry the marker") {
     val merges = Bpe.train(corpus, "text", 4)
     val enc = Bpe.encode(
         Seq("lowest", "newest", "low", "wider").toDF("word"),
         "word", merges)
       .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
-    assert(enc("lowest") == Seq("low", "est"))
-    assert(enc("newest") == Seq("n", "e", "w", "est"))
-    assert(enc("low") == Seq("low"))
+    assert(enc("lowest") == Seq("lo", "w", "est</w>"))
+    assert(enc("newest") == Seq("n", "ew", "est</w>"))
+    assert(enc("low") == Seq("lo", "w</w>"))
     // unseen word: only applicable merges fire
-    assert(enc("wider") == Seq("w", "i", "d", "e", "r"))
+    assert(enc("wider") == Seq("w", "i", "d", "e", "r</w>"))
   }
 
   test("applyMerge reproduces greedy non-overlapping merging on " +
-    "self-overlapping runs (aaa + (a,a) → [aa, a])") {
+    "self-overlapping runs (aaa + (a,a) → [aa, a</w>])") {
     val out = Seq(("aaa")).toDF("word")
       .select(Bpe.applyMerge(Bpe.charSyms(col("word")), "a", "a"))
       .collect()(0).getSeq[String](0)
-    assert(out == Seq("aa", "a"))
+    assert(out == Seq("aa", "a</w>"))
   }
 
   test("tokenCounts is document-spine-aligned and counts subword " +
     "pieces per occurrence (null text → 0s)") {
     val merges = Bpe.train(corpus, "text", 4)
     val docs = Seq(
-      (1L, "low lowest"),     // 1 + 2 pieces
+      (1L, "low lowest"),     // 2 + 3 pieces
       (2L, "newest  newest"), // double space → empty token filtered
       (3L, null.asInstanceOf[String]),
       (4L, "")).toDF("doc_id", "text")
@@ -66,10 +72,22 @@ class BpeSpec extends SparkSpec {
       .orderBy("doc_id")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(got.toSeq == Seq(
-      (1L, 2L, 3L),  // low=1, lowest=2
-      (2L, 2L, 8L),  // newest = n,e,w,est = 4 pieces ×2
+      (1L, 2L, 5L),  // low = lo,w</w> = 2; lowest = lo,w,est</w> = 3
+      (2L, 2L, 6L),  // newest = n,ew,est</w> = 3 pieces ×2
       (3L, 0L, 0L),
       (4L, 0L, 0L)))
+  }
+
+  test("word-final and word-internal character runs learn SEPARATE " +
+    "statistics — the divergence the marker exists to preserve") {
+    // 'ab' word-final ×3, 'abc' (ab internal) ×2: without the marker
+    // (a,b) would count 5; with it (a,b</w>)=3 and (a,b)=2 split, so
+    // the first merge is the word-final pair
+    val c = (Seq.fill(3)("ab") ++ Seq.fill(2)("abc"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val m = Bpe.train(c, "text", 1)
+    assert(m.map(x => (x.left, x.right)) == Seq(("a", "b</w>")))
   }
 
   test("train stops early when no adjacent pair remains and " +
@@ -79,7 +97,7 @@ class BpeSpec extends SparkSpec {
     val merges = Bpe.train(Seq((1L, "ab ab")).toDF("doc_id", "text"),
       "text", 10)
     // 'ab' exhausts after one merge
-    assert(merges.map(m => (m.left, m.right)) == Seq(("a", "b")))
+    assert(merges.map(m => (m.left, m.right)) == Seq(("a", "b</w>")))
     assert(CacheScope.pending == 0)
   }
 }

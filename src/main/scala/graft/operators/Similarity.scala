@@ -469,6 +469,58 @@ object Similarity {
       .select(col("id").as(idCol), col("approx_dist"))
   }
 
+  /** SERVED PQ + EXACT RE-RANK — the FAISS `refine` step promoted to a
+    * first-class operator, because q224 MEASURED it as the production
+    * answer: raw ADC recall on an unstructured corpus runs 0.40-0.54,
+    * and an exact re-rank of a refineFactor·topK ADC shortlist lifts
+    * every measured corpus to 0.90-1.00 at SHORTLIST-sized cost.
+    *
+    * Two stages: (1) ADC over the PQ codes — the lut is m·k broadcast
+    * rows, scoring never touches a float vector — keeps the
+    * `refineFactor * topK` best candidates (bounded TakeOrdered, no
+    * corpus sort); (2) the shortlist's ids join BACK to the corpus for
+    * full vectors (at 100 TB: a semi-join into the id-keyed vector
+    * store — refineFactor·topK rows, never a corpus pass) and exact
+    * squared-L2 re-ranks them. Final rank keys round to 6 dp (the
+    * registry's round-before-argmax discipline), so whenever the
+    * shortlist contains the true top-k the output IS the exact top-k —
+    * which q229's oracle pins end-to-end at the registered settings.
+    *
+    * Returns (idCol, l2_dist) ascending, query row excluded. */
+  def pqTopKRefined(emb: DataFrame, idCol: String, vecCol: String,
+                    queryId: Long, topK: Int, dim: Int,
+                    m: Int = 4, k: Int = 16, iters: Int = 1,
+                    refineFactor: Int = 10): DataFrame = {
+    require(refineFactor >= 1, s"refineFactor must be >= 1, got $refineFactor")
+    val subDim = dim / m
+    val books = pqCodebooks(emb, idCol, vecCol, dim, m, k, iters)
+    val codes = pqEncode(emb, idCol, vecCol, books, dim, m)
+    val qsub = broadcast(
+      emb.filter(col(idCol) === queryId)
+        .select(Vectors.toDouble(col(vecCol)).as("qv"))
+        .select(posexplode(subspaces(col("qv"), m, subDim)))
+        .toDF("m", "qsv"))
+    val lut = broadcast(books.join(qsub, Seq("m"))
+      .select(col("m"), col("cid").as("code"),
+        l2sq(col("cv"), col("qsv")).as("pd")))
+    val shortlist = codes.filter(col("id") =!= queryId)
+      .join(lut, Seq("m", "code"))
+      .groupBy("id").agg(sum("pd").as("ad"))
+      .orderBy(col("ad").asc, col("id").asc)
+      .limit(refineFactor * topK)
+    val qvec = broadcast(
+      emb.filter(col(idCol) === queryId)
+        .select(Vectors.toDouble(col(vecCol)).as("qvec")))
+    shortlist.select("id")
+      .join(emb.select(col(idCol).as("id"),
+        Vectors.toDouble(col(vecCol)).as("v")), Seq("id"))
+      .crossJoin(qvec)
+      .select(col("id"), round(l2sq(col("v"), col("qvec")), 6).as("l2_dist"))
+      .orderBy(col("l2_dist").asc, col("id").asc)
+      .limit(topK)
+      .select(col("id").as(idCol), col("l2_dist"))
+  }
+
   /** IVF-PQ composition — the production ANN shape at 100 TB: the IVF
     * coarse quantizer picks `nProbe` candidate cells (so only those
     * cells' vectors are scored at all), and within them ADC over PQ
@@ -640,11 +692,15 @@ object Similarity {
       Seq("qid"), Seq(graft.plans.TopK.desc("pc"),
         graft.plans.TopK.asc("pid")), nProbe)
       .select(col("qid"), col("qvec"), col("pid").as("centroid_id")))
+    // rank key rounded to the SAME 6 dp as the exact ground truth: at
+    // a rounding tie at rank k the two orderings would otherwise
+    // legitimately disagree (approx path found the true top-k but the
+    // unrounded order drops a tied id), deflating measured recall
     val ivf = graft.plans.TopK.perGroup(
       index.join(probes, Seq("centroid_id"))
         .filter(col(idCol) =!= col("qid"))
         .select(col("qid"), col(idCol).as("id"),
-          Vectors.cosine(col("v"), col("qvec")).as("c")),
+          round(Vectors.cosine(col("v"), col("qvec")), 6).as("c")),
       Seq("qid"), Seq(graft.plans.TopK.desc("c"),
         graft.plans.TopK.asc("id")), k)
 
@@ -669,12 +725,16 @@ object Similarity {
         graft.plans.TopK.asc("id")), refineFactor * k)
     val vmap = emb.select(col(idCol).as("id"),
       Vectors.toDouble(col(vecCol)).as("v"))
+    // exact re-rank keys rounded like the ground truth's (same boundary
+    // -tie reasoning as the ivf leg): with the rounding aligned, a
+    // shortlist that contains the true top-k re-ranks to EXACTLY the
+    // ground-truth set — the AnnRecallSpec refined-recall invariant
     val pqr = graft.plans.TopK.perGroup(
       pqShort.select("qid", "id")
         .join(vmap, Seq("id"))
         .join(qset, Seq("qid"))
         .select(col("qid"), col("id"),
-          l2sq(col("v"), col("qvec")).as("d")),
+          round(l2sq(col("v"), col("qvec")), 6).as("d")),
       Seq("qid"), Seq(graft.plans.TopK.asc("d"),
         graft.plans.TopK.asc("id")), k)
     // IVF-PQ: ADC restricted to the probed cells' candidates

@@ -3497,5 +3497,38 @@ object PipelineQueries {
         SELECT dc.qid AS query_id, exact_cos_md5, exact_l2_md5,
           true AS ivf_recall_ok, true AS pq_recall_ok,
           true AS ivfpq_recall_ok, true AS pq_refined_recall_ok
-        FROM dc JOIN dl USING (qid) ORDER BY query_id""")))
+        FROM dc JOIN dl USING (qid) ORDER BY query_id""")),
+
+    // ---- X12 SERVED REFINE ANN — the production answer q224 measured,
+    // promoted to a first-class operator: ADC over PQ codes keeps a
+    // refineFactor·k shortlist (code-table cost, no float vectors),
+    // exact squared-L2 re-ranks ONLY the shortlist (a semi-join into
+    // the vector store — shortlist-sized, never a corpus pass). Unlike
+    // q224 (a differential harness carrying brute-force ground truths
+    // by design), this is the SERVING query — and its oracle is the
+    // EXACT L2 top-k VALUES: at the registered settings (m=16 pqK=32
+    // iters=2, refineFactor 25 — sized so the shortlist provably
+    // contains the true top-10 on every tested corpus, the standard
+    // validate-then-pin tuning) the refined output must hash-equal
+    // exact search end to end, even on these near-uniform embeddings,
+    // the adversarial recall case. Rank keys round to 6 dp before
+    // ranking on both engines (round-before-argmax discipline).
+    QueryDef("q229_pq_refined_ann",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        Similarity.pqTopKRefined(emb, "vec_id", "embedding",
+          queryId = 7L, topK = 10, dim = 64,
+          m = 16, k = 32, iters = 2, refineFactor = 25)
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = 7)
+        SELECT vec_id, l2_dist FROM (
+          SELECT e.vec_id,
+            round(list_reduce(list_transform(range(1, len(e.v) + 1),
+              i -> (e.v[i] - q.qv[i]) * (e.v[i] - q.qv[i])),
+              (acc, x) -> acc + x), 6) AS l2_dist
+          FROM e, q WHERE e.vec_id <> 7
+          ORDER BY l2_dist ASC, e.vec_id ASC LIMIT 10)
+        ORDER BY l2_dist, vec_id""")))
 }

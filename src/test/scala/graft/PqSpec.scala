@@ -65,6 +65,37 @@ class PqSpec extends SparkSpec {
     assert(ivfpq == pq, s"ivfpq $ivfpq vs pq $pq")
   }
 
+  test("pqTopKRefined: a shortlist covering the corpus re-ranks to the " +
+    "exact L2 top-k regardless of how lossy the codebook is") {
+    val emb = clustered()
+    // m=2, k=2, 0 iters: a deliberately TERRIBLE codebook (12 vectors
+    // share 2 codewords per subspace) — raw ADC ranking is garbage, but
+    // refineFactor·topK = 15 ≥ n, so the exact re-rank must recover the
+    // true top-5 with true (rounded) distances
+    val got = Similarity.pqTopKRefined(emb, "vec_id", "embedding",
+        queryId = 0L, topK = 5, dim = 4, m = 2, k = 2, iters = 0,
+        refineFactor = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got.map(_._1) == Seq(1L, 2L, 3L, 10L, 11L))
+    // true squared L2, 6dp: 0.1²=0.01 for the first three... then 50, 50.01
+    assert(got.map(_._2).take(3).forall(d => math.abs(d - 0.01) < 1e-9
+      || math.abs(d - 0.02) < 1e-9))
+    assert(math.abs(got(3)._2 - 50.0) < 1e-9)
+  }
+
+  test("pqTopKRefined: a partial shortlist still returns topK rows " +
+    "ranked by exact distance within the shortlist") {
+    val emb = clustered()
+    val got = Similarity.pqTopKRefined(emb, "vec_id", "embedding",
+        queryId = 10L, topK = 3, dim = 4, m = 2, k = 4, iters = 1,
+        refineFactor = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got.size == 3)
+    // distances ascend and the query row is excluded
+    assert(got.map(_._2) == got.map(_._2).sorted)
+    assert(!got.map(_._1).contains(10L))
+  }
+
   test("ivfPqTopK: degenerate parameters (all cells, m=1, own-codeword, " +
     "0 iters) reproduce exact L2 — and restricted probes stay in-cell " +
     "on separated clusters") {

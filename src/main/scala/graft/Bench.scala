@@ -23,11 +23,59 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (default BENCH_LOCAL.json in the CWD) — stdout competes with sbt
   * noise and has produced unparseable captures; the file is the
   * reliable channel.
+  *
+  * `load_detail` carries per-query host-load markers spanning the
+  * timed reps (loadavg, machine-wide CPU busy fraction, physical IO
+  * sectors delta) so cross-host drift disputes are adjudicated from
+  * the artifact itself — see the README's one-paragraph reading guide.
   */
 object Bench {
 
   private def execute(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
+
+  // ---- host-load markers -----------------------------------------
+  // Captured around each query's timed reps and emitted per query in
+  // `load_detail`, so a drift dispute (committed 0.4 s, driver-host
+  // 3.4 s on untouched code — the r14/r15 q146/q148/q201 cluster) is
+  // settled by the artifact itself: elevated load1 / a machine-wide
+  // busy fraction far above this process's own footprint / a large
+  // foreign IO delta reads as ambient co-located load, flat markers
+  // with an inflated time read as a real plan regression. Best-effort
+  // Linux procfs reads; -1 sentinels elsewhere.
+
+  private def loadavg1(): Double =
+    try java.nio.file.Files
+      .readString(java.nio.file.Paths.get("/proc/loadavg"))
+      .split(" ")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
+  /** Machine-wide (busy, total) cumulative jiffies from /proc/stat's
+    * aggregate cpu line (idle + iowait counted idle). */
+  private def cpuJiffies(): (Long, Long) =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      val f = try src.getLines().next().trim.split("\\s+").drop(1)
+        .map(_.toLong)
+      finally src.close()
+      val total = f.sum
+      val idle = f(3) + (if (f.length > 4) f(4) else 0L)
+      (total - idle, total)
+    } catch { case _: Throwable => (-1L, -1L) }
+
+  /** Sectors read+written summed over physical block devices — a
+    * co-located IO hog (the reproduced drift condition) shows up as a
+    * delta orders of magnitude above what a warmed parquet query
+    * does. */
+  private def ioSectors(): Long =
+    try {
+      val src = scala.io.Source.fromFile("/proc/diskstats")
+      try src.getLines().map(_.trim.split("\\s+"))
+        .filter(f => f.length >= 10 &&
+          f(2).matches("(sd[a-z]+|nvme\\d+n\\d+|vd[a-z]+|xvd[a-z]+)"))
+        .map(f => f(5).toLong + f(9).toLong).sum
+      finally src.close()
+    } catch { case _: Throwable => -1L }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -48,15 +96,25 @@ object Bench {
       sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val results = SparkEntry.defs.values.toSeq.sortBy(_.name)
       .filter(d => only.forall(_.contains(d.name))).map { d =>
-      val times: Seq[Double] =
+      val (times, load): (Seq[Double], Seq[Double]) =
         try {
           execute(d.fn(spark, sfDir)) // warm-up: plan + codegen + JIT
-          (1 to reps).map { _ =>
+          val l0 = loadavg1(); val (b0, t0j) = cpuJiffies()
+          val io0 = ioSectors()
+          val ts = (1 to reps).map { _ =>
             val t0 = System.nanoTime()
             execute(d.fn(spark, sfDir)) // timed steady-state run
             (System.nanoTime() - t0) / 1e9
           }
-        } catch { case _: Throwable => Nil }
+          val l1 = loadavg1(); val (b1, t1j) = cpuJiffies()
+          val io1 = ioSectors()
+          val busyFrac =
+            if (b0 < 0 || t1j <= t0j) -1.0
+            else (b1 - b0).toDouble / (t1j - t0j)
+          val ioDelta =
+            if (io0 < 0 || io1 < 0) -1.0 else (io1 - io0).toDouble
+          (ts, Seq(l0, l1, busyFrac, ioDelta))
+        } catch { case _: Throwable => (Nil, Nil) }
       // operation boundary = the QUERY, not the rep: reps share the
       // query's operator-internal caches (PQ codebooks, curation stage
       // frames) the way production repeat-queries share a serving
@@ -71,23 +129,30 @@ object Bench {
       val median =
         if (times.isEmpty) -1.0
         else times.sorted.apply(times.size / 2) // upper on even reps
-      (d.name, d.kind, median, times)
+      (d.name, d.kind, median, times, load)
     }
-    val qs = results.map { case (k, _, v, _) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, _, v, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // per-rep times in EXECUTION order: IO-latency variance (and
     // residual warm-up drift) is then self-evident in the artifact —
     // a 3× max/min spread on a lifecycle row reads as environment
     // noise, a uniform shift as a plan change
-    val repsDetail = results.map { case (k, _, _, ts) =>
+    val repsDetail = results.map { case (k, _, _, ts, _) =>
       // Locale.ROOT: a comma-decimal default locale would corrupt the
       // JSON (f"" interpolation is locale-sensitive)
       "\"" + k + "\":[" + ts.map(t => String.format(
         java.util.Locale.ROOT, "%.4f", Double.box(t))).mkString(",") +
         "]"
     }.mkString("{", ",", "}")
+    // per-query host-load markers spanning the timed reps:
+    // [load1_start, load1_end, machine_cpu_busy_frac, io_sectors_delta]
+    val loadDetail = results.map { case (k, _, _, _, ld) =>
+      "\"" + k + "\":[" + ld.map(v => String.format(
+        java.util.Locale.ROOT, "%.4f", Double.box(v))).mkString(",") +
+        "]"
+    }.mkString("{", ",", "}")
     def sumKind(kind: String) =
-      results.collect { case (_, `kind`, v, _) if v >= 0 => v }.sum
+      results.collect { case (_, `kind`, v, _, _) if v >= 0 => v }.sum
     // query_total: pure engine work, the round-over-round comparable.
     // pipeline_total: zone-IO roundtrips (q31-q33/q56/q65/q73) whose time
     // is dominated by tempdir file IO — split out so IO noise never
@@ -96,7 +161,7 @@ object Bench {
       (sumKind(QueryDef.Query), sumKind(QueryDef.Pipeline))
     val total = queryTotal + pipeTotal
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","query_total":$queryTotal,"pipeline_total":$pipeTotal,"reps":$reps,"queries":$qs,"reps_detail":$repsDetail,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","query_total":$queryTotal,"pipeline_total":$pipeTotal,"reps":$reps,"host_cpus":${Runtime.getRuntime.availableProcessors()},"queries":$qs,"reps_detail":$repsDetail,"load_detail":$loadDetail,"sf":"$sfDir"}"""
     println(json)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")

@@ -16,8 +16,14 @@ import org.apache.spark.sql.functions._
   */
 object Text {
 
-  /** Whitespace tokens of the lowercased text. */
-  def tokens(text: Column): Column = split(lower(text), " ")
+  /** Whitespace tokens of the lowercased text — the registry-wide
+    * tokenization convention: `\s+` (runs of tabs/newlines/spaces are
+    * ONE boundary, the way real corpora need), DuckDB mirror
+    * `regexp_split_to_array(lower(text), '\s+')`, native-kernel twin
+    * [[TextSignatureKernels.wsTokens]]. All three agree on edge
+    * semantics (leading/trailing runs yield one empty token, which
+    * consumers filter). */
+  def tokens(text: Column): Column = split(lower(text), "\\s+")
 
   def tokenCount(text: Column): Column =
     size(tokens(text)).cast("long")

@@ -26,13 +26,48 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object TextSignatureKernels {
 
-  /** One-pass MinHash signature over lowercased single-space tokens.
+  /** `\s+` tokenization of a UTF8String — the registry-wide
+    * convention, byte-scanned: ASCII whitespace bytes can never occur
+    * inside a UTF-8 multibyte sequence, so the scan is correct on any
+    * input, and each token is a zero-copy address VIEW into the source
+    * buffer (consumers hash bytes or concat-copy; nothing escapes the
+    * row). Semantics are exactly `java.util.regex` split with limit -1
+    * AND DuckDB's `regexp_split_to_array(s, '\s+')`: an interior run
+    * collapses to one boundary, a leading run yields one empty leading
+    * token, a trailing run one empty trailing token, and the empty
+    * string yields a single empty token — so the kernels stay
+    * byte-identical to the declarative `split(lower(text), "\s+")`
+    * mirrors on ANY text, not just single-spaced corpora. */
+  def wsTokens(text: UTF8String): Array[UTF8String] = {
+    val n = text.numBytes
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    def isWs(i: Int): Boolean = {
+      val b = org.apache.spark.unsafe.Platform.getByte(base, off + i)
+      b == 0x20 || (b >= 0x09 && b <= 0x0D)
+    }
+    val out = new java.util.ArrayList[UTF8String](8)
+    var i = 0
+    var start = 0
+    while (i < n) {
+      if (isWs(i)) {
+        out.add(UTF8String.fromAddress(base, off + start, i - start))
+        i += 1
+        while (i < n && isWs(i)) i += 1 // swallow the run
+        start = i
+      } else i += 1
+    }
+    out.add(UTF8String.fromAddress(base, off + start, n - start))
+    out.toArray(new Array[UTF8String](out.size))
+  }
+
+  /** One-pass MinHash signature over lowercased whitespace tokens.
     * Returns null when the text has fewer than `shingleN` tokens (such
     * docs cannot be near-dup candidates), mirroring the dropped-row
     * semantics of the aggregate formulation. */
   def minhash(text: UTF8String, shingleN: Int, numHashes: Int,
               seed: Long): ArrayData = {
-    val toks = text.toLowerCase.split(UTF8String.fromString(" "), -1)
+    val toks = wsTokens(text.toLowerCase)
     val m = toks.length
     if (m < shingleN) return null
     // per-token base hashes, one bytes-pass each
@@ -91,12 +126,12 @@ object TextSignatureKernels {
     new GenericArrayData(keys)
   }
 
-  /** Distinct word shingles (lowercased, single-space tokens), first
+  /** Distinct word shingles (lowercased, whitespace tokens), first
     * occurrence order — byte-identical to
-    * `Text.shingleSetOfTokens(split(lower(text)," "), n)` but one
+    * `Text.shingleSetOfTokens(split(lower(text),"\s+"), n)` but one
     * codegen'd pass. Empty array (not null) below the shingle width. */
   def shingleSet(text: UTF8String, n: Int): ArrayData = {
-    val toks = text.toLowerCase.split(UTF8String.fromString(" "), -1)
+    val toks = wsTokens(text.toLowerCase)
     val m = toks.length
     if (m < n) return new GenericArrayData(new Array[AnyRef](0))
     val sep = UTF8String.fromString(" ")
@@ -167,7 +202,7 @@ object TextSignatureKernels {
   /** One-pass 64-bit SimHash: each distinct-position token votes ±1 on
     * every bit of its hash; the tally signs become the fingerprint. */
   def simhash(text: UTF8String, seed: Long): Long = {
-    val toks = text.toLowerCase.split(UTF8String.fromString(" "), -1)
+    val toks = TextSignatureKernels.wsTokens(text.toLowerCase)
     val votes = new Array[Int](64)
     var i = 0
     while (i < toks.length) {
@@ -215,7 +250,7 @@ object PortableHashKernel {
   * instead of an interpreted higher-order `aggregate` lambda. */
 object FingerprintKernel {
   def tokenFingerprint(text: UTF8String): Long = {
-    val toks = text.toLowerCase.split(UTF8String.fromString(" "), -1)
+    val toks = TextSignatureKernels.wsTokens(text.toLowerCase)
     var acc = 0L
     var i = 0
     while (i < toks.length) {

@@ -106,7 +106,7 @@ object Search {
     * Returns (idCol, phrase_tf), one row per matching document. */
   def phraseMatches(docs: DataFrame, idCol: String, textCol: String,
                     phrase: String): DataFrame = {
-    val terms = phrase.toLowerCase.split(" ").filter(_.nonEmpty).toSeq
+    val terms = phrase.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
     require(terms.size >= 2,
       s"match_phrase needs >= 2 terms, got '$phrase' — use matchTerm/rankBm25")
     val ranksByTerm: Map[String, Seq[Int]] =
@@ -217,7 +217,7 @@ object Search {
 
   private[graft] def parseSpanTerms(phrase: String,
                                     slop: Int): Seq[String] = {
-    val terms = phrase.toLowerCase.split(" ").filter(_.nonEmpty).toSeq
+    val terms = phrase.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
     require(terms.size >= 2,
       s"span_near needs >= 2 terms, got '$phrase' — use matchTerm/rankBm25")
     require(slop >= 0, "slop must be >= 0")
@@ -287,7 +287,7 @@ object Search {
   def matchFuzzy(docs: DataFrame, idCol: String, textCol: String,
                  term: String, k: Int, maxEdits: Int = 2): DataFrame = {
     val q = term.toLowerCase
-    require(q.nonEmpty && !q.contains(" "),
+    require(q.nonEmpty && !q.exists(_.isWhitespace),
       s"fuzzy match takes ONE term, got '$term' — use rankBm25 for multi-term")
     val cand = tokenStream(docs, idCol, textCol)
       .filter(
@@ -382,7 +382,7 @@ object Search {
                query: String, k: Int,
                k1: Double = 1.2, b: Double = 0.75,
                requireAll: Boolean = false): DataFrame = {
-    val terms = query.toLowerCase.split(" ").filter(_.nonEmpty).distinct.toSeq
+    val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.toSeq
     require(terms.nonEmpty, "BM25 query needs at least one term")
     val (tf, stats) = termPostings(docs, idCol, textCol, terms)
     val df = tf.groupBy(col("token"))
@@ -456,7 +456,7 @@ object Search {
                        query: String,
                        synonyms: Map[String, Seq[String]], k: Int,
                        k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val terms = query.toLowerCase.split(" ").filter(_.nonEmpty)
+    val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty)
       .distinct.toSeq
     require(terms.nonEmpty, "BM25 query needs at least one term")
     // keys normalize like the query terms they must match — a
@@ -571,7 +571,7 @@ object Search {
   private def bm25Scored(docs: DataFrame, idCol: String,
                          textCol: String, query: String, k1: Double,
                          b: Double): DataFrame = {
-    val terms = query.toLowerCase.split(" ").filter(_.nonEmpty)
+    val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty)
       .distinct.toSeq
     require(terms.nonEmpty, "faceted search needs at least one term")
     val (tf, stats) = termPostings(docs, idCol, textCol, terms)

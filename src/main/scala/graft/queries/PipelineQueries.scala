@@ -167,7 +167,7 @@ object PipelineQueries {
               [array_to_string(toks[i:i+2], ' ')
                 for i in range(1, len(toks) - 1)])
             ELSE [] END AS s
-          FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+          FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks
                 FROM documents WHERE doc_id < 1000)),
         t AS (SELECT count(*) AS truth
           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
@@ -192,7 +192,7 @@ object PipelineQueries {
               [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)])
             ELSE [] END AS s
           FROM (SELECT doc_id, lang, source,
-              string_split(lower(text), ' ') AS toks FROM documents))
+              regexp_split_to_array(lower(text), '\s+') AS toks FROM documents))
         SELECT a.lang, a.source, a.doc_id AS id_a, b.doc_id AS id_b,
           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
             / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE)
@@ -228,7 +228,7 @@ object PipelineQueries {
               [array_to_string(toks[i:i+2], ' ')
                 for i in range(1, len(toks) - 1)])
             ELSE [] END AS s
-          FROM (SELECT doc_id, lang, source, string_split(lower(text), ' ')
+          FROM (SELECT doc_id, lang, source, regexp_split_to_array(lower(text), '\s+')
             AS toks FROM documents)),
         p AS (
           SELECT id_a, id_b FROM (
@@ -715,7 +715,7 @@ object PipelineQueries {
             (col("missed") === 0).as("coverage_ok"),
             (col("bound_violations") === 0).as("bounds_ok"))
       },
-      Some("""WITH t AS (SELECT unnest(string_split(lower(text), ' '))
+      Some("""WITH t AS (SELECT unnest(regexp_split_to_array(lower(text), '\s+'))
             AS token FROM documents),
           c AS (SELECT token, count(*) AS tc FROM t GROUP BY token),
           n AS (SELECT CAST(sum(tc) AS BIGINT) AS n_tokens FROM c)
@@ -778,8 +778,8 @@ object PipelineQueries {
           .orderBy("lang_id", "quality")
       },
       Some("""WITH t AS (
-          SELECT len(string_split(lower(text), ' ')) AS n_tok,
-            len(list_distinct(string_split(lower(text), ' '))) AS n_uniq,
+          SELECT len(regexp_split_to_array(lower(text), '\s+')) AS n_tok,
+            len(list_distinct(regexp_split_to_array(lower(text), '\s+'))) AS n_uniq,
             CAST((length(' ' || text || ' ')
               - length(replace(' ' || text || ' ', ' the ', ''))) / 5 AS BIGINT)
             + CAST((length(' ' || text || ' ')
@@ -890,8 +890,8 @@ object PipelineQueries {
             (SELECT min(doc_id) FROM documents GROUP BY md5(text))),
         t AS (
           SELECT doc_id,
-            len(string_split(lower(text), ' ')) AS n_tok,
-            len(list_distinct(string_split(lower(text), ' '))) AS n_uniq,
+            len(regexp_split_to_array(lower(text), '\s+')) AS n_tok,
+            len(list_distinct(regexp_split_to_array(lower(text), '\s+'))) AS n_uniq,
             CAST((length(' ' || text || ' ')
               - length(replace(' ' || text || ' ', ' the ', ''))) / 5 AS BIGINT)
             + CAST((length(' ' || text || ' ')
@@ -949,7 +949,7 @@ object PipelineQueries {
         .orderBy("doc_id"),
       Some("""SELECT doc_id,
           list_reduce(
-            list_transform(string_split(lower(text), ' '),
+            list_transform(regexp_split_to_array(lower(text), '\s+'),
               t -> CAST(ascii(t) AS BIGINT) * 31 + length(t)),
             (acc, x) -> (acc * 1000003 + x) % 1000000007) AS fp
         FROM documents WHERE doc_id < 40 ORDER BY doc_id""")),
@@ -1000,7 +1000,7 @@ object PipelineQueries {
               list_distinct([array_to_string(toks[i:i+7], ' ')
                 for i in range(1, len(toks) - 6)])
             ELSE [] END) AS g
-          FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+          FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks
             FROM documents)),
         tr AS (SELECT * FROM g WHERE doc_id % 7 <> 0),
         be AS (SELECT * FROM g WHERE doc_id % 7 = 0)
@@ -1202,7 +1202,7 @@ object PipelineQueries {
           .limit(20)
       },
       Some("""WITH t AS (SELECT doc_id,
-            unnest(string_split(lower(text), ' ')) AS token
+            unnest(regexp_split_to_array(lower(text), '\s+')) AS token
           FROM documents),
         tf AS (SELECT doc_id, token, count(*) AS tf FROM t GROUP BY 1, 2),
         df AS (SELECT token, count(DISTINCT doc_id) AS df FROM t GROUP BY 1),
@@ -1225,7 +1225,7 @@ object PipelineQueries {
           .orderBy("doc_id")
       },
       Some("""WITH toks AS (SELECT doc_id,
-            unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+            unnest(regexp_split_to_array(lower(text), '\s+')) AS tok FROM documents),
         pd AS (SELECT doc_id, tok, count(*) AS c,
             sum(length(tok)) AS chars FROM toks GROUP BY 1, 2),
         st AS (SELECT doc_id,
@@ -1277,7 +1277,7 @@ object PipelineQueries {
             CAST(sum(CASE WHEN c > 1 THEN (c - 1) * length(line)
               ELSE 0 END) AS BIGINT) AS dup_line_chars
           FROM l GROUP BY 1),
-        tk AS (SELECT doc_id, string_split(lower(t), ' ') AS toks,
+        tk AS (SELECT doc_id, regexp_split_to_array(lower(t), '\s+') AS toks,
             length(t) AS chars FROM d),
         g2 AS (SELECT doc_id, g, count(*) AS c FROM (
             SELECT doc_id, unnest(CASE WHEN len(toks) >= 2 THEN
@@ -1333,7 +1333,7 @@ object PipelineQueries {
               [array_to_string(toks[i:i+2], ' ')
                 for i in range(1, len(toks) - 1)])
             ELSE [] END AS s
-          FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+          FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks
                 FROM documents))
         SELECT eval_id, train_id, jaccard FROM (
           SELECT e.doc_id AS eval_id, t.doc_id AS train_id,
@@ -1600,7 +1600,7 @@ object PipelineQueries {
               [array_to_string(toks[i:i+2], ' ')
                 for i in range(1, len(toks) - 1)])
             ELSE [] END AS s
-          FROM (SELECT doc_id, lang, source, string_split(lower(text), ' ')
+          FROM (SELECT doc_id, lang, source, regexp_split_to_array(lower(text), '\s+')
             AS toks FROM documents)),
         p AS (
           SELECT id_a, id_b FROM (
@@ -1795,7 +1795,7 @@ object PipelineQueries {
           .orderBy("lang")
       },
       Some("""WITH t AS (SELECT lang,
-            len(string_split(lower(text), ' ')) AS n FROM documents),
+            len(regexp_split_to_array(lower(text), '\s+')) AS n FROM documents),
           c AS (SELECT lang, n,
             unnest(range(0, greatest((n - 9) // 24, 0) + 1)) AS i
             FROM t),
@@ -1821,7 +1821,7 @@ object PipelineQueries {
             [array_to_string(toks[i:i+2], ' ')
               for i in range(1, len(toks) - 1)])
           ELSE [] END AS s
-          FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+          FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks
                 FROM documents)),
         g AS (SELECT doc_id, unnest(s) AS gram FROM sh),
         d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
@@ -1862,7 +1862,7 @@ object PipelineQueries {
         d AS (SELECT c.doc_id, c.text FROM corpus c
           JOIN dd ON c.doc_id = dd.doc_id),
         toks AS (SELECT doc_id,
-            unnest(string_split(lower(text), ' ')) AS tok FROM d),
+            unnest(regexp_split_to_array(lower(text), '\s+')) AS tok FROM d),
         pd AS (SELECT doc_id, tok, count(*) AS c,
             sum(length(tok)) AS chars FROM toks GROUP BY 1, 2),
         st AS (SELECT doc_id, sum(c) AS words, count(*) AS dwords,
@@ -1876,13 +1876,13 @@ object PipelineQueries {
               list_distinct([array_to_string(tk[i:i+7], ' ')
                 for i in range(1, len(tk) - 6)])
             ELSE [] END) AS g
-          FROM (SELECT doc_id, string_split(lower(text), ' ') AS tk
+          FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS tk
             FROM kept)),
         bg AS (SELECT unnest(CASE WHEN len(tk) >= 8 THEN
               list_distinct([array_to_string(tk[i:i+7], ' ')
                 for i in range(1, len(tk) - 6)])
             ELSE [] END) AS g
-          FROM (SELECT string_split(lower(text), ' ') AS tk
+          FROM (SELECT regexp_split_to_array(lower(text), '\s+') AS tk
             FROM documents WHERE doc_id % 7 = 0)),
         dirty AS (SELECT DISTINCT kg.doc_id FROM kg
           JOIN (SELECT DISTINCT g FROM bg) b USING (g)),
@@ -1893,7 +1893,7 @@ object PipelineQueries {
               || '|epoch0'), 1, 8)) AS BIGINT) AS sk
           FROM clean)
         SELECT sk % 8 AS bucket, count(*) AS n_docs,
-          CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT)
+          CAST(sum(len(regexp_split_to_array(lower(text), '\s+'))) AS BIGINT)
             AS tokens,
           min(doc_id) AS first_id, max(doc_id) AS last_id
         FROM sh GROUP BY 1 ORDER BY 1""")),
@@ -1906,7 +1906,7 @@ object PipelineQueries {
       (s, dir) => Curation.bigramLmScores(
         Tables.load(s, dir, "documents"), "doc_id", "text", k = 50),
       Some("""WITH arr AS (SELECT doc_id,
-            string_split(lower(text), ' ') AS a
+            regexp_split_to_array(lower(text), '\s+') AS a
           FROM documents),
         g AS (SELECT doc_id, unnest(a[1:len(a)-1]) AS w1,
             unnest(a[2:len(a)]) AS w2
@@ -1915,7 +1915,7 @@ object PipelineQueries {
         c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1
           FROM c12 GROUP BY 1),
         v AS (SELECT count(DISTINCT token) AS v FROM (
-          SELECT unnest(string_split(lower(text), ' ')) AS token
+          SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS token
           FROM documents)),
         sc AS (SELECT g.doc_id,
             -ln((c12.c12 + 0.5) / (c1.c1 + 0.5 * v.v)) AS nll
@@ -1975,7 +1975,7 @@ object PipelineQueries {
               || text
             ELSE text END AS text
           FROM documents),
-        arr AS (SELECT doc_id, string_split(lower(text), ' ') AS a
+        arr AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS a
           FROM src),
         ch AS (SELECT doc_id, unnest(cl) AS chunk,
             unnest(range(0, len(cl))) AS cpos
@@ -2058,7 +2058,7 @@ object PipelineQueries {
           FROM documents WHERE doc_id % 7 <> 0),
         bench AS (SELECT doc_id, text FROM documents
           WHERE doc_id % 7 = 0),
-        arr AS (SELECT doc_id, string_split(lower(text), ' ') AS a
+        arr AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS a
           FROM base),
         ch AS (SELECT doc_id, unnest(cl) AS chunk,
             unnest(range(0, len(cl))) AS cpos
@@ -2075,7 +2075,7 @@ object PipelineQueries {
             string_agg(chunk, ' ' ORDER BY cpos) AS text
           FROM ch WHERE chunk NOT IN (SELECT chunk FROM boiler)
           GROUP BY 1),
-        ca AS (SELECT doc_id, string_split(lower(text), ' ') AS a
+        ca AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS a
           FROM clean),
         g AS (SELECT doc_id, unnest(a[1:len(a)-1]) AS w1,
             unnest(a[2:len(a)]) AS w2
@@ -2084,7 +2084,7 @@ object PipelineQueries {
         c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1
           FROM c12 GROUP BY 1),
         v AS (SELECT count(DISTINCT token) AS v FROM (
-          SELECT unnest(string_split(lower(text), ' ')) AS token
+          SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS token
           FROM clean)),
         nll AS (SELECT g.doc_id,
             round(avg(-ln((c12.c12 + 0.5) / (c1.c1 + 0.5 * v.v))), 4)
@@ -2098,13 +2098,13 @@ object PipelineQueries {
               list_distinct([array_to_string(tk[i:i+7], ' ')
                 for i in range(1, len(tk) - 6)])
             ELSE [] END) AS g
-          FROM (SELECT doc_id, string_split(lower(text), ' ') AS tk
+          FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS tk
             FROM gated)),
         bg AS (SELECT unnest(CASE WHEN len(tk) >= 8 THEN
               list_distinct([array_to_string(tk[i:i+7], ' ')
                 for i in range(1, len(tk) - 6)])
             ELSE [] END) AS g
-          FROM (SELECT string_split(lower(text), ' ') AS tk
+          FROM (SELECT regexp_split_to_array(lower(text), '\s+') AS tk
             FROM bench)),
         dirty AS (SELECT DISTINCT kg.doc_id FROM kg
           JOIN (SELECT DISTINCT g FROM bg) b USING (g)),
@@ -2128,7 +2128,7 @@ object PipelineQueries {
               || '|v2'), 1, 8)) AS BIGINT) AS sk
           FROM mixed)
         SELECT sk % 8 AS bucket, count(*) AS n_docs,
-          CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT)
+          CAST(sum(len(regexp_split_to_array(lower(text), '\s+'))) AS BIGINT)
             AS tokens,
           min(doc_id) AS first_id, max(doc_id) AS last_id
         FROM sh GROUP BY 1 ORDER BY 1""")),
@@ -2172,7 +2172,7 @@ object PipelineQueries {
             .foreachBatch {
               (b: org.apache.spark.sql.DataFrame, id: Long) =>
                 val pass = b.filter(
-                  size(split(col("text"), " ")) >= 30)
+                  size(split(col("text"), "\\s+")) >= 30)
                 val corpus = graft.sources.Manifest
                   .latestVersion(s, tbl) match {
                   case Some(_) => graft.sources.Manifest.read(s, tbl)
@@ -2195,7 +2195,7 @@ object PipelineQueries {
         graft.sources.Manifest.read(s, tbl).orderBy("doc_id")
       },
       Some("""WITH pass AS (SELECT doc_id, text FROM documents
-          WHERE len(string_split(text, ' ')) >= 30),
+          WHERE len(regexp_split_to_array(text, '\s+')) >= 30),
         keep AS (SELECT min(doc_id) AS doc_id FROM pass GROUP BY text)
         SELECT p.doc_id, p.text FROM pass p
         JOIN keep k USING (doc_id)
@@ -2237,7 +2237,7 @@ object PipelineQueries {
         col("n_chars") >= 250)
         .orderBy("doc_id"),
       Some("""WITH lab AS (SELECT doc_id, n_chars >= 250 AS l,
-            string_split(lower(text), ' ') AS a FROM documents),
+            regexp_split_to_array(lower(text), '\s+') AS a FROM documents),
         st AS (SELECT doc_id, l, len(a) AS dl, unnest(a) AS token
           FROM lab),
         c AS (SELECT token,
@@ -2330,7 +2330,7 @@ object PipelineQueries {
             CAST(('0x' || substr(md5(token || '|dsir'), 1, 8))
               AS UBIGINT) % 64 AS b
           FROM (SELECT doc_id, lang,
-              unnest(string_split(lower(text), ' ')) AS token
+              unnest(regexp_split_to_array(lower(text), '\s+')) AS token
             FROM documents)),
         q AS (SELECT b, count(*) AS qc,
             sum(CASE WHEN t THEN 1 ELSE 0 END) AS pc
@@ -2372,7 +2372,7 @@ object PipelineQueries {
             CAST(('0x' || substr(md5(token || '|dsir'), 1, 8))
               AS UBIGINT) % 64 AS b
           FROM (SELECT doc_id, lang,
-              unnest(string_split(lower(text), ' ')) AS token
+              unnest(regexp_split_to_array(lower(text), '\s+')) AS token
             FROM documents)),
         q AS (SELECT b, count(*) AS qc,
             sum(CASE WHEN t THEN 1 ELSE 0 END) AS pc
@@ -2423,7 +2423,7 @@ object PipelineQueries {
             CAST(('0x' || substr(md5(token || '|dsir'), 1, 8))
               AS UBIGINT) % 64 AS b
           FROM (SELECT doc_id, lang = 'en' AS t,
-              unnest(string_split(lower(text), ' ')) AS token
+              unnest(regexp_split_to_array(lower(text), '\s+')) AS token
             FROM corpus)),
         q AS (SELECT b, count(*) AS qc,
             sum(CASE WHEN t THEN 1 ELSE 0 END) AS pc
@@ -2440,7 +2440,7 @@ object PipelineQueries {
         sel AS (SELECT corpus.* FROM corpus JOIN w USING (doc_id)
           WHERE w.w > 0),
         toks AS (SELECT doc_id,
-            unnest(string_split(lower(text), ' ')) AS tok FROM sel),
+            unnest(regexp_split_to_array(lower(text), '\s+')) AS tok FROM sel),
         pd AS (SELECT doc_id, tok, count(*) AS c,
             sum(length(tok)) AS chars FROM toks GROUP BY 1, 2),
         st AS (SELECT doc_id, sum(c) AS words, count(*) AS dwords,
@@ -2454,13 +2454,13 @@ object PipelineQueries {
               list_distinct([array_to_string(tk[i:i+7], ' ')
                 for i in range(1, len(tk) - 6)])
             ELSE [] END) AS g
-          FROM (SELECT doc_id, string_split(lower(text), ' ') AS tk
+          FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS tk
             FROM kept)),
         bg AS (SELECT unnest(CASE WHEN len(tk) >= 8 THEN
               list_distinct([array_to_string(tk[i:i+7], ' ')
                 for i in range(1, len(tk) - 6)])
             ELSE [] END) AS g
-          FROM (SELECT string_split(lower(text), ' ') AS tk
+          FROM (SELECT regexp_split_to_array(lower(text), '\s+') AS tk
             FROM documents WHERE doc_id % 7 = 0)),
         dirty AS (SELECT DISTINCT kg.doc_id FROM kg
           JOIN (SELECT DISTINCT g FROM bg) b USING (g)),
@@ -2482,7 +2482,7 @@ object PipelineQueries {
               || '|v3'), 1, 8)) AS BIGINT) AS sk
           FROM mixed)
         SELECT sk % 8 AS bucket, count(*) AS n_docs,
-          CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT)
+          CAST(sum(len(regexp_split_to_array(lower(text), '\s+'))) AS BIGINT)
             AS tokens,
           min(doc_id) AS first_id, max(doc_id) AS last_id
         FROM sh GROUP BY 1 ORDER BY 1""")),
@@ -2516,7 +2516,7 @@ object PipelineQueries {
                 for i in range(1, len(toks) - 1)])
             ELSE [] END AS s
           FROM (SELECT doc_id, lang, source,
-              string_split(lower(text), ' ') AS toks FROM documents)),
+              regexp_split_to_array(lower(text), '\s+') AS toks FROM documents)),
         b AS (SELECT * FROM sh
           WHERE doc_id % 3 <> 0 AND len(s) > 0),
         c AS (SELECT * FROM sh
@@ -2601,7 +2601,7 @@ object PipelineQueries {
                 for i in range(1, len(toks) - 1)])
             ELSE [] END AS s
           FROM (SELECT doc_id, lang, source,
-              string_split(lower(text), ' ') AS toks FROM documents)),
+              regexp_split_to_array(lower(text), '\s+') AS toks FROM documents)),
         np AS (SELECT x.doc_id AS id_x, y.doc_id AS id_y
           FROM sh x JOIN sh y
             ON x.lang = y.lang AND x.source = y.source
@@ -2722,7 +2722,7 @@ object PipelineQueries {
             CAST(('0x' || substr(md5(token || '|dsir'), 1, 8))
               AS UBIGINT) % 64 AS b
           FROM (SELECT doc_id, lang = 'en' AS t,
-              unnest(string_split(lower(text), ' ')) AS token
+              unnest(regexp_split_to_array(lower(text), '\s+')) AS token
             FROM documents)),
         q AS (SELECT b, count(*) AS qc,
             sum(CASE WHEN t THEN 1 ELSE 0 END) AS pc
@@ -2788,11 +2788,11 @@ object PipelineQueries {
           FROM documents WHERE doc_id % 6 = 0),
         bt AS (SELECT doc_id, unnest(a) AS tok,
             unnest(range(0, len(a))) AS pos
-          FROM (SELECT doc_id, string_split(lower(text), ' ') AS a
+          FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS a
             FROM base)),
         st AS (SELECT doc_id, unnest(a) AS tok,
             unnest(range(0, len(a))) AS pos
-          FROM (SELECT doc_id, string_split(lower(text), ' ') AS a
+          FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS a
             FROM shif)),
         bc AS (SELECT doc_id, tok, pos,
             COALESCE(sum(CASE WHEN CAST(('0x' || substr(md5(tok
@@ -2845,7 +2845,7 @@ object PipelineQueries {
       },
       Some("""WITH t AS (SELECT doc_id, unnest(a) AS tok,
             unnest(range(0, len(a))) AS pos
-          FROM (SELECT doc_id, string_split(lower(text), ' ') AS a
+          FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS a
             FROM documents)),
         c AS (SELECT doc_id, tok, pos,
             COALESCE(sum(CASE WHEN CAST(('0x' || substr(md5(tok
@@ -2895,7 +2895,7 @@ object PipelineQueries {
       Some("""WITH tr AS (SELECT doc_id, lang, text FROM documents
           WHERE doc_id % 2 = 0),
         tt AS (SELECT lang AS cls,
-            unnest(string_split(lower(text), ' ')) AS token FROM tr),
+            unnest(regexp_split_to_array(lower(text), '\s+')) AS token FROM tr),
         cnt AS (SELECT cls, token, count(*) AS c FROM tt GROUP BY 1, 2),
         vocab AS (SELECT count(DISTINCT token) AS v FROM cnt),
         classes AS (SELECT p.cls, t.tot, vocab.v,
@@ -2907,7 +2907,7 @@ object PipelineQueries {
           CROSS JOIN vocab),
         tf AS (SELECT doc_id, token, count(*) AS tf
           FROM (SELECT doc_id,
-              unnest(string_split(lower(text), ' ')) AS token
+              unnest(regexp_split_to_array(lower(text), '\s+')) AS token
             FROM documents) GROUP BY 1, 2),
         voc AS (SELECT DISTINCT token FROM cnt),
         contrib AS (SELECT tf.doc_id, classes.cls,
@@ -2965,7 +2965,7 @@ object PipelineQueries {
       Some("""WITH tr AS (SELECT doc_id, lang, text FROM documents
           WHERE doc_id % 2 = 0),
         tt AS (SELECT lang AS cls,
-            unnest(string_split(lower(text), ' ')) AS token FROM tr),
+            unnest(regexp_split_to_array(lower(text), '\s+')) AS token FROM tr),
         cnt AS (SELECT cls, token, count(*) AS c FROM tt GROUP BY 1, 2),
         vocab AS (SELECT count(DISTINCT token) AS v FROM cnt),
         classes AS (SELECT p.cls, t.tot, vocab.v,
@@ -2977,7 +2977,7 @@ object PipelineQueries {
           CROSS JOIN vocab),
         tf AS (SELECT doc_id, token, count(*) AS tf
           FROM (SELECT doc_id,
-              unnest(string_split(lower(text), ' ')) AS token
+              unnest(regexp_split_to_array(lower(text), '\s+')) AS token
             FROM documents) GROUP BY 1, 2),
         voc AS (SELECT DISTINCT token FROM cnt),
         contrib AS (SELECT tf.doc_id, classes.cls,
@@ -3111,7 +3111,7 @@ object PipelineQueries {
                 for i in range(1, len(toks) - 1)])
             ELSE [] END AS s
           FROM (SELECT doc_id, lang, source,
-              string_split(lower(text), ' ') AS toks FROM documents)),
+              regexp_split_to_array(lower(text), '\s+') AS toks FROM documents)),
         b AS (SELECT * FROM sh
           WHERE doc_id % 3 <> 0 AND len(s) > 0),
         c AS (SELECT * FROM sh
@@ -3202,7 +3202,7 @@ object PipelineQueries {
                 for i in range(1, len(toks) - 1)])
             ELSE [] END AS s
           FROM (SELECT doc_id, lang, source,
-              string_split(lower(text), ' ') AS toks FROM documents)),
+              regexp_split_to_array(lower(text), '\s+') AS toks FROM documents)),
         np AS (SELECT x.doc_id AS id_x, y.doc_id AS id_y
           FROM sh x JOIN sh y
             ON x.lang = y.lang AND x.source = y.source
@@ -3257,7 +3257,7 @@ object PipelineQueries {
       },
       Some("""WITH t AS (SELECT doc_id, unnest(a) AS tok,
             unnest(range(0, len(a))) AS pos
-          FROM (SELECT doc_id, string_split(lower(text), ' ') AS a
+          FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS a
             FROM documents)),
         c AS (SELECT doc_id, tok, pos,
             COALESCE(sum(CASE WHEN CAST(('0x' || substr(md5(tok
@@ -3312,7 +3312,7 @@ object PipelineQueries {
       },
       Some("""WITH t AS (SELECT doc_id, unnest(a) AS tok,
             unnest(range(0, len(a))) AS pos
-          FROM (SELECT doc_id, string_split(lower(text), ' ') AS a
+          FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS a
             FROM documents)),
         c AS (SELECT doc_id, tok, pos,
             COALESCE(sum(CASE WHEN CAST(('0x' || substr(md5(tok

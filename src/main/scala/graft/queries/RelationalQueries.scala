@@ -504,6 +504,9 @@ object RelationalQueries {
         FROM events GROUP BY event_type ORDER BY event_type""")),
 
     // ---- P10/P11: string parsing/normalization ---------------------------------------
+    // p_type is a STRUCTURED field ("STANDARD ANODIZED TIN") parsed on
+    // its literal single-space layout — deliberately NOT the corpus
+    // \s+ tokenization convention, which covers free text only.
     QueryDef("q23_string_funcs",
       (s, dir) => Tables.load(s, dir, "part")
         .select(element_at(split(col("p_type"), " "), 1).as("type_word"),

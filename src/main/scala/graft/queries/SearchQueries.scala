@@ -20,7 +20,7 @@ object SearchQueries {
         .orderBy(col("n").desc, col("token").asc)
         .limit(30),
       Some("""SELECT token, count(*) AS n FROM (
-          SELECT unnest(string_split(lower(text), ' ')) AS token
+          SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS token
           FROM documents) t
         GROUP BY token ORDER BY n DESC, token ASC LIMIT 30""")),
 
@@ -31,7 +31,7 @@ object SearchQueries {
         .orderBy(col("df").desc, col("token").asc)
         .limit(30),
       Some("""SELECT token, count(*) AS cf, count(DISTINCT doc_id) AS df
-        FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+        FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS token
           FROM documents) t
         GROUP BY token ORDER BY df DESC, token ASC LIMIT 30""")),
 
@@ -58,7 +58,7 @@ object SearchQueries {
         Tables.load(s, dir, "documents"), "doc_id", "text",
         "window merge scan", 15),
       Some("""WITH t AS (SELECT doc_id,
-            unnest(string_split(lower(text), ' ')) AS token
+            unnest(regexp_split_to_array(lower(text), '\s+')) AS token
           FROM documents),
         dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
         s AS (SELECT avg(dl) AS avgdl FROM dl),
@@ -93,7 +93,7 @@ object SearchQueries {
           "doc_id", "text", qs, "query_id", "qtext", 10)
       },
       Some("""WITH t AS (SELECT doc_id,
-            unnest(string_split(lower(text), ' ')) AS token
+            unnest(regexp_split_to_array(lower(text), '\s+')) AS token
           FROM documents),
         dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
         s AS (SELECT avg(dl) AS avgdl FROM dl),
@@ -101,7 +101,7 @@ object SearchQueries {
         qs(query_id, qtext) AS (VALUES (1, 'window merge scan'),
           (2, 'spark query data'), (3, 'slow batch')),
         q AS (SELECT DISTINCT query_id,
-            unnest(string_split(qtext, ' ')) AS token FROM qs),
+            unnest(regexp_split_to_array(qtext, '\s+')) AS token FROM qs),
         tf AS (SELECT doc_id, token, count(*) AS tf FROM t
           WHERE token IN (SELECT token FROM q) GROUP BY 1, 2),
         df AS (SELECT token, count(DISTINCT doc_id) AS df
@@ -132,7 +132,7 @@ object SearchQueries {
       (s, dir) => Search.rankPhrase(
         Tables.load(s, dir, "documents"), "doc_id", "text",
         "window merge", 15),
-      Some("""WITH arr AS (SELECT doc_id, string_split(lower(text), ' ') AS a
+      Some("""WITH arr AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS a
           FROM documents),
         t AS (SELECT doc_id, unnest(a) AS token,
             unnest(range(0, len(a))) AS pos
@@ -166,7 +166,7 @@ object SearchQueries {
       (s, dir) => Search.matchFuzzy(
         Tables.load(s, dir, "documents"), "doc_id", "text", "sprak", 20),
       Some("""WITH t AS (SELECT doc_id,
-            unnest(string_split(lower(text), ' ')) AS token
+            unnest(regexp_split_to_array(lower(text), '\s+')) AS token
           FROM documents),
         c AS (SELECT doc_id, token FROM t
           WHERE abs(length(token) - 5) <= 2
@@ -229,7 +229,7 @@ object SearchQueries {
               THEN text || ' merge merge' ELSE text END AS text
           FROM documents),
         t AS (SELECT doc_id,
-            unnest(string_split(lower(text), ' ')) AS token FROM src),
+            unnest(regexp_split_to_array(lower(text), '\s+')) AS token FROM src),
         dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
         s AS (SELECT avg(dl) AS avgdl FROM dl),
         n AS (SELECT count(*) AS n FROM src),
@@ -260,7 +260,7 @@ object SearchQueries {
         must = Seq("window", "scan"), should = Seq("merge"),
         mustNot = Seq("slow"), k = 15),
       Some("""WITH t AS (SELECT doc_id,
-            unnest(string_split(lower(text), ' ')) AS token
+            unnest(regexp_split_to_array(lower(text), '\s+')) AS token
           FROM documents),
         dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
         s AS (SELECT avg(dl) AS avgdl FROM dl),
@@ -295,7 +295,7 @@ object SearchQueries {
         Tables.load(s, dir, "documents"), "doc_id", "text",
         "window merge scan", "lang"),
       Some("""WITH t AS (SELECT doc_id,
-            unnest(string_split(lower(text), ' ')) AS token
+            unnest(regexp_split_to_array(lower(text), '\s+')) AS token
           FROM documents),
         dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
         s AS (SELECT avg(dl) AS avgdl FROM dl),
@@ -330,7 +330,7 @@ object SearchQueries {
         "doc_id", "text", "vec_id", "embedding",
         "window merge scan", queryVecId = 7L, k = 10),
       Some("""WITH t AS (SELECT doc_id,
-            unnest(string_split(lower(text), ' ')) AS token
+            unnest(regexp_split_to_array(lower(text), '\s+')) AS token
           FROM documents),
         dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
         s AS (SELECT avg(dl) AS avgdl FROM dl),
@@ -378,7 +378,7 @@ object SearchQueries {
         Tables.load(s, dir, "documents"), "doc_id", "text",
         seedId = 42L, mTerms = 5, k = 10),
       Some("""WITH t AS (SELECT doc_id,
-            unnest(string_split(lower(text), ' ')) AS token
+            unnest(regexp_split_to_array(lower(text), '\s+')) AS token
           FROM documents),
         n AS (SELECT count(*) AS n FROM documents),
         seed AS (SELECT token, count(*) AS tf FROM t
@@ -414,7 +414,7 @@ object SearchQueries {
         col("lang") === "en", k = 20, minDocCount = 3),
       Some("""WITH t AS (SELECT DISTINCT doc_id, fg, token FROM (
             SELECT doc_id, CAST(lang = 'en' AS BIGINT) AS fg,
-              unnest(string_split(lower(text), ' ')) AS token
+              unnest(regexp_split_to_array(lower(text), '\s+')) AS token
             FROM documents)),
         tot AS (SELECT CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
               AS BIGINT) AS fg_total, count(*) AS n
@@ -438,7 +438,7 @@ object SearchQueries {
         Tables.load(s, dir, "documents"), "doc_id", "text",
         Seq("merge", "window"), window = 3, k = 15),
       Some("""WITH arr AS (SELECT doc_id,
-            string_split(lower(text), ' ') AS a
+            regexp_split_to_array(lower(text), '\s+') AS a
           FROM documents),
         t AS (SELECT doc_id, unnest(a) AS token,
             unnest(range(0, len(a))) AS pos
@@ -458,7 +458,7 @@ object SearchQueries {
       (s, dir) => Search.suggest(
         Tables.load(s, dir, "documents"), "doc_id", "text", "s", k = 10),
       Some("""WITH t AS (SELECT doc_id,
-            unnest(string_split(lower(text), ' ')) AS token
+            unnest(regexp_split_to_array(lower(text), '\s+')) AS token
           FROM documents)
         SELECT token, count(*) AS freq, count(DISTINCT doc_id) AS docs
         FROM t WHERE token LIKE 's%'
@@ -477,13 +477,13 @@ object SearchQueries {
           "doc_id", "text", qs, "query_id", "qtext")
       },
       Some("""WITH t AS (SELECT DISTINCT doc_id, token FROM (
-            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+            SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS token
             FROM documents)),
         q(query_id, qt) AS (VALUES
           (CAST(1 AS BIGINT), 'window merge'), (2, 'scan'),
           (3, 'window slow batch'), (4, 'dup vector customer the')),
         qtok AS (SELECT query_id,
-            unnest(list_distinct(string_split(lower(qt), ' '))) AS token
+            unnest(list_distinct(regexp_split_to_array(lower(qt), '\s+'))) AS token
           FROM q),
         qn AS (SELECT query_id, count(*) AS qn FROM qtok GROUP BY 1),
         m AS (SELECT qtok.query_id, t.doc_id, count(*) AS m
@@ -507,7 +507,7 @@ object SearchQueries {
         "doc_id", "text", "vec_id", "embedding",
         "window merge scan", queryVecId = 7L, windowN = 50, k = 10),
       Some("""WITH t AS (SELECT doc_id,
-            unnest(string_split(lower(text), ' ')) AS token
+            unnest(regexp_split_to_array(lower(text), '\s+')) AS token
           FROM documents),
         dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
         s AS (SELECT avg(dl) AS avgdl FROM dl),
@@ -553,7 +553,7 @@ object SearchQueries {
         SearchIndex.suggest(s, idx, "s", k = 10)
       },
       Some("""WITH t AS (SELECT doc_id,
-            unnest(string_split(lower(text), ' ')) AS token
+            unnest(regexp_split_to_array(lower(text), '\s+')) AS token
           FROM documents)
         SELECT token, count(*) AS freq, count(DISTINCT doc_id) AS docs
         FROM t WHERE token LIKE 's%'
@@ -602,13 +602,13 @@ object SearchQueries {
           .orderBy("query_id")
       },
       Some("""WITH t AS (SELECT DISTINCT doc_id, token FROM (
-            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+            SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS token
             FROM documents)),
         q(query_id, qt) AS (VALUES
           (CAST(1 AS BIGINT), 'window merge'), (2, 'scan'),
           (3, 'window slow batch'), (4, 'dup vector customer the')),
         qtok AS (SELECT query_id,
-            unnest(list_distinct(string_split(lower(qt), ' '))) AS token
+            unnest(list_distinct(regexp_split_to_array(lower(qt), '\s+'))) AS token
           FROM q),
         qn AS (SELECT query_id, count(*) AS qn FROM qtok GROUP BY 1),
         m AS (SELECT qtok.query_id, t.doc_id, count(*) AS m
@@ -714,7 +714,7 @@ object SearchQueries {
       (s, dir) => Search.rankNear(
         Tables.load(s, dir, "documents"), "doc_id", "text",
         "table scan merge", slop = 2, k = 15),
-      Some("""WITH arr AS (SELECT doc_id, string_split(lower(text), ' ') AS a
+      Some("""WITH arr AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS a
           FROM documents),
         t AS (SELECT doc_id, unnest(a) AS token,
             unnest(range(0, len(a))) AS pos
@@ -769,7 +769,7 @@ object SearchQueries {
           after = Some((last.getDouble(1), last.getLong(0))))
       },
       Some("""WITH t AS (SELECT doc_id,
-            unnest(string_split(lower(text), ' ')) AS token
+            unnest(regexp_split_to_array(lower(text), '\s+')) AS token
           FROM documents),
         dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
         s AS (SELECT avg(dl) AS avgdl FROM dl),
@@ -860,7 +860,7 @@ object SearchQueries {
           denseFilter = Some(col("id") =!= 7L))
       },
       Some("""WITH t AS (SELECT doc_id,
-            unnest(string_split(lower(text), ' ')) AS token
+            unnest(regexp_split_to_array(lower(text), '\s+')) AS token
           FROM documents),
         dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
         s AS (SELECT avg(dl) AS avgdl FROM dl),
@@ -914,7 +914,7 @@ object SearchQueries {
         Map("scan" -> Seq("filter"), "merge" -> Seq("join", "blend")),
         15),
       Some("""WITH t AS (SELECT doc_id,
-            unnest(string_split(lower(text), ' ')) AS token
+            unnest(regexp_split_to_array(lower(text), '\s+')) AS token
           FROM documents),
         dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
         s AS (SELECT avg(dl) AS avgdl FROM dl),
@@ -963,7 +963,7 @@ object SearchQueries {
         SearchIndex.suggestFromTwin(s, twin, "s", k = 10)
       },
       Some("""WITH t AS (SELECT doc_id,
-            unnest(string_split(lower(text), ' ')) AS token
+            unnest(regexp_split_to_array(lower(text), '\s+')) AS token
           FROM documents)
         SELECT token, count(*) AS freq, count(DISTINCT doc_id) AS docs
         FROM t WHERE token LIKE 's%'
@@ -997,7 +997,7 @@ object SearchQueries {
       Some("""WITH base AS (SELECT doc_id, text FROM documents
           WHERE doc_id % 4 <> 0),
         t AS (SELECT doc_id,
-            unnest(string_split(lower(text), ' ')) AS token
+            unnest(regexp_split_to_array(lower(text), '\s+')) AS token
           FROM base),
         dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
         s AS (SELECT avg(dl) AS avgdl FROM dl),
@@ -1075,7 +1075,7 @@ object SearchQueries {
         SearchIndex.searchBm25(s, idx, "window merge scan", 15)
       },
       Some("""WITH t AS (SELECT doc_id,
-            unnest(string_split(lower(text), ' ')) AS token
+            unnest(regexp_split_to_array(lower(text), '\s+')) AS token
           FROM documents),
         dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
         s AS (SELECT avg(dl) AS avgdl FROM dl),
@@ -1119,7 +1119,7 @@ object SearchQueries {
         SearchIndex.searchNear(s, idx, "table scan merge", slop = 2,
           k = 15)
       },
-      Some("""WITH arr AS (SELECT doc_id, string_split(lower(text), ' ') AS a
+      Some("""WITH arr AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS a
           FROM documents),
         t AS (SELECT doc_id, unnest(a) AS token,
             unnest(range(0, len(a))) AS pos
@@ -1166,7 +1166,7 @@ object SearchQueries {
           should = Seq("merge"), mustNot = Seq("slow"), k = 15)
       },
       Some("""WITH t AS (SELECT doc_id,
-            unnest(string_split(lower(text), ' ')) AS token
+            unnest(regexp_split_to_array(lower(text), '\s+')) AS token
           FROM documents),
         dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
         s AS (SELECT avg(dl) AS avgdl FROM dl),
@@ -1210,7 +1210,7 @@ object SearchQueries {
         SearchIndex.matchFuzzy(s, idx, "sprak", k = 20)
       },
       Some("""WITH t AS (SELECT doc_id,
-            unnest(string_split(lower(text), ' ')) AS token
+            unnest(regexp_split_to_array(lower(text), '\s+')) AS token
           FROM documents),
         c AS (SELECT doc_id, token FROM t
           WHERE abs(length(token) - 5) <= 2
@@ -1232,7 +1232,7 @@ object SearchQueries {
         Tables.load(s, dir, "documents"), "doc_id", "text",
         "window merge scan", "lang", kPerBucket = 3),
       Some("""WITH t AS (SELECT doc_id,
-            unnest(string_split(lower(text), ' ')) AS token
+            unnest(regexp_split_to_array(lower(text), '\s+')) AS token
           FROM documents),
         dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
         s AS (SELECT avg(dl) AS avgdl FROM dl),
@@ -1267,7 +1267,7 @@ object SearchQueries {
         Tables.load(s, dir, "documents"), "doc_id", "text",
         "window merge scan", "n_chars", width = 100L),
       Some("""WITH t AS (SELECT doc_id,
-            unnest(string_split(lower(text), ' ')) AS token
+            unnest(regexp_split_to_array(lower(text), '\s+')) AS token
           FROM documents),
         dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
         s AS (SELECT avg(dl) AS avgdl FROM dl),
@@ -1314,7 +1314,7 @@ object SearchQueries {
           k = 15)
       },
       Some("""WITH t AS (SELECT doc_id,
-            unnest(string_split(lower(text), ' ')) AS token
+            unnest(regexp_split_to_array(lower(text), '\s+')) AS token
           FROM documents),
         dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
         s AS (SELECT avg(dl) AS avgdl FROM dl),
@@ -1379,7 +1379,7 @@ object SearchQueries {
         SearchIndex.searchBm25(s, idx, "window merge scan", k = 15)
       },
       Some("""WITH t AS (SELECT doc_id,
-            unnest(string_split(lower(text), ' ')) AS token
+            unnest(regexp_split_to_array(lower(text), '\s+')) AS token
           FROM documents),
         dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
         s AS (SELECT avg(dl) AS avgdl FROM dl),
@@ -1504,7 +1504,7 @@ object SearchQueries {
       Some("""WITH old0 AS (SELECT doc_id, text FROM documents
             WHERE doc_id % 5 <> 0),
         t0 AS (SELECT doc_id,
-            unnest(string_split(lower(text), ' ')) AS token FROM old0),
+            unnest(regexp_split_to_array(lower(text), '\s+')) AS token FROM old0),
         dl0 AS (SELECT doc_id, count(*) AS dl FROM t0 GROUP BY 1),
         s0 AS (SELECT avg(dl) AS avgdl FROM dl0),
         n0 AS (SELECT count(*) AS n FROM old0),
@@ -1524,7 +1524,7 @@ object SearchQueries {
           GROUP BY tf0.doc_id
           ORDER BY score DESC, tf0.doc_id ASC LIMIT 10),
         t1 AS (SELECT doc_id,
-            unnest(string_split(lower(text), ' ')) AS token
+            unnest(regexp_split_to_array(lower(text), '\s+')) AS token
           FROM documents),
         dl1 AS (SELECT doc_id, count(*) AS dl FROM t1 GROUP BY 1),
         s1 AS (SELECT avg(dl) AS avgdl FROM dl1),
@@ -1575,7 +1575,7 @@ object SearchQueries {
           maxEdits = 1)
       },
       Some("""WITH t AS (SELECT doc_id,
-            unnest(string_split(lower(text), ' ')) AS token
+            unnest(regexp_split_to_array(lower(text), '\s+')) AS token
           FROM documents),
         c AS (SELECT doc_id, token FROM t
           WHERE abs(length(token) - 5) <= 1
@@ -1625,7 +1625,7 @@ object SearchQueries {
             col("matched"))
       },
       Some("""WITH t AS (SELECT doc_id,
-            unnest(string_split(lower(text), ' ')) AS token
+            unnest(regexp_split_to_array(lower(text), '\s+')) AS token
           FROM documents),
         dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
         s AS (SELECT avg(dl) AS avgdl FROM dl),
@@ -1694,7 +1694,7 @@ object SearchQueries {
       Some("""WITH src AS (SELECT doc_id, text FROM documents
           WHERE doc_id % 23 <> 0),
         t AS (SELECT doc_id,
-            unnest(string_split(lower(text), ' ')) AS token FROM src),
+            unnest(regexp_split_to_array(lower(text), '\s+')) AS token FROM src),
         dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
         s AS (SELECT avg(dl) AS avgdl FROM dl),
         n AS (SELECT count(*) AS n FROM src),
@@ -1764,7 +1764,7 @@ object SearchQueries {
       Some("""WITH src AS (SELECT doc_id, text FROM documents
           WHERE doc_id % 23 <> 0),
         t AS (SELECT doc_id,
-            unnest(string_split(lower(text), ' ')) AS token FROM src),
+            unnest(regexp_split_to_array(lower(text), '\s+')) AS token FROM src),
         dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
         s AS (SELECT avg(dl) AS avgdl FROM dl),
         n AS (SELECT count(*) AS n FROM src),

@@ -484,7 +484,7 @@ object SearchIndex {
                  after: Option[(Double, Any)] = None,
                  asOf: Option[Long] = None): DataFrame = {
     val sv = serving(spark, indexRoot, asOf)
-    val terms = query.toLowerCase.split(" ").filter(_.nonEmpty)
+    val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty)
       .distinct.toSeq
     require(terms.nonEmpty, "BM25 query needs at least one term")
     scorePostings(prunedPostings(spark, indexRoot, sv, terms), sv.idCol,
@@ -565,7 +565,7 @@ object SearchIndex {
     val ndl = shards.map(_._2.ndl).sum
     require(ndl > 0, "shards index no non-empty documents")
     val avgdl = shards.map(_._2.sumdl).sum.toDouble / ndl
-    val terms = query.toLowerCase.split(" ").filter(_.nonEmpty)
+    val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty)
       .distinct.toSeq
     require(terms.nonEmpty, "BM25 query needs at least one term")
     val legs = shards.zipWithIndex.map { case ((r, sv), i) =>

@@ -57,8 +57,9 @@ class CurationSpec extends SparkSpec {
 
   test("repetitionSignals: exact fractions on hand-built docs") {
     // d1: "a b c" twice + "d e" → 3 lines, 1 dup (frac 1/3), dup line
-    //     chars 5/13; tokens split on ' ' keep \n inside tokens, so all
-    //     2-grams are unique → top coverage = longest gram (5 of 15)
+    //     chars 5/13; under the \s+ convention \n IS a token boundary,
+    //     so tokens are [a b c a b c d e] and the top 2-gram "a b"
+    //     (count 2, 3 chars) covers 6 of 15 chars
     val d1 = "a b c\na b c\nd e"
     // d2: looping phrase → "p q r s t" 5-gram twice (18 of 19 chars);
     //     top 2-gram "p q" (and 3 others) at c=2 → 6 of 19
@@ -73,7 +74,7 @@ class CurationSpec extends SparkSpec {
     assert(r1.getAs[Long]("lines") == 3L)
     assert(r1.getAs[Double]("dup_line_frac") == 1.0 / 3.0)
     assert(r1.getAs[Double]("dup_line_char_frac") == 5.0 / 13.0)
-    assert(r1.getAs[Double]("top_gram_char_frac") == 5.0 / 15.0)
+    assert(r1.getAs[Double]("top_gram_char_frac") == 6.0 / 15.0)
     assert(r1.getAs[Double]("dup_gram_char_frac") == 0.0)
     assert(!r1.getAs[Boolean]("keep")) // dup_line_frac 0.33 > 0.30
     val r2 = sig(1)

@@ -381,6 +381,73 @@ object Dedup {
       idCol)
   }
 
+  /** X2/X11 STREAMING face of `removeDupChunks(keepOne = true)`: clean
+    * ONE arriving batch against the chunk digests of already-admitted
+    * text, keeping the batch-internal first copy of any new span.
+    * A batch chunk is cut when (a) its digest is already present in
+    * `corpusDigests` — the span exists in committed text, every new
+    * copy is a duplicate — or (b) another batch chunk with the same
+    * digest precedes it (min (id, chunk_idx), the same deterministic
+    * first-copy rule the static operator uses).
+    *
+    * EQUIVALENCE CONTRACT (what makes the streaming build replayable):
+    * when waves arrive in id order and `corpusDigests` is exactly the
+    * kept-chunk digests of all previously admitted waves, the union of
+    * the waves' outputs EQUALS the static
+    * `removeDupChunks(keepOne = true)` over the full corpus — the
+    * global first copy of a digest lives in the earliest wave that
+    * carries it, which is precisely the copy this admission keeps
+    * (DedupSpec pins the two-wave equivalence). Re-chunking committed
+    * clean text reproduces its kept chunks (cutting a chunk moves no
+    * other boundary — boundaries are per-token content decisions), so
+    * the digest ledger can be maintained EITHER by re-chunking the
+    * table or — the 100 TB shape, the q218 columnar-signature move —
+    * by storing this function's `chunk_digests` column at admission
+    * and exploding the pruned column per wave, never re-tokenizing
+    * the corpus.
+    *
+    * Returns one row per batch document: (idCol, clean_text,
+    * kept_chunks, cut_chunks, kept_tokens, chunk_digests — the kept
+    * digests in chunk order, the ledger column). */
+  def removeDupChunksVsCorpus(batch: DataFrame, idCol: String,
+                              textCol: String, m: Int,
+                              corpusDigests: DataFrame): DataFrame = {
+    // one materialized chunk relation shared by the first-copy
+    // aggregate and the flag join (caller releases at the wave
+    // boundary — the foreachBatch releaseAll, as in the q218 shape)
+    val chunks = graft.CacheScope.persist(
+      cdcChunks(batch, idCol, textCol, m))
+    val first = chunks.groupBy("digest")
+      .agg(min(struct(col(idCol), col("chunk_idx"))).as("_first"))
+    val seen = corpusDigests.select(col("digest")).distinct()
+      .withColumn("_seen", lit(true))
+    val cut = coalesce(col("_seen"), lit(false)) ||
+      !(struct(col(idCol), col("chunk_idx")) === col("_first"))
+    val flagged = chunks.join(first, Seq("digest"))
+      .join(seen, Seq("digest"), "left")
+      .withColumn("_cut", cut)
+    val keep = !col("_cut")
+    val perDoc = flagged.groupBy(col(idCol)).agg(
+      array_join(transform(
+        array_sort(collect_list(when(keep,
+          struct(col("chunk_idx"), col("chunk_text"))))),
+        s => s.getField("chunk_text")), " ").as("clean_text"),
+      sum(when(keep, 1L).otherwise(0L)).as("kept_chunks"),
+      sum(when(col("_cut"), 1L).otherwise(0L)).as("cut_chunks"),
+      sum(when(keep, col("n_tokens")).otherwise(0L)).as("kept_tokens"),
+      transform(array_sort(collect_list(when(keep,
+        struct(col("chunk_idx"), col("digest"))))),
+        s => s.getField("digest")).as("chunk_digests"))
+    batch.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("kept_chunks"), lit(0L)).as("kept_chunks"),
+        coalesce(col("cut_chunks"), lit(0L)).as("cut_chunks"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        coalesce(col("chunk_digests"),
+          typedLit(Array.empty[String])).as("chunk_digests"))
+  }
+
   /** Reassemble the kept chunks of a flagged chunk relation
     * ((idCol, chunk_idx, n_tokens, chunk_text, _cut)) into cleaned
     * documents — the shared tail of [[removeDupChunks]] and

@@ -71,6 +71,16 @@ object TokenizerQueries {
         "text", NumMergesV2)
     })
 
+  /** Load the PINNED merge table from a tokenizer alias — the consumer
+    * side of the q228 artifact lifecycle (numMerges rows by
+    * construction, the bounded-collect class of the train loop's own
+    * argmax). */
+  private def loadMerges(s: SparkSession, alias: String): Seq[Bpe.Merge] =
+    Manifest.read(s, IndexAlias.resolve(s, alias))
+      .orderBy("merge_rank").collect().toSeq
+      .map(r => Bpe.Merge(r.getAs[Int]("merge_rank"),
+        r.getAs[String]("left_sym"), r.getAs[String]("right_sym")))
+
   // ---------------------------------------------------------------
   // Generated oracle SQL: the unrolled train/encode chains. Kept as
   // code (not literals) because every rank's block is mechanically
@@ -91,7 +101,7 @@ object TokenizerQueries {
       list_transform(range(1, len(word)+1), i -> word[i]
         || CASE WHEN i = len(word) THEN '</w>' ELSE '' END) AS syms
     FROM (SELECT tok AS word, count(*) AS n
-      FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok
+      FROM (SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
         FROM documents WHERE $slice)
       WHERE tok <> '' GROUP BY tok))"""
     val steps = (1 to m).map { i =>
@@ -119,7 +129,7 @@ object TokenizerQueries {
       list_transform(range(1, len(word)+1), i -> word[i]
         || CASE WHEN i = len(word) THEN '</w>' ELSE '' END) AS syms
     FROM (SELECT DISTINCT tok AS word
-      FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok
+      FROM (SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
         FROM documents)
       WHERE tok <> ''))"""
     val steps = (1 to m).map { i =>
@@ -141,7 +151,7 @@ object TokenizerQueries {
     ${encodeChain(m, pfx)},
     ${pfx}wl AS (SELECT word, len(syms) AS bpe FROM ${pfx}e$m),
     ${pfx}dt AS (SELECT doc_id, tok AS word
-      FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
         FROM documents) WHERE tok <> ''),
     ${pfx}per AS (SELECT doc_id, count(*) AS ws, sum(bpe) AS bp
       FROM ${pfx}dt JOIN ${pfx}wl USING (word) GROUP BY doc_id)"""
@@ -237,7 +247,7 @@ object TokenizerQueries {
     wl AS (SELECT word, len(syms) AS bpe FROM e$m),
     t AS (SELECT doc_id, unnest(a) AS tok,
         unnest(range(0, len(a))) AS pos
-      FROM (SELECT doc_id, string_split(lower(text), ' ') AS a
+      FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS a
         FROM documents)),
     c AS (SELECT doc_id, tok, pos,
         COALESCE(sum(CASE WHEN CAST(('0x' || substr(md5(tok
@@ -263,7 +273,7 @@ object TokenizerQueries {
       FROM fl GROUP BY doc_id
       HAVING sum(CASE WHEN NOT cut THEN n_tokens ELSE 0 END) > 0),
     dtc AS MATERIALIZED (SELECT doc_id, tok AS word
-      FROM (SELECT doc_id, unnest(string_split(clean_text, ' ')) AS tok
+      FROM (SELECT doc_id, unnest(regexp_split_to_array(clean_text, '\\s+')) AS tok
         FROM cln) WHERE tok <> ''),
     per2 AS MATERIALIZED (SELECT doc_id, count(*) AS ws, sum(bpe) AS bp
       FROM dtc JOIN wl USING (word) GROUP BY doc_id),
@@ -313,6 +323,101 @@ object TokenizerQueries {
         AND r.seg = p.seg AND r.rn = p.rn + 1)
     SELECT lang, seg, doc_id, bin, units AS bpe_tokens
     FROM pack WHERE rn > 0 ORDER BY lang, seg, bin, doc_id"""
+
+  /** q230's oracle: the STREAMING token-budgeted build replayed as two
+    * id-ordered waves. The span-dedup stage replays as q227's STATIC
+    * keep-one chain over the full corpus — the
+    * [[graft.operators.Dedup.removeDupChunksVsCorpus]] equivalence
+    * contract: with id-ordered waves and a kept-digest ledger, the
+    * union of the waves' cleanings IS the static result. Accounting
+    * replays under the pinned v1 chain. Mixture and packing are
+    * WAVE-LOCAL by design (each wave balances and packs what it
+    * admits), so every downstream CTE carries `wave` in its keys and
+    * the BFD recursion partitions by (wave, lang, seg). */
+  private def streamBuildOracle(m: Int): String =
+    s"""WITH RECURSIVE ${trainChain(m)},
+    ${encodeChain(m)},
+    wl AS (SELECT word, len(syms) AS bpe FROM e$m),
+    t AS (SELECT doc_id, unnest(a) AS tok,
+        unnest(range(0, len(a))) AS pos
+      FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS a
+        FROM documents)),
+    c AS (SELECT doc_id, tok, pos,
+        COALESCE(sum(CASE WHEN CAST(('0x' || substr(md5(tok
+            || '|cdc'), 1, 8)) AS UBIGINT) % 8 = 0
+          THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id
+          ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING
+          AND 1 PRECEDING), 0) AS chunk
+      FROM t),
+    ch AS (SELECT doc_id, chunk, count(*) AS n_tokens,
+        string_agg(tok, ' ' ORDER BY pos) AS chunk_text,
+        md5(string_agg(tok, ' ' ORDER BY pos)) AS digest
+      FROM c GROUP BY 1, 2),
+    rk AS (SELECT doc_id, chunk, n_tokens, chunk_text,
+        row_number() OVER (PARTITION BY digest
+          ORDER BY doc_id, chunk) AS rn
+      FROM ch),
+    cln AS MATERIALIZED (SELECT doc_id,
+        string_agg(CASE WHEN rn = 1 THEN chunk_text END,
+          ' ' ORDER BY chunk) AS clean_text
+      FROM rk GROUP BY doc_id
+      HAVING sum(CASE WHEN rn = 1 THEN n_tokens ELSE 0 END) > 0),
+    dtc AS MATERIALIZED (SELECT doc_id, tok AS word
+      FROM (SELECT doc_id,
+          unnest(regexp_split_to_array(clean_text, '\\s+')) AS tok
+        FROM cln) WHERE tok <> ''),
+    per2 AS MATERIALIZED (SELECT doc_id, count(*) AS ws, sum(bpe) AS bp
+      FROM dtc JOIN wl USING (word) GROUP BY doc_id),
+    cutv AS (SELECT max(doc_id) // 2 AS v FROM documents),
+    src AS MATERIALIZED (SELECT p.doc_id, d.source, d.lang, p.bp,
+        CASE WHEN p.doc_id <= (SELECT v FROM cutv)
+          THEN 1 ELSE 2 END AS wave
+      FROM per2 p JOIN documents d USING (doc_id)),
+    csum AS (SELECT wave, source, sum(bp) AS w
+      FROM src GROUP BY 1, 2),
+    mw AS (SELECT wave, min(w) AS min_w FROM csum GROUP BY wave),
+    mixed AS MATERIALIZED (SELECT s.wave, s.doc_id, s.lang, s.bp
+      FROM src s JOIN csum USING (wave, source) JOIN mw USING (wave)
+      WHERE CAST(('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)
+            || '|buildstream-v1'), 1, 8)) AS UBIGINT) / 4294967296.0
+        < CAST(mw.min_w AS DOUBLE) / CAST(csum.w AS DOUBLE)),
+    mcnt AS (SELECT wave, count(*) AS n FROM mixed GROUP BY wave),
+    segd AS MATERIALIZED (SELECT wave, lang, doc_id, bp AS units,
+        CAST(CAST(('0x' || substr(md5(doc_id || '|packstream'), 1, 8))
+          AS UBIGINT) % CAST(greatest(4, n // 1250) AS UBIGINT)
+          AS INT) AS seg
+      FROM mixed JOIN mcnt USING (wave)),
+    ranked AS MATERIALIZED (
+      SELECT wave, lang, seg, doc_id, units,
+        row_number() OVER (PARTITION BY wave, lang, seg
+          ORDER BY units DESC, doc_id) AS rn
+      FROM segd),
+    pack AS (
+      SELECT wave, lang, seg, CAST(0 AS BIGINT) AS rn,
+        CAST([] AS BIGINT[]) AS rems,
+        CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS INT) AS bin,
+        CAST(NULL AS BIGINT) AS units
+      FROM (SELECT DISTINCT wave, lang, seg FROM ranked)
+      UNION ALL
+      SELECT r.wave, r.lang, r.seg, r.rn,
+        CASE WHEN coalesce(list_position(p.rems,
+            list_min(list_filter(p.rems, x -> x >= r.units))), 0) > 0
+          THEN list_transform(p.rems, (x, i) -> CASE WHEN i =
+            list_position(p.rems, list_min(list_filter(p.rems,
+              x2 -> x2 >= r.units)))
+            THEN x - r.units ELSE x END)
+          ELSE list_append(p.rems, 2048 - r.units) END,
+        r.doc_id,
+        CAST(CASE WHEN coalesce(list_position(p.rems,
+            list_min(list_filter(p.rems, x -> x >= r.units))), 0) > 0
+          THEN list_position(p.rems, list_min(list_filter(p.rems,
+            x -> x >= r.units))) - 1
+          ELSE len(p.rems) END AS INT),
+        r.units
+      FROM pack p JOIN ranked r ON r.wave = p.wave AND r.lang = p.lang
+        AND r.seg = p.seg AND r.rn = p.rn + 1)
+    SELECT wave, lang, seg, doc_id, bin, units AS bpe_tokens
+    FROM pack WHERE rn > 0 ORDER BY wave, lang, seg, bin, doc_id"""
 
   val entries: Seq[QueryDef] = Seq(
 
@@ -436,15 +541,8 @@ object TokenizerQueries {
         Manifest.init(s, "file://" + root + "/tok_v1",
           Bpe.mergeTable(s, trainedMerges(s, dir)))
         IndexAlias.set(s, alias, "file://" + root + "/tok_v1")
-        // resolve → load → reconstruct: numMerges rows by construction
-        // (the bounded-collect class of the train loop's own argmax)
-        def loadedMerges(): Seq[Bpe.Merge] =
-          Manifest.read(s, IndexAlias.resolve(s, alias))
-            .orderBy("merge_rank").collect().toSeq
-            .map(r => Bpe.Merge(r.getAs[Int]("merge_rank"),
-              r.getAs[String]("left_sym"), r.getAs[String]("right_sym")))
         def phase(p: Int) =
-          Bpe.tokenCounts(docs, "doc_id", "text", loadedMerges())
+          Bpe.tokenCounts(docs, "doc_id", "text", loadMerges(s, alias))
             .select(lit(p).as("phase"), col("doc_id"),
               col("ws_tokens"), col("bpe_tokens"))
         val p1 = phase(1)
@@ -476,5 +574,106 @@ object TokenizerQueries {
             2048L, numSegs = nSegs, salt = "packbpe")
           .orderBy("lang", "seg", "bin", "doc_id")
       },
-      Some(packOracle(NumMerges))))
+      Some(packOracle(NumMerges))),
+
+    // ---- THE STREAMING TOKEN-BUDGETED BUILD — q227's four-stage
+    // composition promoted to its streaming deployment (the q218
+    // pattern): documents arrive in id-ordered waves; each wave admits
+    // through (1) span dedup against the LIVE table's stamped
+    // chunk-digest ledger (Dedup.removeDupChunksVsCorpus — the q218
+    // columnar move applied to CDC digests: the corpus is never
+    // re-tokenized, the wave reads an exploded column), (2) subword
+    // accounting under the PINNED v1 tokenizer artifact loaded from
+    // its alias every wave (the q228 lifecycle as a consumer), (3)
+    // wave-local token-mass mixture, (4) wave-local BFD packing — and
+    // lands ONE exactly-once commit (epoch-fenced, replayed batches
+    // no-op). The table keeps EVERY cleaned doc (the dedup ledger);
+    // mixture selection shows as a non-null packing assignment. The
+    // oracle replays the dedup as q227's STATIC chain (the operator's
+    // id-ordered-wave equivalence contract, spec-pinned) and
+    // mixture/packing per wave, recursion keyed on (wave, lang, seg) —
+    // one wrong admission, count, keep decision or bin anywhere in
+    // either wave moves a hashed row.
+    QueryDef("q230_stream_token_budget_build",
+      (s, dir) => {
+        import s.implicits._
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_stbb").toString
+        val tbl = "file://" + root + "/curated"
+        val alias = "file://" + root + "/tokalias"
+        val docs = Tables.load(s, dir, "documents")
+        val cut = docs.agg(max("doc_id")).head().getLong(0) / 2
+        // the pinned tokenizer artifact: train once, commit, alias
+        Manifest.init(s, "file://" + root + "/tok_v1",
+          Bpe.mergeTable(s, trainedMerges(s, dir)))
+        IndexAlias.set(s, alias, "file://" + root + "/tok_v1")
+        val schema = docs.schema
+        def drain(): Unit =
+          graft.streaming.IngestStream
+            .rawStream(s, s"$root/raw", schema, "parquet",
+              maxFilesPerTrigger = 100000)
+            .writeStream
+            .option("checkpointLocation", s"$root/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger
+              .AvailableNow())
+            .foreachBatch {
+              (b: org.apache.spark.sql.DataFrame, id: Long) =>
+                val merges = loadMerges(s, alias)
+                val ledger = Manifest.latestVersion(s, tbl) match {
+                  case Some(_) => Manifest.read(s, tbl)
+                    .select(explode(col("chunk_digests")).as("digest"))
+                  case None => Seq.empty[String].toDF("digest")
+                }
+                val cleaned = graft.CacheScope.persist(
+                  Dedup.removeDupChunksVsCorpus(b, "doc_id", "text",
+                      m = 8, ledger)
+                    .filter(col("kept_tokens") > 0))
+                // one accounting pass feeds mixture, packing AND the
+                // committed rows (distinct-word encode paid once/wave)
+                val counts = graft.CacheScope.persist(
+                  Bpe.tokenCounts(cleaned, "doc_id", "clean_text",
+                      merges)
+                    .filter(col("ws_tokens") > 0)
+                    .join(b.select("doc_id", "source", "lang"),
+                      Seq("doc_id")))
+                val mixed = graft.CacheScope.persist(
+                  Sampling.balanceStrataBy(counts, "source", "doc_id",
+                    "bpe_tokens", "buildstream-v1"))
+                val n = mixed.count()
+                val packed =
+                  if (n == 0) mixed.select(col("doc_id"),
+                    lit(null).cast("int").as("seg"),
+                    lit(null).cast("int").as("bin"))
+                  else Curation.packBestFit(mixed, "lang", "doc_id",
+                      "bpe_tokens", 2048L,
+                      numSegs = math.max(4L, n / 1250L).toInt,
+                      salt = "packstream")
+                    .select(col("doc_id"), col("seg"), col("bin"))
+                // the full cleaned wave commits (the dedup ledger);
+                // the packing assignment rides as nullable columns
+                val rows = counts
+                  .join(cleaned.select("doc_id", "clean_text",
+                    "chunk_digests"), Seq("doc_id"))
+                  .join(packed, Seq("doc_id"), "left")
+                Manifest.commitStreamBatch(s, tbl, rows, "stbb", id)
+                graft.CacheScope.releaseAll()
+                ()
+            }
+            .start().awaitTermination()
+        docs.filter(col("doc_id") <= cut)
+          .write.mode("append").parquet(s"$root/raw")
+        drain()
+        docs.filter(col("doc_id") > cut)
+          .write.mode("append").parquet(s"$root/raw")
+        drain()
+        Manifest.read(s, tbl)
+          .filter(col("bin").isNotNull)
+          .withColumn("wave",
+            when(col("doc_id") <= cut, 1).otherwise(2))
+          .select(col("wave"), col("lang"), col("seg"), col("doc_id"),
+            col("bin"), col("bpe_tokens"))
+          .orderBy("wave", "lang", "seg", "bin", "doc_id")
+      },
+      Some(streamBuildOracle(NumMerges)),
+      kind = QueryDef.Pipeline))
 }

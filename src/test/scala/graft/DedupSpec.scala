@@ -496,4 +496,52 @@ class DedupSpec extends SparkSpec {
       .agg(sum("cut_chunks")).head().getLong(0)
     assert(lax == 0L)
   }
+
+  test("removeDupChunksVsCorpus: id-ordered waves reproduce the static " +
+    "keep-one span dedup exactly, and the stamped digest ledger equals " +
+    "a re-chunk of the committed clean text") {
+    val phrases = Seq(
+      "the quick brown fox jumps over the lazy dog tonight",
+      "lorem ipsum dolor sit amet consectetur adipiscing elit sed",
+      "pack my box with five dozen liquor jugs right now")
+    // 20 docs; shared phrases recur within AND across the wave cut
+    val docs = (0 until 20).map { i =>
+      (i.toLong, s"${phrases(i % 3)} unique$i filler$i ${phrases((i + 1) % 3)}")
+    }.toDF("doc_id", "text")
+    val static = Dedup.removeDupChunks(docs, "doc_id", "text", m = 2,
+        keepOne = true)
+      .select("doc_id", "clean_text", "kept_tokens")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+    // wave 1 (ids < 10) against an empty ledger
+    val w1 = Dedup.removeDupChunksVsCorpus(
+      docs.filter(col("doc_id") < 10), "doc_id", "text", m = 2,
+      Seq.empty[String].toDF("digest"))
+    // wave 2 against wave 1's STAMPED ledger column (never re-chunking
+    // wave 1 — the columnar shape)
+    val ledger = w1.select(explode(col("chunk_digests")).as("digest"))
+    val w2 = Dedup.removeDupChunksVsCorpus(
+      docs.filter(col("doc_id") >= 10), "doc_id", "text", m = 2, ledger)
+    val streamed = w1.unionByName(w2)
+      .select("doc_id", "clean_text", "kept_tokens")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(streamed == static,
+      "two id-ordered waves must equal the static keep-one dedup")
+    // ledger property: re-chunking committed clean text reproduces the
+    // stamped kept digests (cutting a chunk moves no other boundary)
+    val rechunked = Dedup.cdcChunkDigests(
+        w1.filter(col("kept_tokens") > 0), "doc_id", "clean_text", m = 2)
+      .groupBy("doc_id")
+      .agg(transform(array_sort(collect_list(
+        struct(col("chunk_idx"), col("digest")))),
+        s => s.getField("digest")).as("re"))
+    val cmp = w1.filter(col("kept_tokens") > 0)
+      .select(col("doc_id"), col("chunk_digests"))
+      .join(rechunked, Seq("doc_id"))
+      .filter(not(col("chunk_digests") === col("re")))
+      .count()
+    assert(cmp == 0L, "stamped ledger must equal a re-chunk of clean text")
+    CacheScope.releaseAll()
+  }
 }

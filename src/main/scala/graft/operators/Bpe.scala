@@ -186,6 +186,65 @@ object Bpe {
         coalesce(col("_bp"), lit(0L)).as("bpe_tokens"))
   }
 
+  /** Tokenizer AUDIT: per-stratum fertility / compression / coverage
+    * of a merge table over a corpus — the numbers a tokenizer
+    * deployment reports before a vocabulary is frozen (model cards
+    * publish exactly these, e.g. SentencePiece/HF tokenizer evals):
+    *
+    *  - `fertility`        — BPE tokens per whitespace word (the
+    *    context-length multiplier a vocab costs each stratum; >2 on a
+    *    language means its documents burn twice the context budget),
+    *  - `chars_per_token`  — characters compressed into one subword,
+    *  - `whole_word_rate`  — fraction of word OCCURRENCES encoded as
+    *    ONE marker-terminated piece (vocab-hit rate),
+    *  - `distinct_pieces`  — the piece inventory the stratum's word
+    *    TYPES actually exercise.
+    *
+    * Ratios are rounded to 6 dp over exact integral sums, so the frame
+    * is engine-replayable. Scale shape: one tokenize pass to (stratum,
+    * word) occurrences, the DISTINCT-word piece table met with the
+    * same postings-shaped word-key join as [[tokenCounts]], then two
+    * stratum-keyed aggregates — |strata| output rows, no corpus-sized
+    * collect anywhere. */
+  def fertilityAudit(docs: DataFrame, stratumCol: String, textCol: String,
+                     merges: Seq[Merge]): DataFrame = {
+    val toks = graft.scaleOut(docs)
+      .select(col(stratumCol),
+        explode(Text.tokens(col(textCol))).as("word"))
+      .filter(col("word") =!= "")
+    // the word-piece table feeds BOTH aggregates — persist the one
+    // vocab-sized frame so the rank-deep encode folds (expensive to
+    // plan AND run) are paid once, not per consumer; the corpus-sized
+    // token stream deliberately stays unpersisted (re-scanning two
+    // map-side passes beats caching a 100 TB explode)
+    val pieces = graft.CacheScope.persist(
+      encode(toks.select("word").distinct(), "word", merges)
+        .select(col("word"), col("syms"),
+          size(col("syms")).cast("long").as("_pieces")))
+    val occ = toks.join(pieces.select("word", "_pieces"), Seq("word"))
+      .groupBy(stratumCol)
+      .agg(count(lit(1)).as("word_occurrences"),
+        sum(col("_pieces")).as("bpe_tokens"),
+        sum(length(col("word")).cast("long")).as("chars"),
+        sum(when(col("_pieces") === 1, 1L).otherwise(0L))
+          .as("whole_word_occurrences"))
+    val inventory = toks.select(stratumCol, "word").distinct()
+      .join(pieces.select("word", "syms"), Seq("word"))
+      .select(col(stratumCol), explode(col("syms")).as("_piece"))
+      .groupBy(stratumCol)
+      .agg(countDistinct(col("_piece")).as("distinct_pieces"))
+    occ.join(inventory, Seq(stratumCol))
+      .select(col(stratumCol), col("word_occurrences"), col("bpe_tokens"),
+        col("chars"), col("whole_word_occurrences"),
+        col("distinct_pieces"),
+        round(col("bpe_tokens").cast("double") /
+          col("word_occurrences"), 6).as("fertility"),
+        round(col("chars").cast("double") / col("bpe_tokens"), 6)
+          .as("chars_per_token"),
+        round(col("whole_word_occurrences").cast("double") /
+          col("word_occurrences"), 6).as("whole_word_rate"))
+  }
+
   /** The learned merge table as a frame (merge_rank, left_sym,
     * right_sym, merged) — the registrable/persistable artifact. */
   def mergeTable(spark: org.apache.spark.sql.SparkSession,

@@ -805,4 +805,113 @@ object Curation {
       .select(col(idCol),
         (round(col("_w"), 4) + lit(0.0)).as("w"))
   }
+
+  /** X13 PERCENTILE QUALITY GATE: keep the top `keepFrac` of each
+    * stratum by a (rounded) score column — the GPT-3/FineWeb-style
+    * classifier-thresholded selection, where the cut is a per-language
+    * percentile of the quality score rather than an absolute value.
+    *
+    * Semantics: cutoff_s = the highest score at which the
+    * top-cumulative count reaches ceil(keepFrac · n_s); every row with
+    * score ≥ cutoff is kept, so boundary TIES are kept inclusively
+    * (kept fraction ≥ keepFrac — the deterministic, arrival-order-free
+    * choice; real gates accept the tie inflation rather than break
+    * ties arbitrarily).
+    *
+    * Scale shape — deliberately NOT a per-stratum row_number window
+    * (that ranks the corpus inside |strata| partitions, a skew sort at
+    * 100 TB): the score column is expected to be ROUNDED (the
+    * registry's 4-dp quality scores), so the (stratum, score)
+    * HISTOGRAM is bounded by score granularity, not corpus size; the
+    * cumulative scan runs over that stats-sized frame, and the corpus
+    * is touched only by one map-side broadcast-join filter. */
+  def qualityPercentileGate(scored: DataFrame, stratumCol: String,
+                            scoreCol: String,
+                            keepFrac: Double): DataFrame = {
+    require(keepFrac > 0.0 && keepFrac <= 1.0,
+      s"keepFrac in (0,1], got $keepFrac")
+    val hist = scored.groupBy(stratumCol, scoreCol)
+      .agg(count(lit(1)).as("_c"))
+    val n = scored.groupBy(stratumCol).agg(count(lit(1)).as("_n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratumCol).orderBy(col(scoreCol).desc)
+    val cum = hist.withColumn("_cum", sum(col("_c")).over(w))
+    val cut = cum.join(n, Seq(stratumCol))
+      .withColumn("_k", ceil(col("_n") * keepFrac).cast("long"))
+      .groupBy(stratumCol)
+      // the lowest score whose top-cumulative count reaches k; the
+      // bottom score always does (cum = n ≥ k), so the max never NULLs
+      .agg(max(when(col("_cum") >= col("_k"), col(scoreCol)))
+        .as("_cutoff"))
+    scored.join(broadcast(cut), Seq(stratumCol))
+      .filter(col(scoreCol) >= col("_cutoff"))
+      .drop("_cutoff")
+  }
+
+  /** X13 CORPUS DRIFT MONITOR: population-stability index (PSI — the
+    * standard model-monitoring drift statistic: Σ_b (q_b − p_b) ·
+    * ln(q_b / p_b) over histogram buckets, with add-one smoothing so
+    * empty buckets stay finite) between TWO corpus snapshots, per
+    * stratum. The deployment shape: `v1`/`v2` are two versions of a
+    * curated manifest table (time travel), and the monitor answers
+    * "did this refresh wave move any source's length/quality
+    * distribution?" before the wave feeds a tokenizer run. Rule of
+    * thumb from the monitoring literature: PSI < 0.1 stable, 0.1–0.25
+    * drifting, > 0.25 investigate.
+    *
+    * `valueCol` is bucketed as min(floor(value / bucketWidth),
+    * numBuckets−1), clamped at 0 — fixed-width buckets with an
+    * overflow tail, so the SAME bucket edges apply to both snapshots
+    * (quantile edges would re-derive per snapshot and mask drift).
+    * `max_shift_bucket` is the bucket with the largest |q_b − p_b|
+    * (ties → lowest bucket): where to look first. Strata are the UNION
+    * of both snapshots' — a source present in only one version is
+    * itself drift, not an error.
+    *
+    * Engine-replayable: counts are exact integers, p/q are exact
+    * IEEE divisions, the tie-break shift |q−p| never touches a
+    * transcendental, and the PSI sum is rounded to 6 dp. Scale shape:
+    * two histogram aggregates (|strata|·numBuckets rows each, shuffled
+    * on the uniform stratum key), everything downstream is
+    * stats-frame-sized — the corpora are each read ONCE, map-side. */
+  def distributionDrift(v1: DataFrame, v2: DataFrame, stratumCol: String,
+                        valueCol: String, bucketWidth: Long,
+                        numBuckets: Int): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be > 0, got $bucketWidth")
+    require(numBuckets >= 2, s"numBuckets must be >= 2, got $numBuckets")
+    val spark = v1.sparkSession
+    def hist(df: DataFrame, cnt: String) = df
+      .select(col(stratumCol),
+        greatest(lit(0L), least(floor(col(valueCol).cast("double") /
+          lit(bucketWidth.toDouble)), lit((numBuckets - 1).toLong)))
+          .cast("int").as("bucket"))
+      .groupBy(stratumCol, "bucket").agg(count(lit(1)).as(cnt))
+    val strata = v1.select(stratumCol).union(v2.select(stratumCol))
+      .distinct()
+    val buckets = spark.range(numBuckets)
+      .select(col("id").cast("int").as("bucket"))
+    val grid = strata.crossJoin(broadcast(buckets))
+    val h = grid
+      .join(hist(v1, "_c1"), Seq(stratumCol, "bucket"), "left")
+      .join(hist(v2, "_c2"), Seq(stratumCol, "bucket"), "left")
+      .na.fill(0L, Seq("_c1", "_c2"))
+    val tot = h.groupBy(stratumCol)
+      .agg(sum(col("_c1")).as("_n1"), sum(col("_c2")).as("_n2"))
+    val pq = h.join(tot, Seq(stratumCol))
+      .withColumn("_p", (col("_c1") + 1).cast("double") /
+        (col("_n1") + numBuckets))
+      .withColumn("_q", (col("_c2") + 1).cast("double") /
+        (col("_n2") + numBuckets))
+      .withColumn("_term",
+        (col("_q") - col("_p")) * log(col("_q") / col("_p")))
+      .withColumn("_shift", abs(col("_q") - col("_p")))
+    pq.groupBy(stratumCol)
+      .agg(max(col("_n1")).as("n_v1"), max(col("_n2")).as("n_v2"),
+        round(sum(col("_term")), 6).as("psi"),
+        // struct max = (max shift, then LOWEST bucket): shifts are
+        // exact doubles, so the ordering is engine-identical
+        max(struct(col("_shift"), (-col("bucket")).as("_nb"))).as("_m"))
+      .select(col(stratumCol), col("n_v1"), col("n_v2"), col("psi"),
+        (-col("_m._nb")).cast("int").as("max_shift_bucket"))
+  }
 }

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
 import graft.operators.{Curation, Dedup, Multimodal, Sampling, Similarity, Skew}
 import graft.functions.{Text, Vectors}
+import graft.sources.Manifest
 
 /** The LLM-training-data-pipeline surface (SURVEY.md §2.11 X1-X6) as
   * oracle-checked queries over `documents` / `embeddings`.
@@ -3530,5 +3531,204 @@ object PipelineQueries {
               (acc, x) -> acc + x), 6) AS l2_dist
           FROM e, q WHERE e.vec_id <> 7
           ORDER BY l2_dist ASC, e.vec_id ASC LIMIT 10)
-        ORDER BY l2_dist, vec_id""")))
+        ORDER BY l2_dist, vec_id""")),
+
+    // ---- X13 CORPUS DRIFT MONITOR over VERSIONED SNAPSHOTS: the
+    // data-quality gate a live curated table needs between refresh
+    // waves — commit a refresh (here a wave of longer documents, the
+    // classic crawl-shift), then compute the population-stability
+    // index per source between snapshot v1 (time travel) and head over
+    // fixed-width length buckets. PSI = Σ (q−p)·ln(q/p) with add-one
+    // smoothing; `max_shift_bucket` names the bucket to inspect first
+    // (largest |q−p|, exact-double tie-break). The oracle replays both
+    // snapshot states relationally — a wrong time-travel read, bucket
+    // edge, smoothing term, or tie-break moves a hashed row. Scale
+    // shape: each snapshot is read ONCE into a |sources|×|buckets|
+    // histogram (uniform-key hash agg); everything downstream is
+    // stats-frame-sized.
+    QueryDef("q233_corpus_drift",
+      (s, dir) => {
+        val root = "file://" + java.nio.file.Files
+          .createTempDirectory("graft_drift").toString + "/t"
+        val docs = Tables.load(s, dir, "documents")
+          .select("doc_id", "source", "n_chars")
+        Manifest.init(s, root, docs)
+        Manifest.commitAppend(s, root,
+          docs.filter(col("doc_id") % 3 === 0)
+            .withColumn("doc_id", col("doc_id") + 1000000L)
+            .withColumn("n_chars", (col("n_chars") + 1500).cast("long")))
+        Curation.distributionDrift(
+            Manifest.read(s, root, Some(1L)), Manifest.read(s, root),
+            "source", "n_chars", bucketWidth = 256L, numBuckets = 8)
+          .orderBy("source")
+      },
+      Some("""WITH v1 AS (SELECT source, n_chars FROM documents),
+        v2 AS (SELECT source, n_chars FROM documents
+          UNION ALL SELECT source, n_chars + 1500 FROM documents
+          WHERE doc_id % 3 = 0),
+        strata AS (SELECT DISTINCT source FROM documents),
+        buckets AS (SELECT CAST(i AS INT) AS bucket FROM range(0, 8) r(i)),
+        grid AS (SELECT source, bucket FROM strata CROSS JOIN buckets),
+        h1 AS (SELECT source,
+            CAST(greatest(0, least(floor(n_chars / 256.0), 7)) AS INT)
+              AS bucket, count(*) AS c
+          FROM v1 GROUP BY 1, 2),
+        h2 AS (SELECT source,
+            CAST(greatest(0, least(floor(n_chars / 256.0), 7)) AS INT)
+              AS bucket, count(*) AS c
+          FROM v2 GROUP BY 1, 2),
+        h AS (SELECT g.source, g.bucket,
+            COALESCE(h1.c, 0) AS c1, COALESCE(h2.c, 0) AS c2
+          FROM grid g LEFT JOIN h1 USING (source, bucket)
+            LEFT JOIN h2 USING (source, bucket)),
+        tot AS (SELECT source, sum(c1) AS n1, sum(c2) AS n2
+          FROM h GROUP BY source),
+        pq AS (SELECT h.source, h.bucket,
+            CAST(h.c1 + 1 AS DOUBLE) / (t.n1 + 8) AS p,
+            CAST(h.c2 + 1 AS DOUBLE) / (t.n2 + 8) AS q
+          FROM h JOIN tot t USING (source)),
+        psi AS (SELECT source, round(sum((q - p) * ln(q / p)), 6) AS psi
+          FROM pq GROUP BY source),
+        sel AS (SELECT source, bucket, row_number() OVER (
+            PARTITION BY source ORDER BY abs(q - p) DESC, bucket ASC)
+            AS rn
+          FROM pq)
+        SELECT p.source, CAST(t.n1 AS BIGINT) AS n_v1,
+          CAST(t.n2 AS BIGINT) AS n_v2, p.psi,
+          s.bucket AS max_shift_bucket
+        FROM psi p JOIN tot t USING (source)
+          JOIN sel s ON s.source = p.source AND s.rn = 1
+        ORDER BY p.source"""),
+      kind = QueryDef.Pipeline),
+
+    // ---- X2 DEDUP-IMPACT REPORT: what keep-one span dedup (the q227
+    // cleaning stage: CDC chunks, m=8, corpus-wide first copy survives)
+    // actually REMOVES, per source — the dashboard a curation team
+    // reads before shipping a wave: token totals, removed token mass,
+    // docs touched, 6-dp removal rate. Totals are denominated in the
+    // chunk relation's own token units (split tokens incl. the empty
+    // edge token of a leading/trailing run — the n_tokens the chunker
+    // counts), so kept + removed = total exactly. The oracle replays
+    // the full chunk/keep-one chain and aggregates — a wrong cut
+    // decision anywhere moves a source's row.
+    QueryDef("q235_dedup_impact",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val cleaned = Dedup.removeDupChunks(docs, "doc_id", "text",
+          m = 8, maxOccurrences = 1, keepOne = true)
+        val tot = docs.select(col("doc_id"), col("source"),
+          when(col("text").isNull, lit(0L))
+            .otherwise(size(Text.tokens(col("text"))).cast("long"))
+            .as("_total"))
+        tot.join(cleaned.select("doc_id", "kept_tokens"), Seq("doc_id"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("docs"),
+            sum(col("_total")).as("total_tokens"),
+            sum(col("kept_tokens")).as("kept_tokens"),
+            sum(col("_total") - col("kept_tokens")).as("removed_tokens"),
+            sum(when(col("_total") > col("kept_tokens"), 1L)
+              .otherwise(0L)).as("docs_touched"),
+            round(when(sum(col("_total")) > 0,
+              sum(col("_total") - col("kept_tokens")).cast("double") /
+                sum(col("_total"))).otherwise(lit(0.0)), 6)
+              .as("removal_rate"))
+          .orderBy("source")
+      },
+      Some("""WITH t AS (SELECT doc_id, unnest(a) AS tok,
+            unnest(range(0, len(a))) AS pos
+          FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\s+')
+              AS a
+            FROM documents)),
+        c AS (SELECT doc_id, tok, pos,
+            COALESCE(sum(CASE WHEN CAST(('0x' || substr(md5(tok
+                || '|cdc'), 1, 8)) AS UBIGINT) % 8 = 0
+              THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id
+              ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING
+              AND 1 PRECEDING), 0) AS chunk
+          FROM t),
+        ch AS (SELECT doc_id, chunk, count(*) AS n_tokens,
+            md5(string_agg(tok, ' ' ORDER BY pos)) AS digest
+          FROM c GROUP BY 1, 2),
+        rk AS (SELECT doc_id, chunk, n_tokens,
+            row_number() OVER (PARTITION BY digest
+              ORDER BY doc_id, chunk) AS rn
+          FROM ch),
+        per AS (SELECT doc_id,
+            sum(CASE WHEN rn = 1 THEN n_tokens ELSE 0 END) AS kept,
+            sum(n_tokens) AS total
+          FROM rk GROUP BY doc_id),
+        src AS (SELECT d.source,
+            COALESCE(per.kept, 0) AS kept, COALESCE(per.total, 0) AS total
+          FROM documents d LEFT JOIN per USING (doc_id))
+        SELECT source, count(*) AS docs,
+          CAST(sum(total) AS BIGINT) AS total_tokens,
+          CAST(sum(kept) AS BIGINT) AS kept_tokens,
+          CAST(sum(total) - sum(kept) AS BIGINT) AS removed_tokens,
+          CAST(sum(CASE WHEN total > kept THEN 1 ELSE 0 END) AS BIGINT)
+            AS docs_touched,
+          round(CASE WHEN sum(total) > 0
+            THEN CAST(sum(total) - sum(kept) AS DOUBLE) / sum(total)
+            ELSE 0.0 END, 6) AS removal_rate
+        FROM src GROUP BY source ORDER BY source""")),
+
+    // ---- X13 PERCENTILE QUALITY GATE: keep the top 30% of each
+    // language by the q190 NB quality score — the GPT-3/FineWeb-style
+    // classifier-percentile selection (the cut is a per-language
+    // percentile, not an absolute threshold, so a verbose language
+    // can't crowd out a terse one). Cutoff = highest score whose
+    // top-cumulative count reaches ceil(0.3·n); score ≥ cutoff keeps,
+    // boundary ties kept inclusively. Scale: NOT a per-lang
+    // row_number over the corpus — the 4-dp-rounded score makes the
+    // (lang, score) histogram granularity-bounded, the cumulative scan
+    // runs on that stats frame, and the corpus is touched by one
+    // broadcast-cutoff map filter. The oracle replays NB training,
+    // scoring, AND the histogram-cutoff selection — a wrong count,
+    // weight, rounding or boundary decision moves a kept row.
+    QueryDef("q236_quality_percentile_gate",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val scored = Curation.nbQualityScores(docs, "doc_id", "text",
+            col("n_chars") >= 250)
+          .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+          .select(col("doc_id"), col("lang"),
+            col("avg_llr").as("qscore"))
+        Curation.qualityPercentileGate(scored, "lang", "qscore", 0.3)
+          .orderBy("lang", "doc_id")
+      },
+      Some("""WITH lab AS (SELECT doc_id, n_chars >= 250 AS l,
+            regexp_split_to_array(lower(text), '\s+') AS a FROM documents),
+        st AS (SELECT doc_id, l, len(a) AS dl, unnest(a) AS token
+          FROM lab),
+        c AS (SELECT token,
+            sum(CASE WHEN l THEN 1 ELSE 0 END) AS cpos,
+            sum(CASE WHEN NOT l THEN 1 ELSE 0 END) AS cneg
+          FROM st GROUP BY 1),
+        tot AS (SELECT sum(cpos) AS tpos, sum(cneg) AS tneg,
+            count(*) AS v
+          FROM c),
+        w AS (SELECT token,
+            ln((cpos + 1.0) / (tpos + v))
+              - ln((cneg + 1.0) / (tneg + v)) AS w
+          FROM c, tot),
+        tf AS (SELECT doc_id, dl, token, count(*) AS tf
+          FROM st GROUP BY 1, 2, 3),
+        sc AS (SELECT tf.doc_id,
+            round(sum(tf.tf * w.w) / tf.dl, 4) + 0.0 AS qscore
+          FROM tf JOIN w USING (token)
+          GROUP BY tf.doc_id, tf.dl),
+        sl AS (SELECT sc.doc_id, d.lang, sc.qscore
+          FROM sc JOIN documents d USING (doc_id)),
+        hist AS (SELECT lang, qscore, count(*) AS c
+          FROM sl GROUP BY 1, 2),
+        nn AS (SELECT lang, count(*) AS n FROM sl GROUP BY 1),
+        cum AS (SELECT lang, qscore,
+            sum(c) OVER (PARTITION BY lang ORDER BY qscore DESC) AS cum
+          FROM hist),
+        cut AS (SELECT cum.lang,
+            max(CASE WHEN cum >= CAST(ceil(n * 0.3) AS BIGINT)
+              THEN qscore END) AS cutoff
+          FROM cum JOIN nn USING (lang) GROUP BY cum.lang)
+        SELECT sl.doc_id, sl.lang, sl.qscore
+        FROM sl JOIN cut USING (lang) WHERE sl.qscore >= cut.cutoff
+        ORDER BY sl.lang, sl.doc_id""")))
 }

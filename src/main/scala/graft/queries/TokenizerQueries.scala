@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
-import graft.operators.{Bpe, Curation, Dedup, Sampling}
+import graft.operators.{Bpe, Curation, Dedup, Sampling, Similarity}
 import graft.sources.{IndexAlias, Manifest}
 
 /** In-engine BPE tokenizer queries (X10/X13 token-true accounting):
@@ -170,6 +170,86 @@ object TokenizerQueries {
       CAST(COALESCE(per.bp, 0) AS BIGINT) AS bpe_tokens
     FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id"""
 
+  /** q231's oracle: fertility/compression/coverage per lang, replaying
+    * train AND encode, then aggregating exact integral sums with 6-dp
+    * ratio rounding (the registry's float convention). `inv` counts
+    * the DISTINCT pieces a lang's word TYPES exercise. */
+  private def fertilityOracle(m: Int): String =
+    s"""WITH ${trainChain(m)},
+    ${encodeChain(m)},
+    wl AS (SELECT word, syms, len(syms) AS pieces FROM e$m),
+    dt AS (SELECT doc_id, tok AS word
+      FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+        FROM documents) WHERE tok <> ''),
+    lw AS (SELECT d.lang, t.word FROM dt t JOIN documents d USING (doc_id)),
+    occ AS (SELECT lang, count(*) AS word_occurrences,
+        sum(wl.pieces) AS bpe, sum(len(word)) AS chars,
+        sum(CASE WHEN wl.pieces = 1 THEN 1 ELSE 0 END) AS whole
+      FROM lw JOIN wl USING (word) GROUP BY lang),
+    inv AS (SELECT lang, count(DISTINCT piece) AS distinct_pieces FROM (
+        SELECT x.lang, unnest(wl.syms) AS piece
+        FROM (SELECT DISTINCT lang, word FROM lw) x JOIN wl USING (word))
+      GROUP BY lang)
+    SELECT o.lang, o.word_occurrences,
+      CAST(o.bpe AS BIGINT) AS bpe_tokens,
+      CAST(o.chars AS BIGINT) AS chars,
+      CAST(o.whole AS BIGINT) AS whole_word_occurrences,
+      inv.distinct_pieces,
+      round(CAST(o.bpe AS DOUBLE) / o.word_occurrences, 6) AS fertility,
+      round(CAST(o.chars AS DOUBLE) / o.bpe, 6) AS chars_per_token,
+      round(CAST(o.whole AS DOUBLE) / o.word_occurrences, 6)
+        AS whole_word_rate
+    FROM occ o JOIN inv USING (lang) ORDER BY o.lang"""
+
+  /** q232's oracle: the q96 spherical-k-means trajectory (verbatim CTE
+    * shape — init by portable hash order, one Lloyd round, cosine
+    * argmax with (cos DESC, cid ASC) ties) discovers the domains, the
+    * counts chain denominates them in BPE tokens, and the q226
+    * balance rule (keep-rate min_w/w over token mass, portable-hash
+    * per-row decision) levels them. */
+  private def domainMixtureOracle(m: Int): String =
+    s"""WITH ${countsChain(m)},
+    emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings),
+    hashed AS (SELECT vec_id, v,
+        CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)
+          || '|kmeans'), 1, 8)) AS UBIGINT) AS h
+      FROM emb),
+    c0 AS (SELECT row_number() OVER (ORDER BY h ASC, vec_id ASC) - 1
+          AS cid, v AS cv
+      FROM hashed ORDER BY h ASC, vec_id ASC LIMIT 4),
+    a0 AS (SELECT vec_id, v, cid FROM (
+      SELECT vec_id, v, cid, row_number() OVER (
+          PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
+      FROM (SELECT emb.vec_id, emb.v, c.cid,
+          list_dot_product(emb.v, c.cv)
+            / (sqrt(list_dot_product(emb.v, emb.v))
+               * sqrt(list_dot_product(c.cv, c.cv))) AS cos
+        FROM emb CROSS JOIN c0 c)) WHERE rn = 1),
+    c1 AS (SELECT cid, list(m ORDER BY pos) AS cv FROM (
+        SELECT a.cid, r.i AS pos, avg(a.v[r.i]) AS m
+        FROM a0 a CROSS JOIN range(1, 65) r(i)
+        GROUP BY a.cid, r.i) GROUP BY cid),
+    a1 AS (SELECT vec_id, cid FROM (
+      SELECT vec_id, cid, row_number() OVER (
+          PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
+      FROM (SELECT emb.vec_id, c.cid,
+          list_dot_product(emb.v, c.cv)
+            / (sqrt(list_dot_product(emb.v, emb.v))
+               * sqrt(list_dot_product(c.cv, c.cv))) AS cos
+        FROM emb CROSS JOIN c1 c)) WHERE rn = 1),
+    u AS (SELECT per.doc_id, a1.cid AS domain, per.bp
+      FROM per JOIN a1 ON a1.vec_id = per.doc_id),
+    cw AS (SELECT domain, sum(bp) AS w FROM u GROUP BY domain),
+    mwv AS (SELECT min(w) AS min_w FROM cw)
+    SELECT u.domain, count(*) AS docs,
+      CAST(sum(u.bp) AS BIGINT) AS bpe_tokens_kept
+    FROM u JOIN cw USING (domain) CROSS JOIN mwv
+    WHERE CAST(('0x' || substr(md5(CAST(u.doc_id AS VARCHAR)
+          || '|domtok-v1'), 1, 8)) AS UBIGINT) / 4294967296.0
+      < CAST(mwv.min_w AS DOUBLE) / CAST(cw.w AS DOUBLE)
+    GROUP BY u.domain ORDER BY u.domain"""
+
   /** q228's oracle: two independently trained chains — v1 (16 merges,
     * even slice) replayed for phases 1 AND 2 (the swap has not
     * happened), v2 (8 merges, odd slice) for phase 3 — the q188
@@ -193,9 +273,11 @@ object TokenizerQueries {
 
   /** q216's recursive-CTE BFD replay, denominated in BPE tokens: segd
     * draws units from the counts chain (docs with ≥1 token), budget
-    * 2048 subword tokens, numSegs = max(4, n/1250) over the PACKED set. */
-  private def packOracle(m: Int): String =
-    s"""WITH RECURSIVE ${countsChain(m)},
+    * 2048 subword tokens, numSegs = max(4, n/1250) over the PACKED set.
+    * The CTE chain (through `pack`) is shared with q234's fill-rate
+    * aggregation. */
+  private def packChainSql(m: Int): String =
+    s"""${countsChain(m)},
     segd AS MATERIALIZED (SELECT d.lang, p.doc_id, p.bp AS units,
         CAST(CAST(('0x' || substr(md5(p.doc_id || '|packbpe'), 1, 8))
           AS UBIGINT) % CAST(greatest(4,
@@ -230,9 +312,25 @@ object TokenizerQueries {
           ELSE len(p.rems) END AS INT),
         r.units
       FROM pack p JOIN ranked r ON r.lang = p.lang
-        AND r.seg = p.seg AND r.rn = p.rn + 1)
+        AND r.seg = p.seg AND r.rn = p.rn + 1)"""
+
+  private def packOracle(m: Int): String =
+    s"""WITH RECURSIVE ${packChainSql(m)}
     SELECT lang, seg, doc_id, bin, units AS bpe_tokens
     FROM pack WHERE rn > 0 ORDER BY lang, seg, bin, doc_id"""
+
+  /** q234's oracle: the SAME packing chain as q223, aggregated to the
+    * fill-rate report — bins, packed docs/tokens, capacity at the
+    * 2048-token budget, 6-dp fill rate. */
+  private def packFillOracle(m: Int): String =
+    s"""WITH RECURSIVE ${packChainSql(m)}
+    SELECT lang, count(DISTINCT (seg, bin)) AS bins,
+      count(*) AS docs,
+      CAST(sum(units) AS BIGINT) AS bpe_tokens,
+      CAST(count(DISTINCT (seg, bin)) * 2048 AS BIGINT) AS capacity,
+      round(CAST(sum(units) AS DOUBLE)
+        / (count(DISTINCT (seg, bin)) * 2048), 6) AS fill_rate
+    FROM pack WHERE rn > 0 GROUP BY lang ORDER BY lang"""
 
   /** q227's oracle: the END-TO-END token-budgeted build — keep-one
     * span dedup (q220's chain, emitting the full cleaned text) →
@@ -675,5 +773,84 @@ object TokenizerQueries {
           .orderBy("wave", "lang", "seg", "bin", "doc_id")
       },
       Some(streamBuildOracle(NumMerges)),
-      kind = QueryDef.Pipeline))
+      kind = QueryDef.Pipeline),
+
+    // ---- X14 TOKENIZER AUDIT: per-language fertility / compression /
+    // coverage of the trained vocab — the model-card numbers a real
+    // deployment freezes a tokenizer on: subword fertility (BPE tokens
+    // per word = the context-length multiplier each language pays),
+    // chars-per-token compression, whole-word hit rate (occurrences
+    // encoded as ONE marker-terminated piece), and the distinct piece
+    // inventory each language exercises. All integral sums with 6-dp
+    // ratio rounding; the oracle replays train AND encode, so a green
+    // hash proves the audit AND the tokenizer it audits.
+    QueryDef("q231_bpe_fertility_audit",
+      (s, dir) => Bpe.fertilityAudit(
+          Tables.load(s, dir, "documents"), "lang", "text",
+          trainedMerges(s, dir))
+        .orderBy("lang"),
+      Some(fertilityOracle(NumMerges))),
+
+    // ---- X7+X3 DOMAIN-DISCOVERED TOKEN MIXTURE: when explicit source
+    // labels are missing or too coarse, real builds DISCOVER domains by
+    // clustering embeddings and then balance token mass across the
+    // clusters (the DoReMi/cluster-based data-mixing shape). Composition
+    // of three individually-proven chains under one hash: the q96
+    // oracle-exact spherical k-means assigns each document an embedding
+    // domain, the q222 counts chain denominates each domain in BPE
+    // tokens, and the q226 balance rule (keep-rate = min_w/w over token
+    // mass, portable-hash row decision) levels them. Scale shape: the
+    // cluster assignment is one broadcast-centroid map pass, counts are
+    // the postings join, the mixture is map-only — no new shuffle
+    // beyond the proven pieces.
+    QueryDef("q232_domain_token_mixture",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val domains = Similarity.kmeansAssign(
+            Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+            k = 4, iters = 1)
+          .select(col("vec_id").as("doc_id"), col("cid").as("domain"))
+        val units = Bpe.tokenCounts(docs, "doc_id", "text",
+            trainedMerges(s, dir))
+          .filter(col("ws_tokens") > 0)
+          .join(domains, Seq("doc_id"))
+        Sampling.balanceStrataBy(units, "domain", "doc_id",
+            "bpe_tokens", "domtok-v1")
+          .groupBy("domain")
+          .agg(count(lit(1)).as("docs"),
+            sum("bpe_tokens").as("bpe_tokens_kept"))
+          .orderBy("domain")
+      },
+      Some(domainMixtureOracle(NumMerges))),
+
+    // ---- X10 PACKING-EFFICIENCY AUDIT: the fill-rate KPI of the q223
+    // packing — bins opened, packed docs/tokens, capacity at the
+    // 2048-subword budget, and the fill rate (packed / capacity): the
+    // number that says how much training compute the packing WASTES on
+    // padding. Same operator, same salt, same segment contract as q223,
+    // so this audits the exact packing q223 ships; the oracle is the
+    // q223 recursive BFD replay aggregated — a green hash proves the
+    // report AND (again) every packing decision under it.
+    QueryDef("q234_pack_fill_audit",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val units = graft.CacheScope.persist(
+          Bpe.tokenCounts(docs, "doc_id", "text", trainedMerges(s, dir))
+            .filter(col("ws_tokens") > 0)
+            .join(docs.select("doc_id", "lang"), Seq("doc_id")))
+        val nSegs = math.max(4L, units.count() / 1250L).toInt
+        Curation.packBestFit(units, "lang", "doc_id", "bpe_tokens",
+            2048L, numSegs = nSegs, salt = "packbpe")
+          .groupBy("lang")
+          .agg(countDistinct(col("seg"), col("bin")).as("bins"),
+            count(lit(1)).as("docs"),
+            sum("bpe_tokens").as("bpe_tokens"),
+            (countDistinct(col("seg"), col("bin")) * 2048L)
+              .as("capacity"),
+            round(sum("bpe_tokens").cast("double") /
+              (countDistinct(col("seg"), col("bin")) * 2048L), 6)
+              .as("fill_rate"))
+          .orderBy("lang")
+      },
+      Some(packFillOracle(NumMerges))))
 }

@@ -90,6 +90,36 @@ class BpeSpec extends SparkSpec {
     assert(m.map(x => (x.left, x.right)) == Seq(("a", "b</w>")))
   }
 
+  test("fertilityAudit: hand-computed per-stratum fertility, " +
+    "compression, whole-word rate and piece inventory") {
+    val merges = Bpe.train(corpus, "text", 4)
+    // lang x: low×5 (lo,w</w> = 2 pieces), lower×2 (lo,w,e,r</w> = 4)
+    // lang y: newest×6 (n,ew,est</w> = 3), widest×3 (w,i,d,est</w> = 4)
+    // lang z: a×2 (a</w> = 1 piece — the whole-word hit); single-char
+    //   words contribute no pairs, so training is unchanged
+    val docs = (
+      Seq.fill(5)(("x", "low")) ++ Seq.fill(2)(("x", "lower")) ++
+        Seq.fill(6)(("y", "newest")) ++ Seq.fill(3)(("y", "widest")) ++
+        Seq.fill(2)(("z", "a")))
+      .zipWithIndex.map { case ((l, w), i) => (i.toLong, l, w) }
+      .toDF("doc_id", "lang", "text")
+    val got = Bpe.fertilityAudit(docs, "lang", "text", merges)
+      .orderBy("lang").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6),
+        r.getDouble(7), r.getDouble(8)))
+    CacheScope.releaseAll()
+    assert(got.toSeq == Seq(
+      // x: 7 occ, 5·2+2·4=18 bpe, 5·3+2·5=25 chars, 0 whole,
+      //    pieces {lo, w</w>, w, e, r</w>} = 5
+      ("x", 7L, 18L, 25L, 0L, 5L, 2.571429, 1.388889, 0.0),
+      // y: 9 occ, 6·3+3·4=30 bpe, 6·6+3·6=54 chars, 0 whole,
+      //    pieces {n, ew, est</w>, w, i, d} = 6
+      ("y", 9L, 30L, 54L, 0L, 6L, 3.333333, 1.8, 0.0),
+      // z: every occurrence is one piece — fertility floor
+      ("z", 2L, 2L, 2L, 2L, 1L, 1.0, 1.0, 1.0)))
+  }
+
   test("train stops early when no adjacent pair remains and " +
     "registers nothing with CacheScope (round state is checkpointed, " +
     "ContextCleaner-managed)") {

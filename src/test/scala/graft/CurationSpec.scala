@@ -404,4 +404,79 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => (r.getLong(2), r.getInt(3), r.getLong(4)))
     assert(again.sortBy(_._1).toSeq == asg.sortBy(_._1).toSeq)
   }
+
+  test("qualityPercentileGate: per-stratum cutoff at the k-th " +
+    "largest score, boundary ties kept inclusively, keepFrac=1 keeps " +
+    "all") {
+    val scored = Seq(
+      ("a", 1L, 9.0), ("a", 2L, 8.0), ("a", 3L, 8.0), ("a", 4L, 1.0),
+      ("b", 5L, 5.0), ("b", 6L, 4.0))
+      .toDF("lang", "doc_id", "qscore")
+    // a: n=4, k=2 → cutoff 8.0 → the 8.0 TIE inflates kept to 3
+    // b: n=2, k=1 → cutoff 5.0 → 1 kept
+    val kept = Curation.qualityPercentileGate(scored, "lang",
+        "qscore", 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 2L, 3L, 5L))
+    val all = Curation.qualityPercentileGate(scored, "lang",
+      "qscore", 1.0).count()
+    assert(all == 6L)
+    // determinism: rerun identical
+    val again = Curation.qualityPercentileGate(scored, "lang",
+        "qscore", 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(again == kept)
+  }
+
+  test("distributionDrift: identical snapshots score PSI exactly 0; " +
+    "the tie-break lands on the lowest bucket") {
+    val v = Seq(("a", 10L), ("a", 150L), ("a", 310L), ("b", 50L))
+      .toDF("source", "n_chars")
+    val got = Curation.distributionDrift(v, v, "source", "n_chars",
+        bucketWidth = 100L, numBuckets = 4)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getInt(4)))
+    // p == q bucket-for-bucket → every term is exactly 0.0, every
+    // shift ties at 0.0 → lowest bucket wins
+    assert(got.toSeq == Seq(("a", 3L, 3L, 0.0, 0),
+      ("b", 1L, 1L, 0.0, 0)))
+  }
+
+  test("distributionDrift: a planted wholesale shift scores the " +
+    "hand-computed PSI and names a maximally-shifted bucket") {
+    // v1: 6 rows in bucket 0; v2: the same 6 rows moved to bucket 3
+    // p = (6+1)/10, (0+1)/10 …; shift .6 ties between buckets 0 and 3
+    // → lowest (0); PSI = 2 · 0.6 · ln 7
+    val v1 = (1 to 6).map(i => ("a", 10L + i)).toDF("source", "n_chars")
+    val v2 = (1 to 6).map(i => ("a", 350L + i)).toDF("source", "n_chars")
+    val Array(r) = Curation.distributionDrift(v1, v2, "source",
+      "n_chars", bucketWidth = 100L, numBuckets = 4).collect()
+    assert(r.getLong(1) == 6L && r.getLong(2) == 6L)
+    assert(r.getDouble(3) ==
+      BigDecimal(2.0 * 0.6 * math.log(7.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r.getInt(4) == 0)
+  }
+
+  test("distributionDrift: smoothing keeps a stratum present in only " +
+    "one snapshot finite, and out-of-range values clamp to the edge " +
+    "buckets") {
+    val v1 = Seq(("a", 0L)).toDF("source", "n_chars")
+    val v2 = Seq(("a", -5L), ("a", 99999L), ("new", 10L))
+      .toDF("source", "n_chars")
+    val got = Curation.distributionDrift(v1, v2, "source", "n_chars",
+        bucketWidth = 100L, numBuckets = 4)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getInt(4)))
+    val a = got(0); val nw = got(1)
+    // 'a' v2 splits between clamped bucket 0 (negative) and bucket 3
+    // (overflow) — finite drift, no NaN
+    assert(a._1 == "a" && a._2 == 1L && a._3 == 2L && !a._4.isNaN)
+    // 'new' exists only in v2: n_v1 = 0, smoothed p is uniform 1/4 —
+    // PSI finite and positive
+    assert(nw._1 == "new" && nw._2 == 0L && nw._3 == 1L &&
+      nw._4 > 0.0 && !nw._4.isNaN)
+  }
 }

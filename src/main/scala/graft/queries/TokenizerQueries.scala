@@ -343,7 +343,43 @@ object TokenizerQueries {
     s"""WITH RECURSIVE ${trainChain(m)},
     ${encodeChain(m)},
     wl AS (SELECT word, len(syms) AS bpe FROM e$m),
-    t AS (SELECT doc_id, unnest(a) AS tok,
+    ${buildStagesSql}
+    SELECT lang, seg, doc_id, bin, units AS bpe_tokens
+    FROM pack WHERE rn > 0 ORDER BY lang, seg, bin, doc_id"""
+
+  /** q237's oracle: the SAME four-stage build chain as q227, aggregated
+    * to the funnel a build publishes — (stage, rows, BPE tokens) at
+    * raw → deduped → mixed → packed-contexts. The raw stage reads the
+    * counts chain's `per` (raw-corpus accounting); the packed row
+    * counts CONTEXTS (distinct (lang, seg, bin)) and carries the token
+    * mass they hold. */
+  private def funnelOracle(m: Int): String =
+    s"""WITH RECURSIVE ${countsChain(m)},
+    ${buildStagesSql}
+    SELECT * FROM (
+      SELECT 'a_raw' AS stage,
+        (SELECT count(*) FROM documents) AS n,
+        (SELECT CAST(COALESCE(sum(bp), 0) AS BIGINT) FROM per)
+          AS bpe_tokens
+      UNION ALL SELECT 'b_deduped',
+        (SELECT count(*) FROM per2),
+        (SELECT CAST(COALESCE(sum(bp), 0) AS BIGINT) FROM per2)
+      UNION ALL SELECT 'c_mixed',
+        (SELECT count(*) FROM mixed),
+        (SELECT CAST(COALESCE(sum(bp), 0) AS BIGINT) FROM mixed)
+      UNION ALL SELECT 'd_packed_contexts',
+        (SELECT count(DISTINCT (lang, seg, bin)) FROM pack WHERE rn > 0),
+        (SELECT CAST(COALESCE(sum(units), 0) AS BIGINT)
+          FROM pack WHERE rn > 0))
+    ORDER BY stage"""
+
+  /** The q227 build chain AFTER the shared word-piece table `wl`:
+    * span dedup (t…cln), cleaned-text accounting (dtc, per2), source
+    * join (src), token-mass mixture (csum, mw, mixed), and the BFD
+    * packing recursion (segd, ranked, pack). Shared by q227's
+    * row-level oracle and q237's funnel aggregation. */
+  private val buildStagesSql: String =
+    s"""t AS (SELECT doc_id, unnest(a) AS tok,
         unnest(range(0, len(a))) AS pos
       FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS a
         FROM documents)),
@@ -418,9 +454,7 @@ object TokenizerQueries {
           ELSE len(p.rems) END AS INT),
         r.units
       FROM pack p JOIN ranked r ON r.lang = p.lang
-        AND r.seg = p.seg AND r.rn = p.rn + 1)
-    SELECT lang, seg, doc_id, bin, units AS bpe_tokens
-    FROM pack WHERE rn > 0 ORDER BY lang, seg, bin, doc_id"""
+        AND r.seg = p.seg AND r.rn = p.rn + 1)"""
 
   /** q230's oracle: the STREAMING token-budgeted build replayed as two
     * id-ordered waves. The span-dedup stage replays as q227's STATIC
@@ -852,5 +886,56 @@ object TokenizerQueries {
               .as("fill_rate"))
           .orderBy("lang")
       },
-      Some(packFillOracle(NumMerges))))
+      Some(packFillOracle(NumMerges))),
+
+    // ---- THE BUILD FUNNEL — the datasheet a corpus build publishes:
+    // one row per stage of the q227 composed build with rows and BPE
+    // token mass at each gate (raw → span-deduped → token-mass-mixed →
+    // packed contexts), all in the SAME subword denomination so the
+    // attrition is real (raw tokens priced under the same q221 merge
+    // table). The packed row counts CONTEXTS (distinct (lang, seg,
+    // bin)) holding the mixed token mass. Oracle = the q227 chain
+    // (every stage already proven row-level under q227) aggregated to
+    // the funnel — a wrong decision at any stage moves a funnel cell.
+    QueryDef("q237_build_funnel",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val merges = trainedMerges(s, dir)
+        val raw = Bpe.tokenCounts(docs, "doc_id", "text", merges)
+          .agg(count(lit(1)).as("n"),
+            sum("bpe_tokens").as("bpe_tokens"))
+          .select(lit("a_raw").as("stage"), col("n"), col("bpe_tokens"))
+        val cleaned = graft.CacheScope.persist(
+          Dedup.removeDupChunks(docs, "doc_id", "text", m = 8,
+              maxOccurrences = 1, keepOne = true)
+            .filter(col("kept_tokens") > 0)
+            .select(col("doc_id"), col("clean_text")))
+        val counts = graft.CacheScope.persist(
+          Bpe.tokenCounts(cleaned, "doc_id", "clean_text", merges)
+            .filter(col("ws_tokens") > 0)
+            .join(docs.select("doc_id", "source", "lang"),
+              Seq("doc_id")))
+        val dd = counts
+          .agg(count(lit(1)).as("n"), sum("bpe_tokens").as("bpe_tokens"))
+          .select(lit("b_deduped").as("stage"), col("n"),
+            col("bpe_tokens"))
+        val mixed = graft.CacheScope.persist(
+          Sampling.balanceStrataBy(counts, "source", "doc_id",
+            "bpe_tokens", "build-v1"))
+        val mx = mixed
+          .agg(count(lit(1)).as("n"), sum("bpe_tokens").as("bpe_tokens"))
+          .select(lit("c_mixed").as("stage"), col("n"),
+            col("bpe_tokens"))
+        val nSegs = math.max(4L, mixed.count() / 1250L).toInt
+        val pk = Curation.packBestFit(mixed, "lang", "doc_id",
+            "bpe_tokens", 2048L, numSegs = nSegs, salt = "packbuild")
+          .agg(countDistinct(col("lang"), col("seg"), col("bin"))
+              .as("n"),
+            sum("bpe_tokens").as("bpe_tokens"))
+          .select(lit("d_packed_contexts").as("stage"), col("n"),
+            col("bpe_tokens"))
+        raw.unionByName(dd).unionByName(mx).unionByName(pk)
+          .orderBy("stage")
+      },
+      Some(funnelOracle(NumMerges))))
 }

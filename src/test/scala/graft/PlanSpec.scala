@@ -247,6 +247,23 @@ class PlanSpec extends SparkSpec {
         s"doc-length leg):\n${p.take(2000)}")
   }
 
+  test("q236: the percentile cutoff joins back via broadcast — the " +
+    "corpus meets only a map filter, never a rank window") {
+    val p = plan("q236_quality_percentile_gate")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    // the only windows are the cumulative scans over the
+    // granularity-bounded (lang, score) histogram — every Window in
+    // the plan sits above a hash aggregate, not the raw token stream
+    val lines = p.linesIterator.toSeq
+    lines.zipWithIndex.foreach { case (l, i) =>
+      if (l.stripLeading.startsWith("Window")) {
+        val below = lines.slice(i + 1, i + 8).mkString("\n")
+        assert(below.contains("HashAggregate"),
+          s"window not over an aggregate:\n$l\n$below")
+      }
+    }
+  }
+
   test("no registered query funnels the corpus through a " +
     "single-partition window") {
     for ((name, _) <- SparkEntry.defs) {

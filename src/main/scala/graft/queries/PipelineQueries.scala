@@ -3671,6 +3671,67 @@ object PipelineQueries {
             ELSE 0.0 END, 6) AS removal_rate
         FROM src GROUP BY source ORDER BY source""")),
 
+    // ---- X13/X3 EMBEDDING DRIFT MONITOR — q233's dense sibling: did
+    // a refresh wave move a label's region of embedding space? Two
+    // snapshot slices (even/odd vec_id, standing in for crawl waves),
+    // per-label mean vectors, and the cosine between them (1.0 = no
+    // directional drift; an encoder swap or a content shift shows up
+    // as a falling centroid cosine long before downstream eval does).
+    // Scale shape: one dim-explode aggregate per slice (map-side
+    // partial avg over (label, slice, dim) — 64 rows per label per
+    // slice out), centroid frames are |labels|-sized, the cosine is
+    // the native bit-identical expression. The oracle replays the
+    // same means and cosine relationally.
+    QueryDef("q239_embedding_drift",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val dims = emb.select(col("label"),
+          (col("vec_id") % 2 === 0).as("_even"),
+          posexplode(Vectors.toDouble(col("embedding")))
+            .as(Seq("pos", "x")))
+        val cent = dims.groupBy("label", "_even", "pos")
+          .agg(avg(col("x")).as("m"))
+          .groupBy("label", "_even")
+          .agg(transform(
+            array_sort(collect_list(struct(col("pos"), col("m")))),
+            e => e.getField("m")).as("cv"))
+        val a = cent.filter(col("_even"))
+          .select(col("label"), col("cv").as("_cva"))
+        val b = cent.filter(!col("_even"))
+          .select(col("label"), col("cv").as("_cvb"))
+        val n = emb.groupBy("label")
+          .agg(sum(when(col("vec_id") % 2 === 0, 1L).otherwise(0L))
+              .as("n_even"),
+            sum(when(col("vec_id") % 2 =!= 0, 1L).otherwise(0L))
+              .as("n_odd"))
+        a.join(b, Seq("label")).join(n, Seq("label"))
+          .select(col("label"), col("n_even"), col("n_odd"),
+            round(Vectors.cosine(col("_cva"), col("_cvb")), 6)
+              .as("centroid_cosine"))
+          .orderBy("label")
+      },
+      Some("""WITH e AS (SELECT vec_id, label,
+            CAST(embedding AS DOUBLE[]) AS v, vec_id % 2 = 0 AS ev
+          FROM embeddings),
+        cent AS (SELECT label, ev, list(m ORDER BY pos) AS cv FROM (
+            SELECT label, ev, r.i AS pos, avg(v[r.i]) AS m
+            FROM e CROSS JOIN range(1, 65) r(i)
+            GROUP BY label, ev, r.i)
+          GROUP BY label, ev),
+        n AS (SELECT label,
+            sum(CASE WHEN ev THEN 1 ELSE 0 END) AS n_even,
+            sum(CASE WHEN NOT ev THEN 1 ELSE 0 END) AS n_odd
+          FROM e GROUP BY label)
+        SELECT a.label, CAST(n.n_even AS BIGINT) AS n_even,
+          CAST(n.n_odd AS BIGINT) AS n_odd,
+          round(list_dot_product(a.cv, b.cv)
+            / (sqrt(list_dot_product(a.cv, a.cv))
+               * sqrt(list_dot_product(b.cv, b.cv))), 6)
+            AS centroid_cosine
+        FROM cent a JOIN cent b ON a.label = b.label AND a.ev AND NOT b.ev
+        JOIN n ON n.label = a.label
+        ORDER BY a.label""")),
+
     // ---- X13 PERCENTILE QUALITY GATE: keep the top 30% of each
     // language by the q190 NB quality score — the GPT-3/FineWeb-style
     // classifier-percentile selection (the cut is a per-language

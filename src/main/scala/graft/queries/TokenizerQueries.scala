@@ -250,6 +250,32 @@ object TokenizerQueries {
       < CAST(mwv.min_w AS DOUBLE) / CAST(cw.w AS DOUBLE)
     GROUP BY u.domain ORDER BY u.domain"""
 
+  /** q238's oracle: replay counts → per-source token mass → sqrt-
+    * temperature target weights (9-dp rounded BEFORE the floor/frac
+    * split — Σ√w is a floating sum whose association order an engine
+    * chooses freely; the rounding pins the repetition boundary) → the
+    * q210 floor+hash fractional-copy rule → per-source rollup. */
+  private def upsampleOracle(m: Int): String =
+    s"""WITH ${countsChain(m)},
+    src AS (SELECT per.doc_id, d.source, per.bp
+      FROM per JOIN documents d USING (doc_id)),
+    w AS (SELECT source, sum(bp) AS w FROM src GROUP BY source),
+    z AS (SELECT sum(sqrt(w)) AS z, sum(w) AS t FROM w),
+    wt AS (SELECT source, round(t * (sqrt(w) / z) / w, 9) AS tw
+      FROM w, z),
+    cp AS (SELECT s.doc_id, s.source, s.bp, wt.tw,
+        CAST(floor(wt.tw) AS BIGINT) + CASE WHEN
+          CAST(('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)
+            || '|upsample-v1'), 1, 8)) AS UBIGINT) / 4294967296.0
+          < wt.tw - floor(wt.tw) THEN 1 ELSE 0 END AS copies
+      FROM src s JOIN wt USING (source))
+    SELECT source,
+      count(DISTINCT CASE WHEN copies > 0 THEN doc_id END) AS docs_kept,
+      CAST(sum(copies) AS BIGINT) AS copies,
+      CAST(sum(bp * copies) AS BIGINT) AS tokens_out,
+      max(tw) AS target_weight
+    FROM cp GROUP BY source ORDER BY source"""
+
   /** q228's oracle: two independently trained chains — v1 (16 merges,
     * even slice) replayed for phases 1 AND 2 (the swap has not
     * happened), v2 (8 merges, odd slice) for phase 3 — the q188
@@ -937,5 +963,45 @@ object TokenizerQueries {
         raw.unionByName(dd).unionByName(mx).unionByName(pk)
           .orderBy("stage")
       },
-      Some(funnelOracle(NumMerges))))
+      Some(funnelOracle(NumMerges))),
+
+    // ---- X7 TOKEN-BUDGET UPSAMPLING — the half of data mixing every
+    // downsampler misses: real recipes REPEAT scarce high-value
+    // sources (>1 epoch) while trimming abundant ones, redistributing
+    // a fixed token budget to a temperature profile. Here the budget
+    // is the corpus's own token mass T = Σ w_s, redistributed to
+    // sqrt-temperature shares: target_weight_s = T·(√w_s/Σ√w)/w_s —
+    // >1 on scarce sources (upsample), <1 on abundant ones. Weights
+    // are 9-dp rounded (pins the floating Σ√w across engines), the
+    // per-doc realization is q210's deterministic floor + hash
+    // fractional copy (E[copies] = weight, bit-reproducible), and the
+    // report shows per source: docs represented, copies emitted, token
+    // mass after repetition, and the weight applied. Map-only explode
+    // + broadcast stats — no new shuffle beyond the counts chain.
+    QueryDef("q238_token_budget_upsample",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val counts = Bpe.tokenCounts(docs, "doc_id", "text",
+            trainedMerges(s, dir))
+          .filter(col("ws_tokens") > 0)
+          .join(docs.select("doc_id", "source"), Seq("doc_id"))
+        val w = counts.groupBy("source")
+          .agg(sum("bpe_tokens").as("_w"))
+        val z = w.agg(sum(sqrt(col("_w"))).as("_z"),
+          sum(col("_w")).as("_t"))
+        val weights = w.crossJoin(broadcast(z))
+          .select(col("source"),
+            round(col("_t") * (sqrt(col("_w")) / col("_z")) /
+              col("_w"), 9).as("target_weight"))
+        Sampling.repeatWeighted(
+            counts.join(broadcast(weights), Seq("source")),
+            "doc_id", "target_weight", "upsample-v1")
+          .groupBy("source")
+          .agg(countDistinct(col("doc_id")).as("docs_kept"),
+            count(lit(1)).as("copies"),
+            sum("bpe_tokens").as("tokens_out"),
+            max("target_weight").as("target_weight"))
+          .orderBy("source")
+      },
+      Some(upsampleOracle(NumMerges))))
 }

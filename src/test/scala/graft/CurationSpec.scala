@@ -428,6 +428,41 @@ class CurationSpec extends SparkSpec {
     assert(again == kept)
   }
 
+  test("qualityPercentileGate invariants over seeded random frames: " +
+    "kept >= ceil(frac*n) per stratum, min kept >= max dropped, " +
+    "PSI of random snapshot pairs >= 0") {
+    val rnd = new scala.util.Random(20260816L)
+    for (trial <- 1 to 6) {
+      val frac = Seq(0.1, 0.3, 0.5, 0.8)(trial % 4)
+      val rows = (1 to (20 + rnd.nextInt(60))).map { i =>
+        (s"s${rnd.nextInt(3)}", i.toLong,
+          math.rint(rnd.nextGaussian() * 1e4) / 1e4) // 4-dp scores
+      }
+      val df = rows.toDF("lang", "doc_id", "qscore")
+      val kept = Curation.qualityPercentileGate(df, "lang", "qscore",
+        frac).collect().map(r => (r.getString(0), r.getLong(1)))
+      val keptIds = kept.map(_._2).toSet
+      rows.groupBy(_._1).foreach { case (s, g) =>
+        val k = math.ceil(g.size * frac).toLong
+        val keptScores = g.filter(r => keptIds(r._2)).map(_._3)
+        val dropped = g.filterNot(r => keptIds(r._2)).map(_._3)
+        assert(keptScores.size >= k,
+          s"trial $trial stratum $s kept ${keptScores.size} < $k")
+        if (dropped.nonEmpty)
+          assert(keptScores.min >= dropped.max,
+            s"trial $trial stratum $s kept a worse score than it dropped")
+      }
+      // PSI non-negativity: each term (q-p)ln(q/p) has matching signs
+      val v1 = rows.map(r => (r._1, rnd.nextInt(1000).toLong))
+        .toDF("source", "n_chars")
+      val v2 = rows.map(r => (r._1, rnd.nextInt(1000).toLong))
+        .toDF("source", "n_chars")
+      Curation.distributionDrift(v1, v2, "source", "n_chars", 100L, 8)
+        .collect().foreach(r =>
+          assert(r.getDouble(3) >= 0.0, s"trial $trial negative PSI"))
+    }
+  }
+
   test("distributionDrift: identical snapshots score PSI exactly 0; " +
     "the tie-break lands on the lowest bucket") {
     val v = Seq(("a", 10L), ("a", 150L), ("a", 310L), ("b", 50L))

@@ -358,6 +358,22 @@ object TokenizerQueries {
         / (count(DISTINCT (seg, bin)) * 2048), 6) AS fill_rate
     FROM pack WHERE rn > 0 GROUP BY lang ORDER BY lang"""
 
+  /** q240's oracle: the q223 packing chain joined back to document
+    * text, each bin assembled in doc-id order and pinned by md5 —
+    * both engines hash the identical byte sequence (newline-joined
+    * raw text), so a green hash proves bin membership AND assembly
+    * order, not just counts. */
+  private def exportOracle(m: Int): String =
+    s"""WITH RECURSIVE ${packChainSql(m)}
+    SELECT p.lang, p.seg, p.bin,
+      count(*) AS n_docs,
+      CAST(sum(p.units) AS BIGINT) AS bpe_tokens,
+      md5(string_agg(d.text, chr(10) ORDER BY p.doc_id)) AS context_md5
+    FROM pack p JOIN documents d USING (doc_id)
+    WHERE p.rn > 0
+    GROUP BY p.lang, p.seg, p.bin
+    ORDER BY p.lang, p.seg, p.bin"""
+
   /** q227's oracle: the END-TO-END token-budgeted build — keep-one
     * span dedup (q220's chain, emitting the full cleaned text) →
     * subword accounting under the raw-slice-trained merges (the
@@ -1003,5 +1019,41 @@ object TokenizerQueries {
             max("target_weight").as("target_weight"))
           .orderBy("source")
       },
-      Some(upsampleOracle(NumMerges))))
+      Some(upsampleOracle(NumMerges))),
+
+    // ---- X10 CONTEXT EXPORT — the last meter of the pipeline: turn
+    // the q223 packing ASSIGNMENT into the training contexts
+    // themselves. Each (lang, seg, bin) assembles its documents in
+    // doc-id order into one newline-joined context; the output row
+    // carries the bin's doc count, subword token mass, and the md5 of
+    // the assembled bytes — the digest an export manifest records so a
+    // shard can be re-materialized and checked anywhere. Same chain,
+    // salt and segment contract as q223/q234 (this exports the exact
+    // packing they prove and audit); the q227 composition exports
+    // clean_text through the identical shape. Scale: the packing
+    // assignment joins text back postings-style (doc_id equi-join),
+    // each context is assembled once, map-side after one shuffle on
+    // the bin key; nothing corpus-sized leaves the executors (the
+    // digest, not the context, comes back).
+    QueryDef("q240_context_export",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val units = graft.CacheScope.persist(
+          Bpe.tokenCounts(docs, "doc_id", "text", trainedMerges(s, dir))
+            .filter(col("ws_tokens") > 0)
+            .join(docs.select("doc_id", "lang"), Seq("doc_id")))
+        val nSegs = math.max(4L, units.count() / 1250L).toInt
+        Curation.packBestFit(units, "lang", "doc_id", "bpe_tokens",
+            2048L, numSegs = nSegs, salt = "packbpe")
+          .join(docs.select("doc_id", "text"), Seq("doc_id"))
+          .groupBy("lang", "seg", "bin")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("bpe_tokens").as("bpe_tokens"),
+            md5(array_join(transform(
+              array_sort(collect_list(struct(col("doc_id"),
+                col("text")))),
+              e => e.getField("text")), "\n")).as("context_md5"))
+          .orderBy("lang", "seg", "bin")
+      },
+      Some(exportOracle(NumMerges))))
 }

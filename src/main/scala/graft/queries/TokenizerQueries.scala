@@ -1055,5 +1055,54 @@ object TokenizerQueries {
               e => e.getField("text")), "\n")).as("context_md5"))
           .orderBy("lang", "seg", "bin")
       },
-      Some(exportOracle(NumMerges))))
+      Some(exportOracle(NumMerges))),
+
+    // ---- X7 TOKEN-MASS MIXTURE PLAN — the review table the q226
+    // balance applies, surfaced BEFORE it samples (the q186 shape,
+    // re-denominated in subword tokens): per source, its token mass,
+    // corpus share, the balance keep-rate min_w/w, and the expected
+    // docs/tokens after sampling. Rates round to 9 dp (the registry's
+    // cross-engine float convention) and the expectation columns
+    // multiply the ROUNDED rate, so both engines print identical
+    // plans. One counts pass + a |sources|-row aggregate; the plan a
+    // data-mixing run is signed off on costs nothing beyond the
+    // accounting it already owns.
+    QueryDef("q241_token_mixture_plan",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val counts = Bpe.tokenCounts(docs, "doc_id", "text",
+            trainedMerges(s, dir))
+          .filter(col("ws_tokens") > 0)
+          .join(docs.select("doc_id", "source"), Seq("doc_id"))
+        val w = counts.groupBy("source")
+          .agg(count(lit(1)).as("docs"), sum("bpe_tokens").as("_w"))
+        val tot = w.agg(min(col("_w")).as("_min"),
+          sum(col("_w")).as("_tot"))
+        w.crossJoin(broadcast(tot))
+          .select(col("source"), col("docs"),
+            col("_w").as("bpe_tokens"),
+            round(col("_w").cast("double") / col("_tot"), 9)
+              .as("share"),
+            round(col("_min").cast("double") / col("_w"), 9)
+              .as("keep_rate"),
+            round(round(col("_min").cast("double") / col("_w"), 9) *
+              col("docs"), 3).as("expected_docs"),
+            round(round(col("_min").cast("double") / col("_w"), 9) *
+              col("_w"), 3).as("expected_tokens"))
+          .orderBy("source")
+      },
+      Some(s"""WITH ${countsChain(NumMerges)},
+    src AS (SELECT per.doc_id, d.source, per.bp
+      FROM per JOIN documents d USING (doc_id)),
+    w AS (SELECT source, count(*) AS docs, sum(bp) AS w
+      FROM src GROUP BY source),
+    tot AS (SELECT min(w) AS mn, sum(w) AS tt FROM w)
+    SELECT source, docs, CAST(w AS BIGINT) AS bpe_tokens,
+      round(CAST(w AS DOUBLE) / tt, 9) AS share,
+      round(CAST(mn AS DOUBLE) / w, 9) AS keep_rate,
+      round(round(CAST(mn AS DOUBLE) / w, 9) * docs, 3)
+        AS expected_docs,
+      round(round(CAST(mn AS DOUBLE) / w, 9) * w, 3)
+        AS expected_tokens
+    FROM w, tot ORDER BY source""")))
 }

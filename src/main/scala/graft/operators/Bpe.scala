@@ -245,6 +245,60 @@ object Bpe {
           col("word_occurrences"), 6).as("whole_word_rate"))
   }
 
+  /** DECODE: the inverse of [[encode]] over a PIECE STREAM — the half
+    * a deployable tokenizer artifact must ship with (training contexts
+    * are stored as token streams; evaluation, inspection and serving
+    * all read text back out). Pieces concatenate byte-for-byte and
+    * every word's final piece carries [[EndOfWord]], so the inverse is
+    * exact: join the pieces, rewrite each marker to a single space,
+    * trim the trailing one. The round-trip invariant (BpeSpec pins it
+    * on the Sennrich corpus; q242 oracle-replays it corpus-wide):
+    *
+    *   decodePieces(encode(w₁..wₙ pieces in order)) ==
+    *     whitespace-normalized input (tokens joined by ONE space)
+    *
+    * — BPE segmentation loses nothing; only the whitespace RUNS the
+    * registry tokenization already collapses are normalized. Map-only
+    * string expression, engine-portable (DuckDB:
+    * `rtrim(replace(string_agg(...), '</w>', ' '))`). */
+  def decodePieces(pieces: Column): Column =
+    rtrim(replace(array_join(pieces, ""), lit(EndOfWord), lit(" ")))
+
+  /** Per-document decode round-trip audit: encode each doc's token
+    * stream under `merges` (distinct-word encode + postings join — the
+    * [[tokenCounts]] scale shape), decode the assembled piece stream
+    * back, and compare against the whitespace-normalized text. Returns
+    * (idCol, bpe_tokens, decoded, normalized) row-aligned with the
+    * input (NULL/empty text → empty strings, 0 tokens). The per-doc
+    * piece assembly is one ordered collect_list — bounded by document
+    * length, the reassembleKept class. */
+  def decodeAudit(docs: DataFrame, idCol: String, textCol: String,
+                  merges: Seq[Merge]): DataFrame = {
+    val toks = graft.scaleOut(docs, col(idCol))
+      .select(col(idCol), posexplode(Text.tokens(col(textCol))))
+      .toDF(idCol, "pos", "word")
+      .filter(col("word") =!= "")
+    val pieces = encode(toks.select("word").distinct(), "word", merges)
+    val per = toks.join(pieces, Seq("word"))
+      .groupBy(col(idCol))
+      .agg(sum(size(col("syms")).cast("long")).as("_bp"),
+        collect_list(struct(col("pos"), col("syms"))).as("_ps"))
+      // stage the flattened stream as a real column: the sort/flatten/
+      // join chain stays out of downstream lambda inlining
+      .select(col(idCol), col("_bp"),
+        flatten(transform(array_sort(col("_ps")),
+          x => x.getField("syms"))).as("_stream"))
+      .select(col(idCol), col("_bp"),
+        decodePieces(col("_stream")).as("decoded"))
+    docs.select(col(idCol),
+        coalesce(array_join(filter(Text.tokens(col(textCol)),
+          w => w =!= ""), " "), lit("")).as("normalized"))
+      .join(per, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("_bp"), lit(0L)).as("bpe_tokens"),
+        coalesce(col("decoded"), lit("")).as("decoded"),
+        col("normalized"))
+  }
+
   /** The learned merge table as a frame (merge_rank, left_sym,
     * right_sym, merged) — the registrable/persistable artifact. */
   def mergeTable(spark: org.apache.spark.sql.SparkSession,

@@ -863,6 +863,13 @@ object Curation {
     * numBuckets−1), clamped at 0 — fixed-width buckets with an
     * overflow tail, so the SAME bucket edges apply to both snapshots
     * (quantile edges would re-derive per snapshot and mask drift).
+    * NULL values carry no distribution evidence and are EXCLUDED from
+    * the histograms (n_v1/n_v2 count non-null rows) — without the
+    * explicit filter, floor(NULL/width) is NULL and Spark's
+    * null-skipping least/greatest would silently fold missing data
+    * into the overflow bucket, reading as tail drift in a monitor.
+    * Null-RATE drift is a completeness concern; monitor it with its
+    * own count, not by aliasing nulls into a value bucket.
     * `max_shift_bucket` is the bucket with the largest |q_b − p_b|
     * (ties → lowest bucket): where to look first. Strata are the UNION
     * of both snapshots' — a source present in only one version is
@@ -881,6 +888,7 @@ object Curation {
     require(numBuckets >= 2, s"numBuckets must be >= 2, got $numBuckets")
     val spark = v1.sparkSession
     def hist(df: DataFrame, cnt: String) = df
+      .filter(col(valueCol).isNotNull)
       .select(col(stratumCol),
         greatest(lit(0L), least(floor(col(valueCol).cast("double") /
           lit(bucketWidth.toDouble)), lit((numBuckets - 1).toLong)))

@@ -58,7 +58,7 @@ object LakeQueries {
     // ---- S2/K2: CSV write → sniffed read → aggregate --------------------
     QueryDef("q31_csv_roundtrip",
       (s, dir) => {
-        val root = Files.createTempDirectory("graft_csv").toString
+        val root = graft.TempRoots.create("graft_csv")
         val nation = Tables.load(s, dir, "nation")
         Lake.writeZone(nation, root, Lake.Processed, "nation", "csv")
         Lake.read(s, Lake.zonePath(root, Lake.Processed, "nation"), "csv")
@@ -73,7 +73,7 @@ object LakeQueries {
     // ---- S3/K3: JSON write → schema'd read → aggregate -------------------
     QueryDef("q32_json_roundtrip",
       (s, dir) => {
-        val root = Files.createTempDirectory("graft_json").toString
+        val root = graft.TempRoots.create("graft_json")
         val orders = Tables.load(s, dir, "orders")
           .filter(col("o_orderkey") < 1000)
         Lake.writeZone(orders, root, Lake.Raw, "orders", "json")
@@ -95,7 +95,7 @@ object LakeQueries {
     // ---- S1: extension sniffing over a mixed-format raw zone ---------------
     QueryDef("q33_format_sniff",
       (s, dir) => {
-        val root = Files.createTempDirectory("graft_sniff").toString
+        val root = graft.TempRoots.create("graft_sniff")
         // coalesce(1): the sniffer below reads a single part file, so the
         // whole table must land in one file per format.
         val nation = Tables.load(s, dir, "nation").coalesce(1)
@@ -125,7 +125,7 @@ object LakeQueries {
     // ---- S2/K2 ORC: columnar-alternative roundtrip ----------------------
     QueryDef("q85_orc_roundtrip",
       (s, dir) => {
-        val root = Files.createTempDirectory("graft_orc").toString
+        val root = graft.TempRoots.create("graft_orc")
         val supplier = Tables.load(s, dir, "supplier")
         Lake.writeZone(supplier, root, Lake.Processed, "supplier", "orc")
         Lake.read(s, Lake.zonePath(root, Lake.Processed, "supplier"), "orc")
@@ -143,7 +143,7 @@ object LakeQueries {
     // ---- S3 robustness: corrupt-line quarantine on NDJSON ingest --------
     QueryDef("q88_json_quarantine",
       (s, dir) => {
-        val root = Files.createTempDirectory("graft_quar").toString
+        val root = graft.TempRoots.create("graft_quar")
         val nation = Tables.load(s, dir, "nation")
           .select("n_nationkey", "n_name")
         // render NDJSON, deterministically mangling every 5th record
@@ -254,7 +254,7 @@ object LakeQueries {
     // oracle can't know the temp dir) and must come back true.
     QueryDef("q73_api_ingest",
       (s, dir) => {
-        val root = Files.createTempDirectory("graft_api").toString
+        val root = graft.TempRoots.create("graft_api")
         val at = java.sql.Timestamp.valueOf("2024-03-01 12:00:00")
         Ingest.run(s, Fixtures.apiPayloads(s, 200L), root,
           s"$root/meta", at)
@@ -434,7 +434,7 @@ object LakeQueries {
     // ---- S5/P14: raw JSON text fetch + explicit from_json parse -------------------
     QueryDef("q56_json_text_parse",
       (s, dir) => {
-        val root = Files.createTempDirectory("graft_jsontext").toString
+        val root = graft.TempRoots.create("graft_jsontext")
         val docs = Tables.load(s, dir, "documents")
           .select("doc_id", "lang", "n_chars", "text")
         docs.write.mode("overwrite").json(s"$root/docs")
@@ -547,7 +547,7 @@ object LakeQueries {
     // the plain full-scan filter, which is exactly what the oracle runs.
     QueryDef("q99_zonemap_prune",
       (s, dir) => {
-        val root = Files.createTempDirectory("graft_zm").toString + "/li"
+        val root = graft.TempRoots.create("graft_zm") + "/li"
         val li = Tables.load(s, dir, "lineitem")
           .select("l_orderkey", "l_quantity", "l_linenumber")
         graft.sources.Layout.writeZoneMapped(li, root, "l_orderkey", 16)
@@ -571,8 +571,7 @@ object LakeQueries {
     // anti-join+union in SQL over the source table.
     QueryDef("q107_merge_upsert",
       (s, dir) => {
-        val root = Files.createTempDirectory("graft_merge")
-          .toString + "/docs"
+        val root = graft.TempRoots.create("graft_merge") + "/docs"
         val docs = Tables.load(s, dir, "documents")
           .select("doc_id", "lang", "source", "n_chars")
         docs.write.partitionBy("lang").parquet(root)
@@ -616,7 +615,7 @@ object LakeQueries {
     // last-writer-wins choice with a row_number window over the log.
     QueryDef("q108_cdc_replay",
       (s, dir) => {
-        val root = Files.createTempDirectory("graft_cdc").toString
+        val root = graft.TempRoots.create("graft_cdc")
         val metaDir = s"$root/meta"
         val docs = Tables.load(s, dir, "documents")
         def wave(pred: org.apache.spark.sql.Column, version: Int,
@@ -674,8 +673,7 @@ object LakeQueries {
     // cannot give).
     QueryDef("q109_manifest_snapshot",
       (s, dir) => {
-        val root = "file://" + Files
-          .createTempDirectory("graft_manifest").toString + "/t"
+        val root = "file://" + graft.TempRoots.create("graft_manifest") + "/t"
         val docs = Tables.load(s, dir, "documents")
           .select("doc_id", "lang", "source", "n_chars")
         Manifest.init(s, root,
@@ -723,7 +721,7 @@ object LakeQueries {
     // state-evicted — the result is batch-boundary-independent.
     QueryDef("q110_stream_dedup_replay",
       (s, dir) => {
-        val root = Files.createTempDirectory("graft_sdr").toString
+        val root = graft.TempRoots.create("graft_sdr")
         val ev = graft.Tables.eventsWithTime(s, dir)
           .select(col("event_id"), col("event_time"),
             col("event_type"), col("user_id"))
@@ -778,7 +776,7 @@ object LakeQueries {
     // micro-batches, since every commit is additive and atomic.
     QueryDef("q111_stream_manifest_sink",
       (s, dir) => {
-        val root0 = Files.createTempDirectory("graft_sms").toString
+        val root0 = graft.TempRoots.create("graft_sms")
         val table = "file://" + root0 + "/t"
         val ev = graft.Tables.eventsWithTime(s, dir)
           .select(col("event_id"), col("event_time"),
@@ -815,8 +813,7 @@ object LakeQueries {
     // snapshot, history stays readable until vacuum).
     QueryDef("q112_manifest_delete",
       (s, dir) => {
-        val root = "file://" + Files
-          .createTempDirectory("graft_mdel").toString + "/t"
+        val root = "file://" + graft.TempRoots.create("graft_mdel") + "/t"
         val docs = Tables.load(s, dir, "documents")
           .select("doc_id", "lang", "source", "n_chars")
         Manifest.init(s, root, docs, Seq("lang"))
@@ -853,8 +850,7 @@ object LakeQueries {
     // hash. ManifestConnectorSpec asserts the pruning/pushdown plans.
     QueryDef("q115_manifest_connector",
       (s, dir) => {
-        val root = "file://" + Files
-          .createTempDirectory("graft_dsv2").toString + "/t"
+        val root = "file://" + graft.TempRoots.create("graft_dsv2") + "/t"
         val docs = Tables.load(s, dir, "documents")
           .select("doc_id", "lang", "source", "text", "n_chars")
         Manifest.init(s, root,
@@ -892,8 +888,7 @@ object LakeQueries {
     // rows missing from a rewritten partition, flips counts and sums.
     QueryDef("q116_manifest_changes",
       (s, dir) => {
-        val root = "file://" + Files
-          .createTempDirectory("graft_cdf").toString + "/t"
+        val root = "file://" + graft.TempRoots.create("graft_cdf") + "/t"
         val docs = Tables.load(s, dir, "documents")
           .select("doc_id", "lang", "source", "n_chars")
         Manifest.init(s, root,
@@ -950,7 +945,7 @@ object LakeQueries {
         // from scratch each run (DROP + CREATE)
         if (s.conf.getOption("spark.sql.catalog.graftsql.root").isEmpty)
           s.conf.set("spark.sql.catalog.graftsql.root",
-            "file://" + Files.createTempDirectory("graft_sqlcat").toString)
+            "file://" + graft.TempRoots.create("graft_sqlcat"))
         Tables.load(s, dir, "documents")
           .select("doc_id", "lang", "n_chars")
           .createOrReplaceTempView("q118_docs")
@@ -985,8 +980,7 @@ object LakeQueries {
     // compaction all flip the row.
     QueryDef("q119_manifest_compact",
       (s, dir) => {
-        val root = "file://" + Files
-          .createTempDirectory("graft_compact").toString + "/t"
+        val root = "file://" + graft.TempRoots.create("graft_compact") + "/t"
         val docs = Tables.load(s, dir, "documents")
           .select("doc_id", "lang", "n_chars")
         Manifest.init(s, root,
@@ -1020,8 +1014,7 @@ object LakeQueries {
     // missed commit, or an offset off-by-one flips a step's counts.
     QueryDef("q120_manifest_stream_source",
       (s, dir) => {
-        val base = "file://" + Files
-          .createTempDirectory("graft_msrc").toString
+        val base = "file://" + graft.TempRoots.create("graft_msrc")
         val root = s"$base/t"
         val sink = s"$base/sink"
         val ckpt = s"$base/ckpt"
@@ -1078,7 +1071,7 @@ object LakeQueries {
           classOf[graft.sources.connector.ManifestCatalog].getName)
         if (s.conf.getOption("spark.sql.catalog.graftsql.root").isEmpty)
           s.conf.set("spark.sql.catalog.graftsql.root",
-            "file://" + Files.createTempDirectory("graft_sqlcat").toString)
+            "file://" + graft.TempRoots.create("graft_sqlcat"))
         Tables.load(s, dir, "documents")
           .select("doc_id", "lang", "n_chars")
           .createOrReplaceTempView("q122_docs")
@@ -1120,7 +1113,7 @@ object LakeQueries {
           classOf[graft.sources.connector.ManifestCatalog].getName)
         if (s.conf.getOption("spark.sql.catalog.graftsql.root").isEmpty)
           s.conf.set("spark.sql.catalog.graftsql.root",
-            "file://" + Files.createTempDirectory("graft_sqlcat").toString)
+            "file://" + graft.TempRoots.create("graft_sqlcat"))
         Tables.load(s, dir, "documents")
           .select("doc_id", "lang", "n_chars")
           .createOrReplaceTempView("q123_docs")
@@ -1181,8 +1174,7 @@ object LakeQueries {
     // flips counts or sums.
     QueryDef("q124_stream_native_pipeline",
       (s, dir) => {
-        val base = "file://" + Files
-          .createTempDirectory("graft_npipe").toString
+        val base = "file://" + graft.TempRoots.create("graft_npipe")
         val bronze = s"$base/bronze"
         val silver = s"$base/silver"
         val ckpt = s"$base/ckpt"
@@ -1233,7 +1225,7 @@ object LakeQueries {
           classOf[graft.sources.connector.ManifestCatalog].getName)
         if (s.conf.getOption("spark.sql.catalog.graftsql.root").isEmpty)
           s.conf.set("spark.sql.catalog.graftsql.root",
-            "file://" + Files.createTempDirectory("graft_sqlcat").toString)
+            "file://" + graft.TempRoots.create("graft_sqlcat"))
         Tables.load(s, dir, "documents")
           .select("doc_id", "lang", "n_chars")
           .createOrReplaceTempView("q125_docs")
@@ -1276,7 +1268,7 @@ object LakeQueries {
           classOf[graft.sources.connector.ManifestCatalog].getName)
         if (s.conf.getOption("spark.sql.catalog.graftsql.root").isEmpty)
           s.conf.set("spark.sql.catalog.graftsql.root",
-            "file://" + Files.createTempDirectory("graft_sqlcat").toString)
+            "file://" + graft.TempRoots.create("graft_sqlcat"))
         Tables.load(s, dir, "documents")
           .select("doc_id", "lang", "n_chars")
           .createOrReplaceTempView("q126_docs")
@@ -1320,8 +1312,7 @@ object LakeQueries {
     // all flip the per-lang aggregates.
     QueryDef("q127_mor_delete",
       (s, dir) => {
-        val root = "file://" + Files
-          .createTempDirectory("graft_mor").toString + "/t"
+        val root = "file://" + graft.TempRoots.create("graft_mor") + "/t"
         val docs = Tables.load(s, dir, "documents")
           .select("doc_id", "lang", "n_chars")
         Manifest.init(s, root, docs, Seq("lang"))
@@ -1362,7 +1353,7 @@ object LakeQueries {
           classOf[graft.sources.connector.ManifestCatalog].getName)
         if (s.conf.getOption("spark.sql.catalog.graftsql.root").isEmpty)
           s.conf.set("spark.sql.catalog.graftsql.root",
-            "file://" + Files.createTempDirectory("graft_sqlcat").toString)
+            "file://" + graft.TempRoots.create("graft_sqlcat"))
         Tables.load(s, dir, "documents")
           .select("doc_id", "lang", "n_chars")
           .createOrReplaceTempView("q128_docs")
@@ -1406,7 +1397,7 @@ object LakeQueries {
           classOf[graft.sources.connector.ManifestCatalog].getName)
         if (s.conf.getOption("spark.sql.catalog.graftsql.root").isEmpty)
           s.conf.set("spark.sql.catalog.graftsql.root",
-            "file://" + Files.createTempDirectory("graft_sqlcat").toString)
+            "file://" + graft.TempRoots.create("graft_sqlcat"))
         Tables.load(s, dir, "documents")
           .select("doc_id", "lang", "n_chars")
           .createOrReplaceTempView("q129_docs")
@@ -1448,7 +1439,7 @@ object LakeQueries {
           classOf[graft.sources.connector.ManifestCatalog].getName)
         if (s.conf.getOption("spark.sql.catalog.graftsql.root").isEmpty)
           s.conf.set("spark.sql.catalog.graftsql.root",
-            "file://" + Files.createTempDirectory("graft_sqlcat").toString)
+            "file://" + graft.TempRoots.create("graft_sqlcat"))
         Tables.events(s, dir)
           .select("event_id", "user_id", "event_type", "value")
           .createOrReplaceTempView("q130_ev")
@@ -1493,7 +1484,7 @@ object LakeQueries {
           classOf[graft.sources.connector.ManifestCatalog].getName)
         if (s.conf.getOption("spark.sql.catalog.graftsql.root").isEmpty)
           s.conf.set("spark.sql.catalog.graftsql.root",
-            "file://" + Files.createTempDirectory("graft_sqlcat").toString)
+            "file://" + graft.TempRoots.create("graft_sqlcat"))
         Tables.load(s, dir, "documents")
           .select("doc_id", "lang", "n_chars")
           .createOrReplaceTempView("q131_docs")
@@ -1539,7 +1530,7 @@ object LakeQueries {
           classOf[graft.sources.connector.ManifestCatalog].getName)
         if (s.conf.getOption("spark.sql.catalog.graftsql.root").isEmpty)
           s.conf.set("spark.sql.catalog.graftsql.root",
-            "file://" + Files.createTempDirectory("graft_sqlcat").toString)
+            "file://" + graft.TempRoots.create("graft_sqlcat"))
         val docs = Tables.load(s, dir, "documents")
           .select("doc_id", "lang", "n_chars")
         docs.createOrReplaceTempView("q132_docs")
@@ -1590,7 +1581,7 @@ object LakeQueries {
           classOf[graft.sources.connector.ManifestCatalog].getName)
         if (s.conf.getOption("spark.sql.catalog.graftsql.root").isEmpty)
           s.conf.set("spark.sql.catalog.graftsql.root",
-            "file://" + Files.createTempDirectory("graft_sqlcat").toString)
+            "file://" + graft.TempRoots.create("graft_sqlcat"))
         Tables.events(s, dir)
           .select("event_id", "user_id", "event_type")
           .createOrReplaceTempView("q133_ev")
@@ -1626,7 +1617,7 @@ object LakeQueries {
           classOf[graft.sources.connector.ManifestCatalog].getName)
         if (s.conf.getOption("spark.sql.catalog.graftsql.root").isEmpty)
           s.conf.set("spark.sql.catalog.graftsql.root",
-            "file://" + Files.createTempDirectory("graft_sqlcat").toString)
+            "file://" + graft.TempRoots.create("graft_sqlcat"))
         Tables.events(s, dir)
           .select("event_id", "user_id", "event_type")
           .createOrReplaceTempView("q134_ev")
@@ -1692,7 +1683,7 @@ object LakeQueries {
           classOf[graft.sources.connector.ManifestCatalog].getName)
         if (s.conf.getOption("spark.sql.catalog.graftsql.root").isEmpty)
           s.conf.set("spark.sql.catalog.graftsql.root",
-            "file://" + Files.createTempDirectory("graft_sqlcat").toString)
+            "file://" + graft.TempRoots.create("graft_sqlcat"))
         Tables.events(s, dir)
           .select("event_id", "user_id", "event_type")
           .createOrReplaceTempView("q135_ev")
@@ -1728,7 +1719,7 @@ object LakeQueries {
           classOf[graft.sources.connector.ManifestCatalog].getName)
         if (s.conf.getOption("spark.sql.catalog.graftsql.root").isEmpty)
           s.conf.set("spark.sql.catalog.graftsql.root",
-            "file://" + Files.createTempDirectory("graft_sqlcat").toString)
+            "file://" + graft.TempRoots.create("graft_sqlcat"))
         Tables.events(s, dir)
           .select("event_id", "event_type", "value")
           .createOrReplaceTempView("q146_ev")
@@ -1762,8 +1753,7 @@ object LakeQueries {
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")
           .select("doc_id", "lang", "n_chars")
-        val root = "file://" + Files.createTempDirectory("graft_cdc")
-          .toString + "/t"
+        val root = "file://" + graft.TempRoots.create("graft_cdc") + "/t"
         Manifest.init(s, root,
           docs.filter(col("doc_id") % 2 === 0), Seq("lang"))   // v1
         Manifest.commitAppend(s, root,
@@ -1796,8 +1786,7 @@ object LakeQueries {
     // commit version.
     QueryDef("q137_cdc_stream",
       (s, dir) => {
-        val base = "file://" + Files
-          .createTempDirectory("graft_cdcs").toString
+        val base = "file://" + graft.TempRoots.create("graft_cdcs")
         val root = s"$base/t"
         val sink = s"$base/sink"
         val ckpt = s"$base/ckpt"
@@ -1857,7 +1846,7 @@ object LakeQueries {
           classOf[graft.sources.connector.ManifestCatalog].getName)
         if (s.conf.getOption("spark.sql.catalog.graftsql.root").isEmpty)
           s.conf.set("spark.sql.catalog.graftsql.root",
-            "file://" + Files.createTempDirectory("graft_sqlcat").toString)
+            "file://" + graft.TempRoots.create("graft_sqlcat"))
         Tables.load(s, dir, "documents")
           .select("doc_id", "lang", "n_chars")
           .createOrReplaceTempView("q138_docs")
@@ -1893,8 +1882,7 @@ object LakeQueries {
     // deterministic under any engine's tie-breaking.
     QueryDef("q139_topn_pushdown",
       (s, dir) => {
-        val root = "file://" + Files
-          .createTempDirectory("graft_topn").toString + "/t"
+        val root = "file://" + graft.TempRoots.create("graft_topn") + "/t"
         val docs = Tables.load(s, dir, "documents")
           .select(col("doc_id"), col("n_chars"))
           .withColumn("rank_key",
@@ -1920,13 +1908,11 @@ object LakeQueries {
     // pruning with zero user hints.
     QueryDef("q140_runtime_filter_join",
       (s, dir) => {
-        val root = "file://" + Files
-          .createTempDirectory("graft_dpp").toString + "/t"
+        val root = "file://" + graft.TempRoots.create("graft_dpp") + "/t"
         val docs = Tables.load(s, dir, "documents")
           .select("doc_id", "lang", "n_chars")
         Manifest.init(s, root, docs, Seq("lang"))
-        val dimPath = Files
-          .createTempDirectory("graft_dpp_dim").toString + "/dim"
+        val dimPath = graft.TempRoots.create("graft_dpp_dim") + "/dim"
         docs.select("lang").distinct().write.parquet(dimPath)
         val dim = s.read.parquet(dimPath).filter(col("lang") < "f")
         s.read.format("graft-manifest").load(root)
@@ -1952,8 +1938,7 @@ object LakeQueries {
     // after the merge (all).
     QueryDef("q141_branch_fork_merge",
       (s, dir) => {
-        val root = "file://" + Files
-          .createTempDirectory("graft_branch").toString + "/t"
+        val root = "file://" + graft.TempRoots.create("graft_branch") + "/t"
         val docs = Tables.load(s, dir, "documents")
           .select("doc_id", "lang", "n_chars")
         Manifest.init(s, root, docs.filter(col("doc_id") % 2 === 0))
@@ -1990,10 +1975,8 @@ object LakeQueries {
     // contents must equal a from-scratch aggregate of the final table.
     QueryDef("q142_materialized_agg",
       (s, dir) => {
-        val src = "file://" + Files
-          .createTempDirectory("graft_mv_src").toString + "/t"
-        val mv = "file://" + Files
-          .createTempDirectory("graft_mv").toString + "/t"
+        val src = "file://" + graft.TempRoots.create("graft_mv_src") + "/t"
+        val mv = "file://" + graft.TempRoots.create("graft_mv") + "/t"
         val docs = Tables.load(s, dir, "documents")
           .select("doc_id", "lang", "n_chars")
         Manifest.init(s, src, docs.filter(col("doc_id") % 2 === 0),
@@ -2033,8 +2016,7 @@ object LakeQueries {
     // oracle proves the pruned read returns exactly the right rows).
     QueryDef("q192_bloom_lookup",
       (s, dir) => {
-        val root = "file://" + Files
-          .createTempDirectory("graft_bloom").toString + "/orders"
+        val root = "file://" + graft.TempRoots.create("graft_bloom") + "/orders"
         val o = Tables.load(s, dir, "orders")
           .select("o_orderkey", "o_custkey", "o_totalprice")
         Manifest.init(s, root,
@@ -2063,8 +2045,7 @@ object LakeQueries {
     // SQL over the documents table.
     QueryDef("q193_clone_snapshot",
       (s, dir) => {
-        val base = "file://" + Files
-          .createTempDirectory("graft_clone").toString
+        val base = "file://" + graft.TempRoots.create("graft_clone")
         val src = s"$base/src"
         val cl = s"$base/clone"
         val docs = Tables.load(s, dir, "documents")
@@ -2110,8 +2091,7 @@ object LakeQueries {
     // recomputes. Integer sums keep the rollup exact.
     QueryDef("q196_materialized_join",
       (s, dir) => {
-        val base = "file://" + Files
-          .createTempDirectory("graft_mvj").toString
+        val base = "file://" + graft.TempRoots.create("graft_mvj")
         val l = s"$base/fact"; val r = s"$base/dim"
         val mv = s"$base/mv"
         val o = Tables.load(s, dir, "orders")
@@ -2159,8 +2139,7 @@ object LakeQueries {
     // retry landed once.
     QueryDef("q201_check_constraints",
       (s, dir) => {
-        val root = "file://" + Files
-          .createTempDirectory("graft_check").toString + "/t"
+        val root = "file://" + graft.TempRoots.create("graft_check") + "/t"
         val docs = Tables.load(s, dir, "documents")
           .select("doc_id", "lang", "n_chars")
         val half1 = docs.filter(col("doc_id") % 2 === 0)
@@ -2197,7 +2176,7 @@ object LakeQueries {
     // full join of everything ingested, which the oracle recomputes.
     QueryDef("q200_stream_join_mv",
       (s, dir) => {
-        val root = Files.createTempDirectory("graft_sjm").toString
+        val root = graft.TempRoots.create("graft_sjm")
         val l = "file://" + root + "/fact"
         val r = "file://" + root + "/dim"
         val mv = "file://" + root + "/mv"
@@ -2256,8 +2235,7 @@ object LakeQueries {
     // proves the split is exact and nothing bad reached the table.
     QueryDef("q204_quarantine_ingest",
       (s, dir) => {
-        val base = "file://" + Files
-          .createTempDirectory("graft_quar").toString
+        val base = "file://" + graft.TempRoots.create("graft_quar")
         val t = s"$base/t"; val q = s"$base/q"
         val docs = Tables.load(s, dir, "documents")
           .select("doc_id", "lang", "n_chars")
@@ -2326,7 +2304,7 @@ object LakeQueries {
     // counts and hash-fails).
     QueryDef("q205_stream_quarantine",
       (s, dir) => {
-        val root = Files.createTempDirectory("graft_squar").toString
+        val root = graft.TempRoots.create("graft_squar")
         val t = "file://" + root + "/t"; val q = "file://" + root + "/q"
         val docs = Tables.load(s, dir, "documents")
           .select("doc_id", "lang", "n_chars")

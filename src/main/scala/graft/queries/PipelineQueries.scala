@@ -3135,30 +3135,52 @@ object PipelineQueries {
         GROUP BY lang ORDER BY lang""")),
 
     // ---- R/X11: q208's streaming curation in its 100 TB deployment
-    // shape — banded admission against COLUMNAR signatures the stream
-    // itself maintains: the curated table carries a `bkeys` band-key
-    // column stamped at admission (map-only native expression), so each
-    // micro-batch reads signatures as a column-pruned projection of the
-    // table it already trusts, generates candidates by band-key join,
-    // fetches corpus TEXT only for candidates, and lands ONE
-    // exactly-once commit (a separate signature table was measured at
-    // 2.5× this cost at sf0.1 — its extra per-batch commits dominate
-    // small waves; columnar signatures make the sf1 crossover free,
-    // SCALING.md). Single-writer, per the admission contract. The
-    // oracle is q208's exact two-wave fixpoint replay, so a green hash
-    // proves the banded deployment reproduces the exact streaming
-    // admission end to end.
+    // shape — banded admission with a BUCKET-PRUNED signature probe:
+    // the curated table still carries the `bkeys` band-key column
+    // stamped at admission (map-only native expression — the columnar
+    // move that beat a naive second signature table 2.5× at sf0.1,
+    // whose probe was nevertheless a full column scan per wave), and
+    // round 17 adds the missing pruning: band keys ALSO land in a
+    // PrefixLedger table partitioned by pmod-bucket, so each wave's
+    // probe reads only the buckets its own keys touch (partition
+    // pruning — wave-sized cost, not corpus-sized; SCALING.md's
+    // round-17 admission experiment measures it). Candidates still
+    // generate by band-key join, corpus TEXT is fetched only for
+    // candidates, and the wave lands exactly-once on BOTH tables under
+    // the same epoch fence. Single-writer, per the admission contract.
+    // The oracle is q208's exact two-wave fixpoint replay, so a green
+    // hash proves the pruned deployment reproduces the exact streaming
+    // admission end to end (equal keys share their bucket — the pruned
+    // probe is a superset of every possible match).
     QueryDef("q218_stream_neardup_banded",
       (s, dir) => {
         val root = graft.TempRoots.create("graft_sndb")
         val tbl = "file://" + root + "/curated"
+        val sled = "file://" + root + "/sigledger"
         val docs = Tables.load(s, dir, "documents")
-        val cut = docs.agg(max("doc_id")).head().getLong(0) / 2
+        val hd = docs.agg(max("doc_id"), count(lit(1))).head()
+        val cut = hd.getLong(0) / 2
+        val nBuckets = graft.sources.PrefixLedger.bucketCount(hd.getLong(1))
         def stamp(d: org.apache.spark.sql.DataFrame) =
           d.withColumn("bkeys", graft.functions.Native
             .minhashBands(col("text"), 3, 64, 16))
-        graft.sources.Manifest.init(s, tbl,
+        // band keys ALSO live in a prefix-bucketed ledger (pmod
+        // buckets sized to the corpus): the per-wave signature probe
+        // reads only the buckets the wave's own keys touch
+        // (PrefixLedger partition pruning) instead of scanning the
+        // corpus-sized bkeys column every wave — same admission
+        // decisions (equal keys share the bucket), per-wave probe
+        // cost tracking wave size
+        def sigRows(d: org.apache.spark.sql.DataFrame) =
+          Dedup.explodeBandKeys(d, "doc_id", "bkeys",
+              Seq("lang", "source"))
+            .withColumn(graft.sources.PrefixLedger.BucketCol,
+              graft.sources.PrefixLedger.keyBucket(col("bkey"), nBuckets))
+        val seed = graft.CacheScope.persist(
           stamp(docs.filter(col("doc_id") % 3 === 0)))
+        graft.sources.Manifest.init(s, tbl, seed)
+        graft.sources.PrefixLedger.init(s, sled, sigRows(seed))
+        graft.CacheScope.releaseAll()
         val schema = docs.schema
         def drain(): Unit =
           graft.streaming.IngestStream
@@ -3171,14 +3193,26 @@ object PipelineQueries {
             .foreachBatch {
               (b: org.apache.spark.sql.DataFrame, id: Long) =>
                 val cur = graft.sources.Manifest.read(s, tbl)
+                // stamp the wave ONCE; probe buckets, the admitted
+                // commit and the ledger append all reuse the cached
+                // frame (three minhash passes folded into one)
+                val sb = graft.CacheScope.persist(stamp(b))
+                val wavePfx = sigRows(sb)
+                  .select(graft.sources.PrefixLedger.BucketCol)
+                  .distinct()
+                val sigs = graft.sources.PrefixLedger
+                  .probe(s, sled, wavePfx).get // seeded before streaming
+                  .select("lang", "source", "doc", "band", "bkey")
                 val admitted = Dedup.incrementalNewNearDupBanded(b,
                   cur, "doc_id", "text",
                   blockCols = Seq("lang", "source"), shingleN = 3,
-                  threshold = 0.4,
-                  corpusSigs = Some(Dedup.explodeBandKeys(cur,
-                    "doc_id", "bkeys", Seq("lang", "source"))))
+                  threshold = 0.4, corpusSigs = Some(sigs))
+                val stampedAdmitted = sb.join(
+                  admitted.select("doc_id"), Seq("doc_id"), "left_semi")
                 graft.sources.Manifest.commitStreamBatch(s, tbl,
-                  stamp(admitted), "ndb", id)
+                  stampedAdmitted, "ndb", id)
+                graft.sources.PrefixLedger.commitWave(s, sled,
+                  sigRows(stampedAdmitted), "ndbS", id)
                 graft.CacheScope.releaseAll()
                 ()
             }

@@ -815,10 +815,11 @@ object TokenizerQueries {
     // ---- THE STREAMING TOKEN-BUDGETED BUILD — q227's four-stage
     // composition promoted to its streaming deployment (the q218
     // pattern): documents arrive in id-ordered waves; each wave admits
-    // through (1) span dedup against the LIVE table's stamped
-    // chunk-digest ledger (Dedup.removeDupChunksVsCorpus — the q218
-    // columnar move applied to CDC digests: the corpus is never
-    // re-tokenized, the wave reads an exploded column), (2) subword
+    // through (1) span dedup against the kept-digest ledger — a
+    // PrefixLedger table partitioned by digest prefix, so the probe
+    // reads ONLY the buckets the wave's own digests touch (round 17:
+    // the probe was previously a full corpus-column scan per wave;
+    // now per-wave admission cost tracks wave size), (2) subword
     // accounting under the PINNED v1 tokenizer artifact loaded from
     // its alias every wave (the q228 lifecycle as a consumer), (3)
     // wave-local token-mass mixture, (4) wave-local BFD packing — and
@@ -835,9 +836,14 @@ object TokenizerQueries {
         import s.implicits._
         val root = graft.TempRoots.create("graft_stbb")
         val tbl = "file://" + root + "/curated"
+        val led = "file://" + root + "/ledger"
         val alias = "file://" + root + "/tokalias"
         val docs = Tables.load(s, dir, "documents")
-        val cut = docs.agg(max("doc_id")).head().getLong(0) / 2
+        val hd = docs.agg(max("doc_id"), count(lit(1))).head()
+        val cut = hd.getLong(0) / 2
+        // ledger buckets sized to the corpus (constant bucket size →
+        // wave-proportional probe cost; see PrefixLedger.bucketCount)
+        val nBuckets = graft.sources.PrefixLedger.bucketCount(hd.getLong(1))
         // the pinned tokenizer artifact: train once, commit, alias
         Manifest.init(s, "file://" + root + "/tok_v1",
           Bpe.mergeTable(s, trainedMerges(s, dir)))
@@ -854,14 +860,29 @@ object TokenizerQueries {
             .foreachBatch {
               (b: org.apache.spark.sql.DataFrame, id: Long) =>
                 val merges = loadMerges(s, alias)
-                val ledger = Manifest.latestVersion(s, tbl) match {
-                  case Some(_) => Manifest.read(s, tbl)
-                    .select(explode(col("chunk_digests")).as("digest"))
-                  case None => Seq.empty[String].toDF("digest")
-                }
+                // PRUNED LEDGER PROBE (PrefixLedger): kept digests live
+                // in their own table partitioned by digest prefix; the
+                // wave's own chunk digests name the only buckets that
+                // can hold a collision, so the probe reads those
+                // buckets' files ONLY — per-wave admission cost tracks
+                // wave size, never the corpus (the pre-round-17 read
+                // exploded the full table's chunk_digests column every
+                // wave). Admission decisions are byte-identical: equal
+                // digests share every prefix, so the pruned read is a
+                // superset of every possible match.
+                val chunks = graft.CacheScope.persist(
+                  Dedup.cdcChunks(b, "doc_id", "text", m = 8))
+                val wavePfx = chunks
+                  .select(graft.sources.PrefixLedger.digestBucket(
+                    col("digest"), nBuckets).as(
+                    graft.sources.PrefixLedger.BucketCol)).distinct()
+                val ledger = graft.sources.PrefixLedger
+                  .probe(s, led, wavePfx)
+                  .map(_.select("digest"))
+                  .getOrElse(Seq.empty[String].toDF("digest"))
                 val cleaned = graft.CacheScope.persist(
                   Dedup.removeDupChunksVsCorpus(b, "doc_id", "text",
-                      m = 8, ledger)
+                      m = 8, ledger, preChunked = Some(chunks))
                     .filter(col("kept_tokens") > 0))
                 // one accounting pass feeds mixture, packing AND the
                 // committed rows (distinct-word encode paid once/wave)
@@ -891,6 +912,16 @@ object TokenizerQueries {
                     "chunk_digests"), Seq("doc_id"))
                   .join(packed, Seq("doc_id"), "left")
                 Manifest.commitStreamBatch(s, tbl, rows, "stbb", id)
+                // the wave's kept digests append to the bucketed
+                // ledger under the SAME epoch fence (a replayed wave
+                // no-ops on both tables)
+                graft.sources.PrefixLedger.commitWave(s, led,
+                  cleaned.select(explode(col("chunk_digests"))
+                      .as("digest"))
+                    .withColumn(graft.sources.PrefixLedger.BucketCol,
+                      graft.sources.PrefixLedger.digestBucket(
+                        col("digest"), nBuckets)),
+                  "stbbL", id)
                 graft.CacheScope.releaseAll()
                 ()
             }

@@ -1,0 +1,117 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Prefix-bucketed ADMISSION LEDGER — the pruned probe for streaming
+  * dedup's per-wave membership checks.
+  *
+  * The problem it closes: a streaming admission (q218's banded
+  * near-dup, q230's span-dedup ledger) must ask, per wave, "which of
+  * this wave's keys has the corpus already admitted?" — and the naive
+  * ledger read scans a CORPUS-sized key column every wave, even when
+  * the wave is a thousandth of the table. Column-pruned, but still
+  * O(corpus) per wave: the class the 100 TB bar names.
+  *
+  * The fix is bucket pruning, the skipping-index idea applied to the
+  * ledger itself: ledger keys live in their own Manifest table
+  * PARTITIONED by a deterministic key prefix (hex-digest prefix for
+  * md5 keys, modulo buckets for integer keys). A wave's keys determine
+  * — before any ledger IO — exactly which buckets can possibly hold a
+  * collision (equal keys share every prefix), so the probe reads ONLY
+  * those buckets' files via ManifestFileIndex partition pruning. Probe
+  * cost is Σ(touched buckets' sizes): with bucket count sized so that
+  * corpus/buckets stays roughly constant (the packBestFit numSegs
+  * rule applied to storage), per-wave admission cost tracks WAVE size,
+  * not corpus size. The bucket-id collect is bounded by the bucket
+  * count (≤ 16^prefixLen), the train-loop argmax class, never
+  * corpus-sized.
+  *
+  * Correctness is containment, not approximation: the pruned read is a
+  * SUPERSET of every ledger key equal to a wave key, so admission
+  * decisions are byte-identical to the full scan (PrefixLedgerSpec
+  * pins probe ≡ full read ∩ relevant buckets; q218/q230 hashes are
+  * unchanged at every SF). Writes ride the same exactly-once
+  * [[Manifest.commitStreamBatch]] epoch fencing as the main table —
+  * a replayed wave no-ops on both.
+  */
+object PrefixLedger {
+
+  /** The partition column every ledger table carries. */
+  val BucketCol = "pfx"
+
+  /** Bucket of a digest key: xxhash64 mod `buckets` — uniform for any
+    * key text, and the bucket COUNT is a free parameter instead of a
+    * power of 16, so callers size it to the corpus. Internal plumbing
+    * (the oracle never sees buckets), so engine portability is not
+    * required of the hash. */
+  def digestBucket(digest: Column, buckets: Int): Column =
+    pmod(xxhash64(digest), lit(buckets.toLong)).cast("int")
+
+  /** Bucket of an integral key: pmod(key, buckets) — non-negative,
+    * uniform for hash-valued keys (band keys, minhash values). */
+  def keyBucket(key: Column, buckets: Int): Column =
+    pmod(key, lit(buckets.toLong)).cast("int")
+
+  /** Bucket-count sizing rule (the packBestFit numSegs discipline
+    * applied to ledger storage): ~`keysPerDoc`·128 keys per bucket, so
+    * bucket SIZE stays roughly constant as the corpus grows and a
+    * wave's probe cost is (touched buckets)·O(1). Floor 16 keeps tiny
+    * corpora from degenerating to one file; cap 4096 bounds the
+    * per-commit file fan-out. */
+  def bucketCount(corpusDocs: Long): Int =
+    math.max(16L, math.min(4096L, corpusDocs / 128L)).toInt
+
+  /** Create the ledger table from a pre-stream seed (an initial corpus
+    * slice). `rows` must already carry [[BucketCol]]. */
+  def init(spark: SparkSession, root: String, rows: DataFrame): Long = {
+    require(rows.columns.contains(BucketCol),
+      s"ledger rows must carry a '$BucketCol' column")
+    val prev = spark.conf.getOption("spark.graft.manifest.write.clustered")
+    spark.conf.set("spark.graft.manifest.write.clustered", "true")
+    try Manifest.init(spark, root, rows,
+      partitionCols = Seq(BucketCol))
+    finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.graft.manifest.write.clustered", v)
+      case None =>
+        spark.conf.unset("spark.graft.manifest.write.clustered")
+    }
+  }
+
+  /** Exactly-once append of a wave's keys. `rows` must already carry
+    * [[BucketCol]]; the commit clusters on it so each touched bucket
+    * lands in O(1) files per wave (compaction folds waves together
+    * later, like any other manifest table). */
+  def commitWave(spark: SparkSession, root: String, rows: DataFrame,
+                 queryId: String, batchId: Long): Long = {
+    require(rows.columns.contains(BucketCol),
+      s"ledger rows must carry a '$BucketCol' column")
+    val prev = spark.conf.getOption("spark.graft.manifest.write.clustered")
+    spark.conf.set("spark.graft.manifest.write.clustered", "true")
+    try Manifest.commitStreamBatch(spark, root, rows, queryId, batchId,
+      partitionCols = Seq(BucketCol))
+    finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.graft.manifest.write.clustered", v)
+      case None =>
+        spark.conf.unset("spark.graft.manifest.write.clustered")
+    }
+  }
+
+  /** Bucket-pruned probe: the ledger rows whose bucket appears in
+    * `waveBuckets` (a one-column frame of [[BucketCol]] values — pass
+    * the WAVE's distinct buckets). Returns None when the ledger does
+    * not exist yet (first wave). The isin filter is a partition
+    * filter, so unprobed buckets' files never enter the plan. */
+  def probe(spark: SparkSession, root: String,
+            waveBuckets: DataFrame): Option[DataFrame] =
+    Manifest.latestVersion(spark, root).map { _ =>
+      // bounded collect: ≤ bucket-count rows by construction
+      val buckets = waveBuckets.select(col(BucketCol)).distinct()
+        .collect().map(_.get(0)).toSeq
+      val t = Manifest.read(spark, root)
+      if (buckets.isEmpty) t.filter(lit(false))
+      else t.filter(col(BucketCol).isin(buckets: _*))
+    }
+}

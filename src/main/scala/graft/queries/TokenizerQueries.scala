@@ -207,9 +207,11 @@ object TokenizerQueries {
     * counts chain denominates them in BPE tokens, and the q226
     * balance rule (keep-rate min_w/w over token mass, portable-hash
     * per-row decision) levels them. */
-  private def domainMixtureOracle(m: Int): String =
-    s"""WITH ${countsChain(m)},
-    emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  /** The q96 spherical-k-means trajectory (k = 4, one Lloyd round) as
+    * SQL CTEs ending at `a1` (vec_id, cid) — shared by q232's
+    * balance-rule mixture and q248's target-share mixture. */
+  private val kmeansDomainsSql: String =
+    """emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
       FROM embeddings),
     hashed AS (SELECT vec_id, v,
         CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)
@@ -237,7 +239,11 @@ object TokenizerQueries {
           list_dot_product(emb.v, c.cv)
             / (sqrt(list_dot_product(emb.v, emb.v))
                * sqrt(list_dot_product(c.cv, c.cv))) AS cos
-        FROM emb CROSS JOIN c1 c)) WHERE rn = 1),
+        FROM emb CROSS JOIN c1 c)) WHERE rn = 1)"""
+
+  private def domainMixtureOracle(m: Int): String =
+    s"""WITH ${countsChain(m)},
+    $kmeansDomainsSql,
     u AS (SELECT per.doc_id, a1.cid AS domain, per.bp
       FROM per JOIN a1 ON a1.vec_id = per.doc_id),
     cw AS (SELECT domain, sum(bp) AS w FROM u GROUP BY domain),
@@ -276,6 +282,79 @@ object TokenizerQueries {
       CAST(sum(bp * copies) AS BIGINT) AS tokens_out,
       max(tw) AS target_weight
     FROM cp GROUP BY source ORDER BY source"""
+
+  /** q247's oracle: replay counts → per-lang token mass → target-share
+    * weights T·t_s/w_s (9-dp rounded, clamped to [0,100] — the
+    * mixToShares arithmetic) → the q210 floor+hash copy realization →
+    * the rollup FROM the weight frame (zero-copy strata keep their
+    * row). */
+  private def shareMixOracle(m: Int): String =
+    s"""WITH ${countsChain(m)},
+    src AS (SELECT per.doc_id, d.lang, per.bp
+      FROM per JOIN documents d USING (doc_id)),
+    tgt AS (SELECT * FROM (VALUES ('en', 0.4), ('de', 0.15),
+        ('es', 0.15), ('fr', 0.15), ('zh', 0.15)) t(lang, ts)),
+    w AS (SELECT lang, sum(bp) AS w FROM src GROUP BY lang),
+    tot AS (SELECT sum(w) AS t FROM w),
+    wt AS (SELECT lang, CAST(ts AS DOUBLE) AS ts,
+        greatest(0.0, least(round(CAST(t AS DOUBLE) * CAST(ts AS DOUBLE)
+          / CAST(w AS DOUBLE), 9), 100.0)) AS tw
+      FROM w JOIN tgt USING (lang) CROSS JOIN tot),
+    cp AS (SELECT s.doc_id, s.lang, s.bp, wt.tw, wt.ts,
+        CAST(floor(wt.tw) AS BIGINT) + CASE WHEN
+          CAST(('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)
+            || '|mixshare-v1'), 1, 8)) AS UBIGINT) / 4294967296.0
+          < wt.tw - floor(wt.tw) THEN 1 ELSE 0 END AS copies
+      FROM src s JOIN wt USING (lang)),
+    roll AS (SELECT lang, max(ts) AS target_share,
+        max(tw) AS target_weight,
+        count(DISTINCT CASE WHEN copies > 0 THEN doc_id END)
+          AS docs_kept,
+        CAST(sum(copies) AS BIGINT) AS copies,
+        CAST(sum(bp * copies) AS BIGINT) AS tokens_out
+      FROM cp GROUP BY lang),
+    ach AS (SELECT sum(tokens_out) AS o FROM roll)
+    SELECT lang, target_share, target_weight, docs_kept, copies,
+      tokens_out,
+      round(CAST(tokens_out AS DOUBLE) / CAST(o AS DOUBLE), 9)
+        AS achieved_share
+    FROM roll CROSS JOIN ach ORDER BY lang"""
+
+  /** q248's oracle: the q96 k-means CTEs discover the domains, the
+    * counts chain denominates them, and the SAME share arithmetic as
+    * q247 levels them to uniform quarter shares. */
+  private def domainShareOracle(m: Int): String =
+    s"""WITH ${countsChain(m)},
+    $kmeansDomainsSql,
+    src AS (SELECT per.doc_id, a1.cid AS domain, per.bp
+      FROM per JOIN a1 ON a1.vec_id = per.doc_id),
+    tgt AS (SELECT * FROM (VALUES (0, 0.25), (1, 0.25), (2, 0.25),
+        (3, 0.25)) t(domain, ts)),
+    w AS (SELECT domain, sum(bp) AS w FROM src GROUP BY domain),
+    tot AS (SELECT sum(w) AS t FROM w),
+    wt AS (SELECT domain, CAST(ts AS DOUBLE) AS ts,
+        greatest(0.0, least(round(CAST(t AS DOUBLE) * CAST(ts AS DOUBLE)
+          / CAST(w AS DOUBLE), 9), 100.0)) AS tw
+      FROM w JOIN tgt USING (domain) CROSS JOIN tot),
+    cp AS (SELECT s.doc_id, s.domain, s.bp, wt.tw, wt.ts,
+        CAST(floor(wt.tw) AS BIGINT) + CASE WHEN
+          CAST(('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)
+            || '|domshare-v1'), 1, 8)) AS UBIGINT) / 4294967296.0
+          < wt.tw - floor(wt.tw) THEN 1 ELSE 0 END AS copies
+      FROM src s JOIN wt USING (domain)),
+    roll AS (SELECT domain, max(ts) AS target_share,
+        max(tw) AS target_weight,
+        count(DISTINCT CASE WHEN copies > 0 THEN doc_id END)
+          AS docs_kept,
+        CAST(sum(copies) AS BIGINT) AS copies,
+        CAST(sum(bp * copies) AS BIGINT) AS tokens_out
+      FROM cp GROUP BY domain),
+    ach AS (SELECT sum(tokens_out) AS o FROM roll)
+    SELECT CAST(domain AS BIGINT) AS domain, target_share,
+      target_weight, docs_kept, copies, tokens_out,
+      round(CAST(tokens_out AS DOUBLE) / CAST(o AS DOUBLE), 9)
+        AS achieved_share
+    FROM roll CROSS JOIN ach ORDER BY domain"""
 
   /** q228's oracle: two independently trained chains — v1 (16 merges,
     * even slice) replayed for phases 1 AND 2 (the swap has not
@@ -1285,5 +1364,99 @@ object TokenizerQueries {
         AS expected_docs,
       round(round(CAST(mn AS DOUBLE) / w, 9) * w, 3)
         AS expected_tokens
-    FROM w, tot ORDER BY source""")))
+    FROM w, tot ORDER BY source""")),
+
+    // ---- X7 TARGET-SHARE MIXTURE — the full data-mixing rule real
+    // recipes specify (DoReMi/Pile/Dolma publish per-domain target
+    // SHARES): redistribute the corpus's own token mass so each lang's
+    // expected output mass is share·T — downsampling over-share strata
+    // and REPEATING under-share ones in ONE deterministic operator
+    // (Sampling.mixToShares: 9-dp-rounded clamped weights, q210's
+    // floor+hash copy realization). The rollup aggregates FROM the
+    // weight frame (q238's total contract: a stratum whose docs all
+    // realize zero copies keeps its zero row), and `achieved_share`
+    // audits the redistribution against the recipe. The oracle replays
+    // counts → masses → weights → every copy decision → the rollup.
+    QueryDef("q247_share_mixture",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.load(s, dir, "documents")
+        val counts = Bpe.tokenCounts(docs, "doc_id", "text",
+            trainedMerges(s, dir))
+          .filter(col("ws_tokens") > 0)
+          .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+        val targets = Seq(("en", 0.4), ("de", 0.15), ("es", 0.15),
+          ("fr", 0.15), ("zh", 0.15)).toDF("lang", "target_share")
+        val weights = Sampling.shareWeights(counts, "lang",
+          "bpe_tokens", targets)
+        val realized = Sampling.repeatWeighted(
+            counts.join(broadcast(weights.drop("target_share")),
+              Seq("lang")),
+            "doc_id", "target_weight", "mixshare-v1")
+          .groupBy("lang")
+          .agg(countDistinct(col("doc_id")).as("_dk"),
+            count(lit(1)).as("_cp"),
+            sum("bpe_tokens").as("_to"))
+        val roll = weights.join(realized, Seq("lang"), "left")
+          .select(col("lang"), col("target_share"), col("target_weight"),
+            coalesce(col("_dk"), lit(0L)).as("docs_kept"),
+            coalesce(col("_cp"), lit(0L)).as("copies"),
+            coalesce(col("_to"), lit(0L)).as("tokens_out"))
+        roll.crossJoin(broadcast(roll.agg(sum("tokens_out").as("_o"))))
+          .select(col("lang"), col("target_share"),
+            col("target_weight"), col("docs_kept"), col("copies"),
+            col("tokens_out"),
+            round(col("tokens_out").cast("double") /
+              col("_o").cast("double"), 9).as("achieved_share"))
+          .orderBy("lang")
+      },
+      Some(shareMixOracle(NumMerges))),
+
+    // ---- X7+X3 DOMAIN-DISCOVERED TARGET SHARES — q248 composes the
+    // two halves the registry already proves separately: q232's
+    // k-means-discovered domains (labels missing → cluster embeddings)
+    // and q247's target-share redistribution, here to uniform quarter
+    // shares — the DoReMi shape with DISCOVERED domains and an
+    // explicit recipe instead of leveling to the minimum. Same
+    // broadcast-centroid assignment, same counts chain, same share
+    // arithmetic; the oracle replays all three under one hash.
+    QueryDef("q248_domain_share_mixture",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.load(s, dir, "documents")
+        val domains = Similarity.kmeansAssign(
+            Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+            k = 4, iters = 1)
+          .select(col("vec_id").as("doc_id"), col("cid").as("domain"))
+        val counts = Bpe.tokenCounts(docs, "doc_id", "text",
+            trainedMerges(s, dir))
+          .filter(col("ws_tokens") > 0)
+          .join(domains, Seq("doc_id"))
+        val targets = Seq((0L, 0.25), (1L, 0.25), (2L, 0.25),
+          (3L, 0.25)).toDF("domain", "target_share")
+        val weights = Sampling.shareWeights(counts, "domain",
+          "bpe_tokens", targets)
+        val realized = Sampling.repeatWeighted(
+            counts.join(broadcast(weights.drop("target_share")),
+              Seq("domain")),
+            "doc_id", "target_weight", "domshare-v1")
+          .groupBy("domain")
+          .agg(countDistinct(col("doc_id")).as("_dk"),
+            count(lit(1)).as("_cp"),
+            sum("bpe_tokens").as("_to"))
+        val roll = weights.join(realized, Seq("domain"), "left")
+          .select(col("domain"), col("target_share"),
+            col("target_weight"),
+            coalesce(col("_dk"), lit(0L)).as("docs_kept"),
+            coalesce(col("_cp"), lit(0L)).as("copies"),
+            coalesce(col("_to"), lit(0L)).as("tokens_out"))
+        roll.crossJoin(broadcast(roll.agg(sum("tokens_out").as("_o"))))
+          .select(col("domain"), col("target_share"),
+            col("target_weight"), col("docs_kept"), col("copies"),
+            col("tokens_out"),
+            round(col("tokens_out").cast("double") /
+              col("_o").cast("double"), 9).as("achieved_share"))
+          .orderBy("domain")
+      },
+      Some(domainShareOracle(NumMerges))))
 }

@@ -231,4 +231,42 @@ class SamplingSpec extends SparkSpec {
     assert(rates(1.0, 0.4) ==
       Map("big" -> (0.4, 32.0), "small" -> (0.4, 4.0)))
   }
+
+  test("mixToShares: hand-checked weights — under-share strata repeat, " +
+    "over-share strata thin, expected output mass = share · T") {
+    // units: a = 800, b = 200 → T = 1000; targets a 0.3 / b 0.7 →
+    // weight_a = 300/800 = 0.375 (downsample), weight_b = 700/200 =
+    // 3.5 (upsample: 3 whole copies + Bernoulli(.5))
+    val df = ((1L to 80L).map(i => (i, "a", 10L)) ++
+      (81L to 100L).map(i => (i, "b", 10L)))
+      .toDF("id", "dom", "units")
+    val targets = Seq(("a", 0.3), ("b", 0.7)).toDF("dom", "target_share")
+    val w = Sampling.shareWeights(df, "dom", "units", targets)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1),
+        r.getDouble(2))).toMap
+    assert(w == Map("a" -> (0.3, 0.375), "b" -> (0.7, 3.5)))
+    val out = Sampling.mixToShares(df, "dom", "id", "units", targets,
+      "s17").groupBy("dom").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // b: every doc emits 3 or 4 copies → 60 ≤ count ≤ 80; a: ≈ 30
+    assert(out("b") >= 60L && out("b") <= 80L, s"b = ${out("b")}")
+    assert(out("a") > 10L && out("a") < 55L, s"a = ${out("a")}")
+    // copies of one id are distinct copy_idx rows
+    val ci = Sampling.mixToShares(df, "dom", "id", "units", targets,
+      "s17").filter(col("id") === 90L).select("copy_idx")
+      .as[Long].collect().sorted
+    assert(ci.length >= 3 && ci.toSeq == (0L until ci.length).toSeq)
+    // a stratum absent from the recipe is dropped; bad recipes fail
+    val partial = Sampling.mixToShares(df, "dom", "id", "units",
+      Seq(("a", 1.0)).toDF("dom", "target_share"), "s17")
+    assert(partial.filter(col("dom") === "b").count() == 0)
+    intercept[IllegalArgumentException] {
+      Sampling.shareWeights(df, "dom", "units",
+        Seq(("a", 0.6), ("b", 0.6)).toDF("dom", "target_share"))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.shareWeights(df, "dom", "units",
+        Seq(("a", 0.5), ("a", 0.5)).toDF("dom", "target_share"))
+    }
+  }
 }

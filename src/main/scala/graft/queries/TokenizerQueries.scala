@@ -33,6 +33,10 @@ object TokenizerQueries {
     * ranks) while keeping the unrolled oracle readable. */
   private val NumMerges = 16
 
+  /** q246's drift-gate threshold — validated then pinned (see the
+    * q246 registration comment for the measured margins). */
+  private val GateThreshold = 1.5
+
   /** Training is deterministic — same sfDir, same pinned total order,
     * same merges — so the learned rules memoize per DIRECTORY (plus a
     * variant tag for differently-sliced retrains): q221/q222/q223/
@@ -651,7 +655,15 @@ object TokenizerQueries {
     * admits), so every downstream CTE carries `wave` in its keys and
     * the BFD recursion partitions by (wave, lang, seg). */
   private def streamBuildOracle(m: Int): String =
-    s"""WITH RECURSIVE ${trainChain(m)},
+    s"""WITH RECURSIVE ${streamBuildChainSql(m)}
+    SELECT wave, lang, seg, doc_id, bin, units AS bpe_tokens
+    FROM pack WHERE rn > 0 ORDER BY wave, lang, seg, bin, doc_id"""
+
+  /** The q230 two-wave build chain (train → encode → span dedup →
+    * wave-keyed accounting/mixture/packing) as reusable CTEs — shared
+    * by q230's row-level oracle and q246's drift-gated aggregate. */
+  private def streamBuildChainSql(m: Int): String =
+    s"""${trainChain(m)},
     ${encodeChain(m)},
     wl AS (SELECT word, len(syms) AS bpe FROM e$m),
     t AS (SELECT doc_id, unnest(a) AS tok,
@@ -731,9 +743,81 @@ object TokenizerQueries {
           ELSE len(p.rems) END AS INT),
         r.units
       FROM pack p JOIN ranked r ON r.wave = p.wave AND r.lang = p.lang
-        AND r.seg = p.seg AND r.rn = p.rn + 1)
-    SELECT wave, lang, seg, doc_id, bin, units AS bpe_tokens
-    FROM pack WHERE rn > 0 ORDER BY wave, lang, seg, bin, doc_id"""
+        AND r.seg = p.seg AND r.rn = p.rn + 1)"""
+
+  /** One PSI block (q233's arithmetic — add-one smoothing over 8
+    * fixed-width 256-char buckets, strata = union of both sides, 6-dp
+    * rounding) between two (source, n_chars) relations, ending at
+    * `${pfx}mx` (the max per-source PSI — the gate statistic). */
+  private def psiBlock(pfx: String, v1: String, v2: String): String =
+    s"""${pfx}h1 AS (SELECT source,
+        CAST(greatest(0, least(floor(n_chars / 256.0), 7)) AS INT) AS b,
+        count(*) AS c FROM ($v1) GROUP BY 1, 2),
+    ${pfx}h2 AS (SELECT source,
+        CAST(greatest(0, least(floor(n_chars / 256.0), 7)) AS INT) AS b,
+        count(*) AS c FROM ($v2) GROUP BY 1, 2),
+    ${pfx}st AS (SELECT DISTINCT source FROM (
+        SELECT source FROM ($v1) UNION ALL SELECT source FROM ($v2))),
+    ${pfx}gr AS (SELECT source, CAST(i AS INT) AS b
+      FROM ${pfx}st CROSS JOIN range(0, 8) r(i)),
+    ${pfx}h AS (SELECT g.source, g.b, COALESCE(h1.c, 0) AS c1,
+        COALESCE(h2.c, 0) AS c2
+      FROM ${pfx}gr g LEFT JOIN ${pfx}h1 h1 USING (source, b)
+        LEFT JOIN ${pfx}h2 h2 USING (source, b)),
+    ${pfx}tt AS (SELECT source, sum(c1) AS n1, sum(c2) AS n2
+      FROM ${pfx}h GROUP BY source),
+    ${pfx}psi AS (SELECT h.source,
+        round(sum((CAST(h.c2 + 1 AS DOUBLE) / (t.n2 + 8)
+            - CAST(h.c1 + 1 AS DOUBLE) / (t.n1 + 8))
+          * ln((CAST(h.c2 + 1 AS DOUBLE) / (t.n2 + 8))
+            / (CAST(h.c1 + 1 AS DOUBLE) / (t.n1 + 8)))), 6) AS psi
+      FROM ${pfx}h h JOIN ${pfx}tt t USING (source) GROUP BY h.source),
+    ${pfx}mx AS (SELECT max(psi) AS mp FROM ${pfx}psi)"""
+
+  /** q246's oracle: the q230 chain (same salts — waves 1/2 must commit
+    * byte-identically to q230) aggregated per wave, plus the PSI gate
+    * replay: wave 2's gate compares wave-1 ADMITTED rows against the
+    * raw wave-2 ingest; wave 3 (the PLANTED +1500-char drift of the
+    * doc_id%5 slice) compares waves-1+2 admitted rows against the
+    * shifted slice and must flag. packed_md5 pins every packing
+    * decision of the clean waves in rank order; the quarantined wave
+    * contributes no packing rows (md5 of the empty string). The
+    * clean-wave gate values are data-dependent and VALIDATED at the
+    * three SFs (the registry's validate-then-pin discipline). */
+  private def driftGateOracle(m: Int): String =
+    s"""WITH RECURSIVE ${streamBuildChainSql(m)},
+    adm AS (SELECT s.doc_id, d.source, d.n_chars, s.wave
+      FROM src s JOIN documents d USING (doc_id)),
+    ${psiBlock("g2",
+      "SELECT source, n_chars FROM adm WHERE wave = 1",
+      "SELECT source, n_chars FROM documents WHERE doc_id > " +
+        "(SELECT v FROM cutv)")},
+    ${psiBlock("g3",
+      "SELECT source, n_chars FROM adm",
+      "SELECT source, n_chars + 1500 AS n_chars FROM documents " +
+        "WHERE doc_id % 5 = 0")},
+    pk AS (SELECT wave, lang, seg, bin, doc_id, units
+      FROM pack WHERE rn > 0),
+    pmd AS (SELECT wave, md5(string_agg(lang
+        || '|' || CAST(seg AS VARCHAR) || '|' || CAST(bin AS VARCHAR)
+        || '|' || CAST(doc_id AS VARCHAR)
+        || '|' || CAST(units AS VARCHAR), ';'
+        ORDER BY lang, seg, bin, doc_id)) AS m
+      FROM pk GROUP BY wave),
+    cnts AS (SELECT wave, count(*) AS n FROM adm GROUP BY wave)
+    SELECT * FROM (
+      SELECT 1 AS wave, false AS quarantined, 0.0 AS max_psi,
+        (SELECT n FROM cnts WHERE wave = 1) AS n_committed,
+        (SELECT m FROM pmd WHERE wave = 1) AS packed_md5
+      UNION ALL SELECT 2, (SELECT mp FROM g2mx) > $GateThreshold,
+        (SELECT mp FROM g2mx),
+        (SELECT n FROM cnts WHERE wave = 2),
+        (SELECT m FROM pmd WHERE wave = 2)
+      UNION ALL SELECT 3, (SELECT mp FROM g3mx) > $GateThreshold,
+        (SELECT mp FROM g3mx),
+        (SELECT count(*) FROM documents WHERE doc_id % 5 = 0),
+        md5(''))
+    ORDER BY wave"""
 
   val entries: Seq[QueryDef] = Seq(
 
@@ -1020,6 +1104,181 @@ object TokenizerQueries {
           .orderBy("wave", "lang", "seg", "bin", "doc_id")
       },
       Some(streamBuildOracle(NumMerges)),
+      kind = QueryDef.Pipeline),
+
+    // ---- DRIFT-GATED WAVE ADMISSION — q230's streaming build with
+    // q233's monitor COMPOSED IN as a gate: every arriving wave's
+    // per-source n_chars distribution is PSI-scored against the live
+    // table's admitted rows BEFORE any processing; a wave whose max
+    // per-source PSI exceeds the registered threshold is QUARANTINED
+    // — committed with a marker
+    // and null processing columns (the q88 quarantine shape applied
+    // to distribution shift), kept OUT of the dedup ledger, the
+    // mixture and the packing — while clean waves run q230's exact
+    // chain (same salts, same ledger, same packing) and commit
+    // byte-identically. Waves: q230's two id-ordered halves (clean)
+    // plus a PLANTED third wave (the doc_id%5 slice shifted +1500
+    // chars — the classic crawl shift) that must flag. Output per
+    // wave: the gate verdict, the 6-dp max PSI, rows committed, and
+    // an md5 over the wave's packing assignment in rank order — the
+    // oracle replays the q230 chain AND both gate computations, so a
+    // green hash proves the gate fires exactly where it should and
+    // that gating changed NOTHING about what clean waves build.
+    //
+    // THRESHOLD (validate-then-pin): the literature's 0.25 assumes
+    // production-sized strata; these corpora hold ~12-250 docs per
+    // source per wave, where add-one-smoothed per-source PSI is noisy
+    // — the clean second wave MEASURES 0.44/0.57/0.12 at the three
+    // SFs while the planted wave measures 3.97/3.87/9.19, so the gate
+    // pins 1.5: ≥2.6× margin on both sides everywhere tested. At
+    // production stratum sizes the same gate runs with 0.25.
+    QueryDef("q246_drift_gated_build",
+      (s, dir) => {
+        import s.implicits._
+        val root = graft.TempRoots.create("graft_dgb")
+        val tbl = "file://" + root + "/curated"
+        val led = "file://" + root + "/ledger"
+        val alias = "file://" + root + "/tokalias"
+        val docs = Tables.load(s, dir, "documents")
+        val hd = docs.agg(max("doc_id"), count(lit(1))).head()
+        val maxId = hd.getLong(0)
+        val cut = maxId / 2
+        val nBuckets = graft.sources.PrefixLedger.bucketCount(hd.getLong(1))
+        Manifest.init(s, "file://" + root + "/tok_v1",
+          Bpe.mergeTable(s, trainedMerges(s, dir)))
+        IndexAlias.set(s, alias, "file://" + root + "/tok_v1")
+        val schema = docs.schema
+        val outCols = Seq("doc_id", "source", "lang", "n_chars",
+          "ws_tokens", "bpe_tokens", "clean_text", "chunk_digests",
+          "seg", "bin", "quarantined", "wave_psi")
+        def drain(): Unit =
+          graft.streaming.IngestStream
+            .rawStream(s, s"$root/raw", schema, "parquet",
+              maxFilesPerTrigger = 100000)
+            .writeStream
+            .option("checkpointLocation", s"$root/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger
+              .AvailableNow())
+            .foreachBatch {
+              (b: org.apache.spark.sql.DataFrame, id: Long) =>
+                // THE GATE: PSI of the incoming wave vs the admitted
+                // live rows, before any processing touches the wave
+                val maxPsi = Manifest.latestVersion(s, tbl) match {
+                  case Some(_) =>
+                    val r = Curation.distributionDrift(
+                      Manifest.read(s, tbl)
+                        .filter(!col("quarantined"))
+                        .select("source", "n_chars"),
+                      b.select("source", "n_chars"),
+                      "source", "n_chars", bucketWidth = 256L,
+                      numBuckets = 8)
+                      .agg(max("psi")).head() // 1-row gate scalar
+                    if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+                  case None => 0.0 // first wave: no baseline yet
+                }
+                if (maxPsi > GateThreshold) {
+                  // quarantined: committed with the marker, excluded
+                  // from ledger/mixture/packing — diverted, not lost
+                  val rows = b.select(col("doc_id"), col("source"),
+                    col("lang"), col("n_chars"),
+                    lit(null).cast("long").as("ws_tokens"),
+                    lit(null).cast("long").as("bpe_tokens"),
+                    lit(null).cast("string").as("clean_text"),
+                    lit(null).cast("array<string>").as("chunk_digests"),
+                    lit(null).cast("int").as("seg"),
+                    lit(null).cast("int").as("bin"),
+                    lit(true).as("quarantined"),
+                    lit(maxPsi).as("wave_psi"))
+                  Manifest.commitStreamBatch(s, tbl,
+                    rows.select(outCols.map(col): _*), "dgb", id)
+                } else {
+                  // q230's exact chain (same salts) + the gate columns
+                  val merges = loadMerges(s, alias)
+                  val chunks = graft.CacheScope.persist(
+                    Dedup.cdcChunks(b, "doc_id", "text", m = 8))
+                  val wavePfx = chunks
+                    .select(graft.sources.PrefixLedger.digestBucket(
+                      col("digest"), nBuckets).as(
+                      graft.sources.PrefixLedger.BucketCol)).distinct()
+                  val ledger = graft.sources.PrefixLedger
+                    .probe(s, led, wavePfx)
+                    .map(_.select("digest"))
+                    .getOrElse(Seq.empty[String].toDF("digest"))
+                  val cleaned = graft.CacheScope.persist(
+                    Dedup.removeDupChunksVsCorpus(b, "doc_id", "text",
+                        m = 8, ledger, preChunked = Some(chunks))
+                      .filter(col("kept_tokens") > 0))
+                  val counts = graft.CacheScope.persist(
+                    Bpe.tokenCounts(cleaned, "doc_id", "clean_text",
+                        merges)
+                      .filter(col("ws_tokens") > 0)
+                      .join(b.select("doc_id", "source", "lang",
+                        "n_chars"), Seq("doc_id")))
+                  val mixed = graft.CacheScope.persist(
+                    Sampling.balanceStrataBy(counts, "source", "doc_id",
+                      "bpe_tokens", "buildstream-v1"))
+                  val n = mixed.count()
+                  val packed =
+                    if (n == 0) mixed.select(col("doc_id"),
+                      lit(null).cast("int").as("seg"),
+                      lit(null).cast("int").as("bin"))
+                    else Curation.packBestFit(mixed, "lang", "doc_id",
+                        "bpe_tokens", 2048L,
+                        numSegs = math.max(4L, n / 1250L).toInt,
+                        salt = "packstream")
+                      .select(col("doc_id"), col("seg"), col("bin"))
+                  val rows = counts
+                    .join(cleaned.select("doc_id", "clean_text",
+                      "chunk_digests"), Seq("doc_id"))
+                    .join(packed, Seq("doc_id"), "left")
+                    .withColumn("quarantined", lit(false))
+                    .withColumn("wave_psi", lit(maxPsi))
+                  Manifest.commitStreamBatch(s, tbl,
+                    rows.select(outCols.map(col): _*), "dgb", id)
+                  graft.sources.PrefixLedger.commitWave(s, led,
+                    cleaned.select(explode(col("chunk_digests"))
+                        .as("digest"))
+                      .withColumn(graft.sources.PrefixLedger.BucketCol,
+                        graft.sources.PrefixLedger.digestBucket(
+                          col("digest"), nBuckets)),
+                    "dgbL", id)
+                }
+                graft.CacheScope.releaseAll()
+                ()
+            }
+            .start().awaitTermination()
+        docs.filter(col("doc_id") <= cut)
+          .write.mode("append").parquet(s"$root/raw")
+        drain()
+        docs.filter(col("doc_id") > cut)
+          .write.mode("append").parquet(s"$root/raw")
+        drain()
+        // the PLANTED drift wave: the %5 slice shifted +1500 chars
+        // (id offset clears maxId strictly — ids can start at 0)
+        docs.filter(col("doc_id") % 5 === 0)
+          .withColumn("doc_id", col("doc_id") + lit(maxId + 1000000L))
+          .withColumn("n_chars", (col("n_chars") + 1500L).cast("long"))
+          .write.mode("append").parquet(s"$root/raw")
+        drain()
+        Manifest.read(s, tbl)
+          .withColumn("wave",
+            when(col("doc_id") > maxId, 3)
+              .when(col("doc_id") <= cut, 1).otherwise(2))
+          .groupBy("wave")
+          .agg(max(col("quarantined")).as("quarantined"),
+            max(col("wave_psi")).as("max_psi"),
+            count(lit(1)).as("n_committed"),
+            md5(array_join(transform(
+              array_sort(collect_list(when(col("bin").isNotNull,
+                struct(col("lang"), col("seg"), col("bin"),
+                  col("doc_id"), col("bpe_tokens"))))),
+              x => concat_ws("|", x.getField("lang"),
+                x.getField("seg"), x.getField("bin"),
+                x.getField("doc_id"), x.getField("bpe_tokens"))), ";"))
+              .as("packed_md5"))
+          .orderBy("wave")
+      },
+      Some(driftGateOracle(NumMerges)),
       kind = QueryDef.Pipeline),
 
     // ---- X14 TOKENIZER AUDIT: per-language fertility / compression /

@@ -54,13 +54,19 @@ object PrefixLedger {
     pmod(key, lit(buckets.toLong)).cast("int")
 
   /** Bucket-count sizing rule (the packBestFit numSegs discipline
-    * applied to ledger storage): ~`keysPerDoc`·128 keys per bucket, so
-    * bucket SIZE stays roughly constant as the corpus grows and a
-    * wave's probe cost is (touched buckets)·O(1). Floor 16 keeps tiny
-    * corpora from degenerating to one file; cap 4096 bounds the
-    * per-commit file fan-out. */
+    * applied to ledger storage): ~128 docs' keys per bucket, so bucket
+    * SIZE stays roughly constant as the corpus grows and a wave's
+    * probe cost is (touched buckets)·O(1). Floor 16 keeps tiny corpora
+    * from degenerating to one file; the cap bounds the per-COMMIT file
+    * fan-out — every wave write lands one file per touched bucket, and
+    * a 4096-dir commit measured 4× the whole r16 build at sf10 on the
+    * local FS (file create/rename dominates), so the cap trades probe
+    * granularity for write cost. 512 keeps half-corpus waves (the
+    * registered queries' worst case) write-cheap while a small wave
+    * still skips the majority of buckets; a real object store with a
+    * manifest-tracked flat namespace raises it. */
   def bucketCount(corpusDocs: Long): Int =
-    math.max(16L, math.min(4096L, corpusDocs / 128L)).toInt
+    math.max(16L, math.min(512L, corpusDocs / 128L)).toInt
 
   /** Create the ledger table from a pre-stream seed (an initial corpus
     * slice). `rows` must already carry [[BucketCol]]. */

@@ -1520,6 +1520,35 @@ object TokenizerQueries {
       },
       Some(decodeOracle(NumMerges))),
 
+    // ---- X14 ARTIFACT-SERVED DECODE — q242 proves the decode inverse
+    // with the in-memory merge table; a DEPLOYED tokenizer decodes
+    // with the PINNED artifact (the q228 lifecycle's consumer side).
+    // This query trains-commits-aliases once per session
+    // (TempRoots.memoized — the artifact-serving convention), loads
+    // the merge table back through the alias, and decodes the corpus
+    // with the LOADED rules. The oracle is q242's (the in-memory
+    // replay): a green hash proves artifact round-tripping loses
+    // nothing — persisted-table-served decode ≡ in-memory decode,
+    // byte for byte, the same guarantee q228 pins for encode counts.
+    QueryDef("q249_artifact_decode",
+      (s, dir) => {
+        val root = graft.TempRoots.memoized("graft_tokdec", dir) { r =>
+          Manifest.init(s, "file://" + r + "/tok_v1",
+            Bpe.mergeTable(s, trainedMerges(s, dir)))
+          IndexAlias.set(s, "file://" + r + "/alias",
+            "file://" + r + "/tok_v1")
+        }
+        val merges = loadMerges(s, "file://" + root + "/alias")
+        Bpe.decodeAudit(Tables.load(s, dir, "documents"), "doc_id",
+            "text", merges)
+          .select(col("doc_id"), col("bpe_tokens"),
+            md5(col("decoded")).as("decoded_md5"),
+            (col("decoded") === col("normalized")).as("roundtrip_ok"))
+          .orderBy("doc_id")
+      },
+      Some(decodeOracle(NumMerges)),
+      kind = QueryDef.Pipeline),
+
     // ---- X10+X14 TOKEN-LEVEL CONTEXT VERIFICATION — q240 pins the
     // exported contexts at the TEXT level (md5 of the assembled raw
     // bytes); this re-verifies them at the TOKEN level: the same

@@ -260,7 +260,15 @@ object Bpe {
     * — BPE segmentation loses nothing; only the whitespace RUNS the
     * registry tokenization already collapses are normalized. Map-only
     * string expression, engine-portable (DuckDB:
-    * `rtrim(replace(string_agg(...), '</w>', ' '))`). */
+    * `rtrim(replace(string_agg(...), '</w>', ' '))`).
+    *
+    * MARKER-COLLISION CAVEAT: exactness assumes no input token contains
+    * the literal marker text [[EndOfWord]] ("&lt;/w&gt;") — such a
+    * substring would decode to a space. Both engines compute the decode
+    * identically (hashes stay green) and [[decodeAudit]]'s
+    * `roundtrip_ok` correctly reads false for such a document, so the
+    * failure is visible, never silent; escape the marker during charSyms
+    * if exactness on arbitrary bytes is ever needed. */
   def decodePieces(pieces: Column): Column =
     rtrim(replace(array_join(pieces, ""), lit(EndOfWord), lit(" ")))
 

@@ -419,7 +419,19 @@ object Dedup {
     // boundary — the foreachBatch releaseAll, as in the q218 shape).
     // A caller that already chunked the batch (e.g. to derive ledger
     // probe buckets) passes the cached relation in via `preChunked`
-    // so the wave is chunked exactly once.
+    // so the wave is chunked exactly once. CONTRACT: `preChunked`
+    // MUST be cdcChunks(batch, idCol, textCol, m) with the SAME m —
+    // chunks cut under a different modulus carry different digests
+    // than the ledger's, so admission decisions would silently
+    // diverge; the schema check below catches shape drift but cannot
+    // detect a wrong modulus (same columns), hence the contract.
+    preChunked.foreach { c =>
+      val want = Set(idCol, "chunk_idx", "n_tokens", "chunk_text",
+        "digest")
+      require(want.subsetOf(c.columns.toSet),
+        s"preChunked must be cdcChunks($idCol, $textCol, m=$m) " +
+          s"output — missing ${(want -- c.columns.toSet).mkString(",")}")
+    }
     val chunks = preChunked.getOrElse(graft.CacheScope.persist(
       cdcChunks(batch, idCol, textCol, m)))
     val first = chunks.groupBy("digest")

@@ -270,7 +270,17 @@ object Sampling {
       sum(col("target_share")).as("s"),
       min(col("target_share")).as("mn"),
       count(lit(1)).as("n"),
-      countDistinct(col(stratumCol)).as("d")).head()
+      countDistinct(col(stratumCol)).as("d"),
+      count(col(stratumCol)).as("nns"),
+      count(col("target_share")).as("nnt")).head()
+    // nullity/emptiness first: an empty frame would NPE the getDouble
+    // reads below, and a NULL stratum would otherwise surface as the
+    // misleading "duplicate" error (countDistinct skips nulls)
+    require(chk.getLong(2) > 0, "targets frame is empty")
+    require(chk.getLong(4) == chk.getLong(2),
+      "target strata must be non-null")
+    require(chk.getLong(5) == chk.getLong(2),
+      "target shares must be non-null")
     require(chk.getLong(2) == chk.getLong(3), "duplicate target strata")
     require(chk.getDouble(1) >= 0.0, "target shares must be >= 0")
     require(math.abs(chk.getDouble(0) - 1.0) < 1e-9,

@@ -106,14 +106,27 @@ object Similarity {
     * nCentroids cosines per vector — no shuffle, no collect(). At
     * 100 TB the output would be written bucketed by `centroid_id`, so a
     * probe reads only its cells' files. */
+  /** THE IVF pivot-selection rule — the first `nCentroids` corpus
+    * vectors in deterministic `pmod(xxhash64(id), 1e9+7)` order (ties
+    * by ascending id), as `(pid, pv)`. ONE definition shared by
+    * [[ivfIndex]] (assignment), [[ivfTopK]]/[[ivfPqTopK]]/
+    * [[ivfPqTopKRefined]] (probe selection) and the persisted serving
+    * artifact ([[graft.sources.IvfPqIndex]]): probe-cell selection and
+    * stored cell assignment MUST derive pivots identically, or recall
+    * silently degrades with no error — centralizing the rule makes
+    * that desynchronization unrepresentable. */
+  def ivfPivots(emb: DataFrame, idCol: String, vecCol: String,
+                nCentroids: Int): DataFrame =
+    emb.orderBy(pmod(xxhash64(col(idCol)), lit(1000000007L)).asc,
+        col(idCol).asc)
+      .limit(nCentroids)
+      .select(col(idCol).as("pid"),
+        Vectors.toDouble(col(vecCol)).as("pv"))
+
   def ivfIndex(emb: DataFrame, idCol: String, vecCol: String,
                nCentroids: Int): DataFrame = {
     val pivots = broadcast(
-      emb.orderBy(pmod(xxhash64(col(idCol)), lit(1000000007L)).asc,
-          col(idCol).asc)
-        .limit(nCentroids)
-        .select(col(idCol).as("pid"),
-          Vectors.toDouble(col(vecCol)).as("pv"))
+      ivfPivots(emb, idCol, vecCol, nCentroids)
         .agg(collect_list(struct(col("pid"), col("pv"))).as("pivots")))
     graft.scaleOut(emb)
       .select(col(idCol), Vectors.toDouble(col(vecCol)).as("v"))
@@ -143,11 +156,7 @@ object Similarity {
     val qrow = emb.filter(col(idCol) === queryId)
       .select(Vectors.toDouble(col(vecCol)).as("qvec"))
     // nProbe nearest pivots to the query, from the same broadcast row
-    val pivots = broadcast(
-      emb.orderBy(pmod(xxhash64(col(idCol)), lit(1000000007L)).asc,
-          col(idCol).asc)
-        .limit(nCentroids)
-        .select(col(idCol).as("pid"), Vectors.toDouble(col(vecCol)).as("pv")))
+    val pivots = broadcast(ivfPivots(emb, idCol, vecCol, nCentroids))
     val probes = broadcast(
       qrow.crossJoin(pivots)
         .select(col("qvec"), col("pid"),
@@ -332,11 +341,11 @@ object Similarity {
 
   /** Squared L2 over two equal-length double arrays (HOF on
     * materialized columns — stays out of the shuffle). */
-  private def l2sq(a: Column, b: Column): Column =
+  private[graft] def l2sq(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0), _ + _)
 
-  private def subspaces(v: Column, m: Int, subDim: Int): Column =
+  private[graft] def subspaces(v: Column, m: Int, subDim: Int): Column =
     array((0 until m).map(i => slice(v, i * subDim + 1, subDim)): _*)
 
   /** Train per-subspace codebooks with Lloyd iterations (Euclidean,
@@ -552,12 +561,7 @@ object Similarity {
     // not through the assignment plan — the ivfTopK move
     val qrow = emb.filter(col(idCol) === queryId)
       .select(Vectors.toDouble(col(vecCol)).as("qvec"))
-    val pivots = broadcast(
-      emb.orderBy(pmod(xxhash64(col(idCol)), lit(1000000007L)).asc,
-          col(idCol).asc)
-        .limit(nCentroids)
-        .select(col(idCol).as("pid"),
-          Vectors.toDouble(col(vecCol)).as("pv")))
+    val pivots = broadcast(ivfPivots(emb, idCol, vecCol, nCentroids))
     val probes = broadcast(
       qrow.crossJoin(pivots)
         .select(col("pid"),
@@ -631,12 +635,7 @@ object Similarity {
     val index = ivfIndex(emb, idCol, vecCol, nCentroids)
     val qrow = emb.filter(col(idCol) === queryId)
       .select(Vectors.toDouble(col(vecCol)).as("qvec"))
-    val pivots = broadcast(
-      emb.orderBy(pmod(xxhash64(col(idCol)), lit(1000000007L)).asc,
-          col(idCol).asc)
-        .limit(nCentroids)
-        .select(col(idCol).as("pid"),
-          Vectors.toDouble(col(vecCol)).as("pv")))
+    val pivots = broadcast(ivfPivots(emb, idCol, vecCol, nCentroids))
     val probes = broadcast(
       qrow.crossJoin(pivots)
         .select(col("pid"),

@@ -38,6 +38,21 @@ object PipelineQueries {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
       DataFrame]()
 
+  /** The session's SERVED ANN ARTIFACT — q244 (single query) and q250
+    * (batched) serve from the SAME persisted index, built once per
+    * (session, sfDir) at the validated settings (nCells=16, m=16,
+    * pqK=32, iters=2, 2048-vector hash-ordered train sample — the q229
+    * validate-then-pin tuning; AnnProbeCheck re-measures the pins).
+    * Layout + serve plans live in [[graft.sources.IvfPqIndex]]. */
+  private def annIndexRoot(s: SparkSession, dir: String): String =
+    "file://" + graft.TempRoots.memoized("graft_annidx", dir) { r =>
+      graft.sources.IvfPqIndex.create(s, "file://" + r,
+        Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+        dim = 64, nCells = 16, m = 16, pqK = 32, iters = 2,
+        trainSample = 2048)
+      graft.CacheScope.releaseAll()
+    }
+
   /** Drop every memoized pair stage and unpersist its blocks — bench
     * hygiene between runs; consumers recompute on next use. */
   def clearPairCache(): Unit = {
@@ -3146,8 +3161,13 @@ object PipelineQueries {
     // pruning — wave-sized cost, not corpus-sized; SCALING.md's
     // round-17 admission experiment measures it). Candidates still
     // generate by band-key join, corpus TEXT is fetched only for
-    // candidates, and the wave lands exactly-once on BOTH tables under
-    // the same epoch fence. Single-writer, per the admission contract.
+    // candidates, and the wave lands exactly-once on BOTH tables —
+    // under two INDEPENDENT epoch fences (queryIds 'ndb'/'ndbS'), so a
+    // crash between the two commits can leave them briefly divergent;
+    // replay CONVERGES because admission reads only the ledger and the
+    // recompute is deterministic (the replayed wave re-derives the
+    // same rows and each table's own fence no-ops whichever commit
+    // already landed). Single-writer, per the admission contract.
     // The oracle is q208's exact two-wave fixpoint replay, so a green
     // hash proves the pruned deployment reproduces the exact streaming
     // admission end to end (equal keys share their bucket — the pruned
@@ -3590,78 +3610,10 @@ object PipelineQueries {
     // 250-candidate shortlist).
     QueryDef("q244_ivfpq_served_refine",
       (s, dir) => {
-        val nCentroids = 16; val nProbe = 15
-        val m = 16; val pqK = 32; val dim = 64
-        val root = graft.TempRoots.memoized("graft_annidx", dir) { r =>
-          val emb = Tables.load(s, dir, "embeddings")
-          val trainSet = emb.orderBy(
-            graft.operators.Sampling.portableHash(col("vec_id"),
-              "pqtrain").asc, col("vec_id").asc).limit(2048)
-          val books = Similarity.pqCodebooks(trainSet, "vec_id",
-            "embedding", dim, m, pqK, iters = 2)
-          val codes = Similarity.pqEncode(emb, "vec_id", "embedding",
-            books, dim, m)
-          val assign = Similarity.ivfIndex(emb, "vec_id", "embedding",
-              nCentroids)
-            .select(col("vec_id").as("id"), col("centroid_id"))
-          Manifest.init(s, "file://" + r + "/codes",
-            codes.join(assign, Seq("id")),
-            partitionCols = Seq("centroid_id"))
-          Manifest.init(s, "file://" + r + "/books", books)
-          Manifest.init(s, "file://" + r + "/pivots",
-            emb.orderBy(pmod(xxhash64(col("vec_id")),
-                lit(1000000007L)).asc, col("vec_id").asc)
-              .limit(nCentroids)
-              .select(col("vec_id").as("pid"),
-                graft.functions.Vectors.toDouble(col("embedding"))
-                  .as("pv")))
-          graft.CacheScope.releaseAll()
-        }
         val emb = Tables.load(s, dir, "embeddings")
-        val qrow = broadcast(emb.filter(col("vec_id") === 7L)
-          .select(graft.functions.Vectors.toDouble(col("embedding"))
-            .as("qvec")))
-        // probe-cell selection: nCentroids pivot rows scored against
-        // the broadcast query vector, nProbe ids collected — bounded
-        // by contract (≤ nCentroids), the train-loop argmax class
-        val probeIds = Manifest.read(s, "file://" + root + "/pivots")
-          .crossJoin(qrow)
-          .select(col("pid"), coalesce(graft.functions.Vectors
-            .cosine(col("qvec"), col("pv")), lit(-2.0)).as("pc"))
-          .orderBy(col("pc").desc, col("pid").asc)
-          .limit(nProbe).collect().map(_.getLong(0)).toSeq
-        val books = Manifest.read(s, "file://" + root + "/books")
-        val qsub = broadcast(emb.filter(col("vec_id") === 7L)
-          .select(graft.functions.Vectors.toDouble(col("embedding"))
-            .as("qv"))
-          .select(posexplode(transform(sequence(lit(0), lit(m - 1)),
-            i => slice(col("qv"), i * (dim / m) + 1, lit(dim / m)))))
-          .toDF("m", "qsv"))
-        def l2s(a: Column, b: Column): Column =
-          aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-            lit(0.0), _ + _)
-        val lut = broadcast(books.join(qsub, Seq("m"))
-          .select(col("m"), col("cid").as("code"),
-            l2s(col("cv"), col("qsv")).as("pd")))
-        // THE PRUNED READ: partition filter on centroid_id — the
-        // unprobed cells' files never enter the plan
-        val shortlist = Manifest.read(s, "file://" + root + "/codes")
-          .filter(col("centroid_id").isin(probeIds: _*))
-          .filter(col("id") =!= 7L)
-          .join(lut, Seq("m", "code"))
-          .groupBy("id").agg(sum("pd").as("ad"))
-          .orderBy(col("ad").asc, col("id").asc)
-          .limit(25 * 10)
-        shortlist.select("id")
-          .join(emb.select(col("vec_id").as("id"),
-            graft.functions.Vectors.toDouble(col("embedding")).as("v")),
-            Seq("id"))
-          .crossJoin(qrow)
-          .select(col("id"),
-            round(l2s(col("v"), col("qvec")), 6).as("l2_dist"))
-          .orderBy(col("l2_dist").asc, col("id").asc)
-          .limit(10)
-          .select(col("id").as("vec_id"), col("l2_dist"))
+        graft.sources.IvfPqIndex.search(s, annIndexRoot(s, dir), emb,
+          emb.filter(col("vec_id") === 7L), "vec_id", "embedding",
+          "vec_id", topK = 10, nProbe = 15, refineFactor = 25)
       },
       Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
           FROM embeddings),
@@ -3692,6 +3644,56 @@ object PipelineQueries {
         Similarity.pqTopKRefinedBatch(emb, queries, "vec_id",
             "embedding", "vec_id", topK = 10, dim = 64,
             m = 16, k = 32, iters = 2, refineFactor = 25)
+          .orderBy("query_id", "l2_dist", "vec_id")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+        q AS (SELECT vec_id AS qid, v AS qv FROM e
+          WHERE vec_id IN (7, 59, 101, 167)),
+        s AS (SELECT q.qid, e.vec_id AS id,
+            round(list_reduce(list_transform(range(1, len(e.v) + 1),
+              i -> (e.v[i] - q.qv[i]) * (e.v[i] - q.qv[i])),
+              (acc, x) -> acc + x), 6) AS d
+          FROM e, q WHERE e.vec_id <> q.qid),
+        r AS (SELECT qid, id, d, row_number() OVER (PARTITION BY qid
+            ORDER BY d ASC, id ASC) AS rn FROM s)
+        SELECT qid AS query_id, id AS vec_id, d AS l2_dist
+        FROM r WHERE rn <= 10 ORDER BY query_id, l2_dist, vec_id""")),
+
+    // ---- X12 BATCHED SERVING FROM THE PERSISTED ANN ARTIFACT — the
+    // composition the round-17 verdict named as the missing production
+    // plan: q244 proved partition-pruned single-query serving from the
+    // persisted index, q245 proved batch amortization but re-trained,
+    // re-encoded and full-corpus-ADC-scanned per invocation (43.8 s at
+    // sf10, exp 0.81 — the unpruned-scan class). Here a query SET
+    // serves from the SAME memoized artifact q244 uses: probe
+    // selection is |Q|·nCells pivot arithmetic, the codes read
+    // partition-prunes to the UNION of probed cells and is read ONCE
+    // for the batch, each query ADCs only ITS probed cells (broadcast
+    // (qid, cell) pair join), per-query shortlists run the
+    // bounded-heap TopKPerGroup plan, and the exact re-rank joins
+    // shortlist rows only. Oracle = q245's EXACT per-query L2 top-10
+    // — per query the output must hash-equal the batch operator AND
+    // exact search, proving the artifact serve changed nothing.
+    // nProbe VALIDATED-THEN-PINNED at 16 (probe-all) ON THIS FIXTURE:
+    // AnnProbeCheck measures qid 167's true top-10 spanning ALL 16
+    // cells at sf0.01 (min_nprobe=16; the corpus is deliberately
+    // near-uniform — FIXTURES.md documents it as the adversarial
+    // recall case), so any partial probe would provably drop a true
+    // neighbor. The PLAN is still the pruned one (the isin over the
+    // probed-cell union is a real partition filter); the production
+    // pruning FRACTION is demonstrated by q251 on the clustered
+    // fixture, where nProbe ≪ nCells holds honestly. The batch's
+    // scale win over q245 is the artifact: no per-invocation codebook
+    // train or corpus encode — serving cost is ADC + shortlist
+    // re-rank only.
+    QueryDef("q250_ivfpq_served_batch",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        graft.sources.IvfPqIndex.searchBatch(s, annIndexRoot(s, dir),
+            emb, emb.filter(col("vec_id").isin(7L, 59L, 101L, 167L)),
+            "vec_id", "embedding", "vec_id", topK = 10, nProbe = 16,
+            refineFactor = 25)
           .orderBy("query_id", "l2_dist", "vec_id")
       },
       Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

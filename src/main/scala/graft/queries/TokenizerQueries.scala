@@ -1076,8 +1076,12 @@ object TokenizerQueries {
                   .join(packed, Seq("doc_id"), "left")
                 Manifest.commitStreamBatch(s, tbl, rows, "stbb", id)
                 // the wave's kept digests append to the bucketed
-                // ledger under the SAME epoch fence (a replayed wave
-                // no-ops on both tables)
+                // ledger under its OWN epoch fence ('stbbL', distinct
+                // from the table's 'stbb'): a crash between the two
+                // commits leaves them briefly divergent, but replay
+                // converges — admission reads only the ledger, the
+                // wave recompute is deterministic, and each fence
+                // no-ops its already-landed commit
                 graft.sources.PrefixLedger.commitWave(s, led,
                   cleaned.select(explode(col("chunk_digests"))
                       .as("digest"))

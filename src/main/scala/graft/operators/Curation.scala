@@ -884,24 +884,65 @@ object Curation {
   def distributionDrift(v1: DataFrame, v2: DataFrame, stratumCol: String,
                         valueCol: String, bucketWidth: Long,
                         numBuckets: Int): DataFrame = {
+    // strata from the RAW frames (not the histograms): a stratum whose
+    // rows are all NULL-valued still appears, with an all-smoothing
+    // (psi = 0) row — same shape a recompute would surface
+    val strata = v1.select(stratumCol).union(v2.select(stratumCol))
+      .distinct()
+    driftFromHists(
+      driftHistogram(v1, stratumCol, valueCol, bucketWidth, numBuckets),
+      driftHistogram(v2, stratumCol, valueCol, bucketWidth, numBuckets),
+      strata, stratumCol, numBuckets)
+  }
+
+  /** One snapshot's drift histogram — `(stratumCol, bucket, c)` with
+    * the SAME bucketing rule [[distributionDrift]] applies internally
+    * (fixed-width, overflow tail, NULL values excluded). This is the
+    * MAINTAINABLE form: counts are exact integers, so per-wave
+    * histograms SUM to the live table's histogram — a gate can carry
+    * it in a commit header (the VectorIndex pivot pattern) or a
+    * [[graft.sources.MaterializedAgg]] view and never rescan the
+    * corpus per invocation. */
+  def driftHistogram(df: DataFrame, stratumCol: String, valueCol: String,
+                     bucketWidth: Long, numBuckets: Int): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be > 0, got $bucketWidth")
     require(numBuckets >= 2, s"numBuckets must be >= 2, got $numBuckets")
-    val spark = v1.sparkSession
-    def hist(df: DataFrame, cnt: String) = df
-      .filter(col(valueCol).isNotNull)
+    df.filter(col(valueCol).isNotNull)
       .select(col(stratumCol),
         greatest(lit(0L), least(floor(col(valueCol).cast("double") /
           lit(bucketWidth.toDouble)), lit((numBuckets - 1).toLong)))
           .cast("int").as("bucket"))
-      .groupBy(stratumCol, "bucket").agg(count(lit(1)).as(cnt))
-    val strata = v1.select(stratumCol).union(v2.select(stratumCol))
+      .groupBy(stratumCol, "bucket").agg(count(lit(1)).as("c"))
+  }
+
+  /** [[distributionDrift]] from PRE-AGGREGATED histograms (the
+    * [[driftHistogram]] shape, `(stratumCol, bucket, c)`) — the
+    * stats-sized path for maintained/header-carried histograms.
+    * Strata = the union of both histograms'; a stratum whose rows are
+    * all NULL-valued is absent here (it carries no histogram mass and
+    * its PSI would be exactly 0 — pure smoothing on both sides), which
+    * is the one shape difference vs the raw-frame entry point. */
+  def distributionDriftHists(h1: DataFrame, h2: DataFrame,
+                             stratumCol: String,
+                             numBuckets: Int): DataFrame = {
+    val strata = h1.select(stratumCol).union(h2.select(stratumCol))
       .distinct()
+    driftFromHists(h1, h2, strata, stratumCol, numBuckets)
+  }
+
+  private def driftFromHists(h1: DataFrame, h2: DataFrame,
+                             strata: DataFrame, stratumCol: String,
+                             numBuckets: Int): DataFrame = {
+    require(numBuckets >= 2, s"numBuckets must be >= 2, got $numBuckets")
+    val spark = h1.sparkSession
     val buckets = spark.range(numBuckets)
       .select(col("id").cast("int").as("bucket"))
     val grid = strata.crossJoin(broadcast(buckets))
     val h = grid
-      .join(hist(v1, "_c1"), Seq(stratumCol, "bucket"), "left")
-      .join(hist(v2, "_c2"), Seq(stratumCol, "bucket"), "left")
+      .join(h1.select(col(stratumCol), col("bucket"), col("c").as("_c1")),
+        Seq(stratumCol, "bucket"), "left")
+      .join(h2.select(col(stratumCol), col("bucket"), col("c").as("_c2")),
+        Seq(stratumCol, "bucket"), "left")
       .na.fill(0L, Seq("_c1", "_c2"))
     val tot = h.groupBy(stratumCol)
       .agg(sum(col("_c1")).as("_n1"), sum(col("_c2")).as("_n2"))
@@ -921,5 +962,35 @@ object Curation {
         max(struct(col("_shift"), (-col("bucket")).as("_nb"))).as("_m"))
       .select(col(stratumCol), col("n_v1"), col("n_v2"), col("psi"),
         (-col("_m._nb")).cast("int").as("max_shift_bucket"))
+  }
+
+  /** Serialize a BOUNDED drift histogram into a commit-header string
+    * (`url(stratum):bucket:count;…` in sorted order — deterministic).
+    * The collect is |strata|·|buckets| rows, stats-sized by contract;
+    * strata must be non-null strings (a header key is not the place
+    * for a NULL-keyed group). */
+  def serializeHist(h: DataFrame): String = {
+    val enc = (s: String) =>
+      java.net.URLEncoder.encode(s, java.nio.charset.StandardCharsets.UTF_8)
+    h.collect().map { r =>
+      require(!r.isNullAt(0), "header histograms need non-null strata")
+      (r.getString(0), r.getInt(1), r.getLong(2))
+    }.sortBy { case (s, b, _) => (s, b) }
+      .map { case (s, b, c) => s"${enc(s)}:$b:$c" }.mkString(";")
+  }
+
+  /** Inverse of [[serializeHist]] — `(stratumCol, bucket, c)`. */
+  def parseHist(spark: org.apache.spark.sql.SparkSession, s: String,
+                stratumCol: String): DataFrame = {
+    import spark.implicits._
+    val dec = (x: String) =>
+      java.net.URLDecoder.decode(x, java.nio.charset.StandardCharsets.UTF_8)
+    val rows =
+      if (s.isEmpty) Seq.empty[(String, Int, Long)]
+      else s.split(";").toSeq.map { e =>
+        val p = e.split(":")
+        (dec(p(0)), p(1).toInt, p(2).toLong)
+      }
+    rows.toDF(stratumCol, "bucket", "c")
   }
 }

@@ -1689,19 +1689,22 @@ object Manifest {
     * }}} */
   def commitStreamBatch(spark: SparkSession, root: String, df: DataFrame,
                         queryId: String, batchId: Long,
-                        partitionCols: Seq[String] = Nil): Long = {
+                        partitionCols: Seq[String] = Nil,
+                        extraMeta: Map[String, String] = Map.empty): Long = {
     val metaKey = s"batch.$queryId"
     latestVersion(spark, root) match {
       case None =>
         require(latestVersion(spark, root).isEmpty, "race on init")
         publish(spark, root, 0L,
           writeCommit(spark, root, 1L, df, partitionCols),
-          schemaHeaders(df.schema, partitionCols) +
+          schemaHeaders(df.schema, partitionCols) ++ extraMeta +
             (metaKey -> batchId.toString))
       case Some(cur) =>
         val prev = readManifest(spark, root, cur)
         val already = prev.meta.get(metaKey).map(_.toLong)
-        if (already.exists(_ >= batchId)) cur // replayed batch: no-op
+        // replayed batch: no-op — extraMeta deliberately NOT applied
+        // (a header stat rides its wave's commit exactly once)
+        if (already.exists(_ >= batchId)) cur
         else {
           checkPartCols(prev, partitionCols)
           enforceConstraints(root, df, prev.meta)
@@ -1709,7 +1712,7 @@ object Manifest {
           // carry other queries' high-water marks forward
           publish(spark, root, cur, prev.entries ++ fresh,
             prev.meta ++ schemaHeaders(appendSchema(spark, root, prev, df.schema),
-              partitionCols) + (metaKey -> batchId.toString),
+              partitionCols) ++ extraMeta + (metaKey -> batchId.toString),
             prev.deletes)
         }
     }

@@ -8,6 +8,13 @@ import org.apache.spark.sql.functions._
   * `SELECT lang, source, count(*), sum(n_tokens) GROUP BY lang, source`
   * refreshed after each ingest without rescanning 100 TB.
   *
+  * Groups may be EXPRESSIONS (`derived` — e.g. a histogram bucket) and
+  * the view may cover only rows passing a deterministic `where`
+  * predicate; both persist in the header and re-apply identically on
+  * every refresh path, which is what lets a drift monitor's
+  * |sources|×|buckets| histogram (q233/q246's gate reference) live as
+  * a maintained view instead of a per-invocation corpus scan.
+  *
   * The view is itself a manifest table (time travel, atomic commits and
   * concurrent-reader isolation come for free), partitioned by a hash
   * bucket of the group key so a refresh rewrites only the buckets
@@ -85,11 +92,47 @@ object MaterializedAgg {
       aggs.tail: _*), groupCols, buckets)
   }
 
+  // ---- derived group columns + row predicate --------------------
+  // The view may group by EXPRESSIONS over the source (a histogram
+  // bucket, a date truncation) and maintain only rows passing a
+  // predicate — both persisted in the header (base64url so arbitrary
+  // SQL text survives the comma-separated meta conventions) and
+  // re-applied identically on every refresh path. Deterministic
+  // expressions only (the contract every maintained aggregate already
+  // has: a nondeterministic expr would make replay diverge).
+
+  private def b64(s: String): String =
+    java.util.Base64.getUrlEncoder.withoutPadding
+      .encodeToString(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  private def unb64(s: String): String =
+    new String(java.util.Base64.getUrlDecoder.decode(s),
+      java.nio.charset.StandardCharsets.UTF_8)
+
+  /** Apply the persisted predicate, then stamp the derived columns —
+    * the ONE projection every path (create, full recompute, file-diff
+    * delta, per-commit replay) routes source rows through. */
+  private def project(df: DataFrame, derived: Seq[(String, String)],
+                      where: Option[String]): DataFrame = {
+    val f = where.fold(df)(w => df.filter(expr(w)))
+    derived.foldLeft(f) { case (d, (n, e)) => d.withColumn(n, expr(e)) }
+  }
+
+  private def derivedOf(meta: Map[String, String])
+      : (Seq[(String, String)], Option[String]) = (
+    meta.get("mv.derived").filter(_.nonEmpty).fold(
+      Seq.empty[(String, String)])(_.split(",").toSeq.map { p =>
+        val a = p.split("\\.")
+        (unb64(a(0)), unb64(a(1)))
+      }),
+    meta.get("mv.where").map(unb64))
+
   private def stateMeta(srcRoot: String, groupCols: Seq[String],
                         sumCols: Seq[String], buckets: Int,
-                        base: Long): Map[String, String] = {
+                        base: Long,
+                        derived: Seq[(String, String)],
+                        where: Option[String]): Map[String, String] = {
     val reserved = Set(KeyCol, BucketCol, CountCol, "count")
-    (groupCols ++ sumCols).foreach { c =>
+    (groupCols ++ sumCols ++ derived.map(_._1)).foreach { c =>
       require(!c.contains(",") && !c.contains("\n"),
         s"materialized-agg column name '$c' must not contain ','")
       // internal alias namespaces (mv_*, sum_*, nn_*, d_*, __old_*)
@@ -100,25 +143,41 @@ object MaterializedAgg {
         s"materialized-agg column name '$c' collides with the view's " +
           "internal columns (mv_*/sum_*/nn_*/d_*/__old_*/count)")
     }
+    require(derived.map(_._1).distinct.size == derived.size,
+      "derived column names must be distinct")
     Map("mv.base" -> base.toString, "mv.src" -> srcRoot,
       "mv.group" -> groupCols.mkString(","),
       "mv.sum" -> sumCols.mkString(","),
-      "mv.buckets" -> buckets.toString)
+      "mv.buckets" -> buckets.toString) ++
+      (if (derived.isEmpty) Map.empty
+       else Map("mv.derived" -> derived.map { case (n, e) =>
+         s"${b64(n)}.${b64(e)}" }.mkString(","))) ++
+      where.map(w => "mv.where" -> b64(w))
   }
 
   /** Create the view at the source's current version (one full
-    * aggregate — the last full scan this view ever needs). */
+    * aggregate — the last full scan this view ever needs).
+    *
+    * `derived` = (name, deterministic SQL expr) columns stamped on the
+    * source rows BEFORE grouping (so `groupCols` may name them — e.g.
+    * a histogram bucket); `where` = a deterministic SQL predicate
+    * filtering which rows the view aggregates. Both persist in the
+    * header and re-apply identically on every refresh path. */
   def create(spark: SparkSession, srcRoot: String, mvRoot: String,
              groupCols: Seq[String], sumCols: Seq[String],
-             buckets: Int = 64): Long = {
+             buckets: Int = 64,
+             derived: Seq[(String, String)] = Nil,
+             where: Option[String] = None): Long = {
     require(groupCols.nonEmpty, "need at least one group column")
     require(buckets >= 1, "buckets must be >= 1")
     val head = Manifest.latestVersion(spark, srcRoot).getOrElse(
       throw new IllegalStateException(s"$srcRoot not initialized"))
-    val result = aggregateOf(Manifest.read(spark, srcRoot, Some(head)),
+    val result = aggregateOf(
+      project(Manifest.read(spark, srcRoot, Some(head)), derived, where),
       groupCols, sumCols, buckets)
     Manifest.init(spark, mvRoot, result, Seq(BucketCol),
-      extraMeta = stateMeta(srcRoot, groupCols, sumCols, buckets, head))
+      extraMeta = stateMeta(srcRoot, groupCols, sumCols, buckets, head,
+        derived, where))
   }
 
   /** The source version the view currently reflects. */
@@ -159,6 +218,7 @@ object MaterializedAgg {
     val groupCols = meta("mv.group").split(',').toSeq
     val sumCols = meta("mv.sum").split(',').toSeq.filter(_.nonEmpty)
     val buckets = meta("mv.buckets").toInt
+    val (derived, where) = derivedOf(meta)
     val srcHead = Manifest.latestVersion(spark, srcRoot).getOrElse(
       throw new IllegalStateException(s"$srcRoot not initialized"))
     if (srcHead == base) return mvHead
@@ -168,11 +228,13 @@ object MaterializedAgg {
 
     def full(): Long =
       Manifest.commitReplace(spark, mvRoot,
-        aggregateOf(Manifest.read(spark, srcRoot, Some(srcHead)),
+        aggregateOf(
+          project(Manifest.read(spark, srcRoot, Some(srcHead)),
+            derived, where),
           groupCols, sumCols, buckets),
         Seq(BucketCol),
         extraMeta = stateMeta(srcRoot, groupCols, sumCols, buckets,
-          srcHead))
+          srcHead, derived, where))
 
     // incremental contract: both snapshots resolvable, no pending
     // merge-on-read deletes at either end (row-level retractions are
@@ -196,12 +258,15 @@ object MaterializedAgg {
 
     plan match {
       case Some((added, removed)) =>
-        val plus = Manifest.readSubset(spark, srcRoot, srcHead, added)
+        val plus = project(
+            Manifest.readSubset(spark, srcRoot, srcHead, added),
+            derived, where)
           .withColumn("__sign", lit(1L))
         val changes =
           if (removed.isEmpty) plus
           else plus.unionByName(
-            Manifest.readSubset(spark, srcRoot, base, removed)
+            project(Manifest.readSubset(spark, srcRoot, base, removed),
+              derived, where)
               .withColumn("__sign", lit(-1L)),
             allowMissingColumns = true)
         applyDelta(spark, mvRoot, changes, groupCols, sumCols,
@@ -213,7 +278,9 @@ object MaterializedAgg {
               steps.foreach {
                 case Manifest.AppendStep(v, added) =>
                   applyDelta(spark, mvRoot,
-                    Manifest.readSubset(spark, srcRoot, v, added)
+                    project(
+                      Manifest.readSubset(spark, srcRoot, v, added),
+                      derived, where)
                       .withColumn("__sign", lit(1L)),
                     groupCols, sumCols, buckets, v)
                 case Manifest.DeleteStep(vPre, v, kc, paths) =>
@@ -231,9 +298,13 @@ object MaterializedAgg {
                       .option("version", vPre.toString).load(srcRoot)
                     catch { case scala.util.control.NonFatal(_) =>
                       Manifest.read(spark, srcRoot, Some(vPre)) }
-                  val minus = visible.join(broadcast(keys),
-                    kc.map(c => visible(c) <=> keys(c)).reduce(_ && _),
-                    "left_semi").withColumn("__sign", lit(-1L))
+                  // project AFTER the semi-join: the delete keys are
+                  // raw source columns the predicate may filter away
+                  val minus = project(
+                    visible.join(broadcast(keys),
+                      kc.map(c => visible(c) <=> keys(c)).reduce(_ && _),
+                      "left_semi"),
+                    derived, where).withColumn("__sign", lit(-1L))
                   applyDelta(spark, mvRoot, minus, groupCols, sumCols,
                     buckets, v)
               }

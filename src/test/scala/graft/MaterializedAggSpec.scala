@@ -174,4 +174,47 @@ class MaterializedAggSpec extends SparkSpec {
           Seq("lang"), Seq(bad))
       }
   }
+
+  test("derived group expressions + where predicate persist in the " +
+    "header and maintain across append, file-diff delta and MoR " +
+    "delete replay (the q233/q246 histogram shape)") {
+    val src = newRoot("src6")
+    val mv = newRoot("mv6")
+    def histRecompute() = Manifest.read(spark, src)
+      .filter(col("n").isNotNull)
+      .withColumn("bucket",
+        expr("cast(greatest(0, least(floor(n / 10.0), 3)) as int)"))
+      .groupBy("lang", "bucket").agg(count(lit(1)).as("mv_count"))
+      .as[(String, Int, Long)].collect().toSet
+    def histMv() = MaterializedAgg.read(spark, mv)
+      .select("lang", "bucket", "mv_count")
+      .as[(String, Int, Long)].collect().toSet
+    Manifest.init(spark, src,
+      Seq((1L, "en", Some(5L)), (2L, "en", Some(15L)),
+        (3L, "de", Some(99L)), (4L, "de", None))
+        .toDF("id", "lang", "n"))
+    MaterializedAgg.create(spark, src, mv,
+      groupCols = Seq("lang", "bucket"), sumCols = Nil, buckets = 4,
+      derived = Seq("bucket" ->
+        "cast(greatest(0, least(floor(n / 10.0), 3)) as int)"),
+      where = Some("n is not null"))
+    assert(histMv() == histRecompute())
+    assert(histMv() == Set(("en", 0, 1L), ("en", 1, 1L), ("de", 3, 1L)))
+
+    // append (file-diff path): new buckets appear, filtered rows don't
+    Manifest.commitAppend(spark, src,
+      Seq((5L, "en", Some(25L)), (6L, "fr", None))
+        .toDF("id", "lang", "n"))
+    MaterializedAgg.refresh(spark, src, mv)
+    assert(histMv() == histRecompute())
+    assert(!histMv().exists(_._1 == "fr"),
+      "an all-null-filtered stratum must not appear")
+
+    // MoR delete (replay path): the retraction routes through the
+    // same projection, so the derived bucket retracts exactly
+    Manifest.deleteByKeys(spark, src, Seq(2L).toDF("id"))
+    MaterializedAgg.refresh(spark, src, mv)
+    assert(histMv() == histRecompute())
+    assert(histMv() == Set(("en", 0, 1L), ("en", 2, 1L), ("de", 3, 1L)))
+  }
 }

@@ -35,9 +35,16 @@ object AnnProbeCheck {
     val qids: Seq[Long] =
       if (args.nonEmpty) args.toSeq.map(_.toLong)
       else Seq(7L, 59L, 101L, 167L)
-    val topK = 10; val nCells = 16
-    val nProbe = sys.env.getOrElse("SPARK_GRAFT_ANN_NPROBE", "15").toInt
-    val dim = 64; val m = 16; val pqK = 32; val iters = 2
+    // fixture=clustered → the q251 corpus (Fixtures.clusteredEmbeddings
+    // sized to the SF's embeddings count) at ITS registered settings
+    val clusteredMode =
+      sys.env.get("SPARK_GRAFT_ANN_FIXTURE").contains("clustered")
+    val topK = 10
+    val nCells = if (clusteredMode) 64 else 16
+    val nProbe = sys.env.getOrElse("SPARK_GRAFT_ANN_NPROBE",
+      if (clusteredMode) "8" else "15").toInt
+    val (dim, m, pqK) = if (clusteredMode) (16, 4, 32) else (64, 16, 32)
+    val iters = 2
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -47,7 +54,10 @@ object AnnProbeCheck {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val emb = Tables.load(spark, sfDir, "embeddings")
+    val emb =
+      if (clusteredMode) graft.sources.Fixtures.clusteredEmbeddings(
+        spark, Tables.load(spark, sfDir, "embeddings").count())
+      else Tables.load(spark, sfDir, "embeddings")
     val assign = Similarity.ivfIndex(emb, "vec_id", "embedding", nCells)
       .select(col("vec_id").as("id"), col("centroid_id")).persist()
     val pivots = Similarity.ivfPivots(emb, "vec_id", "embedding", nCells)
@@ -113,7 +123,9 @@ object AnnProbeCheck {
         max("probe_rank").as("min_nprobe"),
         max(coalesce(col("adc_rank"), lit(999999))).as("worst_adc_rank"))
       .orderBy("qid")
-    println(s"== AnnProbeCheck $sfDir topK=$topK nCells=$nCells " +
+    println(s"== AnnProbeCheck $sfDir fixture=" +
+      (if (clusteredMode) "clustered" else "embeddings") +
+      s" topK=$topK nCells=$nCells " +
       s"registered nProbe=$nProbe shortlist=${25 * topK} ==")
     report.collect().foreach { r =>
       println(s"qid=${r.get(0)} cells=${r.get(1)} " +

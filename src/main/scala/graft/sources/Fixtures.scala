@@ -145,4 +145,40 @@ object Fixtures {
     Lake.writeZone(customers(spark), root, Lake.Raw, "customers", fmt)
     Lake.writeZone(products(spark), root, Lake.Raw, "products", fmt)
   }
+
+  /** X3 fixture: a CLUSTERED embedding corpus — the data shape on
+    * which IVF partition pruning shows its production fraction
+    * (nProbe ≪ nCells), which the driver's deliberately near-uniform
+    * `embeddings` table cannot (its true top-k spans nearly every
+    * cell — FIXTURES.md documents that as the adversarial recall
+    * case).
+    *
+    * ENGINE-REPLAYABLE like every fixture here: no RNG —
+    * `cluster(id) = md5prefix32(id‖"|cl") mod nClusters`, and
+    * component j of vector id is
+    *
+    *   (md5u(cl‖"@"‖j‖"|cc")·2−1) + (md5u(id‖"@"‖j‖"|cn")·2−1)·eps
+    *
+    * with md5u = first-32-md5-bits / 2³², so every cluster is a tight
+    * eps-ball around a pseudo-random center in [−1,1)^dim and a DuckDB
+    * oracle regenerates the exact doubles (same IEEE ops in the same
+    * order — the portable-hash replay convention). */
+  def clusteredEmbeddings(spark: SparkSession, n: Long, dim: Int = 16,
+                          nClusters: Int = 64,
+                          eps: Double = 0.05): DataFrame = {
+    require(n > 0 && dim > 0 && nClusters > 0, "n, dim, nClusters > 0")
+    def md5u(c: Column): Column =
+      graft.functions.Native.md5Prefix32(c).cast("double") /
+        lit(4294967296.0)
+    val id = col("id")
+    val cl = pmod(graft.functions.Native.md5Prefix32(
+      concat(id.cast("string"), lit("|cl"))), lit(nClusters.toLong))
+    spark.range(n).select(id.as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)), j =>
+        (md5u(concat(cl.cast("string"), lit("@"), j.cast("string"),
+          lit("|cc"))) * lit(2.0) - lit(1.0)) +
+        (md5u(concat(id.cast("string"), lit("@"), j.cast("string"),
+          lit("|cn"))) * lit(2.0) - lit(1.0)) * lit(eps))
+        .as("embedding"))
+  }
 }

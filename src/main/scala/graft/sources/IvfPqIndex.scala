@@ -48,10 +48,19 @@ object IvfPqIndex {
 
   /** Build the artifact under `root` (a URI, e.g. "file:///tmp/x").
     * One bounded codebook train, one corpus encode, one map-only cell
-    * assignment, three commits. */
+    * assignment, three commits.
+    *
+    * `storeVectors` additionally commits the FULL vectors cell-
+    * partitioned (`root/vecs`) — the FAISS inverted-list-with-raw-
+    * vectors layout: the exact re-rank then reads vectors from the
+    * PROBED CELLS ONLY (shortlist ids live there by construction), so
+    * serving never touches an external vector store at all and the
+    * whole serve is partition-pruned end to end. Costs ~dim·8 bytes/
+    * row of index storage — the standard space-for-IO trade. */
   def create(spark: SparkSession, root: String, emb: DataFrame,
              idCol: String, vecCol: String, dim: Int, nCells: Int,
-             m: Int, pqK: Int, iters: Int, trainSample: Int): Unit = {
+             m: Int, pqK: Int, iters: Int, trainSample: Int,
+             storeVectors: Boolean = false): Unit = {
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     val trainSet =
       if (trainSample > 0)
@@ -66,10 +75,17 @@ object IvfPqIndex {
     Manifest.init(spark, s"$root/codes", codes.join(assign, Seq("id")),
       partitionCols = Seq("centroid_id"),
       extraMeta = Map("pq.dim" -> dim.toString, "pq.m" -> m.toString,
-        "pq.k" -> pqK.toString, "pq.cells" -> nCells.toString))
+        "pq.k" -> pqK.toString, "pq.cells" -> nCells.toString) ++
+        (if (storeVectors) Map("pq.vecs" -> "1") else Map.empty))
     Manifest.init(spark, s"$root/books", books)
     Manifest.init(spark, s"$root/pivots",
       Similarity.ivfPivots(emb, idCol, vecCol, nCells))
+    if (storeVectors)
+      Manifest.init(spark, s"$root/vecs",
+        emb.select(col(idCol).as("id"),
+            Vectors.toDouble(col(vecCol)).as("v"))
+          .join(assign, Seq("id")),
+        partitionCols = Seq("centroid_id"))
   }
 
   private def meta(spark: SparkSession, root: String)
@@ -89,18 +105,24 @@ object IvfPqIndex {
     * `queries` is `(queryIdCol, vecCol)`; `vectorStore` supplies the
     * full vectors for the exact re-rank (at 100 TB: the id-keyed
     * embedding table — the re-rank semi-joins refineFactor·topK rows
-    * per query into it, never a corpus pass). Rows with `id == qid`
-    * are excluded per query (self-match). Returns
-    * `(query_id, <idCol>, l2_dist)` — per-query the EXACT L2 top-k
-    * whenever each query's probed cells contain it (6-dp
-    * round-before-rank keys, the registry discipline). */
+    * per query into it, never a corpus pass). Pass `None` for an
+    * index built with `storeVectors`: the re-rank then reads vectors
+    * from the probed cells' own files (partition-pruned — serving is
+    * index-resident end to end). Rows with `id == qid` are excluded
+    * per query (self-match). Returns `(query_id, <idCol>, l2_dist)` —
+    * per-query the EXACT L2 top-k whenever each query's probed cells
+    * contain it (6-dp round-before-rank keys, the registry
+    * discipline). */
   def searchBatch(spark: SparkSession, root: String,
-                  vectorStore: DataFrame, queries: DataFrame,
+                  vectorStore: Option[DataFrame], queries: DataFrame,
                   idCol: String, vecCol: String, queryIdCol: String,
                   topK: Int, nProbe: Int, refineFactor: Int): DataFrame = {
     require(topK >= 1 && nProbe >= 1 && refineFactor >= 1,
       "topK, nProbe, refineFactor must all be >= 1")
     val mt = meta(spark, root)
+    require(vectorStore.isDefined || mt.contains("pq.vecs"),
+      s"$root stores no vectors (created without storeVectors) — " +
+        "pass the vector store for the exact re-rank")
     val dim = mt("pq.dim").toInt
     val m = mt("pq.m").toInt
     val subDim = dim / m
@@ -143,9 +165,16 @@ object IvfPqIndex {
       .groupBy("qid", "id").agg(sum("pd").as("ad"))
     val short = TopK.perGroup(scored, Seq("qid"),
       Seq(TopK.asc("ad"), TopK.asc("id")), refineFactor * topK)
-    // exact re-rank: shortlist-sized join into the vector store
-    val vmap = vectorStore.select(col(idCol).as("id"),
-      Vectors.toDouble(col(vecCol)).as("v"))
+    // exact re-rank: shortlist-sized join into the vector store — the
+    // external id-keyed table, or (index-resident) the probed cells'
+    // own vector files, pruned by the same union filter
+    val vmap = vectorStore match {
+      case Some(vs) => vs.select(col(idCol).as("id"),
+        Vectors.toDouble(col(vecCol)).as("v"))
+      case None => Manifest.read(spark, s"$root/vecs")
+        .filter(col("centroid_id").isin(unionCells: _*))
+        .select(col("id"), col("v"))
+    }
     TopK.perGroup(
       short.select("qid", "id")
         .join(vmap, Seq("id"))
@@ -160,7 +189,8 @@ object IvfPqIndex {
 
   /** Single-query serve — [[searchBatch]] with a one-row query set
     * (q244's plan shape), returning `(<idCol>, l2_dist)` ascending. */
-  def search(spark: SparkSession, root: String, vectorStore: DataFrame,
+  def search(spark: SparkSession, root: String,
+             vectorStore: Option[DataFrame],
              queries: DataFrame, idCol: String, vecCol: String,
              queryIdCol: String, topK: Int, nProbe: Int,
              refineFactor: Int): DataFrame =

@@ -34,7 +34,7 @@ class IvfPqIndexSpec extends SparkSpec {
     IvfPqIndex.create(spark, root, emb, "vec_id", "embedding",
       dim = 4, nCells = 3, m = 2, pqK = 4, iters = 1, trainSample = 0)
     val queries = emb.filter(col("vec_id").isin(0L, 10L, 20L))
-    val got = IvfPqIndex.searchBatch(spark, root, emb, queries,
+    val got = IvfPqIndex.searchBatch(spark, root, Some(emb), queries,
         "vec_id", "embedding", "vec_id", topK = 3, nProbe = 3,
         refineFactor = 4)
       .orderBy("query_id", "l2_dist", "vec_id")
@@ -67,7 +67,7 @@ class IvfPqIndexSpec extends SparkSpec {
     IvfPqIndex.create(spark, root, emb, "vec_id", "embedding",
       dim = 4, nCells = 3, m = 2, pqK = 4, iters = 2, trainSample = 0)
     val queries = emb.filter(col("vec_id").isin(10L, 21L))
-    val got = IvfPqIndex.searchBatch(spark, root, emb, queries,
+    val got = IvfPqIndex.searchBatch(spark, root, Some(emb), queries,
         "vec_id", "embedding", "vec_id", topK = 3, nProbe = 1,
         refineFactor = 4)
       .collect().groupBy(_.getLong(0))
@@ -82,7 +82,7 @@ class IvfPqIndexSpec extends SparkSpec {
     val root = newRoot("single")
     IvfPqIndex.create(spark, root, emb, "vec_id", "embedding",
       dim = 4, nCells = 3, m = 2, pqK = 4, iters = 1, trainSample = 0)
-    val got = IvfPqIndex.search(spark, root, emb,
+    val got = IvfPqIndex.search(spark, root, Some(emb),
         emb.filter(col("vec_id") === 0L), "vec_id", "embedding",
         "vec_id", topK = 5, nProbe = 3, refineFactor = 3)
       .select("vec_id").as[Long].collect().toSeq
@@ -100,7 +100,7 @@ class IvfPqIndexSpec extends SparkSpec {
     // files than the table holds (codes commit clustered by cell)
     val all = Manifest.read(spark, s"$root/codes").inputFiles.length
     val queries = emb.filter(col("vec_id") === 10L)
-    val served = IvfPqIndex.searchBatch(spark, root, emb, queries,
+    val served = IvfPqIndex.searchBatch(spark, root, Some(emb), queries,
       "vec_id", "embedding", "vec_id", topK = 3, nProbe = 1,
       refineFactor = 4)
     // pre-AQE physical plan: the codes scan is the only one whose
@@ -115,5 +115,33 @@ class IvfPqIndexSpec extends SparkSpec {
     assert(all >= 3, s"expected >=3 cell files, got $all")
     assert(planned > 0 && planned < all,
       s"probed scan planned $planned of $all files — pruning inactive")
+  }
+
+  test("index-resident vectors (storeVectors): vectorStore = None " +
+    "re-ranks from the probed cells' own files, row-equal to the " +
+    "external-store serve") {
+    val emb = directional()
+    val root = newRoot("resident")
+    IvfPqIndex.create(spark, root, emb, "vec_id", "embedding",
+      dim = 4, nCells = 3, m = 2, pqK = 4, iters = 2, trainSample = 0,
+      storeVectors = true)
+    val queries = emb.filter(col("vec_id").isin(10L, 21L))
+    def rows(vs: Option[org.apache.spark.sql.DataFrame]) =
+      IvfPqIndex.searchBatch(spark, root, vs, queries,
+          "vec_id", "embedding", "vec_id", topK = 3, nProbe = 1,
+          refineFactor = 4)
+        .orderBy("query_id", "l2_dist", "vec_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSeq
+    assert(rows(None) == rows(Some(emb)))
+    // an index without stored vectors refuses a None store loudly
+    val bare = newRoot("bare")
+    IvfPqIndex.create(spark, bare, emb, "vec_id", "embedding",
+      dim = 4, nCells = 3, m = 2, pqK = 4, iters = 1, trainSample = 0)
+    val e = intercept[IllegalArgumentException](
+      IvfPqIndex.searchBatch(spark, bare, None, queries,
+        "vec_id", "embedding", "vec_id", topK = 3, nProbe = 3,
+        refineFactor = 4))
+    assert(e.getMessage.contains("storeVectors"), e.getMessage)
   }
 }

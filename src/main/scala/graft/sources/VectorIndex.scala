@@ -340,6 +340,83 @@ object VectorIndex {
     meta.getOrElse("vidx.payload", "").split(",").toSeq
       .filter(_.nonEmpty)
 
+  /** Per-cell row counts from MANIFEST METADATA alone — the entries'
+    * partition paths + their footer-derived row stats, zero data IO
+    * (the property that makes this a planning stat a scheduler can
+    * poll every commit). Cells with no files report 0. Pending
+    * merge-on-read deletes OVERCOUNT until compaction folds them —
+    * fine for a rebuild trigger, not an exact count. */
+  def occupancy(spark: SparkSession, indexRoot: String)
+      : Seq[(Int, Long)] = {
+    val (meta, head) = stateAt(spark, indexRoot)
+    val nCells = meta("vidx.cells").toInt
+    val cellRe = s"""(?:^|/)$CellCol=(-?\\d+)/""".r
+    val counted = Manifest.snapshotMeta(spark, indexRoot, head).entries
+      .groupBy(e => cellRe.findFirstMatchIn(e.path).map(_.group(1).toInt)
+        .getOrElse(-1))
+      .view.mapValues(_.map(_.fileStats.map(_.rows).getOrElse(0L)).sum)
+      .toMap
+    (0 until nCells).map(c => c -> counted.getOrElse(c, 0L))
+  }
+
+  /** Occupancy skew = max cell rows / mean cell rows (mean over ALL
+    * nCells, empty cells included) — 1.0 is perfectly balanced; a
+    * skewed index probes its hot cell's oversized files on most
+    * queries, which is what [[repivot]] re-trains away. */
+  def occupancySkew(spark: SparkSession, indexRoot: String): Double = {
+    val occ = occupancy(spark, indexRoot)
+    val total = occ.map(_._2).sum
+    if (total == 0L) 1.0
+    else occ.map(_._2).max.toDouble / (total.toDouble / occ.size)
+  }
+
+  /** THREE-PHASE RE-PIVOT behind an [[IndexAlias]] — the q188/q228
+    * serving discipline applied to IVF pivot drift: after heavy
+    * appends the create-time pivots no longer reflect the corpus and
+    * cell occupancy skews, degrading probe cost; this re-trains the
+    * pivots on the CURRENT rows by rebuilding at `newRoot` (phase 1 —
+    * the old index keeps serving), then atomically swaps the alias
+    * (phase 2); the old root stays readable for in-flight queries
+    * until vacuumed (phase 3). Contents are exactly the old index's
+    * rows (a rebuild moves cell MEMBERSHIP, never membership of the
+    * index itself); probe-all answers are therefore unchanged.
+    *
+    * Rebuild source: a manifest-sourced index rebuilds from its
+    * source's head (exact vectors); a frame-built index rebuilds from
+    * its own stored vectors — unless SQ8-quantized, where stored
+    * vectors are lossy reconstructions and a silent re-code would
+    * drift: that case refuses loudly (rebuild from the original
+    * vector table instead). Returns the new root. */
+  def repivot(spark: SparkSession, aliasRoot: String,
+              newRoot: String): String = {
+    val oldRoot = IndexAlias.resolve(spark, aliasRoot)
+    val (meta, head) = stateAt(spark, oldRoot)
+    val nCells = meta("vidx.cells").toInt
+    val payload = payloadOf(meta)
+    val idCol = meta("vidx.id"); val vecCol = meta("vidx.vec")
+    meta.get("vidx.src") match {
+      case Some(src) =>
+        val srcHead = Manifest.latestVersion(spark, src).getOrElse(
+          throw new IllegalStateException(s"$src not initialized"))
+        build(spark, newRoot, Manifest.read(spark, src, Some(srcHead)),
+          idCol, vecCol, nCells, payload,
+          Map("vidx.src" -> src, "vidx.base" -> srcHead.toString),
+          replace = false, quantize = meta.contains("vidx.sq"))
+      case None =>
+        require(!meta.contains("vidx.sq"),
+          s"$oldRoot is SQ8-quantized and frame-built: stored vectors " +
+            "are lossy reconstructions — rebuild from the original " +
+            "vector table with create() instead of repivot()")
+        val rows = Manifest.read(spark, oldRoot, Some(head))
+          .select(col("id").as(idCol) +: col("v").as(vecCol) +:
+            payload.map(col): _*)
+        build(spark, newRoot, rows, idCol, vecCol, nCells, payload,
+          Map.empty, replace = false)
+    }
+    IndexAlias.set(spark, aliasRoot, newRoot)
+    newRoot
+  }
+
   /** ANN search for an EXTERNAL query vector: probe the `nProbe` cells
     * whose pivots are nearest the query (driver arithmetic over the
     * header pivots — zero IO), then a partition-pruned scan of those

@@ -311,4 +311,47 @@ class VectorIndexSpec extends SparkSpec {
       k = 2, nProbe = 2).select("id").as[Long].collect().toSeq
     assert(got.nonEmpty && got.forall(_ <= 6))
   }
+
+  test("occupancy is metadata-only and exact; repivot behind the " +
+    "alias preserves contents and probe-all answers, re-trains cells") {
+    val base = "file://" + java.nio.file.Files
+      .createTempDirectory("graft-vidx-repivot").toString
+    val alias = s"$base/alias"
+    VectorIndex.create(spark, s"$base/v1", emb, "vec_id", "embedding",
+      nCells = 3)
+    graft.sources.IndexAlias.set(spark, alias, s"$base/v1")
+    // metadata occupancy == the real per-cell counts
+    val occ = VectorIndex.occupancy(spark, s"$base/v1").toMap
+    val real = Manifest.read(spark, s"$base/v1")
+      .groupBy("cell").count()
+      .as[(Int, Long)].collect().toMap
+    assert((0 until 3).forall(c =>
+      occ(c) == real.getOrElse(c, 0L)), s"occ=$occ real=$real")
+    // flood one direction → skew rises above the trigger
+    val flood = (100L to 140L).map(i =>
+      (i, Array(0.9f + (i % 7) * 0.001f, 0.1f))).toDF("vec_id", "embedding")
+    VectorIndex.append(spark, s"$base/v1", flood, "vec_id", "embedding")
+    val skewBefore = VectorIndex.occupancySkew(spark, s"$base/v1")
+    assert(skewBefore > 1.5, s"skew $skewBefore")
+    def ans() = graft.sources.IndexAlias.searchVector(spark, alias,
+        Array(0.9, 0.1), k = 8, nProbe = 3)
+      .collect().map(r => (r.getLong(0),
+        math.rint(r.getDouble(1) * 1e6) / 1e6)).toSeq
+    val before = ans()
+    val idsBefore = Manifest.read(spark, s"$base/v1").select("id")
+      .as[Long].collect().sorted.toSeq
+    VectorIndex.repivot(spark, alias, s"$base/v2")
+    assert(graft.sources.IndexAlias.resolve(spark, alias) == s"$base/v2")
+    val idsAfter = Manifest.read(spark, s"$base/v2").select("id")
+      .as[Long].collect().sorted.toSeq
+    assert(idsAfter == idsBefore)
+    assert(ans() == before, "probe-all answers moved under repivot")
+    // quantized frame-built index refuses a lossy self-rebuild
+    VectorIndex.create(spark, s"$base/q1", emb, "vec_id", "embedding",
+      nCells = 3, quantize = true)
+    graft.sources.IndexAlias.set(spark, s"$base/qalias", s"$base/q1")
+    val e = intercept[IllegalArgumentException](
+      VectorIndex.repivot(spark, s"$base/qalias", s"$base/q2"))
+    assert(e.getMessage.contains("lossy"), e.getMessage)
+  }
 }

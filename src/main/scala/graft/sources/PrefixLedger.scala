@@ -87,23 +87,44 @@ object PrefixLedger {
 
   /** Exactly-once append of a wave's keys. `rows` must already carry
     * [[BucketCol]]; the commit clusters on it so each touched bucket
-    * lands in O(1) files per wave (compaction folds waves together
-    * later, like any other manifest table). */
+    * lands in O(1) files per wave. STEADY-STATE HYGIENE: N waves × one
+    * file per touched bucket accumulate small files that inflate every
+    * later probe's IO — pass `compactEvery` > 0 to fold them back
+    * together with [[compact]] every that-many ledger versions
+    * (probe RESULTS are byte-identical; only file count changes). */
   def commitWave(spark: SparkSession, root: String, rows: DataFrame,
-                 queryId: String, batchId: Long): Long = {
+                 queryId: String, batchId: Long,
+                 compactEvery: Int = 0): Long = {
     require(rows.columns.contains(BucketCol),
       s"ledger rows must carry a '$BucketCol' column")
     val prev = spark.conf.getOption("spark.graft.manifest.write.clustered")
     spark.conf.set("spark.graft.manifest.write.clustered", "true")
-    try Manifest.commitStreamBatch(spark, root, rows, queryId, batchId,
-      partitionCols = Seq(BucketCol))
-    finally prev match {
-      case Some(v) =>
-        spark.conf.set("spark.graft.manifest.write.clustered", v)
-      case None =>
-        spark.conf.unset("spark.graft.manifest.write.clustered")
-    }
+    val v =
+      try Manifest.commitStreamBatch(spark, root, rows, queryId, batchId,
+        partitionCols = Seq(BucketCol))
+      finally prev match {
+        case Some(pv) =>
+          spark.conf.set("spark.graft.manifest.write.clustered", pv)
+        case None =>
+          spark.conf.unset("spark.graft.manifest.write.clustered")
+      }
+    if (compactEvery > 0 && v % compactEvery == 0) compact(spark, root)
+    else v
   }
+
+  /** Ledger maintenance — the manifest OPTIMIZE applied to the wave
+    * tail: rewrite the accumulated per-wave small files into healthy
+    * ones (partition layout preserved — every output file still lands
+    * in ONE bucket dir, so the probe's partition pruning is
+    * untouched), healthy files carry forward by reference. Admission
+    * decisions are unaffected (same rows, fewer files); run
+    * [[Manifest.vacuum]] afterwards to reclaim the rewritten
+    * originals. Thresholds default low: ledger rows are narrow digest
+    * strings — a few MB per bucket is already healthy. */
+  def compact(spark: SparkSession, root: String,
+              smallBytes: Long = 4L * 1024 * 1024,
+              targetBytes: Long = 16L * 1024 * 1024): Long =
+    Manifest.compact(spark, root, smallBytes, targetBytes)
 
   /** Bucket-pruned probe: the ledger rows whose bucket appears in
     * `waveBuckets` (a one-column frame of [[BucketCol]] values — pass

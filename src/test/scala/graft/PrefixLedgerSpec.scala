@@ -91,4 +91,48 @@ class PrefixLedgerSpec extends SparkSpec {
     PrefixLedger.commitWave(spark, root, wave, "q", 0L) // replay
     assert(Manifest.read(spark, root).count() == 3)
   }
+
+  test("compaction folds the wave tail: probe rows byte-identical, " +
+    "strictly fewer files, bucket layout (and pruning) preserved") {
+    val root = tmp()
+    val nb = 4
+    def keyed(lo: Int, hi: Int) = (lo to hi).map(i => s"k_$i")
+      .toDF("digest")
+      .withColumn(PrefixLedger.BucketCol,
+        PrefixLedger.digestBucket(col("digest"), nb))
+    PrefixLedger.init(spark, root, keyed(0, 99))
+    // 6 waves, each touching every bucket → 6-7 small files per bucket
+    for (w <- 1 to 6)
+      PrefixLedger.commitWave(spark, root, keyed(w * 100, w * 100 + 99),
+        "cw", w.toLong)
+    val wave = keyed(0, 699).select(PrefixLedger.BucketCol).distinct()
+    val beforeRows = PrefixLedger.probe(spark, root, wave).get
+      .select("digest").as[String].collect().sorted.toSeq
+    val filesBefore = Manifest.read(spark, root).inputFiles.length
+    val v = PrefixLedger.compact(spark, root,
+      smallBytes = 4L * 1024 * 1024)
+    assert(v > 7, "compaction must commit a new version")
+    val filesAfter = Manifest.read(spark, root).inputFiles.length
+    assert(filesAfter < filesBefore,
+      s"$filesAfter files after vs $filesBefore before")
+    val afterRows = PrefixLedger.probe(spark, root, wave).get
+      .select("digest").as[String].collect().sorted.toSeq
+    assert(afterRows == beforeRows)
+    // layout preserved: a single-bucket probe still partition-prunes
+    val one = PrefixLedger.probe(spark, root,
+      Seq(1).toDF(PrefixLedger.BucketCol)).get
+    assert(one.count() ==
+      Manifest.read(spark, root)
+        .filter(col(PrefixLedger.BucketCol) === 1).count())
+
+    // compactEvery fires on schedule from commitWave itself
+    val root2 = tmp()
+    PrefixLedger.init(spark, root2, keyed(0, 99))
+    for (w <- 1 to 5)
+      PrefixLedger.commitWave(spark, root2,
+        keyed(w * 100, w * 100 + 99), "cw", w.toLong, compactEvery = 3)
+    // versions: init=1, waves 2..6; compact fires at v3 and v6 → >6
+    assert(Manifest.latestVersion(spark, root2).get > 6L)
+    assert(Manifest.read(spark, root2).count() == 600)
+  }
 }

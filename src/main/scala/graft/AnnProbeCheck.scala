@@ -40,10 +40,10 @@ object AnnProbeCheck {
     val clusteredMode =
       sys.env.get("SPARK_GRAFT_ANN_FIXTURE").contains("clustered")
     val topK = 10
-    val nCells = if (clusteredMode) 64 else 16
     val nProbe = sys.env.getOrElse("SPARK_GRAFT_ANN_NPROBE",
       if (clusteredMode) "8" else "15").toInt
-    val (dim, m, pqK) = if (clusteredMode) (16, 4, 32) else (64, 16, 32)
+    val (dim, m0, pqK) = if (clusteredMode) (16, 4, 32) else (64, 16, 32)
+    val m = sys.env.getOrElse("SPARK_GRAFT_ANN_M", m0.toString).toInt
     val iters = 2
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -54,10 +54,12 @@ object AnnProbeCheck {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val emb =
-      if (clusteredMode) graft.sources.Fixtures.clusteredEmbeddings(
-        spark, Tables.load(spark, sfDir, "embeddings").count())
-      else Tables.load(spark, sfDir, "embeddings")
+    val (emb, nCells) =
+      if (clusteredMode) {
+        val n = Tables.load(spark, sfDir, "embeddings").count()
+        (graft.sources.Fixtures.clusteredEmbeddings(spark, n),
+          graft.sources.Fixtures.scaledClusters(n)) // cells ≡ clusters
+      } else (Tables.load(spark, sfDir, "embeddings"), 16)
     val assign = Similarity.ivfIndex(emb, "vec_id", "embedding", nCells)
       .select(col("vec_id").as("id"), col("centroid_id")).persist()
     val pivots = Similarity.ivfPivots(emb, "vec_id", "embedding", nCells)

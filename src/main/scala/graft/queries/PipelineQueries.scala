@@ -3717,10 +3717,13 @@ object PipelineQueries {
     // production win never showed on any fixture. This corpus is the
     // production shape: Fixtures.clusteredEmbeddings (engine-
     // replayable md5 centers + eps-noise, sized to the SF's embeddings
-    // count), where AnnProbeCheck MEASURES the true top-10 spanning
-    // 1-3 of 64 cells and min covering nProbe ≤ 7 at every tested SF
-    // (worst ADC rank ≤ 40 of the 250 shortlist) → nProbe PINS at 8:
-    // the serve reads 8/64 = 12.5% of the corpus cells' files. The
+    // count; cluster count on the IVF sizing rule, ~128 docs/cluster),
+    // where AnnProbeCheck MEASURES the true top-10 spanning 1-3 cells
+    // and min covering nProbe ≤ 7 at every tested scale (worst ADC
+    // rank ≤ 115 of the 250 shortlist) → nProbe PINS at 8: the serve
+    // reads 8/64 = 12.5% of the cells' files at the driver SFs and
+    // 8/1562 = 0.5% at sf10 — the fraction SHRINKS as the corpus
+    // grows, which is the production story. The
     // index stores its vectors CELL-PARTITIONED (storeVectors — the
     // FAISS inverted-list-with-raw-vectors layout), so the exact
     // re-rank also reads only probed cells: serving is index-resident
@@ -3732,10 +3735,17 @@ object PipelineQueries {
       (s, dir) => {
         val n = Tables.load(s, dir, "embeddings").count()
         val emb = graft.sources.Fixtures.clusteredEmbeddings(s, n)
+        // cells ≡ clusters, both on the IVF sizing rule (population
+        // per cell stays ~128 as n grows): a fixed 250-row shortlist
+        // then covers the query's whole cluster at EVERY scale —
+        // AnnProbeCheck measures worst ADC rank exploding (295 at
+        // sf1, 2597 at sf10) under a FIXED 64-cell layout, the
+        // textbook failure this rule exists to prevent
+        val nCells = graft.sources.Fixtures.scaledClusters(n)
         val root = "file://" + graft.TempRoots.memoized("graft_annclust",
           dir) { r =>
           graft.sources.IvfPqIndex.create(s, "file://" + r, emb,
-            "vec_id", "embedding", dim = 16, nCells = 64, m = 4,
+            "vec_id", "embedding", dim = 16, nCells = nCells, m = 4,
             pqK = 32, iters = 2, trainSample = 2048,
             storeVectors = true)
           graft.CacheScope.releaseAll()
@@ -3748,7 +3758,8 @@ object PipelineQueries {
           FROM embeddings),
         cls AS (SELECT id,
             CAST(('0x' || substr(md5(CAST(id AS VARCHAR) || '|cl'),
-              1, 8)) AS UBIGINT) % 64 AS cl
+              1, 8)) AS UBIGINT) % (SELECT CAST(greatest(64,
+                count(*) // 128) AS UBIGINT) FROM embeddings) AS cl
           FROM ids),
         dims AS (SELECT CAST(r.j AS INT) AS j FROM range(16) r(j)),
         comp AS (SELECT id, j,

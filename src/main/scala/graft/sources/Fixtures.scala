@@ -162,17 +162,28 @@ object Fixtures {
     * with md5u = first-32-md5-bits / 2³², so every cluster is a tight
     * eps-ball around a pseudo-random center in [−1,1)^dim and a DuckDB
     * oracle regenerates the exact doubles (same IEEE ops in the same
-    * order — the portable-hash replay convention). */
+    * order — the portable-hash replay convention).
+    *
+    * Default cluster count = [[scaledClusters]]: population per
+    * cluster stays ~128 as n grows — the IVF sizing rule (cells
+    * constant-sized, cell COUNT grows with the corpus), which is what
+    * keeps a fixed refineFactor·k ADC shortlist sufficient at every
+    * scale (a tight cluster is indistinguishable to PQ codes, so the
+    * shortlist must cover the query's whole cluster: bounded
+    * population ⇒ bounded shortlist). */
+  def scaledClusters(n: Long): Int = math.max(64L, n / 128L).toInt
+
   def clusteredEmbeddings(spark: SparkSession, n: Long, dim: Int = 16,
-                          nClusters: Int = 64,
+                          nClusters: Int = 0,
                           eps: Double = 0.05): DataFrame = {
-    require(n > 0 && dim > 0 && nClusters > 0, "n, dim, nClusters > 0")
+    val nCl = if (nClusters > 0) nClusters else scaledClusters(n)
+    require(n > 0 && dim > 0, "n, dim > 0")
     def md5u(c: Column): Column =
       graft.functions.Native.md5Prefix32(c).cast("double") /
         lit(4294967296.0)
     val id = col("id")
     val cl = pmod(graft.functions.Native.md5Prefix32(
-      concat(id.cast("string"), lit("|cl"))), lit(nClusters.toLong))
+      concat(id.cast("string"), lit("|cl"))), lit(nCl.toLong))
     spark.range(n).select(id.as("vec_id"),
       transform(sequence(lit(0), lit(dim - 1)), j =>
         (md5u(concat(cl.cast("string"), lit("@"), j.cast("string"),

@@ -42,6 +42,12 @@ object AnnProbeCheck {
     val topK = 10
     val nProbe = sys.env.getOrElse("SPARK_GRAFT_ANN_NPROBE",
       if (clusteredMode) "8" else "15").toInt
+    // shortlist bound = refineFactor·topK, with refineFactor a
+    // per-query REGISTERED setting — read it like nProbe/m so a
+    // re-tune can't leave this main printing stale verdicts
+    val refineFactor =
+      sys.env.getOrElse("SPARK_GRAFT_ANN_REFINE", "25").toInt
+    val shortlist = refineFactor * topK
     val (dim, m0, pqK) = if (clusteredMode) (16, 4, 32) else (64, 16, 32)
     val m = sys.env.getOrElse("SPARK_GRAFT_ANN_M", m0.toString).toInt
     val iters = 2
@@ -128,11 +134,11 @@ object AnnProbeCheck {
     println(s"== AnnProbeCheck $sfDir fixture=" +
       (if (clusteredMode) "clustered" else "embeddings") +
       s" topK=$topK nCells=$nCells " +
-      s"registered nProbe=$nProbe shortlist=${25 * topK} ==")
+      s"registered nProbe=$nProbe shortlist=$shortlist ==")
     report.collect().foreach { r =>
       println(s"qid=${r.get(0)} cells=${r.get(1)} " +
         s"min_nprobe=${r.get(2)} worst_adc_rank=${r.get(3)}" +
-        (if (r.getInt(2) > nProbe || r.getInt(3) > 250)
+        (if (r.getInt(2) > nProbe || r.getInt(3) > shortlist)
           "  <-- VIOLATES REGISTERED PIN" else ""))
     }
     spark.stop()

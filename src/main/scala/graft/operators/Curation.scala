@@ -918,10 +918,15 @@ object Curation {
   /** [[distributionDrift]] from PRE-AGGREGATED histograms (the
     * [[driftHistogram]] shape, `(stratumCol, bucket, c)`) — the
     * stats-sized path for maintained/header-carried histograms.
-    * Strata = the union of both histograms'; a stratum whose rows are
-    * all NULL-valued is absent here (it carries no histogram mass and
-    * its PSI would be exactly 0 — pure smoothing on both sides), which
-    * is the one shape difference vs the raw-frame entry point. */
+    * Strata = the union of both histograms'. NULL-`bucket` rows are
+    * ACCEPTED and carry stratum MEMBERSHIP but no mass (they never
+    * match the 0..numBuckets-1 grid): a maintained view that buckets
+    * without a non-null predicate (NULL values → NULL bucket) then
+    * reproduces the raw-frame entry point EXACTLY — a stratum whose
+    * rows are all NULL-valued still surfaces, as the same smoothing-
+    * only psi=0 row [[distributionDrift]] emits. Feed histograms that
+    * DROP null-valued rows entirely and such strata are absent — the
+    * one shape difference to avoid when an oracle replays raw frames. */
   def distributionDriftHists(h1: DataFrame, h2: DataFrame,
                              stratumCol: String,
                              numBuckets: Int): DataFrame = {

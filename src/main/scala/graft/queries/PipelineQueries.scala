@@ -3816,8 +3816,12 @@ object PipelineQueries {
         def md5u(c: Column): Column =
           graft.functions.Native.md5Prefix32(c).cast("double") /
             lit(4294967296.0)
+        // flood ids offset past the LIVE max id (q246 discipline —
+        // a flat +1e6 would collide with a >=1M-row corpus and break
+        // the unique-id precondition contents_equal relies on)
+        val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
         val flood = emb.filter(col("vec_id") % 3 === 0)
-          .select((col("vec_id") + 1000000L).as("vec_id"))
+          .select((col("vec_id") + lit(maxId + 1000000L)).as("vec_id"))
           .crossJoin(v7)
           .select(col("vec_id"), transform(col("base"), (x, i) =>
             x + (md5u(concat(col("vec_id").cast("string"), lit("@"),
@@ -3862,13 +3866,14 @@ object PipelineQueries {
       Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
           FROM embeddings),
         q AS (SELECT v AS qv FROM e WHERE vec_id = 7),
-        fl AS (SELECT e.vec_id + 1000000 AS vec_id,
+        mx AS (SELECT max(vec_id) AS m FROM e),
+        fl AS (SELECT e.vec_id + mx.m + 1000000 AS vec_id,
             list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] +
-              (CAST(('0x' || substr(md5(CAST(e.vec_id + 1000000
+              (CAST(('0x' || substr(md5(CAST(e.vec_id + mx.m + 1000000
                   AS VARCHAR) || '@' || CAST(i - 1 AS VARCHAR)
                   || '|rp'), 1, 8)) AS UBIGINT)
                 / 4294967296.0 * 2.0 - 1.0) * 0.01) AS v
-          FROM e, q WHERE e.vec_id % 3 = 0),
+          FROM e, q, mx WHERE e.vec_id % 3 = 0),
         au AS (SELECT vec_id, v FROM e UNION ALL SELECT vec_id, v FROM fl),
         n AS (SELECT count(*) AS n_index FROM au)
         SELECT vec_id, round(cosine, 6) AS cosine,
@@ -3928,8 +3933,13 @@ object PipelineQueries {
             buckets = 8,
             derived = Seq("bucket" ->
               ("cast(greatest(0, least(floor(n_chars / 256.0), 7)) " +
-                "as int)")),
-            where = Some("n_chars is not null"))
+                "as int)")))
+          // NO non-null predicate: NULL n_chars rows land in a NULL
+          // bucket group the view maintains — zero mass (the drift
+          // grid never matches bucket NULL) but stratum MEMBERSHIP,
+          // so a source whose rows are ALL null still surfaces with
+          // the smoothing-only psi=0 row the raw-frame path (and the
+          // oracle, which derives strata from raw documents) emits
           Manifest.init(s, "file://" + r + "/hist_v1",
             graft.sources.MaterializedAgg.read(s,
               "file://" + r + "/hist"))

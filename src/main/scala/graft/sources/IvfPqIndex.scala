@@ -72,11 +72,12 @@ object IvfPqIndex {
     val codes = Similarity.pqEncode(emb, idCol, vecCol, books, dim, m)
     val assign = Similarity.ivfIndex(emb, idCol, vecCol, nCells)
       .select(col(idCol).as("id"), col("centroid_id"))
-    Manifest.init(spark, s"$root/codes", codes.join(assign, Seq("id")),
-      partitionCols = Seq("centroid_id"),
-      extraMeta = Map("pq.dim" -> dim.toString, "pq.m" -> m.toString,
-        "pq.k" -> pqK.toString, "pq.cells" -> nCells.toString) ++
-        (if (storeVectors) Map("pq.vecs" -> "1") else Map.empty))
+    // commit ORDER is the crash-safety contract: books/pivots/vecs
+    // land first, the codes header — the discovery flag meta() keys
+    // on — LAST. A crash mid-create then leaves a root meta()
+    // REFUSES (no pq.dim header yet) instead of a half-artifact
+    // whose serve would fail late or, worse, partially answer.
+    // meta() additionally re-verifies the component tables resolve.
     Manifest.init(spark, s"$root/books", books)
     Manifest.init(spark, s"$root/pivots",
       Similarity.ivfPivots(emb, idCol, vecCol, nCells))
@@ -86,6 +87,11 @@ object IvfPqIndex {
             Vectors.toDouble(col(vecCol)).as("v"))
           .join(assign, Seq("id")),
         partitionCols = Seq("centroid_id"))
+    Manifest.init(spark, s"$root/codes", codes.join(assign, Seq("id")),
+      partitionCols = Seq("centroid_id"),
+      extraMeta = Map("pq.dim" -> dim.toString, "pq.m" -> m.toString,
+        "pq.k" -> pqK.toString, "pq.cells" -> nCells.toString) ++
+        (if (storeVectors) Map("pq.vecs" -> "1") else Map.empty))
   }
 
   private def meta(spark: SparkSession, root: String)
@@ -95,6 +101,16 @@ object IvfPqIndex {
     val m = Manifest.snapshotMeta(spark, s"$root/codes", head).meta
     require(m.contains("pq.dim"),
       s"$root/codes is not an IVF-PQ artifact (no pq.dim header)")
+    // component tables must resolve before the artifact serves —
+    // guards a root whose create crashed mid-way (or was partially
+    // copied): cheap manifest-head reads, no data IO
+    val parts = Seq("books", "pivots") ++
+      (if (m.contains("pq.vecs")) Seq("vecs") else Nil)
+    parts.foreach { t =>
+      require(Manifest.latestVersion(spark, s"$root/$t").isDefined,
+        s"$root is an incomplete IVF-PQ artifact: $root/$t missing " +
+          "(create crashed mid-way?) — rebuild before serving")
+    }
     m
   }
 

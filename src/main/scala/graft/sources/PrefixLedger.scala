@@ -97,20 +97,38 @@ object PrefixLedger {
                  compactEvery: Int = 0): Long = {
     require(rows.columns.contains(BucketCol),
       s"ledger rows must carry a '$BucketCol' column")
+    // cadence counts WAVES, not manifest versions: compaction commits
+    // bump the version too, so a version modulus would skew the
+    // schedule, and a REPLAYED wave (exactly-once no-op) must not
+    // trigger a fresh compaction commit on a path documented as a
+    // no-op. The wave count rides the header (extraMeta is applied
+    // only on ADVANCING commits — the replay leaves it untouched).
+    val before = Manifest.latestVersion(spark, root)
+    val waves = before.map(v =>
+      Manifest.snapshotMeta(spark, root, v).meta
+        .get(WavesKey).map(_.toLong).getOrElse(0L)).getOrElse(0L) + 1
     val prev = spark.conf.getOption("spark.graft.manifest.write.clustered")
     spark.conf.set("spark.graft.manifest.write.clustered", "true")
     val v =
       try Manifest.commitStreamBatch(spark, root, rows, queryId, batchId,
-        partitionCols = Seq(BucketCol))
+        partitionCols = Seq(BucketCol),
+        extraMeta = Map(WavesKey -> waves.toString))
       finally prev match {
         case Some(pv) =>
           spark.conf.set("spark.graft.manifest.write.clustered", pv)
         case None =>
           spark.conf.unset("spark.graft.manifest.write.clustered")
       }
-    if (compactEvery > 0 && v % compactEvery == 0) compact(spark, root)
+    val advanced = !before.contains(v)
+    if (compactEvery > 0 && advanced && waves % compactEvery == 0)
+      compact(spark, root)
     else v
   }
+
+  /** Header key carrying the count of ADVANCING wave commits — the
+    * [[commitWave]] compaction schedule's denominator (compaction and
+    * replayed-batch commits don't move it). */
+  val WavesKey = "ledger.waves"
 
   /** Ledger maintenance — the manifest OPTIMIZE applied to the wave
     * tail: rewrite the accumulated per-wave small files into healthy

@@ -531,4 +531,37 @@ class CurationSpec extends SparkSpec {
     assert(r.getDouble(3) == 0.0,
       s"NULL row must not register as drift, got PSI ${r.getDouble(3)}")
   }
+
+  test("distributionDriftHists: an all-NULL-valued stratum keeps its " +
+    "membership when the histograms carry NULL-bucket rows — hists " +
+    "path ≡ raw path row-for-row") {
+    // 'ghost' has only NULL n_chars: the raw path derives strata from
+    // the raw frames and emits its smoothing-only psi=0 row; the
+    // maintained-view path must reproduce it when the view buckets
+    // WITHOUT a non-null predicate (NULL value → NULL bucket row —
+    // membership, zero mass — the q233 MaterializedAgg convention)
+    val v1 = Seq(("a", Some(10L)), ("a", Some(350L)),
+      ("ghost", Option.empty[Long])).toDF("source", "n_chars")
+    val v2 = Seq(("a", Some(10L)), ("a", Some(10L)),
+      ("ghost", Option.empty[Long])).toDF("source", "n_chars")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("source").collect().map(r => (r.getString(0),
+        r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4))).toSeq
+    val raw = key(Curation.distributionDrift(v1, v2, "source",
+      "n_chars", bucketWidth = 100L, numBuckets = 4))
+    // the maintained shape: grouped counts with NULL values bucketed
+    // NULL (what the view maintains with no where-predicate)
+    def hist(df: org.apache.spark.sql.DataFrame) = df.select(
+        col("source"),
+        when(col("n_chars").isNotNull,
+          greatest(lit(0L), least(floor(col("n_chars") / 100.0),
+            lit(3L))).cast("int")).as("bucket"))
+      .groupBy("source", "bucket").agg(count(lit(1)).as("c"))
+    val hists = key(Curation.distributionDriftHists(hist(v1), hist(v2),
+      "source", numBuckets = 4))
+    assert(hists == raw, s"hists path $hists != raw path $raw")
+    assert(raw.exists(r => r._1 == "ghost" && r._2 == 0L &&
+      r._3 == 0L && r._4 == 0.0 && r._5 == 0),
+      s"ghost stratum must surface as the smoothing-only row: $raw")
+  }
 }

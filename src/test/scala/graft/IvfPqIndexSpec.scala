@@ -144,4 +144,36 @@ class IvfPqIndexSpec extends SparkSpec {
         refineFactor = 4))
     assert(e.getMessage.contains("storeVectors"), e.getMessage)
   }
+
+  test("an incomplete artifact refuses to serve — crash-safe create " +
+    "order plus component verification in meta()") {
+    val emb = clustered()
+    val queries = emb.filter(col("vec_id") === 0L)
+    // (a) create crashed BEFORE the codes commit (the commit-order
+    // contract: the discovery header lands LAST): discovery fails
+    val early = newRoot("crash-early")
+    Manifest.init(spark, s"$early/books",
+      Seq((0, 0, Array(0.0, 0.0))).toDF("m", "cid", "cv"))
+    Manifest.init(spark, s"$early/pivots",
+      Seq((0, Array(0.0, 0.0, 0.0, 0.0))).toDF("pid", "pv"))
+    val e1 = intercept[IllegalStateException](
+      IvfPqIndex.searchBatch(spark, early, Some(emb), queries,
+        "vec_id", "embedding", "vec_id", topK = 1, nProbe = 1,
+        refineFactor = 2))
+    assert(e1.getMessage.contains("not initialized"), e1.getMessage)
+    // (b) a codes table CARRYING the header but missing its books/
+    // pivots (a partial copy, or the pre-fix commit order): meta()
+    // must refuse up front, not fail (or half-serve) mid-search
+    val torn = newRoot("crash-torn")
+    Manifest.init(spark, s"$torn/codes",
+      Seq((0L, 0, Array(1, 2), 0)).toDF("id", "m", "codes",
+        "centroid_id"),
+      extraMeta = Map("pq.dim" -> "4", "pq.m" -> "2", "pq.k" -> "4",
+        "pq.cells" -> "3"))
+    val e2 = intercept[IllegalArgumentException](
+      IvfPqIndex.searchBatch(spark, torn, Some(emb), queries,
+        "vec_id", "embedding", "vec_id", topK = 1, nProbe = 1,
+        refineFactor = 2))
+    assert(e2.getMessage.contains("incomplete"), e2.getMessage)
+  }
 }

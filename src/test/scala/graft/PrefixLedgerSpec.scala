@@ -125,14 +125,29 @@ class PrefixLedgerSpec extends SparkSpec {
       Manifest.read(spark, root)
         .filter(col(PrefixLedger.BucketCol) === 1).count())
 
-    // compactEvery fires on schedule from commitWave itself
+    // compactEvery counts WAVES, not manifest versions — compaction
+    // commits bump the version too, so a version modulus would skew
+    // the schedule, and a REPLAYED wave (exactly-once no-op) must
+    // never trigger a compaction commit of its own
     val root2 = tmp()
-    PrefixLedger.init(spark, root2, keyed(0, 99))
-    for (w <- 1 to 5)
-      PrefixLedger.commitWave(spark, root2,
-        keyed(w * 100, w * 100 + 99), "cw", w.toLong, compactEvery = 3)
-    // versions: init=1, waves 2..6; compact fires at v3 and v6 → >6
-    assert(Manifest.latestVersion(spark, root2).get > 6L)
-    assert(Manifest.read(spark, root2).count() == 600)
+    PrefixLedger.init(spark, root2, keyed(0, 99))         // v1
+    PrefixLedger.commitWave(spark, root2, keyed(100, 199),
+      "cw", 1L, compactEvery = 3)                         // v2, wave 1
+    PrefixLedger.commitWave(spark, root2, keyed(200, 299),
+      "cw", 2L, compactEvery = 3)                         // v3, wave 2
+    assert(Manifest.latestVersion(spark, root2).get == 3L)
+    // replay wave 2 at head v3: a version modulus would see 3 % 3 == 0
+    // and commit a compaction on the documented-no-op path
+    PrefixLedger.commitWave(spark, root2, keyed(200, 299),
+      "cw", 2L, compactEvery = 3)
+    assert(Manifest.latestVersion(spark, root2).get == 3L,
+      "replayed wave must not trigger a compaction commit")
+    PrefixLedger.commitWave(spark, root2, keyed(300, 399),
+      "cw", 3L, compactEvery = 3)    // wave 3 → v4, then compact → v5
+    assert(Manifest.latestVersion(spark, root2).get == 5L)
+    assert(Manifest.snapshotMeta(spark, root2, 5L)
+      .meta(PrefixLedger.WavesKey) == "3",
+      "compaction and replays must not move the wave counter")
+    assert(Manifest.read(spark, root2).count() == 400)
   }
 }

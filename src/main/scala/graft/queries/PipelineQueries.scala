@@ -4188,5 +4188,177 @@ object PipelineQueries {
           FROM cum JOIN nn USING (lang) GROUP BY cum.lang)
         SELECT sl.doc_id, sl.lang, sl.qscore
         FROM sl JOIN cut USING (lang) WHERE sl.qscore >= cut.cutoff
-        ORDER BY sl.lang, sl.doc_id""")))
+        ORDER BY sl.lang, sl.doc_id""")),
+
+    // ---- X3 EXACT COSINE RANGE SEARCH from the vector index — the
+    // round-19 primitive: "everything within cosine τ of this vector"
+    // answered from a partition-pruned scan of only the cells the
+    // per-cell ANGULAR BOUND (min member-to-pivot cosine, maintained
+    // in the index header) cannot rule out. Unlike the top-k serves
+    // (q244/q250/q251) this needs NO validate-then-pin: the spherical
+    // triangle inequality PROVES a skipped cell holds no qualifying
+    // row, so the radius answer is exact at ANY pruning outcome — the
+    // right contract for curation decisions (dedup/decontamination),
+    // where a recall miss silently ships a duplicate. Corpus: the
+    // clustered fixture at the IVF sizing rule (the q251 production
+    // shape). The oracle regenerates the fixture and filters
+    // brute-force cosine — a green hash proves the pruned serve
+    // dropped nothing; the measured probed fraction is SCALING.md's.
+    QueryDef("q253_range_search",
+      (s, dir) => {
+        val root = rangeIndexRoot(s, dir)
+        val n = Tables.load(s, dir, "embeddings").count()
+        val qv = graft.sources.Fixtures.clusteredEmbeddings(s, n)
+          .filter(col("vec_id") === 7L)
+          .select(Vectors.toDouble(col("embedding")))
+          .head().getSeq[Double](0).toArray
+        graft.sources.VectorIndex.rangeSearch(s, root, qv,
+            minCosine = 0.95)
+          .select(col("id").as("vec_id"),
+            round(col("cosine"), 6).as("cosine"))
+          .orderBy(col("cosine").desc, col("vec_id").asc)
+      },
+      Some(clusteredVecsSql + """,
+        q AS (SELECT v AS qv FROM vecs WHERE id = 7),
+        c AS (SELECT vecs.id,
+            list_dot_product(vecs.v, q.qv)
+              / (sqrt(list_dot_product(vecs.v, vecs.v))
+                 * sqrt(list_dot_product(q.qv, q.qv))) AS cosine
+          FROM vecs, q)
+        SELECT id AS vec_id, round(cosine, 6) AS cosine
+        FROM c WHERE cosine >= 0.95
+        ORDER BY cosine DESC, vec_id ASC"""),
+      kind = QueryDef.Pipeline),
+
+    // ---- X8×X3 SEMANTIC DECONTAMINATION — the embedding-level leak
+    // scan the n-gram (q76) and MinHash (q94) passes cannot see: eval
+    // items that survive paraphrase still sit next to their source in
+    // embedding space. Eval set: every 101st corpus vector, nudged by
+    // deterministic md5 noise (the regenerable-probe convention, ids
+    // offset past the live max); the scan is [[VectorIndex.rangeJoin]]
+    // — one |eval|·nCells admission pass against the header bounds,
+    // then a join that touches ONLY admitted cells' rows: per-eval
+    // probed-cell cost, never an eval×corpus pass, and EXACT by the
+    // same bound proof (a decontamination miss is a shipped leak, so
+    // the no-pin contract is the point). Output: the flagged-corpus
+    // report (hits per doc, worst cosine) a curation team acts on.
+    QueryDef("q254_semantic_decontam",
+      (s, dir) => {
+        val root = rangeIndexRoot(s, dir)
+        val n = Tables.load(s, dir, "embeddings").count()
+        val emb = graft.sources.Fixtures.clusteredEmbeddings(s, n)
+        def md5u(c: Column): Column =
+          graft.functions.Native.md5Prefix32(c).cast("double") /
+            lit(4294967296.0)
+        // fixture ids are contiguous 0..n-1, so n+1e6 clears max(id)
+        val eval = emb.filter(col("vec_id") % 101 === 0)
+          .select((col("vec_id") + lit(n + 1000000L)).as("eval_id"),
+            col("embedding"))
+          .select(col("eval_id"), transform(col("embedding"), (x, j) =>
+            x + (md5u(concat(col("eval_id").cast("string"), lit("@"),
+              j.cast("string"), lit("|dc"))) * lit(2.0) - lit(1.0)) *
+              lit(0.01)).as("embedding"))
+        graft.sources.VectorIndex.rangeJoin(s, root, eval, "eval_id",
+            "embedding", minCosine = 0.95)
+          .groupBy(col("id"))
+          .agg(count(lit(1)).as("n_eval_hits"),
+            round(max(col("cosine")), 6).as("max_cos"))
+          .select(col("id").as("vec_id"), col("n_eval_hits"),
+            col("max_cos"))
+          .orderBy("vec_id")
+      },
+      Some(clusteredVecsSql + """,
+        nn AS (SELECT count(*) AS n FROM embeddings),
+        ev AS (SELECT vecs.id + nn.n + 1000000 AS eval_id,
+            list_transform(range(1, 17), i -> vecs.v[i] +
+              (CAST(('0x' || substr(md5(CAST(vecs.id + nn.n + 1000000
+                  AS VARCHAR) || '@' || CAST(i - 1 AS VARCHAR)
+                  || '|dc'), 1, 8)) AS UBIGINT)
+                / 4294967296.0 * 2.0 - 1.0) * 0.01) AS ev
+          FROM vecs, nn WHERE vecs.id % 101 = 0),
+        h AS (SELECT * FROM (SELECT vecs.id,
+            list_dot_product(vecs.v, ev.ev)
+              / (sqrt(list_dot_product(vecs.v, vecs.v))
+                 * sqrt(list_dot_product(ev.ev, ev.ev))) AS c
+          FROM vecs, ev) t WHERE c >= 0.95)
+        SELECT id AS vec_id, count(*) AS n_eval_hits,
+          round(max(c), 6) AS max_cos
+        FROM h GROUP BY id ORDER BY vec_id"""),
+      kind = QueryDef.Pipeline),
+
+    // ---- X2×X3 BLOCKED SEMANTIC DEDUP — corpus-wide embedding
+    // near-dup pairs WITHOUT an n² pass: candidate cell PAIRS are
+    // admitted only when θ(pivot1,pivot2) ≤ θmax(1) + θmax(2) +
+    // arccos τ (any qualifying cross pair forces the pivots that
+    // close — nCells² driver arithmetic, zero IO), rows then shuffle
+    // once keyed by partner cell: on this corpus the admitted pairs
+    // hug the diagonal, Σ(cell pop)² work ≈ n·(pop) instead of n².
+    // Decision = keep-first: every doc with a lower-id neighbor
+    // within τ reports its earliest such twin (min-struct, no window
+    // over the pair set). The oracle replays ALL pairs brute-force —
+    // a green hash proves the cell-pair blocking dropped no pair.
+    QueryDef("q255_semantic_dedup",
+      (s, dir) => {
+        val root = rangeIndexRoot(s, dir)
+        graft.sources.VectorIndex.selfRangePairs(s, root,
+            minCosine = 0.95)
+          .groupBy(col("id2"))
+          .agg(min(struct(col("id1"), col("cosine"))).as("_m"))
+          .select(col("id2").as("vec_id"),
+            col("_m.id1").as("dup_of"),
+            round(col("_m.cosine"), 6).as("cosine"))
+          .orderBy("vec_id")
+      },
+      Some(clusteredVecsSql + """,
+        p AS (SELECT * FROM (SELECT a.id AS id2, b.id AS id1,
+            list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v))
+                 * sqrt(list_dot_product(b.v, b.v))) AS c
+          FROM vecs a JOIN vecs b ON b.id < a.id) t WHERE c >= 0.95)
+        SELECT id2 AS vec_id, min(id1) AS dup_of,
+          round(arg_min(c, id1), 6) AS cosine
+        FROM p GROUP BY id2 ORDER BY vec_id"""),
+      kind = QueryDef.Pipeline))
+
+  /** The q253/q254/q255 serving artifact: ONE [[graft.sources.VectorIndex]]
+    * over the clustered corpus (the q251 production shape — cells on
+    * the IVF sizing rule), built once per (session, sfDir) and served
+    * by all three range queries — create cost amortizes exactly like
+    * the q250 artifact's. The per-cell angular bounds that make range
+    * pruning EXACT are stamped in its header at create. */
+  private def rangeIndexRoot(s: SparkSession, dir: String): String =
+    "file://" + graft.TempRoots.memoized("graft_rangevidx", dir) { r =>
+      val n = Tables.load(s, dir, "embeddings").count()
+      graft.sources.VectorIndex.create(s, "file://" + r,
+        graft.sources.Fixtures.clusteredEmbeddings(s, n), "vec_id",
+        "embedding",
+        nCells = graft.sources.Fixtures.scaledClusters(n),
+        trainIters = 2)
+      ()
+    }
+
+  /** The clustered fixture regenerated RELATIONALLY (the q251 oracle's
+    * CTE chain, shared verbatim by the three range oracles): ids →
+    * md5 cluster → md5 center + eps-noise components → `vecs(id, v)`,
+    * every double IEEE-identical to the Spark side's. (A `def`: the
+    * `entries` val above captures it during object init.) */
+  private def clusteredVecsSql: String =
+    """WITH ids AS (SELECT CAST(vec_id AS BIGINT) AS id
+          FROM embeddings),
+        cls AS (SELECT id,
+            CAST(('0x' || substr(md5(CAST(id AS VARCHAR) || '|cl'),
+              1, 8)) AS UBIGINT) % (SELECT CAST(greatest(64,
+                count(*) // 128) AS UBIGINT) FROM embeddings) AS cl
+          FROM ids),
+        dims AS (SELECT CAST(r.j AS INT) AS j FROM range(16) r(j)),
+        comp AS (SELECT id, j,
+            (CAST(('0x' || substr(md5(CAST(cl AS VARCHAR) || '@'
+                || CAST(j AS VARCHAR) || '|cc'), 1, 8)) AS UBIGINT)
+              / 4294967296.0 * 2.0 - 1.0)
+          + (CAST(('0x' || substr(md5(CAST(id AS VARCHAR) || '@'
+                || CAST(j AS VARCHAR) || '|cn'), 1, 8)) AS UBIGINT)
+              / 4294967296.0 * 2.0 - 1.0) * 0.05 AS x
+          FROM cls CROSS JOIN dims),
+        vecs AS (SELECT id, list(x ORDER BY j) AS v
+          FROM comp GROUP BY id)"""
 }

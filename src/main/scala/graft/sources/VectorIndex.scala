@@ -52,6 +52,68 @@ object VectorIndex {
   private def parse(s: String): Seq[Array[Double]] =
     s.split(";").toSeq.map(_.split(",").map(_.toDouble))
 
+  // ---- per-cell ANGULAR BOUND (the exact-range-search stat) ------
+  // For every cell, the MIN cosine between a stored member (in its
+  // SERVED representation — decoded midpoints on an SQ8 index) and
+  // the cell's pivot, i.e. the cosine of the widest member angle
+  // θmax(c). Rides the header next to the pivots (nCells doubles —
+  // the same header-residency budget), and it is what turns the IVF
+  // layout into an EXACT radius-query structure: for x in cell c,
+  //   θ(q,x) ≥ θ(q,pivot) − θ(pivot,x) ≥ θ(q,pivot) − θmax(c)
+  // (spherical triangle inequality on directions), so a cell with
+  // cos(θ(q,p) − θmax(c)) < τ provably holds NO row with
+  // cos(q,x) ≥ τ and is pruned WITHOUT approximation — no
+  // validate-then-pin needed, unlike top-k probing. Zero-norm rows
+  // (cosine NULL) are excluded: they can never enter a cosine range
+  // result, so they constrain no bound. MAINTENANCE: appends can only
+  // WIDEN a cell (merge by per-cell min); deletes keep the old bound
+  // (conservative — still exact, pruning just loosens until a
+  // rebuild re-trains it).
+  private val CellCosKey = "vidx.cellcos"
+  private val AngleSlack = 1e-9 // swamps arccos rounding; adds cells only
+
+  private def clampCos(x: Double): Double =
+    math.max(-1.0, math.min(1.0, x))
+
+  /** Per-cell min member-to-pivot cosine of `rows` (the stored shape:
+    * CellCol + a served-vector expression). Cells with no rows (or
+    * only zero-norm rows) report 1.0 — θmax = 0, nothing to cover. */
+  private def cellBounds(rows: DataFrame, pivots: Seq[Array[Double]],
+                         vServe: org.apache.spark.sql.Column)
+      : Array[Double] = {
+    val cents = array(pivots.map(p => array(p.map(lit(_)): _*)): _*)
+    val got = rows
+      .select(col(CellCol),
+        Vectors.cosine(vServe, element_at(cents, col(CellCol) + 1))
+          .as("_pc"))
+      .filter(col("_pc").isNotNull)
+      .groupBy(CellCol).agg(min(col("_pc")).as("_mc"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    Array.tabulate(pivots.size)(c => got.getOrElse(c, 1.0))
+  }
+
+  private def boundsOf(meta: Map[String, String]): Option[Array[Double]] =
+    meta.get(CellCosKey).map(_.split(",").map(_.toDouble))
+
+  /** The appended header stat for a delta commit: per-cell min of the
+    * stored bound and the delta's. A legacy index WITHOUT the stat
+    * stays without it (the delta's bound says nothing about the rows
+    * already stored — stamping it would over-prune); range ops then
+    * probe all cells, which is exact, just unpruned. */
+  private def appendBoundsMeta(meta: Map[String, String],
+                               delta: DataFrame,
+                               pivots: Seq[Array[Double]],
+                               vServe: org.apache.spark.sql.Column)
+      : Map[String, String] =
+    boundsOf(meta) match {
+      case Some(o) =>
+        val d = cellBounds(delta, pivots, vServe)
+        Map(CellCosKey -> Array.tabulate(d.length)(i =>
+          math.min(if (i < o.length) o(i) else 1.0, d(i)))
+          .mkString(","))
+      case None => Map.empty
+    }
+
   /** Map-only cell assignment of `(id, v, payload...)` rows against
     * literal pivots: argmax cosine, ascending cell on ties, cell -1
     * never survives (pivots are non-empty). */
@@ -143,32 +205,69 @@ object VectorIndex {
   def create(spark: SparkSession, indexRoot: String, emb: DataFrame,
              idCol: String, vecCol: String, nCells: Int,
              payloadCols: Seq[String] = Nil,
-             quantize: Boolean = false): Long =
+             quantize: Boolean = false,
+             trainIters: Int = 0): Long =
     build(spark, indexRoot, emb, idCol, vecCol, nCells, payloadCols,
-      Map.empty, replace = false, quantize = quantize)
+      Map.empty, replace = false, quantize = quantize,
+      trainIters = trainIters)
 
   /** (pivots trained on `emb`, assigned rows, full header) — shared by
     * create and the full-rebuild refresh path. With `quantize`, a
     * per-dimension min/max training pass (exact — comparisons only)
     * sizes the SQ8 ranges, codes replace the vectors in the stored
     * rows, and the ranges ride the header next to the pivots. */
+  /** Spherical-Lloyd refinement of the hash-seeded pivots — IVF
+    * TRAINING (what FAISS's `train()` does): each iteration is one
+    * map-only assignment pass + one bounded nCells×dim mean
+    * aggregate, the q96 `kmeansAssign` trajectory applied to the
+    * index's own pivot rule. Deterministic (portable-hash init,
+    * argmax-cosine with ascending-cell ties, exact avg), so replay
+    * holds. A cell that empties keeps its previous pivot (the pivot
+    * COUNT is the header contract). Why it matters: hash init leaves
+    * ~1/e of natural clusters pivotless, whose members then stretch
+    * foreign cells' angular bounds — training collapses pivots onto
+    * the real centers, which is what tightens θmax and turns the
+    * range ops' provable pruning from ~2× into ~cells×. */
+  private def kmeansRefine(v: DataFrame, init: Seq[Array[Double]],
+                           iters: Int): Seq[Array[Double]] = {
+    var cents = init
+    for (_ <- 1 to iters) {
+      val got = assign(v.select(col("id"), col("v")), cents, Nil)
+        .select(col(CellCol), posexplode(col("v")))
+        .toDF(CellCol, "pos", "x")
+        .groupBy(CellCol, "pos").agg(avg("x").as("m"))
+        .groupBy(CellCol)
+        .agg(transform(
+          sort_array(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("cv"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+      cents = cents.zipWithIndex.map { case (p, c) => got.getOrElse(c, p) }
+    }
+    cents
+  }
+
   private def build(spark: SparkSession, indexRoot: String,
                     emb: DataFrame, idCol: String, vecCol: String,
                     nCells: Int, payloadCols: Seq[String],
                     extra: Map[String, String],
                     replace: Boolean,
-                    quantize: Boolean = false): Long = {
+                    quantize: Boolean = false,
+                    trainIters: Int = 0): Long = {
     require(nCells >= 1, "nCells must be >= 1")
+    require(trainIters >= 0, "trainIters must be >= 0")
     val reserved = Set(CellCol, "id", "v", "q")
     require(payloadCols.forall(c => !reserved(c)),
       s"payload columns collide with the index's own: $reserved")
     val v = withV(emb, idCol, vecCol, payloadCols)
-    val pivots = v
+    val seed = v
       .orderBy(Sampling.portableHash(col("id"), "vidx").asc,
         col("id").asc)
       .limit(nCells)
       .select(col("v")).collect().map(_.getSeq[Double](0).toArray).toSeq
-    require(pivots.nonEmpty, "empty embedding frame")
+    require(seed.nonEmpty, "empty embedding frame")
+    val pivots =
+      if (trainIters == 0) seed else kmeansRefine(v, seed, trainIters)
     val assigned = assign(v, pivots, payloadCols)
     val (rows, sqMeta) =
       if (!quantize) (assigned, Map.empty[String, String])
@@ -182,11 +281,21 @@ object VectorIndex {
             "vidx.sq.lo" -> lo.mkString(","),
             "vidx.sq.hi" -> hi.mkString(",")))
       }
+    // the angular bound is over the SERVED representation — decoded
+    // midpoints on an SQ8 index — so range pruning covers exactly the
+    // geometry [[search]]/[[rangeSearch]] score
+    val vServe = sqMeta.get("vidx.sq.lo").fold(col("v")) { los =>
+      sqDecode(col("q"), los.split(",").map(_.toDouble),
+        sqMeta("vidx.sq.hi").split(",").map(_.toDouble))
+    }
     val meta = Map(
       "vidx.id" -> idCol, "vidx.vec" -> vecCol,
       "vidx.cells" -> pivots.size.toString,
+      "vidx.train" -> trainIters.toString,
       "vidx.payload" -> payloadCols.mkString(","),
-      "vidx.pivots" -> serialize(pivots)) ++ sqMeta ++ extra
+      "vidx.pivots" -> serialize(pivots),
+      CellCosKey -> cellBounds(rows, pivots, vServe).mkString(","))  ++
+      sqMeta ++ extra
     val out = rows.repartition(col(CellCol))
     if (replace)
       Manifest.commitReplace(spark, indexRoot, out, Seq(CellCol),
@@ -204,13 +313,14 @@ object VectorIndex {
                          indexRoot: String, idCol: String,
                          vecCol: String, nCells: Int,
                          payloadCols: Seq[String] = Nil,
-                         quantize: Boolean = false): Long = {
+                         quantize: Boolean = false,
+                         trainIters: Int = 0): Long = {
     val head = Manifest.latestVersion(spark, srcRoot).getOrElse(
       throw new IllegalStateException(s"$srcRoot not initialized"))
     build(spark, indexRoot, Manifest.read(spark, srcRoot, Some(head)),
       idCol, vecCol, nCells, payloadCols,
       Map("vidx.src" -> srcRoot, "vidx.base" -> head.toString),
-      replace = false, quantize = quantize)
+      replace = false, quantize = quantize, trainIters = trainIters)
   }
 
   /** Advance a manifest-sourced index to its source's head,
@@ -246,7 +356,8 @@ object VectorIndex {
       Manifest.read(spark, srcRoot, Some(srcHead)), idCol, vecCol,
       nCells, payload,
       Map("vidx.src" -> srcRoot, "vidx.base" -> srcHead.toString),
-      replace = true, quantize = meta.contains("vidx.sq"))
+      replace = true, quantize = meta.contains("vidx.sq"),
+      trainIters = meta.getOrElse("vidx.train", "0").toInt)
 
     Manifest.commitSteps(spark, srcRoot, base, srcHead) match {
       case None => full()
@@ -258,22 +369,32 @@ object VectorIndex {
         try {
           steps.foreach {
             case Manifest.AppendStep(v, added) =>
+              val pivots = parse(meta("vidx.pivots"))
               val assigned = assign(withV(
                   Manifest.readSubset(spark, srcRoot, v, added),
                   idCol, vecCol, payload),
-                parse(meta("vidx.pivots")), payload)
+                pivots, payload)
               // quantize the delta with the FROZEN training ranges
               // (clamped) — re-training would silently re-code the
               // whole corpus
               val delta = sqBounds(meta).fold(assigned) {
                 case (lo, hi) => quantizeRows(assigned, lo, hi, payload)
               }
+              val vServe = sqBounds(meta).fold(col("v")) {
+                case (lo, hi) => sqDecode(col("q"), lo, hi)
+              }
+              // the delta widens the stored angular bounds in place —
+              // the CURRENT header's, which earlier steps of this
+              // replay already advanced
+              val curMeta = state(spark, indexRoot)
               Manifest.commitAppend(spark, indexRoot,
                 delta.repartition(col(CellCol)),
                 Seq(CellCol),
-                extraMeta = meta.view
+                extraMeta = curMeta.view
                   .filterKeys(_.startsWith("vidx."))
-                  .toMap + ("vidx.base" -> v.toString))
+                  .toMap ++
+                  appendBoundsMeta(curMeta, delta, pivots, vServe) +
+                  ("vidx.base" -> v.toString))
             case Manifest.DeleteStep(_, v, kc, paths) =>
               // erasure propagates as a merge-on-read delete on the
               // INDEX — zero rewrite, O(deleted ids); probe-all stays
@@ -325,15 +446,22 @@ object VectorIndex {
         "VectorIndex.refresh — a direct append would be re-indexed " +
         "by the next refresh as duplicates")
     val payload = payloadOf(meta)
+    val pivots = parse(meta("vidx.pivots"))
     val assigned = assign(withV(emb, idCol, vecCol, payload),
-      parse(meta("vidx.pivots")), payload)
+      pivots, payload)
     val delta = sqBounds(meta).fold(assigned) { case (lo, hi) =>
       quantizeRows(assigned, lo, hi, payload)
+    }
+    // appends can only WIDEN a cell's angular bound: per-cell min of
+    // the stored bound and the delta's (delta-sized pass, the same
+    // maintenance shape as the delta itself)
+    val vServe = sqBounds(meta).fold(col("v")) { case (lo, hi) =>
+      sqDecode(col("q"), lo, hi)
     }
     Manifest.commitAppend(spark, indexRoot,
       delta.repartition(col(CellCol)),
       Seq(CellCol), extraMeta = meta.view.filterKeys(_.startsWith("vidx."))
-        .toMap)
+        .toMap ++ appendBoundsMeta(meta, delta, pivots, vServe))
   }
 
   private def payloadOf(meta: Map[String, String]): Seq[String] =
@@ -401,7 +529,8 @@ object VectorIndex {
         build(spark, newRoot, Manifest.read(spark, src, Some(srcHead)),
           idCol, vecCol, nCells, payload,
           Map("vidx.src" -> src, "vidx.base" -> srcHead.toString),
-          replace = false, quantize = meta.contains("vidx.sq"))
+          replace = false, quantize = meta.contains("vidx.sq"),
+          trainIters = meta.getOrElse("vidx.train", "0").toInt)
       case None =>
         require(!meta.contains("vidx.sq"),
           s"$oldRoot is SQ8-quantized and frame-built: stored vectors " +
@@ -411,7 +540,8 @@ object VectorIndex {
           .select(col("id").as(idCol) +: col("v").as(vecCol) +:
             payload.map(col): _*)
         build(spark, newRoot, rows, idCol, vecCol, nCells, payload,
-          Map.empty, replace = false)
+          Map.empty, replace = false,
+          trainIters = meta.getOrElse("vidx.train", "0").toInt)
     }
     IndexAlias.set(spark, aliasRoot, newRoot)
     newRoot
@@ -468,5 +598,143 @@ object VectorIndex {
       .select(col("id"), Vectors.cosine(vExpr, qv).as("cosine"))
       .orderBy(col("cosine").desc, col("id").asc)
       .limit(k)
+  }
+
+  private def driverCos(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length && i < b.length) {
+      dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+    }
+    val d = math.sqrt(na) * math.sqrt(nb)
+    if (d == 0.0) -2.0 else dot / d
+  }
+
+  /** Per-cell widest member angle θmax — π (cover everything) when the
+    * index predates the [[CellCosKey]] stat: range ops stay EXACT,
+    * they just probe every cell. */
+  private def thetaMax(meta: Map[String, String], nCells: Int)
+      : Array[Double] =
+    boundsOf(meta).fold(Array.fill(nCells)(math.Pi))(
+      _.map(c => math.acos(clampCos(c))))
+
+  private def servedVec(meta: Map[String, String])
+      : org.apache.spark.sql.Column =
+    sqBounds(meta).fold(col("v")) { case (lo, hi) =>
+      sqDecode(col("q"), lo, hi)
+    }
+
+  /** EXACT cosine RANGE (radius) search: every indexed row with
+    * `cosine(row, queryVec) >= minCosine`, served from a
+    * partition-pruned scan of only the cells the per-cell angular
+    * bound cannot rule out. Unlike top-k probing this needs NO
+    * validate-then-pin: a cell is skipped only when the spherical
+    * triangle inequality PROVES no member can reach the radius
+    * (θ(q,pivot) − θmax(cell) > arccos τ, with a 1e-9 slack that
+    * swamps arccos rounding and only ever ADDS cells). The semantic-
+    * dedup / decontamination primitive: "everything within cosine τ
+    * of this vector", at probed-cells cost on clusterable corpora and
+    * at probe-all cost (still exact) in the worst case. Zero-norm
+    * rows have NULL cosine and never match. Returns `(id, cosine)`. */
+  def rangeSearch(spark: SparkSession, indexRoot: String,
+                  queryVec: Array[Double], minCosine: Double,
+                  filter: Option[org.apache.spark.sql.Column] = None)
+      : DataFrame = {
+    require(minCosine >= -1.0 && minCosine <= 1.0,
+      s"minCosine must be in [-1, 1], got $minCosine")
+    val (meta, head) = stateAt(spark, indexRoot)
+    val pivots = parse(meta("vidx.pivots"))
+    val thMax = thetaMax(meta, pivots.size)
+    val tauA = math.acos(clampCos(minCosine))
+    val probed = pivots.zipWithIndex.collect {
+      case (p, c) if math.acos(clampCos(driverCos(queryVec, p))) -
+        thMax(c) <= tauA + AngleSlack => c
+    }
+    val qv = array(queryVec.map(lit(_)): _*)
+    val t = Manifest.read(spark, indexRoot, Some(head))
+    val pruned =
+      if (probed.isEmpty) t.filter(lit(false))
+      else t.filter(col(CellCol).isin(probed: _*))
+    pruned
+      .filter(filter.getOrElse(lit(true)))
+      .select(col("id"), Vectors.cosine(servedVec(meta), qv).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+  }
+
+  /** Batched [[rangeSearch]] for a QUERY-FRAME: all `(query, row)`
+    * pairs with cosine >= `minCosine` — the decontamination shape
+    * (eval set × corpus). `queries` is broadcast-batch-sized by
+    * contract (the q245/q250 convention); admission replays the same
+    * provable bound per (query, cell) as one |Q|·nCells expression —
+    * no pins, exact at any probe outcome. Returns
+    * `(query_id, id, cosine)`. */
+  def rangeJoin(spark: SparkSession, indexRoot: String,
+                queries: DataFrame, queryIdCol: String, vecCol: String,
+                minCosine: Double): DataFrame = {
+    require(minCosine >= -1.0 && minCosine <= 1.0,
+      s"minCosine must be in [-1, 1], got $minCosine")
+    val (meta, head) = stateAt(spark, indexRoot)
+    val pivots = parse(meta("vidx.pivots"))
+    val thMax = thetaMax(meta, pivots.size)
+    import spark.implicits._
+    val pf = broadcast(pivots.zipWithIndex
+      .map { case (p, c) => (c, p.toSeq, thMax(c)) }
+      .toDF(CellCol, "_pv", "_thmax"))
+    val tauA = math.acos(clampCos(minCosine))
+    val qset = broadcast(queries.select(
+      col(queryIdCol).as("query_id"),
+      Vectors.toDouble(col(vecCol)).as("_qv")))
+    val admitted = broadcast(qset.crossJoin(pf)
+      .filter(acos(greatest(lit(-1.0), least(lit(1.0),
+          coalesce(Vectors.cosine(col("_qv"), col("_pv")), lit(-1.0)))))
+        - col("_thmax") <= lit(tauA + AngleSlack))
+      .select(col("query_id"), col("_qv"), col(CellCol)))
+    Manifest.read(spark, indexRoot, Some(head))
+      .join(admitted, Seq(CellCol))
+      .select(col("query_id"), col("id"),
+        Vectors.cosine(servedVec(meta), col("_qv")).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+  }
+
+  /** EXACT blocked SELF range join: every unordered indexed pair with
+    * cosine >= `minCosine`, as `(id1 < id2, cosine)` — the corpus-
+    * wide semantic-near-dup primitive. Candidate generation is by
+    * CELL PAIR, not all-pairs: cells (c1, c2) join only when
+    *   θ(p1,p2) ≤ θmax(c1) + θmax(c2) + arccos τ
+    * (any qualifying cross pair forces the pivots that close —
+    * triangle inequality through both members), an nCells² driver
+    * check; rows then shuffle once, keyed by partner cell. On a
+    * clustered corpus the admitted pairs hug the diagonal and the
+    * join does cells·(cell pop)² work instead of n²; worst case
+    * degrades to the exact all-pairs join, never to a wrong answer. */
+  def selfRangePairs(spark: SparkSession, indexRoot: String,
+                     minCosine: Double): DataFrame = {
+    require(minCosine >= -1.0 && minCosine <= 1.0,
+      s"minCosine must be in [-1, 1], got $minCosine")
+    val (meta, head) = stateAt(spark, indexRoot)
+    val pivots = parse(meta("vidx.pivots"))
+    val thMax = thetaMax(meta, pivots.size)
+    val tauA = math.acos(clampCos(minCosine))
+    val n = pivots.size
+    // ORDERED admitted pairs (both orientations; the id1 < id2 filter
+    // then counts each unordered row pair exactly once, whichever
+    // side of the orientation its lower id lives on)
+    val pairs = for {
+      c1 <- 0 until n; c2 <- 0 until n
+      if math.acos(clampCos(driverCos(pivots(c1), pivots(c2)))) <=
+        thMax(c1) + thMax(c2) + tauA + AngleSlack
+    } yield (c1, c2)
+    import spark.implicits._
+    val t = Manifest.read(spark, indexRoot, Some(head))
+      .select(col(CellCol), col("id"), servedVec(meta).as("_v"))
+    val a = t.select(col(CellCol).as("_c1"), col("id").as("id1"),
+      col("_v").as("_v1"))
+    val b = t.select(col(CellCol).as("_c2"), col("id").as("id2"),
+      col("_v").as("_v2"))
+    a.join(broadcast(pairs.toDF("_c1", "_c2")), Seq("_c1"))
+      .join(b, Seq("_c2"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        Vectors.cosine(col("_v1"), col("_v2")).as("cosine"))
+      .filter(col("cosine") >= minCosine)
   }
 }

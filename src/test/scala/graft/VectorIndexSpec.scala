@@ -354,4 +354,187 @@ class VectorIndexSpec extends SparkSpec {
       VectorIndex.repivot(spark, s"$base/qalias", s"$base/q2"))
     assert(e.getMessage.contains("lossy"), e.getMessage)
   }
+
+  // ---- EXACT cosine range ops (per-cell angular bound) -----------
+
+  private def clusteredFix(n: Long, nCl: Int) =
+    graft.sources.Fixtures.clusteredEmbeddings(spark, n, dim = 8,
+      nClusters = nCl)
+
+  private def collectVecs(df: org.apache.spark.sql.DataFrame)
+      : Map[Long, Array[Double]] =
+    df.select(col("vec_id"),
+        graft.functions.Vectors.toDouble(col("embedding")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .toMap
+
+  test("rangeSearch is EXACT at every radius: id-set equal to brute " +
+    "force, at prying and at permissive thresholds") {
+    val fix = clusteredFix(256, 16)
+    val root = newRoot("range")
+    VectorIndex.create(spark, root, fix, "vec_id", "embedding",
+      nCells = 16)
+    val all = collectVecs(fix)
+    for (qid <- Seq(7L, 101L); tau <- Seq(0.97, 0.6, 0.1, -0.4)) {
+      val q = all(qid)
+      val want = all.collect {
+        case (i, v) if cos(q, v) >= tau => i
+      }.toSet
+      val got = VectorIndex.rangeSearch(spark, root, q, tau)
+        .select("id").as[Long].collect().toSet
+      assert(got == want, s"qid=$qid tau=$tau: " +
+        s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    }
+  }
+
+  test("rangeSearch partition-prunes: a tight radius on clustered " +
+    "data scans a strict subset of the index's files") {
+    val fix = clusteredFix(512, 16)
+    val root = newRoot("rprune")
+    VectorIndex.create(spark, root, fix, "vec_id", "embedding",
+      nCells = 16)
+    val q = collectVecs(fix)(7L)
+    val tight = VectorIndex.rangeSearch(spark, root, q, 0.97)
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect() // execute (AQE finalizes the plan)
+      df.queryExecution.executedPlan.collectLeaves().collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.totalNumberOfFiles
+      }.sum
+    }
+    val totalFiles = Manifest.read(spark, root).inputFiles.length
+    val pruned = scannedFiles(tight)
+    assert(pruned < totalFiles,
+      s"tight radius scanned $pruned of $totalFiles files — no pruning")
+  }
+
+  test("appends WIDEN the angular bound: a far-from-pivot append is " +
+    "still found by a tight radius around it (stale bounds would " +
+    "prune its cell)") {
+    val fix = clusteredFix(128, 8)
+    val root = newRoot("rappend")
+    VectorIndex.create(spark, root, fix, "vec_id", "embedding",
+      nCells = 8)
+    // a direction far from every fixture cluster (fixture components
+    // live in [-1.05, 1.05): an axis spike is nobody's neighbor)
+    val far = Array(0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 9.0)
+    VectorIndex.append(spark, root,
+      Seq((9001L, far)).toDF("vec_id", "embedding"), "vec_id",
+      "embedding")
+    val got = VectorIndex.rangeSearch(spark, root, far, 0.999)
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(9001L),
+      s"far append must be reachable at its own radius, got $got")
+    // and the whole index stays exact after the widen
+    val all = collectVecs(fix) + (9001L -> far)
+    val q = all(7L)
+    val want = all.collect { case (i, v) if cos(q, v) >= 0.5 => i }.toSet
+    val got2 = VectorIndex.rangeSearch(spark, root, q, 0.5)
+      .select("id").as[Long].collect().toSet
+    assert(got2 == want)
+  }
+
+  test("MoR deletes keep range exactness (bound stays conservative)") {
+    val fix = clusteredFix(128, 8)
+    val root = newRoot("rdelete")
+    VectorIndex.create(spark, root, fix, "vec_id", "embedding",
+      nCells = 8)
+    Manifest.deleteByKeys(spark, root,
+      (0L until 128L by 3L).toDF("id"))
+    val all = collectVecs(fix).view.filterKeys(_ % 3 != 0).toMap
+    val q = all(7L)
+    val want = all.collect { case (i, v) if cos(q, v) >= 0.3 => i }.toSet
+    val got = VectorIndex.rangeSearch(spark, root, q, 0.3)
+      .select("id").as[Long].collect().toSet
+    assert(got == want)
+  }
+
+  test("rangeJoin == brute-force cross filter for a query frame") {
+    val fix = clusteredFix(192, 12)
+    val root = newRoot("rjoin")
+    VectorIndex.create(spark, root, fix, "vec_id", "embedding",
+      nCells = 12)
+    val all = collectVecs(fix)
+    val qids = Seq(3L, 50L, 120L)
+    val queries = fix.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val tau = 0.6
+    // iterate the vectors as a Seq — a for over the Map would yield
+    // back INTO a Map keyed by the constant qid and collapse
+    val want = (for {
+      qid <- qids; (i, v) <- all.toSeq if cos(all(qid), v) >= tau
+    } yield (qid, i)).toSet
+    val got = VectorIndex.rangeJoin(spark, root, queries, "qid",
+        "embedding", tau)
+      .select("query_id", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want, s"missing=${(want -- got).take(5)} " +
+      s"extra=${(got -- want).take(5)}")
+  }
+
+  test("selfRangePairs == brute-force all-pairs, tight and loose " +
+    "(loose radii admit off-diagonal cell pairs)") {
+    val fix = clusteredFix(160, 10)
+    val root = newRoot("rself")
+    VectorIndex.create(spark, root, fix, "vec_id", "embedding",
+      nCells = 10)
+    val all = collectVecs(fix).toSeq.sortBy(_._1)
+    for (tau <- Seq(0.97, 0.3)) {
+      val want = (for {
+        (i, vi) <- all; (j, vj) <- all
+        if i < j && cos(vi, vj) >= tau
+      } yield (i, j)).toSet
+      val got = VectorIndex.selfRangePairs(spark, root, tau)
+        .select("id1", "id2").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want, s"tau=$tau missing=${(want -- got).take(5)} " +
+        s"extra=${(got -- want).take(5)}")
+    }
+  }
+
+  test("IVF training (trainIters) refines pivots deterministically: " +
+    "contents and exact range answers unchanged, pruning strictly " +
+    "tighter on clustered data") {
+    val fix = clusteredFix(512, 16)
+    val all = collectVecs(fix)
+    val q = all(7L)
+    def buildAndProbe(iters: Int): (Set[Long], Long) = {
+      val root = newRoot(s"train$iters")
+      VectorIndex.create(spark, root, fix, "vec_id", "embedding",
+        nCells = 16, trainIters = iters)
+      val r = VectorIndex.rangeSearch(spark, root, q, 0.97)
+      val ids = r.select("id").as[Long].collect().toSet
+      val files = r.queryExecution.executedPlan.collectLeaves().collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.totalNumberOfFiles
+      }.sum
+      (ids, files)
+    }
+    val want = all.collect { case (i, v) if cos(q, v) >= 0.97 => i }.toSet
+    val (ids0, files0) = buildAndProbe(0)
+    val (ids2, files2) = buildAndProbe(2)
+    val (ids2b, _) = buildAndProbe(2) // deterministic trajectory
+    assert(ids0 == want && ids2 == want && ids2b == want)
+    assert(files2 < files0,
+      s"trained build scans $files2 files vs untrained $files0 — " +
+        "training should tighten the angular bounds")
+  }
+
+  test("SQ8 range ops are exact over the SERVED geometry: rangeSearch " +
+    "ids == probe-all search filtered at the radius") {
+    val fix = clusteredFix(128, 8)
+    val root = newRoot("rsq")
+    VectorIndex.create(spark, root, fix, "vec_id", "embedding",
+      nCells = 8, quantize = true)
+    val q = collectVecs(fix)(7L)
+    val tau = 0.9
+    // probe-all top-k over ALL rows is the documented exact anchor
+    // for the served (decoded) cosines
+    val want = VectorIndex.search(spark, root, q, k = 128, nProbe = 8)
+      .filter(col("cosine") >= tau)
+      .select("id").as[Long].collect().toSet
+    val got = VectorIndex.rangeSearch(spark, root, q, tau)
+      .select("id").as[Long].collect().toSet
+    assert(got == want)
+  }
 }

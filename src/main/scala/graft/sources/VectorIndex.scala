@@ -267,7 +267,24 @@ object VectorIndex {
       .select(col("v")).collect().map(_.getSeq[Double](0).toArray).toSeq
     require(seed.nonEmpty, "empty embedding frame")
     val pivots =
-      if (trainIters == 0) seed else kmeansRefine(v, seed, trainIters)
+      if (trainIters == 0) seed
+      else {
+        // train on a BOUNDED hash-ordered sample (the FAISS
+        // train-on-a-sample discipline, same rule as IvfPqIndex's
+        // codebooks): ~32 points per cell caps each Lloyd pass at
+        // sample·nCells·dim instead of corpus·nCells·dim, so train
+        // cost stops growing with the corpus — the one unavoidable
+        // corpus-sized pass is the final assignment, which IS the
+        // index build. Deterministic: the sample is a prefix of the
+        // same portable-hash order the seeds come from.
+        val trainN = math.max(4096, 32 * nCells)
+        kmeansRefine(
+          // limit() leaves ONE partition — re-spread the sample or
+          // every Lloyd pass runs on a single core
+          v.orderBy(Sampling.portableHash(col("id"), "vidx").asc,
+            col("id").asc).limit(trainN).repartition(col("id")),
+          seed, trainIters)
+      }
     val assigned = assign(v, pivots, payloadCols)
     val (rows, sqMeta) =
       if (!quantize) (assigned, Map.empty[String, String])
@@ -293,16 +310,31 @@ object VectorIndex {
       "vidx.cells" -> pivots.size.toString,
       "vidx.train" -> trainIters.toString,
       "vidx.payload" -> payloadCols.mkString(","),
-      "vidx.pivots" -> serialize(pivots),
-      CellCosKey -> cellBounds(rows, pivots, vServe).mkString(","))  ++
+      "vidx.pivots" -> serialize(pivots)) ++
       sqMeta ++ extra
     val out = rows.repartition(col(CellCol))
-    if (replace)
-      Manifest.commitReplace(spark, indexRoot, out, Seq(CellCol),
-        extraMeta = meta)
-    else
-      Manifest.init(spark, indexRoot, out, Seq(CellCol),
-        extraMeta = meta)
+    val v1 =
+      if (replace)
+        Manifest.commitReplace(spark, indexRoot, out, Seq(CellCol),
+          extraMeta = meta)
+      else
+        Manifest.init(spark, indexRoot, out, Seq(CellCol),
+          extraMeta = meta)
+    // angular bounds from the COMMITTED rows, not the pre-write
+    // lineage: the O(n·nCells·dim) assignment was just materialized
+    // by the write, so this pass re-reads cell-partitioned parquet
+    // and scores ONE cosine per row against its own pivot —
+    // O(n·dim). Computing it from `rows` would silently re-run the
+    // whole assignment a second time (measured ~2× build cost at
+    // sf10). Published as a metadata-only follow-up commit: a crash
+    // between the two leaves a serving index whose range ops simply
+    // probe all cells — exact, just unpruned — and the next rebuild
+    // re-stamps it.
+    val committed = Manifest.read(spark, indexRoot, Some(v1))
+    val bounds = cellBounds(committed, pivots, vServe)
+    val m = Manifest.snapshotMeta(spark, indexRoot, v1)
+    Manifest.publish(spark, indexRoot, v1, m.entries,
+      m.meta + (CellCosKey -> bounds.mkString(",")), m.deletes)
   }
 
   /** Build the index over a MANIFEST TABLE source, recording the

@@ -26,6 +26,8 @@ object RangeStatsCheck {
       "/root/testdata/sf0.001")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val tau = sys.env.getOrElse("SPARK_GRAFT_RANGE_TAU", "0.95").toDouble
+    val trainIters =
+      sys.env.getOrElse("SPARK_GRAFT_RANGE_TRAIN", "2").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -42,7 +44,7 @@ object RangeStatsCheck {
     val root = "file://" + TempRoots.create("graft_rangestats") + "/v"
     var t0 = System.nanoTime()
     VectorIndex.create(spark, root, emb, "vec_id", "embedding", nCells,
-      trainIters = 2)
+      trainIters = trainIters)
     val tBuild = (System.nanoTime() - t0) / 1e9
 
     // q253 shape: single-vector radius
@@ -59,7 +61,7 @@ object RangeStatsCheck {
     }.sum
     val total = Manifest.read(spark, root).inputFiles.length
     println(f"== RangeStatsCheck $sfDir n=$n nCells=$nCells tau=$tau " +
-      f"build=$tBuild%.1fs ==")
+      f"train=$trainIters build=$tBuild%.1fs ==")
     println(f"rangeSearch(q7): rows=$rows files=$scanned/$total " +
       f"(${scanned.toDouble / total}%.4f) t=$tRange%.2fs")
 

@@ -38,9 +38,18 @@ object RangeStatsCheck {
     spark.sparkContext.setLogLevel("WARN")
     import graft.sources.{Fixtures, Manifest, VectorIndex}
 
+    // fixture=embeddings → the DRIVER's deliberately near-uniform
+    // corpus (the documented adversarial case): the bound admits
+    // nearly every cell, the serve degrades to an exact probe-all —
+    // slower, never wrong. The honest-worst-case row for SCALING.md.
+    val uniformMode =
+      sys.env.get("SPARK_GRAFT_RANGE_FIXTURE").contains("embeddings")
     val n = Tables.load(spark, sfDir, "embeddings").count()
-    val emb = Fixtures.clusteredEmbeddings(spark, n)
-    val nCells = Fixtures.scaledClusters(n)
+    val emb =
+      if (uniformMode) Tables.load(spark, sfDir, "embeddings")
+      else Fixtures.clusteredEmbeddings(spark, n)
+    val nCells =
+      if (uniformMode) 16 else Fixtures.scaledClusters(n)
     val root = "file://" + TempRoots.create("graft_rangestats") + "/v"
     var t0 = System.nanoTime()
     VectorIndex.create(spark, root, emb, "vec_id", "embedding", nCells,

@@ -4318,6 +4318,56 @@ object PipelineQueries {
         SELECT id2 AS vec_id, min(id1) AS dup_of,
           round(arg_min(c, id1), 6) AS cosine
         FROM p GROUP BY id2 ORDER BY vec_id"""),
+      kind = QueryDef.Pipeline),
+
+    // ---- X3 RANGE EXACTNESS THROUGH THE INDEX LIFECYCLE — the
+    // maintenance half of the q253 contract, driver-gated: a radius
+    // answer must stay exact not just on a fresh build but through
+    // everything a LIVE index does. Lifecycle: manifest-sourced
+    // trained index on 3/4 of the corpus → append the rest (frozen
+    // pivots; the header's angular bounds WIDEN by per-cell min —
+    // a stale bound would prune the very cells the appends
+    // stretched) → merge-on-read erasure of every 13th vector
+    // (bounds stay conservative: deletion can only shrink the true
+    // widest angle, so pruning loosens, never lies) → radius serve.
+    // The oracle brute-forces the surviving corpus — a green hash
+    // proves the maintained bounds dropped nothing at ANY step.
+    QueryDef("q256_range_lifecycle",
+      (s, dir) => {
+        val n = Tables.load(s, dir, "embeddings").count()
+        val emb = graft.sources.Fixtures.clusteredEmbeddings(s, n)
+        val base = "file://" + graft.TempRoots.create("graft_rangelc")
+        val src = s"$base/t"; val idx = s"$base/v"
+        Manifest.init(s, src, emb.filter(col("vec_id") % 4 =!= 0))
+        graft.sources.VectorIndex.createFromManifest(s, src, idx,
+          "vec_id", "embedding",
+          nCells = graft.sources.Fixtures.scaledClusters(n),
+          trainIters = 2)
+        Manifest.commitAppend(s, src, emb.filter(col("vec_id") % 4 === 0))
+        graft.sources.VectorIndex.refresh(s, src, idx) // bounds widen
+        Manifest.deleteByKeys(s, src,
+          emb.filter(col("vec_id") % 13 === 0).select("vec_id"))
+        graft.sources.VectorIndex.refresh(s, src, idx) // MoR erase
+        val qv = emb.filter(col("vec_id") === 7L)
+          .select(Vectors.toDouble(col("embedding")))
+          .head().getSeq[Double](0).toArray
+        graft.sources.VectorIndex.rangeSearch(s, idx, qv,
+            minCosine = 0.95)
+          .select(col("id").as("vec_id"),
+            round(col("cosine"), 6).as("cosine"))
+          .orderBy(col("cosine").desc, col("vec_id").asc)
+      },
+      Some(clusteredVecsSql + """,
+        live AS (SELECT id, v FROM vecs WHERE id % 13 <> 0),
+        q AS (SELECT v AS qv FROM vecs WHERE id = 7),
+        c AS (SELECT live.id,
+            list_dot_product(live.v, q.qv)
+              / (sqrt(list_dot_product(live.v, live.v))
+                 * sqrt(list_dot_product(q.qv, q.qv))) AS cosine
+          FROM live, q)
+        SELECT id AS vec_id, round(cosine, 6) AS cosine
+        FROM c WHERE cosine >= 0.95
+        ORDER BY cosine DESC, vec_id ASC"""),
       kind = QueryDef.Pipeline))
 
   /** The q253/q254/q255 serving artifact: ONE [[graft.sources.VectorIndex]]

@@ -82,15 +82,23 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
       .max(1)
-    val spark = SparkSession.builder()
+    val spark = SessionTuning.tuned(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (sys.env.contains("SPARK_GRAFT_BENCH_CODEGEN_DEBUG")) {
+      org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "org.apache.spark.sql.catalyst.expressions.codegen",
+        org.apache.logging.log4j.Level.DEBUG)
+      org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "org.apache.spark.sql.execution.WholeStageCodegenExec",
+        org.apache.logging.log4j.Level.DEBUG)
+    }
     // Dev-loop filter: comma-separated query names; unset = all.
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
@@ -102,9 +110,26 @@ object Bench {
           val l0 = loadavg1(); val (b0, t0j) = cpuJiffies()
           val io0 = ioSectors()
           val ts = (1 to reps).map { _ =>
+            // codegen-compile counter per rep (debug-only print): a
+            // nonzero steady-state count means some plan's generated
+            // source (or its classloader cache key) varies per rep —
+            // the round-19 diagnosis hook for the artifact-isolation
+            // finding, kept for future regressions of the same class.
+            val c0 =
+              if (sys.env.contains("SPARK_GRAFT_BENCH_CODEGEN_DEBUG"))
+                org.apache.spark.metrics.source.CodegenMetrics
+                  .METRIC_COMPILATION_TIME.getCount
+              else 0L
             val t0 = System.nanoTime()
             execute(d.fn(spark, sfDir)) // timed steady-state run
-            (System.nanoTime() - t0) / 1e9
+            val dt = (System.nanoTime() - t0) / 1e9
+            if (sys.env.contains("SPARK_GRAFT_BENCH_CODEGEN_DEBUG")) {
+              val c1 = org.apache.spark.metrics.source.CodegenMetrics
+                .METRIC_COMPILATION_TIME.getCount
+              System.err.println(f"[bench-cgdbg] ${d.name} rep=$dt%.2fs " +
+                f"compiles=${c1 - c0}")
+            }
+            dt
           }
           val l1 = loadavg1(); val (b1, t1j) = cpuJiffies()
           val io1 = ioSectors()

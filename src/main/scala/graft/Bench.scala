@@ -82,14 +82,24 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
       .max(1)
-    val spark = SessionTuning.tuned(SparkSession.builder()
+    // round-19 advice: hoist the env lookup out of the timed loop
+    val cgdbg = sys.env.contains("SPARK_GRAFT_BENCH_CODEGEN_DEBUG")
+    var builder = SessionTuning.tuned(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false"))
-      .getOrCreate()
+    // env-gated event logging for tools/profile_evlog.py (diagnosis
+    // only; off in driver runs — the forked JVM's javaOptions are
+    // fixed in build.sbt, so the knob has to live here)
+    sys.env.get("SPARK_GRAFT_BENCH_EVLOG").foreach { d =>
+      new java.io.File(d).mkdirs()
+      builder = builder.config("spark.eventLog.enabled", "true")
+        .config("spark.eventLog.dir", d)
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (sys.env.contains("SPARK_GRAFT_BENCH_CODEGEN_DEBUG")) {
       org.apache.logging.log4j.core.config.Configurator.setLevel(
@@ -104,6 +114,7 @@ object Bench {
       sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val results = SparkEntry.defs.values.toSeq.sortBy(_.name)
       .filter(d => only.forall(_.contains(d.name))).map { d =>
+      spark.sparkContext.setJobDescription(d.name) // guide §1.5
       val (times, load): (Seq[Double], Seq[Double]) =
         try {
           execute(d.fn(spark, sfDir)) // warm-up: plan + codegen + JIT
@@ -116,14 +127,14 @@ object Bench {
             // the round-19 diagnosis hook for the artifact-isolation
             // finding, kept for future regressions of the same class.
             val c0 =
-              if (sys.env.contains("SPARK_GRAFT_BENCH_CODEGEN_DEBUG"))
+              if (cgdbg)
                 org.apache.spark.metrics.source.CodegenMetrics
                   .METRIC_COMPILATION_TIME.getCount
               else 0L
             val t0 = System.nanoTime()
             execute(d.fn(spark, sfDir)) // timed steady-state run
             val dt = (System.nanoTime() - t0) / 1e9
-            if (sys.env.contains("SPARK_GRAFT_BENCH_CODEGEN_DEBUG")) {
+            if (cgdbg) {
               val c1 = org.apache.spark.metrics.source.CodegenMetrics
                 .METRIC_COMPILATION_TIME.getCount
               System.err.println(f"[bench-cgdbg] ${d.name} rep=$dt%.2fs " +
@@ -186,7 +197,7 @@ object Bench {
       (sumKind(QueryDef.Query), sumKind(QueryDef.Pipeline))
     val total = queryTotal + pipeTotal
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","query_total":$queryTotal,"pipeline_total":$pipeTotal,"reps":$reps,"host_cpus":${Runtime.getRuntime.availableProcessors()},"queries":$qs,"reps_detail":$repsDetail,"load_detail":$loadDetail,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","query_total":$queryTotal,"pipeline_total":$pipeTotal,"reps":$reps,"cpus":$cpus,"host_cpus":${Runtime.getRuntime.availableProcessors()},"queries":$qs,"reps_detail":$repsDetail,"load_detail":$loadDetail,"sf":"$sfDir"}"""
     println(json)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")

@@ -57,18 +57,62 @@ object SessionTuning {
     // server should leave it on — hence the sys-prop escape hatch.
     if (!sys.props.contains("spark.sql.artifact.isolation.enabled"))
       out = out.config("spark.sql.artifact.isolation.enabled", "false")
+    // Local `file://` IO without per-file chmod forks or `.crc` shadow
+    // files (see NoForkLocalFileSystem's scaladoc for the measured
+    // fork counts). Scheme-scoped: only local-FS fixtures/scratch are
+    // affected; HDFS/S3 deployments never resolve these classes.
+    if (!sys.props.contains("spark.hadoop.fs.file.impl"))
+      out = out.config("spark.hadoop.fs.file.impl",
+        "graft.hadoop.NoForkLocalFileSystem")
+    if (!sys.props.contains("spark.hadoop.fs.AbstractFileSystem.file.impl"))
+      out = out.config("spark.hadoop.fs.AbstractFileSystem.file.impl",
+        "graft.hadoop.NoForkLocalFs")
     if (!sys.props.contains("spark.local.dir")) {
+      // Size-guarded (round-19 advice): tmpfs scratch is only selected
+      // when /dev/shm has comfortable headroom for a LOCAL bench's
+      // bounded shuffle/spill footprint (default 8 GiB, env-tunable).
+      // A host whose tmpfs is small — or a real workload whose spill
+      // exceeds RAM — falls back to Spark's default /tmp placement
+      // instead of filling RAM-backed storage until ENOSPC/OOM.
+      val minBytes = sys.env.get("SPARK_GRAFT_SHM_MIN_GB")
+        .flatMap(g => scala.util.Try(g.toDouble).toOption)
+        .getOrElse(8.0) * (1L << 30)
       val dir = sys.env.get("SPARK_GRAFT_LOCAL_DIR").orElse {
         val shm = new java.io.File("/dev/shm")
-        if (shm.isDirectory && shm.canWrite)
+        if (shm.isDirectory && shm.canWrite &&
+            shm.getUsableSpace >= minBytes)
           Some("/dev/shm/graft-spark-scratch")
         else None
       }
       dir.foreach { d =>
-        new java.io.File(d).mkdirs()
+        val f = new java.io.File(d)
+        // sweep stale scratch from crash-killed runs: those spark-*/
+        // blockmgr-* trees hold RAM on tmpfs until removed (only our
+        // own scratch root is touched, and only when no other live
+        // Spark process could own it — best effort, ignore races)
+        if (f.isDirectory && d.endsWith("graft-spark-scratch"))
+          sweepStale(f)
+        f.mkdirs()
         out = out.config("spark.local.dir", d)
       }
     }
     out
+  }
+
+  /** Remove scratch subtrees older than one hour (modification time of
+    * the top-level entry) — a live run touches its dirs constantly,
+    * while a crash-killed run's tree goes stale immediately. */
+  private def sweepStale(root: java.io.File): Unit = try {
+    val cutoff = System.currentTimeMillis() - 3600L * 1000
+    Option(root.listFiles()).getOrElse(Array.empty).foreach { f =>
+      if (f.lastModified() < cutoff) deleteRec(f)
+    }
+  } catch { case _: Throwable => () }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
+    f.delete()
+    ()
   }
 }

@@ -9,14 +9,25 @@ import json, sys, collections
 path = sys.argv[1]
 show_stages = "--stages" in sys.argv
 
+
+def open_evlog(p):
+    """Rolling event logs are zstd-compressed; plain logs are text."""
+    if p.endswith(".zstd"):
+        import io, subprocess
+        out = subprocess.run(["zstd", "-dc", p], capture_output=True).stdout
+        return io.TextIOWrapper(io.BytesIO(out), errors="replace")
+    return open(p, errors="replace")
+
 jobs = {}          # id -> dict(start, end, desc)
 stages = {}        # id -> dict(name, submit, complete, metrics)
 app_start = app_end = None
 
-for line in open(path, errors="replace"):
+for line in open_evlog(path):
     try:
         e = json.loads(line)
     except json.JSONDecodeError:
+        continue
+    if not isinstance(e, dict):
         continue
     ev = e.get("Event")
     if ev == "SparkListenerApplicationStart":
@@ -39,7 +50,7 @@ for line in open(path, errors="replace"):
             "name": si["Stage Name"][:80],
             "submit": si.get("Submission Time"),
             "complete": si.get("Completion Time"),
-            "tasks": si.get("Number of Tasks"),
+            "tasks": si.get("Number of Tasks") or 0,
         }
 
 done = sorted((j for j in jobs.values() if j["end"]),
@@ -60,7 +71,7 @@ for j in sorted(done, key=lambda j: j["start"] - j["end"])[:25]:
 print("\n-- top inter-job gaps (driver-side) --")
 gaps = []
 for a, b in zip(done, done[1:]):
-    gaps.append((b["start"] - a["end"], a["desc"], b["desc"]))
+    gaps.append((max(0, b["start"] - a["end"]), a["desc"], b["desc"]))
 for g, da, db in sorted(gaps, reverse=True)[:25]:
     print(f"{g/1000:8.3f}s  after[{da[:40]}] before[{db[:40]}]")
 
